@@ -1,0 +1,368 @@
+package graft.store
+
+import java.nio.file.{Files, Path}
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s.JValue
+
+import graft.validation.DataValidator
+import graft.evolution.{EvolutionStrategy, SchemaEvolution}
+
+/** Duplicate-index handling strategies for append
+  * (reference semantics from tests/test_append.py:53-163 and
+  * collection.py:586-617 — the reference never wires the kwarg through;
+  * we implement the *tested* behavior as first-class parameters,
+  * SURVEY §2.8 note).
+  */
+sealed trait DuplicateHandling
+object DuplicateHandling {
+  /** New rows win on index collision (reference default). */
+  case object KeepLast extends DuplicateHandling
+  /** Existing rows win on index collision. */
+  case object KeepFirst extends DuplicateHandling
+  /** Keep every row regardless of index collisions. */
+  case object KeepAll extends DuplicateHandling
+  /** Raise DataIntegrityError if any index collision exists. */
+  case object ErrorOnDuplicate extends DuplicateHandling
+}
+
+object Collection {
+  val DefaultIndex = "index"
+  private val TmpPrefix = "__tmp_"
+  /** Metadata TTL cache — 300 s, same policy the reference credits for
+    * its "100× faster metadata access" (collection.py:116-147). */
+  val MetaCacheTtlMs: Long = 300 * 1000L
+}
+
+/** A collection: a namespace of items with write / append / read /
+  * snapshot semantics (reference: pystore/collection.py).
+  *
+  * Every mutation commits through `FsOps.atomicSwap` (the reference's
+  * M7 protocol) so readers always see either the old or the new item —
+  * never the reference's delete-then-move window (SURVEY §3.3).
+  *
+  * Scale design: all row-level work (dedup anti-joins, unions, window
+  * dedup, range repartitioning) is expressed as DataFrame plans and runs
+  * on executors; the driver only manages paths and sidecars. Appending
+  * to a 100 TB item shuffles ONLY on the index key, and the anti-join
+  * against the existing index reads just the index column (column
+  * pruning) of the old item.
+  */
+final class Collection private[store] (val spark: SparkSession, val path: Path) {
+  import Collection._
+
+  def name: String = path.getFileName.toString
+
+  // ---------------------------------------------------------------- items
+
+  private val itemSetCache = new java.util.concurrent.atomic.AtomicReference[Set[String]](null)
+
+  private def refreshItems(): Set[String] = {
+    val s = FsOps.listDirs(path)
+      .filterNot(d => d == GraftStore.SnapshotsDir || d.startsWith("__"))
+      .toSet
+    itemSetCache.set(s)
+    s
+  }
+
+  /** Cached item listing, refreshed on every mutation
+    * (reference collection.py:55, 86-88). */
+  def items: Set[String] = Option(itemSetCache.get).getOrElse(refreshItems())
+
+  def hasItem(item: String): Boolean = Files.isDirectory(path.resolve(item))
+
+  /** List items, optionally AND-matching metadata equality
+    * (reference collection.py:90-110): every (k,v) must equal the item's
+    * sidecar value; `_updated` is excluded from matching
+    * (collection.py:99). Metadata is tiny → evaluated driver-side.
+    */
+  def listItems(where: Map[String, Any] = Map.empty): Set[String] =
+    if (where.isEmpty) refreshItems()
+    else refreshItems().filter { it =>
+      val meta = metadata(it) - "_updated"
+      where.forall { case (k, v) =>
+        meta.get(k).exists(j => Meta.unjv(j) == v ||
+          Meta.unjv(j).toString == v.toString)
+      }
+    }
+
+  def item(name: String,
+           snapshot: Option[String] = None,
+           filters: Seq[Filters.Pred] = Nil,
+           columns: Seq[String] = Nil): Item =
+    new Item(spark, path, name, snapshot, filters, columns)
+
+  // ------------------------------------------------------- metadata cache
+
+  private val metaCache = new ConcurrentHashMap[String, (Map[String, JValue], Long)]()
+
+  def metadata(item: String): Map[String, JValue] = {
+    val now = System.currentTimeMillis()
+    val cached = metaCache.get(item)
+    if (cached != null && now - cached._2 < MetaCacheTtlMs) cached._1
+    else {
+      val m = Meta.read(path.resolve(item))
+      metaCache.put(item, (m, now))
+      m
+    }
+  }
+
+  def clearMetadataCache(item: Option[String] = None): Unit = item match {
+    case Some(i) => metaCache.remove(i)
+    case None    => metaCache.clear()
+  }
+
+  // --------------------------------------------------------------- write
+
+  /** Full write pipeline (reference collection.py:316-350 / M1):
+    * exists-check → validate → index-column default → partition policy →
+    * snappy Parquet via atomic commit → metadata sidecar.
+    *
+    * `indexCols` materializes the pandas index as ordinary columns
+    * (SURVEY §1.2); several columns = MultiIndex flattened (§1.3).
+    */
+  def write(item: String,
+            df: DataFrame,
+            indexCols: Seq[String] = Seq(DefaultIndex),
+            metadata: Map[String, Any] = Map.empty,
+            npartitions: Option[Int] = None,
+            overwrite: Boolean = false,
+            validator: Option[DataValidator] = None,
+            epochdate: Boolean = false): Unit = {
+    if (hasItem(item) && !overwrite)
+      throw new ItemExistsError(
+        s"item '$item' already exists; use overwrite=true to replace")
+
+    validator.foreach(_.validate(df))
+    structuralChecks(df)
+
+    val missing = indexCols.filterNot(df.columns.contains)
+    if (missing.nonEmpty)
+      throw new ValidationError(s"index column(s) not in DataFrame: ${missing.mkString(",")}")
+
+    // ns-fidelity path (reference utils.py:65-75): store the temporal
+    // index as int64 epoch-nanos when requested. Spark TimestampType is
+    // µs; the LongType column is the only lossless ns representation.
+    val encoded =
+      if (!epochdate) df
+      else indexCols.foldLeft(df) { (d, c) =>
+        d.schema(c).dataType match {
+          case org.apache.spark.sql.types.TimestampType =>
+            d.withColumn(c, unix_micros(col(c)) * lit(1000L))
+          case _ => d
+        }
+      }
+
+    val (n, strategy) = npartitions match {
+      case Some(k) => (k, Partitioner.SizeBased)
+      case None    => Partitioner.decide(encoded, indexCols.head, encoded.count())
+    }
+    val laidOut = Partitioner(encoded, indexCols, n)
+
+    val extra = Meta.obj(
+      "index_names" -> indexCols,
+      "index_dtypes" -> indexCols.map(c => df.schema(c).dataType.simpleString),
+      "_partitions" -> n,
+      "_partition_strategy" -> strategy.name,
+      "_epochdate" -> epochdate,
+      "schema_json" -> df.schema.json)
+    commit(item, laidOut, Meta.obj(metadata.toSeq: _*) ++ extra)
+  }
+
+  /** Structural write validation (reference dataframe.py:426-461 / R10):
+    * duplicate column names rejected; very wide frames allowed. */
+  private def structuralChecks(df: DataFrame): Unit = {
+    val dupCols = df.columns.groupBy(identity).collect { case (c, a) if a.length > 1 => c }
+    if (dupCols.nonEmpty)
+      throw new ValidationError(s"duplicate column names: ${dupCols.mkString(",")}")
+  }
+
+  /** Write df to a tmp dir then atomically swap into place, then write
+    * the sidecar and refresh caches. Part-files live under
+    * `<item>/data/` so the parquet dataset dir contains nothing but
+    * parquet; the JSON sidecar sits at the item root. */
+  private def commit(item: String, df: DataFrame, meta: Map[String, JValue]): Unit = {
+    val tmp = path.resolve(TmpPrefix + item)
+    FsOps.deleteRecursively(tmp)
+    df.write.mode("overwrite").option("compression", "snappy").parquet(tmp.toString)
+    Files.createDirectories(path.resolve(item))
+    FsOps.atomicSwap(path.resolve(item).resolve(Item.DataDir), tmp)
+    Meta.write(path.resolve(item), meta)
+    metaCache.remove(item)
+    refreshItems()
+  }
+
+  // -------------------------------------------------------------- append
+
+  /** Read-modify-write append (reference collection.py:477-527 / M2),
+    * with the reference's order of operations (SURVEY §3.3):
+    * validate → evolve schema (skips dedup if it changed anything) →
+    * index anti-join dedup per strategy → union → full-row dedup (D1) →
+    * repartition → atomic swap.
+    *
+    * Shuffle budget: one anti-join on the index (broadcast when the new
+    * batch is small — Catalyst/AQE decides from sizes), one range
+    * repartition. The union itself is shuffle-free.
+    */
+  def append(item: String,
+             df: DataFrame,
+             duplicateHandling: DuplicateHandling = DuplicateHandling.KeepLast,
+             validateSchema: Boolean = true,
+             evolution: Option[EvolutionStrategy] = None,
+             npartitions: Option[Int] = None): Unit = {
+    if (!hasItem(item))
+      throw new ItemNotFoundError(s"item '$item' does not exist; write it first")
+    if (df.isEmpty) return // reference: empty append is a no-op (test_append.py)
+
+    val existing = this.item(item)
+    val idx = existing.indexCols
+    val old = existing.data
+
+    var newDf = df
+    var evolved = false
+    evolution match {
+      case Some(strategy) =>
+        val (d, changed) = SchemaEvolution.evolveForAppend(old.schema, newDf, strategy)
+        newDf = d; evolved = changed
+      case None =>
+        if (validateSchema && old.columns.toSet != newDf.columns.toSet)
+          throw new SchemaValidationError(
+            s"schema mismatch: existing ${old.columns.sorted.mkString(",")} vs " +
+            s"new ${newDf.columns.sorted.mkString(",")}")
+    }
+
+    // Schema evolution bypasses duplicate filtering — the reference's
+    // subtle control flow at collection.py:508-513 (SURVEY §7.4.6).
+    val combined: DataFrame =
+      if (evolved) old.unionByName(newDf, allowMissingColumns = true)
+      else duplicateHandling match {
+        case DuplicateHandling.KeepAll => old.unionByName(newDf)
+        case DuplicateHandling.KeepFirst =>
+          // old wins: drop incoming rows whose index already exists (J1)
+          old.unionByName(newDf.join(old.select(idx.map(col): _*).distinct(), idx, "left_anti"))
+        case DuplicateHandling.KeepLast =>
+          // new wins: drop existing rows whose index appears in the batch
+          old.join(newDf.select(idx.map(col): _*).distinct(), idx, "left_anti")
+            .unionByName(newDf)
+        case DuplicateHandling.ErrorOnDuplicate =>
+          val overlap = old.join(newDf, idx, "left_semi").limit(1).count()
+          if (overlap > 0)
+            throw new DataIntegrityError(
+              s"append to '$item' has duplicate index values (strategy=error)")
+          old.unionByName(newDf)
+      }
+
+    // D1 (reference collection.py:520): identical FULL rows collapse;
+    // same-index-different-value rows survive (regression
+    // tests/test_append.py:218-234).
+    val deduped = combined.dropDuplicates()
+
+    val (n, strategy) = npartitions match {
+      case Some(k) => (k, Partitioner.SizeBased)
+      case None    => Partitioner.decide(deduped, idx.head, deduped.count())
+    }
+    val laidOut = Partitioner(deduped, idx, n)
+
+    val prevMeta = Meta.read(path.resolve(item)) ++
+      Meta.obj("_partitions" -> n, "_partition_strategy" -> strategy.name)
+    commit(item, laidOut, prevMeta)
+  }
+
+  /** Chunked append loop (reference append_stream, collection.py:677-751
+    * / M3): iterator of frames, first chunk creates the item. The true
+    * Structured Streaming adapter lives in graft.streaming. */
+  def appendStream(item: String,
+                   chunks: Iterator[DataFrame],
+                   duplicateHandling: DuplicateHandling = DuplicateHandling.KeepLast,
+                   indexCols: Seq[String] = Seq(DefaultIndex)): Long = {
+    var total = 0L
+    chunks.foreach { chunk =>
+      val c = chunk.count()
+      if (c > 0) {
+        if (!hasItem(item)) write(item, chunk, indexCols)
+        else append(item, chunk, duplicateHandling)
+        total += c
+      }
+    }
+    total
+  }
+
+  // --------------------------------------------------------------- batch
+
+  /** Parallel multi-item write (reference write_batch, collection.py:753-829
+    * / M4). Jobs are submitted concurrently from driver threads; Spark's
+    * scheduler interleaves their stages across executor slots. Partial
+    * failures are collected into one StorageError like the reference. */
+  def writeBatch(items: Seq[(String, DataFrame)],
+                 indexCols: Seq[String] = Seq(DefaultIndex),
+                 overwrite: Boolean = false,
+                 parallel: Boolean = true): Unit = {
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val attempts: Seq[(String, Try[Unit])] =
+      if (!parallel) items.map { case (n, d) => n -> Try(write(n, d, indexCols, overwrite = overwrite)) }
+      else Await.result(
+        Future.traverse(items) { case (n, d) =>
+          Future(n -> Try(write(n, d, indexCols, overwrite = overwrite)))
+        }, Duration.Inf)
+    val failures = attempts.collect { case (n, Failure(e)) => s"$n: ${e.getMessage}" }
+    if (failures.nonEmpty)
+      throw new StorageError(s"batch write failed for ${failures.size} item(s): " +
+        failures.mkString("; "))
+  }
+
+  /** Batch read; failures map to None (reference read_batch,
+    * collection.py:831-876 / S6). */
+  def readBatch(itemNames: Seq[String],
+                columns: Seq[String] = Nil,
+                filters: Seq[Filters.Pred] = Nil): Map[String, Option[DataFrame]] =
+    itemNames.map { n =>
+      n -> Try(item(n, filters = filters, columns = columns).data) match {
+        case (k, Success(d)) => k -> Some(d)
+        case (k, Failure(_)) => k -> None
+      }
+    }.toMap
+
+  def deleteItem(item: String): Boolean = {
+    FsOps.deleteRecursively(path.resolve(item))
+    metaCache.remove(item)
+    refreshItems()
+    true
+  }
+
+  // ----------------------------------------------------------- snapshots
+
+  /** Point-in-time snapshot (reference collection.py:529-543 / V1): name
+    * sanitized to [A-Za-z0-9._] or a µs timestamp; v0 = recursive copy
+    * of the collection excluding `_snapshots`. Scale path (SURVEY §7.4.4):
+    * the API stays, the copy becomes a manifest over immutable part
+    * files. */
+  def createSnapshot(name: Option[String] = None): String = {
+    val snap = name.map(_.replaceAll("[^A-Za-z0-9._]", "_"))
+      .getOrElse(System.currentTimeMillis().toString + "_" +
+        (System.nanoTime() % 1000000L).toString)
+    val dst = path.resolve(GraftStore.SnapshotsDir).resolve(snap)
+    FsOps.copyRecursively(path, dst,
+      exclude = d => d == GraftStore.SnapshotsDir || d.startsWith("__"))
+    snap
+  }
+
+  def listSnapshots(): Seq[String] = FsOps.listDirs(path.resolve(GraftStore.SnapshotsDir))
+
+  /** Lenient: deleting a missing snapshot returns true
+    * (reference quirk, collection.py:550-553, kept per tests). */
+  def deleteSnapshot(name: String): Boolean = {
+    FsOps.deleteRecursively(path.resolve(GraftStore.SnapshotsDir).resolve(name)); true
+  }
+
+  def deleteSnapshots(): Boolean = {
+    FsOps.deleteRecursively(path.resolve(GraftStore.SnapshotsDir))
+    Files.createDirectories(path.resolve(GraftStore.SnapshotsDir))
+    true
+  }
+}

@@ -1,0 +1,91 @@
+package graft.store
+
+import java.nio.file.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s.JValue
+
+object Item {
+  /** Subdir of the item dir holding the parquet part-files — kept
+    * separate from the JSON sidecar so the dataset dir is pure parquet. */
+  val DataDir = "data"
+}
+
+/** A stored item: a lazy DataFrame over one Parquet dataset directory
+  * plus its JSON metadata sidecar (reference: pystore/item.py:36-100).
+  *
+  * `data` is the analogue of the reference's lazy Dask handle
+  * (item.py:64-65) — a declarative plan with the filters/columns folded
+  * in, so Catalyst pushes the predicates and pruning into the Parquet
+  * scan. Materialization only happens at normal Spark actions; there is
+  * no eager `to_pandas` copy (SURVEY §3.2).
+  */
+final class Item private[store] (
+    val spark: SparkSession,
+    val collectionPath: Path,
+    val name: String,
+    val snapshot: Option[String],
+    filters: Seq[Filters.Pred],
+    columns: Seq[String]) {
+
+  val path: Path = snapshot match {
+    case None => collectionPath.resolve(name)
+    case Some(snap) =>
+      val snapDir = collectionPath.resolve(GraftStore.SnapshotsDir).resolve(snap)
+      if (!java.nio.file.Files.isDirectory(snapDir))
+        throw new SnapshotNotFoundError(s"snapshot '$snap' does not exist")
+      val p = snapDir.resolve(name)
+      if (!java.nio.file.Files.isDirectory(p))
+        throw new ItemNotFoundError(s"item '$name' not found in snapshot '$snap'")
+      p
+  }
+
+  if (!java.nio.file.Files.isDirectory(path))
+    throw new ItemNotFoundError(s"item '$name' does not exist")
+
+  lazy val metadata: Map[String, JValue] = Meta.read(path)
+
+  /** Index column names recorded at write (default Seq("index")). */
+  def indexCols: Seq[String] = metadata.get("index_names") match {
+    case Some(j) => Meta.unjv(j) match {
+      case xs: Seq[_] if xs.nonEmpty => xs.map(_.toString)
+      case _ => Seq(Collection.DefaultIndex)
+    }
+    case None => Seq(Collection.DefaultIndex)
+  }
+
+  /** The lazy, pushdown-planned scan. */
+  lazy val data: DataFrame = {
+    val base = spark.read.parquet(path.resolve(Item.DataDir).toString)
+    val filtered = Filters.toColumn(filters).fold(base)(base.filter)
+    if (columns.isEmpty) filtered
+    else {
+      // Projection always retains the index columns, like the reference
+      // (the pandas index survives column selection).
+      val keep = (indexCols ++ columns).distinct.filter(filtered.columns.contains)
+      filtered.select(keep.map(col): _*)
+    }
+  }
+
+  /** First n rows in index order (reference item.py:96-98). */
+  def head(n: Int = 5): DataFrame =
+    data.orderBy(indexCols.map(col): _*).limit(n)
+
+  /** Last n rows in index order (reference item.py:99-100). Planned as
+    * TakeOrderedAndProject on the reversed sort — no full sort. */
+  def tail(n: Int = 5): DataFrame =
+    data.orderBy(indexCols.map(c => col(c).desc): _*).limit(n)
+      .orderBy(indexCols.map(col): _*)
+
+  /** Index-only scan (reference collection.py:149-156). Column pruning
+    * means the Parquet reader touches only the index column's pages. */
+  def index: DataFrame = data.select(indexCols.map(col): _*)
+
+  /** Max index value — replaces the reference's repr-string parsing hack
+    * for `last=True` (collection.py:153-156) with a real aggregate. */
+  def lastIndex: Option[Any] = {
+    val row = data.agg(max(col(indexCols.head))).head()
+    if (row.isNullAt(0)) None else Some(row.get(0))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** JSON metadata sidecar read/write.
+  *
+  * Mirrors the reference's per-item/per-store sidecar
+  * (reference: pystore/utils.py:89-107) — one `metadata.json` per item
+  * directory, stamped with a `_updated` UTC timestamp on every write.
+  * (The reference has a latent NameError at utils.py:101 — `timezone`
+  * used without import; we implement the intended UTC stamp.)
+  *
+  * Scale note: sidecars are a few hundred bytes and read driver-side
+  * only; at 100 TB the data volume lives in the Parquet files, not
+  * here. Metadata search (Collection.listItems) loads only sidecars.
+  */
+object Meta {
+  val Filename = "graft_metadata.json"
+
+  /** Matches the reference's `%Y-%m-%d %H:%M:%S.%f` timestamp format
+    * (pystore/utils.py:99-101, tests/test_edge_cases.py #64). */
+  private val stampFmt =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS").withZone(ZoneOffset.UTC)
+
+  def nowStamp(): String = stampFmt.format(Instant.now())
+
+  def write(dir: Path, metadata: Map[String, JValue]): Unit = {
+    Files.createDirectories(dir)
+    val withStamp = metadata + ("_updated" -> JString(nowStamp()))
+    val json = JsonMethods.pretty(JsonMethods.render(JObject(withStamp.toList)))
+    // Write-temp-then-rename so readers never observe a torn sidecar.
+    val tmp = dir.resolve(Meta.Filename + ".tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(Meta.Filename), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def read(dir: Path): Map[String, JValue] = {
+    val f = dir.resolve(Meta.Filename)
+    if (!Files.exists(f)) Map.empty
+    else JsonMethods.parse(new String(Files.readAllBytes(f), StandardCharsets.UTF_8)) match {
+      case JObject(fields) => fields.toMap
+      case _               => Map.empty
+    }
+  }
+
+  /** Convenience constructors for plain Scala values → JValue. */
+  def jv(v: Any): JValue = v match {
+    case null               => JNull
+    case j: JValue          => j
+    case s: String          => JString(s)
+    case b: Boolean         => JBool(b)
+    case i: Int             => JInt(BigInt(i))
+    case l: Long            => JInt(BigInt(l))
+    case d: Double          => JDouble(d)
+    case f: Float           => JDouble(f.toDouble)
+    case m: Map[_, _]       => JObject(m.toList.map { case (k, x) => (k.toString, jv(x)) })
+    case xs: Iterable[_]    => JArray(xs.toList.map(jv))
+    case other              => JString(other.toString)
+  }
+
+  def obj(kvs: (String, Any)*): Map[String, JValue] =
+    kvs.map { case (k, v) => k -> jv(v) }.toMap
+
+  /** Scala value back out of a JValue (for equality matching / API). */
+  def unjv(j: JValue): Any = j match {
+    case JString(s)  => s
+    case JBool(b)    => b
+    case JInt(i)     => if (i.isValidLong) i.toLong else i
+    case JLong(l)    => l
+    case JDouble(d)  => d
+    case JDecimal(d) => d
+    case JNull       => null
+    case JArray(xs)  => xs.map(unjv)
+    case JObject(fs) => fs.map { case (k, v) => k -> unjv(v) }.toMap
+    case JNothing    => null
+    case JSet(xs)    => xs.map(unjv)
+  }
+}

@@ -1,0 +1,106 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.types.{TimestampType, DateType, LongType}
+
+/** Physical-layout policy: how many output files / how rows are
+  * distributed across them.
+  *
+  * Mirrors the reference's two strategies (pystore/partition.py):
+  *  - size-based: `ceil(bytes / 128MB)` clamped to [1, maxPartitions]
+  *    (partition.py:38-81; 128 MB target, min 32 / max 512 MB,
+  *    config.py:25-26) — the same 128 MB that Spark's
+  *    `spark.sql.files.maxPartitionBytes` defaults to, so write-side
+  *    and read-side split sizes agree.
+  *  - time-based: monthly (<1y span), quarterly (<3y), yearly
+  *    (partition.py:84-172), picked automatically for datetime-indexed
+  *    data with >10k rows (collection.py:272-301), falling back to
+  *    size-based when it would exceed maxPartitions.
+  *
+  * Spark realization: `repartitionByRange(n, col(index))` +
+  * `sortWithinPartitions(index)` — one shuffle that yields globally
+  * range-ordered output like Dask divisions (SURVEY §2.7 D3), so every
+  * part-file covers a disjoint index range and Parquet row-group
+  * min/max stats give O(files-touched) time-range scans.
+  *
+  * Scale note (100 TB): range partitioning keeps time-locality so a
+  * day/month query prunes to a few files; `repartitionByRange` samples
+  * the index to compute balanced boundaries, which also absorbs skew.
+  * At cluster scale the same policy applies per item with n in the
+  * thousands; nothing here is driver-bound except the tiny size
+  * estimate.
+  */
+object Partitioner {
+
+  val TargetPartitionBytes: Long = 128L * 1024 * 1024
+  val MinPartitionBytes: Long = 32L * 1024 * 1024
+  val MaxPartitionBytes: Long = 512L * 1024 * 1024
+  val MaxPartitions: Int = 100
+  val TimePartitionMinRows: Long = 10000L
+
+  sealed trait Strategy { def name: String }
+  case object SizeBased extends Strategy { val name = "size" }
+  case object TimeBased extends Strategy { val name = "time" }
+
+  /** Estimated in-memory/serialized size of the frame WITHOUT
+    * materializing it (the reference computes `memory_usage(deep)` which
+    * forces a full compute — collection.py:438-445; we use Catalyst plan
+    * statistics instead, which derive from file sizes + filter
+    * selectivity).
+    */
+  def estimatedBytes(df: DataFrame): Long =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes.min(BigInt(Long.MaxValue)).toLong
+
+  def sizeBasedCount(bytes: Long): Int = {
+    val n = math.ceil(bytes.toDouble / TargetPartitionBytes).toInt
+    math.min(math.max(n, 1), MaxPartitions)
+  }
+
+  /** Partition count for the time strategy from the index span:
+    * monthly if < 1 year, quarterly if < 3 years, else yearly
+    * (reference partition.py:117-141). Returns None if the index is not
+    * temporal or the count would exceed MaxPartitions (fallback to
+    * size-based, as the reference does at partition.py:143-151).
+    */
+  def timeBasedCount(df: DataFrame, indexCol: String, rowCount: Long): Option[Int] = {
+    val isTemporal = df.schema.find(_.name == indexCol).exists { f =>
+      f.dataType == TimestampType || f.dataType == DateType
+    }
+    if (!isTemporal || rowCount <= TimePartitionMinRows) None
+    else {
+      val mm = df.agg(F.min(F.col(indexCol)), F.max(F.col(indexCol))).head()
+      if (mm.isNullAt(0)) None
+      else {
+        val lo = mm.getTimestamp(0).getTime
+        val hi = mm.getTimestamp(1).getTime
+        val spanDays = (hi - lo).toDouble / 86400000.0
+        val n =
+          if (spanDays < 365) math.ceil(spanDays / 30.0).toInt          // monthly
+          else if (spanDays < 3 * 365) math.ceil(spanDays / 91.0).toInt // quarterly
+          else math.ceil(spanDays / 365.0).toInt                        // yearly
+        val clamped = math.max(n, 1)
+        if (clamped > MaxPartitions) None else Some(clamped)
+      }
+    }
+  }
+
+  /** Auto strategy (reference collection.py:272-301): time-series data
+    * above the row threshold → time-based; otherwise size-based.
+    * Returns (partitionCount, strategyName).
+    */
+  def decide(df: DataFrame, indexCol: String, rowCount: Long): (Int, Strategy) =
+    timeBasedCount(df, indexCol, rowCount) match {
+      case Some(n) => (n, TimeBased)
+      case None    => (sizeBasedCount(estimatedBytes(df)), SizeBased)
+    }
+
+  /** Apply a chosen layout: range-partition on the index and sort
+    * within partitions so the on-disk files are globally index-ordered.
+    */
+  def apply(df: DataFrame, indexCols: Seq[String], n: Int): DataFrame = {
+    val sortable = indexCols.filter(c => df.columns.contains(c))
+    if (sortable.isEmpty) df.repartition(n)
+    else df.repartitionByRange(n, sortable.map(F.col): _*)
+      .sortWithinPartitions(sortable.map(F.col): _*)
+  }
+}
