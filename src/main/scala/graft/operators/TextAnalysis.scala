@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, quality scoring, language ID, fingerprinting
+  * (BASELINE.json north star — beyond the reference's own surface).
+  *
+  * Everything is built from codegen'd `functions._` column expressions
+  * (split/regexp/higher-order functions) — no UDFs — so the operators
+  * run inside WholeStageCodegen and scale linearly with executors; no
+  * shuffles at all (all per-row).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(tokens(text)))
+
+  /** BPE-ish subword count estimate: words are split at
+    * letter/digit/punct boundaries, long words cost extra tokens
+    * (≈ len/4 pieces, the common BPE rule of thumb). */
+  def subwordCountEstimate(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(
+      aggregate(
+        tokens(text),
+        lit(0L),
+        (acc, w) => acc + greatest(lit(1L), ceil(length(w) / 4.0).cast("long"))))
+
+  private val Stopwords = Seq(
+    "the", "a", "an", "of", "to", "in", "and", "is", "it", "for",
+    "on", "with", "as", "at", "by")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, w => lower(w).isin(Stopwords: _*))).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
+        length(text).cast("double"))
+
+  def avgWordLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** Composite quality score in [0,1] from length / punctuation /
+    * stopword signals — the standard "is this prose" heuristic family
+    * (C4/Gopher-style rules, re-expressed as closed-form arithmetic).
+    * Deterministic + SQL-expressible so the oracle can replicate it. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lengthScore = least(nTok / 50.0, lit(1.0))          // saturates at 50 tokens
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0)) // prose has stopwords
+    val wordLenOk = when(avgWordLen(text).between(2.0, 12.0), 1.0).otherwise(0.5)
+    round((lengthScore * 0.3 + punctScore * 0.2 + stopScore * 0.3 + wordLenOk * 0.2), 6)
+  }
+
+  /** Per-language marker-word profiles for the n-gram/stopword language
+    * heuristic. Tiny on purpose: broadcast as literals into codegen. */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "que", "de", "un", "una"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que", "des", "une", "dans", "pour"))
+
+  /** Language-ID heuristic: CJK codepoint share decides zh; otherwise
+    * the language whose marker-word hit-count is highest (ties broken
+    * by profile order, 'und' when nothing matches). One pass, no
+    * shuffle; the real-world upgrade path is n-gram profiles via the
+    * same argmax shape. */
+  def langId(text: Column): Column = {
+    val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+    val toks = tokens(lower(text))
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, w => w.isin(markers: _*)))
+    }
+    val best = scores.foldLeft((lit("und"), lit(0))) { case ((bl, bs), (lang, s)) =>
+      (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    when(cjk.cast("double") / greatest(length(text), lit(1)).cast("double") > 0.2, "zh")
+      .otherwise(best._1)
+  }
+
+  /** Canonical-form document fingerprint: md5 of the normalized text
+    * (lowercase, punctuation stripped, whitespace collapsed). Two docs
+    * that differ only in case/punct/spacing collide — the cheap
+    * first-tier dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(normalize(text))
+
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[\\p{Punct}]", " "), "\\s+", " "))
+
+  /** Shift-resistant rolling-hash fingerprint (winnowing-style): hash
+    * every k-token window, keep the numeric minimum — robust to
+    * insertions far from the minimizing window. Pure column arithmetic. */
+  def rollingMinHash(text: Column, k: Int = 5): Column = {
+    val toks = tokens(normalize(text))
+    val n = size(toks)
+    when(n < k, xxhash64(concat_ws(" ", toks))).otherwise(
+      array_min(transform(sequence(lit(0), n - k), i =>
+        xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k)))))))
+  }
+
+  /** Full per-document stats frame. */
+  def stats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_subwords", subwordCountEstimate(t))
+      .withColumn("stopword_ratio", round(stopwordRatio(t), 6))
+      .withColumn("punct_ratio", round(punctRatio(t), 6))
+      .withColumn("avg_word_len", round(avgWordLen(t), 6))
+      .withColumn("quality", qualityScore(t))
+  }
+}

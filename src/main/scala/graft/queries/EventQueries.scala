@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Events}
+
+/** Event-stream operator queries over the ns-precision `events` table.
+  *
+  * Spark's TimestampType is µs, the table is TIMESTAMP(NANOS) parquet —
+  * read via `spark.sql.legacy.parquet.nanosAsLong` (the int64 ns path
+  * from SURVEY §7.4.1) and truncated to µs at the edge; the testdata
+  * carries no sub-µs content (verified), and the oracle truncates
+  * identically with date_trunc('microseconds', ts).
+  */
+object EventQueries {
+
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // `div` (integer division) — `/` would promote to DOUBLE, whose
+    // 52-bit mantissa rounds epoch-nanos (~1.7e18) by whole µs.
+    Tables.t(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  def sessionStats(s: SparkSession, dir: String): DataFrame =
+    Events.sessionStats(events(s, dir), gapMinutes = 30)
+      .orderBy(col("user_id"), col("session_seq"))
+
+  val sessionStatsSql: String =
+    """WITH e AS (SELECT event_id, user_id, value,
+      |             date_trunc('microseconds', ts) AS ts FROM events),
+      |lagged AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |           FROM e),
+      |flagged AS (SELECT *, CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+      |                           THEN 1 ELSE 0 END AS new_session FROM lagged),
+      |sessions AS (SELECT *, sum(new_session) OVER (
+      |               PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS UNBOUNDED PRECEDING) AS session_seq FROM flagged)
+      |SELECT user_id, session_seq,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n_events,
+      |  round(CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE), 2) AS total_value
+      |FROM sessions
+      |GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
+  def hourlyCounts(s: SparkSession, dir: String): DataFrame =
+    Events.tumblingCounts(events(s, dir), "1 hour")
+      .orderBy(col("window_start"), col("event_type"))
+
+  val hourlyCountsSql: String =
+    """SELECT date_trunc('hour', date_trunc('microseconds', ts)) AS window_start,
+      |  event_type, count(*) AS n,
+      |  round(CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE), 2) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
+  /** As-of join: each click event matched with the user's most recent
+    * purchase at or before it (point-in-time-correct feature lookup). */
+  def asofClickPurchase(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    AsOfJoin.asOf(clicks, purchases, key = "user_id",
+        leftTime = "ts", rightTime = "ts",
+        rightCols = Map("event_id" -> "purchase_event_id"))
+      .select(col("event_id"), col("purchase_event_id"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofClickPurchaseSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |             date_trunc('microseconds', ts) AS ts FROM events),
+      |c AS (SELECT * FROM e WHERE event_type = 'click'),
+      |p AS (SELECT * FROM e WHERE event_type = 'purchase')
+      |SELECT c.event_id, p.event_id AS purchase_event_id
+      |FROM c ASOF LEFT JOIN p
+      |  ON c.user_id = p.user_id AND p.ts <= c.ts
+      |ORDER BY c.event_id""".stripMargin
+
+  /** JSON props extraction + per-key aggregation (schema-on-read). */
+  def propsAgg(s: SparkSession, dir: String): DataFrame =
+    Events.withProps(events(s, dir))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+        round(avg(col("k").cast("decimal(38,6)")).cast("double"), 4).as("avg_k"))
+      .orderBy(col("event_type"))
+
+  val propsAggSql: String =
+    """SELECT event_type,
+      |  count(CAST(props->>'$.k' AS INTEGER)) AS n_with_k,
+      |  round(CAST(avg(CAST(CAST(props->>'$.k' AS INTEGER) AS DECIMAL(38,6))) AS DOUBLE), 4) AS avg_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_session_stats" -> sessionStats _,
+    "events_hourly_counts" -> hourlyCounts _,
+    "events_asof_click_purchase" -> asofClickPurchase _,
+    "events_props_agg" -> propsAgg _)
+
+  val oracles: Map[String, String] = Map(
+    "events_session_stats" -> sessionStatsSql,
+    "events_hourly_counts" -> hourlyCountsSql,
+    "events_asof_click_purchase" -> asofClickPurchaseSql,
+    "events_props_agg" -> propsAggSql)
+}

@@ -1,0 +1,315 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data-pipeline operator queries (dedup / similarity /
+  * multimodal / text analysis) over the `documents` and `embeddings`
+  * tables, with DuckDB oracles wherever the computation is
+  * SQL-expressible (hash-based ops get rows-only checks).
+  *
+  * The documents table has no natural duplicates, so the dedup queries
+  * union deterministic perturbed copies (ids offset by +100000) into
+  * the input: exact copies for exact dedup, drop-last-word copies for
+  * near-dup, scaled embeddings for cosine near-dup. The oracle applies
+  * the same construction in SQL, so the expected pair set is exact.
+  */
+object PipelineQueries {
+
+  private val CopyIdOffset = 100000L
+
+  /** documents plus exact copies of doc_id < 50. */
+  private def docsWithExactCopies(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + CopyIdOffset))
+  }
+
+  /** documents plus near-dup copies (last word dropped) of doc_id < 50. */
+  private def docsWithNearCopies(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val w = split(col("text"), " ")
+    d.unionByName(
+      d.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + CopyIdOffset)
+        .withColumn("text", concat_ws(" ", slice(w, lit(1), size(w) - 1))))
+  }
+
+  private val augExactSql =
+    """(SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50)""".stripMargin
+
+  private val augNearSql =
+    """(SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 100000,
+      |   array_to_string(string_split(text, ' ')[1:len(string_split(text, ' '))-1], ' ')
+      | FROM documents WHERE doc_id < 50)""".stripMargin
+
+  /** DuckDB replica of Dedup.shingles (normalize → whitespace tokens →
+    * distinct word k-grams), as a SQL fragment over column `text`. */
+  private def shinglesSql(k: Int): String = {
+    val slice = s"w[i:i+${k - 1}]"
+    s"""CASE WHEN len(w) < $k THEN [array_to_string(w, ' ')]
+       | ELSE list_distinct(list_transform(range(1, len(w) - ${k - 2}),
+       |        i -> array_to_string($slice, ' '))) END""".stripMargin
+  }
+
+  private val normTokensSql =
+    """string_split_regex(trim(regexp_replace(regexp_replace(lower(text),
+      | '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')), '\s+')""".stripMargin
+
+  // ------------------------------------------------------------- dedup
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docsWithExactCopies(s, dir)).orderBy(col("doc_id"))
+
+  val dedupExactSql: String =
+    s"""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+       |FROM $augExactSql
+       |GROUP BY text
+       |ORDER BY doc_id""".stripMargin
+
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(docsWithNearCopies(s, dir), threshold = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Oracle = EXACT jaccard over all pairs — checks both LSH recall
+    * (banding must surface every qualifying pair of this dataset) and
+    * the verify step's exact jaccard arithmetic. */
+  def jaccardPairOracle(threshold: Double, k: Int, aug: String): String =
+    s"""WITH aug AS (SELECT doc_id, text FROM $aug),
+       |sh AS (SELECT doc_id AS id, sh FROM (
+       |  SELECT doc_id, (SELECT ${shinglesSql(k)} FROM (SELECT $normTokensSql AS w)) AS sh
+       |  FROM aug)),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+       |  FROM sh a, sh b WHERE a.id < b.id)
+       |SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs
+       |WHERE j >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  val dedupMinhashLshSql: String = jaccardPairOracle(0.8, 3, augNearSql)
+
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docsWithNearCopies(s, dir), threshold = 0.5, k = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val dedupNgramJaccardSql: String = jaccardPairOracle(0.5, 3, augNearSql)
+
+  /** SimHash pairs — xxhash64-based, not replicable in DuckDB SQL →
+    * rows-only check. */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docsWithNearCopies(s, dir), radius = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** embeddings plus near-identical copies: element i scaled by
+    * 1 + (i%5)/100 (deterministic, non-uniform so cosine < 1). */
+  private def embWithNearCopies(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    e.unionByName(
+      e.filter(col("vec_id") < 50)
+        .withColumn("vec_id", col("vec_id") + CopyIdOffset)
+        .withColumn("embedding",
+          zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+            (x, i) => x.cast("double") * (lit(1.0) + (i % 5).cast("double") / 100.0))))
+  }
+
+  private val augEmbSql =
+    """(SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |   FROM embeddings
+      | UNION ALL
+      | SELECT vec_id + 100000,
+      |   list_transform(range(0, len(embedding)),
+      |     i -> CAST(embedding[i+1] AS DOUBLE) * (1.0 + (i % 5) / 100.0))
+      | FROM embeddings WHERE vec_id < 50)""".stripMargin
+
+  def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosinePairs(embWithNearCopies(s, dir), threshold = 0.9,
+        exhaustive = true)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val dedupEmbeddingCosineSql: String =
+    s"""WITH aug AS (SELECT vec_id, v FROM $augEmbSql)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |FROM aug a, aug b
+       |WHERE a.vec_id < b.vec_id
+       |  AND list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
+       |      (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+       |       sqrt(list_sum(list_transform(b.v, x -> x*x)))) >= 0.9
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** LSH-bucketed variant of the same dedup (the 100 TB path) — same
+    * expected pairs on this data; hyperplane hashing is xxhash64-based
+    * → rows-only check. */
+  def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosinePairs(embWithNearCopies(s, dir), threshold = 0.9,
+        exhaustive = false, lshBits = 4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // -------------------------------------------------------- similarity
+
+  def annBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
+      .withColumn("cos", round(col("cos"), 6))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annBruteForceSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+       |           FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS nbr_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       |      FROM embeddings),
+       |s AS (SELECT query_id, nbr_id,
+       |  round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i])) /
+       |    (sqrt(list_sum(list_transform(qv, x -> x*x))) *
+       |     sqrt(list_sum(list_transform(cv, x -> x*x)))), 9) AS cos9
+       |  FROM q, c WHERE query_id <> nbr_id)
+       |SELECT query_id, rank, nbr_id, round(cos9, 6) AS cos FROM (
+       |  SELECT query_id, nbr_id, cos9,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos9 DESC, nbr_id) AS rank
+       |  FROM s) t
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Multi-probe LSH ANN — recall < 1 by construction → rows-only. */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5, bits = 8)
+      .withColumn("cos", round(col("cos"), 6))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ------------------------------------------------------ text analysis
+
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.stats(Tables.t(s, dir, "documents").select(col("doc_id"), col("text")))
+      .drop("text")
+      .orderBy(col("doc_id"))
+
+  val textStatsSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN len(trim(text)) = 0 THEN 0
+      |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+      |  CASE WHEN len(trim(text)) = 0 THEN 0
+      |       ELSE CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+      |              w -> greatest(1, CAST(ceil(length(w) / 4.0) AS BIGINT)))) AS BIGINT) END AS n_subwords,
+      |  round(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |          w -> lower(w) IN ('the','a','an','of','to','in','and','is','it','for','on','with','as','at','by'))) AS DOUBLE)
+      |        / len(string_split_regex(trim(text), '\s+')), 6) AS stopword_ratio,
+      |  round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0
+      |        / length(text), 6) AS punct_ratio,
+      |  round(CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+      |          w -> length(w))) AS DOUBLE)
+      |        / len(string_split_regex(trim(text), '\s+')), 6) AS avg_word_len,
+      |  round(
+      |    least(len(string_split_regex(trim(text), '\s+')) / 50.0, 1.0) * 0.3
+      |    + greatest(0.0, 1.0 - ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0 / length(text)) * 5.0) * 0.2
+      |    + least((CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |         w -> lower(w) IN ('the','a','an','of','to','in','and','is','it','for','on','with','as','at','by'))) AS DOUBLE)
+      |         / len(string_split_regex(trim(text), '\s+'))) * 5.0, 1.0) * 0.3
+      |    + CASE WHEN (CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+      |          w -> length(w))) AS DOUBLE) / len(string_split_regex(trim(text), '\s+')))
+      |          BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END * 0.2, 6) AS quality
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  def textLangId(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  val textLangIdSql: String =
+    """WITH scored AS (SELECT doc_id,
+      |  CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
+      |    / greatest(length(text), 1) AS cjk,
+      |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |    w -> w IN ('the','and','of','to','is','in','that','it','for','with'))) AS s_en,
+      |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |    w -> w IN ('der','die','das','und','ist','nicht','ein','mit','für','auf'))) AS s_de,
+      |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |    w -> w IN ('el','la','los','las','es','y','que','de','un','una'))) AS s_es,
+      |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |    w -> w IN ('le','la','les','et','est','que','des','une','dans','pour'))) AS s_fr
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN cjk > 0.2 THEN 'zh'
+      |       WHEN s_fr > greatest(s_en, s_de, s_es) THEN 'fr'
+      |       WHEN s_es > greatest(s_en, s_de) THEN 'es'
+      |       WHEN s_de > s_en THEN 'de'
+      |       WHEN s_en > 0 THEN 'en'
+      |       ELSE 'und' END AS lang_pred
+      |FROM scored
+      |ORDER BY doc_id""".stripMargin
+
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  val textFingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'),
+      |      '\s+', ' ', 'g'))) AS fp
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Winnowing-style rolling-hash fingerprint — xxhash64 → rows-only. */
+  def textRollingFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.rollingMinHash(col("text")).as("rolling_fp"))
+      .orderBy(col("doc_id"))
+
+  // -------------------------------------------------------- multimodal
+
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.metaOnly(Multimodal.asMediaTable(Tables.t(s, dir, "documents")))
+      .orderBy(col("media_id"))
+
+  val multimodalMetaSql: String =
+    """SELECT doc_id AS media_id, 'text/plain' AS mime,
+      |  octet_length(encode(text)) AS byte_len
+      |FROM documents
+      |ORDER BY media_id""".stripMargin
+
+  /** Decode + feature extraction via the mapPartitions batch kernel
+    * (deterministic fake codec) → rows-only. */
+  def multimodalDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeFeatures(Multimodal.asMediaTable(Tables.t(s, dir, "documents")))
+      .select(col("media_id"), round(element_at(col("feature"), 1), 6).as("f0"),
+        round(element_at(col("feature"), 8), 6).as("f7"))
+      .orderBy(col("media_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact _,
+    "dedup_minhash_lsh" -> dedupMinhashLsh _,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard _,
+    "dedup_simhash" -> dedupSimhash _,
+    "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
+    "dedup_embedding_lsh" -> dedupEmbeddingLsh _,
+    "ann_bruteforce_topk" -> annBruteForce _,
+    "ann_lsh_topk" -> annLsh _,
+    "text_stats" -> textStats _,
+    "text_langid" -> textLangId _,
+    "text_fingerprint" -> textFingerprint _,
+    "text_rolling_fingerprint" -> textRollingFingerprint _,
+    "multimodal_meta" -> multimodalMeta _,
+    "multimodal_decode" -> multimodalDecode _)
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
+    "ann_bruteforce_topk" -> annBruteForceSql,
+    "text_stats" -> textStatsSql,
+    "text_langid" -> textLangIdSql,
+    "text_fingerprint" -> textFingerprintSql,
+    "multimodal_meta" -> multimodalMetaSql)
+}
