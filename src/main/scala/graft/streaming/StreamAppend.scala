@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.store.{Collection, DuplicateHandling}
+
+/** Structured Streaming ingestion into a collection item.
+  *
+  * The reference's "streaming" is pull-based chunk iteration
+  * (append_stream, collection.py:677-751); its true-streaming upgrade
+  * path (SURVEY §2.16) is exactly this: a `writeStream.foreachBatch`
+  * sink that funnels each micro-batch through the SAME append pipeline
+  * (anti-join dedup → union → range repartition → atomic swap), so
+  * batch and streaming ingestion have identical semantics.
+  *
+  * Watermark + dropDuplicatesWithinWatermark replace the anti-join for
+  * *within-stream* duplicates; the per-batch append still dedups
+  * against the *stored* item. Exactly-once: foreachBatch may re-deliver
+  * a batch on recovery — the index-dedup append makes re-delivery
+  * idempotent (KeepLast of identical rows is a no-op), which is the
+  * standard idempotent-sink recipe.
+  */
+object StreamAppend {
+
+  /** Attach a streaming DataFrame to an item. Caller starts/stops the
+    * returned writer. */
+  def intoItem(stream: DataFrame,
+               collection: Collection,
+               item: String,
+               indexCols: Seq[String] = Seq(Collection.DefaultIndex),
+               handling: DuplicateHandling = DuplicateHandling.KeepLast,
+               watermarkCol: Option[String] = None,
+               watermarkDelay: String = "10 minutes"): DataStreamWriter[Row] = {
+    val deduped = watermarkCol match {
+      case Some(c) => stream.withWatermark(c, watermarkDelay)
+        .dropDuplicatesWithinWatermark(indexCols.head, indexCols.tail: _*)
+      case None => stream
+    }
+    deduped.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          if (!collection.hasItem(item)) collection.write(item, batch, indexCols)
+          else collection.append(item, batch, handling)
+        }
+      }
+  }
+
+  /** Event-time tumbling-window aggregation with watermarking — the
+    * streaming twin of Events.tumblingCounts (same output schema, so
+    * the batch oracle validates the streaming semantics on bounded
+    * input). */
+  def windowedCounts(stream: DataFrame,
+                     width: String = "1 hour",
+                     watermarkDelay: String = "30 minutes"): DataFrame =
+    stream.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(38,4)")).cast("double"), 2).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"),
+        col("total_value"))
+
+  /** Run a bounded streaming job to completion (test/driver helper). */
+  def runToCompletion(writer: DataStreamWriter[Row]): Unit = {
+    val q: StreamingQuery = writer.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+}

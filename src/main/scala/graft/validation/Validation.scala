@@ -112,12 +112,15 @@ final case class SortedIndexRule(indexCol: String) extends Rule {
   override def frameCheck(df: DataFrame): Option[String] = {
     if (!df.columns.contains(indexCol)) return Some(s"$indexCol absent")
     import org.apache.spark.sql.expressions.Window
-    // Global ordering check needs a total order; windowed lag over a
-    // single ordered partition is exact but single-threaded — fine for
-    // validation-sized batches. At scale, compare per-partition
-    // [min,max] boundaries instead of a global window.
-    val w = Window.orderBy(col(indexCol))
+    // "Is the frame sorted?" is a question about the frame's CURRENT
+    // row order, so capture that order first (monotonically increasing
+    // ids are ordered within and across partitions in row order), then
+    // look for an inversion. Single ordered window partition — exact
+    // but single-threaded; fine for validation-sized batches. At scale,
+    // compare per-partition [min,max] boundaries instead.
+    val w = Window.orderBy(col("__pos"))
     val bad = df.select(col(indexCol))
+      .withColumn("__pos", monotonically_increasing_id())
       .withColumn("__prev", lag(col(indexCol), 1).over(w))
       .filter(col("__prev") > col(indexCol)).limit(1).count()
     if (bad > 0) Some(s"$indexCol is not sorted") else None

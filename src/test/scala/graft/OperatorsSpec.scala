@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+import graft.operators._
+import graft.store.MemoryOptimizer
+
+/** Unit-level checks of the pipeline operators (the end-to-end oracle
+  * checks live in SparkEntry/Verify). */
+class OperatorsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("exact dedup collapses identical texts keeping min id") {
+    val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df).orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("shingles + jaccard behave on short and normal texts") {
+    val df = Seq(("a b c d e", "a b c d x")).toDF("t1", "t2")
+    val j = df.select(Dedup.jaccard(Dedup.shingles(col("t1")), Dedup.shingles(col("t2"))))
+      .head().getDouble(0)
+    // shingles t1: {abc,bcd,cde}, t2: {abc,bcd,cdx} -> 2/4
+    assert(math.abs(j - 0.5) < 1e-9)
+    val short = Seq(("ab", "ab")).toDF("t1", "t2")
+    assert(short.select(Dedup.jaccard(Dedup.shingles(col("t1")), Dedup.shingles(col("t2"))))
+      .head().getDouble(0) == 1.0)
+  }
+
+  test("minhash LSH finds a planted near-dup and skips unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val near = base + " extra"
+    val other = "completely different words describing some unrelated subject entirely here now"
+    val df = Seq((1L, base), (2L, near), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash hamming distance small for near-dups, large for unrelated") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away"
+    val df = Seq((base, base + " extra", "totally different unrelated content words here"))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Dedup.hamming64(Dedup.simhash(col("a")), Dedup.simhash(col("b"))).as("near"),
+      Dedup.hamming64(Dedup.simhash(col("a")), Dedup.simhash(col("c"))).as("far")).head()
+    assert(r.getAs[Number](0).longValue() < r.getAs[Number](1).longValue())
+  }
+
+  test("vector ops: dot/norm/cosine") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f), Array(2.0f, 0.0f)))
+      .toDF("x", "y", "x2")
+    val r = df.select(
+      VectorOps.dot(col("x"), col("y")),
+      VectorOps.cosine(col("x"), col("x2")),
+      VectorOps.norm(col("x2"))).head()
+    assert(r.getDouble(0) == 0.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 2.0) < 1e-12)
+  }
+
+  test("brute-force top-k ranks an identical vector first") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (10L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" === 10L)
+    val top = Similarity.bruteForceTopK(corpus, queries, k = 2)
+      .orderBy("rank").select("nbr_id").as[Long].collect().toSeq
+    assert(top == Seq(1L, 2L))
+  }
+
+  test("text analysis: tokens, quality bounds, langid, fingerprint stability") {
+    val df = Seq(
+      ("The cat sat on the mat, and it was happy.", "en-ish"),
+      ("", "empty")).toDF("text", "tag")
+    val r = TextAnalysis.stats(df, "text").filter($"tag" === "en-ish").head()
+    assert(r.getAs[Int]("n_tokens") == 10)
+    val q = r.getAs[Double]("quality")
+    assert(q >= 0.0 && q <= 1.0)
+    assert(df.filter($"tag" === "empty").select(TextAnalysis.tokenCount($"text"))
+      .head().getInt(0) == 0)
+
+    val lang = Seq("the cat and the dog is here", "der hund ist nicht mit der katze",
+      "el perro es un animal que corre", "le chat est dans la maison")
+      .toDF("text").select(TextAnalysis.langId($"text")).as[String].collect().toSeq
+    assert(lang == Seq("en", "de", "es", "fr"))
+
+    val fps = Seq("Hello, World!", "hello world", "HELLO  world.")
+      .toDF("text").select(TextAnalysis.fingerprint($"text")).as[String].collect().toSeq
+    assert(fps.distinct.size == 1, "case/punct/space variants must collide")
+  }
+
+  test("as-of join picks most recent right row at or before left time") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 7L, t("2024-01-01 10:00:00")),
+      (2L, 7L, t("2024-01-01 12:00:00")),
+      (3L, 8L, t("2024-01-01 09:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 7L, t("2024-01-01 09:30:00")),
+      (101L, 7L, t("2024-01-01 11:00:00")),
+      (102L, 8L, t("2024-01-01 09:00:00"))).toDF("event_id", "user_id", "ts")
+    val out = AsOfJoin.asOf(left, right, "user_id", "ts", "ts",
+        Map("event_id" -> "right_id"))
+      .orderBy("event_id").select("event_id", "right_id").as[(Long, Option[Long])]
+      .collect().toSeq
+    assert(out == Seq((1L, Some(100L)), (2L, Some(101L)), (3L, Some(102L))))
+  }
+
+  test("sessionize splits on gaps > threshold") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00"), 5L, "click", 1.0, "{}"),
+      (2L, t("2024-01-01 10:10:00"), 5L, "view", 1.0, "{}"),
+      (3L, t("2024-01-01 11:30:00"), 5L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val s = Events.sessionize(ev, 30).orderBy("event_id")
+      .select("session_seq").as[Long].collect().toSeq
+    assert(s == Seq(1L, 1L, 2L))
+  }
+
+  test("multimodal: meta-only projection and fake decode shape") {
+    val docs = Seq((1L, "abc"), (2L, "defghij")).toDF("doc_id", "text")
+    val media = Multimodal.asMediaTable(docs)
+    val meta = Multimodal.metaOnly(media).orderBy("media_id").collect()
+    assert(meta.map(_.getInt(2)).toSeq == Seq(3, 7))
+    val feats = Multimodal.decodeFeatures(media).orderBy("media_id").collect()
+    assert(feats.forall(_.getAs[Seq[Double]]("feature").size == 8))
+    val sampled = Multimodal.samplePayload(media, 2).orderBy("media_id").collect()
+    assert(sampled.map(_.getAs[Int]("sampled_len")).toSeq == Seq(2, 4))
+  }
+
+  test("memory optimizer downcasts within observed ranges") {
+    val df = Seq((1L, 100000L, 1.5)).toDF("tiny", "medium", "dbl")
+    val out = MemoryOptimizer.shrinkTypes(df)
+    assert(out.schema("tiny").dataType.typeName == "byte")
+    assert(out.schema("medium").dataType.typeName == "integer")
+    assert(out.schema("dbl").dataType.typeName == "float")
+  }
+}

@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.store._
+
+/** Store/collection/item lifecycle — mirrors reference tests
+  * test_store.py, test_collection.py, test_write_read.py. */
+class StoreSpec extends SparkSpec {
+
+  test("write/read roundtrip preserves rows and schema") {
+    val c = tempCollection("roundtrip")
+    val df = sampleData
+    c.write("item", df)
+    val back = c.item("item").data
+    assert(back.schema.fieldNames.sorted.sameElements(df.schema.fieldNames.sorted))
+    assert(back.count() == 100)
+    assert(back.orderBy("index").collect().map(_.getDouble(1)).toSeq ==
+      df.orderBy("index").collect().map(_.getDouble(1)).toSeq)
+    cleanup(c)
+  }
+
+  test("write without overwrite on existing item raises ItemExistsError") {
+    val c = tempCollection("exists")
+    c.write("item", sampleData)
+    intercept[ItemExistsError] { c.write("item", sampleData) }
+    c.write("item", sampleData.limit(10), overwrite = true)
+    assert(c.item("item").data.count() == 10)
+    cleanup(c)
+  }
+
+  test("filters and column projection are applied; index survives projection") {
+    val c = tempCollection("proj")
+    c.write("item", sampleData)
+    val it = c.item("item",
+      filters = Seq(Filters.Pred("category", "==", "A")),
+      columns = Seq("value1"))
+    assert(it.data.columns.toSet == Set("index", "value1"))
+    val n = it.data.count()
+    assert(n > 0 && n < 100)
+    cleanup(c)
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val c = tempCollection("pushdown")
+    c.write("item", sampleData)
+    val it = c.item("item", filters = Seq(Filters.Pred("value1", ">", 0.0)))
+    val plan = it.data.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("value1"),
+      s"expected pushed filter in plan:\n$plan")
+    cleanup(c)
+  }
+
+  test("head/tail/index/lastIndex") {
+    val c = tempCollection("headtail")
+    c.write("item", sampleData)
+    val it = c.item("item")
+    assert(it.head(5).count() == 5)
+    val tailIdx = it.tail(3).collect().map(_.getTimestamp(0)).toSeq
+    assert(tailIdx.last.toString.startsWith("2024-04-09"))
+    assert(it.index.columns.toSeq == Seq("index"))
+    assert(it.lastIndex.get.toString.startsWith("2024-04-09"))
+    cleanup(c)
+  }
+
+  test("listItems with metadata equality AND-match, excluding _updated") {
+    val c = tempCollection("meta")
+    c.write("a", sampleData, metadata = Map("source" -> "api", "type" -> "raw"))
+    c.write("b", sampleData, metadata = Map("source" -> "file", "type" -> "raw"))
+    assert(c.listItems(Map("source" -> "api")) == Set("a"))
+    assert(c.listItems(Map("type" -> "raw")) == Set("a", "b"))
+    assert(c.listItems(Map("source" -> "api", "type" -> "raw")) == Set("a"))
+    assert(c.listItems(Map("source" -> "nope")).isEmpty)
+    cleanup(c)
+  }
+
+  test("delete item / recreate after delete") {
+    val c = tempCollection("delete")
+    c.write("item", sampleData)
+    assert(c.deleteItem("item"))
+    assert(!c.hasItem("item"))
+    c.write("item", sampleData.limit(7))   // recreate (test_edge_cases.py:152-167)
+    assert(c.item("item").data.count() == 7)
+    cleanup(c)
+  }
+
+  test("metadata TTL cache serves cached value and clears on mutation") {
+    val c = tempCollection("ttl")
+    c.write("item", sampleData, metadata = Map("v" -> 1))
+    val m1 = c.metadata("item")
+    assert(Meta.unjv(m1("v")) == 1L)
+    c.write("item", sampleData, metadata = Map("v" -> 2), overwrite = true)
+    assert(Meta.unjv(c.metadata("item")("v")) == 2L) // commit invalidates
+    cleanup(c)
+  }
+
+  test("epochdate stores temporal index as int64 nanos") {
+    val c = tempCollection("epoch")
+    c.write("item", sampleData, epochdate = true)
+    val schema = c.item("item").data.schema
+    assert(schema("index").dataType.typeName == "long")
+    cleanup(c)
+  }
+
+  test("MultiIndex: several index columns round-trip with metadata") {
+    import spark.implicits._
+    val c = tempCollection("multi")
+    val df = Seq(("A", 1, 1.0), ("A", 2, 2.0), ("B", 1, 3.0))
+      .toDF("category", "seq", "value")
+    c.write("item", df, indexCols = Seq("category", "seq"))
+    val it = c.item("item")
+    assert(it.indexCols == Seq("category", "seq"))
+    assert(it.data.count() == 3)
+    cleanup(c)
+  }
+
+  test("store listing / collection listing / deletion") {
+    val root = java.nio.file.Files.createTempDirectory("graft_stores")
+    val store = GraftStore(spark, "s1", root)
+    store.collection("c1"); store.collection("c2")
+    assert(GraftStore.listStores(root) == Seq("s1"))
+    assert(store.listCollections().toSet == Set("c1", "c2"))
+    store.deleteCollection("c2")
+    assert(store.listCollections() == Seq("c1"))
+    GraftStore.deleteStores(root)
+    assert(GraftStore.listStores(root).isEmpty)
+  }
+
+  test("batch write + batch read with failure -> None") {
+    val c = tempCollection("batch")
+    c.writeBatch(Seq("x" -> sampleData.limit(5), "y" -> sampleData.limit(6)))
+    val out = c.readBatch(Seq("x", "y", "missing"))
+    assert(out("x").get.count() == 5)
+    assert(out("y").get.count() == 6)
+    assert(out("missing").isEmpty)
+    cleanup(c)
+  }
+
+  test("csv source roundtrip with index rename") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv")
+    sampleData.withColumnRenamed("index", "ts")
+      .write.option("header", "true").mode("overwrite").csv(s"$dir/data")
+    val back = Sources.readCsv(spark, s"$dir/data", indexCol = Some("ts"))
+    assert(back.columns.contains("index"))
+    assert(back.count() == 100)
+    FsOps.deleteRecursively(dir)
+  }
+
+  test("chunked read yields bounded batches") {
+    val chunks = Sources.readInChunks(sampleData, 30).toSeq
+    assert(chunks.map(_.size).sum == 100)
+    assert(chunks.forall(_.size <= 30))
+  }
+}

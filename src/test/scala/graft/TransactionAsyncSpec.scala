@@ -1,0 +1,91 @@
+package graft
+
+import scala.concurrent.Await
+import scala.concurrent.duration._
+
+import graft.asyncapi.AsyncCollection
+import graft.store._
+import graft.transactions._
+
+/** Transactions / locking / async — mirrors reference
+  * tests/test_pr77_features.py:252-315, test_phase4_features.py:26-134. */
+class TransactionAsyncSpec extends SparkSpec {
+
+  test("transaction commit applies queued ops in order") {
+    val c = tempCollection("txn_commit")
+    Transaction.withTransaction(c) { txn =>
+      txn.write("a", sampleData.limit(10))
+      txn.write("b", sampleData.limit(20))
+    }
+    assert(c.item("a").data.count() == 10)
+    assert(c.item("b").data.count() == 20)
+    cleanup(c)
+  }
+
+  test("failed transaction rolls back every affected item") {
+    val c = tempCollection("txn_rollback")
+    c.write("a", sampleData.limit(10))
+    val txn = new Transaction(c)
+    txn.write("a", sampleData.limit(99), overwrite = true)
+    txn.append("missing_item", sampleData.limit(1)) // will fail
+    intercept[TransactionError] { txn.commit() }
+    assert(c.item("a").data.count() == 10, "a must be restored to pre-txn state")
+    cleanup(c)
+  }
+
+  test("rollback before commit applies nothing") {
+    val c = tempCollection("txn_abort")
+    val txn = new Transaction(c)
+    txn.write("x", sampleData.limit(5))
+    txn.rollback()
+    assert(!c.hasItem("x"))
+    cleanup(c)
+  }
+
+  test("batch transaction coalesces multi-appends per item") {
+    val c = tempCollection("txn_batch")
+    import spark.implicits._
+    def f(d: Int, v: Double) = Seq(
+      (java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00"), v)).toDF("index", "value")
+    c.write("item", f(1, 1.0))
+    val bt = new BatchTransaction(c)
+    bt.append("item", f(2, 2.0))
+    bt.append("item", f(3, 3.0))
+    bt.commit()
+    assert(c.item("item").data.count() == 3)
+    cleanup(c)
+  }
+
+  test("collection lock: second acquire times out, release frees") {
+    val c = tempCollection("lock")
+    CollectionLock.acquire(c, "owner1")
+    assert(CollectionLock.currentOwner(c).contains("owner1"))
+    intercept[LockTimeoutError] {
+      CollectionLock.acquire(c, "owner2", timeoutMs = 300, pollMs = 50)
+    }
+    CollectionLock.release(c)
+    CollectionLock.withLock(c, "owner2") {
+      assert(CollectionLock.currentOwner(c).contains("owner2"))
+    }
+    assert(CollectionLock.currentOwner(c).isEmpty)
+    cleanup(c)
+  }
+
+  test("async write/read/batch round-trips match sync results") {
+    val c = tempCollection("async")
+    AsyncCollection.withAsync(c) { ac =>
+      Await.result(ac.write("a", sampleData.limit(10)), 120.seconds)
+      val df = Await.result(ac.read("a"), 120.seconds)
+      assert(df.count() == 10)
+      Await.result(ac.writeBatch(Seq("b" -> sampleData.limit(5), "c" -> sampleData.limit(6))),
+        120.seconds)
+      val batch = Await.result(ac.readBatch(Seq("a", "b", "c", "zzz")), 120.seconds)
+      assert(batch("a").get.count() == 10)
+      assert(batch("b").get.count() == 5)
+      assert(batch("zzz").isEmpty)
+      val items = Await.result(ac.listItems(), 120.seconds)
+      assert(items == Set("a", "b", "c"))
+    }
+    cleanup(c)
+  }
+}
