@@ -1,0 +1,290 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot similarity/hash kernels
+  * (SURVEY §7.3: "distance / hash kernels: udf → promote to Catalyst
+  * Expression with codegen only if the bench demands" — the sf0.1
+  * bench demanded: the zip_with/aggregate forms re-allocated
+  * intermediate arrays per pair and re-computed norms per candidate,
+  * dominating the dedup/similarity bench at 84 s).
+  *
+  * CosineSimilarity generates a single fused loop (dot + both norms in
+  * one traversal, no allocation) inside whole-stage codegen. The hash
+  * signatures are per-row loops where the work is the loop body itself,
+  * so they use interpreted eval via CodegenFallback.
+  */
+object expressions {
+
+  private def elemAt(arr: ArrayData, et: DataType, i: Int): Double = et match {
+    case DoubleType => arr.getDouble(i)
+    case FloatType  => arr.getFloat(i).toDouble
+    case LongType   => arr.getLong(i).toDouble
+    case IntegerType => arr.getInt(i).toDouble
+    case other => throw new IllegalArgumentException(s"unsupported element type $other")
+  }
+
+  /** cos(a, b) in one fused loop; 0.0 for zero-norm inputs. */
+  case class CosineSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+
+    private def elemType(e: Expression): DataType =
+      e.dataType.asInstanceOf[ArrayType].elementType
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val xa = a.asInstanceOf[ArrayData]
+      val xb = b.asInstanceOf[ArrayData]
+      val (ta, tb) = (elemType(left), elemType(right))
+      val n = math.min(xa.numElements(), xb.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val va = elemAt(xa, ta, i)
+        val vb = elemAt(xb, tb, i)
+        dot += va * vb; na += va * va; nb += vb * vb
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        def get(arr: String, et: DataType, i: String): String = et match {
+          case DoubleType  => s"$arr.getDouble($i)"
+          case FloatType   => s"(double) $arr.getFloat($i)"
+          case LongType    => s"(double) $arr.getLong($i)"
+          case IntegerType => s"(double) $arr.getInt($i)"
+          case other => throw new IllegalArgumentException(s"unsupported $other")
+        }
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        val va = ctx.freshName("va"); val vb = ctx.freshName("vb")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $va = ${get(a, elemType(left), i)};
+           |  double $vb = ${get(b, elemType(right), i)};
+           |  $dot += $va * $vb; $na += $va * $va; $nb += $vb * $vb;
+           |}
+           |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
+           |  : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  /** Σ aᵢ·bᵢ in one fused codegen loop. */
+  case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    private def elemType(e: Expression): DataType =
+      e.dataType.asInstanceOf[ArrayType].elementType
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val xa = a.asInstanceOf[ArrayData]; val xb = b.asInstanceOf[ArrayData]
+      val (ta, tb) = (elemType(left), elemType(right))
+      val n = math.min(xa.numElements(), xb.numElements())
+      var dot = 0.0; var i = 0
+      while (i < n) { dot += elemAt(xa, ta, i) * elemAt(xb, tb, i); i += 1 }
+      dot
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        def get(arr: String, et: DataType, i: String): String = et match {
+          case DoubleType  => s"$arr.getDouble($i)"
+          case FloatType   => s"(double) $arr.getFloat($i)"
+          case LongType    => s"(double) $arr.getLong($i)"
+          case IntegerType => s"(double) $arr.getInt($i)"
+          case other => throw new IllegalArgumentException(s"unsupported $other")
+        }
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $dot += ${get(a, elemType(left), i)} * ${get(b, elemType(right), i)};
+           |}
+           |${ev.value} = $dot;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  private def hash64(s: UTF8String, seed: Long): Long = {
+    // xxhash-style 64-bit string hash built from Spark's unsafe Murmur3
+    // plus a 64-bit finalizer — stable, seedable, no allocation.
+    val h1 = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed.toInt)
+    val h2 = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, (seed >>> 32).toInt ^ 0x9e3779b9)
+    var x = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
+  /** MinHash signature of a string-array column: element i of the
+    * result is min over the array of hash(s, seed=i). Per-row loop —
+    * no explode, no shuffle, no 64-column aggregate (the column-function
+    * formulation shuffled every exploded shingle). */
+  case class MinHashSignature(child: Expression, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val out = Array.fill(numHashes)(Long.MaxValue)
+      var j = 0
+      while (j < arr.numElements()) {
+        val s = arr.getUTF8String(j)
+        if (s != null) {
+          var i = 0
+          while (i < numHashes) {
+            val h = hash64(s, i.toLong)
+            if (h < out(i)) out(i) = h
+            i += 1
+          }
+        }
+        j += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** LSH band hashes straight from tokens-derived minhashes: element b
+    * of the result is a 64-bit hash of signature rows [b·r, (b+1)·r).
+    * Fusing banding into the expression (rather than slicing the
+    * signature with column lambdas) matters because CollapseProject
+    * inlines single-reference aliases — the column formulation
+    * re-computed the whole signature once per band. */
+  case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    private val r = numHashes / bands
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      var j = 0
+      while (j < arr.numElements()) {
+        val s = arr.getUTF8String(j)
+        if (s != null) {
+          var i = 0
+          while (i < numHashes) {
+            val h = hash64(s, i.toLong)
+            if (h < sig(i)) sig(i) = h
+            i += 1
+          }
+        }
+        j += 1
+      }
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var x = 0x9e3779b97f4a7c15L ^ b.toLong
+        var i = 0
+        while (i < r) {
+          x ^= sig(b * r + i)
+          x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+          x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+          x ^= x >>> 33
+          i += 1
+        }
+        out(b) = x
+        b += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Distinct word k-gram shingles of a token array (order of first
+    * occurrence, matching `array_distinct`). A native expression
+    * because the higher-order-function formulation
+    * (`transform(sequence(...), i => concat_ws(slice(toks, i, k)))`)
+    * re-evaluates the token-producing subtree — two regexes + split —
+    * for EVERY element index: ~45× per document, which made bare
+    * shingle scans take 10+ s at sf0.1. Here the tokens child is
+    * evaluated exactly once per row. */
+  case class ShingleSet(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    private val space = UTF8String.fromString(" ")
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val toks = new Array[UTF8String](n)
+      var i = 0
+      while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
+      val out = new java.util.LinkedHashSet[UTF8String]()
+      if (n < k) {
+        out.add(UTF8String.concatWs(space, toks: _*))
+      } else {
+        var s = 0
+        while (s + k <= n) {
+          val parts = new Array[UTF8String](k)
+          var j = 0
+          while (j < k) { parts(j) = toks(s + j); j += 1 }
+          out.add(UTF8String.concatWs(space, parts: _*))
+          s += 1
+        }
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        out.toArray(new Array[UTF8String](out.size())))
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** 64-bit SimHash of a string-array column: one pass over tokens,
+    * ±1 vote per bit, sign → bit. */
+  case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val votes = new Array[Int](64)
+      var j = 0
+      while (j < arr.numElements()) {
+        val s = arr.getUTF8String(j)
+        if (s != null) {
+          val h = hash64(s, 42L)
+          var i = 0
+          while (i < 64) {
+            if (((h >>> i) & 1L) != 0L) votes(i) += 1 else votes(i) -= 1
+            i += 1
+          }
+        }
+        j += 1
+      }
+      var out = 0L; var i = 0
+      while (i < 64) { if (votes(i) > 0) out |= (1L << i); i += 1 }
+      java.lang.Long.valueOf(out)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  // ------------------------------------------------------ Column sugar
+
+  def shingle_set(tokens: Column, k: Int): Column = column(ShingleSet(expression(tokens), k))
+  def minhash_bands(tokens: Column, numHashes: Int, bands: Int): Column =
+    column(MinHashBands(expression(tokens), numHashes, bands))
+  def cosine_sim(a: Column, b: Column): Column = column(CosineSimilarity(expression(a), expression(b)))
+  def dot_product(a: Column, b: Column): Column = column(DotProduct(expression(a), expression(b)))
+  def minhash_signature(tokens: Column, k: Int): Column = column(MinHashSignature(expression(tokens), k))
+  def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
+}

@@ -20,6 +20,16 @@ import graft.functions.VectorOps
   */
 object Dedup {
 
+  /** Fan a skinny input out to full parallelism before a CPU-heavy
+    * per-row kernel. A small parquet file arrives as ONE input split,
+    * which would run hash/shingle kernels on a single core; at real
+    * scale (input splits >= cores) this is a no-op, so the extra
+    * shuffle only ever costs on inputs small enough not to care. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   // ------------------------------------------------------------- exact
 
   /** Exact dedup: keep the smallest id per identical text. One hash
@@ -34,13 +44,11 @@ object Dedup {
 
   // ---------------------------------------------------------- shingles
 
-  /** Word k-gram shingles of the normalized text. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(TextAnalysis.normalize(text))
-    when(size(toks) < k, array(concat_ws(" ", toks)))
-      .otherwise(array_distinct(transform(sequence(lit(0), size(toks) - k), i =>
-        concat_ws(" ", slice(toks, i + 1, lit(k))))))
-  }
+  /** Word k-gram shingles of the normalized text (native expression —
+    * evaluates the tokenization exactly once per row). */
+  def shingles(text: Column, k: Int = 3): Column =
+    graft.functions.expressions.shingle_set(
+      TextAnalysis.tokens(TextAnalysis.normalize(text)), k)
 
   /** Exact Jaccard similarity of two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column = {
@@ -63,38 +71,43 @@ object Dedup {
                         k: Int = 3,
                         textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
-    val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+    // |A ∩ B| falls out of the inverted index directly: joining the
+    // index with itself on the shingle yields one row per SHARED
+    // shingle, so a count per (id_a, id_b) IS the intersection size —
+    // no per-pair array materialization or array_intersect. Sizes then
+    // give jaccard = c / (|A| + |B| - c). Shuffle keys: shingle (join)
+    // and id pair (count) — both high-cardinality and uniform.
+    val withSh = spread(df).select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+    val sizes = withSh.select(col("id"), size(col("sh")).as("n"))
     val inv = withSh.select(col("id"), explode(col("sh")).as("shingle"))
-    val candidates = inv.as("a").join(inv.as("b"),
+    val interCounts = inv.as("a").join(inv.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    candidates
-      .join(withSh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
-      .join(withSh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    interCounts
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("n_a") + col("n_b") - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   // ------------------------------------------------------- MinHash LSH
 
-  /** MinHash signatures: k independent permutations approximated by
-    * seeded xxhash64 over each shingle; the signature entry i is the
-    * min hash under seed i. Computed by exploding shingles once and
-    * taking k partial mins in ONE aggregation pass (map-side combine
-    * keeps shuffle rows at k longs per doc). */
+  /** MinHash signatures: k independent permutations approximated by a
+    * seeded 64-bit hash per shingle; signature entry i is the min hash
+    * under seed i. Computed per-row by a native expression (one loop
+    * over shingles × seeds) — zero shuffle, unlike the explode +
+    * k-column-aggregate formulation it replaced. */
   def minhashSignature(df: DataFrame,
                        numHashes: Int,
                        shingleK: Int = 3,
                        textCol: String = "text",
-                       idCol: String = "doc_id"): DataFrame = {
-    val exploded = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleK)).as("shingle"))
-    val minCols = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    exploded.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-  }
+                       idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.expressions.minhash_signature(
+        shingles(col(textCol), shingleK), numHashes).as("sig"))
 
   /** MinHash+LSH near-dup pairs: band the signature (bands × rowsPerBand
     * = numHashes), bucket-join on (band index, band hash), verify exact
@@ -112,15 +125,9 @@ object Dedup {
                       textCol: String = "text",
                       idCol: String = "doc_id"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    val sig = minhashSignature(df, numHashes, shingleK, textCol, idCol)
-
-    val banded = sig.select(col("id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("band"), xxhash64(array_join(
-          transform(slice(col("sig"), b * lit(r) + 1, lit(r)), h => h.cast("string")), ",")).as("bh"))))
-        .as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val banded = spread(df).select(col(idCol).as("id"),
+        posexplode(graft.functions.expressions.minhash_bands(
+          shingles(col(textCol), shingleK), numHashes, bands)).as(Seq("band", "bh")))
 
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -128,7 +135,7 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
-    val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+    val withSh = spread(df).select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
     candidates
       .join(withSh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
       .join(withSh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
@@ -140,18 +147,12 @@ object Dedup {
   // ----------------------------------------------------------- SimHash
 
   /** 64-bit SimHash: per token-hash bit, sum +1/-1 across the document,
-    * take signs. Computed per-row with higher-order functions (no
-    * explode, no shuffle). */
-  def simhash(text: Column): Column = {
-    val hashes = transform(TextAnalysis.tokens(TextAnalysis.normalize(text)),
-      w => xxhash64(w))
-    val bitCols = (0 until 64).map { i =>
-      val votes = aggregate(hashes, lit(0L), (acc, h) =>
-        acc + when(h.bitwiseAND(lit(1L << i)) =!= 0L, 1L).otherwise(-1L))
-      when(votes > 0, lit(1L << i)).otherwise(0L)
-    }
-    bitCols.reduce(_ bitwiseOR _)
-  }
+    * take signs. Native per-row expression: one pass over the tokens
+    * (the 64-aggregate column formulation traversed the token array 64
+    * times per document). */
+  def simhash(text: Column): Column =
+    graft.functions.expressions.simhash64(
+      TextAnalysis.tokens(TextAnalysis.normalize(text)))
 
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -166,7 +167,7 @@ object Dedup {
                    idCol: String = "doc_id"): DataFrame = {
     val chunks = radius + 1
     val width = 64 / chunks
-    val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
+    val sh = spread(df).select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
     val banded = sh.select(col("id"), col("sim"),
       explode(array((0 until chunks).map { c =>
         struct(lit(c).as("chunk"),
@@ -196,7 +197,7 @@ object Dedup {
                            idCol: String = "vec_id",
                            exhaustive: Boolean = false,
                            lshBits: Int = 8): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val base = spread(df).select(col(idCol).as("id"), col(vecCol).as("v"))
     val pairs =
       if (exhaustive)
         base.as("a").join(base.as("b"), col("a.id") < col("b.id"))
@@ -206,7 +207,7 @@ object Dedup {
           col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       }
     pairs.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        VectorOps.cosine(col("a.v"), col("b.v")).as("cos"))
+        graft.functions.expressions.cosine_sim(col("a.v"), col("b.v")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"))
   }

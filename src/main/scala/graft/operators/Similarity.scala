@@ -35,7 +35,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
-      .withColumn("cos", round(VectorOps.cosine(col("cv"), col("qv")), 9))
+      .withColumn("cos", round(graft.functions.expressions.cosine_sim(col("cv"), col("qv")), 9))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -59,7 +59,7 @@ object Similarity {
         (col("qsig") +: (0 until bits).map(i => col("qsig").bitwiseXOR(lit(1L << i)))): _*)))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("nbr_id"))
-      .withColumn("cos", round(VectorOps.cosine(col("cv"), col("qv")), 9))
+      .withColumn("cos", round(graft.functions.expressions.cosine_sim(col("cv"), col("qv")), 9))
       .dropDuplicates("query_id", "nbr_id")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id"))
     scored.withColumn("rank", row_number().over(w))

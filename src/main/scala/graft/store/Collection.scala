@@ -159,9 +159,10 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
         }
       }
 
+    val stats = Partitioner.computeStats(encoded, indexCols.head)
     val (n, strategy) = npartitions match {
       case Some(k) => (k, Partitioner.SizeBased)
-      case None    => Partitioner.decide(encoded, indexCols.head, encoded.count())
+      case None    => Partitioner.decide(Partitioner.estimatedBytes(encoded), stats)
     }
     val laidOut = Partitioner(encoded, indexCols, n)
 
@@ -171,9 +172,20 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
       "_partitions" -> n,
       "_partition_strategy" -> strategy.name,
       "_epochdate" -> epochdate,
-      "schema_json" -> df.schema.json)
+      "schema_json" -> df.schema.json) ++ statsMeta(stats)
     commit(item, laidOut, Meta.obj(metadata.toSeq: _*) ++ extra)
   }
+
+  private def statsMeta(s: Partitioner.IndexStats): Map[String, JValue] =
+    Meta.obj("_rows" -> s.rows) ++
+      s.minMs.map(v => Meta.obj("_index_min_ms" -> v)).getOrElse(Map.empty) ++
+      s.maxMs.map(v => Meta.obj("_index_max_ms" -> v)).getOrElse(Map.empty)
+
+  private def readStatsMeta(item: String): Option[Partitioner.IndexStats] =
+    metadata(item).get("_rows").map { r =>
+      def l(k: String) = metadata(item).get(k).map(j => Meta.unjv(j).asInstanceOf[Long])
+      Partitioner.IndexStats(Meta.unjv(r).asInstanceOf[Long], l("_index_min_ms"), l("_index_max_ms"))
+    }
 
   /** Structural write validation (reference dataframe.py:426-461 / R10):
     * duplicate column names rejected; very wide frames allowed. */
@@ -263,14 +275,23 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
     // tests/test_append.py:218-234).
     val deduped = combined.dropDuplicates()
 
+    // Layout decision WITHOUT executing the combined plan: stored item
+    // stats (sidecar) merged with a cheap input-only scan of the batch.
+    // Row count is an upper bound (dedup only shrinks) — fine for a
+    // partition-count estimate; the real plan executes exactly once,
+    // inside commit().
+    val prevStats = readStatsMeta(item).getOrElse(
+      Partitioner.computeStats(old, idx.head))
+    val stats = prevStats.merge(Partitioner.computeStats(newDf, idx.head))
     val (n, strategy) = npartitions match {
       case Some(k) => (k, Partitioner.SizeBased)
-      case None    => Partitioner.decide(deduped, idx.head, deduped.count())
+      case None    => Partitioner.decide(Partitioner.estimatedBytes(deduped), stats)
     }
     val laidOut = Partitioner(deduped, idx, n)
 
     val prevMeta = Meta.read(path.resolve(item)) ++
-      Meta.obj("_partitions" -> n, "_partition_strategy" -> strategy.name)
+      Meta.obj("_partitions" -> n, "_partition_strategy" -> strategy.name) ++
+      statsMeta(stats)
     commit(item, laidOut, prevMeta)
   }
 

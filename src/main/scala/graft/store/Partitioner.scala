@@ -56,23 +56,45 @@ object Partitioner {
     math.min(math.max(n, 1), MaxPartitions)
   }
 
-  /** Partition count for the time strategy from the index span:
-    * monthly if < 1 year, quarterly if < 3 years, else yearly
-    * (reference partition.py:117-141). Returns None if the index is not
-    * temporal or the count would exceed MaxPartitions (fallback to
-    * size-based, as the reference does at partition.py:143-151).
-    */
-  def timeBasedCount(df: DataFrame, indexCol: String, rowCount: Long): Option[Int] = {
-    val isTemporal = df.schema.find(_.name == indexCol).exists { f =>
+  /** Index statistics driving the layout decision. Tracked in the item
+    * metadata sidecar so APPEND can decide its layout from
+    * driver-side arithmetic (old stats ⊕ new-batch stats) instead of
+    * executing the combined dedup plan twice — at 100 TB the combined
+    * plan is a full anti-join of the item, so a pre-pass over it doubles
+    * the append cost. */
+  final case class IndexStats(rows: Long, minMs: Option[Long], maxMs: Option[Long]) {
+    def merge(other: IndexStats): IndexStats = IndexStats(
+      rows + other.rows,
+      (minMs ++ other.minMs).reduceOption(_ min _),
+      (maxMs ++ other.maxMs).reduceOption(_ max _))
+  }
+
+  def isTemporal(df: DataFrame, indexCol: String): Boolean =
+    df.schema.find(_.name == indexCol).exists { f =>
       f.dataType == TimestampType || f.dataType == DateType
     }
-    if (!isTemporal || rowCount <= TimePartitionMinRows) None
+
+  /** One aggregate job: count + index min/max (input-only scan). */
+  def computeStats(df: DataFrame, indexCol: String): IndexStats = {
+    if (!isTemporal(df, indexCol)) IndexStats(df.count(), None, None)
     else {
-      val mm = df.agg(F.min(F.col(indexCol)), F.max(F.col(indexCol))).head()
-      if (mm.isNullAt(0)) None
-      else {
-        val lo = mm.getTimestamp(0).getTime
-        val hi = mm.getTimestamp(1).getTime
+      val row = df.agg(F.count(F.lit(1)), F.min(F.col(indexCol)), F.max(F.col(indexCol))).head()
+      val lo = if (row.isNullAt(1)) None else Some(row.getTimestamp(1).getTime)
+      val hi = if (row.isNullAt(2)) None else Some(row.getTimestamp(2).getTime)
+      IndexStats(row.getLong(0), lo, hi)
+    }
+  }
+
+  /** Partition count for the time strategy from the index span:
+    * monthly if < 1 year, quarterly if < 3 years, else yearly
+    * (reference partition.py:117-141). None if the index span is
+    * unknown or the count would exceed MaxPartitions (fallback to
+    * size-based, as the reference does at partition.py:143-151).
+    */
+  def timeBasedCount(stats: IndexStats): Option[Int] =
+    if (stats.rows <= TimePartitionMinRows) None
+    else (stats.minMs, stats.maxMs) match {
+      case (Some(lo), Some(hi)) =>
         val spanDays = (hi - lo).toDouble / 86400000.0
         val n =
           if (spanDays < 365) math.ceil(spanDays / 30.0).toInt          // monthly
@@ -80,18 +102,16 @@ object Partitioner {
           else math.ceil(spanDays / 365.0).toInt                        // yearly
         val clamped = math.max(n, 1)
         if (clamped > MaxPartitions) None else Some(clamped)
-      }
+      case _ => None
     }
-  }
 
   /** Auto strategy (reference collection.py:272-301): time-series data
     * above the row threshold → time-based; otherwise size-based.
-    * Returns (partitionCount, strategyName).
-    */
-  def decide(df: DataFrame, indexCol: String, rowCount: Long): (Int, Strategy) =
-    timeBasedCount(df, indexCol, rowCount) match {
+    * `bytes` comes from Catalyst plan statistics — no execution. */
+  def decide(bytes: Long, stats: IndexStats): (Int, Strategy) =
+    timeBasedCount(stats) match {
       case Some(n) => (n, TimeBased)
-      case None    => (sizeBasedCount(estimatedBytes(df)), SizeBased)
+      case None    => (sizeBasedCount(bytes), SizeBased)
     }
 
   /** Apply a chosen layout: range-partition on the index and sort
