@@ -134,7 +134,8 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
             npartitions: Option[Int] = None,
             overwrite: Boolean = false,
             validator: Option[DataValidator] = None,
-            epochdate: Boolean = false): Unit = {
+            epochdate: Boolean = false,
+            typeMarkers: Map[String, Codecs.TypeMarker] = Map.empty): Unit = {
     if (hasItem(item) && !overwrite)
       throw new ItemExistsError(
         s"item '$item' already exists; use overwrite=true to replace")
@@ -172,7 +173,9 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
       "_partitions" -> n,
       "_partition_strategy" -> strategy.name,
       "_epochdate" -> epochdate,
-      "schema_json" -> df.schema.json) ++ statsMeta(stats)
+      "schema_json" -> df.schema.json) ++ statsMeta(stats) ++
+      (if (typeMarkers.isEmpty) Map.empty
+       else Map("_type_info" -> Codecs.markersToMeta(typeMarkers)))
     commit(item, laidOut, Meta.obj(metadata.toSeq: _*) ++ extra)
   }
 
@@ -354,6 +357,31 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
     metaCache.remove(item)
     refreshItems()
     true
+  }
+
+  /** Rebalance an existing item's physical layout (reference
+    * partition.py:175-216 / L4): read → re-apply the auto partition
+    * policy (or an explicit count) → atomic rewrite, preserving
+    * metadata and recording the new layout in the sidecar. */
+  def rebalance(item: String, npartitions: Option[Int] = None): Int = {
+    if (!hasItem(item))
+      throw new ItemNotFoundError(s"item '$item' does not exist")
+    val it = this.item(item)
+    val idx = it.indexCols
+    val df = it.data
+    val stats = readStatsMeta(item).getOrElse(Partitioner.computeStats(df, idx.head))
+    val (n, strategy) = npartitions match {
+      case Some(k) => (k, Partitioner.SizeBased)
+      case None    => Partitioner.decide(Partitioner.estimatedBytes(df), stats)
+    }
+    // Read fully before the swap overwrites the source files: the
+    // write job streams from the old files into the tmp dir, and the
+    // swap happens only after the job completes — safe.
+    val laidOut = Partitioner(df, idx, n)
+    val prevMeta = Meta.read(path.resolve(item)) ++
+      Meta.obj("_partitions" -> n, "_partition_strategy" -> strategy.name)
+    commit(item, laidOut, prevMeta)
+    n
   }
 
   // ----------------------------------------------------------- snapshots

@@ -82,6 +82,26 @@ final class Item private[store] (
     * means the Parquet reader touches only the index column's pages. */
   def index: DataFrame = data.select(indexCols.map(col): _*)
 
+  /** The frame with read-side type restoration applied: epochdate
+    * int64-ns indexes come back as (µs-truncated) timestamps, and any
+    * `_type_info` markers are inverted (tz restore etc.). Replaces the
+    * reference's read-side datetime HEURISTIC (item.py:82-93 guesses
+    * from value magnitudes) with metadata-driven determinism. */
+  lazy val dataRestored: DataFrame = {
+    val epoch = metadata.get("_epochdate").exists(j => Meta.unjv(j) == true)
+    val base =
+      if (!epoch) data
+      else indexCols.foldLeft(data) { (d, c) =>
+        if (d.schema(c).dataType == org.apache.spark.sql.types.LongType)
+          d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+        else d
+      }
+    metadata.get("_type_info") match {
+      case Some(j) => Codecs.restore(base, Codecs.markersFromMeta(j))
+      case None    => base
+    }
+  }
+
   /** Max index value — replaces the reference's repr-string parsing hack
     * for `last=True` (collection.py:153-156) with a real aggregate. */
   def lastIndex: Option[Any] = {
