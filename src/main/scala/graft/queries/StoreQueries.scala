@@ -117,6 +117,24 @@ object StoreQueries {
       |FROM lineitem WHERE year(l_shipdate) = 1995
       |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin
 
+  /** Monthly directory layout + PARTIAL append: the item is stored as
+    * one directory per month; the keep_last re-delivery of 1996+ rows
+    * rewrites only the 1996+ month dirs (partition-pruned read of the
+    * stored side). Final state must equal the flat keep_last append —
+    * same oracle. Also exercises month-directory pruning on read. */
+  def appendMonthly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cutoff = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val col = freshCollection(s, "append_monthly")
+    val li = Tables.t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_shipdate")
+    col.write("li", li, indexCols = Seq("l_shipdate"), monthlyLayout = true)
+    val batch = li.filter($"l_shipdate" >= lit(cutoff))
+      .withColumn("l_quantity", $"l_quantity" + 100.0)
+    col.append("li", batch, DuplicateHandling.KeepLast)
+    col.item("li").data.orderBy($"l_orderkey", $"l_linenumber")
+  }
+
   /** V1+V2 snapshot isolation: snapshot taken before an append keeps
     * serving the pre-append state while the live item moves on. */
   def snapshotRead(s: SparkSession, dir: String): DataFrame = {
@@ -181,6 +199,7 @@ object StoreQueries {
     "store_append_keep_last" -> appendKeepLast _,
     "store_append_keep_first" -> appendKeepFirst _,
     "store_append_keep_all" -> appendKeepAll _,
+    "store_append_monthly_partial" -> appendMonthly _,
     "store_snapshot_read" -> snapshotRead _,
     "store_evolution_add_column" -> evolutionAddColumn _,
     "store_metadata_search" -> metadataSearch _)
@@ -190,6 +209,7 @@ object StoreQueries {
     "store_append_keep_last" -> appendKeepLastSql,
     "store_append_keep_first" -> appendKeepFirstSql,
     "store_append_keep_all" -> appendKeepAllSql,
+    "store_append_monthly_partial" -> appendKeepLastSql,
     "store_snapshot_read" -> snapshotReadSql,
     "store_evolution_add_column" -> evolutionAddColumnSql,
     "store_metadata_search" -> metadataSearchSql)

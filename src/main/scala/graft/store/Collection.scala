@@ -34,6 +34,8 @@ object DuplicateHandling {
 
 object Collection {
   val DefaultIndex = "index"
+  /** Hidden directory-partition column for monthly-layout items. */
+  val MonthCol = "__month"
   private val TmpPrefix = "__tmp_"
   /** Metadata TTL cache — 300 s, same policy the reference credits for
     * its "100× faster metadata access" (collection.py:116-147). */
@@ -135,7 +137,8 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
             overwrite: Boolean = false,
             validator: Option[DataValidator] = None,
             epochdate: Boolean = false,
-            typeMarkers: Map[String, Codecs.TypeMarker] = Map.empty): Unit = {
+            typeMarkers: Map[String, Codecs.TypeMarker] = Map.empty,
+            monthlyLayout: Boolean = false): Unit = {
     if (hasItem(item) && !overwrite)
       throw new ItemExistsError(
         s"item '$item' already exists; use overwrite=true to replace")
@@ -160,23 +163,32 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
         }
       }
 
+    if (monthlyLayout && !Partitioner.isTemporal(encoded, indexCols.head))
+      throw new ValidationError("monthlyLayout requires a timestamp/date index column")
+
     val stats = Partitioner.computeStats(encoded, indexCols.head)
-    val (n, strategy) = npartitions match {
-      case Some(k) => (k, Partitioner.SizeBased)
-      case None    => Partitioner.decide(Partitioner.estimatedBytes(encoded), stats)
-    }
-    val laidOut = Partitioner(encoded, indexCols, n)
+    val (n, strategy) =
+      if (monthlyLayout) (0, Partitioner.TimeBased)
+      else npartitions match {
+        case Some(k) => (k, Partitioner.SizeBased)
+        case None    => Partitioner.decide(Partitioner.estimatedBytes(encoded), stats)
+      }
+    val laidOut =
+      if (monthlyLayout) withMonthLayout(encoded, indexCols)
+      else Partitioner(encoded, indexCols, n)
 
     val extra = Meta.obj(
       "index_names" -> indexCols,
       "index_dtypes" -> indexCols.map(c => df.schema(c).dataType.simpleString),
       "_partitions" -> n,
       "_partition_strategy" -> strategy.name,
+      "_layout" -> (if (monthlyLayout) "monthly" else "flat"),
       "_epochdate" -> epochdate,
       "schema_json" -> df.schema.json) ++ statsMeta(stats) ++
       (if (typeMarkers.isEmpty) Map.empty
        else Map("_type_info" -> Codecs.markersToMeta(typeMarkers)))
-    commit(item, laidOut, Meta.obj(metadata.toSeq: _*) ++ extra)
+    commit(item, laidOut, Meta.obj(metadata.toSeq: _*) ++ extra,
+      partitioned = monthlyLayout)
   }
 
   private def statsMeta(s: Partitioner.IndexStats): Map[String, JValue] =
@@ -198,16 +210,72 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
       throw new ValidationError(s"duplicate column names: ${dupCols.mkString(",")}")
   }
 
+  /** Monthly-dir layout: derive the hidden `__month` partition column,
+    * hash-cluster by month (one write task per month) and sort within
+    * so each month dir holds sorted, range-disjoint files. Skewed/huge
+    * months would add a salt term to the clustering key — not needed at
+    * test SFs. */
+  private def withMonthLayout(df: DataFrame, indexCols: Seq[String]): DataFrame =
+    df.withColumn(MonthCol, date_format(col(indexCols.head), "yyyy-MM"))
+      .repartition(col(MonthCol))
+      .sortWithinPartitions((MonthCol +: indexCols).map(col): _*)
+
   /** Write df to a tmp dir then atomically swap into place, then write
     * the sidecar and refresh caches. Part-files live under
     * `<item>/data/` so the parquet dataset dir contains nothing but
     * parquet; the JSON sidecar sits at the item root. */
-  private def commit(item: String, df: DataFrame, meta: Map[String, JValue]): Unit = {
+  private def commit(item: String, df: DataFrame, meta: Map[String, JValue],
+                     partitioned: Boolean = false): Unit = {
     val tmp = path.resolve(TmpPrefix + item)
     FsOps.deleteRecursively(tmp)
-    df.write.mode("overwrite").option("compression", "snappy").parquet(tmp.toString)
+    val writer = df.write.mode("overwrite").option("compression", "snappy")
+    (if (partitioned) writer.partitionBy(MonthCol) else writer).parquet(tmp.toString)
     Files.createDirectories(path.resolve(item))
     FsOps.atomicSwap(path.resolve(item).resolve(Item.DataDir), tmp)
+    Meta.write(path.resolve(item), meta)
+    metaCache.remove(item)
+    refreshItems()
+  }
+
+  /** Partial commit for monthly-layout appends: ONLY the month
+    * directories present in `df` are swapped; every other month's
+    * files are untouched. This is what makes appends to a 100 TB item
+    * incremental — cost scales with the months the batch touches, not
+    * the item size. Each month dir swaps atomically (backup + rename);
+    * a failure mid-sequence restores the already-swapped months. */
+  private def commitMonths(item: String, df: DataFrame, months: Seq[String],
+                           meta: Map[String, JValue]): Unit = {
+    val tmp = path.resolve(TmpPrefix + item)
+    FsOps.deleteRecursively(tmp)
+    df.write.mode("overwrite").option("compression", "snappy")
+      .partitionBy(MonthCol).parquet(tmp.toString)
+    val dataDir = path.resolve(item).resolve(Item.DataDir)
+    val swapped = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
+    try {
+      months.foreach { m =>
+        val src = tmp.resolve(s"$MonthCol=$m")
+        if (Files.isDirectory(src)) {
+          val dst = dataDir.resolve(s"$MonthCol=$m")
+          val backup = path.resolve(s"__backup_month_${item}_$m")
+          FsOps.deleteRecursively(backup)
+          if (Files.isDirectory(dst)) FsOps.copyRecursively(dst, backup)
+          FsOps.atomicSwap(dst, src)
+          swapped += ((dst, backup))
+        }
+      }
+      swapped.foreach { case (_, b) => FsOps.deleteRecursively(b) }
+      FsOps.deleteRecursively(tmp)
+    } catch {
+      case e: Throwable =>
+        swapped.foreach { case (dst, backup) =>
+          FsOps.deleteRecursively(dst)
+          if (Files.isDirectory(backup)) {
+            FsOps.copyRecursively(backup, dst)
+            FsOps.deleteRecursively(backup)
+          }
+        }
+        throw new StorageError(s"partial month commit failed for $item: ${e.getMessage}")
+    }
     Meta.write(path.resolve(item), meta)
     metaCache.remove(item)
     refreshItems()
@@ -234,6 +302,15 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
     if (!hasItem(item))
       throw new ItemNotFoundError(s"item '$item' does not exist; write it first")
     if (df.isEmpty) return // reference: empty append is a no-op (test_append.py)
+
+    val monthly = metadata(item).get("_layout").exists(j => Meta.unjv(j) == "monthly")
+    if (monthly && evolution.isEmpty) {
+      appendMonthly(item, df, duplicateHandling, validateSchema)
+      return
+    }
+    // (schema evolution on a monthly item falls through to the full
+    // path below: a schema change must rewrite every month anyway to
+    // keep partition files schema-consistent.)
 
     val existing = this.item(item)
     val idx = existing.indexCols
@@ -290,12 +367,65 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
       case Some(k) => (k, Partitioner.SizeBased)
       case None    => Partitioner.decide(Partitioner.estimatedBytes(deduped), stats)
     }
-    val laidOut = Partitioner(deduped, idx, n)
+    val laidOut =
+      if (monthly) withMonthLayout(deduped, idx) else Partitioner(deduped, idx, n)
 
     val prevMeta = Meta.read(path.resolve(item)) ++
       Meta.obj("_partitions" -> n, "_partition_strategy" -> strategy.name) ++
       statsMeta(stats)
-    commit(item, laidOut, prevMeta)
+    commit(item, laidOut, prevMeta, partitioned = monthly)
+  }
+
+  /** Incremental append for monthly-layout items: the stored side is
+    * read WITH partition pruning to only the months the batch touches
+    * (index collisions can only occur inside a row's own month, so
+    * dedup restricted to touched months is exact), and only those month
+    * directories are rewritten. Append cost scales with batch span,
+    * not item size. */
+  private def appendMonthly(item: String,
+                            df: DataFrame,
+                            duplicateHandling: DuplicateHandling,
+                            validateSchema: Boolean): Unit = {
+    val existing = this.item(item)
+    val idx = existing.indexCols
+    val newDf = df
+
+    if (validateSchema && existing.data.columns.toSet != newDf.columns.toSet)
+      throw new SchemaValidationError(
+        s"schema mismatch: existing ${existing.data.columns.sorted.mkString(",")} vs " +
+        s"new ${newDf.columns.sorted.mkString(",")}")
+
+    val months = newDf
+      .select(date_format(col(idx.head), "yyyy-MM").as("m")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val dataDir = path.resolve(item).resolve(Item.DataDir)
+    // Partition-pruned scan: only the touched months' files are read.
+    val oldTouched = spark.read.parquet(dataDir.toString)
+      .filter(col(MonthCol).isin(months: _*))
+      .drop(MonthCol)
+      .select(newDf.columns.map(col): _*)
+
+    val combined: DataFrame = duplicateHandling match {
+      case DuplicateHandling.KeepAll => oldTouched.unionByName(newDf)
+      case DuplicateHandling.KeepFirst =>
+        oldTouched.unionByName(
+          newDf.join(oldTouched.select(idx.map(col): _*).distinct(), idx, "left_anti"))
+      case DuplicateHandling.KeepLast =>
+        oldTouched.join(newDf.select(idx.map(col): _*).distinct(), idx, "left_anti")
+          .unionByName(newDf)
+      case DuplicateHandling.ErrorOnDuplicate =>
+        val overlap = oldTouched.join(newDf, idx, "left_semi").limit(1).count()
+        if (overlap > 0)
+          throw new DataIntegrityError(
+            s"append to '$item' has duplicate index values (strategy=error)")
+        oldTouched.unionByName(newDf)
+    }
+
+    val prevStats = readStatsMeta(item).getOrElse(
+      Partitioner.computeStats(existing.data, idx.head))
+    val stats = prevStats.merge(Partitioner.computeStats(newDf, idx.head))
+    val prevMeta = Meta.read(path.resolve(item)) ++ statsMeta(stats)
+    commitMonths(item, withMonthLayout(combined.dropDuplicates(), idx), months, prevMeta)
   }
 
   /** Chunked append loop (reference append_stream, collection.py:677-751

@@ -55,9 +55,42 @@ final class Item private[store] (
     case None => Seq(Collection.DefaultIndex)
   }
 
+  private def isMonthly: Boolean =
+    metadata.get("_layout").exists(j => Meta.unjv(j) == "monthly")
+
+  /** For monthly-layout items, translate index-column time predicates
+    * into predicates on the hidden `__month` partition column so
+    * Catalyst partition pruning skips whole month DIRECTORIES (string
+    * compare works because yyyy-MM is zero-padded and ordered). */
+  private def monthPruning: Option[org.apache.spark.sql.Column] = {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM")
+    def monthOf(v: Any): Option[String] = v match {
+      case t: java.sql.Timestamp        => Some(t.toLocalDateTime.format(fmt))
+      case ldt: java.time.LocalDateTime => Some(ldt.format(fmt))
+      case d: java.sql.Date             => Some(d.toLocalDate.format(fmt))
+      case ld: java.time.LocalDate      => Some(ld.format(fmt))
+      case _ => None
+    }
+    val mc = col(Collection.MonthCol)
+    val preds = filters.filter(_.column == indexCols.head).flatMap { p =>
+      monthOf(p.value).map { m =>
+        p.op match {
+          case "==" | "="        => mc === m
+          case ">" | ">="        => mc >= m
+          case "<" | "<="        => mc <= m
+          case _                 => lit(true)
+        }
+      }
+    }
+    preds.reduceOption(_ && _)
+  }
+
   /** The lazy, pushdown-planned scan. */
   lazy val data: DataFrame = {
-    val base = spark.read.parquet(path.resolve(Item.DataDir).toString)
+    val raw = spark.read.parquet(path.resolve(Item.DataDir).toString)
+    val base =
+      if (!isMonthly) raw
+      else monthPruning.fold(raw)(raw.filter).drop(Collection.MonthCol)
     val filtered = Filters.toColumn(filters).fold(base)(base.filter)
     if (columns.isEmpty) filtered
     else {

@@ -1,7 +1,7 @@
 package graft.store
 
 import org.apache.spark.sql.{DataFrame, functions => F}
-import org.apache.spark.sql.types.{TimestampType, DateType, LongType}
+import org.apache.spark.sql.types.{TimestampType, TimestampNTZType, DateType, LongType}
 
 /** Physical-layout policy: how many output files / how rows are
   * distributed across them.
@@ -71,16 +71,29 @@ object Partitioner {
 
   def isTemporal(df: DataFrame, indexCol: String): Boolean =
     df.schema.find(_.name == indexCol).exists { f =>
-      f.dataType == TimestampType || f.dataType == DateType
+      f.dataType == TimestampType || f.dataType == TimestampNTZType ||
+        f.dataType == DateType
     }
+
+  /** Epoch millis from any temporal JVM value Spark hands back
+    * (TIMESTAMP → java.sql.Timestamp, TIMESTAMP_NTZ → LocalDateTime,
+    * DATE → java.sql.Date / LocalDate); NTZ wall time read as UTC. */
+  def toEpochMs(v: Any): Long = v match {
+    case t: java.sql.Timestamp          => t.getTime
+    case ldt: java.time.LocalDateTime   => ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    case d: java.sql.Date               => d.getTime
+    case ld: java.time.LocalDate        => ld.atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    case i: java.time.Instant           => i.toEpochMilli
+    case other => throw new IllegalArgumentException(s"not a temporal value: $other")
+  }
 
   /** One aggregate job: count + index min/max (input-only scan). */
   def computeStats(df: DataFrame, indexCol: String): IndexStats = {
     if (!isTemporal(df, indexCol)) IndexStats(df.count(), None, None)
     else {
       val row = df.agg(F.count(F.lit(1)), F.min(F.col(indexCol)), F.max(F.col(indexCol))).head()
-      val lo = if (row.isNullAt(1)) None else Some(row.getTimestamp(1).getTime)
-      val hi = if (row.isNullAt(2)) None else Some(row.getTimestamp(2).getTime)
+      val lo = if (row.isNullAt(1)) None else Some(toEpochMs(row.get(1)))
+      val hi = if (row.isNullAt(2)) None else Some(toEpochMs(row.get(2)))
       IndexStats(row.getLong(0), lo, hi)
     }
   }

@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.store._
+
+/** Monthly directory layout: partition-dir structure, read pruning,
+  * and PARTIAL append (untouched months' files must not be rewritten). */
+class MonthlyLayoutSpec extends SparkSpec {
+
+  private def frame(startDay: String, days: Int, value: Double) = {
+    import spark.implicits._
+    val start = java.time.LocalDate.parse(startDay)
+    (0 until days).map { i =>
+      (java.sql.Timestamp.valueOf(start.plusDays(i).atStartOfDay()), value)
+    }.toDF("index", "value")
+  }
+
+  private def monthDirs(c: Collection, item: String): Map[String, Seq[(String, Long)]] = {
+    val dataDir = c.path.resolve(item).resolve(Item.DataDir)
+    Files.list(dataDir).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith(Collection.MonthCol + "="))
+      .map { p =>
+        val files = Files.list(p).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(f => (f.getFileName.toString, Files.getLastModifiedTime(f).toMillis))
+          .toSeq.sortBy(_._1)
+        p.getFileName.toString -> files
+      }.toMap
+  }
+
+  test("monthly write creates one directory per month; reads are complete") {
+    val c = tempCollection("monthly_write")
+    c.write("item", frame("2024-01-01", 90, 1.0), monthlyLayout = true)
+    val dirs = monthDirs(c, "item")
+    assert(dirs.keySet == Set("__month=2024-01", "__month=2024-02", "__month=2024-03"))
+    val back = c.item("item").data
+    assert(!back.columns.contains(Collection.MonthCol))
+    assert(back.count() == 90)
+    cleanup(c)
+  }
+
+  test("index time filters prune whole month directories") {
+    val c = tempCollection("monthly_prune")
+    c.write("item", frame("2024-01-01", 90, 1.0), monthlyLayout = true)
+    val it = c.item("item", filters = Seq(
+      Filters.Pred("index", ">=", java.sql.Timestamp.valueOf("2024-03-01 00:00:00"))))
+    assert(it.data.count() == 31 + 90 - 31 - 29 - 31) // march days only
+    val plan = it.data.queryExecution.executedPlan.toString
+    // partition filter on __month must appear in the scan
+    assert(plan.contains(Collection.MonthCol), s"expected month pruning in plan:\n$plan")
+    cleanup(c)
+  }
+
+  test("partial append rewrites ONLY touched month directories") {
+    val c = tempCollection("monthly_partial")
+    c.write("item", frame("2024-01-01", 90, 1.0), monthlyLayout = true)
+    val before = monthDirs(c, "item")
+    Thread.sleep(1100) // mtime resolution guard
+    // batch touches only March (overlap) and April (new month)
+    c.append("item", frame("2024-03-15", 30, 2.0), DuplicateHandling.KeepLast)
+    val after = monthDirs(c, "item")
+    assert(after.keySet ==
+      Set("__month=2024-01", "__month=2024-02", "__month=2024-03", "__month=2024-04"))
+    assert(after("__month=2024-01") == before("__month=2024-01"),
+      "january files must be byte-identical (not rewritten)")
+    assert(after("__month=2024-02") == before("__month=2024-02"))
+    assert(after("__month=2024-03") != before("__month=2024-03"))
+    // semantics: march 15+ replaced by value 2.0, earlier march intact
+    val out = c.item("item").data
+    // original span is jan1..mar30 (90 days, leap feb); batch covers
+    // mar15..apr13, overlapping 16 stored days (mar15..mar30)
+    assert(out.count() == 90 - 16 + 30)
+    assert(out.filter(col("value") === 2.0).count() == 30)
+    cleanup(c)
+  }
+
+  test("monthly keep_first and error strategies behave like flat") {
+    val c = tempCollection("monthly_strategies")
+    c.write("item", frame("2024-01-01", 31, 1.0), monthlyLayout = true)
+    c.append("item", frame("2024-01-20", 20, 9.0), DuplicateHandling.KeepFirst)
+    val out = c.item("item").data
+    assert(out.filter(col("value") === 9.0).count() == 8) // feb 1-8 only (jan 20-31 kept old)
+    intercept[DataIntegrityError] {
+      c.append("item", frame("2024-01-05", 2, 3.0), DuplicateHandling.ErrorOnDuplicate)
+    }
+    cleanup(c)
+  }
+}
