@@ -124,16 +124,28 @@ object StoreQueries {
     * same oracle. Also exercises month-directory pruning on read. */
   def appendMonthly(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val cutoff = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1996-04-01 00:00:00")
     val col = freshCollection(s, "append_monthly")
     val li = Tables.t(s, dir, "lineitem")
       .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_shipdate")
     col.write("li", li, indexCols = Seq("l_shipdate"), monthlyLayout = true)
-    val batch = li.filter($"l_shipdate" >= lit(cutoff))
+    // a realistic partial append: one quarter re-delivered — only 3 of
+    // ~83 month dirs are read and rewritten
+    val batch = li.filter($"l_shipdate" >= lit(lo) && $"l_shipdate" < lit(hi))
       .withColumn("l_quantity", $"l_quantity" + 100.0)
     col.append("li", batch, DuplicateHandling.KeepLast)
     col.item("li").data.orderBy($"l_orderkey", $"l_linenumber")
   }
+
+  val appendMonthlySql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      |       THEN l_quantity + 100.0 ELSE l_quantity END AS l_quantity,
+      |  l_shipdate
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   /** V1+V2 snapshot isolation: snapshot taken before an append keeps
     * serving the pre-append state while the live item moves on. */
@@ -209,7 +221,7 @@ object StoreQueries {
     "store_append_keep_last" -> appendKeepLastSql,
     "store_append_keep_first" -> appendKeepFirstSql,
     "store_append_keep_all" -> appendKeepAllSql,
-    "store_append_monthly_partial" -> appendKeepLastSql,
+    "store_append_monthly_partial" -> appendMonthlySql,
     "store_snapshot_read" -> snapshotReadSql,
     "store_evolution_add_column" -> evolutionAddColumnSql,
     "store_metadata_search" -> metadataSearchSql)

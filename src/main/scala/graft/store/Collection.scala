@@ -250,7 +250,9 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
     df.write.mode("overwrite").option("compression", "snappy")
       .partitionBy(MonthCol).parquet(tmp.toString)
     val dataDir = path.resolve(item).resolve(Item.DataDir)
-    val swapped = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
+    // O(1) renames only: old month dir moves aside as the rollback
+    // backup, new one moves in; nothing is copied.
+    val swapped = scala.collection.mutable.ArrayBuffer.empty[(Path, Option[Path])]
     try {
       months.foreach { m =>
         val src = tmp.resolve(s"$MonthCol=$m")
@@ -258,21 +260,20 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
           val dst = dataDir.resolve(s"$MonthCol=$m")
           val backup = path.resolve(s"__backup_month_${item}_$m")
           FsOps.deleteRecursively(backup)
-          if (Files.isDirectory(dst)) FsOps.copyRecursively(dst, backup)
-          FsOps.atomicSwap(dst, src)
-          swapped += ((dst, backup))
+          val hadOld = Files.isDirectory(dst)
+          if (hadOld) Files.move(dst, backup, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          Files.move(src, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          swapped += ((dst, if (hadOld) Some(backup) else None))
         }
       }
-      swapped.foreach { case (_, b) => FsOps.deleteRecursively(b) }
+      swapped.foreach { case (_, b) => b.foreach(FsOps.deleteRecursively) }
       FsOps.deleteRecursively(tmp)
     } catch {
       case e: Throwable =>
         swapped.foreach { case (dst, backup) =>
           FsOps.deleteRecursively(dst)
-          if (Files.isDirectory(backup)) {
-            FsOps.copyRecursively(backup, dst)
-            FsOps.deleteRecursively(backup)
-          }
+          backup.foreach(b =>
+            Files.move(b, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE))
         }
         throw new StorageError(s"partial month commit failed for $item: ${e.getMessage}")
     }

@@ -1,0 +1,106 @@
+package graft
+
+import scala.util.Random
+
+import graft.evolution.SchemaEvolution
+import graft.operators.Dedup
+import graft.store._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Property-style tests (seeded random cases) for the subtle semantics
+  * SURVEY §7.4.3 flags: duplicate-strategy laws, evolution widening,
+  * jaccard algebra. Spark-touching properties use few, larger cases —
+  * each case pays JVM job overhead. */
+class PropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def frame(rows: Seq[(Int, Double)]) =
+    rows.map { case (d, v) => (d, v) }.toDF("index", "value")
+
+  private def randomBatch(rng: Random, n: Int = 12): Seq[(Int, Double)] =
+    Seq.fill(n)((rng.nextInt(20) + 1, rng.nextInt(10).toDouble)).distinct
+
+  test("property: append keep_last is idempotent (re-appending the same batch is a no-op)") {
+    for (seed <- 1 to 5) {
+      val rng = new Random(seed)
+      val c = tempCollection(s"prop_idem_$seed")
+      val batch = frame(randomBatch(rng))
+      c.write("it", frame(Seq((0, 1.0))))
+      c.append("it", batch, DuplicateHandling.KeepLast)
+      val once = c.item("it").data.orderBy("index", "value").collect().toSeq
+      c.append("it", batch, DuplicateHandling.KeepLast)
+      val twice = c.item("it").data.orderBy("index", "value").collect().toSeq
+      assert(once == twice, s"seed=$seed")
+      cleanup(c)
+    }
+  }
+
+  test("property: both strategies cover exactly old ∪ new index sets") {
+    for (seed <- 10 to 12) {
+      val rng = new Random(seed)
+      val oldRows = randomBatch(rng)
+      val newRows = randomBatch(rng)
+      val cL = tempCollection(s"prop_last_$seed")
+      val cF = tempCollection(s"prop_first_$seed")
+      cL.write("it", frame(oldRows)); cL.append("it", frame(newRows), DuplicateHandling.KeepLast)
+      cF.write("it", frame(oldRows)); cF.append("it", frame(newRows), DuplicateHandling.KeepFirst)
+      val expectIdx = (oldRows.map(_._1) ++ newRows.map(_._1)).toSet
+      val lIdx = cL.item("it").data.select("index").as[Int].collect().toSet
+      val fIdx = cF.item("it").data.select("index").as[Int].collect().toSet
+      assert(lIdx == expectIdx && fIdx == expectIdx, s"seed=$seed")
+      cleanup(cL); cleanup(cF)
+    }
+  }
+
+  test("property: evolution widening is reflexive, one-way on distinct numerics, transitive") {
+    val numerics = Seq(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+    for (a <- numerics) assert(SchemaEvolution.canWiden(a, a))
+    for (a <- numerics; b <- numerics if a != b)
+      assert(!(SchemaEvolution.canWiden(a, b) && SchemaEvolution.canWiden(b, a)),
+        s"widening must be one-way: $a vs $b")
+    for {
+      a <- numerics; b <- numerics; c <- numerics
+      if SchemaEvolution.canWiden(a, b) && SchemaEvolution.canWiden(b, c)
+    } assert(SchemaEvolution.canWiden(a, c), s"transitivity: $a->$b->$c")
+  }
+
+  test("property: jaccard symmetric, bounded, 1.0 on identical texts") {
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps")
+    for (seed <- 20 to 24) {
+      val rng = new Random(seed)
+      def text() = Seq.fill(8)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+      val (t1, t2) = (text(), if (seed % 2 == 0) text() else text())
+      val r = Seq((t1, t2)).toDF("a", "b").select(
+        Dedup.jaccard(Dedup.shingles(col("a")), Dedup.shingles(col("b"))).as("ab"),
+        Dedup.jaccard(Dedup.shingles(col("b")), Dedup.shingles(col("a"))).as("ba")).head()
+      val (ab, ba) = (r.getDouble(0), r.getDouble(1))
+      assert(ab == ba && ab >= 0.0 && ab <= 1.0, s"seed=$seed")
+      val same = Seq((t1, t1)).toDF("a", "b").select(
+        Dedup.jaccard(Dedup.shingles(col("a")), Dedup.shingles(col("b")))).head().getDouble(0)
+      assert(same == 1.0)
+    }
+  }
+
+  test("property: strategy row counts obey keep_all >= keep_last = keep_first") {
+    for (seed <- 30 to 32) {
+      val rng = new Random(seed)
+      val rows = randomBatch(rng)
+      val base = frame(rows)
+      val over = frame(rows.map { case (d, v) => (d, v + 1.0) })
+      def count(h: DuplicateHandling, tag: String): Long = {
+        val c = tempCollection(s"prop_counts_${seed}_$tag")
+        c.write("it", base)
+        c.append("it", over, h)
+        val n = c.item("it").data.count()
+        cleanup(c); n
+      }
+      val all = count(DuplicateHandling.KeepAll, "all")
+      val last = count(DuplicateHandling.KeepLast, "last")
+      val first = count(DuplicateHandling.KeepFirst, "first")
+      assert(last == first, s"seed=$seed: symmetric strategies keep one row per index here")
+      assert(all >= last, s"seed=$seed")
+    }
+  }
+}
