@@ -98,13 +98,38 @@ object EventQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** ns-fidelity storage roundtrip (SURVEY §7.4.1): the ns-precision
+    * event stream is stored with its int64-nanos index INTACT (no
+    * truncation on disk) plus an `epoch_ns` type marker; the read edge
+    * restores µs timestamps deterministically from metadata — not from
+    * the reference's value-magnitude guessing (item.py:82-93). */
+  def nsRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = Tables.t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_verify", "ns_roundtrip")
+    graft.store.FsOps.deleteRecursively(root)
+    java.nio.file.Files.createDirectories(root)
+    val c = graft.store.GraftStore(s, "store", root).collection("col")
+    c.write("ev", raw, indexCols = Seq("ts"),
+      typeMarkers = Map("ts" -> graft.store.Codecs.TypeMarker("epoch_ns")))
+    c.item("ev").dataRestored.orderBy(col("event_id"))
+  }
+
+  val nsRoundtripSql: String =
+    """SELECT event_id, date_trunc('microseconds', ts) AS ts, user_id, value
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "store_events_ns_roundtrip" -> nsRoundtrip _,
     "events_session_stats" -> sessionStats _,
     "events_hourly_counts" -> hourlyCounts _,
     "events_asof_click_purchase" -> asofClickPurchase _,
     "events_props_agg" -> propsAgg _)
 
   val oracles: Map[String, String] = Map(
+    "store_events_ns_roundtrip" -> nsRoundtripSql,
     "events_session_stats" -> sessionStatsSql,
     "events_hourly_counts" -> hourlyCountsSql,
     "events_asof_click_purchase" -> asofClickPurchaseSql,
