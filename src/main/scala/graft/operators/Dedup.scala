@@ -60,23 +60,46 @@ object Dedup {
   // ------------------------------------------------- n-gram Jaccard join
 
   /** Exact n-gram Jaccard similarity join: all pairs with jaccard ≥
-    * threshold. Candidates come from sharing at least one shingle
-    * (inverted-index equi-join on the shingle — no cross join), then
-    * the exact jaccard filters. Prefix filtering note: at larger scale
-    * add the standard prefix-filter (only index each doc's
-    * ceil((1-τ)·|S|)+1 rarest shingles) to shrink the candidate set;
-    * the join shape is unchanged. */
+    * threshold, via PPJoin-style PREFIX FILTERING.
+    *
+    * Prefix principle: order every shingle set by one global order
+    * (frequency ascending — rarest first); if J(A,B) ≥ τ then A and B
+    * share a shingle within their first |X| − ⌈τ·|X|⌉ + 1 elements
+    * (valid because the required overlap ⌈τ/(1+τ)·(|A|+|B|)⌉ ≥ ⌈τ·|X|⌉
+    * for both sides of any qualifying pair). So the candidate join
+    * indexes ONLY those prefixes — and because the order is
+    * rarest-first, the hot shingles that would dominate a plain
+    * inverted-index self-join sit outside most prefixes. Candidates
+    * then pay one exact jaccard verification.
+    *
+    * Shuffles: shingle-frequency count, per-doc prefix ranking (by id),
+    * prefix self-join (by shingle), verification joins — all on
+    * high-cardinality keys. At 100 TB this is the standard similarity-
+    * join shape; a positional filter (PPJoin+) would cut candidates
+    * further without changing the plan. */
   def ngramJaccardPairs(df: DataFrame,
                         threshold: Double,
                         k: Int = 3,
                         textCol: String = "text",
-                        idCol: String = "doc_id"): DataFrame = {
-    // |A ∩ B| falls out of the inverted index directly: joining the
-    // index with itself on the shingle yields one row per SHARED
-    // shingle, so a count per (id_a, id_b) IS the intersection size —
-    // no per-pair array materialization or array_intersect. Sizes then
-    // give jaccard = c / (|A| + |B| - c). Shuffle keys: shingle (join)
-    // and id pair (count) — both high-cardinality and uniform.
+                        idCol: String = "doc_id",
+                        usePrefixFilter: Option[Boolean] = None): DataFrame = {
+    // The prefix filter pays 3 extra stages (frequency count, per-doc
+    // ranking, prefix projection) to shrink the candidate join — a win
+    // once the inverted index is big enough that hot-shingle pairs
+    // dominate; below ~1 GB of input the plain intersection-count join
+    // is faster. Auto-pick from plan-size statistics.
+    val big = usePrefixFilter.getOrElse(
+      graft.store.Partitioner.estimatedBytes(df) > (1L << 30))
+    if (big) ngramJaccardPrefix(df, threshold, k, textCol, idCol)
+    else ngramJaccardPlain(df, threshold, k, textCol, idCol)
+  }
+
+  /** Plain inverted-index form: |A∩B| falls out of the index directly —
+    * joining it with itself on the shingle yields one row per SHARED
+    * shingle, so a count per (id_a, id_b) IS the intersection size; no
+    * per-pair array materialization. */
+  private def ngramJaccardPlain(df: DataFrame, threshold: Double, k: Int,
+                                textCol: String, idCol: String): DataFrame = {
     val withSh = spread(df).select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
     val sizes = withSh.select(col("id"), size(col("sh")).as("n"))
     val inv = withSh.select(col("id"), explode(col("sh")).as("shingle"))
@@ -89,6 +112,32 @@ object Dedup {
       .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
       .withColumn("jaccard",
         col("c").cast("double") / (col("n_a") + col("n_b") - col("c")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  private def ngramJaccardPrefix(df: DataFrame, threshold: Double, k: Int,
+                                 textCol: String, idCol: String): DataFrame = {
+    val withSh = spread(df).select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+    val inv = withSh.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("shingle"))
+
+    val freq = inv.groupBy("shingle").agg(count(lit(1)).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("freq"), col("shingle"))
+    val prefix = inv.join(freq, "shingle")
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col("id"), col("shingle"))
+
+    val candidates = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    candidates
+      .join(withSh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
+      .join(withSh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }

@@ -483,6 +483,17 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
       }
     }.toMap
 
+  /** Register every item as a temp view so the collection is queryable
+    * with `spark.sql` — the SQL face of the store (views are lazy
+    * scans, so Catalyst pushdown/pruning applies per query). Returns
+    * the view names. */
+  def registerViews(prefix: String = ""): Seq[String] =
+    items.toSeq.sorted.map { it =>
+      val view = (prefix + it).replaceAll("[^A-Za-z0-9_]", "_")
+      item(it).data.createOrReplaceTempView(view)
+      view
+    }
+
   def deleteItem(item: String): Boolean = {
     FsOps.deleteRecursively(path.resolve(item))
     metaCache.remove(item)

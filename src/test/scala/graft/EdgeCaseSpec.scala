@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.store._
+
+/** Edge cases — mirrors reference tests/test_edge_cases.py:15-167. */
+class EdgeCaseSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("empty frame roundtrips with schema, 0 rows") {
+    val c = tempCollection("empty")
+    val df = Seq.empty[(java.sql.Timestamp, Double)].toDF("index", "value")
+    c.write("item", df)
+    val back = c.item("item").data
+    assert(back.count() == 0)
+    assert(back.schema.fieldNames.toSet == Set("index", "value"))
+    cleanup(c)
+  }
+
+  test("store root path containing spaces works") {
+    val root = java.nio.file.Files.createTempDirectory("graft space dir")
+    val c = GraftStore(spark, "s", root).collection("c")
+    c.write("item", sampleData.limit(5))
+    assert(c.item("item").data.count() == 5)
+    FsOps.deleteRecursively(root)
+  }
+
+  test("1000-char column name survives") {
+    val longName = "c" * 1000
+    val c = tempCollection("longcol")
+    val df = sampleData.withColumnRenamed("value1", longName)
+    c.write("item", df)
+    assert(c.item("item").data.columns.contains(longName))
+    cleanup(c)
+  }
+
+  test("wide frame (300 columns) writes and projects") {
+    val c = tempCollection("wide")
+    val base = sampleData.limit(3)
+    val wide = (0 until 300).foldLeft(base)((d, i) => d.withColumn(s"w$i", lit(i)))
+    c.write("item", wide)
+    val one = c.item("item", columns = Seq("w42")).data
+    assert(one.columns.toSet == Set("index", "w42"))
+    assert(one.count() == 3)
+    cleanup(c)
+  }
+
+  test("non-datetime integer index with duplicates keeps all rows") {
+    val c = tempCollection("intdup")
+    val df = Seq((1, "a"), (1, "b"), (2, "c"), (2, "d")).toDF("index", "v")
+    c.write("item", df)
+    assert(c.item("item").data.count() == 4)
+    cleanup(c)
+  }
+
+  test("custom index name is preserved through write/append/read") {
+    val c = tempCollection("customidx")
+    val df = sampleData.withColumnRenamed("index", "custom_index_name")
+    c.write("item", df, indexCols = Seq("custom_index_name"))
+    assert(c.item("item").indexCols == Seq("custom_index_name"))
+    c.append("item", df.limit(3))
+    assert(c.item("item").indexCols == Seq("custom_index_name"))
+    cleanup(c)
+  }
+
+  test("special characters in item names") {
+    val c = tempCollection("specialname")
+    for (name <- Seq("item-with-dash", "item_with_underscore", "item.with.dots")) {
+      c.write(name, sampleData.limit(2))
+      assert(c.item(name).data.count() == 2)
+    }
+    assert(c.items.size == 3)
+    cleanup(c)
+  }
+
+  test("registerViews exposes items to spark.sql") {
+    val c = tempCollection("views")
+    c.write("prices", sampleData)
+    val views = c.registerViews("g_")
+    assert(views == Seq("g_prices"))
+    val n = spark.sql("SELECT count(*) FROM g_prices WHERE category = 'A'").head().getLong(0)
+    assert(n > 0 && n < 100)
+    cleanup(c)
+  }
+
+  test("metadata with nested values persists verbatim") {
+    val c = tempCollection("nestedmeta")
+    c.write("item", sampleData.limit(2), metadata = Map(
+      "tags" -> Seq("equity", "US", "tech"),
+      "ratio" -> 0.25,
+      "nested" -> Map("k" -> "v")))
+    val m = c.metadata("item")
+    assert(Meta.unjv(m("tags")) == Seq("equity", "US", "tech"))
+    assert(Meta.unjv(m("ratio")) == 0.25)
+    assert(Meta.unjv(m("nested")) == Map("k" -> "v"))
+    cleanup(c)
+  }
+}
