@@ -146,7 +146,16 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
     validator.foreach(_.validate(df))
     structuralChecks(df)
 
-    val missing = indexCols.filterNot(df.columns.contains)
+    // Reference parity: an unnamed pandas index is materialized as a
+    // column named "index" (collection.py:266-268). When the caller
+    // relies on the default index name and no such column exists,
+    // synthesize a row-id index (RangeIndex analogue; same
+    // collide-on-re-append semantics as pandas RangeIndex).
+    val indexed =
+      if (indexCols == Seq(DefaultIndex) && !df.columns.contains(DefaultIndex))
+        df.withColumn(DefaultIndex, monotonically_increasing_id())
+      else df
+    val missing = indexCols.filterNot(indexed.columns.contains)
     if (missing.nonEmpty)
       throw new ValidationError(s"index column(s) not in DataFrame: ${missing.mkString(",")}")
 
@@ -154,8 +163,8 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
     // index as int64 epoch-nanos when requested. Spark TimestampType is
     // µs; the LongType column is the only lossless ns representation.
     val encoded =
-      if (!epochdate) df
-      else indexCols.foldLeft(df) { (d, c) =>
+      if (!epochdate) indexed
+      else indexCols.foldLeft(indexed) { (d, c) =>
         d.schema(c).dataType match {
           case org.apache.spark.sql.types.TimestampType =>
             d.withColumn(c, unix_micros(col(c)) * lit(1000L))
@@ -179,12 +188,12 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
 
     val extra = Meta.obj(
       "index_names" -> indexCols,
-      "index_dtypes" -> indexCols.map(c => df.schema(c).dataType.simpleString),
+      "index_dtypes" -> indexCols.map(c => indexed.schema(c).dataType.simpleString),
       "_partitions" -> n,
       "_partition_strategy" -> strategy.name,
       "_layout" -> (if (monthlyLayout) "monthly" else "flat"),
       "_epochdate" -> epochdate,
-      "schema_json" -> df.schema.json) ++ statsMeta(stats) ++
+      "schema_json" -> indexed.schema.json) ++ statsMeta(stats) ++
       (if (typeMarkers.isEmpty) Map.empty
        else Map("_type_info" -> Codecs.markersToMeta(typeMarkers)))
     commit(item, laidOut, Meta.obj(metadata.toSeq: _*) ++ extra,

@@ -86,6 +86,16 @@ class EdgeCaseSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("frame without an index column gets a synthesized default index") {
+    val c = tempCollection("autoindex")
+    val df = Seq(1.5, 2.5, 3.5).toDF("value")
+    c.write("item", df)
+    val back = c.item("item").data
+    assert(back.columns.toSet == Set("index", "value"))
+    assert(back.select("index").distinct().count() == 3)
+    cleanup(c)
+  }
+
   test("metadata with nested values persists verbatim") {
     val c = tempCollection("nestedmeta")
     c.write("item", sampleData.limit(2), metadata = Map(
