@@ -7,6 +7,13 @@ import org.apache.spark.sql.Row
 
 import graft.store.{Collection, DuplicateHandling}
 
+/** Input/state/output records for streaming sessionization. */
+final case class SessionEvent(event_id: Long, ts: java.sql.Timestamp,
+                              user_id: Long, value: Double)
+final case class SessionState(start: Long, end: Long, n: Long, total: Double)
+final case class SessionSummary(user_id: Long, session_start_ms: Long,
+                                session_end_ms: Long, n_events: Long, total_value: Double)
+
 /** Structured Streaming ingestion into a collection item.
   *
   * The reference's "streaming" is pull-based chunk iteration
@@ -62,6 +69,58 @@ object StreamAppend {
         round(sum(col("value").cast("decimal(38,4)")).cast("double"), 2).as("total_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"),
         col("total_value"))
+
+  /** Streaming gap-sessionization with custom state
+    * (`flatMapGroupsWithState` + event-time timeout): per user, events
+    * accumulate into an open session; when the watermark passes the
+    * session's gap horizon the session closes and one summary row is
+    * emitted. The batch twin is Events.sessionStats — same shape of
+    * output, incremental computation.
+    *
+    * State per key is O(1) (bounds, count, sum — not the events), so
+    * state store size scales with ACTIVE users, not history. */
+  def sessionizeStream(events: org.apache.spark.sql.Dataset[SessionEvent],
+                       gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+
+    def fn(userId: Long, evs: Iterator[SessionEvent],
+           state: GroupState[SessionState]): Iterator[SessionSummary] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(SessionSummary(userId, s.start, s.end, s.n, s.total))
+      } else {
+        val sorted = evs.toSeq.sortBy(_.ts.getTime)
+        var closed = List.empty[SessionSummary]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          cur match {
+            case Some(s) if e.ts.getTime - s.end <= gapMs =>
+              cur = Some(SessionState(s.start, e.ts.getTime, s.n + 1, s.total + e.value))
+            case Some(s) =>
+              closed ::= SessionSummary(userId, s.start, s.end, s.n, s.total)
+              cur = Some(SessionState(e.ts.getTime, e.ts.getTime, 1L, e.value))
+            case None =>
+              cur = Some(SessionState(e.ts.getTime, e.ts.getTime, 1L, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end + gapMs)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+      .toDF()
+  }
 
   /** Run a bounded streaming job to completion (test/driver helper). */
   def runToCompletion(writer: DataStreamWriter[Row]): Unit = {

@@ -36,6 +36,37 @@ class StreamingSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("stateful streaming sessionization closes sessions on gap timeout") {
+    import graft.streaming.{SessionEvent, StreamAppend => SA}
+    val src = Files.createTempDirectory("graft_stream_sess")
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 5: two sessions (gap > 30min); user 6: one session
+    val data = Seq(
+      SessionEvent(1L, t("2024-01-01 10:00:00"), 5L, 1.0),
+      SessionEvent(2L, t("2024-01-01 10:10:00"), 5L, 2.0),
+      SessionEvent(3L, t("2024-01-01 12:00:00"), 5L, 4.0),
+      SessionEvent(4L, t("2024-01-01 10:05:00"), 6L, 8.0),
+      // late sentinel far in the future advances the watermark so all
+      // real sessions time out and emit
+      SessionEvent(99L, t("2024-01-02 00:00:00"), 999L, 0.0)
+    ).toDF.as[SessionEvent]
+    data.write.mode("overwrite").parquet(s"$src/in")
+
+    val stream = spark.readStream.schema(data.schema).parquet(s"$src/in").as[SessionEvent]
+    val q = SA.sessionizeStream(stream, 30)
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    q.processAllAvailable(); q.stop()
+
+    val out = spark.table("sess_out")
+      .select("user_id", "n_events", "total_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out.contains((5L, 2L, 3.0)), s"first session of user 5: $out")
+    assert(out.contains((5L, 1L, 4.0)), s"second session of user 5: $out")
+    assert(out.contains((6L, 1L, 8.0)), s"user 6 session: $out")
+    FsOps.deleteRecursively(src)
+  }
+
   test("streaming windowed counts on bounded input match batch semantics") {
     val src = Files.createTempDirectory("graft_stream_win")
     import spark.implicits._
