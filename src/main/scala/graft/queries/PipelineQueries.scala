@@ -178,6 +178,14 @@ object PipelineQueries {
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** IVF ANN — recall depends on probes → rows-only. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 5, nlist = 16, nprobe = 4)
+      .withColumn("cos", round(col("cos"), 6))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Multi-probe LSH ANN — recall < 1 by construction → rows-only. */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.t(s, dir, "embeddings")
@@ -295,6 +303,7 @@ object PipelineQueries {
     "dedup_embedding_lsh" -> dedupEmbeddingLsh _,
     "ann_bruteforce_topk" -> annBruteForce _,
     "ann_lsh_topk" -> annLsh _,
+    "ann_ivf_topk" -> annIvf _,
     "text_stats" -> textStats _,
     "text_langid" -> textLangId _,
     "text_fingerprint" -> textFingerprint _,

@@ -74,6 +74,20 @@ class OperatorsSpec extends SparkSpec {
     assert(top == Seq(1L, 2L))
   }
 
+  test("IVF top-k finds the identical vector through its probed list") {
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(j => if (j == i % 4) 1.0f else 0.01f * i))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" === 39L)
+    val ivf = Similarity.ivfTopK(corpus, queries, k = 3, nlist = 8, nprobe = 4)
+      .orderBy("rank").select("nbr_id").as[Long].collect().toSeq
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 3)
+      .orderBy("rank").select("nbr_id").as[Long].collect().toSeq
+    // nearest neighbor (rank 1) must survive probing
+    assert(ivf.head == exact.head, s"ivf=$ivf exact=$exact")
+    assert(ivf.size == 3)
+  }
+
   test("text analysis: tokens, quality bounds, langid, fingerprint stability") {
     val df = Seq(
       ("The cat sat on the mat, and it was happy.", "en-ish"),
