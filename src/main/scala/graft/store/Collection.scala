@@ -538,16 +538,16 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
   // ----------------------------------------------------------- snapshots
 
   /** Point-in-time snapshot (reference collection.py:529-543 / V1): name
-    * sanitized to [A-Za-z0-9._] or a µs timestamp; v0 = recursive copy
-    * of the collection excluding `_snapshots`. Scale path (SURVEY §7.4.4):
-    * the API stays, the copy becomes a manifest over immutable part
-    * files. */
+    * sanitized to [A-Za-z0-9._] or a µs timestamp. Unlike the
+    * reference's full copytree, the snapshot HARDLINKS the immutable
+    * part-files (O(files), not O(bytes)) — valid because commits swap
+    * whole directories and never rewrite files in place. */
   def createSnapshot(name: Option[String] = None): String = {
     val snap = name.map(_.replaceAll("[^A-Za-z0-9._]", "_"))
       .getOrElse(System.currentTimeMillis().toString + "_" +
         (System.nanoTime() % 1000000L).toString)
     val dst = path.resolve(GraftStore.SnapshotsDir).resolve(snap)
-    FsOps.copyRecursively(path, dst,
+    FsOps.snapshotRecursively(path, dst,
       exclude = d => d == GraftStore.SnapshotsDir || d.startsWith("__"))
     snap
   }

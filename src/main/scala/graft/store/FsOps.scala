@@ -45,6 +45,31 @@ object FsOps {
     }
   }
 
+  /** Recursive snapshot copy that HARDLINKS file content instead of
+    * copying bytes — O(files), not O(bytes). Correct because the commit
+    * protocol never mutates part-files in place (every commit writes
+    * new files and swaps directories; deleting the old directory's
+    * entries leaves snapshot-linked inodes alive). Falls back to a real
+    * copy when the filesystem refuses links (e.g. cross-device).
+    * The object-store analogue is a manifest of immutable object keys —
+    * same API, same reasoning (SURVEY §7.4.4). */
+  def snapshotRecursively(src: Path, dst: Path, exclude: String => Boolean = _ => false): Unit = {
+    Files.walk(src).iterator().asScala.foreach { s =>
+      val rel = src.relativize(s)
+      if (rel.getNameCount == 0 || !exclude(rel.getName(0).toString)) {
+        val d = dst.resolve(rel)
+        if (Files.isDirectory(s)) Files.createDirectories(d)
+        else {
+          Files.createDirectories(d.getParent)
+          try Files.createLink(d, s)
+          catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+            Files.copy(s, d, StandardCopyOption.REPLACE_EXISTING)
+          }
+        }
+      }
+    }
+  }
+
   /** Atomic directory swap: move `newDir` into place at `target`,
     * keeping a backup of the old `target` for rollback.
     * This is the reference's M7 commit protocol (collection.py:619-675):

@@ -56,7 +56,7 @@ final class Transaction(collection: Collection) {
       if (Files.isDirectory(src)) {
         val b = collection.path.resolve(s"__txn_backup_$it")
         FsOps.deleteRecursively(b)
-        FsOps.copyRecursively(src, b)
+        FsOps.snapshotRecursively(src, b)
         Some(it -> b)
       } else None
     }.toMap
@@ -75,8 +75,8 @@ final class Transaction(collection: Collection) {
           val target = collection.path.resolve(it)
           FsOps.deleteRecursively(target)
           backups.get(it).foreach { b =>
-            FsOps.copyRecursively(b, target)
-            FsOps.deleteRecursively(b)
+            // the backup dir itself becomes the restored item — O(1)
+            Files.move(b, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           }
         }
         collection.clearMetadataCache()
