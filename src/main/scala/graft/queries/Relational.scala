@@ -258,7 +258,29 @@ object Relational {
       |  GROUP BY o_orderpriority, date_trunc('day', o_orderdate)) t
       |ORDER BY o_orderpriority, day""".stripMargin
 
+  /** Hierarchical ROLLUP totals (priority → status → grand total):
+    * Spark plans this as a single Expand + hash aggregate — one pass,
+    * one shuffle, all grouping levels at once. */
+  def q12Rollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "orders")
+      .rollup($"o_orderpriority", $"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(dec($"o_totalprice")).cast(DoubleType), 2).as("total"))
+      .orderBy($"o_orderpriority".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
+  }
+
+  val q12RollupSql: String =
+    """SELECT o_orderpriority, o_orderstatus,
+      |  count(*) AS n_orders,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 2) AS total
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+      |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q12_rollup" -> q12Rollup _,
     "q1_agg" -> q1Agg _,
     "q2_filter_pushdown" -> q2Filter _,
     "q3_join_agg" -> q3JoinAgg _,
@@ -272,6 +294,7 @@ object Relational {
     "q11_rolling_window" -> q11Rolling _)
 
   val oracles: Map[String, String] = Map(
+    "q12_rollup" -> q12RollupSql,
     "q1_agg" -> q1AggSql,
     "q2_filter_pushdown" -> q2FilterSql,
     "q3_join_agg" -> q3JoinAggSql,
