@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorOps
-
 /** Deduplication operators for training-data pipelines — exact,
   * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine
   * (BASELINE.json north star).
@@ -235,29 +233,44 @@ object Dedup {
 
   // ------------------------------------------- embedding cosine near-dup
 
-  /** Near-duplicate pairs by embedding cosine ≥ threshold. The exact
-    * variant joins on an LSH hyperplane bucket first (probability of a
-    * ≥0.95-cosine pair differing in all `bits` signs is tiny), then
-    * verifies exact cosine. `exhaustive=true` skips the bucket filter
-    * (the oracle-checkable form; O(n²) — sf-test sized only). */
+  /** Near-duplicate pairs by embedding cosine ≥ threshold — the same
+    * band/bucket/verify shape as MinHash LSH: multi-band hyperplane
+    * signatures (OR-amplified for recall) generate candidates through
+    * an equi-join on (band, signature), then only candidates pay the
+    * exact cosine verification. Shuffle keys are uniform sign-patterns,
+    * and the banded join ships (id, band, sig) rows only — vectors
+    * rejoin at verification — so the candidate stage stays skinny at
+    * 100 TB. `exhaustive=true` is the O(n²) all-pairs form, kept ONLY
+    * as a recall reference for tests — never in a shipped plan. */
   def embeddingCosinePairs(df: DataFrame,
                            threshold: Double,
                            vecCol: String = "embedding",
                            idCol: String = "vec_id",
                            exhaustive: Boolean = false,
-                           lshBits: Int = 8): DataFrame = {
+                           lshBits: Int = 4,
+                           lshBands: Int = 8): DataFrame = {
     val base = spread(df).select(col(idCol).as("id"), col(vecCol).as("v"))
-    val pairs =
-      if (exhaustive)
-        base.as("a").join(base.as("b"), col("a.id") < col("b.id"))
-      else {
-        val sig = base.withColumn("bucket", VectorOps.hyperplaneSignature(col("v"), lshBits))
-        sig.as("a").join(sig.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      }
-    pairs.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        graft.functions.expressions.cosine_sim(col("a.v"), col("b.v")).as("cos"))
-      .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"))
+    if (exhaustive) {
+      base.as("a").join(base.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          graft.functions.expressions.cosine_sim(col("a.v"), col("b.v")).as("cos"))
+        .filter(col("cos") >= threshold)
+        .select(col("id_a"), col("id_b"))
+    } else {
+      val banded = base.select(col("id"),
+        posexplode(graft.functions.expressions.hyperplane_bands(
+          col("v"), lshBits, lshBands)).as(Seq("band", "bh")))
+      val candidates = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      candidates
+        .join(base.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+        .join(base.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+        .withColumn("cos", graft.functions.expressions.cosine_sim(col("v_a"), col("v_b")))
+        .filter(col("cos") >= threshold)
+        .select(col("id_a"), col("id_b"))
+    }
   }
 }

@@ -34,9 +34,9 @@ object EventQueries {
       |           FROM e),
       |flagged AS (SELECT *, CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
       |                           THEN 1 ELSE 0 END AS new_session FROM lagged),
-      |sessions AS (SELECT *, sum(new_session) OVER (
+      |sessions AS (SELECT *, CAST(sum(new_session) OVER (
       |               PARTITION BY user_id ORDER BY ts, event_id
-      |               ROWS UNBOUNDED PRECEDING) AS session_seq FROM flagged)
+      |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM flagged)
       |SELECT user_id, session_seq,
       |  min(ts) AS session_start, max(ts) AS session_end,
       |  count(*) AS n_events,

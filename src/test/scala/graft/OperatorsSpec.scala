@@ -88,6 +88,24 @@ class OperatorsSpec extends SparkSpec {
     assert(ivf.size == 3)
   }
 
+  test("embedding cosine dedup: banded LSH finds the same pairs as exhaustive") {
+    val e = sf("embeddings").select($"vec_id", $"embedding")
+    // near-identical copies with non-uniform scaling (cosine < 1)
+    val aug = e.unionByName(e.filter($"vec_id" < 20)
+      .withColumn("vec_id", $"vec_id" + 100000L)
+      .withColumn("embedding",
+        zip_with($"embedding", sequence(lit(0), size($"embedding") - 1),
+          (x, i) => x.cast("double") * (lit(1.0) + (i % 5).cast("double") / 100.0))))
+    def pairs(ex: Boolean) =
+      Dedup.embeddingCosinePairs(aug, threshold = 0.9, exhaustive = ex,
+          lshBits = 4, lshBands = 8)
+        .as[(Long, Long)].collect().toSet
+    val lsh = pairs(ex = false)
+    val exact = pairs(ex = true)
+    assert(lsh == exact, s"LSH missed ${exact -- lsh}, spurious ${lsh -- exact}")
+    assert(exact.nonEmpty)
+  }
+
   test("text analysis: tokens, quality bounds, langid, fingerprint stability") {
     val df = Seq(
       ("The cat sat on the mat, and it was happy.", "en-ish"),

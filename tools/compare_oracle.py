@@ -47,6 +47,18 @@ def main(out_dir, sf_dir):
             print(f"FAIL  {name}: {len(gs)} rows vs {len(es)}")
             n_fail += 1
             continue
+        # The driver hashes stringified values, so an int64-vs-float64
+        # divergence (e.g. DuckDB HUGEINT -> float64 "1.0" vs Spark "1")
+        # fails its hash even when values are numerically equal. Mirror
+        # that here by requiring matching dtype *kinds* per column.
+        kind_bad = [c for c in gs.columns
+                    if gs[c].dtype.kind != es[c].dtype.kind
+                    and {gs[c].dtype.kind, es[c].dtype.kind} != {"M"}]
+        if kind_bad:
+            print(f"FAIL  {name}: dtype-kind mismatch on {kind_bad}: "
+                  f"{[(str(gs[c].dtype), str(es[c].dtype)) for c in kind_bad]}")
+            n_fail += 1
+            continue
         try:
             import pandas as pd
             pd.testing.assert_frame_equal(gs, es, check_dtype=False, check_exact=True)
