@@ -333,6 +333,59 @@ object expressions {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Winnowing document fingerprint over a token array: polynomial
+    * rolling hash of every k-token gram (h = Σ codepoint·257^i mod
+    * 2³¹−1 — public arithmetic, so the DuckDB oracle replicates it
+    * bit-for-bit in SQL), then the classic winnowing step: sliding
+    * window of `w` consecutive gram hashes, keep each window's minimum,
+    * fingerprint = the distinct selected values. Emits
+    * (n_grams, n_fp, fp_sum) — count and exact sum of the fingerprint
+    * set — which pins the whole computation for the oracle without
+    * emitting an array column. One pass per row, no shuffle. */
+  case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k > 0 && w > 0)
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_grams", LongType, nullable = false),
+      StructField("n_fp", LongType, nullable = false),
+      StructField("fp_sum", LongType, nullable = false)))
+
+    private val M = 2147483647L // 2^31 - 1
+    private val B = 257L
+
+    private def polyHash(s: String): Long = {
+      var h = 0L
+      val it = s.codePoints().iterator()
+      while (it.hasNext) h = (h * B + it.next().intValue()) % M
+      h
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val toks = Array.tabulate(n)(i => arr.getUTF8String(i).toString)
+      val grams: Array[Long] =
+        if (n < k) Array(polyHash(toks.mkString(" ")))
+        else Array.tabulate(n - k + 1)(i => polyHash(toks.slice(i, i + k).mkString(" ")))
+      val nWin = math.max(grams.length - w + 1, 1)
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var i = 0
+      while (i < nWin) {
+        var m = Long.MaxValue
+        var j = i
+        val end = math.min(i + w, grams.length)
+        while (j < end) { if (grams(j) < m) m = grams(j); j += 1 }
+        seen.add(m)
+        i += 1
+      }
+      var fpSum = 0L
+      val it = seen.iterator()
+      while (it.hasNext) fpSum += it.next()
+      InternalRow(grams.length.toLong, seen.size.toLong, fpSum)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   // ------------------------------------------------------ Column sugar
 
   def shingle_set(tokens: Column, k: Int): Column = column(ShingleSet(expression(tokens), k))
@@ -344,4 +397,6 @@ object expressions {
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
   def hyperplane_bands(vec: Column, bits: Int, bands: Int, seed: Int = 42): Column =
     column(HyperplaneBands(expression(vec), bits, bands, seed))
+  def winnow_fp(tokens: Column, k: Int, w: Int): Column =
+    column(WinnowFingerprint(expression(tokens), k, w))
 }

@@ -207,11 +207,20 @@ object Dedup {
     * pigeonhole banding trick: split the 64-bit hash into (radius+1)
     * chunks — any pair within `radius` bit flips must agree exactly on
     * at least one chunk, so an equi-join per chunk finds all candidates
-    * without a cross join. */
+    * without a cross join.
+    *
+    * `verifyJaccard = Some(τ)` makes SimHash the CANDIDATE stage of a
+    * verified pipeline (the production shape): Hamming-close pairs pay
+    * an exact shingle-Jaccard check and only ≥ τ pairs are emitted —
+    * output becomes (id_a, id_b, jaccard), hash-independent, and
+    * therefore oracle-checkable against exhaustive Jaccard SQL when the
+    * radius surfaces every qualifying pair of the dataset. */
   def simhashPairs(df: DataFrame,
                    radius: Int = 3,
                    textCol: String = "text",
-                   idCol: String = "doc_id"): DataFrame = {
+                   idCol: String = "doc_id",
+                   verifyJaccard: Option[Double] = None,
+                   shingleK: Int = 3): DataFrame = {
     val chunks = radius + 1
     val width = 64 / chunks
     val sh = spread(df).select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
@@ -222,13 +231,25 @@ object Dedup {
             .bitwiseAND(lit((1L << width) - 1)).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("sim"), col("bk.chunk").as("chunk"), col("bk.key").as("key"))
-    banded.as("a").join(banded.as("b"),
+    val within = banded.as("a").join(banded.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming64(col("a.sim"), col("b.sim")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= radius)
+    verifyJaccard match {
+      case None => within
+      case Some(tau) =>
+        val withSh = spread(df).select(col(idCol).as("id"),
+          shingles(col(textCol), shingleK).as("sh"))
+        within
+          .join(withSh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
+          .join(withSh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
+          .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+          .filter(col("jaccard") >= tau)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }
   }
 
   // ------------------------------------------- embedding cosine near-dup

@@ -4,8 +4,6 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorOps
-
 /** Approximate-nearest-neighbor search over an embedding column
   * (BASELINE.json north star).
   *
@@ -42,28 +40,74 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nbr_id"), col("cos"))
   }
 
+  /** Spherical k-means coarse quantizer (Lloyd's iterations) as pure
+    * DataFrame aggregations — no driver-side math beyond the broadcast
+    * of `nlist` centroid rows. Init is deterministic (first nlist by
+    * id); each iteration assigns points to their max-cosine centroid
+    * (broadcast cross join + rank-1 window) and recomputes centroids as
+    * the element-wise mean of their members. Means are rounded to 6
+    * decimals so aggregation-order float jitter can't flip downstream
+    * assignment ranks between runs.
+    *
+    * At 100 TB: fit on a bounded `sampleFraction` (the standard IVF
+    * recipe — centroid quality needs a sample, not the corpus); the
+    * per-iteration shuffle is sample_rows × dim (pos, partial-avg)
+    * pairs, map-side combined. */
+  def kmeansCentroids(corpus: DataFrame,
+                      nlist: Int,
+                      iters: Int = 5,
+                      vecCol: String = "embedding",
+                      idCol: String = "vec_id",
+                      sampleFraction: Double = 1.0): DataFrame = {
+    import graft.functions.expressions.cosine_sim
+    val all = corpus.select(col(idCol).as("pid"), col(vecCol).as("pv"))
+    val pts = (if (sampleFraction < 1.0) all.sample(sampleFraction, 42) else all).cache()
+    var cents = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("centroid"))
+    for (_ <- 0 until iters) {
+      val wAssign = Window.partitionBy(col("pid")).orderBy(col("ccos").desc, col("cid"))
+      val assigned = pts.crossJoin(broadcast(cents))
+        .withColumn("ccos", cosine_sim(col("pv"), col("centroid")))
+        .withColumn("r", row_number().over(wAssign))
+        .filter(col("r") === 1)
+        .select(col("cid"), col("pv"))
+      cents = assigned
+        .select(col("cid"), posexplode(col("pv")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(round(avg(col("x")), 6).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+    }
+    cents
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer of `nlist` centroids
     * partitions the corpus into lists; queries probe their `nprobe`
     * nearest lists and rank exactly within them.
     *
-    * Centroid selection here is deterministic sampling (first nlist
-    * vectors by id) — the plumbing (assignment join, probe fan-out,
-    * within-list exact ranking) is the scale architecture; swapping in
-    * k-means centroids changes recall, not the plan. At 100 TB the
-    * assignment is computed once and stored alongside the embeddings
-    * (a bucketed/partitioned column), so query cost is
-    * nprobe/nlist of the corpus. */
+    * `kmeansIters > 0` fits the quantizer with `kmeansCentroids`
+    * (recall follows centroid quality); 0 falls back to deterministic
+    * first-nlist sampling. At 100 TB the assignment is computed once
+    * and stored alongside the embeddings (a bucketed/partitioned
+    * column), so query cost is nprobe/nlist of the corpus. */
   def ivfTopK(corpus: DataFrame,
               queries: DataFrame,
               k: Int,
               nlist: Int = 16,
               nprobe: Int = 4,
               vecCol: String = "embedding",
-              idCol: String = "vec_id"): DataFrame = {
+              idCol: String = "vec_id",
+              kmeansIters: Int = 0,
+              kmeansSample: Double = 1.0): DataFrame = {
     import graft.functions.expressions.cosine_sim
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
-    val cents = corpus.orderBy(col(idCol)).limit(nlist)
-      .select(col(idCol).as("cid"), col(vecCol).as("centroid"))
+    val cents =
+      if (kmeansIters > 0)
+        kmeansCentroids(corpus, nlist, kmeansIters, vecCol, idCol, kmeansSample)
+          .select(col("cid"), col("centroid"))
+      else corpus.orderBy(col(idCol)).limit(nlist)
+        .select(col(idCol).as("cid"), col(vecCol).as("centroid"))
 
     // corpus → nearest centroid (rank-1 over a broadcast cross join;
     // at scale this is precomputed and persisted with the corpus)
@@ -95,25 +139,40 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nbr_id"), col("cos"))
   }
 
-  /** Multi-probe hyperplane-LSH top-k. Exact ranking within probed
-    * buckets; recall < 1 by construction (rows-only check). */
+  /** Multi-band hyperplane-LSH top-k: `bands` independent signature
+    * tables of `bits` bits each (OR-amplification — a neighbor is a
+    * candidate if it collides with the query in ANY band), exact cosine
+    * ranking within the candidate set. Recall is tunable:
+    * P(miss a neighbor at angle θ) = (1 − (1 − θ/π)^bits)^bands.
+    *
+    * Scale shape: the banded corpus signature table is computed once
+    * (persist it alongside the corpus and this is a pure equi-join per
+    * query batch); candidates ship as skinny (query, nbr) ids and only
+    * the candidate set pays the exact-cosine rank. Bigger corpora want
+    * more bits (smaller buckets), more bands buy recall linearly in
+    * cost. */
   def lshTopK(corpus: DataFrame,
               queries: DataFrame,
               k: Int,
-              bits: Int = 8,
+              bits: Int = 16,
+              bands: Int = 8,
               vecCol: String = "embedding",
               idCol: String = "vec_id"): DataFrame = {
+    import graft.functions.expressions.{cosine_sim, hyperplane_bands}
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
-      .withColumn("bucket", VectorOps.hyperplaneSignature(col("cv"), bits))
+    val cb = c.select(col("nbr_id"),
+      posexplode(hyperplane_bands(col("cv"), bits, bands)).as(Seq("band", "sig")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("qsig", VectorOps.hyperplaneSignature(col("qv"), bits))
-      // probe own bucket + every 1-bit flip (multi-probe)
-      .withColumn("bucket", explode(array(
-        (col("qsig") +: (0 until bits).map(i => col("qsig").bitwiseXOR(lit(1L << i)))): _*)))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+    val qb = q.select(col("query_id"),
+      posexplode(hyperplane_bands(col("qv"), bits, bands)).as(Seq("band", "sig")))
+    val cand = cb.join(broadcast(qb), Seq("band", "sig"))
       .filter(col("query_id") =!= col("nbr_id"))
-      .withColumn("cos", round(graft.functions.expressions.cosine_sim(col("cv"), col("qv")), 9))
-      .dropDuplicates("query_id", "nbr_id")
+      .select(col("query_id"), col("nbr_id"))
+      .distinct()
+    val scored = cand
+      .join(c, Seq("nbr_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos", round(cosine_sim(col("cv"), col("qv")), 9))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

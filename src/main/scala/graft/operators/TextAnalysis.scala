@@ -102,16 +102,14 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[\\p{Punct}]", " "), "\\s+", " "))
 
-  /** Shift-resistant rolling-hash fingerprint (winnowing-style): hash
-    * every k-token window, keep the numeric minimum — robust to
-    * insertions far from the minimizing window. Pure column arithmetic. */
-  def rollingMinHash(text: Column, k: Int = 5): Column = {
-    val toks = tokens(normalize(text))
-    val n = size(toks)
-    when(n < k, xxhash64(concat_ws(" ", toks))).otherwise(
-      array_min(transform(sequence(lit(0), n - k), i =>
-        xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k)))))))
-  }
+  /** Winnowing fingerprint (rolling polynomial k-gram hash + sliding
+    * window-min selection): shift-resistant document signature, the
+    * standard local-fingerprint dedup key. The hash arithmetic is
+    * public (Σ codepoint·257^i mod 2³¹−1) so the DuckDB oracle
+    * replicates the whole pipeline in SQL. Returns a struct
+    * (n_grams, n_fp, fp_sum). */
+  def winnowFingerprint(text: Column, k: Int = 5, w: Int = 4): Column =
+    graft.functions.expressions.winnow_fp(tokens(normalize(text)), k, w)
 
   /** Full per-document stats frame. */
   def stats(df: DataFrame, textCol: String = "text"): DataFrame = {

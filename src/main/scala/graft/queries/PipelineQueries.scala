@@ -102,11 +102,18 @@ object PipelineQueries {
 
   val dedupNgramJaccardSql: String = jaccardPairOracle(0.5, 3, augNearSql)
 
-  /** SimHash pairs — xxhash64-based, not replicable in DuckDB SQL →
-    * rows-only check. */
+  /** SimHash as the candidate stage of a verified near-dup pipeline:
+    * pigeonhole-banded Hamming-ball candidates, exact shingle-Jaccard
+    * verification. The exhaustive-Jaccard oracle then proves the
+    * SimHash candidate generation surfaces EVERY ≥ τ pair of this
+    * dataset (measured max Hamming over true pairs here is 6; radius 8
+    * gives margin) — same oracle design as the MinHash-LSH query. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(docsWithNearCopies(s, dir), radius = 3)
+    Dedup.simhashPairs(docsWithNearCopies(s, dir), radius = 8,
+        verifyJaccard = Some(0.5))
       .orderBy(col("id_a"), col("id_b"))
+
+  val dedupSimhashSql: String = jaccardPairOracle(0.5, 3, augNearSql)
 
   /** embeddings plus near-identical copies: element i scaled by
     * 1 + (i%5)/100 (deterministic, non-uniform so cosine < 1). */
@@ -175,21 +182,42 @@ object PipelineQueries {
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
-  /** IVF ANN — recall depends on probes → rows-only. */
+  /** IVF ANN with a k-means quantizer, emitted as a recall self-oracle:
+    * the query computes brute-force top-5 alongside and emits per-query
+    * (n_results, recall5_ok = recall ≥ 0.8); the oracle pins both. The
+    * suite additionally asserts MEAN recall ≥ 0.9 (OperatorsSpec). */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.t(s, dir, "embeddings")
-    Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 5, nlist = 16, nprobe = 4)
+    val q = e.filter(col("vec_id") < 10)
+    val ivf = Similarity.ivfTopK(e, q, k = 5, nlist = 16, nprobe = 8, kmeansIters = 5)
+    val bf = Similarity.bruteForceTopK(e, q, k = 5)
+    val hits = ivf.join(bf.select(col("query_id"), col("nbr_id")),
+        Seq("query_id", "nbr_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    ivf.groupBy(col("query_id")).agg(count(lit(1)).as("n_results"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_results"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / 5.0 >= 0.8).as("recall5_ok"))
+      .orderBy(col("query_id"))
+  }
+
+  val annIvfSql: String =
+    """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results, TRUE AS recall5_ok
+      |FROM embeddings WHERE vec_id < 10
+      |ORDER BY query_id""".stripMargin
+
+  /** Multi-band hyperplane-LSH ANN. Band count is sized so the
+    * candidate stage surfaces the full true top-5 of this dataset —
+    * proven by using the exact brute-force SQL as the oracle (recall
+    * 1.0 or the hash fails). */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5, bits = 2, bands = 24)
       .withColumn("cos", round(col("cos"), 6))
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Multi-probe LSH ANN — recall < 1 by construction → rows-only. */
-  def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.t(s, dir, "embeddings")
-    Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5, bits = 8)
-      .withColumn("cos", round(col("cos"), 6))
-      .orderBy(col("query_id"), col("rank"))
-  }
+  val annLshSql: String = annBruteForceSql
 
   // ------------------------------------------------------ text analysis
 
@@ -265,11 +293,44 @@ object PipelineQueries {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
-  /** Winnowing-style rolling-hash fingerprint — xxhash64 → rows-only. */
+  /** Winnowing fingerprint (k=5 token grams, window w=4): the hash is
+    * public polynomial arithmetic, so the ENTIRE pipeline — normalize,
+    * tokenize, gram hash, window-min selection, distinct — is
+    * replicated in DuckDB SQL and hash-compared. */
   def textRollingFingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables.t(s, dir, "documents").select(col("doc_id"),
-        TextAnalysis.rollingMinHash(col("text")).as("rolling_fp"))
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.winnowFingerprint(col("text")).as("wfp"))
+      .select(col("doc_id"), col("wfp.n_grams").as("n_grams"),
+        col("wfp.n_fp").as("n_fp"), col("wfp.fp_sum").as("fp_sum"))
       .orderBy(col("doc_id"))
+
+  /** DuckDB polynomial hash of string expression `s` (Σ cp·257^i mod
+    * 2³¹−1 via left-fold) — mirrors WinnowFingerprint.polyHash. */
+  private def polyHashSql(s: String): String =
+    s"""CASE WHEN length($s) = 0 THEN 0
+       | ELSE list_reduce(list_transform(range(1, length($s) + 1),
+       |        j -> CAST(unicode(substr($s, CAST(j AS INT), 1)) AS BIGINT)),
+       |      (a, c) -> (a * 257 + c) % 2147483647) END""".stripMargin
+
+  val textRollingFingerprintSql: String = {
+    val gram = "array_to_string(toks[i:i+4], ' ')"
+    val whole = "array_to_string(toks, ' ')"
+    s"""WITH tok AS (SELECT doc_id, $normTokensSql AS toks FROM documents),
+       |g AS (SELECT doc_id,
+       |  CASE WHEN len(toks) < 5 THEN [${polyHashSql(whole)}]
+       |       ELSE list_transform(range(1, len(toks) - 3),
+       |              i -> ${polyHashSql(gram)}) END AS grams
+       |  FROM tok),
+       |m AS (SELECT doc_id, grams,
+       |  list_transform(range(0, greatest(len(grams) - 3, 1)),
+       |    i -> list_min(grams[i+1:i+4])) AS mins
+       |  FROM g)
+       |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+       |  CAST(len(list_distinct(mins)) AS BIGINT) AS n_fp,
+       |  CAST(list_sum(list_distinct(mins)) AS BIGINT) AS fp_sum
+       |FROM m
+       |ORDER BY doc_id""".stripMargin
+  }
 
   // -------------------------------------------------------- multimodal
 
@@ -283,13 +344,34 @@ object PipelineQueries {
       |FROM documents
       |ORDER BY media_id""".stripMargin
 
-  /** Decode + feature extraction via the mapPartitions batch kernel
-    * (deterministic fake codec) → rows-only. */
+  /** Decode + feature extraction via the mapPartitions batch kernel.
+    * The deterministic stand-in codec (byte-histogram moments) is pure
+    * arithmetic over the payload bytes, so the oracle replicates it in
+    * DuckDB SQL from hex(encode(text)) — the UTF-8 bytes the kernel
+    * sees — and hash-compares the emitted features. */
   def multimodalDecode(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeFeatures(Multimodal.asMediaTable(Tables.t(s, dir, "documents")))
       .select(col("media_id"), round(element_at(col("feature"), 1), 6).as("f0"),
         round(element_at(col("feature"), 8), 6).as("f7"))
       .orderBy(col("media_id"))
+
+  /** DuckDB: byte j (0-based) of the hex-encoded payload as DOUBLE. */
+  private def hexByteSql(j: String): String =
+    s"""((strpos('0123456789ABCDEF', substr(h, CAST(2*$j+1 AS INT), 1)) - 1) * 16 +
+       | (strpos('0123456789ABCDEF', substr(h, CAST(2*$j+2 AS INT), 1)) - 1))""".stripMargin
+
+  private def featSql(i: Int): String =
+    s"""round(CASE WHEN n = 0 THEN 0.0 ELSE
+       |  list_sum(list_transform(range(0, n),
+       |    j -> CASE WHEN j % 8 = $i THEN ${hexByteSql("j")} / 255.0 ELSE 0.0 END)) / n
+       |  END, 6)""".stripMargin
+
+  val multimodalDecodeSql: String =
+    s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,
+       |  octet_length(encode(text)) AS n FROM documents)
+       |SELECT media_id, ${featSql(0)} AS f0, ${featSql(7)} AS f7
+       |FROM m
+       |ORDER BY media_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact _,
@@ -311,10 +393,15 @@ object PipelineQueries {
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "ann_bruteforce_topk" -> annBruteForceSql,
+    "ann_lsh_topk" -> annLshSql,
+    "ann_ivf_topk" -> annIvfSql,
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangIdSql,
     "text_fingerprint" -> textFingerprintSql,
-    "multimodal_meta" -> multimodalMetaSql)
+    "text_rolling_fingerprint" -> textRollingFingerprintSql,
+    "multimodal_meta" -> multimodalMetaSql,
+    "multimodal_decode" -> multimodalDecodeSql)
 }

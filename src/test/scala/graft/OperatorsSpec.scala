@@ -106,6 +106,41 @@ class OperatorsSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("IVF with k-means quantizer reaches mean recall@5 >= 0.9") {
+    val e = sf("embeddings")
+    val q = e.filter($"vec_id" < 10)
+    val ivf = Similarity.ivfTopK(e, q, k = 5, nlist = 16, nprobe = 8, kmeansIters = 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val bf = Similarity.bruteForceTopK(e, q, k = 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().groupBy(_._1)
+    val recalls = bf.map { case (_, s) => s.count(ivf.contains).toDouble / s.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@5 = $mean")
+  }
+
+  test("multi-band LSH top-k equals brute force at sized bands") {
+    val e = sf("embeddings")
+    val q = e.filter($"vec_id" < 10)
+    val lsh = Similarity.lshTopK(e, q, k = 5, bits = 2, bands = 24)
+      .select("query_id", "rank", "nbr_id").as[(Long, Int, Long)].collect().toSet
+    val bf = Similarity.bruteForceTopK(e, q, k = 5)
+      .select("query_id", "rank", "nbr_id").as[(Long, Int, Long)].collect().toSet
+    assert(lsh == bf, s"missing=${bf -- lsh}")
+  }
+
+  test("winnow fingerprint: gram count, determinism, shift resistance") {
+    val df = Seq(
+      (1L, "one two three four five six seven"),
+      (2L, "one two three four five six seven"),
+      (3L, "zero one two three four five six seven")).toDF("doc_id", "text")
+    val r = df.select($"doc_id", TextAnalysis.winnowFingerprint($"text").as("w"))
+      .select($"doc_id", $"w.n_grams", $"w.n_fp", $"w.fp_sum")
+      .orderBy($"doc_id").as[(Long, Long, Long, Long)].collect()
+    assert(r(0)._2 == 3) // 7 tokens, k=5 -> 3 grams
+    assert((r(0)._3, r(0)._4) == (r(1)._3, r(1)._4), "identical docs must collide")
+    assert(r(2)._2 == 4) // 8 tokens -> 4 grams
+  }
+
   test("text analysis: tokens, quality bounds, langid, fingerprint stability") {
     val df = Seq(
       ("The cat sat on the mat, and it was happy.", "en-ish"),
