@@ -73,6 +73,77 @@ object Codecs {
     (struct(re.cast(DoubleType).as("re"), im.cast(DoubleType).as("im")),
       TypeMarker("complex", Map.empty))
 
+  // --------------------------------------------- write-edge dispatch
+
+  private val PeriodRe = """period\[(.+)\]""".r
+  private val IntervalRe = """interval(?:\[(?:closed=)?(left|right|both|neither)\])?""".r
+
+  /** Write-edge auto-dispatch (reference collection.py:240-270 +
+    * dataframe.py:212-321, where detection is implicit in pandas
+    * dtypes): tz-aware timestamps are visible in Spark's schema and
+    * detected automatically; timedelta/period/categorical/interval
+    * carry no Spark-visible type distinction, so callers pass
+    * pandas-dtype `hints` ("timedelta64[ns]", "period[M]", "category",
+    * "category:ordered", "interval[closed=left]") and the matching
+    * codec transform + marker is applied. Explicit markers always win.
+    * Returns (transformed frame, full marker set to record). */
+  def autoDispatch(df: DataFrame,
+                   explicit: Map[String, TypeMarker],
+                   hints: Map[String, String],
+                   sessionTz: String): (DataFrame, Map[String, TypeMarker]) = {
+    val (hinted, hintMarkers) =
+      hints.foldLeft((df, Map.empty[String, TypeMarker])) {
+        case ((d, ms), (name, hint)) if d.columns.contains(name) && !explicit.contains(name) =>
+          applyHint(d, name, hint) match {
+            case Some((c, m)) => (d.withColumn(name, c), ms + (name -> m))
+            case None => (d, ms)
+          }
+        case (acc, _) => acc
+      }
+    // TimestampType (instant semantics) = pandas tz-aware; sessions run
+    // UTC so stored instants are UTC and the marker records the
+    // presentation zone. TimestampNTZ = naive — no marker.
+    val detected = hinted.schema.fields.collect {
+      case f if f.dataType == TimestampType &&
+          !explicit.contains(f.name) && !hintMarkers.contains(f.name) =>
+        f.name -> TypeMarker("timestamp_tz", Map("timezone" -> sessionTz))
+    }.toMap
+    (hinted, detected ++ hintMarkers ++ explicit)
+  }
+
+  private def applyHint(df: DataFrame, name: String,
+                        hint: String): Option[(Column, TypeMarker)] = {
+    val c = col(name)
+    hint.trim match {
+      case "timedelta" | "timedelta64[ns]" => Some(encodeTimedelta(c))
+      case PeriodRe(freq)                  => Some(encodePeriod(c, freq))
+      case "category" | "categorical" =>
+        Some(encodeCategorical(c, categoriesOf(df, name), ordered = false))
+      case "category:ordered" =>
+        Some(encodeCategorical(c, categoriesOf(df, name), ordered = true))
+      case IntervalRe(closed) => df.schema(name).dataType match {
+        case s: StructType if s.fieldNames.sorted.sameElements(Array("left", "right")) =>
+          Some((c, TypeMarker("interval",
+            Map("closed" -> Option(closed).getOrElse("right")))))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Distinct values, sorted — the pandas `categories` list. Bounded
+    * driver collect: categorical means low-cardinality by contract, and
+    * the cap turns a mistaken hint on a high-cardinality column into an
+    * error instead of an unbounded collect at 100 TB. */
+  private def categoriesOf(df: DataFrame, name: String, cap: Int = 10000): Seq[String] = {
+    val vals = df.select(col(name).cast(StringType)).na.drop()
+      .distinct().limit(cap + 1).collect().map(_.getString(0)).sorted.toSeq
+    if (vals.sizeIs > cap)
+      throw new IllegalArgumentException(
+        s"column '$name' has more than $cap distinct values; not a categorical")
+    vals
+  }
+
   // ------------------------------------------------- sidecar plumbing
 
   /** Serialize markers for the `_type_info` sidecar key. */

@@ -138,6 +138,7 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
             validator: Option[DataValidator] = None,
             epochdate: Boolean = false,
             typeMarkers: Map[String, Codecs.TypeMarker] = Map.empty,
+            dtypeHints: Map[String, String] = Map.empty,
             monthlyLayout: Boolean = false): Unit = {
     if (hasItem(item) && !overwrite)
       throw new ItemExistsError(
@@ -149,12 +150,10 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
     // Reference parity: an unnamed pandas index is materialized as a
     // column named "index" (collection.py:266-268). When the caller
     // relies on the default index name and no such column exists,
-    // synthesize a row-id index (RangeIndex analogue; same
-    // collide-on-re-append semantics as pandas RangeIndex).
-    val indexed =
-      if (indexCols == Seq(DefaultIndex) && !df.columns.contains(DefaultIndex))
-        df.withColumn(DefaultIndex, monotonically_increasing_id())
-      else df
+    // synthesize a DENSE 0..n-1 index — true RangeIndex semantics,
+    // including collide-on-re-append (two frames that both synthesized
+    // their index share ids 0..min(n,m), exactly like pandas).
+    val indexed = ensureIndex(df, indexCols)
     val missing = indexCols.filterNot(indexed.columns.contains)
     if (missing.nonEmpty)
       throw new ValidationError(s"index column(s) not in DataFrame: ${missing.mkString(",")}")
@@ -162,7 +161,7 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
     // ns-fidelity path (reference utils.py:65-75): store the temporal
     // index as int64 epoch-nanos when requested. Spark TimestampType is
     // µs; the LongType column is the only lossless ns representation.
-    val encoded =
+    val epochEncoded =
       if (!epochdate) indexed
       else indexCols.foldLeft(indexed) { (d, c) =>
         d.schema(c).dataType match {
@@ -171,6 +170,13 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
           case _ => d
         }
       }
+
+    // Per-dtype codec dispatch (reference collection.py:240-270): tz
+    // markers auto-detected from the schema, pandas-only dtypes applied
+    // from caller hints; explicit markers win.
+    val (encoded, allMarkers) = Codecs.autoDispatch(
+      epochEncoded, typeMarkers, dtypeHints,
+      spark.conf.get("spark.sql.session.timeZone", "UTC"))
 
     if (monthlyLayout && !Partitioner.isTemporal(encoded, indexCols.head))
       throw new ValidationError("monthlyLayout requires a timestamp/date index column")
@@ -194,11 +200,37 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
       "_layout" -> (if (monthlyLayout) "monthly" else "flat"),
       "_epochdate" -> epochdate,
       "schema_json" -> indexed.schema.json) ++ statsMeta(stats) ++
-      (if (typeMarkers.isEmpty) Map.empty
-       else Map("_type_info" -> Codecs.markersToMeta(typeMarkers)))
+      (if (allMarkers.isEmpty) Map.empty
+       else Map("_type_info" -> Codecs.markersToMeta(allMarkers)))
     commit(item, laidOut, Meta.obj(metadata.toSeq: _*) ++ extra,
       partitioned = monthlyLayout)
   }
+
+  /** Materialize the default index when absent (pandas RangeIndex):
+    * dense 0..n-1 row ids. Distributed two-phase assignment — the id is
+    * partition_offset + within-partition position, with offsets from a
+    * per-partition count aggregate (one cheap extra job, O(#partitions)
+    * rows to the driver; the zipWithIndex recipe) — no global sort, no
+    * single-partition window, correct at any scale. */
+  private def ensureIndex(df: DataFrame, indexCols: Seq[String]): DataFrame =
+    if (!(indexCols == Seq(DefaultIndex) && !df.columns.contains(DefaultIndex))) df
+    else {
+      import spark.implicits._
+      // monotonically_increasing_id = partitionId·2³³ + positionInPartition
+      val marked = df.withColumn("__mid", monotonically_increasing_id())
+      val counts = marked
+        .groupBy(shiftrightunsigned(col("__mid"), 33).as("__pid"))
+        .agg(count(lit(1)).as("__cnt"))
+        .orderBy("__pid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      var acc = 0L
+      val offsets = counts.map { case (pid, c) => val t = (pid, acc); acc += c; t }.toSeq
+      marked
+        .withColumn("__pid", shiftrightunsigned(col("__mid"), 33))
+        .join(broadcast(offsets.toDF("__pid", "__off")), Seq("__pid"))
+        .withColumn(DefaultIndex,
+          col("__off") + col("__mid").bitwiseAND(lit((1L << 33) - 1)))
+        .drop("__pid", "__mid", "__off")
+    }
 
   private def statsMeta(s: Partitioner.IndexStats): Map[String, JValue] =
     Meta.obj("_rows" -> s.rows) ++
@@ -326,7 +358,11 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
     val idx = existing.indexCols
     val old = existing.data
 
-    var newDf = df
+    // RangeIndex collide-on-re-append parity: a batch without the
+    // synthesized default index gets its own dense 0..m-1 ids, which
+    // overlap the stored item's — exactly what pandas does when both
+    // frames carried a default RangeIndex.
+    var newDf = ensureIndex(df, idx)
     var evolved = false
     evolution match {
       case Some(strategy) =>
@@ -447,12 +483,18 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
                    indexCols: Seq[String] = Seq(DefaultIndex)): Long = {
     var total = 0L
     chunks.foreach { chunk =>
-      val c = chunk.count()
-      if (c > 0) {
-        if (!hasItem(item)) write(item, chunk, indexCols)
-        else append(item, chunk, duplicateHandling)
-        total += c
-      }
+      // One source execution per chunk: the count materializes the
+      // cache and the write/append reads from it (was: count, then
+      // re-execute the chunk's plan inside the write).
+      val cached = chunk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val c = cached.count()
+        if (c > 0) {
+          if (!hasItem(item)) write(item, cached, indexCols)
+          else append(item, cached, duplicateHandling)
+          total += c
+        }
+      } finally cached.unpersist(blocking = false)
     }
     total
   }

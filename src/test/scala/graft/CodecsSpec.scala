@@ -102,4 +102,37 @@ class CodecsSpec extends SparkSpec {
     assert(back.select("xs").as[Seq[Int]].collect().toSeq == Seq(Seq(1, 2), Seq(3, 4, 5)))
     cleanup(c)
   }
+
+  test("auto tz marker is recorded at the write edge (no caller hint)") {
+    val c = tempCollection("autotz")
+    val df = Seq((0L, java.sql.Timestamp.valueOf("2024-06-01 12:00:00"), 1.5))
+      .toDF("index", "ts", "v")
+    c.write("item", df)
+    val m = Codecs.markersFromMeta(c.metadata("item")("_type_info"))
+    assert(m("ts").kind == "timestamp_tz")
+    assert(m("ts").params("timezone") == "UTC")
+    // UTC restore is the identity on the stored instant
+    assert(c.item("item").dataRestored.select("ts").head().getTimestamp(0) ==
+      java.sql.Timestamp.valueOf("2024-06-01 12:00:00"))
+    cleanup(c)
+  }
+
+  test("dtype hints drive codecs through the store API (pr77 parity)") {
+    val c = tempCollection("hints")
+    val df = Seq(
+      (0L, 3600000000000L, "2024-01", "B"),
+      (1L, 7200000000000L, "2024-02", "A")).toDF("index", "td", "p", "cat")
+    c.write("item", df, dtypeHints = Map(
+      "td" -> "timedelta64[ns]", "p" -> "period[ME]", "cat" -> "category:ordered"))
+    val m = Codecs.markersFromMeta(c.metadata("item")("_type_info"))
+    assert(m("td").kind == "timedelta" && m("td").params("unit") == "ns")
+    assert(m("p").kind == "period" && m("p").params("freq") == "M")
+    assert(m("cat").kind == "categorical" && m("cat").params("ordered") == true)
+    assert(m("cat").params("categories") == Seq("A", "B"))
+    val back = c.item("item").data.orderBy("index")
+    assert(back.schema("td").dataType == LongType)
+    assert(back.schema("p").dataType == StringType)
+    assert(back.select("cat").as[String].collect().toSeq == Seq("B", "A"))
+    cleanup(c)
+  }
 }

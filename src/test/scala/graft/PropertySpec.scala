@@ -103,4 +103,19 @@ class PropertySpec extends SparkSpec {
       assert(all >= last, s"seed=$seed")
     }
   }
+
+  test("property: synthesized default index is dense 0..n-1 and collides on re-append") {
+    val c = tempCollection("prop_rangeidx")
+    val df = (1 to 57).map(i => (s"r$i", i * 2.0)).toDF("name", "v")
+    c.write("it", df.repartition(5))
+    val ids = c.item("it").data.select("index").as[Long].collect().sorted.toSeq
+    assert(ids == (0L until 57L), s"ids not dense: $ids")
+    // a second default-indexed frame restarts at 0 -> ids collide,
+    // KeepLast replaces the stored rows (pandas RangeIndex semantics)
+    c.append("it", (1 to 10).map(i => (s"x$i", i * 1.0)).toDF("name", "v"))
+    val after = c.item("it").data
+    assert(after.count() == 57)
+    assert(after.filter($"name".startsWith("x")).count() == 10)
+    cleanup(c)
+  }
 }
