@@ -139,7 +139,8 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
             epochdate: Boolean = false,
             typeMarkers: Map[String, Codecs.TypeMarker] = Map.empty,
             dtypeHints: Map[String, String] = Map.empty,
-            monthlyLayout: Boolean = false): Unit = {
+            monthlyLayout: Boolean = false,
+            monthlySalt: Int = 1): Unit = {
     if (hasItem(item) && !overwrite)
       throw new ItemExistsError(
         s"item '$item' already exists; use overwrite=true to replace")
@@ -189,7 +190,7 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
         case None    => Partitioner.decide(Partitioner.estimatedBytes(encoded), stats)
       }
     val laidOut =
-      if (monthlyLayout) withMonthLayout(encoded, indexCols)
+      if (monthlyLayout) withMonthLayout(encoded, indexCols, monthlySalt)
       else Partitioner(encoded, indexCols, n)
 
     val extra = Meta.obj(
@@ -198,6 +199,7 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
       "_partitions" -> n,
       "_partition_strategy" -> strategy.name,
       "_layout" -> (if (monthlyLayout) "monthly" else "flat"),
+      "_monthly_salt" -> monthlySalt,
       "_epochdate" -> epochdate,
       "schema_json" -> indexed.schema.json) ++ statsMeta(stats) ++
       (if (allMarkers.isEmpty) Map.empty
@@ -253,13 +255,31 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
 
   /** Monthly-dir layout: derive the hidden `__month` partition column,
     * hash-cluster by month (one write task per month) and sort within
-    * so each month dir holds sorted, range-disjoint files. Skewed/huge
-    * months would add a salt term to the clustering key — not needed at
-    * test SFs. */
-  private def withMonthLayout(df: DataFrame, indexCols: Seq[String]): DataFrame =
-    df.withColumn(MonthCol, date_format(col(indexCols.head), "yyyy-MM"))
-      .repartition(col(MonthCol))
-      .sortWithinPartitions((MonthCol +: indexCols).map(col): _*)
+    * so each month dir holds sorted, range-disjoint files.
+    *
+    * `salt > 1` handles skewed/huge months: the clustering key gains a
+    * deterministic hash-of-index salt term, so a hot month is written
+    * by `salt` parallel tasks as `salt` files (each still sorted; the
+    * trade is write parallelism + bounded file size for file-level
+    * range disjointness inside that month). The salt is recorded in the
+    * sidecar so appends reuse it. */
+  private def withMonthLayout(df: DataFrame, indexCols: Seq[String],
+                              salt: Int = 1): DataFrame = {
+    val withMonth = df.withColumn(MonthCol, date_format(col(indexCols.head), "yyyy-MM"))
+    val clustered =
+      if (salt <= 1) withMonth.repartition(col(MonthCol))
+      // explicit partition count: REPARTITION_BY_NUM is exempt from AQE
+      // coalescing, so the salt fan-out survives even when the salted
+      // partitions are small
+      else withMonth.repartition(
+        math.max(salt, spark.sessionState.conf.numShufflePartitions),
+        col(MonthCol), pmod(xxhash64(col(indexCols.head)), lit(salt.toLong)))
+    clustered.sortWithinPartitions((MonthCol +: indexCols).map(col): _*)
+  }
+
+  private def monthlySaltOf(item: String): Int =
+    metadata(item).get("_monthly_salt")
+      .map(j => Meta.unjv(j).asInstanceOf[Long].toInt).getOrElse(1)
 
   /** Write df to a tmp dir then atomically swap into place, then write
     * the sidecar and refresh caches. Part-files live under
@@ -414,7 +434,8 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
       case None    => Partitioner.decide(Partitioner.estimatedBytes(deduped), stats)
     }
     val laidOut =
-      if (monthly) withMonthLayout(deduped, idx) else Partitioner(deduped, idx, n)
+      if (monthly) withMonthLayout(deduped, idx, monthlySaltOf(item))
+      else Partitioner(deduped, idx, n)
 
     val prevMeta = Meta.read(path.resolve(item)) ++
       Meta.obj("_partitions" -> n, "_partition_strategy" -> strategy.name) ++
@@ -471,7 +492,9 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
       Partitioner.computeStats(existing.data, idx.head))
     val stats = prevStats.merge(Partitioner.computeStats(newDf, idx.head))
     val prevMeta = Meta.read(path.resolve(item)) ++ statsMeta(stats)
-    commitMonths(item, withMonthLayout(combined.dropDuplicates(), idx), months, prevMeta)
+    commitMonths(item,
+      withMonthLayout(combined.dropDuplicates(), idx, monthlySaltOf(item)),
+      months, prevMeta)
   }
 
   /** Chunked append loop (reference append_stream, collection.py:677-751

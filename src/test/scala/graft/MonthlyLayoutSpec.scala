@@ -89,4 +89,18 @@ class MonthlyLayoutSpec extends SparkSpec {
     }
     cleanup(c)
   }
+
+  test("monthly salt spreads a hot month over several sorted files") {
+    val c = tempCollection("monthly_salt")
+    c.write("item", frame("2024-01-01", 60, 1.0),
+      monthlyLayout = true, monthlySalt = 4)
+    val dirs = monthDirs(c, "item")
+    assert(dirs("__month=2024-01").size > 1, s"expected several files: $dirs")
+    assert(c.item("item").data.count() == 60)
+    // appends reuse the recorded salt and stay correct
+    c.append("item", frame("2024-01-05", 3, 2.0))
+    assert(c.item("item").data.count() == 60) // keep_last replaced 3 days
+    assert(Meta.unjv(c.metadata("item")("_monthly_salt")) == 4L)
+    cleanup(c)
+  }
 }

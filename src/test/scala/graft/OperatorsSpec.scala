@@ -179,6 +179,19 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Seq((1L, Some(100L)), (2L, Some(101L)), (3L, Some(102L))))
   }
 
+  test("as-of join: salted output equals unsalted under key skew") {
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${10 + m / 60}%02d:${m % 60}%02d:00")
+    val left = ((1 to 300).map(i => (i.toLong, 7L, t(i % 59))) ++
+      Seq((1001L, 8L, t(5)))).toDF("event_id", "user_id", "ts")
+    val right = Seq((100L, 7L, t(1)), (101L, 7L, t(40)), (102L, 8L, t(1)))
+      .toDF("event_id", "user_id", "ts")
+    def run(s: Int) = AsOfJoin.asOf(left, right, "user_id", "ts", "ts",
+        Map("event_id" -> "rid"), saltBuckets = s)
+      .select("event_id", "rid").as[(Long, Option[Long])].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(run(8) == run(1))
+  }
+
   test("sessionize splits on gaps > threshold") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
