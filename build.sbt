@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Forked run output passes straight through (no "[info] " line prefix)
+// so the Bench/Verify JSON lines are machine-parseable from stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)

@@ -231,13 +231,18 @@ object Dedup {
             .bitwiseAND(lit((1L << width) - 1)).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("sim"), col("bk.chunk").as("chunk"), col("bk.key").as("key"))
+    // Hamming predicate INSIDE the join: candidates that fail the
+    // radius never reach the distinct — with narrow chunks (small key
+    // space) the bucket join emits far more collisions than true
+    // near-pairs, so filtering first shrinks the distinct's shuffle
+    // from O(collisions) to O(true pairs).
     val within = banded.as("a").join(banded.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
+          col("a.id") < col("b.id") &&
+          hamming64(col("a.sim"), col("b.sim")) <= radius)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming64(col("a.sim"), col("b.sim")).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= radius)
     verifyJaccard match {
       case None => within
       case Some(tau) =>

@@ -60,6 +60,8 @@ object Similarity {
                       idCol: String = "vec_id",
                       sampleFraction: Double = 1.0): DataFrame = {
     import graft.functions.expressions.cosine_sim
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val all = corpus.select(col(idCol).as("pid"), col(vecCol).as("pv"))
     val pts = (if (sampleFraction < 1.0) all.sample(sampleFraction, 42) else all).cache()
     var cents = corpus.orderBy(col(idCol)).limit(nlist)
@@ -71,14 +73,21 @@ object Similarity {
         .withColumn("r", row_number().over(wAssign))
         .filter(col("r") === 1)
         .select(col("cid"), col("pv"))
-      cents = assigned
+      // Localize the nlist×dim centroid table each iteration (it is
+      // broadcast-sized by definition): truncates the plan lineage so
+      // iteration i+1 doesn't re-execute iterations 1..i, and pins the
+      // rounded means for run-to-run determinism.
+      val rows = assigned
         .select(col("cid"), posexplode(col("pv")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
         .agg(round(avg(col("x")), 6).as("m"))
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("centroid"))
+        .as[(Long, Seq[Double])].collect().toSeq
+      cents = rows.toDF("cid", "centroid")
     }
+    if (iters > 0) pts.unpersist(blocking = false)
     cents
   }
 

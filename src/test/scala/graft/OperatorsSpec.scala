@@ -109,7 +109,7 @@ class OperatorsSpec extends SparkSpec {
   test("IVF with k-means quantizer reaches mean recall@5 >= 0.9") {
     val e = sf("embeddings")
     val q = e.filter($"vec_id" < 10)
-    val ivf = Similarity.ivfTopK(e, q, k = 5, nlist = 16, nprobe = 8, kmeansIters = 5)
+    val ivf = Similarity.ivfTopK(e, q, k = 5, nlist = 16, nprobe = 8, kmeansIters = 3)
       .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
     val bf = Similarity.bruteForceTopK(e, q, k = 5)
       .select("query_id", "nbr_id").as[(Long, Long)].collect().groupBy(_._1)
