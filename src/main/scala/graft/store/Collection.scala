@@ -34,9 +34,48 @@ object DuplicateHandling {
 
 object Collection {
   val DefaultIndex = "index"
-  /** Hidden directory-partition column for monthly-layout items. */
+  /** Hidden directory-partition column for time-layout items (named
+    * for the original monthly layout; holds whatever period key the
+    * item's recorded layout uses). */
   val MonthCol = "__month"
   private val TmpPrefix = "__tmp_"
+
+  /** Time-period directory layouts (reference L2 supports
+    * daily/monthly/quarterly/yearly time partitioning;
+    * partition.py via SURVEY §2). Period keys are zero-padded and
+    * lexically ordered, so string range predicates prune correctly. */
+  val TimeLayouts: Set[String] = Set("daily", "monthly", "quarterly", "yearly")
+
+  /** Period key of a timestamp column under `layout`. */
+  private[store] def periodExpr(layout: String, c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    layout match {
+      case "daily"     => date_format(c, "yyyy-MM-dd")
+      case "monthly"   => date_format(c, "yyyy-MM")
+      case "quarterly" => concat(date_format(c, "yyyy"), lit("-Q"), quarter(c).cast("string"))
+      case "yearly"    => date_format(c, "yyyy")
+      case other       => throw new ValidationError(s"unknown time layout '$other'")
+    }
+
+  /** Driver-side period key of a literal predicate value (read-side
+    * partition pruning). */
+  private[store] def periodOfValue(layout: String, v: Any): Option[String] = {
+    val ld: Option[java.time.LocalDate] = v match {
+      case t: java.sql.Timestamp        => Some(t.toLocalDateTime.toLocalDate)
+      case ldt: java.time.LocalDateTime => Some(ldt.toLocalDate)
+      case d: java.sql.Date             => Some(d.toLocalDate)
+      case l: java.time.LocalDate       => Some(l)
+      case _ => None
+    }
+    ld.map { d =>
+      layout match {
+        case "daily"     => d.toString
+        case "monthly"   => f"${d.getYear}%04d-${d.getMonthValue}%02d"
+        case "quarterly" => f"${d.getYear}%04d-Q${(d.getMonthValue - 1) / 3 + 1}"
+        case "yearly"    => f"${d.getYear}%04d"
+        case other       => throw new ValidationError(s"unknown time layout '$other'")
+      }
+    }
+  }
   /** Metadata TTL cache — 300 s, same policy the reference credits for
     * its "100× faster metadata access" (collection.py:116-147). */
   val MetaCacheTtlMs: Long = 300 * 1000L
@@ -140,7 +179,13 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
             typeMarkers: Map[String, Codecs.TypeMarker] = Map.empty,
             dtypeHints: Map[String, String] = Map.empty,
             monthlyLayout: Boolean = false,
-            monthlySalt: Int = 1): Unit = {
+            monthlySalt: Int = 1,
+            timeLayout: Option[String] = None): Unit = {
+    val layoutName = timeLayout.getOrElse(if (monthlyLayout) "monthly" else "flat")
+    val isTime = layoutName != "flat"
+    if (isTime && !TimeLayouts.contains(layoutName))
+      throw new ValidationError(
+        s"unknown time layout '$layoutName' (supported: ${TimeLayouts.mkString(",")})")
     if (hasItem(item) && !overwrite)
       throw new ItemExistsError(
         s"item '$item' already exists; use overwrite=true to replace")
@@ -179,18 +224,18 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
       epochEncoded, typeMarkers, dtypeHints,
       spark.conf.get("spark.sql.session.timeZone", "UTC"))
 
-    if (monthlyLayout && !Partitioner.isTemporal(encoded, indexCols.head))
-      throw new ValidationError("monthlyLayout requires a timestamp/date index column")
+    if (isTime && !Partitioner.isTemporal(encoded, indexCols.head))
+      throw new ValidationError("time layouts require a timestamp/date index column")
 
     val stats = Partitioner.computeStats(encoded, indexCols.head)
     val (n, strategy) =
-      if (monthlyLayout) (0, Partitioner.TimeBased)
+      if (isTime) (0, Partitioner.TimeBased)
       else npartitions match {
         case Some(k) => (k, Partitioner.SizeBased)
         case None    => Partitioner.decide(Partitioner.estimatedBytes(encoded), stats)
       }
     val laidOut =
-      if (monthlyLayout) withMonthLayout(encoded, indexCols, monthlySalt)
+      if (isTime) withTimeLayout(encoded, indexCols, monthlySalt, layoutName)
       else Partitioner(encoded, indexCols, n)
 
     val extra = Meta.obj(
@@ -198,14 +243,14 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
       "index_dtypes" -> indexCols.map(c => indexed.schema(c).dataType.simpleString),
       "_partitions" -> n,
       "_partition_strategy" -> strategy.name,
-      "_layout" -> (if (monthlyLayout) "monthly" else "flat"),
+      "_layout" -> layoutName,
       "_monthly_salt" -> monthlySalt,
       "_epochdate" -> epochdate,
       "schema_json" -> indexed.schema.json) ++ statsMeta(stats) ++
       (if (allMarkers.isEmpty) Map.empty
        else Map("_type_info" -> Codecs.markersToMeta(allMarkers)))
     commit(item, laidOut, Meta.obj(metadata.toSeq: _*) ++ extra,
-      partitioned = monthlyLayout)
+      partitioned = isTime)
   }
 
   /** Materialize the default index when absent (pandas RangeIndex):
@@ -253,29 +298,35 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
       throw new ValidationError(s"duplicate column names: ${dupCols.mkString(",")}")
   }
 
-  /** Monthly-dir layout: derive the hidden `__month` partition column,
-    * hash-cluster by month (one write task per month) and sort within
-    * so each month dir holds sorted, range-disjoint files.
+  /** Time-period dir layout (daily/monthly/quarterly/yearly): derive
+    * the hidden period partition column, hash-cluster by period (one
+    * write task per period) and sort within so each period dir holds
+    * sorted, range-disjoint files.
     *
-    * `salt > 1` handles skewed/huge months: the clustering key gains a
-    * deterministic hash-of-index salt term, so a hot month is written
+    * `salt > 1` handles skewed/huge periods: the clustering key gains a
+    * deterministic hash-of-index salt term, so a hot period is written
     * by `salt` parallel tasks as `salt` files (each still sorted; the
     * trade is write parallelism + bounded file size for file-level
-    * range disjointness inside that month). The salt is recorded in the
-    * sidecar so appends reuse it. */
-  private def withMonthLayout(df: DataFrame, indexCols: Seq[String],
-                              salt: Int = 1): DataFrame = {
-    val withMonth = df.withColumn(MonthCol, date_format(col(indexCols.head), "yyyy-MM"))
+    * range disjointness inside that period). The salt is recorded in
+    * the sidecar so appends reuse it. */
+  private def withTimeLayout(df: DataFrame, indexCols: Seq[String],
+                             salt: Int, layout: String): DataFrame = {
+    val withPeriod = df.withColumn(MonthCol,
+      Collection.periodExpr(layout, col(indexCols.head)))
     val clustered =
-      if (salt <= 1) withMonth.repartition(col(MonthCol))
+      if (salt <= 1) withPeriod.repartition(col(MonthCol))
       // explicit partition count: REPARTITION_BY_NUM is exempt from AQE
       // coalescing, so the salt fan-out survives even when the salted
       // partitions are small
-      else withMonth.repartition(
+      else withPeriod.repartition(
         math.max(salt, spark.sessionState.conf.numShufflePartitions),
         col(MonthCol), pmod(xxhash64(col(indexCols.head)), lit(salt.toLong)))
     clustered.sortWithinPartitions((MonthCol +: indexCols).map(col): _*)
   }
+
+  private def timeLayoutOf(item: String): Option[String] =
+    metadata(item).get("_layout").map(j => Meta.unjv(j).toString)
+      .filter(TimeLayouts.contains)
 
   private def monthlySaltOf(item: String): Int =
     metadata(item).get("_monthly_salt")
@@ -365,13 +416,14 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
       throw new ItemNotFoundError(s"item '$item' does not exist; write it first")
     if (df.isEmpty) return // reference: empty append is a no-op (test_append.py)
 
-    val monthly = metadata(item).get("_layout").exists(j => Meta.unjv(j) == "monthly")
+    val timeLayout = timeLayoutOf(item)
+    val monthly = timeLayout.isDefined
     if (monthly && evolution.isEmpty) {
-      appendMonthly(item, df, duplicateHandling, validateSchema)
+      appendPeriodic(item, df, duplicateHandling, validateSchema, timeLayout.get)
       return
     }
-    // (schema evolution on a monthly item falls through to the full
-    // path below: a schema change must rewrite every month anyway to
+    // (schema evolution on a time-layout item falls through to the full
+    // path below: a schema change must rewrite every period anyway to
     // keep partition files schema-consistent.)
 
     val existing = this.item(item)
@@ -434,7 +486,7 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
       case None    => Partitioner.decide(Partitioner.estimatedBytes(deduped), stats)
     }
     val laidOut =
-      if (monthly) withMonthLayout(deduped, idx, monthlySaltOf(item))
+      if (monthly) withTimeLayout(deduped, idx, monthlySaltOf(item), timeLayout.get)
       else Partitioner(deduped, idx, n)
 
     val prevMeta = Meta.read(path.resolve(item)) ++
@@ -443,16 +495,17 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
     commit(item, laidOut, prevMeta, partitioned = monthly)
   }
 
-  /** Incremental append for monthly-layout items: the stored side is
-    * read WITH partition pruning to only the months the batch touches
-    * (index collisions can only occur inside a row's own month, so
-    * dedup restricted to touched months is exact), and only those month
-    * directories are rewritten. Append cost scales with batch span,
-    * not item size. */
-  private def appendMonthly(item: String,
-                            df: DataFrame,
-                            duplicateHandling: DuplicateHandling,
-                            validateSchema: Boolean): Unit = {
+  /** Incremental append for time-layout items: the stored side is
+    * read WITH partition pruning to only the periods the batch touches
+    * (index collisions can only occur inside a row's own period, so
+    * dedup restricted to touched periods is exact), and only those
+    * period directories are rewritten. Append cost scales with batch
+    * span, not item size. */
+  private def appendPeriodic(item: String,
+                             df: DataFrame,
+                             duplicateHandling: DuplicateHandling,
+                             validateSchema: Boolean,
+                             layout: String): Unit = {
     val existing = this.item(item)
     val idx = existing.indexCols
     val newDf = df
@@ -463,7 +516,7 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
         s"new ${newDf.columns.sorted.mkString(",")}")
 
     val months = newDf
-      .select(date_format(col(idx.head), "yyyy-MM").as("m")).distinct()
+      .select(Collection.periodExpr(layout, col(idx.head)).as("m")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     val dataDir = path.resolve(item).resolve(Item.DataDir)
     // Partition-pruned scan: only the touched months' files are read.
@@ -493,7 +546,7 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
     val stats = prevStats.merge(Partitioner.computeStats(newDf, idx.head))
     val prevMeta = Meta.read(path.resolve(item)) ++ statsMeta(stats)
     commitMonths(item,
-      withMonthLayout(combined.dropDuplicates(), idx, monthlySaltOf(item)),
+      withTimeLayout(combined.dropDuplicates(), idx, monthlySaltOf(item), layout),
       months, prevMeta)
   }
 

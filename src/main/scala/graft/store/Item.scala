@@ -55,25 +55,22 @@ final class Item private[store] (
     case None => Seq(Collection.DefaultIndex)
   }
 
-  private def isMonthly: Boolean =
-    metadata.get("_layout").exists(j => Meta.unjv(j) == "monthly")
+  private def timeLayout: Option[String] =
+    metadata.get("_layout").map(j => Meta.unjv(j).toString)
+      .filter(Collection.TimeLayouts.contains)
 
-  /** For monthly-layout items, translate index-column time predicates
-    * into predicates on the hidden `__month` partition column so
-    * Catalyst partition pruning skips whole month DIRECTORIES (string
-    * compare works because yyyy-MM is zero-padded and ordered). */
+  private def isMonthly: Boolean = timeLayout.isDefined
+
+  /** For time-layout items, translate index-column time predicates
+    * into predicates on the hidden period partition column so Catalyst
+    * partition pruning skips whole period DIRECTORIES (string compare
+    * works because every period key format is zero-padded and
+    * lexically ordered). */
   private def monthPruning: Option[org.apache.spark.sql.Column] = {
-    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM")
-    def monthOf(v: Any): Option[String] = v match {
-      case t: java.sql.Timestamp        => Some(t.toLocalDateTime.format(fmt))
-      case ldt: java.time.LocalDateTime => Some(ldt.format(fmt))
-      case d: java.sql.Date             => Some(d.toLocalDate.format(fmt))
-      case ld: java.time.LocalDate      => Some(ld.format(fmt))
-      case _ => None
-    }
+    val layout = timeLayout.getOrElse(return None)
     val mc = col(Collection.MonthCol)
     val preds = filters.filter(_.column == indexCols.head).flatMap { p =>
-      monthOf(p.value).map { m =>
+      Collection.periodOfValue(layout, p.value).map { m =>
         p.op match {
           case "==" | "="        => mc === m
           case ">" | ">="        => mc >= m

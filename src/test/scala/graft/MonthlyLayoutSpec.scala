@@ -103,4 +103,27 @@ class MonthlyLayoutSpec extends SparkSpec {
     assert(Meta.unjv(c.metadata("item")("_monthly_salt")) == 4L)
     cleanup(c)
   }
+
+  test("daily/quarterly/yearly layouts: dirs, pruning, partial append") {
+    for ((layout, dirsExpect) <- Seq(
+        ("daily", 90), ("quarterly", 1), ("yearly", 1))) {
+      val c = tempCollection(s"layout_$layout")
+      c.write("item", frame("2024-01-01", 90, 1.0), timeLayout = Some(layout))
+      val dirs = monthDirs(c, "item")
+      assert(dirs.size == dirsExpect, s"$layout: ${dirs.keySet}")
+      assert(c.item("item").data.count() == 90)
+      // append stays incremental and correct under the recorded layout
+      c.append("item", frame("2024-02-01", 3, 2.0))
+      assert(c.item("item").data.count() == 90) // keep_last replaced 3 days
+      cleanup(c)
+    }
+    // pruning: daily layout + equality filter reads one day dir
+    val c = tempCollection("layout_daily_prune")
+    c.write("item", frame("2024-01-01", 90, 1.0), timeLayout = Some("daily"))
+    val it = c.item("item", filters = Seq(
+      Filters.Pred("index", "==", java.sql.Timestamp.valueOf("2024-02-10 00:00:00"))))
+    assert(it.data.count() == 1)
+    assert(it.data.queryExecution.executedPlan.toString.contains(Collection.MonthCol))
+    cleanup(c)
+  }
 }
