@@ -125,12 +125,26 @@ object Dedup {
     val prefix = inv.join(freq, "shingle")
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <= col("n") - ceil(col("n") * threshold) + 1)
-      .select(col("id"), col("shingle"))
+      .select(col("id"), col("n"), col("pos"), col("shingle"))
 
+    // PPJoin+ positional filter: per candidate pair, the true overlap
+    // is bounded by (shared prefix tokens) + min(tokens after the last
+    // shared prefix position on either side); pairs whose bound can't
+    // reach the required overlap o ≥ ⌈τ/(1+τ)·(|A|+|B|)⌉ never reach
+    // verification. Pure aggregation over the prefix join — no extra
+    // shuffle beyond the groupBy the dedup needed anyway.
     val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"),
+        first(col("a.n")).as("n_a"), first(col("b.n")).as("n_b"),
+        max(col("a.pos")).as("maxp_a"), max(col("b.pos")).as("maxp_b"))
+      .withColumn("ubound", col("shared") +
+        least(col("n_a") - col("maxp_a"), col("n_b") - col("maxp_b")))
+      .withColumn("min_overlap",
+        ceil(lit(threshold) / (1.0 + threshold) * (col("n_a") + col("n_b"))))
+      .filter(col("ubound") >= col("min_overlap"))
+      .select(col("id_a"), col("id_b"))
 
     candidates
       .join(withSh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))

@@ -108,7 +108,41 @@ object Similarity {
               vecCol: String = "embedding",
               idCol: String = "vec_id",
               kmeansIters: Int = 0,
-              kmeansSample: Double = 1.0): DataFrame = {
+              kmeansSample: Double = 1.0): DataFrame =
+    ivfSearch(buildIvfIndex(corpus, nlist, kmeansIters, kmeansSample, vecCol, idCol),
+      queries, k, nprobe, vecCol, idCol)
+
+  /** A prebuilt IVF index: the broadcast-sized centroid table plus the
+    * corpus assignment (one row per vector: vector, id, list id).
+    * Build ONCE per corpus, search many query batches — the 100 TB
+    * usage pattern. `save` persists both frames through the store
+    * layer with `cid` as the index, so the assignment lands
+    * range-partitioned and sorted BY LIST: a later search's probe-list
+    * filter prunes parquet row groups to the nprobe lists it needs. */
+  final case class IvfIndex(centroids: DataFrame, assigned: DataFrame) {
+    def save(c: graft.store.Collection, name: String,
+             overwrite: Boolean = true): Unit = {
+      c.write(s"${name}__centroids", centroids, indexCols = Seq("cid"),
+        overwrite = overwrite)
+      c.write(s"${name}__assigned", assigned, indexCols = Seq("cid"),
+        overwrite = overwrite)
+    }
+  }
+
+  object IvfIndex {
+    def load(c: graft.store.Collection, name: String): IvfIndex =
+      IvfIndex(c.item(s"${name}__centroids").data,
+        c.item(s"${name}__assigned").data)
+  }
+
+  /** Fit the quantizer and assign every corpus vector to its nearest
+    * centroid (rank-1 over a broadcast cross join). */
+  def buildIvfIndex(corpus: DataFrame,
+                    nlist: Int = 16,
+                    kmeansIters: Int = 0,
+                    kmeansSample: Double = 1.0,
+                    vecCol: String = "embedding",
+                    idCol: String = "vec_id"): IvfIndex = {
     import graft.functions.expressions.cosine_sim
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
     val cents =
@@ -116,10 +150,7 @@ object Similarity {
         kmeansCentroids(corpus, nlist, kmeansIters, vecCol, idCol, kmeansSample)
           .select(col("cid"), col("centroid"))
       else corpus.orderBy(col(idCol)).limit(nlist)
-        .select(col(idCol).as("cid"), col(vecCol).as("centroid"))
-
-    // corpus → nearest centroid (rank-1 over a broadcast cross join;
-    // at scale this is precomputed and persisted with the corpus)
+        .select(col(idCol).cast("long").as("cid"), col(vecCol).as("centroid"))
     val wAssign = Window.partitionBy(col("nbr_id"))
       .orderBy(col("ccos").desc, col("cid"))
     val assigned = c.crossJoin(broadcast(cents))
@@ -127,20 +158,36 @@ object Similarity {
       .withColumn("crank", row_number().over(wAssign))
       .filter(col("crank") === 1)
       .select(col("nbr_id"), col("cv"), col("cid"))
+    IvfIndex(cents, assigned)
+  }
 
-    // queries → nprobe nearest centroids
+  /** Search a prebuilt index: queries pick their nprobe nearest lists,
+    * the probed list ids (≤ nlist values — driver-bounded) become an
+    * IN-filter on the assignment BEFORE the join, so a store-persisted
+    * index reads only the probed lists' row groups; exact cosine
+    * ranking runs inside the probed lists only. */
+  def ivfSearch(index: IvfIndex,
+                queries: DataFrame,
+                k: Int,
+                nprobe: Int = 4,
+                vecCol: String = "embedding",
+                idCol: String = "vec_id"): DataFrame = {
+    import graft.functions.expressions.cosine_sim
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("cid"))
-    val probes = q.crossJoin(broadcast(cents))
+    val probes = q.crossJoin(broadcast(index.centroids))
       .withColumn("ccos", cosine_sim(col("qv"), col("centroid")))
       .withColumn("crank", row_number().over(wProbe))
       .filter(col("crank") <= nprobe)
       .select(col("query_id"), col("qv"), col("cid"))
 
-    // exact ranking within probed lists only
+    val probedCids = probes.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val lists = index.assigned.filter(col("cid").isin(probedCids: _*))
+
     val wRank = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id"))
-    assigned.join(broadcast(probes), Seq("cid"))
+    lists.join(broadcast(probes), Seq("cid"))
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cos", round(cosine_sim(col("cv"), col("qv")), 9))
       .withColumn("rank", row_number().over(wRank))

@@ -122,6 +122,22 @@ object StreamAppend {
       .toDF()
   }
 
+  /** Streaming exact content-dedup — the streaming twin of
+    * `Dedup.exact` for a continuously-arriving document stream: each
+    * document is fingerprinted (128-bit md5 of the text, so state holds
+    * a hash instead of MB-sized payloads) and later copies within the
+    * watermark horizon are dropped. State size is bounded by the
+    * horizon; at 100 TB/day the horizon IS the dedup window contract,
+    * and historical dedup stays with the batch operators. */
+  def dedupStream(stream: DataFrame,
+                  textCol: String = "text",
+                  tsCol: String = "ts",
+                  watermarkDelay: String = "1 hour"): DataFrame =
+    stream.withColumn("__fp", md5(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Run a bounded streaming job to completion (test/driver helper). */
   def runToCompletion(writer: DataStreamWriter[Row]): Unit = {
     val q: StreamingQuery = writer.trigger(Trigger.AvailableNow()).start()

@@ -118,6 +118,26 @@ class OperatorsSpec extends SparkSpec {
     assert(mean >= 0.9, s"mean recall@5 = $mean")
   }
 
+  test("IVF index persists through the store and searches identically") {
+    val e = sf("embeddings")
+    val q = e.filter($"vec_id" < 5)
+    val idx = Similarity.buildIvfIndex(e, nlist = 8, kmeansIters = 2)
+    val direct = Similarity.ivfSearch(idx, q, k = 3, nprobe = 4)
+      .select("query_id", "rank", "nbr_id").as[(Long, Int, Long)].collect().toSet
+    val c = tempCollection("ivf_index")
+    idx.save(c, "emb")
+    val loaded = Similarity.IvfIndex.load(c, "emb")
+    val viaStore = Similarity.ivfSearch(loaded, q, k = 3, nprobe = 4)
+      .select("query_id", "rank", "nbr_id").as[(Long, Int, Long)].collect().toSet
+    assert(viaStore == direct)
+    assert(direct.nonEmpty)
+    // probed-list pushdown: the persisted scan carries a cid filter
+    val plan = Similarity.ivfSearch(loaded, q, k = 3, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("cid"), "expected cid probe filter in the plan")
+    cleanup(c)
+  }
+
   test("multi-band LSH top-k equals brute force at sized bands") {
     val e = sf("embeddings")
     val q = e.filter($"vec_id" < 10)

@@ -36,6 +36,28 @@ class StreamingSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("streaming content dedup drops in-horizon duplicate documents") {
+    val src = Files.createTempDirectory("graft_stream_dedup")
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val docs = Seq(
+      (1L, t("2024-01-01 10:00:00"), "alpha beta gamma"),
+      (2L, t("2024-01-01 10:01:00"), "alpha beta gamma"), // dup of 1
+      (3L, t("2024-01-01 10:02:00"), "different text entirely"),
+      (4L, t("2024-01-01 10:03:00"), "alpha beta gamma")  // dup of 1
+    ).toDF("doc_id", "ts", "text")
+    docs.write.mode("overwrite").parquet(s"$src/in")
+
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$src/in")
+    val q = StreamAppend.dedupStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("dedup_out").select("text").as[String].collect().toSeq
+    assert(out.size == 2, s"got $out")
+    assert(out.toSet == Set("alpha beta gamma", "different text entirely"))
+    FsOps.deleteRecursively(src)
+  }
+
   test("stateful streaming sessionization closes sessions on gap timeout") {
     import graft.streaming.{SessionEvent, StreamAppend => SA}
     val src = Files.createTempDirectory("graft_stream_sess")
