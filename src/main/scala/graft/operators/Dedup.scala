@@ -20,12 +20,16 @@ object Dedup {
 
   /** Fan a skinny input out to full parallelism before a CPU-heavy
     * per-row kernel. A small parquet file arrives as ONE input split,
-    * which would run hash/shingle kernels on a single core; at real
-    * scale (input splits >= cores) this is a no-op, so the extra
-    * shuffle only ever costs on inputs small enough not to care. */
+    * which would run hash/shingle kernels on a single core. Decided
+    * from plan statistics (`df.rdd` would force an extra physical
+    * planning of the subtree just to read a partition count): inputs
+    * under the spread cap repartition round-robin — ~free at that size
+    * — and big inputs, which already carry ≥ cores splits, pass
+    * through untouched. */
   private def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (graft.store.Partitioner.estimatedBytes(df) < (256L << 20)) df.repartition(target)
+    else df
   }
 
   // ------------------------------------------------------------- exact

@@ -67,20 +67,40 @@ object TextAnalysis {
   }
 
   /** Per-language marker-word profiles for the n-gram/stopword language
-    * heuristic. Tiny on purpose: broadcast as literals into codegen. */
-  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    * heuristic. Tiny on purpose: broadcast as literals into codegen.
+    * The it/pt/nl profiles use distinctive markers only (no overlap
+    * with the es/fr function words), so adding them can't flip the
+    * label of a text the shorter profiles already classify. */
+  private[graft] val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
     "es" -> Seq("el", "la", "los", "las", "es", "y", "que", "de", "un", "una"),
-    "fr" -> Seq("le", "la", "les", "et", "est", "que", "des", "une", "dans", "pour"))
+    "fr" -> Seq("le", "la", "les", "et", "est", "que", "des", "une", "dans", "pour"),
+    "it" -> Seq("il", "della", "nel", "sono", "anche", "più", "gli", "perché", "questo", "essere"),
+    "pt" -> Seq("não", "uma", "são", "também", "já", "você", "mais", "como", "pelo", "isso"),
+    "nl" -> Seq("het", "een", "niet", "ook", "maar", "voor", "zijn", "wordt", "deze", "heeft"))
 
-  /** Language-ID heuristic: CJK codepoint share decides zh; otherwise
-    * the language whose marker-word hit-count is highest (ties broken
-    * by profile order, 'und' when nothing matches). One pass, no
-    * shuffle; the real-world upgrade path is n-gram profiles via the
-    * same argmax shape. */
+  /** Script-range detectors checked before the marker argmax:
+    * (lang, codepoint range, min share of characters). Kana precedes
+    * the CJK/zh check because Japanese text mixes kana with kanji. */
+  private[graft] val ScriptRanges: Seq[(String, String, Double)] = Seq(
+    ("ja", "\\u3040-\\u30ff", 0.05),
+    ("ko", "\\uac00-\\ud7af", 0.20),
+    ("ru", "\\u0400-\\u04ff", 0.20),
+    ("ar", "\\u0600-\\u06ff", 0.20),
+    ("hi", "\\u0900-\\u097f", 0.20))
+
+  /** Language-ID heuristic: writing-script codepoint shares decide the
+    * script-bound languages (ja/ko/ru/ar/hi, then zh); otherwise the
+    * language whose marker-word hit-count is highest (ties broken by
+    * profile order, 'und' when nothing matches). One pass, no shuffle;
+    * the real-world upgrade path is n-gram profiles via the same
+    * argmax shape. */
   def langId(text: Column): Column = {
-    val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+    def share(range: String): Column =
+      length(regexp_replace(text, s"[^$range]", "")).cast("double") /
+        greatest(length(text), lit(1)).cast("double")
+    val cjk = share("\\u4e00-\\u9fff")
     val toks = tokens(lower(text))
     val scores = LangMarkers.map { case (lang, markers) =>
       lang -> size(filter(toks, w => w.isin(markers: _*)))
@@ -88,8 +108,10 @@ object TextAnalysis {
     val best = scores.foldLeft((lit("und"), lit(0))) { case ((bl, bs), (lang, s)) =>
       (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
     }
-    when(cjk.cast("double") / greatest(length(text), lit(1)).cast("double") > 0.2, "zh")
-      .otherwise(best._1)
+    val scripted = ScriptRanges.foldRight(when(cjk > 0.2, "zh").otherwise(best._1)) {
+      case ((lang, range, min), rest) => when(share(range) > min, lang).otherwise(rest)
+    }
+    scripted
   }
 
   /** Canonical-form document fingerprint: md5 of the normalized text

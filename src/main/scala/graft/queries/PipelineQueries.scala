@@ -261,28 +261,52 @@ object PipelineQueries {
         TextAnalysis.langId(col("text")).as("lang_pred"))
       .orderBy(col("doc_id"))
 
-  val textLangIdSql: String =
-    """WITH scored AS (SELECT doc_id,
-      |  CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
-      |    / greatest(length(text), 1) AS cjk,
-      |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-      |    w -> w IN ('the','and','of','to','is','in','that','it','for','with'))) AS s_en,
-      |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-      |    w -> w IN ('der','die','das','und','ist','nicht','ein','mit','für','auf'))) AS s_de,
-      |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-      |    w -> w IN ('el','la','los','las','es','y','que','de','un','una'))) AS s_es,
-      |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-      |    w -> w IN ('le','la','les','et','est','que','des','une','dans','pour'))) AS s_fr
-      |  FROM documents)
-      |SELECT doc_id,
-      |  CASE WHEN cjk > 0.2 THEN 'zh'
-      |       WHEN s_fr > greatest(s_en, s_de, s_es) THEN 'fr'
-      |       WHEN s_es > greatest(s_en, s_de) THEN 'es'
-      |       WHEN s_de > s_en THEN 'de'
-      |       WHEN s_en > 0 THEN 'en'
-      |       ELSE 'und' END AS lang_pred
-      |FROM scored
-      |ORDER BY doc_id""".stripMargin
+  private def scriptShareSql(lo: String, hi: String): String =
+    s"""CAST(length(regexp_replace(text, '[^\\x{$lo}-\\x{$hi}]', '', 'g')) AS DOUBLE)
+       |    / greatest(length(text), 1)""".stripMargin
+
+  private def markerCountSql(words: Seq[String]): String =
+    s"""len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |    w -> w IN (${words.map(w => s"'$w'").mkString(",")})))""".stripMargin
+
+  /** Mirrors TextAnalysis.langId exactly: script shares first (kana
+    * before kanji), then the marker argmax cascade in reverse profile
+    * order (earliest profile wins ties, like the Scala fold). */
+  val textLangIdSql: String = {
+    val m = TextAnalysis.LangMarkers.toMap
+    s"""WITH scored AS (SELECT doc_id,
+       |  ${scriptShareSql("3040", "30ff")} AS r_ja,
+       |  ${scriptShareSql("ac00", "d7af")} AS r_ko,
+       |  ${scriptShareSql("0400", "04ff")} AS r_ru,
+       |  ${scriptShareSql("0600", "06ff")} AS r_ar,
+       |  ${scriptShareSql("0900", "097f")} AS r_hi,
+       |  ${scriptShareSql("4e00", "9fff")} AS cjk,
+       |  ${markerCountSql(m("en"))} AS s_en,
+       |  ${markerCountSql(m("de"))} AS s_de,
+       |  ${markerCountSql(m("es"))} AS s_es,
+       |  ${markerCountSql(m("fr"))} AS s_fr,
+       |  ${markerCountSql(m("it"))} AS s_it,
+       |  ${markerCountSql(m("pt"))} AS s_pt,
+       |  ${markerCountSql(m("nl"))} AS s_nl
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN r_ja > 0.05 THEN 'ja'
+       |       WHEN r_ko > 0.2 THEN 'ko'
+       |       WHEN r_ru > 0.2 THEN 'ru'
+       |       WHEN r_ar > 0.2 THEN 'ar'
+       |       WHEN r_hi > 0.2 THEN 'hi'
+       |       WHEN cjk > 0.2 THEN 'zh'
+       |       WHEN s_nl > greatest(s_en, s_de, s_es, s_fr, s_it, s_pt) THEN 'nl'
+       |       WHEN s_pt > greatest(s_en, s_de, s_es, s_fr, s_it) THEN 'pt'
+       |       WHEN s_it > greatest(s_en, s_de, s_es, s_fr) THEN 'it'
+       |       WHEN s_fr > greatest(s_en, s_de, s_es) THEN 'fr'
+       |       WHEN s_es > greatest(s_en, s_de) THEN 'es'
+       |       WHEN s_de > s_en THEN 'de'
+       |       WHEN s_en > 0 THEN 'en'
+       |       ELSE 'und' END AS lang_pred
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
+  }
 
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "documents").select(col("doc_id"),

@@ -173,9 +173,14 @@ class OperatorsSpec extends SparkSpec {
       .head().getInt(0) == 0)
 
     val lang = Seq("the cat and the dog is here", "der hund ist nicht mit der katze",
-      "el perro es un animal que corre", "le chat est dans la maison")
+      "el perro es un animal que corre", "le chat est dans la maison",
+      "il cane è anche nel giardino perché questo è essere",
+      "você não está aqui mas isso também é como sempre",
+      "het huis is niet groot maar deze tuin heeft een boom",
+      "これは日本語のテキストです", "한국어로 작성된 문서입니다",
+      "этот документ написан на русском языке", "这是一个中文文档")
       .toDF("text").select(TextAnalysis.langId($"text")).as[String].collect().toSeq
-    assert(lang == Seq("en", "de", "es", "fr"))
+    assert(lang == Seq("en", "de", "es", "fr", "it", "pt", "nl", "ja", "ko", "ru", "zh"), lang.toString)
 
     val fps = Seq("Hello, World!", "hello world", "HELLO  world.")
       .toDF("text").select(TextAnalysis.fingerprint($"text")).as[String].collect().toSeq
