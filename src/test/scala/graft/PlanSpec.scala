@@ -1,0 +1,41 @@
+package graft
+
+/** Physical-plan invariants for the shipped queries (the properties
+  * PLANS.md documents). These are the load-bearing scale guarantees —
+  * pushdown, pruning, broadcast dims, top-k without a global sort, no
+  * cartesian candidate generation — asserted so a refactor that
+  * silently degrades a plan fails CI, not the 100 TB run. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q2: both predicates and the column pruning reach the parquet scan") {
+    val p = plan("q2_filter_pushdown")
+    assert(p.contains("PushedFilters: ["), p.linesIterator.take(5).mkString("\n"))
+    assert(p.contains("l_returnflag"), "expected pushed filter on l_returnflag")
+  }
+
+  test("q3: dimension joins broadcast, fact side streams") {
+    assert(plan("q3_join_agg").contains("BroadcastHashJoin"))
+  }
+
+  test("q4: top-k plans as TakeOrderedAndProject (no global sort)") {
+    assert(plan("q4_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("no shipped dedup/similarity plan contains a cartesian product") {
+    for (q <- Seq("dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_simhash", "dedup_embedding_cosine", "ann_lsh_topk")) {
+      assert(!plan(q).contains("CartesianProduct"),
+        s"$q plans a cartesian product")
+    }
+  }
+
+  test("ann queries broadcast the query side") {
+    assert(plan("ann_bruteforce_topk").contains("Broadcast"))
+    assert(plan("ann_lsh_topk").contains("Broadcast"))
+  }
+}
