@@ -269,13 +269,11 @@ object PipelineQueries {
     s"""len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
        |    w -> w IN (${words.map(w => s"'$w'").mkString(",")})))""".stripMargin
 
-  /** Mirrors TextAnalysis.langId exactly: script shares first (kana
-    * before kanji), then the marker argmax cascade in reverse profile
-    * order (earliest profile wins ties, like the Scala fold). */
-  val textLangIdSql: String = {
+  /** Select-list fragment computing every language score column from a
+    * relation carrying `text`. */
+  private val langScoresSql: String = {
     val m = TextAnalysis.LangMarkers.toMap
-    s"""WITH scored AS (SELECT doc_id,
-       |  ${scriptShareSql("3040", "30ff")} AS r_ja,
+    s"""${scriptShareSql("3040", "30ff")} AS r_ja,
        |  ${scriptShareSql("ac00", "d7af")} AS r_ko,
        |  ${scriptShareSql("0400", "04ff")} AS r_ru,
        |  ${scriptShareSql("0600", "06ff")} AS r_ar,
@@ -287,26 +285,95 @@ object PipelineQueries {
        |  ${markerCountSql(m("fr"))} AS s_fr,
        |  ${markerCountSql(m("it"))} AS s_it,
        |  ${markerCountSql(m("pt"))} AS s_pt,
-       |  ${markerCountSql(m("nl"))} AS s_nl
-       |  FROM documents)
-       |SELECT doc_id,
-       |  CASE WHEN r_ja > 0.05 THEN 'ja'
-       |       WHEN r_ko > 0.2 THEN 'ko'
-       |       WHEN r_ru > 0.2 THEN 'ru'
-       |       WHEN r_ar > 0.2 THEN 'ar'
-       |       WHEN r_hi > 0.2 THEN 'hi'
-       |       WHEN cjk > 0.2 THEN 'zh'
-       |       WHEN s_nl > greatest(s_en, s_de, s_es, s_fr, s_it, s_pt) THEN 'nl'
-       |       WHEN s_pt > greatest(s_en, s_de, s_es, s_fr, s_it) THEN 'pt'
-       |       WHEN s_it > greatest(s_en, s_de, s_es, s_fr) THEN 'it'
-       |       WHEN s_fr > greatest(s_en, s_de, s_es) THEN 'fr'
-       |       WHEN s_es > greatest(s_en, s_de) THEN 'es'
-       |       WHEN s_de > s_en THEN 'de'
-       |       WHEN s_en > 0 THEN 'en'
-       |       ELSE 'und' END AS lang_pred
+       |  ${markerCountSql(m("nl"))} AS s_nl""".stripMargin
+  }
+
+  /** CASE over the langScoresSql columns — mirrors TextAnalysis.langId
+    * exactly: script shares first (kana before kanji), then the marker
+    * argmax cascade in reverse profile order (earliest profile wins
+    * ties, like the Scala fold). */
+  private val langCaseSql: String =
+    """CASE WHEN r_ja > 0.05 THEN 'ja'
+      |       WHEN r_ko > 0.2 THEN 'ko'
+      |       WHEN r_ru > 0.2 THEN 'ru'
+      |       WHEN r_ar > 0.2 THEN 'ar'
+      |       WHEN r_hi > 0.2 THEN 'hi'
+      |       WHEN cjk > 0.2 THEN 'zh'
+      |       WHEN s_nl > greatest(s_en, s_de, s_es, s_fr, s_it, s_pt) THEN 'nl'
+      |       WHEN s_pt > greatest(s_en, s_de, s_es, s_fr, s_it) THEN 'pt'
+      |       WHEN s_it > greatest(s_en, s_de, s_es, s_fr) THEN 'it'
+      |       WHEN s_fr > greatest(s_en, s_de, s_es) THEN 'fr'
+      |       WHEN s_es > greatest(s_en, s_de) THEN 'es'
+      |       WHEN s_de > s_en THEN 'de'
+      |       WHEN s_en > 0 THEN 'en'
+      |       ELSE 'und' END""".stripMargin
+
+  val textLangIdSql: String =
+    s"""WITH scored AS (SELECT doc_id, $langScoresSql FROM documents)
+       |SELECT doc_id, $langCaseSql AS lang_pred
        |FROM scored
        |ORDER BY doc_id""".stripMargin
+
+  /** End-to-end curation pipeline — the composition a training-data
+    * run actually executes, as ONE DataFrame plan: quality scoring →
+    * prose filter → language ID → canonical-fingerprint dedup (keep
+    * min id) → per-language corpus summary. Every stage is per-row or
+    * one hash aggregate; the whole pipeline has two shuffles (dedup
+    * group + final rollup). The oracle recomposes the SAME published
+    * fragments (quality arithmetic, lang CASE, md5 canonical form) in
+    * SQL, so the composition — not just the pieces — is hash-verified. */
+  def pipelineCuration(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val scored = docs
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .filter(col("quality") >= 0.5 && col("n_tokens") >= 10)
+      .withColumn("lang", TextAnalysis.langId(col("text")))
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val keep = scored.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    scored.join(keep, Seq("fp", "doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("quality").cast("decimal(38,6)")).cast("double"), 4).as("sum_quality"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"))
+      .orderBy(col("lang"))
   }
+
+  private val nTokensSql =
+    """CASE WHEN len(trim(text)) = 0 THEN 0
+      | ELSE len(string_split_regex(trim(text), '\s+')) END""".stripMargin
+
+  private val qualitySql =
+    """round(
+      |    least(len(string_split_regex(trim(text), '\s+')) / 50.0, 1.0) * 0.3
+      |    + greatest(0.0, 1.0 - ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0 / length(text)) * 5.0) * 0.2
+      |    + least((CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |         w -> lower(w) IN ('the','a','an','of','to','in','and','is','it','for','on','with','as','at','by'))) AS DOUBLE)
+      |         / len(string_split_regex(trim(text), '\s+'))) * 5.0, 1.0) * 0.3
+      |    + CASE WHEN (CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+      |          w -> length(w))) AS DOUBLE) / len(string_split_regex(trim(text), '\s+')))
+      |          BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END * 0.2, 6)""".stripMargin
+
+  val pipelineCurationSql: String =
+    s"""WITH stats0 AS (SELECT doc_id, text,
+       |    $nTokensSql AS n_tokens,
+       |    $qualitySql AS quality
+       |  FROM documents),
+       |filtered AS (SELECT * FROM stats0 WHERE quality >= 0.5 AND n_tokens >= 10),
+       |langed AS (SELECT *, $langScoresSql FROM filtered),
+       |tagged AS (SELECT doc_id, n_tokens, quality, $langCaseSql AS lang,
+       |    md5(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'),
+       |        '\\s+', ' ', 'g'))) AS fp
+       |  FROM langed),
+       |keep AS (SELECT fp, min(doc_id) AS doc_id FROM tagged GROUP BY fp),
+       |kept AS (SELECT t.* FROM tagged t JOIN keep k
+       |         ON t.fp = k.fp AND t.doc_id = k.doc_id)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  round(CAST(sum(CAST(quality AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_quality,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       |FROM kept
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
 
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "documents").select(col("doc_id"),
@@ -411,6 +478,7 @@ object PipelineQueries {
     "ann_ivf_topk" -> annIvf _,
     "text_stats" -> textStats _,
     "text_langid" -> textLangId _,
+    "pipeline_curation" -> pipelineCuration _,
     "text_fingerprint" -> textFingerprint _,
     "text_rolling_fingerprint" -> textRollingFingerprint _,
     "multimodal_meta" -> multimodalMeta _,
@@ -427,6 +495,7 @@ object PipelineQueries {
     "ann_ivf_topk" -> annIvfSql,
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangIdSql,
+    "pipeline_curation" -> pipelineCurationSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_rolling_fingerprint" -> textRollingFingerprintSql,
     "multimodal_meta" -> multimodalMetaSql,
