@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Profiler, Similarity, TextAnalysis}
 
 /** Training-data-pipeline operator queries (dedup / similarity /
   * multimodal / text analysis) over the `documents` and `embeddings`
@@ -375,6 +375,28 @@ object PipelineQueries {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  /** Column profiling over lineitem (the data-card stats pass). Exact
+    * percentiles here so DuckDB can hash-verify; the approx GK-sketch
+    * variant (same shape, single pass) is unit-tested against this. */
+  def profileLineitem(s: SparkSession, dir: String): DataFrame =
+    Profiler.numericProfile(Tables.t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+      .orderBy(col("column"))
+
+  val profileLineitemSql: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS "column", count($c) AS n,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  round(CAST(min($c) AS DOUBLE), 6) AS min,
+         |  round(CAST(max($c) AS DOUBLE), 6) AS max,
+         |  round(CAST(sum(CAST($c AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum,
+         |  round(CAST(quantile_cont($c, 0.5) AS DOUBLE), 6) AS p50,
+         |  round(CAST(quantile_cont($c, 0.95) AS DOUBLE), 6) AS p95
+         |FROM lineitem""".stripMargin
+    Seq("l_quantity", "l_extendedprice", "l_discount").map(one)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -479,6 +501,7 @@ object PipelineQueries {
     "text_stats" -> textStats _,
     "text_langid" -> textLangId _,
     "pipeline_curation" -> pipelineCuration _,
+    "profile_lineitem" -> profileLineitem _,
     "text_fingerprint" -> textFingerprint _,
     "text_rolling_fingerprint" -> textRollingFingerprint _,
     "multimodal_meta" -> multimodalMeta _,
@@ -496,6 +519,7 @@ object PipelineQueries {
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangIdSql,
     "pipeline_curation" -> pipelineCurationSql,
+    "profile_lineitem" -> profileLineitemSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_rolling_fingerprint" -> textRollingFingerprintSql,
     "multimodal_meta" -> multimodalMetaSql,

@@ -161,6 +161,22 @@ class OperatorsSpec extends SparkSpec {
     assert(r(2)._2 == 4) // 8 tokens -> 4 grams
   }
 
+  test("profiler: approx quantiles track exact within tolerance") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    def grab(approx: Boolean) =
+      Profiler.numericProfile(li, Seq("l_quantity", "l_extendedprice"), approx)
+        .orderBy("column").select("column", "p50", "p95")
+        .as[(String, Double, Double)].collect()
+    val exact = grab(approx = false)
+    val appr = grab(approx = true)
+    exact.zip(appr).foreach { case ((c, e50, e95), (_, a50, a95)) =>
+      assert(math.abs(a50 - e50) <= math.max(1e-6, math.abs(e50) * 0.01), s"$c p50")
+      assert(math.abs(a95 - e95) <= math.max(1e-6, math.abs(e95) * 0.01), s"$c p95")
+    }
+    val full = Profiler.numericProfile(li, Seq("l_quantity")).head()
+    assert(full.getAs[Long]("n") > 0 && full.getAs[Long]("n_null") == 0L)
+  }
+
   test("text analysis: tokens, quality bounds, langid, fingerprint stability") {
     val df = Seq(
       ("The cat sat on the mat, and it was happy.", "en-ish"),
