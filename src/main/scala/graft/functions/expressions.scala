@@ -386,6 +386,69 @@ object expressions {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Single-pass token statistics over a token array: token count,
+    * BPE-ish subword estimate (Σ max(1, ⌈len/4⌉)), stopword hits, and
+    * total word length. One loop per row — the higher-order-function
+    * formulation (filter/aggregate lambdas) re-evaluates the token
+    * array per ELEMENT, making quality scoring quadratic per document
+    * (~2.7 ms/doc at 300 tokens; this kernel is ~µs). */
+  case class TextStats(child: Expression, stopwords: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tokens", IntegerType, nullable = false),
+      StructField("n_subwords", LongType, nullable = false),
+      StructField("stop_hits", IntegerType, nullable = false),
+      StructField("word_len_sum", LongType, nullable = false)))
+    @transient private lazy val stopSet = stopwords.map(UTF8String.fromString).toSet
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      var sub = 0L; var stop = 0; var lenSum = 0L
+      var i = 0
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        if (s != null) {
+          val len = s.numChars()
+          lenSum += len
+          sub += math.max(1L, math.ceil(len / 4.0).toLong)
+          if (stopSet.contains(s.toLowerCase)) stop += 1
+        }
+        i += 1
+      }
+      InternalRow(n, sub, stop, lenSum)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Marker-word hit counts for several language profiles in one pass
+    * over the token array: element i of the result is how many tokens
+    * are in profile i. Replaces per-profile `filter` lambdas (each of
+    * which re-evaluates the token split per element). */
+  case class MarkerCounts(child: Expression, profiles: Seq[Seq[String]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    @transient private lazy val sets = profiles.map(_.map(UTF8String.fromString).toSet)
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new Array[Int](sets.size)
+      var i = 0
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        if (s != null) {
+          var p = 0
+          while (p < sets.size) {
+            if (sets(p).contains(s)) out(p) += 1
+            p += 1
+          }
+        }
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   // ------------------------------------------------------ Column sugar
 
   def shingle_set(tokens: Column, k: Int): Column = column(ShingleSet(expression(tokens), k))
@@ -399,4 +462,8 @@ object expressions {
     column(HyperplaneBands(expression(vec), bits, bands, seed))
   def winnow_fp(tokens: Column, k: Int, w: Int): Column =
     column(WinnowFingerprint(expression(tokens), k, w))
+  def text_stats(tokens: Column, stopwords: Seq[String]): Column =
+    column(TextStats(expression(tokens), stopwords))
+  def marker_counts(tokens: Column, profiles: Seq[Seq[String]]): Column =
+    column(MarkerCounts(expression(tokens), profiles))
 }

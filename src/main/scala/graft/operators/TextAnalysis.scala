@@ -17,28 +17,27 @@ object TextAnalysis {
   /** Whitespace tokenization. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, 0).otherwise(size(tokens(text)))
-
-  /** BPE-ish subword count estimate: words are split at
-    * letter/digit/punct boundaries, long words cost extra tokens
-    * (≈ len/4 pieces, the common BPE rule of thumb). */
-  def subwordCountEstimate(text: Column): Column =
-    when(length(trim(text)) === 0, 0).otherwise(
-      aggregate(
-        tokens(text),
-        lit(0L),
-        (acc, w) => acc + greatest(lit(1L), ceil(length(w) / 4.0).cast("long"))))
-
   private val Stopwords = Seq(
     "the", "a", "an", "of", "to", "in", "and", "is", "it", "for",
     "on", "with", "as", "at", "by")
 
+  /** Single-pass token stats struct (native TextStats kernel): the
+    * higher-order-function formulation re-evaluated the token split
+    * per ELEMENT — quadratic per document. */
+  private def ts(text: Column): Column =
+    graft.functions.expressions.text_stats(tokens(text), Stopwords)
+
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(ts(text).getField("n_tokens"))
+
+  /** BPE-ish subword count estimate: long words cost extra tokens
+    * (≈ len/4 pieces, the common BPE rule of thumb). */
+  def subwordCountEstimate(text: Column): Column =
+    when(length(trim(text)) === 0, 0L).otherwise(ts(text).getField("n_subwords"))
+
   def stopwordRatio(text: Column): Column = {
-    val toks = tokens(text)
-    when(size(toks) === 0, 0.0).otherwise(
-      size(filter(toks, w => lower(w).isin(Stopwords: _*))).cast("double") /
-        size(toks).cast("double"))
+    val t = ts(text)
+    t.getField("stop_hits").cast("double") / t.getField("n_tokens").cast("double")
   }
 
   def punctRatio(text: Column): Column =
@@ -47,10 +46,8 @@ object TextAnalysis {
         length(text).cast("double"))
 
   def avgWordLen(text: Column): Column = {
-    val toks = tokens(text)
-    when(size(toks) === 0, 0.0).otherwise(
-      aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") /
-        size(toks).cast("double"))
+    val t = ts(text)
+    t.getField("word_len_sum").cast("double") / t.getField("n_tokens").cast("double")
   }
 
   /** Composite quality score in [0,1] from length / punctuation /
@@ -101,17 +98,21 @@ object TextAnalysis {
       length(regexp_replace(text, s"[^$range]", "")).cast("double") /
         greatest(length(text), lit(1)).cast("double")
     val cjk = share("\\u4e00-\\u9fff")
-    val toks = tokens(lower(text))
-    val scores = LangMarkers.map { case (lang, markers) =>
-      lang -> size(filter(toks, w => w.isin(markers: _*)))
-    }
-    val best = scores.foldLeft((lit("und"), lit(0))) { case ((bl, bs), (lang, s)) =>
-      (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
-    }
-    val scripted = ScriptRanges.foldRight(when(cjk > 0.2, "zh").otherwise(best._1)) {
+    // All marker profiles counted in ONE native pass over the tokens;
+    // argmax via array_max + array_position (first occurrence = earliest
+    // profile wins ties). NOT a (bestLang, bestScore) when-fold: that
+    // shape references its accumulator twice per level, doubling the
+    // inlined expression tree per language — 2^7 copies of the count
+    // subtree made language ID ~3.5 ms/doc.
+    val counts = graft.functions.expressions.marker_counts(
+      tokens(lower(text)), LangMarkers.map(_._2))
+    val mx = array_max(counts)
+    val markerLang = when(mx > 0,
+      element_at(lit(LangMarkers.map(_._1).toArray), array_position(counts, mx).cast("int")))
+      .otherwise("und")
+    ScriptRanges.foldRight(when(cjk > 0.2, "zh").otherwise(markerLang)) {
       case ((lang, range, min), rest) => when(share(range) > min, lang).otherwise(rest)
     }
-    scripted
   }
 
   /** Canonical-form document fingerprint: md5 of the normalized text

@@ -324,14 +324,23 @@ object PipelineQueries {
     * SQL, so the composition — not just the pieces — is hash-verified. */
   def pipelineCuration(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val scored = docs
+    // Dedup FIRST (canonical fingerprint, keep min doc_id via rank-1
+    // window — no self-join, so the subtree executes once), then score
+    // only the survivors. The window is also a codegen stage boundary:
+    // fingerprinting and the quality/language scoring land in separate
+    // generated functions instead of one giant fused projection.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"))
+    val deduped = docs
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("text"))
+    deduped
       .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
       .withColumn("quality", TextAnalysis.qualityScore(col("text")))
       .filter(col("quality") >= 0.5 && col("n_tokens") >= 10)
       .withColumn("lang", TextAnalysis.langId(col("text")))
-      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
-    val keep = scored.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-    scored.join(keep, Seq("fp", "doc_id"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         round(sum(col("quality").cast("decimal(38,6)")).cast("double"), 4).as("sum_quality"),
@@ -355,35 +364,39 @@ object PipelineQueries {
       |          BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END * 0.2, 6)""".stripMargin
 
   val pipelineCurationSql: String =
-    s"""WITH stats0 AS (SELECT doc_id, text,
-       |    $nTokensSql AS n_tokens,
-       |    $qualitySql AS quality
-       |  FROM documents),
-       |filtered AS (SELECT * FROM stats0 WHERE quality >= 0.5 AND n_tokens >= 10),
-       |langed AS (SELECT *, $langScoresSql FROM filtered),
-       |tagged AS (SELECT doc_id, n_tokens, quality, $langCaseSql AS lang,
+    s"""WITH canon AS (SELECT doc_id, text,
        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'),
        |        '\\s+', ' ', 'g'))) AS fp
-       |  FROM langed),
-       |keep AS (SELECT fp, min(doc_id) AS doc_id FROM tagged GROUP BY fp),
-       |kept AS (SELECT t.* FROM tagged t JOIN keep k
-       |         ON t.fp = k.fp AND t.doc_id = k.doc_id)
+       |  FROM documents),
+       |keep AS (SELECT fp, min(doc_id) AS doc_id FROM canon GROUP BY fp),
+       |kept AS (SELECT c.doc_id, c.text FROM canon c JOIN keep k
+       |         ON c.fp = k.fp AND c.doc_id = k.doc_id),
+       |stats0 AS (SELECT doc_id, text,
+       |    $nTokensSql AS n_tokens,
+       |    $qualitySql AS quality
+       |  FROM kept),
+       |filtered AS (SELECT * FROM stats0 WHERE quality >= 0.5 AND n_tokens >= 10),
+       |langed AS (SELECT *, $langScoresSql FROM filtered),
+       |tagged AS (SELECT doc_id, n_tokens, quality, $langCaseSql AS lang FROM langed)
        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        |  round(CAST(sum(CAST(quality AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_quality,
        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-       |FROM kept
+       |FROM tagged
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
-  /** Column profiling over lineitem (the data-card stats pass). Exact
-    * percentiles here so DuckDB can hash-verify; the approx GK-sketch
-    * variant (same shape, single pass) is unit-tested against this. */
-  def profileLineitem(s: SparkSession, dir: String): DataFrame =
-    Profiler.numericProfile(Tables.t(s, dir, "lineitem"),
-        Seq("l_quantity", "l_extendedprice", "l_discount"))
+  /** Column profiling over orders (the data-card stats pass). Exact
+    * percentiles here so DuckDB can hash-verify (exact `percentile`
+    * buffers the column per partition — priced for the oracle table,
+    * not the fact table); the approx GK-sketch variant (same shape,
+    * single pass, no buffering) is the 100 TB path, unit-tested
+    * against exact. */
+  def profileOrders(s: SparkSession, dir: String): DataFrame =
+    Profiler.numericProfile(Tables.t(s, dir, "orders"),
+        Seq("o_totalprice", "o_custkey"))
       .orderBy(col("column"))
 
-  val profileLineitemSql: String = {
+  val profileOrdersSql: String = {
     def one(c: String) =
       s"""SELECT '$c' AS "column", count($c) AS n,
          |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
@@ -392,8 +405,8 @@ object PipelineQueries {
          |  round(CAST(sum(CAST($c AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum,
          |  round(CAST(quantile_cont($c, 0.5) AS DOUBLE), 6) AS p50,
          |  round(CAST(quantile_cont($c, 0.95) AS DOUBLE), 6) AS p95
-         |FROM lineitem""".stripMargin
-    Seq("l_quantity", "l_extendedprice", "l_discount").map(one)
+         |FROM orders""".stripMargin
+    Seq("o_totalprice", "o_custkey").map(one)
       .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
   }
 
@@ -501,7 +514,7 @@ object PipelineQueries {
     "text_stats" -> textStats _,
     "text_langid" -> textLangId _,
     "pipeline_curation" -> pipelineCuration _,
-    "profile_lineitem" -> profileLineitem _,
+    "profile_orders" -> profileOrders _,
     "text_fingerprint" -> textFingerprint _,
     "text_rolling_fingerprint" -> textRollingFingerprint _,
     "multimodal_meta" -> multimodalMeta _,
@@ -519,7 +532,7 @@ object PipelineQueries {
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangIdSql,
     "pipeline_curation" -> pipelineCurationSql,
-    "profile_lineitem" -> profileLineitemSql,
+    "profile_orders" -> profileOrdersSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_rolling_fingerprint" -> textRollingFingerprintSql,
     "multimodal_meta" -> multimodalMetaSql,
