@@ -108,4 +108,44 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Meta.unjv(m("nested")) == Map("k" -> "v"))
     cleanup(c)
   }
+
+  test("unknown time layout is rejected with a clear error") {
+    val c = tempCollection("badlayout")
+    val e = intercept[ValidationError] {
+      c.write("item", sampleData, timeLayout = Some("weekly"))
+    }
+    assert(e.getMessage.contains("weekly"))
+    cleanup(c)
+  }
+
+  test("unrecognized dtype hint is ignored; categorical cap errors") {
+    val c = tempCollection("badhint")
+    val df = (0 until 50).map(i => (i.toLong, s"v$i")).toDF("index", "s")
+    // unknown hint: write succeeds, no marker recorded for the column
+    c.write("item", df, dtypeHints = Map("s" -> "complex128"))
+    val info = c.metadata("item").get("_type_info")
+    assert(info.forall(j => !Codecs.markersFromMeta(j).contains("s")))
+    // categorical hint on a high-cardinality column trips the cap
+    val big = (0 until 10050).map(i => (i.toLong, s"u$i")).toDF("index", "s")
+    val e = intercept[IllegalArgumentException] {
+      graft.store.Codecs.autoDispatch(big, Map.empty,
+        Map("s" -> "category"), "UTC") match { case (d, _) => d.collect() }
+    }
+    assert(e.getMessage.contains("distinct"))
+    cleanup(c)
+  }
+
+  test("winnow fingerprint and text stats behave on empty and 1-token docs") {
+    import graft.operators.TextAnalysis
+    val df = Seq((1L, ""), (2L, "word")).toDF("doc_id", "text")
+    val r = df.select($"doc_id",
+        TextAnalysis.winnowFingerprint($"text").as("w"),
+        TextAnalysis.tokenCount($"text").as("nt"),
+        TextAnalysis.langId($"text").as("lang"))
+      .orderBy($"doc_id").collect()
+    assert(r(0).getAs[org.apache.spark.sql.Row]("w").getAs[Long]("n_grams") == 1)
+    assert(r(0).getAs[Int]("nt") == 0)
+    assert(r(0).getAs[String]("lang") == "und")
+    assert(r(1).getAs[Int]("nt") == 1)
+  }
 }
