@@ -256,6 +256,21 @@ class OperatorsSpec extends SparkSpec {
     assert(sampled.map(_.getAs[Int]("sampled_len")).toSeq == Seq(2, 4))
   }
 
+  test("graft functions are callable from pure SQL after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq((1L, Array(1.0f, 0.0f), Array(1.0f, 0.0f), "a b c d")).toDF("id", "v1", "v2", "text")
+      .createOrReplaceTempView("gf_probe")
+    val r = spark.sql(
+      """SELECT graft_cosine(v1, v2) AS cos,
+        |       graft_simhash(split(text, ' ')) AS sh,
+        |       graft_winnow_fp(split(text, ' '), 2, 2).n_grams AS ng
+        |FROM gf_probe""".stripMargin).head()
+    assert(math.abs(r.getAs[Double]("cos") - 1.0) < 1e-12)
+    assert(r.getAs[Long]("ng") == 3L) // 4 tokens, k=2 -> 3 grams
+    // registration is idempotent
+    graft.functions.GraftFunctions.register(spark)
+  }
+
   test("memory optimizer downcasts within observed ranges") {
     val df = Seq((1L, 100000L, 1.5)).toDF("tiny", "medium", "dbl")
     val out = MemoryOptimizer.shrinkTypes(df)
