@@ -632,6 +632,30 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
     * partition.py:175-216 / L4): read → re-apply the auto partition
     * policy (or an explicit count) → atomic rewrite, preserving
     * metadata and recording the new layout in the sidecar. */
+  /** Import an item written by the Python reference (pystore on-disk
+    * layout: flat parquet part-files directly inside the item dir, with
+    * a `pystore_metadata.json` sidecar) — the migration path for a user
+    * switching engines without rewriting their ingest. User metadata
+    * keys carry over verbatim (the reference's `_updated` is re-stamped
+    * by the write); the frame goes through the normal write pipeline,
+    * so partitioning, stats, sorting, and sidecar layout come out
+    * native. */
+  def importPystoreItem(srcDir: java.nio.file.Path,
+                        item: String,
+                        indexCols: Seq[String] = Seq(DefaultIndex),
+                        overwrite: Boolean = false): Unit = {
+    // the reference keeps its JSON sidecar in the same dir as the
+    // part-files, so scope the scan to parquet files only
+    val df = spark.read.parquet(srcDir.resolve("*.parquet").toString)
+    val userMeta = Meta.readAt(srcDir.resolve("pystore_metadata.json"))
+      .collect { case (k, v) if k != "_updated" => k -> Meta.unjv(v) }
+    val idx =
+      if (indexCols == Seq(DefaultIndex) && !df.columns.contains(DefaultIndex))
+        Seq(DefaultIndex) // write() synthesizes a RangeIndex, like the reference
+      else indexCols
+    write(item, df, indexCols = idx, metadata = userMeta.toMap, overwrite = overwrite)
+  }
+
   def rebalance(item: String, npartitions: Option[Int] = None): Int = {
     if (!hasItem(item))
       throw new ItemNotFoundError(s"item '$item' does not exist")

@@ -41,14 +41,16 @@ object Meta {
       StandardCopyOption.ATOMIC_MOVE)
   }
 
-  def read(dir: Path): Map[String, JValue] = {
-    val f = dir.resolve(Meta.Filename)
+  def read(dir: Path): Map[String, JValue] = readAt(dir.resolve(Meta.Filename))
+
+  /** Read any JSON-object sidecar file (e.g. the Python reference's
+    * `pystore_metadata.json` during import). */
+  def readAt(f: Path): Map[String, JValue] =
     if (!Files.exists(f)) Map.empty
     else JsonMethods.parse(new String(Files.readAllBytes(f), StandardCharsets.UTF_8)) match {
       case JObject(fields) => fields.toMap
       case _               => Map.empty
     }
-  }
 
   /** Convenience constructors for plain Scala values → JValue. */
   def jv(v: Any): JValue = v match {

@@ -57,4 +57,22 @@ final class GraftStore(val spark: SparkSession, val path: Path) {
 
   def item(collectionName: String, itemName: String): Item =
     collection(collectionName).item(itemName)
+
+  /** Import a whole store written by the Python reference: every
+    * collection dir (skipping `_snapshots`) and every item dir inside
+    * it is imported through `Collection.importPystoreItem`. Returns
+    * "collection/item" names imported. */
+  def importPystore(srcRoot: Path,
+                    indexCols: Seq[String] = Seq(Collection.DefaultIndex),
+                    overwrite: Boolean = false): Seq[String] =
+    FsOps.listDirs(srcRoot).filterNot(_ == GraftStore.SnapshotsDir).flatMap { coll =>
+      val c = collection(coll)
+      FsOps.listDirs(srcRoot.resolve(coll))
+        .filterNot(d => d == GraftStore.SnapshotsDir || d.startsWith("_"))
+        .map { it =>
+          c.importPystoreItem(srcRoot.resolve(coll).resolve(it), it,
+            indexCols, overwrite)
+          s"$coll/$it"
+        }
+    }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 import graft.store._
@@ -150,5 +151,33 @@ class StoreSpec extends SparkSpec {
     val chunks = Sources.readInChunks(sampleData, 30).toSeq
     assert(chunks.map(_.size).sum == 100)
     assert(chunks.forall(_.size <= 30))
+  }
+
+  test("importPystore migrates a reference-layout store verbatim") {
+    import spark.implicits._
+    // synthesize the Python reference's on-disk layout: flat parquet
+    // part-files inside the item dir + pystore_metadata.json
+    val srcRoot = Files.createTempDirectory("pystore_src")
+    val itemDir = srcRoot.resolve("prices").resolve("AAPL")
+    Files.createDirectories(itemDir)
+    val df = (0 until 40).map { i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-${i % 28 + 1}%02d 00:00:00"), i * 1.5)
+    }.toDF("index", "close")
+    df.coalesce(1).write.mode("overwrite").parquet(itemDir.toString)
+    // drop Spark's _SUCCESS etc. is fine; add the reference sidecar
+    Files.writeString(itemDir.resolve("pystore_metadata.json"),
+      """{"source": "broker-x", "_updated": "2020-01-01 00:00:00.000000"}""")
+
+    val c = tempCollection("import")
+    val store = new GraftStore(spark, c.path.getParent)
+    val imported = store.importPystore(srcRoot)
+    assert(imported == Seq("prices/AAPL"))
+    val item = store.collection("prices").item("AAPL")
+    assert(item.data.count() == 40)
+    assert(Meta.unjv(item.metadata("source")) == "broker-x")
+    // _updated re-stamped by the graft write, not copied
+    assert(Meta.unjv(item.metadata("_updated")) != "2020-01-01 00:00:00.000000")
+    FsOps.deleteRecursively(srcRoot)
+    cleanup(c)
   }
 }
