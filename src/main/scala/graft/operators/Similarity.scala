@@ -67,12 +67,15 @@ object Similarity {
     var cents = corpus.orderBy(col(idCol)).limit(nlist)
       .select(col(idCol).cast("long").as("cid"), col(vecCol).as("centroid"))
     for (_ <- 0 until iters) {
-      val wAssign = Window.partitionBy(col("pid")).orderBy(col("ccos").desc, col("cid"))
+      // nearest-centroid assignment as a max_by aggregation: map-side
+      // partial max per point, no window shuffle+sort. Tie-break =
+      // lexicographic struct order (highest cosine, then lowest cid).
       val assigned = pts.crossJoin(broadcast(cents))
         .withColumn("ccos", cosine_sim(col("pv"), col("centroid")))
-        .withColumn("r", row_number().over(wAssign))
-        .filter(col("r") === 1)
-        .select(col("cid"), col("pv"))
+        .groupBy(col("pid"))
+        .agg(max_by(struct(col("cid"), col("pv")),
+          struct(col("ccos"), -col("cid"))).as("best"))
+        .select(col("best.cid").as("cid"), col("best.pv").as("pv"))
       // Localize the nlist×dim centroid table each iteration (it is
       // broadcast-sized by definition): truncates the plan lineage so
       // iteration i+1 doesn't re-execute iterations 1..i, and pins the
@@ -151,13 +154,13 @@ object Similarity {
           .select(col("cid"), col("centroid"))
       else corpus.orderBy(col(idCol)).limit(nlist)
         .select(col(idCol).cast("long").as("cid"), col(vecCol).as("centroid"))
-    val wAssign = Window.partitionBy(col("nbr_id"))
-      .orderBy(col("ccos").desc, col("cid"))
+    // same max_by shape as the k-means assignment: no window shuffle
     val assigned = c.crossJoin(broadcast(cents))
       .withColumn("ccos", cosine_sim(col("cv"), col("centroid")))
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") === 1)
-      .select(col("nbr_id"), col("cv"), col("cid"))
+      .groupBy(col("nbr_id"))
+      .agg(max_by(struct(col("cid"), col("cv")),
+        struct(col("ccos"), -col("cid"))).as("best"))
+      .select(col("nbr_id"), col("best.cv").as("cv"), col("best.cid").as("cid"))
     IvfIndex(cents, assigned)
   }
 
