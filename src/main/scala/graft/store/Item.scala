@@ -132,6 +132,13 @@ final class Item private[store] (
     }
   }
 
+  /** Per-column data-card stats over this item (count/nulls/min/max/
+    * sum/p50/p95) — `graft.operators.Profiler` against the item's lazy,
+    * pruned scan. `approx = true` swaps exact percentiles for the
+    * single-pass GK sketch (the at-scale default). */
+  def profile(cols: Seq[String], approx: Boolean = false): DataFrame =
+    graft.operators.Profiler.numericProfile(data, cols, approx)
+
   /** Max index value — replaces the reference's repr-string parsing hack
     * for `last=True` (collection.py:153-156) with a real aggregate. */
   def lastIndex: Option[Any] = {

@@ -180,4 +180,19 @@ class StoreSpec extends SparkSpec {
     FsOps.deleteRecursively(srcRoot)
     cleanup(c)
   }
+
+  test("item.profile reports per-column stats over the pruned scan") {
+    val c = tempCollection("profile")
+    c.write("item", sampleData)
+    val r = c.item("item").profile(Seq("value1", "value2"))
+      .orderBy("column").collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("value1", "value2"))
+    assert(r.forall(_.getAs[Long]("n") == 100L))
+    assert(r.forall(_.getAs[Long]("n_null") == 0L))
+    val v1 = r(0)
+    assert(v1.getAs[Double]("min") <= v1.getAs[Double]("p50"))
+    assert(v1.getAs[Double]("p50") <= v1.getAs[Double]("p95"))
+    assert(v1.getAs[Double]("p95") <= v1.getAs[Double]("max"))
+    cleanup(c)
+  }
 }
