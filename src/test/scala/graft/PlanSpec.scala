@@ -38,4 +38,17 @@ class PlanSpec extends SparkSpec {
     assert(plan("ann_bruteforce_topk").contains("Broadcast"))
     assert(plan("ann_lsh_topk").contains("Broadcast"))
   }
+
+  test("curation pipeline: one window exchange, no cartesian, single rollup") {
+    val p = plan("pipeline_curation")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Window"))
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
+  }
+
+  test("profiler: single aggregate pass, no joins") {
+    val p = plan("profile_orders")
+    assert(!p.contains("Join"), "profiler should be join-free")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
