@@ -12,9 +12,12 @@ import graft.queries.{EventQueries, PipelineQueries, Relational, StoreQueries}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The end-to-end curation pipeline: canonical dedup →
+    * quality scoring → prose filter → language ID → per-language
+    * corpus rollup, one DataFrame plan. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+    PipelineQueries.pipelineCuration(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
