@@ -145,8 +145,11 @@ object Dedup {
         max(col("a.pos")).as("maxp_a"), max(col("b.pos")).as("maxp_b"))
       .withColumn("ubound", col("shared") +
         least(col("n_a") - col("maxp_a"), col("n_b") - col("maxp_b")))
+      // ε guard: when τ/(1+τ)·(|A|+|B|) is exactly integral, float
+      // round-up error could push ceil one too high and silently drop a
+      // pair whose Jaccard equals the threshold exactly.
       .withColumn("min_overlap",
-        ceil(lit(threshold) / (1.0 + threshold) * (col("n_a") + col("n_b"))))
+        ceil(lit(threshold) / (1.0 + threshold) * (col("n_a") + col("n_b")) - lit(1e-9)))
       .filter(col("ubound") >= col("min_overlap"))
       .select(col("id_a"), col("id_b"))
 
@@ -285,15 +288,24 @@ object Dedup {
     * and the banded join ships (id, band, sig) rows only — vectors
     * rejoin at verification — so the candidate stage stays skinny at
     * 100 TB. `exhaustive=true` is the O(n²) all-pairs form, kept ONLY
-    * as a recall reference for tests — never in a shipped plan. */
+    * as a recall reference for tests — never in a shipped plan.
+    *
+    * `lshBits = 0` (default) sizes the signature from plan statistics
+    * (`Similarity.sizedBits`) so bucket occupancy stays bounded as the
+    * corpus grows. Recall at the near-dup thresholds this operator is
+    * for (τ ≥ 0.9 ⇒ per-hyperplane agreement ≥ 0.857, and ≥ 0.98 for
+    * the ≈1.0-cosine pairs dedup actually hunts) stays ≈1.0 over the
+    * whole sized range with 8 OR-amplified bands — see the recall test
+    * in OperatorsSpec and the occupancy table in PLANS.md. */
   def embeddingCosinePairs(df: DataFrame,
                            threshold: Double,
                            vecCol: String = "embedding",
                            idCol: String = "vec_id",
                            exhaustive: Boolean = false,
-                           lshBits: Int = 4,
+                           lshBits: Int = 0,
                            lshBands: Int = 8): DataFrame = {
     val base = spread(df).select(col(idCol).as("id"), col(vecCol).as("v"))
+    val sizedB = if (lshBits > 0) lshBits else Similarity.sizedBits(df)
     if (exhaustive) {
       base.as("a").join(base.as("b"), col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -303,7 +315,7 @@ object Dedup {
     } else {
       val banded = base.select(col("id"),
         posexplode(graft.functions.expressions.hyperplane_bands(
-          col("v"), lshBits, lshBands)).as(Seq("band", "bh")))
+          col("v"), sizedB, lshBands)).as(Seq("band", "bh")))
       val candidates = banded.as("a").join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
             col("a.id") < col("b.id"))

@@ -20,6 +20,13 @@ object Profiler {
                      cols: Seq[String],
                      approx: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "numericProfile needs at least one column")
+    // Column names are interpolated into SQL strings (backticked calls,
+    // single-quoted stack labels); a name containing the quoting
+    // character would parse wrong or mislabel output.
+    cols.foreach { c =>
+      require(!c.contains("`") && !c.contains("'"),
+        s"numericProfile: column name '$c' contains a quote character")
+    }
     def pct(c: String, p: Double): String =
       if (approx) s"percentile_approx(`$c`, $p, 10000)" else s"percentile(`$c`, $p)"
     val aggs = cols.flatMap { c =>

@@ -22,6 +22,32 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Hyperplane-signature width sized from plan statistics, so bucket
+    * occupancy stays roughly constant as the corpus grows: bits ≈
+    * log₂(corpus bytes / bytesPerBucket). At the bench SFs this lands
+    * at 6–7 bits (2⁶–2⁷ buckets per band, ~10–20 vectors each); at
+    * 100 TB it grows to the cap. Fixed small constants would make every
+    * bucket O(n) — banding would degenerate to brute force; this is the
+    * same plan-stats sizing trick as Dedup's `spread`.
+    *
+    * Recall economics (hyperplane LSH, per-band collision probability
+    * p = (1−θ/π)^bits, OR-amplified over `bands`): for NEAR-DUPLICATE
+    * pairs (cos ≥ 0.9 ⇒ 1−θ/π ≥ 0.857; at cos 0.995, 0.985) recall
+    * stays ≈1.0 across the whole bits range with 8 bands. For
+    * moderate-similarity neighbors (cos ≈ 0.4 — uniform-random data's
+    * top-k) no honest constant beats brute force: there is no density
+    * gap for LSH to exploit, which is why the shipped ANN-LSH query
+    * measures recall on the near-duplicate regime it is built for. */
+  def sizedBits(df: DataFrame,
+                bytesPerBucket: Long = 8L << 10,
+                minBits: Int = 6,
+                maxBits: Int = 24): Int = {
+    val bytes = graft.store.Partitioner.estimatedBytes(df)
+    val ratio = math.max(1L, bytes / math.max(1L, bytesPerBucket))
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(ratio) // ceil(log2)+1 for powers
+    math.min(maxBits, math.max(minBits, bits))
+  }
+
   /** Exact cosine top-k neighbors for each query vector.
     * Ranking key is (round(cos,9) DESC, id ASC) — rounded so that
     * float summation differences can't flip ranks between engines. */
@@ -209,21 +235,24 @@ object Similarity {
     * query batch); candidates ship as skinny (query, nbr) ids and only
     * the candidate set pays the exact-cosine rank. Bigger corpora want
     * more bits (smaller buckets), more bands buy recall linearly in
-    * cost. */
+    * cost. `bits = 0` (the default) derives the width from corpus plan
+    * statistics via `sizedBits` — fixed constants would either blow the
+    * bucket size at scale or degenerate banding to brute force. */
   def lshTopK(corpus: DataFrame,
               queries: DataFrame,
               k: Int,
-              bits: Int = 16,
+              bits: Int = 0,
               bands: Int = 8,
               vecCol: String = "embedding",
               idCol: String = "vec_id"): DataFrame = {
     import graft.functions.expressions.{cosine_sim, hyperplane_bands}
+    val sizedB = if (bits > 0) bits else sizedBits(corpus)
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
     val cb = c.select(col("nbr_id"),
-      posexplode(hyperplane_bands(col("cv"), bits, bands)).as(Seq("band", "sig")))
+      posexplode(hyperplane_bands(col("cv"), sizedB, bands)).as(Seq("band", "sig")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val qb = q.select(col("query_id"),
-      posexplode(hyperplane_bands(col("qv"), bits, bands)).as(Seq("band", "sig")))
+      posexplode(hyperplane_bands(col("qv"), sizedB, bands)).as(Seq("band", "sig")))
     val cand = cb.join(broadcast(qb), Seq("band", "sig"))
       .filter(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"))

@@ -64,8 +64,14 @@ object Codecs {
     (c, TypeMarker("timestamp_tz", Map("timezone" -> originalTz)))
 
   /** Presentation-tz restore: convert the UTC instant to the recorded
-    * zone's wall clock (the reference's tz_convert on read). */
-  def restoreTimezone(c: Column, tz: String): Column = from_utc_timestamp(c, tz)
+    * zone's wall clock (the reference's tz_convert on read). Inverse of
+    * the write-edge to_utc_timestamp, so the round trip is identity
+    * regardless of the reading session's timezone. */
+  def restoreTimezone(c: Column, tz: String): Column =
+    if (isUtc(tz)) c else from_utc_timestamp(c, tz)
+
+  private[store] def isUtc(tz: String): Boolean =
+    tz == "UTC" || tz == "Etc/UTC" || tz == "Z" || tz == "+00:00" || tz == "GMT"
 
   /** Complex numbers → Struct(re, im) (reference JSON {"real","imag"},
     * dataframe.py:93-94). */
@@ -100,15 +106,24 @@ object Codecs {
           }
         case (acc, _) => acc
       }
-    // TimestampType (instant semantics) = pandas tz-aware; sessions run
-    // UTC so stored instants are UTC and the marker records the
-    // presentation zone. TimestampNTZ = naive — no marker.
-    val detected = hinted.schema.fields.collect {
+    // TimestampType (instant semantics) = pandas tz-aware; the marker
+    // records the writing session's zone. Storage and restore are
+    // SYMMETRIC — to_utc_timestamp on write, from_utc_timestamp on
+    // read — so write→read is identity in ANY session timezone, not
+    // just the UTC the repo's own builder pins. (In a UTC session both
+    // halves are no-ops and the stored bytes are unchanged.)
+    // TimestampNTZ = naive — no marker.
+    val detectedNames = hinted.schema.fields.collect {
       case f if f.dataType == TimestampType &&
-          !explicit.contains(f.name) && !hintMarkers.contains(f.name) =>
-        f.name -> TypeMarker("timestamp_tz", Map("timezone" -> sessionTz))
-    }.toMap
-    (hinted, detected ++ hintMarkers ++ explicit)
+          !explicit.contains(f.name) && !hintMarkers.contains(f.name) => f.name
+    }.toSeq
+    val stored =
+      if (isUtc(sessionTz)) hinted
+      else detectedNames.foldLeft(hinted)((d, n) =>
+        d.withColumn(n, to_utc_timestamp(col(n), sessionTz)))
+    val detected = detectedNames.map(n =>
+      n -> TypeMarker("timestamp_tz", Map("timezone" -> sessionTz))).toMap
+    (stored, detected ++ hintMarkers ++ explicit)
   }
 
   private def applyHint(df: DataFrame, name: String,

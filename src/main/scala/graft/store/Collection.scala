@@ -57,10 +57,17 @@ object Collection {
     }
 
   /** Driver-side period key of a literal predicate value (read-side
-    * partition pruning). */
-  private[store] def periodOfValue(layout: String, v: Any): Option[String] = {
+    * partition pruning). Instants (java.sql.Timestamp) are resolved to a
+    * date in the SESSION timezone — the same zone `periodExpr`'s
+    * date_format used on the write side — never the JVM default, so a
+    * boundary timestamp prunes to the directory it was written to even
+    * when host tz != session tz. Wall-clock values (LocalDateTime/Date)
+    * carry their date directly. */
+  private[store] def periodOfValue(layout: String, v: Any,
+                                   sessionTz: java.time.ZoneId): Option[String] = {
     val ld: Option[java.time.LocalDate] = v match {
-      case t: java.sql.Timestamp        => Some(t.toLocalDateTime.toLocalDate)
+      case t: java.sql.Timestamp        => Some(t.toInstant.atZone(sessionTz).toLocalDate)
+      case i: java.time.Instant         => Some(i.atZone(sessionTz).toLocalDate)
       case ldt: java.time.LocalDateTime => Some(ldt.toLocalDate)
       case d: java.sql.Date             => Some(d.toLocalDate)
       case l: java.time.LocalDate       => Some(l)
@@ -199,7 +206,8 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
     // synthesize a DENSE 0..n-1 index — true RangeIndex semantics,
     // including collide-on-re-append (two frames that both synthesized
     // their index share ids 0..min(n,m), exactly like pandas).
-    val indexed = ensureIndex(df, indexCols)
+    val (indexed, releaseIndex) = ensureIndex(df, indexCols)
+    try {
     val missing = indexCols.filterNot(indexed.columns.contains)
     if (missing.nonEmpty)
       throw new ValidationError(s"index column(s) not in DataFrame: ${missing.mkString(",")}")
@@ -251,6 +259,7 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
        else Map("_type_info" -> Codecs.markersToMeta(allMarkers)))
     commit(item, laidOut, Meta.obj(metadata.toSeq: _*) ++ extra,
       partitioned = isTime)
+    } finally releaseIndex()
   }
 
   /** Materialize the default index when absent (pandas RangeIndex):
@@ -258,25 +267,36 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
     * partition_offset + within-partition position, with offsets from a
     * per-partition count aggregate (one cheap extra job, O(#partitions)
     * rows to the driver; the zipWithIndex recipe) — no global sort, no
-    * single-partition window, correct at any scale. */
-  private def ensureIndex(df: DataFrame, indexCols: Seq[String]): DataFrame =
-    if (!(indexCols == Seq(DefaultIndex) && !df.columns.contains(DefaultIndex))) df
+    * single-partition window, correct at any scale.
+    *
+    * The marked frame is persisted (MEMORY_AND_DISK) before the count
+    * collect so the offset-join phase reads the SAME materialized ids —
+    * a non-deterministic upstream plan (unseeded sample, post-shuffle
+    * coalesce) re-executed twice could otherwise yield non-dense or
+    * colliding ids. Returns the indexed frame plus a release handle the
+    * caller invokes after the write action. */
+  private def ensureIndex(df: DataFrame,
+                          indexCols: Seq[String]): (DataFrame, () => Unit) =
+    if (!(indexCols == Seq(DefaultIndex) && !df.columns.contains(DefaultIndex)))
+      (df, () => ())
     else {
       import spark.implicits._
       // monotonically_increasing_id = partitionId·2³³ + positionInPartition
       val marked = df.withColumn("__mid", monotonically_increasing_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val counts = marked
         .groupBy(shiftrightunsigned(col("__mid"), 33).as("__pid"))
         .agg(count(lit(1)).as("__cnt"))
         .orderBy("__pid").collect().map(r => (r.getLong(0), r.getLong(1)))
       var acc = 0L
       val offsets = counts.map { case (pid, c) => val t = (pid, acc); acc += c; t }.toSeq
-      marked
+      val indexed = marked
         .withColumn("__pid", shiftrightunsigned(col("__mid"), 33))
         .join(broadcast(offsets.toDF("__pid", "__off")), Seq("__pid"))
         .withColumn(DefaultIndex,
           col("__off") + col("__mid").bitwiseAND(lit((1L << 33) - 1)))
         .drop("__pid", "__mid", "__off")
+      (indexed, () => { marked.unpersist(blocking = false); () })
     }
 
   private def statsMeta(s: Partitioner.IndexStats): Map[String, JValue] =
@@ -434,7 +454,9 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
     // synthesized default index gets its own dense 0..m-1 ids, which
     // overlap the stored item's — exactly what pandas does when both
     // frames carried a default RangeIndex.
-    var newDf = ensureIndex(df, idx)
+    val (withIdx, releaseIndex) = ensureIndex(df, idx)
+    try {
+    var newDf = withIdx
     var evolved = false
     evolution match {
       case Some(strategy) =>
@@ -493,6 +515,7 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
       Meta.obj("_partitions" -> n, "_partition_strategy" -> strategy.name) ++
       statsMeta(stats)
     commit(item, laidOut, prevMeta, partitioned = monthly)
+    } finally releaseIndex()
   }
 
   /** Incremental append for time-layout items: the stored side is

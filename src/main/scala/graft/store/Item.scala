@@ -69,8 +69,10 @@ final class Item private[store] (
   private def monthPruning: Option[org.apache.spark.sql.Column] = {
     val layout = timeLayout.getOrElse(return None)
     val mc = col(Collection.MonthCol)
+    val sessionTz =
+      java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
     val preds = filters.filter(_.column == indexCols.head).flatMap { p =>
-      Collection.periodOfValue(layout, p.value).map { m =>
+      Collection.periodOfValue(layout, p.value, sessionTz).map { m =>
         p.op match {
           case "==" | "="        => mc === m
           case ">" | ">="        => mc >= m
