@@ -149,13 +149,17 @@ object StoreQueries {
 
   /** V1+V2 snapshot isolation: snapshot taken before an append keeps
     * serving the pre-append state while the live item moves on. */
+  /** V1-V3 through the MANIFEST snapshot path (the object-store form —
+    * generation pinned in a JSON manifest, the append's copy-on-write
+    * retains the pinned data dir by O(1) rename): the snapshot read
+    * after the append must surface exactly the pre-append state. */
   def snapshotRead(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cutoff = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
     val col = freshCollection(s, "snapshot_read")
     val o = Tables.t(s, dir, "orders")
     col.write("o", o.filter($"o_orderdate" < lit(cutoff)), indexCols = Seq("o_orderdate"))
-    val snap = col.createSnapshot(Some("before_append"))
+    val snap = col.createSnapshot(Some("before_append"), manifest = Some(true))
     col.append("o", o.filter($"o_orderdate" >= lit(cutoff)), DuplicateHandling.KeepAll)
     col.item("o", snapshot = Some(snap)).data.orderBy($"o_orderkey")
   }

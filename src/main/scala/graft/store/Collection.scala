@@ -1,6 +1,5 @@
 package graft.store
 
-import java.nio.file.{Files, Path}
 import java.util.concurrent.ConcurrentHashMap
 
 import scala.concurrent.{Await, ExecutionContext, Future}
@@ -91,7 +90,7 @@ object Collection {
 /** A collection: a namespace of items with write / append / read /
   * snapshot semantics (reference: pystore/collection.py).
   *
-  * Every mutation commits through `FsOps.atomicSwap` (the reference's
+  * Every mutation commits through the backend's `atomicSwap` (the reference's
   * M7 protocol) so readers always see either the old or the new item —
   * never the reference's delete-then-move window (SURVEY §3.3).
   *
@@ -102,17 +101,17 @@ object Collection {
   * against the existing index reads just the index column (column
   * pruning) of the old item.
   */
-final class Collection private[store] (val spark: SparkSession, val path: Path) {
+final class Collection private[store] (val spark: SparkSession, val path: SPath) {
   import Collection._
 
-  def name: String = path.getFileName.toString
+  def name: String = path.name
 
   // ---------------------------------------------------------------- items
 
   private val itemSetCache = new java.util.concurrent.atomic.AtomicReference[Set[String]](null)
 
   private def refreshItems(): Set[String] = {
-    val s = FsOps.listDirs(path)
+    val s = path.listDirs
       .filterNot(d => d == GraftStore.SnapshotsDir || d.startsWith("__"))
       .toSet
     itemSetCache.set(s)
@@ -123,7 +122,7 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
     * (reference collection.py:55, 86-88). */
   def items: Set[String] = Option(itemSetCache.get).getOrElse(refreshItems())
 
-  def hasItem(item: String): Boolean = Files.isDirectory(path.resolve(item))
+  def hasItem(item: String): Boolean = path.resolve(item).isDir
 
   /** List items, optionally AND-matching metadata equality
     * (reference collection.py:90-110): every (k,v) must equal the item's
@@ -359,12 +358,16 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
   private def commit(item: String, df: DataFrame, meta: Map[String, JValue],
                      partitioned: Boolean = false): Unit = {
     val tmp = path.resolve(TmpPrefix + item)
-    FsOps.deleteRecursively(tmp)
+    tmp.deleteRecursively()
     val writer = df.write.mode("overwrite").option("compression", "snappy")
     (if (partitioned) writer.partitionBy(MonthCol) else writer).parquet(tmp.toString)
-    Files.createDirectories(path.resolve(item))
-    FsOps.atomicSwap(path.resolve(item).resolve(Item.DataDir), tmp)
-    Meta.write(path.resolve(item), meta)
+    path.resolve(item).mkdirs()
+    // Copy-on-write for manifest snapshots: a pinned old generation's
+    // data dir is renamed aside (O(1)) instead of destroyed by the swap.
+    Snapshots.retainIfPinned(path, item)
+    path.fs.atomicSwap(path.resolve(item).resolve(Item.DataDir).raw, tmp.raw)
+    Meta.write(path.resolve(item),
+      meta + ("_generation" -> Meta.jv(System.nanoTime())))
     metaCache.remove(item)
     refreshItems()
   }
@@ -378,38 +381,38 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
   private def commitMonths(item: String, df: DataFrame, months: Seq[String],
                            meta: Map[String, JValue]): Unit = {
     val tmp = path.resolve(TmpPrefix + item)
-    FsOps.deleteRecursively(tmp)
+    tmp.deleteRecursively()
     df.write.mode("overwrite").option("compression", "snappy")
       .partitionBy(MonthCol).parquet(tmp.toString)
     val dataDir = path.resolve(item).resolve(Item.DataDir)
     // O(1) renames only: old month dir moves aside as the rollback
     // backup, new one moves in; nothing is copied.
-    val swapped = scala.collection.mutable.ArrayBuffer.empty[(Path, Option[Path])]
+    val swapped = scala.collection.mutable.ArrayBuffer.empty[(SPath, Option[SPath])]
     try {
       months.foreach { m =>
         val src = tmp.resolve(s"$MonthCol=$m")
-        if (Files.isDirectory(src)) {
+        if (src.isDir) {
           val dst = dataDir.resolve(s"$MonthCol=$m")
           val backup = path.resolve(s"__backup_month_${item}_$m")
-          FsOps.deleteRecursively(backup)
-          val hadOld = Files.isDirectory(dst)
-          if (hadOld) Files.move(dst, backup, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          Files.move(src, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          backup.deleteRecursively()
+          val hadOld = dst.isDir
+          if (hadOld) path.fs.rename(dst.raw, backup.raw)
+          path.fs.rename(src.raw, dst.raw)
           swapped += ((dst, if (hadOld) Some(backup) else None))
         }
       }
-      swapped.foreach { case (_, b) => b.foreach(FsOps.deleteRecursively) }
-      FsOps.deleteRecursively(tmp)
+      swapped.foreach { case (_, b) => b.foreach(_.deleteRecursively()) }
+      tmp.deleteRecursively()
     } catch {
       case e: Throwable =>
         swapped.foreach { case (dst, backup) =>
-          FsOps.deleteRecursively(dst)
-          backup.foreach(b =>
-            Files.move(b, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE))
+          dst.deleteRecursively()
+          backup.foreach(b => path.fs.rename(b.raw, dst.raw))
         }
         throw new StorageError(s"partial month commit failed for $item: ${e.getMessage}")
     }
-    Meta.write(path.resolve(item), meta)
+    Meta.write(path.resolve(item),
+      meta + ("_generation" -> Meta.jv(System.nanoTime())))
     metaCache.remove(item)
     refreshItems()
   }
@@ -645,7 +648,10 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
     }
 
   def deleteItem(item: String): Boolean = {
-    FsOps.deleteRecursively(path.resolve(item))
+    // manifest snapshots survive the delete: pinned data dirs move to
+    // the retained area before the item dir is removed
+    Snapshots.retainIfPinned(path, item)
+    path.resolve(item).deleteRecursively()
     metaCache.remove(item)
     refreshItems()
     true
@@ -670,7 +676,7 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
     // the reference keeps its JSON sidecar in the same dir as the
     // part-files, so scope the scan to parquet files only
     val df = spark.read.parquet(srcDir.resolve("*.parquet").toString)
-    val userMeta = Meta.readAt(srcDir.resolve("pystore_metadata.json"))
+    val userMeta = Meta.readAt(SPath.local(srcDir.resolve("pystore_metadata.json")))
       .collect { case (k, v) if k != "_updated" => k -> Meta.unjv(v) }
     val idx =
       if (indexCols == Seq(DefaultIndex) && !df.columns.contains(DefaultIndex))
@@ -703,31 +709,49 @@ final class Collection private[store] (val spark: SparkSession, val path: Path) 
   // ----------------------------------------------------------- snapshots
 
   /** Point-in-time snapshot (reference collection.py:529-543 / V1): name
-    * sanitized to [A-Za-z0-9._] or a µs timestamp. Unlike the
-    * reference's full copytree, the snapshot HARDLINKS the immutable
-    * part-files (O(files), not O(bytes)) — valid because commits swap
-    * whole directories and never rewrite files in place. */
-  def createSnapshot(name: Option[String] = None): String = {
+    * sanitized to [A-Za-z0-9._] or a µs timestamp.
+    *
+    * Two implementations behind the one API:
+    *  - link snapshot (POSIX default): HARDLINK the immutable
+    *    part-files — O(files), not the reference's full copytree;
+    *    valid because commits swap whole directories and never rewrite
+    *    files in place.
+    *  - manifest snapshot (object-store default, `manifest = true`):
+    *    pin item generations in a JSON manifest — O(items) metadata,
+    *    zero bytes; commits/deletes retain pinned generations by O(1)
+    *    rename (Snapshots.scala).
+    */
+  def createSnapshot(name: Option[String] = None,
+                     manifest: Option[Boolean] = None): String = {
     val snap = name.map(_.replaceAll("[^A-Za-z0-9._]", "_"))
       .getOrElse(System.currentTimeMillis().toString + "_" +
         (System.nanoTime() % 1000000L).toString)
-    val dst = path.resolve(GraftStore.SnapshotsDir).resolve(snap)
-    FsOps.snapshotRecursively(path, dst,
-      exclude = d => d == GraftStore.SnapshotsDir || d.startsWith("__"))
+    val useManifest = manifest.getOrElse(path.fs != NioFs)
+    if (useManifest) Snapshots.createManifest(path, snap, items)
+    else {
+      val dst = path.resolve(GraftStore.SnapshotsDir).resolve(snap)
+      path.fs.snapshotRecursively(path.raw, dst.raw,
+        exclude = d => d == GraftStore.SnapshotsDir || d.startsWith("__"))
+    }
     snap
   }
 
-  def listSnapshots(): Seq[String] = FsOps.listDirs(path.resolve(GraftStore.SnapshotsDir))
+  def listSnapshots(): Seq[String] =
+    (path.resolve(GraftStore.SnapshotsDir).listDirs
+       .filterNot(_.startsWith(".")) ++ Snapshots.listManifests(path))
+      .distinct.sorted
 
   /** Lenient: deleting a missing snapshot returns true
     * (reference quirk, collection.py:550-553, kept per tests). */
   def deleteSnapshot(name: String): Boolean = {
-    FsOps.deleteRecursively(path.resolve(GraftStore.SnapshotsDir).resolve(name)); true
+    path.resolve(GraftStore.SnapshotsDir).resolve(name).deleteRecursively()
+    Snapshots.deleteManifest(path, name)
+    true
   }
 
   def deleteSnapshots(): Boolean = {
-    FsOps.deleteRecursively(path.resolve(GraftStore.SnapshotsDir))
-    Files.createDirectories(path.resolve(GraftStore.SnapshotsDir))
+    path.resolve(GraftStore.SnapshotsDir).deleteRecursively()
+    path.resolve(GraftStore.SnapshotsDir).mkdirs()
     true
   }
 }

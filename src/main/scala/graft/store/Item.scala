@@ -1,7 +1,5 @@
 package graft.store
 
-import java.nio.file.Path
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.json4s.JValue
@@ -23,28 +21,40 @@ object Item {
   */
 final class Item private[store] (
     val spark: SparkSession,
-    val collectionPath: Path,
+    val collectionPath: SPath,
     val name: String,
     val snapshot: Option[String],
     filters: Seq[Filters.Pred],
     columns: Seq[String]) {
 
-  val path: Path = snapshot match {
-    case None => collectionPath.resolve(name)
+  /** Resolved item dir + (for manifest snapshots) the sidecar frozen
+    * at snapshot time: a snapshot name resolves to a physical snapshot
+    * dir (link/copy snapshots, and time-layout items inside manifest
+    * snapshots), or through the manifest to the live dir (generation
+    * unchanged) / the retained generation dir (Snapshots.scala). */
+  private val resolved: (SPath, Option[Map[String, JValue]]) = snapshot match {
+    case None => (collectionPath.resolve(name), None)
     case Some(snap) =>
       val snapDir = collectionPath.resolve(GraftStore.SnapshotsDir).resolve(snap)
-      if (!java.nio.file.Files.isDirectory(snapDir))
+      val hasManifest = Snapshots.manifestExists(collectionPath, snap)
+      if (!snapDir.isDir && !hasManifest)
         throw new SnapshotNotFoundError(s"snapshot '$snap' does not exist")
-      val p = snapDir.resolve(name)
-      if (!java.nio.file.Files.isDirectory(p))
-        throw new ItemNotFoundError(s"item '$name' not found in snapshot '$snap'")
-      p
+      val dirItem = snapDir.resolve(name)
+      if (dirItem.isDir) (dirItem, None)
+      else Snapshots.resolveManifestItem(collectionPath, snap, name) match {
+        case Some((p, sidecar)) => (p, Some(sidecar))
+        case None =>
+          throw new ItemNotFoundError(s"item '$name' not found in snapshot '$snap'")
+      }
   }
 
-  if (!java.nio.file.Files.isDirectory(path))
+  val path: SPath = resolved._1
+
+  if (!path.isDir)
     throw new ItemNotFoundError(s"item '$name' does not exist")
 
-  lazy val metadata: Map[String, JValue] = Meta.read(path)
+  lazy val metadata: Map[String, JValue] =
+    resolved._2.getOrElse(Meta.read(path))
 
   /** Index column names recorded at write (default Seq("index")). */
   def indexCols: Seq[String] = metadata.get("index_names") match {

@@ -1,7 +1,6 @@
 package graft.store
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, StandardCopyOption}
 import java.time.format.DateTimeFormatter
 import java.time.{Instant, ZoneOffset}
 
@@ -30,24 +29,23 @@ object Meta {
 
   def nowStamp(): String = stampFmt.format(Instant.now())
 
-  def write(dir: Path, metadata: Map[String, JValue]): Unit = {
-    Files.createDirectories(dir)
+  def write(dir: SPath, metadata: Map[String, JValue]): Unit = {
+    dir.mkdirs()
     val withStamp = metadata + ("_updated" -> JString(nowStamp()))
     val json = JsonMethods.pretty(JsonMethods.render(JObject(withStamp.toList)))
-    // Write-temp-then-rename so readers never observe a torn sidecar.
-    val tmp = dir.resolve(Meta.Filename + ".tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, dir.resolve(Meta.Filename), StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+    // Backend writes temp-then-rename so readers never see a torn sidecar.
+    dir.fs.writeBytesAtomic(dir.resolve(Meta.Filename).raw,
+      json.getBytes(StandardCharsets.UTF_8))
   }
 
-  def read(dir: Path): Map[String, JValue] = readAt(dir.resolve(Meta.Filename))
+  def read(dir: SPath): Map[String, JValue] = readAt(dir.resolve(Meta.Filename))
 
   /** Read any JSON-object sidecar file (e.g. the Python reference's
     * `pystore_metadata.json` during import). */
-  def readAt(f: Path): Map[String, JValue] =
-    if (!Files.exists(f)) Map.empty
-    else JsonMethods.parse(new String(Files.readAllBytes(f), StandardCharsets.UTF_8)) match {
+  def readAt(f: SPath): Map[String, JValue] =
+    if (!f.exists) Map.empty
+    else JsonMethods.parse(
+      new String(f.fs.readBytes(f.raw), StandardCharsets.UTF_8)) match {
       case JObject(fields) => fields.toMap
       case _               => Map.empty
     }

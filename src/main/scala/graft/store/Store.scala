@@ -21,8 +21,22 @@ object GraftStore {
     FsOps.expand(sys.env.getOrElse("GRAFT_PATH", "~/graftstore"))
 
   def apply(spark: SparkSession, name: String, root: Path = defaultRoot): GraftStore = {
-    val p = root.resolve(name)
-    Files.createDirectories(p)
+    Files.createDirectories(root.resolve(name))
+    open(spark, SPath.local(root.resolve(name)))
+  }
+
+  /** Open a store rooted at a filesystem URI — the cluster path: any
+    * scheme Spark's Hadoop integration can reach (`file:`, `hdfs:`,
+    * `s3a:`, ...). Scheme-less paths use the POSIX backend. */
+  def at(spark: SparkSession, rootUri: String): GraftStore = {
+    val fs: StoreFs =
+      if (rootUri.contains(":/")) new HadoopFs(spark.sessionState.newHadoopConf())
+      else NioFs
+    open(spark, SPath(fs, rootUri))
+  }
+
+  private def open(spark: SparkSession, p: SPath): GraftStore = {
+    p.mkdirs()
     Meta.write(p, Meta.obj("engine" -> "spark-parquet", "created_by" -> "graft"))
     new GraftStore(spark, p)
   }
@@ -38,21 +52,23 @@ object GraftStore {
   }
 }
 
-final class GraftStore(val spark: SparkSession, val path: Path) {
+final class GraftStore(val spark: SparkSession, val path: SPath) {
 
-  def name: String = path.getFileName.toString
+  def this(spark: SparkSession, nioPath: Path) = this(spark, SPath.local(nioPath))
 
-  def listCollections(): Seq[String] = FsOps.listDirs(path)
+  def name: String = path.name
+
+  def listCollections(): Seq[String] = path.listDirs
 
   def collection(name: String, overwrite: Boolean = false): Collection = {
     val p = path.resolve(name)
-    if (Files.exists(p) && overwrite) FsOps.deleteRecursively(p)
-    Files.createDirectories(p.resolve(GraftStore.SnapshotsDir))
+    if (p.exists && overwrite) p.deleteRecursively()
+    p.resolve(GraftStore.SnapshotsDir).mkdirs()
     new Collection(spark, p)
   }
 
   def deleteCollection(name: String): Boolean = {
-    FsOps.deleteRecursively(path.resolve(name)); true
+    path.resolve(name).deleteRecursively(); true
   }
 
   def item(collectionName: String, itemName: String): Item =

@@ -1,0 +1,297 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Filesystem backend for the store layout — the seam that makes the
+  * store layer run against POSIX paths (`NioFs`) or any
+  * `org.apache.hadoop.fs.FileSystem` URI (`HadoopFs`: `file:`,
+  * `hdfs:`, `s3a:`, ...). The reference is local-path-bound
+  * (pystore/utils.py:116-149); a 100 TB deployment reads and writes an
+  * object store or HDFS, so every driver-side layout operation goes
+  * through this trait. Paths are plain strings (`SPath` wraps one with
+  * its backend) because both java.nio and Hadoop round-trip through
+  * strings losslessly and Spark's readers take strings anyway.
+  *
+  * Operation set = the reference's utils.py list/mkdir/rename/delete
+  * plus the commit/snapshot/lock primitives SURVEY §3.3 added. All ops
+  * are driver-side control-plane calls on directories and sidecars —
+  * the data plane (parquet bytes) always moves through Spark executors.
+  */
+trait StoreFs {
+  def join(base: String, child: String): String
+  def nameOf(p: String): String
+  def parentOf(p: String): String
+
+  def exists(p: String): Boolean
+  def isDir(p: String): Boolean
+  def mkdirs(p: String): Unit
+  /** Immediate child directory names, sorted. */
+  def listDirs(p: String): Seq[String]
+  /** Immediate child regular-file names, sorted. */
+  def listFiles(p: String): Seq[String]
+  /** All regular files under `p`, as `/`-separated paths relative to
+    * `p`, sorted (manifest building). */
+  def listFilesRecursively(p: String): Seq[String]
+  def deleteRecursively(p: String): Unit
+
+  /** Rename src → dst. dst must not exist; atomic where the underlying
+    * FS supports it (POSIX, HDFS — NOT object stores, where the commit
+    * protocol should go through manifests instead). */
+  def rename(src: String, dst: String): Unit
+
+  def readBytes(p: String): Array[Byte]
+  /** Write via temp file + rename so readers never observe a torn file. */
+  def writeBytesAtomic(p: String, bytes: Array[Byte]): Unit
+  /** Copy one regular file (parents created). */
+  def copyFile(src: String, dst: String): Unit
+  /** Link `dst` to `src`'s content without copying bytes, where the FS
+    * supports it (POSIX hardlink); otherwise copy. */
+  def linkOrCopyFile(src: String, dst: String): Unit
+
+  /** First-caller-wins lock: atomically create `lockPath/owner` with
+    * `owner` as content; false if the lock is already held. */
+  def tryLock(lockPath: String, owner: String): Boolean
+
+  // ---- protocol compositions (shared across backends) ----
+
+  /** Atomic directory swap — the M7 commit protocol
+    * (reference collection.py:619-675): move old target aside as a
+    * backup, rename the new dir into place, drop the backup; restore
+    * on failure. */
+  def atomicSwap(target: String, newDir: String): Unit = {
+    val backup = join(parentOf(target), "__backup_" + nameOf(target))
+    deleteRecursively(backup)
+    val hadOld = exists(target)
+    try {
+      if (hadOld) rename(target, backup)
+      rename(newDir, target)
+      if (hadOld) deleteRecursively(backup)
+    } catch {
+      case e: Throwable =>
+        if (hadOld && !exists(target) && exists(backup)) rename(backup, target)
+        throw new StorageError(s"atomic swap failed for $target: ${e.getMessage}")
+    }
+  }
+
+  /** Recursive snapshot copy: hardlink file content where possible
+    * (O(files), valid because commits swap directories and never
+    * rewrite part-files in place), byte-copy otherwise. Directories
+    * whose top-level name matches `exclude` are skipped. */
+  def snapshotRecursively(src: String, dst: String,
+                          exclude: String => Boolean = _ => false): Unit = {
+    mkdirs(dst)
+    listFilesRecursively(src).foreach { rel =>
+      val top = rel.takeWhile(_ != '/')
+      if (!exclude(top))
+        linkOrCopyFile(join(src, rel), join(dst, rel))
+    }
+  }
+}
+
+/** A path bound to its backend — what the store layer passes around
+  * instead of java.nio.file.Path. `toString` is the raw path/URI, which
+  * is exactly what `spark.read.parquet` / `df.write.parquet` take. */
+final case class SPath(fs: StoreFs, raw: String) {
+  def resolve(child: String): SPath = SPath(fs, fs.join(raw, child))
+  def parent: SPath = SPath(fs, fs.parentOf(raw))
+  def resolveSibling(name: String): SPath = parent.resolve(name)
+  def name: String = fs.nameOf(raw)
+  def exists: Boolean = fs.exists(raw)
+  def isDir: Boolean = fs.isDir(raw)
+  def mkdirs(): Unit = fs.mkdirs(raw)
+  def listDirs: Seq[String] = fs.listDirs(raw)
+  def deleteRecursively(): Unit = fs.deleteRecursively(raw)
+  override def toString: String = raw
+}
+
+object SPath {
+  def local(p: java.nio.file.Path): SPath = SPath(NioFs, p.toString)
+}
+
+/** POSIX backend over java.nio — the single-machine path (and the test
+  * default). Delegates to the pre-existing FsOps primitives. */
+object NioFs extends StoreFs {
+  private def np(p: String) = Paths.get(p)
+
+  def join(base: String, child: String): String = np(base).resolve(child).toString
+  def nameOf(p: String): String = np(p).getFileName.toString
+  def parentOf(p: String): String = {
+    val par = np(p).getParent
+    if (par == null) "/" else par.toString
+  }
+
+  def exists(p: String): Boolean = Files.exists(np(p))
+  def isDir(p: String): Boolean = Files.isDirectory(np(p))
+  def mkdirs(p: String): Unit = Files.createDirectories(np(p))
+  def listDirs(p: String): Seq[String] = FsOps.listDirs(np(p))
+
+  def listFiles(p: String): Seq[String] =
+    if (!Files.isDirectory(np(p))) Nil
+    else Files.list(np(p)).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(_.getFileName.toString)
+      .toSeq.sorted
+
+  def listFilesRecursively(p: String): Seq[String] = {
+    val root = np(p)
+    if (!Files.isDirectory(root)) Nil
+    else Files.walk(root).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(f => root.relativize(f).iterator().asScala.mkString("/"))
+      .toSeq.sorted
+  }
+
+  def deleteRecursively(p: String): Unit = FsOps.deleteRecursively(np(p))
+
+  def rename(src: String, dst: String): Unit =
+    Files.move(np(src), np(dst), StandardCopyOption.ATOMIC_MOVE)
+
+  def readBytes(p: String): Array[Byte] = Files.readAllBytes(np(p))
+
+  def writeBytesAtomic(p: String, bytes: Array[Byte]): Unit = {
+    val target = np(p)
+    Files.createDirectories(target.getParent)
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.write(tmp, bytes)
+    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def copyFile(src: String, dst: String): Unit = {
+    Files.createDirectories(np(dst).getParent)
+    Files.copy(np(src), np(dst), StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def linkOrCopyFile(src: String, dst: String): Unit = {
+    Files.createDirectories(np(dst).getParent)
+    try Files.createLink(np(dst), np(src))
+    catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+      Files.copy(np(src), np(dst), StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  def tryLock(lockPath: String, owner: String): Boolean =
+    try {
+      // atomic dir creation is the winner-picker (POSIX mkdir semantics,
+      // reference transactions.py:289-362); owner lands inside it
+      Files.createDirectory(np(lockPath))
+      Files.write(np(lockPath).resolve("owner"),
+        owner.getBytes(StandardCharsets.UTF_8))
+      true
+    } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+}
+
+/** Hadoop `FileSystem` backend — one implementation for every scheme
+  * Spark itself can reach (`file:`, `hdfs:`, `s3a:`, `abfs:`, ...).
+  * Renames are atomic on HDFS and POSIX-backed `file:`; on object
+  * stores rename degrades to copy, which is why snapshots should use
+  * the manifest path there (Snapshots.scala) rather than relying on
+  * this backend's rename-based swap for large items. */
+final class HadoopFs(conf: org.apache.hadoop.conf.Configuration) extends StoreFs {
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+  private def hp(p: String) = new HPath(p)
+  private def fsOf(p: HPath): FileSystem = p.getFileSystem(conf)
+
+  def join(base: String, child: String): String = new HPath(hp(base), child).toString
+  def nameOf(p: String): String = hp(p).getName
+  def parentOf(p: String): String = {
+    val par = hp(p).getParent
+    if (par == null) p else par.toString
+  }
+
+  def exists(p: String): Boolean = { val h = hp(p); fsOf(h).exists(h) }
+  def isDir(p: String): Boolean = {
+    val h = hp(p); val fs = fsOf(h)
+    fs.exists(h) && fs.getFileStatus(h).isDirectory
+  }
+  def mkdirs(p: String): Unit = { val h = hp(p); fsOf(h).mkdirs(h); () }
+
+  def listDirs(p: String): Seq[String] = {
+    val h = hp(p); val fs = fsOf(h)
+    if (!exists(p) || !isDir(p)) Nil
+    else fs.listStatus(h).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
+  }
+
+  def listFiles(p: String): Seq[String] = {
+    val h = hp(p); val fs = fsOf(h)
+    if (!exists(p) || !isDir(p)) Nil
+    else fs.listStatus(h).toSeq.filter(_.isFile).map(_.getPath.getName).sorted
+  }
+
+  def listFilesRecursively(p: String): Seq[String] = {
+    val h = hp(p); val fs = fsOf(h)
+    if (!isDir(p)) Nil
+    else {
+      val base = fs.getFileStatus(h).getPath.toUri.getPath
+      val it = fs.listFiles(h, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        val full = st.getPath.toUri.getPath
+        buf += full.stripPrefix(base).stripPrefix("/")
+      }
+      buf.toSeq.sorted
+    }
+  }
+
+  def deleteRecursively(p: String): Unit = {
+    val h = hp(p); fsOf(h).delete(h, true); ()
+  }
+
+  def rename(src: String, dst: String): Unit = {
+    val s = hp(src); val d = hp(dst); val fs = fsOf(s)
+    if (!fs.rename(s, d))
+      throw new StorageError(s"rename $src -> $dst failed")
+  }
+
+  def readBytes(p: String): Array[Byte] = {
+    val h = hp(p); val fs = fsOf(h)
+    val in = fs.open(h)
+    try {
+      val len = fs.getFileStatus(h).getLen.toInt
+      val buf = new Array[Byte](len)
+      in.readFully(0, buf)
+      buf
+    } finally in.close()
+  }
+
+  def writeBytesAtomic(p: String, bytes: Array[Byte]): Unit = {
+    val target = hp(p); val fs = fsOf(target)
+    val tmp = new HPath(target.getParent, target.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    fs.delete(target, false)
+    if (!fs.rename(tmp, target))
+      throw new StorageError(s"sidecar rename failed for $p")
+  }
+
+  def copyFile(src: String, dst: String): Unit = {
+    val s = hp(src); val d = hp(dst)
+    val sfs = fsOf(s); val dfs = fsOf(d)
+    dfs.mkdirs(d.getParent)
+    org.apache.hadoop.fs.FileUtil.copy(sfs, s, dfs, d,
+      /*deleteSource=*/ false, /*overwrite=*/ true, conf)
+    ()
+  }
+
+  /** No portable link primitive through the Hadoop API — copy. (For
+    * O(files) snapshots on object stores use the manifest path.) */
+  def linkOrCopyFile(src: String, dst: String): Unit = copyFile(src, dst)
+
+  def tryLock(lockPath: String, owner: String): Boolean = {
+    val ownerFile = hp(join(lockPath, "owner")); val fs = fsOf(ownerFile)
+    try {
+      // exclusive create of the owner FILE is the winner-picker — Hadoop
+      // mkdirs() is not exclusive (returns true when the dir exists)
+      val out = fs.create(ownerFile, /*overwrite=*/ false)
+      try out.write(owner.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.IOException if fs.exists(ownerFile) => false
+    }
+  }
+}

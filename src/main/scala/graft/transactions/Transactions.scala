@@ -1,7 +1,6 @@
 package graft.transactions
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path}
 
 import scala.collection.mutable
 import scala.util.control.NonFatal
@@ -51,12 +50,13 @@ final class Transaction(collection: Collection) {
     if (completed) throw new TransactionError("transaction already completed")
     completed = true
     val affected = ops.map(_.item).distinct.toSeq
+    val fs = collection.path.fs
     val backups = affected.flatMap { it =>
       val src = collection.path.resolve(it)
-      if (Files.isDirectory(src)) {
+      if (src.isDir) {
         val b = collection.path.resolve(s"__txn_backup_$it")
-        FsOps.deleteRecursively(b)
-        FsOps.snapshotRecursively(src, b)
+        b.deleteRecursively()
+        fs.snapshotRecursively(src.raw, b.raw)
         Some(it -> b)
       } else None
     }.toMap
@@ -67,16 +67,16 @@ final class Transaction(collection: Collection) {
         case AppendOp(it, df, h) => collection.append(it, df, h)
         case DeleteOp(it)        => collection.deleteItem(it)
       }
-      backups.values.foreach(FsOps.deleteRecursively)
+      backups.values.foreach(_.deleteRecursively())
     } catch {
       case NonFatal(e) =>
         // rollback: restore every affected item to its pre-txn state
         affected.foreach { it =>
           val target = collection.path.resolve(it)
-          FsOps.deleteRecursively(target)
+          target.deleteRecursively()
           backups.get(it).foreach { b =>
             // the backup dir itself becomes the restored item — O(1)
-            Files.move(b, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            fs.rename(b.raw, target.raw)
           }
         }
         collection.clearMetadataCache()
@@ -117,9 +117,10 @@ final class BatchTransaction(collection: Collection) {
   }
 }
 
-/** Advisory collection lock via atomic directory creation
-  * (reference transactions.py:289-362 / T3). `Files.createDirectory`
-  * is atomic on POSIX and HDFS-style stores — first caller wins. */
+/** Advisory collection lock via the backend's atomic first-caller-wins
+  * primitive (reference transactions.py:289-362 / T3): atomic dir
+  * creation on POSIX, exclusive owner-file creation through the Hadoop
+  * API. */
 object CollectionLock {
   private val LockDir = "__lock"
 
@@ -128,27 +129,22 @@ object CollectionLock {
     val lock = collection.path.resolve(LockDir)
     val deadline = System.currentTimeMillis() + timeoutMs
     while (true) {
-      try {
-        Files.createDirectory(lock)
-        Files.write(lock.resolve("owner"), ownerId.getBytes(StandardCharsets.UTF_8))
-        return
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          if (System.currentTimeMillis() > deadline)
-            throw new LockTimeoutError(
-              s"could not acquire lock on ${collection.name} within ${timeoutMs}ms " +
-              s"(held by ${currentOwner(collection).getOrElse("unknown")})")
-          Thread.sleep(pollMs)
-      }
+      if (lock.fs.tryLock(lock.raw, ownerId)) return
+      if (System.currentTimeMillis() > deadline)
+        throw new LockTimeoutError(
+          s"could not acquire lock on ${collection.name} within ${timeoutMs}ms " +
+          s"(held by ${currentOwner(collection).getOrElse("unknown")})")
+      Thread.sleep(pollMs)
     }
   }
 
   def release(collection: Collection): Unit =
-    FsOps.deleteRecursively(collection.path.resolve(LockDir))
+    collection.path.resolve(LockDir).deleteRecursively()
 
   def currentOwner(collection: Collection): Option[String] = {
     val f = collection.path.resolve(LockDir).resolve("owner")
-    if (Files.exists(f)) Some(new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+    if (f.exists)
+      Some(new String(f.fs.readBytes(f.raw), StandardCharsets.UTF_8))
     else None
   }
 

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.store._
+
+/** The store matrix over the Hadoop `FileSystem` backend (`file:`
+  * scheme — the same code path a cluster store at `hdfs:`/`s3a:` runs,
+  * exercised against the local filesystem): write / filtered read /
+  * append with dedup / snapshot / delete / lock all through
+  * `HadoopFs`, asserting the results match what the POSIX backend
+  * produces for the same inputs.
+  */
+class HadoopFsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Store rooted one level below the temp dir, so cleanup of
+    * `c.path.parent.parent` removes the temp dir and nothing above it. */
+  private def hadoopCollection(tag: String): Collection = {
+    val root = Files.createTempDirectory(s"graft_hfs_$tag")
+    val store = GraftStore.at(spark, "file:" + root.resolve("s").toString)
+    store.collection("c")
+  }
+
+  test("GraftStore.at picks the Hadoop backend for URIs, POSIX otherwise") {
+    val root = Files.createTempDirectory("graft_hfs_pick")
+    val h = GraftStore.at(spark, "file:" + root.toString)
+    assert(h.path.fs.isInstanceOf[HadoopFs])
+    val n = GraftStore.at(spark, root.toString)
+    assert(n.path.fs == NioFs)
+    FsOps.deleteRecursively(root)
+  }
+
+  test("write → filtered read over file: matches the POSIX backend") {
+    val df = sampleData
+    val hc = hadoopCollection("write_read")
+    val nc = tempCollection("hfs_ref")
+    hc.write("it", df, indexCols = Seq("index"))
+    nc.write("it", df, indexCols = Seq("index"))
+    val pred = Seq(Filters.Pred("value1", ">", 0.0))
+    val h = hc.item("it", filters = pred).data.orderBy($"index").collect().toSeq
+    val n = nc.item("it", filters = pred).data.orderBy($"index").collect().toSeq
+    assert(h == n)
+    assert(h.nonEmpty)
+    hc.path.parent.parent.deleteRecursively()
+    cleanup(nc)
+  }
+
+  test("append keep_last dedups through the Hadoop backend") {
+    val c = hadoopCollection("append")
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("index", "v")
+    c.write("it", base, indexCols = Seq("index"))
+    c.append("it", Seq((3L, "C2"), (4L, "d")).toDF("index", "v"),
+      duplicateHandling = DuplicateHandling.KeepLast)
+    val got = c.item("it").data.orderBy($"index")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "C2"), (4L, "d")))
+    c.path.parent.parent.deleteRecursively()
+  }
+
+  test("snapshot survives deleting the live item (Hadoop backend)") {
+    val c = hadoopCollection("snap")
+    c.write("it", sampleData, indexCols = Seq("index"))
+    val snap = c.createSnapshot(Some("s1"))
+    val before = c.item("it").data.count()
+    c.deleteItem("it")
+    assert(!c.hasItem("it"))
+    val restored = c.item("it", snapshot = Some(snap)).data.count()
+    assert(restored == before && restored > 0)
+    c.path.parent.parent.deleteRecursively()
+  }
+
+  test("metadata sidecar round-trips through writeBytesAtomic") {
+    val c = hadoopCollection("meta")
+    c.write("it", sampleData, indexCols = Seq("index"),
+      metadata = Map("source" -> "hfs-test", "version" -> 3L))
+    c.clearMetadataCache()
+    val m = c.metadata("it")
+    assert(Meta.unjv(m("source")) == "hfs-test")
+    assert(Meta.unjv(m("version")) == 3L)
+    assert(c.listItems(Map("source" -> "hfs-test")) == Set("it"))
+    c.path.parent.parent.deleteRecursively()
+  }
+
+  test("collection lock is exclusive through the Hadoop backend") {
+    val c = hadoopCollection("lock")
+    graft.transactions.CollectionLock.acquire(c, "owner-1", timeoutMs = 2000)
+    assert(graft.transactions.CollectionLock.currentOwner(c).contains("owner-1"))
+    intercept[graft.store.LockTimeoutError] {
+      graft.transactions.CollectionLock.acquire(c, "owner-2", timeoutMs = 300)
+    }
+    graft.transactions.CollectionLock.release(c)
+    graft.transactions.CollectionLock.acquire(c, "owner-2", timeoutMs = 2000)
+    assert(graft.transactions.CollectionLock.currentOwner(c).contains("owner-2"))
+    graft.transactions.CollectionLock.release(c)
+    c.path.parent.parent.deleteRecursively()
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.store._
+
+/** Manifest snapshots (Snapshots.scala): generation pinning,
+  * copy-on-write retention, refcount GC, and the time-layout copy
+  * fallback — on the POSIX backend explicitly and on the Hadoop
+  * backend where manifests are the default. */
+class ManifestSnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df3(rows: (Long, String)*) = rows.toDF("index", "v")
+
+  test("manifest snapshot freezes item state across append and delete") {
+    val c = tempCollection("msnap_basic")
+    c.write("it", df3(1L -> "a", 2L -> "b"), indexCols = Seq("index"))
+    val snap = c.createSnapshot(Some("s1"), manifest = Some(true))
+    assert(Snapshots.manifestExists(c.path, snap))
+    assert(c.listSnapshots().contains(snap))
+
+    // append mutates the live item; the pinned generation is retained
+    c.append("it", df3(3L -> "c"))
+    assert(c.item("it").data.count() == 3)
+    val snapRows = c.item("it", snapshot = Some(snap)).data
+      .orderBy($"index").as[(Long, String)].collect().toSeq
+    assert(snapRows == Seq(1L -> "a", 2L -> "b"))
+
+    // delete the live item entirely — the snapshot still reads
+    c.deleteItem("it")
+    assert(!c.hasItem("it"))
+    val afterDelete = c.item("it", snapshot = Some(snap)).data
+      .orderBy($"index").as[(Long, String)].collect().toSeq
+    assert(afterDelete == Seq(1L -> "a", 2L -> "b"))
+    cleanup(c)
+  }
+
+  test("snapshot read resolves to the LIVE dir while generation is unchanged") {
+    val c = tempCollection("msnap_live")
+    c.write("it", df3(1L -> "a"), indexCols = Seq("index"))
+    val snap = c.createSnapshot(Some("s1"), manifest = Some(true))
+    // no mutation since the snapshot: nothing retained, read hits live
+    val retained = c.path.resolve(GraftStore.SnapshotsDir)
+      .resolve(Snapshots.RetainedDir)
+    assert(!retained.isDir || retained.listDirs.isEmpty)
+    assert(c.item("it", snapshot = Some(snap)).data.count() == 1)
+    cleanup(c)
+  }
+
+  test("deleting the last referencing manifest GCs retained generations") {
+    val c = tempCollection("msnap_gc")
+    c.write("it", df3(1L -> "a"), indexCols = Seq("index"))
+    val s1 = c.createSnapshot(Some("s1"), manifest = Some(true))
+    val s2 = c.createSnapshot(Some("s2"), manifest = Some(true)) // same gen pinned twice
+    c.append("it", df3(2L -> "b")) // retains the pinned generation
+    val retained = c.path.resolve(GraftStore.SnapshotsDir)
+      .resolve(Snapshots.RetainedDir).resolve("it")
+    assert(retained.isDir && retained.listDirs.nonEmpty)
+
+    c.deleteSnapshot(s1)
+    // s2 still pins the generation — retained survives
+    assert(retained.isDir && retained.listDirs.nonEmpty)
+    assert(c.item("it", snapshot = Some(s2)).data.count() == 1)
+
+    c.deleteSnapshot(s2)
+    // refcount hit zero — retained dir GC'd
+    assert(!retained.isDir)
+    cleanup(c)
+  }
+
+  test("time-layout items inside a manifest snapshot are frozen by copy") {
+    val c = tempCollection("msnap_time")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-02-15 00:00:00")
+    c.write("tl", Seq((t0, 1.0)).toDF("index", "v"),
+      indexCols = Seq("index"), timeLayout = Some("monthly"))
+    val snap = c.createSnapshot(Some("s1"), manifest = Some(true))
+    c.append("tl", Seq((t1, 2.0)).toDF("index", "v"))
+    assert(c.item("tl").data.count() == 2)
+    assert(c.item("tl", snapshot = Some(snap)).data.count() == 1)
+    cleanup(c)
+  }
+
+  test("manifest is the default snapshot mode on the Hadoop backend") {
+    val root = java.nio.file.Files.createTempDirectory("graft_msnap_hfs")
+    val c = GraftStore.at(spark, "file:" + root.resolve("s").toString)
+      .collection("c")
+    c.write("it", df3(1L -> "a"), indexCols = Seq("index"))
+    val snap = c.createSnapshot(Some("s1")) // no explicit mode
+    assert(Snapshots.manifestExists(c.path, snap))
+    c.append("it", df3(2L -> "b"))
+    c.deleteItem("it")
+    assert(c.item("it", snapshot = Some(snap)).data.count() == 1)
+    c.deleteSnapshot(snap)
+    assert(c.listSnapshots().isEmpty)
+    c.path.parent.parent.deleteRecursively()
+  }
+
+  test("typed errors: missing manifest snapshot / item not in manifest") {
+    val c = tempCollection("msnap_err")
+    c.write("it", df3(1L -> "a"), indexCols = Seq("index"))
+    val snap = c.createSnapshot(Some("s1"), manifest = Some(true))
+    intercept[SnapshotNotFoundError] { c.item("it", snapshot = Some("nope")) }
+    intercept[ItemNotFoundError] { c.item("ghost", snapshot = Some(snap)) }
+    cleanup(c)
+  }
+}

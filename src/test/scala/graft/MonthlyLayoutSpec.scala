@@ -20,7 +20,7 @@ class MonthlyLayoutSpec extends SparkSpec {
   }
 
   private def monthDirs(c: Collection, item: String): Map[String, Seq[(String, Long)]] = {
-    val dataDir = c.path.resolve(item).resolve(Item.DataDir)
+    val dataDir = java.nio.file.Paths.get(c.path.resolve(item).resolve(Item.DataDir).raw)
     Files.list(dataDir).iterator().asScala
       .filter(p => p.getFileName.toString.startsWith(Collection.MonthCol + "="))
       .map { p =>

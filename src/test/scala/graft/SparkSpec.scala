@@ -48,5 +48,5 @@ abstract class SparkSpec extends AnyFunSuite {
     df.collect().toSeq.map(r => (r.get(0).asInstanceOf[A], r.get(1).asInstanceOf[B]))
 
   def cleanup(c: Collection): Unit =
-    FsOps.deleteRecursively(c.path.getParent.getParent)
+    c.path.parent.parent.deleteRecursively()
 }

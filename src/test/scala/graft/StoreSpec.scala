@@ -169,7 +169,7 @@ class StoreSpec extends SparkSpec {
       """{"source": "broker-x", "_updated": "2020-01-01 00:00:00.000000"}""")
 
     val c = tempCollection("import")
-    val store = new GraftStore(spark, c.path.getParent)
+    val store = new GraftStore(spark, c.path.parent)
     val imported = store.importPystore(srcRoot)
     assert(imported == Seq("prices/AAPL"))
     val item = store.collection("prices").item("AAPL")
