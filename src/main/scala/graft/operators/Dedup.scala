@@ -224,11 +224,24 @@ object Dedup {
 
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs within a Hamming radius. Candidates via the
-    * pigeonhole banding trick: split the 64-bit hash into (radius+1)
-    * chunks — any pair within `radius` bit flips must agree exactly on
-    * at least one chunk, so an equi-join per chunk finds all candidates
-    * without a cross join.
+  /** SimHash near-dup pairs within a Hamming radius.
+    *
+    * Candidate generation adapts to the radius:
+    *  - radius < 4: plain pigeonhole — split the 64-bit hash into
+    *    (radius+1) chunks; a pair within `radius` flips agrees exactly
+    *    on ≥1 chunk, so an equi-join per chunk finds all candidates.
+    *  - radius ≥ 4: HmSearch-style MULTI-INDEX (Zhang et al., public
+    *    literature). Plain pigeonhole at radius 6 leaves 9-bit chunks
+    *    (512-value keyspace — collisions grow with n²/512, a scale
+    *    hazard), and widening the signature doesn't help because the
+    *    Hamming distance of a pair scales WITH the signature width.
+    *    Instead: m = radius/2 + 1 chunks (any ≤ radius pair has a
+    *    chunk with ≤ 1 flipped bit, since all chunks ≥ 2 would need
+    *    ≥ 2m > radius flips), and the lower-id side probes with every
+    *    1-bit variant of each chunk key. radius 6 → 4 chunks × 16-bit
+    *    keys: keyspace 2¹⁶ (128× plain pigeonhole), candidate volume
+    *    n·m exact keys joined against n·m·(width+1) probe keys — both
+    *    uniform, no hot buckets.
     *
     * `verifyJaccard = Some(τ)` makes SimHash the CANDIDATE stage of a
     * verified pipeline (the production shape): Hamming-close pairs pay
@@ -241,23 +254,33 @@ object Dedup {
                    textCol: String = "text",
                    idCol: String = "doc_id",
                    verifyJaccard: Option[Double] = None,
-                   shingleK: Int = 3): DataFrame = {
-    val chunks = radius + 1
+                   shingleK: Int = 3,
+                   useMultiIndex: Option[Boolean] = None): DataFrame = {
+    val multiIndex = useMultiIndex.getOrElse(radius >= 4)
+    val chunks = if (multiIndex) radius / 2 + 1 else radius + 1
     val width = 64 / chunks
     val sh = spread(df).select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
-    val banded = sh.select(col("id"), col("sim"),
+    val exact = sh.select(col("id"), col("sim"),
       explode(array((0 until chunks).map { c =>
         struct(lit(c).as("chunk"),
           shiftrightunsigned(col("sim"), c * width)
             .bitwiseAND(lit((1L << width) - 1)).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("sim"), col("bk.chunk").as("chunk"), col("bk.key").as("key"))
+    // probe side: the chunk key itself plus (multi-index only) its
+    // 1-bit variants — covers the ≤1-flip chunk the pigeonhole
+    // argument guarantees, in either flip direction
+    val probe =
+      if (!multiIndex) exact
+      else exact.select(col("id"), col("sim"), col("chunk"),
+        explode(array((0 to width).map { i =>
+          if (i == 0) col("key")
+          else col("key").bitwiseXOR(lit(1L << (i - 1)))
+        }: _*)).as("key"))
     // Hamming predicate INSIDE the join: candidates that fail the
-    // radius never reach the distinct — with narrow chunks (small key
-    // space) the bucket join emits far more collisions than true
-    // near-pairs, so filtering first shrinks the distinct's shuffle
-    // from O(collisions) to O(true pairs).
-    val within = banded.as("a").join(banded.as("b"),
+    // radius never reach the distinct, shrinking the distinct's
+    // shuffle from O(collisions) to O(true pairs).
+    val within = probe.as("a").join(exact.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id") &&
           hamming64(col("a.sim"), col("b.sim")) <= radius)

@@ -103,14 +103,17 @@ object PipelineQueries {
   val dedupNgramJaccardSql: String = jaccardPairOracle(0.5, 3, augNearSql)
 
   /** SimHash as the candidate stage of a verified near-dup pipeline:
-    * pigeonhole-banded Hamming-ball candidates, exact shingle-Jaccard
-    * verification. The exhaustive-Jaccard oracle then proves the
-    * SimHash candidate generation surfaces EVERY ≥ τ pair of this
-    * dataset (measured max Hamming over true pairs at the oracle SF is
-    * 6 — radius 6 covers it; wider radii quadratically inflate the
-    * hot-bucket collision count the pigeonhole join must scan, the
-    * documented cost model of banded SimHash) — same oracle design as
-    * the MinHash-LSH query. */
+    * Hamming-ball candidates via the HmSearch-style multi-index
+    * (radius 6 → 4 chunks × 16-bit keys + 1-bit-variant probes —
+    * keyspace 2¹⁶ where plain pigeonhole left 2⁹; see Dedup.scala and
+    * PLANS.md), exact shingle-Jaccard verification. The
+    * exhaustive-Jaccard oracle then proves the candidate generation
+    * surfaces EVERY ≥ τ pair of this dataset (measured max Hamming
+    * over true pairs at the oracle SF is 6 — radius 6 covers it) —
+    * same oracle design as the MinHash-LSH query. Radius is a recall
+    * heuristic by nature: at larger SFs a tail of qualifying pairs
+    * drifts past any fixed radius (sf0.1: 299 of 311), which is why
+    * the recall-guaranteed near-dup query is `dedup_minhash_lsh`. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docsWithNearCopies(s, dir), radius = 6,
         verifyJaccard = Some(0.5))

@@ -50,6 +50,26 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Number](0).longValue() < r.getAs[Number](1).longValue())
   }
 
+  test("simhash multi-index finds exactly the plain-pigeonhole pair set") {
+    // HmSearch-style 1-bit-variant probing (radius >= 4 default) is a
+    // pure candidate-generation change: the hamming predicate in the
+    // join makes both schemes emit exactly the hamming<=radius pairs,
+    // so their outputs must be identical — the multi-index just gets
+    // there with 2^16 chunk keys instead of 2^9.
+    val docs = sf("documents").select($"doc_id", $"text")
+    val w = split($"text", " ")
+    val aug = docs.unionByName(docs.filter($"doc_id" < 30)
+      .withColumn("doc_id", $"doc_id" + 100000L)
+      .withColumn("text", concat_ws(" ", slice(w, lit(1), size(w) - 1))))
+    def pairs(multi: Boolean) =
+      Dedup.simhashPairs(aug, radius = 6, useMultiIndex = Some(multi))
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val m = pairs(multi = true)
+    val p = pairs(multi = false)
+    assert(m == p, s"multi-only=${m -- p} plain-only=${p -- m}")
+    assert(m.nonEmpty)
+  }
+
   test("vector ops: dot/norm/cosine") {
     val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f), Array(2.0f, 0.0f)))
       .toDF("x", "y", "x2")
