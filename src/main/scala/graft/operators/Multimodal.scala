@@ -12,14 +12,12 @@ import org.apache.spark.sql.types._
   * metadata struct (mime, width/height/duration, source uri). All the
   * Spark-side machinery — schema, partition-sized batch processing,
   * column pruning (metadata-only queries never deserialize payloads) —
-  * is real; only the codec kernel is stubbed, because no image/audio
-  * libraries ship in this container.
-  *
-  * DECODE STUB: `decodeFeatures` marks the seam where a real
-  * decoder (JNI to libjpeg/ffmpeg, or a model server call) would run.
-  * It computes a deterministic fake feature vector from the bytes so
-  * the pipeline shape (binary in → fixed-dim float vector out, batch
-  * iteration per partition) is fully testable.
+  * is real. Image decode/resize are REAL (`decodeImage`,
+  * `resizeImages` — `javax.imageio`, JDK-shipped); audio/video decode
+  * has no JDK codec, so `decodeFeatures`/`samplePayload` keep the
+  * deterministic stand-in kernels behind the same (bytes → features /
+  * bytes → bytes) contract, marking where a JNI/ffmpeg or model-server
+  * call would run.
   *
   * Scale notes: payloads ride in Parquet binary columns — Parquet
   * keeps them out of dictionary encoding and the vectorized reader
@@ -95,6 +93,123 @@ object Multimodal {
       while (j < featureDim) { out(j) = out(j) / bytes.length; j += 1 }
     }
     out
+  }
+
+  // ------------------------------------------------ real image codec
+
+  /** Deterministic RGB PNG fixture table: one width×height image per
+    * input id, pixel channels = linear formulas of (id, x, y). Because
+    * the pixels are closed-form, an oracle can compute the decoded
+    * channel means WITHOUT a decoder of its own — so a query over
+    * `decodeImage` hash-verifies the whole encode → store → decode
+    * loop (PNG is lossless for RGB). Generation runs in the same
+    * mapPartitions batch shape as decoding. */
+  def imageTable(ids: DataFrame, width: Int = 16, height: Int = 12): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", mediaMetaType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val in = ids.select(col(ids.columns.head).cast(LongType))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val rr = ((id * 7 + x * 3 + y * 5) % 256).toInt
+            val gg = ((id * 11 + x + y * 2) % 256).toInt
+            val bb = ((id * 13 + x * 3 + y) % 256).toInt
+            img.setRGB(x, y, (rr << 16) | (gg << 8) | bb)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, bos.toByteArray,
+          Row("image/png", width, height, null, s"mem://img/$id"))
+      }
+    }(enc)
+  }
+
+  /** REAL image decode — `javax.imageio` (JDK-shipped, no external
+    * dependency): payload bytes (PNG/BMP/GIF/JPEG) → decoded
+    * dimensions + per-channel means. Same mapPartitions batch kernel
+    * seam as `decodeFeatures`, which remains the codec-free
+    * deterministic twin for formats the JDK can't read. Channel sums
+    * accumulate in Long (exact — bounded integers), so the emitted
+    * means are order-independent and oracle-pinnable. */
+  def decodeImage(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("mean_r", DoubleType),
+      StructField("mean_g", DoubleType),
+      StructField("mean_b", DoubleType)))
+    val input = media.select(col("media_id").cast(LongType), col("payload"))
+    val enc = RowEncoder.encoderFor(outSchema)
+    input.mapPartitions { rows =>
+      // per-partition: ImageIO scans for plugins once per JVM; a real
+      // model/codec session would init here
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) Row(id, 0, 0, 0.0, 0.0, 0.0)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >>> 16) & 0xff; sg += (p >>> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w * h).toDouble
+          if (n == 0) Row(id, w, h, 0.0, 0.0, 0.0)
+          else Row(id, w, h, sr / n, sg / n, sb / n)
+        }
+      }
+    }(enc)
+  }
+
+  /** Real resize through the same seam: decode → Graphics2D bilinear
+    * scale → re-encode PNG. The byte-stride `samplePayload` remains the
+    * structural stand-in for codecs the JDK lacks (video frames). */
+  def resizeImages(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", mediaMetaType)))
+    val input = media.select(col("media_id").cast(LongType), col("payload"))
+    val enc = RowEncoder.encoderFor(outSchema)
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        val dst = new java.awt.image.BufferedImage(
+          outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, outW, outH, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", bos)
+        Row(id, bos.toByteArray,
+          Row("image/png", outW, outH, null, s"mem://img/$id/resized"))
+      }
+    }(enc)
   }
 
   /** "Resize / frame-sample" analogue: keep every `stride`-th payload

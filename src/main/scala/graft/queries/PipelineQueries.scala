@@ -613,6 +613,40 @@ object PipelineQueries {
        |FROM m
        |ORDER BY media_id""".stripMargin
 
+  /** REAL image decode through the multimodal seam: deterministic PNG
+    * fixtures (pixel channels = closed-form formulas of (id, x, y)) are
+    * encoded with javax.imageio, decoded back by the mapPartitions
+    * kernel, and the per-channel means emitted. The oracle recomputes
+    * the means straight from the pixel formulas — DuckDB needs no
+    * decoder — so a green hash proves the encode → decode loop is
+    * bit-exact (PNG is lossless RGB; channel sums are exact integer
+    * arithmetic on both sides). */
+  def multimodalImageDecode(s: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.t(s, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") < 200)
+    Multimodal.decodeImage(Multimodal.imageTable(ids))
+      .select(col("media_id"), col("width"), col("height"),
+        round(col("mean_r"), 6).as("mean_r"),
+        round(col("mean_g"), 6).as("mean_g"),
+        round(col("mean_b"), 6).as("mean_b"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Closed-form channel mean over the 16×12 fixture raster:
+    * Σ_p ((a·id + b·(p%16) + c·(p/16)) mod 256) / 192. */
+  private def chanMeanSql(a: Int, b: Int, c: Int): String =
+    s"""round(list_sum(list_transform(range(0, 192),
+       |  p -> (doc_id * $a + (p % 16) * $b + (p // 16) * $c) % 256)) / 192.0, 6)""".stripMargin
+
+  val multimodalImageDecodeSql: String =
+    s"""SELECT doc_id AS media_id,
+       |  CAST(16 AS INTEGER) AS width, CAST(12 AS INTEGER) AS height,
+       |  ${chanMeanSql(7, 3, 5)} AS mean_r,
+       |  ${chanMeanSql(11, 1, 2)} AS mean_g,
+       |  ${chanMeanSql(13, 3, 1)} AS mean_b
+       |FROM documents WHERE doc_id < 200
+       |ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
@@ -630,7 +664,8 @@ object PipelineQueries {
     "text_fingerprint" -> textFingerprint _,
     "text_rolling_fingerprint" -> textRollingFingerprint _,
     "multimodal_meta" -> multimodalMeta _,
-    "multimodal_decode" -> multimodalDecode _)
+    "multimodal_decode" -> multimodalDecode _,
+    "multimodal_image_decode" -> multimodalImageDecode _)
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -649,5 +684,6 @@ object PipelineQueries {
     "text_fingerprint" -> textFingerprintSql,
     "text_rolling_fingerprint" -> textRollingFingerprintSql,
     "multimodal_meta" -> multimodalMetaSql,
-    "multimodal_decode" -> multimodalDecodeSql)
+    "multimodal_decode" -> multimodalDecodeSql,
+    "multimodal_image_decode" -> multimodalImageDecodeSql)
 }

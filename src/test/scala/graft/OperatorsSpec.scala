@@ -288,6 +288,26 @@ class OperatorsSpec extends SparkSpec {
     assert(sampled.map(_.getAs[Int]("sampled_len")).toSeq == Seq(2, 4))
   }
 
+  test("real image codec: PNG round-trip is bit-exact, resize rescales") {
+    val ids = Seq(3L, 17L).toDF("media_id")
+    val media = Multimodal.imageTable(ids, width = 16, height = 12)
+    // payloads are real PNGs (magic bytes)
+    val png = media.orderBy("media_id").head().getAs[Array[Byte]]("payload")
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P'.toByte)
+    val dec = Multimodal.decodeImage(media).orderBy("media_id").collect()
+    dec.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 16 && r.getInt(2) == 12)
+      // closed-form channel mean from the fixture's pixel formula
+      val expR = (for (y <- 0 until 12; x <- 0 until 16)
+        yield (id * 7 + x * 3 + y * 5) % 256).sum.toDouble / 192.0
+      assert(math.abs(r.getDouble(3) - expR) < 1e-9, s"mean_r of $id")
+    }
+    val small = Multimodal.resizeImages(media, 8, 6)
+    val rdec = Multimodal.decodeImage(small).orderBy("media_id").collect()
+    assert(rdec.forall(r => r.getInt(1) == 8 && r.getInt(2) == 6))
+  }
+
   test("graft functions are callable from pure SQL after registration") {
     graft.functions.GraftFunctions.register(spark)
     Seq((1L, Array(1.0f, 0.0f), Array(1.0f, 0.0f), "a b c d")).toDF("id", "v1", "v2", "text")
