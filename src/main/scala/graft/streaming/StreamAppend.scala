@@ -138,6 +138,54 @@ object StreamAppend {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming NEAR-dup detection — the streaming twin of
+    * `Dedup.minhashLshPairs`: banded MinHash signatures feed a
+    * stream-stream self-join on (band, band-hash) within the watermark
+    * horizon, candidates pay the exact shingle-Jaccard verification,
+    * and multi-band hits collapse via dropDuplicatesWithinWatermark on
+    * the pair key. Emits (id_a, id_b, ts, jaccard) for every pair of
+    * in-horizon documents with jaccard ≥ threshold — on bounded input,
+    * exactly the batch operator's pair set (StreamingSpec proves it).
+    *
+    * State economics: the join state holds each doc's banded keys AND
+    * its shingle set for the horizon (the verification needs it — at
+    * 100 TB/day the shingle set would instead be re-fetched from the
+    * store at verify time, trading state size for a point lookup);
+    * band keys are uniform 64-bit hashes, so the join state shards
+    * evenly. State is bounded by the watermark horizon on BOTH sides
+    * of the join — the time-interval predicate is what lets the state
+    * store evict. */
+  def nearDupPairsStream(stream: DataFrame,
+                         threshold: Double,
+                         numHashes: Int = 64,
+                         bands: Int = 16,
+                         shingleK: Int = 3,
+                         textCol: String = "text",
+                         idCol: String = "doc_id",
+                         tsCol: String = "ts",
+                         watermarkDelay: String = "1 hour"): DataFrame = {
+    import graft.operators.Dedup
+    val banded = stream.select(col(idCol).as("id"), col(tsCol).as("ts"),
+        Dedup.shingles(col(textCol), shingleK).as("sh"))
+      .select(col("id"), col("ts"), col("sh"),
+        posexplode(graft.functions.expressions.minhash_bands(
+          col("sh"), numHashes, bands)).as(Seq("band", "bh")))
+    val a = banded.withWatermark("ts", watermarkDelay).alias("a")
+    val b = banded.withWatermark("ts", watermarkDelay).alias("b")
+    a.join(b, expr(
+        s"""a.band = b.band AND a.bh = b.bh AND a.id < b.id AND
+           |b.ts BETWEEN a.ts - INTERVAL $watermarkDelay
+           |         AND a.ts + INTERVAL $watermarkDelay""".stripMargin))
+      .withColumn("jaccard", Dedup.jaccard(col("a.sh"), col("b.sh")))
+      .filter(col("jaccard") >= threshold)
+      // keep a.ts AS the event-time attribute: its watermark carries
+      // through the join, so the pair-dedup below is a second stateful
+      // operator on the same watermark (re-defining one is disallowed)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.ts").as("ts"), round(col("jaccard"), 6).as("jaccard"))
+      .dropDuplicatesWithinWatermark("id_a", "id_b")
+  }
+
   /** Run a bounded streaming job to completion (test/driver helper). */
   def runToCompletion(writer: DataStreamWriter[Row]): Unit = {
     val q: StreamingQuery = writer.trigger(Trigger.AvailableNow()).start()

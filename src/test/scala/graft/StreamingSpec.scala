@@ -58,6 +58,39 @@ class StreamingSpec extends SparkSpec {
     FsOps.deleteRecursively(src)
   }
 
+  test("streaming near-dup pairs equal batch minhashLshPairs on bounded input") {
+    val src = Files.createTempDirectory("graft_stream_neardup")
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val near = base + " extra"
+    val other = "completely different words describing some unrelated subject entirely here now"
+    val docs = Seq(
+      (1L, t("2024-01-01 10:00:00"), base),
+      (2L, t("2024-01-01 10:05:00"), near),   // near-dup of 1
+      (3L, t("2024-01-01 10:10:00"), other),
+      (4L, t("2024-01-01 10:15:00"), base),   // exact dup of 1, near 2
+      // watermark sentinel so all dedup state flushes
+      (99L, t("2024-01-03 00:00:00"), "zz yy xx ww vv uu tt ss rr qq pp oo")
+    ).toDF("doc_id", "ts", "text")
+    docs.write.mode("overwrite").parquet(s"$src/in")
+
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$src/in")
+    val q = StreamAppend.nearDupPairsStream(stream, threshold = 0.5)
+      .writeStream.outputMode("append").format("memory").queryName("neardup_out").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("neardup_out")
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = graft.operators.Dedup.minhashLshPairs(docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch,
+      s"stream-only=${streamed -- batch} batch-only=${batch -- streamed}")
+    assert(streamed.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    FsOps.deleteRecursively(src)
+  }
+
   test("stateful streaming sessionization closes sessions on gap timeout") {
     import graft.streaming.{SessionEvent, StreamAppend => SA}
     val src = Files.createTempDirectory("graft_stream_sess")
