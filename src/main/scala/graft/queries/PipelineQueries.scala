@@ -425,14 +425,17 @@ object PipelineQueries {
        |FROM scored
        |ORDER BY doc_id""".stripMargin
 
-  /** End-to-end curation pipeline — the composition a training-data
-    * run actually executes, as ONE DataFrame plan: quality scoring →
-    * prose filter → language ID → canonical-fingerprint dedup (keep
-    * min id) → per-language corpus summary. Every stage is per-row or
-    * one hash aggregate; the whole pipeline has two shuffles (dedup
-    * group + final rollup). The oracle recomposes the SAME published
-    * fragments (quality arithmetic, lang CASE, md5 canonical form) in
-    * SQL, so the composition — not just the pieces — is hash-verified. */
+  /** End-to-end curation pipeline v2 — the composition a training-data
+    * run actually executes, as ONE DataFrame plan: canonical-
+    * fingerprint dedup (keep min id) → MinHash-LSH NEAR-dup removal
+    * (keep a doc iff it has no smaller-id neighbor at jaccard ≥ 0.8 —
+    * deterministic, SQL-replicable) → quality scoring → prose filter →
+    * language ID → per-language corpus summary. The near-dup stage is
+    * the banded-LSH candidate join + exact-Jaccard verify of
+    * `dedup_minhash_lsh`; the oracle recomposes EVERY stage — md5
+    * canonical form, exhaustive-Jaccard near-drop, quality arithmetic,
+    * lang CASE — in SQL, so the composition (including LSH recall
+    * through the pipeline) is hash-verified. */
   def pipelineCuration(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
     // Dedup FIRST (canonical fingerprint, keep min doc_id via rank-1
@@ -447,7 +450,12 @@ object PipelineQueries {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("doc_id"), col("text"))
-    deduped
+    // near-dup removal: drop the larger id of every verified ≥0.8 pair
+    val nearPairs = Dedup.minhashLshPairs(deduped, threshold = 0.8)
+    val nearDeduped = deduped.join(
+      nearPairs.select(col("id_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    nearDeduped
       .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
       .withColumn("quality", TextAnalysis.qualityScore(col("text")))
       .filter(col("quality") >= 0.5 && col("n_tokens") >= 10)
@@ -482,10 +490,20 @@ object PipelineQueries {
        |keep AS (SELECT fp, min(doc_id) AS doc_id FROM canon GROUP BY fp),
        |kept AS (SELECT c.doc_id, c.text FROM canon c JOIN keep k
        |         ON c.fp = k.fp AND c.doc_id = k.doc_id),
+       |shk AS (SELECT doc_id AS id,
+       |    (SELECT ${shinglesSql(3)} FROM (SELECT $normTokensSql AS w)) AS sh
+       |  FROM kept),
+       |near_drop AS (SELECT DISTINCT b.id AS doc_id
+       |  FROM shk a, shk b
+       |  WHERE a.id < b.id
+       |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+       |kept2 AS (SELECT * FROM kept
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)),
        |stats0 AS (SELECT doc_id, text,
        |    $nTokensSql AS n_tokens,
        |    $qualitySql AS quality
-       |  FROM kept),
+       |  FROM kept2),
        |filtered AS (SELECT * FROM stats0 WHERE quality >= 0.5 AND n_tokens >= 10),
        |langed AS (SELECT *, $langScoresSql FROM filtered),
        |tagged AS (SELECT doc_id, n_tokens, quality, $langCaseSql AS lang FROM langed)
