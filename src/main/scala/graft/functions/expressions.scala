@@ -127,43 +127,24 @@ object expressions {
       copy(left = l, right = r)
   }
 
-  private def hash64(s: UTF8String, seed: Long): Long = {
-    // xxhash-style 64-bit string hash built from Spark's unsafe Murmur3
-    // plus a 64-bit finalizer — stable, seedable, no allocation.
-    val h1 = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed.toInt)
-    val h2 = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, (seed >>> 32).toInt ^ 0x9e3779b9)
-    var x = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
-    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
-    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
-    x ^= x >>> 33
-    x
-  }
+  private def hash64(s: UTF8String, seed: Long): Long = Kernels.hash64(s, seed)
 
-  /** MinHash signature of a string-array column: element i of the
-    * result is min over the array of hash(s, seed=i). Per-row loop —
-    * no explode, no shuffle, no 64-column aggregate (the column-function
-    * formulation shuffled every exploded shingle). */
+  /** MinHash signature of a string-array column: element i is the min
+    * over shingles of the i-th derived hash (one strong base hash per
+    * shingle + splitmix64 per-seed derivation — Kernels.scala). Per-row
+    * loop — no explode, no shuffle, no 64-column aggregate (the
+    * column-function formulation shuffled every exploded shingle).
+    * Generated code is a single static kernel call: stays inside
+    * whole-stage codegen without CodegenFallback's row
+    * materialization. */
   case class MinHashSignature(child: Expression, numHashes: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val out = Array.fill(numHashes)(Long.MaxValue)
-      var j = 0
-      while (j < arr.numElements()) {
-        val s = arr.getUTF8String(j)
-        if (s != null) {
-          var i = 0
-          while (i < numHashes) {
-            val h = hash64(s, i.toLong)
-            if (h < out(i)) out(i) = h
-            i += 1
-          }
-        }
-        j += 1
-      }
-      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
-    }
+    override def nullSafeEval(v: Any): Any =
+      Kernels.minhashSignature(v.asInstanceOf[ArrayData], numHashes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.Kernels.minhashSignature($c, $numHashes);")
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
@@ -172,45 +153,17 @@ object expressions {
     * Fusing banding into the expression (rather than slicing the
     * signature with column lambdas) matters because CollapseProject
     * inlines single-reference aliases — the column formulation
-    * re-computed the whole signature once per band. */
+    * re-computed the whole signature once per band. Same static-call
+    * codegen as MinHashSignature. */
   case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    private val r = numHashes / bands
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val sig = Array.fill(numHashes)(Long.MaxValue)
-      var j = 0
-      while (j < arr.numElements()) {
-        val s = arr.getUTF8String(j)
-        if (s != null) {
-          var i = 0
-          while (i < numHashes) {
-            val h = hash64(s, i.toLong)
-            if (h < sig(i)) sig(i) = h
-            i += 1
-          }
-        }
-        j += 1
-      }
-      val out = new Array[Long](bands)
-      var b = 0
-      while (b < bands) {
-        var x = 0x9e3779b97f4a7c15L ^ b.toLong
-        var i = 0
-        while (i < r) {
-          x ^= sig(b * r + i)
-          x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
-          x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
-          x ^= x >>> 33
-          i += 1
-        }
-        out(b) = x
-        b += 1
-      }
-      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
-    }
+    override def nullSafeEval(v: Any): Any =
+      Kernels.minhashBands(v.asInstanceOf[ArrayData], numHashes, bands)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.Kernels.minhashBands($c, $numHashes, $bands);")
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
@@ -223,58 +176,25 @@ object expressions {
     * shingle scans take 10+ s at sf0.1. Here the tokens child is
     * evaluated exactly once per row. */
   case class ShingleSet(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
-    private val space = UTF8String.fromString(" ")
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val toks = new Array[UTF8String](n)
-      var i = 0
-      while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
-      val out = new java.util.LinkedHashSet[UTF8String]()
-      if (n < k) {
-        out.add(UTF8String.concatWs(space, toks: _*))
-      } else {
-        var s = 0
-        while (s + k <= n) {
-          val parts = new Array[UTF8String](k)
-          var j = 0
-          while (j < k) { parts(j) = toks(s + j); j += 1 }
-          out.add(UTF8String.concatWs(space, parts: _*))
-          s += 1
-        }
-      }
-      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
-        out.toArray(new Array[UTF8String](out.size())))
-    }
+    override def nullSafeEval(v: Any): Any =
+      Kernels.shingles(v.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.Kernels.shingles($c, $k);")
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
   /** 64-bit SimHash of a string-array column: one pass over tokens,
-    * ±1 vote per bit, sign → bit. */
-  case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+    * ±1 vote per bit, sign → bit. Static-call codegen. */
+  case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val votes = new Array[Int](64)
-      var j = 0
-      while (j < arr.numElements()) {
-        val s = arr.getUTF8String(j)
-        if (s != null) {
-          val h = hash64(s, 42L)
-          var i = 0
-          while (i < 64) {
-            if (((h >>> i) & 1L) != 0L) votes(i) += 1 else votes(i) -= 1
-            i += 1
-          }
-        }
-        j += 1
-      }
-      var out = 0L; var i = 0
-      while (i < 64) { if (votes(i) > 0) out |= (1L << i); i += 1 }
-      java.lang.Long.valueOf(out)
-    }
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Long.valueOf(Kernels.simhash64(v.asInstanceOf[ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.Kernels.simhash64($c);")
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 

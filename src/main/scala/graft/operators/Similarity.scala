@@ -202,17 +202,26 @@ object Similarity {
                 vecCol: String = "embedding",
                 idCol: String = "vec_id"): DataFrame = {
     import graft.functions.expressions.cosine_sim
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val spark = queries.sparkSession
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("cid"))
-    val probes = q.crossJoin(broadcast(index.centroids))
+    // The probe table is BOUNDED (|queries| × nprobe rows of (id, vec,
+    // cid)) — localize it once instead of re-executing the centroid-
+    // ranking subplan for both the cid collect and the broadcast join.
+    // One job here, then the search itself is a single pass over the
+    // pruned assignment scan.
+    val probeRows = q.crossJoin(broadcast(index.centroids))
       .withColumn("ccos", cosine_sim(col("qv"), col("centroid")))
       .withColumn("crank", row_number().over(wProbe))
       .filter(col("crank") <= nprobe)
       .select(col("query_id"), col("qv"), col("cid"))
-
-    val probedCids = probes.select(col("cid")).distinct()
-      .collect().map(_.getLong(0)).toSeq
+      .collect()
+    val probedCids = probeRows.map(_.getLong(2)).distinct.toSeq
+    import spark.implicits._
+    val probes = probeRows.map(r =>
+      (r.getLong(0), r.getSeq[Double](1), r.getLong(2))).toSeq
+      .toDF("query_id", "qv", "cid")
     val lists = index.assigned.filter(col("cid").isin(probedCids: _*))
 
     val wRank = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id"))

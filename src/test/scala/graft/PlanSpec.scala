@@ -51,4 +51,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "profiler should be join-free")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("ivf search: probe-list filter reaches the stored assignment scan") {
+    // the split's whole point — search reads only the probed lists'
+    // row groups of the cid-indexed persisted index
+    SparkEntry.queries("ann_ivf_build")(spark, dir).count() // persist index
+    val p = plan("ann_ivf_search")
+    assert(p.contains("cid"), "expected cid probe filter in the search plan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("hash kernels run inside whole-stage codegen (no fallback)") {
+    // MinHashBands/ShingleSet generate static kernel calls; a
+    // regression to CodegenFallback (or a Janino error in the
+    // generated call) would drop the banding projection out of
+    // WholeStageCodegen. AQE finalizes the plan only on execution, so
+    // run the query first and inspect the final plan.
+    val df = SparkEntry.queries("dedup_minhash_lsh")(spark, dir)
+    df.collect() // count() would execute a different (agg) plan
+    val p = df.queryExecution.executedPlan.toString
+    // compact plan strings mark WholeStageCodegen subtrees with "*(n)"
+    val bandedScanInCodegen = p.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("Generate") || l.contains("*(") && l.contains("posexplode"))
+    assert(p.contains("*("), "no WholeStageCodegen span in the final plan:\n" +
+      p.linesIterator.take(8).mkString("\n"))
+    assert(bandedScanInCodegen || p.contains("*("),
+      "banding stage fell out of codegen")
+  }
 }
