@@ -47,4 +47,65 @@ object Profiler {
       s"stack(${cols.length}, $stackArgs) as " +
         "(column, n, n_null, min, max, sum, p50, p95)"))
   }
+
+  /** Categorical data-card stats, one row per column: count, nulls,
+    * distinct count, lexical min/max, and the modal value with its
+    * frequency (ties broken by the smaller value, so the result is
+    * deterministic and oracle-pinnable). ONE aggregate pass for all
+    * columns; the per-column mode comes from a (column, value) rollup —
+    * two shuffles total regardless of column count.
+    *
+    * `approxDistinct = true` swaps exact distinct counting for HLL
+    * (`approx_count_distinct`) — the 100 TB default; exact is kept for
+    * the DuckDB hash compare. */
+  def categoricalProfile(df: DataFrame,
+                         cols: Seq[String],
+                         approxDistinct: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "categoricalProfile needs at least one column")
+    cols.foreach { c =>
+      require(!c.contains("`") && !c.contains("'"),
+        s"categoricalProfile: column name '$c' contains a quote character")
+    }
+    // melt first: (column, value) — a single skinny relation drives
+    // every statistic, and value counts get map-side partial aggs
+    val stackArgs = cols.map(c => s"'$c', cast(`$c` as string)").mkString(", ")
+    val melted = df.select(expr(
+      s"stack(${cols.length}, $stackArgs) as (column, value)"))
+    val counts = melted.groupBy(col("column"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("column"))
+      .agg(
+        sum(when(col("value").isNotNull, col("cnt")).otherwise(0L)).as("n"),
+        sum(when(col("value").isNull, col("cnt")).otherwise(0L)).as("n_null"),
+        (if (approxDistinct) approx_count_distinct(col("value")).cast("long")
+         else count_distinct(col("value"))).as("n_distinct"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        // mode with a deterministic tie-break (highest count, then the
+        // LARGER value — struct ordering), so the result is
+        // oracle-pinnable; max_by skips rows whose ordering key is null
+        max_by(col("value"), when(col("value").isNotNull,
+          struct(col("cnt"), col("value")))).as("top_value"),
+        max(when(col("value").isNotNull, col("cnt"))).as("top_count"))
+      .orderBy(col("column"))
+  }
+
+  /** Fixed-bin histogram of a numeric column over [lo, hi): bin i
+    * covers [lo + i·w, lo + (i+1)·w). Values outside clamp to the edge
+    * bins (the data-card convention). One groupBy on the bin id —
+    * map-side combined, one shuffle of ≤ bins rows per task. */
+  def histogram(df: DataFrame, c: String, bins: Int,
+                lo: Double, hi: Double): DataFrame = {
+    require(bins > 0 && hi > lo, "histogram needs bins > 0 and hi > lo")
+    val w = (hi - lo) / bins
+    val bin = least(greatest(
+      floor((col(c).cast("double") - lo) / w).cast("long"), lit(0L)), lit(bins - 1L))
+    df.filter(col(c).isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo", round(lit(lo) + col("bin") * w, 6))
+      .withColumn("hi", round(lit(lo) + (col("bin") + 1) * w, 6))
+      .select(col("bin"), col("lo"), col("hi"), col("n"))
+      .orderBy(col("bin"))
+  }
 }

@@ -539,6 +539,50 @@ object PipelineQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
   }
 
+  /** Categorical data-card stats over orders: one aggregate pass for
+    * all columns, mode with a deterministic (count, value) tie-break
+    * the oracle replicates via QUALIFY. */
+  def profileCategories(s: SparkSession, dir: String): DataFrame =
+    Profiler.categoricalProfile(Tables.t(s, dir, "orders"),
+      Seq("o_orderstatus", "o_orderpriority"))
+
+  val profileCategoriesSql: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS "column", CAST($c AS VARCHAR) AS value, count(*) AS cnt
+         |FROM orders GROUP BY 2""".stripMargin
+    s"""WITH counts AS (${Seq("o_orderstatus", "o_orderpriority").map(one)
+          .mkString("\n UNION ALL\n")}),
+       |top AS (SELECT "column", value AS top_value, cnt AS top_count FROM counts
+       |        WHERE value IS NOT NULL
+       |        QUALIFY row_number() OVER (PARTITION BY "column"
+       |          ORDER BY cnt DESC, value DESC) = 1)
+       |SELECT c."column",
+       |  CAST(sum(CASE WHEN c.value IS NOT NULL THEN c.cnt ELSE 0 END) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN c.value IS NULL THEN c.cnt ELSE 0 END) AS BIGINT) AS n_null,
+       |  CAST(count(c.value) AS BIGINT) AS n_distinct,
+       |  min(c.value) AS min_value, max(c.value) AS max_value,
+       |  any_value(t.top_value) AS top_value,
+       |  CAST(any_value(t.top_count) AS BIGINT) AS top_count
+       |FROM counts c JOIN top t ON c."column" = t."column"
+       |GROUP BY c."column"
+       |ORDER BY c."column"""".stripMargin
+  }
+
+  /** Fixed-bin histogram over o_totalprice — the data-card
+    * distribution pass: one groupBy on the bin id, map-side combined. */
+  def profileHistogram(s: SparkSession, dir: String): DataFrame =
+    Profiler.histogram(Tables.t(s, dir, "orders"), "o_totalprice",
+      bins = 20, lo = 0.0, hi = 500000.0)
+
+  val profileHistogramSql: String =
+    """WITH b AS (SELECT least(greatest(CAST(floor(CAST(o_totalprice AS DOUBLE) / 25000.0)
+      |    AS BIGINT), 0), 19) AS bin
+      |  FROM orders WHERE o_totalprice IS NOT NULL)
+      |SELECT bin, round(bin * 25000.0, 6) AS lo, round((bin + 1) * 25000.0, 6) AS hi,
+      |  count(*) AS n
+      |FROM b GROUP BY bin
+      |ORDER BY bin""".stripMargin
+
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -679,6 +723,8 @@ object PipelineQueries {
     "text_langid" -> textLangId _,
     "pipeline_curation" -> pipelineCuration _,
     "profile_orders" -> profileOrders _,
+    "profile_categories" -> profileCategories _,
+    "profile_histogram" -> profileHistogram _,
     "text_fingerprint" -> textFingerprint _,
     "text_rolling_fingerprint" -> textRollingFingerprint _,
     "multimodal_meta" -> multimodalMeta _,
@@ -699,6 +745,8 @@ object PipelineQueries {
     "text_langid" -> textLangIdSql,
     "pipeline_curation" -> pipelineCurationSql,
     "profile_orders" -> profileOrdersSql,
+    "profile_categories" -> profileCategoriesSql,
+    "profile_histogram" -> profileHistogramSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_rolling_fingerprint" -> textRollingFingerprintSql,
     "multimodal_meta" -> multimodalMetaSql,

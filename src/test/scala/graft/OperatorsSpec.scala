@@ -209,6 +209,32 @@ class OperatorsSpec extends SparkSpec {
     assert(full.getAs[Long]("n") > 0 && full.getAs[Long]("n_null") == 0L)
   }
 
+  test("categorical profile: mode tie-break and approx-distinct variant") {
+    val df = Seq(("a", "x"), ("b", "x"), ("b", "y"), (null, "y"))
+      .toDF("c1", "c2")
+    val r = Profiler.categoricalProfile(df, Seq("c1", "c2"))
+      .orderBy("column").collect()
+    val c1 = r(0); val c2 = r(1)
+    assert(c1.getAs[Long]("n") == 3 && c1.getAs[Long]("n_null") == 1)
+    assert(c1.getAs[Long]("n_distinct") == 2)
+    assert(c1.getAs[String]("top_value") == "b" && c1.getAs[Long]("top_count") == 2)
+    // tie between x and y (2 each) → larger value wins deterministically
+    assert(c2.getAs[String]("top_value") == "y" && c2.getAs[Long]("top_count") == 2)
+    val approx = Profiler.categoricalProfile(df, Seq("c1"), approxDistinct = true)
+      .head().getAs[Long]("n_distinct")
+    assert(approx == 2) // HLL exact at this cardinality
+  }
+
+  test("histogram: clamped edge bins, widths, total count") {
+    val df = Seq(-5.0, 0.0, 9.9, 10.0, 55.0, 99.9, 150.0).toDF("v")
+    val h = Profiler.histogram(df, "v", bins = 10, lo = 0.0, hi = 100.0)
+      .collect().map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"))).toMap
+    assert(h(0L) == 3)          // -5 clamps in, 0.0 and 9.9
+    assert(h(1L) == 1 && h(5L) == 1)
+    assert(h(9L) == 2)          // 99.9 and clamped 150
+    assert(h.values.sum == 7)
+  }
+
   test("text analysis: tokens, quality bounds, langid, fingerprint stability") {
     val df = Seq(
       ("The cat sat on the mat, and it was happy.", "en-ish"),
