@@ -13,11 +13,13 @@ import org.apache.spark.sql.types._
   * Spark-side machinery — schema, partition-sized batch processing,
   * column pruning (metadata-only queries never deserialize payloads) —
   * is real. Image decode/resize are REAL (`decodeImage`,
-  * `resizeImages` — `javax.imageio`, JDK-shipped); audio/video decode
-  * has no JDK codec, so `decodeFeatures`/`samplePayload` keep the
-  * deterministic stand-in kernels behind the same (bytes → features /
-  * bytes → bytes) contract, marking where a JNI/ffmpeg or model-server
-  * call would run.
+  * `resizeImages` — `javax.imageio`) and WAV audio parse/PCM
+  * extraction is REAL (`decodeAudio` — `javax.sound.sampled`), both
+  * JDK-shipped; compressed audio (mp3/ogg) and video have no JDK
+  * codec, so `decodeFeatures`/`samplePayload` keep the deterministic
+  * stand-in kernels behind the same (bytes → features / bytes →
+  * bytes) contract, marking where a JNI/ffmpeg or model-server call
+  * would run.
   *
   * Scale notes: payloads ride in Parquet binary columns — Parquet
   * keeps them out of dictionary encoding and the vectorized reader
@@ -208,6 +210,91 @@ object Multimodal {
         javax.imageio.ImageIO.write(dst, "png", bos)
         Row(id, bos.toByteArray,
           Row("image/png", outW, outH, null, s"mem://img/$id/resized"))
+      }
+    }(enc)
+  }
+
+  // ------------------------------------------------- real audio codec
+
+  private def sampleAt(id: Long, i: Int): Short =
+    (((id * 31 + i.toLong * 17) % 65536) - 32768).toShort
+
+  /** Deterministic 16-bit PCM mono WAV fixture table: sample i of id's
+    * clip = ((id·31 + i·17) mod 2¹⁶) − 2¹⁵ — integer arithmetic only,
+    * so the oracle replicates the decoded stats without any audio
+    * library (no transcendental waveform whose last-ulp rounding could
+    * differ across engines). The RIFF/fmt/data header is written by
+    * hand; `decodeAudio` parses it back through the REAL
+    * `javax.sound.sampled` path, proving interop. */
+  def audioTable(ids: DataFrame, nSamples: Int = 2048,
+                 sampleRate: Int = 8000): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", mediaMetaType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val in = ids.select(col(ids.columns.head).cast(LongType))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bb = java.nio.ByteBuffer.allocate(44 + nSamples * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + nSamples * 2)
+        bb.put("WAVE".getBytes("US-ASCII"))
+        bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+        bb.putShort(1); bb.putShort(1) // PCM, mono
+        bb.putInt(sampleRate); bb.putInt(sampleRate * 2)
+        bb.putShort(2); bb.putShort(16) // block align, bits/sample
+        bb.put("data".getBytes("US-ASCII")); bb.putInt(nSamples * 2)
+        var i = 0
+        while (i < nSamples) { bb.putShort(sampleAt(id, i)); i += 1 }
+        Row(id, bb.array(),
+          Row("audio/wav", null, null, nSamples * 1000L / sampleRate,
+            s"mem://wav/$id"))
+      }
+    }(enc)
+  }
+
+  /** REAL audio decode — `javax.sound.sampled` (JDK-shipped): WAV
+    * payload bytes → format header + PCM sample statistics. Sum of
+    * |sample| accumulates in Long (exact), min/max are Ints — all
+    * oracle-pinnable. Same mapPartitions batch seam as the image
+    * codec; compressed audio (mp3/ogg) stays behind the deterministic
+    * stand-in, the JDK has no codec for it. */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("n_samples", LongType),
+      StructField("channels", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("sum_abs", LongType),
+      StructField("min_s", IntegerType),
+      StructField("max_s", IntegerType)))
+    val input = media.select(col("media_id").cast(LongType), col("payload"))
+    val enc = RowEncoder.encoderFor(outSchema)
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = ais.getFormat
+          val data = ais.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(data).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          var n = 0L; var sumAbs = 0L
+          var mn = Int.MaxValue; var mx = Int.MinValue
+          while (bb.remaining() >= 2) {
+            val s = bb.getShort.toInt
+            n += 1; sumAbs += math.abs(s)
+            if (s < mn) mn = s
+            if (s > mx) mx = s
+          }
+          Row(id, n, fmt.getChannels, fmt.getSampleRate.toInt, sumAbs,
+            if (n == 0) 0 else mn, if (n == 0) 0 else mx)
+        } finally ais.close()
       }
     }(enc)
   }

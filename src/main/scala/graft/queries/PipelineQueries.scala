@@ -709,6 +709,30 @@ object PipelineQueries {
        |FROM documents WHERE doc_id < 200
        |ORDER BY media_id""".stripMargin
 
+  /** REAL audio decode through the multimodal seam: deterministic
+    * 16-bit PCM WAV fixtures (integer sawtooth — no transcendental
+    * rounding risk), parsed back via javax.sound.sampled; the oracle
+    * recomputes the decoded sample statistics from the generator
+    * formula, so a green hash proves header parse + PCM extraction. */
+  def multimodalAudioDecode(s: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.t(s, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") < 200)
+    Multimodal.decodeAudio(Multimodal.audioTable(ids))
+      .orderBy(col("media_id"))
+  }
+
+  val multimodalAudioDecodeSql: String =
+    """SELECT doc_id AS media_id, CAST(2048 AS BIGINT) AS n_samples,
+      |  CAST(1 AS INTEGER) AS channels, CAST(8000 AS INTEGER) AS sample_rate,
+      |  CAST(list_sum(list_transform(range(0, 2048),
+      |    i -> abs((doc_id * 31 + i * 17) % 65536 - 32768))) AS BIGINT) AS sum_abs,
+      |  CAST(list_min(list_transform(range(0, 2048),
+      |    i -> (doc_id * 31 + i * 17) % 65536 - 32768)) AS INTEGER) AS min_s,
+      |  CAST(list_max(list_transform(range(0, 2048),
+      |    i -> (doc_id * 31 + i * 17) % 65536 - 32768)) AS INTEGER) AS max_s
+      |FROM documents WHERE doc_id < 200
+      |ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
@@ -729,7 +753,8 @@ object PipelineQueries {
     "text_rolling_fingerprint" -> textRollingFingerprint _,
     "multimodal_meta" -> multimodalMeta _,
     "multimodal_decode" -> multimodalDecode _,
-    "multimodal_image_decode" -> multimodalImageDecode _)
+    "multimodal_image_decode" -> multimodalImageDecode _,
+    "multimodal_audio_decode" -> multimodalAudioDecode _)
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -751,5 +776,6 @@ object PipelineQueries {
     "text_rolling_fingerprint" -> textRollingFingerprintSql,
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_decode" -> multimodalDecodeSql,
-    "multimodal_image_decode" -> multimodalImageDecodeSql)
+    "multimodal_image_decode" -> multimodalImageDecodeSql,
+    "multimodal_audio_decode" -> multimodalAudioDecodeSql)
 }

@@ -334,6 +334,19 @@ class OperatorsSpec extends SparkSpec {
     assert(rdec.forall(r => r.getInt(1) == 8 && r.getInt(2) == 6))
   }
 
+  test("real audio codec: WAV round-trip via javax.sound matches formula") {
+    val ids = Seq(5L).toDF("media_id")
+    val media = Multimodal.audioTable(ids, nSamples = 64, sampleRate = 8000)
+    val wav = media.head().getAs[Array[Byte]]("payload")
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    val r = Multimodal.decodeAudio(media).head()
+    assert(r.getAs[Long]("n_samples") == 64)
+    assert(r.getAs[Int]("channels") == 1 && r.getAs[Int]("sample_rate") == 8000)
+    val expected = (0 until 64).map(i => ((5L * 31 + i * 17) % 65536) - 32768)
+    assert(r.getAs[Long]("sum_abs") == expected.map(math.abs).sum)
+    assert(r.getAs[Int]("min_s") == expected.min && r.getAs[Int]("max_s") == expected.max)
+  }
+
   test("graft functions are callable from pure SQL after registration") {
     graft.functions.GraftFunctions.register(spark)
     Seq((1L, Array(1.0f, 0.0f), Array(1.0f, 0.0f), "a b c d")).toDF("id", "v1", "v2", "text")
