@@ -340,6 +340,56 @@ object expressions {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Token-repetition statistics in one pass (Gopher-style repetition
+    * filters): distinct-token count, the modal bigram's occurrence
+    * count, and how many trigram positions hold a trigram that occurs
+    * more than once. HashMap-counted per row — no shuffle, no per-pair
+    * work; the ratios downstream are plain arithmetic. */
+  case class RepetitionStats(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tokens", IntegerType, nullable = false),
+      StructField("n_distinct", IntegerType, nullable = false),
+      StructField("top_bigram", IntegerType, nullable = false),
+      StructField("dup_trigram_pos", IntegerType, nullable = false)))
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val toks = new Array[UTF8String](n)
+      var i = 0
+      while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
+      val distinct = new java.util.HashSet[UTF8String]()
+      i = 0
+      while (i < n) { if (toks(i) != null) distinct.add(toks(i)); i += 1 }
+      val space = UTF8String.fromString(" ")
+      var topBigram = 0
+      if (n >= 2) {
+        val counts = new java.util.HashMap[UTF8String, Int]()
+        i = 0
+        while (i + 1 < n) {
+          val bg = UTF8String.concatWs(space, toks(i), toks(i + 1))
+          val c = counts.merge(bg, 1, (a, b) => a + b)
+          if (c > topBigram) topBigram = c
+          i += 1
+        }
+      }
+      var dupTri = 0
+      if (n >= 3) {
+        val counts = new java.util.HashMap[UTF8String, Int]()
+        i = 0
+        while (i + 2 < n) {
+          counts.merge(UTF8String.concatWs(space, toks(i), toks(i + 1), toks(i + 2)),
+            1, (a, b) => a + b)
+          i += 1
+        }
+        val it = counts.values().iterator()
+        while (it.hasNext) { val c = it.next(); if (c > 1) dupTri += c }
+      }
+      InternalRow(n, distinct.size(), topBigram, dupTri)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** Marker-word hit counts for several language profiles in one pass
     * over the token array: element i of the result is how many tokens
     * are in profile i. Replaces per-profile `filter` lambdas (each of
@@ -380,6 +430,8 @@ object expressions {
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
   def hyperplane_bands(vec: Column, bits: Int, bands: Int, seed: Int = 42): Column =
     column(HyperplaneBands(expression(vec), bits, bands, seed))
+  def repetition_stats(tokens: Column): Column =
+    column(RepetitionStats(expression(tokens)))
   def winnow_fp(tokens: Column, k: Int, w: Int): Column =
     column(WinnowFingerprint(expression(tokens), k, w))
   def text_stats(tokens: Column, stopwords: Seq[String]): Column =

@@ -63,6 +63,30 @@ object TextAnalysis {
     round((lengthScore * 0.3 + punctScore * 0.2 + stopScore * 0.3 + wordLenOk * 0.2), 6)
   }
 
+  /** Gopher-style repetition signals over the whitespace tokens, as a
+    * per-doc row: `distinct_ratio` (unique tokens / tokens),
+    * `top_bigram_share` (fraction of bigram positions holding the
+    * modal bigram), `dup_trigram_share` (fraction of trigram positions
+    * whose trigram occurs more than once). One native-kernel pass per
+    * row (RepetitionStats), no shuffle; all ratios closed-form so the
+    * oracle replicates them from the same tokenization. */
+  def repetition(df: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val r = graft.functions.expressions.repetition_stats(tokens(col(textCol)))
+    val empty = length(trim(col(textCol))) === 0
+    val n = when(empty, 0).otherwise(r.getField("n_tokens"))
+    df.select(col(idCol), n.as("n_tokens"),
+      when(n === 0, 0.0).otherwise(round(
+        r.getField("n_distinct").cast("double") / n.cast("double"), 6))
+        .as("distinct_ratio"),
+      when(n < 2, 0.0).otherwise(round(
+        r.getField("top_bigram").cast("double") / (n - 1).cast("double"), 6))
+        .as("top_bigram_share"),
+      when(n < 3, 0.0).otherwise(round(
+        r.getField("dup_trigram_pos").cast("double") / (n - 2).cast("double"), 6))
+        .as("dup_trigram_share"))
+  }
+
   /** Per-language marker-word profiles for the n-gram/stopword language
     * heuristic. Tiny on purpose: broadcast as literals into codegen.
     * The it/pt/nl profiles use distinctive markers only (no overlap

@@ -583,6 +583,39 @@ object PipelineQueries {
       |FROM b GROUP BY bin
       |ORDER BY bin""".stripMargin
 
+  /** Gopher-style repetition signals (distinct-token ratio, modal
+    * bigram share, duplicated-trigram share) — the oracle recomputes
+    * all three from the same whitespace tokenization with DuckDB list
+    * ops, so the kernel's counting is hash-verified. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetition(
+      Tables.t(s, dir, "documents").select(col("doc_id"), col("text")))
+      .orderBy(col("doc_id"))
+
+  val textRepetitionSql: String =
+    """WITH tok AS (SELECT doc_id,
+      |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE string_split_regex(trim(text), '\s+') END AS t
+      |  FROM documents),
+      |g AS (SELECT doc_id, t, len(t) AS n,
+      |    list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bg,
+      |    list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS tg
+      |  FROM tok)
+      |SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+      |  CASE WHEN n = 0 THEN 0.0
+      |       ELSE round(CAST(len(list_distinct(t)) AS DOUBLE) / n, 6) END AS distinct_ratio,
+      |  CASE WHEN n < 2 THEN 0.0
+      |       ELSE round(CAST(list_max(list_transform(list_distinct(bg),
+      |              x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / (n - 1), 6)
+      |       END AS top_bigram_share,
+      |  CASE WHEN n < 3 THEN 0.0
+      |       ELSE round(CAST(len(list_filter(tg,
+      |              x -> len(list_filter(tg, y -> y = x)) > 1)) AS DOUBLE) / (n - 2), 6)
+      |       END AS dup_trigram_share
+      |FROM g
+      |ORDER BY doc_id""".stripMargin
+
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -745,6 +778,7 @@ object PipelineQueries {
     "ann_ivf_search" -> annIvfSearch _,
     "text_stats" -> textStats _,
     "text_langid" -> textLangId _,
+    "text_repetition" -> textRepetition _,
     "pipeline_curation" -> pipelineCuration _,
     "profile_orders" -> profileOrders _,
     "profile_categories" -> profileCategories _,
@@ -768,6 +802,7 @@ object PipelineQueries {
     "ann_ivf_search" -> annIvfSearchSql,
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangIdSql,
+    "text_repetition" -> textRepetitionSql,
     "pipeline_curation" -> pipelineCurationSql,
     "profile_orders" -> profileOrdersSql,
     "profile_categories" -> profileCategoriesSql,

@@ -334,6 +334,23 @@ class OperatorsSpec extends SparkSpec {
     assert(rdec.forall(r => r.getInt(1) == 8 && r.getInt(2) == 6))
   }
 
+  test("repetition signals: distinct ratio, modal bigram, dup trigrams") {
+    val df = Seq(
+      (1L, "a b a b a b"),          // heavy repetition
+      (2L, "one two three four"),   // no repetition
+      (3L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(df).orderBy("doc_id").collect()
+    // doc 1: 6 tokens, 2 distinct; bigrams: "a b"×3, "b a"×2 → top 3/5;
+    // trigrams: "a b a"×2, "b a b"×2 → 4/4 positions duplicated
+    assert(r(0).getAs[Int]("n_tokens") == 6)
+    assert(math.abs(r(0).getAs[Double]("distinct_ratio") - 2.0 / 6) < 1e-6)
+    assert(math.abs(r(0).getAs[Double]("top_bigram_share") - 3.0 / 5) < 1e-6)
+    assert(math.abs(r(0).getAs[Double]("dup_trigram_share") - 1.0) < 1e-6)
+    assert(r(1).getAs[Double]("distinct_ratio") == 1.0)
+    assert(r(1).getAs[Double]("dup_trigram_share") == 0.0)
+    assert(r(2).getAs[Int]("n_tokens") == 0 && r(2).getAs[Double]("distinct_ratio") == 0.0)
+  }
+
   test("real audio codec: WAV round-trip via javax.sound matches formula") {
     val ids = Seq(5L).toDF("media_id")
     val media = Multimodal.audioTable(ids, nSamples = 64, sampleRate = 8000)
