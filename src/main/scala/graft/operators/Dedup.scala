@@ -301,6 +301,53 @@ object Dedup {
     }
   }
 
+  // -------------------------------------------------- cluster assembly
+
+  /** Connected components over an undirected near-dup pair list —
+    * the step that turns pairwise similarity output into DEDUP
+    * CLUSTERS (keep one representative per component, not per pair:
+    * A~B, B~C must collapse A,B,C together even when A~C was never
+    * emitted).
+    *
+    * Pregel-style min-label propagation as DataFrame iterations: each
+    * round, every node takes the min label among itself and its
+    * neighbors; converges in ≤ component-diameter rounds (near-dup
+    * clusters are shallow — duplicates of a common source — so
+    * typically 2-4). Each round is ONE join + ONE aggregate, shuffled
+    * on node id; iterations persist their label table and unpersist
+    * the previous one, so lineage stays O(1) (the iterative-plan
+    * lesson from k-means). The per-round driver action is a single
+    * `isEmpty` convergence probe. Returns (id, cluster) with cluster =
+    * min member id. */
+  def connectedComponents(pairs: DataFrame,
+                          maxIter: Int = 25,
+                          idACol: String = "id_a",
+                          idBCol: String = "id_b"): DataFrame = {
+    val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+      .unionByName(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var it = 0
+    var converged = edges.isEmpty
+    while (!converged && it < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.as("l")
+        .join(nbrMin, col("l.id") === nbrMin("src"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("label"))
+        .persist()
+      converged = updated.as("u").join(labels.as("o"), Seq("id"))
+        .filter(col("u.label") < col("o.label")).isEmpty
+      labels.unpersist(blocking = false)
+      labels = updated
+      it += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
   // ------------------------------------------- embedding cosine near-dup
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold — the same

@@ -121,6 +121,43 @@ object PipelineQueries {
 
   val dedupSimhashSql: String = jaccardPairOracle(0.5, 3, augNearSql)
 
+  /** Near-dup CLUSTERS: the minhash pair list collapsed into connected
+    * components (A~B, B~C ⇒ {A,B,C} even when A~C never surfaced),
+    * emitted per cluster as (min-id representative, size, member-id
+    * sum — the sum pins exact membership). The oracle rebuilds the
+    * components from the exhaustive-Jaccard pair set with a recursive
+    * CTE, so BOTH the pairwise recall and the label-propagation
+    * convergence are hash-verified. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(docsWithNearCopies(s, dir), threshold = 0.8)
+    Dedup.connectedComponents(pairs)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"), sum(col("id")).as("sum_members"))
+      .orderBy(col("cluster"))
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE aug AS (SELECT doc_id, text FROM $augNearSql),
+       |sh AS (SELECT doc_id AS id,
+       |  (SELECT ${shinglesSql(3)} FROM (SELECT $normTokensSql AS w)) AS sh FROM aug),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM sh a, sh b WHERE a.id < b.id
+       |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+       |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+       |SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(sum(id) AS BIGINT) AS sum_members
+       |FROM comp GROUP BY cluster
+       |ORDER BY cluster""".stripMargin
+
   /** embeddings plus near-identical copies: element i scaled by
     * 1 + (i%5)/100 (deterministic, non-uniform so cosine < 1). */
   private def embWithNearCopies(s: SparkSession, dir: String): DataFrame = {
@@ -771,6 +808,7 @@ object PipelineQueries {
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_simhash" -> dedupSimhash _,
+    "dedup_clusters" -> dedupClusters _,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
     "ann_bruteforce_topk" -> annBruteForce _,
     "ann_lsh_topk" -> annLsh _,
@@ -795,6 +833,7 @@ object PipelineQueries {
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_simhash" -> dedupSimhashSql,
+    "dedup_clusters" -> dedupClustersSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "ann_bruteforce_topk" -> annBruteForceSql,
     "ann_lsh_topk" -> annLshSql,
