@@ -362,12 +362,23 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     val writer = df.write.mode("overwrite").option("compression", "snappy")
     (if (partitioned) writer.partitionBy(MonthCol) else writer).parquet(tmp.toString)
     path.resolve(item).mkdirs()
-    // Copy-on-write for manifest snapshots: a pinned old generation's
-    // data dir is renamed aside (O(1)) instead of destroyed by the swap.
-    Snapshots.retainIfPinned(path, item)
+    // Copy-on-write for manifest snapshots: pinned old generations are
+    // renamed aside (O(1)) instead of destroyed by the swap — the
+    // whole data dir for flat items, each pinned period dir for
+    // time-layout items (a full rewrite gives every period a new gen).
+    if (partitioned) Snapshots.retainPeriodsIfPinned(path, item)
+    else Snapshots.retainIfPinned(path, item)
+    val gen = System.nanoTime()
+    // fresh per-period gens for time layouts: the period list is the
+    // tmp dir's partition dirs (cheap driver listing, no extra job)
+    val periodGens: Map[String, JValue] =
+      if (!partitioned) Map.empty
+      else Meta.obj("_period_gens" -> tmp.listDirs
+        .filter(_.startsWith(MonthCol + "="))
+        .map(d => d.stripPrefix(MonthCol + "=") -> gen).toMap)
     path.fs.atomicSwap(path.resolve(item).resolve(Item.DataDir).raw, tmp.raw)
     Meta.write(path.resolve(item),
-      meta + ("_generation" -> Meta.jv(System.nanoTime())))
+      meta + ("_generation" -> Meta.jv(gen)) ++ periodGens)
     metaCache.remove(item)
     refreshItems()
   }
@@ -385,34 +396,57 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     df.write.mode("overwrite").option("compression", "snappy")
       .partitionBy(MonthCol).parquet(tmp.toString)
     val dataDir = path.resolve(item).resolve(Item.DataDir)
-    // O(1) renames only: old month dir moves aside as the rollback
-    // backup, new one moves in; nothing is copied.
-    val swapped = scala.collection.mutable.ArrayBuffer.empty[(SPath, Option[SPath])]
+    val oldPg = Snapshots.periodGensOf(Meta.read(path.resolve(item)))
+    val pinned = Snapshots.pinnedPeriodGens(path, item)
+    val gen = System.nanoTime()
+    // O(1) renames only: a replaced month dir moves aside — to the
+    // manifest-retained area when its generation is pinned (kept on
+    // success: that IS the copy-on-write), to a rollback backup
+    // otherwise; the new dir moves in; nothing is copied.
+    val swapped = scala.collection.mutable.ArrayBuffer.empty[(SPath, Option[SPath], Boolean)]
+    val swappedMonths = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
       months.foreach { m =>
         val src = tmp.resolve(s"$MonthCol=$m")
         if (src.isDir) {
+          swappedMonths += m
           val dst = dataDir.resolve(s"$MonthCol=$m")
-          val backup = path.resolve(s"__backup_month_${item}_$m")
-          backup.deleteRecursively()
+          val isPinned = oldPg.get(m).exists(g => pinned.get(m).exists(_.contains(g)))
+          val aside =
+            if (isPinned)
+              Snapshots.retainedPeriodDir(path, item, m, oldPg(m))
+            else path.resolve(s"__backup_month_${item}_$m")
           val hadOld = dst.isDir
-          if (hadOld) path.fs.rename(dst.raw, backup.raw)
+          if (hadOld && !(isPinned && aside.isDir)) {
+            if (isPinned) path.fs.mkdirs(aside.parent.raw)
+            else aside.deleteRecursively()
+            path.fs.rename(dst.raw, aside.raw)
+          } else if (hadOld) {
+            // same (period, gen) already retained (double append
+            // between snapshots can't happen — gens change per commit —
+            // but be idempotent anyway): drop the live copy
+            dst.deleteRecursively()
+          }
           path.fs.rename(src.raw, dst.raw)
-          swapped += ((dst, if (hadOld) Some(backup) else None))
+          swapped += ((dst, if (hadOld) Some(aside) else None, isPinned))
         }
       }
-      swapped.foreach { case (_, b) => b.foreach(_.deleteRecursively()) }
+      // success: unpinned backups die, retained period dirs stay
+      swapped.foreach { case (_, b, isPinned) =>
+        if (!isPinned) b.foreach(_.deleteRecursively())
+      }
       tmp.deleteRecursively()
     } catch {
       case e: Throwable =>
-        swapped.foreach { case (dst, backup) =>
+        swapped.foreach { case (dst, aside, _) =>
           dst.deleteRecursively()
-          backup.foreach(b => path.fs.rename(b.raw, dst.raw))
+          aside.foreach(b => path.fs.rename(b.raw, dst.raw))
         }
         throw new StorageError(s"partial month commit failed for $item: ${e.getMessage}")
     }
     Meta.write(path.resolve(item),
-      meta + ("_generation" -> Meta.jv(System.nanoTime())))
+      meta + ("_generation" -> Meta.jv(gen)) +
+        ("_period_gens" -> Meta.jv(oldPg ++ swappedMonths.map(_ -> gen).toMap)))
     metaCache.remove(item)
     refreshItems()
   }
@@ -648,8 +682,10 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     }
 
   def deleteItem(item: String): Boolean = {
-    // manifest snapshots survive the delete: pinned data dirs move to
+    // manifest snapshots survive the delete: pinned data (whole dir
+    // for flat items, per pinned period for time layouts) moves to
     // the retained area before the item dir is removed
+    Snapshots.retainPeriodsIfPinned(path, item)
     Snapshots.retainIfPinned(path, item)
     path.resolve(item).deleteRecursively()
     metaCache.remove(item)

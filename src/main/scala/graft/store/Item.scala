@@ -27,12 +27,13 @@ final class Item private[store] (
     filters: Seq[Filters.Pred],
     columns: Seq[String]) {
 
-  /** Resolved item dir + (for manifest snapshots) the sidecar frozen
-    * at snapshot time: a snapshot name resolves to a physical snapshot
-    * dir (link/copy snapshots, and time-layout items inside manifest
-    * snapshots), or through the manifest to the live dir (generation
-    * unchanged) / the retained generation dir (Snapshots.scala). */
-  private val resolved: (SPath, Option[Map[String, JValue]]) = snapshot match {
+  /** Resolved item location + (for manifest snapshots) the sidecar
+    * frozen at snapshot time: a snapshot name resolves to a physical
+    * snapshot dir (link/copy snapshots and legacy-frozen items), or
+    * through the manifest — flat items to the live dir (generation
+    * unchanged) / retained generation dir, time-layout items to one
+    * parquet dir per pinned period (live or retained per period). */
+  private val resolved: (SPath, Option[Snapshots.Resolved]) = snapshot match {
     case None => (collectionPath.resolve(name), None)
     case Some(snap) =>
       val snapDir = collectionPath.resolve(GraftStore.SnapshotsDir).resolve(snap)
@@ -42,7 +43,9 @@ final class Item private[store] (
       val dirItem = snapDir.resolve(name)
       if (dirItem.isDir) (dirItem, None)
       else Snapshots.resolveManifestItem(collectionPath, snap, name) match {
-        case Some((p, sidecar)) => (p, Some(sidecar))
+        case Some(r: Snapshots.FlatResolved) => (r.dir, Some(r))
+        case Some(r: Snapshots.PeriodResolved) =>
+          (collectionPath.resolve(name), Some(r))
         case None =>
           throw new ItemNotFoundError(s"item '$name' not found in snapshot '$snap'")
       }
@@ -50,11 +53,22 @@ final class Item private[store] (
 
   val path: SPath = resolved._1
 
-  if (!path.isDir)
-    throw new ItemNotFoundError(s"item '$name' does not exist")
+  private def periodResolved: Option[Snapshots.PeriodResolved] =
+    resolved._2.collect { case p: Snapshots.PeriodResolved => p }
+
+  periodResolved match {
+    case Some(p) =>
+      p.periodDirs.find(!_._2.isDir).foreach { case (period, d) =>
+        throw new StorageError(
+          s"snapshot period '$period' of item '$name' missing at $d")
+      }
+    case None =>
+      if (!path.isDir)
+        throw new ItemNotFoundError(s"item '$name' does not exist")
+  }
 
   lazy val metadata: Map[String, JValue] =
-    resolved._2.getOrElse(Meta.read(path))
+    resolved._2.map(_.sidecar).getOrElse(Meta.read(path))
 
   /** Index column names recorded at write (default Seq("index")). */
   def indexCols: Seq[String] = metadata.get("index_names") match {
@@ -94,12 +108,42 @@ final class Item private[store] (
     preds.reduceOption(_ && _)
   }
 
+  /** Period dirs of a manifest-snapshot time item, pruned DRIVER-side
+    * by the same index-time predicates `monthPruning` derives — with
+    * per-period paths, partition pruning becomes path selection. */
+  private def prunedPeriodDirs(pr: Snapshots.PeriodResolved): Seq[String] = {
+    val all = pr.periodDirs
+    val layout = timeLayout.getOrElse(return all.map(_._2.toString))
+    val sessionTz =
+      java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    val constraints = filters.filter(_.column == indexCols.head).flatMap { pred =>
+      Collection.periodOfValue(layout, pred.value, sessionTz).map(m => (pred.op, m))
+    }
+    val kept = all.filter { case (p, _) =>
+      constraints.forall {
+        case ("==" | "=", m) => p == m
+        case (">" | ">=", m) => p >= m
+        case ("<" | "<=", m) => p <= m
+        case _               => true
+      }
+    }
+    // over-pruned to nothing → read everything; the row filters below
+    // still produce the correct (empty) result with the right schema
+    (if (kept.isEmpty) all else kept).map(_._2.toString)
+  }
+
   /** The lazy, pushdown-planned scan. */
   lazy val data: DataFrame = {
-    val raw = spark.read.parquet(path.resolve(Item.DataDir).toString)
-    val base =
-      if (!isMonthly) raw
-      else monthPruning.fold(raw)(raw.filter).drop(Collection.MonthCol)
+    val base = periodResolved match {
+      case Some(pr) =>
+        // manifest time-layout snapshot: union of live + retained
+        // period dirs (no partition column — pruning happened above)
+        spark.read.parquet(prunedPeriodDirs(pr): _*)
+      case None =>
+        val raw = spark.read.parquet(path.resolve(Item.DataDir).toString)
+        if (!isMonthly) raw
+        else monthPruning.fold(raw)(raw.filter).drop(Collection.MonthCol)
+    }
     val filtered = Filters.toColumn(filters).fold(base)(base.filter)
     if (columns.isEmpty) filtered
     else {
@@ -150,6 +194,13 @@ final class Item private[store] (
     * single-pass GK sketch (the at-scale default). */
   def profile(cols: Seq[String], approx: Boolean = false): DataFrame =
     graft.operators.Profiler.numericProfile(data, cols, approx)
+
+  /** Categorical data-card stats (count/nulls/distinct/bounds/mode)
+    * over the item's pruned scan; `approxDistinct = true` is the HLL
+    * at-scale default. */
+  def profileCategorical(cols: Seq[String],
+                         approxDistinct: Boolean = false): DataFrame =
+    graft.operators.Profiler.categoricalProfile(data, cols, approxDistinct)
 
   /** Max index value — replaces the reference's repr-string parsing hack
     * for `last=True` (collection.py:153-156) with a real aggregate. */

@@ -26,11 +26,16 @@ import org.json4s.jackson.JsonMethods
   * snapshot counts are small and driver-side by construction).
   *
   * Time-layout items (monthly/daily/... directory layouts) mutate
-  * per-period rather than whole-dir, so generation pinning doesn't
-  * apply; the manifest path snapshots THEM by `linkOrCopyFile`
-  * (hardlink on POSIX, copy elsewhere) into the snapshot directory —
-  * correct everywhere, priced per time-layout item, and a candidate
-  * for per-period generations if it ever dominates.
+  * per-PERIOD rather than whole-dir, so they pin at period
+  * granularity: the sidecar tracks `_period_gens` (period → commit
+  * generation), the manifest records that map, and a partial commit
+  * that rewrites a pinned period renames just that period's directory
+  * into `.retained/<item>/periods/<period>/<gen>/`. Snapshot reads
+  * assemble the item as a union of live (generation unchanged) and
+  * retained period directories — creation stays O(periods) metadata,
+  * zero bytes moved, and append cost keeps scaling with the batch
+  * span. (Items written before `_period_gens` existed fall back to
+  * link/copy freezing.)
   */
 object Snapshots {
   val RetainedDir = ".retained"
@@ -56,11 +61,23 @@ object Snapshots {
   def generationOf(meta: Map[String, JValue]): Long =
     meta.get("_generation").map(Meta.unjv(_).asInstanceOf[Long]).getOrElse(0L)
 
+  /** Per-period generations of a time-layout item's sidecar. */
+  def periodGensOf(meta: Map[String, JValue]): Map[String, Long] =
+    meta.get("_period_gens") match {
+      case Some(JObject(fields)) => fields.toMap.map { case (p, g) =>
+        p -> Meta.unjv(g).asInstanceOf[Long]
+      }
+      case _ => Map.empty
+    }
+
   // ------------------------------------------------------------ create
 
-  /** Write the manifest for `snap`: flat items pinned by generation
-    * (sidecar embedded so snapshot reads don't depend on the live
-    * sidecar), time-layout items link/copied into the snapshot dir. */
+  /** Write the manifest for `snap`: flat items pinned by whole-item
+    * generation, time-layout items by their per-period generation map
+    * (sidecars embedded so snapshot reads don't depend on the live
+    * sidecar). Legacy time items with no `_period_gens` (written
+    * before per-period tracking) are link/copied into the snapshot
+    * dir instead. */
   def createManifest(collectionPath: SPath, snap: String,
                      items: Iterable[String]): Unit = {
     val fs = collectionPath.fs
@@ -69,14 +86,21 @@ object Snapshots {
       val meta = Meta.read(itemDir)
       val isTime = meta.get("_layout").map(j => Meta.unjv(j).toString)
         .exists(Collection.TimeLayouts.contains)
-      if (isTime) {
-        // per-period mutation ⇒ no stable whole-dir generation to pin
-        fs.snapshotRecursively(itemDir.raw,
-          snapsDir(collectionPath).resolve(snap).resolve(it).raw)
-        None
-      } else Some(JField(it, JObject(List(
+      if (!isTime) Some(JField(it, JObject(List(
         JField("generation", JInt(BigInt(generationOf(meta)))),
         JField("sidecar", JObject(meta.toList))))))
+      else {
+        val pg = periodGensOf(meta)
+        if (pg.isEmpty) {
+          fs.snapshotRecursively(itemDir.raw,
+            snapsDir(collectionPath).resolve(snap).resolve(it).raw)
+          None
+        } else Some(JField(it, JObject(List(
+          JField("period_gens", JObject(pg.toList.sortBy(_._1).map {
+            case (p, g) => JField(p, JInt(BigInt(g)))
+          })),
+          JField("sidecar", JObject(meta.toList))))))
+      }
     }
     val manifest = JObject(List(
       JField("created", JString(Meta.nowStamp())),
@@ -97,51 +121,94 @@ object Snapshots {
     }
   }
 
-  private def manifestItems(m: Map[String, JValue]): Map[String, (Long, Map[String, JValue])] =
+  private final case class Entry(gen: Option[Long],
+                                 periodGens: Map[String, Long],
+                                 sidecar: Map[String, JValue])
+
+  private def manifestItems(m: Map[String, JValue]): Map[String, Entry] =
     m.get("items") match {
       case Some(JObject(fields)) => fields.toMap.collect {
         case (it, JObject(e)) =>
           val em = e.toMap
-          val gen = em.get("generation").map(Meta.unjv(_).asInstanceOf[Long]).getOrElse(0L)
+          val gen = em.get("generation").map(Meta.unjv(_).asInstanceOf[Long])
+          val pg = em.get("period_gens") match {
+            case Some(JObject(pf)) => pf.toMap.map { case (p, g) =>
+              p -> Meta.unjv(g).asInstanceOf[Long]
+            }
+            case _ => Map.empty[String, Long]
+          }
           val sidecar = em.get("sidecar") match {
             case Some(JObject(sf)) => sf.toMap
             case _ => Map.empty[String, JValue]
           }
-          it -> (gen, sidecar)
+          it -> Entry(gen, pg, sidecar)
       }
       case _ => Map.empty
     }
 
   // ----------------------------------------------------------- resolve
 
-  /** Resolve `item` inside manifest snapshot `snap` → (item dir to
-    * read, frozen sidecar). None when the manifest doesn't exist or
-    * doesn't carry the item. */
+  /** What a manifest-snapshot item read resolves to. */
+  sealed trait Resolved { def sidecar: Map[String, JValue] }
+  /** Flat item: one dir (live while the generation is unchanged,
+    * retained otherwise) laid out like an item dir (data/ inside). */
+  final case class FlatResolved(dir: SPath,
+                                sidecar: Map[String, JValue]) extends Resolved
+  /** Time-layout item: one parquet dir per pinned period. */
+  final case class PeriodResolved(periodDirs: Seq[(String, SPath)],
+                                  sidecar: Map[String, JValue]) extends Resolved
+
+  private def retainedBase(collectionPath: SPath, item: String): SPath =
+    snapsDir(collectionPath).resolve(RetainedDir).resolve(item)
+
+  /** Resolve `item` inside manifest snapshot `snap`. None when the
+    * manifest doesn't exist or doesn't carry the item. */
   def resolveManifestItem(collectionPath: SPath, snap: String, item: String)
-      : Option[(SPath, Map[String, JValue])] =
+      : Option[Resolved] =
     readManifest(collectionPath, snap).flatMap { m =>
-      manifestItems(m).get(item).map { case (gen, sidecar) =>
+      manifestItems(m).get(item).map { e =>
         val live = collectionPath.resolve(item)
-        val liveGen = generationOf(Meta.read(live))
-        val dir =
-          if (live.isDir && liveGen == gen) live
-          else snapsDir(collectionPath).resolve(RetainedDir)
-            .resolve(item).resolve(gen.toString)
-        (dir, sidecar)
+        val liveMeta = Meta.read(live)
+        if (e.periodGens.nonEmpty) {
+          val livePg = periodGensOf(liveMeta)
+          val dirs = e.periodGens.toSeq.sortBy(_._1).map { case (p, g) =>
+            val liveDir = live.resolve(Item.DataDir)
+              .resolve(s"${Collection.MonthCol}=$p")
+            val dir =
+              if (livePg.get(p).contains(g) && liveDir.isDir) liveDir
+              else retainedBase(collectionPath, item)
+                .resolve("periods").resolve(p).resolve(g.toString)
+            (p, dir)
+          }
+          PeriodResolved(dirs, e.sidecar)
+        } else {
+          val gen = e.gen.getOrElse(0L)
+          val dir =
+            if (live.isDir && generationOf(liveMeta) == gen) live
+            else retainedBase(collectionPath, item).resolve(gen.toString)
+          FlatResolved(dir, e.sidecar)
+        }
       }
     }
 
   // ------------------------------------------------- copy-on-write/GC
 
-  /** Generations of `item` pinned by any manifest snapshot. */
+  /** Whole-item generations of `item` pinned by any manifest. */
   def pinnedGens(collectionPath: SPath, item: String): Set[Long] =
     listManifests(collectionPath).flatMap { snap =>
       readManifest(collectionPath, snap).toSeq
-        .flatMap(m => manifestItems(m).get(item).map(_._1))
+        .flatMap(m => manifestItems(m).get(item).flatMap(_.gen))
     }.toSet
 
-  /** Before a commit/delete destroys `item`'s data dir: if its current
-    * generation is pinned, rename the data dir (O(1)) into the
+  /** (period → pinned generations) of `item` across all manifests. */
+  def pinnedPeriodGens(collectionPath: SPath, item: String): Map[String, Set[Long]] =
+    listManifests(collectionPath).flatMap { snap =>
+      readManifest(collectionPath, snap).toSeq
+        .flatMap(m => manifestItems(m).get(item).toSeq.flatMap(_.periodGens))
+    }.groupBy(_._1).map { case (p, gs) => p -> gs.map(_._2).toSet }
+
+  /** Before a commit/delete destroys a FLAT `item`'s data dir: if its
+    * current generation is pinned, rename the data dir (O(1)) into the
     * retained area. */
   def retainIfPinned(collectionPath: SPath, item: String): Unit = {
     val itemDir = collectionPath.resolve(item)
@@ -149,11 +216,39 @@ object Snapshots {
     if (!dataDir.isDir) return
     val gen = generationOf(Meta.read(itemDir))
     if (pinnedGens(collectionPath, item).contains(gen)) {
-      val dst = snapsDir(collectionPath).resolve(RetainedDir)
-        .resolve(item).resolve(gen.toString)
+      val dst = retainedBase(collectionPath, item).resolve(gen.toString)
       if (!dst.resolve(Item.DataDir).exists) {
         dst.mkdirs()
         collectionPath.fs.rename(dataDir.raw, dst.resolve(Item.DataDir).raw)
+      }
+    }
+  }
+
+  /** Retained destination for one pinned period dir (caller renames). */
+  def retainedPeriodDir(collectionPath: SPath, item: String,
+                        period: String, gen: Long): SPath =
+    retainedBase(collectionPath, item).resolve("periods")
+      .resolve(period).resolve(gen.toString)
+
+  /** Retain every pinned period of a time-layout `item` before its
+    * data dir is destroyed (full rewrite / delete): each pinned
+    * period dir is renamed aside individually — O(periods) renames,
+    * zero bytes. */
+  def retainPeriodsIfPinned(collectionPath: SPath, item: String): Unit = {
+    val itemDir = collectionPath.resolve(item)
+    val dataDir = itemDir.resolve(Item.DataDir)
+    if (!dataDir.isDir) return
+    val livePg = periodGensOf(Meta.read(itemDir))
+    if (livePg.isEmpty) return
+    val pinned = pinnedPeriodGens(collectionPath, item)
+    livePg.foreach { case (p, g) =>
+      if (pinned.get(p).exists(_.contains(g))) {
+        val src = dataDir.resolve(s"${Collection.MonthCol}=$p")
+        val dst = retainedPeriodDir(collectionPath, item, p, g)
+        if (src.isDir && !dst.isDir) {
+          collectionPath.fs.mkdirs(dst.parent.raw)
+          collectionPath.fs.rename(src.raw, dst.raw)
+        }
       }
     }
   }
@@ -162,16 +257,32 @@ object Snapshots {
   def gcRetained(collectionPath: SPath): Unit = {
     val retained = snapsDir(collectionPath).resolve(RetainedDir)
     if (!retained.isDir) return
-    val referenced: Set[(String, Long)] = listManifests(collectionPath)
-      .flatMap { snap =>
-        readManifest(collectionPath, snap).toSeq
-          .flatMap(m => manifestItems(m).map { case (it, (g, _)) => (it, g) })
-      }.toSet
+    val manifests = listManifests(collectionPath)
+      .flatMap(snap => readManifest(collectionPath, snap).toSeq)
+      .map(manifestItems)
+    val refFlat: Set[(String, Long)] = manifests.flatMap(_.collect {
+      case (it, e) if e.gen.isDefined => (it, e.gen.get)
+    }).toSet
+    val refPeriod: Set[(String, String, Long)] = manifests.flatMap(_.toSeq.flatMap {
+      case (it, e) => e.periodGens.map { case (p, g) => (it, p, g) }
+    }).toSet
     retained.listDirs.foreach { it =>
       val itemDir = retained.resolve(it)
-      itemDir.listDirs.foreach { genName =>
-        val keep = genName.toLongOption.exists(g => referenced.contains((it, g)))
-        if (!keep) itemDir.resolve(genName).deleteRecursively()
+      itemDir.listDirs.foreach {
+        case "periods" =>
+          val periodsDir = itemDir.resolve("periods")
+          periodsDir.listDirs.foreach { p =>
+            val pDir = periodsDir.resolve(p)
+            pDir.listDirs.foreach { genName =>
+              val keep = genName.toLongOption.exists(g => refPeriod.contains((it, p, g)))
+              if (!keep) pDir.resolve(genName).deleteRecursively()
+            }
+            if (pDir.listDirs.isEmpty) pDir.deleteRecursively()
+          }
+          if (periodsDir.listDirs.isEmpty) periodsDir.deleteRecursively()
+        case genName =>
+          val keep = genName.toLongOption.exists(g => refFlat.contains((it, g)))
+          if (!keep) itemDir.resolve(genName).deleteRecursively()
       }
       if (itemDir.listDirs.isEmpty) itemDir.deleteRecursively()
     }

@@ -69,16 +69,67 @@ class ManifestSnapshotSpec extends SparkSpec {
     cleanup(c)
   }
 
-  test("time-layout items inside a manifest snapshot are frozen by copy") {
+  test("time-layout manifest pins per-period generations — no copy") {
     val c = tempCollection("msnap_time")
     val t0 = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
     val t1 = java.sql.Timestamp.valueOf("2024-02-15 00:00:00")
     c.write("tl", Seq((t0, 1.0)).toDF("index", "v"),
       indexCols = Seq("index"), timeLayout = Some("monthly"))
     val snap = c.createSnapshot(Some("s1"), manifest = Some(true))
+    // pinned by generation map, NOT copied into the snapshot dir
+    assert(!c.path.resolve(GraftStore.SnapshotsDir).resolve(snap).resolve("tl").isDir)
+    // appending a NEW month touches nothing pinned: no retention
     c.append("tl", Seq((t1, 2.0)).toDF("index", "v"))
+    val retained = c.path.resolve(GraftStore.SnapshotsDir)
+      .resolve(Snapshots.RetainedDir)
+    assert(!retained.isDir || retained.listDirs.isEmpty)
     assert(c.item("tl").data.count() == 2)
     assert(c.item("tl", snapshot = Some(snap)).data.count() == 1)
+    cleanup(c)
+  }
+
+  test("rewriting a pinned period retains just that period by rename") {
+    val c = tempCollection("msnap_period_cow")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    c.write("tl", Seq((ts("2024-01-10 00:00:00"), 1.0),
+        (ts("2024-02-10 00:00:00"), 5.0)).toDF("index", "v"),
+      indexCols = Seq("index"), timeLayout = Some("monthly"))
+    val snap = c.createSnapshot(Some("s1"), manifest = Some(true))
+    // append INTO January — rewrites the pinned period dir
+    c.append("tl", Seq((ts("2024-01-20 00:00:00"), 2.0)).toDF("index", "v"))
+    assert(c.item("tl").data.count() == 3)
+    val snapRows = c.item("tl", snapshot = Some(snap)).data
+      .orderBy($"index").as[(java.sql.Timestamp, Double)].collect().toSeq
+    assert(snapRows.map(_._2) == Seq(1.0, 5.0), s"got $snapRows")
+    // only January was retained (February untouched → still live)
+    val periods = c.path.resolve(GraftStore.SnapshotsDir)
+      .resolve(Snapshots.RetainedDir).resolve("tl").resolve("periods")
+    assert(periods.isDir && periods.listDirs == Seq("2024-01"))
+
+    // delete the whole live item: February's pinned gen retains too
+    c.deleteItem("tl")
+    val afterDelete = c.item("tl", snapshot = Some(snap)).data
+      .orderBy($"index").as[(java.sql.Timestamp, Double)].collect().toSeq
+    assert(afterDelete.map(_._2) == Seq(1.0, 5.0))
+
+    // snapshot delete GCs the retained periods
+    c.deleteSnapshot(snap)
+    assert(!periods.isDir)
+    cleanup(c)
+  }
+
+  test("snapshot reads of time items prune period dirs by index filter") {
+    val c = tempCollection("msnap_period_prune")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    c.write("tl", Seq((ts("2024-01-10 00:00:00"), 1.0),
+        (ts("2024-02-10 00:00:00"), 2.0),
+        (ts("2024-03-10 00:00:00"), 3.0)).toDF("index", "v"),
+      indexCols = Seq("index"), timeLayout = Some("monthly"))
+    val snap = c.createSnapshot(Some("s1"), manifest = Some(true))
+    val got = c.item("tl", snapshot = Some(snap),
+        filters = Seq(Filters.Pred("index", ">=", ts("2024-02-01 00:00:00"))))
+      .data.orderBy($"index").as[(java.sql.Timestamp, Double)].collect().toSeq
+    assert(got.map(_._2) == Seq(2.0, 3.0))
     cleanup(c)
   }
 
