@@ -681,6 +681,21 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       view
     }
 
+  /** Remove leftover working directories from interrupted operations —
+    * `__tmp_*` write staging, `__backup_*` swap backups, `__txn_backup_*`
+    * transaction backups. Safe under the single-writer model (same
+    * assumption as the reference): these names hold either pre-commit
+    * staging or post-crash garbage, never live data; the advisory
+    * `__lock` dir is NOT touched. Returns the removed names. */
+  def vacuum(): Seq[String] = {
+    val junk = path.listDirs.filter(d =>
+      d.startsWith(TmpPrefix) || d.startsWith("__backup_") ||
+        d.startsWith("__txn_backup_"))
+    junk.foreach(d => path.resolve(d).deleteRecursively())
+    refreshItems()
+    junk
+  }
+
   def deleteItem(item: String): Boolean = {
     // manifest snapshots survive the delete: pinned data (whole dir
     // for flat items, per pinned period for time layouts) moves to

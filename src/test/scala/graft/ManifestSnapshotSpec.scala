@@ -148,6 +148,21 @@ class ManifestSnapshotSpec extends SparkSpec {
     c.path.parent.parent.deleteRecursively()
   }
 
+  test("vacuum removes interrupted-operation leftovers, keeps live data") {
+    val c = tempCollection("vacuum")
+    c.write("it", df3(1L -> "a"), indexCols = Seq("index"))
+    c.path.resolve("__tmp_crashed").mkdirs()
+    c.path.resolve("__backup_month_x_2024-01").mkdirs()
+    c.path.resolve("__txn_backup_old").mkdirs()
+    val removed = c.vacuum()
+    assert(removed.toSet ==
+      Set("__tmp_crashed", "__backup_month_x_2024-01", "__txn_backup_old"))
+    assert(c.items == Set("it"))
+    assert(c.item("it").data.count() == 1)
+    assert(c.vacuum().isEmpty)
+    cleanup(c)
+  }
+
   test("typed errors: missing manifest snapshot / item not in manifest") {
     val c = tempCollection("msnap_err")
     c.write("it", df3(1L -> "a"), indexCols = Seq("index"))
