@@ -301,6 +301,31 @@ object Dedup {
     }
   }
 
+  // --------------------------------------------- cross-corpus overlap
+
+  /** Benchmark decontamination: documents of corpus `a` (training
+    * candidates) sharing ≥ `minShared` distinct word n-grams with any
+    * document of corpus `b` (the eval/benchmark set). Inverted-index
+    * join on the gram — the shuffle key is the gram itself
+    * (high-cardinality), each side ships (id, gram) rows only, and the
+    * count per (id_a, id_b) IS the intersection size (shingles are
+    * per-doc distinct). At 100 TB the benchmark side is small: the
+    * gram join broadcasts it and the training corpus streams once. */
+  def crossCorpusOverlap(a: DataFrame, b: DataFrame,
+                         n: Int = 8,
+                         minShared: Int = 1,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    val ga = spread(a).select(col(idCol).as("id_a"),
+      explode(shingles(col(textCol), n)).as("gram"))
+    val gb = spread(b).select(col(idCol).as("id_b"),
+      explode(shingles(col(textCol), n)).as("gram"))
+    ga.join(gb, "gram")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // -------------------------------------------------- cluster assembly
 
   /** Connected components over an undirected near-dup pair list —

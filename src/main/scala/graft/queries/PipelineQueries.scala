@@ -158,6 +158,57 @@ object PipelineQueries {
        |FROM comp GROUP BY cluster
        |ORDER BY cluster""".stripMargin
 
+  /** Benchmark decontamination: training docs (source ≠ src1) sharing
+    * ≥ 2 distinct 5-gram shingles with any eval doc (source = src1).
+    * The oracle recomputes the intersection sizes exhaustively. */
+  def textContamination(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    Dedup.crossCorpusOverlap(
+        d.filter(col("source") =!= "src1"),
+        d.filter(col("source") === "src1"),
+        n = 5, minShared = 2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val textContaminationSql: String =
+    s"""WITH tr AS (SELECT doc_id, text FROM documents WHERE source <> 'src1'),
+       |ev AS (SELECT doc_id, text FROM documents WHERE source = 'src1'),
+       |sa AS (SELECT doc_id AS id_a,
+       |  (SELECT ${shinglesSql(5)} FROM (SELECT $normTokensSql AS w)) AS sh FROM tr),
+       |sb AS (SELECT doc_id AS id_b,
+       |  (SELECT ${shinglesSql(5)} FROM (SELECT $normTokensSql AS w)) AS sh FROM ev)
+       |SELECT id_a, id_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_shared
+       |FROM sa a, sb b
+       |WHERE len(list_intersect(a.sh, b.sh)) >= 2
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Deterministic stratified sampling (eval-set carving): per-source
+    * hash-threshold fractions, membership pinned exactly by per-source
+    * count + id sum — the same md5-prefix rule evaluated in DuckDB. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents")
+    graft.operators.Sampling.stratifiedHashSample(d, "source", "doc_id",
+        Map("src1" -> 0.8, "src2" -> 0.5), default = 0.25)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("source"))
+  }
+
+  val sampleStratifiedSql: String = {
+    import graft.operators.Sampling.hashThreshold
+    s"""SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+       |FROM documents
+       |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+       |  CASE source WHEN 'src1' THEN '${hashThreshold(0.8)}'
+       |              WHEN 'src2' THEN '${hashThreshold(0.5)}'
+       |              ELSE '${hashThreshold(0.25)}' END
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
   /** embeddings plus near-identical copies: element i scaled by
     * 1 + (i%5)/100 (deterministic, non-uniform so cosine < 1). */
   private def embWithNearCopies(s: SparkSession, dir: String): DataFrame = {
@@ -817,6 +868,8 @@ object PipelineQueries {
     "text_stats" -> textStats _,
     "text_langid" -> textLangId _,
     "text_repetition" -> textRepetition _,
+    "text_contamination" -> textContamination _,
+    "sample_stratified" -> sampleStratified _,
     "pipeline_curation" -> pipelineCuration _,
     "profile_orders" -> profileOrders _,
     "profile_categories" -> profileCategories _,
@@ -842,6 +895,8 @@ object PipelineQueries {
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangIdSql,
     "text_repetition" -> textRepetitionSql,
+    "text_contamination" -> textContaminationSql,
+    "sample_stratified" -> sampleStratifiedSql,
     "pipeline_curation" -> pipelineCurationSql,
     "profile_orders" -> profileOrdersSql,
     "profile_categories" -> profileCategoriesSql,

@@ -50,6 +50,37 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Number](0).longValue() < r.getAs[Number](1).longValue())
   }
 
+  test("hash sampling is deterministic, stratified, and append-stable") {
+    val d = (0L until 1000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "stratum")
+    val s1 = Sampling.stratifiedHashSample(d, "stratum", "doc_id",
+      Map("a" -> 0.5), default = 0.1).select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.stratifiedHashSample(d, "stratum", "doc_id",
+      Map("a" -> 0.5), default = 0.1).select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2, "same inputs must give the identical sample")
+    // membership is a pure row property: sampling a subset agrees
+    val sub = Sampling.hashSample(d.filter($"doc_id" < 100), "doc_id", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val full = Sampling.hashSample(d, "doc_id", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sub == full.filter(_ < 100))
+    // fractions land in the right ballpark
+    val nA = s1.count(_ % 2 == 0); val nB = s1.count(_ % 2 == 1)
+    assert(nA > 175 && nA < 325, s"stratum a kept $nA of 500 at 0.5")
+    assert(nB > 10 && nB < 110, s"stratum b kept $nB of 500 at 0.1")
+  }
+
+  test("cross-corpus overlap counts shared distinct n-grams") {
+    val train = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally unrelated words here now")).toDF("doc_id", "text")
+    val eval_ = Seq((10L, "beta gamma delta epsilon zeta eta")).toDF("doc_id", "text")
+    val r = Dedup.crossCorpusOverlap(train, eval_, n = 3, minShared = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    // train doc 1 shares 3-grams "beta gamma delta", "gamma delta epsilon",
+    // "delta epsilon zeta" with the eval doc; doc 2 shares none
+    assert(r == Seq((1L, 10L, 3L)), s"got $r")
+  }
+
   test("connected components: chains collapse transitively, min-id labels") {
     // 1-2, 2-3 (chain), 5-6, isolated pair 8-9, plus a 4-cycle 10-11-12-13
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L),
