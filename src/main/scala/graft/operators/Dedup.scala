@@ -332,24 +332,58 @@ object Dedup {
     * the step that turns pairwise similarity output into DEDUP
     * CLUSTERS (keep one representative per component, not per pair:
     * A~B, B~C must collapse A,B,C together even when A~C was never
-    * emitted).
+    * emitted). Returns (id, cluster) with cluster = min member id.
     *
-    * Pregel-style min-label propagation as DataFrame iterations: each
-    * round, every node takes the min label among itself and its
-    * neighbors; converges in ≤ component-diameter rounds (near-dup
-    * clusters are shallow — duplicates of a common source — so
-    * typically 2-4). Each round is ONE join + ONE aggregate, shuffled
-    * on node id; iterations persist their label table and unpersist
-    * the previous one, so lineage stays O(1) (the iterative-plan
-    * lesson from k-means). The per-round driver action is a single
-    * `isEmpty` convergence probe. Returns (id, cluster) with cluster =
-    * min member id. */
+    * Adaptive execution, decided by ONE pass over the pair pipeline:
+    *  - ≤ `maxLocalEdges` pairs (the common case — near-dup pairs are
+    *    a tiny fraction of the corpus): `take` hands the driver the
+    *    full edge list in the same job that produced it, and a local
+    *    union-find labels it in microseconds — no per-iteration Spark
+    *    jobs whose fixed overhead dwarfs the data at this size.
+    *  - bigger: Pregel-style min-label propagation as DataFrame
+    *    iterations — each round every node takes the min label among
+    *    itself and its neighbors (one join + one aggregate shuffled on
+    *    node id), converging in ≤ component-diameter rounds; label
+    *    tables persist per round with O(1) lineage (the k-means
+    *    lesson) and a single isEmpty convergence probe. */
   def connectedComponents(pairs: DataFrame,
                           maxIter: Int = 25,
                           idACol: String = "id_a",
-                          idBCol: String = "id_b"): DataFrame = {
-    val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
-      .unionByName(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+                          idBCol: String = "id_b",
+                          maxLocalEdges: Int = 1000000): DataFrame = {
+    val spark0 = pairs.sparkSession
+    if (maxLocalEdges > 0) {
+      val local = pairs.select(col(idACol).cast("long"), col(idBCol).cast("long"))
+        .take(maxLocalEdges + 1)
+      if (local.length <= maxLocalEdges) {
+        import spark0.implicits._
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        local.foreach { e =>
+          val (a, b) = (e.getLong(0), e.getLong(1))
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val rows = parent.keys.toSeq.map(id => (id, find(id))).sorted
+        return rows.toDF("id", "cluster")
+      }
+      // fell through: too many edges for the driver — distributed loop
+      // (the take() above already warmed any persisted inputs)
+    }
+    // both orientations from ONE pass over the pair subplan — a union
+    // of two selects would execute the (possibly expensive) candidate
+    // pipeline once per branch
+    val edges = pairs.select(explode(array(
+        struct(col(idACol).as("src"), col(idBCol).as("dst")),
+        struct(col(idBCol).as("src"), col(idACol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).persist()

@@ -85,13 +85,17 @@ class OperatorsSpec extends SparkSpec {
     // 1-2, 2-3 (chain), 5-6, isolated pair 8-9, plus a 4-cycle 10-11-12-13
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L),
       (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L)).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(pairs)
-      .as[(Long, Long)].collect().toMap
-    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L, s"chain: $cc")
-    assert(cc(5L) == 5L && cc(6L) == 5L)
-    assert(cc(8L) == 8L && cc(9L) == 8L)
-    assert(Seq(10L, 11L, 12L, 13L).forall(cc(_) == 10L), s"cycle: $cc")
-    assert(Dedup.connectedComponents(pairs.limit(0)).isEmpty)
+    // both execution paths must agree: driver union-find (default for
+    // small edge lists) and the distributed min-label loop (forced)
+    for (localCap <- Seq(1000000, 0)) {
+      val cc = Dedup.connectedComponents(pairs, maxLocalEdges = localCap)
+        .as[(Long, Long)].collect().toMap
+      assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L, s"chain($localCap): $cc")
+      assert(cc(5L) == 5L && cc(6L) == 5L)
+      assert(cc(8L) == 8L && cc(9L) == 8L)
+      assert(Seq(10L, 11L, 12L, 13L).forall(cc(_) == 10L), s"cycle($localCap): $cc")
+      assert(Dedup.connectedComponents(pairs.limit(0), maxLocalEdges = localCap).isEmpty)
+    }
   }
 
   test("simhash multi-index finds exactly the plain-pigeonhole pair set") {
