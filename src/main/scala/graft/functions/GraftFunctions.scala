@@ -61,6 +61,10 @@ object GraftFunctions {
       require(args.length == 3, "graft_winnow_fp(tokens, k, w)")
       expressions.WinnowFingerprint(args(0), intArg(args(1), "k"),
         intArg(args(2), "w"))
+    },
+    "graft_repetition" -> { args =>
+      require(args.length == 1, "graft_repetition(tokens)")
+      expressions.RepetitionStats(args(0))
     })
 
   /** Register every graft function into a live session. Idempotent. */

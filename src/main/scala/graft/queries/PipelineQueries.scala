@@ -254,6 +254,43 @@ object PipelineQueries {
        |       sqrt(list_sum(list_transform(b.v, x -> x*x)))) >= 0.9
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Multi-signal near-dup: the text (MinHash-verified jaccard ≥ 0.8)
+    * and embedding (LSH-verified cosine ≥ 0.9) pair sets joined FULL
+    * OUTER on the pair key, each pair flagged per signal — the
+    * cross-modal evidence view a curation run uses to pick dedup
+    * policy (drop on either signal vs require both). Oracle = the two
+    * exhaustive pair sets composed with the same outer join. */
+  def dedupMultiSignal(s: SparkSession, dir: String): DataFrame = {
+    val textPairs = Dedup.minhashLshPairs(docsWithNearCopies(s, dir), threshold = 0.8)
+      .select(col("id_a"), col("id_b"), lit(true).as("text_dup"))
+    val embPairs = Dedup.embeddingCosinePairs(embWithNearCopies(s, dir), threshold = 0.9)
+      .select(col("id_a"), col("id_b"), lit(true).as("emb_dup"))
+    textPairs.join(embPairs, Seq("id_a", "id_b"), "full_outer")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("text_dup"), lit(false)).as("text_dup"),
+        coalesce(col("emb_dup"), lit(false)).as("emb_dup"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val dedupMultiSignalSql: String =
+    s"""WITH aug AS (SELECT doc_id, text FROM $augNearSql),
+       |sh AS (SELECT doc_id AS id,
+       |  (SELECT ${shinglesSql(3)} FROM (SELECT $normTokensSql AS w)) AS sh FROM aug),
+       |tp AS (SELECT a.id AS id_a, b.id AS id_b
+       |  FROM sh a, sh b WHERE a.id < b.id
+       |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+       |ae AS (SELECT vec_id, v FROM $augEmbSql),
+       |ep AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM ae a, ae b WHERE a.vec_id < b.vec_id
+       |    AND list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
+       |        (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+       |         sqrt(list_sum(list_transform(b.v, x -> x*x)))) >= 0.9)
+       |SELECT coalesce(t.id_a, e.id_a) AS id_a, coalesce(t.id_b, e.id_b) AS id_b,
+       |  (t.id_a IS NOT NULL) AS text_dup, (e.id_a IS NOT NULL) AS emb_dup
+       |FROM tp t FULL OUTER JOIN ep e ON t.id_a = e.id_a AND t.id_b = e.id_b
+       |ORDER BY id_a, id_b""".stripMargin
+
   // -------------------------------------------------------- similarity
 
   def annBruteForce(s: SparkSession, dir: String): DataFrame = {
@@ -861,6 +898,7 @@ object PipelineQueries {
     "dedup_simhash" -> dedupSimhash _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
+    "dedup_multi_signal" -> dedupMultiSignal _,
     "ann_bruteforce_topk" -> annBruteForce _,
     "ann_lsh_topk" -> annLsh _,
     "ann_ivf_build" -> annIvfBuild _,
@@ -888,6 +926,7 @@ object PipelineQueries {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
+    "dedup_multi_signal" -> dedupMultiSignalSql,
     "ann_bruteforce_topk" -> annBruteForceSql,
     "ann_lsh_topk" -> annLshSql,
     "ann_ivf_build" -> annIvfBuildSql,

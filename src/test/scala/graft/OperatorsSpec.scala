@@ -419,10 +419,12 @@ class OperatorsSpec extends SparkSpec {
     val r = spark.sql(
       """SELECT graft_cosine(v1, v2) AS cos,
         |       graft_simhash(split(text, ' ')) AS sh,
-        |       graft_winnow_fp(split(text, ' '), 2, 2).n_grams AS ng
+        |       graft_winnow_fp(split(text, ' '), 2, 2).n_grams AS ng,
+        |       graft_repetition(split(text, ' ')).n_distinct AS nd
         |FROM gf_probe""".stripMargin).head()
     assert(math.abs(r.getAs[Double]("cos") - 1.0) < 1e-12)
     assert(r.getAs[Long]("ng") == 3L) // 4 tokens, k=2 -> 3 grams
+    assert(r.getAs[Int]("nd") == 4)
     // registration is idempotent
     graft.functions.GraftFunctions.register(spark)
   }
