@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static per-row kernels behind the native hash expressions.
+  *
+  * Two jobs: (1) hold the loop bodies in ONE place so the expressions'
+  * interpreted `eval` and their generated code run the same bytes —
+  * `doGenCode` emits a single static call (Scala object static
+  * forwarders are Janino-visible), which keeps the surrounding stage
+  * in whole-stage codegen WITHOUT the CodegenFallback detour
+  * (fallback materializes an InternalRow and boxes the result per
+  * call); (2) make the minhash loop cheap: ONE strong 64-bit string
+  * hash per shingle, with the k "permutations" derived by a splitmix64
+  * stream over it (the standard one-hash/k-derived minhash recipe) —
+  * the per-seed formulation re-ran two Murmur passes over the shingle
+  * bytes for every one of the 64 seeds, ~64× the string hashing.
+  */
+object Kernels {
+
+  /** xxhash-style 64-bit string hash built from Spark's unsafe Murmur3
+    * plus a 64-bit finalizer — stable, seedable, no allocation. */
+  def hash64(s: UTF8String, seed: Long): Long = {
+    val h1 = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed.toInt)
+    val h2 = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, (seed >>> 32).toInt ^ 0x9e3779b9)
+    var x = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
+  /** splitmix64 finalizer — the per-seed derivation. */
+  @inline private def mix64(v: Long): Long = {
+    var z = v
+    z ^= z >>> 30; z *= 0xbf58476d1ce4e5b9L
+    z ^= z >>> 27; z *= 0x94d049bb133111ebL
+    z ^= z >>> 31
+    z
+  }
+
+  private def minhashInto(arr: ArrayData, sig: Array[Long]): Unit = {
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val k = sig.length
+    var j = 0
+    while (j < arr.numElements()) {
+      val s = arr.getUTF8String(j)
+      if (s != null) {
+        val base = hash64(s, 0L)
+        var i = 0
+        while (i < k) {
+          val h = mix64(base + (i + 1).toLong * 0x9e3779b97f4a7c15L)
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+      j += 1
+    }
+  }
+
+  def minhashSignature(arr: ArrayData, numHashes: Int): ArrayData = {
+    val sig = new Array[Long](numHashes)
+    minhashInto(arr, sig)
+    ArrayData.toArrayData(sig)
+  }
+
+  def minhashBands(arr: ArrayData, numHashes: Int, bands: Int): ArrayData = {
+    val r = numHashes / bands
+    val sig = new Array[Long](numHashes)
+    minhashInto(arr, sig)
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var x = 0x9e3779b97f4a7c15L ^ b.toLong
+      var i = 0
+      while (i < r) {
+        x ^= sig(b * r + i)
+        x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+        x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+        x ^= x >>> 33
+        i += 1
+      }
+      out(b) = x
+      b += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  def simhash64(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < arr.numElements()) {
+      val s = arr.getUTF8String(j)
+      if (s != null) {
+        val h = hash64(s, 42L)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) != 0L) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
+      }
+      j += 1
+    }
+    var out = 0L; var i = 0
+    while (i < 64) { if (votes(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  private val ShingleSpace = UTF8String.fromString(" ")
+
+  def shingles(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (n < k) {
+      out.add(UTF8String.concatWs(ShingleSpace, toks: _*))
+    } else {
+      var s = 0
+      while (s + k <= n) {
+        val parts = new Array[UTF8String](k)
+        var j = 0
+        while (j < k) { parts(j) = toks(s + j); j += 1 }
+        out.add(UTF8String.concatWs(ShingleSpace, parts: _*))
+        s += 1
+      }
+    }
+    ArrayData.toArrayData(out.toArray(new Array[UTF8String](out.size())))
+  }
+}

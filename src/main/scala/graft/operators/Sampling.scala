@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `rand()`-based sampling (Spark's `sample`/`sampleBy`) is
+  * engine-specific and run-order-dependent — unusable when the same
+  * split must be reproducible across engines, re-runs, and backfills.
+  * Hash sampling keys the decision on the ROW: keep iff the first 8
+  * hex chars of md5(key) sort below the fraction's threshold. The hex
+  * prefix is uniform over [0, 2³²), lowercase-hex string order equals
+  * numeric order, and md5 is identical everywhere — so the sample is a
+  * pure row property (stable under repartition, incremental appends,
+  * and engine swaps) and a DuckDB oracle can replicate it exactly.
+  * Per-row, no shuffle; the stratified variant broadcasts the tiny
+  * (stratum → threshold) table.
+  */
+object Sampling {
+
+  /** Threshold for `fraction` as an 8-char lowercase hex string. */
+  def hashThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+    f"${math.min((fraction * 4294967296.0).toLong, 4294967295L)}%08x"
+  }
+
+  private def hashKey(keyCol: String) =
+    substring(md5(col(keyCol).cast("string")), 1, 8)
+
+  /** Keep ≈`fraction` of rows, decided per row by key hash. */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    df.filter(hashKey(keyCol) < lit(hashThreshold(fraction)))
+
+  /** Stratified deterministic sampling: per-stratum fractions with a
+    * default for unlisted strata — the eval-set carving recipe (e.g.
+    * oversample rare languages, downsample dominant sources). */
+  def stratifiedHashSample(df: DataFrame,
+                           stratumCol: String,
+                           keyCol: String,
+                           fractions: Map[String, Double],
+                           default: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val th = fractions.toSeq.map { case (s, f) => (s, hashThreshold(f)) }
+      .toDF(stratumCol, "__th")
+    df.join(broadcast(th), Seq(stratumCol), "left")
+      .withColumn("__th", coalesce(col("__th"), lit(hashThreshold(default))))
+      .filter(hashKey(keyCol) < col("__th"))
+      .drop("__th")
+  }
+}
