@@ -404,6 +404,11 @@ object Dedup {
       it += 1
     }
     edges.unpersist(blocking = false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds — " +
+        "a component's diameter exceeds the bound; raise maxIter " +
+        "(returning partial labels would silently split real clusters)")
     labels.select(col("id"), col("label").as("cluster"))
   }
 

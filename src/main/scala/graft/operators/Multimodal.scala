@@ -276,8 +276,20 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))
+        // normalize to 16-bit signed PCM: blindly parsing the buffer as
+        // shorts would produce silent garbage for 8/24/32-bit or float
+        // encodings javax.sound can also parse
+        val srcFmt = raw.getFormat
+        val ais =
+          if (srcFmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              srcFmt.getSampleSizeInBits == 16) raw
+          else javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new javax.sound.sampled.AudioFormat(
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+              srcFmt.getSampleRate, 16, srcFmt.getChannels,
+              srcFmt.getChannels * 2, srcFmt.getSampleRate, false), raw)
         try {
           val fmt = ais.getFormat
           val data = ais.readAllBytes()

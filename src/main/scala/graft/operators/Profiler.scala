@@ -50,8 +50,9 @@ object Profiler {
 
   /** Categorical data-card stats, one row per column: count, nulls,
     * distinct count, lexical min/max, and the modal value with its
-    * frequency (ties broken by the smaller value, so the result is
-    * deterministic and oracle-pinnable). ONE aggregate pass for all
+    * frequency (ties broken by the LARGER value — struct ordering of
+    * (count, value) — so the result is deterministic and
+    * oracle-pinnable). ONE aggregate pass for all
     * columns; the per-column mode comes from a (column, value) rollup —
     * two shuffles total regardless of column count.
     *

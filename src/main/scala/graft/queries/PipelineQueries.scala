@@ -319,10 +319,14 @@ object PipelineQueries {
 
   /** Deterministic per-SF store for the persisted IVF index — built by
     * `ann_ivf_build`, loaded by `ann_ivf_search`. NOT recreated per
-    * query: the whole point of the split is build-once / search-many. */
+    * query (the whole point of the split is build-once / search-many),
+    * but keyed by the source parquet's (size, mtime) fingerprint so
+    * regenerated testdata can never silently serve a stale index. */
   private def ivfIndexCollection(s: SparkSession, dir: String): graft.store.Collection = {
+    val src = new java.io.File(dir, "embeddings.parquet")
+    val fp = s"${src.length}_${src.lastModified}"
     val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft_verify", s"ivf_index_${new java.io.File(dir).getName}")
+      "graft_verify", s"ivf_index_${new java.io.File(dir).getName}_$fp")
     java.nio.file.Files.createDirectories(root)
     graft.store.GraftStore(s, "store", root).collection("ivf")
   }

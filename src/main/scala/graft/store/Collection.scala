@@ -251,6 +251,11 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       "_partitions" -> n,
       "_partition_strategy" -> strategy.name,
       "_layout" -> layoutName,
+      // period keys were derived via date_format in THIS session's tz;
+      // recorded so read-side pruning resolves instants in the same
+      // zone (a cross-tz reader would otherwise prune boundary rows
+      // into the wrong period directory)
+      "_layout_tz" -> spark.conf.get("spark.sql.session.timeZone", "UTC"),
       "_monthly_salt" -> monthlySalt,
       "_epochdate" -> epochdate,
       "schema_json" -> indexed.schema.json) ++ statsMeta(stats) ++
@@ -366,8 +371,12 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     // renamed aside (O(1)) instead of destroyed by the swap — the
     // whole data dir for flat items, each pinned period dir for
     // time-layout items (a full rewrite gives every period a new gen).
-    if (partitioned) Snapshots.retainPeriodsIfPinned(path, item)
-    else Snapshots.retainIfPinned(path, item)
+    // BOTH retention paths run (each no-ops when its pin kind is
+    // absent) because the OLD item's layout may differ from this
+    // write's: a flat→monthly overwrite must still retain the pinned
+    // flat generation, and vice versa.
+    Snapshots.retainPeriodsIfPinned(path, item)
+    Snapshots.retainIfPinned(path, item)
     val gen = System.nanoTime()
     // fresh per-period gens for time layouts: the period list is the
     // tmp dir's partition dirs (cheap driver listing, no extra job)
@@ -569,6 +578,18 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     val existing = this.item(item)
     val idx = existing.indexCols
     val newDf = df
+    // period keys come from date_format in the CURRENT session tz; the
+    // stored dirs were keyed in the writer's recorded tz — a silent
+    // mismatch would write a boundary row into a different period dir
+    // than pruning later looks in
+    val sessionTz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    existing.metadata.get("_layout_tz").map(j => Meta.unjv(j).toString)
+      .filter(_ != sessionTz).foreach { recorded =>
+        throw new ValidationError(
+          s"item '$item' was laid out in timezone '$recorded' but this " +
+          s"session runs '$sessionTz'; set spark.sql.session.timeZone to " +
+          "match before appending to a time-layout item")
+      }
 
     if (validateSchema && existing.data.columns.toSet != newDf.columns.toSet)
       throw new SchemaValidationError(

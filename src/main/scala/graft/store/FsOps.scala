@@ -16,15 +16,21 @@ object FsOps {
 
   def listDirs(p: Path): Seq[String] =
     if (!Files.isDirectory(p)) Nil
-    else Files.list(p).iterator().asScala
-      .filter(Files.isDirectory(_))
-      .map(_.getFileName.toString)
-      .toSeq.sorted
+    else {
+      val st = Files.list(p)
+      try st.iterator().asScala
+        .filter(Files.isDirectory(_))
+        .map(_.getFileName.toString)
+        .toSeq.sorted
+      finally st.close()
+    }
 
   def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+      val st = Files.walk(p)
+      try st.sorted(Comparator.reverseOrder[Path]())
         .iterator().asScala.foreach(Files.delete)
+      finally st.close()
     }
 
   /** Recursive copy (used by v0 snapshots — reference collection.py:529-543).
@@ -32,7 +38,8 @@ object FsOps {
     * files (Iceberg-style); the Snapshot API above is unchanged.
     */
   def copyRecursively(src: Path, dst: Path, exclude: String => Boolean = _ => false): Unit = {
-    Files.walk(src).iterator().asScala.foreach { s =>
+    val walk = Files.walk(src)
+    try walk.iterator().asScala.foreach { s =>
       val rel = src.relativize(s)
       if (rel.getNameCount == 0 || !exclude(rel.getName(0).toString)) {
         val d = dst.resolve(rel)
@@ -42,7 +49,7 @@ object FsOps {
           Files.copy(s, d, StandardCopyOption.REPLACE_EXISTING)
         }
       }
-    }
+    } finally walk.close()
   }
 
   /** Recursive snapshot copy that HARDLINKS file content instead of
@@ -54,7 +61,8 @@ object FsOps {
     * The object-store analogue is a manifest of immutable object keys —
     * same API, same reasoning (SURVEY §7.4.4). */
   def snapshotRecursively(src: Path, dst: Path, exclude: String => Boolean = _ => false): Unit = {
-    Files.walk(src).iterator().asScala.foreach { s =>
+    val walk = Files.walk(src)
+    try walk.iterator().asScala.foreach { s =>
       val rel = src.relativize(s)
       if (rel.getNameCount == 0 || !exclude(rel.getName(0).toString)) {
         val d = dst.resolve(rel)
@@ -67,7 +75,7 @@ object FsOps {
           }
         }
       }
-    }
+    } finally walk.close()
   }
 
   /** Atomic directory swap: move `newDir` into place at `target`,

@@ -83,6 +83,14 @@ final class Item private[store] (
     metadata.get("_layout").map(j => Meta.unjv(j).toString)
       .filter(Collection.TimeLayouts.contains)
 
+  /** Zone the period keys were derived in at write time (sidecar);
+    * falls back to the reading session's zone for items written before
+    * the zone was recorded. */
+  private def layoutZone: java.time.ZoneId =
+    java.time.ZoneId.of(
+      metadata.get("_layout_tz").map(j => Meta.unjv(j).toString)
+        .getOrElse(spark.sessionState.conf.sessionLocalTimeZone))
+
   private def isMonthly: Boolean = timeLayout.isDefined
 
   /** For time-layout items, translate index-column time predicates
@@ -93,10 +101,8 @@ final class Item private[store] (
   private def monthPruning: Option[org.apache.spark.sql.Column] = {
     val layout = timeLayout.getOrElse(return None)
     val mc = col(Collection.MonthCol)
-    val sessionTz =
-      java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
     val preds = filters.filter(_.column == indexCols.head).flatMap { p =>
-      Collection.periodOfValue(layout, p.value, sessionTz).map { m =>
+      Collection.periodOfValue(layout, p.value, layoutZone).map { m =>
         p.op match {
           case "==" | "="        => mc === m
           case ">" | ">="        => mc >= m
@@ -114,10 +120,8 @@ final class Item private[store] (
   private def prunedPeriodDirs(pr: Snapshots.PeriodResolved): Seq[String] = {
     val all = pr.periodDirs
     val layout = timeLayout.getOrElse(return all.map(_._2.toString))
-    val sessionTz =
-      java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
     val constraints = filters.filter(_.column == indexCols.head).flatMap { pred =>
-      Collection.periodOfValue(layout, pred.value, sessionTz).map(m => (pred.op, m))
+      Collection.periodOfValue(layout, pred.value, layoutZone).map(m => (pred.op, m))
     }
     val kept = all.filter { case (p, _) =>
       constraints.forall {

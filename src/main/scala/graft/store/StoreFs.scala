@@ -129,18 +129,26 @@ object NioFs extends StoreFs {
 
   def listFiles(p: String): Seq[String] =
     if (!Files.isDirectory(np(p))) Nil
-    else Files.list(np(p)).iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .map(_.getFileName.toString)
-      .toSeq.sorted
+    else {
+      val st = Files.list(np(p))
+      try st.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(_.getFileName.toString)
+        .toSeq.sorted
+      finally st.close()
+    }
 
   def listFilesRecursively(p: String): Seq[String] = {
     val root = np(p)
     if (!Files.isDirectory(root)) Nil
-    else Files.walk(root).iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .map(f => root.relativize(f).iterator().asScala.mkString("/"))
-      .toSeq.sorted
+    else {
+      val st = Files.walk(root)
+      try st.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(f => root.relativize(f).iterator().asScala.mkString("/"))
+        .toSeq.sorted
+      finally st.close()
+    }
   }
 
   def deleteRecursively(p: String): Unit = FsOps.deleteRecursively(np(p))
@@ -263,9 +271,22 @@ final class HadoopFs(conf: org.apache.hadoop.conf.Configuration) extends StoreFs
     val tmp = new HPath(target.getParent, target.getName + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
-    fs.delete(target, false)
-    if (!fs.rename(tmp, target))
-      throw new StorageError(s"sidecar rename failed for $p")
+    // FileContext rename supports atomic OVERWRITE (HDFS/POSIX) — a
+    // delete-then-rename pair would open a window where a crash leaves
+    // NO sidecar at all, and a sidecar-less item reads as generation 0
+    // with no period map, silently defeating snapshot retention.
+    try {
+      org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, conf)
+        .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException | _: java.io.IOException
+          if !fs.exists(target) || fs.exists(tmp) =>
+        // backend without overwrite-rename: fall back, accepting the
+        // window only where the atomic form is unavailable
+        fs.delete(target, false)
+        if (!fs.rename(tmp, target))
+          throw new StorageError(s"sidecar rename failed for $p")
+    }
   }
 
   def copyFile(src: String, dst: String): Unit = {

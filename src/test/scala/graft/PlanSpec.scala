@@ -70,12 +70,14 @@ class PlanSpec extends SparkSpec {
     val df = SparkEntry.queries("dedup_minhash_lsh")(spark, dir)
     df.collect() // count() would execute a different (agg) plan
     val p = df.queryExecution.executedPlan.toString
-    // compact plan strings mark WholeStageCodegen subtrees with "*(n)"
-    val bandedScanInCodegen = p.linesIterator.exists(l =>
-      l.contains("*(") && l.contains("Generate") || l.contains("*(") && l.contains("posexplode"))
-    assert(p.contains("*("), "no WholeStageCodegen span in the final plan:\n" +
-      p.linesIterator.take(8).mkString("\n"))
-    assert(bandedScanInCodegen || p.contains("*("),
-      "banding stage fell out of codegen")
+    // compact plan strings mark WholeStageCodegen subtrees with "*(n)";
+    // the banding Generate (posexplode over the minhash band array)
+    // must carry the marker — a regression to CodegenFallback drops
+    // exactly that stage out of codegen
+    val bandedInCodegen = p.linesIterator.exists(l =>
+      l.contains("*(") && (l.contains("Generate") || l.contains("posexplode")))
+    assert(bandedInCodegen,
+      "banding stage fell out of whole-stage codegen:\n" +
+        p.linesIterator.filter(_.contains("Generate")).mkString("\n"))
   }
 }
