@@ -13,12 +13,12 @@ import org.apache.spark.sql.functions._
   *    streams through executors once; per-partition partial top-k
   *    happens inside the window's sort. This is the correctness
   *    baseline the oracle checks.
-  *  - `lshTopK` — scale path: hyperplane-LSH bucket the corpus once
-  *    (signature = `bits`-bit sign pattern), probe each query's bucket
-  *    plus all 1-bit-flip neighbors (multi-probe), exact-rank inside
-  *    the probed candidates. At 100 TB the corpus signature table is
-  *    computed once and reused across query batches; each query
-  *    touches ~(bits+1)/2^bits of the data.
+  *  - `lshTopK` — scale path: hyperplane-LSH bucket the corpus into
+  *    `bands` independent signature tables (`bits`-bit sign patterns),
+  *    candidates = bucket collisions in ANY band (OR-amplification),
+  *    exact-rank inside the candidates. At 100 TB the banded corpus
+  *    signature table is computed once and reused across query
+  *    batches; each query touches ~bands/2^bits of the data.
   */
 object Similarity {
 

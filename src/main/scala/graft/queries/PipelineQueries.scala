@@ -6,9 +6,12 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Multimodal, Profiler, Similarity, TextAnalysis}
 
 /** Training-data-pipeline operator queries (dedup / similarity /
-  * multimodal / text analysis) over the `documents` and `embeddings`
-  * tables, with DuckDB oracles wherever the computation is
-  * SQL-expressible (hash-based ops get rows-only checks).
+  * multimodal / text analysis / sampling / profiling) over the
+  * `documents` and `embeddings` tables. EVERY query carries a DuckDB
+  * oracle: SQL-expressible computations are replicated directly;
+  * hash/probe-based operators are pinned by construction-proof oracles
+  * (exhaustive-SQL recall proofs, recall self-checks emitted as
+  * verified columns, or bit-exact SQL replicas of their kernels).
   *
   * The documents table has no natural duplicates, so the dedup queries
   * union deterministic perturbed copies (ids offset by +100000) into
