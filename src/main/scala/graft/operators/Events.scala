@@ -49,4 +49,36 @@ object Events {
   /** JSON props extraction — schema-on-read over the props column. */
   def withProps(events: DataFrame): DataFrame =
     events.withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+
+  /** Ordered funnel: per user, stage i counts only if some stage-i
+    * event occurs at or after the user's first qualifying stage-(i−1)
+    * event (earliest-completion semantics — the standard product
+    * funnel). One (filter → per-user min → join) hop per stage, every
+    * shuffle on user_id so the exchanges line up; the per-stage frames
+    * stay skinny (user_id, ts). Emits (stage, n_users) with stages
+    * numbered for stable ordering. */
+  def funnel(events: DataFrame,
+             stages: Seq[String],
+             userCol: String = "user_id",
+             tsCol: String = "ts",
+             typeCol: String = "event_type"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val perStage = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (stage, _)) =>
+        val base = events.filter(col(typeCol) === stage)
+          .select(col(userCol).as("u"), col(tsCol).as("t"))
+        val qualified = prev match {
+          case None => base
+          case Some(p) => base.join(p.select(col("u"), col("t").as("__pt")), Seq("u"))
+            .filter(col("t") >= col("__pt")).drop("__pt")
+        }
+        Some(qualified.groupBy(col("u")).agg(min(col("t")).as("t")))
+    }.flatten
+    perStage.zip(stages.zipWithIndex).map { case (df, (stage, i)) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(f"${i + 1}%02d_$stage").as("stage"), col("n_users"))
+    }.reduce(_ unionByName _).orderBy(col("stage"))
+  }
 }

@@ -121,7 +121,32 @@ object EventQueries {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  /** Product funnel view → click → purchase with earliest-completion
+    * ordering; per-stage user counts, oracle-replicated with the same
+    * chained min/join CTEs. */
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    Events.funnel(events(s, dir), Seq("view", "click", "purchase"))
+
+  val funnelSql: String =
+    """WITH e AS (SELECT user_id, event_type,
+      |             date_trunc('microseconds', ts) AS ts FROM events),
+      |s1 AS (SELECT user_id, min(ts) AS t FROM e
+      |       WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+      |       JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t
+      |       WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+      |       JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t
+      |       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT '01_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
+      |UNION ALL
+      |SELECT '02_click', CAST(count(*) AS BIGINT) FROM s2
+      |UNION ALL
+      |SELECT '03_purchase', CAST(count(*) AS BIGINT) FROM s3
+      |ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_funnel" -> funnel _,
     "store_events_ns_roundtrip" -> nsRoundtrip _,
     "events_session_stats" -> sessionStats _,
     "events_hourly_counts" -> hourlyCounts _,
@@ -129,6 +154,7 @@ object EventQueries {
     "events_props_agg" -> propsAgg _)
 
   val oracles: Map[String, String] = Map(
+    "events_funnel" -> funnelSql,
     "store_events_ns_roundtrip" -> nsRoundtripSql,
     "events_session_stats" -> sessionStatsSql,
     "events_hourly_counts" -> hourlyCountsSql,

@@ -351,6 +351,24 @@ class OperatorsSpec extends SparkSpec {
     assert(s == Seq(1L, 1L, 2L))
   }
 
+  test("funnel: ordering constraint counts only post-stage events") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, t("2024-01-01 10:00:00"), 1L, "view", 1.0),
+      (2L, t("2024-01-01 10:05:00"), 1L, "click", 1.0),
+      (3L, t("2024-01-01 10:10:00"), 1L, "purchase", 1.0),
+      // user 2: click BEFORE first view → stage 2 not reached
+      (4L, t("2024-01-01 09:00:00"), 2L, "click", 1.0),
+      (5L, t("2024-01-01 10:00:00"), 2L, "view", 1.0),
+      // user 3: view only
+      (6L, t("2024-01-01 10:00:00"), 3L, "view", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val f = Events.funnel(ev, Seq("view", "click", "purchase"))
+      .as[(String, Long)].collect().toMap
+    assert(f == Map("01_view" -> 3L, "02_click" -> 1L, "03_purchase" -> 1L), s"$f")
+  }
+
   test("multimodal: meta-only projection and fake decode shape") {
     val docs = Seq((1L, "abc"), (2L, "defghij")).toDF("doc_id", "text")
     val media = Multimodal.asMediaTable(docs)
