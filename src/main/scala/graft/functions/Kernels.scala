@@ -108,6 +108,22 @@ object Kernels {
     out
   }
 
+  /** PQ asymmetric-distance (ADC) score: Σ_m lut[m·ksub + codes[m]].
+    * `lut` is a query's flattened (subspace-major) lookup table of
+    * partial dot products against every codebook centroid; `codes` is a
+    * corpus vector's per-subspace centroid ids. One add per subspace —
+    * the whole point of PQ is that the scan never touches vectors. */
+  def pqAdc(codes: ArrayData, lut: ArrayData, ksub: Int): Double = {
+    val m = codes.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < m) {
+      acc += lut.getDouble(i * ksub + codes.getInt(i))
+      i += 1
+    }
+    acc
+  }
+
   private val ShingleSpace = UTF8String.fromString(" ")
 
   def shingles(arr: ArrayData, k: Int): ArrayData = {

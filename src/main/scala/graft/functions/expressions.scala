@@ -419,6 +419,23 @@ object expressions {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** PQ ADC score: Σ over subspaces of the query's lookup-table entry
+    * for the corpus vector's code — `lut[sub·ksub + codes[sub]]`.
+    * Static-call codegen (Kernels.pqAdc): the ADC scan is the PQ hot
+    * loop; it must stay inside whole-stage codegen and never touch the
+    * original vectors. */
+  case class PqAdc(left: Expression, right: Expression, ksub: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(codes: Any, lut: Any): Any =
+      Kernels.pqAdc(codes.asInstanceOf[ArrayData], lut.asInstanceOf[ArrayData], ksub)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (c, l) =>
+        s"${ev.value} = graft.functions.Kernels.pqAdc($c, $l, $ksub);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
   // ------------------------------------------------------ Column sugar
 
   def shingle_set(tokens: Column, k: Int): Column = column(ShingleSet(expression(tokens), k))

@@ -233,6 +233,211 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nbr_id"), col("cos"))
   }
 
+  // ---------------------------------------- product quantization (PQ)
+
+  /** A product-quantization index over L2-normalized vectors (cosine ≡
+    * dot after normalization): `codebooks` is the broadcast-sized table
+    * of per-subspace k-means centroids ((sub, code, cv) — m·ksub rows),
+    * `codes` holds one row per corpus vector: its id, its m one-byte-ish
+    * codes, and the normalized vector (read ONLY by the exact re-rank
+    * of the top-ADC candidates — the ADC scan itself touches just the
+    * codes column, m ints per vector instead of dim floats: a 64-dim
+    * float vector compresses 32× at m=8, which is what makes a 100 TB
+    * embedding corpus scannable per query batch).
+    *
+    * `save` persists both through the store layer; codes are indexed by
+    * id so re-rank joins hit a range-partitioned sorted table. */
+  final case class PqIndex(codebooks: DataFrame, codes: DataFrame,
+                           m: Int, ksub: Int) {
+    def save(c: graft.store.Collection, name: String,
+             overwrite: Boolean = true): Unit = {
+      c.write(s"${name}__codebooks", codebooks, indexCols = Seq("sub"),
+        metadata = Map("pq_m" -> m, "pq_ksub" -> ksub),
+        overwrite = overwrite)
+      c.write(s"${name}__codes", codes, indexCols = Seq("nbr_id"),
+        overwrite = overwrite)
+    }
+  }
+
+  object PqIndex {
+    def load(c: graft.store.Collection, name: String): PqIndex = {
+      val cb = c.item(s"${name}__codebooks").data
+      // shape params come from the broadcast-sized codebook table itself
+      val r = cb.agg(max(col("sub")), max(col("code"))).head()
+      PqIndex(cb, c.item(s"${name}__codes").data,
+        r.getInt(0) + 1, r.getInt(1) + 1)
+    }
+  }
+
+  /** L2-normalize an array column (zero vectors stay zero). */
+  private def normalized(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import graft.functions.expressions.dot_product
+    val nrm = sqrt(dot_product(vec, vec))
+    transform(vec, x => when(nrm === 0.0, 0.0).otherwise(x.cast("double") / nrm))
+  }
+
+  /** (id, sub, subvector) points: each normalized vector split into m
+    * contiguous dsub-wide slices. */
+  private def subPoints(df: DataFrame, m: Int, dsub: Int,
+                        vecCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("pid"), normalized(col(vecCol)).as("nv"))
+      .select(col("pid"), col("nv"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("nv"), s * dsub + 1, lit(dsub)))).as(Seq("sub", "sv")))
+
+  /** Fit per-subspace k-means codebooks and PQ-encode the corpus — all
+    * m subspaces trained in ONE DataFrame pass per Lloyd iteration
+    * (points carry their subspace id; assignment joins on it).
+    * Centroid argmin uses the dot-product identity on a fixed query
+    * point: argmin ‖s−c‖² = argmax (2·s·c − ‖c‖²), so only dot products
+    * are computed. The m·ksub×dsub centroid table (8·16·8 = 1 k doubles
+    * at the defaults) is localized per iteration — broadcast-sized by
+    * definition, and the localization truncates plan lineage exactly
+    * like `kmeansCentroids`. At 100 TB: fit on `sampleFraction`, encode
+    * the full corpus once, search forever. */
+  def buildPqIndex(corpus: DataFrame,
+                   m: Int = 8,
+                   ksub: Int = 16,
+                   iters: Int = 3,
+                   vecCol: String = "embedding",
+                   idCol: String = "vec_id",
+                   sampleFraction: Double = 1.0): PqIndex = {
+    import graft.functions.expressions.dot_product
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val allPts = subPoints(corpus, m, dsub, vecCol, idCol)
+    val pts = (if (sampleFraction < 1.0) {
+      val ids = corpus.select(col(idCol).cast("long").as("pid"))
+        .sample(sampleFraction, 42)
+      allPts.join(ids, Seq("pid"), "left_semi")
+    } else allPts).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // deterministic init: the first ksub vectors by id seed every
+    // subspace's codebook (ksub driver-side ids — bounded). A corpus
+    // smaller than ksub yields a smaller codebook; the EFFECTIVE code
+    // count is what sizes the ADC lookup-table stride.
+    val seedIds = corpus.select(col(idCol).cast("long")).orderBy(col(idCol))
+      .limit(ksub).as[Long].collect().toSeq
+    val kEff = seedIds.size
+    val codeOf = seedIds.sorted.zipWithIndex.toMap
+    var cb = allPts.filter(col("pid").isin(seedIds: _*))
+      .select(col("sub"), col("pid"), col("sv")).collect()
+      .map(r => (r.getInt(0), codeOf(r.getLong(1)), r.getSeq[Double](2)))
+      .toSeq.toDF("sub", "code", "cv")
+
+    def assignment(points: DataFrame, codebooks: DataFrame): DataFrame =
+      points.join(broadcast(codebooks), Seq("sub"))
+        .withColumn("score",
+          lit(2.0) * dot_product(col("sv"), col("cv")) - dot_product(col("cv"), col("cv")))
+        .groupBy(col("pid"), col("sub"))
+        .agg(max_by(struct(col("code"), col("sv")),
+          struct(col("score"), -col("code"))).as("best"))
+        .select(col("pid"), col("sub"),
+          col("best.code").as("code"), col("best.sv").as("sv"))
+
+    for (_ <- 0 until iters) {
+      val rows = assignment(pts, cb)
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(round(avg(col("x")), 6).as("c"))
+        .groupBy(col("sub"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          s => s.getField("c")).as("cv"))
+        .as[(Int, Int, Seq[Double])].collect().toSeq
+      cb = rows.toDF("sub", "code", "cv")
+    }
+    pts.unpersist(blocking = false)
+
+    // encode the FULL corpus with the final codebooks; the RAW vector
+    // rides along for exact re-rank (raw, not normalized: cosine on the
+    // original values keeps the re-rank arithmetic bit-identical to
+    // bruteForceTopK / the DuckDB oracle formula)
+    val codes = assignment(allPts, cb)
+      .groupBy(col("pid"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+      .join(corpus.select(col(idCol).cast("long").as("pid"),
+        col(vecCol).cast("array<double>").as("cv")), Seq("pid"))
+      .select(col("pid").as("nbr_id"), col("codes"), col("cv"))
+    PqIndex(cb, codes, m, kEff)
+  }
+
+  /** Per-query flattened ADC lookup table: lut[sub·ksub + code] =
+    * dot(query subvector, codebook centroid). |queries| rows of m·ksub
+    * doubles — broadcast-sized. The normalized query vector rides along
+    * for the exact re-rank. */
+  private def pqLuts(index: PqIndex, queries: DataFrame,
+                     vecCol: String, idCol: String): DataFrame = {
+    import graft.functions.expressions.dot_product
+    val dsub = index.codebooks.select(size(col("cv"))).head().getInt(0)
+    subPoints(queries, index.m, dsub, vecCol, idCol)
+      .withColumnRenamed("pid", "query_id").withColumnRenamed("sv", "qsv")
+      .join(broadcast(index.codebooks), Seq("sub"))
+      .withColumn("pdot", dot_product(col("qsv"), col("cv")))
+      .groupBy(col("query_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code"), col("pdot")))),
+        s => s.getField("pdot")).as("lut"))
+      // RAW query vector for the exact re-rank (same arithmetic as the
+      // brute-force/oracle formula)
+      .join(queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("qv")), Seq("query_id"))
+  }
+
+  /** Re-rank depth sized from the codes table's plan statistics:
+    * rerank ≈ rows/8, clamped to [128, 4096]. On GAPLESS data (uniform-
+    * random vectors, neighbor cos ≈ background cos) the number of
+    * distractors whose ADC error lifts them above a true neighbor grows
+    * linearly with corpus size, so a fixed depth silently loses recall
+    * as the corpus grows — the same honesty argument as `sizedBits`.
+    * On gapped corpora (real embeddings, near-dup retrieval) ADC error
+    * (σ ≈ quantization noise) cannot bridge the similarity gap and the
+    * clamp cap is safe: at 100 TB the depth stays bounded while recall
+    * holds on the regime PQ is actually used for. */
+  def sizedRerank(codes: DataFrame,
+                  bytesPerRow: Long = 300L,
+                  minR: Int = 128,
+                  maxR: Int = 4096): Int = {
+    val rows = graft.store.Partitioner.estimatedBytes(codes) /
+      math.max(1L, bytesPerRow)
+    math.min(maxR, math.max(minR, (rows / 8L).toInt))
+  }
+
+  /** PQ search: ADC scan over the codes table (one lookup-sum per
+    * corpus vector — `PqAdc` static-call codegen), keep the top
+    * `rerank` candidates per query by approximate score, then exact
+    * cosine re-rank of just those. The scan never deserializes corpus
+    * vectors; only `rerank` rows per query do. `rerank = 0` (default)
+    * sizes the depth from plan statistics via `sizedRerank`. */
+  def pqSearch(index: PqIndex,
+               queries: DataFrame,
+               k: Int,
+               rerank: Int = 0,
+               vecCol: String = "embedding",
+               idCol: String = "vec_id"): DataFrame = {
+    import graft.functions.expressions.cosine_sim
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val luts = pqLuts(index, queries, vecCol, idCol)
+    val depth = if (rerank > 0) rerank else sizedRerank(index.codes)
+    val adc = column(graft.functions.expressions.PqAdc(
+      expression(col("codes")), expression(col("lut")), index.ksub))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("nbr_id"))
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    index.codes.crossJoin(broadcast(luts))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("adc", adc)
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= depth)
+      .withColumn("cos", round(cosine_sim(col("cv"), col("qv")), 9))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nbr_id"), col("cos"))
+  }
+
   /** Multi-band hyperplane-LSH top-k: `bands` independent signature
     * tables of `bits` bits each (OR-amplification — a neighbor is a
     * candidate if it collides with the query in ANY band), exact cosine

@@ -408,6 +408,68 @@ object PipelineQueries {
       |FROM embeddings WHERE vec_id < 10
       |ORDER BY query_id""".stripMargin
 
+  private def buildAndSavePq(s: SparkSession, dir: String): Unit = {
+    val idx = Similarity.buildPqIndex(Tables.t(s, dir, "embeddings"),
+      m = 8, ksub = 64, iters = 3)
+    idx.save(ivfIndexCollection(s, dir), "pq", overwrite = true)
+  }
+
+  /** PQ index BUILD: fit per-subspace codebooks (3 Lloyd iterations),
+    * PQ-encode the corpus (32× smaller than the vectors at m=8),
+    * persist through the store, then verify the fresh index with the
+    * recall self-oracle — ADC top-`sizedRerank` + exact re-rank vs
+    * brute-force top-5, searched through the LOADED index so the depth
+    * sizing sees real parquet statistics. Same bench split as IVF:
+    * this query times fit+persist, the round-over-round number is
+    * `ann_pq_search`. */
+  def annPqBuild(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    buildAndSavePq(s, dir)
+    val idx = Similarity.PqIndex.load(ivfIndexCollection(s, dir), "pq")
+    val pq = Similarity.pqSearch(idx, q, k = 5)
+    val bf = Similarity.bruteForceTopK(e, q, k = 5)
+    val hits = pq.join(bf.select(col("query_id"), col("nbr_id")),
+        Seq("query_id", "nbr_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    pq.groupBy(col("query_id")).agg(count(lit(1)).as("n_results"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_results"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / 5.0 >= 0.8).as("recall5_ok"))
+      .orderBy(col("query_id"))
+  }
+
+  val annPqBuildSql: String =
+    """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results, TRUE AS recall5_ok
+      |FROM embeddings WHERE vec_id < 10
+      |ORDER BY query_id""".stripMargin
+
+  /** PQ SEARCH — load + ADC scan + exact re-rank, the hot path. Same
+    * known-ground-truth probe design as `ann_ivf_search`: probes are
+    * perturbed corpus vectors whose true top-1 (the original) DuckDB
+    * pins exactly, so the timed query runs no brute-force pass. */
+  def annPqSearch(s: SparkSession, dir: String): DataFrame = {
+    val c = ivfIndexCollection(s, dir)
+    if (!c.hasItem("pq__codes")) buildAndSavePq(s, dir) // verify-order safety
+    val idx = Similarity.PqIndex.load(c, "pq")
+    val q = Tables.t(s, dir, "embeddings").filter(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") + CopyIdOffset)
+      .withColumn("embedding",
+        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => x.cast("double") * (lit(1.0) + (i % 5).cast("double") / 100.0)))
+    val res = Similarity.pqSearch(idx, q, k = 5)
+    val top1 = res.filter(col("rank") === 1)
+      .select(col("query_id"), col("nbr_id").as("top1_nbr"),
+        round(col("cos"), 6).as("top1_cos"))
+    res.groupBy(col("query_id")).agg(count(lit(1)).as("n_results"))
+      .join(top1, Seq("query_id"))
+      .orderBy(col("query_id"))
+  }
+
+  // identical contract to the IVF search oracle: same probes, same
+  // pinned top-1 arithmetic
+  val annPqSearchSql: String = annIvfSearchSql
+
   /** Multi-band hyperplane-LSH ANN, measured on the regime LSH is FOR:
     * retrieving genuinely-similar neighbors (cos ≥ 0.9) from a corpus
     * that contains them — not the top-5 of uniform-random vectors,
@@ -910,6 +972,8 @@ object PipelineQueries {
     "ann_lsh_topk" -> annLsh _,
     "ann_ivf_build" -> annIvfBuild _,
     "ann_ivf_search" -> annIvfSearch _,
+    "ann_pq_build" -> annPqBuild _,
+    "ann_pq_search" -> annPqSearch _,
     "text_stats" -> textStats _,
     "text_langid" -> textLangId _,
     "text_repetition" -> textRepetition _,
@@ -938,6 +1002,8 @@ object PipelineQueries {
     "ann_lsh_topk" -> annLshSql,
     "ann_ivf_build" -> annIvfBuildSql,
     "ann_ivf_search" -> annIvfSearchSql,
+    "ann_pq_build" -> annPqBuildSql,
+    "ann_pq_search" -> annPqSearchSql,
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangIdSql,
     "text_repetition" -> textRepetitionSql,

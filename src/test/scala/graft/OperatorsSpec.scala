@@ -205,6 +205,37 @@ class OperatorsSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("PQ ADC + exact re-rank reaches mean recall@5 >= 0.9") {
+    val e = sf("embeddings")
+    val q = e.filter($"vec_id" < 10)
+    val idx = Similarity.buildPqIndex(e, m = 8, ksub = 16, iters = 3)
+    val pq = Similarity.pqSearch(idx, q, k = 5, rerank = 128)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val bf = Similarity.bruteForceTopK(e, q, k = 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().groupBy(_._1)
+    val recalls = bf.map { case (_, s) => s.count(pq.contains).toDouble / s.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@5 = $mean")
+  }
+
+  test("PQ index persists through the store and searches identically") {
+    val e = sf("embeddings")
+    val q = e.filter($"vec_id" < 5)
+    val idx = Similarity.buildPqIndex(e, m = 8, ksub = 16, iters = 2)
+    assert(idx.codes.select(size($"codes")).head().getInt(0) == 8)
+    val direct = Similarity.pqSearch(idx, q, k = 3, rerank = 64)
+      .select("query_id", "rank", "nbr_id").as[(Long, Int, Long)].collect().toSet
+    val c = tempCollection("pq_index")
+    idx.save(c, "emb")
+    val loaded = Similarity.PqIndex.load(c, "emb")
+    assert(loaded.m == idx.m && loaded.ksub == idx.ksub)
+    val viaStore = Similarity.pqSearch(loaded, q, k = 3, rerank = 64)
+      .select("query_id", "rank", "nbr_id").as[(Long, Int, Long)].collect().toSet
+    assert(viaStore == direct)
+    assert(direct.nonEmpty)
+    cleanup(c)
+  }
+
   test("multi-band LSH retrieves every near-dup neighbor at sized bits") {
     // LSH's honest regime: neighbors with a real density gap (cos ≥
     // 0.9), not the top-5 of uniform-random vectors (cos ≈ 0.4, no gap
