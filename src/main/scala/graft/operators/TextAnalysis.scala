@@ -17,7 +17,7 @@ object TextAnalysis {
   /** Whitespace tokenization. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  private val Stopwords = Seq(
+  val Stopwords = Seq(
     "the", "a", "an", "of", "to", "in", "and", "is", "it", "for",
     "on", "with", "as", "at", "by")
 

@@ -619,6 +619,52 @@ object PipelineQueries {
        |FROM scored
        |ORDER BY doc_id""".stripMargin
 
+  /** BM25 keyword retrieval (inverted-index probe + top-k): the query
+    * workload is data-derived for determinism — the 10 most frequent
+    * non-stopword terms, split into two 5-term queries. Every stage
+    * (term selection, postings, df, avgdl, Lucene idf, tf norm,
+    * decimal-summed scores) is replicated in DuckDB SQL, so ranking
+    * and scores are hash-verified end to end. */
+  def textBm25(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Search
+    val docs = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val terms = Search.topTerms(docs, 10, TextAnalysis.Stopwords)
+      .select(floor((col("r") - 1) / 5).cast("long").as("query_id"), col("term"))
+    Search.bm25TopK(docs, terms, k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val textBm25Sql: String = {
+    val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(",")
+    s"""WITH tok AS (SELECT doc_id, $normTokensSql AS t FROM documents),
+       |ex AS (SELECT doc_id, unnest(t) AS term FROM tok),
+       |cnt AS (SELECT term, count(*) AS cnt FROM ex
+       |        WHERE term NOT IN ($stop) AND term <> '' GROUP BY term),
+       |qt AS (SELECT term, row_number() OVER (ORDER BY cnt DESC, term) AS r
+       |       FROM (SELECT * FROM cnt ORDER BY cnt DESC, term LIMIT 10)),
+       |q AS (SELECT CAST(floor((r - 1) / 5) AS BIGINT) AS query_id, term FROM qt),
+       |dl AS (SELECT doc_id, len(t) AS dl FROM tok),
+       |postings AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+       |matched AS (SELECT * FROM postings WHERE term IN (SELECT term FROM q)),
+       |dfreq AS (SELECT term, count(*) AS df FROM matched GROUP BY term),
+       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+       |scored AS (
+       |  SELECT q.query_id, m.doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |    sum(CAST(
+       |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+       |      (m.tf * 2.2 / (m.tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs))))
+       |      AS DECIMAL(38,12))) AS score_exact
+       |  FROM matched m JOIN q USING (term) JOIN dfreq USING (term)
+       |       JOIN dl USING (doc_id) CROSS JOIN stats
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rank, doc_id, n_terms,
+       |  round(CAST(score_exact AS DOUBLE), 6) AS score
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score_exact DESC, doc_id) AS rank FROM scored) t
+       |WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** End-to-end curation pipeline v2 — the composition a training-data
     * run actually executes, as ONE DataFrame plan: canonical-
     * fingerprint dedup (keep min id) → MinHash-LSH NEAR-dup removal
@@ -977,6 +1023,7 @@ object PipelineQueries {
     "text_stats" -> textStats _,
     "text_langid" -> textLangId _,
     "text_repetition" -> textRepetition _,
+    "text_bm25" -> textBm25 _,
     "text_contamination" -> textContamination _,
     "sample_stratified" -> sampleStratified _,
     "pipeline_curation" -> pipelineCuration _,
@@ -1007,6 +1054,7 @@ object PipelineQueries {
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangIdSql,
     "text_repetition" -> textRepetitionSql,
+    "text_bm25" -> textBm25Sql,
     "text_contamination" -> textContaminationSql,
     "sample_stratified" -> sampleStratifiedSql,
     "pipeline_curation" -> pipelineCurationSql,

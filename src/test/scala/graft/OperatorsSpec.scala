@@ -205,6 +205,31 @@ class OperatorsSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("BM25 ranks the term-dense short doc first and respects idf") {
+    val docs = Seq(
+      (1L, "spark spark spark engine"),
+      (2L, "spark engine with lots of extra padding words here making it much longer overall"),
+      (3L, "unrelated text about other things"),
+      (4L, "common common common common")).toDF("doc_id", "text")
+    val q = Seq((0L, "spark"), (0L, "engine")).toDF("query_id", "term")
+    val out = Search.bm25TopK(docs, q, k = 3).orderBy("rank")
+      .select("doc_id", "n_terms").as[(Long, Long)].collect().toSeq
+    // doc 1: high tf, short → first; doc 2 matches both terms too
+    assert(out.map(_._1).take(2) == Seq(1L, 2L), s"got $out")
+    assert(out.forall(_._2 <= 2))
+    // doc 3/4 never match
+    assert(!out.map(_._1).contains(3L) && !out.map(_._1).contains(4L))
+  }
+
+  test("BM25 topTerms picks most frequent non-stopwords deterministically") {
+    val docs = Seq(
+      (1L, "alpha beta the gamma alpha"),
+      (2L, "alpha beta of beta")).toDF("doc_id", "text")
+    val terms = Search.topTerms(docs, 2, Seq("the", "of"))
+      .orderBy("r").select("term").as[String].collect().toSeq
+    assert(terms == Seq("alpha", "beta")) // 3 alphas, 3 betas — tie → lexicographic
+  }
+
   test("PQ ADC + exact re-rank reaches mean recall@5 >= 0.9") {
     val e = sf("embeddings")
     val q = e.filter($"vec_id" < 10)
