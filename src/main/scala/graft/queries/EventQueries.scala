@@ -145,7 +145,47 @@ object EventQueries {
       |SELECT '03_purchase', CAST(count(*) AS BIGINT) FROM s3
       |ORDER BY stage""".stripMargin
 
+  /** Surge-window attribution — a PURE range join (no equi key): surge
+    * windows are the 30 minutes after the first click of any hour with
+    * ≥ 6 clicks; every purchase (any user) inside a window attributes
+    * to it. No-equi-key interval joins plan as BroadcastNestedLoopJoin
+    * in stock Spark — O(n·m); `RangeJoin.pointInInterval` bucketizes
+    * (30-min buckets ⇒ each window covers ≤ 2) so the plan is a plain
+    * shuffled equi-join on bucket ids at any scale. */
+  def rangeAttribution(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val surge = e.filter(col("event_type") === "click")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_clicks"), min(col("ts")).as("w_start"))
+      .filter(col("n_clicks") >= 6)
+      .withColumn("w_end", col("w_start") + expr("INTERVAL 30 MINUTES"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("ts"), col("value"))
+    graft.operators.RangeJoin.pointInInterval(purchases, surge,
+        "ts", "w_start", "w_end", bucketWidth = 1800L)
+      .groupBy(col("hour"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value").cast("decimal(38,4)")).cast("double"), 2).as("total_value"))
+      .orderBy(col("hour"))
+  }
+
+  val rangeAttributionSql: String =
+    """WITH e AS (SELECT event_type, value,
+      |             date_trunc('microseconds', ts) AS ts FROM events),
+      |surge AS (SELECT date_trunc('hour', ts) AS hour, count(*) AS n_clicks,
+      |            min(ts) AS w_start
+      |          FROM e WHERE event_type = 'click' GROUP BY 1),
+      |w AS (SELECT hour, w_start, w_start + INTERVAL 30 MINUTE AS w_end
+      |      FROM surge WHERE n_clicks >= 6),
+      |p AS (SELECT ts, value FROM e WHERE event_type = 'purchase')
+      |SELECT hour, CAST(count(*) AS BIGINT) AS n_purchases,
+      |  round(CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE), 2) AS total_value
+      |FROM w JOIN p ON p.ts >= w.w_start AND p.ts <= w.w_end
+      |GROUP BY hour
+      |ORDER BY hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_range_attrib" -> rangeAttribution _,
     "events_funnel" -> funnel _,
     "store_events_ns_roundtrip" -> nsRoundtrip _,
     "events_session_stats" -> sessionStats _,
@@ -154,6 +194,7 @@ object EventQueries {
     "events_props_agg" -> propsAgg _)
 
   val oracles: Map[String, String] = Map(
+    "events_range_attrib" -> rangeAttributionSql,
     "events_funnel" -> funnelSql,
     "store_events_ns_roundtrip" -> nsRoundtripSql,
     "events_session_stats" -> sessionStatsSql,

@@ -205,6 +205,33 @@ class OperatorsSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("range join matches points to intervals exactly once, no nested loop") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val points = Seq((1L, ts(5)), (2L, ts(15)), (3L, ts(45)), (4L, ts(59)))
+      .toDF("pid", "ts")
+    // interval B spans several buckets — the match must still be unique
+    val intervals = Seq(("A", ts(0), ts(10)), ("B", ts(4), ts(50)))
+      .toDF("iid", "w_start", "w_end")
+    val joined = RangeJoin.pointInInterval(points, intervals,
+      "ts", "w_start", "w_end", bucketWidth = 300L) // 5-min buckets
+    val got = joined.select("pid", "iid").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "A"), (1L, "B"), (2L, "B"), (3L, "B")))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), "range join must stay an equi-join")
+  }
+
+  test("range join with equi keys scopes matches to the key") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val points = Seq((1L, 7L, ts(5)), (2L, 8L, ts(5))).toDF("pid", "user_id", "ts")
+    val intervals = Seq((7L, ts(0), ts(10))).toDF("user_id", "w_start", "w_end")
+    val got = RangeJoin.pointInInterval(points, intervals, "ts", "w_start", "w_end",
+        equiKeys = Seq("user_id"), bucketWidth = 600L)
+      .select("pid").as[Long].collect().toSeq
+    assert(got == Seq(1L))
+  }
+
   test("BM25 ranks the term-dense short doc first and respects idf") {
     val docs = Seq(
       (1L, "spark spark spark engine"),
