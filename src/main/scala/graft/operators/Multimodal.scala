@@ -311,6 +311,105 @@ object Multimodal {
     }(enc)
   }
 
+  // ------------------------------------------------ video frame-sample
+
+  /** Deterministic raw-video fixture container ("GVID"): a 20-byte
+    * header (magic, width, height, n_frames, fps — little-endian) +
+    * n_frames packed RGB rasters, pixel channels = linear formulas of
+    * (id, frame, x, y). The JDK ships no video codec (an H.264/MP4
+    * demux would be a JNI/ffmpeg call in the same kernel seam), so the
+    * CONTAINER is the stand-in — but the plumbing a frame sampler needs
+    * (header parse, frame seek by offset, per-frame stats) is all real,
+    * and the closed-form pixels make the decoded output oracle-pinnable
+    * without a decoder on the oracle side. */
+  def videoTable(ids: DataFrame, width: Int = 8, height: Int = 6,
+                 nFrames: Int = 24, fps: Int = 12): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", mediaMetaType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val in = ids.select(col(ids.columns.head).cast(LongType))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bb = java.nio.ByteBuffer.allocate(20 + nFrames * width * height * 3)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("GVID".getBytes("US-ASCII"))
+        bb.putInt(width); bb.putInt(height); bb.putInt(nFrames); bb.putInt(fps)
+        var f = 0
+        while (f < nFrames) {
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) {
+              bb.put(((id * 7 + f * 19 + x * 3 + y * 5) % 256).toByte)
+              bb.put(((id * 11 + f * 23 + x + y * 2) % 256).toByte)
+              bb.put(((id * 13 + f * 29 + x * 3 + y) % 256).toByte)
+              x += 1
+            }
+            y += 1
+          }
+          f += 1
+        }
+        Row(id, bb.array(),
+          Row("video/x-gvid", width, height, nFrames * 1000L / fps,
+            s"mem://vid/$id"))
+      }
+    }(enc)
+  }
+
+  /** Frame sampling through the batch kernel seam: parse the container
+    * header, seek every `every`-th frame BY OFFSET (frames between
+    * sample points are never touched — the payload analogue of column
+    * pruning), and emit per-frame channel means. Sums accumulate in
+    * Long (exact), so the means are order-independent and the oracle
+    * recomputes them from the pixel formulas alone. One output row per
+    * sampled frame. */
+  def sampleFrames(media: DataFrame, every: Int): DataFrame = {
+    require(every > 0, "every must be positive")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("mean_r", DoubleType),
+      StructField("mean_g", DoubleType),
+      StructField("mean_b", DoubleType)))
+    val input = media.select(col("media_id").cast(LongType), col("payload"))
+    val enc = RowEncoder.encoderFor(outSchema)
+    input.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val magic = new Array[Byte](4); bb.get(magic)
+        if (!java.util.Arrays.equals(magic, "GVID".getBytes("US-ASCII")))
+          Iterator(Row(id, -1, 0, 0, 0, 0.0, 0.0, 0.0))
+        else {
+          val w = bb.getInt; val h = bb.getInt
+          val nf = bb.getInt; bb.getInt // fps unused here
+          val frameBytes = w * h * 3
+          val px = (w * h).toDouble
+          Iterator.range(0, nf, every).map { f =>
+            val off = 20 + f * frameBytes
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var p = 0
+            while (p < w * h) {
+              sr += bytes(off + p * 3) & 0xff
+              sg += bytes(off + p * 3 + 1) & 0xff
+              sb += bytes(off + p * 3 + 2) & 0xff
+              p += 1
+            }
+            Row(id, f, w, h, nf, sr / px, sg / px, sb / px)
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** "Resize / frame-sample" analogue: keep every `stride`-th payload
     * byte — the structural twin of frame-sampling a video or
     * downscaling an image. Same mapPartitions batch kernel shape as

@@ -1006,6 +1006,43 @@ object PipelineQueries {
       |FROM documents WHERE doc_id < 200
       |ORDER BY media_id""".stripMargin
 
+  /** Video frame-sampling through the multimodal seam: deterministic
+    * GVID fixture containers (header + packed RGB frames, pixels =
+    * closed-form formulas of (id, frame, x, y)), every 6th frame
+    * sampled BY OFFSET (unsampled frames never touched), per-frame
+    * channel means emitted. The oracle recomputes header fields and
+    * means straight from the formulas — no decoder needed — so a green
+    * hash proves container write → header parse → frame seek → pixel
+    * extraction end to end. */
+  def multimodalVideoSample(s: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.t(s, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") < 100)
+    Multimodal.sampleFrames(Multimodal.videoTable(ids), every = 6)
+      .select(col("media_id"), col("frame_idx"), col("width"), col("height"),
+        col("n_frames"),
+        round(col("mean_r"), 6).as("mean_r"),
+        round(col("mean_g"), 6).as("mean_g"),
+        round(col("mean_b"), 6).as("mean_b"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  /** Closed-form mean over the 8×6 fixture raster for frame f:
+    * Σ_p ((a·id + e·f + b·(p%8) + c·(p/8)) mod 256) / 48. */
+  private def vidMeanSql(a: Int, e: Int, b: Int, c: Int): String =
+    s"""round(list_sum(list_transform(range(0, 48),
+       |  p -> (doc_id * $a + f * $e + (p % 8) * $b + (p // 8) * $c) % 256)) / 48.0, 6)""".stripMargin
+
+  val multimodalVideoSampleSql: String =
+    s"""SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+       |  CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+       |  CAST(24 AS INTEGER) AS n_frames,
+       |  ${vidMeanSql(7, 19, 3, 5)} AS mean_r,
+       |  ${vidMeanSql(11, 23, 1, 2)} AS mean_g,
+       |  ${vidMeanSql(13, 29, 3, 1)} AS mean_b
+       |FROM documents, (SELECT unnest([0, 6, 12, 18]) AS f) frames
+       |WHERE doc_id < 100
+       |ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
@@ -1035,7 +1072,8 @@ object PipelineQueries {
     "multimodal_meta" -> multimodalMeta _,
     "multimodal_decode" -> multimodalDecode _,
     "multimodal_image_decode" -> multimodalImageDecode _,
-    "multimodal_audio_decode" -> multimodalAudioDecode _)
+    "multimodal_audio_decode" -> multimodalAudioDecode _,
+    "multimodal_video_sample" -> multimodalVideoSample _)
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -1066,5 +1104,6 @@ object PipelineQueries {
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_decode" -> multimodalDecodeSql,
     "multimodal_image_decode" -> multimodalImageDecodeSql,
-    "multimodal_audio_decode" -> multimodalAudioDecodeSql)
+    "multimodal_audio_decode" -> multimodalAudioDecodeSql,
+    "multimodal_video_sample" -> multimodalVideoSampleSql)
 }

@@ -205,6 +205,22 @@ class OperatorsSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("video frame sampler seeks the right frames and flags bad containers") {
+    val ids = Seq(3L, 4L).toDF("id")
+    val vids = Multimodal.videoTable(ids, width = 4, height = 2, nFrames = 10, fps = 5)
+    val sampled = Multimodal.sampleFrames(vids, every = 4)
+      .select("media_id", "frame_idx", "n_frames").as[(Long, Int, Int)]
+      .collect().toSet
+    // frames 0, 4, 8 of 10 for each id
+    assert(sampled == Set((3L, 0, 10), (3L, 4, 10), (3L, 8, 10),
+      (4L, 0, 10), (4L, 4, 10), (4L, 8, 10)))
+    // a non-GVID payload yields the sentinel row, not a crash
+    val junk = Seq((9L, Array[Byte](1, 2, 3, 4, 5))).toDF("media_id", "payload")
+    val bad = Multimodal.sampleFrames(junk, every = 2)
+      .select("frame_idx").as[Int].collect().toSeq
+    assert(bad == Seq(-1))
+  }
+
   test("range join matches points to intervals exactly once, no nested loop") {
     import java.sql.Timestamp
     def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
