@@ -65,6 +65,10 @@ object GraftFunctions {
     "graft_repetition" -> { args =>
       require(args.length == 1, "graft_repetition(tokens)")
       expressions.RepetitionStats(args(0))
+    },
+    "graft_pq_adc" -> { args =>
+      require(args.length == 3, "graft_pq_adc(codes, lut, ksub)")
+      expressions.PqAdc(args(0), args(1), intArg(args(2), "ksub"))
     })
 
   /** Register every graft function into a live session. Idempotent. */
