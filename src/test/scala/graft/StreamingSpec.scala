@@ -36,6 +36,32 @@ class StreamingSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("stream-static bucketized range join attributes streamed points") {
+    // RangeJoin is a pure equi-join + filter, so it composes with a
+    // streaming points side against static intervals (stream-static
+    // equi-joins are supported; a nested-loop range join would not be)
+    val src = Files.createTempDirectory("graft_stream_range")
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val pts = Seq(
+      (1L, t("2024-01-01 00:05:00")),
+      (2L, t("2024-01-01 00:25:00")),
+      (3L, t("2024-01-01 02:00:00"))).toDF("pid", "ts")
+    pts.write.mode("overwrite").parquet(s"$src/in")
+    val intervals = Seq(("W", t("2024-01-01 00:00:00"), t("2024-01-01 00:30:00")))
+      .toDF("iid", "w_start", "w_end")
+
+    val stream = spark.readStream.schema(pts.schema).parquet(s"$src/in")
+    val joined = graft.operators.RangeJoin.pointInInterval(
+      stream, intervals, "ts", "w_start", "w_end", bucketWidth = 900L)
+    val q = joined.writeStream.format("memory").queryName("range_attrib")
+      .option("checkpointLocation", s"$src/ckpt").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("range_attrib").select("pid").as[Long].collect().toSet
+    assert(got == Set(1L, 2L))
+    FsOps.deleteRecursively(src)
+  }
+
   test("streaming content dedup drops in-horizon duplicate documents") {
     val src = Files.createTempDirectory("graft_stream_dedup")
     import spark.implicits._
