@@ -369,13 +369,13 @@ object Similarity {
     * dot(query subvector, codebook centroid). |queries| rows of m·ksub
     * doubles — broadcast-sized. The normalized query vector rides along
     * for the exact re-rank. */
-  private def pqLuts(index: PqIndex, queries: DataFrame,
+  private def pqLuts(codebooks: DataFrame, m: Int, queries: DataFrame,
                      vecCol: String, idCol: String): DataFrame = {
     import graft.functions.expressions.dot_product
-    val dsub = index.codebooks.select(size(col("cv"))).head().getInt(0)
-    subPoints(queries, index.m, dsub, vecCol, idCol)
+    val dsub = codebooks.select(size(col("cv"))).head().getInt(0)
+    subPoints(queries, m, dsub, vecCol, idCol)
       .withColumnRenamed("pid", "query_id").withColumnRenamed("sv", "qsv")
-      .join(broadcast(index.codebooks), Seq("sub"))
+      .join(broadcast(codebooks), Seq("sub"))
       .withColumn("pdot", dot_product(col("qsv"), col("cv")))
       .groupBy(col("query_id"))
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("code"), col("pdot")))),
@@ -419,7 +419,7 @@ object Similarity {
                idCol: String = "vec_id"): DataFrame = {
     import graft.functions.expressions.cosine_sim
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
-    val luts = pqLuts(index, queries, vecCol, idCol)
+    val luts = pqLuts(index.codebooks, index.m, queries, vecCol, idCol)
     val depth = if (rerank > 0) rerank else sizedRerank(index.codes)
     val adc = column(graft.functions.expressions.PqAdc(
       expression(col("codes")), expression(col("lut")), index.ksub))
@@ -428,6 +428,118 @@ object Similarity {
     val wCos = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nbr_id"))
     index.codes.crossJoin(broadcast(luts))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("adc", adc)
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= depth)
+      .withColumn("cos", round(cosine_sim(col("cv"), col("qv")), 9))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nbr_id"), col("cos"))
+  }
+
+  // -------------------------------------------------- composed IVF-PQ
+
+  /** IVF-PQ: the coarse quantizer restricts each query to its `nprobe`
+    * lists, and WITHIN the probed lists the scan reads only PQ codes
+    * (ADC lookup-sums) — vectors deserialize solely for the exact
+    * re-rank of the top-ADC candidates. This is the composition large
+    * ANN deployments actually run: query cost ≈
+    * (nprobe/nlist) · corpus · (one lookup-sum per row) + rerank exact
+    * distances. Codes are stored cid-indexed, so a store-persisted
+    * index prunes parquet row groups to the probed lists before the
+    * scan even starts (same pushdown as `ivfSearch`).
+    *
+    * This variant encodes RAW vectors (IVF restricts, PQ compresses —
+    * independent codebooks); FAISS-style residual encoding (PQ over
+    * v − centroid[cid], tighter codes at the same m·ksub) is the
+    * refinement and would slot into `buildIvfPqIndex` without changing
+    * the search plan. */
+  final case class IvfPqIndex(centroids: DataFrame, codebooks: DataFrame,
+                              codes: DataFrame, m: Int, ksub: Int) {
+    def save(c: graft.store.Collection, name: String,
+             overwrite: Boolean = true): Unit = {
+      c.write(s"${name}__centroids", centroids, indexCols = Seq("cid"),
+        overwrite = overwrite)
+      c.write(s"${name}__codebooks", codebooks, indexCols = Seq("sub"),
+        metadata = Map("pq_m" -> m, "pq_ksub" -> ksub),
+        overwrite = overwrite)
+      c.write(s"${name}__codes", codes, indexCols = Seq("cid"),
+        overwrite = overwrite)
+    }
+  }
+
+  object IvfPqIndex {
+    def load(c: graft.store.Collection, name: String): IvfPqIndex = {
+      val cb = c.item(s"${name}__codebooks").data
+      val r = cb.agg(max(col("sub")), max(col("code"))).head()
+      IvfPqIndex(c.item(s"${name}__centroids").data, cb,
+        c.item(s"${name}__codes").data, r.getInt(0) + 1, r.getInt(1) + 1)
+    }
+  }
+
+  /** Fit both quantizers over the corpus and tag every PQ code row with
+    * its coarse list id. */
+  def buildIvfPqIndex(corpus: DataFrame,
+                      nlist: Int = 16,
+                      kmeansIters: Int = 3,
+                      m: Int = 8,
+                      ksub: Int = 64,
+                      pqIters: Int = 3,
+                      vecCol: String = "embedding",
+                      idCol: String = "vec_id",
+                      sampleFraction: Double = 1.0): IvfPqIndex = {
+    val ivf = buildIvfIndex(corpus, nlist, kmeansIters, sampleFraction, vecCol, idCol)
+    val pq = buildPqIndex(corpus, m, ksub, pqIters, vecCol, idCol, sampleFraction)
+    val codes = pq.codes
+      .join(ivf.assigned.select(col("nbr_id"), col("cid")), Seq("nbr_id"))
+      .select(col("cid"), col("nbr_id"), col("codes"), col("cv"))
+    IvfPqIndex(ivf.centroids, pq.codebooks, codes, pq.m, pq.ksub)
+  }
+
+  /** Search the composed index: coarse-probe (localized, bounded probe
+    * table — same pattern as `ivfSearch`), IN-filter the codes table to
+    * the probed lists, ADC-scan those lists only, exact re-rank of the
+    * per-query top-`rerank`. */
+  def ivfPqSearch(index: IvfPqIndex,
+                  queries: DataFrame,
+                  k: Int,
+                  nprobe: Int = 8,
+                  rerank: Int = 0,
+                  vecCol: String = "embedding",
+                  idCol: String = "vec_id"): DataFrame = {
+    import graft.functions.expressions.cosine_sim
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val probeRows = q.crossJoin(broadcast(index.centroids))
+      .withColumn("ccos", cosine_sim(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("cid"))
+      .collect()
+    val probedCids = probeRows.map(_.getLong(1)).distinct.toSeq
+    val probePairs = probeRows.map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq.toDF("query_id", "cid")
+
+    val luts = pqLuts(index.codebooks, index.m, queries, vecCol, idCol)
+    // scan only probed lists; each query joins only ITS lists
+    val lists = index.codes.filter(col("cid").isin(probedCids: _*))
+    val nlist = index.centroids.count().toInt
+    val depth = if (rerank > 0) rerank
+      else math.max(128, sizedRerank(index.codes) * math.min(nprobe, nlist) / math.max(nlist, 1))
+    val adc = column(graft.functions.expressions.PqAdc(
+      expression(col("codes")), expression(col("lut")), index.ksub))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("nbr_id"))
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    lists.join(broadcast(probePairs), Seq("cid"))
+      .join(broadcast(luts), Seq("query_id"))
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("adc", adc)
       .withColumn("arank", row_number().over(wAdc))

@@ -135,6 +135,31 @@ class EdgeCaseSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("bm25 with no matching terms returns empty, not an error") {
+    import graft.operators.Search
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val q = Seq((0L, "zzz_nonexistent")).toDF("query_id", "term")
+    assert(Search.bm25TopK(docs, q, k = 5).count() == 0)
+  }
+
+  test("PQ build rejects a subspace count that does not divide the dim") {
+    import graft.operators.Similarity
+    val e = Seq((1L, Array.fill(10)(1.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.buildPqIndex(e, m = 3, ksub = 2, iters = 0)
+    }
+    assert(ex.getMessage.contains("must divide"))
+  }
+
+  test("range join with an empty interval side returns empty") {
+    import graft.operators.RangeJoin
+    val pts = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("pid", "ts")
+    val ivs = Seq.empty[(String, java.sql.Timestamp, java.sql.Timestamp)]
+      .toDF("iid", "w_start", "w_end")
+    assert(RangeJoin.pointInInterval(pts, ivs, "ts", "w_start", "w_end").count() == 0)
+  }
+
   test("winnow fingerprint and text stats behave on empty and 1-token docs") {
     import graft.operators.TextAnalysis
     val df = Seq((1L, ""), (2L, "word")).toDF("doc_id", "text")

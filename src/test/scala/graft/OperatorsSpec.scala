@@ -304,6 +304,44 @@ class OperatorsSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("IVF-PQ search stays in probed lists and reaches mean recall@5 >= 0.8") {
+    val e = sf("embeddings")
+    val q = e.filter($"vec_id" < 10)
+    val idx = Similarity.buildIvfPqIndex(e, nlist = 16, kmeansIters = 2,
+      m = 8, ksub = 32, pqIters = 2)
+    val res = Similarity.ivfPqSearch(idx, q, k = 5, nprobe = 8)
+    val got = res.select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val bf = Similarity.bruteForceTopK(e, q, k = 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().groupBy(_._1)
+    val recalls = bf.map { case (_, s) => s.count(got.contains).toDouble / s.size }
+    val mean = recalls.sum / recalls.size
+    // compounded loss: coarse probing (IVF) × code quantization (PQ)
+    assert(mean >= 0.8, s"mean recall@5 = $mean")
+  }
+
+  test("IVF-PQ index persists through the store with cid pruning") {
+    val e = sf("embeddings")
+    val q = e.filter($"vec_id" < 5)
+    val idx = Similarity.buildIvfPqIndex(e, nlist = 8, kmeansIters = 1,
+      m = 8, ksub = 16, pqIters = 1)
+    val direct = Similarity.ivfPqSearch(idx, q, k = 3, nprobe = 4, rerank = 64)
+      .select("query_id", "rank", "nbr_id").as[(Long, Int, Long)].collect().toSet
+    val c = tempCollection("ivfpq_index")
+    idx.save(c, "emb")
+    val loaded = Similarity.IvfPqIndex.load(c, "emb")
+    assert(loaded.m == idx.m && loaded.ksub == idx.ksub)
+    val viaStore = Similarity.ivfPqSearch(loaded, q, k = 3, nprobe = 4, rerank = 64)
+    val viaStoreSet = viaStore
+      .select("query_id", "rank", "nbr_id").as[(Long, Int, Long)].collect().toSet
+    assert(viaStoreSet == direct)
+    assert(direct.nonEmpty)
+    // probed-list pushdown reaches the persisted codes scan
+    val plan = Similarity.ivfPqSearch(loaded, q, k = 3, nprobe = 4, rerank = 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("cid"), "expected cid probe filter in the plan")
+    cleanup(c)
+  }
+
   test("multi-band LSH retrieves every near-dup neighbor at sized bits") {
     // LSH's honest regime: neighbors with a real density gap (cos ≥
     // 0.9), not the top-5 of uniform-random vectors (cos ≈ 0.4, no gap

@@ -39,6 +39,18 @@ class PlanSpec extends SparkSpec {
     assert(plan("ann_lsh_topk").contains("Broadcast"))
   }
 
+  test("bm25 broadcasts query terms; no cartesian in the postings probe") {
+    val p = plan("text_bm25")
+    assert(p.contains("Broadcast"), "query-term probe should broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("range join plans as equi-join on bucket ids, never nested loop") {
+    val p = plan("events_range_attrib")
+    assert(!p.contains("BroadcastNestedLoop"), "range join degenerated to nested loop")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("curation pipeline: one window exchange, no cartesian, single rollup") {
     val p = plan("pipeline_curation")
     assert(!p.contains("CartesianProduct"))
