@@ -276,14 +276,20 @@ object Similarity {
     transform(vec, x => when(nrm === 0.0, 0.0).otherwise(x.cast("double") / nrm))
   }
 
-  /** (id, sub, subvector) points: each normalized vector split into m
-    * contiguous dsub-wide slices. */
+  /** (id, sub, subvector) points: each vector split into m contiguous
+    * dsub-wide slices, L2-normalized first unless `normalize = false`
+    * (residual vectors must NOT be renormalized — the q·x = q·c + q·r
+    * decomposition is linear in r). */
   private def subPoints(df: DataFrame, m: Int, dsub: Int,
-                        vecCol: String, idCol: String): DataFrame =
-    df.select(col(idCol).cast("long").as("pid"), normalized(col(vecCol)).as("nv"))
+                        vecCol: String, idCol: String,
+                        normalize: Boolean = true): DataFrame = {
+    val v = if (normalize) normalized(col(vecCol))
+            else col(vecCol).cast("array<double>")
+    df.select(col(idCol).cast("long").as("pid"), v.as("nv"))
       .select(col("pid"), col("nv"),
         posexplode(transform(sequence(lit(0), lit(m - 1)),
           s => slice(col("nv"), s * dsub + 1, lit(dsub)))).as(Seq("sub", "sv")))
+  }
 
   /** Fit per-subspace k-means codebooks and PQ-encode the corpus — all
     * m subspaces trained in ONE DataFrame pass per Lloyd iteration
@@ -301,14 +307,15 @@ object Similarity {
                    iters: Int = 3,
                    vecCol: String = "embedding",
                    idCol: String = "vec_id",
-                   sampleFraction: Double = 1.0): PqIndex = {
+                   sampleFraction: Double = 1.0,
+                   normalizeInput: Boolean = true): PqIndex = {
     import graft.functions.expressions.dot_product
     val spark = corpus.sparkSession
     import spark.implicits._
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
-    val allPts = subPoints(corpus, m, dsub, vecCol, idCol)
+    val allPts = subPoints(corpus, m, dsub, vecCol, idCol, normalizeInput)
     val pts = (if (sampleFraction < 1.0) {
       val ids = corpus.select(col(idCol).cast("long").as("pid"))
         .sample(sampleFraction, 42)
@@ -456,13 +463,14 @@ object Similarity {
     * refinement and would slot into `buildIvfPqIndex` without changing
     * the search plan. */
   final case class IvfPqIndex(centroids: DataFrame, codebooks: DataFrame,
-                              codes: DataFrame, m: Int, ksub: Int) {
+                              codes: DataFrame, m: Int, ksub: Int,
+                              residual: Boolean = false) {
     def save(c: graft.store.Collection, name: String,
              overwrite: Boolean = true): Unit = {
       c.write(s"${name}__centroids", centroids, indexCols = Seq("cid"),
         overwrite = overwrite)
       c.write(s"${name}__codebooks", codebooks, indexCols = Seq("sub"),
-        metadata = Map("pq_m" -> m, "pq_ksub" -> ksub),
+        metadata = Map("pq_m" -> m, "pq_ksub" -> ksub, "pq_residual" -> residual),
         overwrite = overwrite)
       c.write(s"${name}__codes", codes, indexCols = Seq("cid"),
         overwrite = overwrite)
@@ -473,13 +481,25 @@ object Similarity {
     def load(c: graft.store.Collection, name: String): IvfPqIndex = {
       val cb = c.item(s"${name}__codebooks").data
       val r = cb.agg(max(col("sub")), max(col("code"))).head()
+      val residual = c.metadata(s"${name}__codebooks").get("pq_residual")
+        .exists { case org.json4s.JBool(b) => b; case _ => false }
       IvfPqIndex(c.item(s"${name}__centroids").data, cb,
-        c.item(s"${name}__codes").data, r.getInt(0) + 1, r.getInt(1) + 1)
+        c.item(s"${name}__codes").data, r.getInt(0) + 1, r.getInt(1) + 1,
+        residual)
     }
   }
 
   /** Fit both quantizers over the corpus and tag every PQ code row with
-    * its coarse list id. */
+    * its coarse list id.
+    *
+    * `residual = true` is the FAISS-style refinement: PQ codebooks are
+    * fit on r = x̂ − c (the normalized vector minus its coarse
+    * centroid) instead of on x̂ itself. Residuals concentrate near the
+    * origin — much less variance than raw vectors — so the same m·ksub
+    * code budget quantizes tighter. The decomposition is exact and
+    * linear: q̂·x̂ = q̂·c + q̂·r, so search just adds the per-(query,
+    * probed-list) q̂·c term to the residual ADC sum; residuals are
+    * never renormalized. */
   def buildIvfPqIndex(corpus: DataFrame,
                       nlist: Int = 16,
                       kmeansIters: Int = 3,
@@ -488,13 +508,32 @@ object Similarity {
                       pqIters: Int = 3,
                       vecCol: String = "embedding",
                       idCol: String = "vec_id",
-                      sampleFraction: Double = 1.0): IvfPqIndex = {
+                      sampleFraction: Double = 1.0,
+                      residual: Boolean = false): IvfPqIndex = {
     val ivf = buildIvfIndex(corpus, nlist, kmeansIters, sampleFraction, vecCol, idCol)
-    val pq = buildPqIndex(corpus, m, ksub, pqIters, vecCol, idCol, sampleFraction)
-    val codes = pq.codes
-      .join(ivf.assigned.select(col("nbr_id"), col("cid")), Seq("nbr_id"))
-      .select(col("cid"), col("nbr_id"), col("codes"), col("cv"))
-    IvfPqIndex(ivf.centroids, pq.codebooks, codes, pq.m, pq.ksub)
+    if (!residual) {
+      val pq = buildPqIndex(corpus, m, ksub, pqIters, vecCol, idCol, sampleFraction)
+      val codes = pq.codes
+        .join(ivf.assigned.select(col("nbr_id"), col("cid")), Seq("nbr_id"))
+        .select(col("cid"), col("nbr_id"), col("codes"), col("cv"))
+      IvfPqIndex(ivf.centroids, pq.codebooks, codes, pq.m, pq.ksub)
+    } else {
+      // residual table: one row per vector, rv = normalized(cv) − centroid
+      val residuals = ivf.assigned
+        .join(broadcast(ivf.centroids), Seq("cid"))
+        .select(col("nbr_id"), col("cid"),
+          zip_with(normalized(col("cv")), col("centroid"),
+            (a, b) => a - b).as("rv"))
+      val pq = buildPqIndex(residuals, m, ksub, pqIters,
+        vecCol = "rv", idCol = "nbr_id", sampleFraction = sampleFraction,
+        normalizeInput = false)
+      // re-rank needs the ORIGINAL vector, not the residual
+      val codes = pq.codes.drop("cv")
+        .join(ivf.assigned.select(col("nbr_id"), col("cv"), col("cid")), Seq("nbr_id"))
+        .select(col("cid"), col("nbr_id"), col("codes"), col("cv"))
+      IvfPqIndex(ivf.centroids, pq.codebooks, codes, pq.m, pq.ksub,
+        residual = true)
+    }
   }
 
   /** Search the composed index: coarse-probe (localized, bounded probe
@@ -508,7 +547,7 @@ object Similarity {
                   rerank: Int = 0,
                   vecCol: String = "embedding",
                   idCol: String = "vec_id"): DataFrame = {
-    import graft.functions.expressions.cosine_sim
+    import graft.functions.expressions.{cosine_sim, dot_product}
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     val spark = queries.sparkSession
     import spark.implicits._
@@ -516,15 +555,18 @@ object Similarity {
       col(vecCol).cast("array<double>").as("qv"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("cid"))
+    // qc = q̂·c rides along for the residual decomposition (ignored by
+    // the raw-code variant)
     val probeRows = q.crossJoin(broadcast(index.centroids))
       .withColumn("ccos", cosine_sim(col("qv"), col("centroid")))
+      .withColumn("qc", dot_product(normalized(col("qv")), col("centroid")))
       .withColumn("crank", row_number().over(wProbe))
       .filter(col("crank") <= nprobe)
-      .select(col("query_id"), col("cid"))
+      .select(col("query_id"), col("cid"), col("qc"))
       .collect()
     val probedCids = probeRows.map(_.getLong(1)).distinct.toSeq
-    val probePairs = probeRows.map(r => (r.getLong(0), r.getLong(1)))
-      .toSeq.toDF("query_id", "cid")
+    val probePairs = probeRows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.toDF("query_id", "cid", "qc")
 
     val luts = pqLuts(index.codebooks, index.m, queries, vecCol, idCol)
     // scan only probed lists; each query joins only ITS lists
@@ -532,8 +574,10 @@ object Similarity {
     val nlist = index.centroids.count().toInt
     val depth = if (rerank > 0) rerank
       else math.max(128, sizedRerank(index.codes) * math.min(nprobe, nlist) / math.max(nlist, 1))
-    val adc = column(graft.functions.expressions.PqAdc(
+    val rawAdc = column(graft.functions.expressions.PqAdc(
       expression(col("codes")), expression(col("lut")), index.ksub))
+    // residual codes estimate q̂·r; adding the exact q̂·c restores q̂·x̂
+    val adc = if (index.residual) col("qc") + rawAdc else rawAdc
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("nbr_id"))
     val wCos = Window.partitionBy(col("query_id"))

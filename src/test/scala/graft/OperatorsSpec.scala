@@ -319,6 +319,45 @@ class OperatorsSpec extends SparkSpec {
     assert(mean >= 0.8, s"mean recall@5 = $mean")
   }
 
+  test("residual IVF-PQ: ADC tracks true similarity at least as well as raw codes") {
+    val e = sf("embeddings")
+    val q = e.filter($"vec_id" < 10)
+    def recall(residual: Boolean): Double = {
+      val idx = Similarity.buildIvfPqIndex(e, nlist = 16, kmeansIters = 2,
+        m = 8, ksub = 16, pqIters = 2, residual = residual)
+      assert(idx.residual == residual)
+      // small rerank ⇒ recall is dominated by ADC fidelity, which is
+      // what residual encoding improves
+      val got = Similarity.ivfPqSearch(idx, q, k = 5, nprobe = 16, rerank = 24)
+        .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+      val bf = Similarity.bruteForceTopK(e, q, k = 5)
+        .select("query_id", "nbr_id").as[(Long, Long)].collect().groupBy(_._1)
+      val rs = bf.map { case (_, s) => s.count(got.contains).toDouble / s.size }
+      rs.sum / rs.size
+    }
+    val raw = recall(residual = false)
+    val res = recall(residual = true)
+    assert(res >= raw - 0.05, s"residual=$res raw=$raw") // at worst comparable
+    assert(res >= 0.5, s"residual ADC recall collapsed: $res")
+  }
+
+  test("residual IVF-PQ roundtrips the residual flag through the store") {
+    val e = sf("embeddings")
+    val q = e.filter($"vec_id" < 5)
+    val idx = Similarity.buildIvfPqIndex(e, nlist = 8, kmeansIters = 1,
+      m = 8, ksub = 16, pqIters = 1, residual = true)
+    val direct = Similarity.ivfPqSearch(idx, q, k = 3, nprobe = 4, rerank = 64)
+      .select("query_id", "rank", "nbr_id").as[(Long, Int, Long)].collect().toSet
+    val c = tempCollection("ivfpq_res")
+    idx.save(c, "emb")
+    val loaded = Similarity.IvfPqIndex.load(c, "emb")
+    assert(loaded.residual)
+    val viaStore = Similarity.ivfPqSearch(loaded, q, k = 3, nprobe = 4, rerank = 64)
+      .select("query_id", "rank", "nbr_id").as[(Long, Int, Long)].collect().toSet
+    assert(viaStore == direct)
+    cleanup(c)
+  }
+
   test("IVF-PQ index persists through the store with cid pruning") {
     val e = sf("embeddings")
     val q = e.filter($"vec_id" < 5)

@@ -22,6 +22,21 @@ class PropertySpec extends SparkSpec {
   private def randomBatch(rng: Random, n: Int = 12): Seq[(Int, Double)] =
     Seq.fill(n)((rng.nextInt(20) + 1, rng.nextInt(10).toDouble)).distinct
 
+  test("property: pq ADC kernel equals the manual lookup sum (seeded cases)") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val rng = new Random(7)
+    for (_ <- 1 to 50) {
+      val m = rng.nextInt(8) + 1
+      val ksub = rng.nextInt(15) + 2
+      val codes = Array.fill(m)(rng.nextInt(ksub))
+      val lut = Array.fill(m * ksub)(rng.nextDouble() * 2 - 1)
+      val expected = (0 until m).map(i => lut(i * ksub + codes(i))).sum
+      val got = graft.functions.Kernels.pqAdc(
+        ArrayData.toArrayData(codes), ArrayData.toArrayData(lut), ksub)
+      assert(math.abs(got - expected) < 1e-12, s"m=$m ksub=$ksub")
+    }
+  }
+
   test("property: append keep_last is idempotent (re-appending the same batch is a no-op)") {
     for (seed <- 1 to 5) {
       val rng = new Random(seed)
