@@ -32,6 +32,40 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
     df.filter(hashKey(keyCol) < lit(hashThreshold(fraction)))
 
+  /** Deterministic shuffle-shard + sequence-packing accounting — the
+    * last step of a training-data pipeline: spread documents across
+    * `nShards` output shards, pseudo-randomly order each shard (md5
+    * order — the deterministic global shuffle; hex string order is
+    * identical in every engine), then run concat-and-chunk packing:
+    * each document is assigned to the `contextTokens`-sized pack in
+    * which its first token lands (running-token-count division — the
+    * standard packing bookkeeping). Emits one row per document:
+    * (shard, pack, doc id, its token count).
+    *
+    * Shape: one hash-partitioned window per shard (running sum) — a
+    * single shuffle on the shard key; shards are the parallel unit at
+    * any scale. The window per shard is sequential by nature — that is
+    * packing's own data dependency, and nShards bounds it. */
+  def packShards(df: DataFrame,
+                 nShards: Int,
+                 contextTokens: Long,
+                 textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0 && contextTokens > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("shard", pmod(col(idCol), lit(nShards)).cast("int"))
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack",
+        floor((col("__cum") - col("n_tokens")) / contextTokens).cast("long"))
+      .select(col("shard"), col("pack"), col(idCol), col("n_tokens"))
+  }
+
   /** Stratified deterministic sampling: per-stratum fractions with a
     * default for unlisted strata — the eval-set carving recipe (e.g.
     * oversample rare languages, downsample dominant sources). */

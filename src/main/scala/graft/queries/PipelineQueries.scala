@@ -1006,6 +1006,37 @@ object PipelineQueries {
       |FROM documents WHERE doc_id < 200
       |ORDER BY media_id""".stripMargin
 
+  /** Shuffle-shard + sequence-packing accounting (the training-run
+    * export step): 8 hash-ordered shards, 2048-token packs, each doc
+    * assigned to the pack where its first token lands. The oracle
+    * replicates sharding, md5 shuffle order, the running sum, and the
+    * pack division exactly, and pins pack membership via id sums. */
+  def pipelinePacking(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.packShards(
+        Tables.t(s, dir, "documents").select(col("doc_id"), col("text")),
+        nShards = 8, contextTokens = 2048)
+      .groupBy(col("shard"), col("pack"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("shard"), col("pack"))
+
+  val pipelinePackingSql: String =
+    s"""WITH d AS (SELECT doc_id, CAST($nTokensSql AS BIGINT) AS n_tokens,
+       |    CAST(doc_id % 8 AS INTEGER) AS shard,
+       |    md5(CAST(doc_id AS VARCHAR)) AS h
+       |  FROM documents),
+       |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard
+       |        ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d),
+       |p AS (SELECT shard,
+       |        CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack,
+       |        doc_id, n_tokens FROM c)
+       |SELECT shard, pack, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+       |FROM p GROUP BY 1, 2
+       |ORDER BY shard, pack""".stripMargin
+
   /** Video frame-sampling through the multimodal seam: deterministic
     * GVID fixture containers (header + packed RGB frames, pixels =
     * closed-form formulas of (id, frame, x, y)), every 6th frame
@@ -1064,6 +1095,7 @@ object PipelineQueries {
     "text_contamination" -> textContamination _,
     "sample_stratified" -> sampleStratified _,
     "pipeline_curation" -> pipelineCuration _,
+    "pipeline_packing" -> pipelinePacking _,
     "profile_orders" -> profileOrders _,
     "profile_categories" -> profileCategories _,
     "profile_histogram" -> profileHistogram _,
@@ -1096,6 +1128,7 @@ object PipelineQueries {
     "text_contamination" -> textContaminationSql,
     "sample_stratified" -> sampleStratifiedSql,
     "pipeline_curation" -> pipelineCurationSql,
+    "pipeline_packing" -> pipelinePackingSql,
     "profile_orders" -> profileOrdersSql,
     "profile_categories" -> profileCategoriesSql,
     "profile_histogram" -> profileHistogramSql,

@@ -205,6 +205,20 @@ class OperatorsSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("packShards: doc joins the pack where its first token lands") {
+    import graft.operators.Sampling
+    // one shard, known md5 order; 3 docs of 5 tokens, context 8:
+    // cum 5, 10, 15 -> starts at 0, 5, 10 -> packs 0, 0, 1
+    val docs = Seq((0L, "a b c d e"), (8L, "f g h i j"), (16L, "k l m n o"))
+      .toDF("doc_id", "text") // all ≡ 0 mod 8 -> same shard
+    val out = Sampling.packShards(docs, nShards = 8, contextTokens = 8)
+    assert(out.select("shard").distinct().count() == 1)
+    val byOrder = out.orderBy("pack", "doc_id")
+      .select("pack", "n_tokens").as[(Long, Long)].collect().toSeq
+    assert(byOrder.map(_._2).forall(_ == 5))
+    assert(byOrder.map(_._1).sorted == Seq(0L, 0L, 1L))
+  }
+
   test("video frame sampler seeks the right frames and flags bad containers") {
     val ids = Seq(3L, 4L).toDF("id")
     val vids = Multimodal.videoTable(ids, width = 4, height = 2, nFrames = 10, fps = 5)
