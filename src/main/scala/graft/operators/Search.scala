@@ -52,7 +52,9 @@ object Search {
     val postings = tok.select(col("doc_id"), explode(col("t")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val qt = queryTerms.select(col("query_id"), col("term"))
+    // distinct: a repeated term in one query must not double its
+    // contribution (classic BM25 treats query terms as a set)
+    val qt = queryTerms.select(col("query_id"), col("term")).distinct()
     // inverted-index probe: only query-term postings survive
     val matched = postings.join(broadcast(qt.select(col("term")).distinct()),
       Seq("term"), "left_semi")
