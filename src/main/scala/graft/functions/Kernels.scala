@@ -115,10 +115,20 @@ object Kernels {
     * the whole point of PQ is that the scan never touches vectors. */
   def pqAdc(codes: ArrayData, lut: ArrayData, ksub: Int): Double = {
     val m = codes.numElements()
+    val n = lut.numElements()
     var acc = 0.0
     var i = 0
     while (i < m) {
-      acc += lut.getDouble(i * ksub + codes.getInt(i))
+      val c = codes.getInt(i)
+      val j = i * ksub + c
+      // bounds-checked: UnsafeArrayData.getDouble would silently read
+      // arbitrary memory for a code >= ksub or an undersized lut (the
+      // function is SQL-exposed as graft_pq_adc — garbage in must
+      // error, not produce plausible wrong scores)
+      if (c < 0 || c >= ksub || j >= n)
+        throw new IllegalArgumentException(
+          s"pq_adc: code $c at subspace $i out of range (ksub=$ksub, lut size=$n)")
+      acc += lut.getDouble(j)
       i += 1
     }
     acc

@@ -353,12 +353,16 @@ object Dedup {
                           maxLocalEdges: Int = 1000000): DataFrame = {
     val spark0 = pairs.sparkSession
     if (maxLocalEdges > 0) {
-      // persist + count + collect: ONE full materialization of the
-      // (possibly expensive) candidate pipeline. take(limit+1) instead
-      // triggers AQE's incremental-limit ramp — the pipeline re-executes
-      // over growing partition subsets (measured 4.1 s vs 1.6 s for the
-      // minhash pair plan at sf0.1).
+      // persist + count + collect of a LIMITED frame: ONE full
+      // materialization of the (possibly expensive) candidate pipeline,
+      // and the limit bounds what can land in the cache when the edge
+      // list is huge. Plain take(limit+1) instead triggers AQE's
+      // incremental-limit ramp — the pipeline re-executes over growing
+      // partition subsets (measured 4.1 s vs 1.6 s for the minhash pair
+      // plan at sf0.1); an unlimited persist+count would materialize
+      // billions of rows just to learn the local path doesn't apply.
       val skinny = pairs.select(col(idACol).cast("long"), col(idBCol).cast("long"))
+        .limit(maxLocalEdges + 1)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = skinny.count()
       val local = if (n <= maxLocalEdges) skinny.collect() else Array.empty[Row]
@@ -383,7 +387,8 @@ object Dedup {
         return rows.toDF("id", "cluster")
       }
       // fell through: too many edges for the driver — distributed loop
-      // (the take() above already warmed any persisted inputs)
+      // (the bounded probe above cost one truncated pass; the loop
+      // below re-derives edges from the full pair plan)
     }
     // both orientations from ONE pass over the pair subplan — a union
     // of two selects would execute the (possibly expensive) candidate

@@ -383,27 +383,37 @@ object Multimodal {
       rows.flatMap { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val bb = java.nio.ByteBuffer.wrap(bytes)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        val magic = new Array[Byte](4); bb.get(magic)
-        if (!java.util.Arrays.equals(magic, "GVID".getBytes("US-ASCII")))
-          Iterator(Row(id, -1, 0, 0, 0, 0.0, 0.0, 0.0))
+        val bad = Iterator(Row(id, -1, 0, 0, 0, 0.0, 0.0, 0.0))
+        // a corrupt container (short payload, bad magic, nonsense or
+        // truncated header) yields the sentinel row — one bad file
+        // must never fail a whole partition's task
+        if (bytes.length < 20) bad
         else {
-          val w = bb.getInt; val h = bb.getInt
-          val nf = bb.getInt; bb.getInt // fps unused here
-          val frameBytes = w * h * 3
-          val px = (w * h).toDouble
-          Iterator.range(0, nf, every).map { f =>
-            val off = 20 + f * frameBytes
-            var sr = 0L; var sg = 0L; var sb = 0L
-            var p = 0
-            while (p < w * h) {
-              sr += bytes(off + p * 3) & 0xff
-              sg += bytes(off + p * 3 + 1) & 0xff
-              sb += bytes(off + p * 3 + 2) & 0xff
-              p += 1
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val magic = new Array[Byte](4); bb.get(magic)
+          if (!java.util.Arrays.equals(magic, "GVID".getBytes("US-ASCII"))) bad
+          else {
+            val w = bb.getInt; val h = bb.getInt
+            val nf = bb.getInt; bb.getInt // fps unused here
+            val frameBytes = w.toLong * h * 3
+            if (w <= 0 || h <= 0 || nf <= 0 ||
+                20L + nf.toLong * frameBytes > bytes.length) bad
+            else {
+              val px = (w * h).toDouble
+              Iterator.range(0, nf, every).map { f =>
+                val off = 20 + f * frameBytes.toInt
+                var sr = 0L; var sg = 0L; var sb = 0L
+                var p = 0
+                while (p < w * h) {
+                  sr += bytes(off + p * 3) & 0xff
+                  sg += bytes(off + p * 3 + 1) & 0xff
+                  sb += bytes(off + p * 3 + 2) & 0xff
+                  p += 1
+                }
+                Row(id, f, w, h, nf, sr / px, sg / px, sb / px)
+              }
             }
-            Row(id, f, w, h, nf, sr / px, sg / px, sb / px)
           }
         }
       }

@@ -27,20 +27,37 @@ object RangeJoin {
   /** Inner-join `points` rows (timestamp `tsCol`) to `intervals` rows
     * ([`startCol`, `endCol`] inclusive), optionally also matching on
     * `equiKeys`. Timestamp columns must be TimestampType; `bucketWidth`
-    * is in seconds. */
+    * is in seconds. An interval spanning more than
+    * `maxBucketsPerInterval` buckets fails fast with a clear message
+    * (a sentinel end date like 9999-12-31 would otherwise explode to
+    * billions of bucket rows per interval — raise the cap or widen
+    * `bucketWidth` for legitimately long intervals); inverted
+    * (end < start) intervals are dropped, matching the empty range
+    * predicate they represent. */
   def pointInInterval(points: DataFrame,
                       intervals: DataFrame,
                       tsCol: String,
                       startCol: String,
                       endCol: String,
                       equiKeys: Seq[String] = Nil,
-                      bucketWidth: Long = 3600L): DataFrame = {
+                      bucketWidth: Long = 3600L,
+                      maxBucketsPerInterval: Int = 4096): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
     val w = bucketWidth * 1000000L // µs
     val p = points.withColumn("__bucket", floor(unix_micros(col(tsCol)) / w))
-    val i = intervals.withColumn("__bucket", explode(sequence(
-      floor(unix_micros(col(startCol)) / w),
-      floor(unix_micros(col(endCol)) / w))))
+    val b0 = floor(unix_micros(col(startCol)) / w)
+    val b1 = floor(unix_micros(col(endCol)) / w)
+    val i = intervals
+      .filter(col(endCol) >= col(startCol))
+      .withColumn("__bucket", explode(
+        when(b1 - b0 < lit(maxBucketsPerInterval.toLong), sequence(b0, b1))
+          .otherwise(raise_error(concat(
+            lit(s"range join: interval spans more than $maxBucketsPerInterval " +
+              s"buckets at bucketWidth=${bucketWidth}s — widen bucketWidth or " +
+              "raise maxBucketsPerInterval ("),
+            col(startCol).cast("string"), lit(" .. "),
+            col(endCol).cast("string"), lit(")"))))))
     p.join(i, Seq("__bucket") ++ equiKeys)
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__bucket")

@@ -46,37 +46,59 @@ object Search {
                b: Double = 0.75,
                textCol: String = "text",
                idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val tok = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.tokens(TextAnalysis.normalize(col(textCol))).as("t"))
-    val dl = tok.select(col("doc_id"), size(col("t")).as("dl"))
     val postings = tok.select(col("doc_id"), explode(col("t")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+    // dl derives FROM the postings (Σ tf per doc ≡ token count — split
+    // always yields ≥1 token, so no doc is lost): one corpus tokenize
+    // feeds everything. Catalyst does not reuse the postings exchange
+    // across consumers (measured: 7 corpus scans in the naive shape),
+    // so the corpus-wide subplan must appear as few times as possible.
+    val dl = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     // distinct: a repeated term in one query must not double its
     // contribution (classic BM25 treats query terms as a set)
     val qt = queryTerms.select(col("query_id"), col("term")).distinct()
     // inverted-index probe: only query-term postings survive
     val matched = postings.join(broadcast(qt.select(col("term")).distinct()),
       Seq("term"), "left_semi")
-    // document frequency of the probed terms only (skinny aggregate)
-    val dfreq = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // one-row corpus stats; exact integer sums → identical avgdl in
-    // any engine
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
 
-    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    // LOCALIZE the broadcast-sized aggregates (per-term df + one-row
+    // corpus stats — both bounded by the query size) in ONE driver
+    // round-trip, the same pattern as ivfSearch's probe table: the
+    // returned plan then touches the corpus-wide postings subplan
+    // exactly twice (scoring + dl) instead of re-deriving df/avgdl
+    // from scratch per consumer.
+    val dfreq = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dfRows = dfreq.crossJoin(stats)
+      .select(col("term"), col("df"), col("n_docs"), col("sum_dl"))
+      .collect()
+    val outSchema = Seq("query_id", "rank", "doc_id", "n_terms", "score")
+    if (dfRows.isEmpty) {
+      // no query term matches any document
+      return Seq.empty[(Long, Int, Long, Long, Double)].toDF(outSchema: _*)
+    }
+    val nDocs = dfRows.head.getLong(2)
+    val sumDl = dfRows.head.getLong(3)
+    val dfLit = dfRows.map(r => (r.getString(0), r.getLong(1)))
+      .toSeq.toDF("term", "df")
+
+    val avgdl = lit(sumDl).cast("double") / lit(nDocs).cast("double")
     val tfn = col("tf").cast("double") * lit(k1 + 1.0) /
       (col("tf").cast("double") +
         lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
-    val contrib = idf(col("n_docs"), col("df")) * tfn
+    val contrib = idf(lit(nDocs), col("df")) * tfn
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_exact").desc, col("doc_id"))
     matched
       .join(broadcast(qt), Seq("term"))
-      .join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(dfLit), Seq("term"))
       .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
       .withColumn("contrib", contrib)
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_terms"),

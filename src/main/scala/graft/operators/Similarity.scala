@@ -330,10 +330,12 @@ object Similarity {
       .limit(ksub).as[Long].collect().toSeq
     val kEff = seedIds.size
     val codeOf = seedIds.sorted.zipWithIndex.toMap
-    var cb = allPts.filter(col("pid").isin(seedIds: _*))
-      .select(col("sub"), col("pid"), col("sv")).collect()
-      .map(r => (r.getInt(0), codeOf(r.getLong(1)), r.getSeq[Double](2)))
-      .toSeq.toDF("sub", "code", "cv")
+    var cbRows: Seq[(Int, Int, Seq[Double])] =
+      allPts.filter(col("pid").isin(seedIds: _*))
+        .select(col("sub"), col("pid"), col("sv")).collect()
+        .map(r => (r.getInt(0), codeOf(r.getLong(1)), r.getSeq[Double](2)))
+        .toSeq
+    var cb = cbRows.toDF("sub", "code", "cv")
 
     def assignment(points: DataFrame, codebooks: DataFrame): DataFrame =
       points.join(broadcast(codebooks), Seq("sub"))
@@ -346,16 +348,29 @@ object Similarity {
           col("best.code").as("code"), col("best.sv").as("sv"))
 
     for (_ <- 0 until iters) {
-      val rows = assignment(pts, cb)
+      val updated = assignment(pts, cb)
         .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy(col("sub"), col("code"), col("pos"))
         .agg(round(avg(col("x")), 6).as("c"))
         .groupBy(col("sub"), col("code"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
           s => s.getField("c")).as("cv"))
-        .as[(Int, Int, Seq[Double])].collect().toSeq
-      cb = rows.toDF("sub", "code", "cv")
+        .as[(Int, Int, Seq[Double])].collect()
+        .map { case (s, c, v) => (s, c) -> v }.toMap
+      // EMPTY CLUSTERS KEEP THEIR PREVIOUS CENTROID. Rebuilding the
+      // codebook from the assignment groupBy alone would silently drop
+      // any (sub, code) that won zero points — and the flattened ADC
+      // lookup table indexes by lut[sub·ksub + code], so a missing
+      // middle code would shift every later entry left and corrupt all
+      // downstream ADC scores (plus desync kEff from load's
+      // max(code)+1 derivation).
+      cbRows = cbRows.map { case (s, c, v) => (s, c, updated.getOrElse((s, c), v)) }
+      cb = cbRows.toDF("sub", "code", "cv")
     }
+    // the cache serves the Lloyd iterations; the final encode's
+    // dominant cost is its n×m assignment SHUFFLE, which no input
+    // cache avoids — recomputing the narrow subPoints scan once is the
+    // cheaper trade vs holding a corpus-sized cache past return
     pts.unpersist(blocking = false)
 
     // encode the FULL corpus with the final codebooks; the RAW vector
@@ -571,9 +586,13 @@ object Similarity {
     val luts = pqLuts(index.codebooks, index.m, queries, vecCol, idCol)
     // scan only probed lists; each query joins only ITS lists
     val lists = index.codes.filter(col("cid").isin(probedCids: _*))
-    val nlist = index.centroids.count().toInt
     val depth = if (rerank > 0) rerank
-      else math.max(128, sizedRerank(index.codes) * math.min(nprobe, nlist) / math.max(nlist, 1))
+      else {
+        // sizing jobs (centroid count + codes plan stats) only run on
+        // the auto path — an explicit rerank skips them entirely
+        val nlist = index.centroids.count().toInt
+        math.max(128, sizedRerank(index.codes) * math.min(nprobe, nlist) / math.max(nlist, 1))
+      }
     val rawAdc = column(graft.functions.expressions.PqAdc(
       expression(col("codes")), expression(col("lut")), index.ksub))
     // residual codes estimate q̂·r; adding the exact q̂·c restores q̂·x̂

@@ -627,9 +627,14 @@ object PipelineQueries {
     * and scores are hash-verified end to end. */
   def textBm25(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Search
+    import s.implicits._
     val docs = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+    // localize the 10-row term workload (bounded) so the scoring plan
+    // does not re-derive it from two more corpus scans
     val terms = Search.topTerms(docs, 10, TextAnalysis.Stopwords)
       .select(floor((col("r") - 1) / 5).cast("long").as("query_id"), col("term"))
+      .as[(Long, String)].collect().toSeq
+      .toDF("query_id", "term")
     Search.bm25TopK(docs, terms, k = 10)
       .orderBy(col("query_id"), col("rank"))
   }

@@ -228,11 +228,19 @@ class OperatorsSpec extends SparkSpec {
     // frames 0, 4, 8 of 10 for each id
     assert(sampled == Set((3L, 0, 10), (3L, 4, 10), (3L, 8, 10),
       (4L, 0, 10), (4L, 4, 10), (4L, 8, 10)))
-    // a non-GVID payload yields the sentinel row, not a crash
-    val junk = Seq((9L, Array[Byte](1, 2, 3, 4, 5))).toDF("media_id", "payload")
+    // corrupt containers yield the sentinel row, not a crash: bad
+    // magic, payload shorter than the header, truncated frame data
+    val gvid = "GVID".getBytes("US-ASCII")
+    val truncated = java.nio.ByteBuffer.allocate(20)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(gvid).putInt(4).putInt(2).putInt(10).putInt(5).array()
+    val junk = Seq(
+      (9L, Array[Byte](1, 2, 3, 4, 5)),
+      (10L, Array[Byte](1, 2)),
+      (11L, truncated)).toDF("media_id", "payload")
     val bad = Multimodal.sampleFrames(junk, every = 2)
       .select("frame_idx").as[Int].collect().toSeq
-    assert(bad == Seq(-1))
+    assert(bad == Seq(-1, -1, -1))
   }
 
   test("range join matches points to intervals exactly once, no nested loop") {
@@ -249,6 +257,42 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((1L, "A"), (1L, "B"), (2L, "B"), (3L, "B")))
     val plan = joined.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoop"), "range join must stay an equi-join")
+  }
+
+  test("range join rejects runaway intervals and drops inverted ones") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val points = Seq((1L, ts("2024-01-01 00:05:00"))).toDF("pid", "ts")
+    // inverted interval (end < start) is dropped, not exploded
+    val inverted = Seq(("X", ts("2024-01-01 01:00:00"), ts("2024-01-01 00:00:00")))
+      .toDF("iid", "w_start", "w_end")
+    assert(RangeJoin.pointInInterval(points, inverted,
+      "ts", "w_start", "w_end", bucketWidth = 60L).count() == 0)
+    // a sentinel far-future end date fails fast instead of OOMing
+    val runaway = Seq(("Y", ts("2024-01-01 00:00:00"), ts("9999-12-31 00:00:00")))
+      .toDF("iid", "w_start", "w_end")
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(points, runaway,
+        "ts", "w_start", "w_end", bucketWidth = 60L).count()
+    }
+    assert(ex.getMessage.contains("spans more than") ||
+      Option(ex.getCause).exists(_.getMessage.contains("spans more than")))
+  }
+
+  test("PQ codebook stays dense when clusters empty (duplicate seeds)") {
+    // seeds 0-3 are IDENTICAL vectors: on iteration 1 the tie-break
+    // drains three of the four codes — the codebook must keep all
+    // (sub, code) rows (empty clusters retain their previous centroid)
+    // or the flattened ADC LUT stride corrupts
+    val corpus = ((0 until 4).map(i => (i.toLong, Array.fill(8)(1.0f))) ++
+      (4 until 40).map(i => (i.toLong, Array.tabulate(8)(j => (i * 7 + j * 3) % 5 - 2f))))
+      .toDF("vec_id", "embedding")
+    val idx = Similarity.buildPqIndex(corpus, m = 4, ksub = 4, iters = 2)
+    assert(idx.codebooks.count() == 4L * 4L, "codebook must stay dense m×ksub")
+    val q = corpus.filter($"vec_id" === 20L)
+    val res = Similarity.pqSearch(idx, q, k = 3, rerank = 16)
+      .select("nbr_id").as[Long].collect()
+    assert(res.length == 3)
   }
 
   test("range join with equi keys scopes matches to the key") {
