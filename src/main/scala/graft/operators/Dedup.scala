@@ -353,16 +353,18 @@ object Dedup {
                           maxLocalEdges: Int = 1000000): DataFrame = {
     val spark0 = pairs.sparkSession
     if (maxLocalEdges > 0) {
-      // persist + count + collect of a LIMITED frame: ONE full
-      // materialization of the (possibly expensive) candidate pipeline,
-      // and the limit bounds what can land in the cache when the edge
-      // list is huge. Plain take(limit+1) instead triggers AQE's
-      // incremental-limit ramp — the pipeline re-executes over growing
-      // partition subsets (measured 4.1 s vs 1.6 s for the minhash pair
-      // plan at sf0.1); an unlimited persist+count would materialize
-      // billions of rows just to learn the local path doesn't apply.
+      // persist + count + collect: ONE full materialization of the
+      // (possibly expensive) candidate pipeline. The obvious
+      // alternatives both measured worse at sf0.1: take(limit+1)
+      // triggers AQE's incremental-limit ramp (pipeline re-executes
+      // over growing partition subsets — 4.1 s vs 1.6 s), and
+      // limit(limit+1).persist forces a global single-partition limit
+      // that degrades the whole candidate plan (18 s). The cost when
+      // the edge list EXCEEDS maxLocalEdges is one skinny (two-long)
+      // materialization before the distributed loop — callers that
+      // know their pair set is huge should pass maxLocalEdges = 0 to
+      // skip the probe entirely.
       val skinny = pairs.select(col(idACol).cast("long"), col(idBCol).cast("long"))
-        .limit(maxLocalEdges + 1)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = skinny.count()
       val local = if (n <= maxLocalEdges) skinny.collect() else Array.empty[Row]
