@@ -21,15 +21,41 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
 
+    def timeQuery(name: String): Double = {
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
+    }
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+    // Machine-contention sentinel: a fixed cheap query timed at start and
+    // end, plus the OS 1-min load average. A contended capture (the
+    // BENCH_r04 failure mode) shows sentinel_end/sentinel_start drift >2x
+    // and/or load far above the core count; such a run is invalid and must
+    // be re-captured on a quiet machine (see BASELINE.md).
+    val loadStart = loadAvg()
+    val sentinelStart = timeQuery("q1_agg")
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+
+    val sentinelEnd = timeQuery("q1_agg")
+    val loadEnd = loadAvg()
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val drift = if (sentinelStart > 0) sentinelEnd / sentinelStart else -1.0
+    val sentinel =
+      s""""sentinel":{"query":"q1_agg","start_sec":$sentinelStart,"end_sec":$sentinelEnd,""" +
+      s""""drift":$drift,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,""" +
+      s""""valid":${drift >= 0 && drift <= 2.0}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$sentinel}""")
     spark.stop()
   }
 }

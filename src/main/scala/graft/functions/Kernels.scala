@@ -108,6 +108,86 @@ object Kernels {
     out
   }
 
+  /** 128-bit SimHash: two independent 64-bit token hashes (seeds 42 /
+    * 1337) vote per bit; result = [bits 0–63, bits 64–127]. Twice the
+    * signature width doubles the expected Hamming distance of UNRELATED
+    * pairs (≈64 vs ≈32) while near-dup distances stay proportional to
+    * the changed-token share — the wider gap is what lets a fixed
+    * radius cover every qualifying pair at sf0.1, where the 64-bit
+    * radius-6 scheme left a 12-of-311 recall tail. */
+  def simhash128(arr: ArrayData): ArrayData = {
+    val votes = new Array[Int](128)
+    var j = 0
+    while (j < arr.numElements()) {
+      val s = arr.getUTF8String(j)
+      if (s != null) {
+        val h0 = hash64(s, 42L)
+        val h1 = hash64(s, 1337L)
+        var i = 0
+        while (i < 64) {
+          if (((h0 >>> i) & 1L) != 0L) votes(i) += 1 else votes(i) -= 1
+          if (((h1 >>> i) & 1L) != 0L) votes(64 + i) += 1 else votes(64 + i) -= 1
+          i += 1
+        }
+      }
+      j += 1
+    }
+    val out = new Array[Long](2)
+    var i = 0
+    while (i < 64) {
+      if (votes(i) > 0) out(0) |= (1L << i)
+      if (votes(64 + i) > 0) out(1) |= (1L << i)
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Multi-band hyperplane-LSH signatures — the loop body of
+    * expressions.HyperplaneBands as a static call, so the banding scan
+    * stays inside whole-stage codegen. `typeCode` fixes the array
+    * element type at plan time: 0=double, 1=float, 2=long, 3=int.
+    * Arithmetic is bit-identical to the former interpreted eval
+    * (splitmix64 finalizer over a linear combine of (seed, plane,
+    * element index); top-53-bit weight uniform in [-1, 1)). */
+  def hyperplaneBands(arr: ArrayData, typeCode: Int, bits: Int,
+                      bands: Int, seed: Int): ArrayData = {
+    val m = bands * bits
+    val proj = new Array[Double](m)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val x = typeCode match {
+        case 0 => arr.getDouble(j)
+        case 1 => arr.getFloat(j).toDouble
+        case 2 => arr.getLong(j).toDouble
+        case _ => arr.getInt(j).toDouble
+      }
+      var p = 0
+      while (p < m) {
+        var z = seed.toLong * 0x9e3779b97f4a7c15L +
+          p.toLong * 0xbf58476d1ce4e5b9L + j.toLong * 0x94d049bb133111ebL
+        z ^= z >>> 30; z *= 0xbf58476d1ce4e5b9L
+        z ^= z >>> 27; z *= 0x94d049bb133111ebL
+        z ^= z >>> 31
+        proj(p) += x * ((z >>> 11).toDouble / (1L << 52).toDouble - 1.0)
+        p += 1
+      }
+      j += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var sig = 0L; var i = 0
+      while (i < bits) {
+        if (proj(b * bits + i) >= 0.0) sig |= (1L << i)
+        i += 1
+      }
+      out(b) = sig
+      b += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** PQ asymmetric-distance (ADC) score: Σ_m lut[m·ksub + codes[m]].
     * `lut` is a query's flattened (subspace-major) lookup table of
     * partial dot products against every codebook centroid; `codes` is a

@@ -211,45 +211,40 @@ object expressions {
     * planes are hash-derived on the fly, never materialized, so the
     * expression ships to a 1000-executor cluster as pure code. */
   case class HyperplaneBands(child: Expression, bits: Int, bands: Int, seed: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(bits > 0 && bits <= 63, "bits must be in [1, 63]")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val et = child.dataType.asInstanceOf[ArrayType].elementType
-      val m = bands * bits
-      val proj = new Array[Double](m)
-      val n = arr.numElements()
-      var j = 0
-      while (j < n) {
-        val x = elemAt(arr, et, j)
-        var p = 0
-        while (p < m) {
-          // splitmix64 finalizer over a linear combine of (seed, p, j)
-          var z = seed.toLong * 0x9e3779b97f4a7c15L +
-            p.toLong * 0xbf58476d1ce4e5b9L + j.toLong * 0x94d049bb133111ebL
-          z ^= z >>> 30; z *= 0xbf58476d1ce4e5b9L
-          z ^= z >>> 27; z *= 0x94d049bb133111ebL
-          z ^= z >>> 31
-          // top 53 bits → weight uniform in [-1, 1)
-          proj(p) += x * ((z >>> 11).toDouble / (1L << 52).toDouble - 1.0)
-          p += 1
-        }
-        j += 1
+    // element type resolved at plan time → a literal in the generated
+    // code; same static-call shape as the other five kernels (hashes
+    // are unchanged: Kernels.hyperplaneBands is the former eval loop,
+    // moved verbatim)
+    private def typeCode: Int =
+      child.dataType.asInstanceOf[ArrayType].elementType match {
+        case DoubleType  => 0
+        case FloatType   => 1
+        case LongType    => 2
+        case IntegerType => 3
+        case other => throw new IllegalArgumentException(s"unsupported element type $other")
       }
-      val out = new Array[Long](bands)
-      var b = 0
-      while (b < bands) {
-        var sig = 0L; var i = 0
-        while (i < bits) {
-          if (proj(b * bits + i) >= 0.0) sig |= (1L << i)
-          i += 1
-        }
-        out(b) = sig
-        b += 1
-      }
-      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
-    }
+    override def nullSafeEval(v: Any): Any =
+      Kernels.hyperplaneBands(v.asInstanceOf[ArrayData], typeCode, bits, bands, seed)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.Kernels.hyperplaneBands($c, $typeCode, $bits, $bands, $seed);")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** 128-bit SimHash of a string-array column: two independent 64-bit
+    * token hashes vote per bit; result = [bits 0–63, bits 64–127].
+    * Static-call codegen like SimHash64 — see Kernels.simhash128 for
+    * why the wider signature exists (fixed-radius recall at scale). */
+  case class SimHash128(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      Kernels.simhash128(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.Kernels.simhash128($c);")
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
@@ -445,6 +440,7 @@ object expressions {
   def dot_product(a: Column, b: Column): Column = column(DotProduct(expression(a), expression(b)))
   def minhash_signature(tokens: Column, k: Int): Column = column(MinHashSignature(expression(tokens), k))
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
+  def simhash128(tokens: Column): Column = column(SimHash128(expression(tokens)))
   def hyperplane_bands(vec: Column, bits: Int, bands: Int, seed: Int = 42): Column =
     column(HyperplaneBands(expression(vec), bits, bands, seed))
   def repetition_stats(tokens: Column): Column =

@@ -301,6 +301,108 @@ object Dedup {
     }
   }
 
+  /** 128-bit SimHash signature (array of two longs — see
+    * Kernels.simhash128). */
+  def simhash128(text: Column): Column =
+    graft.functions.expressions.simhash128(
+      TextAnalysis.tokens(TextAnalysis.normalize(text)))
+
+  /** Hamming distance between two 128-bit signatures (array<long> of 2). */
+  def hamming128(a: Column, b: Column): Column =
+    bit_count(element_at(a, 1).bitwiseXOR(element_at(b, 1))) +
+      bit_count(element_at(a, 2).bitwiseXOR(element_at(b, 2)))
+
+  /** SimHash near-dup pairs over 128-bit signatures — the scale-honest
+    * variant of [[simhashPairs]]. Doubling the signature width doubles
+    * the expected Hamming distance of UNRELATED pairs (≈64, σ≈5.7)
+    * while a near-dup pair's distance stays proportional to its
+    * changed-token share, so the dup/background margin in σ units
+    * widens (radius 15 of 128 sits 8.6σ below background; radius 6 of
+    * 64 sat 6.5σ) and a larger radius is affordable before collision
+    * buckets blow up. Measured against the recall-guaranteed PPJoin
+    * pair set at sf0.1 (tools/SimhashRadiusProbe): radius 15 covers
+    * 309/311 qualifying Jaccard ≥ 0.5 pairs vs 299/311 for 64-bit
+    * radius 6; the tail is boundary pairs whose SimHash distance (16,
+    * 24) no scale-safe radius reaches — the recall contract stays
+    * explicit and `minhashLshPairs` remains the guaranteed operator.
+    *
+    * Candidate generation is the same HmSearch multi-index as the
+    * 64-bit path, with the chunk layout generalized to the two-long
+    * signature: m = radius/2 + 1 chunks laid out so NO chunk straddles
+    * the long boundary (key extraction stays one shift+mask per chunk);
+    * widths split 64/⌈m/2⌉ ≈ 128/m — at the default radius 15, 8
+    * chunks of exactly 16 bits: keyspace 2¹⁶ per chunk, uniform keys,
+    * no hot buckets. The probe side expands each chunk key to its
+    * 1-bit variants (pigeonhole: ≤ radius total flips across m chunks
+    * leaves some chunk with ≤ 1 flip). Probe volume is n·Σ(wᵢ+1) =
+    * n·136 rows of (id, chunk, key) — skinny, uniform, linear in n. */
+  def simhashPairs128(df: DataFrame,
+                      radius: Int = 15,
+                      textCol: String = "text",
+                      idCol: String = "doc_id",
+                      verifyJaccard: Option[Double] = None,
+                      shingleK: Int = 3,
+                      useMultiIndex: Option[Boolean] = None): DataFrame = {
+    val multiIndex = useMultiIndex.getOrElse(radius >= 4)
+    val m = if (multiIndex) radius / 2 + 1 else radius + 1
+    require(m >= 2, "need at least two chunks")
+    // chunk layout over [s0, s1]: no chunk straddles the long boundary
+    final case class Chunk(id: Int, elem: Int, off: Int, w: Int)
+    def widths(cnt: Int): Seq[Int] =
+      if (cnt == 0) Seq.empty
+      else {
+        val base = 64 / cnt; val rem = 64 % cnt
+        (0 until cnt).map(i => base + (if (i < rem) 1 else 0))
+      }
+    val in0 = (m + 1) / 2
+    val layout: Seq[Chunk] = {
+      val w0 = widths(in0); val w1 = widths(m - in0)
+      val c0 = w0.scanLeft(0)(_ + _).zip(w0).zipWithIndex.map {
+        case ((off, w), i) => Chunk(i, 1, off, w)
+      }
+      val c1 = w1.scanLeft(0)(_ + _).zip(w1).zipWithIndex.map {
+        case ((off, w), i) => Chunk(in0 + i, 2, off, w)
+      }
+      c0 ++ c1
+    }
+    def key(c: Chunk): Column =
+      shiftrightunsigned(element_at(col("sim"), c.elem), c.off)
+        .bitwiseAND(lit(if (c.w >= 64) -1L else (1L << c.w) - 1))
+    val sh = spread(df).select(col(idCol).as("id"), simhash128(col(textCol)).as("sim"))
+    val exact = sh.select(col("id"), col("sim"),
+      explode(array(layout.map(c =>
+        struct(lit(c.id).as("chunk"), key(c).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("sim"), col("bk.chunk").as("chunk"), col("bk.key").as("key"))
+    val probe =
+      if (!multiIndex) exact
+      else sh.select(col("id"), col("sim"),
+        explode(array(layout.flatMap(c =>
+          (0 to c.w).map { i =>
+            val k = if (i == 0) key(c) else key(c).bitwiseXOR(lit(1L << (i - 1)))
+            struct(lit(c.id).as("chunk"), k.as("key"))
+          }): _*)).as("bk"))
+        .select(col("id"), col("sim"), col("bk.chunk").as("chunk"), col("bk.key").as("key"))
+    val within = probe.as("a").join(exact.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id") &&
+          hamming128(col("a.sim"), col("b.sim")) <= radius)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming128(col("a.sim"), col("b.sim")).as("hamming"))
+      .distinct()
+    verifyJaccard match {
+      case None => within
+      case Some(tau) =>
+        val withSh = spread(df).select(col(idCol).as("id"),
+          shingles(col(textCol), shingleK).as("sh"))
+        within
+          .join(withSh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
+          .join(withSh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
+          .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+          .filter(col("jaccard") >= tau)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }
+  }
+
   // --------------------------------------------- cross-corpus overlap
 
   /** Benchmark decontamination: documents of corpus `a` (training

@@ -106,19 +106,28 @@ object PipelineQueries {
   val dedupNgramJaccardSql: String = jaccardPairOracle(0.5, 3, augNearSql)
 
   /** SimHash as the candidate stage of a verified near-dup pipeline:
-    * Hamming-ball candidates via the HmSearch-style multi-index
-    * (radius 6 → 4 chunks × 16-bit keys + 1-bit-variant probes —
-    * keyspace 2¹⁶ where plain pigeonhole left 2⁹; see Dedup.scala and
-    * PLANS.md), exact shingle-Jaccard verification. The
-    * exhaustive-Jaccard oracle then proves the candidate generation
-    * surfaces EVERY ≥ τ pair of this dataset (measured max Hamming
-    * over true pairs at the oracle SF is 6 — radius 6 covers it) —
-    * same oracle design as the MinHash-LSH query. Radius is a recall
-    * heuristic by nature: at larger SFs a tail of qualifying pairs
-    * drifts past any fixed radius (sf0.1: 299 of 311), which is why
-    * the recall-guaranteed near-dup query is `dedup_minhash_lsh`. */
+    * 128-bit signatures, HmSearch-style multi-index at radius 15 —
+    * 8 chunks × exactly 16-bit keys + 1-bit-variant probes (keyspace
+    * 2¹⁶ per chunk, uniform; see Dedup.simhashPairs128) — then exact
+    * shingle-Jaccard verification. The exhaustive-Jaccard oracle
+    * proves the candidate generation surfaces EVERY ≥ τ pair of the
+    * oracle dataset (measured max Hamming-128 over true pairs at
+    * sf0.01 is 12 — radius 15 covers it with margin; the 64-bit
+    * scheme's margin was 0 at its radius 6).
+    *
+    * Radius honesty (measured by tools/SimhashRadiusProbe against the
+    * recall-guaranteed PPJoin pair set): at sf0.1, radius 15 covers
+    * 309 of 311 qualifying pairs — vs 299/311 for the old 64-bit
+    * radius-6 scheme — and the 2-pair tail (Hamming 16 and 24) sits at
+    * the Jaccard ≈ 0.5 boundary, where SimHash distance is only
+    * probabilistically tied to Jaccard: NO fixed radius closes it
+    * (full sf0.1 coverage needs radius 24 ⇒ 13 chunks of ~10-bit keys,
+    * whose n²/2¹⁰ bucket collisions are exactly the scale hazard the
+    * multi-index exists to avoid). The contract is therefore explicit:
+    * SimHash is the cheap high-recall-not-total candidate stage;
+    * `dedup_minhash_lsh` is the recall-guaranteed operator. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(docsWithNearCopies(s, dir), radius = 6,
+    Dedup.simhashPairs128(docsWithNearCopies(s, dir), radius = 15,
         verifyJaccard = Some(0.5))
       .orderBy(col("id_a"), col("id_b"))
 

@@ -118,6 +118,61 @@ class OperatorsSpec extends SparkSpec {
     assert(m.nonEmpty)
   }
 
+  test("simhash128 multi-index finds exactly the plain-pigeonhole pair set") {
+    // same equivalence as the 64-bit test, over the two-long signature
+    // and its boundary-safe chunk layout: the hamming predicate in the
+    // join makes both candidate schemes emit exactly the hamming<=15
+    // pairs, so outputs must be identical — the multi-index just gets
+    // there with 16-bit chunk keys instead of plain pigeonhole's 8-bit.
+    val docs = sf("documents").select($"doc_id", $"text")
+    val w = split($"text", " ")
+    val aug = docs.unionByName(docs.filter($"doc_id" < 30)
+      .withColumn("doc_id", $"doc_id" + 100000L)
+      .withColumn("text", concat_ws(" ", slice(w, lit(1), size(w) - 1))))
+    def pairs(multi: Boolean) =
+      Dedup.simhashPairs128(aug, radius = 15, useMultiIndex = Some(multi))
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val m = pairs(multi = true)
+    val p = pairs(multi = false)
+    assert(m == p, s"multi-only=${m -- p} plain-only=${p -- m}")
+    assert(m.nonEmpty)
+  }
+
+  test("simhash128 distance separates near-dups from unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away"
+    val df = Seq((base, base + " extra", "totally different unrelated content words here"))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Dedup.hamming128(Dedup.simhash128(col("a")), Dedup.simhash128(col("b"))).as("near"),
+      Dedup.hamming128(Dedup.simhash128(col("a")), Dedup.simhash128(col("c"))).as("far")).head()
+    assert(r.getAs[Number](0).longValue() < r.getAs[Number](1).longValue())
+  }
+
+  test("distributed components at forced scale: converge within diameter bound") {
+    // 800 disjoint 6-node chains (4000 edges) through the FORCED
+    // distributed min-label path. Diameter 5 ⇒ labels settle in 5
+    // propagation rounds + 1 no-change round; maxIter = 7 proves the
+    // empirical round bound (the loop throws past maxIter), and the
+    // labels must equal the driver union-find path's exactly.
+    val chainEdges = (0 until 800).flatMap { c =>
+      val base = c * 10L
+      (0 until 5).map(i => (base + i, base + i + 1))
+    }.toDF("id_a", "id_b")
+    val dist = Dedup.connectedComponents(chainEdges, maxIter = 7, maxLocalEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    val local = Dedup.connectedComponents(chainEdges)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == local, "distributed labels must equal union-find labels")
+    assert(dist.size == 4800 && dist.values.toSet.size == 800)
+    assert((0 until 800).forall(c => dist(c * 10L + 5) == c * 10L))
+    // and the convergence guard FIRES (rather than silently splitting
+    // clusters) when a component's diameter exceeds the round budget
+    val path = (0 until 39).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(path, maxIter = 5, maxLocalEdges = 0)
+    }
+  }
+
   test("vector ops: dot/norm/cosine") {
     val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f), Array(2.0f, 0.0f)))
       .toDF("x", "y", "x2")
