@@ -27,8 +27,13 @@ object Profiler {
       require(!c.contains("`") && !c.contains("'"),
         s"numericProfile: column name '$c' contains a quote character")
     }
-    def pct(c: String, p: Double): String =
-      if (approx) s"percentile_approx(`$c`, $p, 10000)" else s"percentile(`$c`, $p)"
+    // BOTH quantiles from ONE percentile aggregate per column (array
+    // form): the exact path's state is a per-partition value buffer
+    // merged on a single reducer, so one buffer per column instead of
+    // two halves the dominant cost of the query
+    def pct(c: String): String =
+      if (approx) s"percentile_approx(`$c`, array(0.5D, 0.95D), 10000)"
+      else s"percentile(`$c`, array(0.5D, 0.95D))"
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"n_$c"),
@@ -36,12 +41,13 @@ object Profiler {
         round(min(col(c)).cast("double"), 6).as(s"min_$c"),
         round(max(col(c)).cast("double"), 6).as(s"max_$c"),
         round(sum(col(c).cast("decimal(38,6)")).cast("double"), 4).as(s"sum_$c"),
-        round(expr(pct(c, 0.5)).cast("double"), 6).as(s"p50_$c"),
-        round(expr(pct(c, 0.95)).cast("double"), 6).as(s"p95_$c"))
+        expr(pct(c)).as(s"pcts_$c"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols.map { c =>
-      s"'$c', `n_$c`, `null_$c`, `min_$c`, `max_$c`, `sum_$c`, `p50_$c`, `p95_$c`"
+      s"'$c', `n_$c`, `null_$c`, `min_$c`, `max_$c`, `sum_$c`, " +
+        s"round(cast(element_at(`pcts_$c`, 1) as double), 6), " +
+        s"round(cast(element_at(`pcts_$c`, 2) as double), 6)"
     }.mkString(", ")
     wide.select(expr(
       s"stack(${cols.length}, $stackArgs) as " +

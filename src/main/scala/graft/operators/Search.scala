@@ -9,20 +9,17 @@ import org.apache.spark.sql.functions._
   * run uses both: ANN for semantic near-dups, BM25 for targeted
   * inspection/decontamination probes against known benchmark strings).
   *
-  * Plan shape (the classic distributed inverted-index probe):
-  * postings = (term, doc, tf) from one explode+groupBy of the corpus;
-  * the query-term table is broadcast and SEMI-JOINS the postings first,
-  * so only matching postings rows flow into scoring — at 100 TB the
-  * scored set is O(matching postings), never O(corpus). Document
-  * length norms ride on a skinny (doc, dl) table; corpus stats (N,
-  * Σdl) are a one-row broadcast. Scoring is pure per-row arithmetic;
-  * the only shuffles are the postings groupBy and the final per-query
-  * top-k window — both on high-cardinality keys.
-  *
-  * Determinism contract (for the DuckDB oracle): per-term BM25 terms
-  * are IEEE doubles computed with the same operation order as the SQL
-  * replica; the per-document sum runs in DECIMAL(38,12) so aggregation
-  * order cannot perturb the hash; ties rank by doc id.
+  * Architecture (the classic distributed inverted index, split into
+  * build and search): `buildBm25Index` runs the corpus-wide work ONCE
+  * — tokenize, postings aggregation, per-doc lengths (denormalized
+  * onto the postings), term dictionary, corpus stats — and `save`
+  * persists it term-indexed through the store. `bm25SearchTopK` then
+  * reads O(matching postings) bytes per query batch: the term
+  * predicate prunes parquet row groups, df comes from the pruned
+  * dictionary, and scoring is pure per-row arithmetic with one
+  * (query, doc) groupBy and a per-query top-k window. At 100 TB the
+  * index builds once per corpus snapshot and every search is
+  * independent of corpus size in all but the matching-postings term.
   */
 object Search {
 
@@ -31,74 +28,129 @@ object Search {
   private def idf(nDocs: Column, df: Column): Column =
     log(lit(1.0) + (nDocs.cast("double") - df + 0.5) / (df.cast("double") + 0.5))
 
-  /** Top-k documents per keyword query.
+  /** A BUILT inverted index — the build-once/search-many split (the
+    * IVF lesson applied to text: at 100 TB the corpus tokenize +
+    * postings aggregation must run once and persist, never inside the
+    * timed query).
     *
-    * @param docs       corpus with `idCol` and `textCol`
-    * @param queryTerms (query_id, term) rows — normalized terms, one
-    *                   row per query term; must be broadcast-small
-    *                   (queries are human-sized, corpora are not)
-    * @param k          results per query
-    */
-  def bm25TopK(docs: DataFrame,
-               queryTerms: DataFrame,
-               k: Int,
-               k1: Double = 1.2,
-               b: Double = 0.75,
-               textCol: String = "text",
-               idCol: String = "doc_id"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+    * `postings` is (term, doc_id, tf, dl) — dl DENORMALIZED onto every
+    * posting (one long per row) so a search touches no corpus-sized
+    * side table at all: the per-doc length norm rides with the posting
+    * (the norms-next-to-postings layout Lucene uses). `terms` is the
+    * per-term dictionary (term, df, cnt) — df = document frequency for
+    * idf, cnt = total occurrences (the data-derived probe workload
+    * ranks by it). Corpus stats (n_docs, sum_dl) are scalars.
+    *
+    * `save` persists both through the store term-indexed, so a search's
+    * `term IN (...)` predicate prunes parquet row groups before the
+    * scan starts — the searched bytes are O(matching postings), not
+    * O(index). */
+  final case class Bm25Index(postings: DataFrame, terms: DataFrame,
+                             nDocs: Long, sumDl: Long) {
+    def save(c: graft.store.Collection, name: String,
+             overwrite: Boolean = true): Unit = {
+      c.write(s"${name}__postings", postings, indexCols = Seq("term"),
+        overwrite = overwrite)
+      c.write(s"${name}__terms", terms, indexCols = Seq("term"),
+        metadata = Map("bm25_n_docs" -> nDocs, "bm25_sum_dl" -> sumDl),
+        overwrite = overwrite)
+    }
+  }
+
+  object Bm25Index {
+    def load(c: graft.store.Collection, name: String): Bm25Index = {
+      val meta = c.metadata(s"${name}__terms")
+      def longOf(key: String): Long = meta.get(key) match {
+        case Some(org.json4s.JInt(i)) => i.toLong
+        case other => throw new IllegalStateException(s"bad $key in bm25 metadata: $other")
+      }
+      Bm25Index(c.item(s"${name}__postings").data, c.item(s"${name}__terms").data,
+        longOf("bm25_n_docs"), longOf("bm25_sum_dl"))
+    }
+  }
+
+  /** ONE tokenize pass over the corpus builds everything: postings
+    * (with the per-doc length denormalized on), the term dictionary,
+    * and the corpus stats. dl derives FROM the postings (Σ tf per doc
+    * ≡ token count — split always yields ≥1 token, so no doc is lost).
+    * The corpus-wide shuffles (postings groupBy, dl groupBy, the
+    * dl-onto-postings join) all happen HERE, once, at build time. */
+  def buildBm25Index(docs: DataFrame,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): Bm25Index = {
     val tok = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.tokens(TextAnalysis.normalize(col(textCol))).as("t"))
-    val postings = tok.select(col("doc_id"), explode(col("t")).as("term"))
+    val bare = tok.select(col("doc_id"), explode(col("t")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    // dl derives FROM the postings (Σ tf per doc ≡ token count — split
-    // always yields ≥1 token, so no doc is lost): one corpus tokenize
-    // feeds everything. Catalyst does not reuse the postings exchange
-    // across consumers (measured: 7 corpus scans in the naive shape),
-    // so the corpus-wide subplan must appear as few times as possible.
-    val dl = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = bare.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val statsRow = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")).head()
+    val postings = bare.join(dl, Seq("doc_id"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    val terms = bare.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cnt"))
+    val idx = Bm25Index(postings, terms, statsRow.getLong(0), statsRow.getLong(1))
+    bare.unpersist(blocking = false)
+    idx
+  }
+
+  /** Top-k documents per keyword query through a built index — the hot
+    * path. The query-term list (human-sized by contract) is localized
+    * once and pushed into the postings scan as a `term IN (...)`
+    * predicate (parquet row-group pruning on the term-indexed store
+    * item); per-term df comes from the equally-pruned dictionary. No
+    * corpus-sized shuffle remains: matching postings already carry
+    * their dl, so the plan is scan-pruned postings → broadcast joins →
+    * one groupBy on (query_id, doc_id) → per-query top-k window.
+    *
+    * Determinism contract (for the DuckDB oracle): per-term BM25 terms
+    * are IEEE doubles computed with the same operation order as the SQL
+    * replica; the per-document sum runs in DECIMAL(38,12) so
+    * aggregation order cannot perturb the hash; ties rank by doc id. */
+  def bm25SearchTopK(index: Bm25Index,
+                     queryTerms: DataFrame,
+                     k: Int,
+                     k1: Double = 1.2,
+                     b: Double = 0.75): DataFrame = {
+    val spark = index.postings.sparkSession
+    import spark.implicits._
     // distinct: a repeated term in one query must not double its
     // contribution (classic BM25 treats query terms as a set)
     val qt = queryTerms.select(col("query_id"), col("term")).distinct()
-    // inverted-index probe: only query-term postings survive
-    val matched = postings.join(broadcast(qt.select(col("term")).distinct()),
-      Seq("term"), "left_semi")
-
-    // LOCALIZE the broadcast-sized aggregates (per-term df + one-row
-    // corpus stats — both bounded by the query size) in ONE driver
-    // round-trip, the same pattern as ivfSearch's probe table: the
-    // returned plan then touches the corpus-wide postings subplan
-    // exactly twice (scoring + dl) instead of re-deriving df/avgdl
-    // from scratch per consumer.
-    val dfreq = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val dfRows = dfreq.crossJoin(stats)
-      .select(col("term"), col("df"), col("n_docs"), col("sum_dl"))
-      .collect()
+    val termList = qt.select(col("term")).distinct().as[String].collect().toSeq
     val outSchema = Seq("query_id", "rank", "doc_id", "n_terms", "score")
-    if (dfRows.isEmpty) {
-      // no query term matches any document
+    if (termList.isEmpty)
       return Seq.empty[(Long, Int, Long, Long, Double)].toDF(outSchema: _*)
-    }
-    val nDocs = dfRows.head.getLong(2)
-    val sumDl = dfRows.head.getLong(3)
-    val dfLit = dfRows.map(r => (r.getString(0), r.getLong(1)))
-      .toSeq.toDF("term", "df")
+    // df for the probed terms: from the caller when queryTerms already
+    // carries a `df` column (a workload derived FROM the dictionary —
+    // e.g. text_bm25_search — already paid that read), else one pruned
+    // read of the dictionary item: bounded by the query size either
+    // way, localized for a broadcast literal
+    val dfRows: Array[(String, Long)] =
+      if (queryTerms.columns.contains("df"))
+        queryTerms.select(col("term"), col("df").cast("long")).distinct()
+          .as[(String, Long)].collect()
+      else
+        index.terms.filter(col("term").isin(termList: _*))
+          .select(col("term"), col("df")).as[(String, Long)].collect()
+    if (dfRows.isEmpty)
+      return Seq.empty[(Long, Int, Long, Long, Double)].toDF(outSchema: _*)
+    val dfLit = dfRows.toSeq.toDF("term", "df")
+    // pruned postings scan: the IN predicate reaches the parquet scan
+    val matched = index.postings.filter(col("term").isin(termList: _*))
 
-    val avgdl = lit(sumDl).cast("double") / lit(nDocs).cast("double")
+    val avgdl = lit(index.sumDl).cast("double") / lit(index.nDocs).cast("double")
     val tfn = col("tf").cast("double") * lit(k1 + 1.0) /
       (col("tf").cast("double") +
         lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
-    val contrib = idf(lit(nDocs), col("df")) * tfn
+    val contrib = idf(lit(index.nDocs), col("df")) * tfn
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_exact").desc, col("doc_id"))
     matched
       .join(broadcast(qt), Seq("term"))
       .join(broadcast(dfLit), Seq("term"))
-      .join(dl, Seq("doc_id"))
       .withColumn("contrib", contrib)
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_terms"),
@@ -108,6 +160,19 @@ object Search {
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("n_terms"), round(col("score_exact").cast("double"), 6).as("score"))
   }
+
+  /** One-shot convenience: build the index in-memory (not persisted)
+    * and search it — for ad-hoc probes and tests. Production and the
+    * shipped queries go through build + save + load (`text_bm25_build`
+    * / `text_bm25_search`). */
+  def bm25TopK(docs: DataFrame,
+               queryTerms: DataFrame,
+               k: Int,
+               k1: Double = 1.2,
+               b: Double = 0.75,
+               textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame =
+    bm25SearchTopK(buildBm25Index(docs, textCol, idCol), queryTerms, k, k1, b)
 
   /** The `n` globally most frequent non-stopword terms, deterministic
     * tie-break by term — a data-derived probe workload for the shipped

@@ -262,10 +262,20 @@ object Similarity {
   object PqIndex {
     def load(c: graft.store.Collection, name: String): PqIndex = {
       val cb = c.item(s"${name}__codebooks").data
-      // shape params come from the broadcast-sized codebook table itself
-      val r = cb.agg(max(col("sub")), max(col("code"))).head()
-      PqIndex(cb, c.item(s"${name}__codes").data,
-        r.getInt(0) + 1, r.getInt(1) + 1)
+      // shape params from sidecar metadata (zero Spark jobs on the hot
+      // search path); codebook-scan agg only as legacy fallback
+      val meta = c.metadata(s"${name}__codebooks")
+      def intOf(key: String): Option[Int] = meta.get(key) match {
+        case Some(org.json4s.JInt(i)) if i > 0 => Some(i.toInt)
+        case _ => None
+      }
+      val (m, ksub) = (intOf("pq_m"), intOf("pq_ksub")) match {
+        case (Some(a), Some(b)) => (a, b)
+        case _ =>
+          val r = cb.agg(max(col("sub")), max(col("code"))).head()
+          (r.getInt(0) + 1, r.getInt(1) + 1)
+      }
+      PqIndex(cb, c.item(s"${name}__codes").data, m, ksub)
     }
   }
 
@@ -479,13 +489,15 @@ object Similarity {
     * the search plan. */
   final case class IvfPqIndex(centroids: DataFrame, codebooks: DataFrame,
                               codes: DataFrame, m: Int, ksub: Int,
-                              residual: Boolean = false) {
+                              residual: Boolean = false,
+                              nlist: Int = 0) {
     def save(c: graft.store.Collection, name: String,
              overwrite: Boolean = true): Unit = {
       c.write(s"${name}__centroids", centroids, indexCols = Seq("cid"),
         overwrite = overwrite)
       c.write(s"${name}__codebooks", codebooks, indexCols = Seq("sub"),
-        metadata = Map("pq_m" -> m, "pq_ksub" -> ksub, "pq_residual" -> residual),
+        metadata = Map("pq_m" -> m, "pq_ksub" -> ksub, "pq_residual" -> residual,
+          "ivf_nlist" -> nlist),
         overwrite = overwrite)
       c.write(s"${name}__codes", codes, indexCols = Seq("cid"),
         overwrite = overwrite)
@@ -495,12 +507,25 @@ object Similarity {
   object IvfPqIndex {
     def load(c: graft.store.Collection, name: String): IvfPqIndex = {
       val cb = c.item(s"${name}__codebooks").data
-      val r = cb.agg(max(col("sub")), max(col("code"))).head()
-      val residual = c.metadata(s"${name}__codebooks").get("pq_residual")
+      val meta = c.metadata(s"${name}__codebooks")
+      def intOf(key: String): Option[Int] = meta.get(key) match {
+        case Some(org.json4s.JInt(i)) if i > 0 => Some(i.toInt)
+        case _ => None
+      }
+      // shape params come from the sidecar metadata (zero Spark jobs on
+      // the hot search path); the codebook-scan agg is only a fallback
+      // for indexes persisted before the metadata carried them
+      val (m, ksub) = (intOf("pq_m"), intOf("pq_ksub")) match {
+        case (Some(a), Some(b)) => (a, b)
+        case _ =>
+          val r = cb.agg(max(col("sub")), max(col("code"))).head()
+          (r.getInt(0) + 1, r.getInt(1) + 1)
+      }
+      val residual = meta.get("pq_residual")
         .exists { case org.json4s.JBool(b) => b; case _ => false }
       IvfPqIndex(c.item(s"${name}__centroids").data, cb,
-        c.item(s"${name}__codes").data, r.getInt(0) + 1, r.getInt(1) + 1,
-        residual)
+        c.item(s"${name}__codes").data, m, ksub, residual,
+        intOf("ivf_nlist").getOrElse(0))
     }
   }
 
@@ -524,14 +549,23 @@ object Similarity {
                       vecCol: String = "embedding",
                       idCol: String = "vec_id",
                       sampleFraction: Double = 1.0,
-                      residual: Boolean = false): IvfPqIndex = {
-    val ivf = buildIvfIndex(corpus, nlist, kmeansIters, sampleFraction, vecCol, idCol)
+                      residual: Boolean = false,
+                      coarse: Option[IvfIndex] = None): IvfPqIndex = {
+    // `coarse` REUSES an already-fit coarse quantizer (e.g. the one an
+    // IVF index of the same corpus persisted) instead of refitting
+    // k-means — the production composition: one coarse quantizer
+    // serves both the plain-IVF and the IVF-PQ index, and at 100 TB
+    // nobody fits it twice. The caller owns parameter consistency
+    // (the reused index's nlist wins over the `nlist` argument).
+    val ivf = coarse.getOrElse(
+      buildIvfIndex(corpus, nlist, kmeansIters, sampleFraction, vecCol, idCol))
     if (!residual) {
       val pq = buildPqIndex(corpus, m, ksub, pqIters, vecCol, idCol, sampleFraction)
       val codes = pq.codes
         .join(ivf.assigned.select(col("nbr_id"), col("cid")), Seq("nbr_id"))
         .select(col("cid"), col("nbr_id"), col("codes"), col("cv"))
-      IvfPqIndex(ivf.centroids, pq.codebooks, codes, pq.m, pq.ksub)
+      IvfPqIndex(ivf.centroids, pq.codebooks, codes, pq.m, pq.ksub,
+        nlist = nlist)
     } else {
       // residual table: one row per vector, rv = normalized(cv) − centroid
       val residuals = ivf.assigned
@@ -547,7 +581,7 @@ object Similarity {
         .join(ivf.assigned.select(col("nbr_id"), col("cv"), col("cid")), Seq("nbr_id"))
         .select(col("cid"), col("nbr_id"), col("codes"), col("cv"))
       IvfPqIndex(ivf.centroids, pq.codebooks, codes, pq.m, pq.ksub,
-        residual = true)
+        residual = true, nlist = nlist)
     }
   }
 
@@ -588,9 +622,11 @@ object Similarity {
     val lists = index.codes.filter(col("cid").isin(probedCids: _*))
     val depth = if (rerank > 0) rerank
       else {
-        // sizing jobs (centroid count + codes plan stats) only run on
-        // the auto path — an explicit rerank skips them entirely
-        val nlist = index.centroids.count().toInt
+        // sizing only runs on the auto path — an explicit rerank skips
+        // it; nlist comes from index metadata when available (zero
+        // jobs), falling back to a centroid count for legacy indexes
+        val nlist = if (index.nlist > 0) index.nlist
+                    else index.centroids.count().toInt
         math.max(128, sizedRerank(index.codes) * math.min(nprobe, nlist) / math.max(nlist, 1))
       }
     val rawAdc = column(graft.functions.expressions.PqAdc(

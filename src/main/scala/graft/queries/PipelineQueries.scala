@@ -479,6 +479,79 @@ object PipelineQueries {
   // pinned top-1 arithmetic
   val annPqSearchSql: String = annIvfSearchSql
 
+  private def buildAndSaveIvfPq(s: SparkSession, dir: String): Unit = {
+    // REUSE the persisted coarse quantizer (fit by `ann_ivf_build` —
+    // deterministic k-means, so loaded ≡ refit): one coarse quantizer
+    // serves both the IVF and the IVF-PQ index, exactly as a
+    // production deployment shares it. Only the residual PQ codebooks
+    // are fit here.
+    val c = ivfIndexCollection(s, dir)
+    if (!c.hasItem("emb__assigned")) buildAndSaveIvf(s, dir)
+    val ivf = Similarity.IvfIndex.load(c, "emb")
+    val idx = Similarity.buildIvfPqIndex(Tables.t(s, dir, "embeddings"),
+      nlist = 16, kmeansIters = 3, m = 8, ksub = 64, pqIters = 3,
+      residual = true, coarse = Some(ivf))
+    idx.save(c, "ivfpq", overwrite = true)
+  }
+
+  /** IVF-PQ index BUILD — the flagship ANN composition (coarse
+    * quantizer + FAISS-style RESIDUAL product quantizer: PQ codebooks
+    * fit on x̂ − centroid, q̂·x̂ restored at search as q̂·c + q̂·r).
+    * Fits both quantizers, encodes the corpus cid-tagged, persists
+    * through the store, then verifies the fresh index with the same
+    * recall self-oracle as `ann_ivf_build`/`ann_pq_build`: search
+    * through the SAVED index vs brute-force top-5, per-query
+    * recall5_ok = recall ≥ 0.8 (suite asserts mean ≥ 0.8 too). Times
+    * fit+persist by declared intent; the round-over-round number is
+    * `ann_ivfpq_search`. */
+  def annIvfPqBuild(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    buildAndSaveIvfPq(s, dir)
+    val idx = Similarity.IvfPqIndex.load(ivfIndexCollection(s, dir), "ivfpq")
+    val res = Similarity.ivfPqSearch(idx, q, k = 5, nprobe = 8)
+    val bf = Similarity.bruteForceTopK(e, q, k = 5)
+    val hits = res.join(bf.select(col("query_id"), col("nbr_id")),
+        Seq("query_id", "nbr_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    res.groupBy(col("query_id")).agg(count(lit(1)).as("n_results"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_results"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / 5.0 >= 0.8).as("recall5_ok"))
+      .orderBy(col("query_id"))
+  }
+
+  val annIvfPqBuildSql: String = annIvfBuildSql
+
+  /** IVF-PQ SEARCH — load + coarse-probe + in-list ADC + exact re-rank
+    * only, the hot path. Same known-ground-truth probe design as
+    * `ann_ivf_search`: probes are perturbed corpus vectors whose true
+    * top-1 (the original, cos ≈ 0.9997) DuckDB pins exactly — the
+    * probed lists must contain the original's list (the copy ranks
+    * centroids like its original) and the residual-ADC top-`rerank`
+    * must surface it for the exact re-rank to put first. */
+  def annIvfPqSearch(s: SparkSession, dir: String): DataFrame = {
+    val c = ivfIndexCollection(s, dir)
+    if (!c.hasItem("ivfpq__codes")) buildAndSaveIvfPq(s, dir) // verify-order safety
+    val idx = Similarity.IvfPqIndex.load(c, "ivfpq")
+    val q = Tables.t(s, dir, "embeddings").filter(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") + CopyIdOffset)
+      .withColumn("embedding",
+        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => x.cast("double") * (lit(1.0) + (i % 5).cast("double") / 100.0)))
+    val res = Similarity.ivfPqSearch(idx, q, k = 5, nprobe = 8)
+    val top1 = res.filter(col("rank") === 1)
+      .select(col("query_id"), col("nbr_id").as("top1_nbr"),
+        round(col("cos"), 6).as("top1_cos"))
+    res.groupBy(col("query_id")).agg(count(lit(1)).as("n_results"))
+      .join(top1, Seq("query_id"))
+      .orderBy(col("query_id"))
+  }
+
+  // identical contract to the IVF/PQ search oracles: same probes, same
+  // pinned top-1 arithmetic
+  val annIvfPqSearchSql: String = annIvfSearchSql
+
   /** Multi-band hyperplane-LSH ANN, measured on the regime LSH is FOR:
     * retrieving genuinely-similar neighbors (cos ≥ 0.9) from a corpus
     * that contains them — not the top-5 of uniform-random vectors,
@@ -628,23 +701,92 @@ object PipelineQueries {
        |FROM scored
        |ORDER BY doc_id""".stripMargin
 
-  /** BM25 keyword retrieval (inverted-index probe + top-k): the query
-    * workload is data-derived for determinism — the 10 most frequent
-    * non-stopword terms, split into two 5-term queries. Every stage
-    * (term selection, postings, df, avgdl, Lucene idf, tf norm,
-    * decimal-summed scores) is replicated in DuckDB SQL, so ranking
-    * and scores are hash-verified end to end. */
-  def textBm25(s: SparkSession, dir: String): DataFrame = {
+  /** Deterministic per-SF store for the persisted BM25 index — same
+    * pattern as the ANN indexes: built by `text_bm25_build`, loaded by
+    * `text_bm25_search`, keyed by the source parquet's fingerprint so
+    * regenerated testdata can never silently serve a stale index. */
+  private def bm25IndexCollection(s: SparkSession, dir: String): graft.store.Collection = {
+    val src = new java.io.File(dir, "documents.parquet")
+    val fp = s"${src.length}_${src.lastModified}"
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_verify", s"bm25_index_${new java.io.File(dir).getName}_$fp")
+    java.nio.file.Files.createDirectories(root)
+    graft.store.GraftStore(s, "store", root).collection("bm25")
+  }
+
+  private def buildAndSaveBm25(s: SparkSession, dir: String): Unit = {
+    import graft.operators.Search
+    val docs = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+    Search.buildBm25Index(docs).save(bm25IndexCollection(s, dir), "bm25",
+      overwrite = true)
+  }
+
+  /** BM25 index BUILD: one corpus tokenize → postings (+denormalized
+    * doc lengths) + term dictionary + corpus stats, persisted through
+    * the store term-indexed (the IVF build/search lesson applied to
+    * text — round-2/4 verdicts). This query intentionally times
+    * tokenize+persist; the round-over-round search number is
+    * `text_bm25_search`. Emits the 10-term probe workload (rank, term,
+    * df, total cnt) plus the pinned corpus stats — every value DuckDB
+    * recomputes exhaustively, so a green hash proves the persisted
+    * dictionary matches a from-scratch derivation. */
+  def textBm25Build(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Search
+    buildAndSaveBm25(s, dir)
+    val idx = Search.Bm25Index.load(bm25IndexCollection(s, dir), "bm25")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("term"))
+    idx.terms
+      .filter(!col("term").isin(TextAnalysis.Stopwords: _*) && col("term") =!= "")
+      .orderBy(col("cnt").desc, col("term")).limit(10)
+      .withColumn("r", row_number().over(w))
+      .select(col("r"), col("term"), col("df"), col("cnt"),
+        lit(idx.nDocs).as("n_docs"), lit(idx.sumDl).as("sum_dl"))
+      .orderBy(col("r"))
+  }
+
+  val textBm25BuildSql: String = {
+    val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(",")
+    s"""WITH tok AS (SELECT doc_id, $normTokensSql AS t FROM documents),
+       |ex AS (SELECT doc_id, unnest(t) AS term FROM tok),
+       |terms AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       |                 CAST(count(*) AS BIGINT) AS cnt
+       |          FROM ex GROUP BY term),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |                 CAST(sum(len(t)) AS BIGINT) AS sum_dl FROM tok),
+       |top AS (SELECT term, df, cnt,
+       |          row_number() OVER (ORDER BY cnt DESC, term) AS r
+       |        FROM terms WHERE term NOT IN ($stop) AND term <> ''
+       |        ORDER BY cnt DESC, term LIMIT 10)
+       |SELECT CAST(r AS INTEGER) AS r, term, df, cnt, n_docs, sum_dl
+       |FROM top CROSS JOIN stats
+       |ORDER BY r""".stripMargin
+  }
+
+  /** BM25 SEARCH — load + pruned-probe + score only, the hot path (the
+    * number to compare round-over-round). The 10-term/2-query workload
+    * derives from the persisted term DICTIONARY (top non-stopword
+    * terms by total count — no corpus scan anywhere in this query);
+    * scoring reads only the `term IN (...)`-pruned postings rows,
+    * which carry their doc lengths. Every stage (term selection,
+    * postings, df, avgdl, Lucene idf, tf norm, decimal-summed scores)
+    * is replicated in DuckDB SQL, so ranking and scores are
+    * hash-verified end to end. */
+  def textBm25Search(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Search
     import s.implicits._
-    val docs = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
-    // localize the 10-row term workload (bounded) so the scoring plan
-    // does not re-derive it from two more corpus scans
-    val terms = Search.topTerms(docs, 10, TextAnalysis.Stopwords)
-      .select(floor((col("r") - 1) / 5).cast("long").as("query_id"), col("term"))
-      .as[(Long, String)].collect().toSeq
-      .toDF("query_id", "term")
-    Search.bm25TopK(docs, terms, k = 10)
+    val c = bm25IndexCollection(s, dir)
+    if (!c.hasItem("bm25__postings")) buildAndSaveBm25(s, dir) // verify-order safety
+    val idx = Search.Bm25Index.load(c, "bm25")
+    // localize the 10-row term workload in ONE dictionary read; df
+    // rides along so the search plan re-reads nothing but postings
+    val terms = idx.terms
+      .filter(!col("term").isin(TextAnalysis.Stopwords: _*) && col("term") =!= "")
+      .orderBy(col("cnt").desc, col("term")).limit(10)
+      .select(col("term"), col("df")).as[(String, Long)].collect().toSeq
+      .zipWithIndex.map { case ((t, d), i) => (i.toLong / 5L, t, d) }
+      .toDF("query_id", "term", "df")
+    Search.bm25SearchTopK(idx, terms, k = 10)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -1102,10 +1244,13 @@ object PipelineQueries {
     "ann_ivf_search" -> annIvfSearch _,
     "ann_pq_build" -> annPqBuild _,
     "ann_pq_search" -> annPqSearch _,
+    "ann_ivfpq_build" -> annIvfPqBuild _,
+    "ann_ivfpq_search" -> annIvfPqSearch _,
     "text_stats" -> textStats _,
     "text_langid" -> textLangId _,
     "text_repetition" -> textRepetition _,
-    "text_bm25" -> textBm25 _,
+    "text_bm25_build" -> textBm25Build _,
+    "text_bm25_search" -> textBm25Search _,
     "text_contamination" -> textContamination _,
     "sample_stratified" -> sampleStratified _,
     "pipeline_curation" -> pipelineCuration _,
@@ -1135,10 +1280,13 @@ object PipelineQueries {
     "ann_ivf_search" -> annIvfSearchSql,
     "ann_pq_build" -> annPqBuildSql,
     "ann_pq_search" -> annPqSearchSql,
+    "ann_ivfpq_build" -> annIvfPqBuildSql,
+    "ann_ivfpq_search" -> annIvfPqSearchSql,
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangIdSql,
     "text_repetition" -> textRepetitionSql,
-    "text_bm25" -> textBm25Sql,
+    "text_bm25_build" -> textBm25BuildSql,
+    "text_bm25_search" -> textBm25Sql,
     "text_contamination" -> textContaminationSql,
     "sample_stratified" -> sampleStratifiedSql,
     "pipeline_curation" -> pipelineCurationSql,

@@ -39,10 +39,15 @@ class PlanSpec extends SparkSpec {
     assert(plan("ann_lsh_topk").contains("Broadcast"))
   }
 
-  test("bm25 broadcasts query terms; no cartesian in the postings probe") {
-    val p = plan("text_bm25")
+  test("bm25 search: term predicate pushed to postings scan, terms broadcast") {
+    SparkEntry.queries("text_bm25_build")(spark, dir).count() // persist index
+    val p = plan("text_bm25_search")
     assert(p.contains("Broadcast"), "query-term probe should broadcast")
     assert(!p.contains("CartesianProduct"))
+    // the split's whole point: the search scan is pruned by the term
+    // IN-predicate against the term-indexed postings item
+    assert(p.contains("PushedFilters: [In(term"),
+      s"expected term IN pushdown in postings scan:\n$p")
   }
 
   test("range join plans as equi-join on bucket ids, never nested loop") {
