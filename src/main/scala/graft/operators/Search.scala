@@ -48,13 +48,12 @@ object Search {
   final case class Bm25Index(postings: DataFrame, terms: DataFrame,
                              nDocs: Long, sumDl: Long) {
     def save(c: graft.store.Collection, name: String,
-             overwrite: Boolean = true): Unit = {
-      c.write(s"${name}__postings", postings, indexCols = Seq("term"),
-        overwrite = overwrite)
-      c.write(s"${name}__terms", terms, indexCols = Seq("term"),
+             overwrite: Boolean = true): Unit = Similarity.parallelWrites(Seq(
+      () => c.write(s"${name}__postings", postings, indexCols = Seq("term"),
+        overwrite = overwrite),
+      () => c.write(s"${name}__terms", terms, indexCols = Seq("term"),
         metadata = Map("bm25_n_docs" -> nDocs, "bm25_sum_dl" -> sumDl),
-        overwrite = overwrite)
-    }
+        overwrite = overwrite)))
   }
 
   object Bm25Index {
@@ -75,9 +74,12 @@ object Search {
     * ≡ token count — split always yields ≥1 token, so no doc is lost).
     * The corpus-wide shuffles (postings groupBy, dl groupBy, the
     * dl-onto-postings join) all happen HERE, once, at build time. */
-  def buildBm25Index(docs: DataFrame,
-                     textCol: String = "text",
-                     idCol: String = "doc_id"): Bm25Index = {
+  /** Core build with the bare-postings cache still HELD — the returned
+    * second element must be unpersisted by the caller once the index
+    * DataFrames have been materialized (saved or searched). */
+  private def buildBm25IndexRetained(docs: DataFrame,
+                                     textCol: String,
+                                     idCol: String): (Bm25Index, DataFrame) = {
     val tok = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.tokens(TextAnalysis.normalize(col(textCol))).as("t"))
     val bare = tok.select(col("doc_id"), explode(col("t")).as("term"))
@@ -90,7 +92,28 @@ object Search {
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
     val terms = bare.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cnt"))
-    val idx = Bm25Index(postings, terms, statsRow.getLong(0), statsRow.getLong(1))
+    (Bm25Index(postings, terms, statsRow.getLong(0), statsRow.getLong(1)), bare)
+  }
+
+  def buildBm25Index(docs: DataFrame,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): Bm25Index = {
+    val (idx, bare) = buildBm25IndexRetained(docs, textCol, idCol)
+    bare.unpersist(blocking = false)
+    idx
+  }
+
+  /** Build + persist in one step, holding the bare-postings cache
+    * through the (parallel) item writes so the corpus is tokenized
+    * exactly ONCE end to end — the shape `text_bm25_build` ships. */
+  def buildAndSaveBm25Index(docs: DataFrame,
+                            c: graft.store.Collection,
+                            name: String,
+                            overwrite: Boolean = true,
+                            textCol: String = "text",
+                            idCol: String = "doc_id"): Bm25Index = {
+    val (idx, bare) = buildBm25IndexRetained(docs, textCol, idCol)
+    idx.save(c, name, overwrite)
     bare.unpersist(blocking = false)
     idx
   }

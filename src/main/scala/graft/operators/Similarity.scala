@@ -22,6 +22,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Submit store writes concurrently from driver threads (the
+    * writeBatch/M4 pattern): Spark interleaves the jobs' stages across
+    * executor slots, so a multi-item index save costs ~the slowest
+    * item, not the sum. Item names are distinct, which is the store's
+    * concurrent-writer contract. */
+  private[operators] def parallelWrites(ops: Seq[() => Unit]): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.traverse(ops)(op => Future(op())), Duration.Inf)
+  }
+
   /** Hyperplane-signature width sized from plan statistics, so bucket
     * occupancy stays roughly constant as the corpus grows: bits ≈
     * log₂(corpus bytes / bytesPerBucket). At the bench SFs this lands
@@ -150,12 +162,11 @@ object Similarity {
     * filter prunes parquet row groups to the nprobe lists it needs. */
   final case class IvfIndex(centroids: DataFrame, assigned: DataFrame) {
     def save(c: graft.store.Collection, name: String,
-             overwrite: Boolean = true): Unit = {
-      c.write(s"${name}__centroids", centroids, indexCols = Seq("cid"),
-        overwrite = overwrite)
-      c.write(s"${name}__assigned", assigned, indexCols = Seq("cid"),
-        overwrite = overwrite)
-    }
+             overwrite: Boolean = true): Unit = parallelWrites(Seq(
+      () => c.write(s"${name}__centroids", centroids, indexCols = Seq("cid"),
+        overwrite = overwrite),
+      () => c.write(s"${name}__assigned", assigned, indexCols = Seq("cid"),
+        overwrite = overwrite)))
   }
 
   object IvfIndex {
@@ -250,13 +261,12 @@ object Similarity {
   final case class PqIndex(codebooks: DataFrame, codes: DataFrame,
                            m: Int, ksub: Int) {
     def save(c: graft.store.Collection, name: String,
-             overwrite: Boolean = true): Unit = {
-      c.write(s"${name}__codebooks", codebooks, indexCols = Seq("sub"),
+             overwrite: Boolean = true): Unit = parallelWrites(Seq(
+      () => c.write(s"${name}__codebooks", codebooks, indexCols = Seq("sub"),
         metadata = Map("pq_m" -> m, "pq_ksub" -> ksub),
-        overwrite = overwrite)
-      c.write(s"${name}__codes", codes, indexCols = Seq("nbr_id"),
-        overwrite = overwrite)
-    }
+        overwrite = overwrite),
+      () => c.write(s"${name}__codes", codes, indexCols = Seq("nbr_id"),
+        overwrite = overwrite)))
   }
 
   object PqIndex {
@@ -492,16 +502,15 @@ object Similarity {
                               residual: Boolean = false,
                               nlist: Int = 0) {
     def save(c: graft.store.Collection, name: String,
-             overwrite: Boolean = true): Unit = {
-      c.write(s"${name}__centroids", centroids, indexCols = Seq("cid"),
-        overwrite = overwrite)
-      c.write(s"${name}__codebooks", codebooks, indexCols = Seq("sub"),
+             overwrite: Boolean = true): Unit = parallelWrites(Seq(
+      () => c.write(s"${name}__centroids", centroids, indexCols = Seq("cid"),
+        overwrite = overwrite),
+      () => c.write(s"${name}__codebooks", codebooks, indexCols = Seq("sub"),
         metadata = Map("pq_m" -> m, "pq_ksub" -> ksub, "pq_residual" -> residual,
           "ivf_nlist" -> nlist),
-        overwrite = overwrite)
-      c.write(s"${name}__codes", codes, indexCols = Seq("cid"),
-        overwrite = overwrite)
-    }
+        overwrite = overwrite),
+      () => c.write(s"${name}__codes", codes, indexCols = Seq("cid"),
+        overwrite = overwrite)))
   }
 
   object IvfPqIndex {

@@ -717,7 +717,7 @@ object PipelineQueries {
   private def buildAndSaveBm25(s: SparkSession, dir: String): Unit = {
     import graft.operators.Search
     val docs = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
-    Search.buildBm25Index(docs).save(bm25IndexCollection(s, dir), "bm25",
+    Search.buildAndSaveBm25Index(docs, bm25IndexCollection(s, dir), "bm25",
       overwrite = true)
   }
 
