@@ -184,6 +184,36 @@ object Search {
         col("n_terms"), round(col("score_exact").cast("double"), 6).as("score"))
   }
 
+  /** Incrementally add documents to a PERSISTED BM25 index — the
+    * Lucene-segment analogue of the ANN indexes' `appendTo*`: the new
+    * docs' postings (with their own denormalized lengths) APPEND to the
+    * term-indexed postings item (same terms legitimately repeat — the
+    * store's KeepAll overlap strategy), the term dictionary merges by
+    * summed (df, cnt), and the corpus stats update in metadata. Cost is
+    * O(new docs + dictionary), independent of existing postings size.
+    * Existing postings stay bit-identical on disk; only scores change,
+    * exactly as BM25 semantics require (idf and avgdl are corpus-level
+    * by definition). Caller contract: doc ids are new. */
+  def appendToBm25Index(newDocs: DataFrame,
+                        c: graft.store.Collection,
+                        name: String,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): Bm25Index = {
+    val (delta, bare) = buildBm25IndexRetained(newDocs, textCol, idCol)
+    val old = Bm25Index.load(c, name)
+    c.append(s"${name}__postings", delta.postings,
+      graft.store.DuplicateHandling.KeepAll)
+    val merged = old.terms.unionByName(delta.terms)
+      .groupBy(col("term"))
+      .agg(sum(col("df")).as("df"), sum(col("cnt")).as("cnt"))
+    c.write(s"${name}__terms", merged, indexCols = Seq("term"),
+      metadata = Map("bm25_n_docs" -> (old.nDocs + delta.nDocs),
+        "bm25_sum_dl" -> (old.sumDl + delta.sumDl)),
+      overwrite = true)
+    bare.unpersist(blocking = false)
+    Bm25Index.load(c, name)
+  }
+
   /** One-shot convenience: build the index in-memory (not persisted)
     * and search it — for ad-hoc probes and tests. Production and the
     * shipped queries go through build + save + load (`text_bm25_build`

@@ -184,21 +184,50 @@ object Similarity {
                     vecCol: String = "embedding",
                     idCol: String = "vec_id"): IvfIndex = {
     import graft.functions.expressions.cosine_sim
-    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
     val cents =
       if (kmeansIters > 0)
         kmeansCentroids(corpus, nlist, kmeansIters, vecCol, idCol, kmeansSample)
           .select(col("cid"), col("centroid"))
       else corpus.orderBy(col(idCol)).limit(nlist)
         .select(col(idCol).cast("long").as("cid"), col(vecCol).as("centroid"))
-    // same max_by shape as the k-means assignment: no window shuffle
-    val assigned = c.crossJoin(broadcast(cents))
+    IvfIndex(cents, assignToCentroids(corpus, cents, vecCol, idCol))
+  }
+
+  /** Assign every vector to its nearest centroid under a FROZEN
+    * quantizer — the step shared by the index build, and by
+    * incremental appends ([[appendToIvfIndex]]/[[appendToIvfPqIndex]]).
+    * max_by shape (no window shuffle); centroids broadcast. */
+  def assignToCentroids(df: DataFrame, centroids: DataFrame,
+                        vecCol: String = "embedding",
+                        idCol: String = "vec_id"): DataFrame = {
+    import graft.functions.expressions.cosine_sim
+    df.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+      .crossJoin(broadcast(centroids))
       .withColumn("ccos", cosine_sim(col("cv"), col("centroid")))
       .groupBy(col("nbr_id"))
       .agg(max_by(struct(col("cid"), col("cv")),
         struct(col("ccos"), -col("cid"))).as("best"))
       .select(col("nbr_id"), col("best.cv").as("cv"), col("best.cid").as("cid"))
-    IvfIndex(cents, assigned)
+  }
+
+  /** Incrementally add vectors to a PERSISTED IVF index — the FAISS
+    * `add()` contract: the coarse quantizer stays FROZEN, new vectors
+    * are assigned to their nearest existing centroid and APPENDED to
+    * the cid-indexed assignment item. Cost is O(new vectors),
+    * independent of index size — the only maintenance shape that holds
+    * at 100 TB (a quantizer refit is an offline rebuild, not an
+    * append). Caller contract: ids are new (appending an existing id
+    * creates a duplicate, exactly like FAISS add). */
+  def appendToIvfIndex(newVectors: DataFrame,
+                       c: graft.store.Collection,
+                       name: String,
+                       vecCol: String = "embedding",
+                       idCol: String = "vec_id"): IvfIndex = {
+    val idx = IvfIndex.load(c, name)
+    c.append(s"${name}__assigned",
+      assignToCentroids(newVectors, idx.centroids, vecCol, idCol),
+      graft.store.DuplicateHandling.KeepAll)
+    IvfIndex.load(c, name)
   }
 
   /** Search a prebuilt index: queries pick their nprobe nearest lists,
@@ -357,18 +386,8 @@ object Similarity {
         .toSeq
     var cb = cbRows.toDF("sub", "code", "cv")
 
-    def assignment(points: DataFrame, codebooks: DataFrame): DataFrame =
-      points.join(broadcast(codebooks), Seq("sub"))
-        .withColumn("score",
-          lit(2.0) * dot_product(col("sv"), col("cv")) - dot_product(col("cv"), col("cv")))
-        .groupBy(col("pid"), col("sub"))
-        .agg(max_by(struct(col("code"), col("sv")),
-          struct(col("score"), -col("code"))).as("best"))
-        .select(col("pid"), col("sub"),
-          col("best.code").as("code"), col("best.sv").as("sv"))
-
     for (_ <- 0 until iters) {
-      val updated = assignment(pts, cb)
+      val updated = pqAssign(pts, cb)
         .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy(col("sub"), col("code"), col("pos"))
         .agg(round(avg(col("x")), 6).as("c"))
@@ -397,7 +416,7 @@ object Similarity {
     // rides along for exact re-rank (raw, not normalized: cosine on the
     // original values keeps the re-rank arithmetic bit-identical to
     // bruteForceTopK / the DuckDB oracle formula)
-    val codes = assignment(allPts, cb)
+    val codes = pqAssign(allPts, cb)
       .groupBy(col("pid"))
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
         s => s.getField("code")).as("codes"))
@@ -405,6 +424,22 @@ object Similarity {
         col(vecCol).cast("array<double>").as("cv")), Seq("pid"))
       .select(col("pid").as("nbr_id"), col("codes"), col("cv"))
     PqIndex(cb, codes, m, kEff)
+  }
+
+  /** Per-subspace nearest-codebook-centroid assignment (the PQ encode
+    * step) under FROZEN codebooks — shared by the Lloyd iterations, the
+    * final corpus encode, and incremental appends. Argmin ‖s−c‖² via
+    * the dot identity argmax (2·s·c − ‖c‖²). */
+  private def pqAssign(points: DataFrame, codebooks: DataFrame): DataFrame = {
+    import graft.functions.expressions.dot_product
+    points.join(broadcast(codebooks), Seq("sub"))
+      .withColumn("score",
+        lit(2.0) * dot_product(col("sv"), col("cv")) - dot_product(col("cv"), col("cv")))
+      .groupBy(col("pid"), col("sub"))
+      .agg(max_by(struct(col("code"), col("sv")),
+        struct(col("score"), -col("code"))).as("best"))
+      .select(col("pid"), col("sub"),
+        col("best.code").as("code"), col("best.sv").as("sv"))
   }
 
   /** Per-query flattened ADC lookup table: lut[sub·ksub + code] =
@@ -592,6 +627,43 @@ object Similarity {
       IvfPqIndex(ivf.centroids, pq.codebooks, codes, pq.m, pq.ksub,
         residual = true, nlist = nlist)
     }
+  }
+
+  /** Incrementally add vectors to a PERSISTED IVF-PQ index — the FAISS
+    * `add()` contract for the composed index: coarse quantizer AND PQ
+    * codebooks stay FROZEN; new vectors are assigned to their nearest
+    * list, PQ-encoded with the existing codebooks (residual-aware:
+    * codes over x̂ − c when the index was built residual), and APPENDED
+    * to the cid-indexed codes item. O(new vectors) — no refit, no
+    * rewrite of existing lists. Same id contract as `appendToIvfIndex`. */
+  def appendToIvfPqIndex(newVectors: DataFrame,
+                         c: graft.store.Collection,
+                         name: String,
+                         vecCol: String = "embedding",
+                         idCol: String = "vec_id"): IvfPqIndex = {
+    val idx = IvfPqIndex.load(c, name)
+    val dsub = idx.codebooks.select(size(col("cv"))).head().getInt(0)
+    val assigned = assignToCentroids(newVectors, idx.centroids, vecCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pts =
+      if (idx.residual) {
+        val residuals = assigned.join(broadcast(idx.centroids), Seq("cid"))
+          .select(col("nbr_id"),
+            zip_with(normalized(col("cv")), col("centroid"),
+              (a, b) => a - b).as("rv"))
+        subPoints(residuals, idx.m, dsub, "rv", "nbr_id", normalize = false)
+      } else subPoints(assigned, idx.m, dsub, "cv", "nbr_id")
+    val codes = pqAssign(pts, idx.codebooks)
+      .groupBy(col("pid"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+      .join(assigned.select(col("nbr_id"), col("cv"), col("cid")),
+        col("pid") === col("nbr_id"))
+      .select(col("cid"), col("nbr_id"), col("codes"),
+        (if (idx.residual) col("cv") else col("cv").cast("array<double>")).as("cv"))
+    c.append(s"${name}__codes", codes, graft.store.DuplicateHandling.KeepAll)
+    assigned.unpersist(blocking = false)
+    IvfPqIndex.load(c, name)
   }
 
   /** Search the composed index: coarse-probe (localized, bounded probe

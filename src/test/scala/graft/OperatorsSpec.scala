@@ -260,6 +260,63 @@ class OperatorsSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("bm25 index append: incremental equals full rebuild") {
+    val docs = sf("documents").select($"doc_id", $"text")
+    val part1 = docs.filter($"doc_id" % 5 =!= 0)
+    val part2 = docs.filter($"doc_id" % 5 === 0)
+    val c = tempCollection("bm25_append")
+    Search.buildAndSaveBm25Index(part1, c, "bm25")
+    val appended = Search.appendToBm25Index(part2, c, "bm25")
+    val full = Search.buildBm25Index(docs)
+    assert(appended.nDocs == full.nDocs && appended.sumDl == full.sumDl)
+    val at = appended.terms.as[(String, Long, Long)].collect().toSet
+    val ft = full.terms.as[(String, Long, Long)].collect().toSet
+    assert(at == ft, s"merged dictionary diverged: only-appended=${at -- ft} only-full=${ft -- at}")
+    // search through the appended index scores identically to a fresh
+    // full build (df/dl/stats all merged correctly)
+    val qt = full.terms.orderBy($"cnt".desc, $"term").limit(3)
+      .select($"term").as[String].collect().toSeq
+      .zipWithIndex.map { case (t, _) => (0L, t) }.toDF("query_id", "term")
+    val sa = Search.bm25SearchTopK(appended, qt, k = 10).collect().map(_.toSeq).toSet
+    val sf_ = Search.bm25SearchTopK(full, qt, k = 10).collect().map(_.toSeq).toSet
+    assert(sa == sf_ && sa.nonEmpty)
+    cleanup(c)
+  }
+
+  test("ivf/ivfpq index append: frozen quantizer, appended vectors searchable") {
+    val e = sf("embeddings")
+    val part1 = e.filter($"vec_id" % 4 =!= 0)
+    val part2 = e.filter($"vec_id" % 4 === 0)
+    // exact copies of two APPENDED vectors as probes: the originals
+    // must come back at rank 1 with cosine 1.0
+    val q = part2.filter($"vec_id" < 8).withColumn("vec_id", $"vec_id" + 100000)
+
+    val c = tempCollection("ivf_append")
+    Similarity.buildIvfIndex(part1, nlist = 8, kmeansIters = 2).save(c, "emb")
+    val idx = Similarity.appendToIvfIndex(part2, c, "emb")
+    // append ≡ frozen-quantizer assignment of the full set
+    val expect = Similarity.assignToCentroids(e, idx.centroids)
+      .select($"nbr_id", $"cid").as[(Long, Long)].collect().toMap
+    val got = idx.assigned.select($"nbr_id", $"cid").as[(Long, Long)].collect().toMap
+    assert(got == expect)
+    val top = Similarity.ivfSearch(idx, q, k = 1, nprobe = 8).collect()
+    assert(top.nonEmpty && top.forall(r =>
+      r.getAs[Long]("nbr_id") == r.getAs[Long]("query_id") - 100000 &&
+        r.getAs[Double]("cos") == 1.0), top.mkString(","))
+    cleanup(c)
+
+    val c2 = tempCollection("ivfpq_append")
+    Similarity.buildIvfPqIndex(part1, nlist = 8, kmeansIters = 1,
+      m = 8, ksub = 16, pqIters = 1, residual = true).save(c2, "ivfpq")
+    val idx2 = Similarity.appendToIvfPqIndex(part2, c2, "ivfpq")
+    val top2 = Similarity.ivfPqSearch(idx2, q, k = 1, nprobe = 8, rerank = 64)
+      .collect()
+    assert(top2.nonEmpty && top2.forall(r =>
+      r.getAs[Long]("nbr_id") == r.getAs[Long]("query_id") - 100000 &&
+        r.getAs[Double]("cos") == 1.0), top2.mkString(","))
+    cleanup(c2)
+  }
+
   test("packShards: doc joins the pack where its first token lands") {
     import graft.operators.Sampling
     // one shard, known md5 order; 3 docs of 5 tokens, context 8:
