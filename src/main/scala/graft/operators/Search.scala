@@ -48,12 +48,14 @@ object Search {
   final case class Bm25Index(postings: DataFrame, terms: DataFrame,
                              nDocs: Long, sumDl: Long) {
     def save(c: graft.store.Collection, name: String,
-             overwrite: Boolean = true): Unit = Similarity.parallelWrites(Seq(
-      () => c.write(s"${name}__postings", postings, indexCols = Seq("term"),
-        overwrite = overwrite),
-      () => c.write(s"${name}__terms", terms, indexCols = Seq("term"),
-        metadata = Map("bm25_n_docs" -> nDocs, "bm25_sum_dl" -> sumDl),
-        overwrite = overwrite)))
+             overwrite: Boolean = true,
+             extraMetadata: Map[String, Any] = Map.empty): Unit =
+      Similarity.parallelWrites(Seq(
+        () => c.write(s"${name}__postings", postings, indexCols = Seq("term"),
+          overwrite = overwrite),
+        () => c.write(s"${name}__terms", terms, indexCols = Seq("term"),
+          metadata = Map("bm25_n_docs" -> nDocs, "bm25_sum_dl" -> sumDl) ++ extraMetadata,
+          overwrite = overwrite)))
   }
 
   object Bm25Index {
@@ -111,9 +113,10 @@ object Search {
                             name: String,
                             overwrite: Boolean = true,
                             textCol: String = "text",
-                            idCol: String = "doc_id"): Bm25Index = {
+                            idCol: String = "doc_id",
+                            extraMetadata: Map[String, Any] = Map.empty): Bm25Index = {
     val (idx, bare) = buildBm25IndexRetained(docs, textCol, idCol)
-    idx.save(c, name, overwrite)
+    idx.save(c, name, overwrite, extraMetadata)
     bare.unpersist(blocking = false)
     idx
   }
@@ -198,7 +201,8 @@ object Search {
                         c: graft.store.Collection,
                         name: String,
                         textCol: String = "text",
-                        idCol: String = "doc_id"): Bm25Index = {
+                        idCol: String = "doc_id",
+                        extraMetadata: Map[String, Any] = Map.empty): Bm25Index = {
     val (delta, bare) = buildBm25IndexRetained(newDocs, textCol, idCol)
     val old = Bm25Index.load(c, name)
     c.append(s"${name}__postings", delta.postings,
@@ -208,7 +212,7 @@ object Search {
       .agg(sum(col("df")).as("df"), sum(col("cnt")).as("cnt"))
     c.write(s"${name}__terms", merged, indexCols = Seq("term"),
       metadata = Map("bm25_n_docs" -> (old.nDocs + delta.nDocs),
-        "bm25_sum_dl" -> (old.sumDl + delta.sumDl)),
+        "bm25_sum_dl" -> (old.sumDl + delta.sumDl)) ++ extraMetadata,
       overwrite = true)
     bare.unpersist(blocking = false)
     Bm25Index.load(c, name)

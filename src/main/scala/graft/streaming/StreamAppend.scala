@@ -186,6 +186,50 @@ object StreamAppend {
       .dropDuplicatesWithinWatermark("id_a", "id_b")
   }
 
+  /** Streaming SEARCH-INDEX maintenance — each micro-batch of newly
+    * arrived documents incrementally appends to a persisted BM25 index
+    * (`Search.appendToBm25Index`: postings append + dictionary merge +
+    * corpus-stat update, O(batch + dictionary) per batch; analyzer
+    * frozen). Searches between batches read a consistent snapshot
+    * through the store's atomic generations.
+    *
+    * Exactly-once: unlike `intoItem` (whose index-dedup append makes
+    * re-delivery a no-op), a BM25 append is NOT naturally idempotent —
+    * re-delivering a batch would double-count postings and df. The
+    * sink therefore records the last applied epoch id in the
+    * dictionary item's metadata IN the same atomic write as the merge,
+    * and skips any batch at or below it — the standard transactional
+    * foreachBatch recipe. */
+  def intoBm25Index(stream: DataFrame,
+                    collection: Collection,
+                    name: String,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataStreamWriter[Row] = {
+    import graft.operators.Search
+    def lastApplied(): Long =
+      collection.metadata(s"${name}__terms").get("bm25_stream_batch") match {
+        case Some(org.json4s.JInt(i)) => i.toLong
+        case _ => -1L
+      }
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          if (!collection.hasItem(s"${name}__terms")) {
+            Search.buildAndSaveBm25Index(batch, collection, name,
+              textCol = textCol, idCol = idCol,
+              extraMetadata = Map("bm25_stream_batch" -> batchId))
+            ()
+          } else if (batchId > lastApplied()) {
+            Search.appendToBm25Index(batch, collection, name, textCol, idCol,
+              extraMetadata = Map("bm25_stream_batch" -> batchId))
+            ()
+          }
+          // else: re-delivered batch already folded in — skip
+        }
+      }
+  }
+
   /** Run a bounded streaming job to completion (test/driver helper). */
   def runToCompletion(writer: DataStreamWriter[Row]): Unit = {
     val q: StreamingQuery = writer.trigger(Trigger.AvailableNow()).start()

@@ -36,6 +36,43 @@ class StreamingSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("streaming BM25 maintenance: batch appends equal full rebuild, re-delivery safe") {
+    import graft.operators.Search
+    val c = tempCollection("stream_bm25")
+    val src = Files.createTempDirectory("graft_stream_bm25")
+    import spark.implicits._
+    val docs = sf("documents").select($"doc_id", $"text")
+    val part1 = docs.filter($"doc_id" < 30)
+    val part2 = docs.filter($"doc_id" >= 30 && $"doc_id" < 60)
+    part1.write.mode("overwrite").parquet(s"$src/in")
+
+    val stream = spark.readStream.schema(part1.schema).parquet(s"$src/in")
+    def run(ckpt: String): Unit = StreamAppend.runToCompletion(
+      StreamAppend.intoBm25Index(stream, c, "bm25")
+        .option("checkpointLocation", s"$src/$ckpt"))
+    run("ckpt")                                    // batch 0: initial build
+    part2.write.mode("append").parquet(s"$src/in")
+    run("ckpt")                                    // batch 1: incremental append
+
+    val loaded = Search.Bm25Index.load(c, "bm25")
+    val full = Search.buildBm25Index(part1.unionByName(part2))
+    assert(loaded.nDocs == full.nDocs && loaded.sumDl == full.sumDl)
+    val lt = loaded.terms.as[(String, Long, Long)].collect().toSet
+    val ft = full.terms.as[(String, Long, Long)].collect().toSet
+    assert(lt == ft, s"only-streamed=${lt -- ft} only-full=${ft -- lt}")
+
+    // a FRESH checkpoint re-delivers everything as epoch 0; the
+    // recorded epoch watermark makes the sink skip it — no double
+    // counting (the non-idempotent-append hazard intoItem doesn't have)
+    run("ckpt2")
+    val again = Search.Bm25Index.load(c, "bm25")
+    assert(again.nDocs == full.nDocs && again.sumDl == full.sumDl)
+    assert(again.terms.as[(String, Long, Long)].collect().toSet == ft)
+
+    FsOps.deleteRecursively(src)
+    cleanup(c)
+  }
+
   test("stream-static bucketized range join attributes streamed points") {
     // RangeJoin is a pure equi-join + filter, so it composes with a
     // streaming points side against static intervals (stream-static
