@@ -66,6 +66,48 @@ object Sampling {
       .select(col("shard"), col("pack"), col(idCol), col("n_tokens"))
   }
 
+  /** Token-budget MIXTURE sampling — the data-mixing step of a
+    * training run: given a target token budget B and per-source
+    * mixture weights w (taken as-is; the caller normalizes), each
+    * source's sampling rate is min(1, B·w_s / tokens_s) and documents
+    * are kept by the deterministic md5-threshold rule at that rate.
+    * Sources without a weight are dropped (rate 0).
+    *
+    * Shape: ONE aggregation pass computes per-source token totals (the
+    * only corpus-wide work — map-side combined, grouped on the
+    * low-cardinality source key), the rate table is driver-sized and
+    * broadcast back, and the keep decision is a pure row property —
+    * stable under repartition, appends, and engine swaps, so a DuckDB
+    * oracle replicates the realized sample exactly. The budget is
+    * hit in expectation per source; exact-budget division is
+    * `packShards`'s job downstream.
+    *
+    * Returns the kept rows with `n_tokens` and the source `rate`. */
+  def tokenBudgetSample(df: DataFrame,
+                        budgetTokens: Long,
+                        weights: Map[String, Double],
+                        sourceCol: String = "source",
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withTok = df.withColumn("n_tokens",
+      TextAnalysis.tokenCount(col(textCol)).cast("long"))
+    val totals = withTok.groupBy(col(sourceCol))
+      .agg(sum(col("n_tokens")).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val rates = totals.map { case (s, t) =>
+      val w = weights.getOrElse(s, 0.0)
+      (s, math.min(1.0, budgetTokens.toDouble * w / math.max(t, 1L).toDouble))
+    }
+    val rateDf = rates.toSeq.map { case (s, r) => (s, r, hashThreshold(r)) }
+      .toDF(sourceCol, "rate", "__th")
+    withTok.join(broadcast(rateDf), Seq(sourceCol))
+      .filter(hashKey(idCol) < col("__th"))
+      .drop("__th")
+  }
+
   /** Stratified deterministic sampling: per-stratum fractions with a
     * default for unlisted strata — the eval-set carving recipe (e.g.
     * oversample rare languages, downsample dominant sources). */

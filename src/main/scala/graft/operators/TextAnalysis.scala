@@ -149,6 +149,35 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[\\p{Punct}]", " "), "\\s+", " "))
 
+  /** PII patterns (public-literature standard shapes: email, SSN-form
+    * id, US phone, IPv4), RE2-compatible so the DuckDB oracle runs the
+    * SAME regexes. Sequence order IS the redaction order (SSN before
+    * phone: both are digit-dash shapes and redaction must not consume
+    * the other's match). */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ssn"   -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "phone" -> "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b",
+    "ipv4"  -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
+
+  /** Per-type PII match counts over the ORIGINAL text (counted before
+    * any redaction, so the types are independent): struct
+    * (n_email, n_ssn, n_phone, n_ipv4). Pure per-row regex — no
+    * shuffle, codegen'd by Spark's native regexp_count. */
+  def piiCounts(text: Column): Column =
+    struct(PiiPatterns.map { case (n, p) =>
+      regexp_count(text, lit(p)).as(s"n_$n")
+    }: _*)
+
+  /** Redact every PII match with its `[TYPE]` token, applied in
+    * PiiPatterns order — the scrubbing transform a production pipeline
+    * runs before training-data export. Deterministic and engine-
+    * replicable (the oracle md5-pins the redacted text). */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (n, p)) =>
+      regexp_replace(acc, p, s"[${n.toUpperCase}]")
+    }
+
   /** Winnowing fingerprint (rolling polynomial k-gram hash + sliding
     * window-min selection): shift-resistant document signature, the
     * standard local-fingerprint dedup key. The hash arithmetic is

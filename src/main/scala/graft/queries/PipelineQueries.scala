@@ -221,6 +221,94 @@ object PipelineQueries {
        |ORDER BY source""".stripMargin
   }
 
+  /** Token-budget mixture sampling: B = 8000 tokens across weighted
+    * sources (src1 0.5 / src2 0.3 / src3 0.2; unweighted sources drop).
+    * Emitted per source: kept docs, their token sum, the realized rate,
+    * and an id-sum membership pin. The oracle recomputes token totals,
+    * the min(1, B·w/tokens) rate, the %08x hash threshold, and the
+    * md5-rule sample — the ENTIRE mixing computation — in SQL. */
+  def sampleTokenBudget(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.tokenBudgetSample(
+        Tables.t(s, dir, "documents"), budgetTokens = 8000,
+        weights = Map("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sampled_tokens"),
+        round(max(col("rate")), 9).as("rate"),
+        sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("source"))
+
+  val sampleTokenBudgetSql: String =
+    s"""WITH tok AS (SELECT doc_id, source, CAST($nTokensSql AS BIGINT) AS n_tokens
+       |             FROM documents),
+       |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+       |        FROM tok GROUP BY source),
+       |rates AS (SELECT source,
+       |    least(1.0, 8000.0 * CASE source WHEN 'src1' THEN 0.5
+       |                                    WHEN 'src2' THEN 0.3
+       |                                    WHEN 'src3' THEN 0.2
+       |                                    ELSE 0.0 END
+       |          / CAST(greatest(src_tokens, 1) AS DOUBLE)) AS rate
+       |  FROM tot),
+       |th AS (SELECT source, rate,
+       |    printf('%08x', least(CAST(floor(rate * 4294967296.0) AS BIGINT),
+       |                         4294967295)) AS th
+       |  FROM rates),
+       |kept AS (SELECT t.doc_id, t.source, t.n_tokens, r.rate
+       |  FROM tok t JOIN th r USING (source)
+       |  WHERE substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8) < r.th)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sampled_tokens,
+       |  round(max(rate), 9) AS rate,
+       |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+       |FROM kept GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  /** PII scrub: deterministic planted PII (email/SSN/phone/IPv4
+    * suffix for doc_id < 50), per-type counts over the original text,
+    * and an md5 pin of the REDACTED text — so pattern matching and the
+    * ordered redaction are both hash-verified end to end against the
+    * same RE2-compatible regexes run by DuckDB. */
+  def textPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = d.withColumn("text",
+      when(col("doc_id") < 50,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com call 555-867-5309 from 10.0."),
+          (col("doc_id") % 200).cast("string"), lit(".7 ssn 123-45-6789")))
+        .otherwise(col("text")))
+    planted.select(col("doc_id"),
+        TextAnalysis.piiCounts(col("text")).as("pii"),
+        TextAnalysis.redactPii(col("text")).as("red"))
+      .select(col("doc_id"),
+        col("pii.n_email").as("n_email"), col("pii.n_ssn").as("n_ssn"),
+        col("pii.n_phone").as("n_phone"), col("pii.n_ipv4").as("n_ipv4"),
+        length(col("red")).as("redacted_len"),
+        md5(col("red")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textPiiRedactSql: String = {
+    val ps = TextAnalysis.PiiPatterns.toMap
+    val redacted = TextAnalysis.PiiPatterns.foldLeft("text") {
+      case (acc, (n, p)) => s"regexp_replace($acc, '$p', '[${n.toUpperCase}]', 'g')"
+    }
+    def cnt(n: String) =
+      s"CAST(len(regexp_extract_all(text, '${ps(n)}')) AS INTEGER) AS n_$n"
+    s"""WITH aug AS (SELECT doc_id,
+       |    CASE WHEN doc_id < 50 THEN text || ' contact user' ||
+       |      CAST(doc_id AS VARCHAR) || '@example.com call 555-867-5309 from 10.0.' ||
+       |      CAST(doc_id % 200 AS VARCHAR) || '.7 ssn 123-45-6789'
+       |    ELSE text END AS text
+       |  FROM documents)
+       |SELECT doc_id, ${cnt("email")}, ${cnt("ssn")}, ${cnt("phone")},
+       |  ${cnt("ipv4")},
+       |  CAST(length($redacted) AS INTEGER) AS redacted_len,
+       |  md5($redacted) AS redacted_md5
+       |FROM aug
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** embeddings plus near-identical copies: element i scaled by
     * 1 + (i%5)/100 (deterministic, non-uniform so cosine < 1). */
   private def embWithNearCopies(s: SparkSession, dir: String): DataFrame = {
@@ -1253,6 +1341,8 @@ object PipelineQueries {
     "text_bm25_search" -> textBm25Search _,
     "text_contamination" -> textContamination _,
     "sample_stratified" -> sampleStratified _,
+    "sample_token_budget" -> sampleTokenBudget _,
+    "text_pii_redact" -> textPiiRedact _,
     "pipeline_curation" -> pipelineCuration _,
     "pipeline_packing" -> pipelinePacking _,
     "profile_orders" -> profileOrders _,
@@ -1289,6 +1379,8 @@ object PipelineQueries {
     "text_bm25_search" -> textBm25Sql,
     "text_contamination" -> textContaminationSql,
     "sample_stratified" -> sampleStratifiedSql,
+    "sample_token_budget" -> sampleTokenBudgetSql,
+    "text_pii_redact" -> textPiiRedactSql,
     "pipeline_curation" -> pipelineCurationSql,
     "pipeline_packing" -> pipelinePackingSql,
     "profile_orders" -> profileOrdersSql,
