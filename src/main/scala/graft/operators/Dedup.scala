@@ -413,16 +413,25 @@ object Dedup {
     * count per (id_a, id_b) IS the intersection size (shingles are
     * per-doc distinct). At 100 TB the benchmark side is small: the
     * gram join broadcasts it and the training corpus streams once. */
+  /** `broadcastB = true` (default) declares the b side dimension-sized
+    * (decontamination's benchmark corpus is, by definition) and pins a
+    * broadcast-hash join on the exploded grams: the TRAIN side streams
+    * map-side with NO shuffle — at 100 TB the difference between a
+    * full-corpus gram shuffle and a scan. Statistics after an explode
+    * over-estimate enough that the planner cannot be trusted to pick
+    * this on its own. Pass false when b is genuinely large (the join
+    * reverts to a shuffled equi-join on uniform gram keys). */
   def crossCorpusOverlap(a: DataFrame, b: DataFrame,
                          n: Int = 8,
                          minShared: Int = 1,
                          textCol: String = "text",
-                         idCol: String = "doc_id"): DataFrame = {
+                         idCol: String = "doc_id",
+                         broadcastB: Boolean = true): DataFrame = {
     val ga = spread(a).select(col(idCol).as("id_a"),
       explode(shingles(col(textCol), n)).as("gram"))
     val gb = spread(b).select(col(idCol).as("id_b"),
       explode(shingles(col(textCol), n)).as("gram"))
-    ga.join(gb, "gram")
+    ga.join(if (broadcastB) broadcast(gb) else gb, "gram")
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -580,4 +589,75 @@ object Dedup {
         .select(col("id_a"), col("id_b"))
     }
   }
+
+  // ----------------------------------------------------- semantic dedup
+
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023, public
+    * literature): k-means partitions the embedding space and pairwise
+    * cosine runs only WITHIN clusters — cost O(Σ|cluster|²) instead of
+    * O(n²), with cluster sizes bounded by the quantizer. This is the
+    * alternative candidate stage to the hyperplane-LSH of
+    * [[embeddingCosinePairs]]: clustering concentrates semantically
+    * similar vectors so the within-cluster quadratic term stays small
+    * and the per-cluster work is an embarrassingly parallel equi-join
+    * on `cid`.
+    *
+    * `nassign` (default 2) assigns each vector to its nassign nearest
+    * centroids for CANDIDATE generation — the OR-amplification
+    * analogue: a qualifying pair near a cluster boundary is found if
+    * the two assignment sets intersect anywhere. Approximation
+    * contract (the published method's trade-off): a qualifying pair
+    * whose assignment sets are disjoint is missed; raising `nassign`
+    * trades candidate volume for recall. Verification is exact cosine
+    * on candidates only.
+    *
+    * Plan shape: centroids are driver-localized (broadcast-sized by
+    * definition) → per-point top-nassign via one max_by-style window on
+    * skinny (id, cid) rows → cid equi-join candidates (skinny, ids
+    * only) → vectors rejoin for the exact verify. */
+  def semanticDedupPairs(df: DataFrame,
+                         threshold: Double,
+                         nClusters: Int = 16,
+                         nassign: Int = 2,
+                         kmeansIters: Int = 2,
+                         vecCol: String = "embedding",
+                         idCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = Similarity.kmeansCentroids(df, nClusters, kmeansIters, vecCol, idCol)
+    val base = spread(df).select(col(idCol).as("id"), col(vecCol).as("v"))
+    val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid"))
+    val assigned = base.crossJoin(broadcast(cents))
+      .withColumn("ccos", graft.functions.expressions.cosine_sim(col("v"), col("centroid")))
+      .select(col("id"), col("cid"), col("ccos"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= nassign)
+      .select(col("id"), col("cid"))
+    val candidates = assigned.as("a").join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .withColumn("cos", graft.functions.expressions.cosine_sim(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Semantic dedup DROP LIST — the full SemDeDup semantics: connected
+    * components over the semantic pair graph; every non-representative
+    * member reports the (min-id) representative that keeps its place.
+    * `df.join(drops, df(idCol) === drops("drop_id"), "left_anti")` is
+    * the deduplicated corpus. */
+  def semanticDedup(df: DataFrame,
+                    threshold: Double,
+                    nClusters: Int = 16,
+                    nassign: Int = 2,
+                    kmeansIters: Int = 2,
+                    vecCol: String = "embedding",
+                    idCol: String = "vec_id"): DataFrame =
+    connectedComponents(
+        semanticDedupPairs(df, threshold, nClusters, nassign, kmeansIters, vecCol, idCol))
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("drop_id"), col("cluster").as("kept_id"))
 }

@@ -83,7 +83,8 @@ object PipelineQueries {
   /** Oracle = EXACT jaccard over all pairs — checks both LSH recall
     * (banding must surface every qualifying pair of this dataset) and
     * the verify step's exact jaccard arithmetic. */
-  def jaccardPairOracle(threshold: Double, k: Int, aug: String): String =
+  def jaccardPairOracle(threshold: Double, k: Int, aug: String,
+                        extraPred: String = ""): String =
     s"""WITH aug AS (SELECT doc_id, text FROM $aug),
        |sh AS (SELECT doc_id AS id, sh FROM (
        |  SELECT doc_id, (SELECT ${shinglesSql(k)} FROM (SELECT $normTokensSql AS w)) AS sh
@@ -92,7 +93,7 @@ object PipelineQueries {
        |  SELECT a.id AS id_a, b.id AS id_b,
        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
-       |  FROM sh a, sh b WHERE a.id < b.id)
+       |  FROM sh a, sh b WHERE a.id < b.id$extraPred)
        |SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs
        |WHERE j >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
@@ -390,6 +391,112 @@ object PipelineQueries {
        |  (t.id_a IS NOT NULL) AS text_dup, (e.id_a IS NOT NULL) AS emb_dup
        |FROM tp t FULL OUTER JOIN ep e ON t.id_a = e.id_a AND t.id_b = e.id_b
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Deterministic per-SF store for the persisted MinHash dedup index —
+    * built by `dedup_index_build`, probed by `dedup_index_probe`; keyed
+    * by the source parquet's fingerprint like the ANN/BM25 indexes. */
+  private def minhashIndexCollection(s: SparkSession, dir: String): graft.store.Collection = {
+    val src = new java.io.File(dir, "documents.parquet")
+    val fp = s"${src.length}_${src.lastModified}"
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_verify", s"minhash_index_${new java.io.File(dir).getName}_$fp")
+    java.nio.file.Files.createDirectories(root)
+    graft.store.GraftStore(s, "store", root).collection("minhash")
+  }
+
+  private def buildAndSaveMinhash(s: SparkSession, dir: String): Unit = {
+    val docs = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+    graft.operators.DedupIndex.buildAndSaveMinhashIndex(docs,
+      minhashIndexCollection(s, dir), "mh", overwrite = true)
+  }
+
+  /** MinHash dedup index BUILD: one corpus tokenize → persisted band
+    * rows + shingle sets (the incremental-dedup analogue of the
+    * IVF/BM25 build split). Emits structural proof rows the oracle
+    * recomputes from scratch: doc count, band-row count (= docs ×
+    * bands), total and distinct shingle counts — a green hash proves
+    * the persisted shingle item matches a from-scratch derivation and
+    * the band item has exactly the LSH shape the probe relies on. */
+  def dedupIndexBuild(s: SparkSession, dir: String): DataFrame = {
+    buildAndSaveMinhash(s, dir)
+    val idx = graft.operators.DedupIndex.MinhashIndex.load(
+      minhashIndexCollection(s, dir), "mh")
+    val shStats = idx.shingles.agg(
+      count(lit(1)).as("n_docs"), sum(size(col("sh"))).as("sum_shingles"))
+    val distinctSh = idx.shingles
+      .select(explode(col("sh")).as("s")).agg(count_distinct(col("s")).as("n_distinct_shingles"))
+    val bandRows = idx.bands.agg(count(lit(1)).as("n_band_rows"))
+    shStats.crossJoin(bandRows).crossJoin(distinctSh)
+      .select(col("n_docs"), col("n_band_rows"), col("sum_shingles"),
+        col("n_distinct_shingles"))
+  }
+
+  val dedupIndexBuildSql: String =
+    s"""WITH sh AS (SELECT doc_id,
+       |  (SELECT ${shinglesSql(3)} FROM (SELECT $normTokensSql AS w)) AS sh
+       |  FROM documents)
+       |SELECT count(*) AS n_docs,
+       |  count(*) * 16 AS n_band_rows,
+       |  CAST(sum(len(sh)) AS BIGINT) AS sum_shingles,
+       |  (SELECT count(DISTINCT s) FROM (SELECT unnest(sh) AS s FROM sh)) AS n_distinct_shingles
+       |FROM sh""".stripMargin
+
+  /** MinHash dedup index PROBE — incremental batch-vs-corpus dedup, the
+    * hot path: a NEW batch (the near-dup copies, ids offset +100000) is
+    * deduplicated against the PERSISTED corpus index. The corpus text
+    * is never read: band keys equi-join the skinny persisted band item
+    * and verification reads only matched candidates' shingle rows
+    * (IN-pushdown-pruned). Oracle = exhaustive cross-Jaccard over all
+    * (corpus ∪ batch) pairs restricted to batch-side membership — the
+    * same recall-proof construction as `dedup_minhash_lsh`, so a green
+    * hash proves the probe surfaces EVERY qualifying batch pair. */
+  def dedupIndexProbe(s: SparkSession, dir: String): DataFrame = {
+    val c = minhashIndexCollection(s, dir)
+    if (!c.hasItem("mh__shingles")) buildAndSaveMinhash(s, dir) // verify-order safety
+    val idx = graft.operators.DedupIndex.MinhashIndex.load(c, "mh")
+    val d = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val w = split(col("text"), " ")
+    val batch = d.filter(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + CopyIdOffset)
+      .withColumn("text", concat_ws(" ", slice(w, lit(1), size(w) - 1)))
+    graft.operators.DedupIndex.probeMinhashIndex(idx, batch, threshold = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val dedupIndexProbeSql: String =
+    jaccardPairOracle(0.8, 3, augNearSql, extraPred = " AND b.id >= 100000")
+
+  /** Semantic dedup (SemDeDup): k-means clusters + within-cluster
+    * cosine + connected components → the drop list (member → kept
+    * representative). The oracle rebuilds the drop list from the
+    * EXHAUSTIVE cosine pair graph with a recursive CTE — a green hash
+    * proves (a) the cluster-bounded candidate stage surfaced every
+    * qualifying pair of this dataset (the nassign=2 multi-assignment
+    * covered all boundary pairs), (b) exact-cosine verification
+    * arithmetic, and (c) component convergence. */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(embWithNearCopies(s, dir), threshold = 0.9,
+        nClusters = 16, nassign = 2, kmeansIters = 2)
+      .orderBy(col("drop_id"))
+
+  val dedupSemanticSql: String =
+    s"""WITH RECURSIVE ae AS (SELECT vec_id, v FROM $augEmbSql),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM ae a, ae b WHERE a.vec_id < b.vec_id
+       |    AND list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
+       |        (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+       |         sqrt(list_sum(list_transform(b.v, x -> x*x)))) >= 0.9),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+       |comp AS (SELECT id, min(r) AS kept FROM reach GROUP BY id)
+       |SELECT id AS drop_id, kept AS kept_id FROM comp WHERE id <> kept
+       |ORDER BY drop_id""".stripMargin
 
   // -------------------------------------------------------- similarity
 
@@ -951,7 +1058,10 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
-  private val nTokensSql =
+  // def, not val: referenced by oracle vals declared ABOVE this point
+  // (a val here would interpolate null into their SQL at object init —
+  // the sample_token_budget bug found in round 5)
+  private def nTokensSql =
     """CASE WHEN len(trim(text)) = 0 THEN 0
       | ELSE len(string_split_regex(trim(text), '\s+')) END""".stripMargin
 
@@ -1326,6 +1436,9 @@ object PipelineQueries {
     "dedup_clusters" -> dedupClusters _,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
     "dedup_multi_signal" -> dedupMultiSignal _,
+    "dedup_index_build" -> dedupIndexBuild _,
+    "dedup_index_probe" -> dedupIndexProbe _,
+    "dedup_semantic" -> dedupSemantic _,
     "ann_bruteforce_topk" -> annBruteForce _,
     "ann_lsh_topk" -> annLsh _,
     "ann_ivf_build" -> annIvfBuild _,
@@ -1364,6 +1477,9 @@ object PipelineQueries {
     "dedup_clusters" -> dedupClustersSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "dedup_multi_signal" -> dedupMultiSignalSql,
+    "dedup_index_build" -> dedupIndexBuildSql,
+    "dedup_index_probe" -> dedupIndexProbeSql,
+    "dedup_semantic" -> dedupSemanticSql,
     "ann_bruteforce_topk" -> annBruteForceSql,
     "ann_lsh_topk" -> annLshSql,
     "ann_ivf_build" -> annIvfBuildSql,

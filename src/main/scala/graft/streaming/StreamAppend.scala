@@ -230,6 +230,92 @@ object StreamAppend {
       }
   }
 
+  /** Streaming DEDUPED INGEST — the continuous-corpus-construction
+    * loop a 100 TB training-data pipeline runs: each micro-batch is
+    * near-dup-probed against the PERSISTED MinHash index
+    * ([[graft.operators.DedupIndex.probeMinhashIndex]] — O(batch +
+    * candidates), the corpus is never re-read), matched docs are
+    * dropped (a batch doc dies to any indexed near-dup, or to a
+    * smaller-id near-dup within its own batch — the same deterministic
+    * keep-rule as `pipelineCuration`), and ONLY the survivors append to
+    * the index, in O(batch). Unlike the in-horizon
+    * [[nearDupPairsStream]], the dedup window here is the WHOLE
+    * accumulated corpus — state lives in the store, not the state
+    * store, so there is no watermark-horizon contract to trade away.
+    *
+    * Exactly-once: the epoch watermark rides a tiny `name__epoch` item
+    * rewritten (atomic rename) AFTER the appends — the same
+    * last-write-carries-the-epoch recipe as [[intoBm25Index]], with the
+    * same residual window (a crash between the first append and the
+    * epoch write re-delivers the batch; band-row duplicates are
+    * candidate-level only — `probeMinhashIndex` distincts candidates —
+    * and shingle-row duplicates are prevented by the epoch skip). */
+  def intoMinhashIndex(stream: DataFrame,
+                       collection: Collection,
+                       name: String,
+                       threshold: Double,
+                       numHashes: Int = 64,
+                       numBands: Int = 16,
+                       shingleK: Int = 3,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataStreamWriter[Row] = {
+    import graft.operators.DedupIndex
+    def lastApplied(): Long =
+      if (!collection.hasItem(s"${name}__epoch")) -1L
+      else collection.metadata(s"${name}__epoch").get("minhash_stream_batch") match {
+        case Some(org.json4s.JInt(i)) => i.toLong
+        case _ => -1L
+      }
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        def writeEpoch(): Unit =
+          collection.write(s"${name}__epoch", Seq(batchId).toDF("batch_id"),
+            indexCols = Seq("batch_id"),
+            metadata = Map("minhash_stream_batch" -> batchId), overwrite = true)
+        if (!batch.isEmpty && batchId > lastApplied()) {
+          if (!collection.hasItem(s"${name}__shingles")) {
+            // first batch: self-dedup via the batch operator, then build
+            val pairs = graft.operators.Dedup.minhashLshPairs(batch, threshold,
+              numHashes, numBands, shingleK, textCol, idCol)
+            val drops = pairs.select(col("id_b").as("drop_id")).distinct()
+            val survivors = batch.join(drops,
+              batch(idCol) === drops("drop_id"), "left_anti")
+            DedupIndex.buildAndSaveMinhashIndex(survivors, collection, name,
+              numHashes, numBands, shingleK, textCol, idCol)
+            ()
+          } else {
+            val idx = DedupIndex.MinhashIndex.load(collection, name)
+            val pairs = DedupIndex.probeMinhashIndex(idx, batch, threshold,
+              textCol, idCol)
+            val bIds = batch.select(col(idCol).as("bid"))
+            // batch-batch pair: the larger id dies; batch-corpus pair:
+            // the batch side dies whichever end of the pair it is
+            val drops = pairs
+              .join(bIds.select(col("bid").as("id_a"), lit(true).as("a_new")),
+                Seq("id_a"), "left")
+              .join(bIds.select(col("bid").as("id_b"), lit(true).as("b_new")),
+                Seq("id_b"), "left")
+              .select(when(col("a_new").isNotNull && col("b_new").isNotNull,
+                  greatest(col("id_a"), col("id_b")))
+                .when(col("a_new").isNotNull, col("id_a"))
+                .otherwise(col("id_b")).as("drop_id"))
+              .distinct()
+            val survivors = batch.join(drops,
+              batch(idCol) === drops("drop_id"), "left_anti")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            if (!survivors.isEmpty)
+              DedupIndex.appendToMinhashIndex(survivors, collection, name,
+                textCol, idCol)
+            survivors.unpersist(blocking = false)
+          }
+          writeEpoch()
+        }
+      }
+  }
+
   /** Run a bounded streaming job to completion (test/driver helper). */
   def runToCompletion(writer: DataStreamWriter[Row]): Unit = {
     val q: StreamingQuery = writer.trigger(Trigger.AvailableNow()).start()

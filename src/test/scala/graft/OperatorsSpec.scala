@@ -803,4 +803,76 @@ class OperatorsSpec extends SparkSpec {
     assert(out.schema("medium").dataType.typeName == "integer")
     assert(out.schema("dbl").dataType.typeName == "float")
   }
+
+  test("minhash index probe: batch dedups against persisted corpus, both verify paths agree") {
+    val docs = sf("documents").select($"doc_id", $"text")
+    val c = tempCollection("minhash_index")
+    DedupIndex.buildAndSaveMinhashIndex(docs, c, "mh")
+    val idx = DedupIndex.MinhashIndex.load(c, "mh")
+    // batch = near-dup copies of 5 corpus docs (last word dropped) plus
+    // two exact copies of each other (a within-batch pair)
+    val w = split($"text", " ")
+    val near = docs.filter($"doc_id" < 5)
+      .withColumn("doc_id", $"doc_id" + 100000)
+      .withColumn("text", concat_ws(" ", slice(w, lit(1), size(w) - 1)))
+    val batch = near.unionByName(
+      near.filter($"doc_id" === 100000L).withColumn("doc_id", lit(200000L)))
+    val got = DedupIndex.probeMinhashIndex(idx, batch, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every near-copy pairs with its original; the two batch copies pair
+    // with each other (and 200000 also pairs with original 0)
+    assert((0L until 5L).forall(i => got.contains((i, i + 100000))), got.toString)
+    assert(got.contains((100000L, 200000L)) && got.contains((0L, 200000L)), got.toString)
+    // the oracle equivalence: one-shot within-corpus LSH over the union,
+    // restricted to batch-side pairs, must equal the probe result
+    val expect = Dedup.minhashLshPairs(docs.unionByName(batch), threshold = 0.8)
+      .filter($"id_b" >= 100000L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == expect, s"only-probe=${got -- expect} only-lsh=${expect -- got}")
+    // fallback (join) verification path: identical pairs
+    val viaJoin = DedupIndex.probeMinhashIndex(idx, batch, threshold = 0.8,
+      maxProbeIds = 0).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(viaJoin == got)
+    cleanup(c)
+  }
+
+  test("semantic dedup: cluster-bounded pairs match exhaustive, drop list keeps min id") {
+    val e = sf("embeddings")
+    // planted exact copies of 6 vectors -> cosine 1.0 pairs
+    val aug = e.unionByName(e.filter($"vec_id" < 6)
+      .withColumn("vec_id", $"vec_id" + 100000))
+    val pairs = Dedup.semanticDedupPairs(aug, threshold = 0.95,
+        nClusters = 8, nassign = 2, kmeansIters = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exhaustive = Dedup.embeddingCosinePairs(aug, threshold = 0.95,
+        exhaustive = true).as[(Long, Long)].collect().toSet
+    assert(pairs == exhaustive,
+      s"only-sem=${pairs -- exhaustive} only-exh=${exhaustive -- pairs}")
+    assert((0L until 6L).forall(i => pairs.contains((i, i + 100000))))
+    val drops = Dedup.semanticDedup(aug, threshold = 0.95,
+        nClusters = 8, nassign = 2, kmeansIters = 2)
+      .as[(Long, Long)].collect().toSet
+    // every planted copy is dropped in favor of its original
+    assert((0L until 6L).forall(i => drops.contains((i + 100000, i))), drops.toString)
+  }
+
+  test("minhash index append: incremental equals full rebuild, probe sees appended docs") {
+    val docs = sf("documents").select($"doc_id", $"text")
+    val part1 = docs.filter($"doc_id" % 5 =!= 0)
+    val part2 = docs.filter($"doc_id" % 5 === 0)
+    val c = tempCollection("minhash_append")
+    DedupIndex.buildAndSaveMinhashIndex(part1, c, "mh")
+    val appended = DedupIndex.appendToMinhashIndex(part2, c, "mh")
+    val full = DedupIndex.buildMinhashIndex(docs)
+    val ab = appended.bands.as[(Long, Int, Long)].collect().toSet
+    val fb = full.bands.as[(Long, Int, Long)].collect().toSet
+    assert(ab == fb, s"band rows diverged: ${(ab -- fb).take(3)} / ${(fb -- ab).take(3)}")
+    assert(appended.shingles.count() == docs.count())
+    // a probe against the appended index finds a dup of an APPENDED doc
+    val probe = docs.filter($"doc_id" === 5L).withColumn("doc_id", lit(300000L))
+    val got = DedupIndex.probeMinhashIndex(appended, probe, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((5L, 300000L)), got.toString)
+    cleanup(c)
+  }
 }

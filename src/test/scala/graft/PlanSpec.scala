@@ -39,6 +39,17 @@ class PlanSpec extends SparkSpec {
     assert(plan("ann_lsh_topk").contains("Broadcast"))
   }
 
+  test("decontamination broadcasts the benchmark side (train side never shuffles)") {
+    assert(plan("text_contamination").contains("BroadcastHashJoin"))
+  }
+
+  test("dedup index probe: candidate id filter reaches the shingle item scan") {
+    // build once into the per-SF store, then inspect the probe's plan
+    val p = plan("dedup_index_probe")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+  }
+
   test("bm25 search: term predicate pushed to postings scan, terms broadcast") {
     SparkEntry.queries("text_bm25_build")(spark, dir).count() // persist index
     val p = plan("text_bm25_search")

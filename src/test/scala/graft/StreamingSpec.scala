@@ -73,6 +73,50 @@ class StreamingSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("streaming deduped ingest: survivors index incrementally, re-delivery safe") {
+    import graft.operators.DedupIndex
+    val c = tempCollection("stream_minhash")
+    val src = Files.createTempDirectory("graft_stream_minhash")
+    import spark.implicits._
+    val docs = sf("documents").select($"doc_id", $"text")
+    // batch 0: 30 docs incl. one internal exact copy (id 500 copies id 0)
+    val part1 = docs.filter($"doc_id" < 30).unionByName(
+      docs.filter($"doc_id" === 0L).withColumn("doc_id", lit(500L)))
+    // batch 1: 10 fresh docs + a near-copy of an INDEXED doc (drop last word)
+    val w = split($"text", " ")
+    val nearOf3 = docs.filter($"doc_id" === 3L)
+      .withColumn("doc_id", lit(600L))
+      .withColumn("text", concat_ws(" ", slice(w, lit(1), size(w) - 1)))
+    val part2 = docs.filter($"doc_id" >= 30 && $"doc_id" < 40).unionByName(nearOf3)
+    part1.write.mode("overwrite").parquet(s"$src/in")
+
+    val stream = spark.readStream.schema(part1.schema).parquet(s"$src/in")
+    def run(ckpt: String): Unit = StreamAppend.runToCompletion(
+      StreamAppend.intoMinhashIndex(stream, c, "mh", threshold = 0.8)
+        .option("checkpointLocation", s"$src/$ckpt"))
+    run("ckpt")
+    // docs 8 and 12 are NATURAL near-dups in the testdata (j≈0.97):
+    // 12 dies to 8 in the first batch's self-dedup, like the copy 500→0
+    val ids1 = DedupIndex.MinhashIndex.load(c, "mh").shingles
+      .select($"id").as[Long].collect().toSet
+    assert(ids1 == (0L until 30L).toSet - 12L, s"batch-0 survivors wrong: $ids1")
+    part2.write.mode("append").parquet(s"$src/in")
+    run("ckpt")
+    val ids2 = DedupIndex.MinhashIndex.load(c, "mh").shingles
+      .select($"id").as[Long].collect().toSet
+    // 600 (near-dup of indexed doc 3) dropped; 30..39 indexed
+    assert(ids2 == (0L until 40L).toSet - 12L, s"batch-1 survivors wrong: $ids2")
+    // fresh checkpoint re-delivers everything as epoch 0/1 — the epoch
+    // watermark skips both batches, no duplicate shingle/band rows
+    run("ckpt2")
+    val idx = DedupIndex.MinhashIndex.load(c, "mh")
+    assert(idx.shingles.count() == 39L)
+    assert(idx.bands.count() == 39L * 16)
+
+    FsOps.deleteRecursively(src)
+    cleanup(c)
+  }
+
   test("stream-static bucketized range join attributes streamed points") {
     // RangeJoin is a pure equi-join + filter, so it composes with a
     // streaming points side against static intervals (stream-static
