@@ -122,27 +122,42 @@ object DedupIndex {
                         threshold: Double,
                         textCol: String = "text",
                         idCol: String = "doc_id",
-                        maxProbeIds: Int = 10000): DataFrame = {
-    val newSh = shingleFrame(newDocs, index.shingleK, textCol, idCol)
-    val newBanded = bandFrame(newSh, index.numHashes, index.numBands)
+                        maxProbeIds: Int = 10000,
+                        localizeBytes: Long = 256L << 20): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // batch-sized (and candidate-sized) caches: the shingle kernel runs
+    // once per batch doc instead of once per downstream consumer, and
+    // the banded keys feed both the cross and the self candidate joins
+    val newSh = shingleFrame(newDocs, index.shingleK, textCol, idCol).persist(mem)
+    val newBanded = bandFrame(newSh, index.numHashes, index.numBands).persist(mem)
 
-    val cross = newBanded.as("n").join(index.bands.as("o"),
+    val crossRaw = newBanded.as("n").join(index.bands.as("o"),
         col("n.band") === col("o.band") && col("n.bh") === col("o.bh") &&
           col("n.id") =!= col("o.id"))
       .select(col("n.id").as("new_id"), col("o.id").as("old_id"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Candidate-bounded localization: candidate COUNT is O(true near
-    // dups of the batch) — driver-bounded in any real ingest. The
-    // fallback keeps the plan correct (and still candidates-only) if a
-    // pathological batch explodes the candidate set.
-    val nOld = cross.select(col("old_id")).distinct().count()
+    // Candidate-bounded LOCALIZATION, decided from plan statistics (the
+    // spread/components pattern): when the shingle item is big enough
+    // that scanning it would dominate (the 100 TB case), materialize
+    // the candidate old-id set (O(true near dups of the batch) —
+    // driver-bounded in any real ingest) and push it into the shingle
+    // scan as an `id IN (...)` row-group-pruned filter. Below the
+    // threshold the verify joins the item directly — ONE materialization
+    // for the whole probe instead of three, and the join output is
+    // candidates-only rows either way. maxProbeIds guards the collect;
+    // a pathological batch falls back to the join.
+    val localize =
+      graft.store.Partitioner.estimatedBytes(index.shingles) >= localizeBytes
+    val cross = if (localize) crossRaw.persist(mem) else crossRaw
     val oldSh =
-      if (nOld <= maxProbeIds) {
-        val ids = cross.select(col("old_id")).distinct()
-          .collect().map(_.getLong(0)).toSeq
-        if (ids.isEmpty) index.shingles.limit(0)
-        else index.shingles.filter(col("id").isin(ids: _*))
+      if (localize) {
+        val oldIds = cross.select(col("old_id")).distinct().persist(mem)
+        val nOld = oldIds.count()
+        if (nOld <= maxProbeIds) {
+          val ids = oldIds.collect().map(_.getLong(0)).toSeq
+          if (ids.isEmpty) index.shingles.limit(0)
+          else index.shingles.filter(col("id").isin(ids: _*))
+        } else index.shingles
       } else index.shingles
     val crossVerified = cross
       .join(oldSh.withColumnsRenamed(Map("id" -> "old_id", "sh" -> "sh_o")),

@@ -97,6 +97,72 @@ object Profiler {
       .orderBy(col("column"))
   }
 
+  /** PARTIAL numeric profile — the exactly-mergeable statistics
+    * (count, nulls, min, max, decimal sum) of one slice/item/partition
+    * of a corpus, one row per column. At 100 TB a dataset profile is
+    * never a full re-scan: each ingested item persists its partial
+    * profile once ([[profileToItem]] — a few rows), and the corpus
+    * profile is [[mergeNumericProfiles]] over the partials — O(items)
+    * tiny reads, zero data scans. Merge algebra: n/n_null sum, min
+    * min, max max, sums add EXACTLY (decimal(38,6) — no float
+    * reordering drift, so merged ≡ full-scan bit-for-bit). Quantiles
+    * are deliberately absent: order statistics don't merge exactly —
+    * [[numericProfile]]'s GK path is the scan-time answer. min/max
+    * round(·,6) commutes with min/max (monotonic), so merged values
+    * equal the full-scan profile's. */
+  def partialNumericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "partialNumericProfile needs at least one column")
+    cols.foreach { c =>
+      require(!c.contains("`") && !c.contains("'"),
+        s"partialNumericProfile: column name '$c' contains a quote character")
+    }
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+        round(min(col(c)).cast("double"), 6).as(s"min_$c"),
+        round(max(col(c)).cast("double"), 6).as(s"max_$c"),
+        sum(col(c).cast("decimal(38,6)")).cast("decimal(38,6)").as(s"sum_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', `n_$c`, `null_$c`, `min_$c`, `max_$c`, `sum_$c`"
+    }.mkString(", ")
+    wide.select(expr(
+      s"stack(${cols.length}, $stackArgs) as " +
+        "(column, n, n_null, min, max, sum_part)"))
+  }
+
+  /** Merge partial profiles (any union of [[partialNumericProfile]]
+    * outputs) into the corpus profile. The decimal partial sums add
+    * exactly, so `sum` and the derived `mean` are independent of how
+    * the corpus was sliced. */
+  def mergeNumericProfiles(partials: DataFrame): DataFrame = {
+    val sumD = round(sum(col("sum_part")).cast("double"), 4)
+    partials.groupBy(col("column"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("n_null")).as("n_null"),
+        min(col("min")).as("min"),
+        max(col("max")).as("max"),
+        sumD.as("sum"),
+        round(sumD / sum(col("n")).cast("double"), 6).as("mean"))
+  }
+
+  /** Persist an item's partial profile through the store (the profile
+    * SIDECAR: written once at ingest, read by every later corpus
+    * profile instead of the data). */
+  def profileToItem(df: DataFrame, cols: Seq[String],
+                    c: graft.store.Collection, item: String): Unit =
+    c.write(item, partialNumericProfile(df, cols),
+      indexCols = Seq("column"), overwrite = true)
+
+  /** Corpus profile from persisted per-item partials — O(items) reads,
+    * no data scan. */
+  def mergedItemProfile(c: graft.store.Collection,
+                        items: Seq[String]): DataFrame =
+    mergeNumericProfiles(items.map(i => c.item(i).data)
+      .reduce(_.unionByName(_)))
+
   /** Fixed-bin histogram of a numeric column over [lo, hi): bin i
     * covers [lo + i·w, lo + (i+1)·w). Values outside clamp to the edge
     * bins (the data-card convention). One groupBy on the bin id —

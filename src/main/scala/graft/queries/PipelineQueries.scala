@@ -1177,6 +1177,39 @@ object PipelineQueries {
       |FROM b GROUP BY bin
       |ORDER BY bin""".stripMargin
 
+  /** INCREMENTAL profile — merged per-slice partial profiles (the
+    * profile-sidecar path a 100 TB corpus uses instead of re-scans):
+    * three disjoint slices of `orders` each produce an exactly-
+    * mergeable partial (count/nulls/min/max/decimal sum), and the
+    * merge must equal a from-scratch full-table profile — which is
+    * EXACTLY what the oracle computes. A green hash proves the merge
+    * algebra (decimal sums immune to slicing, min/max∘round
+    * commutation, mean derivation) end to end. */
+  def profileIncremental(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.t(s, dir, "orders")
+    val cols = Seq("o_totalprice", "o_custkey")
+    val partials = (0 until 3).map(i =>
+        Profiler.partialNumericProfile(o.filter(col("o_orderkey") % 3 === i), cols))
+      .reduce(_.unionByName(_))
+    Profiler.mergeNumericProfiles(partials).orderBy(col("column"))
+  }
+
+  val profileIncrementalSql: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS "column", count($c) AS n,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  round(CAST(min($c) AS DOUBLE), 6) AS min,
+         |  round(CAST(max($c) AS DOUBLE), 6) AS max,
+         |  round(CAST(sum(CAST($c AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum,
+         |  round(round(CAST(sum(CAST($c AS DECIMAL(38,6))) AS DOUBLE), 4)
+         |        / count($c), 6) AS mean
+         |FROM orders""".stripMargin
+    s"""${one("o_totalprice")}
+       |UNION ALL
+       |${one("o_custkey")}
+       |ORDER BY "column"""".stripMargin
+  }
+
   /** Gopher-style repetition signals (distinct-token ratio, modal
     * bigram share, duplicated-trigram share) — the oracle recomputes
     * all three from the same whitespace tokenization with DuckDB list
@@ -1459,6 +1492,7 @@ object PipelineQueries {
     "pipeline_curation" -> pipelineCuration _,
     "pipeline_packing" -> pipelinePacking _,
     "profile_orders" -> profileOrders _,
+    "profile_incremental" -> profileIncremental _,
     "profile_categories" -> profileCategories _,
     "profile_histogram" -> profileHistogram _,
     "text_fingerprint" -> textFingerprint _,
@@ -1500,6 +1534,7 @@ object PipelineQueries {
     "pipeline_curation" -> pipelineCurationSql,
     "pipeline_packing" -> pipelinePackingSql,
     "profile_orders" -> profileOrdersSql,
+    "profile_incremental" -> profileIncrementalSql,
     "profile_categories" -> profileCategoriesSql,
     "profile_histogram" -> profileHistogramSql,
     "text_fingerprint" -> textFingerprintSql,

@@ -804,6 +804,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out.schema("dbl").dataType.typeName == "float")
   }
 
+  test("profile sidecars: persisted partials merge to the full-scan profile") {
+    val o = sf("orders")
+    val cols = Seq("o_totalprice", "o_custkey")
+    val c = tempCollection("profile_sidecar")
+    for (i <- 0 until 3)
+      Profiler.profileToItem(o.filter($"o_orderkey" % 3 === i), cols, c, s"slice_$i")
+    val merged = Profiler.mergedItemProfile(c, (0 until 3).map(i => s"slice_$i"))
+      .orderBy("column").collect().map(_.toSeq)
+    // reference: one partial over the WHOLE table, merged (n=1 merge is
+    // the identity), must agree with the slice merge on every stat
+    val direct = Profiler.mergeNumericProfiles(
+        Profiler.partialNumericProfile(o, cols))
+      .orderBy("column").collect().map(_.toSeq)
+    assert(merged.toSeq == direct.toSeq, s"merged=$merged direct=$direct")
+    assert(merged.length == 2)
+    cleanup(c)
+  }
+
   test("minhash index probe: batch dedups against persisted corpus, both verify paths agree") {
     val docs = sf("documents").select($"doc_id", $"text")
     val c = tempCollection("minhash_index")
@@ -829,9 +847,14 @@ class OperatorsSpec extends SparkSpec {
       .filter($"id_b" >= 100000L)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got == expect, s"only-probe=${got -- expect} only-lsh=${expect -- got}")
-    // fallback (join) verification path: identical pairs
+    // all three verify paths agree: stats-adaptive default (join at
+    // this scale), forced IN-localization, and forced join fallback
+    val viaLocalized = DedupIndex.probeMinhashIndex(idx, batch, threshold = 0.8,
+      localizeBytes = 0).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(viaLocalized == got)
     val viaJoin = DedupIndex.probeMinhashIndex(idx, batch, threshold = 0.8,
-      maxProbeIds = 0).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      maxProbeIds = 0, localizeBytes = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(viaJoin == got)
     cleanup(c)
   }
