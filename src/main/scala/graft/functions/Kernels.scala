@@ -214,6 +214,27 @@ object Kernels {
     acc
   }
 
+  /** Morton/Z-order interleave: bit i of dimension j lands at position
+    * i·d + j, so a sort by the result alternates locality across ALL
+    * dimensions (the space-filling-curve layout multi-column row-group
+    * pruning needs). Caller contract: ranks are non-negative and fit
+    * in `bits`; d·bits ≤ 63. */
+  def interleaveBits(ranks: ArrayData, bits: Int): Long = {
+    val d = ranks.numElements()
+    var z = 0L
+    var j = 0
+    while (j < d) {
+      val v = ranks.getLong(j)
+      var i = 0
+      while (i < bits) {
+        z |= ((v >>> i) & 1L) << (i * d + j)
+        i += 1
+      }
+      j += 1
+    }
+    z
+  }
+
   private val ShingleSpace = UTF8String.fromString(" ")
 
   def shingles(arr: ArrayData, k: Int): ArrayData = {

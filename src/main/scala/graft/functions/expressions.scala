@@ -431,6 +431,20 @@ object expressions {
       copy(left = l, right = r)
   }
 
+  /** Morton/Z-order bit interleave of pre-scaled per-dimension ranks.
+    * Static-call codegen (Kernels.interleaveBits) — runs per row inside
+    * whole-stage codegen on the write path of a Z-clustered layout. */
+  case class InterleaveBits(child: Expression, bits: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(ranks: Any): Any =
+      Kernels.interleaveBits(ranks.asInstanceOf[ArrayData], bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.Kernels.interleaveBits($c, $bits)")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   // ------------------------------------------------------ Column sugar
 
   def shingle_set(tokens: Column, k: Int): Column = column(ShingleSet(expression(tokens), k))
@@ -451,4 +465,6 @@ object expressions {
     column(TextStats(expression(tokens), stopwords))
   def marker_counts(tokens: Column, profiles: Seq[Seq[String]]): Column =
     column(MarkerCounts(expression(tokens), profiles))
+  def interleave_bits(ranks: Column, bits: Int): Column =
+    column(InterleaveBits(expression(ranks), bits))
 }

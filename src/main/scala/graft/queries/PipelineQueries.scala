@@ -1210,6 +1210,40 @@ object PipelineQueries {
        |ORDER BY "column"""".stripMargin
   }
 
+  /** Z-ORDER clustered layout: lineitem re-laid along the Morton curve
+    * of (l_partkey, l_suppkey) and written to parquet, then scanned
+    * with a box predicate on BOTH columns and aggregated. The oracle
+    * runs the same scan on the RAW table — a green hash proves the
+    * re-layout preserves content exactly (no row lost/duplicated
+    * through rank scaling, range exchange, or curve sort). The pruning
+    * benefit is asserted quantitatively in OperatorsSpec: per-file
+    * spans shrink on both clustered columns vs the natural layout. */
+  def layoutZorderScan(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"))
+    val src = new java.io.File(dir, "lineitem.parquet")
+    val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_verify",
+      s"zorder_${new java.io.File(dir).getName}_${src.length}_${src.lastModified}")
+    graft.operators.ZOrder.cluster(li, Seq("l_partkey", "l_suppkey"), bits = 16)
+      .write.mode("overwrite").parquet(out.toString)
+    s.read.parquet(out.toString)
+      .filter(col("l_partkey") <= 100 && col("l_suppkey") <= 5)
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity").cast("decimal(38,4)")).cast("double"), 2)
+          .as("sum_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(38,4)")).cast("double"), 2)
+          .as("sum_price"),
+        sum(col("l_orderkey")).as("sum_okey"))
+  }
+
+  val layoutZorderScanSql: String =
+    """SELECT count(*) AS n_rows,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_qty,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_price,
+      |  CAST(sum(l_orderkey) AS BIGINT) AS sum_okey
+      |FROM lineitem WHERE l_partkey <= 100 AND l_suppkey <= 5""".stripMargin
+
   /** Gopher-style repetition signals (distinct-token ratio, modal
     * bigram share, duplicated-trigram share) — the oracle recomputes
     * all three from the same whitespace tokenization with DuckDB list
@@ -1493,6 +1527,7 @@ object PipelineQueries {
     "pipeline_packing" -> pipelinePacking _,
     "profile_orders" -> profileOrders _,
     "profile_incremental" -> profileIncremental _,
+    "layout_zorder_scan" -> layoutZorderScan _,
     "profile_categories" -> profileCategories _,
     "profile_histogram" -> profileHistogram _,
     "text_fingerprint" -> textFingerprint _,
@@ -1535,6 +1570,7 @@ object PipelineQueries {
     "pipeline_packing" -> pipelinePackingSql,
     "profile_orders" -> profileOrdersSql,
     "profile_incremental" -> profileIncrementalSql,
+    "layout_zorder_scan" -> layoutZorderScanSql,
     "profile_categories" -> profileCategoriesSql,
     "profile_histogram" -> profileHistogramSql,
     "text_fingerprint" -> textFingerprintSql,

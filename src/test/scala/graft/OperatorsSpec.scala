@@ -804,6 +804,43 @@ class OperatorsSpec extends SparkSpec {
     assert(out.schema("dbl").dataType.typeName == "float")
   }
 
+  test("zorder: interleave kernel bit placement, cluster shrinks per-file spans on BOTH columns") {
+    // kernel: bit i of dim j -> position i*d + j
+    val z = Seq((Array(1L, 1L), Array(2L, 1L), Array(3L, 0L)))
+      .toDF("a", "b", "c")
+      .select(
+        graft.functions.expressions.interleave_bits(col("a"), 2).as("za"),
+        graft.functions.expressions.interleave_bits(col("b"), 2).as("zb"),
+        graft.functions.expressions.interleave_bits(col("c"), 2).as("zc"))
+      .head()
+    assert(z.getLong(0) == 3L) // (1,1): bits at pos 0 and 1
+    assert(z.getLong(1) == 6L) // (2,1): pos 2 (bit1 of dim0) + pos 1 (bit0 of dim1)
+    assert(z.getLong(2) == 5L) // (3,0): pos 0 + pos 2
+
+    val li = sf("lineitem").select($"l_partkey", $"l_suppkey", $"l_orderkey")
+    def fileSpans(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+      df.write.mode("overwrite").parquet(dir)
+      val spans = spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg((max($"l_partkey") - min($"l_partkey")).cast("double").as("ps"),
+          (max($"l_suppkey") - min($"l_suppkey")).cast("double").as("ss"))
+        .agg(avg($"ps"), avg($"ss")).head()
+      graft.store.FsOps.deleteRecursively(java.nio.file.Paths.get(dir))
+      (spans.getDouble(0), spans.getDouble(1))
+    }
+    // 16 curve partitions = 4 top-bit splits = 2 per dimension, so each
+    // file should cover ~1/4 of each column's range (8 would give only
+    // ONE partkey split — span ~ half, exactly at the assert boundary)
+    val (zp, zs) = fileSpans(ZOrder.cluster(li, Seq("l_partkey", "l_suppkey"),
+      bits = 16, npartitions = Some(16)))
+    val (np_, ns) = fileSpans(li.repartition(16)) // natural: round-robin files
+    // the round-robin layout gives every file ~the full value range;
+    // the curve layout must shrink the average span on BOTH columns
+    assert(zp < np_ / 2, s"partkey span $zp not < half of natural $np_")
+    assert(zs < ns / 2, s"suppkey span $zs not < half of natural $ns")
+  }
+
   test("profile sidecars: persisted partials merge to the full-scan profile") {
     val o = sf("orders")
     val cols = Seq("o_totalprice", "o_custkey")
