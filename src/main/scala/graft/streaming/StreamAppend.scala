@@ -316,6 +316,42 @@ object StreamAppend {
       }
   }
 
+  /** Streaming ANN SEARCH over a PERSISTED IVF index — continuous
+    * vector-similarity serving (the query-side twin of the index-
+    * maintenance sinks): each micro-batch of query vectors runs
+    * [[graft.operators.Similarity.ivfSearch]] against the store-loaded
+    * index — coarse probe localized per batch, `cid IN` row-group
+    * pruning, exact ranking inside probed lists only — and the top-k
+    * results land in `outItem` via an index-deduped KeepLast append on
+    * (query_id, rank): re-delivered batches overwrite their own rows,
+    * so the sink is idempotent without an epoch watermark (the
+    * intoItem contract, not the BM25 one). The index is re-loaded per
+    * batch, so searches always see the latest atomic store generation
+    * (appendToIvfIndex can run concurrently). */
+  def searchIvfStream(stream: DataFrame,
+                      collection: Collection,
+                      indexName: String,
+                      outItem: String,
+                      k: Int,
+                      nprobe: Int = 4,
+                      vecCol: String = "embedding",
+                      idCol: String = "vec_id"): DataStreamWriter[Row] = {
+    import graft.operators.Similarity
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val idx = Similarity.IvfIndex.load(collection, indexName)
+          val res = Similarity.ivfSearch(idx, batch, k, nprobe, vecCol, idCol)
+          if (!collection.hasItem(outItem))
+            collection.write(outItem, res, indexCols = Seq("query_id", "rank"))
+          else
+            collection.append(outItem, res,
+              graft.store.DuplicateHandling.KeepLast)
+        }
+      }
+  }
+
   /** Run a bounded streaming job to completion (test/driver helper). */
   def runToCompletion(writer: DataStreamWriter[Row]): Unit = {
     val q: StreamingQuery = writer.trigger(Trigger.AvailableNow()).start()

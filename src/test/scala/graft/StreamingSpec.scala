@@ -117,6 +117,42 @@ class StreamingSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("streaming IVF search: persisted index serves each batch, results idempotent") {
+    import graft.operators.Similarity
+    val c = tempCollection("stream_ivf")
+    val src = Files.createTempDirectory("graft_stream_ivf")
+    import spark.implicits._
+    val e = sf("embeddings")
+    Similarity.buildIvfIndex(e, nlist = 8, kmeansIters = 2).save(c, "emb")
+    // queries are exact copies of corpus vectors -> known top-1
+    val q1 = e.filter($"vec_id" < 4).withColumn("vec_id", $"vec_id" + 1000)
+    q1.write.mode("overwrite").parquet(s"$src/in")
+
+    val stream = spark.readStream.schema(q1.schema).parquet(s"$src/in")
+    def run(ckpt: String): Unit = StreamAppend.runToCompletion(
+      StreamAppend.searchIvfStream(stream, c, "emb", "results", k = 3, nprobe = 8)
+        .option("checkpointLocation", s"$src/$ckpt"))
+    run("ckpt")
+    val r1 = c.item("results").data
+    assert(r1.count() == 4 * 3)
+    val top1 = r1.filter($"rank" === 1)
+      .select($"query_id", $"nbr_id", $"cos").as[(Long, Long, Double)].collect()
+    assert(top1.length == 4 && top1.forall { case (q, n, cos) =>
+      n == q - 1000 && cos == 1.0 }, top1.mkString(","))
+    // batch 2 appends two more queries
+    e.filter($"vec_id" >= 4 && $"vec_id" < 6).withColumn("vec_id", $"vec_id" + 1000)
+      .write.mode("append").parquet(s"$src/in")
+    run("ckpt")
+    assert(c.item("results").data.count() == 6 * 3)
+    // fresh checkpoint re-delivers everything; KeepLast on the
+    // (query_id, rank) index overwrites in place — no duplicates
+    run("ckpt2")
+    assert(c.item("results").data.count() == 6 * 3)
+
+    FsOps.deleteRecursively(src)
+    cleanup(c)
+  }
+
   test("stream-static bucketized range join attributes streamed points") {
     // RangeJoin is a pure equi-join + filter, so it composes with a
     // streaming points side against static intervals (stream-static
