@@ -69,6 +69,10 @@ object GraftFunctions {
     "graft_pq_adc" -> { args =>
       require(args.length == 3, "graft_pq_adc(codes, lut, ksub)")
       expressions.PqAdc(args(0), args(1), intArg(args(2), "ksub"))
+    },
+    "graft_interleave_bits" -> { args =>
+      require(args.length == 2, "graft_interleave_bits(ranks, bits)")
+      expressions.InterleaveBits(args(0), intArg(args(1), "bits"))
     })
 
   /** Register every graft function into a live session. Idempotent. */

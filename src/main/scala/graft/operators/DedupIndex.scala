@@ -117,13 +117,31 @@ object DedupIndex {
     * is driver-bounded (≤ maxProbeIds, row-group-pruned scan), else a
     * shuffle semi-join (still candidates-only rows out). The corpus
     * text is never touched. */
+  /** One-shot probe (caches stay behind for the plan's lifetime — fine
+    * for a query; a LOOP over batches should use
+    * [[probeMinhashIndexRetained]] and unpersist between batches). */
   def probeMinhashIndex(index: MinhashIndex,
                         newDocs: DataFrame,
                         threshold: Double,
                         textCol: String = "text",
                         idCol: String = "doc_id",
                         maxProbeIds: Int = 10000,
-                        localizeBytes: Long = 256L << 20): DataFrame = {
+                        localizeBytes: Long = 256L << 20): DataFrame =
+    probeMinhashIndexRetained(index, newDocs, threshold, textCol, idCol,
+      maxProbeIds, localizeBytes)._1
+
+  /** Probe variant returning the batch-lifetime caches alongside the
+    * pair plan, so ingest loops ([[graft.streaming.StreamAppend
+    * .intoMinhashIndex]]) can unpersist once the batch's results are
+    * materialized — per-batch cache turnover instead of accumulation. */
+  def probeMinhashIndexRetained(index: MinhashIndex,
+                                newDocs: DataFrame,
+                                threshold: Double,
+                                textCol: String = "text",
+                                idCol: String = "doc_id",
+                                maxProbeIds: Int = 10000,
+                                localizeBytes: Long = 256L << 20)
+      : (DataFrame, Seq[DataFrame]) = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // batch-sized (and candidate-sized) caches: the shingle kernel runs
     // once per batch doc instead of once per downstream consumer, and
@@ -149,9 +167,11 @@ object DedupIndex {
     val localize =
       graft.store.Partitioner.estimatedBytes(index.shingles) >= localizeBytes
     val cross = if (localize) crossRaw.persist(mem) else crossRaw
+    var retained = Seq(newSh, newBanded) ++ (if (localize) Seq(cross) else Nil)
     val oldSh =
       if (localize) {
         val oldIds = cross.select(col("old_id")).distinct().persist(mem)
+        retained :+= oldIds
         val nOld = oldIds.count()
         if (nOld <= maxProbeIds) {
           val ids = oldIds.collect().map(_.getLong(0)).toSeq
@@ -183,8 +203,9 @@ object DedupIndex {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
-    crossVerified.unionByName(selfVerified)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    (crossVerified.unionByName(selfVerified)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard")),
+      retained)
   }
 
   /** Incrementally index new documents — O(new docs): their band rows

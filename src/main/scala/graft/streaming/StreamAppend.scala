@@ -288,8 +288,8 @@ object StreamAppend {
             ()
           } else {
             val idx = DedupIndex.MinhashIndex.load(collection, name)
-            val pairs = DedupIndex.probeMinhashIndex(idx, batch, threshold,
-              textCol, idCol)
+            val (pairs, retained) = DedupIndex.probeMinhashIndexRetained(
+              idx, batch, threshold, textCol, idCol)
             val bIds = batch.select(col(idCol).as("bid"))
             // batch-batch pair: the larger id dies; batch-corpus pair:
             // the batch side dies whichever end of the pair it is
@@ -310,6 +310,9 @@ object StreamAppend {
               DedupIndex.appendToMinhashIndex(survivors, collection, name,
                 textCol, idCol)
             survivors.unpersist(blocking = false)
+            // per-batch cache turnover: the probe's batch-lifetime
+            // caches die with the batch, not with the stream
+            retained.foreach(_.unpersist(blocking = false))
           }
           writeEpoch()
         }
