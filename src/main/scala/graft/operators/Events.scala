@@ -81,4 +81,31 @@ object Events {
         .select(lit(f"${i + 1}%02d_$stage").as("stage"), col("n_users"))
     }.reduce(_ unionByName _).orderBy(col("stage"))
   }
+
+  /** COHORT RETENTION matrix: users grouped by first-active week
+    * (Monday-truncated), each cohort's share of users still active k
+    * weeks later. The product-analytics staple, shaped for scale:
+    * events collapse FIRST to distinct (user, week) — the only
+    * event-volume scan; everything after runs on user-weeks. The
+    * first-event groupBy, the cohort join, and the per-user distinct
+    * all shuffle on user_id (one co-partitioned exchange reused), and
+    * the final rollup is per (cohort, offset) — output is
+    * weeks², driver-trivial. */
+  def retentionCohorts(events: DataFrame,
+                       userCol: String = "user_id",
+                       tsCol: String = "ts"): DataFrame = {
+    val weeks = events.select(col(userCol).as("user_id"),
+        date_trunc("week", col(tsCol)).as("w"))
+      .distinct()
+    val firsts = weeks.groupBy(col("user_id")).agg(min(col("w")).as("cohort"))
+    val sizes = firsts.groupBy(col("cohort")).agg(count(lit(1)).as("n_cohort"))
+    weeks.join(firsts, Seq("user_id"))
+      .withColumn("week_offset",
+        (datediff(col("w"), col("cohort")) / lit(7)).cast("long"))
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_active"))
+      .join(sizes, Seq("cohort"))
+      .select(col("cohort"), col("week_offset"), col("n_active"), col("n_cohort"),
+        round(col("n_active").cast("double") / col("n_cohort"), 6).as("retention"))
+  }
 }

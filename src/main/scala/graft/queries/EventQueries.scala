@@ -184,6 +184,29 @@ object EventQueries {
       |GROUP BY hour
       |ORDER BY hour""".stripMargin
 
+  /** Weekly cohort retention — first-active-week cohorts × week
+    * offsets, fraction of the cohort active at each offset. The oracle
+    * recomputes the matrix from scratch (same Monday week-trunc, same
+    * integer week arithmetic). */
+  def retention(s: SparkSession, dir: String): DataFrame =
+    Events.retentionCohorts(events(s, dir))
+      .orderBy(col("cohort"), col("week_offset"))
+
+  val retentionSql: String =
+    """WITH e AS (SELECT user_id,
+      |    date_trunc('week', date_trunc('microseconds', ts)) AS w
+      |  FROM events GROUP BY 1, 2),
+      |f AS (SELECT user_id, min(w) AS cohort FROM e GROUP BY 1),
+      |sizes AS (SELECT cohort, count(*) AS n_cohort FROM f GROUP BY 1),
+      |act AS (SELECT cohort,
+      |    CAST(date_diff('day', cohort, w) // 7 AS BIGINT) AS week_offset,
+      |    count(DISTINCT e.user_id) AS n_active
+      |  FROM e JOIN f USING (user_id) GROUP BY 1, 2)
+      |SELECT cohort, week_offset, n_active, n_cohort,
+      |  round(CAST(n_active AS DOUBLE) / n_cohort, 6) AS retention
+      |FROM act JOIN sizes USING (cohort)
+      |ORDER BY cohort, week_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_range_attrib" -> rangeAttribution _,
     "events_funnel" -> funnel _,
@@ -191,7 +214,8 @@ object EventQueries {
     "events_session_stats" -> sessionStats _,
     "events_hourly_counts" -> hourlyCounts _,
     "events_asof_click_purchase" -> asofClickPurchase _,
-    "events_props_agg" -> propsAgg _)
+    "events_props_agg" -> propsAgg _,
+    "events_retention" -> retention _)
 
   val oracles: Map[String, String] = Map(
     "events_range_attrib" -> rangeAttributionSql,
@@ -200,5 +224,6 @@ object EventQueries {
     "events_session_stats" -> sessionStatsSql,
     "events_hourly_counts" -> hourlyCountsSql,
     "events_asof_click_purchase" -> asofClickPurchaseSql,
-    "events_props_agg" -> propsAggSql)
+    "events_props_agg" -> propsAggSql,
+    "events_retention" -> retentionSql)
 }

@@ -935,6 +935,17 @@ class OperatorsSpec extends SparkSpec {
     val got = DedupIndex.probeMinhashIndex(appended, probe, threshold = 0.8)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got.contains((5L, 300000L)), got.toString)
+    // COMPACTION (the Lucene merge analogue): appends accumulate
+    // generations/files; the store's rebalance re-lays each index item
+    // and the probe must see identical pairs through the compacted index
+    val nBandRows = appended.bands.count() // before the swap invalidates this plan
+    c.rebalance("mh__bands", npartitions = Some(1))
+    c.rebalance("mh__shingles", npartitions = Some(1))
+    val compacted = DedupIndex.MinhashIndex.load(c, "mh")
+    val got2 = DedupIndex.probeMinhashIndex(compacted, probe, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got2 == got)
+    assert(compacted.bands.count() == nBandRows)
     cleanup(c)
   }
 }
