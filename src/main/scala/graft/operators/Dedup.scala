@@ -644,6 +644,32 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Incremental SEMANTIC dedup probe — the embedding twin of
+    * [[DedupIndex.probeMinhashIndex]]: near-dup pairs between a NEW
+    * batch of vectors and the corpus behind a PERSISTED IVF index
+    * (built once, maintained by `Similarity.appendToIvfIndex` in
+    * O(new vectors)). Each new vector probes its `nprobe` nearest
+    * lists only — cost O(batch × probed lists), the corpus never
+    * re-scans — and pairs at cosine ≥ threshold are emitted as
+    * (indexed_id, new_id, cos). `k` caps reported duplicates per new
+    * vector (a real ingest wants "is this a dup and of what", not an
+    * unbounded pair list). Recall contract: a qualifying pair is found
+    * iff the indexed twin's list is among the probe's nprobe nearest —
+    * the near-1-cosine pairs dedup hunts rank their twin's centroid
+    * like the twin does, the same containment argument
+    * `ann_ivf_search`'s oracle pins. */
+  def semanticProbePairs(index: Similarity.IvfIndex,
+                         newVecs: DataFrame,
+                         threshold: Double,
+                         nprobe: Int = 8,
+                         k: Int = 20,
+                         vecCol: String = "embedding",
+                         idCol: String = "vec_id"): DataFrame =
+    Similarity.ivfSearch(index, newVecs, k, nprobe, vecCol, idCol)
+      .filter(col("cos") >= threshold)
+      .select(col("nbr_id").as("indexed_id"), col("query_id").as("new_id"),
+        round(col("cos"), 6).as("cos"))
+
   /** Semantic dedup DROP LIST — the full SemDeDup semantics: connected
     * components over the semantic pair graph; every non-representative
     * member reports the (min-id) representative that keeps its place.

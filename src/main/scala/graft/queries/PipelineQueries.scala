@@ -1244,6 +1244,42 @@ object PipelineQueries {
       |  CAST(sum(l_orderkey) AS BIGINT) AS sum_okey
       |FROM lineitem WHERE l_partkey <= 100 AND l_suppkey <= 5""".stripMargin
 
+  /** Incremental SEMANTIC probe: a NEW batch of embeddings (the scaled
+    * near-copies, ids +100000) dedups against the corpus behind the
+    * PERSISTED IVF index (the one `ann_ivf_build` persists — shared, as
+    * a production deployment would). Probed-lists-only cost; the oracle
+    * is the EXHAUSTIVE batch×corpus cosine join, so a green hash proves
+    * the nprobe containment surfaced every qualifying pair. */
+  def dedupSemanticProbe(s: SparkSession, dir: String): DataFrame = {
+    val c = ivfIndexCollection(s, dir)
+    if (!c.hasItem("emb__assigned")) buildAndSaveIvf(s, dir) // verify-order safety
+    val idx = Similarity.IvfIndex.load(c, "emb")
+    val e = Tables.t(s, dir, "embeddings")
+    val batch = e.filter(col("vec_id") < 50)
+      .withColumn("vec_id", col("vec_id") + CopyIdOffset)
+      .withColumn("embedding",
+        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => x.cast("double") * (lit(1.0) + (i % 5).cast("double") / 100.0)))
+    Dedup.semanticProbePairs(idx, batch, threshold = 0.9, nprobe = 8)
+      .orderBy(col("new_id"), col("indexed_id"))
+  }
+
+  val dedupSemanticProbeSql: String =
+    """WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings),
+      |b AS (SELECT vec_id + 100000 AS vec_id,
+      |        list_transform(range(0, len(embedding)),
+      |          i -> CAST(embedding[i+1] AS DOUBLE) * (1.0 + (i % 5) / 100.0)) AS v
+      |      FROM embeddings WHERE vec_id < 50),
+      |s AS (SELECT c.vec_id AS indexed_id, b.vec_id AS new_id,
+      |  round(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * b.v[i])) /
+      |    (sqrt(list_sum(list_transform(c.v, x -> x*x))) *
+      |     sqrt(list_sum(list_transform(b.v, x -> x*x)))), 9) AS cos9
+      |  FROM c, b)
+      |SELECT indexed_id, new_id, round(cos9, 6) AS cos
+      |FROM s WHERE cos9 >= 0.9
+      |ORDER BY new_id, indexed_id""".stripMargin
+
   /** Gopher-style repetition signals (distinct-token ratio, modal
     * bigram share, duplicated-trigram share) — the oracle recomputes
     * all three from the same whitespace tokenization with DuckDB list
@@ -1506,6 +1542,7 @@ object PipelineQueries {
     "dedup_index_build" -> dedupIndexBuild _,
     "dedup_index_probe" -> dedupIndexProbe _,
     "dedup_semantic" -> dedupSemantic _,
+    "dedup_semantic_probe" -> dedupSemanticProbe _,
     "ann_bruteforce_topk" -> annBruteForce _,
     "ann_lsh_topk" -> annLsh _,
     "ann_ivf_build" -> annIvfBuild _,
@@ -1549,6 +1586,7 @@ object PipelineQueries {
     "dedup_index_build" -> dedupIndexBuildSql,
     "dedup_index_probe" -> dedupIndexProbeSql,
     "dedup_semantic" -> dedupSemanticSql,
+    "dedup_semantic_probe" -> dedupSemanticProbeSql,
     "ann_bruteforce_topk" -> annBruteForceSql,
     "ann_lsh_topk" -> annLshSql,
     "ann_ivf_build" -> annIvfBuildSql,

@@ -898,6 +898,22 @@ class OperatorsSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("semantic probe: new batch dedups against persisted IVF corpus index") {
+    val e = sf("embeddings")
+    val c = tempCollection("semantic_probe")
+    Similarity.buildIvfIndex(e, nlist = 8, kmeansIters = 2).save(c, "emb")
+    val idx = Similarity.IvfIndex.load(c, "emb")
+    // batch: exact copies of 5 corpus vectors -> cos 1.0 pairs to their
+    // originals; high threshold keeps unrelated corpus vectors out
+    val batch = e.filter($"vec_id" < 5).withColumn("vec_id", $"vec_id" + 100000)
+    val pairs = Dedup.semanticProbePairs(idx, batch, threshold = 0.999, nprobe = 8)
+      .select("indexed_id", "new_id", "cos").as[(Long, Long, Double)].collect()
+    assert(pairs.length == 5, pairs.mkString(","))
+    assert(pairs.forall { case (i, n, cos) => n == i + 100000 && cos == 1.0 },
+      pairs.mkString(","))
+    cleanup(c)
+  }
+
   test("semantic dedup: cluster-bounded pairs match exhaustive, drop list keeps min id") {
     val e = sf("embeddings")
     // planted exact copies of 6 vectors -> cosine 1.0 pairs
