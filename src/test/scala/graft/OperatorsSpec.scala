@@ -934,6 +934,22 @@ class OperatorsSpec extends SparkSpec {
     assert((0L until 6L).forall(i => drops.contains((i + 100000, i))), drops.toString)
   }
 
+  test("minhash index load fails loudly when the LSH-shape metadata is missing") {
+    val c = tempCollection("minhash_badmeta")
+    // an item written outside the index API has no banding metadata —
+    // probing with guessed parameters would silently find nothing, so
+    // load must refuse instead
+    c.write("mh__bands", Seq((0, 0L, 1L)).toDF("band", "bh", "id"),
+      indexCols = Seq("band"))
+    c.write("mh__shingles", Seq((1L, Seq("a b c"))).toDF("id", "sh"),
+      indexCols = Seq("id"))
+    val e = intercept[IllegalStateException] {
+      DedupIndex.MinhashIndex.load(c, "mh")
+    }
+    assert(e.getMessage.contains("minhash"), e.getMessage)
+    cleanup(c)
+  }
+
   test("minhash index append: incremental equals full rebuild, probe sees appended docs") {
     val docs = sf("documents").select($"doc_id", $"text")
     val part1 = docs.filter($"doc_id" % 5 =!= 0)

@@ -37,6 +37,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: interleave_bits is a bijection — deinterleave recovers every rank") {
+    val rng = new Random(7)
+    val cases = Seq.fill(40)((rng.nextInt(1 << 16).toLong, rng.nextInt(1 << 16).toLong)) ++
+      Seq((0L, 0L), (65535L, 65535L), (0L, 65535L), (65535L, 0L))
+    val zs = cases.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.functions.expressions.interleave_bits(array(col("a"), col("b")), 16).as("z"))
+      .collect()
+    for (r <- zs) {
+      val (a, b, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      // deinterleave: even bit positions rebuild a, odd rebuild b
+      var (ra, rb) = (0L, 0L)
+      for (i <- 0 until 16) {
+        ra |= ((z >>> (2 * i)) & 1L) << i
+        rb |= ((z >>> (2 * i + 1)) & 1L) << i
+      }
+      assert(ra == a && rb == b, s"z=$z did not round-trip ($a,$b) got ($ra,$rb)")
+    }
+    // monotone locality: z of equal points is equal, and flipping the
+    // highest bit of either dim moves z by more than flipping the lowest
+    val hi = graft.functions.Kernels
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def zOf(a: Long, b: Long): Long =
+      hi.interleaveBits(ArrayData.toArrayData(Array(a, b)), 16)
+    assert(zOf(1L << 15, 0) > zOf(1L, 0) && zOf(0, 1L << 15) > zOf(0, 1L))
+  }
+
   test("property: append keep_last is idempotent (re-appending the same batch is a no-op)") {
     for (seed <- 1 to 5) {
       val rng = new Random(seed)
