@@ -103,7 +103,10 @@ object Events {
       .withColumn("week_offset",
         (datediff(col("w"), col("cohort")) / lit(7)).cast("long"))
       .groupBy(col("cohort"), col("week_offset"))
-      .agg(count_distinct(col("user_id")).as("n_active"))
+      // weeks is distinct (user, week) by construction, so each user
+      // contributes one row per offset: plain count ≡ count_distinct
+      // without the two-phase distinct aggregate
+      .agg(count(lit(1)).as("n_active"))
       .join(sizes, Seq("cohort"))
       .select(col("cohort"), col("week_offset"), col("n_active"), col("n_cohort"),
         round(col("n_active").cast("double") / col("n_cohort"), 6).as("retention"))

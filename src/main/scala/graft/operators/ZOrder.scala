@@ -56,11 +56,9 @@ object ZOrder {
               npartitions: Option[Int] = None): DataFrame = {
     require(cols.size >= 2, "zorder needs at least two columns")
     require(cols.size * bits <= 63, s"${cols.size} cols × $bits bits exceeds 63")
-    val statsRow = df.agg(
-      cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"lo_$c"),
-        max(col(c).cast("double")).as(s"hi_$c"))).head,
-      cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"lo_$c"),
-        max(col(c).cast("double")).as(s"hi_$c"))).tail: _*).head()
+    val aggs = cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"lo_$c"),
+      max(col(c).cast("double")).as(s"hi_$c")))
+    val statsRow = df.agg(aggs.head, aggs.tail: _*).head()
     val stats = cols.map { c =>
       val lo = Option(statsRow.getAs[Any](s"lo_$c")).fold(0.0)(_.asInstanceOf[Double])
       val hi = Option(statsRow.getAs[Any](s"hi_$c")).fold(0.0)(_.asInstanceOf[Double])
