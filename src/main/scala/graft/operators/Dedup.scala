@@ -538,6 +538,44 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster"))
   }
 
+  /** Generic pigeonhole Hamming-pair join over any 64-bit signature
+    * column (id, h) — the candidate machinery behind SimHash, reusable
+    * for other per-row signatures (image aHash, audio fingerprints).
+    * The hash splits into radius+1 chunks; a pair within `radius`
+    * flips agrees exactly on ≥ 1 chunk (pigeonhole), so per-chunk
+    * equi-joins surface EVERY qualifying pair — recall is certain, and
+    * the shuffle keys are uniform hash chunks. Candidates pay one
+    * bit_count verify. For radius ≥ 4 prefer the HmSearch multi-index
+    * ([[simhashPairs]]) — chunk keyspaces below ~10 bits collide as
+    * n²/2^bits at corpus scale. */
+  def hammingPairs(hashes: DataFrame,
+                   radius: Int,
+                   idCol: String = "id",
+                   hashCol: String = "h"): DataFrame = {
+    require(radius >= 0 && radius < 4,
+      s"hammingPairs: radius $radius outside [0,3] — use the HmSearch multi-index beyond")
+    val chunks = radius + 1
+    val base = spread(hashes).select(col(idCol).cast("long").as("id"),
+      col(hashCol).cast("long").as("h"))
+    val width = 64 / chunks
+    val keyed = base.select(col("id"), col("h"),
+      posexplode(array((0 until chunks).map { c =>
+        val w = if (c == chunks - 1) 64 - width * c else width
+        shiftrightunsigned(col("h"), width * c)
+          .bitwiseAND(lit(if (w == 64) -1L else (1L << w) - 1))
+      }: _*)).as(Seq("chunk", "key")))
+    val candidates = keyed.as("a").join(keyed.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.h").as("h_a"), col("b.h").as("h_b"))
+      .distinct()
+    candidates
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long"))
+      .filter(col("hamming") <= radius)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   // ------------------------------------------- embedding cosine near-dup
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold — the same

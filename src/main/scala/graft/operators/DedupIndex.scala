@@ -38,7 +38,10 @@ object DedupIndex {
     def save(c: graft.store.Collection, name: String,
              overwrite: Boolean = true): Unit =
       Similarity.parallelWrites(Seq(
-        () => c.write(s"${name}__bands", bands, indexCols = Seq("band"),
+        // bh-indexed: band hashes are uniform, so sorting by bh gives
+        // every row group a tight bh range — a probe's bounded band-key
+        // list then prunes the bands scan to matching row groups
+        () => c.write(s"${name}__bands", bands, indexCols = Seq("bh"),
           overwrite = overwrite),
         () => c.write(s"${name}__shingles", shingles, indexCols = Seq("id"),
           metadata = Map("minhash_num_hashes" -> numHashes,
@@ -149,7 +152,20 @@ object DedupIndex {
     val newSh = shingleFrame(newDocs, index.shingleK, textCol, idCol).persist(mem)
     val newBanded = bandFrame(newSh, index.numHashes, index.numBands).persist(mem)
 
-    val crossRaw = newBanded.as("n").join(index.bands.as("o"),
+    // Bands-scan localization (same stats-adaptive rule as the shingle
+    // verify below): the batch contributes exactly |batch|·numBands band
+    // keys, so when the persisted band item is large, its scan prunes to
+    // the row groups covering the batch's bh values (the item is
+    // bh-sorted) instead of streaming corpus·bands rows per probe.
+    val oldBands =
+      if (graft.store.Partitioner.estimatedBytes(index.bands) >= localizeBytes) {
+        val bhs = newBanded.select(col("bh")).distinct()
+          .limit(maxProbeIds + 1).collect().map(_.getLong(0)).toSeq
+        if (bhs.size <= maxProbeIds && bhs.nonEmpty)
+          index.bands.filter(col("bh").isin(bhs: _*))
+        else index.bands
+      } else index.bands
+    val crossRaw = newBanded.as("n").join(oldBands.as("o"),
         col("n.band") === col("o.band") && col("n.bh") === col("o.bh") &&
           col("n.id") =!= col("o.id"))
       .select(col("n.id").as("new_id"), col("o.id").as("old_id"))

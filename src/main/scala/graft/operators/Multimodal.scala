@@ -184,6 +184,63 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual AVERAGE-HASH (aHash, public literature) through the
+    * real decode seam: decode → per-block gray means on a grid×grid
+    * grid (block of pixel (x,y) = ((x·grid)/w, (y·grid)/h), integer
+    * division — well-defined for any dimensions) → bit b(by·grid+bx) =
+    * block mean > mean-of-block-means (strict) → one 64-bit signature
+    * per image. The multimodal member of the near-dup family: exact
+    * copies hash identically, small edits flip few bits, and the
+    * signature feeds the same pigeonhole Hamming machinery as SimHash
+    * ([[Dedup.hammingPairs]]). Gray = r+g+b (integer sum, no rounding);
+    * block/global means are IEEE doubles computed identically on the
+    * oracle side, so the bits are hash-pinnable. */
+  def imageAHash(media: DataFrame, grid: Int = 8): DataFrame = {
+    require(grid * grid <= 64, "grid*grid bits must fit a 64-bit hash")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("ahash", LongType)))
+    val input = media.select(col("media_id").cast(LongType), col("payload"))
+    val enc = RowEncoder.encoderFor(outSchema)
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) Row(id, 0L)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val sums = new Array[Long](grid * grid)
+          val counts = new Array[Long](grid * grid)
+          var y = 0
+          while (y < h) {
+            val by = (y * grid) / h
+            var x = 0
+            while (x < w) {
+              val bx = (x * grid) / w
+              val p = img.getRGB(x, y)
+              val gray = ((p >>> 16) & 0xff) + ((p >>> 8) & 0xff) + (p & 0xff)
+              sums(by * grid + bx) += gray
+              counts(by * grid + bx) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val means = Array.tabulate(grid * grid)(i =>
+            if (counts(i) == 0) 0.0 else sums(i).toDouble / counts(i))
+          val global = means.sum / means.length
+          var hash = 0L
+          var i = 0
+          while (i < means.length) {
+            if (means(i) > global) hash |= 1L << i
+            i += 1
+          }
+          Row(id, hash)
+        }
+      }
+    }(enc)
+  }
+
   /** Real resize through the same seam: decode → Graphics2D bilinear
     * scale → re-encode PNG. The byte-stride `samplePayload` remains the
     * structural stand-in for codecs the JDK lacks (video frames). */

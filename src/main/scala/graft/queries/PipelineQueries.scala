@@ -1424,6 +1424,47 @@ object PipelineQueries {
       .orderBy(col("media_id"))
   }
 
+  /** IMAGE near-dup via perceptual average-hash — the multimodal member
+    * of the dedup family: decode (real `javax.imageio`) → 8×8-block
+    * gray aHash → pigeonhole Hamming pairs (`Dedup.hammingPairs`, exact
+    * recall at radius 2 by construction). Payload copies of 8 images
+    * ride along under +100000 ids and must land at Hamming 0 to their
+    * originals. Every bit of the hash is replicated in DuckDB from the
+    * closed-form fixture raster (block sizes are powers of two here, so
+    * block/global means are exact dyadic rationals — the float
+    * comparisons are order-independent and hash-stable). */
+  def multimodalImageNeardup(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents").select(col("doc_id"))
+    val originals = Multimodal.imageTable(d.filter(col("doc_id") < 40))
+    val copies = Multimodal.imageTable(d.filter(col("doc_id") < 8))
+      .withColumn("media_id", col("media_id") + CopyIdOffset)
+    val media = originals.unionByName(copies)
+    Dedup.hammingPairs(Multimodal.imageAHash(media), radius = 2,
+        idCol = "media_id", hashCol = "ahash")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val multimodalImageNeardupSql: String =
+    """WITH ids AS (SELECT doc_id AS id, doc_id AS src FROM documents WHERE doc_id < 40
+      |  UNION ALL SELECT doc_id + 100000, doc_id FROM documents WHERE doc_id < 8),
+      |px AS (SELECT i.id,
+      |    (t1.x * 8) // 16 AS bx, (t2.y * 8) // 12 AS by,
+      |    (i.src * 7 + t1.x * 3 + t2.y * 5) % 256 +
+      |    (i.src * 11 + t1.x + t2.y * 2) % 256 +
+      |    (i.src * 13 + t1.x * 3 + t2.y) % 256 AS gray
+      |  FROM ids i, range(0, 16) t1(x), range(0, 12) t2(y)),
+      |bm AS (SELECT id, by, bx, avg(gray) AS g FROM px GROUP BY 1, 2, 3),
+      |gm AS (SELECT id, avg(g) AS m FROM bm GROUP BY 1),
+      |bits AS (SELECT bm.id, by * 8 + bx AS pos,
+      |    CASE WHEN g > m THEN 1 ELSE 0 END AS b
+      |  FROM bm JOIN gm ON bm.id = gm.id),
+      |ham AS (SELECT a.id AS id_a, b.id AS id_b,
+      |    CAST(sum(abs(a.b - b.b)) AS BIGINT) AS hamming
+      |  FROM bits a JOIN bits b ON a.pos = b.pos AND a.id < b.id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Closed-form channel mean over the 16×12 fixture raster:
     * Σ_p ((a·id + b·(p%16) + c·(p/16)) mod 256) / 192. */
   private def chanMeanSql(a: Int, b: Int, c: Int): String =
@@ -1573,7 +1614,8 @@ object PipelineQueries {
     "multimodal_decode" -> multimodalDecode _,
     "multimodal_image_decode" -> multimodalImageDecode _,
     "multimodal_audio_decode" -> multimodalAudioDecode _,
-    "multimodal_video_sample" -> multimodalVideoSample _)
+    "multimodal_video_sample" -> multimodalVideoSample _,
+    "multimodal_image_neardup" -> multimodalImageNeardup _)
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -1617,5 +1659,6 @@ object PipelineQueries {
     "multimodal_decode" -> multimodalDecodeSql,
     "multimodal_image_decode" -> multimodalImageDecodeSql,
     "multimodal_audio_decode" -> multimodalAudioDecodeSql,
-    "multimodal_video_sample" -> multimodalVideoSampleSql)
+    "multimodal_video_sample" -> multimodalVideoSampleSql,
+    "multimodal_image_neardup" -> multimodalImageNeardupSql)
 }

@@ -843,6 +843,21 @@ class OperatorsSpec extends SparkSpec {
     assert(zs < ns / 2, s"suppkey span $zs not < half of natural $ns")
   }
 
+  test("image aHash: payload copies hash identically, pigeonhole finds them at radius 0") {
+    val ids = (0L until 10L).toDF("doc_id")
+    val originals = Multimodal.imageTable(ids)
+    val copies = Multimodal.imageTable((0L until 3L).toDF("doc_id"))
+      .withColumn("media_id", $"media_id" + 100000)
+    val hashes = Multimodal.imageAHash(originals.unionByName(copies))
+    // copies carry the ORIGINAL payload -> identical hash
+    val byId = hashes.as[(Long, Long)].collect().toMap
+    assert((0L until 3L).forall(i => byId(i) == byId(i + 100000)))
+    val pairs = Dedup.hammingPairs(hashes, radius = 0,
+        idCol = "media_id", hashCol = "ahash")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert((0L until 3L).forall(i => pairs.contains((i, i + 100000))), pairs.toString)
+  }
+
   test("profile sidecars: persisted partials merge to the full-scan profile") {
     val o = sf("orders")
     val cols = Seq("o_totalprice", "o_custkey")
