@@ -276,6 +276,15 @@ object Multimodal {
   private def sampleAt(id: Long, i: Int): Short =
     (((id * 31 + i.toLong * 17) % 65536) - 32768).toShort
 
+  /** Spectrally-varied fixture sample: the product of two linear
+    * sequences mod 2¹⁶ is pseudo-random per (id, i), so per-frame
+    * energies genuinely discriminate between clips — the plain
+    * [[sampleAt]] sawtooth is phase-near-identical across small ids,
+    * which would make every clip a near-dup of every other under an
+    * energy fingerprint. Integer arithmetic only, oracle-replicable. */
+  private def richSampleAt(id: Long, i: Int): Short =
+    ((((id * 31 + i.toLong * 17) * (id * 7 + i.toLong * 13)) % 65536) - 32768).toShort
+
   /** Deterministic 16-bit PCM mono WAV fixture table: sample i of id's
     * clip = ((id·31 + i·17) mod 2¹⁶) − 2¹⁵ — integer arithmetic only,
     * so the oracle replicates the decoded stats without any audio
@@ -284,7 +293,7 @@ object Multimodal {
     * hand; `decodeAudio` parses it back through the REAL
     * `javax.sound.sampled` path, proving interop. */
   def audioTable(ids: DataFrame, nSamples: Int = 2048,
-                 sampleRate: Int = 8000): DataFrame = {
+                 sampleRate: Int = 8000, rich: Boolean = false): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("payload", BinaryType),
@@ -304,7 +313,10 @@ object Multimodal {
         bb.putShort(2); bb.putShort(16) // block align, bits/sample
         bb.put("data".getBytes("US-ASCII")); bb.putInt(nSamples * 2)
         var i = 0
-        while (i < nSamples) { bb.putShort(sampleAt(id, i)); i += 1 }
+        while (i < nSamples) {
+          bb.putShort(if (rich) richSampleAt(id, i) else sampleAt(id, i))
+          i += 1
+        }
         Row(id, bb.array(),
           Row("audio/wav", null, null, nSamples * 1000L / sampleRate,
             s"mem://wav/$id"))
@@ -364,6 +376,125 @@ object Multimodal {
           Row(id, n, fmt.getChannels, fmt.getSampleRate.toInt, sumAbs,
             if (n == 0) 0 else mn, if (n == 0) 0 else mx)
         } finally ais.close()
+      }
+    }(enc)
+  }
+
+  /** Audio FINGERPRINT through the real decode seam — the audio member
+    * of the near-dup family (public robust-hash shape, cf.
+    * Haitsma-Kalker): decode → 16-bit PCM → split into `nBands` equal
+    * time frames (frame of sample i = (i·nBands)/n, integer division)
+    * → frame energy E_f = Σ|s| (exact Long) → bit f set iff
+    * E_f·n > total·count_f (cross-multiplied integer comparison — no
+    * float mean, so the bits are oracle-pinnable exactly). Identical
+    * clips hash identically; uniform gain changes shift all energies
+    * together and flip only frames whose energy sits within the
+    * rounding noise of the mean. Feeds [[Dedup.hammingPairs]]. */
+  def audioFingerprint(media: DataFrame, nBands: Int = 64): DataFrame = {
+    require(nBands > 0 && nBands <= 64, "nBands must fit a 64-bit hash")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("afp", LongType)))
+    val input = media.select(col("media_id").cast(LongType), col("payload"))
+    val enc = RowEncoder.encoderFor(outSchema)
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val samples = decodePcm16(bytes)
+        val n = samples.length
+        if (n == 0) Row(id, 0L)
+        else {
+          val sums = new Array[Long](nBands)
+          val counts = new Array[Long](nBands)
+          var i = 0
+          var total = 0L
+          while (i < n) {
+            val f = ((i.toLong * nBands) / n).toInt
+            val a = math.abs(samples(i).toLong)
+            sums(f) += a; counts(f) += 1; total += a
+            i += 1
+          }
+          var hash = 0L
+          var f = 0
+          while (f < nBands) {
+            if (sums(f) * n > total * counts(f)) hash |= 1L << f
+            f += 1
+          }
+          Row(id, hash)
+        }
+      }
+    }(enc)
+  }
+
+  /** Decode any javax.sound-parsable payload to 16-bit signed PCM
+    * samples (interleaved channels), normalizing non-16-bit encodings
+    * through the same conversion path as [[decodeAudio]]. */
+  private def decodePcm16(bytes: Array[Byte]): Array[Short] = {
+    val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val srcFmt = raw.getFormat
+    val ais =
+      if (srcFmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          srcFmt.getSampleSizeInBits == 16) raw
+      else javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          srcFmt.getSampleRate, 16, srcFmt.getChannels,
+          srcFmt.getChannels * 2, srcFmt.getSampleRate, false), raw)
+    try {
+      val fmt = ais.getFormat
+      val data = ais.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(data).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      val out = new Array[Short](bb.remaining() / 2)
+      var i = 0
+      while (i < out.length) { out(i) = bb.getShort; i += 1 }
+      out
+    } finally ais.close()
+  }
+
+  /** Uniform attenuation as a payload transform: 16-bit PCM WAV in →
+    * WAV out with every sample divided by `divisor` (integer division,
+    * truncating toward zero — |s/d| = ⌊|s|/d⌋, replicable on the oracle
+    * side as abs(s)//d). The near-dup perturbation fixture: a gain
+    * change a fingerprint should survive. Parses the RIFF chunk list
+    * (not a fixed 44-byte assumption) and rewrites only the data
+    * chunk. */
+  def attenuateAudio(media: DataFrame, divisor: Int = 2): DataFrame = {
+    require(divisor > 0, "divisor must be positive")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", mediaMetaType)))
+    val input = media.select(col("media_id").cast(LongType), col("payload"),
+      col("meta"))
+    val enc = RowEncoder.encoderFor(outSchema)
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1).clone()
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        require(bytes.length >= 12 &&
+          bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F',
+          s"attenuateAudio: media $id is not RIFF/WAV")
+        var pos = 12 // past RIFF size + WAVE
+        while (pos + 8 <= bytes.length) {
+          val tag = new String(bytes, pos, 4, "US-ASCII")
+          val len = bb.getInt(pos + 4)
+          if (tag == "data") {
+            var p = pos + 8
+            val end = math.min(pos + 8 + len, bytes.length)
+            while (p + 2 <= end) {
+              bb.putShort(p, (bb.getShort(p) / divisor).toShort)
+              p += 2
+            }
+            pos = bytes.length
+          } else pos += 8 + len + (len & 1)
+        }
+        Row(id, bytes, r.getStruct(2))
       }
     }(enc)
   }

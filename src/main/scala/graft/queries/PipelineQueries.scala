@@ -1465,6 +1465,45 @@ object PipelineQueries {
       |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 2
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** AUDIO near-dup via band-energy fingerprint — the audio member of
+    * the dedup family: real `javax.sound.sampled` decode → 64
+    * equal-time-frame abs-energy bits (cross-multiplied integer
+    * comparison, no float mean) → pigeonhole Hamming pairs. The
+    * perturbation fixture is a REAL payload transform: 8 clips ride
+    * along half-gain (`Multimodal.attenuateAudio`, sample → s/2 trunc)
+    * under +100000 ids — a gain change the energy-ratio bits survive
+    * up to floor noise. Every bit is replicated in DuckDB from the
+    * closed-form PCM formula (|s/2 trunc| = abs(s)//2 exactly). */
+  def multimodalAudioNeardup(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents").select(col("doc_id"))
+    val originals = Multimodal.audioTable(d.filter(col("doc_id") < 40), rich = true)
+    val halved = Multimodal.attenuateAudio(
+        Multimodal.audioTable(d.filter(col("doc_id") < 8), rich = true))
+      .withColumn("media_id", col("media_id") + CopyIdOffset)
+    val media = originals.unionByName(halved)
+    Dedup.hammingPairs(Multimodal.audioFingerprint(media), radius = 3,
+        idCol = "media_id", hashCol = "afp")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val multimodalAudioNeardupSql: String =
+    """WITH ids AS (SELECT doc_id AS id, doc_id AS src, 1 AS att FROM documents WHERE doc_id < 40
+      |  UNION ALL SELECT doc_id + 100000, doc_id, 2 FROM documents WHERE doc_id < 8),
+      |px AS (SELECT i.id, t.i // 32 AS f,
+      |    abs((i.src * 31 + t.i * 17) * (i.src * 7 + t.i * 13) % 65536 - 32768) // i.att AS c
+      |  FROM ids i, range(0, 2048) t(i)),
+      |e AS (SELECT id, f, sum(c) AS e FROM px GROUP BY 1, 2),
+      |tot AS (SELECT id, sum(e) AS total FROM e GROUP BY 1),
+      |bits AS (SELECT e.id, e.f AS pos,
+      |    CASE WHEN e.e * 2048 > t.total * 32 THEN 1 ELSE 0 END AS b
+      |  FROM e JOIN tot t ON e.id = t.id),
+      |ham AS (SELECT a.id AS id_a, b.id AS id_b,
+      |    CAST(sum(abs(a.b - b.b)) AS BIGINT) AS hamming
+      |  FROM bits a JOIN bits b ON a.pos = b.pos AND a.id < b.id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Closed-form channel mean over the 16×12 fixture raster:
     * Σ_p ((a·id + b·(p%16) + c·(p/16)) mod 256) / 192. */
   private def chanMeanSql(a: Int, b: Int, c: Int): String =
@@ -1615,7 +1654,8 @@ object PipelineQueries {
     "multimodal_image_decode" -> multimodalImageDecode _,
     "multimodal_audio_decode" -> multimodalAudioDecode _,
     "multimodal_video_sample" -> multimodalVideoSample _,
-    "multimodal_image_neardup" -> multimodalImageNeardup _)
+    "multimodal_image_neardup" -> multimodalImageNeardup _,
+    "multimodal_audio_neardup" -> multimodalAudioNeardup _)
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -1660,5 +1700,6 @@ object PipelineQueries {
     "multimodal_image_decode" -> multimodalImageDecodeSql,
     "multimodal_audio_decode" -> multimodalAudioDecodeSql,
     "multimodal_video_sample" -> multimodalVideoSampleSql,
-    "multimodal_image_neardup" -> multimodalImageNeardupSql)
+    "multimodal_image_neardup" -> multimodalImageNeardupSql,
+    "multimodal_audio_neardup" -> multimodalAudioNeardupSql)
 }

@@ -858,6 +858,21 @@ class OperatorsSpec extends SparkSpec {
     assert((0L until 3L).forall(i => pairs.contains((i, i + 100000))), pairs.toString)
   }
 
+  test("audio fingerprint: half-gain copies stay within Hamming 3 of originals") {
+    val ids = (0L until 10L).toDF("doc_id")
+    val originals = Multimodal.audioTable(ids, rich = true)
+    val halved = Multimodal.attenuateAudio(
+        Multimodal.audioTable((0L until 4L).toDF("doc_id"), rich = true))
+      .withColumn("media_id", $"media_id" + 100000)
+    val hashes = Multimodal.audioFingerprint(originals.unionByName(halved))
+    val pairs = Dedup.hammingPairs(hashes, radius = 3,
+        idCol = "media_id", hashCol = "afp")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert((0L until 4L).forall(i => pairs.contains((i, i + 100000))), pairs.toString)
+    // distinct clips are ~32 bits apart — none should collide at radius 3
+    assert(pairs.forall { case (a, b) => b - a == 100000 }, pairs.toString)
+  }
+
   test("profile sidecars: persisted partials merge to the full-scan profile") {
     val o = sf("orders")
     val cols = Seq("o_totalprice", "o_custkey")
