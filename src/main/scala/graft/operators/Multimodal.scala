@@ -608,6 +608,110 @@ object Multimodal {
     }(enc)
   }
 
+  /** Video FINGERPRINT — the video member of the near-dup family:
+    * sample `nFrameBits/blocksPerFrame` frames BY OFFSET (the same
+    * seek-only-what-you-hash pruning as [[sampleFrames]]), and for each
+    * sampled frame emit one aHash-style bit per spatial block: bit set
+    * iff S_block·(w·h) > S_frame·n_block (gray = r+g+b, Long sums,
+    * cross-multiplied integer comparison — no float means, so every bit
+    * is oracle-pinnable). 8 sampled frames × (2×4)-block grid = a
+    * 64-bit signature combining temporal and spatial structure; exact
+    * copies hash identically, global brightness shifts flip only
+    * blocks whose mean sits within wrap noise of the frame mean. Feeds
+    * [[Dedup.hammingPairs]]. A corrupt container yields hash 0 (one
+    * bad file never fails the partition's task). */
+  def videoFingerprint(media: DataFrame, gridX: Int = 2, gridY: Int = 4,
+                       sampledFrames: Int = 8): DataFrame = {
+    require(gridX * gridY * sampledFrames <= 64,
+      "gridX*gridY*sampledFrames bits must fit a 64-bit hash")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("vfp", LongType)))
+    val input = media.select(col("media_id").cast(LongType), col("payload"))
+    val enc = RowEncoder.encoderFor(outSchema)
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        var hash = 0L
+        if (bytes.length >= 20) {
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val magic = new Array[Byte](4); bb.get(magic)
+          if (java.util.Arrays.equals(magic, "GVID".getBytes("US-ASCII"))) {
+            val w = bb.getInt; val h = bb.getInt
+            val nf = bb.getInt; bb.getInt // fps unused
+            val frameBytes = w.toLong * h * 3
+            if (w > 0 && h > 0 && nf > 0 &&
+                20L + nf.toLong * frameBytes <= bytes.length) {
+              val nBlocks = gridX * gridY
+              var k = 0
+              while (k < sampledFrames) {
+                val f = ((k.toLong * nf) / sampledFrames).toInt
+                val off = 20 + f * frameBytes.toInt
+                val sums = new Array[Long](nBlocks)
+                val counts = new Array[Long](nBlocks)
+                var frameSum = 0L
+                var y = 0
+                while (y < h) {
+                  val by = (y * gridY) / h
+                  var x = 0
+                  while (x < w) {
+                    val bx = (x * gridX) / w
+                    val p = off + (y * w + x) * 3
+                    val gray = (bytes(p) & 0xff) + (bytes(p + 1) & 0xff) +
+                      (bytes(p + 2) & 0xff)
+                    sums(by * gridX + bx) += gray
+                    counts(by * gridX + bx) += 1
+                    frameSum += gray
+                    x += 1
+                  }
+                  y += 1
+                }
+                var b = 0
+                while (b < nBlocks) {
+                  if (sums(b) * (w.toLong * h) > frameSum * counts(b))
+                    hash |= 1L << (k * nBlocks + b)
+                  b += 1
+                }
+                k += 1
+              }
+            }
+          }
+        }
+        Row(id, hash)
+      }
+    }(enc)
+  }
+
+  /** Global brightness shift as a payload transform: every channel byte
+    * of every frame becomes (b + delta) mod 256 — the perturbation a
+    * block-vs-frame-mean fingerprint should survive (both sides of the
+    * comparison shift together up to wrap noise). Header untouched. */
+  def shiftVideoChannels(media: DataFrame, delta: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", mediaMetaType)))
+    val input = media.select(col("media_id").cast(LongType), col("payload"),
+      col("meta"))
+    val enc = RowEncoder.encoderFor(outSchema)
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1).clone()
+        require(bytes.length >= 20 && bytes(0) == 'G' && bytes(1) == 'V',
+          s"shiftVideoChannels: media $id is not a GVID container")
+        var p = 20
+        while (p < bytes.length) {
+          bytes(p) = (((bytes(p) & 0xff) + delta) % 256 + 256).toByte
+          p += 1
+        }
+        Row(id, bytes, r.getStruct(2))
+      }
+    }(enc)
+  }
+
   /** "Resize / frame-sample" analogue: keep every `stride`-th payload
     * byte — the structural twin of frame-sampling a video or
     * downscaling an image. Same mapPartitions batch kernel shape as

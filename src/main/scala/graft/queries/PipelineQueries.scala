@@ -1504,6 +1504,47 @@ object PipelineQueries {
       |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** VIDEO near-dup — temporal+spatial fingerprint over the GVID
+    * container: 8 frames sampled by offset × (2×4)-block aHash bits
+    * per frame = 64 bits, fed to the same pigeonhole Hamming join as
+    * the image and audio paths. The perturbation fixture is a global
+    * brightness shift (+1 mod 256 on every channel byte) — block and
+    * frame means shift together, so the block-vs-frame bits survive up
+    * to wrap noise. Every bit is replicated in DuckDB from the
+    * closed-form pixel formulas. */
+  def multimodalVideoNeardup(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents").select(col("doc_id"))
+    val originals = Multimodal.videoTable(d.filter(col("doc_id") < 30))
+    val shifted = Multimodal.shiftVideoChannels(
+        Multimodal.videoTable(d.filter(col("doc_id") < 8)), delta = 1)
+      .withColumn("media_id", col("media_id") + CopyIdOffset)
+    val media = originals.unionByName(shifted)
+    Dedup.hammingPairs(Multimodal.videoFingerprint(media), radius = 3,
+        idCol = "media_id", hashCol = "vfp")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val multimodalVideoNeardupSql: String =
+    """WITH ids AS (SELECT doc_id AS id, doc_id AS src, 0 AS d FROM documents WHERE doc_id < 30
+      |  UNION ALL SELECT doc_id + 100000, doc_id, 1 FROM documents WHERE doc_id < 8),
+      |px AS (SELECT i.id, t0.k, (t1.x * 2) // 8 AS bx, (t2.y * 4) // 6 AS by,
+      |    ((i.src * 7 + t0.k * 3 * 19 + t1.x * 3 + t2.y * 5) % 256 + i.d) % 256 +
+      |    ((i.src * 11 + t0.k * 3 * 23 + t1.x + t2.y * 2) % 256 + i.d) % 256 +
+      |    ((i.src * 13 + t0.k * 3 * 29 + t1.x * 3 + t2.y) % 256 + i.d) % 256 AS gray
+      |  FROM ids i, range(0, 8) t0(k), range(0, 8) t1(x), range(0, 6) t2(y)),
+      |bm AS (SELECT id, k, by, bx, sum(gray) AS sb, count(*) AS nb
+      |  FROM px GROUP BY 1, 2, 3, 4),
+      |fm AS (SELECT id, k, sum(gray) AS sf FROM px GROUP BY 1, 2),
+      |bits AS (SELECT bm.id, bm.k * 8 + bm.by * 2 + bm.bx AS pos,
+      |    CASE WHEN bm.sb * 48 > fm.sf * bm.nb THEN 1 ELSE 0 END AS b
+      |  FROM bm JOIN fm ON bm.id = fm.id AND bm.k = fm.k),
+      |ham AS (SELECT a.id AS id_a, b.id AS id_b,
+      |    CAST(sum(abs(a.b - b.b)) AS BIGINT) AS hamming
+      |  FROM bits a JOIN bits b ON a.pos = b.pos AND a.id < b.id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Closed-form channel mean over the 16×12 fixture raster:
     * Σ_p ((a·id + b·(p%16) + c·(p/16)) mod 256) / 192. */
   private def chanMeanSql(a: Int, b: Int, c: Int): String =
@@ -1655,7 +1696,8 @@ object PipelineQueries {
     "multimodal_audio_decode" -> multimodalAudioDecode _,
     "multimodal_video_sample" -> multimodalVideoSample _,
     "multimodal_image_neardup" -> multimodalImageNeardup _,
-    "multimodal_audio_neardup" -> multimodalAudioNeardup _)
+    "multimodal_audio_neardup" -> multimodalAudioNeardup _,
+    "multimodal_video_neardup" -> multimodalVideoNeardup _)
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -1701,5 +1743,6 @@ object PipelineQueries {
     "multimodal_audio_decode" -> multimodalAudioDecodeSql,
     "multimodal_video_sample" -> multimodalVideoSampleSql,
     "multimodal_image_neardup" -> multimodalImageNeardupSql,
-    "multimodal_audio_neardup" -> multimodalAudioNeardupSql)
+    "multimodal_audio_neardup" -> multimodalAudioNeardupSql,
+    "multimodal_video_neardup" -> multimodalVideoNeardupSql)
 }

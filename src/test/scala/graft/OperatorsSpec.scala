@@ -873,6 +873,25 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => b - a == 100000 }, pairs.toString)
   }
 
+  test("video fingerprint: brightness-shifted copies stay within Hamming 3; corrupt container hashes to 0") {
+    val ids = (0L until 6L).toDF("doc_id")
+    val originals = Multimodal.videoTable(ids)
+    val shifted = Multimodal.shiftVideoChannels(
+        Multimodal.videoTable((0L until 3L).toDF("doc_id")), delta = 1)
+      .withColumn("media_id", $"media_id" + 100000)
+    val hashes = Multimodal.videoFingerprint(originals.unionByName(shifted))
+    val pairs = Dedup.hammingPairs(hashes, radius = 3,
+        idCol = "media_id", hashCol = "vfp")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert((0L until 3L).forall(i => pairs.contains((i, i + 100000))), pairs.toString)
+    // corrupt payload -> sentinel hash 0, no task failure
+    val corrupt = originals.limit(1)
+      .withColumn("payload", lit(Array[Byte](1, 2, 3)))
+    val h = Multimodal.videoFingerprint(corrupt).select("vfp")
+      .as[Long].collect()
+    assert(h.sameElements(Array(0L)))
+  }
+
   test("profile sidecars: persisted partials merge to the full-scan profile") {
     val o = sf("orders")
     val cols = Seq("o_totalprice", "o_custkey")
