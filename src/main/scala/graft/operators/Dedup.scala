@@ -576,6 +576,73 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Typo-level fuzzy dedup: all pairs within Levenshtein distance
+    * `maxDist` — the edit-distance member of the near-dup family
+    * (PassJoin-style, public literature: Li, Deng, Feng 2011). Each
+    * string splits into maxDist+1 even segments; if ed(a,b) ≤ d then
+    * some segment of the SHORTER string is untouched by every edit and
+    * appears verbatim in the longer one within ±d of its home position
+    * (pigeonhole over edits + position drift bound). So: index side
+    * emits its d+1 segments keyed by (segment#, length, content); probe
+    * side emits the substrings of a at the segment geometry of every
+    * candidate shorter length l' ∈ [l−d, l] shifted by ±d — equi-join
+    * on content keys, then one native `levenshtein` verify per
+    * candidate. No length bucket scans, no cartesian: the join keys
+    * are content-uniform and the probe fan-out is the constant
+    * (d+1)²·(2d+1). Strings shorter than maxDist+1 chars are excluded
+    * (their segments would be empty; they'd match everything anyway).
+    * Returns (id_a, id_b, dist) with id_a < id_b. */
+  def editDistancePairs(docs: DataFrame,
+                        maxDist: Int,
+                        idCol: String = "id",
+                        textCol: String = "text"): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 4,
+      s"editDistancePairs: maxDist $maxDist outside [1,4] — beyond that the " +
+        "probe fan-out and verify cost outgrow a segment-filter design")
+    val d = maxDist
+    val nSeg = d + 1
+    val base = spread(docs)
+      .select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("t"))
+      .withColumn("l", length(col("t")))
+      .filter(col("l") > d)
+    // index side: the d+1 segments of each string's own geometry
+    val segs = base
+      .select(col("id"), col("t"), col("l"), explode(sequence(lit(0), lit(d))).as("j"))
+      .withColumn("start", expr(s"(j * l) div $nSeg"))
+      .withColumn("seglen", expr(s"((j + 1) * l) div $nSeg - start"))
+      .select(col("id").as("id_b"), col("l").as("lb"), col("j"),
+        expr("substring(t, start + 1, seglen)").as("seg"))
+    // probe side: substrings of a at segment geometry of every candidate
+    // shorter-or-equal length, shifted by [-d, d]; invalid positions drop
+    val probes = base
+      .select(col("id"), col("t"), col("l"),
+        explode(sequence(lit(0), lit(d))).as("j"))
+      .withColumn("dl", explode(sequence(lit(0), lit(d))))
+      .withColumn("lp", col("l") - col("dl"))
+      .filter(col("lp") > d)
+      .withColumn("start", expr(s"(j * lp) div $nSeg"))
+      .withColumn("seglen", expr(s"((j + 1) * lp) div $nSeg - start"))
+      .withColumn("shift", explode(sequence(lit(-d), lit(d))))
+      .withColumn("p", col("start") + col("shift"))
+      .filter(col("p") >= 0 && col("p") + col("seglen") <= col("l"))
+      .select(col("id").as("id_a"), col("lp"), col("j"),
+        expr("substring(t, p + 1, seglen)").as("seg"))
+      .distinct()
+    val candidates = probes.join(segs,
+        probes("lp") === segs("lb") && probes("j") === segs("j") &&
+          probes("seg") === segs("seg") && probes("id_a") =!= segs("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+    val t = base.select(col("id"), col("t"))
+    candidates
+      .join(t.as("ta"), col("id_a") === col("ta.id"))
+      .join(t.as("tb"), col("id_b") === col("tb.id"))
+      .withColumn("dist", levenshtein(col("ta.t"), col("tb.t")).cast("long"))
+      .filter(col("dist") <= d)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   // ------------------------------------------- embedding cosine near-dup
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold — the same

@@ -1465,6 +1465,37 @@ object PipelineQueries {
       |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 2
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Typo-level fuzzy dedup — the edit-distance member of the dedup
+    * family (PassJoin-style segment pigeonhole, native `levenshtein`
+    * verify): all pairs of 32-char document title keys within
+    * Levenshtein 2. Planted perturbations are single-char DELETIONS
+    * (substring concat — exactly replicable in SQL) riding under
+    * +100000 ids; the oracle is the exhaustive levenshtein join, so a
+    * green hash proves the segment-filter candidates surfaced every
+    * qualifying pair of this dataset. */
+  def dedupEditDistance(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.t(s, dir, "documents")
+      .select(col("doc_id").as("id"), expr("substring(text, 1, 32)").as("t"))
+    val planted = base.filter(col("id") < 8)
+      .select(col("id") + CopyIdOffset as "id",
+        expr("concat(substring(t, 1, 10), substring(t, 12))").as("t"))
+    Dedup.editDistancePairs(base.unionByName(planted), maxDist = 2,
+        idCol = "id", textCol = "t")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val dedupEditDistanceSql: String =
+    """WITH s AS (SELECT doc_id AS id, substr(text, 1, 32) AS t FROM documents
+      |  UNION ALL SELECT doc_id + 100000,
+      |    substr(substr(text, 1, 32), 1, 10) || substr(substr(text, 1, 32), 12)
+      |  FROM documents WHERE doc_id < 8)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |    CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+      |FROM s a JOIN s b ON a.id < b.id
+      |  AND abs(length(a.t) - length(b.t)) <= 2
+      |WHERE levenshtein(a.t, b.t) <= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** AUDIO near-dup via band-energy fingerprint — the audio member of
     * the dedup family: real `javax.sound.sampled` decode → 64
     * equal-time-frame abs-energy bits (cross-multiplied integer
@@ -1697,7 +1728,8 @@ object PipelineQueries {
     "multimodal_video_sample" -> multimodalVideoSample _,
     "multimodal_image_neardup" -> multimodalImageNeardup _,
     "multimodal_audio_neardup" -> multimodalAudioNeardup _,
-    "multimodal_video_neardup" -> multimodalVideoNeardup _)
+    "multimodal_video_neardup" -> multimodalVideoNeardup _,
+    "dedup_edit_distance" -> dedupEditDistance _)
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -1744,5 +1776,6 @@ object PipelineQueries {
     "multimodal_video_sample" -> multimodalVideoSampleSql,
     "multimodal_image_neardup" -> multimodalImageNeardupSql,
     "multimodal_audio_neardup" -> multimodalAudioNeardupSql,
-    "multimodal_video_neardup" -> multimodalVideoNeardupSql)
+    "multimodal_video_neardup" -> multimodalVideoNeardupSql,
+    "dedup_edit_distance" -> dedupEditDistanceSql)
 }

@@ -892,6 +892,24 @@ class OperatorsSpec extends SparkSpec {
     assert(h.sameElements(Array(0L)))
   }
 
+  test("edit-distance pairs: deletions, insertions, substitutions found; far strings excluded") {
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over"),
+      (2L, "the quick brown fox jump over"),   // deletion (dist 1)
+      (3L, "the quick brown foxx jumps over"), // insertion (dist 1)
+      (4L, "the quick brawn fox jumps ovir"),  // 2 substitutions (dist 2)
+      (5L, "a completely different sentence"),
+      (6L, "xx quick brown fox jumps overxx")  // dist 4 from id 1 — excluded
+    ).toDF("id", "text")
+    val got = Dedup.editDistancePairs(rows, maxDist = 2)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L, 1L)), got.toString)
+    assert(got.contains((1L, 3L, 1L)), got.toString)
+    assert(got.contains((1L, 4L, 2L)), got.toString)
+    assert(!got.exists { case (a, b, _) => a == 5L || b == 5L || a == 6L || b == 6L },
+      got.toString)
+  }
+
   test("profile sidecars: persisted partials merge to the full-scan profile") {
     val o = sf("orders")
     val cols = Seq("o_totalprice", "o_custkey")
