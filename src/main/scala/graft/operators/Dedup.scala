@@ -548,22 +548,29 @@ object Dedup {
     * bit_count verify. For radius ≥ 4 prefer the HmSearch multi-index
     * ([[simhashPairs]]) — chunk keyspaces below ~10 bits collide as
     * n²/2^bits at corpus scale. */
+  /** (id, h, chunk, key) rows for an even `chunks`-way split of a
+    * 64-bit signature — the candidate keys behind [[hammingPairs]] and
+    * the persisted [[DedupIndex.HammingIndex]]. */
+  private[operators] def hammingChunked(hashes: DataFrame, chunks: Int,
+                                        idCol: String, hashCol: String): DataFrame = {
+    val base = spread(hashes).select(col(idCol).cast("long").as("id"),
+      col(hashCol).cast("long").as("h"))
+    val width = 64 / chunks
+    base.select(col("id"), col("h"),
+      posexplode(array((0 until chunks).map { c =>
+        val w = if (c == chunks - 1) 64 - width * c else width
+        shiftrightunsigned(col("h"), width * c)
+          .bitwiseAND(lit(if (w == 64) -1L else (1L << w) - 1))
+      }: _*)).as(Seq("chunk", "key")))
+  }
+
   def hammingPairs(hashes: DataFrame,
                    radius: Int,
                    idCol: String = "id",
                    hashCol: String = "h"): DataFrame = {
     require(radius >= 0 && radius < 4,
       s"hammingPairs: radius $radius outside [0,3] — use the HmSearch multi-index beyond")
-    val chunks = radius + 1
-    val base = spread(hashes).select(col(idCol).cast("long").as("id"),
-      col(hashCol).cast("long").as("h"))
-    val width = 64 / chunks
-    val keyed = base.select(col("id"), col("h"),
-      posexplode(array((0 until chunks).map { c =>
-        val w = if (c == chunks - 1) 64 - width * c else width
-        shiftrightunsigned(col("h"), width * c)
-          .bitwiseAND(lit(if (w == 64) -1L else (1L << w) - 1))
-      }: _*)).as(Seq("chunk", "key")))
+    val keyed = hammingChunked(hashes, radius + 1, idCol, hashCol)
     val candidates = keyed.as("a").join(keyed.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))

@@ -224,6 +224,115 @@ object DedupIndex {
       retained)
   }
 
+  // ---------------------------------------- persisted Hamming index
+
+  /** PERSISTED pigeonhole Hamming index over any 64-bit signature
+    * column — the media-modality twin of the MinHash index above: the
+    * corpus's fingerprints (image aHash, audio band-energy, video
+    * temporal+spatial, SimHash — any [[Dedup.hammingPairs]]-compatible
+    * signature) are chunk-keyed ONCE and persisted; every incoming
+    * batch probes by chunk-key equi-join in O(batch + candidates) and
+    * appends in O(batch). The chunk rows are key-indexed (uniform hash
+    * keys → tight per-row-group key ranges), so a batch's bounded key
+    * list prunes the persisted scan to matching row groups. Radius is
+    * fixed at build time (chunks = radius+1); probes at radius ≤ the
+    * build radius keep certain recall (≤ radius flips still leave ≥ 1
+    * agreeing chunk). */
+  final case class HammingIndex(chunkRows: DataFrame, radius: Int) {
+    def save(c: graft.store.Collection, name: String,
+             overwrite: Boolean = true): Unit =
+      c.write(s"${name}__hchunks", chunkRows, indexCols = Seq("key"),
+        metadata = Map("hamming_radius" -> radius), overwrite = overwrite)
+  }
+
+  object HammingIndex {
+    def load(c: graft.store.Collection, name: String): HammingIndex = {
+      val meta = c.metadata(s"${name}__hchunks")
+      val radius = meta.get("hamming_radius") match {
+        case Some(org.json4s.JInt(i)) => i.toInt
+        case other => throw new IllegalStateException(
+          s"bad hamming_radius in hamming index metadata: $other")
+      }
+      HammingIndex(c.item(s"${name}__hchunks").data, radius)
+    }
+  }
+
+  def buildAndSaveHammingIndex(hashes: DataFrame,
+                               c: graft.store.Collection,
+                               name: String,
+                               radius: Int,
+                               idCol: String = "id",
+                               hashCol: String = "h",
+                               overwrite: Boolean = true): HammingIndex = {
+    require(radius >= 0 && radius < 4,
+      s"hamming index radius $radius outside [0,3] — chunk keyspaces " +
+        "below ~16 bits collide as n²/2^bits at corpus scale")
+    HammingIndex(Dedup.hammingChunked(hashes, radius + 1, idCol, hashCol),
+      radius).save(c, name, overwrite)
+    HammingIndex.load(c, name)
+  }
+
+  /** Near-dup pairs of a NEW batch of signatures against the indexed
+    * corpus, plus pairs within the batch — (id_a, id_b, hamming) with
+    * id_a < id_b, hamming ≤ radius. The corpus fingerprints are never
+    * recomputed: batch chunk keys equi-join the persisted chunk item
+    * (key-IN row-group pruning when the batch's key set is
+    * driver-bounded), and each candidate pays one bit_count verify —
+    * the signature h rides in the chunk rows, so no second item read. */
+  def probeHammingIndex(index: HammingIndex,
+                        newHashes: DataFrame,
+                        radius: Int = -1,
+                        idCol: String = "id",
+                        hashCol: String = "h",
+                        maxProbeKeys: Int = 10000,
+                        localizeBytes: Long = 256L << 20): DataFrame = {
+    val r = if (radius < 0) index.radius else radius
+    require(r <= index.radius,
+      s"probe radius $r exceeds build radius ${index.radius} — recall would be lost")
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val newKeyed = Dedup.hammingChunked(newHashes, index.radius + 1,
+      idCol, hashCol).persist(mem)
+    val oldRows =
+      if (graft.store.Partitioner.estimatedBytes(index.chunkRows) >= localizeBytes) {
+        val keys = newKeyed.select(col("key")).distinct()
+          .limit(maxProbeKeys + 1).collect().map(_.getLong(0)).toSeq
+        if (keys.size <= maxProbeKeys && keys.nonEmpty)
+          index.chunkRows.filter(col("key").isin(keys: _*))
+        else index.chunkRows
+      } else index.chunkRows
+    val cross = newKeyed.as("n").join(oldRows.as("o"),
+        col("n.chunk") === col("o.chunk") && col("n.key") === col("o.key") &&
+          col("n.id") =!= col("o.id"))
+      .select(col("n.id").as("id_n"), col("o.id").as("id_o"),
+        col("n.h").as("h_n"), col("o.h").as("h_o"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("h_n").bitwiseXOR(col("h_o"))).cast("long"))
+      .filter(col("hamming") <= r)
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"), col("hamming"))
+    // batch-sized cache stays behind for the plan's lifetime (the
+    // one-shot probeMinhashIndex contract); loops should re-probe per
+    // batch so turnover stays bounded
+    val self = Dedup.hammingPairs(newHashes, r, idCol, hashCol)
+    cross.unionByName(self)
+  }
+
+  /** Incrementally index new signatures — O(new): their chunk rows
+    * APPEND to the persisted item (KeepAll; ids are new by caller
+    * contract). Typical media ingest loop: fingerprint the batch →
+    * probe → drop matched → append survivors. */
+  def appendToHammingIndex(newHashes: DataFrame,
+                           c: graft.store.Collection,
+                           name: String,
+                           idCol: String = "id",
+                           hashCol: String = "h"): HammingIndex = {
+    val idx = HammingIndex.load(c, name)
+    c.append(s"${name}__hchunks",
+      Dedup.hammingChunked(newHashes, idx.radius + 1, idCol, hashCol),
+      graft.store.DuplicateHandling.KeepAll)
+    HammingIndex.load(c, name)
+  }
+
   /** Incrementally index new documents — O(new docs): their band rows
     * and shingle sets APPEND to the persisted items (KeepAll: ids are
     * new by caller contract, exactly like FAISS add / BM25 append).

@@ -466,6 +466,101 @@ object PipelineQueries {
   val dedupIndexProbeSql: String =
     jaccardPairOracle(0.8, 3, augNearSql, extraPred = " AND b.id >= 100000")
 
+  /** Deterministic per-SF store for the persisted Hamming fingerprint
+    * index — built by `dedup_hamming_index_build`, probed by
+    * `dedup_hamming_index_probe`. */
+  private def hammingIndexCollection(s: SparkSession, dir: String): graft.store.Collection = {
+    val src = new java.io.File(dir, "documents.parquet")
+    val fp = s"${src.length}_${src.lastModified}"
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_verify", s"hamming_index_${new java.io.File(dir).getName}_$fp")
+    java.nio.file.Files.createDirectories(root)
+    graft.store.GraftStore(s, "store", root).collection("hamming")
+  }
+
+  private def buildAndSaveHamming(s: SparkSession, dir: String): Unit = {
+    val corpus = Multimodal.imageAHash(Multimodal.imageTable(
+      Tables.t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 40)))
+    graft.operators.DedupIndex.buildAndSaveHammingIndex(corpus,
+      hammingIndexCollection(s, dir), "img", radius = 2,
+      idCol = "media_id", hashCol = "ahash", overwrite = true)
+  }
+
+  /** Hamming fingerprint index BUILD: the image corpus is decoded and
+    * aHashed ONCE, chunk-keyed, and persisted (the MinHash/IVF/BM25
+    * build split applied to media fingerprints). Emits each indexed
+    * signature's popcount — the oracle recomputes every hash bit from
+    * the closed-form raster, so a green hash proves the persisted
+    * signatures match a from-scratch derivation bit for bit. */
+  def dedupHammingIndexBuild(s: SparkSession, dir: String): DataFrame = {
+    buildAndSaveHamming(s, dir)
+    val idx = graft.operators.DedupIndex.HammingIndex.load(
+      hammingIndexCollection(s, dir), "img")
+    idx.chunkRows.select(col("id").as("media_id"), col("h")).distinct()
+      .select(col("media_id"), bit_count(col("h")).cast("long").as("bits"))
+      .orderBy(col("media_id"))
+  }
+
+  val dedupHammingIndexBuildSql: String =
+    """WITH ids AS (SELECT doc_id AS id, doc_id AS src FROM documents WHERE doc_id < 40),
+      |px AS (SELECT i.id,
+      |    (t1.x * 8) // 16 AS bx, (t2.y * 8) // 12 AS by,
+      |    (i.src * 7 + t1.x * 3 + t2.y * 5) % 256 +
+      |    (i.src * 11 + t1.x + t2.y * 2) % 256 +
+      |    (i.src * 13 + t1.x * 3 + t2.y) % 256 AS gray
+      |  FROM ids i, range(0, 16) t1(x), range(0, 12) t2(y)),
+      |bm AS (SELECT id, by, bx, avg(gray) AS g FROM px GROUP BY 1, 2, 3),
+      |gm AS (SELECT id, avg(g) AS m FROM bm GROUP BY 1),
+      |bits AS (SELECT bm.id, CASE WHEN g > m THEN 1 ELSE 0 END AS b
+      |  FROM bm JOIN gm ON bm.id = gm.id)
+      |SELECT id AS media_id, CAST(sum(b) AS BIGINT) AS bits
+      |FROM bits GROUP BY 1 ORDER BY media_id""".stripMargin
+
+  /** Hamming fingerprint index PROBE — incremental media dedup, the hot
+    * path: a NEW batch (8 unseen images + 8 payload copies of indexed
+    * ones under +100000 ids) is fingerprinted and probed against the
+    * PERSISTED chunk index; corpus payloads are never re-decoded.
+    * Oracle = exhaustive Hamming join over all (corpus ∪ batch) pairs
+    * restricted to batch-side membership — a green hash proves the
+    * chunk-key probe surfaces EVERY qualifying batch pair. */
+  def dedupHammingIndexProbe(s: SparkSession, dir: String): DataFrame = {
+    val c = hammingIndexCollection(s, dir)
+    if (!c.hasItem("img__hchunks")) buildAndSaveHamming(s, dir) // verify-order safety
+    val idx = graft.operators.DedupIndex.HammingIndex.load(c, "img")
+    val d = Tables.t(s, dir, "documents").select(col("doc_id"))
+    val fresh = Multimodal.imageTable(
+      d.filter(col("doc_id") >= 40 && col("doc_id") < 48))
+    val copies = Multimodal.imageTable(d.filter(col("doc_id") < 8))
+      .withColumn("media_id", col("media_id") + CopyIdOffset)
+    val batch = Multimodal.imageAHash(fresh.unionByName(copies))
+    graft.operators.DedupIndex.probeHammingIndex(idx, batch,
+        idCol = "media_id", hashCol = "ahash")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val dedupHammingIndexProbeSql: String =
+    """WITH ids AS (SELECT doc_id AS id, doc_id AS src FROM documents WHERE doc_id < 48
+      |  UNION ALL SELECT doc_id + 100000, doc_id FROM documents WHERE doc_id < 8),
+      |px AS (SELECT i.id,
+      |    (t1.x * 8) // 16 AS bx, (t2.y * 8) // 12 AS by,
+      |    (i.src * 7 + t1.x * 3 + t2.y * 5) % 256 +
+      |    (i.src * 11 + t1.x + t2.y * 2) % 256 +
+      |    (i.src * 13 + t1.x * 3 + t2.y) % 256 AS gray
+      |  FROM ids i, range(0, 16) t1(x), range(0, 12) t2(y)),
+      |bm AS (SELECT id, by, bx, avg(gray) AS g FROM px GROUP BY 1, 2, 3),
+      |gm AS (SELECT id, avg(g) AS m FROM bm GROUP BY 1),
+      |bits AS (SELECT bm.id, by * 8 + bx AS pos,
+      |    CASE WHEN g > m THEN 1 ELSE 0 END AS b
+      |  FROM bm JOIN gm ON bm.id = gm.id),
+      |ham AS (SELECT a.id AS id_a, b.id AS id_b,
+      |    CAST(sum(abs(a.b - b.b)) AS BIGINT) AS hamming
+      |  FROM bits a JOIN bits b ON a.pos = b.pos AND a.id < b.id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, hamming FROM ham
+      |WHERE hamming <= 2 AND id_b >= 40
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Semantic dedup (SemDeDup): k-means clusters + within-cluster
     * cosine + connected components → the drop list (member → kept
     * representative). The oracle rebuilds the drop list from the
@@ -1729,7 +1824,9 @@ object PipelineQueries {
     "multimodal_image_neardup" -> multimodalImageNeardup _,
     "multimodal_audio_neardup" -> multimodalAudioNeardup _,
     "multimodal_video_neardup" -> multimodalVideoNeardup _,
-    "dedup_edit_distance" -> dedupEditDistance _)
+    "dedup_edit_distance" -> dedupEditDistance _,
+    "dedup_hamming_index_build" -> dedupHammingIndexBuild _,
+    "dedup_hamming_index_probe" -> dedupHammingIndexProbe _)
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -1777,5 +1874,7 @@ object PipelineQueries {
     "multimodal_image_neardup" -> multimodalImageNeardupSql,
     "multimodal_audio_neardup" -> multimodalAudioNeardupSql,
     "multimodal_video_neardup" -> multimodalVideoNeardupSql,
-    "dedup_edit_distance" -> dedupEditDistanceSql)
+    "dedup_edit_distance" -> dedupEditDistanceSql,
+    "dedup_hamming_index_build" -> dedupHammingIndexBuildSql,
+    "dedup_hamming_index_probe" -> dedupHammingIndexProbeSql)
 }

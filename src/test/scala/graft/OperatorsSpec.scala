@@ -1001,6 +1001,48 @@ class OperatorsSpec extends SparkSpec {
     assert((0L until 6L).forall(i => drops.contains((i + 100000, i))), drops.toString)
   }
 
+  test("hamming index: probe equals from-scratch pairs, append equals rebuild") {
+    val corpusMedia = Multimodal.imageTable((0L until 10L).toDF("doc_id"))
+    val corpus = Multimodal.imageAHash(corpusMedia)
+    val c = tempCollection("hamming_index")
+    DedupIndex.buildAndSaveHammingIndex(corpus, c, "img", radius = 2,
+      idCol = "media_id", hashCol = "ahash")
+    val idx = DedupIndex.HammingIndex.load(c, "img")
+    // batch: 3 fresh images + 2 payload copies of indexed ones
+    val fresh = Multimodal.imageTable((10L until 13L).toDF("doc_id"))
+    val copies = Multimodal.imageTable((0L until 2L).toDF("doc_id"))
+      .withColumn("media_id", $"media_id" + 100000)
+    val batch = Multimodal.imageAHash(fresh.unionByName(copies))
+    val got = DedupIndex.probeHammingIndex(idx, batch,
+        idCol = "media_id", hashCol = "ahash")
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    // oracle: from-scratch pairs over corpus ∪ batch, batch-side only
+    val batchIds = batch.select("media_id").as[Long].collect().toSet
+    val allPairs: Set[(Long, Long, Long)] =
+      Dedup.hammingPairs(corpus.unionByName(batch), radius = 2,
+          idCol = "media_id", hashCol = "ahash")
+        .as[(Long, Long, Long)].collect().toSet
+    val all = allPairs.filter(p => batchIds.contains(p._1) || batchIds.contains(p._2))
+    assert(got == all, s"probe diverged: ${(got -- all).take(3)} / ${(all -- got).take(3)}")
+    assert((0L until 2L).forall(i => got.contains((i, i + 100000, 0L))), got.toString)
+    // append survivors (the fresh images), then a rebuild must agree
+    val freshHashes = Multimodal.imageAHash(fresh)
+    DedupIndex.appendToHammingIndex(freshHashes, c, "img",
+      idCol = "media_id", hashCol = "ahash")
+    val appended = DedupIndex.HammingIndex.load(c, "img")
+    val c2 = tempCollection("hamming_rebuild")
+    DedupIndex.buildAndSaveHammingIndex(
+      Multimodal.imageAHash(corpusMedia.unionByName(fresh)), c2, "img",
+      radius = 2, idCol = "media_id", hashCol = "ahash")
+    val rebuilt = DedupIndex.HammingIndex.load(c2, "img")
+    val ar = appended.chunkRows.select("id", "h", "chunk", "key")
+      .as[(Long, Long, Int, Long)].collect().toSet
+    val rr = rebuilt.chunkRows.select("id", "h", "chunk", "key")
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(ar == rr, s"chunk rows diverged: ${(ar -- rr).take(3)} / ${(rr -- ar).take(3)}")
+    cleanup(c); cleanup(c2)
+  }
+
   test("minhash index load fails loudly when the LSH-shape metadata is missing") {
     val c = tempCollection("minhash_badmeta")
     // an item written outside the index API has no banding metadata —
