@@ -106,7 +106,15 @@ object Multimodal {
     * `decodeImage` hash-verifies the whole encode → store → decode
     * loop (PNG is lossless for RGB). Generation runs in the same
     * mapPartitions batch shape as decoding. */
-  def imageTable(ids: DataFrame, width: Int = 16, height: Int = 12): DataFrame = {
+  /** `rich = true` swaps the linear channel formulas for products of
+    * two linears mod 256 — pseudo-random per (id, x, y). The plain
+    * linear raster shifts by a CONSTANT mod 256 as id varies, and
+    * block-vs-global mean comparisons are translation-invariant except
+    * at wraps, so small ids all share one aHash; a fingerprint fixture
+    * needs the rich raster (measured: images 0..15 hash identically on
+    * the linear raster, all distinct on the rich one). */
+  def imageTable(ids: DataFrame, width: Int = 16, height: Int = 12,
+                 rich: Boolean = false): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("payload", BinaryType),
@@ -122,9 +130,12 @@ object Multimodal {
         while (y < height) {
           var x = 0
           while (x < width) {
-            val rr = ((id * 7 + x * 3 + y * 5) % 256).toInt
-            val gg = ((id * 11 + x + y * 2) % 256).toInt
-            val bb = ((id * 13 + x * 3 + y) % 256).toInt
+            val rr = (if (rich) ((id * 7 + x * 3 + y * 5) * (id * 13 + x * 7 + y * 11)) % 256
+                      else (id * 7 + x * 3 + y * 5) % 256).toInt
+            val gg = (if (rich) ((id * 11 + x + y * 2) * (id * 3 + x * 5 + y * 7)) % 256
+                      else (id * 11 + x + y * 2) % 256).toInt
+            val bb = (if (rich) ((id * 13 + x * 3 + y) * (id * 5 + x * 11 + y * 3)) % 256
+                      else (id * 13 + x * 3 + y) % 256).toInt
             img.setRGB(x, y, (rr << 16) | (gg << 8) | bb)
             x += 1
           }

@@ -481,7 +481,7 @@ object PipelineQueries {
   private def buildAndSaveHamming(s: SparkSession, dir: String): Unit = {
     val corpus = Multimodal.imageAHash(Multimodal.imageTable(
       Tables.t(s, dir, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 40)))
+        .filter(col("doc_id") < 40), rich = true))
     graft.operators.DedupIndex.buildAndSaveHammingIndex(corpus,
       hammingIndexCollection(s, dir), "img", radius = 2,
       idCol = "media_id", hashCol = "ahash", overwrite = true)
@@ -506,9 +506,9 @@ object PipelineQueries {
     """WITH ids AS (SELECT doc_id AS id, doc_id AS src FROM documents WHERE doc_id < 40),
       |px AS (SELECT i.id,
       |    (t1.x * 8) // 16 AS bx, (t2.y * 8) // 12 AS by,
-      |    (i.src * 7 + t1.x * 3 + t2.y * 5) % 256 +
-      |    (i.src * 11 + t1.x + t2.y * 2) % 256 +
-      |    (i.src * 13 + t1.x * 3 + t2.y) % 256 AS gray
+      |    (i.src * 7 + t1.x * 3 + t2.y * 5) * (i.src * 13 + t1.x * 7 + t2.y * 11) % 256 +
+      |    (i.src * 11 + t1.x + t2.y * 2) * (i.src * 3 + t1.x * 5 + t2.y * 7) % 256 +
+      |    (i.src * 13 + t1.x * 3 + t2.y) * (i.src * 5 + t1.x * 11 + t2.y * 3) % 256 AS gray
       |  FROM ids i, range(0, 16) t1(x), range(0, 12) t2(y)),
       |bm AS (SELECT id, by, bx, avg(gray) AS g FROM px GROUP BY 1, 2, 3),
       |gm AS (SELECT id, avg(g) AS m FROM bm GROUP BY 1),
@@ -530,8 +530,8 @@ object PipelineQueries {
     val idx = graft.operators.DedupIndex.HammingIndex.load(c, "img")
     val d = Tables.t(s, dir, "documents").select(col("doc_id"))
     val fresh = Multimodal.imageTable(
-      d.filter(col("doc_id") >= 40 && col("doc_id") < 48))
-    val copies = Multimodal.imageTable(d.filter(col("doc_id") < 8))
+      d.filter(col("doc_id") >= 40 && col("doc_id") < 48), rich = true)
+    val copies = Multimodal.imageTable(d.filter(col("doc_id") < 8), rich = true)
       .withColumn("media_id", col("media_id") + CopyIdOffset)
     val batch = Multimodal.imageAHash(fresh.unionByName(copies))
     graft.operators.DedupIndex.probeHammingIndex(idx, batch,
@@ -544,9 +544,9 @@ object PipelineQueries {
       |  UNION ALL SELECT doc_id + 100000, doc_id FROM documents WHERE doc_id < 8),
       |px AS (SELECT i.id,
       |    (t1.x * 8) // 16 AS bx, (t2.y * 8) // 12 AS by,
-      |    (i.src * 7 + t1.x * 3 + t2.y * 5) % 256 +
-      |    (i.src * 11 + t1.x + t2.y * 2) % 256 +
-      |    (i.src * 13 + t1.x * 3 + t2.y) % 256 AS gray
+      |    (i.src * 7 + t1.x * 3 + t2.y * 5) * (i.src * 13 + t1.x * 7 + t2.y * 11) % 256 +
+      |    (i.src * 11 + t1.x + t2.y * 2) * (i.src * 3 + t1.x * 5 + t2.y * 7) % 256 +
+      |    (i.src * 13 + t1.x * 3 + t2.y) * (i.src * 5 + t1.x * 11 + t2.y * 3) % 256 AS gray
       |  FROM ids i, range(0, 16) t1(x), range(0, 12) t2(y)),
       |bm AS (SELECT id, by, bx, avg(gray) AS g FROM px GROUP BY 1, 2, 3),
       |gm AS (SELECT id, avg(g) AS m FROM bm GROUP BY 1),
@@ -1530,8 +1530,8 @@ object PipelineQueries {
     * comparisons are order-independent and hash-stable). */
   def multimodalImageNeardup(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.t(s, dir, "documents").select(col("doc_id"))
-    val originals = Multimodal.imageTable(d.filter(col("doc_id") < 40))
-    val copies = Multimodal.imageTable(d.filter(col("doc_id") < 8))
+    val originals = Multimodal.imageTable(d.filter(col("doc_id") < 40), rich = true)
+    val copies = Multimodal.imageTable(d.filter(col("doc_id") < 8), rich = true)
       .withColumn("media_id", col("media_id") + CopyIdOffset)
     val media = originals.unionByName(copies)
     Dedup.hammingPairs(Multimodal.imageAHash(media), radius = 2,
@@ -1544,9 +1544,9 @@ object PipelineQueries {
       |  UNION ALL SELECT doc_id + 100000, doc_id FROM documents WHERE doc_id < 8),
       |px AS (SELECT i.id,
       |    (t1.x * 8) // 16 AS bx, (t2.y * 8) // 12 AS by,
-      |    (i.src * 7 + t1.x * 3 + t2.y * 5) % 256 +
-      |    (i.src * 11 + t1.x + t2.y * 2) % 256 +
-      |    (i.src * 13 + t1.x * 3 + t2.y) % 256 AS gray
+      |    (i.src * 7 + t1.x * 3 + t2.y * 5) * (i.src * 13 + t1.x * 7 + t2.y * 11) % 256 +
+      |    (i.src * 11 + t1.x + t2.y * 2) * (i.src * 3 + t1.x * 5 + t2.y * 7) % 256 +
+      |    (i.src * 13 + t1.x * 3 + t2.y) * (i.src * 5 + t1.x * 11 + t2.y * 3) % 256 AS gray
       |  FROM ids i, range(0, 16) t1(x), range(0, 12) t2(y)),
       |bm AS (SELECT id, by, bx, avg(gray) AS g FROM px GROUP BY 1, 2, 3),
       |gm AS (SELECT id, avg(g) AS m FROM bm GROUP BY 1),

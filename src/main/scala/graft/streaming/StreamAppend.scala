@@ -319,6 +319,77 @@ object StreamAppend {
       }
   }
 
+  /** Streaming deduped MEDIA ingest over a PERSISTED Hamming
+    * fingerprint index — [[intoMinhashIndex]]'s contract for any
+    * 64-bit signature stream (image aHash, audio band-energy, video
+    * temporal+spatial): each micro-batch probes the persisted chunk
+    * index (corpus never re-fingerprinted), drops matched rows
+    * (batch-batch pair → larger id dies; batch-corpus pair → the batch
+    * side dies), appends survivors in O(batch), and advances the
+    * transactional epoch watermark so re-delivered batches are
+    * skipped — exactly-once despite the non-idempotent KeepAll
+    * append. The first batch self-dedups with the batch operator and
+    * builds the index. */
+  def intoHammingIndex(stream: DataFrame,
+                       collection: Collection,
+                       name: String,
+                       radius: Int,
+                       idCol: String = "id",
+                       hashCol: String = "h"): DataStreamWriter[Row] = {
+    import graft.operators.DedupIndex
+    def lastApplied(): Long =
+      if (!collection.hasItem(s"${name}__epoch")) -1L
+      else collection.metadata(s"${name}__epoch").get("hamming_stream_batch") match {
+        case Some(org.json4s.JInt(i)) => i.toLong
+        case _ => -1L
+      }
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        def writeEpoch(): Unit =
+          collection.write(s"${name}__epoch", Seq(batchId).toDF("batch_id"),
+            indexCols = Seq("batch_id"),
+            metadata = Map("hamming_stream_batch" -> batchId), overwrite = true)
+        if (!batch.isEmpty && batchId > lastApplied()) {
+          if (!collection.hasItem(s"${name}__hchunks")) {
+            val pairs = graft.operators.Dedup.hammingPairs(batch, radius,
+              idCol, hashCol)
+            val drops = pairs.select(col("id_b").as("drop_id")).distinct()
+            val survivors = batch.join(drops,
+              batch(idCol) === drops("drop_id"), "left_anti")
+            DedupIndex.buildAndSaveHammingIndex(survivors, collection, name,
+              radius, idCol, hashCol)
+            ()
+          } else {
+            val idx = DedupIndex.HammingIndex.load(collection, name)
+            val pairs = DedupIndex.probeHammingIndex(idx, batch,
+              idCol = idCol, hashCol = hashCol)
+            val bIds = batch.select(col(idCol).as("bid"))
+            val drops = pairs
+              .join(bIds.select(col("bid").as("id_a"), lit(true).as("a_new")),
+                Seq("id_a"), "left")
+              .join(bIds.select(col("bid").as("id_b"), lit(true).as("b_new")),
+                Seq("id_b"), "left")
+              .select(when(col("a_new").isNotNull && col("b_new").isNotNull,
+                  greatest(col("id_a"), col("id_b")))
+                .when(col("a_new").isNotNull, col("id_a"))
+                .otherwise(col("id_b")).as("drop_id"))
+              .distinct()
+            val survivors = batch.join(drops,
+              batch(idCol) === drops("drop_id"), "left_anti")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            if (!survivors.isEmpty)
+              DedupIndex.appendToHammingIndex(survivors, collection, name,
+                idCol, hashCol)
+            survivors.unpersist(blocking = false)
+          }
+          writeEpoch()
+        }
+      }
+  }
+
   /** Streaming ANN SEARCH over a PERSISTED IVF index — continuous
     * vector-similarity serving (the query-side twin of the index-
     * maintenance sinks): each micro-batch of query vectors runs

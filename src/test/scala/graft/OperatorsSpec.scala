@@ -845,8 +845,8 @@ class OperatorsSpec extends SparkSpec {
 
   test("image aHash: payload copies hash identically, pigeonhole finds them at radius 0") {
     val ids = (0L until 10L).toDF("doc_id")
-    val originals = Multimodal.imageTable(ids)
-    val copies = Multimodal.imageTable((0L until 3L).toDF("doc_id"))
+    val originals = Multimodal.imageTable(ids, rich = true)
+    val copies = Multimodal.imageTable((0L until 3L).toDF("doc_id"), rich = true)
       .withColumn("media_id", $"media_id" + 100000)
     val hashes = Multimodal.imageAHash(originals.unionByName(copies))
     // copies carry the ORIGINAL payload -> identical hash
@@ -1002,15 +1002,15 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("hamming index: probe equals from-scratch pairs, append equals rebuild") {
-    val corpusMedia = Multimodal.imageTable((0L until 10L).toDF("doc_id"))
+    val corpusMedia = Multimodal.imageTable((0L until 10L).toDF("doc_id"), rich = true)
     val corpus = Multimodal.imageAHash(corpusMedia)
     val c = tempCollection("hamming_index")
     DedupIndex.buildAndSaveHammingIndex(corpus, c, "img", radius = 2,
       idCol = "media_id", hashCol = "ahash")
     val idx = DedupIndex.HammingIndex.load(c, "img")
     // batch: 3 fresh images + 2 payload copies of indexed ones
-    val fresh = Multimodal.imageTable((10L until 13L).toDF("doc_id"))
-    val copies = Multimodal.imageTable((0L until 2L).toDF("doc_id"))
+    val fresh = Multimodal.imageTable((10L until 13L).toDF("doc_id"), rich = true)
+    val copies = Multimodal.imageTable((0L until 2L).toDF("doc_id"), rich = true)
       .withColumn("media_id", $"media_id" + 100000)
     val batch = Multimodal.imageAHash(fresh.unionByName(copies))
     val got = DedupIndex.probeHammingIndex(idx, batch,

@@ -117,6 +117,44 @@ class StreamingSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("streaming media ingest: hamming index drops matched fingerprints, re-delivery safe") {
+    import graft.operators.{DedupIndex, Multimodal}
+    val c = tempCollection("stream_hamming")
+    val src = Files.createTempDirectory("graft_stream_hamming")
+    import spark.implicits._
+    def hashesOf(ids: Seq[Long], as: Map[Long, Long] = Map.empty): org.apache.spark.sql.DataFrame = {
+      val h = Multimodal.imageAHash(Multimodal.imageTable(ids.toDF("doc_id"), rich = true))
+      as.foldLeft(h) { case (df, (from, to)) =>
+        df.withColumn("media_id",
+          when($"media_id" === from, lit(to)).otherwise($"media_id"))
+      }
+    }
+    // batch 0: images 0..9 + an exact copy (id 500 carries image 0's hash)
+    val part1 = hashesOf(0L until 10L).unionByName(hashesOf(Seq(0L), Map(0L -> 500L)))
+    part1.write.mode("overwrite").parquet(s"$src/in")
+    val stream = spark.readStream.schema(part1.schema).parquet(s"$src/in")
+    def run(ckpt: String): Unit = StreamAppend.runToCompletion(
+      StreamAppend.intoHammingIndex(stream, c, "img", radius = 0,
+          idCol = "media_id", hashCol = "ahash")
+        .option("checkpointLocation", s"$src/$ckpt"))
+    run("ckpt")
+    def indexedIds(): Set[Long] = DedupIndex.HammingIndex.load(c, "img")
+      .chunkRows.select($"id").distinct().as[Long].collect().toSet
+    assert(indexedIds() == (0L until 10L).toSet, indexedIds().toString)
+    // batch 1: fresh images 10..14 + a copy of INDEXED image 3 (id 600)
+    hashesOf(10L until 15L).unionByName(hashesOf(Seq(3L), Map(3L -> 600L)))
+      .write.mode("append").parquet(s"$src/in")
+    run("ckpt")
+    assert(indexedIds() == (0L until 15L).toSet, indexedIds().toString)
+    // fresh checkpoint re-delivers both batches; epoch watermark skips
+    run("ckpt2")
+    val rows = DedupIndex.HammingIndex.load(c, "img").chunkRows.count()
+    assert(rows == 15L, s"chunk rows after re-delivery: $rows")
+
+    FsOps.deleteRecursively(src)
+    cleanup(c)
+  }
+
   test("streaming IVF search: persisted index serves each batch, results idempotent") {
     import graft.operators.Similarity
     val c = tempCollection("stream_ivf")
