@@ -495,6 +495,7 @@ object Multimodal {
         while (pos + 8 <= bytes.length) {
           val tag = new String(bytes, pos, 4, "US-ASCII")
           val len = bb.getInt(pos + 4)
+          require(len >= 0, s"attenuateAudio: media $id has corrupt chunk length $len")
           if (tag == "data") {
             var p = pos + 8
             val end = math.min(pos + 8 + len, bytes.length)

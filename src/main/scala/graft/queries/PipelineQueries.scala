@@ -469,7 +469,7 @@ object PipelineQueries {
   /** Deterministic per-SF store for the persisted Hamming fingerprint
     * index — built by `dedup_hamming_index_build`, probed by
     * `dedup_hamming_index_probe`. */
-  private def hammingIndexCollection(s: SparkSession, dir: String): graft.store.Collection = {
+  private[graft] def hammingIndexCollection(s: SparkSession, dir: String): graft.store.Collection = {
     val src = new java.io.File(dir, "documents.parquet")
     val fp = s"${src.length}_${src.lastModified}"
     val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),

@@ -89,6 +89,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("edit-distance join: segment-filter equi-joins, never nested loop") {
+    val p = plan("dedup_edit_distance")
+    assert(!p.contains("BroadcastNestedLoop"),
+      "segment filter degenerated to nested loop")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"))
+  }
+
+  test("hamming index probe: batch key list prunes the persisted chunk scan") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup => _, _}
+    // force the localization path (plan-stats threshold 0 = always)
+    SparkEntry.queries("dedup_hamming_index_build")(spark, dir).count()
+    val c = graft.queries.PipelineQueries.hammingIndexCollection(spark, dir)
+    val idx = DedupIndex.HammingIndex.load(c, "img")
+    val batch = Multimodal.imageAHash(Multimodal.imageTable(
+      spark.range(40, 44).toDF("doc_id"), rich = true))
+    val p = DedupIndex.probeHammingIndex(idx, batch, idCol = "media_id",
+        hashCol = "ahash", localizeBytes = 0L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [In(key") || p.contains("In(key,"),
+      s"expected key IN pushdown in chunk scan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("hash kernels run inside whole-stage codegen (no fallback)") {
     // MinHashBands/ShingleSet generate static kernel calls; a
     // regression to CodegenFallback (or a Janino error in the
