@@ -596,9 +596,15 @@ object Dedup {
     * on content keys, then one native `levenshtein` verify per
     * candidate. No length bucket scans, no cartesian: the join keys
     * are content-uniform and the probe fan-out is the constant
-    * (d+1)²·(2d+1). Strings shorter than maxDist+1 chars are excluded
-    * (their segments would be empty; they'd match everything anyway).
-    * Returns (id_a, id_b, dist) with id_a < id_b. */
+    * (d+1)²·(2d+1). Join keys are 64-bit xxhash64 of the segment (a
+    * collision only adds a verified-away candidate), so the candidate
+    * shuffle carries 3 longs/row regardless of string length. Strings
+    * shorter than maxDist+1 chars are excluded (their segments would
+    * be empty; they'd match everything anyway). Returns (id_a, id_b,
+    * dist) with id_a < id_b. Skew honesty: a segment shared verbatim
+    * by k strings (boilerplate) produces a k² candidate bucket — run
+    * exact dedup first (the curation-pipeline order) so identical
+    * texts never reach the segment join. */
   def editDistancePairs(docs: DataFrame,
                         maxDist: Int,
                         idCol: String = "id",
@@ -618,7 +624,11 @@ object Dedup {
       .withColumn("start", expr(s"(j * l) div $nSeg"))
       .withColumn("seglen", expr(s"((j + 1) * l) div $nSeg - start"))
       .select(col("id").as("id_b"), col("l").as("lb"), col("j"),
-        expr("substring(t, start + 1, seglen)").as("seg"))
+        // join on a 64-bit hash of the segment, not the segment text:
+        // segments grow with string length (len/(d+1) chars) and would
+        // dominate the candidate shuffle at corpus scale; a hash
+        // collision only adds a candidate the levenshtein verify drops
+        xxhash64(expr("substring(t, start + 1, seglen)")).as("seg"))
     // probe side: substrings of a at segment geometry of every candidate
     // shorter-or-equal length, shifted by [-d, d]; invalid positions drop
     val probes = base
@@ -633,7 +643,7 @@ object Dedup {
       .withColumn("p", col("start") + col("shift"))
       .filter(col("p") >= 0 && col("p") + col("seglen") <= col("l"))
       .select(col("id").as("id_a"), col("lp"), col("j"),
-        expr("substring(t, p + 1, seglen)").as("seg"))
+        xxhash64(expr("substring(t, p + 1, seglen)")).as("seg"))
       .distinct()
     val candidates = probes.join(segs,
         probes("lp") === segs("lb") && probes("j") === segs("j") &&
