@@ -64,6 +64,77 @@ class PropertySpec extends SparkSpec {
     assert(zOf(1L << 15, 0) > zOf(1L, 0) && zOf(0, 1L << 15) > zOf(0, 1L))
   }
 
+  test("property: hammingPairs equals brute force at every radius (seeded hashes)") {
+    import graft.operators.Dedup
+    val rng = new Random(11)
+    // clustered hashes: seeds + small perturbations, so every radius
+    // class is populated (uniform 64-bit hashes would never collide)
+    val seeds = Seq.fill(6)(rng.nextLong())
+    val hashes = seeds.zipWithIndex.flatMap { case (s, i) =>
+      (0 until 5).map { k =>
+        var h = s
+        (0 until rng.nextInt(5)).foreach(_ => h ^= 1L << rng.nextInt(64))
+        (i * 10L + k, h)
+      }
+    }
+    val df = hashes.toDF("id", "h")
+    for (radius <- 0 to 3) {
+      val got = Dedup.hammingPairs(df, radius)
+        .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect().toSet
+      val expected = (for {
+        (a, ha) <- hashes; (b, hb) <- hashes if a < b
+        d = java.lang.Long.bitCount(ha ^ hb) if d <= radius
+      } yield (a, b, d.toLong)).toSet
+      assert(got == expected,
+        s"radius $radius: missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    }
+  }
+
+  test("property: editDistancePairs equals brute-force levenshtein (seeded strings)") {
+    import graft.operators.Dedup
+    val rng = new Random(13)
+    val alphabet = "abcd" // small alphabet -> plenty of near pairs
+    def randStr(n: Int): String =
+      (0 until n).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
+        if (i == 0) j else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    // base strings + mutated neighbors (insert/delete/substitute chains)
+    val base = Seq.fill(8)(randStr(rng.nextInt(8) + 6))
+    val strs = base.zipWithIndex.flatMap { case (s, i) =>
+      val muts = (0 until 3).map { k =>
+        var t = s
+        (0 to rng.nextInt(3)).foreach { _ =>
+          val p = rng.nextInt(t.length)
+          rng.nextInt(3) match {
+            case 0 => t = t.take(p) + alphabet(rng.nextInt(4)) + t.drop(p) // insert
+            case 1 if t.length > 4 => t = t.take(p) + t.drop(p + 1)        // delete
+            case _ => t = t.updated(p, alphabet(rng.nextInt(4)))           // substitute
+          }
+        }
+        (i * 10L + k + 1, t)
+      }
+      Seq((i * 10L, s)) ++ muts
+    }
+    val df = strs.toDF("id", "text")
+    for (d <- 1 to 3) {
+      val got = Dedup.editDistancePairs(df, maxDist = d)
+        .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().toSet
+      val expected = (for {
+        (a, sa) <- strs; (b, sb) <- strs
+        if a < b && sa.length > d && sb.length > d
+        dist = lev(sa, sb) if dist <= d
+      } yield (a, b, dist.toLong)).toSet
+      assert(got == expected,
+        s"maxDist $d: missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    }
+  }
+
   test("property: append keep_last is idempotent (re-appending the same batch is a no-op)") {
     for (seed <- 1 to 5) {
       val rng = new Random(seed)
