@@ -412,7 +412,11 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val samples = decodePcm16(bytes)
+        // corrupt payload -> sentinel hash 0, same contract as the
+        // image/video fingerprints: one bad file never fails the task
+        val samples =
+          try decodePcm16(bytes)
+          catch { case _: Exception => Array.empty[Short] }
         val n = samples.length
         if (n == 0) Row(id, 0L)
         else {

@@ -871,6 +871,11 @@ class OperatorsSpec extends SparkSpec {
     assert((0L until 4L).forall(i => pairs.contains((i, i + 100000))), pairs.toString)
     // distinct clips are ~32 bits apart — none should collide at radius 3
     assert(pairs.forall { case (a, b) => b - a == 100000 }, pairs.toString)
+    // corrupt payload -> sentinel hash 0, no task failure
+    val corrupt = originals.limit(1)
+      .withColumn("payload", lit(Array[Byte](9, 9, 9)))
+    val h = Multimodal.audioFingerprint(corrupt).select("afp").as[Long].collect()
+    assert(h.sameElements(Array(0L)))
   }
 
   test("video fingerprint: brightness-shifted copies stay within Hamming 3; corrupt container hashes to 0") {
