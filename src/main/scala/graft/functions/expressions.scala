@@ -301,6 +301,52 @@ object expressions {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** [[WinnowFingerprint]]'s set-emitting twin: the distinct selected
+    * window-min hashes as an array, for CROSS-document overlap joins
+    * (substring-duplication detection) where the summary struct isn't
+    * enough. Same arithmetic, same one pass per row. */
+  case class WinnowFingerprintSet(child: Expression, k: Int, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k > 0 && w > 0)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    private val M = 2147483647L // 2^31 - 1
+    private val B = 257L
+
+    private def polyHash(s: String): Long = {
+      var h = 0L
+      val it = s.codePoints().iterator()
+      while (it.hasNext) h = (h * B + it.next().intValue()) % M
+      h
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val toks = Array.tabulate(n)(i => arr.getUTF8String(i).toString)
+      val grams: Array[Long] =
+        if (n < k) Array(polyHash(toks.mkString(" ")))
+        else Array.tabulate(n - k + 1)(i => polyHash(toks.slice(i, i + k).mkString(" ")))
+      val nWin = math.max(grams.length - w + 1, 1)
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var i = 0
+      while (i < nWin) {
+        var m = Long.MaxValue
+        var j = i
+        val end = math.min(i + w, grams.length)
+        while (j < end) { if (grams(j) < m) m = grams(j); j += 1 }
+        seen.add(m)
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var p = 0
+      while (it.hasNext) { out(p) = it.next(); p += 1 }
+      ArrayData.toArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** Single-pass token statistics over a token array: token count,
     * BPE-ish subword estimate (Σ max(1, ⌈len/4⌉)), stopword hits, and
     * total word length. One loop per row — the higher-order-function
@@ -461,6 +507,8 @@ object expressions {
     column(RepetitionStats(expression(tokens)))
   def winnow_fp(tokens: Column, k: Int, w: Int): Column =
     column(WinnowFingerprint(expression(tokens), k, w))
+  def winnow_fp_set(tokens: Column, k: Int, w: Int): Column =
+    column(WinnowFingerprintSet(expression(tokens), k, w))
   def text_stats(tokens: Column, stopwords: Seq[String]): Column =
     column(TextStats(expression(tokens), stopwords))
   def marker_counts(tokens: Column, profiles: Seq[Seq[String]]): Column =

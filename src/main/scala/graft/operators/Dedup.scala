@@ -660,6 +660,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Substring-duplication detection (public literature: winnowing,
+    * Schleimer et al.; dedup motivation per Lee et al. "Deduplicating
+    * Training Data"): pairs of documents sharing ≥ `minShared`
+    * winnowed k-gram fingerprints — catches copy-paste overlap between
+    * otherwise-different documents, which whole-document Jaccard and
+    * MinHash dilute away. One fingerprint pass per row (native
+    * kernel), then a fingerprint-keyed equi-join. Fingerprints
+    * appearing in more than `maxDocFreq` documents are dropped FIRST —
+    * a ubiquitous fingerprint (boilerplate) contributes df² candidate
+    * pairs and no dedup signal; the cap is part of the operator
+    * contract, not an approximation knob (pairs sharing only
+    * boilerplate are exactly the pairs the operator should NOT emit).
+    * Returns (id_a, id_b, n_shared) with id_a < id_b. */
+  def substringDuplicationPairs(docs: DataFrame,
+                                minShared: Int = 5,
+                                maxDocFreq: Int = 50,
+                                k: Int = 5,
+                                w: Int = 4,
+                                idCol: String = "doc_id",
+                                textCol: String = "text"): DataFrame = {
+    require(minShared >= 1 && maxDocFreq >= 2)
+    val fps = spread(docs).select(col(idCol).cast("long").as("id"),
+      explode(graft.functions.expressions.winnow_fp_set(
+        TextAnalysis.tokens(TextAnalysis.normalize(col(textCol))), k, w)).as("fp"))
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select("fp")
+    val pruned = fps.join(rare, Seq("fp"), "left_semi")
+    pruned.as("a").join(pruned.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("id_a"), col("id_b"), col("n_shared"))
+  }
+
   // ------------------------------------------- embedding cosine near-dup
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold — the same

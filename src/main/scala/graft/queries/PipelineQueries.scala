@@ -1459,6 +1459,50 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Substring-duplication detection: document pairs sharing ≥ 5
+    * winnowed 5-gram fingerprints (boilerplate fingerprints in > 50
+    * docs dropped first — the df-cap is the operator contract). The
+    * planted overlaps are 60%-prefix excerpts of docs 0..7 riding
+    * under +100000 ids — partial copies whole-document Jaccard would
+    * dilute below any sane threshold. The oracle replays the entire
+    * pipeline in SQL: normalize → k-gram polynomial hashes → window
+    * minima → distinct → df cap → overlap counts. */
+  def textSubstringDup(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = base.filter(col("doc_id") < 8)
+      .select((col("doc_id") + CopyIdOffset).as("doc_id"),
+        expr("substring(text, 1, (length(text)*3) div 5)").as("text"))
+    Dedup.substringDuplicationPairs(base.unionByName(planted))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val textSubstringDupSql: String = {
+    val gram = "array_to_string(toks[i:i+4], ' ')"
+    val whole = "array_to_string(toks, ' ')"
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 100000, substr(text, 1, (length(text)*3)//5)
+       |  FROM documents WHERE doc_id < 8),
+       |tok AS (SELECT doc_id, $normTokensSql AS toks FROM corpus),
+       |g AS (SELECT doc_id,
+       |  CASE WHEN len(toks) < 5 THEN [${polyHashSql(whole)}]
+       |       ELSE list_transform(range(1, len(toks) - 3),
+       |              i -> ${polyHashSql(gram)}) END AS grams
+       |  FROM tok),
+       |m AS (SELECT doc_id, grams,
+       |  list_transform(range(0, greatest(len(grams) - 3, 1)),
+       |    i -> list_min(grams[i+1:i+4])) AS mins
+       |  FROM g),
+       |fps AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m),
+       |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+       |pr AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // -------------------------------------------------------- multimodal
 
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =
@@ -1826,7 +1870,8 @@ object PipelineQueries {
     "multimodal_video_neardup" -> multimodalVideoNeardup _,
     "dedup_edit_distance" -> dedupEditDistance _,
     "dedup_hamming_index_build" -> dedupHammingIndexBuild _,
-    "dedup_hamming_index_probe" -> dedupHammingIndexProbe _)
+    "dedup_hamming_index_probe" -> dedupHammingIndexProbe _,
+    "text_substring_dup" -> textSubstringDup _)
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -1876,5 +1921,6 @@ object PipelineQueries {
     "multimodal_video_neardup" -> multimodalVideoNeardupSql,
     "dedup_edit_distance" -> dedupEditDistanceSql,
     "dedup_hamming_index_build" -> dedupHammingIndexBuildSql,
-    "dedup_hamming_index_probe" -> dedupHammingIndexProbeSql)
+    "dedup_hamming_index_probe" -> dedupHammingIndexProbeSql,
+    "text_substring_dup" -> textSubstringDupSql)
 }

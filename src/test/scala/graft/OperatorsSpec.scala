@@ -915,6 +915,31 @@ class OperatorsSpec extends SparkSpec {
       got.toString)
   }
 
+  test("substring duplication: shared chunk found, boilerplate df-cap suppresses pairs") {
+    val chunk = "the quick brown fox jumps over the lazy dog near the riverbank every morning"
+    val boiler = "this document is provided as is without warranty of any kind"
+    val rows = Seq(
+      (1L, s"alpha beta gamma $chunk delta epsilon"),
+      (2L, s"one two three four five six $chunk seven eight"),
+      (3L, "completely unrelated words about cooking pasta with tomatoes and basil leaves today"),
+      (4L, s"intro text $boiler closing text one"),
+      (5L, s"other opening $boiler different ending two"),
+      (6L, s"third preamble $boiler third ending three")
+    ).toDF("doc_id", "text")
+    // chunk-sharing pair found at minShared 3
+    val got = Dedup.substringDuplicationPairs(rows, minShared = 3, maxDocFreq = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)), got.toString)
+    assert(!got.exists { case (a, b) => a == 3L || b == 3L }, got.toString)
+    // boilerplate cap: fps shared by all three boiler docs die at maxDocFreq 2,
+    // so 4/5/6 pair only if they share NON-boiler fingerprints (they don't)
+    val capped = Dedup.substringDuplicationPairs(rows, minShared = 3, maxDocFreq = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!capped.exists { case (a, b) => a >= 4L && b >= 4L && b <= 6L },
+      capped.toString)
+    assert(capped.contains((1L, 2L)), capped.toString)
+  }
+
   test("profile sidecars: persisted partials merge to the full-scan profile") {
     val o = sf("orders")
     val cols = Seq("o_totalprice", "o_custkey")
