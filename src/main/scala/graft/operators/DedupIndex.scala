@@ -224,6 +224,113 @@ object DedupIndex {
       retained)
   }
 
+  // ----------------------------------- persisted winnow-fingerprint index
+
+  /** PERSISTED substring-duplication index — the build/probe split of
+    * [[Dedup.substringDuplicationPairs]]: the corpus is winnowed ONCE,
+    * its df-capped fingerprint rows persisted fp-indexed (uniform
+    * poly-hash values → tight per-row-group fp ranges), and every
+    * incoming batch probes by fingerprint equi-join in
+    * O(batch + candidates) — corpus text never re-tokenized. The df
+    * cap is applied at BUILD time over the corpus (boilerplate
+    * fingerprints never enter the index); [[appendToWinnowIndex]]
+    * appends new docs' fingerprints WITHOUT re-capping — like a Lucene
+    * segment, a compaction/rebuild re-evaluates the cap. Probe emits
+    * batch×corpus pairs only; in-batch self-dedup is the one-shot
+    * operator's job. */
+  final case class WinnowIndex(fps: DataFrame, k: Int, w: Int, maxDocFreq: Int) {
+    def save(c: graft.store.Collection, name: String,
+             overwrite: Boolean = true): Unit =
+      c.write(s"${name}__wfps", fps, indexCols = Seq("fp"),
+        metadata = Map("winnow_k" -> k, "winnow_w" -> w,
+          "winnow_max_df" -> maxDocFreq), overwrite = overwrite)
+  }
+
+  object WinnowIndex {
+    def load(c: graft.store.Collection, name: String): WinnowIndex = {
+      val meta = c.metadata(s"${name}__wfps")
+      def intOf(key: String): Int = meta.get(key) match {
+        case Some(org.json4s.JInt(i)) => i.toInt
+        case other => throw new IllegalStateException(
+          s"bad $key in winnow index metadata: $other")
+      }
+      WinnowIndex(c.item(s"${name}__wfps").data,
+        intOf("winnow_k"), intOf("winnow_w"), intOf("winnow_max_df"))
+    }
+  }
+
+  private def winnowFpFrame(docs: DataFrame, k: Int, w: Int,
+                            textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("id"),
+      explode(graft.functions.expressions.winnow_fp_set(
+        TextAnalysis.tokens(TextAnalysis.normalize(col(textCol))), k, w)).as("fp"))
+
+  def buildAndSaveWinnowIndex(docs: DataFrame,
+                              c: graft.store.Collection,
+                              name: String,
+                              maxDocFreq: Int = 50,
+                              k: Int = 5,
+                              w: Int = 4,
+                              textCol: String = "text",
+                              idCol: String = "doc_id",
+                              overwrite: Boolean = true): WinnowIndex = {
+    val fps = winnowFpFrame(docs, k, w, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq).select("fp")
+    WinnowIndex(fps.join(rare, Seq("fp"), "left_semi"), k, w, maxDocFreq)
+      .save(c, name, overwrite)
+    fps.unpersist(blocking = false)
+    WinnowIndex.load(c, name)
+  }
+
+  /** Substring-overlap pairs of a NEW batch against the indexed
+    * corpus — (id_a, id_b, n_shared) with id_a < id_b, n_shared ≥
+    * `minShared` shared fingerprints. The batch is winnowed once; its
+    * bounded fingerprint list prunes the persisted scan (fp-IN
+    * row-group pruning when driver-bounded). */
+  def probeWinnowIndex(index: WinnowIndex,
+                       newDocs: DataFrame,
+                       minShared: Int = 5,
+                       textCol: String = "text",
+                       idCol: String = "doc_id",
+                       maxProbeFps: Int = 100000,
+                       localizeBytes: Long = 256L << 20): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val newFps = winnowFpFrame(newDocs, index.k, index.w, textCol, idCol)
+      .persist(mem)
+    val oldFps =
+      if (graft.store.Partitioner.estimatedBytes(index.fps) >= localizeBytes) {
+        val keys = newFps.select(col("fp")).distinct()
+          .limit(maxProbeFps + 1).collect().map(_.getLong(0)).toSeq
+        if (keys.size <= maxProbeFps && keys.nonEmpty)
+          index.fps.filter(col("fp").isin(keys: _*))
+        else index.fps
+      } else index.fps
+    newFps.as("n").join(oldFps.as("o"),
+        col("n.fp") === col("o.fp") && col("n.id") =!= col("o.id"))
+      .select(col("n.id").as("id_n"), col("o.id").as("id_o"))
+      .groupBy("id_n", "id_o").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"), col("n_shared"))
+  }
+
+  /** Incrementally index new documents — O(new docs): their fingerprint
+    * rows APPEND (KeepAll; no df re-cap — rebuild/compaction re-caps,
+    * the Lucene-segment contract). */
+  def appendToWinnowIndex(newDocs: DataFrame,
+                          c: graft.store.Collection,
+                          name: String,
+                          textCol: String = "text",
+                          idCol: String = "doc_id"): WinnowIndex = {
+    val idx = WinnowIndex.load(c, name)
+    c.append(s"${name}__wfps",
+      winnowFpFrame(newDocs, idx.k, idx.w, textCol, idCol),
+      graft.store.DuplicateHandling.KeepAll)
+    WinnowIndex.load(c, name)
+  }
+
   // ---------------------------------------- persisted Hamming index
 
   /** PERSISTED pigeonhole Hamming index over any 64-bit signature

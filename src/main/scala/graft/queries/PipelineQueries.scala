@@ -1503,6 +1503,115 @@ object PipelineQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Deterministic per-SF store for the persisted winnow-fingerprint
+    * (substring-dup) index. */
+  private def winnowIndexCollection(s: SparkSession, dir: String): graft.store.Collection = {
+    val src = new java.io.File(dir, "documents.parquet")
+    val fp = s"${src.length}_${src.lastModified}"
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_verify", s"winnow_index_${new java.io.File(dir).getName}_$fp")
+    java.nio.file.Files.createDirectories(root)
+    graft.store.GraftStore(s, "store", root).collection("winnow")
+  }
+
+  private def buildAndSaveWinnow(s: SparkSession, dir: String): Unit = {
+    val docs = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+    graft.operators.DedupIndex.buildAndSaveWinnowIndex(docs,
+      winnowIndexCollection(s, dir), "wf", overwrite = true)
+  }
+
+  /** Winnow-fingerprint index BUILD: one corpus winnow pass → df-capped
+    * fingerprint rows persisted fp-indexed. Emits structural proof the
+    * oracle recomputes from scratch (row count, distinct fingerprints,
+    * exact fingerprint sum) — a green hash proves the persisted rows
+    * match a from-scratch winnow + cap derivation value for value. */
+  def textSubstringIndexBuild(s: SparkSession, dir: String): DataFrame = {
+    buildAndSaveWinnow(s, dir)
+    val idx = graft.operators.DedupIndex.WinnowIndex.load(
+      winnowIndexCollection(s, dir), "wf")
+    idx.fps.agg(count(lit(1)).as("n_rows"),
+      count_distinct(col("fp")).as("n_distinct_fp"),
+      sum(col("fp")).as("fp_sum"))
+  }
+
+  val textSubstringIndexBuildSql: String = {
+    val gram = "array_to_string(toks[i:i+4], ' ')"
+    val whole = "array_to_string(toks, ' ')"
+    s"""WITH tok AS (SELECT doc_id, $normTokensSql AS toks FROM documents),
+       |g AS (SELECT doc_id,
+       |  CASE WHEN len(toks) < 5 THEN [${polyHashSql(whole)}]
+       |       ELSE list_transform(range(1, len(toks) - 3),
+       |              i -> ${polyHashSql(gram)}) END AS grams
+       |  FROM tok),
+       |m AS (SELECT doc_id, grams,
+       |  list_transform(range(0, greatest(len(grams) - 3, 1)),
+       |    i -> list_min(grams[i+1:i+4])) AS mins
+       |  FROM g),
+       |fps AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m),
+       |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+       |pr AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp)
+       |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
+       |  CAST(sum(fp) AS BIGINT) AS fp_sum
+       |FROM pr""".stripMargin
+  }
+
+  /** Winnow-fingerprint index PROBE — incremental substring-dup, the
+    * hot path: a NEW batch (60%-prefix excerpts of docs 0..7 under
+    * +100000 ids) is winnowed once and joined against the PERSISTED
+    * df-capped corpus fingerprints; corpus text never re-tokenized.
+    * Oracle = the same pipeline from scratch on both sides. */
+  def textSubstringIndexProbe(s: SparkSession, dir: String): DataFrame = {
+    val c = winnowIndexCollection(s, dir)
+    if (!c.hasItem("wf__wfps")) buildAndSaveWinnow(s, dir) // verify-order safety
+    val idx = graft.operators.DedupIndex.WinnowIndex.load(c, "wf")
+    val batch = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 8)
+      .select((col("doc_id") + CopyIdOffset).as("doc_id"),
+        expr("substring(text, 1, (length(text)*3) div 5)").as("text"))
+    graft.operators.DedupIndex.probeWinnowIndex(idx, batch, minShared = 5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val textSubstringIndexProbeSql: String = {
+    val gram = "array_to_string(toks[i:i+4], ' ')"
+    val whole = "array_to_string(toks, ' ')"
+    s"""WITH tok AS (SELECT doc_id, $normTokensSql AS toks FROM documents),
+       |g AS (SELECT doc_id,
+       |  CASE WHEN len(toks) < 5 THEN [${polyHashSql(whole)}]
+       |       ELSE list_transform(range(1, len(toks) - 3),
+       |              i -> ${polyHashSql(gram)}) END AS grams
+       |  FROM tok),
+       |m AS (SELECT doc_id, grams,
+       |  list_transform(range(0, greatest(len(grams) - 3, 1)),
+       |    i -> list_min(grams[i+1:i+4])) AS mins
+       |  FROM g),
+       |fps AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m),
+       |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+       |corpus AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp),
+       |btok AS (SELECT doc_id + 100000 AS doc_id,
+       |    string_split_regex(trim(regexp_replace(regexp_replace(lower(
+       |      substr(text, 1, (length(text)*3)//5)),
+       |      '[[:punct:]]', ' ', 'g'), '\\s+', ' ', 'g')), '\\s+') AS toks
+       |  FROM documents WHERE doc_id < 8),
+       |bg AS (SELECT doc_id,
+       |  CASE WHEN len(toks) < 5 THEN [${polyHashSql(whole)}]
+       |       ELSE list_transform(range(1, len(toks) - 3),
+       |              i -> ${polyHashSql(gram)}) END AS grams
+       |  FROM btok),
+       |bm AS (SELECT doc_id, grams,
+       |  list_transform(range(0, greatest(len(grams) - 3, 1)),
+       |    i -> list_min(grams[i+1:i+4])) AS mins
+       |  FROM bg),
+       |bfps AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM bm),
+       |p AS (SELECT c.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM bfps b JOIN corpus c ON b.fp = c.fp
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // -------------------------------------------------------- multimodal
 
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =
@@ -1871,7 +1980,9 @@ object PipelineQueries {
     "dedup_edit_distance" -> dedupEditDistance _,
     "dedup_hamming_index_build" -> dedupHammingIndexBuild _,
     "dedup_hamming_index_probe" -> dedupHammingIndexProbe _,
-    "text_substring_dup" -> textSubstringDup _)
+    "text_substring_dup" -> textSubstringDup _,
+    "text_substring_index_build" -> textSubstringIndexBuild _,
+    "text_substring_index_probe" -> textSubstringIndexProbe _)
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -1922,5 +2033,7 @@ object PipelineQueries {
     "dedup_edit_distance" -> dedupEditDistanceSql,
     "dedup_hamming_index_build" -> dedupHammingIndexBuildSql,
     "dedup_hamming_index_probe" -> dedupHammingIndexProbeSql,
-    "text_substring_dup" -> textSubstringDupSql)
+    "text_substring_dup" -> textSubstringDupSql,
+    "text_substring_index_build" -> textSubstringIndexBuildSql,
+    "text_substring_index_probe" -> textSubstringIndexProbeSql)
 }

@@ -1073,6 +1073,40 @@ class OperatorsSpec extends SparkSpec {
     cleanup(c); cleanup(c2)
   }
 
+  test("winnow index: probe matches one-shot cross pairs, append indexes new docs") {
+    val docs = sf("documents").select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" < 60)
+    val c = tempCollection("winnow_index")
+    DedupIndex.buildAndSaveWinnowIndex(corpus, c, "wf")
+    val idx = DedupIndex.WinnowIndex.load(c, "wf")
+    // batch: prefix excerpts of docs 0..3
+    val batch = docs.filter($"doc_id" < 4)
+      .select(($"doc_id" + 100000).as("doc_id"),
+        expr("substring(text, 1, (length(text)*3) div 5)").as("text"))
+    val got = DedupIndex.probeWinnowIndex(idx, batch, minShared = 3)
+      .select("id_a", "id_b", "n_shared").as[(Long, Long, Long)].collect().toSet
+    // one-shot oracle: cross pairs of corpus ∪ batch, batch-side only
+    val oneShot: Set[(Long, Long, Long)] =
+      Dedup.substringDuplicationPairs(corpus.unionByName(batch), minShared = 3)
+        .as[(Long, Long, Long)].collect().toSet
+    val cross = oneShot.filter(p => p._2 >= 100000 && p._1 < 100000)
+    // the one-shot caps df over corpus∪batch; with a small batch of
+    // excerpts the capped sets coincide, so cross pairs must agree
+    assert(got == cross, s"probe diverged: ${(got -- cross).take(3)} / ${(cross -- got).take(3)}")
+    assert(got.exists { case (a, b, _) => a == 0L && b == 100000L }, got.toString)
+    // append: new docs' fingerprints land; a later probe sees them
+    DedupIndex.appendToWinnowIndex(
+      docs.filter($"doc_id" >= 60 && $"doc_id" < 70), c, "wf")
+    val idx2 = DedupIndex.WinnowIndex.load(c, "wf")
+    val probe2 = DedupIndex.probeWinnowIndex(idx2,
+        docs.filter($"doc_id" === 65L)
+          .select(($"doc_id" + 200000).as("doc_id"), $"text"),
+        minShared = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(probe2.contains((65L, 200065L)), probe2.toString)
+    cleanup(c)
+  }
+
   test("minhash index load fails loudly when the LSH-shape metadata is missing") {
     val c = tempCollection("minhash_badmeta")
     // an item written outside the index API has no banding metadata —
