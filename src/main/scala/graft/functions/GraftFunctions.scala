@@ -62,6 +62,11 @@ object GraftFunctions {
       expressions.WinnowFingerprint(args(0), intArg(args(1), "k"),
         intArg(args(2), "w"))
     },
+    "graft_winnow_fp_set" -> { args =>
+      require(args.length == 3, "graft_winnow_fp_set(tokens, k, w)")
+      expressions.WinnowFingerprintSet(args(0), intArg(args(1), "k"),
+        intArg(args(2), "w"))
+    },
     "graft_repetition" -> { args =>
       require(args.length == 1, "graft_repetition(tokens)")
       expressions.RepetitionStats(args(0))

@@ -784,12 +784,14 @@ class OperatorsSpec extends SparkSpec {
       """SELECT graft_cosine(v1, v2) AS cos,
         |       graft_simhash(split(text, ' ')) AS sh,
         |       graft_winnow_fp(split(text, ' '), 2, 2).n_grams AS ng,
+        |       size(graft_winnow_fp_set(split(text, ' '), 2, 2)) AS nfp,
         |       graft_repetition(split(text, ' ')).n_distinct AS nd,
         |       graft_pq_adc(array(1, 0), array(0.5D, 1.5D, 2.5D, 3.5D), 2) AS adc,
         |       graft_interleave_bits(array(2L, 1L), 2) AS z
         |FROM gf_probe""".stripMargin).head()
     assert(math.abs(r.getAs[Double]("cos") - 1.0) < 1e-12)
     assert(r.getAs[Long]("ng") == 3L) // 4 tokens, k=2 -> 3 grams
+    assert(r.getAs[Int]("nfp") >= 1) // set kernel emits the selected minima
     assert(r.getAs[Int]("nd") == 4)
     // lut stride 2: codes (1,0) -> lut[0*2+1] + lut[1*2+0] = 1.5 + 2.5
     assert(math.abs(r.getAs[Double]("adc") - 4.0) < 1e-12)
