@@ -319,6 +319,78 @@ object StreamAppend {
       }
   }
 
+  /** Streaming substring-overlap gate over a PERSISTED winnow index —
+    * the contamination/excerpt filter as an ingest sink: each
+    * micro-batch is winnowed once and probed against the df-capped
+    * corpus fingerprints; batch docs sharing ≥ `minShared`
+    * fingerprints with ANY indexed doc are dropped, survivors' rows
+    * append in O(batch), and the epoch watermark makes re-delivery
+    * exactly-once. First batch: in-batch substring self-dedup (larger
+    * id dies), then build. Note the asymmetry with the MinHash sink:
+    * the probe emits batch×corpus pairs only, so in-batch overlap is
+    * handled by the one-shot operator per batch. */
+  def intoWinnowIndex(stream: DataFrame,
+                      collection: Collection,
+                      name: String,
+                      minShared: Int = 5,
+                      maxDocFreq: Int = 50,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataStreamWriter[Row] = {
+    import graft.operators.{Dedup, DedupIndex}
+    def lastApplied(): Long =
+      if (!collection.hasItem(s"${name}__epoch")) -1L
+      else collection.metadata(s"${name}__epoch").get("winnow_stream_batch") match {
+        case Some(org.json4s.JInt(i)) => i.toLong
+        case _ => -1L
+      }
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        def writeEpoch(): Unit =
+          collection.write(s"${name}__epoch", Seq(batchId).toDF("batch_id"),
+            indexCols = Seq("batch_id"),
+            metadata = Map("winnow_stream_batch" -> batchId), overwrite = true)
+        if (!batch.isEmpty && batchId > lastApplied()) {
+          if (!collection.hasItem(s"${name}__wfps")) {
+            val pairs = Dedup.substringDuplicationPairs(batch, minShared,
+              maxDocFreq, idCol = idCol, textCol = textCol)
+            val drops = pairs.select(col("id_b").as("drop_id")).distinct()
+            val survivors = batch.join(drops,
+              batch(idCol) === drops("drop_id"), "left_anti")
+            DedupIndex.buildAndSaveWinnowIndex(survivors, collection, name,
+              maxDocFreq, textCol = textCol, idCol = idCol)
+            ()
+          } else {
+            val idx = DedupIndex.WinnowIndex.load(collection, name)
+            // cross pairs: the batch side dies whichever end it is
+            val cross = DedupIndex.probeWinnowIndex(idx, batch, minShared,
+              textCol, idCol)
+            val bIds = batch.select(col(idCol).as("bid"))
+            val crossDrops = cross
+              .join(bIds.select(col("bid").as("id_a"), lit(true).as("a_new")),
+                Seq("id_a"), "left")
+              .select(when(col("a_new").isNotNull, col("id_a"))
+                .otherwise(col("id_b")).as("drop_id"))
+            // in-batch pairs: larger id dies
+            val selfDrops = Dedup.substringDuplicationPairs(batch, minShared,
+                maxDocFreq, idCol = idCol, textCol = textCol)
+              .select(col("id_b").as("drop_id"))
+            val drops = crossDrops.unionByName(selfDrops).distinct()
+            val survivors = batch.join(drops,
+              batch(idCol) === drops("drop_id"), "left_anti")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            if (!survivors.isEmpty)
+              DedupIndex.appendToWinnowIndex(survivors, collection, name,
+                textCol, idCol)
+            survivors.unpersist(blocking = false)
+          }
+          writeEpoch()
+        }
+      }
+  }
+
   /** Streaming deduped MEDIA ingest over a PERSISTED Hamming
     * fingerprint index — [[intoMinhashIndex]]'s contract for any
     * 64-bit signature stream (image aHash, audio band-energy, video

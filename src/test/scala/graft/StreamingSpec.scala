@@ -155,6 +155,46 @@ class StreamingSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("streaming substring gate: overlapping docs dropped against persisted winnow index") {
+    import graft.operators.DedupIndex
+    val c = tempCollection("stream_winnow")
+    val src = Files.createTempDirectory("graft_stream_winnow")
+    import spark.implicits._
+    val docs = sf("documents").select($"doc_id", $"text")
+    val excerpt = expr("substring(text, 1, (length(text)*3) div 5)")
+    // batch 0: docs 0..29 + a 60%-excerpt of doc 0 under id 500
+    val part1 = docs.filter($"doc_id" < 30).unionByName(
+      docs.filter($"doc_id" === 0L)
+        .select(lit(500L).as("doc_id"), excerpt.as("text")))
+    part1.write.mode("overwrite").parquet(s"$src/in")
+    val stream = spark.readStream.schema(part1.schema).parquet(s"$src/in")
+    def run(ckpt: String): Unit = StreamAppend.runToCompletion(
+      StreamAppend.intoWinnowIndex(stream, c, "wf", minShared = 3)
+        .option("checkpointLocation", s"$src/$ckpt"))
+    run("ckpt")
+    def indexedIds(): Set[Long] = DedupIndex.WinnowIndex.load(c, "wf")
+      .fps.select($"id").distinct().as[Long].collect().toSet
+    val ids1 = indexedIds()
+    assert(ids1.contains(0L) && !ids1.contains(500L), ids1.toString)
+    // batch 1: fresh docs 30..34 + a 60%-excerpt of INDEXED doc 3 (id 600)
+    docs.filter($"doc_id" >= 30 && $"doc_id" < 35).unionByName(
+        docs.filter($"doc_id" === 3L)
+          .select(lit(600L).as("doc_id"), excerpt.as("text")))
+      .write.mode("append").parquet(s"$src/in")
+    run("ckpt")
+    val ids2 = indexedIds()
+    assert(!ids2.contains(600L), ids2.toString)
+    assert((30L until 35L).exists(ids2.contains), ids2.toString)
+    assert(ids1.subsetOf(ids2))
+    // fresh checkpoint re-delivers both batches; epoch watermark skips
+    val rowsBefore = DedupIndex.WinnowIndex.load(c, "wf").fps.count()
+    run("ckpt2")
+    assert(DedupIndex.WinnowIndex.load(c, "wf").fps.count() == rowsBefore)
+
+    FsOps.deleteRecursively(src)
+    cleanup(c)
+  }
+
   test("streaming IVF search: persisted index serves each batch, results idempotent") {
     import graft.operators.Similarity
     val c = tempCollection("stream_ivf")
