@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
@@ -256,5 +257,143 @@ object Kernels {
       }
     }
     ArrayData.toArrayData(out.toArray(new Array[UTF8String](out.size())))
+  }
+
+  // ------------------------------------------------------- winnowing
+
+  private val WinnowM = 2147483647L // 2^31 - 1
+  private val WinnowB = 257L
+
+  /** Polynomial rolling hash h = Σ codepoint·257^i mod 2³¹−1 — public
+    * arithmetic the DuckDB oracle replicates bit-for-bit in SQL. */
+  private def winnowPolyHash(s: String): Long = {
+    var h = 0L
+    val it = s.codePoints().iterator()
+    while (it.hasNext) h = (h * WinnowB + it.next().intValue()) % WinnowM
+    h
+  }
+
+  /** Classic winnowing selection over a token array: hash every k-token
+    * gram, slide a w-window over the gram hashes, keep each window's
+    * minimum; returns (n_grams, distinct selected hashes in first-seen
+    * order). Shared core of the two winnow kernels. */
+  private def winnowSelect(arr: ArrayData, k: Int, w: Int): (Int, java.util.LinkedHashSet[java.lang.Long]) = {
+    val n = arr.numElements()
+    val toks = Array.tabulate(n)(i => arr.getUTF8String(i).toString)
+    val grams: Array[Long] =
+      if (n < k) Array(winnowPolyHash(toks.mkString(" ")))
+      else Array.tabulate(n - k + 1)(i => winnowPolyHash(toks.slice(i, i + k).mkString(" ")))
+    val nWin = math.max(grams.length - w + 1, 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < nWin) {
+      var m = Long.MaxValue
+      var j = i
+      val end = math.min(i + w, grams.length)
+      while (j < end) { if (grams(j) < m) m = grams(j); j += 1 }
+      seen.add(m)
+      i += 1
+    }
+    (grams.length, seen)
+  }
+
+  /** Winnow summary (n_grams, n_fp, fp_sum) — pins the computation for
+    * the oracle without emitting an array column. */
+  def winnowFingerprint(arr: ArrayData, k: Int, w: Int): InternalRow = {
+    val (nGrams, seen) = winnowSelect(arr, k, w)
+    var fpSum = 0L
+    val it = seen.iterator()
+    while (it.hasNext) fpSum += it.next()
+    InternalRow(nGrams.toLong, seen.size.toLong, fpSum)
+  }
+
+  /** Winnow fingerprint SET — the distinct selected window-min hashes,
+    * for cross-document overlap joins. */
+  def winnowFingerprintSet(arr: ArrayData, k: Int, w: Int): ArrayData = {
+    val (_, seen) = winnowSelect(arr, k, w)
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next(); p += 1 }
+    ArrayData.toArrayData(out)
+  }
+
+  // ---------------------------------------------------- text analysis
+
+  /** Single-pass token statistics: (n_tokens, Σ max(1,⌈len/4⌉) subword
+    * estimate, stopword hits, total word length). */
+  def textStats(arr: ArrayData, stopSet: java.util.HashSet[UTF8String]): InternalRow = {
+    val n = arr.numElements()
+    var sub = 0L; var stop = 0; var lenSum = 0L
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val len = s.numChars()
+        lenSum += len
+        sub += math.max(1L, math.ceil(len / 4.0).toLong)
+        if (stopSet.contains(s.toLowerCase)) stop += 1
+      }
+      i += 1
+    }
+    InternalRow(n, sub, stop, lenSum)
+  }
+
+  private val BigramSpace = UTF8String.fromString(" ")
+
+  /** Gopher-style repetition statistics in one pass: (n_tokens,
+    * n_distinct, modal-bigram count, duplicated-trigram positions). */
+  def repetitionStats(arr: ArrayData): InternalRow = {
+    val n = arr.numElements()
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val distinct = new java.util.HashSet[UTF8String]()
+    i = 0
+    while (i < n) { if (toks(i) != null) distinct.add(toks(i)); i += 1 }
+    var topBigram = 0
+    if (n >= 2) {
+      val counts = new java.util.HashMap[UTF8String, Int]()
+      i = 0
+      while (i + 1 < n) {
+        val bg = UTF8String.concatWs(BigramSpace, toks(i), toks(i + 1))
+        val c = counts.merge(bg, 1, (a, b) => a + b)
+        if (c > topBigram) topBigram = c
+        i += 1
+      }
+    }
+    var dupTri = 0
+    if (n >= 3) {
+      val counts = new java.util.HashMap[UTF8String, Int]()
+      i = 0
+      while (i + 2 < n) {
+        counts.merge(UTF8String.concatWs(BigramSpace, toks(i), toks(i + 1), toks(i + 2)),
+          1, (a, b) => a + b)
+        i += 1
+      }
+      val it = counts.values().iterator()
+      while (it.hasNext) { val c = it.next(); if (c > 1) dupTri += c }
+    }
+    InternalRow(n, distinct.size(), topBigram, dupTri)
+  }
+
+  /** Marker-word hit counts for several language profiles in one pass:
+    * element p of the result is how many tokens are in profile p. */
+  def markerCounts(arr: ArrayData, sets: Array[java.util.HashSet[UTF8String]]): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Int](sets.length)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        var p = 0
+        while (p < sets.length) {
+          if (sets(p).contains(s)) out(p) += 1
+          p += 1
+        }
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(out)
   }
 }

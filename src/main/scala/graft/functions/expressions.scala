@@ -1,9 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 import org.apache.spark.sql.types._
@@ -18,9 +17,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * dominating the dedup/similarity bench at 84 s).
   *
   * CosineSimilarity generates a single fused loop (dot + both norms in
-  * one traversal, no allocation) inside whole-stage codegen. The hash
-  * signatures are per-row loops where the work is the loop body itself,
-  * so they use interpreted eval via CodegenFallback.
+  * one traversal, no allocation) inside whole-stage codegen. Every
+  * other kernel generates a single static call into [[Kernels]] (Scala
+  * object static forwarders are Janino-visible), so the surrounding
+  * stage stays in whole-stage codegen — no CodegenFallback row
+  * materialization anywhere in the expression surface. Reference
+  * objects (stopword/marker sets) ship through the codegen references
+  * array, once per plan.
   */
 object expressions {
 
@@ -258,46 +261,17 @@ object expressions {
     * set — which pins the whole computation for the oracle without
     * emitting an array column. One pass per row, no shuffle. */
   case class WinnowFingerprint(child: Expression, k: Int, w: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(k > 0 && w > 0)
     override def dataType: DataType = StructType(Seq(
       StructField("n_grams", LongType, nullable = false),
       StructField("n_fp", LongType, nullable = false),
       StructField("fp_sum", LongType, nullable = false)))
-
-    private val M = 2147483647L // 2^31 - 1
-    private val B = 257L
-
-    private def polyHash(s: String): Long = {
-      var h = 0L
-      val it = s.codePoints().iterator()
-      while (it.hasNext) h = (h * B + it.next().intValue()) % M
-      h
-    }
-
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val toks = Array.tabulate(n)(i => arr.getUTF8String(i).toString)
-      val grams: Array[Long] =
-        if (n < k) Array(polyHash(toks.mkString(" ")))
-        else Array.tabulate(n - k + 1)(i => polyHash(toks.slice(i, i + k).mkString(" ")))
-      val nWin = math.max(grams.length - w + 1, 1)
-      val seen = new java.util.LinkedHashSet[java.lang.Long]()
-      var i = 0
-      while (i < nWin) {
-        var m = Long.MaxValue
-        var j = i
-        val end = math.min(i + w, grams.length)
-        while (j < end) { if (grams(j) < m) m = grams(j); j += 1 }
-        seen.add(m)
-        i += 1
-      }
-      var fpSum = 0L
-      val it = seen.iterator()
-      while (it.hasNext) fpSum += it.next()
-      InternalRow(grams.length.toLong, seen.size.toLong, fpSum)
-    }
+    override def nullSafeEval(v: Any): Any =
+      Kernels.winnowFingerprint(v.asInstanceOf[ArrayData], k, w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.Kernels.winnowFingerprint($c, $k, $w);")
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
@@ -306,44 +280,14 @@ object expressions {
     * (substring-duplication detection) where the summary struct isn't
     * enough. Same arithmetic, same one pass per row. */
   case class WinnowFingerprintSet(child: Expression, k: Int, w: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(k > 0 && w > 0)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-    private val M = 2147483647L // 2^31 - 1
-    private val B = 257L
-
-    private def polyHash(s: String): Long = {
-      var h = 0L
-      val it = s.codePoints().iterator()
-      while (it.hasNext) h = (h * B + it.next().intValue()) % M
-      h
-    }
-
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val toks = Array.tabulate(n)(i => arr.getUTF8String(i).toString)
-      val grams: Array[Long] =
-        if (n < k) Array(polyHash(toks.mkString(" ")))
-        else Array.tabulate(n - k + 1)(i => polyHash(toks.slice(i, i + k).mkString(" ")))
-      val nWin = math.max(grams.length - w + 1, 1)
-      val seen = new java.util.LinkedHashSet[java.lang.Long]()
-      var i = 0
-      while (i < nWin) {
-        var m = Long.MaxValue
-        var j = i
-        val end = math.min(i + w, grams.length)
-        while (j < end) { if (grams(j) < m) m = grams(j); j += 1 }
-        seen.add(m)
-        i += 1
-      }
-      val out = new Array[Long](seen.size)
-      val it = seen.iterator()
-      var p = 0
-      while (it.hasNext) { out(p) = it.next(); p += 1 }
-      ArrayData.toArrayData(out)
-    }
+    override def nullSafeEval(v: Any): Any =
+      Kernels.winnowFingerprintSet(v.asInstanceOf[ArrayData], k, w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.Kernels.winnowFingerprintSet($c, $k, $w);")
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
@@ -354,29 +298,25 @@ object expressions {
     * array per ELEMENT, making quality scoring quadratic per document
     * (~2.7 ms/doc at 300 tokens; this kernel is ~µs). */
   case class TextStats(child: Expression, stopwords: Seq[String])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = StructType(Seq(
       StructField("n_tokens", IntegerType, nullable = false),
       StructField("n_subwords", LongType, nullable = false),
       StructField("stop_hits", IntegerType, nullable = false),
       StructField("word_len_sum", LongType, nullable = false)))
-    @transient private lazy val stopSet = stopwords.map(UTF8String.fromString).toSet
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      var sub = 0L; var stop = 0; var lenSum = 0L
-      var i = 0
-      while (i < n) {
-        val s = arr.getUTF8String(i)
-        if (s != null) {
-          val len = s.numChars()
-          lenSum += len
-          sub += math.max(1L, math.ceil(len / 4.0).toLong)
-          if (stopSet.contains(s.toLowerCase)) stop += 1
-        }
-        i += 1
-      }
-      InternalRow(n, sub, stop, lenSum)
+    // the set ships to executors through the codegen references array
+    // (one object per plan, not per row)
+    @transient private lazy val stopSet: java.util.HashSet[UTF8String] = {
+      val s = new java.util.HashSet[UTF8String]()
+      stopwords.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }
+    override def nullSafeEval(v: Any): Any =
+      Kernels.textStats(v.asInstanceOf[ArrayData], stopSet)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("stopSet", stopSet, "java.util.HashSet")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.Kernels.textStats($c, $ref);")
     }
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
@@ -387,47 +327,17 @@ object expressions {
     * more than once. HashMap-counted per row — no shuffle, no per-pair
     * work; the ratios downstream are plain arithmetic. */
   case class RepetitionStats(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = StructType(Seq(
       StructField("n_tokens", IntegerType, nullable = false),
       StructField("n_distinct", IntegerType, nullable = false),
       StructField("top_bigram", IntegerType, nullable = false),
       StructField("dup_trigram_pos", IntegerType, nullable = false)))
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val toks = new Array[UTF8String](n)
-      var i = 0
-      while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
-      val distinct = new java.util.HashSet[UTF8String]()
-      i = 0
-      while (i < n) { if (toks(i) != null) distinct.add(toks(i)); i += 1 }
-      val space = UTF8String.fromString(" ")
-      var topBigram = 0
-      if (n >= 2) {
-        val counts = new java.util.HashMap[UTF8String, Int]()
-        i = 0
-        while (i + 1 < n) {
-          val bg = UTF8String.concatWs(space, toks(i), toks(i + 1))
-          val c = counts.merge(bg, 1, (a, b) => a + b)
-          if (c > topBigram) topBigram = c
-          i += 1
-        }
-      }
-      var dupTri = 0
-      if (n >= 3) {
-        val counts = new java.util.HashMap[UTF8String, Int]()
-        i = 0
-        while (i + 2 < n) {
-          counts.merge(UTF8String.concatWs(space, toks(i), toks(i + 1), toks(i + 2)),
-            1, (a, b) => a + b)
-          i += 1
-        }
-        val it = counts.values().iterator()
-        while (it.hasNext) { val c = it.next(); if (c > 1) dupTri += c }
-      }
-      InternalRow(n, distinct.size(), topBigram, dupTri)
-    }
+    override def nullSafeEval(v: Any): Any =
+      Kernels.repetitionStats(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.Kernels.repetitionStats($c);")
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
@@ -436,26 +346,20 @@ object expressions {
     * are in profile i. Replaces per-profile `filter` lambdas (each of
     * which re-evaluates the token split per element). */
   case class MarkerCounts(child: Expression, profiles: Seq[Seq[String]])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-    @transient private lazy val sets = profiles.map(_.map(UTF8String.fromString).toSet)
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val out = new Array[Int](sets.size)
-      var i = 0
-      while (i < n) {
-        val s = arr.getUTF8String(i)
-        if (s != null) {
-          var p = 0
-          while (p < sets.size) {
-            if (sets(p).contains(s)) out(p) += 1
-            p += 1
-          }
-        }
-        i += 1
-      }
-      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
+      profiles.map { p =>
+        val s = new java.util.HashSet[UTF8String]()
+        p.foreach(w => s.add(UTF8String.fromString(w)))
+        s
+      }.toArray
+    override def nullSafeEval(v: Any): Any =
+      Kernels.markerCounts(v.asInstanceOf[ArrayData], sets)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("profileSets", sets, "java.util.HashSet[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.Kernels.markerCounts($c, $ref);")
     }
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }

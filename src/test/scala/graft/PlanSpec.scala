@@ -134,4 +134,50 @@ class PlanSpec extends SparkSpec {
       "banding stage fell out of whole-stage codegen:\n" +
         p.linesIterator.filter(_.contains("Generate")).mkString("\n"))
   }
+
+  test("promoted text kernels compile under Janino and match interpreted eval") {
+    // The struct/array kernels (TextStats, RepetitionStats,
+    // MarkerCounts, WinnowFingerprint/Set) generate static Kernels
+    // calls. UnsafeProjection.create would CATCH a Janino error and
+    // silently fall back to interpreted eval; GenerateUnsafeProjection
+    // throws instead — so this test fails loudly if the generated call
+    // has a type mismatch, and then cross-checks codegen output against
+    // the interpreted path bit-for-bit.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType, StructType}
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.expressions._
+
+    val toks = ArrayData.toArrayData(
+      "the cat sat on the mat the cat sat on a hat".split(" ").map(UTF8String.fromString))
+    val child = BoundReference(0, ArrayType(StringType, containsNull = true), nullable = true)
+    val exprs = Seq(
+      TextStats(child, Seq("the", "on", "a")),
+      RepetitionStats(child),
+      MarkerCounts(child, Seq(Seq("the", "a"), Seq("le", "la"), Seq("der", "die"))),
+      WinnowFingerprint(child, 3, 4),
+      WinnowFingerprintSet(child, 3, 4))
+    val input = InternalRow(toks)
+    for (e <- exprs) {
+      val gen = GenerateUnsafeProjection.generate(Seq(e)) // throws on Janino failure
+      val out = gen(input)
+      assert(!out.isNullAt(0), s"${e.getClass.getSimpleName}: codegen returned null")
+      e.dataType match {
+        case s: StructType =>
+          val g = out.getStruct(0, s.size)
+          val ev = e.eval(input).asInstanceOf[InternalRow]
+          for ((f, idx) <- s.fields.zipWithIndex)
+            assert(g.get(idx, f.dataType) === ev.get(idx, f.dataType),
+              s"${e.getClass.getSimpleName}.${f.name}: codegen != eval")
+        case a: ArrayType =>
+          val g = out.getArray(0).toObjectArray(a.elementType).toSeq
+          val ev = e.eval(input).asInstanceOf[ArrayData].toObjectArray(a.elementType).toSeq
+          assert(g === ev, s"${e.getClass.getSimpleName}: codegen != eval")
+        case other => fail(s"unexpected result type $other")
+      }
+    }
+  }
 }
