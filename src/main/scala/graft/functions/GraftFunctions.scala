@@ -52,6 +52,10 @@ object GraftFunctions {
       require(args.length == 1, "graft_simhash(tokens)")
       expressions.SimHash64(args(0))
     },
+    "graft_ngrams" -> { args =>
+      require(args.length == 2, "graft_ngrams(tokens, k)")
+      expressions.NGrams(args(0), intArg(args(1), "k"))
+    },
     "graft_hyperplane_bands" -> { args =>
       require(args.length == 3, "graft_hyperplane_bands(vec, bits, bands)")
       expressions.HyperplaneBands(args(0), intArg(args(1), "bits"),

@@ -259,6 +259,28 @@ object Kernels {
     ArrayData.toArrayData(out.toArray(new Array[UTF8String](out.size())))
   }
 
+  /** Non-distinct space-joined word k-grams, in position order — the
+    * multiplicity-preserving sibling of [[shingles]] (an n-gram
+    * language model counts every occurrence; a Jaccard shingle set
+    * does not). Empty array when the document is shorter than k. */
+  def ngrams(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < k) return ArrayData.toArrayData(new Array[UTF8String](0))
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val out = new Array[UTF8String](n - k + 1)
+    var s = 0
+    while (s + k <= n) {
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = toks(s + j); j += 1 }
+      out(s) = UTF8String.concatWs(ShingleSpace, parts: _*)
+      s += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   // ------------------------------------------------------- winnowing
 
   private val WinnowM = 2147483647L // 2^31 - 1

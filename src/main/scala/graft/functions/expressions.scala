@@ -189,6 +189,22 @@ object expressions {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Non-distinct word k-grams of a token array, position order kept
+    * (multiplicity matters to an n-gram LM; [[ShingleSet]] is the
+    * distinct variant). Same static-call codegen, same rationale: a
+    * higher-order-function formulation re-evaluates the token child
+    * per element. */
+  case class NGrams(child: Expression, k: Int) extends UnaryExpression {
+    require(k > 0)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      Kernels.ngrams(v.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.Kernels.ngrams($c, $k);")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** 64-bit SimHash of a string-array column: one pass over tokens,
     * ±1 vote per bit, sign → bit. Static-call codegen. */
   case class SimHash64(child: Expression) extends UnaryExpression {
@@ -398,6 +414,7 @@ object expressions {
   // ------------------------------------------------------ Column sugar
 
   def shingle_set(tokens: Column, k: Int): Column = column(ShingleSet(expression(tokens), k))
+  def ngram_list(tokens: Column, k: Int): Column = column(NGrams(expression(tokens), k))
   def minhash_bands(tokens: Column, numHashes: Int, bands: Int): Column =
     column(MinHashBands(expression(tokens), numHashes, bands))
   def cosine_sim(a: Column, b: Column): Column = column(CosineSimilarity(expression(a), expression(b)))

@@ -1111,6 +1111,113 @@ object PipelineQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Deterministic per-SF store for the persisted bigram LM — same
+    * fingerprint-keyed pattern as the BM25/ANN indexes. */
+  private def lmIndexCollection(s: SparkSession, dir: String): graft.store.Collection = {
+    val src = new java.io.File(dir, "documents.parquet")
+    val fp = s"${src.length}_${src.lastModified}"
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_verify", s"lm_index_${new java.io.File(dir).getName}_$fp")
+    java.nio.file.Files.createDirectories(root)
+    graft.store.GraftStore(s, "store", root).collection("lm")
+  }
+
+  private def buildAndSaveLm(s: SparkSession, dir: String): Unit = {
+    import graft.operators.LanguageModel
+    val docs = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+    LanguageModel.buildAndSaveBigramLm(docs, lmIndexCollection(s, dir), "lm",
+      overwrite = true)
+  }
+
+  /** Bigram-LM FIT (the CCNet/KenLM perplexity filter's model build):
+    * one corpus tokenize → unigram + bigram count dictionaries, the
+    * left-context count denormalized onto each bigram row, persisted
+    * gram-indexed through the store. Emits the top-10 bigrams (rank,
+    * bg, cnt, cnt_w1) plus the pinned corpus scalars — DuckDB
+    * recomputes every value from scratch, so a green hash proves the
+    * persisted dictionaries (INCLUDING the denormalized cnt_w1) match
+    * a from-scratch derivation. */
+  def textLmBuild(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.LanguageModel
+    buildAndSaveLm(s, dir)
+    val lm = LanguageModel.BigramLm.load(lmIndexCollection(s, dir), "lm")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("bg"))
+    val nBgTypes = lm.bigrams.count()
+    lm.bigrams
+      .orderBy(col("cnt").desc, col("bg")).limit(10)
+      .withColumn("r", row_number().over(w))
+      .select(col("r"), col("bg"), col("cnt"), col("cnt_w1"),
+        lit(lm.totalTokens).as("total_tokens"), lit(lm.vocab).as("vocab"),
+        lit(nBgTypes).as("n_bg_types"))
+      .orderBy(col("r"))
+  }
+
+  private val docBigramsSql =
+    """unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))"""
+
+  val textLmBuildSql: String =
+    s"""WITH tok AS (SELECT doc_id, $normTokensSql AS t FROM documents),
+       |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+       |        FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w),
+       |stats AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens,
+       |                 CAST(count(*) AS BIGINT) AS vocab FROM uni),
+       |bg AS (SELECT bg, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM (SELECT $docBigramsSql AS bg FROM tok) GROUP BY bg),
+       |nbg AS (SELECT CAST(count(*) AS BIGINT) AS n_bg_types FROM bg),
+       |top AS (SELECT bg, cnt, row_number() OVER (ORDER BY cnt DESC, bg) AS r
+       |        FROM bg ORDER BY cnt DESC, bg LIMIT 10)
+       |SELECT CAST(t.r AS INTEGER) AS r, t.bg, t.cnt, u.cnt AS cnt_w1,
+       |  total_tokens, vocab, n_bg_types
+       |FROM top t JOIN uni u ON u.w = split_part(t.bg, ' ', 1)
+       |CROSS JOIN stats CROSS JOIN nbg
+       |ORDER BY r""".stripMargin
+
+  /** Bigram-LM SCORE — the hot path of the perplexity filter: load the
+    * persisted dictionaries and score every document by average
+    * negative ln-likelihood under stupid backoff. The corpus streams
+    * once; both dictionary joins are vocabulary-sized. The oracle
+    * recomputes the model AND the scoring (conditional probabilities,
+    * backoff mass, 6-decimal term rounding, decimal sums) entirely in
+    * SQL, so the scores are hash-verified end to end. */
+  def textLmScore(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.LanguageModel
+    val c = lmIndexCollection(s, dir)
+    if (!c.hasItem("lm__bigrams")) buildAndSaveLm(s, dir) // verify-order safety
+    val lm = LanguageModel.BigramLm.load(c, "lm")
+    val docs = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+    LanguageModel.scoreDocs(lm, docs).orderBy(col("doc_id"))
+  }
+
+  val textLmScoreSql: String =
+    s"""WITH tok AS (SELECT doc_id, $normTokensSql AS t FROM documents),
+       |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+       |        FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w),
+       |stats AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens,
+       |                 CAST(count(*) AS BIGINT) AS vocab FROM uni),
+       |bgm AS (SELECT bg, CAST(count(*) AS BIGINT) AS cnt
+       |        FROM (SELECT $docBigramsSql AS bg FROM tok) GROUP BY bg),
+       |docbg AS (SELECT doc_id, $docBigramsSql AS bg,
+       |            unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+       |          FROM tok),
+       |terms AS (SELECT d.doc_id,
+       |    round(ln(CASE WHEN m.cnt IS NOT NULL
+       |      THEN CAST(m.cnt AS DOUBLE) / CAST(u1.cnt AS DOUBLE)
+       |      ELSE 0.4 * CAST(coalesce(u2.cnt, 0) + 1 AS DOUBLE) /
+       |           CAST(total_tokens + vocab AS DOUBLE) END), 6) AS lp
+       |  FROM docbg d
+       |  LEFT JOIN bgm m USING (bg)
+       |  LEFT JOIN uni u1 ON u1.w = split_part(d.bg, ' ', 1)
+       |  LEFT JOIN uni u2 ON u2.w = d.w2
+       |  CROSS JOIN stats),
+       |scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    sum(CAST(lp AS DECIMAL(38,6))) AS lp_sum
+       |  FROM terms GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  coalesce(round(-CAST(s.lp_sum AS DOUBLE) / s.n_bigrams, 6), 0.0) AS nll
+       |FROM (SELECT doc_id FROM documents) d LEFT JOIN scored s USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** End-to-end curation pipeline v2 — the composition a training-data
     * run actually executes, as ONE DataFrame plan: canonical-
     * fingerprint dedup (keep min id) → MinHash-LSH NEAR-dup removal
@@ -1956,6 +2063,8 @@ object PipelineQueries {
     "text_repetition" -> textRepetition _,
     "text_bm25_build" -> textBm25Build _,
     "text_bm25_search" -> textBm25Search _,
+    "text_lm_build" -> textLmBuild _,
+    "text_lm_score" -> textLmScore _,
     "text_contamination" -> textContamination _,
     "sample_stratified" -> sampleStratified _,
     "sample_token_budget" -> sampleTokenBudget _,
@@ -2009,6 +2118,8 @@ object PipelineQueries {
     "text_repetition" -> textRepetitionSql,
     "text_bm25_build" -> textBm25BuildSql,
     "text_bm25_search" -> textBm25Sql,
+    "text_lm_build" -> textLmBuildSql,
+    "text_lm_score" -> textLmScoreSql,
     "text_contamination" -> textContaminationSql,
     "sample_stratified" -> sampleStratifiedSql,
     "sample_token_budget" -> sampleTokenBudgetSql,

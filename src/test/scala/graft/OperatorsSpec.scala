@@ -1155,4 +1155,42 @@ class OperatorsSpec extends SparkSpec {
     assert(compacted.bands.count() == nBandRows)
     cleanup(c)
   }
+
+  test("bigram LM: persisted append equals full rebuild, scores agree") {
+    val docs = sf("documents").select($"doc_id", $"text")
+    val part1 = docs.filter($"doc_id" % 5 =!= 0)
+    val part2 = docs.filter($"doc_id" % 5 === 0)
+    val c = tempCollection("lm_append")
+    LanguageModel.buildAndSaveBigramLm(part1, c, "lm")
+    val appended = LanguageModel.appendToLm(part2, c, "lm")
+    val full = LanguageModel.buildBigramLm(docs)
+    assert(appended.totalTokens == full.totalTokens && appended.vocab == full.vocab)
+    // merged dictionaries (including the re-derived denormalized
+    // cnt_w1) must equal a from-scratch fit on the union corpus
+    val ab = appended.bigrams.as[(String, Long, Long)].collect().toSet
+    val fb = full.bigrams.as[(String, Long, Long)].collect().toSet
+    assert(ab == fb, s"merged bigrams diverged: only-appended=${(ab -- fb).take(3)} only-full=${(fb -- ab).take(3)}")
+    val probe = docs.filter($"doc_id" < 20)
+    val sa = LanguageModel.scoreDocs(appended, probe).collect().map(_.toSeq).toSet
+    val sfull = LanguageModel.scoreDocs(full, probe).collect().map(_.toSeq).toSet
+    assert(sa == sfull && sa.nonEmpty)
+    cleanup(c)
+  }
+
+  test("bigram LM: known bigrams beat the OOV backoff floor; short-doc sentinel") {
+    val corpus = sf("documents").select($"doc_id", $"text")
+    val lm = LanguageModel.buildBigramLm(corpus)
+    // a known bigram scores p = cnt_bg/cnt_w1 ≥ 1/cnt_w1; two OOV
+    // tokens score the absolute backoff floor 0.4·1/(T+V). The former
+    // is strictly larger for any corpus (cnt_w1 ≤ T < (T+V)/0.4), so
+    // the ordering is a guarantee of the model, not of the data.
+    val topBg = lm.bigrams.orderBy($"cnt".desc, $"bg").head().getString(0)
+    val probe = Seq((1L, topBg), (2L, "zzzqxj zzzqxk"), (3L, "word"))
+      .toDF("doc_id", "text")
+    val out = LanguageModel.scoreDocs(lm, probe).orderBy($"doc_id").collect()
+    assert(out(0).getAs[Double]("nll") < out(1).getAs[Double]("nll"),
+      s"expected known-bigram < OOV floor: ${out.mkString(", ")}")
+    // single-token doc: kept with the documented sentinel
+    assert(out(2).getAs[Long]("n_bigrams") == 0L && out(2).getAs[Double]("nll") == 0.0)
+  }
 }

@@ -159,7 +159,8 @@ class PlanSpec extends SparkSpec {
       RepetitionStats(child),
       MarkerCounts(child, Seq(Seq("the", "a"), Seq("le", "la"), Seq("der", "die"))),
       WinnowFingerprint(child, 3, 4),
-      WinnowFingerprintSet(child, 3, 4))
+      WinnowFingerprintSet(child, 3, 4),
+      NGrams(child, 2))
     val input = InternalRow(toks)
     for (e <- exprs) {
       val gen = GenerateUnsafeProjection.generate(Seq(e)) // throws on Janino failure
