@@ -44,6 +44,56 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .drop("__fp")
 
+  // ------------------------------------------------------ line-level dedup
+
+  /** Line/paragraph-level corpus dedup (the RefinedWeb/C4 recipe): a
+    * line that appears in `minDocFreq`-or-more DISTINCT documents is
+    * boilerplate (cookie banners, nav text, license footers) and is
+    * removed from EVERY document; each document is then reassembled
+    * from its surviving lines in original order. This is the
+    * between-document transform — in-document repetition is
+    * [[graft.operators.TextAnalysis.repetition]]'s job, so a line
+    * repeated only inside one document is kept.
+    *
+    * Scale shape: documents split per-row (posexplode keeps the
+    * original position); the cross-corpus work shuffles only
+    * (md5(line), doc_id) — a 128-bit key, never the line text — for
+    * the distinct-doc count, and the verdict joins back on the same
+    * skinny key. Reassembly is one groupBy(doc) with an array_sort on
+    * the (pos, line) structs, so collect order cannot perturb the
+    * output. No corpus-sized collect anywhere; the line-frequency
+    * table is line-vocabulary-sized.
+    *
+    * Returns (idCol, n_lines, n_kept, textCol) with the cleaned text
+    * joined by `joinSep`. Documents whose every line was boilerplate
+    * come back with empty text and n_kept = 0 — dropping them is a
+    * length filter's decision, not this operator's. */
+  def lineDedup(df: DataFrame,
+                sepRegex: String = "\\.\\s+",
+                joinSep: String = ". ",
+                minDocFreq: Int = 2,
+                textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), sepRegex)).as(Seq("pos", "line")))
+      .withColumn("key", md5(col("line")))
+    val lineDf = lines.groupBy(col("key"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDocFreq)
+    val verdicts = lines.join(lineDf.select(col("key"), lit(true).as("__dup")),
+      Seq("key"), "left")
+    verdicts
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("__dup").isNull, 1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__dup").isNull,
+              struct(col("pos"), col("line"))))),
+            s => s.getField("line")),
+          joinSep).as(textCol))
+  }
+
   // ---------------------------------------------------------- shingles
 
   /** Word k-gram shingles of the normalized text (native expression —

@@ -1218,6 +1218,55 @@ object PipelineQueries {
        |FROM (SELECT doc_id FROM documents) d LEFT JOIN scored s USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Line-level corpus dedup (the RefinedWeb/C4 boilerplate-removal
+    * recipe): plant two boilerplate lines (newsletter header + rights
+    * footer on doc_id%7, cookie banner on doc_id%5) into the corpus,
+    * remove every line that appears in ≥2 distinct documents, and
+    * reassemble each document in original line order. The md5 pin of
+    * the REASSEMBLED text hash-verifies the whole transform — split,
+    * skinny-key distinct-doc counts, verdict join, ordered reassembly
+    * — against DuckDB's replica. Planted docs must come back exactly
+    * as their originals; unique docs must pass through untouched. */
+  def textLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val aug = docs.withColumn("text",
+      when(col("doc_id") % 7 === 0,
+        concat(lit("subscribe to our newsletter today. "), col("text"),
+          lit(". all rights reserved worldwide")))
+        .when(col("doc_id") % 5 === 0,
+          concat(lit("click here to accept cookies. "), col("text")))
+        .otherwise(col("text")))
+    Dedup.lineDedup(aug)
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        length(col("text")).cast("int").as("clean_len"),
+        md5(col("text")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textLineDedupSql: String =
+    s"""WITH aug AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN 'subscribe to our newsletter today. '
+       |           || text || '. all rights reserved worldwide'
+       |         WHEN doc_id % 5 = 0 THEN 'click here to accept cookies. ' || text
+       |         ELSE text END AS text
+       |  FROM documents),
+       |ls AS (SELECT doc_id, string_split_regex(text, '\\.\\s+') AS l FROM aug),
+       |lines AS (SELECT doc_id, unnest(l) AS line,
+       |                 unnest(range(1, len(l) + 1)) AS pos FROM ls),
+       |dupk AS (SELECT md5(line) AS key FROM lines
+       |         GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+       |flagged AS (SELECT doc_id, pos, line,
+       |    md5(line) NOT IN (SELECT key FROM dupk) AS keep FROM lines),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       |    CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+       |    coalesce(string_agg(line, '. ' ORDER BY pos) FILTER (WHERE keep), '')
+       |      AS clean
+       |  FROM flagged GROUP BY doc_id)
+       |SELECT doc_id, n_lines, n_kept,
+       |  CAST(length(clean) AS INTEGER) AS clean_len, md5(clean) AS clean_md5
+       |FROM agg
+       |ORDER BY doc_id""".stripMargin
+
   /** End-to-end curation pipeline v2 — the composition a training-data
     * run actually executes, as ONE DataFrame plan: canonical-
     * fingerprint dedup (keep min id) → MinHash-LSH NEAR-dup removal
@@ -2065,6 +2114,7 @@ object PipelineQueries {
     "text_bm25_search" -> textBm25Search _,
     "text_lm_build" -> textLmBuild _,
     "text_lm_score" -> textLmScore _,
+    "text_line_dedup" -> textLineDedup _,
     "text_contamination" -> textContamination _,
     "sample_stratified" -> sampleStratified _,
     "sample_token_budget" -> sampleTokenBudget _,
@@ -2120,6 +2170,7 @@ object PipelineQueries {
     "text_bm25_search" -> textBm25Sql,
     "text_lm_build" -> textLmBuildSql,
     "text_lm_score" -> textLmScoreSql,
+    "text_line_dedup" -> textLineDedupSql,
     "text_contamination" -> textContaminationSql,
     "sample_stratified" -> sampleStratifiedSql,
     "sample_token_budget" -> sampleTokenBudgetSql,

@@ -1156,6 +1156,28 @@ class OperatorsSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("line dedup: boilerplate lines removed, docs reassembled in order") {
+    val boiler = "subscribe to our newsletter"
+    val df = Seq(
+      (1L, s"$boiler. alpha beta gamma. the end"),
+      (2L, s"$boiler. delta epsilon zeta"),
+      (3L, "unique content only here"),
+      (4L, s"repeated inside. repeated inside. $boiler")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(df).orderBy($"doc_id").collect()
+    // the boilerplate line appears in 3 distinct docs -> dropped everywhere,
+    // surviving lines rejoin in original order
+    assert(out(0).getAs[String]("text") == "alpha beta gamma. the end")
+    assert(out(0).getAs[Long]("n_lines") == 3 && out(0).getAs[Long]("n_kept") == 2)
+    assert(out(1).getAs[String]("text") == "delta epsilon zeta")
+    assert(out(2).getAs[String]("text") == "unique content only here")
+    // in-document repetition is kept — between-document operator by contract
+    assert(out(3).getAs[String]("text") == "repeated inside. repeated inside")
+    // a doc that is ONLY boilerplate comes back empty, not dropped
+    val o2 = Dedup.lineDedup(Seq((9L, boiler), (10L, boiler)).toDF("doc_id", "text"))
+      .orderBy($"doc_id").collect()
+    assert(o2.forall(r => r.getAs[String]("text") == "" && r.getAs[Long]("n_kept") == 0L))
+  }
+
   test("bigram LM: persisted append equals full rebuild, scores agree") {
     val docs = sf("documents").select($"doc_id", $"text")
     val part1 = docs.filter($"doc_id" % 5 =!= 0)
