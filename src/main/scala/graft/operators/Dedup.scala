@@ -588,6 +588,39 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster"))
   }
 
+  /** Canonical-representative selection per near-dup cluster: given
+    * verified near-dup pairs, keep exactly ONE document per connected
+    * component — the highest-`score` member, ties to the smallest id.
+    * This is the production curation choice (keep the BEST copy, not
+    * the first-crawled one — the min-id keep that `pipeline_curation`
+    * ships biases toward whatever was ingested first). Documents with
+    * no near-dup pair are their own cluster and always survive.
+    *
+    * Scale shape: component labels come from [[connectedComponents]]
+    * (bounded driver union-find with a distributed fallback); the
+    * selection itself is one shuffle on the cluster key (window rank),
+    * with the score computed per row before the shuffle. Returns
+    * (cluster, idCol, n_members, score) — one row per kept doc. */
+  def selectCanonical(df: DataFrame,
+                      pairs: DataFrame,
+                      score: Column,
+                      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = connectedComponents(pairs).withColumnRenamed("id", idCol)
+    val labeled = df
+      .join(comp, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+      .withColumn("__score", score)
+    val byCluster = Window.partitionBy(col("cluster"))
+    labeled
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .withColumn("__rn", row_number().over(
+        byCluster.orderBy(col("__score").desc, col(idCol))))
+      .filter(col("__rn") === 1)
+      .select(col("cluster"), col(idCol), col("n_members"),
+        col("__score").as("score"))
+  }
+
   /** Generic pigeonhole Hamming-pair join over any 64-bit signature
     * column (id, h) — the candidate machinery behind SimHash, reusable
     * for other per-row signatures (image aHash, audio fingerprints).

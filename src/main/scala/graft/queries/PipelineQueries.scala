@@ -1359,6 +1359,51 @@ object PipelineQueries {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  /** Canonical selection per near-dup cluster: LSH-verified pairs →
+    * connected components → keep the HIGHEST-QUALITY member of each
+    * cluster (ties to min id) — the production alternative to
+    * `pipeline_curation`'s min-id keep. The oracle recomputes the
+    * components from exhaustive Jaccard (recursive CTE) and the
+    * quality arithmetic in SQL, so cluster recall AND the argmax
+    * selection are hash-verified. */
+  def dedupSelectCanonical(s: SparkSession, dir: String): DataFrame = {
+    val aug = docsWithNearCopies(s, dir)
+    val pairs = Dedup.minhashLshPairs(aug, threshold = 0.8)
+    Dedup.selectCanonical(aug, pairs, TextAnalysis.qualityScore(col("text")))
+      .withColumnRenamed("score", "quality")
+      .orderBy(col("cluster"))
+  }
+
+  val dedupSelectCanonicalSql: String =
+    s"""WITH RECURSIVE aug AS (SELECT doc_id, text FROM $augNearSql),
+       |sh AS (SELECT doc_id AS id,
+       |  (SELECT ${shinglesSql(3)} FROM (SELECT $normTokensSql AS w)) AS sh FROM aug),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM sh a, sh b WHERE a.id < b.id
+       |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+       |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+       |labeled AS (SELECT a.doc_id,
+       |    coalesce(c.cluster, a.doc_id) AS cluster,
+       |    $qualitySql AS quality
+       |  FROM aug a LEFT JOIN comp c ON c.id = a.doc_id),
+       |ranked AS (SELECT *,
+       |    CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_members,
+       |    row_number() OVER (PARTITION BY cluster
+       |                       ORDER BY quality DESC, doc_id) AS rn
+       |  FROM labeled)
+       |SELECT cluster, doc_id, n_members, quality
+       |FROM ranked WHERE rn = 1
+       |ORDER BY cluster""".stripMargin
+
   /** Column profiling over orders (the data-card stats pass). Exact
     * percentiles here so DuckDB can hash-verify (exact `percentile`
     * buffers the column per partition — priced for the oracle table,
@@ -2099,6 +2144,7 @@ object PipelineQueries {
     "dedup_index_probe" -> dedupIndexProbe _,
     "dedup_semantic" -> dedupSemantic _,
     "dedup_semantic_probe" -> dedupSemanticProbe _,
+    "dedup_select_canonical" -> dedupSelectCanonical _,
     "ann_bruteforce_topk" -> annBruteForce _,
     "ann_lsh_topk" -> annLsh _,
     "ann_ivf_build" -> annIvfBuild _,
@@ -2155,6 +2201,7 @@ object PipelineQueries {
     "dedup_index_probe" -> dedupIndexProbeSql,
     "dedup_semantic" -> dedupSemanticSql,
     "dedup_semantic_probe" -> dedupSemanticProbeSql,
+    "dedup_select_canonical" -> dedupSelectCanonicalSql,
     "ann_bruteforce_topk" -> annBruteForceSql,
     "ann_lsh_topk" -> annLshSql,
     "ann_ivf_build" -> annIvfBuildSql,

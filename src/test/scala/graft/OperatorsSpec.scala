@@ -1178,6 +1178,19 @@ class OperatorsSpec extends SparkSpec {
     assert(o2.forall(r => r.getAs[String]("text") == "" && r.getAs[Long]("n_kept") == 0L))
   }
 
+  test("select canonical keeps the best-scored member per cluster, singletons survive") {
+    val docs = Seq(
+      (1L, 30.0), (2L, 50.0), (3L, 50.0), // one cluster: 3 wins on score, tie -> min id between 2/3
+      (7L, 10.0),                         // singleton
+      (8L, 5.0), (9L, 1.0)                // second cluster: 8 wins
+    ).toDF("doc_id", "s")
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("id_a", "id_b")
+    val out = Dedup.selectCanonical(docs, pairs, $"s")
+      .orderBy($"cluster").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 3L), (7L, 7L, 1L), (8L, 8L, 2L)))
+  }
+
   test("bigram LM: persisted append equals full rebuild, scores agree") {
     val docs = sf("documents").select($"doc_id", $"text")
     val part1 = docs.filter($"doc_id" % 5 =!= 0)
