@@ -192,6 +192,31 @@ object StoreQueries {
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Targeted deletion (right-to-be-forgotten) through the monthly
+    * layout: one predicate delete that rewrites only the months holding
+    * matching rows, then a second that empties ENTIRE months (their
+    * dirs must disappear, not linger as stale data). The read-back
+    * equals the doubly-filtered source table — deletion semantics,
+    * partial rewrite, and dir removal all hash-verified. */
+  def deleteWhere(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "delete_where")
+    val li = Tables.t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_shipdate")
+    col.write("li", li, indexCols = Seq("l_shipdate"), monthlyLayout = true)
+    // GDPR-style purge of specific keys: touches many months partially
+    col.deleteWhere("li", $"l_orderkey" % 10 === 3)
+    // bad-shard removal: wipes every 1994 month dir outright
+    col.deleteWhere("li", year($"l_shipdate") === 1994)
+    col.item("li").data.orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val deleteWhereSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+      |FROM lineitem
+      |WHERE NOT (l_orderkey % 10 = 3) AND NOT (year(l_shipdate) = 1994)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   /** P3 metadata-equality item search over sidecars (driver-side; the
     * result is the matching items' names — oracle = the literal set). */
   def metadataSearch(s: SparkSession, dir: String): DataFrame = {
@@ -216,6 +241,7 @@ object StoreQueries {
     "store_append_keep_first" -> appendKeepFirst _,
     "store_append_keep_all" -> appendKeepAll _,
     "store_append_monthly_partial" -> appendMonthly _,
+    "store_delete_where" -> deleteWhere _,
     "store_snapshot_read" -> snapshotRead _,
     "store_evolution_add_column" -> evolutionAddColumn _,
     "store_metadata_search" -> metadataSearch _)
@@ -226,6 +252,7 @@ object StoreQueries {
     "store_append_keep_first" -> appendKeepFirstSql,
     "store_append_keep_all" -> appendKeepAllSql,
     "store_append_monthly_partial" -> appendMonthlySql,
+    "store_delete_where" -> deleteWhereSql,
     "store_snapshot_read" -> snapshotReadSql,
     "store_evolution_add_column" -> evolutionAddColumnSql,
     "store_metadata_search" -> metadataSearchSql)

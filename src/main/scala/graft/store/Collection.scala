@@ -414,12 +414,18 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     // otherwise; the new dir moves in; nothing is copied.
     val swapped = scala.collection.mutable.ArrayBuffer.empty[(SPath, Option[SPath], Boolean)]
     val swappedMonths = scala.collection.mutable.ArrayBuffer.empty[String]
+    val removedMonths = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
       months.foreach { m =>
         val src = tmp.resolve(s"$MonthCol=$m")
-        if (src.isDir) {
-          swappedMonths += m
-          val dst = dataDir.resolve(s"$MonthCol=$m")
+        val dst = dataDir.resolve(s"$MonthCol=$m")
+        // a month listed but ABSENT from tmp means the new state holds
+        // no rows for it (deleteWhere emptied it): the old dir moves
+        // aside like any replaced month — pinned generations retained,
+        // unpinned backed up for rollback — and nothing moves in
+        val srcExists = src.isDir
+        if (srcExists || dst.isDir) {
+          if (srcExists) swappedMonths += m else removedMonths += m
           val isPinned = oldPg.get(m).exists(g => pinned.get(m).exists(_.contains(g)))
           val aside =
             if (isPinned)
@@ -436,7 +442,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
             // but be idempotent anyway): drop the live copy
             dst.deleteRecursively()
           }
-          path.fs.rename(src.raw, dst.raw)
+          if (srcExists) path.fs.rename(src.raw, dst.raw)
           swapped += ((dst, if (hadOld) Some(aside) else None, isPinned))
         }
       }
@@ -455,7 +461,8 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     }
     Meta.write(path.resolve(item),
       meta + ("_generation" -> Meta.jv(gen)) +
-        ("_period_gens" -> Meta.jv(oldPg ++ swappedMonths.map(_ -> gen).toMap)))
+        ("_period_gens" -> Meta.jv(
+          (oldPg -- removedMonths) ++ swappedMonths.map(_ -> gen).toMap)))
     metaCache.remove(item)
     refreshItems()
   }
@@ -715,6 +722,49 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     junk.foreach(d => path.resolve(d).deleteRecursively())
     refreshItems()
     junk
+  }
+
+  /** Targeted row deletion — the right-to-be-forgotten / bad-shard
+    * removal primitive a production store needs beyond whole-item
+    * deletes. Removes every row matching `predicate` and rewrites only
+    * what the deletion touches: for a time-layout item the matching
+    * periods are found first (one predicate-pushdown scan) and ONLY
+    * those period dirs are rewritten through the same atomic
+    * partial-commit path appends use — a period that loses ALL its
+    * rows is removed outright (its pinned generations are retained for
+    * manifest snapshots, like any replaced period). Flat items rewrite
+    * once — inherent without a layout. Cost therefore scales with the
+    * touched periods, not item size, exactly like partial appends.
+    *
+    * The predicate evaluates against STORED column values (what
+    * `item(name).data` surfaces before index restoration). Index
+    * min/max stats are left untouched — after a delete they are
+    * conservative (wider) bounds, which is always pruning-safe.
+    * Returns the number of rows deleted. */
+  def deleteWhere(item: String, predicate: org.apache.spark.sql.Column): Long = {
+    val existing = this.item(item)
+    val idx = existing.indexCols
+    val dataDir = path.resolve(item).resolve(Item.DataDir)
+    val prevMeta = Meta.read(path.resolve(item))
+    timeLayoutOf(item) match {
+      case Some(layout) =>
+        val raw = spark.read.parquet(dataDir.toString)
+        val months = raw.filter(predicate).select(col(MonthCol)).distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+        if (months.isEmpty) return 0L
+        val touched = raw.filter(col(MonthCol).isin(months: _*)).drop(MonthCol)
+        val deleted = touched.filter(predicate).count()
+        commitMonths(item,
+          withTimeLayout(touched.filter(!predicate), idx, monthlySaltOf(item), layout),
+          months, prevMeta)
+        deleted
+      case None =>
+        val raw = spark.read.parquet(dataDir.toString)
+        val deleted = raw.filter(predicate).count()
+        if (deleted == 0L) return 0L
+        commit(item, raw.filter(!predicate), prevMeta)
+        deleted
+    }
   }
 
   def deleteItem(item: String): Boolean = {

@@ -126,4 +126,42 @@ class MonthlyLayoutSpec extends SparkSpec {
     assert(it.data.queryExecution.executedPlan.toString.contains(Collection.MonthCol))
     cleanup(c)
   }
+
+  test("deleteWhere rewrites only touched months; emptied months disappear") {
+    import org.apache.spark.sql.functions._
+    val c = tempCollection("monthly_delete")
+    c.write("item", frame("2024-01-01", 90, 1.0)
+      .withColumn("value", when(dayofmonth(col("index")) === 5, 9.0).otherwise(col("value"))),
+      monthlyLayout = true)
+    val before = monthDirs(c, "item")
+    // partial delete: value=9.0 rows exist in each month (day 5) — all
+    // three months are touched, 3 rows go
+    assert(c.deleteWhere("item", col("value") === 9.0) == 3L)
+    assert(c.item("item").data.count() == 87)
+    // no-match delete: returns 0 and commits nothing (file mtimes equal)
+    val mid = monthDirs(c, "item")
+    assert(c.deleteWhere("item", col("value") === 123.0) == 0L)
+    assert(monthDirs(c, "item") == mid)
+    // month-wipe: every February row goes -> the dir itself must go,
+    // and January/March files are NOT rewritten (same names + mtimes)
+    assert(c.deleteWhere("item",
+      month(col("index")) === 2 && year(col("index")) === 2024) == 28L) // 29 minus deleted day 5
+    val after = monthDirs(c, "item")
+    assert(!after.keySet.exists(_.startsWith(Collection.MonthCol + "=2024-02")), after.keySet.toString)
+    assert(after(Collection.MonthCol + "=2024-01") == mid(Collection.MonthCol + "=2024-01"))
+    assert(after(Collection.MonthCol + "=2024-03") == mid(Collection.MonthCol + "=2024-03"))
+    assert(c.item("item").data.count() == 87 - 28)
+    assert(before.keySet.size == 3)
+    cleanup(c)
+  }
+
+  test("deleteWhere on a flat item rewrites once; stored rows match the filter") {
+    import org.apache.spark.sql.functions._
+    val c = tempCollection("flat_delete")
+    c.write("item", frame("2024-01-01", 30, 1.0))
+    assert(c.deleteWhere("item", dayofmonth(col("index")) <= 10) == 10L)
+    assert(c.item("item").data.count() == 20)
+    assert(c.deleteWhere("item", lit(false)) == 0L)
+    cleanup(c)
+  }
 }
