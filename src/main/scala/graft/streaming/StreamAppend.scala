@@ -498,6 +498,44 @@ object StreamAppend {
       }
   }
 
+  /** Streaming perplexity gate over a PERSISTED bigram LM — the
+    * quality filter as an ingest sink: each micro-batch is scored
+    * against the frozen model (two vocabulary-sized dictionary joins,
+    * LanguageModel.scoreDocs), documents whose avg negative
+    * ln-likelihood exceeds `maxNll` are dropped, and survivors append
+    * through the index-dedup item path. The model is LOADED per batch,
+    * never refit — refitting is an offline `appendToLm` job, exactly
+    * like the ANN/BM25 sinks' frozen-index contract. Scoring is
+    * stateless and deterministic, so re-delivery idempotency needs no
+    * epoch watermark: KeepLast of identical survivor rows is a no-op.
+    * Documents with no bigram (nll 0) pass — length filtering is a
+    * different rule's job. */
+  def intoLmGate(stream: DataFrame,
+                 collection: Collection,
+                 lmName: String,
+                 item: String,
+                 maxNll: Double,
+                 textCol: String = "text",
+                 idCol: String = "doc_id"): DataStreamWriter[Row] = {
+    import graft.operators.LanguageModel
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val lm = LanguageModel.BigramLm.load(collection, lmName)
+          val keep = LanguageModel.scoreDocs(lm, batch, textCol, idCol)
+            .filter(col("nll") <= maxNll)
+            .select(col(idCol))
+          val survivors = batch.join(keep, Seq(idCol), "left_semi")
+          if (!survivors.isEmpty) {
+            if (!collection.hasItem(item))
+              collection.write(item, survivors, indexCols = Seq(idCol))
+            else collection.append(item, survivors, DuplicateHandling.KeepLast)
+          }
+        }
+      }
+  }
+
   /** Run a bounded streaming job to completion (test/driver helper). */
   def runToCompletion(writer: DataStreamWriter[Row]): Unit = {
     val q: StreamingQuery = writer.trigger(Trigger.AvailableNow()).start()

@@ -73,6 +73,36 @@ class StreamingSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("streaming LM gate: high-perplexity docs dropped, re-delivery idempotent") {
+    import graft.operators.LanguageModel
+    val c = tempCollection("stream_lm_gate")
+    val src = Files.createTempDirectory("graft_stream_lm")
+    import spark.implicits._
+    val corpus = sf("documents").select($"doc_id", $"text")
+    val lm = LanguageModel.buildAndSaveBigramLm(corpus, c, "lm")
+    // probes with a GUARANTEED nll ordering: a known corpus bigram vs
+    // pure-OOV backoff floor (see OperatorsSpec); gate at the midpoint
+    val topBg = lm.bigrams.orderBy($"cnt".desc, $"bg").head().getString(0)
+    val probes = Seq((9001L, topBg), (9002L, "zzzqxj zzzqxk")).toDF("doc_id", "text")
+    val scored = LanguageModel.scoreDocs(LanguageModel.BigramLm.load(c, "lm"), probes)
+      .orderBy($"doc_id").select($"nll").as[Double].collect()
+    val gate = (scored(0) + scored(1)) / 2.0
+    probes.write.mode("overwrite").parquet(s"$src/in")
+    val stream = spark.readStream.schema(probes.schema).parquet(s"$src/in")
+    def run(ckpt: String): Unit = StreamAppend.runToCompletion(
+      StreamAppend.intoLmGate(stream, c, "lm", "clean_docs", maxNll = gate)
+        .option("checkpointLocation", s"$src/$ckpt"))
+    run("ckpt")
+    val ids = c.item("clean_docs").data.select($"doc_id").as[Long].collect().toSet
+    assert(ids == Set(9001L), s"gate kept wrong docs: $ids")
+    // fresh checkpoint re-delivers the batch; KeepLast of identical
+    // survivor rows is a no-op — stateless-score idempotency
+    run("ckpt2")
+    assert(c.item("clean_docs").data.count() == 1L)
+    FsOps.deleteRecursively(src)
+    cleanup(c)
+  }
+
   test("streaming deduped ingest: survivors index incrementally, re-delivery safe") {
     import graft.operators.DedupIndex
     val c = tempCollection("stream_minhash")
