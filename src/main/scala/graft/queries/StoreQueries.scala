@@ -217,6 +217,39 @@ object StoreQueries {
       |WHERE NOT (l_orderkey % 10 = 3) AND NOT (year(l_shipdate) = 1994)
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Snapshot diff (the data-versioning question "what changed since
+    * snapshot S?"): snapshot → append new rows → predicate-delete old
+    * rows → diff live vs snapshot. Appended survivors must surface as
+    * 'added', deleted pre-snapshot rows as 'removed', rows that were
+    * both added and deleted after the snapshot must not appear at all.
+    * Exercises manifest-snapshot copy-on-write through BOTH mutation
+    * paths (append and deleteWhere). */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cutoff = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+    val col = freshCollection(s, "snapshot_diff")
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderdate")
+    col.write("o", o.filter($"o_orderdate" < lit(cutoff)), indexCols = Seq("o_orderdate"))
+    val snap = col.createSnapshot(Some("v1"), manifest = Some(true))
+    col.append("o", o.filter($"o_orderdate" >= lit(cutoff)), DuplicateHandling.KeepAll)
+    col.deleteWhere("o", $"o_orderkey" % 100 === 7)
+    col.diffSnapshot("o", snap)
+      .orderBy($"change", $"o_orderkey")
+  }
+
+  val snapshotDiffSql: String =
+    """SELECT o_orderkey, o_totalprice, o_orderdate, 'added' AS change
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND NOT (o_orderkey % 100 = 7)
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice, o_orderdate, 'removed' AS change
+      |FROM orders
+      |WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderkey % 100 = 7
+      |ORDER BY change, o_orderkey""".stripMargin
+
   /** P3 metadata-equality item search over sidecars (driver-side; the
     * result is the matching items' names — oracle = the literal set). */
   def metadataSearch(s: SparkSession, dir: String): DataFrame = {
@@ -243,6 +276,7 @@ object StoreQueries {
     "store_append_monthly_partial" -> appendMonthly _,
     "store_delete_where" -> deleteWhere _,
     "store_snapshot_read" -> snapshotRead _,
+    "store_snapshot_diff" -> snapshotDiff _,
     "store_evolution_add_column" -> evolutionAddColumn _,
     "store_metadata_search" -> metadataSearch _)
 
@@ -254,6 +288,7 @@ object StoreQueries {
     "store_append_monthly_partial" -> appendMonthlySql,
     "store_delete_where" -> deleteWhereSql,
     "store_snapshot_read" -> snapshotReadSql,
+    "store_snapshot_diff" -> snapshotDiffSql,
     "store_evolution_add_column" -> evolutionAddColumnSql,
     "store_metadata_search" -> metadataSearchSql)
 }

@@ -724,6 +724,22 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     junk
   }
 
+  /** Multiset diff of an item's LIVE state against one of its
+    * snapshots — the data-versioning question ("what changed since
+    * snapshot S?") answered as one DataFrame: rows only in the live
+    * state tagged 'added', rows only in the snapshot tagged 'removed'
+    * (an in-place update therefore surfaces as one of each, the
+    * standard diff semantics). Duplicate rows diff by multiplicity
+    * (exceptAll), so KeepAll items diff correctly. Both sides are
+    * ordinary pruned scans; the diff itself is two hash anti-joins on
+    * the full row — no driver materialization. */
+  def diffSnapshot(item: String, snapshot: String): DataFrame = {
+    val live = this.item(item).data
+    val snap = this.item(item, snapshot = Some(snapshot)).data
+    live.exceptAll(snap).withColumn("change", lit("added"))
+      .unionByName(snap.exceptAll(live).withColumn("change", lit("removed")))
+  }
+
   /** Targeted row deletion — the right-to-be-forgotten / bad-shard
     * removal primitive a production store needs beyond whole-item
     * deletes. Removes every row matching `predicate` and rewrites only

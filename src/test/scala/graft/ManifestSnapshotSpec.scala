@@ -36,6 +36,20 @@ class ManifestSnapshotSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("diffSnapshot: empty when unchanged, tags appends added and deletes removed") {
+    val c = tempCollection("msnap_diff")
+    c.write("it", df3(1L -> "a", 2L -> "b"), indexCols = Seq("index"))
+    val snap = c.createSnapshot(Some("d1"), manifest = Some(true))
+    assert(c.diffSnapshot("it", snap).isEmpty)
+    c.append("it", df3(3L -> "c"))
+    c.deleteWhere("it", col("index") === 1L)
+    val diff = c.diffSnapshot("it", snap)
+      .select(col("change"), col("index"), col("v"))
+      .as[(String, Long, String)].collect().toSet
+    assert(diff == Set(("added", 3L, "c"), ("removed", 1L, "a")))
+    cleanup(c)
+  }
+
   test("snapshot read resolves to the LIVE dir while generation is unchanged") {
     val c = tempCollection("msnap_live")
     c.write("it", df3(1L -> "a"), indexCols = Seq("index"))
