@@ -54,6 +54,54 @@ object Profiler {
         "(column, n, n_null, min, max, sum, p50, p95)"))
   }
 
+  /** Pairwise Pearson correlations for a set of numeric columns — the
+    * data-card "which signals are redundant" matrix. ONE aggregation
+    * pass computes every moment for every pair, then the driver folds
+    * the single result row into the n·(n−1)/2 output rows — no
+    * per-pair jobs, no second scan, and the only materialization is
+    * one row of sums.
+    *
+    * Determinism contract: inputs are fixed-point scaled
+    * (`round(x·10^scale)` — exact for columns with ≤`scale` decimal
+    * digits; Pearson is scale-invariant so the result is unchanged),
+    * every sum runs in DECIMAL(38,0) (exact integers, order-free), and
+    * only the FINAL formula — (n·Σxy − Σx·Σy) / (√(n·Σxx − Σx²) ·
+    * √(n·Σyy − Σy²)) — runs in IEEE doubles with a fixed operation
+    * order, rounded to 6. A DuckDB oracle therefore reproduces the
+    * hash exactly. Rows where ANY profiled column is null are excluded
+    * (complete-case, the standard matrix-consistent choice). */
+  def correlationMatrix(df: DataFrame,
+                        cols: Seq[String],
+                        scale: Int = 2): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix needs at least two columns")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val f = math.pow(10.0, scale)
+    def fx(c: String) =
+      round(col(c).cast("double") * f).cast("decimal(38,0)")
+    val complete = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+      yield (cols(i), cols(j))
+    val aggs =
+      Seq(count(lit(1)).as("n")) ++
+      cols.flatMap { c => Seq(
+        sum(fx(c)).as(s"s_$c"),
+        sum(fx(c) * fx(c)).as(s"ss_$c")) } ++
+      pairs.map { case (a, b) => sum(fx(a) * fx(b)).as(s"sp_${a}__$b") }
+    val row = complete.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getAs[Long]("n").toDouble
+    def d(name: String): Double = row.getAs[java.math.BigDecimal](name).doubleValue()
+    val out = pairs.map { case (a, b) =>
+      val (sx, sy) = (d(s"s_$a"), d(s"s_$b"))
+      val (sxx, syy, sxy) = (d(s"ss_$a"), d(s"ss_$b"), d(s"sp_${a}__$b"))
+      val denom = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+      val corr = if (denom == 0.0) 0.0 else (n * sxy - sx * sy) / denom
+      (a, b, n.toLong,
+        BigDecimal(corr).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    out.toDF("col_x", "col_y", "n", "corr")
+  }
+
   /** Categorical data-card stats, one row per column: count, nulls,
     * distinct count, lexical min/max, and the modal value with its
     * frequency (ties broken by the LARGER value — struct ordering of

@@ -108,6 +108,54 @@ object Sampling {
       .drop("__th")
   }
 
+  /** Temperature-scaled mixture sampling — the multilingual/
+    * multi-domain rebalancing rule (mBERT/XLM-R lineage): target
+    * mixture weight w_s ∝ tokens_s^(1/T), so T = 1 reproduces the
+    * corpus proportions and T > 1 flattens toward uniform, upweighting
+    * small sources without hand-tuned weights. Rates then follow the
+    * token-budget rule: rate_s = min(1, B·w_s / tokens_s).
+    *
+    * Determinism contract (what lets a DuckDB oracle replicate the
+    * realized sample): each pow term is rounded to 6 decimals and the
+    * normalizer summed EXACTLY (BigDecimal here, DECIMAL in SQL) so
+    * summation order cannot perturb it; the final rate is rounded to 9
+    * decimals BEFORE the %08x threshold is derived. Same plan shape as
+    * [[tokenBudgetSample]]: one map-side-combined aggregation for the
+    * totals, a broadcast rate table, and a pure-row-property keep
+    * decision. */
+  def temperatureSample(df: DataFrame,
+                        budgetTokens: Long,
+                        temperature: Double,
+                        sourceCol: String = "source",
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(temperature > 0.0, "temperature must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val inv = 1.0 / temperature
+    val withTok = df.withColumn("n_tokens",
+      TextAnalysis.tokenCount(col(textCol)).cast("long"))
+    val totals = withTok.groupBy(col(sourceCol))
+      .agg(sum(col("n_tokens")).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val powR = totals.map { case (s, t) =>
+      (s, t, BigDecimal(math.pow(math.max(t, 1L).toDouble, inv))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+    }
+    val sumPow = powR.map(_._3).sum // exact decimal sum — order-free
+    val rates = powR.map { case (s, t, p) =>
+      val r = math.min(1.0,
+        budgetTokens.toDouble * (p.toDouble / sumPow.toDouble) / t.toDouble)
+      (s, BigDecimal(r).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val rateDf = rates.toSeq.map { case (s, r) => (s, r, hashThreshold(r)) }
+      .toDF(sourceCol, "rate", "__th")
+    withTok.join(broadcast(rateDf), Seq(sourceCol))
+      .filter(hashKey(idCol) < col("__th"))
+      .drop("__th")
+  }
+
   /** Stratified deterministic sampling: per-stratum fractions with a
     * default for unlisted strata — the eval-set carving recipe (e.g.
     * oversample rare languages, downsample dominant sources). */

@@ -265,6 +265,50 @@ object PipelineQueries {
        |FROM kept GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** Temperature-scaled mixture sampling (T = 2 → weights ∝ √tokens,
+    * flattening toward uniform — the mBERT/XLM-R rebalancing rule with
+    * no hand weights). The oracle recomputes token totals, the rounded
+    * pow terms, the EXACT decimal normalizer, the 9-decimal rates, the
+    * %08x thresholds, and the md5-rule membership — the entire mixing
+    * computation — in SQL. */
+  def sampleTemperature(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.temperatureSample(
+        Tables.t(s, dir, "documents"), budgetTokens = 8000, temperature = 2.0)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sampled_tokens"),
+        round(max(col("rate")), 9).as("rate"),
+        sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("source"))
+
+  val sampleTemperatureSql: String =
+    s"""WITH tok AS (SELECT doc_id, source, CAST($nTokensSql AS BIGINT) AS n_tokens
+       |             FROM documents),
+       |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t
+       |        FROM tok GROUP BY source),
+       |p AS (SELECT source, t,
+       |    CAST(round(pow(CAST(greatest(t, 1) AS DOUBLE), 0.5), 6)
+       |         AS DECIMAL(38,6)) AS pw
+       |  FROM tot),
+       |s AS (SELECT sum(pw) AS sp FROM p),
+       |rates AS (SELECT source,
+       |    round(least(1.0, 8000.0 * (CAST(pw AS DOUBLE) / CAST(sp AS DOUBLE))
+       |          / CAST(t AS DOUBLE)), 9) AS rate
+       |  FROM p CROSS JOIN s),
+       |th AS (SELECT source, rate,
+       |    printf('%08x', least(CAST(floor(rate * 4294967296.0) AS BIGINT),
+       |                         4294967295)) AS th
+       |  FROM rates),
+       |kept AS (SELECT t.doc_id, t.source, t.n_tokens, r.rate
+       |  FROM tok t JOIN th r USING (source)
+       |  WHERE substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8) < r.th)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sampled_tokens,
+       |  round(max(rate), 9) AS rate,
+       |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+       |FROM kept GROUP BY source
+       |ORDER BY source""".stripMargin
+
   /** PII scrub: deterministic planted PII (email/SSN/phone/IPv4
     * suffix for doc_id < 50), per-type counts over the original text,
     * and an md5 pin of the REDACTED text — so pattern matching and the
@@ -1404,6 +1448,43 @@ object PipelineQueries {
        |FROM ranked WHERE rn = 1
        |ORDER BY cluster""".stripMargin
 
+  /** Pairwise Pearson correlations over the lineitem measures — the
+    * data-card redundancy matrix. All moments are exact fixed-point
+    * integer sums (one aggregation pass); only the final formula runs
+    * in doubles with a fixed operation order, so DuckDB reproduces the
+    * hash exactly. */
+  def profileCorrelation(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiler.correlationMatrix(
+        Tables.t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy(col("col_x"), col("col_y"))
+
+  val profileCorrelationSql: String = {
+    val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    def fx(c: String) = s"CAST(round($c*100) AS DECIMAL(38,0))"
+    val moments =
+      cs.flatMap(c => Seq(s"sum(${fx(c)}) AS s_$c", s"sum(${fx(c)}*${fx(c)}) AS ss_$c")) ++
+      (for { i <- cs.indices; j <- cs.indices if i < j }
+        yield s"sum(${fx(cs(i))}*${fx(cs(j))}) AS sp_${cs(i)}__${cs(j)}")
+    def dbl(x: String) = s"CAST($x AS DOUBLE)"
+    val pairRows = (for { i <- cs.indices; j <- cs.indices if i < j } yield {
+      val (a, b) = (cs(i), cs(j))
+      val da = s"sqrt(${dbl("n")}*${dbl(s"ss_$a")} - ${dbl(s"s_$a")}*${dbl(s"s_$a")})"
+      val db2 = s"sqrt(${dbl("n")}*${dbl(s"ss_$b")} - ${dbl(s"s_$b")}*${dbl(s"s_$b")})"
+      s"""SELECT '$a' AS col_x, '$b' AS col_y, n,
+         |  round(CASE WHEN $da * $db2 = 0 THEN 0.0
+         |    ELSE (${dbl("n")}*${dbl(s"sp_${a}__$b")} - ${dbl(s"s_$a")}*${dbl(s"s_$b")})
+         |         / ($da * $db2) END, 6) AS corr
+         |FROM s""".stripMargin
+    }).mkString("\nUNION ALL\n")
+    s"""WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  ${moments.mkString(",\n  ")}
+       |  FROM lineitem
+       |  WHERE ${cs.map(c => s"$c IS NOT NULL").mkString(" AND ")})
+       |$pairRows
+       |ORDER BY col_x, col_y""".stripMargin
+  }
+
   /** Column profiling over orders (the data-card stats pass). Exact
     * percentiles here so DuckDB can hash-verify (exact `percentile`
     * buffers the column per partition — priced for the oracle table,
@@ -2164,6 +2245,7 @@ object PipelineQueries {
     "text_contamination" -> textContamination _,
     "sample_stratified" -> sampleStratified _,
     "sample_token_budget" -> sampleTokenBudget _,
+    "sample_temperature" -> sampleTemperature _,
     "text_pii_redact" -> textPiiRedact _,
     "pipeline_curation" -> pipelineCuration _,
     "pipeline_packing" -> pipelinePacking _,
@@ -2172,6 +2254,7 @@ object PipelineQueries {
     "layout_zorder_scan" -> layoutZorderScan _,
     "profile_categories" -> profileCategories _,
     "profile_histogram" -> profileHistogram _,
+    "profile_correlation" -> profileCorrelation _,
     "text_fingerprint" -> textFingerprint _,
     "text_rolling_fingerprint" -> textRollingFingerprint _,
     "multimodal_meta" -> multimodalMeta _,
@@ -2221,6 +2304,7 @@ object PipelineQueries {
     "text_contamination" -> textContaminationSql,
     "sample_stratified" -> sampleStratifiedSql,
     "sample_token_budget" -> sampleTokenBudgetSql,
+    "sample_temperature" -> sampleTemperatureSql,
     "text_pii_redact" -> textPiiRedactSql,
     "pipeline_curation" -> pipelineCurationSql,
     "pipeline_packing" -> pipelinePackingSql,
@@ -2229,6 +2313,7 @@ object PipelineQueries {
     "layout_zorder_scan" -> layoutZorderScanSql,
     "profile_categories" -> profileCategoriesSql,
     "profile_histogram" -> profileHistogramSql,
+    "profile_correlation" -> profileCorrelationSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_rolling_fingerprint" -> textRollingFingerprintSql,
     "multimodal_meta" -> multimodalMetaSql,

@@ -1178,6 +1178,27 @@ class OperatorsSpec extends SparkSpec {
     assert(o2.forall(r => r.getAs[String]("text") == "" && r.getAs[Long]("n_kept") == 0L))
   }
 
+  test("correlation matrix: perfect, inverse, and degenerate pairs") {
+    val df = Seq(
+      (1.0, 2.0, 5.0, 7.0),
+      (2.0, 4.0, 4.0, 7.0),
+      (3.0, 6.0, 3.0, 7.0),
+      (4.0, 8.0, 2.0, 7.0)).toDF("a", "b", "c", "k")
+    val out = Profiler.correlationMatrix(df, Seq("a", "b", "c", "k"))
+      .orderBy($"col_x", $"col_y").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(3))).toMap
+    assert(out(("a", "b")) == 1.0)   // b = 2a
+    assert(out(("a", "c")) == -1.0)  // c = 6 - a
+    assert(out(("a", "k")) == 0.0)   // constant column -> zero-denominator guard
+    assert(out(("b", "c")) == -1.0)
+    // null rows are excluded matrix-wide (complete-case)
+    val withNull = df.unionByName(Seq((9.0, 9.0, 9.0, 7.0)).toDF("a", "b", "c", "k"))
+      .withColumn("c", when($"a" === 9.0, lit(null: java.lang.Double)).otherwise($"c"))
+    val n = Profiler.correlationMatrix(withNull, Seq("a", "b", "c"))
+      .select($"n").head().getLong(0)
+    assert(n == 4L)
+  }
+
   test("select canonical keeps the best-scored member per cluster, singletons survive") {
     val docs = Seq(
       (1L, 30.0), (2L, 50.0), (3L, 50.0), // one cluster: 3 wins on score, tie -> min id between 2/3
