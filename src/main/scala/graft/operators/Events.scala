@@ -46,6 +46,38 @@ object Events {
         round(sum(col("value").cast("decimal(38,4)")).cast("double"), 2).as("total_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
 
+  /** Event-rate anomaly detection — the pipeline-monitoring pass
+    * ("which hours saw an abnormal event rate"): tumbling-window event
+    * counts, a global z-score per window against the sample
+    * mean/stddev of all window counts, and the windows at
+    * |z| ≥ threshold. Moments are exact integer sums (Σc, Σc² —
+    * order-free, engine-identical); mean, std, and z run in
+    * fixed-order double arithmetic, with z ROUNDED before the
+    * threshold filter so membership is stable. Plan: one window-count
+    * aggregation, one driver-sized moments row, one stateless pass for
+    * z — all shuffles on the window key. */
+  def rateAnomalies(events: DataFrame,
+                    width: String = "1 hour",
+                    threshold: Double = 2.0): DataFrame = {
+    val counts = events
+      .groupBy(window(col("ts"), width).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("n"))
+    val m = counts.agg(count(lit(1)).as("k"), sum(col("n")).as("sx"),
+      sum(col("n") * col("n")).as("sxx")).head()
+    val k = m.getLong(0).toDouble
+    val sx = m.getLong(1).toDouble
+    val sxx = m.getLong(2).toDouble
+    require(k > 1.0, "rateAnomalies needs at least two windows")
+    val mean = sx / k
+    val std = math.sqrt((k * sxx - sx * sx) / (k * (k - 1.0)))
+    require(std > 0.0, "rateAnomalies: all window counts identical (std = 0)")
+    counts
+      .withColumn("z", round((col("n").cast("double") - lit(mean)) / lit(std), 6))
+      .filter(abs(col("z")) >= threshold)
+      .select(col("window_start"), col("n"), col("z"))
+  }
+
   /** JSON props extraction — schema-on-read over the props column. */
   def withProps(events: DataFrame): DataFrame =
     events.withColumn("k", get_json_object(col("props"), "$.k").cast("int"))

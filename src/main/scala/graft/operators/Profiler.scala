@@ -102,6 +102,38 @@ object Profiler {
     out.toDF("col_x", "col_y", "n", "corr")
   }
 
+  /** Join-key skew diagnostics — the "will this key hot-spot a 100 TB
+    * shuffle" data card: per key column, row count, distinct keys, the
+    * heaviest key with its count, and the skew factor max/avg (avg =
+    * n/d). A factor ≫ 1 is the signal to salt that join key or lean on
+    * AQE skew handling BEFORE the production run, which is exactly
+    * when this profile is cheap to take. One melted (column, key)
+    * rollup — two shuffles total regardless of column count, both over
+    * skinny string pairs; modal ties break to the LARGER key string
+    * (struct ordering), so the result is deterministic. */
+  def keySkew(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "keySkew needs at least one column")
+    cols.foreach { c =>
+      require(!c.contains("`") && !c.contains("'"),
+        s"keySkew: column name '$c' contains a quote character")
+    }
+    val melted = df.selectExpr(
+      s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', cast(`$c` as string)").mkString(", ") +
+        ") as (col_name, key)")
+    melted.filter(col("key").isNotNull)
+      .groupBy(col("col_name"), col("key")).agg(count(lit(1)).as("c"))
+      .groupBy(col("col_name"))
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_distinct"),
+        max(struct(col("c"), col("key"))).as("__top"))
+      .select(col("col_name"), col("n"), col("n_distinct"),
+        col("__top").getField("key").as("top_key"),
+        col("__top").getField("c").as("top_count"),
+        round(col("__top").getField("c").cast("double") *
+          col("n_distinct").cast("double") / col("n").cast("double"), 6).as("skew"))
+  }
+
   /** Categorical data-card stats, one row per column: count, nulls,
     * distinct count, lexical min/max, and the modal value with its
     * frequency (ties broken by the LARGER value — struct ordering of

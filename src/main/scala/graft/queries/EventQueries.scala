@@ -57,6 +57,30 @@ object EventQueries {
       |GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** Event-rate anomalies: hourly z-scores against the global
+    * mean/std of hourly counts, |z| ≥ 2 emitted. Exact integer
+    * moments + fixed-order double formula + round-before-filter make
+    * the flagged set engine-replicable. */
+  def rateAnomaly(s: SparkSession, dir: String): DataFrame =
+    Events.rateAnomalies(events(s, dir), "1 hour", threshold = 2.0)
+      .orderBy(col("window_start"))
+
+  val rateAnomalySql: String =
+    """WITH c AS (SELECT date_trunc('hour', date_trunc('microseconds', ts)) AS w,
+      |             CAST(count(*) AS BIGINT) AS n
+      |           FROM events GROUP BY 1),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS sx,
+      |             CAST(sum(n*n) AS BIGINT) AS sxx FROM c),
+      |z AS (SELECT w, n,
+      |    round((CAST(n AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(k AS DOUBLE)) /
+      |      sqrt((CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |           / (CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0))), 6) AS z
+      |  FROM c CROSS JOIN m)
+      |SELECT w AS window_start, n, z FROM z
+      |WHERE abs(z) >= 2.0
+      |ORDER BY window_start""".stripMargin
+
   /** As-of join: each click event matched with the user's most recent
     * purchase at or before it (point-in-time-correct feature lookup). */
   def asofClickPurchase(s: SparkSession, dir: String): DataFrame = {
@@ -213,6 +237,7 @@ object EventQueries {
     "store_events_ns_roundtrip" -> nsRoundtrip _,
     "events_session_stats" -> sessionStats _,
     "events_hourly_counts" -> hourlyCounts _,
+    "events_rate_anomaly" -> rateAnomaly _,
     "events_asof_click_purchase" -> asofClickPurchase _,
     "events_props_agg" -> propsAgg _,
     "events_retention" -> retention _)
@@ -223,6 +248,7 @@ object EventQueries {
     "store_events_ns_roundtrip" -> nsRoundtripSql,
     "events_session_stats" -> sessionStatsSql,
     "events_hourly_counts" -> hourlyCountsSql,
+    "events_rate_anomaly" -> rateAnomalySql,
     "events_asof_click_purchase" -> asofClickPurchaseSql,
     "events_props_agg" -> propsAggSql,
     "events_retention" -> retentionSql)

@@ -1485,6 +1485,41 @@ object PipelineQueries {
        |ORDER BY col_x, col_y""".stripMargin
   }
 
+  /** Join-key skew diagnostics over the lineitem join/filter keys —
+    * the pre-flight check for shuffle hot-spots. l_returnflag (3
+    * values over 600 k rows) shows what a pathological key looks like
+    * next to the well-spread surrogate keys. */
+  def profileSkew(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiler.keySkew(
+        Tables.t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"))
+      .orderBy(col("col_name"))
+
+  val profileSkewSql: String = {
+    val keyed = Seq(
+      "l_orderkey" -> "CAST(l_orderkey AS VARCHAR)",
+      "l_partkey" -> "CAST(l_partkey AS VARCHAR)",
+      "l_returnflag" -> "l_returnflag",
+      "l_suppkey" -> "CAST(l_suppkey AS VARCHAR)")
+    val melt = keyed.map { case (n, e) =>
+      s"SELECT '$n' AS col_name, $e AS key FROM lineitem"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH m AS ($melt),
+       |g AS (SELECT col_name, key, CAST(count(*) AS BIGINT) AS c
+       |      FROM m WHERE key IS NOT NULL GROUP BY 1, 2),
+       |top AS (SELECT col_name, key AS top_key, c AS top_count FROM g
+       |        QUALIFY row_number() OVER (PARTITION BY col_name
+       |          ORDER BY c DESC, key DESC) = 1),
+       |a AS (SELECT col_name, CAST(sum(c) AS BIGINT) AS n,
+       |             CAST(count(*) AS BIGINT) AS n_distinct
+       |      FROM g GROUP BY 1)
+       |SELECT a.col_name, n, n_distinct, top_key, top_count,
+       |  round(CAST(top_count AS DOUBLE) * CAST(n_distinct AS DOUBLE)
+       |        / CAST(n AS DOUBLE), 6) AS skew
+       |FROM a JOIN top USING (col_name)
+       |ORDER BY col_name""".stripMargin
+  }
+
   /** Column profiling over orders (the data-card stats pass). Exact
     * percentiles here so DuckDB can hash-verify (exact `percentile`
     * buffers the column per partition — priced for the oracle table,
@@ -2255,6 +2290,7 @@ object PipelineQueries {
     "profile_categories" -> profileCategories _,
     "profile_histogram" -> profileHistogram _,
     "profile_correlation" -> profileCorrelation _,
+    "profile_skew" -> profileSkew _,
     "text_fingerprint" -> textFingerprint _,
     "text_rolling_fingerprint" -> textRollingFingerprint _,
     "multimodal_meta" -> multimodalMeta _,
@@ -2314,6 +2350,7 @@ object PipelineQueries {
     "profile_categories" -> profileCategoriesSql,
     "profile_histogram" -> profileHistogramSql,
     "profile_correlation" -> profileCorrelationSql,
+    "profile_skew" -> profileSkewSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_rolling_fingerprint" -> textRollingFingerprintSql,
     "multimodal_meta" -> multimodalMetaSql,

@@ -1199,6 +1199,31 @@ class OperatorsSpec extends SparkSpec {
     assert(n == 4L)
   }
 
+  test("key skew: ratio math, modal tie-break to larger key, null keys ignored") {
+    val df = Seq(Some(1L), Some(1L), Some(2L), None, Some(7L)).toDF("k")
+    val out = Profiler.keySkew(df, Seq("k")).collect().head
+    // keys: 1→2, 2→1, 7→1 (null dropped): n=4, d=3, top=(2, "1"), skew=2*3/4
+    assert(out.getAs[Long]("n") == 4L && out.getAs[Long]("n_distinct") == 3L)
+    assert(out.getAs[String]("top_key") == "1" && out.getAs[Long]("top_count") == 2L)
+    assert(out.getAs[Double]("skew") == 1.5)
+    // tie-break: equal counts -> LARGER key string wins
+    val tie = Profiler.keySkew(Seq(1L, 2L).toDF("k"), Seq("k")).collect().head
+    assert(tie.getAs[String]("top_key") == "2")
+  }
+
+  test("rate anomalies: flags only windows beyond the z threshold") {
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    // 11 calm hours of 10 events + one 60-event spike
+    val rows = (0 until 12).flatMap { h =>
+      val n = if (h == 6) 60 else 10
+      (0 until n).map(i => (java.sql.Timestamp.from(base.plusSeconds(h * 3600L + i)), 1.0))
+    }
+    val df = rows.toDF("ts", "value")
+    val out = Events.rateAnomalies(df, "1 hour", threshold = 2.0).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("n") == 60L)
+    assert(out.head.getAs[Double]("z") > 2.0)
+  }
+
   test("select canonical keeps the best-scored member per cluster, singletons survive") {
     val docs = Seq(
       (1L, 30.0), (2L, 50.0), (3L, 50.0), // one cluster: 3 wins on score, tie -> min id between 2/3
