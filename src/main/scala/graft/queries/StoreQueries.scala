@@ -217,6 +217,28 @@ object StoreQueries {
       |WHERE NOT (l_orderkey % 10 = 3) AND NOT (year(l_shipdate) = 1994)
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Retention expiry (TTL sweep) through the monthly layout: every
+    * period wholly before the cutoff's month is removed by directory
+    * NAME (zero rows read); only the boundary month is scanned and
+    * rewritten. The mid-month cutoff makes the boundary path do real
+    * row-level work. Read-back ≡ index-filtered source. */
+  def expireBefore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cutoff = java.sql.Timestamp.valueOf("1995-07-15 00:00:00")
+    val col = freshCollection(s, "expire_before")
+    val li = Tables.t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_shipdate")
+    col.write("li", li, indexCols = Seq("l_shipdate"), monthlyLayout = true)
+    col.expireBefore("li", cutoff)
+    col.item("li").data.orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val expireBeforeSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-07-15 00:00:00'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   /** Snapshot diff (the data-versioning question "what changed since
     * snapshot S?"): snapshot → append new rows → predicate-delete old
     * rows → diff live vs snapshot. Appended survivors must surface as
@@ -275,6 +297,7 @@ object StoreQueries {
     "store_append_keep_all" -> appendKeepAll _,
     "store_append_monthly_partial" -> appendMonthly _,
     "store_delete_where" -> deleteWhere _,
+    "store_expire_before" -> expireBefore _,
     "store_snapshot_read" -> snapshotRead _,
     "store_snapshot_diff" -> snapshotDiff _,
     "store_evolution_add_column" -> evolutionAddColumn _,
@@ -287,6 +310,7 @@ object StoreQueries {
     "store_append_keep_all" -> appendKeepAllSql,
     "store_append_monthly_partial" -> appendMonthlySql,
     "store_delete_where" -> deleteWhereSql,
+    "store_expire_before" -> expireBeforeSql,
     "store_snapshot_read" -> snapshotReadSql,
     "store_snapshot_diff" -> snapshotDiffSql,
     "store_evolution_add_column" -> evolutionAddColumnSql,

@@ -85,6 +85,11 @@ object Collection {
   /** Metadata TTL cache — 300 s, same policy the reference credits for
     * its "100× faster metadata access" (collection.py:116-147). */
   val MetaCacheTtlMs: Long = 300 * 1000L
+
+  /** [[Collection.expireBefore]] outcome: the period directories
+    * removed by name (zero rows read) and the rows deleted from the
+    * rewritten boundary period. */
+  final case class ExpireResult(removedPeriods: Seq[String], boundaryDeleted: Long)
 }
 
 /** A collection: a namespace of items with write / append / read /
@@ -738,6 +743,58 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     val snap = this.item(item, snapshot = Some(snapshot)).data
     live.exceptAll(snap).withColumn("change", lit("added"))
       .unionByName(snap.exceptAll(live).withColumn("change", lit("removed")))
+  }
+
+  /** Retention expiry: drop every row whose INDEX value is strictly
+    * before `cutoff` — the TTL sweep a time-series store runs
+    * continuously. For a time-layout item this is the cheapest
+    * mutation the store has: every period wholly before the cutoff's
+    * period is removed by DIRECTORY NAME (period keys are
+    * lexicographically chronological in all four layouts) — ZERO rows
+    * read — and only the single boundary period is scanned and
+    * rewritten, through the same atomic partial-commit path appends
+    * use, in one commit with the removals (pinned generations retained
+    * as usual). Contrast [[deleteWhere]], whose general predicate
+    * needs a discovery scan. Flat items fall back to deleteWhere.
+    * Returns the removed period keys and the boundary row count. */
+  def expireBefore(item: String,
+                   cutoff: java.sql.Timestamp): Collection.ExpireResult = {
+    val existing = this.item(item)
+    val idx = existing.indexCols
+    timeLayoutOf(item) match {
+      case Some(layout) =>
+        val sessionTz = java.time.ZoneId.of(
+          spark.conf.get("spark.sql.session.timeZone", "UTC"))
+        val pStar = Collection.periodOfValue(layout, cutoff, sessionTz).getOrElse(
+          throw new ValidationError(s"cannot derive a $layout period from $cutoff"))
+        val dataDir = path.resolve(item).resolve(Item.DataDir)
+        val periods = dataDir.listDirs
+          .filter(_.startsWith(MonthCol + "="))
+          .map(_.stripPrefix(MonthCol + "="))
+        val toRemove = periods.filter(_ < pStar).sorted
+        val hasBoundary = periods.contains(pStar)
+        if (toRemove.isEmpty && !hasBoundary)
+          return Collection.ExpireResult(Nil, 0L)
+        val prevMeta = Meta.read(path.resolve(item))
+        val raw = spark.read.parquet(dataDir.toString)
+        // partition value filter: ONLY the boundary period's files read
+        val boundary = raw.filter(col(MonthCol) === pStar).drop(MonthCol)
+        val boundaryDeleted =
+          if (hasBoundary) boundary.filter(col(idx.head) < lit(cutoff)).count() else 0L
+        val keep =
+          if (hasBoundary) boundary.filter(!(col(idx.head) < lit(cutoff)))
+          else raw.drop(MonthCol).filter(lit(false))
+        // one commit covers the boundary rewrite AND the name-dropped
+        // periods (listed months absent from tmp are removals)
+        commitMonths(item,
+          withTimeLayout(keep, idx, monthlySaltOf(item), layout),
+          (toRemove ++ (if (hasBoundary) Seq(pStar) else Nil)).sorted,
+          prevMeta)
+        Collection.ExpireResult(toRemove, boundaryDeleted)
+      case None =>
+        Collection.ExpireResult(Nil,
+          deleteWhere(item, col(idx.head) < lit(cutoff)))
+    }
   }
 
   /** Targeted row deletion — the right-to-be-forgotten / bad-shard

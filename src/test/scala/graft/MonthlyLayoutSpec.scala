@@ -155,6 +155,42 @@ class MonthlyLayoutSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("expireBefore drops pre-cutoff months by name, rewrites only the boundary") {
+    import org.apache.spark.sql.functions._
+    val c = tempCollection("monthly_expire")
+    c.write("item", frame("2024-01-01", 90, 1.0), monthlyLayout = true)
+    val before = monthDirs(c, "item")
+    val r = c.expireBefore("item",
+      java.sql.Timestamp.valueOf("2024-02-10 00:00:00"))
+    // january removed by name; feb 1-9 deleted from the rewritten boundary
+    assert(r.removedPeriods == Seq("2024-01") && r.boundaryDeleted == 9L)
+    val after = monthDirs(c, "item")
+    assert(!after.contains(Collection.MonthCol + "=2024-01"))
+    // march untouched: identical file names + mtimes (not rewritten)
+    assert(after(Collection.MonthCol + "=2024-03") == before(Collection.MonthCol + "=2024-03"))
+    assert(c.item("item").data.count() == 90 - 31 - 9)
+    // cutoff before all data: structural no-op
+    val r2 = c.expireBefore("item",
+      java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))
+    assert(r2.removedPeriods.isEmpty && r2.boundaryDeleted == 0L)
+    assert(monthDirs(c, "item") == after)
+    // cutoff exactly at a period start: boundary rewrite deletes nothing,
+    // the prior month goes by name
+    val r3 = c.expireBefore("item",
+      java.sql.Timestamp.valueOf("2024-03-01 00:00:00"))
+    assert(r3.removedPeriods == Seq("2024-02") && r3.boundaryDeleted == 0L)
+    assert(c.item("item").data.count() == 30) // 90 days = 31 Jan + 29 Feb (leap) + 30 Mar
+    // flat fallback: delegates to deleteWhere on the index
+    val cf = tempCollection("flat_expire")
+    cf.write("item", frame("2024-01-01", 30, 1.0))
+    val rf = cf.expireBefore("item",
+      java.sql.Timestamp.valueOf("2024-01-11 00:00:00"))
+    assert(rf.removedPeriods.isEmpty && rf.boundaryDeleted == 10L)
+    assert(cf.item("item").data.count() == 20)
+    cleanup(cf)
+    cleanup(c)
+  }
+
   test("deleteWhere on a flat item rewrites once; stored rows match the filter") {
     import org.apache.spark.sql.functions._
     val c = tempCollection("flat_delete")
