@@ -135,6 +135,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: line dedup is identity on corpora with globally unique lines") {
+    val rng = new Random(11)
+    // every line carries its (doc, pos) baked in -> globally unique
+    val docs = (0 until 25).map { d =>
+      val n = rng.nextInt(4) + 1
+      (d.toLong, (0 until n).map(p => s"doc$d line$p word${rng.nextInt(9)}").mkString(". "))
+    }
+    val out = Dedup.lineDedup(docs.toDF("doc_id", "text"))
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    for ((id, text) <- docs)
+      assert(out(id) == text, s"doc $id not identity: '${out(id)}' vs '$text'")
+  }
+
+  test("property: LM nll is non-negative and zero exactly for bigram-free docs") {
+    import graft.operators.LanguageModel
+    val rng = new Random(13)
+    val vocab = Vector("ws", "xq", "yr", "zt", "vu")
+    val corpus = (0 until 30).map { i =>
+      (i.toLong, Seq.fill(rng.nextInt(8) + 2)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val lm = LanguageModel.buildBigramLm(corpus)
+    val probes = ((0 until 10).map { i =>
+      (100L + i, Seq.fill(rng.nextInt(6) + 2)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    } :+ (200L, "solo")).toDF("doc_id", "text")
+    val out = LanguageModel.scoreDocs(lm, probes).collect()
+    for (r <- out) {
+      val (id, n, nll) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      // p <= 1 always => every ln term <= 0 => nll >= 0; no-bigram docs
+      // take the documented 0 sentinel
+      assert(nll >= 0.0, s"doc $id nll=$nll")
+      if (id == 200L) assert(n == 0L && nll == 0.0)
+      else assert(n > 0L)
+    }
+  }
+
   test("property: append keep_last is idempotent (re-appending the same batch is a no-op)") {
     for (seed <- 1 to 5) {
       val rng = new Random(seed)
