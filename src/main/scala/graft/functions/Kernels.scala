@@ -281,6 +281,36 @@ object Kernels {
     ArrayData.toArrayData(out)
   }
 
+  /** Overlapping fixed-size token windows (RAG/embedding chunking):
+    * chunk i covers tokens [i·stride, i·stride+size), space-joined.
+    * Chunking stops once a chunk reaches the document end — the
+    * standard rule, so no trailing chunk is a strict subrange of its
+    * predecessor: a doc of n ≤ size tokens is exactly one chunk, else
+    * ⌈(n−size)/stride⌉ + 1 chunks, and with stride ≤ size every token
+    * belongs to at least one. One pass per row. */
+  def tokenChunks(arr: ArrayData, size: Int, stride: Int): ArrayData = {
+    val n = arr.numElements()
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val nChunks =
+      if (n == 0) 0
+      else if (n <= size) 1
+      else (n - size + stride - 1) / stride + 1
+    val out = new Array[UTF8String](nChunks)
+    var c = 0
+    while (c < nChunks) {
+      val start = c * stride
+      val end = math.min(start + size, n)
+      val parts = new Array[UTF8String](end - start)
+      var j = start
+      while (j < end) { parts(j - start) = toks(j); j += 1 }
+      out(c) = UTF8String.concatWs(ShingleSpace, parts: _*)
+      c += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   // ------------------------------------------------------- winnowing
 
   private val WinnowM = 2147483647L // 2^31 - 1

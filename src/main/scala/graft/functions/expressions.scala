@@ -205,6 +205,20 @@ object expressions {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Overlapping token windows for RAG/embedding chunking — see
+    * Kernels.tokenChunks for the boundary rule. Static-call codegen. */
+  case class TokenChunks(child: Expression, size: Int, stride: Int)
+      extends UnaryExpression {
+    require(size > 0 && stride > 0, "size and stride must be positive")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      Kernels.tokenChunks(v.asInstanceOf[ArrayData], size, stride)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.Kernels.tokenChunks($c, $size, $stride);")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** 64-bit SimHash of a string-array column: one pass over tokens,
     * ±1 vote per bit, sign → bit. Static-call codegen. */
   case class SimHash64(child: Expression) extends UnaryExpression {
@@ -415,6 +429,8 @@ object expressions {
 
   def shingle_set(tokens: Column, k: Int): Column = column(ShingleSet(expression(tokens), k))
   def ngram_list(tokens: Column, k: Int): Column = column(NGrams(expression(tokens), k))
+  def token_chunks(tokens: Column, size: Int, stride: Int): Column =
+    column(TokenChunks(expression(tokens), size, stride))
   def minhash_bands(tokens: Column, numHashes: Int, bands: Int): Column =
     column(MinHashBands(expression(tokens), numHashes, bands))
   def cosine_sim(a: Column, b: Column): Column = column(CosineSimilarity(expression(a), expression(b)))

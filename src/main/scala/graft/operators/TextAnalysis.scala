@@ -187,6 +187,28 @@ object TextAnalysis {
   def winnowFingerprint(text: Column, k: Int = 5, w: Int = 4): Column =
     graft.functions.expressions.winnow_fp(tokens(normalize(text)), k, w)
 
+  /** Document chunking for embedding/RAG pipelines: fixed-size
+    * overlapping token windows (size/stride in tokens; chunking stops
+    * once a window reaches the document end — Kernels.tokenChunks).
+    * Emits (idCol, chunk_idx, chunk, n_tokens) — one row per chunk,
+    * position-indexed so a downstream embed-then-store step keys on
+    * (doc, chunk_idx). Per-row native kernel + posexplode: no shuffle,
+    * scales linearly with executors like every other per-row text
+    * op. Raw whitespace tokens, NOT normalized — chunk text must stay
+    * verbatim for the model that consumes it. */
+  def chunk(df: DataFrame,
+            size: Int,
+            stride: Int,
+            textCol: String = "text",
+            idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol),
+        posexplode(graft.functions.expressions.token_chunks(
+          tokens(col(textCol)), size, stride)).as(Seq("chunk_idx", "chunk")))
+      .withColumn("n_tokens", size_(split(col("chunk"), "\\s+")))
+
+  // functions.size is shadowed by the `size` parameter name above
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
   /** Full per-document stats frame. */
   def stats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

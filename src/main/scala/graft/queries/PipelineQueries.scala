@@ -265,6 +265,34 @@ object PipelineQueries {
        |FROM kept GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** Document chunking (64-token windows, stride 48 — ~25% overlap):
+    * the embedding-pipeline preprocessing step. The md5 pin of every
+    * chunk verifies the window boundaries, the stop-at-end rule, and
+    * the verbatim chunk text against DuckDB's slice arithmetic. */
+  def textChunk(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunk(Tables.t(s, dir, "documents"), size = 64, stride = 48)
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val textChunkSql: String =
+    """WITH tok AS (SELECT doc_id,
+      |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |sized AS (SELECT doc_id, t, len(t) AS n,
+      |    CASE WHEN len(t) <= 64 THEN 1
+      |         ELSE (len(t) - 64 + 47) // 48 + 1 END AS n_chunks
+      |  FROM tok),
+      |chunks AS (SELECT doc_id,
+      |    unnest(range(0, n_chunks)) AS chunk_idx,
+      |    unnest(list_transform(range(0, n_chunks),
+      |      i -> array_to_string(t[i*48 + 1 : least(i*48 + 64, n)], ' '))) AS chunk
+      |  FROM sized)
+      |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+      |  CAST(len(string_split_regex(chunk, '\s+')) AS INTEGER) AS n_tokens,
+      |  md5(chunk) AS chunk_md5
+      |FROM chunks
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Temperature-scaled mixture sampling (T = 2 → weights ∝ √tokens,
     * flattening toward uniform — the mBERT/XLM-R rebalancing rule with
     * no hand weights). The oracle recomputes token totals, the rounded
@@ -2277,6 +2305,7 @@ object PipelineQueries {
     "text_lm_build" -> textLmBuild _,
     "text_lm_score" -> textLmScore _,
     "text_line_dedup" -> textLineDedup _,
+    "text_chunk" -> textChunk _,
     "text_contamination" -> textContamination _,
     "sample_stratified" -> sampleStratified _,
     "sample_token_budget" -> sampleTokenBudget _,
@@ -2337,6 +2366,7 @@ object PipelineQueries {
     "text_lm_build" -> textLmBuildSql,
     "text_lm_score" -> textLmScoreSql,
     "text_line_dedup" -> textLineDedupSql,
+    "text_chunk" -> textChunkSql,
     "text_contamination" -> textContaminationSql,
     "sample_stratified" -> sampleStratifiedSql,
     "sample_token_budget" -> sampleTokenBudgetSql,

@@ -1199,6 +1199,23 @@ class OperatorsSpec extends SparkSpec {
     assert(n == 4L)
   }
 
+  test("token chunking: stop-at-end rule, overlap, and full coverage") {
+    val text = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text), (2L, "short doc")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(df, size = 8, stride = 4)
+      .orderBy($"doc_id", $"chunk_idx").collect()
+    // doc 1 (10 tokens): [w1..w8), then the final chunk reaches the end
+    // at start 4 -> exactly 2 chunks, no redundant third
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.length == 2)
+    assert(d1(0).getAs[String]("chunk") == (1 to 8).map("w" + _).mkString(" "))
+    assert(d1(1).getAs[String]("chunk") == (5 to 10).map("w" + _).mkString(" "))
+    assert(d1.map(_.getAs[Int]("n_tokens")).toSeq == Seq(8, 6))
+    // doc 2 (2 tokens <= size): exactly one whole-doc chunk
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getAs[String]("chunk") == "short doc")
+  }
+
   test("key skew: ratio math, modal tie-break to larger key, null keys ignored") {
     val df = Seq(Some(1L), Some(1L), Some(2L), None, Some(7L)).toDF("k")
     val out = Profiler.keySkew(df, Seq("k")).collect().head
