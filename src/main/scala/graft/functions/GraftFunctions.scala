@@ -56,6 +56,11 @@ object GraftFunctions {
       require(args.length == 2, "graft_ngrams(tokens, k)")
       expressions.NGrams(args(0), intArg(args(1), "k"))
     },
+    "graft_token_chunks" -> { args =>
+      require(args.length == 3, "graft_token_chunks(tokens, size, stride)")
+      expressions.TokenChunks(args(0), intArg(args(1), "size"),
+        intArg(args(2), "stride"))
+    },
     "graft_hyperplane_bands" -> { args =>
       require(args.length == 3, "graft_hyperplane_bands(vec, bits, bands)")
       expressions.HyperplaneBands(args(0), intArg(args(1), "bits"),

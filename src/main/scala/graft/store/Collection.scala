@@ -729,6 +729,46 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     junk
   }
 
+  /** Store introspection — one row per item from DRIVER listings only
+    * (no data scan): layout, index columns, period/file counts, the
+    * sidecar stats (row count, index min/max epoch-ms), and the commit
+    * generation. The operational dashboard for a store of any size;
+    * cost is O(items) metadata reads. */
+  def describeItems(): DataFrame = {
+    import spark.implicits._
+    val rows = items.toSeq.sorted.map { name =>
+      val itemPath = path.resolve(name)
+      val dataDir = itemPath.resolve(Item.DataDir)
+      val meta = Meta.read(itemPath)
+      val layout = timeLayoutOf(name).getOrElse("flat")
+      val nPeriods =
+        if (layout == "flat") 0
+        else dataDir.listDirs.count(_.startsWith(MonthCol + "="))
+      val nFiles = path.fs.listFilesRecursively(dataDir.raw)
+        .count(_.endsWith(".parquet"))
+      val gen = meta.get("_generation")
+        .map(j => Meta.unjv(j).asInstanceOf[Long]).getOrElse(0L)
+      val stats = readStatsMeta(name)
+      (name, layout, this.item(name).indexCols.mkString(","),
+        nPeriods, nFiles, stats.map(_.rows), stats.flatMap(_.minMs),
+        stats.flatMap(_.maxMs), gen)
+    }
+    rows.toDF("item", "layout", "index_cols", "n_periods", "n_files",
+      "rows_estimate", "index_min_ms", "index_max_ms", "generation")
+  }
+
+  /** Compaction policy — the maintenance decision, not just the
+    * mechanism: re-lay the item when its physical parquet file count
+    * exceeds `maxFiles` (append generations accumulate small files,
+    * and every probe pays a per-file open). Returns whether a
+    * rebalance ran; the probe itself is a driver listing, no scan. */
+  def compactIfFragmented(item: String, maxFiles: Int,
+                          npartitions: Option[Int] = None): Boolean = {
+    val dataDir = path.resolve(item).resolve(Item.DataDir)
+    val n = path.fs.listFilesRecursively(dataDir.raw).count(_.endsWith(".parquet"))
+    if (n > maxFiles) { rebalance(item, npartitions); true } else false
+  }
+
   /** Multiset diff of an item's LIVE state against one of its
     * snapshots — the data-versioning question ("what changed since
     * snapshot S?") answered as one DataFrame: rows only in the live

@@ -787,7 +787,9 @@ class OperatorsSpec extends SparkSpec {
         |       size(graft_winnow_fp_set(split(text, ' '), 2, 2)) AS nfp,
         |       graft_repetition(split(text, ' ')).n_distinct AS nd,
         |       graft_pq_adc(array(1, 0), array(0.5D, 1.5D, 2.5D, 3.5D), 2) AS adc,
-        |       graft_interleave_bits(array(2L, 1L), 2) AS z
+        |       graft_interleave_bits(array(2L, 1L), 2) AS z,
+        |       size(graft_ngrams(split(text, ' '), 2)) AS nbg,
+        |       graft_token_chunks(split(text, ' '), 3, 2) AS chunks
         |FROM gf_probe""".stripMargin).head()
     assert(math.abs(r.getAs[Double]("cos") - 1.0) < 1e-12)
     assert(r.getAs[Long]("ng") == 3L) // 4 tokens, k=2 -> 3 grams
@@ -796,6 +798,9 @@ class OperatorsSpec extends SparkSpec {
     // lut stride 2: codes (1,0) -> lut[0*2+1] + lut[1*2+0] = 1.5 + 2.5
     assert(math.abs(r.getAs[Double]("adc") - 4.0) < 1e-12)
     assert(r.getAs[Long]("z") == 6L) // (2,1): bit1 dim0 -> pos2, bit0 dim1 -> pos1
+    assert(r.getAs[Int]("nbg") == 3) // non-distinct bigrams of 4 tokens
+    // "a b c d" size 3 stride 2: [a b c], [c d] (stop-at-end)
+    assert(r.getSeq[String](r.fieldIndex("chunks")) == Seq("a b c", "c d"))
     // registration is idempotent
     graft.functions.GraftFunctions.register(spark)
   }

@@ -160,7 +160,8 @@ class PlanSpec extends SparkSpec {
       MarkerCounts(child, Seq(Seq("the", "a"), Seq("le", "la"), Seq("der", "die"))),
       WinnowFingerprint(child, 3, 4),
       WinnowFingerprintSet(child, 3, 4),
-      NGrams(child, 2))
+      NGrams(child, 2),
+      TokenChunks(child, 4, 3))
     val input = InternalRow(toks)
     for (e <- exprs) {
       val gen = GenerateUnsafeProjection.generate(Seq(e)) // throws on Janino failure

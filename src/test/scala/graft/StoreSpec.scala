@@ -195,4 +195,29 @@ class StoreSpec extends SparkSpec {
     assert(v1.getAs[Double]("p95") <= v1.getAs[Double]("max"))
     cleanup(c)
   }
+
+  test("describeItems lists layouts/files/stats; compaction policy triggers on fragmentation") {
+    import spark.implicits._
+    val c = tempCollection("describe")
+    val ts = (0 until 40).map(i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-${i % 28 + 1}%02d 00:00:00"), i.toDouble))
+      .toDF("index", "value")
+    c.write("flat", ts, indexCols = Seq("index"))
+    c.write("laid", ts, indexCols = Seq("index"), monthlyLayout = true)
+    val d = c.describeItems().collect().map(r => r.getString(0) -> r).toMap
+    assert(d("flat").getAs[String]("layout") == "flat" && d("flat").getAs[Int]("n_periods") == 0)
+    assert(d("laid").getAs[String]("layout") == "monthly" && d("laid").getAs[Int]("n_periods") == 1)
+    assert(d("flat").getAs[Long]("rows_estimate") == 40L)
+    assert(d("flat").getAs[Int]("n_files") >= 1)
+    // fragment deliberately, then let the policy decide
+    c.rebalance("flat", npartitions = Some(4))
+    val frag = c.describeItems().collect().find(_.getString(0) == "flat").get.getAs[Int]("n_files")
+    assert(frag >= 4)
+    assert(!c.compactIfFragmented("flat", maxFiles = 10))      // under threshold: no-op
+    assert(c.compactIfFragmented("flat", maxFiles = 2, Some(1))) // over: re-lays
+    val after = c.describeItems().collect().find(_.getString(0) == "flat").get.getAs[Int]("n_files")
+    assert(after < frag)
+    assert(c.item("flat").data.count() == 40L)
+    cleanup(c)
+  }
 }
