@@ -81,6 +81,66 @@ object EventQueries {
       |WHERE abs(z) >= 2.0
       |ORDER BY window_start""".stripMargin
 
+  /** OHLC downsample per event_type (the reference's home domain —
+    * the pandas resample('1h').ohlc() a pystore user runs first).
+    * Open/close tie-break on (ts, event_id); bucket arithmetic is
+    * integer epoch division in both engines. */
+  def ohlcResample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.ohlc(events(s, dir), widthSeconds = 3600,
+        keyCols = Seq("event_type"))
+      .orderBy(col("event_type"), col("bucket_start_s"))
+
+  val ohlcResampleSql: String =
+    """WITH e AS (SELECT event_id, event_type, value,
+      |    date_trunc('microseconds', ts) AS ts,
+      |    ((epoch_us(date_trunc('microseconds', ts)) // 1000000) // 3600) * 3600 AS b
+      |  FROM events),
+      |o AS (SELECT event_type, b, value,
+      |    row_number() OVER (PARTITION BY event_type, b ORDER BY ts, event_id) AS rn_a,
+      |    row_number() OVER (PARTITION BY event_type, b ORDER BY ts DESC, event_id DESC) AS rn_z
+      |  FROM e),
+      |oc AS (SELECT event_type, b,
+      |    max(CASE WHEN rn_a = 1 THEN value END) AS open,
+      |    max(CASE WHEN rn_z = 1 THEN value END) AS close
+      |  FROM o GROUP BY 1, 2),
+      |hl AS (SELECT event_type, b, max(value) AS high, min(value) AS low,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    round(CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE), 2) AS volume
+      |  FROM e GROUP BY 1, 2)
+      |SELECT event_type, b AS bucket_start_s, open, high, low, close, n, volume
+      |FROM oc JOIN hl USING (event_type, b)
+      |ORDER BY event_type, bucket_start_s""".stripMargin
+
+  /** Regular-grid forward fill per event_type (resample().ffill()):
+    * each key's grid spans its own observation range; carried rows are
+    * flagged. The oracle replicates the grid generation, the
+    * last-observation choice, and the IGNORE NULLS carry. */
+  def ffillResample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.resampleFfill(events(s, dir), widthSeconds = 3600,
+        keyCols = Seq("event_type"))
+      .orderBy(col("event_type"), col("bucket_start_s"))
+
+  val ffillResampleSql: String =
+    """WITH e AS (SELECT event_id, event_type, value,
+      |    date_trunc('microseconds', ts) AS ts,
+      |    ((epoch_us(date_trunc('microseconds', ts)) // 1000000) // 3600) * 3600 AS b
+      |  FROM events),
+      |last_obs AS (SELECT event_type, b, value AS obs FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY event_type, b
+      |      ORDER BY ts DESC, event_id DESC) AS rn FROM e) t
+      |  WHERE rn = 1),
+      |span AS (SELECT event_type, min(b) AS lo, max(b) AS hi
+      |         FROM last_obs GROUP BY 1),
+      |grid AS (SELECT event_type, unnest(range(lo, hi + 3600, 3600)) AS b FROM span),
+      |joined AS (SELECT g.event_type, g.b, o.obs
+      |           FROM grid g LEFT JOIN last_obs o USING (event_type, b))
+      |SELECT event_type, b AS bucket_start_s,
+      |  last_value(obs IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY b
+      |    ROWS UNBOUNDED PRECEDING) AS value,
+      |  obs IS NULL AS filled
+      |FROM joined
+      |ORDER BY event_type, bucket_start_s""".stripMargin
+
   /** As-of join: each click event matched with the user's most recent
     * purchase at or before it (point-in-time-correct feature lookup). */
   def asofClickPurchase(s: SparkSession, dir: String): DataFrame = {
@@ -238,6 +298,8 @@ object EventQueries {
     "events_session_stats" -> sessionStats _,
     "events_hourly_counts" -> hourlyCounts _,
     "events_rate_anomaly" -> rateAnomaly _,
+    "events_ohlc" -> ohlcResample _,
+    "events_ffill" -> ffillResample _,
     "events_asof_click_purchase" -> asofClickPurchase _,
     "events_props_agg" -> propsAgg _,
     "events_retention" -> retention _)
@@ -249,6 +311,8 @@ object EventQueries {
     "events_session_stats" -> sessionStatsSql,
     "events_hourly_counts" -> hourlyCountsSql,
     "events_rate_anomaly" -> rateAnomalySql,
+    "events_ohlc" -> ohlcResampleSql,
+    "events_ffill" -> ffillResampleSql,
     "events_asof_click_purchase" -> asofClickPurchaseSql,
     "events_props_agg" -> propsAggSql,
     "events_retention" -> retentionSql)

@@ -1204,6 +1204,35 @@ class OperatorsSpec extends SparkSpec {
     assert(n == 4L)
   }
 
+  test("ohlc resample and forward fill: bucket math, tie-break, gap carry") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      // hour 0: open=1 (earliest), close=3 (latest), high=9, low=1
+      (1L, t("2024-01-01 00:05:00"), "a", 1.0),
+      (2L, t("2024-01-01 00:20:00"), "a", 9.0),
+      (3L, t("2024-01-01 00:50:00"), "a", 3.0),
+      // hour 2 (hour 1 is a gap): single row
+      (4L, t("2024-01-01 02:10:00"), "a", 7.0),
+      // same-ts tie in hour 0 for key b: event_id decides open/close
+      (5L, t("2024-01-01 00:30:00"), "b", 4.0),
+      (6L, t("2024-01-01 00:30:00"), "b", 6.0)
+    ).toDF("event_id", "ts", "event_type", "value")
+    val o = TimeSeries.ohlc(df, 3600, Seq("event_type"))
+      .orderBy($"event_type", $"bucket_start_s").collect()
+    assert(o(0).getAs[Double]("open") == 1.0 && o(0).getAs[Double]("close") == 3.0)
+    assert(o(0).getAs[Double]("high") == 9.0 && o(0).getAs[Double]("low") == 1.0)
+    assert(o(0).getAs[Double]("volume") == 13.0 && o(0).getAs[Long]("n") == 3L)
+    assert(o(2).getAs[Double]("open") == 4.0 && o(2).getAs[Double]("close") == 6.0)
+    val f = TimeSeries.resampleFfill(df, 3600, Seq("event_type"))
+      .filter($"event_type" === "a")
+      .orderBy($"bucket_start_s").collect()
+    // grid spans hours 0..2; hour 1 carries hour 0's LAST value (3.0)
+    assert(f.length == 3)
+    assert(f(0).getAs[Double]("value") == 3.0 && !f(0).getAs[Boolean]("filled"))
+    assert(f(1).getAs[Double]("value") == 3.0 && f(1).getAs[Boolean]("filled"))
+    assert(f(2).getAs[Double]("value") == 7.0 && !f(2).getAs[Boolean]("filled"))
+  }
+
   test("token chunking: stop-at-end rule, overlap, and full coverage") {
     val text = (1 to 10).map(i => s"w$i").mkString(" ")
     val df = Seq((1L, text), (2L, "short doc")).toDF("doc_id", "text")
