@@ -2239,6 +2239,107 @@ object PipelineQueries {
        |FROM p GROUP BY 1, 2
        |ORDER BY shard, pack""".stripMargin
 
+  /** End-to-end PRETRAIN pipeline v3 — the round-5 operator families
+    * composed as one run: planted boilerplate → line-level corpus
+    * dedup → bigram-LM perplexity gate (fit on the CLEANED corpus,
+    * in-plan) → 64/48 token chunking → per-source chunk/token rollup.
+    * The oracle recomposes every stage in SQL — line df counts and
+    * ordered reassembly, the LM refit + stupid-backoff scoring over
+    * the cleaned texts, the gate, the chunk windows — so the whole
+    * composition (including how each stage's output feeds the next)
+    * is hash-verified, the pipeline_curation treatment applied to the
+    * round-5 surface. */
+  def pipelinePretrain(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.LanguageModel
+    val docs = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val aug = docs.withColumn("text",
+      when(col("doc_id") % 7 === 0,
+        concat(lit("subscribe to our newsletter today. "), col("text"),
+          lit(". all rights reserved worldwide")))
+        .when(col("doc_id") % 5 === 0,
+          concat(lit("click here to accept cookies. "), col("text")))
+        .otherwise(col("text")))
+    val cleaned = Dedup.lineDedup(aug).select(col("doc_id"), col("text"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val lm = LanguageModel.buildBigramLm(cleaned)
+    val keptIds = LanguageModel.scoreDocs(lm, cleaned)
+      .filter(col("nll") <= 3.5).select(col("doc_id"))
+    val kept = cleaned.join(keptIds, Seq("doc_id"), "left_semi")
+    TextAnalysis.chunk(kept, size = 64, stride = 48)
+      .join(kept.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens").cast("long")).as("total_chunk_tokens"),
+        sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("source"))
+  }
+
+  val pipelinePretrainSql: String =
+    s"""WITH aug AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN 'subscribe to our newsletter today. '
+       |           || text || '. all rights reserved worldwide'
+       |         WHEN doc_id % 5 = 0 THEN 'click here to accept cookies. ' || text
+       |         ELSE text END AS text
+       |  FROM documents),
+       |ls AS (SELECT doc_id, string_split_regex(text, '\\.\\s+') AS l FROM aug),
+       |lines AS (SELECT doc_id, unnest(l) AS line,
+       |                 unnest(range(1, len(l) + 1)) AS pos FROM ls),
+       |dupk AS (SELECT md5(line) AS key FROM lines
+       |         GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+       |cleaned AS (SELECT f.doc_id,
+       |    coalesce(string_agg(line, '. ' ORDER BY pos)
+       |      FILTER (WHERE md5(line) NOT IN (SELECT key FROM dupk)), '') AS text
+       |  FROM lines f GROUP BY f.doc_id),
+       |cleaned2 AS (SELECT c.doc_id, c.text, d.source
+       |  FROM cleaned c JOIN documents d USING (doc_id)),
+       |tok AS (SELECT doc_id, $normTokensSql AS t FROM cleaned2),
+       |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+       |        FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w),
+       |stats AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens,
+       |                 CAST(count(*) AS BIGINT) AS vocab FROM uni),
+       |bgm AS (SELECT bg, CAST(count(*) AS BIGINT) AS cnt
+       |        FROM (SELECT $docBigramsSql AS bg FROM tok) GROUP BY bg),
+       |docbg AS (SELECT doc_id, $docBigramsSql AS bg,
+       |            unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+       |          FROM tok),
+       |terms AS (SELECT d.doc_id,
+       |    round(ln(CASE WHEN m.cnt IS NOT NULL
+       |      THEN CAST(m.cnt AS DOUBLE) / CAST(u1.cnt AS DOUBLE)
+       |      ELSE 0.4 * CAST(coalesce(u2.cnt, 0) + 1 AS DOUBLE) /
+       |           CAST(total_tokens + vocab AS DOUBLE) END), 6) AS lp
+       |  FROM docbg d
+       |  LEFT JOIN bgm m USING (bg)
+       |  LEFT JOIN uni u1 ON u1.w = split_part(d.bg, ' ', 1)
+       |  LEFT JOIN uni u2 ON u2.w = d.w2
+       |  CROSS JOIN stats),
+       |scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    sum(CAST(lp AS DECIMAL(38,6))) AS lp_sum
+       |  FROM terms GROUP BY doc_id),
+       |kept AS (SELECT c.doc_id, c.text, c.source
+       |  FROM cleaned2 c LEFT JOIN scored s USING (doc_id)
+       |  WHERE coalesce(round(-CAST(s.lp_sum AS DOUBLE) / s.n_bigrams, 6), 0.0)
+       |        <= 3.5),
+       |ktok AS (SELECT doc_id, source,
+       |    string_split_regex(trim(text), '\\s+') AS t FROM kept),
+       |sized AS (SELECT doc_id, source, t, len(t) AS n,
+       |    CASE WHEN len(t) <= 64 THEN 1
+       |         ELSE (len(t) - 64 + 47) // 48 + 1 END AS n_chunks
+       |  FROM ktok),
+       |chunks AS (SELECT doc_id, source,
+       |    unnest(list_transform(range(0, n_chunks),
+       |      i -> array_to_string(t[i*48 + 1 : least(i*48 + 64, n)], ' '))) AS chunk
+       |  FROM sized)
+       |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(len(string_split_regex(chunk, '\\s+'))) AS BIGINT)
+       |    AS total_chunk_tokens,
+       |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+       |FROM chunks
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   /** Video frame-sampling through the multimodal seam: deterministic
     * GVID fixture containers (header + packed RGB frames, pixels =
     * closed-form formulas of (id, frame, x, y)), every 6th frame
@@ -2313,6 +2414,7 @@ object PipelineQueries {
     "text_pii_redact" -> textPiiRedact _,
     "pipeline_curation" -> pipelineCuration _,
     "pipeline_packing" -> pipelinePacking _,
+    "pipeline_pretrain" -> pipelinePretrain _,
     "profile_orders" -> profileOrders _,
     "profile_incremental" -> profileIncremental _,
     "layout_zorder_scan" -> layoutZorderScan _,
@@ -2374,6 +2476,7 @@ object PipelineQueries {
     "text_pii_redact" -> textPiiRedactSql,
     "pipeline_curation" -> pipelineCurationSql,
     "pipeline_packing" -> pipelinePackingSql,
+    "pipeline_pretrain" -> pipelinePretrainSql,
     "profile_orders" -> profileOrdersSql,
     "profile_incremental" -> profileIncrementalSql,
     "layout_zorder_scan" -> layoutZorderScanSql,
