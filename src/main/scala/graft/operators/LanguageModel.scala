@@ -84,6 +84,9 @@ object LanguageModel {
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val statsRow = uni.agg(sum(col("cnt")).as("total"), count(lit(1)).as("vocab")).head()
+    if (statsRow.isNullAt(0))
+      throw new IllegalArgumentException(
+        "buildBigramLm: empty corpus — a language model needs at least one token")
     val bg = toks
       .select(explode(graft.functions.expressions.ngram_list(col("t"), 2)).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))

@@ -89,6 +89,8 @@ object Profiler {
         sum(fx(c) * fx(c)).as(s"ss_$c")) } ++
       pairs.map { case (a, b) => sum(fx(a) * fx(b)).as(s"sp_${a}__$b") }
     val row = complete.agg(aggs.head, aggs.tail: _*).head()
+    require(row.getAs[Long]("n") > 0L,
+      "correlationMatrix: no complete rows (every row has a null in the profiled columns)")
     val n = row.getAs[Long]("n").toDouble
     def d(name: String): Double = row.getAs[java.math.BigDecimal](name).doubleValue()
     val out = pairs.map { case (a, b) =>

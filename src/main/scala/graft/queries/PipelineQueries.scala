@@ -2260,8 +2260,13 @@ object PipelineQueries {
         .when(col("doc_id") % 5 === 0,
           concat(lit("click here to accept cookies. "), col("text")))
         .otherwise(col("text")))
+    // the cleaned corpus feeds FOUR consumers (unigram fit, bigram fit,
+    // scoring, chunk join) and the LM fit takes eager actions mid-build
+    // — persist so line dedup executes once, not four times (2x wall
+    // time at sf0.1); ~doc-count rows, Spark evicts LRU
     val cleaned = Dedup.lineDedup(aug).select(col("doc_id"), col("text"))
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lm = LanguageModel.buildBigramLm(cleaned)
     val keptIds = LanguageModel.scoreDocs(lm, cleaned)
       .filter(col("nll") <= 3.5).select(col("doc_id"))

@@ -173,4 +173,22 @@ class EdgeCaseSpec extends SparkSpec {
     assert(r(0).getAs[String]("lang") == "und")
     assert(r(1).getAs[Int]("nt") == 1)
   }
+
+  test("degenerate inputs fail fast with typed messages, not NPEs") {
+    import graft.operators.{LanguageModel, Profiler, Events}
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException](LanguageModel.buildBigramLm(emptyDocs))
+    assert(e1.getMessage.contains("empty corpus"))
+    val allNull = Seq((1L, Option.empty[Double]), (2L, None)).toDF("id", "x")
+      .withColumn("y", $"x")
+    val e2 = intercept[IllegalArgumentException](
+      Profiler.correlationMatrix(allNull, Seq("x", "y")))
+    assert(e2.getMessage.contains("no complete rows"))
+    val oneWindow = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      .toDF("event_id", "ts", "value")
+    val e3 = intercept[IllegalArgumentException](Events.rateAnomalies(oneWindow))
+    assert(e3.getMessage.contains("at least two windows"))
+    // empty line-dedup input: empty output, no failure
+    assert(graft.operators.Dedup.lineDedup(emptyDocs).isEmpty)
+  }
 }
