@@ -70,6 +70,32 @@ object StreamAppend {
       .select(col("w.start").as("window_start"), col("event_type"), col("n"),
         col("total_value"))
 
+  /** Streaming OHLC — the batch twin is TimeSeries.ohlc with the same
+    * bucket arithmetic and (ts, tie) open/close selection, so a
+    * streaming ingest and a batch backfill produce identical bars.
+    * min_by/max_by are declarative aggregates, fully incremental under
+    * watermarked append mode — no custom state needed. */
+  def ohlcStream(stream: DataFrame,
+                 widthSeconds: Long = 3600,
+                 keyCols: Seq[String] = Seq("event_type"),
+                 watermarkDelay: String = "30 minutes",
+                 tieCol: String = "event_id"): DataFrame = {
+    val bucket = expr(
+      s"((unix_micros(`ts`) div 1000000) div ${widthSeconds}L) * ${widthSeconds}L")
+      .as("bucket_start_s")
+    val ord = struct(col("ts"), col(tieCol))
+    stream.withWatermark("ts", watermarkDelay)
+      .groupBy((keyCols.map(col) :+ window(col("ts"), s"$widthSeconds seconds").as("__w") :+ bucket): _*)
+      .agg(
+        min_by(col("value"), ord).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), ord).as("close"),
+        count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(38,4)")).cast("double"), 2).as("volume"))
+      .drop("__w")
+  }
+
   /** Streaming gap-sessionization with custom state
     * (`flatMapGroupsWithState` + event-time timeout): per user, events
     * accumulate into an open session; when the watermark passes the

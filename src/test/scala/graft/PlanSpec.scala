@@ -135,6 +135,20 @@ class PlanSpec extends SparkSpec {
         p.linesIterator.filter(_.contains("Generate")).mkString("\n"))
   }
 
+  test("round-5 operators: no cartesian products, per-row ops stay join-free") {
+    // corpus-scale ops must never degenerate to nested-loop pairs
+    for (q <- Seq("text_line_dedup", "text_lm_score", "dedup_select_canonical",
+        "pipeline_pretrain", "events_ohlc", "events_ffill", "text_chunk",
+        "profile_skew", "events_rate_anomaly", "sample_temperature")) {
+      assert(!plan(q).contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+    // chunking is pure per-row work: the only plausible join would be a
+    // planner regression
+    assert(!plan("text_chunk").contains("Join"), "text_chunk grew a join")
+    // OHLC is one aggregate family — no join anywhere in the plan
+    assert(!plan("events_ohlc").contains("Join"), "events_ohlc grew a join")
+  }
+
   test("promoted text kernels compile under Janino and match interpreted eval") {
     // The struct/array kernels (TextStats, RepetitionStats,
     // MarkerCounts, WinnowFingerprint/Set) generate static Kernels

@@ -397,4 +397,32 @@ class StreamingSpec extends SparkSpec {
 
     FsOps.deleteRecursively(src)
   }
+
+  test("streaming OHLC on bounded input equals the batch resample") {
+    val src = Files.createTempDirectory("graft_stream_ohlc")
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val data = (0 until 120).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(
+        f"2024-01-01 ${i / 30}%02d:${i % 30 + 10}%02d:00"),
+        if (i % 2 == 0) "a" else "b", rng.nextInt(100).toDouble)
+    }.toDF("event_id", "ts", "event_type", "value")
+    data.write.mode("overwrite").parquet(s"$src/in")
+
+    val stream = spark.readStream.schema(data.schema).parquet(s"$src/in")
+    val q = StreamAppend.ohlcStream(stream, widthSeconds = 3600)
+      .writeStream.outputMode("complete").format("memory").queryName("ohlc_out").start()
+    q.processAllAvailable(); q.stop()
+
+    val cols = Seq("event_type", "bucket_start_s", "open", "high", "low", "close", "n", "volume")
+    val streamed = spark.table("ohlc_out")
+      .orderBy("event_type", "bucket_start_s")
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSeq
+    val batch = graft.operators.TimeSeries.ohlc(data, 3600, Seq("event_type"))
+      .orderBy("event_type", "bucket_start_s")
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+
+    FsOps.deleteRecursively(src)
+  }
 }
