@@ -22,6 +22,33 @@ object Sources {
     }
   }
 
+  /** JSONL source — the interchange format training-data tooling
+    * actually exchanges (one JSON object per line). Schema inference
+    * by default; pass an explicit DDL schema to skip the inference
+    * scan at scale. */
+  def readJsonl(spark: SparkSession, path: String,
+                schemaDdl: Option[String] = None): DataFrame = {
+    val r = spark.read
+    schemaDdl.fold(r)(s => r.schema(s)).json(path)
+  }
+
+  /** JSONL sink: `nShards` line-delimited JSON files (the layout a
+    * downstream tokenizer fleet consumes — one file per worker).
+    * Deterministic shard membership (hash of `shardBy` when given, so
+    * re-exports land identically); plain repartition otherwise. */
+  def writeJsonl(df: DataFrame, path: String, nShards: Int,
+                 shardBy: Option[String] = None,
+                 overwrite: Boolean = true): Unit = {
+    require(nShards > 0)
+    val sharded = shardBy match {
+      case Some(c) => df.repartition(nShards, org.apache.spark.sql.functions.col(c))
+      case None    => df.repartition(nShards)
+    }
+    sharded.write
+      .mode(if (overwrite) "overwrite" else "errorifexists")
+      .json(path)
+  }
+
   /** Chunked read (reference: memory.read_in_chunks, memory.py:91-137 /
     * S7): an iterator of row batches. Spark already streams
     * partition-by-partition; `toLocalIterator` fetches ONE partition at

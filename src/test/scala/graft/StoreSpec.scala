@@ -147,6 +147,36 @@ class StoreSpec extends SparkSpec {
     FsOps.deleteRecursively(dir)
   }
 
+  test("jsonl sink/source roundtrip: shard count, deterministic membership, schema DDL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl")
+    val docs = (0 until 50).map(i => (i.toLong, s"text $i", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    Sources.writeJsonl(docs, s"$dir/out", nShards = 4, shardBy = Some("doc_id"))
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/out"))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    val parts = scala.jdk.CollectionConverters.IteratorHasAsScala(files).asScala
+      .count(_.getFileName.toString.startsWith("part-"))
+    assert(parts == 4)
+    // schema-DDL read skips inference and restores types
+    val back = Sources.readJsonl(spark, s"$dir/out",
+      Some("doc_id BIGINT, text STRING, source STRING"))
+    assert(back.count() == 50)
+    assert(back.schema("doc_id").dataType.typeName == "long")
+    assert(back.select($"doc_id").as[Long].collect().toSet == (0L until 50L).toSet)
+    // deterministic membership: same shardBy -> identical per-file id sets
+    Sources.writeJsonl(docs, s"$dir/out2", nShards = 4, shardBy = Some("doc_id"))
+    import org.apache.spark.sql.functions.{collect_list, input_file_name}
+    val s1 = spark.read.json(s"$dir/out").withColumn("f", input_file_name())
+      .groupBy("f").agg(collect_list("doc_id").as("ids")).collect()
+      .map(_.getSeq[Long](1).toSet).toSet
+    val s2 = spark.read.json(s"$dir/out2").withColumn("f", input_file_name())
+      .groupBy("f").agg(collect_list("doc_id").as("ids")).collect()
+      .map(_.getSeq[Long](1).toSet).toSet
+    assert(s1 == s2)
+    FsOps.deleteRecursively(dir)
+  }
+
   test("chunked read yields bounded batches") {
     val chunks = Sources.readInChunks(sampleData, 30).toSeq
     assert(chunks.map(_.size).sum == 100)
