@@ -141,6 +141,30 @@ object EventQueries {
       |FROM joined
       |ORDER BY event_type, bucket_start_s""".stripMargin
 
+  /** Grouped value quantiles per event type — the profiler's grouped
+    * form (dashboard percentiles). Exact `percentile` (array form, one
+    * buffer per group) with the same DuckDB quantile_cont parity the
+    * flat profile queries established. */
+  def valueQuantiles(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(value, array(0.5D, 0.95D, 0.99D))").as("p"))
+      .select(col("event_type"), col("n"),
+        round(element_at(col("p"), 1).cast("double"), 6).as("p50"),
+        round(element_at(col("p"), 2).cast("double"), 6).as("p95"),
+        round(element_at(col("p"), 3).cast("double"), 6).as("p99"))
+      .orderBy(col("event_type"))
+
+  val valueQuantilesSql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.95), 6) AS p95,
+      |  round(quantile_cont(value, 0.99), 6) AS p99
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** As-of join: each click event matched with the user's most recent
     * purchase at or before it (point-in-time-correct feature lookup). */
   def asofClickPurchase(s: SparkSession, dir: String): DataFrame = {
@@ -300,6 +324,7 @@ object EventQueries {
     "events_rate_anomaly" -> rateAnomaly _,
     "events_ohlc" -> ohlcResample _,
     "events_ffill" -> ffillResample _,
+    "events_value_quantiles" -> valueQuantiles _,
     "events_asof_click_purchase" -> asofClickPurchase _,
     "events_props_agg" -> propsAgg _,
     "events_retention" -> retention _)
@@ -313,6 +338,7 @@ object EventQueries {
     "events_rate_anomaly" -> rateAnomalySql,
     "events_ohlc" -> ohlcResampleSql,
     "events_ffill" -> ffillResampleSql,
+    "events_value_quantiles" -> valueQuantilesSql,
     "events_asof_click_purchase" -> asofClickPurchaseSql,
     "events_props_agg" -> propsAggSql,
     "events_retention" -> retentionSql)
