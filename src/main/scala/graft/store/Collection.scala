@@ -941,6 +941,30 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     n
   }
 
+  /** Z-order rebalance — the `OPTIMIZE ... ZORDER BY` analogue: re-lay
+    * an item along the Morton curve of `cols` so row-group min/max
+    * stats prune on EVERY listed column, not just the sort index
+    * (multi-dimensional pruning is what a filter on a non-index column
+    * needs at 100 TB). One stats pass + one range exchange on the
+    * curve value (graft.operators.ZOrder.cluster), committed
+    * atomically with the clustering recorded in the sidecar. Reads and
+    * probes are unchanged — this is a physical-layout-only rewrite. */
+  def rebalanceZOrder(item: String, cols: Seq[String],
+                      bits: Int = 16,
+                      npartitions: Option[Int] = None): Unit = {
+    if (!hasItem(item))
+      throw new ItemNotFoundError(s"item '$item' does not exist")
+    val df = this.item(item).data
+    val laidOut = graft.operators.ZOrder.cluster(df, cols, bits,
+      Some(npartitions.getOrElse(
+        Partitioner.decide(Partitioner.estimatedBytes(df),
+          readStatsMeta(item).getOrElse(
+            Partitioner.computeStats(df, this.item(item).indexCols.head)))._1)))
+    val prevMeta = Meta.read(path.resolve(item)) ++
+      Meta.obj("_zorder_cols" -> cols.mkString(","), "_zorder_bits" -> bits)
+    commit(item, laidOut, prevMeta)
+  }
+
   // ----------------------------------------------------------- snapshots
 
   /** Point-in-time snapshot (reference collection.py:529-543 / V1): name

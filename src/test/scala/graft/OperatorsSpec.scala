@@ -850,6 +850,30 @@ class OperatorsSpec extends SparkSpec {
     assert(zs < ns / 2, s"suppkey span $zs not < half of natural $ns")
   }
 
+  test("store zorder rebalance: data intact, clustering recorded, files span-shrunk") {
+    val c = tempCollection("zorder_item")
+    val li = sf("lineitem").select($"l_partkey", $"l_suppkey", $"l_orderkey")
+    c.write("li", li, indexCols = Seq("l_orderkey"))
+    c.rebalanceZOrder("li", Seq("l_partkey", "l_suppkey"), npartitions = Some(16))
+    // layout-only rewrite: content identical
+    assert(c.item("li").data.count() == li.count())
+    assert(c.metadata("li").get("_zorder_cols")
+      .exists(j => graft.store.Meta.unjv(j) == "l_partkey,l_suppkey"))
+    // files cluster on BOTH non-index columns (span far below full range)
+    val dataDir = c.path.resolve("li").resolve(graft.store.Item.DataDir)
+    val spans = spark.read.parquet(dataDir.toString)
+      .groupBy(input_file_name())
+      .agg((max($"l_partkey") - min($"l_partkey")).cast("double").as("ps"),
+        (max($"l_suppkey") - min($"l_suppkey")).cast("double").as("ss"))
+      .agg(avg($"ps"), avg($"ss")).head()
+    val full = li.agg(
+      (max($"l_partkey") - min($"l_partkey")).cast("double"),
+      (max($"l_suppkey") - min($"l_suppkey")).cast("double")).head()
+    assert(spans.getDouble(0) < full.getDouble(0) / 2)
+    assert(spans.getDouble(1) < full.getDouble(1) / 2)
+    cleanup(c)
+  }
+
   test("image aHash: payload copies hash identically, pigeonhole finds them at radius 0") {
     val ids = (0L until 10L).toDF("doc_id")
     val originals = Multimodal.imageTable(ids, rich = true)
