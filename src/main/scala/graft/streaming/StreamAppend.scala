@@ -524,6 +524,51 @@ object StreamAppend {
       }
   }
 
+  /** Streaming embedding ingest into a PERSISTED IVF index — the
+    * vector-side twin of intoBm25Index: the first batch fits the
+    * coarse quantizer and persists the index; every later batch is
+    * assigned under the FROZEN quantizer and appended to the
+    * cid-indexed item in O(batch) (`Similarity.appendToIvfIndex`, the
+    * FAISS add() contract — a quantizer refit is an offline rebuild).
+    * Searches between batches (`searchIvfStream` or batch `ivfSearch`)
+    * read a consistent snapshot through the store's atomic
+    * generations. KeepAll assignment appends are NOT idempotent, so
+    * the sink records the applied epoch in a tiny item rewritten after
+    * each append and skips re-delivered batches. */
+  def intoIvfIndex(stream: DataFrame,
+                   collection: Collection,
+                   name: String,
+                   nlist: Int = 16,
+                   kmeansIters: Int = 2,
+                   vecCol: String = "embedding",
+                   idCol: String = "vec_id"): DataStreamWriter[Row] = {
+    import graft.operators.Similarity
+    def lastApplied(): Long =
+      if (!collection.hasItem(s"${name}__ivf_epoch")) -1L
+      else collection.metadata(s"${name}__ivf_epoch").get("ivf_stream_batch") match {
+        case Some(org.json4s.JInt(i)) => i.toLong
+        case _ => -1L
+      }
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        def writeEpoch(): Unit =
+          collection.write(s"${name}__ivf_epoch", Seq(batchId).toDF("batch_id"),
+            indexCols = Seq("batch_id"),
+            metadata = Map("ivf_stream_batch" -> batchId), overwrite = true)
+        if (!batch.isEmpty && batchId > lastApplied()) {
+          if (!collection.hasItem(s"${name}__centroids"))
+            Similarity.buildIvfIndex(batch, nlist, kmeansIters,
+              vecCol = vecCol, idCol = idCol).save(collection, name)
+          else
+            Similarity.appendToIvfIndex(batch, collection, name, vecCol, idCol)
+          writeEpoch()
+        }
+      }
+  }
+
   /** Streaming perplexity gate over a PERSISTED bigram LM — the
     * quality filter as an ingest sink: each micro-batch is scored
     * against the frozen model (two vocabulary-sized dictionary joins,

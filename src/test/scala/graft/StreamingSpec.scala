@@ -73,6 +73,42 @@ class StreamingSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("streaming IVF ingest: frozen quantizer appends, re-delivery safe, searchable") {
+    import graft.operators.Similarity
+    val c = tempCollection("stream_ivf")
+    val src = Files.createTempDirectory("graft_stream_ivf")
+    import spark.implicits._
+    val e = sf("embeddings").select($"vec_id", $"embedding")
+    val part1 = e.filter($"vec_id" < 300)
+    val part2 = e.filter($"vec_id" >= 300 && $"vec_id" < 340)
+    part1.write.mode("overwrite").parquet(s"$src/in")
+    val stream = spark.readStream.schema(part1.schema).parquet(s"$src/in")
+    def run(ckpt: String): Unit = StreamAppend.runToCompletion(
+      StreamAppend.intoIvfIndex(stream, c, "emb", nlist = 8, kmeansIters = 2)
+        .option("checkpointLocation", s"$src/$ckpt"))
+    run("ckpt")
+    assert(Similarity.IvfIndex.load(c, "emb").assigned.count() == 300L)
+    part2.write.mode("append").parquet(s"$src/in")
+    run("ckpt")
+    val idx = Similarity.IvfIndex.load(c, "emb")
+    assert(idx.assigned.count() == 340L)
+    // batch-2 appends used the FROZEN batch-1 quantizer
+    val expect = Similarity.assignToCentroids(part2, idx.centroids)
+      .select($"nbr_id", $"cid").as[(Long, Long)].collect().toMap
+    val got = idx.assigned.filter($"nbr_id" >= 300)
+      .select($"nbr_id", $"cid").as[(Long, Long)].collect().toMap
+    assert(got == expect)
+    // an exact copy of an APPENDED vector comes back at rank 1
+    val probe = part2.limit(1).withColumn("vec_id", $"vec_id" + 100000)
+    val top = Similarity.ivfSearch(idx, probe, k = 1, nprobe = 8).head()
+    assert(top.getAs[Long]("nbr_id") == top.getAs[Long]("query_id") - 100000)
+    // fresh checkpoint re-delivers both epochs: the watermark skips them
+    run("ckpt2")
+    assert(Similarity.IvfIndex.load(c, "emb").assigned.count() == 340L)
+    FsOps.deleteRecursively(src)
+    cleanup(c)
+  }
+
   test("streaming LM gate: high-perplexity docs dropped, re-delivery idempotent") {
     import graft.operators.LanguageModel
     val c = tempCollection("stream_lm_gate")
