@@ -170,6 +170,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: token chunks cover every token exactly when stride <= size") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val rng = new Random(17)
+    for (_ <- 1 to 60) {
+      val n = rng.nextInt(50) + 1
+      val size = rng.nextInt(12) + 1
+      val stride = rng.nextInt(size) + 1 // stride <= size
+      val toks = Array.tabulate(n)(i => s"t$i")
+      val out = graft.functions.Kernels.tokenChunks(
+        ArrayData.toArrayData(toks.map(UTF8String.fromString)), size, stride)
+      val chunks = (0 until out.numElements()).map(out.getUTF8String(_).toString)
+      // count formula
+      val expect = if (n <= size) 1 else (n - size + stride - 1) / stride + 1
+      assert(chunks.length == expect, s"n=$n size=$size stride=$stride")
+      // coverage: every token appears in at least one chunk; order kept
+      val covered = chunks.flatMap(_.split(" ")).toSet
+      assert(covered == toks.toSet, s"n=$n size=$size stride=$stride missing=${toks.toSet -- covered}")
+      // no chunk is a strict subrange of its predecessor (stop-at-end)
+      assert(chunks.last.split(" ").last == s"t${n - 1}")
+    }
+  }
+
+  test("property: ohlc equals brute-force per-bucket computation (seeded)") {
+    import graft.operators.TimeSeries
+    val rng = new Random(23)
+    val rows = (0 until 200).map { i =>
+      (i.toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-01 ${rng.nextInt(6)}%02d:${rng.nextInt(60)}%02d:00"),
+        rng.nextInt(1000).toDouble / 10.0)
+    }
+    val df = rows.toDF("event_id", "ts", "value")
+    val got = TimeSeries.ohlc(df, 3600).orderBy($"bucket_start_s").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))
+      .toMap
+    val brute = rows.groupBy { case (_, ts, _) => ts.getTime / 1000 / 3600 * 3600 }
+      .map { case (b, rs) =>
+        val sorted = rs.sortBy { case (id, ts, _) => (ts.getTime, id) }
+        b -> (sorted.head._3, rs.map(_._3).max, rs.map(_._3).min, sorted.last._3, rs.size.toLong)
+      }
+    assert(got == brute, s"only-spark=${got.keySet -- brute.keySet} only-brute=${brute.keySet -- got.keySet}")
+  }
+
   test("property: append keep_last is idempotent (re-appending the same batch is a no-op)") {
     for (seed <- 1 to 5) {
       val rng = new Random(seed)
