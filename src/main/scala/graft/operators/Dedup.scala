@@ -487,6 +487,22 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Benchmark decontamination as a TRANSFORM: the training corpus
+    * minus every document sharing ≥ `minShared` n-gram shingles with
+    * the benchmark side — [[crossCorpusOverlap]]'s detection turned
+    * into the removal a pipeline actually ships. One anti-join on the
+    * detected ids; the benchmark side stays broadcastable. */
+  def decontaminate(corpus: DataFrame,
+                    benchmark: DataFrame,
+                    n: Int = 8,
+                    minShared: Int = 1,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val hits = crossCorpusOverlap(corpus, benchmark, n, minShared, textCol, idCol)
+      .select(col("id_a").as(idCol)).distinct()
+    corpus.join(hits, Seq(idCol), "left_anti")
+  }
+
   // -------------------------------------------------- cluster assembly
 
   /** Connected components over an undirected near-dup pair list —

@@ -197,6 +197,37 @@ object PipelineQueries {
        |WHERE len(list_intersect(a.sh, b.sh)) >= 2
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Decontamination as a transform: the training split minus every
+    * doc sharing ≥2 distinct 5-gram shingles with the eval split —
+    * `text_contamination`'s detection turned into the removal. The
+    * per-source survivor rollup pins exact membership. */
+  def pipelineDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    Dedup.decontaminate(
+        d.filter(col("source") =!= "src1"),
+        d.filter(col("source") === "src1"),
+        n = 5, minShared = 2)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("source"))
+  }
+
+  val pipelineDecontaminateSql: String =
+    s"""WITH tr AS (SELECT doc_id, text, source FROM documents WHERE source <> 'src1'),
+       |ev AS (SELECT doc_id, text FROM documents WHERE source = 'src1'),
+       |sa AS (SELECT doc_id AS id_a,
+       |  (SELECT ${shinglesSql(5)} FROM (SELECT $normTokensSql AS w)) AS sh FROM tr),
+       |sb AS (SELECT doc_id AS id_b,
+       |  (SELECT ${shinglesSql(5)} FROM (SELECT $normTokensSql AS w)) AS sh FROM ev),
+       |hits AS (SELECT DISTINCT id_a FROM sa a, sb b
+       |         WHERE len(list_intersect(a.sh, b.sh)) >= 2)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+       |FROM tr WHERE doc_id NOT IN (SELECT id_a FROM hits)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   /** Deterministic stratified sampling (eval-set carving): per-source
     * hash-threshold fractions, membership pinned exactly by per-source
     * count + id sum — the same md5-prefix rule evaluated in DuckDB. */
@@ -2420,6 +2451,7 @@ object PipelineQueries {
     "pipeline_curation" -> pipelineCuration _,
     "pipeline_packing" -> pipelinePacking _,
     "pipeline_pretrain" -> pipelinePretrain _,
+    "pipeline_decontaminate" -> pipelineDecontaminate _,
     "profile_orders" -> profileOrders _,
     "profile_incremental" -> profileIncremental _,
     "layout_zorder_scan" -> layoutZorderScan _,
@@ -2482,6 +2514,7 @@ object PipelineQueries {
     "pipeline_curation" -> pipelineCurationSql,
     "pipeline_packing" -> pipelinePackingSql,
     "pipeline_pretrain" -> pipelinePretrainSql,
+    "pipeline_decontaminate" -> pipelineDecontaminateSql,
     "profile_orders" -> profileOrdersSql,
     "profile_incremental" -> profileIncrementalSql,
     "layout_zorder_scan" -> layoutZorderScanSql,
