@@ -66,9 +66,11 @@ object Events {
     val m = counts.agg(count(lit(1)).as("k"), sum(col("n")).as("sx"),
       sum(col("n") * col("n")).as("sxx")).head()
     val k = m.getLong(0).toDouble
+    // check k FIRST: sum over zero rows is null, so reading sx/sxx on
+    // an empty input would NPE before the typed message
+    require(k > 1.0, "rateAnomalies needs at least two windows")
     val sx = m.getLong(1).toDouble
     val sxx = m.getLong(2).toDouble
-    require(k > 1.0, "rateAnomalies needs at least two windows")
     val mean = sx / k
     val std = math.sqrt((k * sxx - sx * sx) / (k * (k - 1.0)))
     require(std > 0.0, "rateAnomalies: all window counts identical (std = 0)")

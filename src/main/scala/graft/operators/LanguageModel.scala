@@ -47,16 +47,24 @@ object LanguageModel {
     * `vocab` are the corpus scalars the backoff mass needs. */
   final case class BigramLm(bigrams: DataFrame, unigrams: DataFrame,
                             totalTokens: Long, vocab: Long) {
+    /** `parallel = false` forces bigrams-before-unigrams sequential
+      * writes — required when the frames' lineage READS the store
+      * items being replaced (appendToLm): a parallel unigram commit
+      * could swap out the old `__unigrams` files while the bigram
+      * job is still recomputing partitions over them. */
     def save(c: graft.store.Collection, name: String,
              overwrite: Boolean = true,
-             extraMetadata: Map[String, Any] = Map.empty): Unit =
-      Similarity.parallelWrites(Seq(
+             extraMetadata: Map[String, Any] = Map.empty,
+             parallel: Boolean = true): Unit = {
+      val ops: Seq[() => Unit] = Seq(
         () => c.write(s"${name}__bigrams", bigrams, indexCols = Seq("bg"),
           overwrite = overwrite),
         () => c.write(s"${name}__unigrams", unigrams, indexCols = Seq("w"),
           metadata = Map("lm_total_tokens" -> totalTokens, "lm_vocab" -> vocab)
             ++ extraMetadata,
-          overwrite = overwrite)))
+          overwrite = overwrite))
+      if (parallel) Similarity.parallelWrites(ops) else ops.foreach(_())
+    }
   }
 
   object BigramLm {
@@ -182,7 +190,9 @@ object LanguageModel {
       .select(col("bg"), col("cnt"), col("cnt_w1"))
     val statsRow = mergedUni.agg(sum(col("cnt")), count(lit(1))).head()
     val merged = BigramLm(mergedBg, mergedUni, statsRow.getLong(0), statsRow.getLong(1))
-    merged.save(c, name, overwrite = true, extraMetadata)
+    // sequential: both frames' lineage reads the OLD store items being
+    // replaced (persist is evictable, so "cached" is not "decoupled")
+    merged.save(c, name, overwrite = true, extraMetadata, parallel = false)
     mergedUni.unpersist(blocking = false)
     uniCache.unpersist(blocking = false)
     BigramLm.load(c, name)

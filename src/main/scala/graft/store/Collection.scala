@@ -862,10 +862,16 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     timeLayoutOf(item) match {
       case Some(layout) =>
         val raw = spark.read.parquet(dataDir.toString)
-        val months = raw.filter(predicate).select(col(MonthCol)).distinct()
-          .collect().map(_.getString(0)).toSeq.sorted
+        // partition type inference types yearly keys as int and daily
+        // keys as date: collect the TYPED value (keeps the isin filter
+        // a pruning-friendly partition predicate) alongside its string
+        // form (the period key commitMonths needs)
+        val monthRows = raw.filter(predicate)
+          .select(col(MonthCol), col(MonthCol).cast("string")).distinct().collect()
+        val monthVals = monthRows.map(_.get(0)).toSeq
+        val months = monthRows.map(_.getString(1)).toSeq.sorted
         if (months.isEmpty) return 0L
-        val touched = raw.filter(col(MonthCol).isin(months: _*)).drop(MonthCol)
+        val touched = raw.filter(col(MonthCol).isin(monthVals: _*)).drop(MonthCol)
         val deleted = touched.filter(predicate).count()
         commitMonths(item,
           withTimeLayout(touched.filter(!predicate), idx, monthlySaltOf(item), layout),
@@ -926,20 +932,36 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     val it = this.item(item)
     val idx = it.indexCols
     val df = it.data
-    val stats = readStatsMeta(item).getOrElse(Partitioner.computeStats(df, idx.head))
-    val (n, strategy) = npartitions match {
-      case Some(k) => (k, Partitioner.SizeBased)
-      case None    => Partitioner.decide(Partitioner.estimatedBytes(df), stats)
-    }
     // Read fully before the swap overwrites the source files: the
     // write job streams from the old files into the tmp dir, and the
     // swap happens only after the job completes — safe.
-    val laidOut = Partitioner(df, idx, n)
-    val prevMeta = Meta.read(path.resolve(item)) ++
-      Meta.obj("_partitions" -> n, "_partition_strategy" -> strategy.name)
-    commit(item, laidOut, prevMeta)
-    n
+    timeLayoutOf(item) match {
+      case Some(layout) =>
+        // a time-layout item re-lays THROUGH its layout (partitioned
+        // commit): a flat rewrite would silently destroy the period
+        // dirs the incremental append/expire machinery lists. The
+        // period clustering dictates partitioning, so npartitions is
+        // ignored; compaction value = one file per period × salt.
+        val laidOut = withTimeLayout(df, idx, monthlySaltOf(item), layout)
+        commit(item, laidOut, Meta.read(path.resolve(item)), partitioned = true)
+        dataDirFileCount(item)
+      case None =>
+        val stats = readStatsMeta(item).getOrElse(Partitioner.computeStats(df, idx.head))
+        val (n, strategy) = npartitions match {
+          case Some(k) => (k, Partitioner.SizeBased)
+          case None    => Partitioner.decide(Partitioner.estimatedBytes(df), stats)
+        }
+        val laidOut = Partitioner(df, idx, n)
+        val prevMeta = Meta.read(path.resolve(item)) ++
+          Meta.obj("_partitions" -> n, "_partition_strategy" -> strategy.name)
+        commit(item, laidOut, prevMeta)
+        n
+    }
   }
+
+  private def dataDirFileCount(item: String): Int =
+    path.fs.listFilesRecursively(
+      path.resolve(item).resolve(Item.DataDir).raw).count(_.endsWith(".parquet"))
 
   /** Z-order rebalance — the `OPTIMIZE ... ZORDER BY` analogue: re-lay
     * an item along the Morton curve of `cols` so row-group min/max
@@ -954,6 +976,14 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
                       npartitions: Option[Int] = None): Unit = {
     if (!hasItem(item))
       throw new ItemNotFoundError(s"item '$item' does not exist")
+    // z-order's range exchange and a period-partitioned write are
+    // incompatible layouts (each range partition would splinter across
+    // period dirs): reject rather than silently flatten the item and
+    // orphan the incremental append/expire machinery
+    if (timeLayoutOf(item).isDefined)
+      throw new ValidationError(
+        s"rebalanceZOrder: item '$item' has a time layout; z-order applies to " +
+          "flat items (use rebalance() to compact a time-layout item)")
     val df = this.item(item).data
     val laidOut = graft.operators.ZOrder.cluster(df, cols, bits,
       Some(npartitions.getOrElse(

@@ -188,6 +188,10 @@ class EdgeCaseSpec extends SparkSpec {
       .toDF("event_id", "ts", "value")
     val e3 = intercept[IllegalArgumentException](Events.rateAnomalies(oneWindow))
     assert(e3.getMessage.contains("at least two windows"))
+    // empty input: same typed message, not an NPE from the null sums
+    val noWindows = oneWindow.filter(lit(false))
+    val e3b = intercept[IllegalArgumentException](Events.rateAnomalies(noWindows))
+    assert(e3b.getMessage.contains("at least two windows"))
     // empty line-dedup input: empty output, no failure
     assert(graft.operators.Dedup.lineDedup(emptyDocs).isEmpty)
   }

@@ -200,4 +200,56 @@ class MonthlyLayoutSpec extends SparkSpec {
     assert(c.deleteWhere("item", lit(false)) == 0L)
     cleanup(c)
   }
+
+  test("deleteWhere/expireBefore work on daily and yearly layouts (partition type inference)") {
+    import org.apache.spark.sql.functions._
+    // daily keys ('2024-01-05') infer as DATE and yearly keys ('2024')
+    // as INT in spark.read.parquet — the discovery collect must not
+    // assume string-typed partition values
+    for (layout <- Seq("daily", "yearly")) {
+      val c = tempCollection(s"delete_$layout")
+      c.write("item", frame("2024-01-01", 40, 1.0), timeLayout = Some(layout))
+      assert(c.deleteWhere("item", dayofmonth(col("index")) === 5) == 2L) // jan 5 + feb 5
+      assert(c.item("item").data.count() == 38)
+      val r = c.expireBefore("item",
+        java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+      val expectBoundary = if (layout == "daily") 0L else 30L // jan 5 already deleted
+      assert(r.boundaryDeleted == expectBoundary, s"$layout: $r")
+      assert(c.item("item").data.count() == 8) // feb 1-9 remain minus deleted feb 5
+      cleanup(c)
+    }
+  }
+
+  test("rebalance preserves a time layout (partitioned re-lay, not a flat rewrite)") {
+    import org.apache.spark.sql.functions._
+    val c = tempCollection("rebalance_layout")
+    c.write("item", frame("2024-01-01", 90, 1.0), monthlyLayout = true)
+    // accumulate append generations → multiple files per month
+    c.append("item", frame("2024-01-05", 2, 2.0))
+    c.append("item", frame("2024-02-07", 2, 3.0))
+    val before = c.item("item").data.orderBy("index").collect().toSeq
+    c.rebalance("item")
+    val dirs = monthDirs(c, "item")
+    assert(dirs.keySet == Set("__month=2024-01", "__month=2024-02", "__month=2024-03"),
+      dirs.keySet.toString)
+    assert(dirs.values.forall(_.size == 1), s"expected 1 file/month after compaction: $dirs")
+    assert(c.item("item").data.orderBy("index").collect().toSeq == before)
+    // the incremental machinery still works after the re-lay
+    c.append("item", frame("2024-03-10", 1, 4.0))
+    assert(c.item("item").data.count() == 90)
+    val r = c.expireBefore("item", java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    assert(r.removedPeriods == Seq("2024-01"))
+    cleanup(c)
+  }
+
+  test("rebalanceZOrder rejects time-layout items with a typed error") {
+    val c = tempCollection("zorder_reject")
+    c.write("item", frame("2024-01-01", 40, 1.0), monthlyLayout = true)
+    val e = intercept[graft.store.ValidationError](
+      c.rebalanceZOrder("item", Seq("value")))
+    assert(e.getMessage.contains("time layout"))
+    // the item is untouched
+    assert(c.item("item").data.count() == 40)
+    cleanup(c)
+  }
 }
