@@ -55,7 +55,13 @@ object Bench {
       s""""sentinel":{"query":"q1_agg","start_sec":$sentinelStart,"end_sec":$sentinelEnd,""" +
       s""""drift":$drift,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,""" +
       s""""valid":${drift >= 0 && drift <= 2.0}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$sentinel}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$sentinel}"""
+    println(line)
+    // also persist the full line: the driver captures stdout TAIL only,
+    // which truncated 42 of 96 per-query timings in the round-5 capture
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -272,6 +272,247 @@ object StoreQueries {
       |  AND o_orderkey % 100 = 7
       |ORDER BY change, o_orderkey""".stripMargin
 
+  /** T1 transaction semantics, both directions in one scenario: a
+    * committed transaction's ops all land; a failed transaction's
+    * already-executed ops all roll back. txn1 appends 1995 rows and
+    * commits; txn2 appends 1996+ rows and then hits a failing op (write
+    * to an existing item without overwrite), so its append must be
+    * undone. Final state ≡ "orders before 1996" — wrong if txn1 did
+    * nothing OR txn2's rollback left its append behind. */
+  def transactionRollback(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t95 = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    val t96 = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val col = freshCollection(s, "txn_rollback")
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderdate")
+    col.write("o", o.filter($"o_orderdate" < lit(t95)), indexCols = Seq("o_orderdate"))
+    graft.transactions.Transaction.withTransaction(col) { txn =>
+      txn.append("o", o.filter($"o_orderdate" >= lit(t95) && $"o_orderdate" < lit(t96)),
+        DuplicateHandling.KeepAll)
+    }
+    try {
+      val bad = new graft.transactions.Transaction(col)
+      bad.append("o", o.filter($"o_orderdate" >= lit(t96)), DuplicateHandling.KeepAll)
+      bad.write("o", o.limit(1)) // overwrite=false on an existing item: fails
+      bad.commit()
+    } catch { case _: TransactionError => () }
+    col.item("o").data.orderBy($"o_orderkey")
+  }
+
+  val transactionRollbackSql: String =
+    """SELECT o_orderkey, o_totalprice, o_orderdate
+      |FROM orders
+      |WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** R9/A7 write-path validation: the financial OHLCV validator accepts
+    * a well-formed frame and rejects a frame whose day-5 rows violate
+    * High ≥ Low — the rejected overwrite must leave the stored item
+    * untouched. Final state ≡ the good frame recomputed in SQL; wrong
+    * if the good write was rejected OR the bad write slipped through. */
+  def validationReject(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "validation_reject")
+    val good = Tables.t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_shipdate",
+        $"l_quantity".as("Open"),
+        ($"l_quantity" + 5.0).as("High"),
+        greatest($"l_quantity" - 5.0, lit(0.0)).as("Low"),
+        ($"l_quantity" + 1.0).as("Close"),
+        $"l_extendedprice".as("Volume"))
+    val validator = Some(graft.validation.DataValidator.financial())
+    col.write("ohlc", good, indexCols = Seq("l_shipdate"), validator = validator)
+    val bad = good.withColumn("High",
+      when(dayofmonth($"l_shipdate") === 5, $"Low" - 1.0).otherwise($"High"))
+    try col.write("ohlc", bad, indexCols = Seq("l_shipdate"),
+      validator = validator, overwrite = true)
+    catch { case _: ValidationError => () }
+    col.item("ohlc").data.orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val validationRejectSql: String =
+    """SELECT l_shipdate, l_orderkey, l_linenumber,
+      |  l_quantity AS Open,
+      |  l_quantity + 5.0 AS High,
+      |  greatest(l_quantity - 5.0, 0.0) AS Low,
+      |  l_quantity + 1.0 AS Close,
+      |  l_extendedprice AS Volume
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** S3 CSV source roundtrip: table → CSV files (headered) → readCsv
+    * with index-column designation (renames to the store default) →
+    * store write → read back. Integer columns survive schema inference;
+    * the designated index is renamed back for the oracle compare. */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "csv_roundtrip")
+    val csvDir = Paths.get(sys.props("java.io.tmpdir"), "graft_verify",
+      "csv_roundtrip", "csv").toString
+    Tables.t(s, dir, "nation")
+      .write.mode("overwrite").option("header", "true").csv(csvDir)
+    val back = Sources.readCsv(s, csvDir, indexCol = Some("n_nationkey"))
+    col.write("nation", back)
+    col.item("nation").data
+      .withColumnRenamed(Collection.DefaultIndex, "n_nationkey")
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+      .orderBy($"n_nationkey")
+  }
+
+  val csvRoundtripSql: String =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+
+  /** S3-adjacent JSONL interop roundtrip: deterministic sharded JSONL
+    * export (hash of the shard key → re-exports land identically) →
+    * schema-DDL read (no inference scan) → store write → read back ≡
+    * the source table, types included. */
+  def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "jsonl_roundtrip")
+    val jlDir = Paths.get(sys.props("java.io.tmpdir"), "graft_verify",
+      "jsonl_roundtrip", "jsonl").toString
+    Sources.writeJsonl(Tables.t(s, dir, "customer"), jlDir, nShards = 4,
+      shardBy = Some("c_custkey"))
+    val back = Sources.readJsonl(s, jlDir, schemaDdl = Some(
+      "c_custkey BIGINT, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING"))
+    col.write("cust", back, indexCols = Seq("c_custkey"))
+    col.item("cust").data.orderBy($"c_custkey")
+  }
+
+  val jsonlRoundtripSql: String =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** G2 storage-size optimizer: shrinkTypes downcasts to the narrowest
+    * type holding the observed range; the shrunk frame round-trips
+    * through the store. Proof rows carry the STORED type (read-back
+    * schema — proves the shrink survived parquet) plus min/max (proves
+    * values did). The oracle re-derives both from the source data, so
+    * the expected types scale with the data, not a fixture. */
+  def memoryOptimize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "memory_optimize")
+    val li = Tables.t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey", $"l_quantity")
+    col.write("li", MemoryOptimizer.shrinkTypes(li), indexCols = Seq("l_orderkey"))
+    val back = col.item("li").data
+    val types = back.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val m = back.agg(
+      min($"l_orderkey").cast("double"), max($"l_orderkey").cast("double"),
+      min($"l_suppkey").cast("double"), max($"l_suppkey").cast("double"),
+      min($"l_quantity").cast("double"), max($"l_quantity").cast("double"),
+      count(lit(1)).cast("double")).head()
+    Seq(
+      ("l_orderkey", types("l_orderkey"), m.getDouble(0), m.getDouble(1)),
+      ("l_suppkey", types("l_suppkey"), m.getDouble(2), m.getDouble(3)),
+      ("l_quantity", types("l_quantity"), m.getDouble(4), m.getDouble(5)),
+      ("__rowcount", "bigint", m.getDouble(6), m.getDouble(6)))
+      .toDF("col_name", "stored_type", "min_val", "max_val")
+      .orderBy($"col_name")
+  }
+
+  val memoryOptimizeSql: String =
+    """WITH s AS (
+      |  SELECT min(l_orderkey) AS lo_o, max(l_orderkey) AS hi_o,
+      |         min(l_suppkey) AS lo_s, max(l_suppkey) AS hi_s,
+      |         min(l_quantity) AS lo_q, max(l_quantity) AS hi_q,
+      |         max(abs(l_quantity)) AS amax_q,
+      |         count(*) AS n
+      |  FROM lineitem),
+      |shrink AS (
+      |  SELECT 'l_orderkey' AS col_name,
+      |    CASE WHEN lo_o >= -128 AND hi_o <= 127 THEN 'tinyint'
+      |         WHEN lo_o >= -32768 AND hi_o <= 32767 THEN 'smallint'
+      |         WHEN lo_o >= -2147483648 AND hi_o <= 2147483647 THEN 'int'
+      |         ELSE 'bigint' END AS stored_type,
+      |    lo_o::DOUBLE AS min_val, hi_o::DOUBLE AS max_val FROM s
+      |  UNION ALL
+      |  SELECT 'l_suppkey',
+      |    CASE WHEN lo_s >= -128 AND hi_s <= 127 THEN 'tinyint'
+      |         WHEN lo_s >= -32768 AND hi_s <= 32767 THEN 'smallint'
+      |         WHEN lo_s >= -2147483648 AND hi_s <= 2147483647 THEN 'int'
+      |         ELSE 'bigint' END,
+      |    lo_s::DOUBLE, hi_s::DOUBLE FROM s
+      |  UNION ALL
+      |  SELECT 'l_quantity',
+      |    CASE WHEN amax_q < 1e30 THEN 'float' ELSE 'double' END,
+      |    lo_q::DOUBLE, hi_q::DOUBLE FROM s
+      |  UNION ALL
+      |  SELECT '__rowcount', 'bigint', n::DOUBLE, n::DOUBLE FROM s)
+      |SELECT col_name, stored_type, min_val, max_val
+      |FROM shrink ORDER BY col_name""".stripMargin
+
+  /** S7 chunked read: the stored item streams to the driver one
+    * partition at a time (toLocalIterator), re-grouped into fixed-size
+    * chunks over the globally index-ordered frame. Per-chunk proof rows
+    * (count, key span, exact cent-sum) reconstruct the chunk boundaries
+    * in SQL via row_number — coverage, order, and completeness all
+    * hash-checked. */
+  def chunkedRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "chunked_read")
+    col.write("part", Tables.t(s, dir, "part"), indexCols = Seq("p_partkey"))
+    val ordered = col.item("part").data.orderBy($"p_partkey")
+    val chunks = Sources.readInChunks(ordered, chunkSize = 256).zipWithIndex.map {
+      case (rows, i) =>
+        val cents = rows.map(r => math.round(r.getAs[Double]("p_retailprice") * 100)).sum
+        (i.toLong, rows.size.toLong,
+          rows.head.getAs[Long]("p_partkey"), rows.last.getAs[Long]("p_partkey"),
+          math.round(cents.toDouble) / 100.0)
+    }.toSeq
+    chunks.toDF("chunk_id", "n_rows", "min_key", "max_key", "sum_price")
+      .orderBy($"chunk_id")
+  }
+
+  val chunkedReadSql: String =
+    """SELECT (rn - 1) // 256 AS chunk_id,
+      |  count(*) AS n_rows,
+      |  min(p_partkey) AS min_key,
+      |  max(p_partkey) AS max_key,
+      |  sum(CAST(round(p_retailprice * 100) AS BIGINT)) / 100.0 AS sum_price
+      |FROM (SELECT p_partkey, p_retailprice,
+      |        row_number() OVER (ORDER BY p_partkey) AS rn
+      |      FROM part)
+      |GROUP BY 1 ORDER BY chunk_id""".stripMargin
+
+  /** Y1+Y2+M6 async surface: two items written CONCURRENTLY through the
+    * future-based batch writer, an async keep-last append that adjusts
+    * every custkey%10=0 account, then a batch read that must map a
+    * missing item to None (not a failure). Result = both items' final
+    * states tagged by item — wrong if any future was dropped, the
+    * append landed on the wrong item, or readBatch threw. */
+  def asyncRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import scala.concurrent.Await
+    import scala.concurrent.duration.Duration
+    val col = freshCollection(s, "async_roundtrip")
+    val cust = Tables.t(s, dir, "customer")
+    val (even, odd) = ($"c_custkey" % 2 === 0, $"c_custkey" % 2 === 1)
+    val joined = graft.asyncapi.AsyncCollection.withAsync(col) { ac =>
+      Await.result(ac.writeBatch(Seq(
+        "even" -> cust.filter(even), "odd" -> cust.filter(odd)),
+        indexCols = Seq("c_custkey")), Duration.Inf)
+      Await.result(ac.append("even",
+        cust.filter(even && $"c_custkey" % 10 === 0)
+          .withColumn("c_acctbal", $"c_acctbal" + 1000.0),
+        DuplicateHandling.KeepLast), Duration.Inf)
+      val batch = Await.result(ac.readBatch(Seq("even", "odd", "missing")), Duration.Inf)
+      require(batch("missing").isEmpty, "missing item must read as None")
+      batch("even").get.withColumn("item", lit("even"))
+        .unionByName(batch("odd").get.withColumn("item", lit("odd")))
+    }
+    joined.orderBy($"c_custkey")
+  }
+
+  val asyncRoundtripSql: String =
+    """SELECT c_custkey, c_name, c_nationkey,
+      |  CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal,
+      |  c_mktsegment,
+      |  CASE WHEN c_custkey % 2 = 0 THEN 'even' ELSE 'odd' END AS item
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
   /** P3 metadata-equality item search over sidecars (driver-side; the
     * result is the matching items' names — oracle = the literal set). */
   def metadataSearch(s: SparkSession, dir: String): DataFrame = {
@@ -301,7 +542,14 @@ object StoreQueries {
     "store_snapshot_read" -> snapshotRead _,
     "store_snapshot_diff" -> snapshotDiff _,
     "store_evolution_add_column" -> evolutionAddColumn _,
-    "store_metadata_search" -> metadataSearch _)
+    "store_metadata_search" -> metadataSearch _,
+    "store_transaction_rollback" -> transactionRollback _,
+    "store_validation_reject" -> validationReject _,
+    "store_csv_roundtrip" -> csvRoundtrip _,
+    "store_jsonl_roundtrip" -> jsonlRoundtrip _,
+    "store_memory_optimize" -> memoryOptimize _,
+    "store_chunked_read" -> chunkedRead _,
+    "store_async_roundtrip" -> asyncRoundtrip _)
 
   val oracles: Map[String, String] = Map(
     "store_write_read" -> writeReadSql,
@@ -314,5 +562,12 @@ object StoreQueries {
     "store_snapshot_read" -> snapshotReadSql,
     "store_snapshot_diff" -> snapshotDiffSql,
     "store_evolution_add_column" -> evolutionAddColumnSql,
-    "store_metadata_search" -> metadataSearchSql)
+    "store_metadata_search" -> metadataSearchSql,
+    "store_transaction_rollback" -> transactionRollbackSql,
+    "store_validation_reject" -> validationRejectSql,
+    "store_csv_roundtrip" -> csvRoundtripSql,
+    "store_jsonl_roundtrip" -> jsonlRoundtripSql,
+    "store_memory_optimize" -> memoryOptimizeSql,
+    "store_chunked_read" -> chunkedReadSql,
+    "store_async_roundtrip" -> asyncRoundtripSql)
 }
