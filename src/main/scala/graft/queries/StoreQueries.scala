@@ -272,6 +272,41 @@ object StoreQueries {
       |  AND o_orderkey % 100 = 7
       |ORDER BY change, o_orderkey""".stripMargin
 
+  /** In-place layout migration lifecycle: a FLAT item converts to the
+    * monthly layout, the unlocked incremental machinery runs on it
+    * (partial keep-last append of one re-priced quarter, then a TTL
+    * expiry that drops whole months by name), and the item converts
+    * back to flat. Every mutation's semantics must compose into the
+    * final SQL — wrong if either conversion dropped/duplicated rows or
+    * the converted item's append/expiry misfired. */
+  def convertLayout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1996-04-01 00:00:00")
+    val cutoff = java.sql.Timestamp.valueOf("1994-07-15 00:00:00")
+    val col = freshCollection(s, "convert_layout")
+    val li = Tables.t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_shipdate")
+    col.write("li", li, indexCols = Seq("l_shipdate"))
+    col.convertLayout("li", Some("monthly"))
+    val batch = li.filter($"l_shipdate" >= lit(lo) && $"l_shipdate" < lit(hi))
+      .withColumn("l_quantity", $"l_quantity" + 100.0)
+    col.append("li", batch, DuplicateHandling.KeepLast)
+    col.expireBefore("li", cutoff)
+    col.convertLayout("li")
+    col.item("li").data.orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val convertLayoutSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      |       THEN l_quantity + 100.0 ELSE l_quantity END AS l_quantity,
+      |  l_shipdate
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1994-07-15 00:00:00'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   /** T1 transaction semantics, both directions in one scenario: a
     * committed transaction's ops all land; a failed transaction's
     * already-executed ops all roll back. txn1 appends 1995 rows and
@@ -549,7 +584,8 @@ object StoreQueries {
     "store_jsonl_roundtrip" -> jsonlRoundtrip _,
     "store_memory_optimize" -> memoryOptimize _,
     "store_chunked_read" -> chunkedRead _,
-    "store_async_roundtrip" -> asyncRoundtrip _)
+    "store_async_roundtrip" -> asyncRoundtrip _,
+    "store_convert_layout" -> convertLayout _)
 
   val oracles: Map[String, String] = Map(
     "store_write_read" -> writeReadSql,
@@ -569,5 +605,6 @@ object StoreQueries {
     "store_jsonl_roundtrip" -> jsonlRoundtripSql,
     "store_memory_optimize" -> memoryOptimizeSql,
     "store_chunked_read" -> chunkedReadSql,
-    "store_async_roundtrip" -> asyncRoundtripSql)
+    "store_async_roundtrip" -> asyncRoundtripSql,
+    "store_convert_layout" -> convertLayoutSql)
 }

@@ -963,6 +963,56 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     path.fs.listFilesRecursively(
       path.resolve(item).resolve(Item.DataDir).raw).count(_.endsWith(".parquet"))
 
+  /** In-place physical layout conversion — flat ↔ any time layout
+    * (reference analogue: partition.py:175-216 rebalances in place;
+    * this generalizes it to a LAYOUT change). The migration a real
+    * deployment hits the day a flat item grows past full-rewrite
+    * appends: one atomic re-lay unlocks the incremental machinery
+    * (partial appends, name-dropped expiry, targeted deletes) without
+    * a copy to a second item. Runs through the normal commit path, so
+    * user metadata, index config, codec markers, and pinned snapshot
+    * generations (both pin kinds — the OLD layout's data is what the
+    * snapshot serves) all survive; only the layout keys change.
+    * Converting to the CURRENT layout (same salt) is a no-op. */
+  def convertLayout(item: String, timeLayout: Option[String] = None,
+                    monthlySalt: Int = 1): Unit = {
+    if (!hasItem(item))
+      throw new ItemNotFoundError(s"item '$item' does not exist")
+    val target = timeLayout.getOrElse("flat")
+    val isTime = target != "flat"
+    if (isTime && !TimeLayouts.contains(target))
+      throw new ValidationError(
+        s"unknown time layout '$target' (supported: ${TimeLayouts.mkString(",")})")
+    val current = timeLayoutOf(item).getOrElse("flat")
+    if (current == target && (!isTime || monthlySaltOf(item) == monthlySalt)) return
+    val it = this.item(item)
+    val idx = it.indexCols
+    val df = it.data
+    if (isTime && !Partitioner.isTemporal(df, idx.head))
+      throw new ValidationError("time layouts require a timestamp/date index column")
+    val prevMeta = Meta.read(path.resolve(item))
+    if (isTime) {
+      val newMeta = prevMeta ++ Meta.obj(
+        "_layout" -> target,
+        "_layout_tz" -> spark.conf.get("spark.sql.session.timeZone", "UTC"),
+        "_monthly_salt" -> monthlySalt,
+        "_partitions" -> 0,
+        "_partition_strategy" -> Partitioner.TimeBased.name)
+      commit(item, withTimeLayout(df, idx, monthlySalt, target), newMeta,
+        partitioned = true)
+    } else {
+      val stats = readStatsMeta(item).getOrElse(Partitioner.computeStats(df, idx.head))
+      val (n, strategy) = Partitioner.decide(Partitioner.estimatedBytes(df), stats)
+      // stale period bookkeeping must not survive a flat conversion
+      val newMeta = (prevMeta - "_layout_tz" - "_period_gens") ++ Meta.obj(
+        "_layout" -> "flat",
+        "_monthly_salt" -> 1,
+        "_partitions" -> n,
+        "_partition_strategy" -> strategy.name)
+      commit(item, Partitioner(df, idx, n), newMeta)
+    }
+  }
+
   /** Z-order rebalance — the `OPTIMIZE ... ZORDER BY` analogue: re-lay
     * an item along the Morton curve of `cols` so row-group min/max
     * stats prune on EVERY listed column, not just the sort index

@@ -242,6 +242,60 @@ class MonthlyLayoutSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("convertLayout migrates flat→monthly→flat in place, preserving content and metadata") {
+    import org.apache.spark.sql.functions._
+    val c = tempCollection("convert_layout")
+    c.write("item", frame("2024-01-01", 90, 1.0), metadata = Map("source" -> "api"))
+    val before = c.item("item").data.orderBy("index").collect().toSeq
+    // flat → monthly: period dirs appear, content and user metadata survive
+    c.convertLayout("item", Some("monthly"))
+    assert(monthDirs(c, "item").keySet ==
+      Set("__month=2024-01", "__month=2024-02", "__month=2024-03"))
+    assert(c.item("item").data.orderBy("index").collect().toSeq == before)
+    assert(c.metadata("item").get("source").map(graft.store.Meta.unjv) == Some("api"))
+    // the incremental machinery works on the CONVERTED item: a partial
+    // append touches only its month; expiry drops a month by name
+    c.append("item", frame("2024-02-10", 2, 5.0))
+    assert(c.item("item").data.filter(col("value") === 5.0).count() == 2)
+    val r = c.expireBefore("item", java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    assert(r.removedPeriods == Seq("2024-01"))
+    // monthly → flat: dirs collapse, content preserved, appends still work
+    val midRows = c.item("item").data.orderBy("index").collect().toSeq
+    c.convertLayout("item")
+    assert(monthDirs(c, "item").isEmpty)
+    assert(c.item("item").data.orderBy("index").collect().toSeq == midRows)
+    c.append("item", frame("2024-03-25", 1, 7.0))
+    assert(c.item("item").data.filter(col("value") === 7.0).count() == 1)
+    // converting to the current layout is a no-op; daily works too
+    c.convertLayout("item")
+    c.convertLayout("item", Some("daily"))
+    assert(monthDirs(c, "item").size == 29 + 30) // feb 1-29 + mar 1-30 (90 days started jan 1)
+    cleanup(c)
+  }
+
+  test("convertLayout preserves a manifest snapshot taken on the OLD layout") {
+    val c = tempCollection("convert_snapshot")
+    c.write("item", frame("2024-01-01", 60, 1.0))
+    val snap = c.createSnapshot(Some("pre_convert"), manifest = Some(true))
+    c.convertLayout("item", Some("monthly"))
+    c.append("item", frame("2024-02-05", 2, 9.0))
+    // the snapshot still serves the pre-conversion flat state
+    val snapRows = c.item("item", snapshot = Some(snap)).data
+    assert(snapRows.count() == 60)
+    assert(snapRows.filter(org.apache.spark.sql.functions.col("value") === 9.0).count() == 0)
+    cleanup(c)
+  }
+
+  test("convertLayout rejects a non-temporal index and unknown layouts") {
+    import spark.implicits._
+    val c = tempCollection("convert_reject")
+    c.write("item", Seq((1L, "a"), (2L, "b")).toDF("index", "v"))
+    intercept[graft.store.ValidationError](c.convertLayout("item", Some("monthly")))
+    intercept[graft.store.ValidationError](c.convertLayout("item", Some("hourly")))
+    intercept[graft.store.ItemNotFoundError](c.convertLayout("nope", Some("monthly")))
+    cleanup(c)
+  }
+
   test("rebalanceZOrder rejects time-layout items with a typed error") {
     val c = tempCollection("zorder_reject")
     c.write("item", frame("2024-01-01", 40, 1.0), monthlyLayout = true)
