@@ -224,6 +224,52 @@ object DedupIndex {
       retained)
   }
 
+  /** First-batch ingest rule of [[graft.streaming.StreamAppend
+    * .intoMinhashIndex]], factored out so a batch replay query can
+    * anchor the streaming matrix to the DuckDB oracle: in-batch
+    * self-dedup where the LARGER id of every qualifying pair dies
+    * (minhashLshPairs emits id_a < id_b). */
+  def minhashSelfSurvivors(batch: DataFrame,
+                           threshold: Double,
+                           numHashes: Int = 64,
+                           numBands: Int = 16,
+                           shingleK: Int = 3,
+                           textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(batch, threshold,
+      numHashes, numBands, shingleK, textCol, idCol)
+    val drops = pairs.select(col("id_b").as("drop_id")).distinct()
+    batch.join(drops, batch(idCol) === drops("drop_id"), "left_anti")
+  }
+
+  /** Steady-state ingest gate of [[graft.streaming.StreamAppend
+    * .intoMinhashIndex]] (shared by sink and batch replay): probe the
+    * persisted index, then drop — batch-batch pair: the larger id
+    * dies; batch-corpus pair: the batch side dies whichever end of the
+    * (least, greatest)-canonicalized pair it lands on. Returns the
+    * survivor frame plus the probe's batch-lifetime caches for the
+    * caller to unpersist after materializing. */
+  def minhashGateSurvivors(index: MinhashIndex,
+                           batch: DataFrame,
+                           threshold: Double,
+                           textCol: String = "text",
+                           idCol: String = "doc_id"): (DataFrame, Seq[DataFrame]) = {
+    val (pairs, retained) = probeMinhashIndexRetained(
+      index, batch, threshold, textCol, idCol)
+    val bIds = batch.select(col(idCol).as("bid"))
+    val drops = pairs
+      .join(bIds.select(col("bid").as("id_a"), lit(true).as("a_new")),
+        Seq("id_a"), "left")
+      .join(bIds.select(col("bid").as("id_b"), lit(true).as("b_new")),
+        Seq("id_b"), "left")
+      .select(when(col("a_new").isNotNull && col("b_new").isNotNull,
+          greatest(col("id_a"), col("id_b")))
+        .when(col("a_new").isNotNull, col("id_a"))
+        .otherwise(col("id_b")).as("drop_id"))
+      .distinct()
+    (batch.join(drops, batch(idCol) === drops("drop_id"), "left_anti"), retained)
+  }
+
   // ----------------------------------- persisted winnow-fingerprint index
 
   /** PERSISTED substring-duplication index — the build/probe split of

@@ -569,6 +569,86 @@ object PipelineQueries {
   val dedupIndexProbeSql: String =
     jaccardPairOracle(0.8, 3, augNearSql, extraPred = " AND b.id >= 100000")
 
+  /** Streaming-ingest gate REPLAYED as a batch plan — the oracle
+    * anchor for the persisted-index streaming matrix: runs the EXACT
+    * functions `StreamAppend.intoMinhashIndex` executes per
+    * micro-batch (first-batch self-dedup rule, then the steady-state
+    * probe-and-drop rule against the persisted index), over a
+    * deterministic two-batch schedule. StreamingSpec proves sink ≡
+    * these functions; this query proves the functions ≡ the
+    * declarative SQL spec — so the stream's drop decisions are
+    * hash-anchored end to end. Batch 2 exercises every drop rule arm:
+    * near-copies of indexed docs (+100000: batch-corpus, batch side
+    * dies), fresh docs (+300000: survive), and near-copies of those
+    * fresh docs (+400000: batch-batch, larger id dies). */
+  def streamMinhashGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DedupIndex
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_verify", "stream_gate")
+    graft.store.FsOps.deleteRecursively(root)
+    java.nio.file.Files.createDirectories(root)
+    val c = graft.store.GraftStore(s, "store", root).collection("gate")
+    val d = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val w = split(col("text"), " ")
+    def dropLast(df: DataFrame): DataFrame = {
+      val ww = split(col("text"), " ")
+      df.withColumn("text", concat_ws(" ", slice(ww, lit(1), size(ww) - 1)))
+    }
+    // batch 1: seed corpus — first-batch self-dedup rule, then build
+    val seed = d.filter(col("doc_id") < 40)
+    val surv0 = DedupIndex.minhashSelfSurvivors(seed, threshold = 0.8)
+    val idx = DedupIndex.buildAndSaveMinhashIndex(surv0, c, "g")
+    // batch 2: all three drop-rule arms
+    val batch = dropLast(d.filter(col("doc_id") < 20)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+      .unionByName(d.filter(col("doc_id") >= 40 && col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 300000L))
+      .unionByName(dropLast(d.filter(col("doc_id") >= 40 && col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 400000L)))
+    val (surv1, _) = DedupIndex.minhashGateSurvivors(idx, batch, threshold = 0.8)
+    surv0.select(col("doc_id"), lit("seed").as("src"))
+      .unionByName(surv1.select(col("doc_id"), lit("batch").as("src")))
+      .orderBy(col("doc_id"))
+  }
+
+  private def shingleCte(src: String, k: Int = 3): String =
+    s"""SELECT doc_id AS id,
+       |  (SELECT ${shinglesSql(k)} FROM (SELECT $normTokensSql AS w)) AS sh
+       |FROM $src""".stripMargin
+
+  val streamMinhashGateSql: String = {
+    val jac = """CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))""".stripMargin
+    val dropw =
+      "array_to_string(string_split(text, ' ')[1:len(string_split(text, ' '))-1], ' ')"
+    s"""WITH seed AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+       |sh_seed AS (${shingleCte("seed")}),
+       |drops0 AS (
+       |  SELECT DISTINCT b.id AS did FROM sh_seed a, sh_seed b
+       |  WHERE a.id < b.id AND $jac >= 0.8),
+       |surv0 AS (SELECT id FROM sh_seed WHERE id NOT IN (SELECT did FROM drops0)),
+       |batch AS (
+       |  SELECT doc_id + 100000 AS doc_id, $dropw AS text
+       |  FROM documents WHERE doc_id < 20
+       |  UNION ALL
+       |  SELECT doc_id + 300000, text FROM documents WHERE doc_id >= 40 AND doc_id < 50
+       |  UNION ALL
+       |  SELECT doc_id + 400000, $dropw
+       |  FROM documents WHERE doc_id >= 40 AND doc_id < 50),
+       |sh_b AS (${shingleCte("batch")}),
+       |sh_corpus AS (SELECT * FROM sh_seed WHERE id IN (SELECT id FROM surv0)),
+       |drops1 AS (
+       |  SELECT DISTINCT b.id AS did FROM sh_b b, sh_corpus a WHERE $jac >= 0.8
+       |  UNION
+       |  SELECT DISTINCT b.id AS did FROM sh_b a, sh_b b
+       |  WHERE a.id < b.id AND $jac >= 0.8),
+       |surv1 AS (SELECT id FROM sh_b WHERE id NOT IN (SELECT did FROM drops1))
+       |SELECT id AS doc_id, 'seed' AS src FROM surv0
+       |UNION ALL
+       |SELECT id AS doc_id, 'batch' AS src FROM surv1
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Deterministic per-SF store for the persisted Hamming fingerprint
     * index — built by `dedup_hamming_index_build`, probed by
     * `dedup_hamming_index_probe`. */
@@ -2423,6 +2503,7 @@ object PipelineQueries {
     "dedup_multi_signal" -> dedupMultiSignal _,
     "dedup_index_build" -> dedupIndexBuild _,
     "dedup_index_probe" -> dedupIndexProbe _,
+    "stream_minhash_gate" -> streamMinhashGate _,
     "dedup_semantic" -> dedupSemantic _,
     "dedup_semantic_probe" -> dedupSemanticProbe _,
     "dedup_select_canonical" -> dedupSelectCanonical _,
@@ -2486,6 +2567,7 @@ object PipelineQueries {
     "dedup_multi_signal" -> dedupMultiSignalSql,
     "dedup_index_build" -> dedupIndexBuildSql,
     "dedup_index_probe" -> dedupIndexProbeSql,
+    "stream_minhash_gate" -> streamMinhashGateSql,
     "dedup_semantic" -> dedupSemanticSql,
     "dedup_semantic_probe" -> dedupSemanticProbeSql,
     "dedup_select_canonical" -> dedupSelectCanonicalSql,

@@ -82,6 +82,63 @@ object Collection {
       }
     }
   }
+  /** Periods a delete predicate can possibly touch, from the predicate's
+    * expression tree alone — no data read. Conjunctive range/equality
+    * constraints on the INDEX column map each literal bound to its
+    * period key (period keys are zero-padded and lexically
+    * chronological in every layout, so the key interval is a string
+    * interval); every period outside [max lower, min upper] is pruned.
+    * Disjunctions, negations, non-index references, and computed index
+    * expressions contribute no constraint — the result only ever
+    * over-approximates, never drops a touchable period. */
+  private[graft] def candidatePeriods(periods: Seq[String],
+                                      predicate: org.apache.spark.sql.catalyst.expressions.Expression,
+                                      indexCol: String,
+                                      layout: String,
+                                      sessionTz: java.time.ZoneId): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+
+    def nameOf(e: Expression): Option[String] = e match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def isIdx(e: Expression): Boolean = nameOf(e).exists(_.equalsIgnoreCase(indexCol))
+    def keyOf(e: Expression): Option[String] = e match {
+      case Literal(v, dt) if v != null =>
+        val external: Option[Any] = dt match {
+          case TimestampType    => Some(DateTimeUtils.toJavaTimestamp(v.asInstanceOf[Long]))
+          case TimestampNTZType => Some(DateTimeUtils.microsToLocalDateTime(v.asInstanceOf[Long]))
+          case DateType         => Some(DateTimeUtils.daysToLocalDate(v.asInstanceOf[Int]))
+          case _                => None
+        }
+        external.flatMap(periodOfValue(layout, _, sessionTz))
+      case _ => None
+    }
+    var lows = List.empty[String]
+    var highs = List.empty[String]
+    def walk(e: Expression): Unit = e match {
+      case And(l, r) => walk(l); walk(r)
+      case GreaterThan(a, v) if isIdx(a)         => keyOf(v).foreach(lows ::= _)
+      case GreaterThanOrEqual(a, v) if isIdx(a)  => keyOf(v).foreach(lows ::= _)
+      case LessThan(a, v) if isIdx(a)            => keyOf(v).foreach(highs ::= _)
+      case LessThanOrEqual(a, v) if isIdx(a)     => keyOf(v).foreach(highs ::= _)
+      case EqualTo(a, v) if isIdx(a)             => keyOf(v).foreach(k => { lows ::= k; highs ::= k })
+      case GreaterThan(v, a) if isIdx(a)         => keyOf(v).foreach(highs ::= _)
+      case GreaterThanOrEqual(v, a) if isIdx(a)  => keyOf(v).foreach(highs ::= _)
+      case LessThan(v, a) if isIdx(a)            => keyOf(v).foreach(lows ::= _)
+      case LessThanOrEqual(v, a) if isIdx(a)     => keyOf(v).foreach(lows ::= _)
+      case EqualTo(v, a) if isIdx(a)             => keyOf(v).foreach(k => { lows ::= k; highs ::= k })
+      case _ => () // unknown shape: no constraint from this subtree
+    }
+    walk(predicate)
+    val lo = lows.maxOption
+    val hi = highs.minOption
+    periods.filter(p => lo.forall(p >= _) && hi.forall(p <= _)).sorted
+  }
+
   /** Metadata TTL cache — 300 s, same policy the reference credits for
     * its "100× faster metadata access" (collection.py:116-147). */
   val MetaCacheTtlMs: Long = 300 * 1000L
@@ -866,7 +923,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         // keys as date: collect the TYPED value (keeps the isin filter
         // a pruning-friendly partition predicate) alongside its string
         // form (the period key commitMonths needs)
-        val monthRows = raw.filter(predicate)
+        val monthRows = deleteDiscoveryFrame(item, predicate).filter(predicate)
           .select(col(MonthCol), col(MonthCol).cast("string")).distinct().collect()
         val monthVals = monthRows.map(_.get(0)).toSeq
         val months = monthRows.map(_.getString(1)).toSeq.sorted
@@ -884,6 +941,38 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         commit(item, raw.filter(!predicate), prevMeta)
         deleted
     }
+  }
+
+  /** The frame deleteWhere's period-discovery scan reads — [[raw]]
+    * narrowed to the periods the PREDICATE can possibly touch. Index
+    * stats per period are free: the period KEY is the index range, so a
+    * conjunctive range/equality constraint on the index column maps to
+    * a period-key interval and becomes a partition filter — the
+    * discovery scan then opens only the candidate periods' files, the
+    * expireBefore economics generalized to arbitrary index predicates.
+    * Anything the analyzer can't bound (disjunctions, non-index
+    * columns, computed index expressions) widens conservatively to the
+    * full period list — never under-deletes. Package-visible so the
+    * plan's partition filters are test-assertable. */
+  private[graft] def deleteDiscoveryFrame(item: String,
+                                          predicate: org.apache.spark.sql.Column): DataFrame = {
+    val layout = timeLayoutOf(item).getOrElse(throw new ValidationError(
+      s"item '$item' has no time layout"))
+    val dataDir = path.resolve(item).resolve(Item.DataDir)
+    val raw = spark.read.parquet(dataDir.toString)
+    val all = dataDir.listDirs
+      .filter(_.startsWith(MonthCol + "=")).map(_.stripPrefix(MonthCol + "="))
+    // the ANALYZED filter condition (public API) — Column itself hides
+    // its expression in Spark 4; analysis also resolves attribute names
+    val cond = raw.filter(predicate).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    val cands = cond.map(Collection.candidatePeriods(all, _,
+      this.item(item).indexCols.head, layout,
+      java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone", "UTC"))))
+      .getOrElse(all)
+    if (cands.size == all.size) raw
+    else raw.filter(col(MonthCol).cast("string").isin(cands: _*))
   }
 
   def deleteItem(item: String): Boolean = {

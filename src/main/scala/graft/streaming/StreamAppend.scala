@@ -303,34 +303,20 @@ object StreamAppend {
             metadata = Map("minhash_stream_batch" -> batchId), overwrite = true)
         if (!batch.isEmpty && batchId > lastApplied()) {
           if (!collection.hasItem(s"${name}__shingles")) {
-            // first batch: self-dedup via the batch operator, then build
-            val pairs = graft.operators.Dedup.minhashLshPairs(batch, threshold,
+            // first batch: self-dedup (shared gate rule), then build
+            val survivors = DedupIndex.minhashSelfSurvivors(batch, threshold,
               numHashes, numBands, shingleK, textCol, idCol)
-            val drops = pairs.select(col("id_b").as("drop_id")).distinct()
-            val survivors = batch.join(drops,
-              batch(idCol) === drops("drop_id"), "left_anti")
             DedupIndex.buildAndSaveMinhashIndex(survivors, collection, name,
               numHashes, numBands, shingleK, textCol, idCol)
             ()
           } else {
             val idx = DedupIndex.MinhashIndex.load(collection, name)
-            val (pairs, retained) = DedupIndex.probeMinhashIndexRetained(
+            // shared gate decision — the batch replay query
+            // stream_minhash_gate runs this exact function, so the
+            // sink's drop rule is anchored to the DuckDB oracle
+            val (surv, retained) = DedupIndex.minhashGateSurvivors(
               idx, batch, threshold, textCol, idCol)
-            val bIds = batch.select(col(idCol).as("bid"))
-            // batch-batch pair: the larger id dies; batch-corpus pair:
-            // the batch side dies whichever end of the pair it is
-            val drops = pairs
-              .join(bIds.select(col("bid").as("id_a"), lit(true).as("a_new")),
-                Seq("id_a"), "left")
-              .join(bIds.select(col("bid").as("id_b"), lit(true).as("b_new")),
-                Seq("id_b"), "left")
-              .select(when(col("a_new").isNotNull && col("b_new").isNotNull,
-                  greatest(col("id_a"), col("id_b")))
-                .when(col("a_new").isNotNull, col("id_a"))
-                .otherwise(col("id_b")).as("drop_id"))
-              .distinct()
-            val survivors = batch.join(drops,
-              batch(idCol) === drops("drop_id"), "left_anti")
+            val survivors = surv
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             if (!survivors.isEmpty)
               DedupIndex.appendToMinhashIndex(survivors, collection, name,

@@ -242,6 +242,75 @@ class MonthlyLayoutSpec extends SparkSpec {
     cleanup(c)
   }
 
+  private def condOf(df: org.apache.spark.sql.DataFrame,
+                     pred: org.apache.spark.sql.Column) =
+    df.filter(pred).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.get
+
+  test("candidatePeriods bounds the period interval from conjunctive index predicates only") {
+    import org.apache.spark.sql.functions._
+    val utc = java.time.ZoneId.of("UTC")
+    val months = Seq("2024-01", "2024-02", "2024-03", "2024-04", "2024-05", "2024-06")
+    val df = frame("2024-01-01", 10, 1.0)
+    def ts(s: String) = lit(java.sql.Timestamp.valueOf(s))
+    def cands(pred: org.apache.spark.sql.Column, layout: String = "monthly",
+              periods: Seq[String] = months) =
+      Collection.candidatePeriods(periods, condOf(df, pred), "index", layout, utc)
+    // range lower bound (and a non-index conjunct contributes nothing)
+    assert(cands(col("index") >= ts("2024-03-10 00:00:00") && col("value") === 9.0)
+      == Seq("2024-03", "2024-04", "2024-05", "2024-06"))
+    // equality pins one period; flipped operand order works
+    assert(cands(col("index") === ts("2024-02-05 00:00:00")) == Seq("2024-02"))
+    assert(cands(ts("2024-05-01 00:00:00") <= col("index")) == Seq("2024-05", "2024-06"))
+    // upper bound keeps its boundary period (conservative inclusivity)
+    assert(cands(col("index") < ts("2024-02-01 00:00:00")) == Seq("2024-01", "2024-02"))
+    // two-sided range
+    assert(cands(col("index") >= ts("2024-02-15 00:00:00") &&
+      col("index") < ts("2024-04-02 00:00:00")) == Seq("2024-02", "2024-03", "2024-04"))
+    // shapes the analyzer cannot bound widen to ALL periods
+    assert(cands(col("index") >= ts("2024-03-01 00:00:00") || col("value") === 1.0) == months)
+    assert(cands(col("value") === 9.0) == months)
+    assert(cands(year(col("index")) === 2024) == months) // computed index expr
+    // other layouts: key arithmetic follows the layout
+    assert(cands(col("index") >= ts("2024-02-10 00:00:00"),
+      layout = "daily", periods = Seq("2024-02-09", "2024-02-10", "2024-02-11"))
+      == Seq("2024-02-10", "2024-02-11"))
+    assert(cands(col("index") < ts("2023-06-01 00:00:00"),
+      layout = "yearly", periods = Seq("2022", "2023", "2024")) == Seq("2022", "2023"))
+    assert(cands(col("index") === ts("2024-05-05 00:00:00"),
+      layout = "quarterly", periods = Seq("2024-Q1", "2024-Q2", "2024-Q3"))
+      == Seq("2024-Q2"))
+  }
+
+  test("deleteWhere's discovery scan partition-prunes on index range predicates") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val c = tempCollection("delete_pruned")
+    c.write("item", frame("2024-01-01", 180, 1.0), monthlyLayout = true) // jan-jun
+    val pred = col("index") >= lit(java.sql.Timestamp.valueOf("2024-05-01 00:00:00")) &&
+      dayofmonth(col("index")) === 3
+    val disc = c.deleteDiscoveryFrame("item", pred)
+    val scan = disc.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.nonEmpty, "expected a partition filter on the discovery scan")
+    assert(scan.selectedPartitions.partitionCount == 2, // may + june only
+      s"expected 2 pruned partitions, got ${scan.selectedPartitions.partitionCount}")
+    // the delete itself: only may/june rewritten, earlier months untouched
+    val before = monthDirs(c, "item")
+    assert(c.deleteWhere("item", pred) == 2L) // may 3 + june 3
+    val after = monthDirs(c, "item")
+    for (m <- Seq("2024-01", "2024-02", "2024-03", "2024-04"))
+      assert(after(Collection.MonthCol + s"=$m") == before(Collection.MonthCol + s"=$m"),
+        s"month $m must not be rewritten")
+    assert(c.item("item").data.count() == 178)
+    // a predicate the analyzer cannot bound still deletes correctly
+    assert(c.deleteWhere("item", dayofmonth(col("index")) === 4) == 6L)
+    assert(c.item("item").data.count() == 172)
+    cleanup(c)
+  }
+
   test("convertLayout migrates flat→monthly→flat in place, preserving content and metadata") {
     import org.apache.spark.sql.functions._
     val c = tempCollection("convert_layout")

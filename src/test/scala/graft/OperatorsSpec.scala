@@ -138,6 +138,29 @@ class OperatorsSpec extends SparkSpec {
     assert(m.nonEmpty)
   }
 
+  test("simhash128 radius 15 covers the documented fraction of true jaccard pairs") {
+    // The dedup_simhash CONTRACT (PLANS.md): a fixed 15-bit search
+    // radius over the 128-bit signature recovers all but a residual
+    // tail of the exact-Jaccard(>= 0.5) pair set — minhash is the
+    // recall-guaranteed operator, simhash trades that tail for the
+    // banded-bucket cost profile. This pins the measured coverage so
+    // the documented trade can't silently rot: at the sf0.1 probe it
+    // was 309/311; here the same fixture shape at test scale.
+    val docs = sf("documents").select($"doc_id", $"text")
+    val w = split($"text", " ")
+    val aug = docs.unionByName(docs.filter($"doc_id" < 50)
+      .withColumn("doc_id", $"doc_id" + 100000L)
+      .withColumn("text", concat_ws(" ", slice(w, lit(1), size(w) - 1))))
+    val truePairs = Dedup.ngramJaccardPairs(aug, threshold = 0.5, k = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val simPairs = Dedup.simhashPairs128(aug, radius = 15)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val covered = truePairs.intersect(simPairs).size
+    assert(truePairs.size >= 50, s"fixture too small: ${truePairs.size} true pairs")
+    assert(covered.toDouble / truePairs.size >= 0.93,
+      s"radius-15 coverage regressed: $covered/${truePairs.size}")
+  }
+
   test("simhash128 distance separates near-dups from unrelated docs") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away"
     val df = Seq((base, base + " extra", "totally different unrelated content words here"))
