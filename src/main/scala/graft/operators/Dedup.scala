@@ -584,11 +584,18 @@ object Dedup {
     while (!converged && it < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      // localCheckpoint, not persist: each round's LOGICAL plan embeds
+      // the previous round's twice (the join + the convergence check),
+      // so without truncation the plan tree doubles per round — at
+      // real chain diameter (~20 rounds) the driver OOMs just
+      // STRINGIFYING the plan, long before any data problem. The
+      // eager checkpoint materializes the round (the convergence check
+      // needed that anyway) and resets lineage to O(1).
       val updated = labels.as("l")
         .join(nbrMin, col("l.id") === nbrMin("src"), "left")
         .select(col("l.id").as("id"),
           least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("label"))
-        .persist()
+        .localCheckpoint(true)
       converged = updated.as("u").join(labels.as("o"), Seq("id"))
         .filter(col("u.label") < col("o.label")).isEmpty
       labels.unpersist(blocking = false)

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, DedupIndex}
+
+/** Forces the code paths a 100 TB deployment runs but the sf0.1 bench
+  * never reaches, on a spark.range-derived synthetic corpus ~10× the
+  * sf0.001 fixture — no fixtures, no wall-time assertions: plan shape
+  * and result equality against the small-path twin only.
+  *
+  * Paths forced here:
+  *  - ngramJaccardPairs' stats auto-switch to the prefix-filter branch
+  *    (Dedup: estimatedBytes > 1 GiB) — plan-asserted without
+  *    executing the big plan, plus branch equality at 10×.
+  *  - probeMinhashIndex's localization arms (DedupIndex): bands-scan
+  *    IN-localization, candidate-id IN-pushdown, and BOTH collect-guard
+  *    join fallbacks (maxProbeIds exceeded).
+  *  - monthlySalt > 1 hot-period writes (Collection.withTimeLayout):
+  *    one hot month spread across salt files, appends preserved.
+  *  - distributed connected components at REAL diameter (chain graphs,
+  *    label must propagate hop by hop), not just small cycles.
+  */
+class ScaleForcedSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic synthetic corpus: `n` docs of `words` pseudo-words
+    * drawn id-dependently from a small vocabulary, so shingle overlap
+    * between distinct docs is negligible while near-dup copies (last
+    * word dropped) stay above any reasonable jaccard threshold. */
+  private def corpus(n: Long, words: Int = 24): DataFrame =
+    spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(words - 1)),
+        i => concat(lit("w"), pmod(hash(col("id") * 41 + i), lit(50000))))).as("text"))
+
+  private def dropLastWord(df: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    df.withColumn("text", concat_ws(" ", slice(w, lit(1), size(w) - 1)))
+  }
+
+  test("ngram jaccard auto-switches to the prefix branch on >1GiB plan stats") {
+    // 60M-row range with a string column: plan STATS cross 1 GiB without
+    // materializing anything — the branch pick is a driver-side stats
+    // probe, so the un-executed plan's shape is the assertion. The
+    // prefix branch is the only one with a row_number Window.
+    val big = corpus(60L * 1000 * 1000)
+    assert(graft.store.Partitioner.estimatedBytes(big) > (1L << 30),
+      "synthetic stats must exceed the switch threshold")
+    val autoPlan = Dedup.ngramJaccardPairs(big, threshold = 0.8)
+      .queryExecution.logical.toString
+    assert(autoPlan.contains("row_number"),
+      s"expected the prefix-filter branch (Window/row_number) for big stats:\n$autoPlan")
+    val small = corpus(1000)
+    val smallPlan = Dedup.ngramJaccardPairs(small, threshold = 0.8)
+      .queryExecution.logical.toString
+    assert(!smallPlan.contains("row_number"),
+      "expected the plain inverted-index branch for small stats")
+  }
+
+  test("prefix and plain ngram branches agree on the 10x synthetic corpus") {
+    val base = corpus(10000)
+    val aug = base.unionByName(
+      dropLastWord(base.filter($"doc_id" < 200)
+        .withColumn("doc_id", $"doc_id" + 1000000L)))
+    def pairs(prefix: Boolean) =
+      Dedup.ngramJaccardPairs(aug, threshold = 0.8, usePrefixFilter = Some(prefix))
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val plain = pairs(prefix = false)
+    val pref = pairs(prefix = true)
+    assert(plain == pref, s"plain-only=${plain -- pref} prefix-only=${pref -- plain}")
+    // every planted copy pair is found (copy docs share 21/22 shingles)
+    assert(plain.size >= 200, s"expected >=200 true pairs, got ${plain.size}")
+  }
+
+  test("minhash probe localization arms and collect-guard fallbacks agree") {
+    val c = tempCollection("scale_probe")
+    val base = corpus(10000)
+    val idx = DedupIndex.buildAndSaveMinhashIndex(base, c, "mh")
+    val batch = dropLastWord(base.filter($"doc_id" < 300)
+        .withColumn("doc_id", $"doc_id" + 1000000L))
+      .unionByName(corpus(200).withColumn("doc_id", $"doc_id" + 2000000L)
+        .withColumn("text", concat_ws(" ", lit("zz"), col("text"))))
+    def probe(maxProbeIds: Int, localizeBytes: Long) =
+      DedupIndex.probeMinhashIndex(idx, batch, threshold = 0.8,
+        maxProbeIds = maxProbeIds, localizeBytes = localizeBytes)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // reference: stats-driven defaults (small item -> direct joins)
+    val ref = probe(maxProbeIds = 10000, localizeBytes = 256L << 20)
+    // forced localization: bands IN-filter + candidate-id IN-pushdown
+    val localized = probe(maxProbeIds = 1000000, localizeBytes = 0L)
+    // forced fallbacks: localization wanted but the collect guards trip
+    // (band-key count and candidate count both exceed maxProbeIds = 0),
+    // so BOTH arms must take the join path and still agree
+    val fallback = probe(maxProbeIds = 0, localizeBytes = 0L)
+    assert(ref == localized, s"localized diverged: ${(ref -- localized) ++ (localized -- ref)}")
+    assert(ref == fallback, s"fallback diverged: ${(ref -- fallback) ++ (fallback -- ref)}")
+    assert(ref.size >= 300, s"expected >=300 batch-corpus pairs, got ${ref.size}")
+    cleanup(c)
+  }
+
+  test("hot-month salted write spreads one 10x period over salt files; appends keep it") {
+    val c = tempCollection("scale_salt")
+    // one HOT month: 10k rows in january, a cold february tail
+    val hot = spark.range(10000).select(
+      (lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).cast("long") +
+        col("id") * 240).cast("timestamp").as("index"),
+      (col("id") % 97).cast("double").as("value"))
+    c.write("item", hot, monthlyLayout = true, monthlySalt = 8)
+    val dataDir = java.nio.file.Paths.get(
+      c.path.resolve("item").resolve(graft.store.Item.DataDir).raw)
+    val janFiles = java.nio.file.Files.list(dataDir.resolve("__month=2024-01"))
+      .iterator()
+    val nJan = Iterator.continually(janFiles).takeWhile(_.hasNext)
+      .map(_.next()).count(_.getFileName.toString.endsWith(".parquet"))
+    // exact spread depends on how the 8 salt keys hash into the shuffle
+    // partitions (and AQE coalescing at test scale); the invariant is
+    // the hot month SPREADS over several files, capped by the salt
+    assert(nJan > 1 && nJan <= 8, s"expected 2..8 salted files in the hot month, got $nJan")
+    assert(c.item("item").data.count() == 10000)
+    // a partial append to the hot month keeps the salt and the data
+    val add = spark.range(100).select(
+      (lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00")).cast("long") +
+        col("id") * 7 + 1).cast("timestamp").as("index"),
+      lit(123.0).as("value"))
+    c.append("item", add)
+    assert(c.item("item").data.filter($"value" === 123.0).count() == 100)
+    assert(c.item("item").data.count() == 10100)
+    cleanup(c)
+  }
+
+  test("distributed connected components converge at real chain diameter") {
+    // 50 chains of length 20: the min label must PROPAGATE 19 hops —
+    // cycles of size 4 (the round-5 test) never exercise convergence
+    // depth. maxLocalEdges = 0 skips the driver probe entirely.
+    val chains = spark.range(50L * 19).select(
+      (col("id") / 19).cast("long").as("chain"),
+      (col("id") % 19).cast("long").as("pos"))
+      .select(($"chain" * 100 + $"pos").as("id_a"),
+        ($"chain" * 100 + $"pos" + 1).as("id_b"))
+    val cc = Dedup.connectedComponents(chains, maxIter = 25, maxLocalEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.size == 50 * 20)
+    for (chain <- 0L until 50L; pos <- 0L to 19L)
+      assert(cc(chain * 100 + pos) == chain * 100,
+        s"node ${chain * 100 + pos} labeled ${cc(chain * 100 + pos)}")
+    // twin check: the driver union-find path agrees exactly
+    val local = Dedup.connectedComponents(chains, maxLocalEdges = 1000000)
+      .as[(Long, Long)].collect().toMap
+    assert(local == cc)
+  }
+}
