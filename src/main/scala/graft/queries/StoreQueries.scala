@@ -548,6 +548,123 @@ object StoreQueries {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  /** T2+U2 batch transaction: three year-slice appends to one item
+    * coalesce into a single union append (one commit, one dedup pass),
+    * alongside an untouched second item — the final states must equal
+    * the recomposed source table, or the coalescing dropped/duplicated
+    * a chunk. */
+  def batchTransaction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def y(a: Int, b: Int) = $"o_orderdate" >= lit(java.sql.Timestamp.valueOf(s"$a-01-01 00:00:00")) &&
+      $"o_orderdate" < lit(java.sql.Timestamp.valueOf(s"$b-01-01 00:00:00"))
+    val col = freshCollection(s, "batch_txn")
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderdate")
+    col.write("o", o.filter($"o_orderdate" < lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))),
+      indexCols = Seq("o_orderdate"))
+    col.write("untouched", o.filter($"o_orderkey" % 100 === 0), indexCols = Seq("o_orderkey"))
+    val txn = new graft.transactions.BatchTransaction(col)
+    txn.append("o", o.filter(y(1995, 1996)))
+    txn.append("o", o.filter(y(1996, 1997)))
+    txn.append("o", o.filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))))
+    txn.commit()
+    col.item("o").data.withColumn("item", lit("o"))
+      .unionByName(col.item("untouched").data.withColumn("item", lit("untouched")))
+      .orderBy($"item", $"o_orderkey")
+  }
+
+  val batchTransactionSql: String =
+    """SELECT o_orderkey, o_totalprice, o_orderdate, 'o' AS item FROM orders
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice, o_orderdate, 'untouched' AS item
+      |FROM orders WHERE o_orderkey % 100 = 0
+      |ORDER BY item, o_orderkey""".stripMargin
+
+  /** T3 advisory collection lock lifecycle: acquire → a contender with
+    * a short timeout fails typed → owner visible → release → re-acquire
+    * by the contender succeeds. Proof rows are the observed step
+    * outcomes (oracle = the literal expected protocol transcript). */
+  def collectionLock(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.transactions.CollectionLock
+    val col = freshCollection(s, "collection_lock")
+    col.write("r", Tables.t(s, dir, "region"), indexCols = Seq("r_regionkey"))
+    val steps = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    CollectionLock.acquire(col, "owner_a", timeoutMs = 2000)
+    steps += (("acquire_a", "ok"))
+    steps += (("owner", CollectionLock.currentOwner(col).getOrElse("none")))
+    try { CollectionLock.acquire(col, "owner_b", timeoutMs = 300, pollMs = 50); steps += (("acquire_b", "ok")) }
+    catch { case _: LockTimeoutError => steps += (("acquire_b", "timeout")) }
+    CollectionLock.release(col)
+    steps += (("release_a", "ok"))
+    CollectionLock.acquire(col, "owner_b", timeoutMs = 2000)
+    steps += (("acquire_b_retry", CollectionLock.currentOwner(col).getOrElse("none")))
+    CollectionLock.release(col)
+    steps.toSeq.toDF("step", "outcome").orderBy($"step")
+  }
+
+  val collectionLockSql: String =
+    """SELECT step, outcome FROM (VALUES
+      |  ('acquire_a', 'ok'),
+      |  ('owner', 'owner_a'),
+      |  ('acquire_b', 'timeout'),
+      |  ('release_a', 'ok'),
+      |  ('acquire_b_retry', 'owner_b')) AS t(step, outcome)
+      |ORDER BY step""".stripMargin
+
+  /** M3 chunked append loop: an iterator of three customer slices —
+    * the first chunk CREATES the item, the rest append through the
+    * normal dedup pipeline; an empty chunk is skipped. Final state ≡
+    * the whole table. */
+  def appendStreamChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "append_stream")
+    val cust = Tables.t(s, dir, "customer")
+    val chunks = Iterator(
+      cust.filter($"c_custkey" % 3 === 0),
+      cust.filter($"c_custkey" % 3 === 1),
+      cust.filter(lit(false)), // empty chunk: skipped, not an error
+      cust.filter($"c_custkey" % 3 === 2))
+    val n = col.appendStream("cust", chunks, indexCols = Seq("c_custkey"))
+    require(n == cust.count(), s"appendStream row total $n")
+    col.item("cust").data.orderBy($"c_custkey")
+  }
+
+  val appendStreamChunksSql: String =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** P4+S5 head/tail/last over a UNIQUE index (deterministic order):
+    * head(7), tail(7), and the index-only last aggregate, tagged. The
+    * oracle rebuilds all three from window ranks. */
+  def headTailLast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "head_tail")
+    col.write("o", Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderdate"),
+      indexCols = Seq("o_orderkey"))
+    val it = col.item("o")
+    val last = it.lastIndex.get.asInstanceOf[Long]
+    it.head(7).withColumn("part", lit("head"))
+      .unionByName(it.tail(7).withColumn("part", lit("tail")))
+      .unionByName(it.data.filter($"o_orderkey" === last).withColumn("part", lit("last")))
+      .orderBy($"part", $"o_orderkey")
+  }
+
+  val headTailLastSql: String =
+    """WITH ranked AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderdate,
+      |    row_number() OVER (ORDER BY o_orderkey) AS rn,
+      |    row_number() OVER (ORDER BY o_orderkey DESC) AS rrn
+      |  FROM orders)
+      |SELECT o_orderkey, o_totalprice, o_orderdate, 'head' AS part
+      |FROM ranked WHERE rn <= 7
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice, o_orderdate, 'tail' FROM ranked WHERE rrn <= 7
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice, o_orderdate, 'last' FROM ranked WHERE rrn = 1
+      |ORDER BY part, o_orderkey""".stripMargin
+
   /** P3 metadata-equality item search over sidecars (driver-side; the
     * result is the matching items' names — oracle = the literal set). */
   def metadataSearch(s: SparkSession, dir: String): DataFrame = {
@@ -585,7 +702,11 @@ object StoreQueries {
     "store_memory_optimize" -> memoryOptimize _,
     "store_chunked_read" -> chunkedRead _,
     "store_async_roundtrip" -> asyncRoundtrip _,
-    "store_convert_layout" -> convertLayout _)
+    "store_convert_layout" -> convertLayout _,
+    "store_batch_transaction" -> batchTransaction _,
+    "store_collection_lock" -> collectionLock _,
+    "store_append_stream" -> appendStreamChunks _,
+    "store_head_tail_last" -> headTailLast _)
 
   val oracles: Map[String, String] = Map(
     "store_write_read" -> writeReadSql,
@@ -606,5 +727,9 @@ object StoreQueries {
     "store_memory_optimize" -> memoryOptimizeSql,
     "store_chunked_read" -> chunkedReadSql,
     "store_async_roundtrip" -> asyncRoundtripSql,
-    "store_convert_layout" -> convertLayoutSql)
+    "store_convert_layout" -> convertLayoutSql,
+    "store_batch_transaction" -> batchTransactionSql,
+    "store_collection_lock" -> collectionLockSql,
+    "store_append_stream" -> appendStreamChunksSql,
+    "store_head_tail_last" -> headTailLastSql)
 }
