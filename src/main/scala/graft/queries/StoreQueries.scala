@@ -95,7 +95,7 @@ object StoreQueries {
   /** M2 keep_all + the D1 nuance: re-appending IDENTICAL rows collapses
     * (full-row dedup) while modified rows survive alongside the
     * originals (reference regression tests/test_append.py:218-234). The
-    * batch re-delivers 1994 rows verbatim (collapse) and 1995 rows
+    * batch re-delivers 1995 rows verbatim (collapse) and 1996 rows
     * modified (+100, both copies kept). */
   def appendKeepAll(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -103,10 +103,13 @@ object StoreQueries {
     val li = Tables.t(s, dir, "lineitem")
       .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_shipdate")
     col.write("li", li, indexCols = Seq("l_shipdate"))
-    val y94 = li.filter(year($"l_shipdate") === 1994)
+    // verbatim re-delivery of 1995 rows (collapse), modified 1996 rows
+    // (both copies kept) — shipdates span 1995-2001, so both arms are
+    // populated for real
     val y95 = li.filter(year($"l_shipdate") === 1995)
+    val y96 = li.filter(year($"l_shipdate") === 1996)
       .withColumn("l_quantity", $"l_quantity" + 100.0)
-    col.append("li", y94.unionByName(y95), DuplicateHandling.KeepAll)
+    col.append("li", y95.unionByName(y96), DuplicateHandling.KeepAll)
     col.item("li").data.orderBy($"l_orderkey", $"l_linenumber", $"l_quantity")
   }
 
@@ -114,7 +117,7 @@ object StoreQueries {
     """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
       |UNION ALL
       |SELECT l_orderkey, l_linenumber, l_quantity + 100.0, l_shipdate
-      |FROM lineitem WHERE year(l_shipdate) = 1995
+      |FROM lineitem WHERE year(l_shipdate) = 1996
       |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin
 
   /** Monthly directory layout + PARTIAL append: the item is stored as
@@ -206,15 +209,16 @@ object StoreQueries {
     col.write("li", li, indexCols = Seq("l_shipdate"), monthlyLayout = true)
     // GDPR-style purge of specific keys: touches many months partially
     col.deleteWhere("li", $"l_orderkey" % 10 === 3)
-    // bad-shard removal: wipes every 1994 month dir outright
-    col.deleteWhere("li", year($"l_shipdate") === 1994)
+    // bad-shard removal: wipes every 1996 month dir outright (the
+    // testdata shipdates span 1995-2001; a 1994 wipe would no-op)
+    col.deleteWhere("li", year($"l_shipdate") === 1996)
     col.item("li").data.orderBy($"l_orderkey", $"l_linenumber")
   }
 
   val deleteWhereSql: String =
     """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
       |FROM lineitem
-      |WHERE NOT (l_orderkey % 10 = 3) AND NOT (year(l_shipdate) = 1994)
+      |WHERE NOT (l_orderkey % 10 = 3) AND NOT (year(l_shipdate) = 1996)
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   /** Retention expiry (TTL sweep) through the monthly layout: every
@@ -283,7 +287,10 @@ object StoreQueries {
     import s.implicits._
     val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
     val hi = java.sql.Timestamp.valueOf("1996-04-01 00:00:00")
-    val cutoff = java.sql.Timestamp.valueOf("1994-07-15 00:00:00")
+    // mid-month cutoff INSIDE the data range (shipdates span 1995-2001
+    // in the testdata), so the expiry names-drops six whole months and
+    // row-filters the boundary month for real
+    val cutoff = java.sql.Timestamp.valueOf("1995-07-15 00:00:00")
     val col = freshCollection(s, "convert_layout")
     val li = Tables.t(s, dir, "lineitem")
       .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_shipdate")
@@ -304,31 +311,33 @@ object StoreQueries {
       |       THEN l_quantity + 100.0 ELSE l_quantity END AS l_quantity,
       |  l_shipdate
       |FROM lineitem
-      |WHERE l_shipdate >= TIMESTAMP '1994-07-15 00:00:00'
+      |WHERE l_shipdate >= TIMESTAMP '1995-07-15 00:00:00'
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   /** T1 transaction semantics, both directions in one scenario: a
     * committed transaction's ops all land; a failed transaction's
-    * already-executed ops all roll back. txn1 appends 1995 rows and
-    * commits; txn2 appends 1996+ rows and then hits a failing op (write
+    * already-executed ops all roll back. txn1 appends 1996 rows and
+    * commits; txn2 appends 1997+ rows and then hits a failing op (write
     * to an existing item without overwrite), so its append must be
-    * undone. Final state ≡ "orders before 1996" — wrong if txn1 did
+    * undone. Final state ≡ "orders before 1997" — wrong if txn1 did
     * nothing OR txn2's rollback left its append behind. */
   def transactionRollback(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val t95 = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    // orders span 1995-2001: the initial write and both txn batches
+    // must all be non-empty for the scenario to mean anything
     val t96 = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val t97 = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
     val col = freshCollection(s, "txn_rollback")
     val o = Tables.t(s, dir, "orders")
       .select($"o_orderkey", $"o_totalprice", $"o_orderdate")
-    col.write("o", o.filter($"o_orderdate" < lit(t95)), indexCols = Seq("o_orderdate"))
+    col.write("o", o.filter($"o_orderdate" < lit(t96)), indexCols = Seq("o_orderdate"))
     graft.transactions.Transaction.withTransaction(col) { txn =>
-      txn.append("o", o.filter($"o_orderdate" >= lit(t95) && $"o_orderdate" < lit(t96)),
+      txn.append("o", o.filter($"o_orderdate" >= lit(t96) && $"o_orderdate" < lit(t97)),
         DuplicateHandling.KeepAll)
     }
     try {
       val bad = new graft.transactions.Transaction(col)
-      bad.append("o", o.filter($"o_orderdate" >= lit(t96)), DuplicateHandling.KeepAll)
+      bad.append("o", o.filter($"o_orderdate" >= lit(t97)), DuplicateHandling.KeepAll)
       bad.write("o", o.limit(1)) // overwrite=false on an existing item: fails
       bad.commit()
     } catch { case _: TransactionError => () }
@@ -338,7 +347,7 @@ object StoreQueries {
   val transactionRollbackSql: String =
     """SELECT o_orderkey, o_totalprice, o_orderdate
       |FROM orders
-      |WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      |WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       |ORDER BY o_orderkey""".stripMargin
 
   /** R9/A7 write-path validation: the financial OHLCV validator accepts
@@ -560,13 +569,13 @@ object StoreQueries {
     val col = freshCollection(s, "batch_txn")
     val o = Tables.t(s, dir, "orders")
       .select($"o_orderkey", $"o_totalprice", $"o_orderdate")
-    col.write("o", o.filter($"o_orderdate" < lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))),
+    col.write("o", o.filter($"o_orderdate" < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))),
       indexCols = Seq("o_orderdate"))
     col.write("untouched", o.filter($"o_orderkey" % 100 === 0), indexCols = Seq("o_orderkey"))
     val txn = new graft.transactions.BatchTransaction(col)
-    txn.append("o", o.filter(y(1995, 1996)))
     txn.append("o", o.filter(y(1996, 1997)))
-    txn.append("o", o.filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))))
+    txn.append("o", o.filter(y(1997, 1998)))
+    txn.append("o", o.filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))))
     txn.commit()
     col.item("o").data.withColumn("item", lit("o"))
       .unionByName(col.item("untouched").data.withColumn("item", lit("untouched")))
@@ -665,6 +674,76 @@ object StoreQueries {
       |SELECT o_orderkey, o_totalprice, o_orderdate, 'last' FROM ranked WHERE rrn = 1
       |ORDER BY part, o_orderkey""".stripMargin
 
+  /** E5 registered migrations: a v1 item steps through two registered
+    * transforms (v1→v2 derives a column, v2→v3 reshapes it) and the
+    * migrated state persists through the store — the oracle composes
+    * both steps in SQL, so a wrong step order or a skipped step breaks
+    * the hash. */
+  def migrationSteps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "migration")
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderdate")
+      .filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+    col.write("o", o, indexCols = Seq("o_orderkey"))
+    val reg = new graft.evolution.SchemaEvolution.MigrationRegistry
+    reg.register(1, 2)(_.withColumn("price_k", round($"o_totalprice" / 1000.0, 3)))
+    reg.register(2, 3)(_.withColumn("bucket",
+      when($"price_k" >= 200.0, "high").otherwise("low")).drop("o_totalprice"))
+    val migrated = reg.migrate(col.item("o").data, 1, 3)
+    col.write("o", migrated, indexCols = Seq("o_orderkey"), overwrite = true)
+    col.item("o").data.orderBy($"o_orderkey")
+  }
+
+  val migrationStepsSql: String =
+    """SELECT o_orderkey, o_orderdate,
+      |  round(o_totalprice / 1000.0, 3) AS price_k,
+      |  CASE WHEN round(o_totalprice / 1000.0, 3) >= 200.0
+      |       THEN 'high' ELSE 'low' END AS bucket
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** A1+A2 no-compute introspection: describeItems reads ONLY sidecar
+    * stats and directory listings (row estimate, index min/max epoch
+    * millis, layout, period count — no data scan). The oracle
+    * recomputes every surfaced stat from the raw table, so a green
+    * hash proves the sidecar numbers are the true aggregates. */
+  def describeItemsStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "describe_items")
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderdate")
+    col.write("flat_o", o, indexCols = Seq("o_orderdate"))
+    col.write("monthly_o", o.filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))),
+      indexCols = Seq("o_orderdate"), monthlyLayout = true)
+    col.describeItems()
+      .select($"item", $"layout", $"index_cols",
+        $"n_periods".cast("long").as("n_periods"),
+        $"rows_estimate".cast("long").as("rows_estimate"),
+        $"index_min_ms".cast("long").as("index_min_ms"),
+        $"index_max_ms".cast("long").as("index_max_ms"))
+      .orderBy($"item")
+  }
+
+  val describeItemsStatsSql: String =
+    """SELECT 'flat_o' AS item, 'flat' AS layout, 'o_orderdate' AS index_cols,
+      |  CAST(0 AS BIGINT) AS n_periods,
+      |  (SELECT count(*) FROM orders) AS rows_estimate,
+      |  (SELECT epoch_ms(min(o_orderdate)) FROM orders) AS index_min_ms,
+      |  (SELECT epoch_ms(max(o_orderdate)) FROM orders) AS index_max_ms
+      |UNION ALL
+      |SELECT 'monthly_o', 'monthly', 'o_orderdate',
+      |  (SELECT count(DISTINCT strftime(o_orderdate, '%Y-%m')) FROM orders
+      |   WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'),
+      |  (SELECT count(*) FROM orders
+      |   WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'),
+      |  (SELECT epoch_ms(min(o_orderdate)) FROM orders
+      |   WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'),
+      |  (SELECT epoch_ms(max(o_orderdate)) FROM orders
+      |   WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+      |ORDER BY item""".stripMargin
+
   /** P3 metadata-equality item search over sidecars (driver-side; the
     * result is the matching items' names — oracle = the literal set). */
   def metadataSearch(s: SparkSession, dir: String): DataFrame = {
@@ -706,7 +785,9 @@ object StoreQueries {
     "store_batch_transaction" -> batchTransaction _,
     "store_collection_lock" -> collectionLock _,
     "store_append_stream" -> appendStreamChunks _,
-    "store_head_tail_last" -> headTailLast _)
+    "store_head_tail_last" -> headTailLast _,
+    "store_migration" -> migrationSteps _,
+    "store_describe_items" -> describeItemsStats _)
 
   val oracles: Map[String, String] = Map(
     "store_write_read" -> writeReadSql,
@@ -731,5 +812,7 @@ object StoreQueries {
     "store_batch_transaction" -> batchTransactionSql,
     "store_collection_lock" -> collectionLockSql,
     "store_append_stream" -> appendStreamChunksSql,
-    "store_head_tail_last" -> headTailLastSql)
+    "store_head_tail_last" -> headTailLastSql,
+    "store_migration" -> migrationStepsSql,
+    "store_describe_items" -> describeItemsStatsSql)
 }
