@@ -91,11 +91,19 @@ object Collection {
     * Disjunctions, negations, non-index references, and computed index
     * expressions contribute no constraint — the result only ever
     * over-approximates, never drops a touchable period. */
+  /** `periodStats`: per-period numeric min/max of DECLARED stats
+    * columns (`_period_stats` sidecar, maintained by the partial-commit
+    * paths) — a period also prunes when a conjunctive range constraint
+    * on a covered NON-index column cannot overlap its recorded
+    * interval. A period with no recorded stats for a bounded column is
+    * kept (conservative). */
   private[graft] def candidatePeriods(periods: Seq[String],
                                       predicate: org.apache.spark.sql.catalyst.expressions.Expression,
                                       indexCol: String,
                                       layout: String,
-                                      sessionTz: java.time.ZoneId): Seq[String] = {
+                                      sessionTz: java.time.ZoneId,
+                                      periodStats: Map[String, Map[String, (Double, Double)]] = Map.empty)
+      : Seq[String] = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
     import org.apache.spark.sql.catalyst.util.DateTimeUtils
@@ -117,8 +125,23 @@ object Collection {
         external.flatMap(periodOfValue(layout, _, sessionTz))
       case _ => None
     }
+    def numOf(e: Expression): Option[Double] = e match {
+      case Literal(v, _) if v != null => v match {
+        case n: Number => Some(n.doubleValue())
+        case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+        case _ => None
+      }
+      case _ => None
+    }
     var lows = List.empty[String]
     var highs = List.empty[String]
+    // per non-index column: collected numeric lower/upper bounds
+    val numLows = scala.collection.mutable.Map.empty[String, Double]
+    val numHighs = scala.collection.mutable.Map.empty[String, Double]
+    def statsCol(e: Expression): Option[String] =
+      nameOf(e).filter(n => !n.equalsIgnoreCase(indexCol))
+    def low(c: String, v: Double): Unit = numLows(c) = numLows.get(c).fold(v)(math.max(_, v))
+    def high(c: String, v: Double): Unit = numHighs(c) = numHighs.get(c).fold(v)(math.min(_, v))
     def walk(e: Expression): Unit = e match {
       case And(l, r) => walk(l); walk(r)
       case GreaterThan(a, v) if isIdx(a)         => keyOf(v).foreach(lows ::= _)
@@ -131,12 +154,39 @@ object Collection {
       case LessThan(v, a) if isIdx(a)            => keyOf(v).foreach(lows ::= _)
       case LessThanOrEqual(v, a) if isIdx(a)     => keyOf(v).foreach(lows ::= _)
       case EqualTo(v, a) if isIdx(a)             => keyOf(v).foreach(k => { lows ::= k; highs ::= k })
+      case GreaterThan(a, v) if statsCol(a).isDefined =>
+        numOf(v).foreach(low(statsCol(a).get, _))
+      case GreaterThanOrEqual(a, v) if statsCol(a).isDefined =>
+        numOf(v).foreach(low(statsCol(a).get, _))
+      case LessThan(a, v) if statsCol(a).isDefined =>
+        numOf(v).foreach(high(statsCol(a).get, _))
+      case LessThanOrEqual(a, v) if statsCol(a).isDefined =>
+        numOf(v).foreach(high(statsCol(a).get, _))
+      case EqualTo(a, v) if statsCol(a).isDefined =>
+        numOf(v).foreach { x => low(statsCol(a).get, x); high(statsCol(a).get, x) }
+      case GreaterThan(v, a) if statsCol(a).isDefined =>
+        numOf(v).foreach(high(statsCol(a).get, _))
+      case GreaterThanOrEqual(v, a) if statsCol(a).isDefined =>
+        numOf(v).foreach(high(statsCol(a).get, _))
+      case LessThan(v, a) if statsCol(a).isDefined =>
+        numOf(v).foreach(low(statsCol(a).get, _))
+      case LessThanOrEqual(v, a) if statsCol(a).isDefined =>
+        numOf(v).foreach(low(statsCol(a).get, _))
+      case EqualTo(v, a) if statsCol(a).isDefined =>
+        numOf(v).foreach { x => low(statsCol(a).get, x); high(statsCol(a).get, x) }
       case _ => () // unknown shape: no constraint from this subtree
     }
     walk(predicate)
     val lo = lows.maxOption
     val hi = highs.minOption
-    periods.filter(p => lo.forall(p >= _) && hi.forall(p <= _)).sorted
+    def statsPrune(p: String): Boolean = {
+      val recorded = periodStats.getOrElse(p, Map.empty)
+      (numLows.forall { case (c, bound) =>
+        recorded.get(c).forall { case (_, mx) => mx >= bound } }) &&
+      (numHighs.forall { case (c, bound) =>
+        recorded.get(c).forall { case (mn, _) => mn <= bound } })
+    }
+    periods.filter(p => lo.forall(p >= _) && hi.forall(p <= _) && statsPrune(p)).sorted
   }
 
   /** Metadata TTL cache — 300 s, same policy the reference credits for
@@ -248,7 +298,8 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
             dtypeHints: Map[String, String] = Map.empty,
             monthlyLayout: Boolean = false,
             monthlySalt: Int = 1,
-            timeLayout: Option[String] = None): Unit = {
+            timeLayout: Option[String] = None,
+            statsColumns: Seq[String] = Nil): Unit = {
     val layoutName = timeLayout.getOrElse(if (monthlyLayout) "monthly" else "flat")
     val isTime = layoutName != "flat"
     if (isTime && !TimeLayouts.contains(layoutName))
@@ -260,6 +311,13 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
 
     validator.foreach(_.validate(df))
     structuralChecks(df)
+    statsColumns.foreach { c =>
+      if (!df.columns.contains(c))
+        throw new ValidationError(s"stats column '$c' not in DataFrame")
+      if (!df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+        throw new ValidationError(
+          s"stats column '$c' must be numeric (time pruning comes from the index for free)")
+    }
 
     // Reference parity: an unnamed pandas index is materialized as a
     // column named "index" (collection.py:266-268). When the caller
@@ -322,10 +380,61 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       "_epochdate" -> epochdate,
       "schema_json" -> indexed.schema.json) ++ statsMeta(stats) ++
       (if (allMarkers.isEmpty) Map.empty
-       else Map("_type_info" -> Codecs.markersToMeta(allMarkers)))
+       else Map("_type_info" -> Codecs.markersToMeta(allMarkers))) ++
+      (if (statsColumns.isEmpty) Map.empty
+       else Meta.obj("_stats_cols" -> statsColumns))
     commit(item, laidOut, Meta.obj(metadata.toSeq: _*) ++ extra,
       partitioned = isTime)
+    if (isTime && statsColumns.nonEmpty) refreshPeriodStats(item, None)
     } finally releaseIndex()
+  }
+
+  /** Maintain the `_period_stats` sidecar map (period → stats column →
+    * [min, max]) for items with declared `_stats_cols`: a narrow
+    * post-commit read-back of ONLY the touched periods' stats columns
+    * (row-group footer-driven min/max — no full scan), merged over the
+    * previous map. `months = None` rebuilds all periods; with a list,
+    * the listed periods' entries are replaced (a period the read-back
+    * no longer finds was emptied — its entry drops). Cost scales with
+    * the touched periods, like the partial commits it follows. */
+  private def refreshPeriodStats(item: String, months: Option[Seq[String]]): Unit = {
+    val itemPath = path.resolve(item)
+    val meta = Meta.read(itemPath)
+    val cols = meta.get("_stats_cols") match {
+      case Some(org.json4s.JArray(xs)) => xs.collect { case org.json4s.JString(s) => s }
+      case _ => Nil
+    }
+    if (cols.isEmpty) return
+    val dataDir = itemPath.resolve(Item.DataDir)
+    val raw0 = spark.read.parquet(dataDir.toString)
+    val present = cols.filter(raw0.columns.contains)
+    if (present.isEmpty) return
+    val raw = months match {
+      case Some(ms) if ms.nonEmpty =>
+        raw0.filter(col(MonthCol).cast("string").isin(ms: _*))
+      case _ => raw0
+    }
+    val aggs = present.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__mn_$c"), max(col(c).cast("double")).as(s"__mx_$c")))
+    val rows = raw.groupBy(col(MonthCol).cast("string").as("__p"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val fresh: Map[String, Any] = rows.map { r =>
+      r.getString(0) -> present.flatMap { c =>
+        val mn = r.getAs[Any](s"__mn_$c"); val mx = r.getAs[Any](s"__mx_$c")
+        if (mn == null || mx == null) None
+        else Some(c -> Seq(mn.asInstanceOf[Double], mx.asInstanceOf[Double]))
+      }.toMap
+    }.toMap
+    val old: Map[String, Any] = meta.get("_period_stats") match {
+      case Some(org.json4s.JObject(fs)) => fs.map { case (k, v) => k -> Meta.unjv(v) }.toMap
+      case _ => Map.empty
+    }
+    val merged = months match {
+      case Some(ms) => (old -- ms) ++ fresh // replaced or emptied periods
+      case None     => fresh                // full rebuild
+    }
+    Meta.write(itemPath, meta + ("_period_stats" -> Meta.jv(merged)))
+    metaCache.remove(item)
   }
 
   /** Materialize the default index when absent (pandas RangeIndex):
@@ -698,6 +807,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     commitMonths(item,
       withTimeLayout(combined.dropDuplicates(), idx, monthlySaltOf(item), layout),
       months, prevMeta)
+    refreshPeriodStats(item, Some(months))
   }
 
   /** Chunked append loop (reference append_stream, collection.py:677-751
@@ -883,10 +993,11 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
           else raw.drop(MonthCol).filter(lit(false))
         // one commit covers the boundary rewrite AND the name-dropped
         // periods (listed months absent from tmp are removals)
+        val expired = (toRemove ++ (if (hasBoundary) Seq(pStar) else Nil)).sorted
         commitMonths(item,
           withTimeLayout(keep, idx, monthlySaltOf(item), layout),
-          (toRemove ++ (if (hasBoundary) Seq(pStar) else Nil)).sorted,
-          prevMeta)
+          expired, prevMeta)
+        refreshPeriodStats(item, Some(expired))
         Collection.ExpireResult(toRemove, boundaryDeleted)
       case None =>
         Collection.ExpireResult(Nil,
@@ -933,6 +1044,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         commitMonths(item,
           withTimeLayout(touched.filter(!predicate), idx, monthlySaltOf(item), layout),
           months, prevMeta)
+        refreshPeriodStats(item, Some(months))
         deleted
       case None =>
         val raw = spark.read.parquet(dataDir.toString)
@@ -967,9 +1079,22 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     val cond = raw.filter(predicate).queryExecution.analyzed.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }
+    val pStats: Map[String, Map[String, (Double, Double)]] =
+      Meta.read(path.resolve(item)).get("_period_stats") match {
+        case Some(org.json4s.JObject(fs)) => fs.map { case (period, v) =>
+          period -> (Meta.unjv(v) match {
+            case m: Map[_, _] => m.collect {
+              case (c: String, Seq(mn: Double, mx: Double)) => c -> (mn, mx)
+            }.toMap
+            case _ => Map.empty[String, (Double, Double)]
+          })
+        }.toMap
+        case _ => Map.empty
+      }
     val cands = cond.map(Collection.candidatePeriods(all, _,
       this.item(item).indexCols.head, layout,
-      java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone", "UTC"))))
+      java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone", "UTC")),
+      pStats))
       .getOrElse(all)
     if (cands.size == all.size) raw
     else raw.filter(col(MonthCol).cast("string").isin(cands: _*))
@@ -1033,6 +1158,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         // ignored; compaction value = one file per period × salt.
         val laidOut = withTimeLayout(df, idx, monthlySaltOf(item), layout)
         commit(item, laidOut, Meta.read(path.resolve(item)), partitioned = true)
+        refreshPeriodStats(item, None)
         dataDirFileCount(item)
       case None =>
         val stats = readStatsMeta(item).getOrElse(Partitioner.computeStats(df, idx.head))
@@ -1089,11 +1215,12 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         "_partition_strategy" -> Partitioner.TimeBased.name)
       commit(item, withTimeLayout(df, idx, monthlySalt, target), newMeta,
         partitioned = true)
+      refreshPeriodStats(item, None)
     } else {
       val stats = readStatsMeta(item).getOrElse(Partitioner.computeStats(df, idx.head))
       val (n, strategy) = Partitioner.decide(Partitioner.estimatedBytes(df), stats)
       // stale period bookkeeping must not survive a flat conversion
-      val newMeta = (prevMeta - "_layout_tz" - "_period_gens") ++ Meta.obj(
+      val newMeta = (prevMeta - "_layout_tz" - "_period_gens" - "_period_stats") ++ Meta.obj(
         "_layout" -> "flat",
         "_monthly_salt" -> 1,
         "_partitions" -> n,

@@ -311,6 +311,49 @@ class MonthlyLayoutSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("per-period stats sidecar prunes deleteWhere on non-index range predicates") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val c = tempCollection("period_stats")
+    // value grows with the month (jan≈1.x, feb≈2.x, ...), so a range
+    // predicate on value maps cleanly onto a period subset
+    val df = frame("2024-01-01", 180, 0.0)
+      .withColumn("value", month(col("index")).cast("double") + dayofmonth(col("index")) / 100.0)
+    c.write("item", df, monthlyLayout = true, statsColumns = Seq("value"))
+    // sidecar recorded per-period intervals
+    val ps = Meta.unjv(c.metadata("item")("_period_stats"))
+      .asInstanceOf[Map[String, Any]]
+    assert(ps.keySet == Set("2024-01", "2024-02", "2024-03", "2024-04", "2024-05", "2024-06"))
+    val jan = ps("2024-01").asInstanceOf[Map[String, Any]]("value").asInstanceOf[Seq[Double]]
+    assert(jan == Seq(1.01, 1.31), jan.toString)
+    // a value-range predicate prunes the discovery scan to may+june
+    val pred = col("value") >= 5.0
+    val scan = c.deleteDiscoveryFrame("item", pred).queryExecution.executedPlan
+      .collect { case f: FileSourceScanExec => f }.head
+    assert(scan.partitionFilters.nonEmpty)
+    assert(scan.selectedPartitions.partitionCount == 2,
+      s"expected 2 stats-pruned partitions, got ${scan.selectedPartitions.partitionCount}")
+    val before = monthDirs(c, "item")
+    assert(c.deleteWhere("item", pred) == 31 + 28) // all of may + june 1-28 (180 days from jan 1)
+    for (m <- Seq("2024-01", "2024-02", "2024-03", "2024-04"))
+      assert(monthDirs(c, "item")(Collection.MonthCol + s"=$m")
+        == before(Collection.MonthCol + s"=$m"), s"month $m must not be rewritten")
+    // emptied periods dropped their stats entries
+    val ps2 = Meta.unjv(c.metadata("item")("_period_stats")).asInstanceOf[Map[String, Any]]
+    assert(ps2.keySet == Set("2024-01", "2024-02", "2024-03", "2024-04"))
+    // a partial append refreshes ONLY the touched period's interval
+    c.append("item", frame("2024-02-10", 1, 99.0))
+    val ps3 = Meta.unjv(c.metadata("item")("_period_stats")).asInstanceOf[Map[String, Any]]
+    val feb = ps3("2024-02").asInstanceOf[Map[String, Any]]("value").asInstanceOf[Seq[Double]]
+    assert(feb(1) == 99.0, feb.toString)
+    assert(ps3("2024-01") == ps2("2024-01"))
+    // stats columns must exist and be numeric
+    intercept[graft.store.ValidationError](
+      c.write("bad", frame("2024-01-01", 3, 1.0), monthlyLayout = true,
+        statsColumns = Seq("nope"), overwrite = true))
+    cleanup(c)
+  }
+
   test("convertLayout migrates flat→monthly→flat in place, preserving content and metadata") {
     import org.apache.spark.sql.functions._
     val c = tempCollection("convert_layout")
