@@ -744,6 +744,31 @@ object StoreQueries {
       |   WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
       |ORDER BY item""".stripMargin
 
+  /** Stats-pruned targeted deletion: the item declares a numeric stats
+    * column, so its per-period [min,max] sidecar intervals are
+    * maintained by every partial commit; one delete is an index range
+    * (pruned by period NAME arithmetic), one a value range (pruned by
+    * the recorded intervals). The oracle composes both filters — a
+    * wrong candidate set under-deletes and breaks the hash. */
+  def deletePruned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "delete_pruned")
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderdate")
+    col.write("o", o, indexCols = Seq("o_orderdate"), monthlyLayout = true,
+      statsColumns = Seq("o_totalprice"))
+    col.deleteWhere("o", $"o_orderdate" >= lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")))
+    col.deleteWhere("o", $"o_totalprice" > 400000.0)
+    col.item("o").data.orderBy($"o_orderkey")
+  }
+
+  val deletePrunedSql: String =
+    """SELECT o_orderkey, o_totalprice, o_orderdate
+      |FROM orders
+      |WHERE NOT (o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |  AND NOT (o_totalprice > 400000.0)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** P3 metadata-equality item search over sidecars (driver-side; the
     * result is the matching items' names — oracle = the literal set). */
   def metadataSearch(s: SparkSession, dir: String): DataFrame = {
@@ -787,7 +812,8 @@ object StoreQueries {
     "store_append_stream" -> appendStreamChunks _,
     "store_head_tail_last" -> headTailLast _,
     "store_migration" -> migrationSteps _,
-    "store_describe_items" -> describeItemsStats _)
+    "store_describe_items" -> describeItemsStats _,
+    "store_delete_pruned" -> deletePruned _)
 
   val oracles: Map[String, String] = Map(
     "store_write_read" -> writeReadSql,
@@ -814,5 +840,6 @@ object StoreQueries {
     "store_append_stream" -> appendStreamChunksSql,
     "store_head_tail_last" -> headTailLastSql,
     "store_migration" -> migrationStepsSql,
-    "store_describe_items" -> describeItemsStatsSql)
+    "store_describe_items" -> describeItemsStatsSql,
+    "store_delete_pruned" -> deletePrunedSql)
 }

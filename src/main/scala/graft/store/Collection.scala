@@ -174,6 +174,22 @@ object Collection {
         numOf(v).foreach(low(statsCol(a).get, _))
       case EqualTo(v, a) if statsCol(a).isDefined =>
         numOf(v).foreach { x => low(statsCol(a).get, x); high(statsCol(a).get, x) }
+      case EqualNullSafe(a, v) if isIdx(a) =>
+        keyOf(v).foreach(k => { lows ::= k; highs ::= k })
+      case EqualNullSafe(v, a) if isIdx(a) =>
+        keyOf(v).foreach(k => { lows ::= k; highs ::= k })
+      case EqualNullSafe(a, v) if statsCol(a).isDefined =>
+        numOf(v).foreach { x => low(statsCol(a).get, x); high(statsCol(a).get, x) }
+      case EqualNullSafe(v, a) if statsCol(a).isDefined =>
+        numOf(v).foreach { x => low(statsCol(a).get, x); high(statsCol(a).get, x) }
+      // IN-lists bound both ends by their extreme members (an index
+      // IN-list is the multi-key GDPR purge shape)
+      case In(a, vs) if isIdx(a) && vs.nonEmpty =>
+        val keys = vs.flatMap(keyOf)
+        if (keys.size == vs.size) { lows ::= keys.min; highs ::= keys.max }
+      case In(a, vs) if statsCol(a).isDefined && vs.nonEmpty =>
+        val nums = vs.flatMap(numOf)
+        if (nums.size == vs.size) { low(statsCol(a).get, nums.min); high(statsCol(a).get, nums.max) }
       case _ => () // unknown shape: no constraint from this subtree
     }
     walk(predicate)

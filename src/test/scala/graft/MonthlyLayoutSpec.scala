@@ -281,6 +281,13 @@ class MonthlyLayoutSpec extends SparkSpec {
     assert(cands(col("index") === ts("2024-05-05 00:00:00"),
       layout = "quarterly", periods = Seq("2024-Q1", "2024-Q2", "2024-Q3"))
       == Seq("2024-Q2"))
+    // IN-lists bound by their extreme members (multi-key purge shape)
+    assert(cands(col("index").isin(
+      java.sql.Timestamp.valueOf("2024-02-10 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-04-02 00:00:00")))
+      == Seq("2024-02", "2024-03", "2024-04"))
+    // null-safe equality pins like equality
+    assert(cands(col("index") <=> ts("2024-03-03 00:00:00")) == Seq("2024-03"))
   }
 
   test("deleteWhere's discovery scan partition-prunes on index range predicates") {
