@@ -753,11 +753,14 @@ object StoreQueries {
   def deletePruned(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val col = freshCollection(s, "delete_pruned")
+    // a three-year slice keeps the per-period commit fan-out (and so
+    // the declared bench cost) proportional to what the proof needs
     val o = Tables.t(s, dir, "orders")
       .select($"o_orderkey", $"o_totalprice", $"o_orderdate")
+      .filter($"o_orderdate" < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
     col.write("o", o, indexCols = Seq("o_orderdate"), monthlyLayout = true,
       statsColumns = Seq("o_totalprice"))
-    col.deleteWhere("o", $"o_orderdate" >= lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")))
+    col.deleteWhere("o", $"o_orderdate" >= lit(java.sql.Timestamp.valueOf("1997-06-01 00:00:00")))
     col.deleteWhere("o", $"o_totalprice" > 400000.0)
     col.item("o").data.orderBy($"o_orderkey")
   }
@@ -765,7 +768,8 @@ object StoreQueries {
   val deletePrunedSql: String =
     """SELECT o_orderkey, o_totalprice, o_orderdate
       |FROM orders
-      |WHERE NOT (o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND NOT (o_orderdate >= TIMESTAMP '1997-06-01 00:00:00')
       |  AND NOT (o_totalprice > 400000.0)
       |ORDER BY o_orderkey""".stripMargin
 
