@@ -37,6 +37,59 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: candidatePeriods is SOUND — never drops a truly-touched period") {
+    // random conjunctions/disjunctions of index-range, index-equality,
+    // value-range, and unboundable terms over a 6-month daily frame:
+    // the months holding predicate-matching rows must ALWAYS be a
+    // subset of the driver-derived candidate set (over-approximation
+    // is allowed and expected; under-approximation silently
+    // under-deletes, the one unforgivable outcome).
+    val rng = new Random(11)
+    val utc = java.time.ZoneId.of("UTC")
+    val start = java.time.LocalDate.parse("2024-01-01")
+    val rows = (0 until 180).map { i =>
+      (java.sql.Timestamp.valueOf(start.plusDays(i).atStartOfDay()),
+        (i % 37).toDouble)
+    }
+    val df = rows.toDF("index", "value")
+    val months = rows.map(_._1.toLocalDateTime.toLocalDate)
+      .map(d => f"${d.getYear}%04d-${d.getMonthValue}%02d").distinct.sorted
+    val stats: Map[String, Map[String, (Double, Double)]] = rows
+      .groupBy { case (t, _) =>
+        val d = t.toLocalDateTime.toLocalDate
+        f"${d.getYear}%04d-${d.getMonthValue}%02d" }
+      .map { case (m, rs) =>
+        m -> Map("value" -> (rs.map(_._2).min, rs.map(_._2).max)) }
+    def randTs() = java.sql.Timestamp.valueOf(
+      start.plusDays(rng.nextInt(200) - 10).atStartOfDay())
+    def randTerm(): org.apache.spark.sql.Column = rng.nextInt(7) match {
+      case 0 => col("index") >= lit(randTs())
+      case 1 => col("index") < lit(randTs())
+      case 2 => col("index") === lit(randTs())
+      case 3 => col("value") >= lit(rng.nextInt(40).toDouble)
+      case 4 => col("value") < lit(rng.nextInt(40).toDouble)
+      case 5 => dayofmonth(col("index")) === lit(rng.nextInt(28) + 1) // unboundable
+      case 6 => col("index").isin(randTs(), randTs())
+    }
+    def randPred(depth: Int): org.apache.spark.sql.Column =
+      if (depth == 0) randTerm()
+      else if (rng.nextBoolean()) randPred(depth - 1) && randPred(depth - 1)
+      else randPred(depth - 1) || randPred(depth - 1) // must force full widening
+    for (i <- 1 to 40) {
+      val pred = randPred(rng.nextInt(3))
+      val cond = df.filter(pred).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.get
+      val cands = Collection.candidatePeriods(
+        months, cond, "index", "monthly", utc, stats).toSet
+      val touched = df.filter(pred)
+        .select(date_format(col("index"), "yyyy-MM")).distinct()
+        .as[String].collect().toSet
+      assert(touched.subsetOf(cands),
+        s"case $i UNSOUND: pred=$pred touched=$touched cands=$cands")
+    }
+  }
+
   test("property: interleave_bits is a bijection — deinterleave recovers every rank") {
     val rng = new Random(7)
     val cases = Seq.fill(40)((rng.nextInt(1 << 16).toLong, rng.nextInt(1 << 16).toLong)) ++
