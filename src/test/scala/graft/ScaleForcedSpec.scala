@@ -99,6 +99,44 @@ class ScaleForcedSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("winnow and hamming probe localization arms and fallbacks agree") {
+    val c = tempCollection("scale_probe2")
+    val base = corpus(5000, words = 40)
+    // winnow index over the corpus; batch = 150 near-copies + 100 fresh
+    val widx = DedupIndex.buildAndSaveWinnowIndex(base, c, "wn")
+    val wBatch = dropLastWord(base.filter($"doc_id" < 150)
+        .withColumn("doc_id", $"doc_id" + 1000000L))
+      .unionByName(corpus(100).withColumn("doc_id", $"doc_id" + 2000000L)
+        .withColumn("text", concat_ws(" ", lit("qq"), col("text"))))
+    def wProbe(maxFps: Int, localizeBytes: Long) =
+      DedupIndex.probeWinnowIndex(widx, wBatch, minShared = 3,
+        maxProbeFps = maxFps, localizeBytes = localizeBytes)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val wRef = wProbe(100000, 256L << 20)
+    assert(wRef == wProbe(1000000, 0L), "winnow localized diverged")
+    assert(wRef == wProbe(0, 0L), "winnow fallback diverged")
+    assert(wRef.size >= 100, s"winnow fixture too small: ${wRef.size}")
+    // hamming index over synthetic 64-bit signatures; batch = near
+    // copies (1-2 bit flips) + far signatures
+    val hashes = spark.range(4000).select($"id",
+      xxhash64($"id").as("h"))
+    val hidx = DedupIndex.buildAndSaveHammingIndex(hashes, c, "hm",
+      radius = 3, idCol = "id", hashCol = "h")
+    val hBatch = spark.range(300).select(($"id" + 1000000L).as("id"),
+        xxhash64($"id").bitwiseXOR(lit(1L)).as("h")) // 1-bit flips: match
+      .unionByName(spark.range(200).select(($"id" + 2000000L).as("id"),
+        xxhash64($"id" + 777777L).as("h"))) // unrelated
+    def hProbe(maxKeys: Int, localizeBytes: Long) =
+      DedupIndex.probeHammingIndex(hidx, hBatch, idCol = "id", hashCol = "h",
+        maxProbeKeys = maxKeys, localizeBytes = localizeBytes)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val hRef = hProbe(10000, 256L << 20)
+    assert(hRef == hProbe(1000000, 0L), "hamming localized diverged")
+    assert(hRef == hProbe(0, 0L), "hamming fallback diverged")
+    assert(hRef.size >= 300, s"hamming fixture too small: ${hRef.size}")
+    cleanup(c)
+  }
+
   test("hot-month salted write spreads one 10x period over salt files; appends keep it") {
     val c = tempCollection("scale_salt")
     // one HOT month: 10k rows in january, a cold february tail
