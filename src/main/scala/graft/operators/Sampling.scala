@@ -156,6 +156,49 @@ object Sampling {
       .drop("__th")
   }
 
+  /** Leakage-free train/validation/test split: near-duplicate
+    * documents must land in the SAME split, or held-out evaluation
+    * leaks training data through its near-copies (the contamination
+    * failure mode eval suites get audited for). Membership is decided
+    * per near-dup CLUSTER, not per document: connected components over
+    * the supplied pair frame give each doc a cluster id (singletons
+    * are their own cluster), and the md5-threshold rule assigns the
+    * CLUSTER to the first split whose cumulative-fraction threshold
+    * its hash sorts under — deterministic across engines, re-runs,
+    * and appends, like every sampler here. `splits` is ordered
+    * (name → fraction, fractions summing to ≤ 1; a remainder falls in
+    * the last split).
+    *
+    * Plan shape: the pair frame is near-dup-sized, the component join
+    * is one shuffle on doc id, the split decision is a pure row
+    * property. At 100 TB the expensive part is the pair GENERATION,
+    * which is whichever dedup operator the caller already ran. */
+  def leakageFreeSplit(docs: DataFrame,
+                       pairs: DataFrame,
+                       splits: Seq[(String, Double)],
+                       idCol: String = "doc_id"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9, "split fractions must sum to <= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cc = Dedup.connectedComponents(pairs)
+      .withColumnsRenamed(Map("id" -> idCol, "cluster" -> "__cluster"))
+    val clustered = docs.join(cc, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("__cluster"), col(idCol).cast("long")))
+      .drop("__cluster")
+    // cumulative thresholds: split i owns hashes in [th(i-1), th(i));
+    // the remainder joins the LAST split so every doc is assigned
+    val cum = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val bounds = splits.map(_._1).zip(cum.map(hashThreshold))
+    val splitCol = bounds.init.reverse.foldLeft(
+      lit(bounds.last._1): org.apache.spark.sql.Column) {
+      case (acc, (name, th)) => when(col("__h") < lit(th), lit(name)).otherwise(acc)
+    }
+    clustered.withColumn("__h", hashKey("cluster"))
+      .withColumn("split", splitCol)
+      .drop("__h")
+  }
+
   /** Stratified deterministic sampling: per-stratum fractions with a
     * default for unlisted strata — the eval-set carving recipe (e.g.
     * oversample rare languages, downsample dominant sources). */

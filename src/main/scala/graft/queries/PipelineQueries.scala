@@ -171,6 +171,52 @@ object PipelineQueries {
        |FROM comp GROUP BY cluster
        |ORDER BY cluster""".stripMargin
 
+  /** Leakage-free split: near-dup CLUSTERS (not documents) are
+    * assigned to train/val/test by the md5-threshold rule, so a
+    * held-out doc can never have a near-copy in train — the eval-
+    * contamination failure mode. The oracle recomputes components via
+    * the recursive CTE, the singleton fallback, and the exact hex
+    * thresholds — a green hash proves cluster-atomic membership AND
+    * the deterministic assignment. */
+  def sampleLeakageSplit(s: SparkSession, dir: String): DataFrame = {
+    val aug = docsWithNearCopies(s, dir)
+    val pairs = graft.operators.Dedup.minhashLshPairs(aug, threshold = 0.8)
+    graft.operators.Sampling.leakageFreeSplit(aug.select(col("doc_id")), pairs,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("cluster"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sampleLeakageSplitSql: String = {
+    val t80 = graft.operators.Sampling.hashThreshold(0.8)
+    val t90 = graft.operators.Sampling.hashThreshold(0.9)
+    s"""WITH RECURSIVE aug AS (SELECT doc_id, text FROM $augNearSql),
+       |sh AS (SELECT doc_id AS id,
+       |  (SELECT ${shinglesSql(3)} FROM (SELECT $normTokensSql AS w)) AS sh FROM aug),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM sh a, sh b WHERE a.id < b.id
+       |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+       |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+       |assigned AS (
+       |  SELECT a.doc_id, coalesce(c.cluster, a.doc_id) AS cluster
+       |  FROM aug a LEFT JOIN comp c ON a.doc_id = c.id)
+       |SELECT doc_id, cluster,
+       |  CASE WHEN substring(md5(CAST(cluster AS VARCHAR)), 1, 8) < '$t80' THEN 'train'
+       |       WHEN substring(md5(CAST(cluster AS VARCHAR)), 1, 8) < '$t90' THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM assigned
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Benchmark decontamination: training docs (source ≠ src1) sharing
     * ≥ 2 distinct 5-gram shingles with any eval doc (source = src1).
     * The oracle recomputes the intersection sizes exhaustively. */
@@ -2499,6 +2545,7 @@ object PipelineQueries {
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_clusters" -> dedupClusters _,
+    "sample_leakage_split" -> sampleLeakageSplit _,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
     "dedup_multi_signal" -> dedupMultiSignal _,
     "dedup_index_build" -> dedupIndexBuild _,
@@ -2563,6 +2610,7 @@ object PipelineQueries {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_clusters" -> dedupClustersSql,
+    "sample_leakage_split" -> sampleLeakageSplitSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "dedup_multi_signal" -> dedupMultiSignalSql,
     "dedup_index_build" -> dedupIndexBuildSql,

@@ -50,6 +50,36 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Number](0).longValue() < r.getAs[Number](1).longValue())
   }
 
+  test("leakage-free split keeps every near-dup cluster in one split") {
+    // 300 docs; pairs chain 0-1-2 (one cluster), 10-11, and 20-21-22-23
+    val docs = (0L until 300L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
+      .toDF("id_a", "id_b")
+    val out = Sampling.leakageFreeSplit(docs, pairs,
+      Seq("train" -> 0.7, "val" -> 0.15, "test" -> 0.15))
+      .select($"doc_id", $"cluster", $"split").as[(Long, Long, String)].collect()
+    assert(out.length == 300)
+    val byDoc = out.map(r => r._1 -> r).toMap
+    // cluster members share cluster id AND split — the leakage invariant
+    for (group <- Seq(Seq(0L, 1L, 2L), Seq(10L, 11L), Seq(20L, 21L, 22L, 23L))) {
+      assert(group.map(byDoc(_)._2).distinct.size == 1, s"cluster ids differ in $group")
+      assert(group.map(byDoc(_)._3).distinct.size == 1, s"splits differ in $group")
+    }
+    // singletons cluster as themselves; every doc gets exactly one split
+    assert(byDoc(100L)._2 == 100L)
+    assert(out.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+    val nTrain = out.count(_._3 == "train")
+    assert(nTrain > 150 && nTrain < 270, s"train got $nTrain of 300 at 0.7")
+    // deterministic across runs; single-split edge assigns everything
+    val again = Sampling.leakageFreeSplit(docs, pairs,
+      Seq("train" -> 0.7, "val" -> 0.15, "test" -> 0.15))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toSet
+    assert(again == out.map(r => (r._1, r._3)).toSet)
+    val one = Sampling.leakageFreeSplit(docs, pairs, Seq("all" -> 1.0))
+      .select($"split").distinct().as[String].collect().toSeq
+    assert(one == Seq("all"))
+  }
+
   test("hash sampling is deterministic, stratified, and append-stable") {
     val d = (0L until 1000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
       .toDF("doc_id", "stratum")
