@@ -59,9 +59,16 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$sentinel}"""
     println(line)
     // also persist the full line: the driver captures stdout TAIL only,
-    // which truncated 42 of 96 per-query timings in the round-5 capture
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // which truncated 42 of 96 per-query timings in the round-5 capture.
+    // Best-effort (overridable dir; never discard a finished capture
+    // over an unwritable cwd — stdout already carried the line)
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write BENCH_LAST.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

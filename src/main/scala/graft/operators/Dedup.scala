@@ -590,7 +590,13 @@ object Dedup {
       // real chain diameter (~20 rounds) the driver OOMs just
       // STRINGIFYING the plan, long before any data problem. The
       // eager checkpoint materializes the round (the convergence check
-      // needed that anyway) and resets lineage to O(1).
+      // needed that anyway) and resets lineage to O(1). Deliberate
+      // trades: truncated lineage is unrecoverable on executor loss
+      // (persist would recompute — into the plan blowup, a
+      // deterministic failure; prefer the probabilistic one), and old
+      // label blocks are freed by ContextCleaner when the superseded
+      // round's RDD is GC'd, not eagerly (labels are two longs per
+      // node — small relative to the edge set).
       val updated = labels.as("l")
         .join(nbrMin, col("l.id") === nbrMin("src"), "left")
         .select(col("l.id").as("id"),

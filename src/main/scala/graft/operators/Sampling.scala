@@ -179,6 +179,12 @@ object Sampling {
                        idCol: String = "doc_id"): DataFrame = {
     require(splits.nonEmpty, "need at least one split")
     require(splits.map(_._2).sum <= 1.0 + 1e-9, "split fractions must sum to <= 1")
+    // connectedComponents keys on long ids; a non-numeric id would cast
+    // to null and silently dump every singleton into the last split
+    require(docs.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"leakageFreeSplit needs a numeric '$idCol' column (connectedComponents " +
+        "keys on long ids); hash string ids to longs first (e.g. xxhash64)")
     val spark = docs.sparkSession
     import spark.implicits._
     val cc = Dedup.connectedComponents(pairs)

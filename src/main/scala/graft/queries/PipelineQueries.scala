@@ -635,7 +635,6 @@ object PipelineQueries {
     java.nio.file.Files.createDirectories(root)
     val c = graft.store.GraftStore(s, "store", root).collection("gate")
     val d = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val w = split(col("text"), " ")
     def dropLast(df: DataFrame): DataFrame = {
       val ww = split(col("text"), " ")
       df.withColumn("text", concat_ws(" ", slice(ww, lit(1), size(ww) - 1)))
@@ -651,9 +650,15 @@ object PipelineQueries {
         .withColumn("doc_id", col("doc_id") + 300000L))
       .unionByName(dropLast(d.filter(col("doc_id") >= 40 && col("doc_id") < 50)
         .withColumn("doc_id", col("doc_id") + 400000L)))
-    val (surv1, _) = DedupIndex.minhashGateSurvivors(idx, batch, threshold = 0.8)
+    val (surv1Raw, retained) = DedupIndex.minhashGateSurvivors(idx, batch, threshold = 0.8)
+    // the probe's batch-lifetime caches must not outlive this query in
+    // the shared session: checkpoint the (tiny) survivor set eagerly to
+    // cut the dependency, then release them — the sink's per-batch
+    // turnover, replayed
+    val surv1 = surv1Raw.select(col("doc_id")).localCheckpoint(true)
+    retained.foreach(_.unpersist(blocking = false))
     surv0.select(col("doc_id"), lit("seed").as("src"))
-      .unionByName(surv1.select(col("doc_id"), lit("batch").as("src")))
+      .unionByName(surv1.withColumn("src", lit("batch")))
       .orderBy(col("doc_id"))
   }
 

@@ -422,6 +422,14 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     }
     if (cols.isEmpty) return
     val dataDir = itemPath.resolve(Item.DataDir)
+    // a delete/expiry can empty EVERY period: the commit already
+    // landed, so an unreadable (dir-less) item must clear the stats
+    // map, not throw after the mutation succeeded
+    if (!dataDir.listDirs.exists(_.startsWith(MonthCol + "="))) {
+      Meta.write(itemPath, meta + ("_period_stats" -> Meta.jv(Map.empty[String, Any])))
+      metaCache.remove(item)
+      return
+    }
     val raw0 = spark.read.parquet(dataDir.toString)
     val present = cols.filter(raw0.columns.contains)
     if (present.isEmpty) return
@@ -753,8 +761,16 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
 
     val prevMeta = Meta.read(path.resolve(item)) ++
       Meta.obj("_partitions" -> n, "_partition_strategy" -> strategy.name) ++
-      statsMeta(stats)
+      statsMeta(stats) ++
+      // a full rewrite re-derives every period key in THIS session's
+      // tz — record it, or later sessions would prune against dirs
+      // keyed in a zone the sidecar no longer describes
+      (if (monthly) Meta.obj("_layout_tz" ->
+        spark.conf.get("spark.sql.session.timeZone", "UTC")) else Map.empty)
     commit(item, laidOut, prevMeta, partitioned = monthly)
+    // the full rewrite re-derived every period: stale per-period stats
+    // would let a later pruned delete silently skip live rows
+    if (monthly) refreshPeriodStats(item, None)
     } finally releaseIndex()
   }
 
@@ -986,8 +1002,18 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     val idx = existing.indexCols
     timeLayoutOf(item) match {
       case Some(layout) =>
-        val sessionTz = java.time.ZoneId.of(
-          spark.conf.get("spark.sql.session.timeZone", "UTC"))
+        val sessionTzName = spark.conf.get("spark.sql.session.timeZone", "UTC")
+        // name-dropping periods relative to a cutoff resolved in the
+        // WRONG zone could remove a month holding post-cutoff rows —
+        // same typed guard as appendPeriodic
+        existing.metadata.get("_layout_tz").map(j => Meta.unjv(j).toString)
+          .filter(_ != sessionTzName).foreach { recorded =>
+            throw new ValidationError(
+              s"item '$item' was laid out in timezone '$recorded' but this " +
+              s"session runs '$sessionTzName'; set spark.sql.session.timeZone " +
+              "to match before expiring a time-layout item")
+          }
+        val sessionTz = java.time.ZoneId.of(sessionTzName)
         val pStar = Collection.periodOfValue(layout, cutoff, sessionTz).getOrElse(
           throw new ValidationError(s"cannot derive a $layout period from $cutoff"))
         val dataDir = path.resolve(item).resolve(Item.DataDir)
@@ -1088,6 +1114,15 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       s"item '$item' has no time layout"))
     val dataDir = path.resolve(item).resolve(Item.DataDir)
     val raw = spark.read.parquet(dataDir.toString)
+    // period keys were derived in the WRITER's recorded tz; mapping
+    // predicate instants to keys in a different session tz could prune
+    // a true boundary period (silent under-delete). The delete itself
+    // is tz-independent (the predicate evaluates on stored instants),
+    // so a mismatched session just forfeits pruning.
+    val sessionTzName = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    val recordedTz = Meta.read(path.resolve(item)).get("_layout_tz")
+      .map(j => Meta.unjv(j).toString)
+    if (recordedTz.exists(_ != sessionTzName)) return raw
     val all = dataDir.listDirs
       .filter(_.startsWith(MonthCol + "=")).map(_.stripPrefix(MonthCol + "="))
     // the ANALYZED filter condition (public API) — Column itself hides
@@ -1173,7 +1208,12 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         // period clustering dictates partitioning, so npartitions is
         // ignored; compaction value = one file per period × salt.
         val laidOut = withTimeLayout(df, idx, monthlySaltOf(item), layout)
-        commit(item, laidOut, Meta.read(path.resolve(item)), partitioned = true)
+        // the re-lay re-keys every period in THIS session's tz: record
+        // it so later period-name pruning resolves against the zone the
+        // dirs are actually keyed in
+        commit(item, laidOut, Meta.read(path.resolve(item)) ++ Meta.obj(
+          "_layout_tz" -> spark.conf.get("spark.sql.session.timeZone", "UTC")),
+          partitioned = true)
         refreshPeriodStats(item, None)
         dataDirFileCount(item)
       case None =>

@@ -144,9 +144,29 @@ final class Item private[store] (
         // period dirs (no partition column — pruning happened above)
         spark.read.parquet(prunedPeriodDirs(pr): _*)
       case None =>
-        val raw = spark.read.parquet(path.resolve(Item.DataDir).toString)
-        if (!isMonthly) raw
-        else monthPruning.fold(raw)(raw.filter).drop(Collection.MonthCol)
+        val dataDir = path.resolve(Item.DataDir)
+        try {
+          val raw = spark.read.parquet(dataDir.toString)
+          if (!isMonthly) raw
+          else monthPruning.fold(raw)(raw.filter).drop(Collection.MonthCol)
+        } catch {
+          // a deleteWhere/expiry can legitimately empty EVERY period of
+          // a time-layout item: zero files means nothing to infer a
+          // schema from, but the sidecar recorded it — serve the typed
+          // empty frame. Catch-then-fallback keeps the happy path free
+          // of an extra recursive listing (which object stores charge
+          // for at item scale).
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+            metadata.get("schema_json") match {
+              case Some(org.json4s.JString(sj)) =>
+                spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  org.apache.spark.sql.types.DataType.fromJson(sj)
+                    .asInstanceOf[org.apache.spark.sql.types.StructType])
+              case _ => throw e
+            }
+        }
     }
     val filtered = Filters.toColumn(filters).fold(base)(base.filter)
     if (columns.isEmpty) filtered

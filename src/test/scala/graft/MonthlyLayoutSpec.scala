@@ -361,6 +361,56 @@ class MonthlyLayoutSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("period stats refresh after evolution appends and survive emptying every period") {
+    import org.apache.spark.sql.functions._
+    val c = tempCollection("period_stats_evolve")
+    c.write("item", frame("2024-01-01", 60, 1.0), monthlyLayout = true,
+      statsColumns = Seq("value"))
+    // schema-evolution append takes the FULL-rewrite path; the batch
+    // carries an out-of-range value into january — stale stats would
+    // prune january and silently skip this row on delete
+    val batch = frame("2024-01-10", 1, 500.0)
+      .withColumn("note", lit("evolved"))
+    c.append("item", batch,
+      evolution = Some(graft.evolution.EvolutionStrategy.AddOnly))
+    assert(c.deleteWhere("item", col("value") === 500.0) == 1L,
+      "stale period stats must not hide the evolved row from a pruned delete")
+    assert(c.item("item").data.count() == 60) // evolution appends bypass dedup
+    // emptying EVERY period: the delete succeeds and clears the map
+    assert(c.deleteWhere("item", lit(true)) == 60L)
+    assert(c.item("item").data.count() == 0)
+    val ps = Meta.unjv(c.metadata("item")("_period_stats")).asInstanceOf[Map[String, Any]]
+    assert(ps.isEmpty, ps.toString)
+    cleanup(c)
+  }
+
+  test("tz mismatch: pruned discovery falls back to the full scan; expiry rejects typed") {
+    import org.apache.spark.sql.functions._
+    val c = tempCollection("tz_mismatch")
+    c.write("item", frame("2024-01-01", 90, 1.0), monthlyLayout = true)
+    val tzKey = "spark.sql.session.timeZone"
+    val orig = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      // discovery pruning is forfeited (full period list), the delete
+      // itself stays correct — instants compare tz-independently
+      val disc = c.deleteDiscoveryFrame("item",
+        col("index") >= lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00")))
+      val scan = disc.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      assert(scan.partitionFilters.isEmpty,
+        "mismatched session tz must not partition-prune the discovery scan")
+      assert(c.deleteWhere("item", dayofmonth(col("index")) === 7) == 3L)
+      // name-dropping periods under the wrong zone could destroy
+      // post-cutoff rows: typed rejection, like appends
+      val e = intercept[graft.store.ValidationError](c.expireBefore("item",
+        java.sql.Timestamp.valueOf("2024-02-01 00:00:00")))
+      assert(e.getMessage.contains("timezone"))
+    } finally spark.conf.set(tzKey, orig)
+    cleanup(c)
+  }
+
   test("convertLayout migrates flat→monthly→flat in place, preserving content and metadata") {
     import org.apache.spark.sql.functions._
     val c = tempCollection("convert_layout")
