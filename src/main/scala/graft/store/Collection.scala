@@ -234,6 +234,16 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
 
   def name: String = path.name
 
+  /** TEST SEAM: when true, mutation paths skip the post-commit
+    * [[refreshPeriodStats]] read-back — simulating a crash in the
+    * commit→refresh window so specs can assert the staleness invariant
+    * (touched entries dropped ATOMICALLY with the commit, leaving
+    * absent/unprunable stats rather than stale ones). */
+  private[graft] var simulateCrashBeforeStatsRefresh = false
+
+  private def maybeRefreshPeriodStats(item: String, months: Option[Seq[String]]): Unit =
+    if (!simulateCrashBeforeStatsRefresh) refreshPeriodStats(item, months)
+
   // ---------------------------------------------------------------- items
 
   private val itemSetCache = new java.util.concurrent.atomic.AtomicReference[Set[String]](null)
@@ -394,26 +404,41 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       "_layout_tz" -> spark.conf.get("spark.sql.session.timeZone", "UTC"),
       "_monthly_salt" -> monthlySalt,
       "_epochdate" -> epochdate,
-      "schema_json" -> indexed.schema.json) ++ statsMeta(stats) ++
+      "schema_json" -> indexed.schema.json,
+      // the ENCODED (post-epochdate/post-codec, MonthCol-free) schema:
+      // what the parquet files actually hold, so the emptied-item
+      // fallback serves a frame dataRestored can invert exactly like a
+      // non-empty read (schema_json above is the PRE-encode logical
+      // schema, kept for API introspection)
+      "schema_json_encoded" -> encoded.schema.json) ++ statsMeta(stats) ++
       (if (allMarkers.isEmpty) Map.empty
        else Map("_type_info" -> Codecs.markersToMeta(allMarkers))) ++
       (if (statsColumns.isEmpty) Map.empty
        else Meta.obj("_stats_cols" -> statsColumns))
     commit(item, laidOut, Meta.obj(metadata.toSeq: _*) ++ extra,
       partitioned = isTime)
-    if (isTime && statsColumns.nonEmpty) refreshPeriodStats(item, None)
+    if (isTime && statsColumns.nonEmpty) maybeRefreshPeriodStats(item, None)
     } finally releaseIndex()
   }
 
   /** Maintain the `_period_stats` sidecar map (period → stats column →
     * [min, max]) for items with declared `_stats_cols`: a narrow
-    * post-commit read-back of ONLY the touched periods' stats columns
-    * (row-group footer-driven min/max — no full scan), merged over the
-    * previous map. `months = None` rebuilds all periods; with a list,
+    * post-commit read-back of ONLY the touched periods — a
+    * partition-pruned COLUMN SCAN of just the stats columns (column
+    * pruning keeps it narrow; it is not footer-only), merged over the
+    * previous map. Cost rides the same periods the partial commit just
+    * wrote, so it scales with batch span, not item size.
+    * `months = None` rebuilds all periods; with a list,
     * the listed periods' entries are replaced (a period the read-back
     * no longer finds was emptied — its entry drops). Cost scales with
-    * the touched periods, like the partial commits it follows. */
-  private def refreshPeriodStats(item: String, months: Option[Seq[String]]): Unit = {
+    * the touched periods, like the partial commits it follows.
+    *
+    * Crash safety: the COMMIT itself already dropped the touched
+    * periods' entries in its own meta write (commit/commitMonths), so
+    * this read-back only ever re-establishes intervals — a crash
+    * anywhere in the commit→refresh window leaves absent (unprunable,
+    * conservative) entries, never stale ones. */
+  private[graft] def refreshPeriodStats(item: String, months: Option[Seq[String]]): Unit = {
     val itemPath = path.resolve(item)
     val meta = Meta.read(itemPath)
     val cols = meta.get("_stats_cols") match {
@@ -581,8 +606,14 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         .filter(_.startsWith(MonthCol + "="))
         .map(d => d.stripPrefix(MonthCol + "=") -> gen).toMap)
     path.fs.atomicSwap(path.resolve(item).resolve(Item.DataDir).raw, tmp.raw)
+    // Staleness must be detectable ATOMICALLY with the data swap: a full
+    // rewrite invalidates every per-period stats interval, so the meta
+    // committed here carries NO `_period_stats` — absent entries are
+    // unprunable (conservative) until the post-commit refresh
+    // re-establishes them. A crash between this write and the refresh
+    // therefore disables pruning instead of silently under-deleting.
     Meta.write(path.resolve(item),
-      meta + ("_generation" -> Meta.jv(gen)) ++ periodGens)
+      (meta - "_period_stats") + ("_generation" -> Meta.jv(gen)) ++ periodGens)
     metaCache.remove(item)
     refreshItems()
   }
@@ -654,8 +685,18 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         }
         throw new StorageError(s"partial month commit failed for $item: ${e.getMessage}")
     }
+    // Same atomic-staleness rule as commit(): the TOUCHED periods'
+    // stats entries are dropped in THIS meta write (absent = unprunable)
+    // so a crash before the post-commit refresh can never leave a stale
+    // interval that prunes a period now holding qualifying rows.
+    val statsDropped = meta.get("_period_stats") match {
+      case Some(org.json4s.JObject(fs)) =>
+        meta + ("_period_stats" -> org.json4s.JObject(
+          fs.filterNot { case (p, _) => months.contains(p) }))
+      case _ => meta
+    }
     Meta.write(path.resolve(item),
-      meta + ("_generation" -> Meta.jv(gen)) +
+      statsDropped + ("_generation" -> Meta.jv(gen)) +
         ("_period_gens" -> Meta.jv(
           (oldPg -- removedMonths) ++ swappedMonths.map(_ -> gen).toMap)))
     metaCache.remove(item)
@@ -770,7 +811,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     commit(item, laidOut, prevMeta, partitioned = monthly)
     // the full rewrite re-derived every period: stale per-period stats
     // would let a later pruned delete silently skip live rows
-    if (monthly) refreshPeriodStats(item, None)
+    if (monthly) maybeRefreshPeriodStats(item, None)
     } finally releaseIndex()
   }
 
@@ -839,7 +880,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     commitMonths(item,
       withTimeLayout(combined.dropDuplicates(), idx, monthlySaltOf(item), layout),
       months, prevMeta)
-    refreshPeriodStats(item, Some(months))
+    maybeRefreshPeriodStats(item, Some(months))
   }
 
   /** Chunked append loop (reference append_stream, collection.py:677-751
@@ -1039,7 +1080,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         commitMonths(item,
           withTimeLayout(keep, idx, monthlySaltOf(item), layout),
           expired, prevMeta)
-        refreshPeriodStats(item, Some(expired))
+        maybeRefreshPeriodStats(item, Some(expired))
         Collection.ExpireResult(toRemove, boundaryDeleted)
       case None =>
         Collection.ExpireResult(Nil,
@@ -1086,7 +1127,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         commitMonths(item,
           withTimeLayout(touched.filter(!predicate), idx, monthlySaltOf(item), layout),
           months, prevMeta)
-        refreshPeriodStats(item, Some(months))
+        maybeRefreshPeriodStats(item, Some(months))
         deleted
       case None =>
         val raw = spark.read.parquet(dataDir.toString)
@@ -1205,8 +1246,14 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         // a time-layout item re-lays THROUGH its layout (partitioned
         // commit): a flat rewrite would silently destroy the period
         // dirs the incremental append/expire machinery lists. The
-        // period clustering dictates partitioning, so npartitions is
-        // ignored; compaction value = one file per period × salt.
+        // period clustering dictates partitioning — an explicit
+        // npartitions cannot be honored, so reject it (typed, matching
+        // the rebalanceZOrder precedent) rather than silently dropping
+        // the request; compaction value = one file per period × salt.
+        if (npartitions.isDefined)
+          throw new ValidationError(
+            s"rebalance: item '$item' has a time layout; npartitions cannot be " +
+              "honored (the period clustering dictates partitioning) — omit it")
         val laidOut = withTimeLayout(df, idx, monthlySaltOf(item), layout)
         // the re-lay re-keys every period in THIS session's tz: record
         // it so later period-name pruning resolves against the zone the
@@ -1214,7 +1261,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         commit(item, laidOut, Meta.read(path.resolve(item)) ++ Meta.obj(
           "_layout_tz" -> spark.conf.get("spark.sql.session.timeZone", "UTC")),
           partitioned = true)
-        refreshPeriodStats(item, None)
+        maybeRefreshPeriodStats(item, None)
         dataDirFileCount(item)
       case None =>
         val stats = readStatsMeta(item).getOrElse(Partitioner.computeStats(df, idx.head))
@@ -1271,7 +1318,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         "_partition_strategy" -> Partitioner.TimeBased.name)
       commit(item, withTimeLayout(df, idx, monthlySalt, target), newMeta,
         partitioned = true)
-      refreshPeriodStats(item, None)
+      maybeRefreshPeriodStats(item, None)
     } else {
       val stats = readStatsMeta(item).getOrElse(Partitioner.computeStats(df, idx.head))
       val (n, strategy) = Partitioner.decide(Partitioner.estimatedBytes(df), stats)

@@ -136,8 +136,12 @@ final class Item private[store] (
     (if (kept.isEmpty) all else kept).map(_._2.toString)
   }
 
-  /** The lazy, pushdown-planned scan. */
-  lazy val data: DataFrame = {
+  /** The lazy, pushdown-planned scan, plus whether the emptied-item
+    * fallback had to serve the legacy PRE-encode `schema_json` (older
+    * sidecars only): that schema is already in decoded/logical types,
+    * so [[dataRestored]] must skip marker inversion for it. */
+  private lazy val dataWithFallbackKind: (DataFrame, Boolean) = {
+    var preEncodeFallback = false
     val base = periodResolved match {
       case Some(pr) =>
         // manifest time-layout snapshot: union of live + retained
@@ -158,7 +162,14 @@ final class Item private[store] (
           // for at item scale).
           case e: org.apache.spark.sql.AnalysisException
               if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
-            metadata.get("schema_json") match {
+            // prefer the ENCODED schema (what the part-files held — the
+            // same types a non-empty read serves, so restoration below
+            // behaves identically); legacy sidecars recorded only the
+            // pre-encode logical schema — serve it but flag that
+            // restoration must be skipped (its types are already decoded)
+            val encoded = metadata.get("schema_json_encoded")
+            val legacy = metadata.get("schema_json")
+            encoded.orElse { preEncodeFallback = legacy.isDefined; legacy } match {
               case Some(org.json4s.JString(sj)) =>
                 spark.createDataFrame(
                   spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -169,14 +180,19 @@ final class Item private[store] (
         }
     }
     val filtered = Filters.toColumn(filters).fold(base)(base.filter)
-    if (columns.isEmpty) filtered
-    else {
-      // Projection always retains the index columns, like the reference
-      // (the pandas index survives column selection).
-      val keep = (indexCols ++ columns).distinct.filter(filtered.columns.contains)
-      filtered.select(keep.map(col): _*)
-    }
+    val projected =
+      if (columns.isEmpty) filtered
+      else {
+        // Projection always retains the index columns, like the reference
+        // (the pandas index survives column selection).
+        val keep = (indexCols ++ columns).distinct.filter(filtered.columns.contains)
+        filtered.select(keep.map(col): _*)
+      }
+    (projected, preEncodeFallback)
   }
+
+  /** The lazy, pushdown-planned scan. */
+  lazy val data: DataFrame = dataWithFallbackKind._1
 
   /** First n rows in index order (reference item.py:96-98). */
   def head(n: Int = 5): DataFrame =
@@ -197,20 +213,24 @@ final class Item private[store] (
     * `_type_info` markers are inverted (tz restore etc.). Replaces the
     * reference's read-side datetime HEURISTIC (item.py:82-93 guesses
     * from value magnitudes) with metadata-driven determinism. */
-  lazy val dataRestored: DataFrame = {
-    val epoch = metadata.get("_epochdate").exists(j => Meta.unjv(j) == true)
-    val base =
-      if (!epoch) data
-      else indexCols.foldLeft(data) { (d, c) =>
-        if (d.schema(c).dataType == org.apache.spark.sql.types.LongType)
-          d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
-        else d
+  lazy val dataRestored: DataFrame =
+    // legacy pre-encode fallback schema is already in decoded types:
+    // inverting epochdate/_type_info markers on it would double-decode
+    if (dataWithFallbackKind._2) data
+    else {
+      val epoch = metadata.get("_epochdate").exists(j => Meta.unjv(j) == true)
+      val base =
+        if (!epoch) data
+        else indexCols.foldLeft(data) { (d, c) =>
+          if (d.schema(c).dataType == org.apache.spark.sql.types.LongType)
+            d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+          else d
+        }
+      metadata.get("_type_info") match {
+        case Some(j) => Codecs.restore(base, Codecs.markersFromMeta(j))
+        case None    => base
       }
-    metadata.get("_type_info") match {
-      case Some(j) => Codecs.restore(base, Codecs.markersFromMeta(j))
-      case None    => base
     }
-  }
 
   /** Per-column data-card stats over this item (count/nulls/min/max/
     * sum/p50/p95) — `graft.operators.Profiler` against the item's lazy,

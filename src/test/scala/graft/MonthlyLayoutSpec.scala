@@ -475,4 +475,74 @@ class MonthlyLayoutSpec extends SparkSpec {
     assert(c.item("item").data.count() == 40)
     cleanup(c)
   }
+
+  test("rebalance rejects an explicit npartitions on a time-layout item (typed)") {
+    val c = tempCollection("rebalance_nparts_reject")
+    c.write("item", frame("2024-01-01", 40, 1.0), monthlyLayout = true)
+    val e = intercept[graft.store.ValidationError](
+      c.rebalance("item", npartitions = Some(4)))
+    assert(e.getMessage.contains("npartitions"))
+    assert(c.item("item").data.count() == 40) // untouched
+    c.rebalance("item") // without npartitions the re-lay still works
+    assert(c.item("item").data.count() == 40)
+    cleanup(c)
+  }
+
+  test("crash between commit and stats refresh leaves NO stale period intervals") {
+    import org.apache.spark.sql.functions._
+    val c = tempCollection("stats_crash_window")
+    val df = frame("2024-01-01", 60, 0.0)
+      .withColumn("value", month(col("index")).cast("double"))
+    c.write("item", df, monthlyLayout = true, statsColumns = Seq("value"))
+    val ps0 = Meta.unjv(c.metadata("item")("_period_stats")).asInstanceOf[Map[String, Any]]
+    assert(ps0.keySet == Set("2024-01", "2024-02"))
+    // simulate a crash in the commit→refresh window of a partial append
+    // carrying an out-of-range value (99.0) into february
+    c.simulateCrashBeforeStatsRefresh = true
+    try c.append("item", frame("2024-02-05", 1, 99.0))
+    finally c.simulateCrashBeforeStatsRefresh = false
+    c.clearMetadataCache()
+    val ps1 = Meta.unjv(c.metadata("item")("_period_stats")).asInstanceOf[Map[String, Any]]
+    // the COMMIT itself dropped february's entry (absent = unprunable);
+    // a stale [2.0, 2.0] interval here would let the pruned delete below
+    // skip the 99.0 row — the silent-under-delete ADVICE finding
+    assert(!ps1.contains("2024-02"), ps1.toString)
+    assert(ps1.contains("2024-01"))
+    assert(c.deleteWhere("item", col("value") === 99.0) == 1L,
+      "post-crash pruned delete must still see the uncovered row")
+    // a full-rewrite commit (rebalance) under the same crash drops ALL entries
+    c.simulateCrashBeforeStatsRefresh = true
+    try c.rebalance("item")
+    finally c.simulateCrashBeforeStatsRefresh = false
+    c.clearMetadataCache()
+    assert(!c.metadata("item").contains("_period_stats"))
+    // the refresh read-back re-establishes the full map
+    c.refreshPeriodStats("item", None)
+    c.clearMetadataCache()
+    val ps2 = Meta.unjv(c.metadata("item")("_period_stats")).asInstanceOf[Map[String, Any]]
+    assert(ps2.keySet == Set("2024-01", "2024-02"), ps2.toString)
+    cleanup(c)
+  }
+
+  test("emptied codec-encoded item: fallback serves the ENCODED schema, like non-empty reads") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val c = tempCollection("empty_encoded")
+    // a timedelta-hinted interval column stores as int64 — the ENCODED
+    // type every non-empty read serves
+    val df = frame("2024-01-01", 20, 1.0)
+      .withColumn("dur", col("index") - lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    c.write("item", df, monthlyLayout = true, dtypeHints = Map("dur" -> "timedelta"))
+    val nonEmptyType = c.item("item").data.schema("dur").dataType
+    assert(nonEmptyType == LongType, nonEmptyType.toString)
+    assert(c.deleteWhere("item", lit(true)) == 20L)
+    val it = c.item("item")
+    assert(it.data.count() === 0)
+    assert(it.data.schema("dur").dataType == nonEmptyType,
+      "empty fallback must serve the ENCODED (stored) schema, like non-empty reads")
+    // restoration behaves identically on the fallback (timedelta is a
+    // presentation marker: restored type == stored type, no inversion)
+    assert(it.dataRestored.schema("dur").dataType == nonEmptyType)
+    cleanup(c)
+  }
 }
