@@ -773,6 +773,53 @@ object StoreQueries {
       |  AND NOT (o_totalprice > 400000.0)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** DataSource V2 front door (SQL face of the store): the item is
+    * written monthly, registered with `CREATE TEMPORARY VIEW ... USING
+    * graft`, and queried in plain SQL. The timed path must EARN its
+    * result the scale-shaped way — period pruning as path selection
+    * (the V2 file index lists ONLY the three 1997-Q1 month dirs; every
+    * other month of a would-be-100 TB item is never even listed) and
+    * pushed parquet filters — both asserted in-query before the
+    * aggregate runs. */
+  def sqlRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "sql_read_v2")
+    val li = Tables.t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice", $"l_shipdate")
+    col.write("li", li, indexCols = Seq("l_shipdate"), timeLayout = Some("monthly"))
+    s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_li USING graft " +
+      s"OPTIONS (path '${col.path.resolve("li")}')")
+    val bounds = "l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' " +
+      "AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'"
+    val probe = s.sql(s"SELECT * FROM graft_li WHERE $bounds")
+    val scan = probe.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+    }.getOrElse(throw new IllegalStateException("no V2 scan in the graft SQL plan"))
+    if (scan.fileIndex.rootPaths.size != 3 || scan.pushedFilters.isEmpty)
+      throw new IllegalStateException(
+        s"graft V2 scan must prune to the 3 Q1 month dirs with pushed filters; " +
+        s"got roots=${scan.fileIndex.rootPaths.size} pushed=${scan.pushedFilters.length}")
+    s.sql(s"""
+      |SELECT date_trunc('month', l_shipdate) AS ship_month,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_qty,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_price
+      |FROM graft_li
+      |WHERE $bounds
+      |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val sqlReadSql: String =
+    """SELECT date_trunc('month', l_shipdate) AS ship_month,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_qty,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_price
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** P3 metadata-equality item search over sidecars (driver-side; the
     * result is the matching items' names — oracle = the literal set). */
   def metadataSearch(s: SparkSession, dir: String): DataFrame = {
@@ -817,7 +864,8 @@ object StoreQueries {
     "store_head_tail_last" -> headTailLast _,
     "store_migration" -> migrationSteps _,
     "store_describe_items" -> describeItemsStats _,
-    "store_delete_pruned" -> deletePruned _)
+    "store_delete_pruned" -> deletePruned _,
+    "store_sql_read" -> sqlRead _)
 
   val oracles: Map[String, String] = Map(
     "store_write_read" -> writeReadSql,
@@ -845,5 +893,6 @@ object StoreQueries {
     "store_head_tail_last" -> headTailLastSql,
     "store_migration" -> migrationStepsSql,
     "store_describe_items" -> describeItemsStatsSql,
-    "store_delete_pruned" -> deletePrunedSql)
+    "store_delete_pruned" -> deletePrunedSql,
+    "store_sql_read" -> sqlReadSql)
 }

@@ -114,12 +114,18 @@ object Collection {
       case _ => None
     }
     def isIdx(e: Expression): Boolean = nameOf(e).exists(_.equalsIgnoreCase(indexCol))
-    def keyOf(e: Expression): Option[String] = e match {
+    // `shift` tightens STRICT bounds by one representable unit (±1 µs /
+    // ±1 day) before mapping to a period key: `index < '1997-04-01
+    // 00:00:00'` admits at most 1997-03-31 23:59:59.999999, so the
+    // upper PERIOD bound is 1997-03 — without the shift the empty
+    // boundary period survives pruning (conservative but wasteful; the
+    // exclusive-midnight cutoff is the common retention/report shape).
+    def keyOf(e: Expression, shift: Int = 0): Option[String] = e match {
       case Literal(v, dt) if v != null =>
         val external: Option[Any] = dt match {
-          case TimestampType    => Some(DateTimeUtils.toJavaTimestamp(v.asInstanceOf[Long]))
-          case TimestampNTZType => Some(DateTimeUtils.microsToLocalDateTime(v.asInstanceOf[Long]))
-          case DateType         => Some(DateTimeUtils.daysToLocalDate(v.asInstanceOf[Int]))
+          case TimestampType    => Some(DateTimeUtils.toJavaTimestamp(v.asInstanceOf[Long] + shift))
+          case TimestampNTZType => Some(DateTimeUtils.microsToLocalDateTime(v.asInstanceOf[Long] + shift))
+          case DateType         => Some(DateTimeUtils.daysToLocalDate(v.asInstanceOf[Int] + shift))
           case _                => None
         }
         external.flatMap(periodOfValue(layout, _, sessionTz))
@@ -144,14 +150,14 @@ object Collection {
     def high(c: String, v: Double): Unit = numHighs(c) = numHighs.get(c).fold(v)(math.min(_, v))
     def walk(e: Expression): Unit = e match {
       case And(l, r) => walk(l); walk(r)
-      case GreaterThan(a, v) if isIdx(a)         => keyOf(v).foreach(lows ::= _)
+      case GreaterThan(a, v) if isIdx(a)         => keyOf(v, +1).foreach(lows ::= _)
       case GreaterThanOrEqual(a, v) if isIdx(a)  => keyOf(v).foreach(lows ::= _)
-      case LessThan(a, v) if isIdx(a)            => keyOf(v).foreach(highs ::= _)
+      case LessThan(a, v) if isIdx(a)            => keyOf(v, -1).foreach(highs ::= _)
       case LessThanOrEqual(a, v) if isIdx(a)     => keyOf(v).foreach(highs ::= _)
       case EqualTo(a, v) if isIdx(a)             => keyOf(v).foreach(k => { lows ::= k; highs ::= k })
-      case GreaterThan(v, a) if isIdx(a)         => keyOf(v).foreach(highs ::= _)
+      case GreaterThan(v, a) if isIdx(a)         => keyOf(v, -1).foreach(highs ::= _)
       case GreaterThanOrEqual(v, a) if isIdx(a)  => keyOf(v).foreach(highs ::= _)
-      case LessThan(v, a) if isIdx(a)            => keyOf(v).foreach(lows ::= _)
+      case LessThan(v, a) if isIdx(a)            => keyOf(v, +1).foreach(lows ::= _)
       case LessThanOrEqual(v, a) if isIdx(a)     => keyOf(v).foreach(lows ::= _)
       case EqualTo(v, a) if isIdx(a)             => keyOf(v).foreach(k => { lows ::= k; highs ::= k })
       case GreaterThan(a, v) if statsCol(a).isDefined =>
@@ -185,7 +191,7 @@ object Collection {
       // IN-lists bound both ends by their extreme members (an index
       // IN-list is the multi-key GDPR purge shape)
       case In(a, vs) if isIdx(a) && vs.nonEmpty =>
-        val keys = vs.flatMap(keyOf)
+        val keys = vs.flatMap(keyOf(_))
         if (keys.size == vs.size) { lows ::= keys.min; highs ::= keys.max }
       case In(a, vs) if statsCol(a).isDefined && vs.nonEmpty =>
         val nums = vs.flatMap(numOf)
@@ -204,6 +210,23 @@ object Collection {
     }
     periods.filter(p => lo.forall(p >= _) && hi.forall(p <= _) && statsPrune(p)).sorted
   }
+
+  /** Parse the `_period_stats` sidecar key (period → stats column →
+    * (min, max)) — shared by the pruned delete discovery scan and the
+    * DataSource V2 read path. */
+  private[graft] def periodStatsOf(meta: Map[String, JValue])
+      : Map[String, Map[String, (Double, Double)]] =
+    meta.get("_period_stats") match {
+      case Some(org.json4s.JObject(fs)) => fs.map { case (period, v) =>
+        period -> (Meta.unjv(v) match {
+          case m: Map[_, _] => m.collect {
+            case (c: String, Seq(mn: Double, mx: Double)) => c -> (mn, mx)
+          }.toMap
+          case _ => Map.empty[String, (Double, Double)]
+        })
+      }.toMap
+      case _ => Map.empty
+    }
 
   /** Metadata TTL cache — 300 s, same policy the reference credits for
     * its "100× faster metadata access" (collection.py:116-147). */
@@ -1171,18 +1194,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     val cond = raw.filter(predicate).queryExecution.analyzed.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }
-    val pStats: Map[String, Map[String, (Double, Double)]] =
-      Meta.read(path.resolve(item)).get("_period_stats") match {
-        case Some(org.json4s.JObject(fs)) => fs.map { case (period, v) =>
-          period -> (Meta.unjv(v) match {
-            case m: Map[_, _] => m.collect {
-              case (c: String, Seq(mn: Double, mx: Double)) => c -> (mn, mx)
-            }.toMap
-            case _ => Map.empty[String, (Double, Double)]
-          })
-        }.toMap
-        case _ => Map.empty
-      }
+    val pStats = Collection.periodStatsOf(Meta.read(path.resolve(item)))
     val cands = cond.map(Collection.candidatePeriods(all, _,
       this.item(item).indexCols.head, layout,
       java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone", "UTC")),

@@ -8,6 +8,21 @@ object Item {
   /** Subdir of the item dir holding the parquet part-files — kept
     * separate from the JSON sidecar so the dataset dir is pure parquet. */
   val DataDir = "data"
+
+  /** Parquet reads surface every column nullable; sidecar-schema
+    * fallbacks (emptied items, the V2 table provider) must serve the
+    * same shape or unions/comparisons against real reads break. */
+  private[graft] def asNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: org.apache.spark.sql.types.StructType =>
+      org.apache.spark.sql.types.StructType(s.fields.map(f =>
+        f.copy(dataType = asNullable(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = asNullable(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(valueType = asNullable(m.valueType), valueContainsNull = true)
+    case other => other
+  }
 }
 
 /** A stored item: a lazy DataFrame over one Parquet dataset directory
@@ -173,7 +188,7 @@ final class Item private[store] (
               case Some(org.json4s.JString(sj)) =>
                 spark.createDataFrame(
                   spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                  org.apache.spark.sql.types.DataType.fromJson(sj)
+                  Item.asNullable(org.apache.spark.sql.types.DataType.fromJson(sj))
                     .asInstanceOf[org.apache.spark.sql.types.StructType])
               case _ => throw e
             }

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.functions._
+
+import graft.store._
+
+/** DataSource V2 front door (`spark.read.format("graft")` / `CREATE
+  * TABLE ... USING graft`): schema, result parity with the Scala read
+  * path, and — the 100 TB story — period pruning as PATH SELECTION plus
+  * parquet filter pushdown / column pruning through the V2 scan. */
+class GraftSqlSpec extends SparkSpec {
+
+  private def frame(startDay: String, days: Int) = {
+    import spark.implicits._
+    val start = java.time.LocalDate.parse(startDay)
+    (0 until days).map { i =>
+      (java.sql.Timestamp.valueOf(start.plusDays(i).atStartOfDay()), i.toDouble, s"r$i")
+    }.toDF("index", "value", "tag")
+  }
+
+  private def v2Scan(df: org.apache.spark.sql.DataFrame): ParquetScan =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.asInstanceOf[ParquetScan]
+    }.getOrElse(fail("expected a BatchScanExec (V2 scan) in the plan:\n" +
+      df.queryExecution.executedPlan))
+
+  test("format(graft) reads flat and time-layout items identically to the Scala API") {
+    val c = tempCollection("sql_read")
+    c.write("flat", frame("2024-01-01", 40))
+    c.write("monthly", frame("2024-01-01", 90), monthlyLayout = true)
+    for (item <- Seq("flat", "monthly")) {
+      val viaSql = spark.read.format("graft")
+        .load(c.path.resolve(item).toString)
+      val viaApi = c.item(item).data
+      assert(viaSql.schema == viaApi.schema, s"$item schema")
+      assert(viaSql.orderBy("index").collect().toSeq ==
+        viaApi.orderBy("index").collect().toSeq, s"$item rows")
+      assert(!viaSql.columns.contains(Collection.MonthCol))
+    }
+    cleanup(c)
+  }
+
+  test("index predicates prune period directories out of the V2 file index") {
+    val c = tempCollection("sql_prune")
+    c.write("item", frame("2024-01-01", 90), monthlyLayout = true)
+    val all = spark.read.format("graft").load(c.path.resolve("item").toString)
+    assert(v2Scan(all).fileIndex.rootPaths.size == 3) // jan feb mar
+    val march = all.filter(col("index") >= lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00")))
+    assert(march.count() == 30) // mar 1..30 (90 days from jan 1, leap feb)
+    val scan = v2Scan(march)
+    assert(scan.fileIndex.rootPaths.size == 1,
+      s"expected 1 pruned period root, got ${scan.fileIndex.rootPaths}")
+    assert(scan.fileIndex.rootPaths.head.toString.endsWith(s"${Collection.MonthCol}=2024-03"))
+    // pushed filters reach the parquet scan (row-group skipping)
+    assert(scan.pushedFilters.nonEmpty, "expected PushedFilters on the V2 scan")
+    // equality pins a single period; a disjunction keeps everything (conservative)
+    val eq = all.filter(col("index") === lit(java.sql.Timestamp.valueOf("2024-02-10 00:00:00")))
+    assert(v2Scan(eq).fileIndex.rootPaths.size == 1)
+    assert(eq.count() == 1)
+    val or = all.filter(col("value") === 0.0 ||
+      col("index") >= lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00")))
+    assert(v2Scan(or).fileIndex.rootPaths.size == 3)
+    assert(or.count() == 31)
+    cleanup(c)
+  }
+
+  test("_period_stats prune V2 reads on covered non-index columns") {
+    val c = tempCollection("sql_stats_prune")
+    val df = frame("2024-01-01", 90)
+      .withColumn("value", month(col("index")).cast("double"))
+    c.write("item", df, monthlyLayout = true, statsColumns = Seq("value"))
+    val t = spark.read.format("graft").load(c.path.resolve("item").toString)
+    val pruned = t.filter(col("value") >= 3.0)
+    assert(v2Scan(pruned).fileIndex.rootPaths.size == 1) // march only
+    assert(pruned.count() == 30)
+    cleanup(c)
+  }
+
+  test("column pruning reaches the V2 parquet scan") {
+    val c = tempCollection("sql_colprune")
+    c.write("item", frame("2024-01-01", 40), monthlyLayout = true)
+    val t = spark.read.format("graft").load(c.path.resolve("item").toString)
+    val two = t.select("index", "value")
+    assert(v2Scan(two).readDataSchema.fieldNames.toSeq == Seq("index", "value"),
+      "projection must prune the read schema down to the selected columns")
+    assert(two.count() == 40)
+    cleanup(c)
+  }
+
+  test("CREATE TABLE ... USING graft serves SQL with pruning intact") {
+    val c = tempCollection("sql_ddl")
+    c.write("item", frame("2024-01-01", 90), monthlyLayout = true)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_sql_item " +
+      s"USING graft OPTIONS (path '${c.path.resolve("item")}')")
+    val out = spark.sql(
+      "SELECT count(*) AS n, round(sum(value), 2) AS sv FROM graft_sql_item " +
+      "WHERE index >= timestamp'2024-03-01 00:00:00'")
+    val row = out.collect().head
+    assert(row.getLong(0) == 30)
+    // pruning holds through the SQL surface too
+    val scan = v2Scan(spark.sql(
+      "SELECT * FROM graft_sql_item WHERE index >= timestamp'2024-03-01 00:00:00'"))
+    assert(scan.fileIndex.rootPaths.size == 1)
+    cleanup(c)
+  }
+
+  test("emptied and tz-mismatched items stay correct through the V2 path") {
+    val c = tempCollection("sql_edge")
+    c.write("item", frame("2024-01-01", 31), monthlyLayout = true)
+    // a session tz differing from the recorded layout tz forfeits
+    // pruning but must not change results
+    val tzKey = "spark.sql.session.timeZone"
+    val orig = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      val t = spark.read.format("graft").load(c.path.resolve("item").toString)
+      val f = t.filter(col("index") >= lit(java.sql.Timestamp.valueOf("2024-01-30 00:00:00")))
+      assert(v2Scan(f).fileIndex.rootPaths.size == 1, "pruning forfeited, full root list")
+    } finally spark.conf.set(tzKey, orig)
+    // emptied of every period: sidecar schema serves an empty frame
+    assert(c.deleteWhere("item", lit(true)) == 31L)
+    val empty = spark.read.format("graft").load(c.path.resolve("item").toString)
+    assert(empty.count() == 0)
+    assert(empty.schema.fieldNames.toSeq == Seq("index", "value", "tag"))
+    cleanup(c)
+  }
+
+  test("missing path and non-item dirs fail typed") {
+    intercept[GraftError](spark.read.format("graft").load())
+    val e = intercept[ItemNotFoundError](
+      spark.read.format("graft").load("/tmp/definitely_not_a_graft_item").schema)
+    assert(e.getMessage.contains("no graft item"))
+  }
+}

@@ -263,8 +263,15 @@ class MonthlyLayoutSpec extends SparkSpec {
     // equality pins one period; flipped operand order works
     assert(cands(col("index") === ts("2024-02-05 00:00:00")) == Seq("2024-02"))
     assert(cands(ts("2024-05-01 00:00:00") <= col("index")) == Seq("2024-05", "2024-06"))
-    // upper bound keeps its boundary period (conservative inclusivity)
-    assert(cands(col("index") < ts("2024-02-01 00:00:00")) == Seq("2024-01", "2024-02"))
+    // a STRICT upper bound at exactly a period's start excludes that
+    // period (nothing below midnight feb 1 lives in 2024-02); an
+    // interior strict bound keeps its own period
+    assert(cands(col("index") < ts("2024-02-01 00:00:00")) == Seq("2024-01"))
+    assert(cands(col("index") < ts("2024-02-15 00:00:00")) == Seq("2024-01", "2024-02"))
+    assert(cands(col("index") <= ts("2024-02-01 00:00:00")) == Seq("2024-01", "2024-02"))
+    // dual: a strict lower bound at a period's LAST instant excludes it
+    assert(cands(col("index") > ts("2024-03-31 23:59:59.999999"))
+      == Seq("2024-04", "2024-05", "2024-06"))
     // two-sided range
     assert(cands(col("index") >= ts("2024-02-15 00:00:00") &&
       col("index") < ts("2024-04-02 00:00:00")) == Seq("2024-02", "2024-03", "2024-04"))
