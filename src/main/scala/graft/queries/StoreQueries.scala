@@ -820,6 +820,81 @@ object StoreQueries {
       |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** M4 parallel multi-item write (reference write_batch,
+    * collection.py:753-829): three good frames + one with duplicate
+    * column names, submitted concurrently. The partial failure is
+    * collected into ONE StorageError naming the bad item while every
+    * good item lands; proof rows are the post-batch store state. */
+  def writeBatchSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "write_batch")
+    val nation = Tables.t(s, dir, "nation")
+    val region = Tables.t(s, dir, "region")
+    val supplier = Tables.t(s, dir, "supplier")
+    val bad = nation.select($"n_nationkey".as("x"), $"n_name".as("x"))
+    val steps = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    try {
+      col.writeBatch(Seq(
+        "nat" -> nation, "reg" -> region, "bad" -> bad, "sup" -> supplier))
+      steps += (("batch_error", 0L))
+    } catch {
+      case e: StorageError =>
+        // exactly one failure, attributed to the bad item by name
+        steps += (("batch_error",
+          if (e.getMessage.contains("1 item(s)") && e.getMessage.contains("bad:")) 1L
+          else -1L))
+    }
+    steps += (("bad_exists", if (col.hasItem("bad")) 1L else 0L))
+    steps += (("written_nat", col.item("nat").data.count()))
+    steps += (("written_reg", col.item("reg").data.count()))
+    steps += (("written_sup", col.item("sup").data.count()))
+    steps.toSeq.toDF("step", "n").orderBy($"step")
+  }
+
+  val writeBatchSummarySql: String =
+    """SELECT step, n FROM (VALUES
+      |  ('batch_error', CAST(1 AS BIGINT)),
+      |  ('bad_exists', CAST(0 AS BIGINT)),
+      |  ('written_nat', (SELECT count(*) FROM nation)),
+      |  ('written_reg', (SELECT count(*) FROM region)),
+      |  ('written_sup', (SELECT count(*) FROM supplier))) AS t(step, n)
+      |ORDER BY step""".stripMargin
+
+  /** V1+V3 snapshot listing lifecycle with the reference's quirks
+    * pinned: names sanitized to [A-Za-z0-9._], deleting a MISSING
+    * snapshot returns true (reference collection.py:550-553, kept per
+    * tests/test_snapshots.py:79-83), listing mixes link and manifest
+    * snapshots, and after a post-snapshot append the surviving
+    * snapshot still serves the pre-append state. */
+  def snapshotListing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "snapshot_listing")
+    val region = Tables.t(s, dir, "region")
+    col.write("r", region, indexCols = Seq("r_regionkey"))
+    col.createSnapshot(Some("s one!"))                  // sanitized: s_one_
+    col.createSnapshot(Some("s2"), manifest = Some(true)) // manifest kind
+    val batch = region.withColumn("r_regionkey", $"r_regionkey" + 100)
+    col.append("r", batch, DuplicateHandling.KeepLast)
+    val steps = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    steps += (("list_initial", col.listSnapshots().mkString("|")))
+    steps += (("delete_missing", col.deleteSnapshot("never_existed").toString))
+    steps += (("delete_s_one", col.deleteSnapshot("s_one_").toString))
+    steps += (("list_after_delete", col.listSnapshots().mkString("|")))
+    steps += (("live_rows", col.item("r").data.count().toString))
+    steps += (("s2_rows", col.item("r", snapshot = Some("s2")).data.count().toString))
+    steps.toSeq.toDF("step", "outcome").orderBy($"step")
+  }
+
+  val snapshotListingSql: String =
+    """SELECT step, outcome FROM (VALUES
+      |  ('list_initial', 's2|s_one_'),
+      |  ('delete_missing', 'true'),
+      |  ('delete_s_one', 'true'),
+      |  ('list_after_delete', 's2'),
+      |  ('live_rows', CAST((SELECT 2 * count(*) FROM region) AS VARCHAR)),
+      |  ('s2_rows', CAST((SELECT count(*) FROM region) AS VARCHAR))) AS t(step, outcome)
+      |ORDER BY step""".stripMargin
+
   /** P3 metadata-equality item search over sidecars (driver-side; the
     * result is the matching items' names — oracle = the literal set). */
   def metadataSearch(s: SparkSession, dir: String): DataFrame = {
@@ -865,7 +940,9 @@ object StoreQueries {
     "store_migration" -> migrationSteps _,
     "store_describe_items" -> describeItemsStats _,
     "store_delete_pruned" -> deletePruned _,
-    "store_sql_read" -> sqlRead _)
+    "store_sql_read" -> sqlRead _,
+    "store_write_batch" -> writeBatchSummary _,
+    "store_snapshot_listing" -> snapshotListing _)
 
   val oracles: Map[String, String] = Map(
     "store_write_read" -> writeReadSql,
@@ -894,5 +971,7 @@ object StoreQueries {
     "store_migration" -> migrationStepsSql,
     "store_describe_items" -> describeItemsStatsSql,
     "store_delete_pruned" -> deletePrunedSql,
-    "store_sql_read" -> sqlReadSql)
+    "store_sql_read" -> sqlReadSql,
+    "store_write_batch" -> writeBatchSummarySql,
+    "store_snapshot_listing" -> snapshotListingSql)
 }
