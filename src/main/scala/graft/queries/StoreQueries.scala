@@ -773,6 +773,36 @@ object StoreQueries {
       |  AND NOT (o_totalprice > 400000.0)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Date-typed stats pruning — the GDPR shape: the purge predicate
+    * ranges over a NON-index timestamp column (`o_shipby`, trailing the
+    * order date by 21 days), declared as a stats column so each
+    * period's [min,max] wall-micros interval rides the sidecar. The
+    * discovery scan opens only the periods whose recorded interval can
+    * overlap the cutoff; the oracle composes the source filter with
+    * the negated purge — a wrong candidate set under-deletes and
+    * breaks the hash. */
+  def deletePrunedDate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "delete_pruned_date")
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderdate")
+      .filter($"o_orderdate" < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      .withColumn("o_shipby", ($"o_orderdate" + expr("INTERVAL 21 DAYS")).cast("timestamp_ntz"))
+    col.write("o", o, indexCols = Seq("o_orderdate"), monthlyLayout = true,
+      statsColumns = Seq("o_shipby"))
+    col.deleteWhere("o",
+      $"o_shipby" >= lit(java.time.LocalDateTime.parse("1996-10-01T00:00:00")))
+    col.item("o").data.orderBy($"o_orderkey")
+  }
+
+  val deletePrunedDateSql: String =
+    """SELECT o_orderkey, o_totalprice, o_orderdate,
+      |  o_orderdate + INTERVAL 21 DAY AS o_shipby
+      |FROM orders
+      |WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND NOT (o_orderdate + INTERVAL 21 DAY >= TIMESTAMP '1996-10-01 00:00:00')
+      |ORDER BY o_orderkey""".stripMargin
+
   /** DataSource V2 front door (SQL face of the store): the item is
     * written monthly, registered with `CREATE TEMPORARY VIEW ... USING
     * graft`, and queried in plain SQL. The timed path must EARN its
@@ -942,7 +972,8 @@ object StoreQueries {
     "store_delete_pruned" -> deletePruned _,
     "store_sql_read" -> sqlRead _,
     "store_write_batch" -> writeBatchSummary _,
-    "store_snapshot_listing" -> snapshotListing _)
+    "store_snapshot_listing" -> snapshotListing _,
+    "store_delete_pruned_date" -> deletePrunedDate _)
 
   val oracles: Map[String, String] = Map(
     "store_write_read" -> writeReadSql,
@@ -973,5 +1004,6 @@ object StoreQueries {
     "store_delete_pruned" -> deletePrunedSql,
     "store_sql_read" -> sqlReadSql,
     "store_write_batch" -> writeBatchSummarySql,
-    "store_snapshot_listing" -> snapshotListingSql)
+    "store_snapshot_listing" -> snapshotListingSql,
+    "store_delete_pruned_date" -> deletePrunedDateSql)
 }

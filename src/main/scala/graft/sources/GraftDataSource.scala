@@ -124,7 +124,7 @@ final class GraftTable private[sources] (
     layout: Option[String],
     indexCol: String,
     layoutTz: java.time.ZoneId,
-    periodStats: Map[String, Map[String, (Double, Double)]])
+    periodStats: Map[String, Map[String, (Any, Any)]])
     extends Table with SupportsRead {
 
   override def name(): String = s"graft.`$itemPath`"
@@ -147,7 +147,7 @@ final class GraftScanBuilder(
     layout: Option[String],
     indexCol: String,
     layoutTz: java.time.ZoneId,
-    periodStats: Map[String, Map[String, (Double, Double)]],
+    periodStats: Map[String, Map[String, (Any, Any)]],
     options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 

@@ -91,18 +91,22 @@ object Collection {
     * Disjunctions, negations, non-index references, and computed index
     * expressions contribute no constraint — the result only ever
     * over-approximates, never drops a touchable period. */
-  /** `periodStats`: per-period numeric min/max of DECLARED stats
-    * columns (`_period_stats` sidecar, maintained by the partial-commit
-    * paths) — a period also prunes when a conjunctive range constraint
-    * on a covered NON-index column cannot overlap its recorded
-    * interval. A period with no recorded stats for a bounded column is
+  /** `periodStats`: per-period min/max of DECLARED stats columns
+    * (`_period_stats` sidecar, maintained by the partial-commit paths)
+    * — a period also prunes when a conjunctive range constraint on a
+    * covered NON-index column cannot overlap its recorded interval.
+    * Numeric and temporal columns compare in the Double domain
+    * (temporal = wall-clock epoch micros — the GDPR-shaped date
+    * predicate on a non-index column); string columns compare
+    * lexicographically. A period with no recorded stats for a bounded
+    * column — or a bound whose domain mismatches the recorded one — is
     * kept (conservative). */
   private[graft] def candidatePeriods(periods: Seq[String],
                                       predicate: org.apache.spark.sql.catalyst.expressions.Expression,
                                       indexCol: String,
                                       layout: String,
                                       sessionTz: java.time.ZoneId,
-                                      periodStats: Map[String, Map[String, (Double, Double)]] = Map.empty)
+                                      periodStats: Map[String, Map[String, (Any, Any)]] = Map.empty)
       : Seq[String] = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
@@ -131,23 +135,45 @@ object Collection {
         external.flatMap(periodOfValue(layout, _, sessionTz))
       case _ => None
     }
-    def numOf(e: Expression): Option[Double] = e match {
-      case Literal(v, _) if v != null => v match {
-        case n: Number => Some(n.doubleValue())
-        case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
-        case _ => None
+    // Stats-comparable value of a literal: numerics → Double; temporal
+    // → wall-clock epoch micros as Double (the domain the refresh
+    // writes); strings → String (lexicographic). Instant timestamps use
+    // their UTC micros — tz-consistent with the write side because
+    // stats pruning only runs when session tz == recorded layout tz.
+    def numOf(e: Expression): Option[Any] = e match {
+      case Literal(v, dt) if v != null => dt match {
+        case TimestampType    => Some(v.asInstanceOf[Long].toDouble)
+        case TimestampNTZType => Some(v.asInstanceOf[Long].toDouble)
+        case DateType         => Some(v.asInstanceOf[Int].toDouble * 86400000000.0)
+        case org.apache.spark.sql.types.StringType =>
+          Some(v.toString) // UTF8String → String
+        case _ => v match {
+          case n: Number => Some(n.doubleValue())
+          case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+          case _ => None
+        }
       }
       case _ => None
     }
     var lows = List.empty[String]
     var highs = List.empty[String]
-    // per non-index column: collected numeric lower/upper bounds
-    val numLows = scala.collection.mutable.Map.empty[String, Double]
-    val numHighs = scala.collection.mutable.Map.empty[String, Double]
+    // per non-index column: collected lower/upper bounds (Double or String)
+    val numLows = scala.collection.mutable.Map.empty[String, Any]
+    val numHighs = scala.collection.mutable.Map.empty[String, Any]
     def statsCol(e: Expression): Option[String] =
       nameOf(e).filter(n => !n.equalsIgnoreCase(indexCol))
-    def low(c: String, v: Double): Unit = numLows(c) = numLows.get(c).fold(v)(math.max(_, v))
-    def high(c: String, v: Double): Unit = numHighs(c) = numHighs.get(c).fold(v)(math.min(_, v))
+    // bounds of mismatched domains collapse to the unprunable marker
+    // (None is not representable here, so keep the TIGHTEST same-domain
+    // bound and drop cross-domain collisions conservatively)
+    def tighter(a: Any, b: Any, wantMax: Boolean): Any = (a, b) match {
+      case (x: java.lang.Double, y: java.lang.Double) =>
+        if (wantMax) math.max(x, y) else math.min(x, y)
+      case (x: String, y: String) =>
+        if ((x > y) == wantMax) x else y
+      case _ => a // cross-domain: keep the first (any sound bound suffices)
+    }
+    def low(c: String, v: Any): Unit = numLows(c) = numLows.get(c).fold(v)(tighter(_, v, wantMax = true))
+    def high(c: String, v: Any): Unit = numHighs(c) = numHighs.get(c).fold(v)(tighter(_, v, wantMax = false))
     def walk(e: Expression): Unit = e match {
       case And(l, r) => walk(l); walk(r)
       case GreaterThan(a, v) if isIdx(a)         => keyOf(v, +1).foreach(lows ::= _)
@@ -195,34 +221,53 @@ object Collection {
         if (keys.size == vs.size) { lows ::= keys.min; highs ::= keys.max }
       case In(a, vs) if statsCol(a).isDefined && vs.nonEmpty =>
         val nums = vs.flatMap(numOf)
-        if (nums.size == vs.size) { low(statsCol(a).get, nums.min); high(statsCol(a).get, nums.max) }
+        if (nums.size == vs.size) nums match {
+          case ds if ds.forall(_.isInstanceOf[java.lang.Double]) =>
+            val d = ds.map(_.asInstanceOf[Double])
+            low(statsCol(a).get, d.min); high(statsCol(a).get, d.max)
+          case ss if ss.forall(_.isInstanceOf[String]) =>
+            val t = ss.map(_.asInstanceOf[String])
+            low(statsCol(a).get, t.min); high(statsCol(a).get, t.max)
+          case _ => () // mixed-domain IN-list: no constraint
+        }
       case _ => () // unknown shape: no constraint from this subtree
     }
     walk(predicate)
     val lo = lows.maxOption
     val hi = highs.minOption
+    // a >= b in the shared domain; cross-domain (or unexpected) pairs
+    // are TRUE = cannot prune — never drops a touchable period
+    def domGte(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: java.lang.Double, y: java.lang.Double) => x >= y
+      case (x: String, y: String) => x >= y
+      case _ => true
+    }
     def statsPrune(p: String): Boolean = {
       val recorded = periodStats.getOrElse(p, Map.empty)
       (numLows.forall { case (c, bound) =>
-        recorded.get(c).forall { case (_, mx) => mx >= bound } }) &&
+        recorded.get(c).forall { case (_, mx) => domGte(mx, bound) } }) &&
       (numHighs.forall { case (c, bound) =>
-        recorded.get(c).forall { case (mn, _) => mn <= bound } })
+        recorded.get(c).forall { case (mn, _) => domGte(bound, mn) } })
     }
     periods.filter(p => lo.forall(p >= _) && hi.forall(p <= _) && statsPrune(p)).sorted
   }
 
   /** Parse the `_period_stats` sidecar key (period → stats column →
     * (min, max)) — shared by the pruned delete discovery scan and the
-    * DataSource V2 read path. */
+    * DataSource V2 read path. Numeric and temporal columns record
+    * Double bounds (temporal = wall-clock epoch micros); string columns
+    * record String bounds (lexicographic domain). A malformed or
+    * unknown-shaped entry parses to nothing — absent = unprunable. */
   private[graft] def periodStatsOf(meta: Map[String, JValue])
-      : Map[String, Map[String, (Double, Double)]] =
+      : Map[String, Map[String, (Any, Any)]] =
     meta.get("_period_stats") match {
       case Some(org.json4s.JObject(fs)) => fs.map { case (period, v) =>
         period -> (Meta.unjv(v) match {
           case m: Map[_, _] => m.collect {
-            case (c: String, Seq(mn: Double, mx: Double)) => c -> (mn, mx)
+            case (c: String, Seq(mn: Double, mx: Double)) => c -> ((mn, mx): (Any, Any))
+            case (c: String, Seq(mn: String, mx: String)) => c -> ((mn, mx): (Any, Any))
           }.toMap
-          case _ => Map.empty[String, (Double, Double)]
+          case _ => Map.empty[String, (Any, Any)]
         })
       }.toMap
       case _ => Map.empty
@@ -363,9 +408,13 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     statsColumns.foreach { c =>
       if (!df.columns.contains(c))
         throw new ValidationError(s"stats column '$c' not in DataFrame")
-      if (!df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
-        throw new ValidationError(
-          s"stats column '$c' must be numeric (time pruning comes from the index for free)")
+      import org.apache.spark.sql.types._
+      df.schema(c).dataType match {
+        case _: NumericType | TimestampType | TimestampNTZType | DateType | StringType => ()
+        case other => throw new ValidationError(
+          s"stats column '$c' has unsupported type ${other.simpleString}: declare " +
+          "numeric, timestamp, date, or string columns (index-time pruning is free)")
+      }
     }
 
     // Reference parity: an unnamed pandas index is materialized as a
@@ -486,15 +535,42 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         raw0.filter(col(MonthCol).cast("string").isin(ms: _*))
       case _ => raw0
     }
+    // Stats domain per dtype: numerics as Double; temporal as
+    // wall-clock epoch micros (Double) — instants via unix_micros
+    // (tz-free), NTZ via a session-tz round trip (session == recorded
+    // layout tz on every mutation path), dates via unix_date; strings
+    // lexicographic. The predicate side (candidatePeriods.numOf) maps
+    // literals into the same domains.
+    import org.apache.spark.sql.types.{DateType, StringType, TimestampNTZType, TimestampType}
+    val sessionTzName = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    // an NTZ wall time inside a DST gap of the session zone shifts by
+    // up to an hour through the timestamp round trip: widen those
+    // intervals below so the shift can never prune a live period
+    val ntzDstSlack = !java.time.ZoneId.of(sessionTzName).getRules.isFixedOffset
+    def statExpr(c: String): org.apache.spark.sql.Column =
+      raw0.schema(c).dataType match {
+        case TimestampType    => unix_micros(col(c)).cast("double")
+        case TimestampNTZType =>
+          unix_micros(to_utc_timestamp(col(c).cast("timestamp"), sessionTzName)).cast("double")
+        case DateType         => unix_date(col(c)).cast("double") * lit(86400000000.0)
+        case StringType       => col(c)
+        case _                => col(c).cast("double")
+      }
+    def widen(c: String, v: Any, up: Boolean): Any = v match {
+      case d: java.lang.Double
+          if ntzDstSlack && raw0.schema(c).dataType == TimestampNTZType =>
+        if (up) d + 3600000000.0 else d - 3600000000.0
+      case other => other
+    }
     val aggs = present.flatMap(c => Seq(
-      min(col(c).cast("double")).as(s"__mn_$c"), max(col(c).cast("double")).as(s"__mx_$c")))
+      min(statExpr(c)).as(s"__mn_$c"), max(statExpr(c)).as(s"__mx_$c")))
     val rows = raw.groupBy(col(MonthCol).cast("string").as("__p"))
       .agg(aggs.head, aggs.tail: _*).collect()
     val fresh: Map[String, Any] = rows.map { r =>
       r.getString(0) -> present.flatMap { c =>
         val mn = r.getAs[Any](s"__mn_$c"); val mx = r.getAs[Any](s"__mx_$c")
         if (mn == null || mx == null) None
-        else Some(c -> Seq(mn.asInstanceOf[Double], mx.asInstanceOf[Double]))
+        else Some(c -> Seq(widen(c, mn, up = false), widen(c, mx, up = true)))
       }.toMap
     }.toMap
     val old: Map[String, Any] = meta.get("_period_stats") match {

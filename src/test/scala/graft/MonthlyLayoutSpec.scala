@@ -368,6 +368,48 @@ class MonthlyLayoutSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("date, timestamp_ntz, and string stats columns prune the discovery scan") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val c = tempCollection("period_stats_typed")
+    // d (DateType) and nt (NTZ) trail the index by 10 days; s groups by
+    // month — all three correlate with the period so ranges prune
+    val df = frame("2024-01-01", 180, 0.0)
+      .withColumn("d", date_add(col("index").cast("date"), 10))
+      .withColumn("nt", (col("index") + expr("INTERVAL 10 DAYS")).cast("timestamp_ntz"))
+      .withColumn("s", format_string("grp-%02d", month(col("index"))))
+    c.write("item", df, monthlyLayout = true, statsColumns = Seq("d", "nt", "s"))
+    val ps = Meta.unjv(c.metadata("item")("_period_stats")).asInstanceOf[Map[String, Any]]
+    val jan = ps("2024-01").asInstanceOf[Map[String, Any]]
+    // temporal bounds live in the wall-clock-micros Double domain,
+    // strings in their own
+    assert(jan("d").asInstanceOf[Seq[Double]] ==
+      Seq(java.time.LocalDate.parse("2024-01-11").toEpochDay * 86400e6,
+          java.time.LocalDate.parse("2024-02-10").toEpochDay * 86400e6), jan("d").toString)
+    assert(jan("s") == Seq("grp-01", "grp-01"), jan("s").toString)
+    val janNt = jan("nt").asInstanceOf[Seq[Double]]
+    assert(janNt.head == java.time.LocalDate.parse("2024-01-11").toEpochDay * 86400e6)
+    def prunedCount(pred: org.apache.spark.sql.Column): Int =
+      c.deleteDiscoveryFrame("item", pred).queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec => f }.head
+        .selectedPartitions.partitionCount
+    // date range: period P records d ∈ [P.start+10, P.end+10]; a bound
+    // of may 10 keeps apr (max may 10), may, jun — 3 of 6
+    assert(prunedCount(col("d") >= lit(java.sql.Date.valueOf("2024-05-10"))) == 3)
+    // NTZ literal prunes in the same micros domain: jun 5 keeps may
+    // (nt max jun 10) + jun
+    assert(prunedCount(col("nt") >=
+      lit(java.time.LocalDateTime.parse("2024-06-05T00:00:00"))) == 2)
+    // string range: only periods whose recorded [min,max] can overlap
+    assert(prunedCount(col("s") >= lit("grp-05")) == 2)
+    assert(prunedCount(col("s") === lit("grp-02")) == 1)
+    // the deletes themselves stay exact (180 days end jun 28)
+    assert(c.deleteWhere("item", col("s") === lit("grp-06")) == 28L)
+    // remaining jan1..may31; d ≥ may 20 ⇔ index ≥ may 10 → 22 rows
+    assert(c.deleteWhere("item", col("d") >= lit(java.sql.Date.valueOf("2024-05-20"))) == 22L)
+    cleanup(c)
+  }
+
   test("period stats refresh after evolution appends and survive emptying every period") {
     import org.apache.spark.sql.functions._
     val c = tempCollection("period_stats_evolve")
