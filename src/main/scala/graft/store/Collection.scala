@@ -1064,8 +1064,16 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       d.startsWith(TmpPrefix) || d.startsWith("__backup_") ||
         d.startsWith("__txn_backup_"))
     junk.foreach(d => path.resolve(d).deleteRecursively())
+    // stale transaction pin manifests (crashed mid-commit): dropping
+    // them releases their pins; the GC inside deleteManifest then
+    // reclaims retained dirs nothing else references
+    val staleTxn = Snapshots.listManifests(path).filter(_.startsWith("__txn_"))
+    staleTxn.foreach { s =>
+      path.resolve(GraftStore.SnapshotsDir).resolve(s).deleteRecursively()
+      Snapshots.deleteManifest(path, s)
+    }
     refreshItems()
-    junk
+    junk ++ staleTxn
   }
 
   /** Store introspection — one row per item from DRIVER listings only
@@ -1485,6 +1493,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
   def listSnapshots(): Seq[String] =
     (path.resolve(GraftStore.SnapshotsDir).listDirs
        .filterNot(_.startsWith(".")) ++ Snapshots.listManifests(path))
+      .filterNot(_.startsWith("__")) // internal (transaction pin) manifests
       .distinct.sorted
 
   /** Lenient: deleting a missing snapshot returns true

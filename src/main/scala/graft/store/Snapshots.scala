@@ -295,4 +295,59 @@ object Snapshots {
     if (f.exists) f.fs.deleteRecursively(f.raw)
     gcRetained(collectionPath)
   }
+
+  // ----------------------------------------------------------- restore
+
+  /** Restore `item` to the state pinned by manifest `snap` — the
+    * transaction-rollback primitive. The commit paths' copy-on-write
+    * already renamed every pinned generation aside as ops replaced it,
+    * so restore is pure metadata: rename the pinned data back (whole
+    * dir for flat items, per pinned period for time layouts), drop
+    * periods the failed ops added, and rewrite the embedded pre-txn
+    * sidecar. O(1)/O(periods) renames on EVERY backend — no byte
+    * copies. An item absent from the manifest did not exist pre-txn
+    * and is deleted. */
+  def restoreFromManifest(collectionPath: SPath, snap: String,
+                          item: String): Unit = {
+    val fs = collectionPath.fs
+    val live = collectionPath.resolve(item)
+    // legacy fallback: a time item with no `_period_gens` was COPIED
+    // into the snapshot dir at manifest creation — rename it back whole
+    val copied = snapsDir(collectionPath).resolve(snap).resolve(item)
+    if (copied.isDir) {
+      live.deleteRecursively()
+      fs.rename(copied.raw, live.raw)
+      return
+    }
+    resolveManifestItem(collectionPath, snap, item) match {
+      case None =>
+        live.deleteRecursively() // created by the failed txn
+      case Some(FlatResolved(dir, sidecar)) =>
+        val dataDir = live.resolve(Item.DataDir)
+        if (dir.raw != live.raw) { // generation changed or item deleted
+          dataDir.deleteRecursively()
+          live.mkdirs()
+          fs.rename(dir.resolve(Item.DataDir).raw, dataDir.raw)
+        }
+        Meta.write(live, sidecar)
+      case Some(PeriodResolved(dirs, sidecar)) =>
+        val dataDir = live.resolve(Item.DataDir)
+        val pinned = dirs.map(_._1).toSet
+        if (dataDir.isDir)
+          dataDir.listDirs.filter(_.startsWith(Collection.MonthCol + "="))
+            .map(_.stripPrefix(Collection.MonthCol + "="))
+            .filterNot(pinned.contains)
+            .foreach(p =>
+              dataDir.resolve(s"${Collection.MonthCol}=$p").deleteRecursively())
+        dirs.foreach { case (p, src) =>
+          val dst = dataDir.resolve(s"${Collection.MonthCol}=$p")
+          if (src.raw != dst.raw) { // touched by the failed ops
+            dst.deleteRecursively()
+            fs.mkdirs(dst.parent.raw)
+            fs.rename(src.raw, dst.raw)
+          }
+        }
+        Meta.write(live, sidecar)
+    }
+  }
 }

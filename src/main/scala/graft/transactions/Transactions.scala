@@ -12,13 +12,17 @@ import graft.store._
 /** ACID-lite transactions over collection items
   * (reference: pystore/transactions.py:41-286 / T1-T2).
   *
-  * Design (same as the reference): queue write/append/delete operations;
-  * on commit, back up every affected item directory, execute the ops
-  * serially, and restore the backups if anything fails. Single-writer,
-  * driver-coordinated — the data jobs themselves still run distributed.
-  * Scale note: backups copy item directories; at 100 TB the backup
-  * becomes a manifest/rename of immutable part-files (same protocol
-  * shape as snapshots, SURVEY §7.4.4).
+  * Queue write/append/delete operations; on commit, PIN every affected
+  * item's pre-txn state in an internal manifest snapshot (generation
+  * pins — O(items) metadata, zero bytes; Snapshots.scala), execute the
+  * ops serially, and on failure restore each item from its pins. The
+  * reference copies whole item directories (transactions.py:79-90);
+  * here the commit paths' copy-on-write renames pinned generations
+  * aside as ops replace them, so BOTH the backup and the rollback are
+  * O(1)-per-dir renames on every backend — a 100 TB item enters a
+  * transaction without a byte moving, object stores included.
+  * Single-writer, driver-coordinated — the data jobs themselves still
+  * run distributed.
   */
 final class Transaction(collection: Collection) {
 
@@ -50,16 +54,14 @@ final class Transaction(collection: Collection) {
     if (completed) throw new TransactionError("transaction already completed")
     completed = true
     val affected = ops.map(_.item).distinct.toSeq
-    val fs = collection.path.fs
-    val backups = affected.flatMap { it =>
-      val src = collection.path.resolve(it)
-      if (src.isDir) {
-        val b = collection.path.resolve(s"__txn_backup_$it")
-        b.deleteRecursively()
-        fs.snapshotRecursively(src.raw, b.raw)
-        Some(it -> b)
-      } else None
-    }.toMap
+    // Pin the pre-txn state: an internal manifest snapshot over the
+    // affected items only. Every commit/delete inside the txn then
+    // retains the pinned data by rename (the snapshots' copy-on-write),
+    // so no op destroys what rollback needs — and success just drops
+    // the pins (deleteManifest GCs retained dirs nothing else pins).
+    val snap = s"__txn_${System.nanoTime()}"
+    Snapshots.createManifest(collection.path, snap,
+      affected.filter(it => collection.path.resolve(it).isDir))
     try {
       ops.foreach {
         case WriteOp(it, df, idx, meta, ow) =>
@@ -67,21 +69,23 @@ final class Transaction(collection: Collection) {
         case AppendOp(it, df, h) => collection.append(it, df, h)
         case DeleteOp(it)        => collection.deleteItem(it)
       }
-      backups.values.foreach(_.deleteRecursively())
+      cleanupTxnSnapshot(snap)
     } catch {
       case NonFatal(e) =>
-        // rollback: restore every affected item to its pre-txn state
-        affected.foreach { it =>
-          val target = collection.path.resolve(it)
-          target.deleteRecursively()
-          backups.get(it).foreach { b =>
-            // the backup dir itself becomes the restored item — O(1)
-            fs.rename(b.raw, target.raw)
-          }
-        }
+        // rollback: rename every affected item's pinned state back
+        affected.foreach(Snapshots.restoreFromManifest(collection.path, snap, _))
+        cleanupTxnSnapshot(snap)
         collection.clearMetadataCache()
+        collection.listItems() // refresh the item-set cache post-restore
         throw new TransactionError(s"transaction rolled back: ${e.getMessage}")
     }
+  }
+
+  /** Drop the internal pin manifest AND any legacy copied-item dir the
+    * manifest creation fell back to (time items without period gens). */
+  private def cleanupTxnSnapshot(snap: String): Unit = {
+    collection.path.resolve(GraftStore.SnapshotsDir).resolve(snap).deleteRecursively()
+    Snapshots.deleteManifest(collection.path, snap)
   }
 
   def rollback(): Unit = { completed = true; ops.clear() }

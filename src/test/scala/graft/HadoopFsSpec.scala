@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.store._
@@ -82,6 +84,39 @@ class HadoopFsSpec extends SparkSpec {
     assert(Meta.unjv(m("version")) == 3L)
     assert(c.listItems(Map("source" -> "hfs-test")) == Set("it"))
     c.path.parent.parent.deleteRecursively()
+  }
+
+  test("transaction backup + rollback are rename-only (same inodes, no copies)") {
+    import graft.transactions.Transaction
+    val hc = hadoopCollection("txn_pins")
+    hc.write("it", sampleData, indexCols = Seq("index"))
+    def inodes(): Map[String, Long] = {
+      val dir = java.nio.file.Paths.get(new java.net.URI(
+        hc.path.resolve("it").resolve(Item.DataDir).raw))
+      Files.list(dir).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => p.getFileName.toString ->
+          java.nio.file.Files.getAttribute(p, "unix:ino").asInstanceOf[Long]).toMap
+    }
+    val before = inodes()
+    assert(before.nonEmpty)
+    val beforeSum = hc.item("it").data.agg(sum("value2")).head.getDouble(0)
+    val txn = new Transaction(hc)
+    txn.append("it", sampleData.withColumn("value2", lit(9.9))) // succeeds, rewrites
+    txn.write("bad", sampleData.select($"index".as("x"), $"value1".as("x"))) // dup col → fails
+    intercept[TransactionError](txn.commit())
+    // the backup was generation PINS, never a directory copy
+    assert(!hc.path.listDirs.exists(_.startsWith("__txn_backup_")),
+      "no copied backup dir may exist under the manifest-pin protocol")
+    // rollback restored the ORIGINAL part-files by rename: same inodes
+    assert(inodes() == before,
+      "rollback must return the pre-txn files themselves (renames), not copies")
+    assert(hc.item("it").data.agg(sum("value2")).head.getDouble(0) == beforeSum)
+    assert(!hc.hasItem("bad"))
+    // the internal pin manifest is cleaned up and invisible
+    assert(Snapshots.listManifests(hc.path).isEmpty)
+    assert(hc.listSnapshots().isEmpty)
+    hc.path.parent.parent.deleteRecursively()
   }
 
   test("collection lock is exclusive through the Hadoop backend") {

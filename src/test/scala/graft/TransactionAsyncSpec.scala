@@ -33,6 +33,46 @@ class TransactionAsyncSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("time-layout rollback restores at PERIOD granularity: untouched months keep their files") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val c = tempCollection("txn_periods")
+    import spark.implicits._
+    def frame(startDay: String, days: Int, v: Double) = {
+      val start = java.time.LocalDate.parse(startDay)
+      (0 until days).map { i =>
+        (java.sql.Timestamp.valueOf(start.plusDays(i).atStartOfDay()), v)
+      }.toDF("index", "value")
+    }
+    c.write("m", frame("2024-01-01", 90, 1.0), monthlyLayout = true)
+    def periodFiles(): Map[String, Set[Object]] = {
+      val dataDir = java.nio.file.Paths.get(c.path.resolve("m").resolve(Item.DataDir).raw)
+      java.nio.file.Files.list(dataDir).iterator().asScala
+        .filter(_.getFileName.toString.startsWith(Collection.MonthCol + "="))
+        .map { p =>
+          p.getFileName.toString -> java.nio.file.Files.list(p).iterator().asScala
+            .filter(_.toString.endsWith(".parquet"))
+            .map(f => java.nio.file.Files.getAttribute(f, "unix:ino")).toSet
+        }.toMap
+    }
+    val before = periodFiles()
+    val txn = new Transaction(c)
+    // touches march (rewrite) and april (new period), then fails
+    txn.append("m", frame("2024-03-15", 30, 2.0))
+    txn.append("nope", frame("2024-01-01", 1, 0.0)) // missing item → fails
+    intercept[TransactionError](txn.commit())
+    val after = periodFiles()
+    assert(after.keySet == before.keySet, "april (added by the failed txn) must be gone")
+    assert(after("__month=2024-01") == before("__month=2024-01"),
+      "untouched january keeps its very files (no copy, no rewrite)")
+    assert(after("__month=2024-02") == before("__month=2024-02"))
+    assert(after("__month=2024-03") == before("__month=2024-03"),
+      "march must be the RENAMED-BACK original files, not a copy")
+    assert(c.item("m").data.count() == 90)
+    assert(c.item("m").data.filter(col("value") === 2.0).count() == 0)
+    cleanup(c)
+  }
+
   test("rollback before commit applies nothing") {
     val c = tempCollection("txn_abort")
     val txn = new Transaction(c)
