@@ -277,6 +277,21 @@ object Collection {
     * its "100× faster metadata access" (collection.py:116-147). */
   val MetaCacheTtlMs: Long = 300 * 1000L
 
+  /** Per-collection-path commit/snapshot coordination (JVM-wide, like
+    * the single-writer driver model): mutation commit points take the
+    * READ side (they interleave freely — each commit is itself atomic);
+    * snapshot capture takes the WRITE side, so the generation cut it
+    * pins is consistent across items even while parallel writers
+    * (writeBatch, async, streaming) are in flight. Reentrant, so a
+    * transaction can hold the read side across ALL its ops and publish
+    * them as one atomic unit w.r.t. snapshots. Cross-process
+    * coordination stays advisory via CollectionLock (unchanged). */
+  private val commitLocks =
+    new ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantReadWriteLock]()
+  private[store] def commitLockFor(path: SPath): java.util.concurrent.locks.ReentrantReadWriteLock =
+    commitLocks.computeIfAbsent(path.toString,
+      _ => new java.util.concurrent.locks.ReentrantReadWriteLock())
+
   /** [[Collection.expireBefore]] outcome: the period directories
     * removed by name (zero rows read) and the rows deleted from the
     * rewritten boundary period. */
@@ -311,6 +326,20 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
 
   private def maybeRefreshPeriodStats(item: String, months: Option[Seq[String]]): Unit =
     if (!simulateCrashBeforeStatsRefresh) refreshPeriodStats(item, months)
+
+  /** Hold the commit (read) side of the coordination lock — see
+    * [[Collection.commitLockFor]]. Reentrant per thread. */
+  private[graft] def withCommitLock[A](body: => A): A = {
+    val l = Collection.commitLockFor(path).readLock()
+    l.lock(); try body finally l.unlock()
+  }
+
+  /** Hold the snapshot (write) side: excludes every commit point while
+    * the generation cut is captured. */
+  private[graft] def withSnapshotLock[A](body: => A): A = {
+    val l = Collection.commitLockFor(path).writeLock()
+    l.lock(); try body finally l.unlock()
+  }
 
   // ---------------------------------------------------------------- items
 
@@ -685,6 +714,9 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     tmp.deleteRecursively()
     val writer = df.write.mode("overwrite").option("compression", "snappy")
     (if (partitioned) writer.partitionBy(MonthCol) else writer).parquet(tmp.toString)
+    // the heavy parquet job ran above; only the atomic publication
+    // (retain + swap + sidecar) sits inside the commit lock
+    withCommitLock {
     path.resolve(item).mkdirs()
     // Copy-on-write for manifest snapshots: pinned old generations are
     // renamed aside (O(1)) instead of destroyed by the swap — the
@@ -715,6 +747,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       (meta - "_period_stats") + ("_generation" -> Meta.jv(gen)) ++ periodGens)
     metaCache.remove(item)
     refreshItems()
+    }
   }
 
   /** Partial commit for monthly-layout appends: ONLY the month
@@ -729,6 +762,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     tmp.deleteRecursively()
     df.write.mode("overwrite").option("compression", "snappy")
       .partitionBy(MonthCol).parquet(tmp.toString)
+    withCommitLock {
     val dataDir = path.resolve(item).resolve(Item.DataDir)
     val oldPg = Snapshots.periodGensOf(Meta.read(path.resolve(item)))
     val pinned = Snapshots.pinnedPeriodGens(path, item)
@@ -800,6 +834,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
           (oldPg -- removedMonths) ++ swappedMonths.map(_ -> gen).toMap)))
     metaCache.remove(item)
     refreshItems()
+    }
   }
 
   // -------------------------------------------------------------- append
@@ -1288,7 +1323,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     else raw.filter(col(MonthCol).cast("string").isin(cands: _*))
   }
 
-  def deleteItem(item: String): Boolean = {
+  def deleteItem(item: String): Boolean = withCommitLock {
     // manifest snapshots survive the delete: pinned data (whole dir
     // for flat items, per pinned period for time layouts) moves to
     // the retained area before the item dir is removed
@@ -1481,11 +1516,18 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       .getOrElse(System.currentTimeMillis().toString + "_" +
         (System.nanoTime() % 1000000L).toString)
     val useManifest = manifest.getOrElse(path.fs != NioFs)
-    if (useManifest) Snapshots.createManifest(path, snap, items)
-    else {
-      val dst = path.resolve(GraftStore.SnapshotsDir).resolve(snap)
-      path.fs.snapshotRecursively(path.raw, dst.raw,
-        exclude = d => d == GraftStore.SnapshotsDir || d.startsWith("__"))
+    // write side of the coordination lock: no commit point (ordinary,
+    // parallel-batch, async, or a whole in-flight transaction holding
+    // the read side) can land while the cut is captured, so the pinned
+    // generations are consistent ACROSS items — never a mix of pre- and
+    // post-transaction states
+    withSnapshotLock {
+      if (useManifest) Snapshots.createManifest(path, snap, items)
+      else {
+        val dst = path.resolve(GraftStore.SnapshotsDir).resolve(snap)
+        path.fs.snapshotRecursively(path.raw, dst.raw,
+          exclude = d => d == GraftStore.SnapshotsDir || d.startsWith("__"))
+      }
     }
     snap
   }

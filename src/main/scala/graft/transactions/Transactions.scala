@@ -62,6 +62,11 @@ final class Transaction(collection: Collection) {
     val snap = s"__txn_${System.nanoTime()}"
     Snapshots.createManifest(collection.path, snap,
       affected.filter(it => collection.path.resolve(it).isDir))
+    // hold the commit-coordination READ side across ALL ops (reentrant
+    // under each op's own commit): a concurrent snapshot's write-side
+    // capture therefore sees the whole transaction or none of it,
+    // never a mixed-generation cut
+    collection.withCommitLock {
     try {
       ops.foreach {
         case WriteOp(it, df, idx, meta, ow) =>
@@ -78,6 +83,7 @@ final class Transaction(collection: Collection) {
         collection.clearMetadataCache()
         collection.listItems() // refresh the item-set cache post-restore
         throw new TransactionError(s"transaction rolled back: ${e.getMessage}")
+    }
     }
   }
 

@@ -73,6 +73,36 @@ class TransactionAsyncSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("snapshot during an in-flight transaction never captures a partial cut") {
+    import org.apache.spark.sql.functions._
+    import scala.concurrent.{ExecutionContext, Future}
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val c = tempCollection("txn_snap_atomic")
+    c.write("seed", sampleData.limit(5))
+    // the second op is slowed so the transaction is reliably mid-flight
+    // when the snapshot fires
+    val slow = udf((x: Double) => { Thread.sleep(15); x })
+    val txnDone = Future {
+      Transaction.withTransaction(c) { txn =>
+        txn.write("a", sampleData.limit(10))
+        txn.write("b", sampleData.withColumn("value1", slow(col("value1"))))
+      }
+    }
+    // wait until the txn has visibly committed its FIRST op
+    val deadline = System.currentTimeMillis() + 30000
+    while (!c.hasItem("a") && System.currentTimeMillis() < deadline) Thread.sleep(5)
+    assert(c.hasItem("a"), "txn never started")
+    // capture now: the write side of the coordination lock must wait
+    // for the whole transaction, so the cut contains BOTH items (a
+    // partial cut would miss 'b')
+    val snap = c.createSnapshot(Some("mid_txn"), manifest = Some(true))
+    Await.result(txnDone, 60.seconds)
+    assert(c.item("a", snapshot = Some(snap)).data.count() == 10)
+    assert(c.item("b", snapshot = Some(snap)).data.count() == 100,
+      "snapshot captured a MIXED transaction cut (item b missing)")
+    cleanup(c)
+  }
+
   test("rollback before commit applies nothing") {
     val c = tempCollection("txn_abort")
     val txn = new Transaction(c)
