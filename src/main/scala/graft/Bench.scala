@@ -30,31 +30,52 @@ object Bench {
     def loadAvg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
-    // Machine-contention sentinel: a fixed cheap query timed at start and
-    // end, plus the OS 1-min load average. A contended capture (the
-    // BENCH_r04 failure mode) shows sentinel_end/sentinel_start drift >2x
-    // and/or load far above the core count; such a run is invalid and must
-    // be re-captured on a quiet machine (see BASELINE.md).
+    // Machine-contention sentinel: a fixed cheap query timed at start,
+    // at the end, AND every `SentinelEvery` queries mid-run, plus the
+    // OS 1-min load average sampled alongside. The round-6 driver
+    // capture passed a start/end-only sentinel while a sustained
+    // mid-run contention phase inflated the all-core queries ~50% — the
+    // mid-run samples see exactly that window. A capture is valid only
+    // if EVERY sentinel sample stays within 2x of the first.
+    val SentinelEvery = 25
     val loadStart = loadAvg()
     val sentinelStart = timeQuery("q1_agg")
+    val midSentinels = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
+    var loadMax = math.max(loadStart, 0.0)
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = names.zipWithIndex.map { case ((name, fn), i) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      loadMax = math.max(loadMax, loadAvg())
+      if ((i + 1) % SentinelEvery == 0 && i + 1 < names.size) {
+        midSentinels += ((i + 1, timeQuery("q1_agg"), loadAvg()))
+        loadMax = math.max(loadMax, midSentinels.last._3)
+      }
+      name -> sec
     }
 
     val sentinelEnd = timeQuery("q1_agg")
     val loadEnd = loadAvg()
+    loadMax = math.max(loadMax, loadEnd)
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val allSentinels = midSentinels.map(_._2).toSeq :+ sentinelEnd
     val drift = if (sentinelStart > 0) sentinelEnd / sentinelStart else -1.0
+    val maxDrift =
+      if (sentinelStart > 0 && allSentinels.nonEmpty) allSentinels.max / sentinelStart
+      else -1.0
+    val midJson = midSentinels
+      .map { case (at, sec, load) => s"""{"after":$at,"sec":$sec,"load_avg":$load}""" }
+      .mkString("[", ",", "]")
     val sentinel =
       s""""sentinel":{"query":"q1_agg","start_sec":$sentinelStart,"end_sec":$sentinelEnd,""" +
-      s""""drift":$drift,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,""" +
-      s""""valid":${drift >= 0 && drift <= 2.0}}"""
+      s""""drift":$drift,"mid_samples":$midJson,"max_drift":$maxDrift,""" +
+      s""""load_avg_start":$loadStart,"load_avg_end":$loadEnd,"proc_loadavg_max":$loadMax,""" +
+      s""""valid":${maxDrift >= 0 && maxDrift <= 2.0}}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$sentinel}"""
     println(line)
