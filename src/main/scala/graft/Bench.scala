@@ -43,7 +43,13 @@ object Bench {
     val midSentinels = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
     var loadMax = math.max(loadStart, 0.0)
 
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated query names (exact match)
+    // restricting the run — used for the sf1.0 headline-family tier so
+    // the scaled capture times the stats-adaptive paths, not all 113.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = names.zipWithIndex.map { case ((name, fn), i) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
