@@ -850,6 +850,74 @@ object StoreQueries {
       |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Catalog plugin + SQL time travel: the store is a catalog
+    * (namespaces = collections, tables = items — no per-item DDL), and
+    * `VERSION AS OF '<snapshot>'` maps to graft snapshots. Scenario:
+    * even-orderkey 1997H1 is written monthly, manifest snapshot 'v1'
+    * pins the cut, then odd-orderkey Jun–Dec lands (KeepAll) — which
+    * REWRITES June's generation and adds six periods. The pinned arm
+    * must serve the pre-append June; a plan probe asserts the pinned
+    * read still prunes its periods to ONE dir (path selection works on
+    * retained generation dirs exactly as on live ones). */
+  def catalogVersioned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "catalog_sql")
+    val li = Tables.t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_quantity", $"l_extendedprice", $"l_shipdate")
+    def slice(lo: String, hi: String, parity: Int) =
+      li.filter($"l_shipdate" >= lit(java.sql.Timestamp.valueOf(lo)) &&
+        $"l_shipdate" < lit(java.sql.Timestamp.valueOf(hi)) &&
+        $"l_orderkey" % 2 === parity)
+    col.write("li", slice("1997-01-01 00:00:00", "1997-07-01 00:00:00", 0),
+      indexCols = Seq("l_shipdate"), timeLayout = Some("monthly"))
+    col.createSnapshot(Some("v1"), manifest = Some(true))
+    col.append("li", slice("1997-06-01 00:00:00", "1998-01-01 00:00:00", 1),
+      duplicateHandling = DuplicateHandling.KeepAll)
+    s.conf.set("spark.sql.catalog.gvcat", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gvcat.root", col.path.parent.toString)
+    val probe = s.sql("SELECT * FROM gvcat.col.li VERSION AS OF 'v1' " +
+      "WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00' " +
+      "AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'")
+    val scan = probe.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+    }.getOrElse(throw new IllegalStateException("no V2 scan in the catalog plan"))
+    if (scan.fileIndex.rootPaths.size != 1)
+      throw new IllegalStateException("snapshot read must prune pinned periods " +
+        s"to 1 dir, got ${scan.fileIndex.rootPaths.size}")
+    def rollup(versionClause: String, arm: String) = s.sql(s"""
+      |SELECT '$arm' AS arm, date_trunc('month', l_shipdate) AS ship_month,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_qty
+      |FROM gvcat.col.li $versionClause
+      |GROUP BY 1, 2""".stripMargin)
+    rollup("VERSION AS OF 'v1'", "pinned").unionByName(rollup("", "live"))
+      .orderBy("arm", "ship_month")
+  }
+
+  val catalogVersionedSql: String =
+    """WITH pinned AS (
+      |  SELECT l_shipdate, l_quantity FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+      |    AND l_orderkey % 2 = 0
+      |), live AS (
+      |  SELECT * FROM pinned
+      |  UNION ALL
+      |  SELECT l_shipdate, l_quantity FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-06-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |    AND l_orderkey % 2 = 1
+      |)
+      |SELECT 'pinned' AS arm, date_trunc('month', l_shipdate) AS ship_month,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_qty
+      |FROM pinned GROUP BY 1, 2
+      |UNION ALL
+      |SELECT 'live' AS arm, date_trunc('month', l_shipdate) AS ship_month,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_qty
+      |FROM live GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   /** M4 parallel multi-item write (reference write_batch,
     * collection.py:753-829): three good frames + one with duplicate
     * column names, submitted concurrently. The partial failure is
@@ -971,6 +1039,7 @@ object StoreQueries {
     "store_describe_items" -> describeItemsStats _,
     "store_delete_pruned" -> deletePruned _,
     "store_sql_read" -> sqlRead _,
+    "store_catalog_versioned" -> catalogVersioned _,
     "store_write_batch" -> writeBatchSummary _,
     "store_snapshot_listing" -> snapshotListing _,
     "store_delete_pruned_date" -> deletePrunedDate _)
@@ -1003,6 +1072,7 @@ object StoreQueries {
     "store_describe_items" -> describeItemsStatsSql,
     "store_delete_pruned" -> deletePrunedSql,
     "store_sql_read" -> sqlReadSql,
+    "store_catalog_versioned" -> catalogVersionedSql,
     "store_write_batch" -> writeBatchSummarySql,
     "store_snapshot_listing" -> snapshotListingSql,
     "store_delete_pruned_date" -> deletePrunedDateSql)

@@ -1,0 +1,152 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.store.{GraftError, GraftStore, HadoopFs, Item, NioFs, SPath}
+
+/** Catalog plugin — the store as a SQL catalog, no per-item DDL.
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.root", "/data/mystore")
+  *
+  *   SHOW NAMESPACES IN graft                  -- collections
+  *   SHOW TABLES IN graft.prices               -- items
+  *   SELECT * FROM graft.prices.aapl WHERE index >= '2024-03-01'
+  *   SELECT * FROM graft.prices.aapl VERSION AS OF 'eod_2024_03_01'
+  * }}}
+  *
+  * Namespaces are collections, tables are items; `loadTable` serves the
+  * same [[GraftTable]] the `graft` format resolves, so filter pushdown,
+  * column pruning, and period-directory pruning are identical whether
+  * the item was reached by path or by name. `VERSION AS OF` maps the
+  * version string to a graft snapshot (dir or manifest — the pinned
+  * periods flow through the scan's path selection).
+  *
+  * Scale note: catalog calls are driver-side directory listings only
+  * (one `listDirs` per SHOW; `loadTable` reads one sidecar). Nothing
+  * touches data files until a scan builds, so a 100k-item store costs
+  * a SQL user exactly what it costs the Scala API user.
+  *
+  * Scope: read-only, like the `graft` format (the mutation surface —
+  * validation, dedup-on-append, atomic commit — stays behind the typed
+  * Scala API where its invariants live); DDL/DML through this catalog
+  * throws `UnsupportedOperationException` rather than bypassing them.
+  */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var storePath: SPath = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val root = Option(options.get("root")).getOrElse(
+      throw new GraftError(
+        s"graft catalog '$name' requires spark.sql.catalog.$name.root=<store dir>"))
+    val fs =
+      if (root.contains(":/"))
+        new HadoopFs(SparkSession.active.sessionState.newHadoopConf())
+      else NioFs
+    storePath = SPath(fs, root)
+    if (!storePath.isDir)
+      throw new GraftError(s"graft catalog root '$root' is not a directory")
+  }
+
+  override def name(): String = catalogName
+
+  // ------------------------------------------------- namespaces = collections
+
+  override def listNamespaces(): Array[Array[String]] =
+    storePath.listDirs.filterNot(_ == GraftStore.SnapshotsDir)
+      .sorted.map(Array(_)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && collectionDir(namespace(0)).isDir
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace)) util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(namespace)
+
+  // ------------------------------------------------------- tables = items
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    collectionDir(namespace(0)).listDirs
+      .filterNot(d => d == GraftStore.SnapshotsDir || d.startsWith("_"))
+      .sorted.map(Identifier.of(namespace, _)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace.length == 1 &&
+      itemDir(ident).resolve(Item.DataDir).isDir
+
+  override def loadTable(ident: Identifier): Table =
+    load(ident, snapshot = None)
+
+  /** `VERSION AS OF '<snapshot>'` — version strings are snapshot names. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, snapshot = Some(version))
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "graft snapshots are named, not timestamped: use VERSION AS OF '<snapshot>' " +
+        "(TIMESTAMP AS OF is not supported)")
+
+  private def load(ident: Identifier, snapshot: Option[String]): Table = {
+    if (ident.namespace.length != 1) throw new NoSuchTableException(ident)
+    val item = itemDir(ident)
+    // snapshot reads resolve even when the live item is gone (a manifest
+    // outlives deletion until its pins are GC'd), so gate existence on
+    // the live dir only for live loads
+    if (snapshot.isEmpty && !item.resolve(Item.DataDir).isDir)
+      throw new NoSuchTableException(ident)
+    try GraftTable.resolveItem(SparkSession.active, item, snapshot)
+    catch {
+      case _: graft.store.ItemNotFoundError => throw new NoSuchTableException(ident)
+    }
+  }
+
+  override def invalidateTable(ident: Identifier): Unit = ()
+
+  private def collectionDir(coll: String): SPath = storePath.resolve(coll)
+  private def itemDir(ident: Identifier): SPath =
+    collectionDir(ident.namespace.head).resolve(ident.name)
+
+  // ------------------------------------------- mutations: typed refusal
+
+  private def readOnly(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft catalog is read-only: $op must go through the typed Scala API " +
+        "(Collection.write/append/delete), which enforces validation, " +
+        "dedup-on-append, and atomic commit")
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table =
+    readOnly("CREATE TABLE")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    readOnly("ALTER TABLE")
+  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    readOnly("RENAME TABLE")
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit =
+    readOnly("CREATE NAMESPACE")
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    readOnly("ALTER NAMESPACE")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    readOnly("DROP NAMESPACE")
+}

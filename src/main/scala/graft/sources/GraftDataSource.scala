@@ -18,7 +18,7 @@ import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.store.{Collection, GraftError, HadoopFs, Item, ItemNotFoundError, Meta, NioFs, SPath}
+import graft.store.{Collection, GraftError, GraftStore, HadoopFs, Item, ItemNotFoundError, Meta, NioFs, SPath, SnapshotNotFoundError, Snapshots}
 
 /** DataSource V2 front door — the SQL face of the store.
   *
@@ -78,10 +78,25 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
 
 object GraftTable {
 
-  /** Resolve the `path` option to an item directory: sidecar metadata,
-    * layout, and the ENCODED schema (what the part-files hold — sidecar
-    * `schema_json_encoded` when present, else one parquet footer
-    * inference). Driver-side metadata only; no data read. */
+  /** Where the scan's parquet roots come from:
+    *  - [[LiveDirs]] — an item (or dir-snapshot) `data/` dir; time
+    *    layouts list and prune its period subdirs at scan build;
+    *  - [[PinnedPeriods]] — a manifest snapshot of a time-layout item:
+    *    a FIXED (period → parquet dir) set mixing live and retained
+    *    generation dirs, pruned by period key exactly like live dirs.
+    */
+  private[sources] sealed trait RootSource
+  private[sources] final case class LiveDirs(dataDir: SPath) extends RootSource
+  private[sources] final case class PinnedPeriods(pairs: Seq[(String, SPath)]) extends RootSource
+
+  /** Resolve the `path` option (+ optional `snapshot`) to an item:
+    * sidecar metadata, layout, and the ENCODED schema (what the
+    * part-files hold — sidecar `schema_json_encoded` when present, else
+    * one parquet footer inference). Driver-side metadata only; no data
+    * read. Snapshot resolution mirrors the Scala read path
+    * (store/Item.scala:51-66): dir snapshots and legacy-frozen items
+    * serve their physical dir; manifest snapshots pin flat items to a
+    * generation dir and time-layout items to one dir per period. */
   private[graft] def resolve(options: CaseInsensitiveStringMap): GraftTable = {
     val spark = SparkSession.active
     val pathOpt = Option(options.get("path")).getOrElse(
@@ -89,11 +104,50 @@ object GraftTable {
         "spark.read.format(\"graft\").load(\"<store>/<collection>/<item>\")"))
     val fs = if (pathOpt.contains(":/")) new HadoopFs(spark.sessionState.newHadoopConf())
              else NioFs
-    val itemPath = SPath(fs, pathOpt)
-    val dataDir = itemPath.resolve(Item.DataDir)
+    resolveItem(spark, SPath(fs, pathOpt),
+      Option(options.get("snapshot")).filter(_.nonEmpty))
+  }
+
+  private[graft] def resolveItem(spark: SparkSession, itemPath: SPath,
+                                 snapshot: Option[String]): GraftTable =
+    snapshot match {
+      case None =>
+        fromItemDir(spark, itemPath, itemPath, Meta.read(itemPath))
+      case Some(snap) =>
+        val collectionPath = itemPath.parent
+        val item = itemPath.name
+        val snapDir = collectionPath.resolve(GraftStore.SnapshotsDir).resolve(snap)
+        val hasManifest = Snapshots.manifestExists(collectionPath, snap)
+        if (!snapDir.isDir && !hasManifest)
+          throw new SnapshotNotFoundError(s"snapshot '$snap' does not exist")
+        val dirItem = snapDir.resolve(item)
+        if (dirItem.isDir) fromItemDir(spark, itemPath, dirItem, Meta.read(dirItem))
+        else Snapshots.resolveManifestItem(collectionPath, snap, item) match {
+          case Some(r: Snapshots.FlatResolved) =>
+            fromItemDir(spark, itemPath, r.dir, r.sidecar)
+          case Some(r: Snapshots.PeriodResolved) =>
+            r.periodDirs.find(!_._2.isDir).foreach { case (period, d) =>
+              throw new GraftError(
+                s"snapshot period '$period' of item '$item' missing at $d")
+            }
+            fromMeta(spark, itemPath, r.sidecar, PinnedPeriods(r.periodDirs),
+              inferFrom = r.periodDirs.map(_._2.toString))
+          case None =>
+            throw new ItemNotFoundError(s"item '$item' not found in snapshot '$snap'")
+        }
+    }
+
+  private def fromItemDir(spark: SparkSession, displayPath: SPath,
+                          rootDir: SPath, meta: Map[String, org.json4s.JValue]): GraftTable = {
+    val dataDir = rootDir.resolve(Item.DataDir)
     if (!dataDir.isDir)
-      throw new ItemNotFoundError(s"no graft item at $pathOpt (missing ${Item.DataDir}/ dir)")
-    val meta = Meta.read(itemPath)
+      throw new ItemNotFoundError(s"no graft item at $rootDir (missing ${Item.DataDir}/ dir)")
+    fromMeta(spark, displayPath, meta, LiveDirs(dataDir), inferFrom = Seq(dataDir.toString))
+  }
+
+  private def fromMeta(spark: SparkSession, displayPath: SPath,
+                       meta: Map[String, org.json4s.JValue], roots: RootSource,
+                       inferFrom: Seq[String]): GraftTable = {
     val layout = meta.get("_layout").map(j => Meta.unjv(j).toString)
       .filter(Collection.TimeLayouts.contains)
     val indexCol = meta.get("index_names").map(Meta.unjv) match {
@@ -109,11 +163,11 @@ object GraftTable {
       case _ =>
         // pre-encoded-sidecar item: infer once from the footers (and
         // drop the hidden partition column a time layout would surface)
-        val inferred = spark.read.parquet(dataDir.toString).schema
+        val inferred = spark.read.parquet(inferFrom: _*).schema
         StructType(inferred.filterNot(_.name == Collection.MonthCol))
     }
-    new GraftTable(spark, itemPath, schema, layout, indexCol,
-      java.time.ZoneId.of(layoutTz), Collection.periodStatsOf(meta))
+    new GraftTable(spark, displayPath, schema, layout, indexCol,
+      java.time.ZoneId.of(layoutTz), Collection.periodStatsOf(meta), roots)
   }
 }
 
@@ -124,7 +178,8 @@ final class GraftTable private[sources] (
     layout: Option[String],
     indexCol: String,
     layoutTz: java.time.ZoneId,
-    periodStats: Map[String, Map[String, (Any, Any)]])
+    periodStats: Map[String, Map[String, (Any, Any)]],
+    roots: GraftTable.RootSource)
     extends Table with SupportsRead {
 
   override def name(): String = s"graft.`$itemPath`"
@@ -134,7 +189,7 @@ final class GraftTable private[sources] (
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, itemPath, tableSchema, layout, indexCol,
-      layoutTz, periodStats, options)
+      layoutTz, periodStats, roots, options)
 }
 
 /** V2 scan builder: collects Catalyst's pushed filters + required
@@ -148,6 +203,7 @@ final class GraftScanBuilder(
     indexCol: String,
     layoutTz: java.time.ZoneId,
     periodStats: Map[String, Map[String, (Any, Any)]],
+    roots: GraftTable.RootSource,
     options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -199,31 +255,44 @@ final class GraftScanBuilder(
     case _ => Literal.TrueLiteral
   }
 
+  /** Period-key pruning shared by live listings and pinned snapshot
+    * sets: a session-zone mismatch with the writer's recorded zone
+    * forfeits pruning (reads stay correct), same rule as the delete
+    * discovery scan. */
+  private def prunePeriods(l: String, all: Seq[String]): Seq[String] = {
+    val sessionTz = spark.sessionState.conf.sessionLocalTimeZone
+    if (layoutTz != java.time.ZoneId.of(sessionTz)) all.sorted
+    else {
+      val cond = pushed.map(toCatalyst)
+        .reduceOption(CAnd(_, _)).getOrElse(Literal.TrueLiteral)
+      Collection.candidatePeriods(all, cond, indexCol, l, layoutTz, periodStats)
+    }
+  }
+
   override def build(): Scan = {
-    val dataDir = itemPath.resolve(Item.DataDir)
     // period pruning = path selection: nothing outside the surviving
     // periods is even LISTED into the file index
-    val roots: Seq[String] = layout match {
-      case None => Seq(dataDir.toString)
-      case Some(l) =>
-        val all = dataDir.listDirs
-          .filter(_.startsWith(Collection.MonthCol + "="))
-          .map(_.stripPrefix(Collection.MonthCol + "="))
-        val sessionTz = spark.sessionState.conf.sessionLocalTimeZone
-        // period keys live in the writer's recorded zone: a mismatched
-        // session forfeits pruning (reads stay correct), same rule as
-        // the delete discovery scan
-        val cands =
-          if (layoutTz != java.time.ZoneId.of(sessionTz)) all.sorted
-          else {
-            val cond = pushed.map(toCatalyst)
-              .reduceOption(CAnd(_, _)).getOrElse(Literal.TrueLiteral)
-            Collection.candidatePeriods(all, cond, indexCol, l, layoutTz, periodStats)
-          }
-        cands.map(p => dataDir.resolve(s"${Collection.MonthCol}=$p").toString)
+    val scanRoots: Seq[String] = roots match {
+      case GraftTable.LiveDirs(dataDir) => layout match {
+        case None => Seq(dataDir.toString)
+        case Some(l) =>
+          val all = dataDir.listDirs
+            .filter(_.startsWith(Collection.MonthCol + "="))
+            .map(_.stripPrefix(Collection.MonthCol + "="))
+          prunePeriods(l, all)
+            .map(p => dataDir.resolve(s"${Collection.MonthCol}=$p").toString)
+      }
+      case GraftTable.PinnedPeriods(pairs) => layout match {
+        // a manifest pins periods only for time-layout items, but the
+        // sidecar could predate the layout marker — serve all pins
+        case None => pairs.map(_._2.toString)
+        case Some(l) =>
+          val byPeriod = pairs.toMap
+          prunePeriods(l, pairs.map(_._1)).flatMap(byPeriod.get).map(_.toString)
+      }
     }
     val fileIndex = new InMemoryFileIndex(
-      spark, roots.map(new HPath(_)), options.asScala.toMap, Some(tableSchema))
+      spark, scanRoots.map(new HPath(_)), options.asScala.toMap, Some(tableSchema))
     ParquetScan(
       spark,
       spark.sessionState.newHadoopConfWithOptions(options.asScala.toMap),

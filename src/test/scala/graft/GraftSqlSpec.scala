@@ -133,4 +133,104 @@ class GraftSqlSpec extends SparkSpec {
       spark.read.format("graft").load("/tmp/definitely_not_a_graft_item").schema)
     assert(e.getMessage.contains("no graft item"))
   }
+
+  // ------------------------------------------------------------ catalog
+
+  /** Register a GraftCatalog over the collection's store under a
+    * test-unique name (CatalogManager caches instances per name, so
+    * reusing one across tests would pin the first root). */
+  private def withCatalog(c: Collection, tag: String)(body: String => Unit): Unit = {
+    val cat = s"gstore_$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", c.path.parent.toString)
+    try body(cat)
+    finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.root")
+    }
+  }
+
+  test("catalog: collections are namespaces, items are tables, reads prune") {
+    val c = tempCollection("cat_read")
+    c.write("item", frame("2024-01-01", 90), monthlyLayout = true)
+    c.write("other", frame("2024-01-01", 5))
+    withCatalog(c, "read") { cat =>
+      val ns = spark.sql(s"SHOW NAMESPACES IN $cat").collect().map(_.getString(0))
+      assert(ns.toSeq == Seq("c"))
+      val tbls = spark.sql(s"SHOW TABLES IN $cat.c").collect().map(_.getString(1))
+      assert(tbls.toSeq == Seq("item", "other"))
+      val df = spark.sql(
+        s"SELECT * FROM $cat.c.item WHERE index >= timestamp'2024-03-01 00:00:00'")
+      assert(df.count() == 30)
+      // period pruning holds when the item is reached by NAME, not path
+      assert(v2Scan(df).fileIndex.rootPaths.size == 1)
+      val missing = intercept[Exception](spark.sql(s"SELECT * FROM $cat.c.nope").collect())
+      assert(missing.getMessage.toLowerCase.contains("table"))
+    }
+    cleanup(c)
+  }
+
+  test("catalog: VERSION AS OF serves manifest snapshots with pinned periods pruned") {
+    val c = tempCollection("cat_snap")
+    c.write("item", frame("2024-01-01", 60), monthlyLayout = true)
+    c.createSnapshot(Some("v1"), manifest = Some(true))
+    // mutate AFTER the cut: extend an existing period and add a new one
+    c.append("item", frame("2024-02-25", 20)) // feb overlap + march
+    withCatalog(c, "snap") { cat =>
+      val live = spark.sql(s"SELECT count(*) AS n FROM $cat.c.item").head().getLong(0)
+      val pinned = spark.sql(s"SELECT * FROM $cat.c.item VERSION AS OF 'v1'")
+      assert(live > 60 && pinned.count() == 60,
+        s"live $live must see the append; snapshot must not")
+      // snapshot parity with the Scala read path, row for row
+      assert(pinned.orderBy("index").collect().toSeq ==
+        c.item("item", snapshot = Some("v1")).data.orderBy("index").collect().toSeq)
+      // pinned periods prune like live ones: feb-only predicate → 1 root
+      val feb = spark.sql(s"SELECT * FROM $cat.c.item VERSION AS OF 'v1' " +
+        "WHERE index >= timestamp'2024-02-01 00:00:00'")
+      assert(v2Scan(feb).fileIndex.rootPaths.size == 1)
+      assert(feb.count() == 29) // jan 1 + 60 days: feb 1..29 (leap)
+      // TIMESTAMP AS OF has no graft meaning — typed refusal
+      val ts = intercept[Exception](spark.sql(
+        s"SELECT * FROM $cat.c.item TIMESTAMP AS OF '2024-01-01'").collect())
+      assert(ts.getMessage.contains("VERSION AS OF"))
+    }
+    cleanup(c)
+  }
+
+  test("reader option snapshot= and dir snapshots serve the frozen cut") {
+    val c = tempCollection("cat_dirsnap")
+    c.write("item", frame("2024-01-01", 40), monthlyLayout = true)
+    c.createSnapshot(Some("d1"), manifest = Some(false)) // physical dir snapshot
+    c.append("item", frame("2024-02-10", 10))
+    val snap = spark.read.format("graft").option("snapshot", "d1")
+      .load(c.path.resolve("item").toString)
+    assert(snap.count() == 40)
+    assert(snap.orderBy("index").collect().toSeq ==
+      c.item("item", snapshot = Some("d1")).data.orderBy("index").collect().toSeq)
+    // a dir snapshot carries the full time layout — pruning still works
+    val feb = snap.filter(col("index") >= lit(java.sql.Timestamp.valueOf("2024-02-01 00:00:00")))
+    assert(v2Scan(feb).fileIndex.rootPaths.size == 1)
+    val gone = intercept[SnapshotNotFoundError](
+      spark.read.format("graft").option("snapshot", "nope")
+        .load(c.path.resolve("item").toString).schema)
+    assert(gone.getMessage.contains("does not exist"))
+    cleanup(c)
+  }
+
+  test("catalog is read-only: DDL/DML refuse with the typed message") {
+    val c = tempCollection("cat_ro")
+    c.write("item", frame("2024-01-01", 5))
+    withCatalog(c, "ro") { cat =>
+      for (stmt <- Seq(
+        s"CREATE TABLE $cat.c.t2 (x INT)",
+        s"DROP TABLE $cat.c.item",
+        s"CREATE NAMESPACE $cat.newns",
+        s"DROP NAMESPACE $cat.c")) {
+        val e = intercept[Exception](spark.sql(stmt).collect())
+        assert(e.getMessage.contains("typed Scala API") ||
+          e.getMessage.toLowerCase.contains("not support"), s"$stmt → ${e.getMessage}")
+      }
+    }
+    cleanup(c)
+  }
 }
