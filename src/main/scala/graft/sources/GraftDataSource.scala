@@ -10,9 +10,10 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualTo => CEq, Expression, GreaterThan => CGt, GreaterThanOrEqual => CGte, In => CIn, LessThan => CLt, LessThanOrEqual => CLte, Literal}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
-import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -205,10 +206,12 @@ final class GraftScanBuilder(
     periodStats: Map[String, Map[String, (Any, Any)]],
     roots: GraftTable.RootSource,
     options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
+  private var aggDelegate: Option[ParquetScanBuilder] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // keep the parquet-convertible shapes for row-group skipping; hand
@@ -234,6 +237,31 @@ final class GraftScanBuilder(
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Footer-driven MIN/MAX/COUNT — `SELECT max(index) FROM item` reads
+    * zero data pages (the S5 index-only story through SQL). Delegated
+    * to Spark's own [[ParquetScanBuilder]] over the item's full root
+    * set so type-support rules and the aggregate read schema stay
+    * Spark's. Parquet aggregate pushdown is PARTIAL: the scan emits
+    * per-split footer stats rows and Spark's final aggregate merges
+    * them (supportCompletePushDown stays false, like every parquet
+    * table). Refused when data filters are pushed — footer stats
+    * cannot see row-level filters (Spark would not offer the combo
+    * anyway) — and gated on spark.sql.parquet.aggregatePushdown. */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    pushed.isEmpty && parquetDelegate().supportCompletePushDown(aggregation)
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (pushed.nonEmpty) return false
+    val d = parquetDelegate()
+    val ok = d.pushAggregation(aggregation)
+    if (ok) aggDelegate = Some(d)
+    ok
+  }
+
+  private def parquetDelegate(): ParquetScanBuilder =
+    aggDelegate.getOrElse(new ParquetScanBuilder(
+      spark, fileIndexFor(allRoots()), tableSchema, tableSchema, options))
 
   /** Translate a pushed source filter to the catalyst shape
     * [[Collection.candidatePeriods]] walks. Only conjunctive
@@ -269,7 +297,27 @@ final class GraftScanBuilder(
     }
   }
 
+  /** The item's full root set, unpruned (aggregate pushdown must see
+    * every period's footers). */
+  private def allRoots(): Seq[String] = roots match {
+    case GraftTable.LiveDirs(dataDir) => layout match {
+      case None => Seq(dataDir.toString)
+      case Some(_) =>
+        dataDir.listDirs.filter(_.startsWith(Collection.MonthCol + "="))
+          .sorted.map(d => dataDir.resolve(d).toString)
+    }
+    case GraftTable.PinnedPeriods(pairs) => pairs.map(_._2.toString)
+  }
+
+  private def fileIndexFor(scanRoots: Seq[String]): InMemoryFileIndex =
+    new InMemoryFileIndex(
+      spark, scanRoots.map(new HPath(_)), options.asScala.toMap, Some(tableSchema))
+
   override def build(): Scan = {
+    aggDelegate match {
+      case Some(d) => return d.build() // footer-aggregate scan, zero data pages
+      case None    =>
+    }
     // period pruning = path selection: nothing outside the surviving
     // periods is even LISTED into the file index
     val scanRoots: Seq[String] = roots match {
@@ -291,8 +339,7 @@ final class GraftScanBuilder(
           prunePeriods(l, pairs.map(_._1)).flatMap(byPeriod.get).map(_.toString)
       }
     }
-    val fileIndex = new InMemoryFileIndex(
-      spark, scanRoots.map(new HPath(_)), options.asScala.toMap, Some(tableSchema))
+    val fileIndex = fileIndexFor(scanRoots)
     ParquetScan(
       spark,
       spark.sessionState.newHadoopConfWithOptions(options.asScala.toMap),

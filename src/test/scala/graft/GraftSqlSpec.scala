@@ -20,11 +20,18 @@ class GraftSqlSpec extends SparkSpec {
     }.toDF("index", "value", "tag")
   }
 
-  private def v2Scan(df: org.apache.spark.sql.DataFrame): ParquetScan =
-    df.queryExecution.executedPlan.collectFirst {
+  private def v2Scan(df: org.apache.spark.sql.DataFrame): ParquetScan = {
+    // AQE wraps plans with exchanges; the wrapped plan is a field, not
+    // a child, so unwrap before collecting
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    plan.collectFirst {
       case b: BatchScanExec => b.scan.asInstanceOf[ParquetScan]
-    }.getOrElse(fail("expected a BatchScanExec (V2 scan) in the plan:\n" +
-      df.queryExecution.executedPlan))
+    }.getOrElse(fail("expected a BatchScanExec (V2 scan) in the plan:\n" + plan))
+  }
 
   test("format(graft) reads flat and time-layout items identically to the Scala API") {
     val c = tempCollection("sql_read")
@@ -214,6 +221,29 @@ class GraftSqlSpec extends SparkSpec {
       spark.read.format("graft").option("snapshot", "nope")
         .load(c.path.resolve("item").toString).schema)
     assert(gone.getMessage.contains("does not exist"))
+    cleanup(c)
+  }
+
+  test("min/max/count answer from parquet footers when aggregate pushdown is on") {
+    val c = tempCollection("sql_aggpush")
+    c.write("item", frame("2024-01-01", 90), monthlyLayout = true)
+    val key = "spark.sql.parquet.aggregatePushdown"
+    try {
+      spark.conf.set(key, "true")
+      val t = spark.read.format("graft").load(c.path.resolve("item").toString)
+      val agg = t.agg(max(col("value")).as("mx"), count(lit(1)).as("n"))
+      val scan = v2Scan(agg)
+      assert(scan.pushedAggregate.isDefined,
+        s"expected a pushed aggregate on the V2 scan:\n${agg.queryExecution.executedPlan}")
+      val row = agg.collect().head
+      assert(row.getDouble(0) == 89.0 && row.getLong(1) == 90L)
+      // with a data filter the aggregate must NOT push (footer stats
+      // cannot see row-level filters) — and the result stays correct
+      val filtered = t.filter(col("tag") =!= "r0")
+        .agg(count(lit(1)).as("n"))
+      assert(v2Scan(filtered).pushedAggregate.isEmpty)
+      assert(filtered.collect().head.getLong(0) == 89L)
+    } finally spark.conf.unset(key)
     cleanup(c)
   }
 
