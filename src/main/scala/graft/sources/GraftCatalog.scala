@@ -83,8 +83,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    // same visibility rule as Collection.items: hide the snapshots dir
+    // and "__"-internal dirs (retained generations, txn pins)
     collectionDir(namespace(0)).listDirs
-      .filterNot(d => d == GraftStore.SnapshotsDir || d.startsWith("_"))
+      .filterNot(d => d == GraftStore.SnapshotsDir || d.startsWith("__"))
       .sorted.map(Identifier.of(namespace, _)).toArray
   }
 

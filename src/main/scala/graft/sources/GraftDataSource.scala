@@ -259,9 +259,14 @@ final class GraftScanBuilder(
     ok
   }
 
+  // memoized: supportCompletePushDown and pushAggregation both need it,
+  // and each InMemoryFileIndex construction is a full recursive listing
+  // of the item's roots — once per scan build is the budget
+  private lazy val memoDelegate: ParquetScanBuilder = new ParquetScanBuilder(
+    spark, fileIndexFor(allRoots()), tableSchema, tableSchema, options)
+
   private def parquetDelegate(): ParquetScanBuilder =
-    aggDelegate.getOrElse(new ParquetScanBuilder(
-      spark, fileIndexFor(allRoots()), tableSchema, tableSchema, options))
+    aggDelegate.getOrElse(memoDelegate)
 
   /** Translate a pushed source filter to the catalyst shape
     * [[Collection.candidatePeriods]] walks. Only conjunctive
