@@ -895,6 +895,86 @@ object StoreQueries {
       .orderBy("arm", "ship_month")
   }
 
+  /** SQL write surface (V1Write → Collection pipeline): arm `insert`
+    * seeds a monthly item with even-orderkey 1997H1 orders, then SQL
+    * `INSERT INTO` lands the odd-key Apr–Sep slice — KeepLast drops
+    * every stored row whose order DATE collides with an incoming row,
+    * while evens on odd-free dates survive (the oracle re-derives that
+    * rule independently). A structural probe asserts the append stayed
+    * PERIODIC: exactly the nine Jan–Sep period dirs exist, so the SQL
+    * insert paid only touched-period rewrite cost, not an item rewrite.
+    * Arm `overwrite` SQL-truncates a flat 1996 item with a 1995 slice.
+    * Both arms read back through the catalog (V2 scan). */
+  def sqlWrite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "sql_write_v2")
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderdate")
+    def slice(lo: String, hi: String, parity: Int) =
+      o.filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf(lo)) &&
+        $"o_orderdate" < lit(java.sql.Timestamp.valueOf(hi)) &&
+        $"o_orderkey" % 2 === parity)
+    col.write("o", slice("1997-01-01 00:00:00", "1997-07-01 00:00:00", 0),
+      indexCols = Seq("o_orderdate"), timeLayout = Some("monthly"))
+    s.conf.set("spark.sql.catalog.gwcat", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gwcat.root", col.path.parent.toString)
+    slice("1997-04-01 00:00:00", "1997-10-01 00:00:00", 1)
+      .createOrReplaceTempView("gw_incoming")
+    // insert in the item's stored column order (SQL INSERT is positional)
+    val itemCols = s.table("gwcat.col.o").columns.map(c => s"`$c`").mkString(", ")
+    s.sql(s"INSERT INTO gwcat.col.o SELECT $itemCols FROM gw_incoming")
+    val periodDirs = col.path.resolve("o").resolve(Item.DataDir).listDirs
+      .filter(_.startsWith(Collection.MonthCol + "="))
+    if (periodDirs.size != 9)
+      throw new IllegalStateException(
+        s"SQL INSERT INTO must extend the monthly layout to the 9 Jan–Sep " +
+          s"period dirs (periodic append, not a rewrite); got ${periodDirs.sorted}")
+    col.write("p", slice("1996-01-01 00:00:00", "1997-01-01 00:00:00", 0),
+      indexCols = Seq("o_orderdate"))
+    slice("1995-01-01 00:00:00", "1996-01-01 00:00:00", 1)
+      .createOrReplaceTempView("gw_replacement")
+    val pCols = s.table("gwcat.col.p").columns.map(c => s"`$c`").mkString(", ")
+    s.sql(s"INSERT OVERWRITE gwcat.col.p SELECT $pCols FROM gw_replacement")
+    def rollup(item: String, arm: String) = s.sql(s"""
+      |SELECT '$arm' AS arm, date_trunc('month', o_orderdate) AS month,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_price
+      |FROM gwcat.col.$item GROUP BY 1, 2""".stripMargin)
+    rollup("o", "insert").unionByName(rollup("p", "overwrite"))
+      .orderBy("arm", "month")
+  }
+
+  val sqlWriteSql: String =
+    """WITH even AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+      |  WHERE o_orderkey % 2 = 0
+      |    AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'),
+      |odd AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+      |  WHERE o_orderkey % 2 = 1
+      |    AND o_orderdate >= TIMESTAMP '1997-04-01 00:00:00'
+      |    AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'),
+      |merged AS (
+      |  SELECT * FROM even
+      |  WHERE o_orderdate NOT IN (SELECT o_orderdate FROM odd)
+      |  UNION ALL SELECT * FROM odd),
+      |repl AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+      |  WHERE o_orderkey % 2 = 1
+      |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
+      |SELECT 'insert' AS arm, date_trunc('month', o_orderdate) AS month,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_price
+      |FROM merged GROUP BY 1, 2
+      |UNION ALL
+      |SELECT 'overwrite' AS arm, date_trunc('month', o_orderdate) AS month,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_price
+      |FROM repl GROUP BY 1, 2
+      |ORDER BY arm, month""".stripMargin
+
   val catalogVersionedSql: String =
     """WITH pinned AS (
       |  SELECT l_shipdate, l_quantity FROM lineitem
@@ -1039,6 +1119,7 @@ object StoreQueries {
     "store_describe_items" -> describeItemsStats _,
     "store_delete_pruned" -> deletePruned _,
     "store_sql_read" -> sqlRead _,
+    "store_sql_write" -> sqlWrite _,
     "store_catalog_versioned" -> catalogVersioned _,
     "store_write_batch" -> writeBatchSummary _,
     "store_snapshot_listing" -> snapshotListing _,
@@ -1072,6 +1153,7 @@ object StoreQueries {
     "store_describe_items" -> describeItemsStatsSql,
     "store_delete_pruned" -> deletePrunedSql,
     "store_sql_read" -> sqlReadSql,
+    "store_sql_write" -> sqlWriteSql,
     "store_catalog_versioned" -> catalogVersionedSql,
     "store_write_batch" -> writeBatchSummarySql,
     "store_snapshot_listing" -> snapshotListingSql,

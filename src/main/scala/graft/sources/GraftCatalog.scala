@@ -35,10 +35,15 @@ import graft.store.{GraftError, GraftStore, HadoopFs, Item, NioFs, SPath}
   * touches data files until a scan builds, so a 100k-item store costs
   * a SQL user exactly what it costs the Scala API user.
   *
-  * Scope: read-only, like the `graft` format (the mutation surface —
-  * validation, dedup-on-append, atomic commit — stays behind the typed
-  * Scala API where its invariants live); DDL/DML through this catalog
-  * throws `UnsupportedOperationException` rather than bypassing them.
+  * DML works: `INSERT INTO graft.coll.item SELECT ...` routes through
+  * the table's V1Write fallback into [[graft.store.Collection.append]]
+  * (validation, duplicate handling, atomic commit — see
+  * [[GraftWriteBuilder]]), and `INSERT OVERWRITE` truncate-rewrites via
+  * `Collection.write`. DDL (CREATE/ALTER/DROP/RENAME) stays refused
+  * with a typed error: item creation is a *data* operation in graft
+  * (an item exists because a frame was written, with layout and index
+  * decided from the data), so it belongs to `Collection.write`, not a
+  * schema-only DDL statement.
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -126,13 +131,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def itemDir(ident: Identifier): SPath =
     collectionDir(ident.namespace.head).resolve(ident.name)
 
-  // ------------------------------------------- mutations: typed refusal
+  // ------------------------------------------------- DDL: typed refusal
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"graft catalog is read-only: $op must go through the typed Scala API " +
-        "(Collection.write/append/delete), which enforces validation, " +
-        "dedup-on-append, and atomic commit")
+      s"graft catalog does not support $op: item creation/deletion is a data " +
+        "operation in graft — use the typed Scala API (Collection.write/delete). " +
+        "DML on existing items (INSERT INTO / INSERT OVERWRITE) is supported")
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],

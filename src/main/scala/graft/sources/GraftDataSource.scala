@@ -8,18 +8,20 @@ import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualTo => CEq, Expression, GreaterThan => CGt, GreaterThanOrEqual => CGte, In => CIn, LessThan => CLt, LessThanOrEqual => CLte, Literal}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, InsertableRelation}
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.store.{Collection, GraftError, GraftStore, HadoopFs, Item, ItemNotFoundError, Meta, NioFs, SPath, SnapshotNotFoundError, Snapshots}
+import graft.store.{Collection, DuplicateHandling, GraftError, GraftStore, HadoopFs, Item, ItemNotFoundError, Meta, NioFs, SPath, SnapshotNotFoundError, Snapshots, ValidationError}
 
 /** DataSource V2 front door — the SQL face of the store.
   *
@@ -56,11 +58,21 @@ import graft.store.{Collection, GraftError, GraftStore, HadoopFs, Item, ItemNotF
   * are passed as independent roots, so SQL users see the item's
   * logical (encoded) schema only.
   *
-  * Scope: batch READ (the mutation surface — append semantics,
-  * validation, atomic commit — stays behind the typed Scala API where
-  * its invariants live; a blind SQL INSERT could not honor them).
-  * Snapshots are likewise served by the Scala API (`item(name,
-  * snapshot=...)`), not this provider.
+  * Writes: `INSERT INTO` / `df.write.format("graft").mode("append")`
+  * route through [[graft.store.Collection.append]] via Spark's V1Write
+  * fallback — NOT a blind file drop. The incoming rows arrive typed to
+  * the table's encoded schema, which is exactly the representation
+  * `append` combines with stored data, so validation, duplicate
+  * handling (writer option `duplicates` = keep_last | keep_first |
+  * keep_all | error; default keep_last like the Scala API), pruned
+  * periodic rewrite, atomic commit, and period-stats refresh all apply
+  * to SQL writers. `INSERT OVERWRITE` / mode("overwrite") truncates
+  * through [[graft.store.Collection.write]] preserving the item's
+  * structural config (index, time layout, salt, stats columns);
+  * codec-marked items (`_epochdate` / `_type_info`) refuse overwrite
+  * with a typed error — their logical types are not expressible in the
+  * encoded SQL schema, so only the Scala API can rebuild them.
+  * Snapshot-pinned tables refuse all writes.
   */
 final class GraftDataSource extends TableProvider with DataSourceRegister {
 
@@ -113,7 +125,7 @@ object GraftTable {
                                  snapshot: Option[String]): GraftTable =
     snapshot match {
       case None =>
-        fromItemDir(spark, itemPath, itemPath, Meta.read(itemPath))
+        fromItemDir(spark, itemPath, itemPath, Meta.read(itemPath), pinned = false)
       case Some(snap) =>
         val collectionPath = itemPath.parent
         val item = itemPath.name
@@ -122,33 +134,35 @@ object GraftTable {
         if (!snapDir.isDir && !hasManifest)
           throw new SnapshotNotFoundError(s"snapshot '$snap' does not exist")
         val dirItem = snapDir.resolve(item)
-        if (dirItem.isDir) fromItemDir(spark, itemPath, dirItem, Meta.read(dirItem))
+        if (dirItem.isDir) fromItemDir(spark, itemPath, dirItem, Meta.read(dirItem), pinned = true)
         else Snapshots.resolveManifestItem(collectionPath, snap, item) match {
           case Some(r: Snapshots.FlatResolved) =>
-            fromItemDir(spark, itemPath, r.dir, r.sidecar)
+            fromItemDir(spark, itemPath, r.dir, r.sidecar, pinned = true)
           case Some(r: Snapshots.PeriodResolved) =>
             r.periodDirs.find(!_._2.isDir).foreach { case (period, d) =>
               throw new GraftError(
                 s"snapshot period '$period' of item '$item' missing at $d")
             }
             fromMeta(spark, itemPath, r.sidecar, PinnedPeriods(r.periodDirs),
-              inferFrom = r.periodDirs.map(_._2.toString))
+              inferFrom = r.periodDirs.map(_._2.toString), pinned = true)
           case None =>
             throw new ItemNotFoundError(s"item '$item' not found in snapshot '$snap'")
         }
     }
 
   private def fromItemDir(spark: SparkSession, displayPath: SPath,
-                          rootDir: SPath, meta: Map[String, org.json4s.JValue]): GraftTable = {
+                          rootDir: SPath, meta: Map[String, org.json4s.JValue],
+                          pinned: Boolean): GraftTable = {
     val dataDir = rootDir.resolve(Item.DataDir)
     if (!dataDir.isDir)
       throw new ItemNotFoundError(s"no graft item at $rootDir (missing ${Item.DataDir}/ dir)")
-    fromMeta(spark, displayPath, meta, LiveDirs(dataDir), inferFrom = Seq(dataDir.toString))
+    fromMeta(spark, displayPath, meta, LiveDirs(dataDir),
+      inferFrom = Seq(dataDir.toString), pinned = pinned)
   }
 
   private def fromMeta(spark: SparkSession, displayPath: SPath,
                        meta: Map[String, org.json4s.JValue], roots: RootSource,
-                       inferFrom: Seq[String]): GraftTable = {
+                       inferFrom: Seq[String], pinned: Boolean): GraftTable = {
     val layout = meta.get("_layout").map(j => Meta.unjv(j).toString)
       .filter(Collection.TimeLayouts.contains)
     val indexCol = meta.get("index_names").map(Meta.unjv) match {
@@ -168,7 +182,7 @@ object GraftTable {
         StructType(inferred.filterNot(_.name == Collection.MonthCol))
     }
     new GraftTable(spark, displayPath, schema, layout, indexCol,
-      java.time.ZoneId.of(layoutTz), Collection.periodStatsOf(meta), roots)
+      java.time.ZoneId.of(layoutTz), Collection.periodStatsOf(meta), roots, pinned)
   }
 }
 
@@ -180,17 +194,121 @@ final class GraftTable private[sources] (
     indexCol: String,
     layoutTz: java.time.ZoneId,
     periodStats: Map[String, Map[String, (Any, Any)]],
-    roots: GraftTable.RootSource)
-    extends Table with SupportsRead {
+    roots: GraftTable.RootSource,
+    snapshotPinned: Boolean)
+    extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"graft.`$itemPath`"
   override def schema(): StructType = tableSchema
+  // BATCH_WRITE is what DataFrameWriter's V2 path gates on;
+  // V1_BATCH_WRITE is what routes the plan to the V1Write execs — both
+  // are needed, and the physical strategy picks the V1 exec by the
+  // Write's type, never calling the (absent) distributed-writer factory
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, itemPath, tableSchema, layout, indexCol,
       layoutTz, periodStats, roots, options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (snapshotPinned)
+      throw new GraftError(
+        s"snapshot read of '$itemPath' is immutable: writes must target the " +
+          "live item (drop the snapshot/VERSION AS OF clause)")
+    new GraftWriteBuilder(spark, itemPath, info)
+  }
+}
+
+/** V2 write builder — a [[V1Write]] fallback, because the mutation
+  * pipeline is driver-orchestrated DataFrame logic (the same reason
+  * Spark's own JDBC connector uses it): Spark resolves and casts the
+  * incoming query to the table's encoded schema, then hands the whole
+  * frame to [[GraftWrites.insert]], which routes it through the typed
+  * `Collection` API. No distributed-writer machinery is bypassed — the
+  * append itself IS a distributed Spark plan with an atomic commit. */
+final class GraftWriteBuilder(
+    spark: SparkSession,
+    itemPath: SPath,
+    info: LogicalWriteInfo) extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+      override def insert(data: DataFrame, overwrite: Boolean): Unit =
+        GraftWrites.insert(spark, itemPath, data,
+          truncate = overwrite || doTruncate, info.options())
+    }
+  }
+}
+
+private[sources] object GraftWrites {
+
+  /** `INSERT INTO` → [[Collection.append]] (incoming rows are typed to
+    * the encoded schema — exactly the representation append combines
+    * with stored data, so duplicate handling and the pruned periodic
+    * rewrite behave identically to a Scala-API append). `INSERT
+    * OVERWRITE` → [[Collection.write]] with overwrite=true, preserving
+    * the item's structural config from the sidecar; user metadata is
+    * reset, matching the reference's overwrite semantics
+    * (reference collection.py:316-350). */
+  def insert(spark: SparkSession, itemPath: SPath, data: DataFrame,
+             truncate: Boolean, options: CaseInsensitiveStringMap): Unit = {
+    val coll = Collection.at(spark, itemPath.parent)
+    val item = itemPath.name
+    val npartitions = Option(options.get("npartitions")).map(_.trim.toInt)
+    if (!truncate) {
+      coll.append(item, data,
+        duplicateHandling = duplicatesOf(options), npartitions = npartitions)
+    } else {
+      val meta = Meta.read(itemPath)
+      val epochdate = meta.get("_epochdate").exists(j => Meta.unjv(j) == true)
+      // auto-detected tz markers are re-derived by write()'s own
+      // dispatch; hint-driven codecs (timedelta/period/categorical/
+      // interval/complex) and epochdate are NOT recoverable from the
+      // encoded SQL schema — a blind rewrite would silently drop them
+      val hintMarkers = meta.get("_type_info")
+        .map(graft.store.Codecs.markersFromMeta)
+        .getOrElse(Map.empty)
+        .filter(_._2.kind != "timestamp_tz")
+      if (epochdate || hintMarkers.nonEmpty)
+        throw new ValidationError(
+          s"item '$item' stores codec-encoded logical types " +
+            s"(${(hintMarkers.keys ++ (if (epochdate) Seq("_epochdate") else Nil)).mkString(",")}); " +
+            "INSERT OVERWRITE cannot re-derive them from the encoded SQL schema — " +
+            "rebuild through the Scala API (Collection.write) instead")
+      val indexCols = meta.get("index_names").map(Meta.unjv) match {
+        case Some(xs: Seq[_]) if xs.nonEmpty => xs.map(_.toString)
+        case _ => Seq(Collection.DefaultIndex)
+      }
+      val layout = meta.get("_layout").map(j => Meta.unjv(j).toString)
+        .filter(Collection.TimeLayouts.contains)
+      val salt = meta.get("_monthly_salt").map(j => Meta.unjv(j).toString.toInt).getOrElse(1)
+      val statsCols = meta.get("_stats_cols").map(Meta.unjv) match {
+        case Some(xs: Seq[_]) => xs.map(_.toString)
+        case _ => Nil
+      }
+      coll.write(item, data, indexCols = indexCols, overwrite = true,
+        npartitions = npartitions, timeLayout = layout, monthlySalt = salt,
+        statsColumns = statsCols)
+    }
+    coll.clearMetadataCache(Some(item))
+  }
+
+  private def duplicatesOf(options: CaseInsensitiveStringMap): DuplicateHandling =
+    Option(options.get("duplicates")).map(_.trim.toLowerCase) match {
+      case None | Some("keep_last")  => DuplicateHandling.KeepLast
+      case Some("keep_first")        => DuplicateHandling.KeepFirst
+      case Some("keep_all")          => DuplicateHandling.KeepAll
+      case Some("error")             => DuplicateHandling.ErrorOnDuplicate
+      case Some(other) => throw new ValidationError(
+        s"unknown duplicates option '$other' " +
+          "(supported: keep_last, keep_first, keep_all, error)")
+    }
 }
 
 /** V2 scan builder: collects Catalyst's pushed filters + required

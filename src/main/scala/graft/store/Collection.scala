@@ -33,6 +33,14 @@ object DuplicateHandling {
 
 object Collection {
   val DefaultIndex = "index"
+
+  /** Open an existing collection directory directly — the seam the V2
+    * write path (graft.sources) uses to route SQL `INSERT INTO` through
+    * the SAME append/write pipeline as the Scala API, so validation,
+    * dedup-on-append, atomic commit, and period-stats refresh all apply
+    * to SQL writers too. */
+  private[graft] def at(spark: SparkSession, path: SPath): Collection =
+    new Collection(spark, path)
   /** Hidden directory-partition column for time-layout items (named
     * for the original monthly layout; holds whatever period key the
     * item's recorded layout uses). */
