@@ -5,22 +5,39 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{AsOfJoin, Events}
 
-/** Event-stream operator queries over the ns-precision `events` table.
+/** Event-stream operator queries over the `events` table.
   *
-  * Spark's TimestampType is µs, the table is TIMESTAMP(NANOS) parquet —
-  * read via `spark.sql.legacy.parquet.nanosAsLong` (the int64 ns path
-  * from SURVEY §7.4.1) and truncated to µs at the edge; the testdata
-  * carries no sub-µs content (verified), and the oracle truncates
-  * identically with date_trunc('microseconds', ts).
+  * The driver's testdata has shipped `ts` in two physical shapes
+  * across generations: TIMESTAMP(NANOS) (which Spark can only read as
+  * int64 via `spark.sql.legacy.parquet.nanosAsLong` — the path from
+  * SURVEY §7.4.1) and TIMESTAMP(MICROS) without UTC adjustment (which
+  * reads as TIMESTAMP_NTZ). [[normalizeTs]] accepts either and lands
+  * on µs-precision TimestampType; with the session pinned to UTC
+  * (Verify/Bench/SparkSpec all set it) both conversions are
+  * value-identical to DuckDB's naive read of the same file, and the
+  * oracle's date_trunc('microseconds', ts) truncates identically.
   */
 object EventQueries {
 
+  /** Land `ts` on µs TimestampType from any of its physical shapes. */
+  private[queries] def normalizeTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      // int64 epoch-nanos (nanosAsLong read of TIMESTAMP(NANOS)).
+      // `div` (integer division) — `/` would promote to DOUBLE, whose
+      // 52-bit mantissa rounds epoch-nanos (~1.7e18) by whole µs.
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // µs wall-clock: reinterpret in the session zone (pinned UTC).
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
+
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // `div` (integer division) — `/` would promote to DOUBLE, whose
-    // 52-bit mantissa rounds epoch-nanos (~1.7e18) by whole µs.
-    Tables.t(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(Tables.t(s, dir, "events"))
   }
 
   def sessionStats(s: SparkSession, dir: String): DataFrame =
@@ -212,8 +229,16 @@ object EventQueries {
     * restores µs timestamps deterministically from metadata — not from
     * the reference's value-magnitude guessing (item.py:82-93). */
   def nsRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = Tables.t(s, dir, "events")
+    val src = Tables.t(s, dir, "events")
+    // The marker path under test stores int64 epoch-nanos verbatim; a
+    // µs-shaped testdata generation reconstructs them losslessly
+    // (µs × 1000) so the epoch_ns restore edge still gets exercised.
+    val withNs =
+      if (src.schema("ts").dataType == LongType) src
+      else normalizeTs(src).withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+    val raw = withNs
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
     val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_verify", "ns_roundtrip")
     graft.store.FsOps.deleteRecursively(root)
