@@ -998,6 +998,49 @@ object StoreQueries {
       |FROM live GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** SQL `DELETE FROM` (SupportsDelete → Collection.deleteWhere): the
+    * right-to-be-forgotten primitive reachable from SQL. Arm one is an
+    * index-range wipe — the pushed predicate maps to a period-key
+    * interval and the three Oct–Dec period dirs drop by NAME (no data
+    * read beyond discovery), asserted structurally before the read.
+    * Arm two is a value predicate — per-period stats prune the
+    * discovery scan and only touched periods rewrite through atomic
+    * partial commits. On a 100 TB item both cost touched-periods, not
+    * item-size. Read-back goes through the catalog (V2 scan). */
+  def sqlDelete(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "sql_delete_v2")
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderdate")
+      .filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        $"o_orderdate" < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+    col.write("o", o, indexCols = Seq("o_orderdate"), timeLayout = Some("monthly"),
+      statsColumns = Seq("o_totalprice"))
+    s.conf.set("spark.sql.catalog.gdcat", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gdcat.root", col.path.parent.toString)
+    s.sql("DELETE FROM gdcat.col.o WHERE o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'")
+    val periodDirs = col.path.resolve("o").resolve(Item.DataDir).listDirs
+      .filter(_.startsWith(Collection.MonthCol + "="))
+    if (periodDirs.size != 9)
+      throw new IllegalStateException(
+        s"SQL range DELETE must name-drop the 3 Oct–Dec period dirs " +
+          s"(discovery prunes on the index interval); got ${periodDirs.sorted}")
+    s.sql("DELETE FROM gdcat.col.o WHERE o_totalprice >= 250000.0")
+    s.sql("""
+      |SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_price
+      |FROM gdcat.col.o GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val sqlDeleteSql: String =
+    """SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_price
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+      |  AND NOT (o_totalprice >= 250000.0)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** M4 parallel multi-item write (reference write_batch,
     * collection.py:753-829): three good frames + one with duplicate
     * column names, submitted concurrently. The partial failure is
@@ -1120,6 +1163,7 @@ object StoreQueries {
     "store_delete_pruned" -> deletePruned _,
     "store_sql_read" -> sqlRead _,
     "store_sql_write" -> sqlWrite _,
+    "store_sql_delete" -> sqlDelete _,
     "store_catalog_versioned" -> catalogVersioned _,
     "store_write_batch" -> writeBatchSummary _,
     "store_snapshot_listing" -> snapshotListing _,
@@ -1154,6 +1198,7 @@ object StoreQueries {
     "store_delete_pruned" -> deletePrunedSql,
     "store_sql_read" -> sqlReadSql,
     "store_sql_write" -> sqlWriteSql,
+    "store_sql_delete" -> sqlDeleteSql,
     "store_catalog_versioned" -> catalogVersionedSql,
     "store_write_batch" -> writeBatchSummarySql,
     "store_snapshot_listing" -> snapshotListingSql,

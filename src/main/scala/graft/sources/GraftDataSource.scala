@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualTo => CEq, Expression, GreaterThan => CGt, GreaterThanOrEqual => CGte, In => CIn, LessThan => CLt, LessThanOrEqual => CLte, Literal}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
@@ -184,6 +184,53 @@ object GraftTable {
     new GraftTable(spark, displayPath, schema, layout, indexCol,
       java.time.ZoneId.of(layoutTz), Collection.periodStatsOf(meta), roots, pinned)
   }
+
+  /** V1 source filters DELETE can hand to [[Collection.deleteWhere]] as
+    * a `Column`. Everything Catalyst's filter translation produces for
+    * the standard comparison/string/null/boolean shapes qualifies;
+    * returning false for anything else makes Spark refuse the DELETE at
+    * analysis (no silent partial delete). */
+  private[sources] def deleteTranslatable(f: sources.Filter): Boolean = f match {
+    case _: sources.EqualTo | _: sources.EqualNullSafe | _: sources.GreaterThan |
+         _: sources.GreaterThanOrEqual | _: sources.LessThan |
+         _: sources.LessThanOrEqual | _: sources.IsNull | _: sources.IsNotNull |
+         _: sources.StringStartsWith | _: sources.StringEndsWith |
+         _: sources.StringContains | _: sources.AlwaysTrue | _: sources.AlwaysFalse => true
+    case sources.In(_, vs)   => vs != null
+    case sources.And(l, r)   => deleteTranslatable(l) && deleteTranslatable(r)
+    case sources.Or(l, r)    => deleteTranslatable(l) && deleteTranslatable(r)
+    case sources.Not(c)      => deleteTranslatable(c)
+    case _ => false
+  }
+
+  /** Source filter → `Column` predicate over the item's STORED columns
+    * (the same representation the Scala `deleteWhere` evaluates, and
+    * the same schema SQL readers see). `lit` round-trips the external
+    * values (Timestamp/Instant/Date/numerics/strings) Catalyst's
+    * filter translation emits. */
+  private[sources] def columnOf(f: sources.Filter): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    f match {
+      case sources.EqualTo(a, v)            => col(a) === lit(v)
+      case sources.EqualNullSafe(a, v)      => col(a) <=> lit(v)
+      case sources.GreaterThan(a, v)        => col(a) > lit(v)
+      case sources.GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+      case sources.LessThan(a, v)           => col(a) < lit(v)
+      case sources.LessThanOrEqual(a, v)    => col(a) <= lit(v)
+      case sources.In(a, vs)                => col(a).isin(vs.toIndexedSeq: _*)
+      case sources.IsNull(a)                => col(a).isNull
+      case sources.IsNotNull(a)             => col(a).isNotNull
+      case sources.StringStartsWith(a, v)   => col(a).startsWith(v)
+      case sources.StringEndsWith(a, v)     => col(a).endsWith(v)
+      case sources.StringContains(a, v)     => col(a).contains(v)
+      case sources.And(l, r)                => columnOf(l) && columnOf(r)
+      case sources.Or(l, r)                 => columnOf(l) || columnOf(r)
+      case sources.Not(c)                   => !columnOf(c)
+      case _: sources.AlwaysTrue            => lit(true)
+      case _: sources.AlwaysFalse           => lit(false)
+      case other => throw new GraftError(s"DELETE filter not translatable: $other")
+    }
+  }
 }
 
 final class GraftTable private[sources] (
@@ -196,7 +243,7 @@ final class GraftTable private[sources] (
     periodStats: Map[String, Map[String, (Any, Any)]],
     roots: GraftTable.RootSource,
     snapshotPinned: Boolean)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = s"graft.`$itemPath`"
   override def schema(): StructType = tableSchema
@@ -218,6 +265,36 @@ final class GraftTable private[sources] (
         s"snapshot read of '$itemPath' is immutable: writes must target the " +
           "live item (drop the snapshot/VERSION AS OF clause)")
     new GraftWriteBuilder(spark, itemPath, info)
+  }
+
+  /** `DELETE FROM` → [[graft.store.Collection.deleteWhere]] — the
+    * right-to-be-forgotten primitive, now reachable from SQL. The
+    * pushed filters translate to one `Column` predicate and ride the
+    * SAME pruned path the Scala API uses: period discovery narrows to
+    * the periods the predicate can touch (index interval + per-period
+    * stats on covered columns), only those period dirs rewrite through
+    * atomic partial commits, and an emptied period is removed outright.
+    * Cost scales with touched periods, not item size — a one-month
+    * GDPR wipe of a 100 TB item rewrites one month.
+    *
+    * `TRUNCATE TABLE` arrives through [[SupportsDelete]]'s default
+    * `truncateTable()` = delete-all, which drops every period of a
+    * time-layout item (name-dropped, no data read beyond discovery)
+    * and empties a flat item in one commit. */
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    !snapshotPinned && filters.forall(GraftTable.deleteTranslatable)
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    if (snapshotPinned)
+      throw new GraftError(
+        s"snapshot read of '$itemPath' is immutable: DELETE must target the " +
+          "live item (drop the snapshot/VERSION AS OF clause)")
+    val coll = Collection.at(spark, itemPath.parent)
+    val cond = filters.map(GraftTable.columnOf)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    coll.deleteWhere(itemPath.name, cond)
+    coll.clearMetadataCache(Some(itemPath.name))
   }
 }
 

@@ -120,6 +120,67 @@ class GraftSqlWriteSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("DELETE FROM removes matching rows through the pruned deleteWhere path") {
+    val c = tempCollection("sql_del")
+    c.write("item", frame("2024-01-01", 90), monthlyLayout = true)
+    registerCatalog("wdel1", c)
+    // index range: only march rows qualify — the discovery scan prunes
+    // to the march period (the Scala-path pruning MonthlyLayoutSpec
+    // plan-asserts; here we prove the SQL surface reaches it)
+    spark.sql("DELETE FROM wdel1.c.item WHERE index >= TIMESTAMP '2024-03-01 00:00:00'")
+    val left = c.item("item").data
+    assert(left.count() == 60) // jan + feb survive
+    assert(left.agg(max(col("index"))).head().getTimestamp(0).toString.startsWith("2024-02-29"))
+    // period dir for march is gone outright (emptied periods are removed)
+    val dirs = c.path.resolve("item").resolve(Item.DataDir).listDirs
+      .filter(_.startsWith(Collection.MonthCol + "="))
+    assert(dirs.size == 2, s"only jan+feb period dirs expected, got $dirs")
+    // compound predicate with OR / string ops translates too
+    spark.sql("DELETE FROM wdel1.c.item WHERE tag = 'r0' OR tag LIKE 'r1%'")
+    assert(c.item("item").data.count() == 60 - 1 - 11) // r0, r1, r10..r19
+    cleanup(c)
+  }
+
+  test("TRUNCATE TABLE empties the item through delete-all") {
+    val c = tempCollection("sql_trunc")
+    c.write("item", frame("2024-01-01", 40), monthlyLayout = true)
+    registerCatalog("wdel2", c)
+    spark.sql("TRUNCATE TABLE wdel2.c.item")
+    assert(c.item("item").data.count() == 0)
+    // structural config survives — a later append re-populates in layout
+    assert(c.item("item").metadata.get("_layout").map(Meta.unjv) == Some("monthly"))
+    cleanup(c)
+  }
+
+  test("non-translatable DELETE predicates are refused at analysis, not partially applied") {
+    val c = tempCollection("sql_del_refuse")
+    c.write("item", frame("2024-01-01", 10))
+    registerCatalog("wdel3", c)
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM wdel3.c.item WHERE value + 1.0 = 3.0")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"), s"unexpected: ${e.getMessage}")
+    assert(c.item("item").data.count() == 10) // nothing was deleted
+    cleanup(c)
+  }
+
+  test("snapshot-pinned tables refuse DELETE") {
+    val c = tempCollection("sql_del_snap")
+    c.write("item", frame("2024-01-01", 10))
+    c.createSnapshot(Some("v1"))
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("path", c.path.resolve("item").toString, "snapshot", "v1"))
+    val t = graft.sources.GraftTable.resolve(opts)
+    val fs: Array[org.apache.spark.sql.sources.Filter] =
+      Array(org.apache.spark.sql.sources.EqualTo("value", 1.0))
+    assert(!t.canDeleteWhere(fs),
+      "snapshot-pinned table must refuse DELETE at analysis")
+    intercept[GraftError] {
+      t.deleteWhere(Array.empty[org.apache.spark.sql.sources.Filter])
+    }
+    cleanup(c)
+  }
+
   test("catalog DDL stays refused with a typed message") {
     val c = tempCollection("sql_ddl")
     c.write("item", frame("2024-01-01", 5))
