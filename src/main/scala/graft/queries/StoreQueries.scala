@@ -1041,6 +1041,80 @@ object StoreQueries {
       |  AND NOT (o_totalprice >= 250000.0)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** SQL `UPDATE` + `MERGE INTO` (SupportsRowLevelOperations →
+    * group-based copy-on-write with PERIODS as the group). Arm
+    * `update`: a two-month price correction on a monthly item — the
+    * pushed condition prunes the COW scan to the June+July periods and
+    * ONLY those rewrite; an in-query gate asserts January's file set is
+    * bit-identical afterwards (on a 100 TB item the other ten months
+    * are never read or written). Arm `merge`: MERGE INTO a flat item —
+    * matched rows update, unmatched insert, one swap. */
+  def sqlUpdate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "sql_update_v2")
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderdate")
+      .filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        $"o_orderdate" < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+    col.write("o", o, indexCols = Seq("o_orderdate"), timeLayout = Some("monthly"))
+    s.conf.set("spark.sql.catalog.gucat", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gucat.root", col.path.parent.toString)
+    def janFiles(): Seq[String] = {
+      val d = col.path.resolve("o").resolve(Item.DataDir)
+        .resolve(s"${Collection.MonthCol}=1997-01")
+      col.path.fs.listFiles(d.raw).filterNot(_.startsWith("_")).sorted
+    }
+    val before = janFiles()
+    s.sql("UPDATE gucat.col.o SET o_totalprice = o_totalprice + 100000.0 " +
+      "WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00' " +
+      "AND o_orderdate < TIMESTAMP '1997-08-01 00:00:00'")
+    if (janFiles() != before)
+      throw new IllegalStateException(
+        "a June-July UPDATE must not rewrite January (period-pruned COW)")
+    val jan = o.filter($"o_orderdate" < lit(java.sql.Timestamp.valueOf("1997-02-01 00:00:00")))
+    col.write("m", jan.filter($"o_orderkey" % 2 === 1), indexCols = Seq("o_orderkey"))
+    jan.createOrReplaceTempView("gu_merge_src")
+    s.sql("""
+      |MERGE INTO gucat.col.m t USING gu_merge_src s ON t.o_orderkey = s.o_orderkey
+      |WHEN MATCHED THEN UPDATE SET t.o_totalprice = s.o_totalprice + 100000.0
+      |WHEN NOT MATCHED THEN INSERT *
+      |""".stripMargin)
+    def rollup(item: String, arm: String) = s.sql(s"""
+      |SELECT '$arm' AS arm, date_trunc('month', o_orderdate) AS month,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_price
+      |FROM gucat.col.$item GROUP BY 1, 2""".stripMargin)
+    rollup("o", "update").unionByName(rollup("m", "merge"))
+      .orderBy("arm", "month")
+  }
+
+  val sqlUpdateSql: String =
+    """WITH yr AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'),
+      |updated AS (
+      |  SELECT o_orderdate,
+      |    CASE WHEN o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
+      |          AND o_orderdate <  TIMESTAMP '1997-08-01 00:00:00'
+      |         THEN o_totalprice + 100000.0 ELSE o_totalprice END AS o_totalprice
+      |  FROM yr),
+      |merged AS (
+      |  SELECT o_orderdate,
+      |    CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice + 100000.0
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM yr WHERE o_orderdate < TIMESTAMP '1997-02-01 00:00:00')
+      |SELECT 'update' AS arm, date_trunc('month', o_orderdate) AS month,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_price
+      |FROM updated GROUP BY 1, 2
+      |UNION ALL
+      |SELECT 'merge' AS arm, date_trunc('month', o_orderdate) AS month,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_price
+      |FROM merged GROUP BY 1, 2
+      |ORDER BY arm, month""".stripMargin
+
   /** M4 parallel multi-item write (reference write_batch,
     * collection.py:753-829): three good frames + one with duplicate
     * column names, submitted concurrently. The partial failure is
@@ -1164,6 +1238,7 @@ object StoreQueries {
     "store_sql_read" -> sqlRead _,
     "store_sql_write" -> sqlWrite _,
     "store_sql_delete" -> sqlDelete _,
+    "store_sql_update" -> sqlUpdate _,
     "store_catalog_versioned" -> catalogVersioned _,
     "store_write_batch" -> writeBatchSummary _,
     "store_snapshot_listing" -> snapshotListing _,
@@ -1199,6 +1274,7 @@ object StoreQueries {
     "store_sql_read" -> sqlReadSql,
     "store_sql_write" -> sqlWriteSql,
     "store_sql_delete" -> sqlDeleteSql,
+    "store_sql_update" -> sqlUpdateSql,
     "store_catalog_versioned" -> catalogVersionedSql,
     "store_write_batch" -> writeBatchSummarySql,
     "store_snapshot_listing" -> snapshotListingSql,

@@ -9,11 +9,11 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualTo => CEq, Expression, GreaterThan => CGt, GreaterThanOrEqual => CGte, In => CIn, LessThan => CLt, LessThanOrEqual => CLte, Literal}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
 import org.apache.spark.sql.sources
@@ -243,7 +243,8 @@ final class GraftTable private[sources] (
     periodStats: Map[String, Map[String, (Any, Any)]],
     roots: GraftTable.RootSource,
     snapshotPinned: Boolean)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations {
 
   override def name(): String = s"graft.`$itemPath`"
   override def schema(): StructType = tableSchema
@@ -283,6 +284,30 @@ final class GraftTable private[sources] (
     * and empties a flat item in one commit. */
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
     !snapshotPinned && filters.forall(GraftTable.deleteTranslatable)
+
+  /** `UPDATE` / `MERGE INTO` / non-translatable `DELETE` → the
+    * group-based copy-on-write path ([[GraftRowLevelOperation]]): the
+    * scan selects affected PERIODS (pruned, never row-filtered), the
+    * write stages replacement parquet on the executors and swaps those
+    * periods atomically. Translatable DELETEs never get here — Spark's
+    * metadata-delete optimization routes them to [[deleteWhere]]. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    if (snapshotPinned)
+      throw new GraftError(
+        s"snapshot read of '$itemPath' is immutable: ${info.command} must " +
+          "target the live item (drop the snapshot/VERSION AS OF clause)")
+    if (layout.isDefined) {
+      val sessionTzName = spark.sessionState.conf.sessionLocalTimeZone
+      if (layoutTz != java.time.ZoneId.of(sessionTzName))
+        throw new ValidationError(
+          s"item '${itemPath.name}' was laid out in timezone '$layoutTz' but " +
+            s"this session runs '$sessionTzName'; set spark.sql.session.timeZone " +
+            "to match before row-level SQL writes on a time-layout item")
+    }
+    new GraftRowLevelOperationBuilder(spark, itemPath, tableSchema, layout,
+      indexCol, layoutTz, periodStats, roots, info)
+  }
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
     if (snapshotPinned)
@@ -400,11 +425,13 @@ final class GraftScanBuilder(
     layoutTz: java.time.ZoneId,
     periodStats: Map[String, Map[String, (Any, Any)]],
     roots: GraftTable.RootSource,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    rowLevel: Option[GraftRowLevelOperation] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
+  private var pruneFilters: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
   private var aggDelegate: Option[ParquetScanBuilder] = None
 
@@ -412,7 +439,13 @@ final class GraftScanBuilder(
     // keep the parquet-convertible shapes for row-group skipping; hand
     // EVERYTHING back as residual (row-group stats are approximate, so
     // Spark must re-evaluate post-scan — same contract as native parquet)
-    pushed = filters.filter(parquetSupported)
+    //
+    // GROUP MODE (row-level ops): filters select PERIODS only and are
+    // NOT forwarded to parquet — the COW write must see every row of an
+    // affected period, so row-group skipping on the condition would
+    // silently drop the innocent rows that need copying.
+    pruneFilters = filters
+    pushed = if (rowLevel.isDefined) Array.empty else filters.filter(parquetSupported)
     filters
   }
 
@@ -444,10 +477,11 @@ final class GraftScanBuilder(
     * cannot see row-level filters (Spark would not offer the combo
     * anyway) — and gated on spark.sql.parquet.aggregatePushdown. */
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    pushed.isEmpty && parquetDelegate().supportCompletePushDown(aggregation)
+    rowLevel.isEmpty && pushed.isEmpty &&
+      parquetDelegate().supportCompletePushDown(aggregation)
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    if (pushed.nonEmpty) return false
+    if (rowLevel.isDefined || pushed.nonEmpty) return false
     val d = parquetDelegate()
     val ok = d.pushAggregation(aggregation)
     if (ok) aggDelegate = Some(d)
@@ -491,7 +525,7 @@ final class GraftScanBuilder(
     val sessionTz = spark.sessionState.conf.sessionLocalTimeZone
     if (layoutTz != java.time.ZoneId.of(sessionTz)) all.sorted
     else {
-      val cond = pushed.map(toCatalyst)
+      val cond = pruneFilters.map(toCatalyst)
         .reduceOption(CAnd(_, _)).getOrElse(Literal.TrueLiteral)
       Collection.candidatePeriods(all, cond, indexCol, l, layoutTz, periodStats)
     }
@@ -522,13 +556,16 @@ final class GraftScanBuilder(
     // periods is even LISTED into the file index
     val scanRoots: Seq[String] = roots match {
       case GraftTable.LiveDirs(dataDir) => layout match {
-        case None => Seq(dataDir.toString)
+        case None =>
+          rowLevel.foreach(_.recordScan(None)) // flat: the group is the item
+          Seq(dataDir.toString)
         case Some(l) =>
           val all = dataDir.listDirs
             .filter(_.startsWith(Collection.MonthCol + "="))
             .map(_.stripPrefix(Collection.MonthCol + "="))
-          prunePeriods(l, all)
-            .map(p => dataDir.resolve(s"${Collection.MonthCol}=$p").toString)
+          val kept = prunePeriods(l, all)
+          rowLevel.foreach(_.recordScan(Some(kept))) // the replaced group set
+          kept.map(p => dataDir.resolve(s"${Collection.MonthCol}=$p").toString)
       }
       case GraftTable.PinnedPeriods(pairs) => layout match {
         // a manifest pins periods only for time-layout items, but the

@@ -722,8 +722,15 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     tmp.deleteRecursively()
     val writer = df.write.mode("overwrite").option("compression", "snappy")
     (if (partitioned) writer.partitionBy(MonthCol) else writer).parquet(tmp.toString)
-    // the heavy parquet job ran above; only the atomic publication
-    // (retain + swap + sidecar) sits inside the commit lock
+    publishFull(item, tmp, meta, partitioned)
+  }
+
+  /** Atomic publication half of [[commit]] — retain + swap + sidecar
+    * from an already-staged `tmp` dir (the heavy parquet job runs
+    * OUTSIDE the commit lock; callers besides commit() are the
+    * row-level COW path, whose staging the executors wrote). */
+  private[graft] def publishFull(item: String, tmp: SPath, meta: Map[String, JValue],
+                                 partitioned: Boolean): Unit = {
     withCommitLock {
     path.resolve(item).mkdirs()
     // Copy-on-write for manifest snapshots: pinned old generations are
@@ -770,6 +777,15 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     tmp.deleteRecursively()
     df.write.mode("overwrite").option("compression", "snappy")
       .partitionBy(MonthCol).parquet(tmp.toString)
+    publishMonths(item, tmp, months, meta)
+  }
+
+  /** Atomic publication half of [[commitMonths]] — the per-period
+    * swap sequence from an already-staged `tmp` dir holding
+    * `__month=<m>/` subdirs. A month in `months` absent from `tmp`
+    * is a removal. Shared with the row-level COW path. */
+  private[graft] def publishMonths(item: String, tmp: SPath, months: Seq[String],
+                                   meta: Map[String, JValue]): Unit = {
     withCommitLock {
     val dataDir = path.resolve(item).resolve(Item.DataDir)
     val oldPg = Snapshots.periodGensOf(Meta.read(path.resolve(item)))
@@ -1329,6 +1345,59 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       .getOrElse(all)
     if (cands.size == all.size) raw
     else raw.filter(col(MonthCol).cast("string").isin(cands: _*))
+  }
+
+  /** Publication step of a SQL row-level operation (UPDATE / MERGE /
+    * non-translatable DELETE): the executors staged the replacement
+    * rows for the SCANNED period group set as parquet under `staging`
+    * (shaped like a partitioned commit tmp — `__month=<p>/part-*`), and
+    * this swaps them in through the SAME per-period atomic path partial
+    * appends use. Semantics per period:
+    *  - scanned ∧ staged → replaced (the COW rewrite);
+    *  - scanned ∧ ¬staged → removed (every row deleted or moved away);
+    *  - ¬scanned ∧ staged → rows MOVED IN from a rewritten period: the
+    *    period's live files are linked into the staged dir first (O(1)
+    *    links on POSIX), so its existing rows survive the swap — a
+    *    merge, not a replace.
+    * Flat items (scannedPeriods = None) swap the whole data dir — the
+    * group is the item, inherent without a layout. Cost therefore
+    * scales with the periods the operation touches, not item size,
+    * exactly like deleteWhere. Index min/max item stats are left
+    * untouched (deleteWhere parity: conservative for deletes; an
+    * index-moving UPDATE re-derives period membership physically, and
+    * period pruning reads period NAMES + refreshed per-period stats,
+    * never the item-level interval). */
+  private[graft] def replaceCowStaged(item: String, staging: SPath,
+                                      scannedPeriods: Option[Seq[String]]): Unit = {
+    val prevMeta = Meta.read(path.resolve(item))
+    scannedPeriods match {
+      case Some(scanned) =>
+        val staged =
+          if (staging.isDir)
+            staging.listDirs.filter(_.startsWith(MonthCol + "="))
+              .map(_.stripPrefix(MonthCol + "="))
+          else Nil
+        val dataDir = path.resolve(item).resolve(Item.DataDir)
+        staged.filterNot(scanned.contains).foreach { p =>
+          val live = dataDir.resolve(s"$MonthCol=$p")
+          if (live.isDir) {
+            val dst = staging.resolve(s"$MonthCol=$p")
+            path.fs.listFiles(live.raw)
+              .filterNot(f => f.startsWith("_") || f.startsWith("."))
+              .foreach(f => path.fs.linkOrCopyFile(
+                live.resolve(f).toString, dst.resolve(f).toString))
+          }
+        }
+        val months = (scanned ++ staged).distinct.sorted
+        if (months.nonEmpty) {
+          publishMonths(item, staging, months, prevMeta)
+          maybeRefreshPeriodStats(item, Some(months))
+        } else staging.deleteRecursively()
+      case None =>
+        if (!staging.isDir) staging.mkdirs() // all rows deleted → empty item
+        publishFull(item, staging, prevMeta, partitioned = false)
+    }
+    clearMetadataCache(Some(item))
   }
 
   def deleteItem(item: String): Boolean = withCommitLock {

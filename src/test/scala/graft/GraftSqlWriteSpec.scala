@@ -152,18 +152,6 @@ class GraftSqlWriteSpec extends SparkSpec {
     cleanup(c)
   }
 
-  test("non-translatable DELETE predicates are refused at analysis, not partially applied") {
-    val c = tempCollection("sql_del_refuse")
-    c.write("item", frame("2024-01-01", 10))
-    registerCatalog("wdel3", c)
-    val e = intercept[Exception] {
-      spark.sql("DELETE FROM wdel3.c.item WHERE value + 1.0 = 3.0")
-    }
-    assert(e.getMessage.toLowerCase.contains("delete"), s"unexpected: ${e.getMessage}")
-    assert(c.item("item").data.count() == 10) // nothing was deleted
-    cleanup(c)
-  }
-
   test("snapshot-pinned tables refuse DELETE") {
     val c = tempCollection("sql_del_snap")
     c.write("item", frame("2024-01-01", 10))
