@@ -30,6 +30,19 @@ object Bench {
     def loadAvg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
+    // Hypervisor CPU steal — the contention mode the q1 sentinel CANNOT
+    // see: a cheap single-shuffle query barely moves under steal while
+    // sustained all-core phases inflate 2-5x. /proc/stat's 8th cpu
+    // field counts jiffies the hypervisor withheld; the start→end delta
+    // as a fraction of total elapsed jiffies is the run's steal share.
+    def cpuJiffies(): Option[(Long, Long)] =
+      try {
+        val line = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/stat")).get(0)
+        val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+        Some((f.sum, if (f.length > 7) f(7) else 0L))
+      } catch { case _: Exception => None }
+
     // Machine-contention sentinel: a fixed cheap query timed at start,
     // at the end, AND every `SentinelEvery` queries mid-run, plus the
     // OS 1-min load average sampled alongside. The round-6 driver
@@ -39,6 +52,7 @@ object Bench {
     // if EVERY sentinel sample stays within 2x of the first.
     val SentinelEvery = 25
     val loadStart = loadAvg()
+    val jiffiesStart = cpuJiffies()
     val sentinelStart = timeQuery("q1_agg")
     val midSentinels = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
     var loadMax = math.max(loadStart, 0.0)
@@ -77,11 +91,21 @@ object Bench {
     val midJson = midSentinels
       .map { case (at, sec, load) => s"""{"after":$at,"sec":$sec,"load_avg":$load}""" }
       .mkString("[", ",", "]")
+    // steal share of the whole capture window; -1 when /proc/stat is
+    // unavailable (non-Linux). >10% means the hypervisor withheld a
+    // material slice of the machine mid-run — all-core query times are
+    // inflated even if every q1 sentinel stayed in band.
+    val stealPct = (jiffiesStart, cpuJiffies()) match {
+      case (Some((t0, s0)), Some((t1, s1))) if t1 > t0 =>
+        (s1 - s0).toDouble / (t1 - t0).toDouble * 100.0
+      case _ => -1.0
+    }
     val sentinel =
       s""""sentinel":{"query":"q1_agg","start_sec":$sentinelStart,"end_sec":$sentinelEnd,""" +
       s""""drift":$drift,"mid_samples":$midJson,"max_drift":$maxDrift,""" +
       s""""load_avg_start":$loadStart,"load_avg_end":$loadEnd,"proc_loadavg_max":$loadMax,""" +
-      s""""valid":${maxDrift >= 0 && maxDrift <= 2.0}}"""
+      s""""cpu_steal_pct":$stealPct,""" +
+      s""""valid":${maxDrift >= 0 && maxDrift <= 2.0 && stealPct <= 10.0}}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$sentinel}"""
     println(line)
