@@ -1121,7 +1121,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
   def vacuum(): Seq[String] = {
     val junk = path.listDirs.filter(d =>
       d.startsWith(TmpPrefix) || d.startsWith("__backup_") ||
-        d.startsWith("__txn_backup_"))
+        d.startsWith("__txn_backup_") || d.startsWith("__cow_"))
     junk.foreach(d => path.resolve(d).deleteRecursively())
     // stale transaction pin manifests (crashed mid-commit): dropping
     // them releases their pins; the GC inside deleteManifest then

@@ -136,6 +136,43 @@ class GraftSqlUpdateSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("a manifest snapshot taken before an UPDATE still serves the pre-update rows") {
+    val c = tempCollection("sql_upd_snap")
+    c.write("item", frame("2024-01-01", 60), monthlyLayout = true)
+    c.createSnapshot(Some("cut"), manifest = Some(true))
+    registerCatalog("ucat7", c)
+    spark.sql("UPDATE ucat7.c.item SET value = -1.0 " +
+      "WHERE index >= TIMESTAMP '2024-02-01 00:00:00'")
+    // live sees the update, the pinned cut does not: the COW publish
+    // retained february's pinned generation instead of destroying it
+    assert(c.item("item").data.filter(col("value") === -1.0).count() == 29)
+    val pinned = c.item("item", snapshot = Some("cut")).data
+    assert(pinned.filter(col("value") === -1.0).count() == 0)
+    assert(pinned.count() == 60)
+    cleanup(c)
+  }
+
+  test("UPDATE on a daily layout prunes to the touched day dirs") {
+    val c = tempCollection("sql_upd_daily")
+    import spark.implicits._
+    val df = (0 until 10).flatMap { d =>
+      (0 until 4).map { h =>
+        (java.sql.Timestamp.valueOf(java.time.LocalDate.parse("2024-03-01")
+          .plusDays(d).atStartOfDay().plusHours(h * 6)), d * 10.0 + h, s"d$d-h$h")
+      }
+    }.toDF("index", "value", "tag")
+    c.write("item", df, timeLayout = Some("daily"))
+    registerCatalog("ucat8", c)
+    val d0Before = periodFiles(c, "item", "2024-03-01")
+    spark.sql("UPDATE ucat8.c.item SET value = 999.0 " +
+      "WHERE index >= TIMESTAMP '2024-03-05 00:00:00' " +
+      "AND index < TIMESTAMP '2024-03-06 00:00:00'")
+    assert(c.item("item").data.filter(col("value") === 999.0).count() == 4)
+    assert(periodFiles(c, "item", "2024-03-01") == d0Before,
+      "day dirs outside the predicate must not be rewritten")
+    cleanup(c)
+  }
+
   test("row-level ops refuse snapshot-pinned tables and tz-mismatched layouts") {
     val c = tempCollection("sql_upd_refuse")
     c.write("item", frame("2024-01-01", 10), monthlyLayout = true)

@@ -168,9 +168,11 @@ class ManifestSnapshotSpec extends SparkSpec {
     c.path.resolve("__tmp_crashed").mkdirs()
     c.path.resolve("__backup_month_x_2024-01").mkdirs()
     c.path.resolve("__txn_backup_old").mkdirs()
+    c.path.resolve("__cow_it_dead1234").mkdirs() // crashed row-level staging
     val removed = c.vacuum()
     assert(removed.toSet ==
-      Set("__tmp_crashed", "__backup_month_x_2024-01", "__txn_backup_old"))
+      Set("__tmp_crashed", "__backup_month_x_2024-01", "__txn_backup_old",
+        "__cow_it_dead1234"))
     assert(c.items == Set("it"))
     assert(c.item("it").data.count() == 1)
     assert(c.vacuum().isEmpty)
