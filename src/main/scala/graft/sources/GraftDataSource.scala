@@ -254,7 +254,8 @@ final class GraftTable private[sources] (
   // Write's type, never calling the (absent) distributed-writer factory
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, itemPath, tableSchema, layout, indexCol,
@@ -345,6 +346,9 @@ final class GraftWriteBuilder(
         GraftWrites.insert(spark, itemPath, data,
           truncate = overwrite || doTruncate, info.options())
     }
+    // writeStream.format("graft") — the streaming twin of INSERT INTO
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftStreamingWrite(spark, itemPath, info.schema(), info)
   }
 }
 
@@ -401,7 +405,7 @@ private[sources] object GraftWrites {
     coll.clearMetadataCache(Some(item))
   }
 
-  private def duplicatesOf(options: CaseInsensitiveStringMap): DuplicateHandling =
+  private[sources] def duplicatesOf(options: CaseInsensitiveStringMap): DuplicateHandling =
     Option(options.get("duplicates")).map(_.trim.toLowerCase) match {
       case None | Some("keep_last")  => DuplicateHandling.KeepLast
       case Some("keep_first")        => DuplicateHandling.KeepFirst
