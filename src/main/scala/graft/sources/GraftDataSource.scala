@@ -181,8 +181,16 @@ object GraftTable {
         val inferred = spark.read.parquet(inferFrom: _*).schema
         StructType(inferred.filterNot(_.name == Collection.MonthCol))
     }
+    // item sidecar metadata as SQL table properties (SHOW TBLPROPERTIES):
+    // user metadata + structural markers, minus the bulky machine keys
+    val props: Map[String, String] = meta.collect {
+      case (k, v) if k != "schema_json" && k != "schema_json_encoded" &&
+        k != "_period_stats" && k != "_period_gens" =>
+        k -> String.valueOf(Meta.unjv(v))
+    }
     new GraftTable(spark, displayPath, schema, layout, indexCol,
-      java.time.ZoneId.of(layoutTz), Collection.periodStatsOf(meta), roots, pinned)
+      java.time.ZoneId.of(layoutTz), Collection.periodStatsOf(meta), roots, pinned,
+      props)
   }
 
   /** V1 source filters DELETE can hand to [[Collection.deleteWhere]] as
@@ -242,12 +250,18 @@ final class GraftTable private[sources] (
     layoutTz: java.time.ZoneId,
     periodStats: Map[String, Map[String, (Any, Any)]],
     roots: GraftTable.RootSource,
-    snapshotPinned: Boolean)
+    snapshotPinned: Boolean,
+    sidecarProps: Map[String, String] = Map.empty)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations {
 
   override def name(): String = s"graft.`$itemPath`"
   override def schema(): StructType = tableSchema
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    sidecarProps.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
   // BATCH_WRITE is what DataFrameWriter's V2 path gates on;
   // V1_BATCH_WRITE is what routes the plan to the V1Write execs — both
   // are needed, and the physical strategy picks the V1 exec by the

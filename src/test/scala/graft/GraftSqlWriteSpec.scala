@@ -169,6 +169,21 @@ class GraftSqlWriteSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("SHOW TBLPROPERTIES serves the item sidecar metadata") {
+    val c = tempCollection("sql_props")
+    c.write("item", frame("2024-01-01", 10), monthlyLayout = true,
+      metadata = Map("source" -> "api"))
+    registerCatalog("wprop", c)
+    val props = spark.sql("SHOW TBLPROPERTIES wprop.c.item")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("_layout") == Some("monthly"))
+    assert(props.get("source") == Some("api"))
+    assert(props.get("index_names").exists(_.contains("index")))
+    // bulky machine keys stay out of the SQL surface
+    assert(!props.contains("schema_json_encoded") && !props.contains("_period_stats"))
+    cleanup(c)
+  }
+
   test("catalog DDL stays refused with a typed message") {
     val c = tempCollection("sql_ddl")
     c.write("item", frame("2024-01-01", 5))
