@@ -173,6 +173,38 @@ class GraftSqlUpdateSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("UPDATE matching nothing leaves every period untouched") {
+    val c = tempCollection("sql_upd_noop")
+    c.write("item", frame("2024-01-01", 60), monthlyLayout = true)
+    registerCatalog("ucat9", c)
+    val jan = periodFiles(c, "item", "2024-01")
+    val feb = periodFiles(c, "item", "2024-02")
+    // pruning bounds the scan to zero periods: nothing staged, nothing swapped
+    spark.sql("UPDATE ucat9.c.item SET value = -1.0 " +
+      "WHERE index >= TIMESTAMP '2030-01-01 00:00:00'")
+    assert(periodFiles(c, "item", "2024-01") == jan)
+    assert(periodFiles(c, "item", "2024-02") == feb)
+    assert(c.item("item").data.filter(col("value") === -1.0).count() == 0)
+    // no stray staging dirs
+    assert(!c.path.listDirs.exists(_.startsWith("__cow_")))
+    cleanup(c)
+  }
+
+  test("an unboundable predicate widens to a full-item COW, still correct") {
+    val c = tempCollection("sql_upd_wide")
+    c.write("item", frame("2024-01-01", 60), monthlyLayout = true)
+    registerCatalog("ucat10", c)
+    // tag is not the index and carries no period stats: every period scans
+    spark.sql("UPDATE ucat10.c.item SET value = 777.0 WHERE tag = 'r45'")
+    val got = c.item("item").data
+    assert(got.filter(col("value") === 777.0).count() == 1)
+    assert(got.count() == 60)
+    val dirs = c.path.resolve("item").resolve(Item.DataDir).listDirs
+      .filter(_.startsWith(Collection.MonthCol + "="))
+    assert(dirs.size == 2) // both periods rewritten, none lost
+    cleanup(c)
+  }
+
   test("row-level ops refuse snapshot-pinned tables and tz-mismatched layouts") {
     val c = tempCollection("sql_upd_refuse")
     c.write("item", frame("2024-01-01", 10), monthlyLayout = true)
