@@ -824,7 +824,10 @@ object StoreQueries {
     val probe = s.sql(s"SELECT * FROM graft_li WHERE $bounds")
     val scan = probe.queryExecution.executedPlan.collectFirst {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-        b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+        b.scan match {
+          case g: graft.sources.GraftScan => g.parquet
+          case p => p.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+        }
     }.getOrElse(throw new IllegalStateException("no V2 scan in the graft SQL plan"))
     if (scan.fileIndex.rootPaths.size != 3 || scan.pushedFilters.isEmpty)
       throw new IllegalStateException(
@@ -880,7 +883,10 @@ object StoreQueries {
       "AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'")
     val scan = probe.queryExecution.executedPlan.collectFirst {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-        b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+        b.scan match {
+          case g: graft.sources.GraftScan => g.parquet
+          case p => p.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+        }
     }.getOrElse(throw new IllegalStateException("no V2 scan in the catalog plan"))
     if (scan.fileIndex.rootPaths.size != 1)
       throw new IllegalStateException("snapshot read must prune pinned periods " +
@@ -1208,6 +1214,111 @@ object StoreQueries {
 
   val metadataSearchSql: String = "SELECT 'a' AS item_name"
 
+  /** Runtime filtering (DPP) through the graft V2 scan: lineitem is the
+    * fact item (monthly on l_shipdate); the dimension is March-1997
+    * order dates behind a selective filter. The join key's values exist
+    * only at RUNTIME, so static pruning cannot help — the scan must
+    * receive the broadcast IN-set and re-prune its period roots to the
+    * one month the dimension touches. The gate asserts exactly that
+    * before the aggregate runs: a 100 TB fact item would read one
+    * month, not all of it. */
+  def sqlRuntimePrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "sql_dpp")
+    val li = Tables.t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_shipdate")
+    col.write("li", li, indexCols = Seq("l_shipdate"), timeLayout = Some("monthly"))
+    val dim = Tables.t(s, dir, "orders")
+      .filter($"o_orderdate" >= lit(java.time.LocalDateTime.parse("1997-03-01T00:00:00")) &&
+        $"o_orderdate" < lit(java.time.LocalDateTime.parse("1997-04-01T00:00:00")))
+      .select($"o_orderdate").distinct()
+    val fact = s.read.format("graft").load(col.path.resolve("li").toString)
+    val joined = fact.join(broadcast(dim), fact("l_shipdate") === dim("o_orderdate"))
+    // execute THIS queryExecution (not a derived count() plan) so its
+    // GraftScan instance receives the runtime filter, then inspect it
+    joined.queryExecution.toRdd.count()
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      (p +: p.children.flatMap(nodes)) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => nodes(q.plan)
+        case _ => Nil
+      })
+    val scan = nodes(joined.queryExecution.executedPlan).collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.scan.isInstanceOf[graft.sources.GraftScan] =>
+        b.scan.asInstanceOf[graft.sources.GraftScan]
+    }.getOrElse(throw new IllegalStateException("no GraftScan in the DPP plan"))
+    if (scan.currentRootCount != 1)
+      throw new IllegalStateException(
+        s"runtime filter must prune the fact scan to the single March-1997 " +
+          s"period, got ${scan.currentRootCount} roots")
+    joined
+      .groupBy($"l_shipdate".as("ship_day"))
+      .agg(count(lit(1)).as("n"),
+        round(sum($"l_quantity".cast("decimal(38,4)")).cast("double"), 2).as("sum_qty"))
+      .orderBy($"ship_day")
+  }
+
+  val sqlRuntimePruneSql: String =
+    """SELECT l.l_shipdate AS ship_day, count(*) AS n,
+      |  round(CAST(sum(CAST(l.l_quantity AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_qty
+      |FROM lineitem l
+      |JOIN (SELECT DISTINCT o_orderdate FROM orders
+      |      WHERE o_orderdate >= TIMESTAMP '1997-03-01 00:00:00'
+      |        AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00') d
+      |  ON l.l_shipdate = d.o_orderdate
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Streaming SOURCE (`readStream.format("graft")`): the item seeds
+    * with Jan–Feb 1997, a first AvailableNow drain serves it whole,
+    * March lands via append, and a SECOND drain from the same
+    * checkpoint must serve ONLY the new period — the gate pins the
+    * second run to exactly one non-empty micro-batch of exactly the
+    * March row count (a re-serve would double rows and break the hash;
+    * a missed period would drop them). Incremental consumption of a
+    * growing store: batch cost scales with what arrived. */
+  def streamSourceRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "stream_source")
+    val out = Paths.get(sys.props("java.io.tmpdir"), "graft_verify", "stream_source_out")
+    FsOps.deleteRecursively(out)
+    Files.createDirectories(out)
+    val li = Tables.t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_shipdate")
+    def slice(lo: String, hi: String) = li.filter(
+      $"l_shipdate" >= lit(java.time.LocalDateTime.parse(lo)) &&
+        $"l_shipdate" < lit(java.time.LocalDateTime.parse(hi)))
+    col.write("li", slice("1997-01-01T00:00:00", "1997-03-01T00:00:00"),
+      indexCols = Seq("l_shipdate"), timeLayout = Some("monthly"))
+    val itemPath = col.path.resolve("li").toString
+    def drain() = {
+      val q = s.readStream.format("graft").load(itemPath)
+        .writeStream.format("parquet")
+        .option("path", s"$out/sink").option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.filter(_.numInputRows > 0)
+    }
+    drain() // serves the seeded item
+    col.append("li", slice("1997-03-01T00:00:00", "1997-04-01T00:00:00"),
+      duplicateHandling = DuplicateHandling.KeepAll)
+    val second = drain()
+    val marchRows = slice("1997-03-01T00:00:00", "1997-04-01T00:00:00").count()
+    if (second.length != 1 || second.map(_.numInputRows).sum != marchRows)
+      throw new IllegalStateException(
+        s"resumed stream must serve exactly the new March period " +
+          s"($marchRows rows in 1 batch), got ${second.length} batches / " +
+          s"${second.map(_.numInputRows).sum} rows")
+    s.read.parquet(s"$out/sink").orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val streamSourceReadSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_write_read" -> writeRead _,
     "store_append_keep_last" -> appendKeepLast _,
@@ -1242,7 +1353,9 @@ object StoreQueries {
     "store_catalog_versioned" -> catalogVersioned _,
     "store_write_batch" -> writeBatchSummary _,
     "store_snapshot_listing" -> snapshotListing _,
-    "store_delete_pruned_date" -> deletePrunedDate _)
+    "store_delete_pruned_date" -> deletePrunedDate _,
+    "store_sql_runtime_prune" -> sqlRuntimePrune _,
+    "stream_source_read" -> streamSourceRead _)
 
   val oracles: Map[String, String] = Map(
     "store_write_read" -> writeReadSql,
@@ -1278,5 +1391,7 @@ object StoreQueries {
     "store_catalog_versioned" -> catalogVersionedSql,
     "store_write_batch" -> writeBatchSummarySql,
     "store_snapshot_listing" -> snapshotListingSql,
-    "store_delete_pruned_date" -> deletePrunedDateSql)
+    "store_delete_pruned_date" -> deletePrunedDateSql,
+    "store_sql_runtime_prune" -> sqlRuntimePruneSql,
+    "stream_source_read" -> streamSourceReadSql)
 }

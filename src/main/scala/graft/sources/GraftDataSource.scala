@@ -269,11 +269,11 @@ final class GraftTable private[sources] (
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, itemPath, tableSchema, layout, indexCol,
-      layoutTz, periodStats, roots, options)
+      layoutTz, periodStats, roots, options, snapshotPinned = snapshotPinned)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (snapshotPinned)
@@ -435,16 +435,17 @@ private[sources] object GraftWrites {
   * columns, then builds a vectorized `ParquetScan` over ONLY the period
   * directories the filters can touch. */
 final class GraftScanBuilder(
-    spark: SparkSession,
-    itemPath: SPath,
+    private[sources] val spark: SparkSession,
+    private[sources] val itemPath: SPath,
     tableSchema: StructType,
-    layout: Option[String],
-    indexCol: String,
-    layoutTz: java.time.ZoneId,
+    private[sources] val layout: Option[String],
+    private[sources] val indexCol: String,
+    private[sources] val layoutTz: java.time.ZoneId,
     periodStats: Map[String, Map[String, (Any, Any)]],
     roots: GraftTable.RootSource,
     options: CaseInsensitiveStringMap,
-    rowLevel: Option[GraftRowLevelOperation] = None)
+    rowLevel: Option[GraftRowLevelOperation] = None,
+    snapshotPinned: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -538,16 +539,72 @@ final class GraftScanBuilder(
   /** Period-key pruning shared by live listings and pinned snapshot
     * sets: a session-zone mismatch with the writer's recorded zone
     * forfeits pruning (reads stay correct), same rule as the delete
-    * discovery scan. */
-  private def prunePeriods(l: String, all: Seq[String]): Seq[String] = {
+    * discovery scan. `filters` is the static pushed set plus any
+    * runtime (DPP) filters arriving through [[GraftScan.filter]]. */
+  private[sources] def prunePeriods(l: String, all: Seq[String],
+                                    filters: Array[Filter],
+                                    stats: Map[String, Map[String, (Any, Any)]]): Seq[String] = {
     val sessionTz = spark.sessionState.conf.sessionLocalTimeZone
     if (layoutTz != java.time.ZoneId.of(sessionTz)) all.sorted
     else {
-      val cond = pruneFilters.map(toCatalyst)
+      val cond = filters.map(toCatalyst)
         .reduceOption(CAnd(_, _)).getOrElse(Literal.TrueLiteral)
-      Collection.candidatePeriods(all, cond, indexCol, l, layoutTz, periodStats)
+      Collection.candidatePeriods(all, cond, indexCol, l, layoutTz, stats)
     }
   }
+
+  /** Period names surviving static + `extra` filters; None = flat item
+    * (no period structure to prune). */
+  private def keptPeriodsFor(extra: Array[Filter]): Option[Seq[String]] = {
+    val combined = pruneFilters ++ extra
+    roots match {
+      case GraftTable.LiveDirs(dataDir) => layout.map { l =>
+        val all = dataDir.listDirs
+          .filter(_.startsWith(Collection.MonthCol + "="))
+          .map(_.stripPrefix(Collection.MonthCol + "="))
+        prunePeriods(l, all, combined, periodStats)
+      }
+      case GraftTable.PinnedPeriods(pairs) => layout.map { l =>
+        prunePeriods(l, pairs.map(_._1), combined, periodStats)
+      }
+    }
+  }
+
+  /** Parquet roots for a kept-period set (None = the flat root). */
+  private def rootsOf(kept: Option[Seq[String]]): Seq[String] = roots match {
+    case GraftTable.LiveDirs(dataDir) => kept match {
+      case None => Seq(dataDir.toString)
+      case Some(ps) =>
+        ps.map(p => dataDir.resolve(s"${Collection.MonthCol}=$p").toString)
+    }
+    case GraftTable.PinnedPeriods(pairs) => kept match {
+      case None => pairs.map(_._2.toString)
+      case Some(ps) =>
+        val byPeriod = pairs.toMap
+        ps.flatMap(byPeriod.get).map(_.toString)
+    }
+  }
+
+  /** Re-derive the pruned root set with runtime filters ANDed in —
+    * [[GraftScan.filter]]'s entry point. */
+  private[sources] def rootsFor(extra: Array[Filter]): Seq[String] =
+    rootsOf(keptPeriodsFor(extra))
+
+  /** A vectorized parquet scan over an explicit root set, carrying the
+    * statically pushed filters and pruned read schema. */
+  private[sources] def parquetScanOver(scanRoots: Seq[String]): ParquetScan =
+    ParquetScan(
+      spark,
+      spark.sessionState.newHadoopConfWithOptions(options.asScala.toMap),
+      fileIndexFor(scanRoots),
+      dataSchema = tableSchema,
+      readDataSchema = required,
+      readPartitionSchema = new StructType(),
+      pushedFilters = pushed,
+      options = options)
+
+  private[sources] def microBatchStream(checkpointLocation: String): GraftMicroBatchStream =
+    new GraftMicroBatchStream(this, pushed, pruneFilters, options)
 
   /** The item's full root set, unpruned (aggregate pushdown must see
     * every period's footers). */
@@ -572,37 +629,30 @@ final class GraftScanBuilder(
     }
     // period pruning = path selection: nothing outside the surviving
     // periods is even LISTED into the file index
-    val scanRoots: Seq[String] = roots match {
-      case GraftTable.LiveDirs(dataDir) => layout match {
-        case None =>
-          rowLevel.foreach(_.recordScan(None)) // flat: the group is the item
-          Seq(dataDir.toString)
-        case Some(l) =>
-          val all = dataDir.listDirs
-            .filter(_.startsWith(Collection.MonthCol + "="))
-            .map(_.stripPrefix(Collection.MonthCol + "="))
-          val kept = prunePeriods(l, all)
-          rowLevel.foreach(_.recordScan(Some(kept))) // the replaced group set
-          kept.map(p => dataDir.resolve(s"${Collection.MonthCol}=$p").toString)
-      }
-      case GraftTable.PinnedPeriods(pairs) => layout match {
-        // a manifest pins periods only for time-layout items, but the
-        // sidecar could predate the layout marker — serve all pins
-        case None => pairs.map(_._2.toString)
-        case Some(l) =>
-          val byPeriod = pairs.toMap
-          prunePeriods(l, pairs.map(_._1)).flatMap(byPeriod.get).map(_.toString)
-      }
+    val kept = keptPeriodsFor(Array.empty)
+    rowLevel match {
+      case Some(rl) =>
+        // COW group scan: the kept-period set is RECORDED as the
+        // replaced-group set, so the scan must stay static — a runtime
+        // narrowing after recording would drop un-copied rows. Plain
+        // parquet scan, no GraftScan shell.
+        rl.recordScan(kept)
+        parquetScanOver(rootsOf(kept))
+      case None =>
+        // runtime filtering can prune on the index column and every
+        // _period_stats-covered column; flat items have no lever.
+        // Attributes must live in the PRUNED output — Spark resolves
+        // filterAttributes against the scan relation's output and a
+        // projected-away column would fail analysis
+        val runtimeAttrs = layout match {
+          case None    => Nil
+          case Some(_) =>
+            val avail = required.fieldNames.toSet
+            (indexCol +: periodStats.valuesIterator.flatMap(_.keysIterator).toSeq)
+              .distinct.filter(avail)
+        }
+        new GraftScan(this, itemPath.name, rootsOf(kept), runtimeAttrs,
+          snapshotPinned)
     }
-    val fileIndex = fileIndexFor(scanRoots)
-    ParquetScan(
-      spark,
-      spark.sessionState.newHadoopConfWithOptions(options.asScala.toMap),
-      fileIndex,
-      dataSchema = tableSchema,
-      readDataSchema = required,
-      readPartitionSchema = new StructType(),
-      pushedFilters = pushed,
-      options = options)
   }
 }

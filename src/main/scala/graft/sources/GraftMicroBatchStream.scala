@@ -1,0 +1,220 @@
+package graft.sources
+
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.sources.Filter
+import org.json4s.{JInt, JObject}
+import org.json4s.jackson.JsonMethods
+
+import graft.store.{Collection, GraftError, Item, Meta, Snapshots, ValidationError}
+
+/** Streaming SOURCE over a graft item — `spark.readStream
+  * .format("graft").load(<store>/<coll>/<item>)`: the incremental twin
+  * of the streaming sink, completing the loop where one job appends to
+  * an item while downstream jobs consume only what arrived.
+  *
+  * **Offsets are the sidecar's generation stamps** (`_period_gens` for
+  * time layouts, `_generation` for flat items) — driver-side metadata
+  * the commit protocol already maintains, read without touching data.
+  * A micro-batch serves the PERIOD DELTA between two offsets:
+  *
+  *  - a period present in `end` but not `start` is NEW — its directory
+  *    is served whole. Steady time-series ingest lands in fresh
+  *    periods, so the common case streams exactly the new data, and a
+  *    batch's cost scales with what arrived, never with item size;
+  *  - a period whose generation CHANGED was rewritten in place
+  *    (same-period append, deleteWhere, update). Generations are
+  *    equality tokens, not versions — the delta inside a rewrite is
+  *    unrecoverable — so the stream fails by default and re-serves the
+  *    whole period under `ignoreChanges=true` (downstream must
+  *    tolerate period-level replays — same contract as Delta's option
+  *    of the same name);
+  *  - a VANISHED period (expiry/retention) fails unless
+  *    `ignoreDeletes=true` (implied by ignoreChanges) marks it
+  *    consumed with nothing to serve.
+  *
+  * Backfill is admission-controlled: `maxPeriodsPerTrigger=N` caps
+  * each batch to the N chronologically-first unserved periods, so
+  * catching up on a 100 TB item is a sequence of bounded batches (in
+  * time order — downstream watermarks see ordered arrival), not one
+  * monster batch. `Trigger.AvailableNow` pins the catch-up target at
+  * start and drains to it in capped steps.
+  *
+  * `startingOffsets=latest` begins at the current state (serve only
+  * future arrivals); the default `earliest` serves the whole item
+  * first. Statically pushed index/stats predicates additionally prune
+  * which changed periods a batch serves at all.
+  *
+  * Caveat (documented, inherent to serving live directories): offsets
+  * name generations, but a period REWRITTEN between `latestOffset` and
+  * the batch's read serves the newer files under the old offset — a
+  * replayed batch after a crash can likewise see a later rewrite.
+  * Appends into fresh periods (the designed ingest pattern) never hit
+  * this; pin a snapshot for stronger replay guarantees.
+  */
+final class GraftMicroBatchStream(
+    builder: GraftScanBuilder,
+    pushed: Array[Filter],
+    pruneFilters: Array[Filter],
+    options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  private val itemPath = builder.itemPath
+  private val layout = builder.layout
+
+  private val maxPeriodsPerTrigger: Int =
+    Option(options.get("maxPeriodsPerTrigger")).map(_.trim.toInt) match {
+      case Some(n) if n < 1 =>
+        throw new ValidationError(s"maxPeriodsPerTrigger must be >= 1, got $n")
+      case Some(n) => n
+      case None    => Int.MaxValue
+    }
+  private val ignoreChanges =
+    Option(options.get("ignoreChanges")).exists(_.trim.toBoolean)
+  private val ignoreDeletes = ignoreChanges ||
+    Option(options.get("ignoreDeletes")).exists(_.trim.toBoolean)
+
+  /** Current generation map from the live sidecar — one small JSON
+    * read, no listing, no data. */
+  private def liveGens(): Map[String, Long] = {
+    val meta = Meta.read(itemPath)
+    layout match {
+      case Some(_) =>
+        val pg = Snapshots.periodGensOf(meta)
+        if (pg.nonEmpty) pg
+        else {
+          // legacy pre-gen sidecar: stamp every listed period with the
+          // item generation so first contact serves everything once
+          val dataDir = itemPath.resolve(Item.DataDir)
+          val g = Snapshots.generationOf(meta)
+          dataDir.listDirs.filter(_.startsWith(Collection.MonthCol + "="))
+            .map(d => d.stripPrefix(Collection.MonthCol + "=") -> g).toMap
+        }
+      case None =>
+        Map(GraftSourceOffset.FlatKey -> Snapshots.generationOf(meta))
+    }
+  }
+
+  // Trigger.AvailableNow: the catch-up target, pinned once at start
+  @volatile private var availableNowTarget: Option[Map[String, Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(liveGens())
+
+  override def initialOffset(): Offset =
+    Option(options.get("startingOffsets")).map(_.trim.toLowerCase).getOrElse("earliest") match {
+      case "earliest" => GraftSourceOffset(Map.empty)
+      case "latest"   => GraftSourceOffset(liveGens())
+      case other => throw new ValidationError(
+        s"unknown startingOffsets '$other' (supported: earliest, latest)")
+    }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): Offset = GraftSourceOffset(liveGens())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+
+  /** Next end offset from `start`: changed/removed periods move in one
+    * step (their error/replay semantics are per-batch anyway); NEW
+    * periods advance at most `maxPeriodsPerTrigger` per call, oldest
+    * first. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = availableNowTarget.getOrElse(liveGens())
+    val s = GraftSourceOffset.of(start).gens
+    val fresh = (cur.keySet -- s.keySet).toSeq.sorted.take(maxPeriodsPerTrigger)
+    val kept = s.filter { case (p, _) => cur.contains(p) } // removed periods leave the offset
+    val advanced = kept.map { case (p, _) => p -> cur(p) } ++ // changed gens advance
+      fresh.map(p => p -> cur(p))
+    GraftSourceOffset(advanced.toMap)
+  }
+
+  // the scan planned for the current batch; createReaderFactory is
+  // called right after planInputPartitions for the same batch
+  @volatile private var planned: Option[ParquetScan] = None
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = GraftSourceOffset.of(start).gens
+    val e = GraftSourceOffset.of(end).gens
+    val added = (e.keySet -- s.keySet).toSeq.sorted
+    val changed = e.keys.filter(p => s.get(p).exists(_ != e(p))).toSeq.sorted
+    val removed = (s.keySet -- e.keySet).toSeq.sorted
+    if (changed.nonEmpty && !ignoreChanges)
+      throw new GraftError(
+        s"item '${itemPath.name}' rewrote period(s) ${changed.mkString(", ")} " +
+          "mid-stream (same-period append / delete / update). The in-place delta " +
+          "is not recoverable; set ignoreChanges=true to re-serve rewritten " +
+          "periods whole, or ingest into fresh periods")
+    if (removed.nonEmpty && !ignoreDeletes)
+      throw new GraftError(
+        s"item '${itemPath.name}' dropped period(s) ${removed.mkString(", ")} " +
+          "mid-stream (expiry/retention). Set ignoreDeletes=true (or " +
+          "ignoreChanges=true) to skip them")
+    val serveKeys = (added ++ (if (ignoreChanges) changed else Nil)).sorted
+    val roots: Seq[String] =
+      if (serveKeys.contains(GraftSourceOffset.FlatKey))
+        Seq(itemPath.resolve(Item.DataDir).toString) // flat item: the whole data dir
+      else {
+        // static pushed predicates prune which served periods the batch
+        // reads at all — fresh stats (post-commit entries are dropped
+        // atomically, so absent = conservatively served)
+        val l = layout.getOrElse(
+          throw new GraftError(s"offset period keys without a time layout on '${itemPath.name}'"))
+        val stats = Collection.periodStatsOf(Meta.read(itemPath))
+        val kept = builder.prunePeriods(l, serveKeys, pruneFilters, stats)
+        val dataDir = itemPath.resolve(Item.DataDir)
+        kept.map(p => dataDir.resolve(s"${Collection.MonthCol}=$p").toString)
+      }
+    val scan = builder.parquetScanOver(roots)
+    planned = Some(scan)
+    scan.toBatch.planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    planned.getOrElse(throw new IllegalStateException(
+      "createReaderFactory before planInputPartitions")).toBatch.createReaderFactory()
+
+  override def deserializeOffset(json: String): Offset = GraftSourceOffset.fromJson(json)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def toString: String =
+    s"GraftMicroBatchStream[$itemPath, maxPeriodsPerTrigger=" +
+      (if (maxPeriodsPerTrigger == Int.MaxValue) "∞" else maxPeriodsPerTrigger.toString) + "]"
+}
+
+/** A consumed-state marker: period name → generation stamp (flat items
+  * use the single [[GraftSourceOffset.FlatKey]] entry). Generations
+  * compare by EQUALITY only — they are commit identity tokens
+  * (`System.nanoTime` at commit), not ordered versions, so offsets
+  * carry the full map rather than a high-water mark. JSON keys are
+  * sorted for a canonical serialized form. */
+final case class GraftSourceOffset(gens: Map[String, Long]) extends Offset {
+  override def json(): String = JsonMethods.compact(JsonMethods.render(
+    JObject(gens.toList.sortBy(_._1).map { case (p, g) => p -> JInt(BigInt(g)) })))
+}
+
+object GraftSourceOffset {
+  /** Reserved offset key for flat (single-generation) items; period
+    * names are date-shaped and can never collide with it. */
+  val FlatKey = "__item"
+
+  def fromJson(json: String): GraftSourceOffset =
+    JsonMethods.parse(json) match {
+      case JObject(fields) => GraftSourceOffset(fields.map {
+        case (p, JInt(g)) => p -> g.toLong
+        case (p, other) => throw new GraftError(s"bad offset entry $p=$other")
+      }.toMap)
+      case other => throw new GraftError(s"bad graft offset json: $other")
+    }
+
+  def of(o: Offset): GraftSourceOffset = o match {
+    case g: GraftSourceOffset => g
+    case other                => fromJson(other.json())
+  }
+}

@@ -1228,7 +1228,19 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
           .filter(_.startsWith(MonthCol + "="))
           .map(_.stripPrefix(MonthCol + "="))
         val toRemove = periods.filter(_ < pStar).sorted
-        val hasBoundary = periods.contains(pStar)
+        // A cutoff landing EXACTLY on its period's first instant (the
+        // midnight/month-start retention sweep every scheduler fires)
+        // has nothing to remove from the boundary period — every one of
+        // its rows is >= cutoff. Detect by period arithmetic (the
+        // instant 1 µs before the cutoff falls in an earlier period)
+        // and skip the boundary scan+rewrite entirely: the whole expiry
+        // is then a zero-read name-drop, and the untouched boundary
+        // keeps its generation (incremental consumers see a pure
+        // delete, not a spurious rewrite).
+        val boundaryAligned = Collection.periodOfValue(layout,
+            java.sql.Timestamp.from(cutoff.toInstant.minusNanos(1000)), sessionTz)
+          .exists(_ != pStar)
+        val hasBoundary = periods.contains(pStar) && !boundaryAligned
         if (toRemove.isEmpty && !hasBoundary)
           return Collection.ExpireResult(Nil, 0L)
         val prevMeta = Meta.read(path.resolve(item))

@@ -29,7 +29,10 @@ class GraftSqlSpec extends SparkSpec {
       case p => p
     }
     plan.collectFirst {
-      case b: BatchScanExec => b.scan.asInstanceOf[ParquetScan]
+      case b: BatchScanExec => b.scan match {
+        case g: graft.sources.GraftScan => g.parquet
+        case p: ParquetScan             => p // footer-aggregate path
+      }
     }.getOrElse(fail("expected a BatchScanExec (V2 scan) in the plan:\n" + plan))
   }
 

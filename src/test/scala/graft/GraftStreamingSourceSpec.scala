@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+
+import graft.store._
+
+/** Streaming SOURCE over a graft item (`spark.readStream.format("graft")`):
+  * period-granular incremental consumption driven by the sidecar's
+  * generation stamps. The scale contract under test: a batch serves the
+  * period DELTA between offsets (new periods whole, rewrites only under
+  * ignoreChanges), backfill is admission-controlled in chronological
+  * period steps, and a second run resumes from the checkpoint serving
+  * only what arrived since. */
+class GraftStreamingSourceSpec extends SparkSpec {
+
+  private def frame(startDay: String, days: Int) = {
+    import spark.implicits._
+    val start = java.time.LocalDate.parse(startDay)
+    (0 until days).map { i =>
+      (java.sql.Timestamp.valueOf(start.plusDays(i).atStartOfDay()), i.toDouble)
+    }.toDF("index", "value")
+  }
+
+  /** Drain one Trigger.AvailableNow run into a parquet sink dir and
+    * return (rows now in the sink, number of non-empty batches added). */
+  private def drain(itemPath: String, sinkDir: String, ckpt: String,
+                    extraOptions: Map[String, String] = Map.empty): Long = {
+    var reader = spark.readStream.format("graft")
+    extraOptions.foreach { case (k, v) => reader = reader.option(k, v) }
+    val q = reader.load(itemPath)
+      .writeStream.format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.recentProgress.count(_.numInputRows > 0)
+  }
+
+  test("incremental consumption: first run serves the item, resumed run serves only new periods") {
+    val c = tempCollection("stream_src")
+    c.write("item", frame("2024-01-01", 60), monthlyLayout = true) // jan feb
+    val item = c.path.resolve("item").toString
+    val work = java.nio.file.Files.createTempDirectory("stream_src_out")
+    val sink = s"$work/sink"; val ckpt = s"$work/ckpt"
+    drain(item, sink, ckpt)
+    assert(spark.read.parquet(sink).count() == 60)
+    // new period arrives; the resumed stream serves ONLY it
+    c.append("item", frame("2024-03-01", 10))
+    drain(item, sink, ckpt)
+    val all = spark.read.parquet(sink)
+    assert(all.count() == 70)
+    // nothing new → third run adds nothing
+    drain(item, sink, ckpt)
+    assert(spark.read.parquet(sink).count() == 70)
+    // content parity with the item itself
+    assert(all.orderBy("index").collect().toSeq ==
+      c.item("item").data.orderBy("index").collect().toSeq)
+    cleanup(c)
+  }
+
+  test("a rewritten period fails by default and re-serves whole under ignoreChanges") {
+    val c = tempCollection("stream_chg")
+    c.write("item", frame("2024-01-01", 40), monthlyLayout = true) // jan + feb(9d)
+    val item = c.path.resolve("item").toString
+    val work = java.nio.file.Files.createTempDirectory("stream_chg_out")
+    drain(item, s"$work/sink", s"$work/ckpt")
+    // same-period append REWRITES february in place
+    c.append("item", frame("2024-02-15", 5))
+    val e = intercept[StreamingQueryException](drain(item, s"$work/sink", s"$work/ckpt"))
+    assert(e.getMessage.contains("ignoreChanges") || Option(e.getCause).exists(
+      c => String.valueOf(c.getMessage).contains("ignoreChanges")))
+    // with ignoreChanges the rewritten period re-serves WHOLE (period-level
+    // replay: downstream sees feb twice — once per generation)
+    drain(item, s"$work/sink", s"$work/ckpt", Map("ignoreChanges" -> "true"))
+    val sunk = spark.read.parquet(s"$work/sink")
+    val febNow = c.item("item").data
+      .filter(col("index") >= lit(java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))).count()
+    assert(sunk.count() == 40 + febNow)
+    cleanup(c)
+  }
+
+  test("maxPeriodsPerTrigger backfills in chronological bounded batches") {
+    val c = tempCollection("stream_cap")
+    c.write("item", frame("2024-01-01", 120), monthlyLayout = true) // 4 periods
+    val item = c.path.resolve("item").toString
+    val work = java.nio.file.Files.createTempDirectory("stream_cap_out")
+    val batches = drain(item, s"$work/sink", s"$work/ckpt",
+      Map("maxPeriodsPerTrigger" -> "1"))
+    assert(batches == 4, s"4 periods at 1/trigger must drain in 4 batches, got $batches")
+    assert(spark.read.parquet(s"$work/sink").count() == 120)
+    cleanup(c)
+  }
+
+  test("startingOffsets=latest skips the existing item and serves only arrivals") {
+    val c = tempCollection("stream_latest")
+    c.write("item", frame("2024-01-01", 31), monthlyLayout = true)
+    val item = c.path.resolve("item").toString
+    val work = java.nio.file.Files.createTempDirectory("stream_latest_out")
+    val opts = Map("startingOffsets" -> "latest")
+    drain(item, s"$work/sink", s"$work/ckpt", opts)
+    // a no-data batch may still emit an empty part file — rows are the contract
+    assert(spark.read.parquet(s"$work/sink").count() == 0,
+      "latest must serve nothing pre-existing")
+    c.append("item", frame("2024-02-01", 5))
+    drain(item, s"$work/sink", s"$work/ckpt", opts)
+    assert(spark.read.parquet(s"$work/sink").count() == 5)
+    cleanup(c)
+  }
+
+  test("flat items stream as one generation; deletes need ignoreDeletes") {
+    val c = tempCollection("stream_flat")
+    c.write("flat", frame("2024-01-01", 20))
+    val item = c.path.resolve("flat").toString
+    val work = java.nio.file.Files.createTempDirectory("stream_flat_out")
+    drain(item, s"$work/sink", s"$work/ckpt")
+    assert(spark.read.parquet(s"$work/sink").count() == 20)
+    // any flat commit is a rewrite → ignoreChanges required
+    c.append("flat", frame("2024-01-25", 3))
+    intercept[StreamingQueryException](drain(item, s"$work/sink", s"$work/ckpt"))
+    drain(item, s"$work/sink", s"$work/ckpt", Map("ignoreChanges" -> "true"))
+    assert(spark.read.parquet(s"$work/sink").count() == 20 + 23)
+    // dropped period on a monthly item: expiry needs ignoreDeletes
+    val c2 = tempCollection("stream_del")
+    c2.write("m", frame("2024-01-01", 60), monthlyLayout = true)
+    val item2 = c2.path.resolve("m").toString
+    val work2 = java.nio.file.Files.createTempDirectory("stream_del_out")
+    drain(item2, s"$work2/sink", s"$work2/ckpt")
+    c2.expireBefore("m", java.sql.Timestamp.valueOf("2024-02-01 00:00:00")) // jan dies
+    intercept[StreamingQueryException](drain(item2, s"$work2/sink", s"$work2/ckpt"))
+    val n = drain(item2, s"$work2/sink", s"$work2/ckpt", Map("ignoreDeletes" -> "true"))
+    assert(spark.read.parquet(s"$work2/sink").count() == 60, "a delete serves nothing new")
+    cleanup(c); cleanup(c2)
+  }
+
+  test("snapshot-pinned reads refuse streaming with a typed error") {
+    val c = tempCollection("stream_snap")
+    c.write("item", frame("2024-01-01", 10), monthlyLayout = true)
+    c.createSnapshot(Some("v1"), manifest = Some(true))
+    val work = java.nio.file.Files.createTempDirectory("stream_snap_out")
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft").option("snapshot", "v1")
+        .load(c.path.resolve("item").toString)
+        .writeStream.format("parquet").option("path", s"$work/sink")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(_.contains("immutable")), messages(e).mkString(" | "))
+    cleanup(c)
+  }
+}
