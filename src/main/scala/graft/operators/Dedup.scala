@@ -893,7 +893,20 @@ object Dedup {
                          vecCol: String = "embedding",
                          idCol: String = "vec_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = Similarity.kmeansCentroids(df, nClusters, kmeansIters, vecCol, idCol)
+    // nClusters <= 0 → size the cluster count from the corpus so CELLS
+    // stay bounded (~256 ids each): within-cell pair cost is O(Σ|c|²),
+    // so a FIXED cluster count grows pairs quadratically with corpus —
+    // at 10× data that is 100× pairs, the one curve that cannot ship
+    // at 100 TB. Bounded cells make pair cost linear in corpus at
+    // constant dup-rate (SemDeDup's published recipe sizes k with the
+    // corpus for the same reason). Recall argument is nassign's, not
+    // k's: cos≥threshold twins rank centroids near-identically, so
+    // multi-assignment keeps sharing a cell at any k — the exhaustive
+    // oracle pins this on the verify corpus.
+    val k =
+      if (nClusters > 0) nClusters
+      else math.max(16, math.ceil(df.count() / 256.0).toInt)
+    val cents = Similarity.kmeansCentroids(df, k, kmeansIters, vecCol, idCol)
     val base = spread(df).select(col(idCol).as("id"), col(vecCol).as("v"))
     val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid"))
     val assigned = base.crossJoin(broadcast(cents))

@@ -805,7 +805,8 @@ object PipelineQueries {
     * arithmetic, and (c) component convergence. */
   def dedupSemantic(s: SparkSession, dir: String): DataFrame =
     Dedup.semanticDedup(embWithNearCopies(s, dir), threshold = 0.9,
-        nClusters = 16, nassign = 2, kmeansIters = 2)
+        nClusters = 0 /* auto: corpus-sized, cells bounded ~256 */,
+        nassign = 2, kmeansIters = 2)
       .orderBy(col("drop_id"))
 
   val dedupSemanticSql: String =

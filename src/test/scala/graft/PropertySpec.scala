@@ -22,6 +22,28 @@ class PropertySpec extends SparkSpec {
   private def randomBatch(rng: Random, n: Int = 12): Seq[(Int, Double)] =
     Seq.fill(n)((rng.nextInt(20) + 1, rng.nextInt(10).toDouble)).distinct
 
+  test("property: GraftSourceOffset json round-trips any period→gen map") {
+    val rng = new Random(11)
+    for (_ <- 1 to 100) {
+      val n = rng.nextInt(40)
+      val gens = (0 until n).map { i =>
+        val key = rng.nextInt(4) match {
+          case 0 => f"${2000 + rng.nextInt(30)}%04d-${rng.nextInt(12) + 1}%02d"
+          case 1 => f"${2000 + rng.nextInt(30)}%04d-${rng.nextInt(12) + 1}%02d-${rng.nextInt(28) + 1}%02d"
+          case 2 => s"${2000 + rng.nextInt(30)}Q${rng.nextInt(4) + 1}"
+          case _ => graft.sources.GraftSourceOffset.FlatKey
+        }
+        key -> rng.nextLong()
+      }.toMap
+      val o = graft.sources.GraftSourceOffset(gens)
+      val back = graft.sources.GraftSourceOffset.fromJson(o.json())
+      assert(back == o, s"round-trip mismatch for $gens")
+      // canonical form: equal maps serialize identically (offset equality
+      // is what tells the stream "no new data")
+      assert(back.json() == o.json())
+    }
+  }
+
   test("property: pq ADC kernel equals the manual lookup sum (seeded cases)") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     val rng = new Random(7)
