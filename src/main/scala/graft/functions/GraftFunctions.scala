@@ -87,6 +87,35 @@ object GraftFunctions {
     "graft_interleave_bits" -> { args =>
       require(args.length == 2, "graft_interleave_bits(ranks, bits)")
       expressions.InterleaveBits(args(0), intArg(args(1), "bits"))
+    },
+    // The SQL face of the store's period arithmetic
+    // (Collection.periodOfValue): maps an index value to the period KEY
+    // its row lives under in a time layout — `GROUP BY
+    // graft_period(time, 'monthly')` aggregates exactly along storage
+    // boundaries. Composed from built-in date expressions (codegen'd,
+    // session-tz-aware like every read/mutate path — evaluate in the
+    // item's layout tz, the same rule the store enforces).
+    "graft_period" -> { args =>
+      require(args.length == 2, "graft_period(ts, layout)")
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, Quarter}
+      import org.apache.spark.sql.types.StringType
+      val layout = args(1) match {
+        case Literal(s, StringType) if s != null => s.toString
+        case other => throw new IllegalArgumentException(
+          s"layout must be a string literal (daily|monthly|quarterly|yearly), got $other")
+      }
+      def fmt(pattern: String): Expression =
+        org.apache.spark.sql.catalyst.expressions.DateFormatClass(
+          args(0), Literal(pattern), None)
+      layout match {
+        case "daily"   => fmt("yyyy-MM-dd")
+        case "monthly" => fmt("yyyy-MM")
+        case "yearly"  => fmt("yyyy")
+        case "quarterly" =>
+          Concat(Seq(fmt("yyyy"), Literal("-Q"), Cast(Quarter(args(0)), StringType)))
+        case other => throw new IllegalArgumentException(
+          s"unknown time layout '$other' (daily|monthly|quarterly|yearly)")
+      }
     })
 
   /** Register every graft function into a live session. Idempotent. */

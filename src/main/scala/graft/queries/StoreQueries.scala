@@ -1319,6 +1319,70 @@ object StoreQueries {
       |  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** The store as BOTH ends of an incremental pipeline:
+    * `readStream.format("graft")` (raw item) → stateless curation
+    * transform → `writeStream.format("graft")` (curated item). Arm 1:
+    * the first drain serves raw's seeded Jan–Feb; curated was seeded
+    * with the Jan transform, and the sink's default KeepLast replaces
+    * stored Jan with the identical incoming rows — idempotent replay,
+    * proven by exact row counts. Arm 2: March lands in raw; the
+    * resumed drain must move EXACTLY the one new period through the
+    * transform into curated (gated: 1 non-empty batch of the March raw
+    * rows). The scale contract: each increment costs the new period's
+    * rows — read, transformed, appended — never a re-scan of either
+    * item. */
+  def streamPipelineRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "stream_pipe")
+    val out = Paths.get(sys.props("java.io.tmpdir"), "graft_verify", "stream_pipe_out")
+    FsOps.deleteRecursively(out)
+    Files.createDirectories(out)
+    val li = Tables.t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_shipdate", $"l_extendedprice")
+    def slice(lo: String, hi: String) = li.filter(
+      $"l_shipdate" >= lit(java.time.LocalDateTime.parse(lo)) &&
+        $"l_shipdate" < lit(java.time.LocalDateTime.parse(hi)))
+    // exact-decimal transform: identical digits in Spark and DuckDB
+    def curate(df: DataFrame) = df.filter($"l_quantity" > 25.0)
+      .withColumn("rev",
+        round($"l_extendedprice".cast("decimal(38,4)") * lit(new java.math.BigDecimal("0.9")), 2)
+          .cast("double"))
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_shipdate", $"rev")
+    col.write("raw", slice("1997-01-01T00:00:00", "1997-03-01T00:00:00"),
+      indexCols = Seq("l_shipdate"), timeLayout = Some("monthly"))
+    col.write("curated", curate(slice("1997-01-01T00:00:00", "1997-02-01T00:00:00")),
+      indexCols = Seq("l_shipdate"), timeLayout = Some("monthly"))
+    def drain() = {
+      val q = curate(s.readStream.format("graft").load(col.path.resolve("raw").toString))
+        .writeStream.format("graft")
+        .option("path", col.path.resolve("curated").toString)
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.filter(_.numInputRows > 0)
+    }
+    drain() // Jan replays identically under KeepLast; Feb arrives
+    col.append("raw", slice("1997-03-01T00:00:00", "1997-04-01T00:00:00"),
+      duplicateHandling = DuplicateHandling.KeepAll)
+    val second = drain()
+    val marchRaw = slice("1997-03-01T00:00:00", "1997-04-01T00:00:00").count()
+    if (second.length != 1 || second.map(_.numInputRows).sum != marchRaw)
+      throw new IllegalStateException(
+        s"resumed pipeline must move exactly the new March period " +
+          s"($marchRaw raw rows in 1 batch), got ${second.length} batches / " +
+          s"${second.map(_.numInputRows).sum} rows")
+    col.item("curated").data.orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val streamPipelineRoundtripSql: String =
+    """SELECT l_shipdate, l_orderkey, l_linenumber, l_quantity,
+      |  CAST(round(CAST(l_extendedprice AS DECIMAL(38,4)) * CAST(0.9 AS DECIMAL(38,4)), 2) AS DOUBLE) AS rev
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      |  AND l_quantity > 25.0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_write_read" -> writeRead _,
     "store_append_keep_last" -> appendKeepLast _,
@@ -1355,7 +1419,8 @@ object StoreQueries {
     "store_snapshot_listing" -> snapshotListing _,
     "store_delete_pruned_date" -> deletePrunedDate _,
     "store_sql_runtime_prune" -> sqlRuntimePrune _,
-    "stream_source_read" -> streamSourceRead _)
+    "stream_source_read" -> streamSourceRead _,
+    "stream_pipeline_roundtrip" -> streamPipelineRoundtrip _)
 
   val oracles: Map[String, String] = Map(
     "store_write_read" -> writeReadSql,
@@ -1393,5 +1458,6 @@ object StoreQueries {
     "store_snapshot_listing" -> snapshotListingSql,
     "store_delete_pruned_date" -> deletePrunedDateSql,
     "store_sql_runtime_prune" -> sqlRuntimePruneSql,
-    "stream_source_read" -> streamSourceReadSql)
+    "stream_source_read" -> streamSourceReadSql,
+    "stream_pipeline_roundtrip" -> streamPipelineRoundtripSql)
 }

@@ -858,6 +858,40 @@ class OperatorsSpec extends SparkSpec {
     graft.functions.GraftFunctions.register(spark)
   }
 
+  test("graft_period maps index values to storage period keys across layouts") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq(
+      (java.sql.Timestamp.valueOf("1997-03-31 23:59:59"), "1997-03-31", "1997-03", "1997-Q1", "1997"),
+      (java.sql.Timestamp.valueOf("2024-02-29 00:00:00"), "2024-02-29", "2024-02", "2024-Q1", "2024"),
+      (java.sql.Timestamp.valueOf("2000-10-01 00:00:00"), "2000-10-01", "2000-10", "2000-Q4", "2000"),
+      (java.sql.Timestamp.valueOf("0099-07-04 12:00:00"), "0099-07-04", "0099-07", "0099-Q3", "0099")
+    ).toDF("ts", "d", "m", "q", "y").createOrReplaceTempView("gp_probe")
+    val bad = spark.sql(
+      """SELECT * FROM gp_probe
+        |WHERE graft_period(ts, 'daily')     <> d
+        |   OR graft_period(ts, 'monthly')   <> m
+        |   OR graft_period(ts, 'quarterly') <> q
+        |   OR graft_period(ts, 'yearly')    <> y""".stripMargin).count()
+    assert(bad == 0L)
+    // period keys match what the store actually lays out: group counts
+    // by graft_period == per-period dir row counts
+    val c = tempCollection("gp_layout")
+    c.write("item", sampleData, monthlyLayout = true)
+    val item = c.path.resolve("item")
+    val byFn = c.item("item").data
+      .selectExpr("graft_period(index, 'monthly') AS p")
+      .groupBy("p").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byDir = item.resolve("data").listDirs
+      .filter(_.startsWith(graft.store.Collection.MonthCol + "="))
+      .map { d =>
+        val p = d.stripPrefix(graft.store.Collection.MonthCol + "=")
+        p -> spark.read.parquet(item.resolve("data").resolve(d).toString).count()
+      }.toMap
+    assert(byFn == byDir, s"fn=$byFn dirs=$byDir")
+    intercept[Exception](spark.sql("SELECT graft_period(timestamp'2024-01-01', 'weekly')").collect())
+    cleanup(c)
+  }
+
   test("memory optimizer downcasts within observed ranges") {
     val df = Seq((1L, 100000L, 1.5)).toDF("tiny", "medium", "dbl")
     val out = MemoryOptimizer.shrinkTypes(df)
