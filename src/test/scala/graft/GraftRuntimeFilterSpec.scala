@@ -111,6 +111,42 @@ class GraftRuntimeFilterSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("an empty runtime IN-set prunes to zero roots and serves zero rows") {
+    val c = tempCollection("dpp_empty")
+    c.write("fact", frame("2024-01-01", 60), monthlyLayout = true)
+    import spark.implicits._
+    val dim = spark.range(0, 5).select(
+      expr("timestamp'2030-01-01 00:00:00' + make_interval(0,0,0,CAST(id AS INT),0,0,0)").as("ts"),
+      when($"id" < 0, "keep").otherwise("drop").as("label"))
+    val fact = spark.read.format("graft").load(c.path.resolve("fact").toString)
+    val joined = fact.join(broadcast(dim.filter($"label" === "keep")),
+      fact("index") === dim("ts"))
+    assert(joined.collect().isEmpty)
+    cleanup(c)
+  }
+
+  test("runtime pruning works over a pinned manifest snapshot") {
+    val c = tempCollection("dpp_snap")
+    c.write("fact", frame("2024-01-01", 90), monthlyLayout = true)
+    c.createSnapshot(Some("v1"), manifest = Some(true))
+    c.append("fact", frame("2024-02-10", 3)) // rewrites feb AFTER the pin
+    import spark.implicits._
+    val dim = spark.range(0, 2).select(
+      expr("element_at(array(timestamp'2024-02-05 00:00:00', timestamp'2024-03-05 00:00:00'), CAST(id + 1 AS INT))").as("ts"),
+      when($"id" === 0, "keep").otherwise("drop").as("label"))
+    val snap = spark.read.format("graft").option("snapshot", "v1")
+      .load(c.path.resolve("fact").toString)
+    val joined = snap.join(broadcast(dim.filter($"label" === "keep")),
+      snap("index") === dim("ts"))
+    val rows = joined.collect()
+    assert(rows.length == 1 &&
+      rows.head.getTimestamp(0) == java.sql.Timestamp.valueOf("2024-02-05 00:00:00"))
+    val scan = graftScan(joined)
+    assert(scan.currentRootCount == 1,
+      s"pinned feb generation must be the single runtime-pruned root, got ${scan.currentRootCount}")
+    cleanup(c)
+  }
+
   test("flat items offer no runtime filter attributes (no lever, no subquery)") {
     val c = tempCollection("dpp_flat")
     c.write("flat", frame("2024-01-01", 20))

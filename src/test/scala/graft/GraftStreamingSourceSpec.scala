@@ -134,6 +134,23 @@ class GraftStreamingSourceSpec extends SparkSpec {
     cleanup(c); cleanup(c2)
   }
 
+  test("the source is layout-agnostic: daily periods stream the same way") {
+    val c = tempCollection("stream_daily")
+    import spark.implicits._
+    val df = frame("2024-01-01", 6)
+    c.write("item", df, indexCols = Seq("index"), timeLayout = Some("daily"))
+    val item = c.path.resolve("item").toString
+    val work = java.nio.file.Files.createTempDirectory("stream_daily_out")
+    drain(item, s"$work/sink", s"$work/ckpt")
+    assert(spark.read.parquet(s"$work/sink").count() == 6)
+    c.append("item", frame("2024-01-07", 2)) // two fresh day-periods
+    val batches = drain(item, s"$work/sink", s"$work/ckpt",
+      Map("maxPeriodsPerTrigger" -> "1"))
+    assert(batches == 2, s"two new day dirs at 1/trigger = 2 batches, got $batches")
+    assert(spark.read.parquet(s"$work/sink").count() == 8)
+    cleanup(c)
+  }
+
   test("snapshot-pinned reads refuse streaming with a typed error") {
     val c = tempCollection("stream_snap")
     c.write("item", frame("2024-01-01", 10), monthlyLayout = true)
