@@ -555,7 +555,7 @@ final class GraftScanBuilder(
 
   /** Period names surviving static + `extra` filters; None = flat item
     * (no period structure to prune). */
-  private def keptPeriodsFor(extra: Array[Filter]): Option[Seq[String]] = {
+  private[sources] def keptPeriodsFor(extra: Array[Filter]): Option[Seq[String]] = {
     val combined = pruneFilters ++ extra
     roots match {
       case GraftTable.LiveDirs(dataDir) => layout.map { l =>
@@ -571,7 +571,7 @@ final class GraftScanBuilder(
   }
 
   /** Parquet roots for a kept-period set (None = the flat root). */
-  private def rootsOf(kept: Option[Seq[String]]): Seq[String] = roots match {
+  private[sources] def rootsOf(kept: Option[Seq[String]]): Seq[String] = roots match {
     case GraftTable.LiveDirs(dataDir) => kept match {
       case None => Seq(dataDir.toString)
       case Some(ps) =>
@@ -630,27 +630,27 @@ final class GraftScanBuilder(
     // period pruning = path selection: nothing outside the surviving
     // periods is even LISTED into the file index
     val kept = keptPeriodsFor(Array.empty)
+    // runtime filtering can prune on the index column and every
+    // _period_stats-covered column; flat items have no lever.
+    // Attributes must live in the PRUNED output — Spark resolves
+    // filterAttributes against the scan relation's output and a
+    // projected-away column would fail analysis
+    val runtimeAttrs = layout match {
+      case None    => Nil
+      case Some(_) =>
+        val avail = required.fieldNames.toSet
+        (indexCol +: periodStats.valuesIterator.flatMap(_.keysIterator).toSeq)
+          .distinct.filter(avail)
+    }
     rowLevel match {
       case Some(rl) =>
         // COW group scan: the kept-period set is RECORDED as the
-        // replaced-group set, so the scan must stay static — a runtime
-        // narrowing after recording would drop un-copied rows. Plain
-        // parquet scan, no GraftScan shell.
+        // replaced-group set. Runtime narrowing is allowed ONLY through
+        // GraftCowScan.filter, which re-records the narrowed set in the
+        // same call — scan and replaced groups never diverge.
         rl.recordScan(kept)
-        parquetScanOver(rootsOf(kept))
+        new GraftCowScan(this, itemPath.name, rl, kept, runtimeAttrs)
       case None =>
-        // runtime filtering can prune on the index column and every
-        // _period_stats-covered column; flat items have no lever.
-        // Attributes must live in the PRUNED output — Spark resolves
-        // filterAttributes against the scan relation's output and a
-        // projected-away column would fail analysis
-        val runtimeAttrs = layout match {
-          case None    => Nil
-          case Some(_) =>
-            val avail = required.fieldNames.toSet
-            (indexCol +: periodStats.valuesIterator.flatMap(_.keysIterator).toSeq)
-              .distinct.filter(avail)
-        }
         new GraftScan(this, itemPath.name, rootsOf(kept), runtimeAttrs,
           snapshotPinned)
     }

@@ -118,3 +118,70 @@ final class GraftScan private[sources] (
   }
   override def hashCode(): Int = inner.hashCode()
 }
+
+/** The COW group scan with runtime group filtering — what turns
+  * `MERGE INTO item USING updates ON t.index = s.index` from a
+  * full-item copy-on-write into a rewrite of only the periods the
+  * source touches.
+  *
+  * A MERGE/subquery condition is never statically translatable, so the
+  * group scan's static pruning widens to every period; Spark's
+  * `RowLevelOperationRuntimeGroupFiltering` then plans a light
+  * matching-rows subquery and hands the matching index/stats values to
+  * [[filter]] at execution. The invariant that makes runtime narrowing
+  * SAFE here is lock-step re-recording: the narrowed kept-period set is
+  * written to the row-level operation in the same call that narrows the
+  * scan, so the write's commit replaces exactly the periods whose rows
+  * were read — never a period whose innocent rows were skipped.
+  * (Spark only fires the rule for command shapes where group narrowing
+  * is sound — e.g. not for NOT MATCHED BY SOURCE merges.)
+  *
+  * Periods added by the operation (cross-period row moves, MERGE
+  * inserts) need no scanning — `replaceCowStaged`'s merge-in arm links
+  * staged files into unscanned periods, narrowed or not. Pushed row
+  * filters stay OFF the parquet scan for the same reason as the static
+  * path: every row of a replaced period must be copied. */
+final class GraftCowScan private[sources] (
+    builder: GraftScanBuilder,
+    itemName: String,
+    rl: GraftRowLevelOperation,
+    initialKept: Option[Seq[String]],
+    runtimeAttrs: Seq[String])
+    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  @volatile private var inner: ParquetScan =
+    builder.parquetScanOver(builder.rootsOf(initialKept))
+  @volatile private var narrowed: Option[Int] = None
+
+  private[graft] def parquet: ParquetScan = inner
+  private[graft] def currentRootCount: Int = inner.fileIndex.rootPaths.size
+
+  override def readSchema(): StructType = inner.readSchema()
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    inner.toBatch.planInputPartitions()
+  override def createReaderFactory(): PartitionReaderFactory =
+    inner.toBatch.createReaderFactory()
+  override def estimateStatistics(): Statistics = inner.estimateStatistics()
+
+  // flat items have one group (the item) — nothing to narrow
+  override def filterAttributes(): Array[NamedReference] =
+    if (initialKept.isEmpty) Array.empty
+    else runtimeAttrs.map(Expressions.column).toArray
+
+  override def filter(filters: Array[Filter]): Unit = {
+    if (filters.nonEmpty && initialKept.isDefined) {
+      val kept = builder.keptPeriodsFor(filters)
+      // scan and replaced-group set move together, atomically from the
+      // write's perspective (commit reads scanInfo after execution)
+      rl.recordScan(kept)
+      inner = builder.parquetScanOver(builder.rootsOf(kept))
+      narrowed = kept.map(_.size)
+    }
+  }
+
+  override def description(): String = {
+    val n = narrowed.map(n => s", runtime-narrowed to $n groups").getOrElse("")
+    s"GraftCowScan item=$itemName$n ${inner.description()}"
+  }
+}

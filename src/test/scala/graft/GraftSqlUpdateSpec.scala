@@ -55,6 +55,39 @@ class GraftSqlUpdateSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("MERGE INTO runtime-narrows the replaced groups to the source's periods") {
+    val c = tempCollection("sql_merge_rgf")
+    c.write("item", frame("2024-01-01", 90), monthlyLayout = true)
+    registerCatalog("ucatrgf", c)
+    val janBefore = periodFiles(c, "item", "2024-01")
+    val marBefore = periodFiles(c, "item", "2024-03")
+    // MERGE's join condition is never statically translatable → before
+    // runtime group filtering this was a FULL-ITEM copy-on-write. The
+    // matching-rows subquery narrows the replaced groups to february
+    // (the matched rows) at execution; the may insert lands through the
+    // merge-in arm without may ever being scanned.
+    spark.range(0, 4).select(
+      expr("CASE WHEN id < 3 THEN timestamp'2024-02-10 00:00:00' + " +
+        "make_interval(0,0,0,CAST(id AS INT),0,0,0) " +
+        "ELSE timestamp'2024-05-05 00:00:00' END").as("ts"),
+      (col("id") + 5000.0).as("newval"))
+      .createOrReplaceTempView("merge_rgf_src")
+    spark.sql("""MERGE INTO ucatrgf.c.item t USING merge_rgf_src s
+      |ON t.index = s.ts
+      |WHEN MATCHED THEN UPDATE SET t.value = s.newval
+      |WHEN NOT MATCHED THEN INSERT (index, value, tag) VALUES (s.ts, s.newval, 'ins')""".stripMargin)
+    val got = c.item("item").data
+    assert(got.count() == 91) // 90 + the may insert
+    assert(got.filter(col("value") >= 5000.0).count() == 4)
+    assert(got.filter(col("tag") === "ins").count() == 1)
+    assert(periodFiles(c, "item", "2024-01") == janBefore,
+      "MERGE matching february only must not rewrite january (runtime group filter)")
+    assert(periodFiles(c, "item", "2024-03") == marBefore,
+      "MERGE matching february only must not rewrite march")
+    assert(periodFiles(c, "item", "2024-05").nonEmpty, "the insert's period must exist")
+    cleanup(c)
+  }
+
   test("UPDATE that moves rows across periods merges them into the destination") {
     val c = tempCollection("sql_upd_move")
     c.write("item", frame("2024-01-01", 60), monthlyLayout = true)
