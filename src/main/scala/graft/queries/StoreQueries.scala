@@ -981,6 +981,146 @@ object StoreQueries {
       |FROM repl GROUP BY 1, 2
       |ORDER BY arm, month""".stripMargin
 
+  /** SQL maintenance surface (`CALL graft.system.*`): the full
+    * operational lifecycle driven from SQL alone. Even-free lineitem
+    * 1997-01→07 lands monthly; CALL create_snapshot pins 'pre';
+    * CALL expire_before trims to ≥ Mar 15 (in-query gates: exactly the
+    * two wholly-expired periods removed by NAME and 14 boundary rows
+    * deleted — wrong period arithmetic breaks the run, not just the
+    * hash); CALL convert_layout flattens (gate: no period dirs left);
+    * CALL rebalance compacts to 4 files (gate: returned count). The
+    * result unions the live post-maintenance state with the VERSION AS
+    * OF 'pre' rollup — the snapshot must survive expiry, conversion,
+    * AND rebalance through retained generations, or the pinned arm's
+    * hash breaks. DuckDB re-derives both states from lineitem. */
+  def sqlMaintenance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "sql_maint")
+    val li = Tables.t(s, dir, "lineitem")
+      .select($"l_shipdate", $"l_quantity", $"l_extendedprice")
+      .filter($"l_shipdate" >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        $"l_shipdate" < lit(java.sql.Timestamp.valueOf("1997-07-01 00:00:00")))
+    col.write("li", li, indexCols = Seq("l_shipdate"), timeLayout = Some("monthly"))
+    s.conf.set("spark.sql.catalog.gmcat", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gmcat.root", col.path.parent.toString)
+    val snap = s.sql(
+      "CALL gmcat.system.create_snapshot(collection => 'col', name => 'pre', manifest => true)")
+      .head.getString(0)
+    if (snap != "pre")
+      throw new IllegalStateException(s"create_snapshot returned '$snap'")
+    val exp = s.sql(
+      "CALL gmcat.system.expire_before('col', 'li', TIMESTAMP '1997-03-15 00:00:00')").head
+    if (exp.getInt(0) != 2) // 1997-01, 1997-02 removed by directory name
+      throw new IllegalStateException(
+        s"expire_before must name-drop exactly the 2 wholly-expired periods, got ${exp.getInt(0)}")
+    if (exp.getLong(1) <= 0L) // Mar 1–14 rows from the boundary period
+      throw new IllegalStateException("expire_before reported no boundary rows deleted")
+    if (s.sql("CALL gmcat.system.convert_layout('col', 'li')").head.getString(0) != "flat")
+      throw new IllegalStateException("convert_layout did not report flat")
+    val periodDirs = col.path.resolve("li").resolve(Item.DataDir).listDirs
+      .filter(_.startsWith(Collection.MonthCol + "="))
+    if (periodDirs.nonEmpty)
+      throw new IllegalStateException(s"flat conversion left period dirs: $periodDirs")
+    val files = s.sql("CALL gmcat.system.rebalance('col', 'li', 4)").head.getInt(0)
+    if (files != 4)
+      throw new IllegalStateException(s"rebalance(4) reported $files files")
+    def rollup(versionClause: String, arm: String) = s.sql(s"""
+      |SELECT '$arm' AS arm, date_trunc('month', l_shipdate) AS ship_month,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_qty
+      |FROM gmcat.col.li $versionClause
+      |GROUP BY 1, 2""".stripMargin)
+    rollup("", "live").unionByName(rollup("VERSION AS OF 'pre'", "pinned"))
+      .orderBy("arm", "ship_month")
+  }
+
+  /** Batch CDC (`changesSince`): lineitem 1997-01→05 lands monthly and
+    * manifest snapshot 'cut' pins the state; then March is REWRITTEN in
+    * place (KeepAll re-delivery of its odd-orderkey rows) and Jun–Jul
+    * arrive as new periods. The changes read must serve EXACTLY the
+    * delta — live March whole (period-granular replay) plus the two new
+    * periods — decided from generation pins with the scan's roots
+    * narrowed to 3 of 7 before any listing (in-query gate). A second
+    * untouched item must report zero changes (gate). DuckDB re-derives
+    * the delta from lineitem alone. */
+  def sqlChanges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "sql_changes")
+    val li = Tables.t(s, dir, "lineitem")
+      .select($"l_shipdate", $"l_orderkey", $"l_quantity")
+    def slice(lo: String, hi: String) =
+      li.filter($"l_shipdate" >= lit(java.sql.Timestamp.valueOf(lo)) &&
+        $"l_shipdate" < lit(java.sql.Timestamp.valueOf(hi)))
+    col.write("li", slice("1997-01-01 00:00:00", "1997-06-01 00:00:00"),
+      indexCols = Seq("l_shipdate"), timeLayout = Some("monthly"))
+    col.write("quiet", slice("1997-01-01 00:00:00", "1997-02-01 00:00:00"),
+      indexCols = Seq("l_shipdate"), timeLayout = Some("monthly"))
+    col.createSnapshot(Some("cut"), manifest = Some(true))
+    val march = slice("1997-03-01 00:00:00", "1997-04-01 00:00:00")
+    // +1000 so the re-delivered rows are NOT full-row duplicates (which
+    // KeepAll would collapse, reference D1 semantics) — a real rewrite
+    col.append("li", march.filter($"l_orderkey" % 2 === 1)
+        .withColumn("l_quantity", $"l_quantity" + lit(1000.0)),
+      duplicateHandling = DuplicateHandling.KeepAll)            // rewrite 1997-03
+    col.append("li", slice("1997-06-01 00:00:00", "1997-08-01 00:00:00")) // new periods
+    def changesOf(item: String) = s.read.format("graft")
+      .option("changesSince", "cut").load(col.path.resolve(item).toString)
+    if (changesOf("quiet").count() != 0L)
+      throw new IllegalStateException("untouched item must report zero changes")
+    val delta = changesOf("li")
+    val roots = delta.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case g: graft.sources.GraftScan => g.parquet.fileIndex.rootPaths
+          case p => p.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+            .fileIndex.rootPaths
+        }
+    }.getOrElse(throw new IllegalStateException("no V2 scan in the changes plan"))
+    if (roots.size != 3)
+      throw new IllegalStateException(
+        s"changes scan must root at exactly {rewritten Mar, new Jun, new Jul}, got $roots")
+    delta.groupBy(date_trunc("month", $"l_shipdate").as("ship_month"))
+      .agg(count(lit(1)).as("n"),
+        round(sum($"l_quantity".cast("decimal(38,4)")).cast("double"), 2).as("sum_qty"))
+      .orderBy("ship_month")
+  }
+
+  val sqlChangesSql: String =
+    """WITH mar AS (
+      |  SELECT l_shipdate, l_orderkey, l_quantity FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      |), delta AS (
+      |  SELECT * FROM mar
+      |  UNION ALL
+      |  SELECT l_shipdate, l_orderkey, l_quantity + 1000 AS l_quantity
+      |  FROM mar WHERE l_orderkey % 2 = 1
+      |  UNION ALL
+      |  SELECT l_shipdate, l_orderkey, l_quantity FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-06-01' AND l_shipdate < TIMESTAMP '1997-08-01'
+      |)
+      |SELECT date_trunc('month', l_shipdate) AS ship_month,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_qty
+      |FROM delta GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val sqlMaintenanceSql: String =
+    """WITH base AS (
+      |  SELECT l_shipdate, l_quantity FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+      |), live AS (
+      |  SELECT * FROM base WHERE l_shipdate >= TIMESTAMP '1997-03-15'
+      |)
+      |SELECT 'live' AS arm, date_trunc('month', l_shipdate) AS ship_month,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_qty
+      |FROM live GROUP BY 1, 2
+      |UNION ALL
+      |SELECT 'pinned' AS arm, date_trunc('month', l_shipdate) AS ship_month,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_qty
+      |FROM base GROUP BY 1, 2
+      |ORDER BY arm, ship_month""".stripMargin
+
   val catalogVersionedSql: String =
     """WITH pinned AS (
       |  SELECT l_shipdate, l_quantity FROM lineitem
@@ -1415,6 +1555,8 @@ object StoreQueries {
     "store_sql_delete" -> sqlDelete _,
     "store_sql_update" -> sqlUpdate _,
     "store_catalog_versioned" -> catalogVersioned _,
+    "store_sql_maintenance" -> sqlMaintenance _,
+    "store_sql_changes" -> sqlChanges _,
     "store_write_batch" -> writeBatchSummary _,
     "store_snapshot_listing" -> snapshotListing _,
     "store_delete_pruned_date" -> deletePrunedDate _,
@@ -1454,6 +1596,8 @@ object StoreQueries {
     "store_sql_delete" -> sqlDeleteSql,
     "store_sql_update" -> sqlUpdateSql,
     "store_catalog_versioned" -> catalogVersionedSql,
+    "store_sql_maintenance" -> sqlMaintenanceSql,
+    "store_sql_changes" -> sqlChangesSql,
     "store_write_batch" -> writeBatchSummarySql,
     "store_snapshot_listing" -> snapshotListingSql,
     "store_delete_pruned_date" -> deletePrunedDateSql,

@@ -4,7 +4,8 @@ import java.util
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -45,7 +46,8 @@ import graft.store.{GraftError, GraftStore, HadoopFs, Item, NioFs, SPath}
   * decided from the data), so it belongs to `Collection.write`, not a
   * schema-only DDL statement.
   */
-final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var storePath: SPath = _
@@ -126,6 +128,29 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def invalidateTable(ident: Identifier): Unit = ()
+
+  // ------------------------------------- procedures: maintenance via CALL
+
+  /** Maintenance verbs live in the reserved `system` namespace (it can
+    * never collide with a collection: `system` may exist as a
+    * collection for tables, but procedure and table resolution are
+    * separate paths). See [[GraftProcedures]]. */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    if (!ident.namespace.sameElements(Array("system")))
+      throw new GraftError(
+        s"graft procedures live in the 'system' namespace: " +
+          s"CALL $catalogName.system.${ident.name}(...); got namespace " +
+          s"'${ident.namespace.mkString(".")}'")
+    GraftProcedures.load(ident.name, storePath).getOrElse(
+      throw new GraftError(
+        s"unknown graft procedure '${ident.name}' " +
+          s"(available: ${GraftProcedures.names.mkString(", ")})"))
+  }
 
   private def collectionDir(coll: String): SPath = storePath.resolve(coll)
   private def itemDir(ident: Identifier): SPath =

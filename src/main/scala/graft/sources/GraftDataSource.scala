@@ -117,8 +117,83 @@ object GraftTable {
         "spark.read.format(\"graft\").load(\"<store>/<collection>/<item>\")"))
     val fs = if (pathOpt.contains(":/")) new HadoopFs(spark.sessionState.newHadoopConf())
              else NioFs
-    resolveItem(spark, SPath(fs, pathOpt),
-      Option(options.get("snapshot")).filter(_.nonEmpty))
+    val snapshot = Option(options.get("snapshot")).filter(_.nonEmpty)
+    val since = Option(options.get("changesSince")).filter(_.nonEmpty)
+    if (snapshot.isDefined && since.isDefined)
+      throw new GraftError(
+        "options 'snapshot' and 'changesSince' are mutually exclusive: one " +
+          "pins a past state, the other serves the delta FROM a past state")
+    since match {
+      case Some(snap) => resolveChanges(spark, SPath(fs, pathOpt), snap)
+      case None       => resolveItem(spark, SPath(fs, pathOpt), snapshot)
+    }
+  }
+
+  /** Batch CDC — `option("changesSince", "<manifest snapshot>")`: serve
+    * only the data that changed since the snapshot's cut, as an
+    * ordinary batch DataFrame. The snapshot's pinned (period →
+    * generation) map is compared against the live sidecar's — pure
+    * driver-side metadata — and the scan's roots become exactly the
+    * NEW periods plus the periods whose generation moved (rewritten in
+    * place: same-period append / delete / update — served whole, the
+    * period-granular replay contract the streaming source's
+    * `ignoreChanges` ships). Periods REMOVED since the cut (expiry)
+    * have nothing to serve and contribute nothing. "What arrived since
+    * last night's snapshot?" on a 100 TB item therefore reads the new
+    * periods' files, full stop — unpruned months are never listed, and
+    * pushed filters prune the changed-period set further, exactly like
+    * a live read.
+    *
+    * Dir snapshots record no generations, so they cannot anchor change
+    * detection — typed refusal pointing at manifest snapshots. A
+    * cross-shape item (flat at the cut, time-laid-out now, or the
+    * reverse — a convertLayout happened in between) serves the WHOLE
+    * live item: the conversion rewrote every row, so everything did
+    * change. Beyond the reference (pystore has no change feed at all);
+    * `Collection.diffSnapshot` remains the row-accurate diff, this is
+    * the scan-level delta that feeds incremental batch jobs. */
+  private def resolveChanges(spark: SparkSession, itemPath: SPath,
+                             snap: String): GraftTable = {
+    val collectionPath = itemPath.parent
+    val item = itemPath.name
+    val liveData = itemPath.resolve(Item.DataDir)
+    if (!liveData.isDir)
+      throw new ItemNotFoundError(s"no graft item at $itemPath (missing ${Item.DataDir}/ dir)")
+    val liveMeta = Meta.read(itemPath)
+    val pins = Snapshots.manifestPins(collectionPath, snap, item).getOrElse {
+      if (collectionPath.resolve(GraftStore.SnapshotsDir).resolve(snap).isDir)
+        throw new GraftError(
+          s"changesSince requires a MANIFEST snapshot ('$snap' is a directory " +
+            "snapshot, which records no generation pins); create one with " +
+            "createSnapshot(manifest = true)")
+      else if (Snapshots.manifestExists(collectionPath, snap))
+        throw new ItemNotFoundError(s"item '$item' not found in snapshot '$snap'")
+      else throw new SnapshotNotFoundError(s"snapshot '$snap' does not exist")
+    }
+    val liveLayout = liveMeta.get("_layout").map(j => Meta.unjv(j).toString)
+      .filter(Collection.TimeLayouts.contains)
+    (pins, liveLayout) match {
+      case (Right(pinnedPg), Some(_)) =>
+        val livePg = Snapshots.periodGensOf(liveMeta)
+        val changed = livePg.collect {
+          case (p, g) if !pinnedPg.get(p).contains(g) => p
+        }.toSeq.sorted
+        val pairs = changed.map(p =>
+          p -> liveData.resolve(s"${Collection.MonthCol}=$p"))
+        fromMeta(spark, itemPath, liveMeta, PinnedPeriods(pairs),
+          inferFrom = Seq(liveData.toString), pinned = true)
+      case (Left(gen), None) =>
+        if (Snapshots.generationOf(liveMeta) == gen)
+          // unchanged: an empty scan with the item's schema
+          fromMeta(spark, itemPath, liveMeta, PinnedPeriods(Nil),
+            inferFrom = Seq(liveData.toString), pinned = true)
+        else fromMeta(spark, itemPath, liveMeta, LiveDirs(liveData),
+          inferFrom = Seq(liveData.toString), pinned = true)
+      case _ =>
+        // layout converted since the cut: every row was rewritten
+        fromMeta(spark, itemPath, liveMeta, LiveDirs(liveData),
+          inferFrom = Seq(liveData.toString), pinned = true)
+    }
   }
 
   private[graft] def resolveItem(spark: SparkSession, itemPath: SPath,

@@ -191,6 +191,20 @@ object Snapshots {
       }
     }
 
+  /** The pinned generation state of `item` in manifest snapshot `snap`,
+    * for change detection (the batch CDC read's anchor): Right(period →
+    * generation) when the item was time-laid-out at capture, Left(item
+    * generation) when it was flat. None when the manifest or its item
+    * entry is missing. One driver-side JSON read; no listing, no data. */
+  def manifestPins(collectionPath: SPath, snap: String, item: String)
+      : Option[Either[Long, Map[String, Long]]] =
+    readManifest(collectionPath, snap)
+      .flatMap(m => manifestItems(m).get(item))
+      .map { e =>
+        if (e.periodGens.nonEmpty) Right(e.periodGens)
+        else Left(e.gen.getOrElse(0L))
+      }
+
   // ------------------------------------------------- copy-on-write/GC
 
   /** Whole-item generations of `item` pinned by any manifest. */

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.store._
+
+/** `CALL graft.system.<proc>(...)` — the SQL maintenance surface.
+  * Every procedure delegates to the Collection method the Scala tests
+  * already cover in depth; these tests pin the SQL plumbing: name/arg
+  * binding (positional + named + defaults), result schemas, typed
+  * failures, and that the effects land in the store. */
+class GraftProcedureSpec extends SparkSpec {
+
+  private def frame(startDay: String, days: Int) = {
+    import spark.implicits._
+    val start = java.time.LocalDate.parse(startDay)
+    (0 until days).map { i =>
+      (java.sql.Timestamp.valueOf(start.plusDays(i).atStartOfDay()), i.toDouble, s"r$i")
+    }.toDF("index", "value", "tag")
+  }
+
+  private def registerCatalog(name: String, c: Collection): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", c.path.parent.toString)
+  }
+
+  private def periods(c: Collection, item: String): Seq[String] =
+    c.path.resolve(item).resolve(Item.DataDir).listDirs
+      .filter(_.startsWith(Collection.MonthCol + "="))
+      .map(_.stripPrefix(Collection.MonthCol + "=")).sorted
+
+  test("SHOW PROCEDURES lists the system namespace; DESCRIBE works") {
+    val c = tempCollection("proc_show")
+    registerCatalog("pcat0", c)
+    val names = spark.sql("SHOW PROCEDURES IN pcat0.system")
+      .select("procedure_name").collect().map(_.getString(0)).toSet
+    for (p <- Seq("create_snapshot", "expire_before", "compact", "vacuum",
+                  "convert_layout", "zorder", "rebalance", "list_snapshots",
+                  "delete_snapshot"))
+      assert(names.contains(p), s"missing procedure $p in $names")
+    val desc = spark.sql("DESCRIBE PROCEDURE pcat0.system.expire_before")
+      .collect().map(_.mkString(" ")).mkString("\n")
+    assert(desc.contains("expire_before"))
+    cleanup(c)
+  }
+
+  test("snapshot lifecycle through CALL: create (named arg), list, time travel, delete") {
+    val c = tempCollection("proc_snap")
+    c.write("item", frame("2024-01-01", 10))
+    registerCatalog("pcat1", c)
+    val created = spark.sql(
+      "CALL pcat1.system.create_snapshot(collection => 'c', name => 'eod')")
+    assert(created.columns.toSeq == Seq("snapshot"))
+    assert(created.collect().toSeq == Seq(Row("eod")))
+    // the cut is a real snapshot: append afterwards, time travel sees 10 rows
+    c.append("item", frame("2024-01-11", 5))
+    assert(spark.sql("SELECT count(*) c FROM pcat1.c.item").head.getLong(0) == 15)
+    assert(spark.sql("SELECT count(*) c FROM pcat1.c.item VERSION AS OF 'eod'")
+      .head.getLong(0) == 10)
+    assert(spark.sql("CALL pcat1.system.list_snapshots('c')")
+      .collect().map(_.getString(0)).toSeq == Seq("eod"))
+    assert(spark.sql("CALL pcat1.system.delete_snapshot('c', 'eod')")
+      .head.getBoolean(0))
+    assert(spark.sql("CALL pcat1.system.list_snapshots('c')").count() == 0)
+    cleanup(c)
+  }
+
+  test("expire_before drops whole periods by name and reports counts") {
+    val c = tempCollection("proc_expire")
+    c.write("item", frame("2024-01-01", 90), monthlyLayout = true)
+    registerCatalog("pcat2", c)
+    val res = spark.sql(
+      "CALL pcat2.system.expire_before('c', 'item', TIMESTAMP '2024-02-15 00:00:00')")
+    assert(res.columns.toSeq == Seq("removed_periods", "boundary_rows_deleted"))
+    val r = res.head
+    assert(r.getInt(0) == 1)  // january removed whole
+    assert(r.getLong(1) == 14L) // feb 1..14 deleted from the boundary period
+    assert(periods(c, "item") == Seq("2024-02", "2024-03"))
+    assert(c.item("item").data.count() == 90 - 31 - 14)
+    cleanup(c)
+  }
+
+  test("compact is threshold-gated; rebalance returns the new file count") {
+    val c = tempCollection("proc_compact")
+    c.write("item", frame("2024-01-01", 40), npartitions = Some(8)) // 8 files
+    registerCatalog("pcat3", c)
+    assert(!spark.sql("CALL pcat3.system.compact('c', 'item', max_files => 1000)")
+      .head.getBoolean(0)) // under threshold: no-op
+    assert(spark.sql("CALL pcat3.system.compact('c', 'item', 4)").head.getBoolean(0))
+    val files = spark.sql("CALL pcat3.system.rebalance('c', 'item', 2)").head.getInt(0)
+    assert(files == 2)
+    assert(c.item("item").data.count() == 40)
+    cleanup(c)
+  }
+
+  test("convert_layout roundtrips flat -> monthly -> flat with identical content") {
+    val c = tempCollection("proc_convert")
+    c.write("item", frame("2024-01-01", 60))
+    registerCatalog("pcat4", c)
+    val before = c.item("item").data.orderBy("index").collect().toSeq
+    assert(spark.sql("CALL pcat4.system.convert_layout('c', 'item', layout => 'monthly')")
+      .head.getString(0) == "monthly")
+    assert(periods(c, "item") == Seq("2024-01", "2024-02"))
+    assert(spark.sql("CALL pcat4.system.convert_layout('c', 'item')")
+      .head.getString(0) == "flat") // layout defaults to 'flat'
+    assert(periods(c, "item").isEmpty)
+    assert(c.item("item").data.orderBy("index").collect().toSeq == before)
+    cleanup(c)
+  }
+
+  test("zorder runs on flat items and surfaces the typed time-layout rejection") {
+    val c = tempCollection("proc_zorder")
+    val twoNumeric = frame("2024-01-01", 40)
+      .withColumn("value2", org.apache.spark.sql.functions.col("value") * 2)
+    c.write("flat", twoNumeric)
+    c.write("monthly", frame("2024-01-01", 40), monthlyLayout = true)
+    registerCatalog("pcat5", c)
+    assert(spark.sql("CALL pcat5.system.zorder('c', 'flat', 'value, value2')")
+      .head.getBoolean(0))
+    assert(c.item("flat").data.count() == 40)
+    val e = intercept[Exception](
+      spark.sql("CALL pcat5.system.zorder('c', 'monthly', 'value')").collect())
+    assert(e.getMessage.contains("time layout"))
+    cleanup(c)
+  }
+
+  test("vacuum reclaims crash debris and reports it; typed errors for bad names") {
+    val c = tempCollection("proc_vacuum")
+    c.write("item", frame("2024-01-01", 5))
+    c.path.resolve("__backup_zzz").mkdirs()
+    registerCatalog("pcat6", c)
+    val reclaimed = spark.sql("CALL pcat6.system.vacuum('c')")
+      .collect().map(_.getString(0)).toSeq
+    assert(reclaimed.contains("__backup_zzz"))
+    assert(!c.path.resolve("__backup_zzz").isDir)
+    // missing collection: typed, and nothing created as a side effect
+    val e1 = intercept[Exception](spark.sql("CALL pcat6.system.vacuum('nope')").collect())
+    assert(e1.getMessage.contains("does not exist"))
+    assert(!c.path.parent.resolve("nope").isDir)
+    // unknown procedure: typed with the available list (Spark wraps
+    // loadProcedure failures in FAILED_TO_LOAD_ROUTINE — check the chain)
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+    val e2 = intercept[Exception](spark.sql("CALL pcat6.system.frobnicate('c')").collect())
+    assert(chain(e2).contains("unknown graft procedure"))
+    // wrong namespace: typed pointer to system
+    val e3 = intercept[Exception](spark.sql("CALL pcat6.other.vacuum('c')").collect())
+    assert(chain(e3).contains("system"))
+    cleanup(c)
+  }
+}
