@@ -172,28 +172,20 @@ object GraftTable {
     }
     val liveLayout = liveMeta.get("_layout").map(j => Meta.unjv(j).toString)
       .filter(Collection.TimeLayouts.contains)
-    (pins, liveLayout) match {
-      case (Right(pinnedPg), Some(_)) =>
-        val livePg = Snapshots.periodGensOf(liveMeta)
-        val changed = livePg.collect {
-          case (p, g) if !pinnedPg.get(p).contains(g) => p
-        }.toSeq.sorted
-        val pairs = changed.map(p =>
-          p -> liveData.resolve(s"${Collection.MonthCol}=$p"))
-        fromMeta(spark, itemPath, liveMeta, PinnedPeriods(pairs),
-          inferFrom = Seq(liveData.toString), pinned = true)
-      case (Left(gen), None) =>
-        if (Snapshots.generationOf(liveMeta) == gen)
-          // unchanged: an empty scan with the item's schema
-          fromMeta(spark, itemPath, liveMeta, PinnedPeriods(Nil),
-            inferFrom = Seq(liveData.toString), pinned = true)
-        else fromMeta(spark, itemPath, liveMeta, LiveDirs(liveData),
-          inferFrom = Seq(liveData.toString), pinned = true)
-      case _ =>
-        // layout converted since the cut: every row was rewritten
-        fromMeta(spark, itemPath, liveMeta, LiveDirs(liveData),
-          inferFrom = Seq(liveData.toString), pinned = true)
-    }
+    // one rule set shared with list_changes and startingSnapshot streams
+    val serve = Snapshots.classifyChanges(pins, liveMeta, liveLayout.isDefined)
+      .collect { case (key, kind) if kind != "removed" => key }
+    if (serve.contains(Snapshots.WholeItemKey))
+      // flat rewrite, or a layout conversion since the cut: whole item
+      fromMeta(spark, itemPath, liveMeta, LiveDirs(liveData),
+        inferFrom = Seq(liveData.toString), pinned = true)
+    else if (liveLayout.isDefined)
+      fromMeta(spark, itemPath, liveMeta,
+        PinnedPeriods(serve.map(p => p -> liveData.resolve(s"${Collection.MonthCol}=$p"))),
+        inferFrom = Seq(liveData.toString), pinned = true)
+    else // flat, unchanged: an empty scan with the item's schema
+      fromMeta(spark, itemPath, liveMeta, PinnedPeriods(Nil),
+        inferFrom = Seq(liveData.toString), pinned = true)
   }
 
   private[graft] def resolveItem(spark: SparkSession, itemPath: SPath,

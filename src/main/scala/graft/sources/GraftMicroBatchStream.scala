@@ -102,13 +102,43 @@ final class GraftMicroBatchStream(
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(liveGens())
 
-  override def initialOffset(): Offset =
-    Option(options.get("startingOffsets")).map(_.trim.toLowerCase).getOrElse("earliest") match {
-      case "earliest" => GraftSourceOffset(Map.empty)
-      case "latest"   => GraftSourceOffset(liveGens())
-      case other => throw new ValidationError(
-        s"unknown startingOffsets '$other' (supported: earliest, latest)")
+  override def initialOffset(): Offset = {
+    val fromSnap = Option(options.get("startingSnapshot")).map(_.trim).filter(_.nonEmpty)
+    val fromOffsets = Option(options.get("startingOffsets")).map(_.trim.toLowerCase)
+    if (fromSnap.isDefined && fromOffsets.isDefined)
+      throw new ValidationError(
+        "options 'startingOffsets' and 'startingSnapshot' are mutually exclusive")
+    fromSnap match {
+      // Start at a manifest snapshot's cut: the initial offset IS the
+      // snapshot's pinned generation map, so the stream's first batch
+      // serves exactly what `changesSince` would serve in batch — the
+      // bootstrap-with-batch + tail-with-stream composition lines up
+      // with no gap and no overlap. Dir snapshots pin no generations
+      // and refuse typed, like the batch CDC read.
+      case Some(snap) =>
+        val pins = Snapshots.manifestPins(itemPath.parent, snap, itemPath.name)
+          .getOrElse {
+            if (itemPath.parent.resolve(graft.store.GraftStore.SnapshotsDir)
+                  .resolve(snap).isDir)
+              throw new GraftError(
+                s"startingSnapshot requires a MANIFEST snapshot ('$snap' is a " +
+                  "directory snapshot, which records no generation pins)")
+            else throw new GraftError(
+              s"startingSnapshot '$snap' does not exist or lacks item '${itemPath.name}'")
+          }
+        GraftSourceOffset(pins match {
+          case Right(periodGens) => periodGens
+          case Left(gen)         => Map(GraftSourceOffset.FlatKey -> gen)
+        })
+      case None => fromOffsets.getOrElse("earliest") match {
+        case "earliest" => GraftSourceOffset(Map.empty)
+        case "latest"   => GraftSourceOffset(liveGens())
+        case other => throw new ValidationError(
+          s"unknown startingOffsets '$other' (supported: earliest, latest, " +
+            "or the startingSnapshot option)")
+      }
     }
+  }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 

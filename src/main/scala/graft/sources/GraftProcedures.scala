@@ -207,6 +207,35 @@ private[sources] object GraftProcedures {
       }),
 
     ProcDef(
+      "list_changes",
+      "Periods changed since a manifest snapshot: added | rewritten | removed " +
+        "(flat items report the whole item under the reserved '__item' key)",
+      Array(
+        in("collection", StringType).build(),
+        in("item", StringType).build(),
+        in("snapshot", StringType).build()),
+      StructType(Seq(
+        StructField("period", StringType, nullable = false),
+        StructField("change", StringType, nullable = false))),
+      (store, args) => {
+        val c = existing(store, str(args, 0))
+        val item = str(args, 1); val snap = str(args, 2)
+        val itemPath = c.path.resolve(item)
+        if (!itemPath.resolve(graft.store.Item.DataDir).isDir)
+          throw new GraftError(s"item '$item' does not exist in collection '${str(args, 0)}'")
+        val pins = graft.store.Snapshots.manifestPins(c.path, snap, item).getOrElse(
+          throw new GraftError(
+            s"list_changes requires a manifest snapshot containing item '$item'; " +
+              s"'$snap' is missing, a directory snapshot, or lacks the item"))
+        val liveMeta = graft.store.Meta.read(itemPath)
+        val liveIsTime = liveMeta.get("_layout")
+          .map(j => graft.store.Meta.unjv(j).toString)
+          .exists(Collection.TimeLayouts.contains)
+        graft.store.Snapshots.classifyChanges(pins, liveMeta, liveIsTime)
+          .map { case (p, kind) => row(p, kind) }
+      }),
+
+    ProcDef(
       "vacuum",
       "Reclaim crashed tmp/backup/staging dirs and stale transaction pins",
       Array(in("collection", StringType).build()),

@@ -205,6 +205,42 @@ object Snapshots {
         else Left(e.gen.getOrElse(0L))
       }
 
+  /** Reserved key naming the WHOLE item in change listings of flat
+    * (single-generation) items; period names are date-shaped and can
+    * never collide with it. Shared with the streaming source's offset
+    * encoding. */
+  val WholeItemKey = "__item"
+
+  /** Classify the period-granular delta between a snapshot's `pins` and
+    * the live sidecar: (key, "added" | "rewritten" | "removed"), sorted
+    * by key. The one rule set behind the batch CDC read, the
+    * `list_changes` procedure, and `startingSnapshot` streams:
+    *  - time-layout pins vs time-layout live → per-period comparison by
+    *    generation equality;
+    *  - flat pins vs flat live → [[WholeItemKey]] rewritten iff the
+    *    generation moved;
+    *  - cross-shape (a convertLayout happened since the cut) → the
+    *    whole item was rewritten.
+    * Driver-side map arithmetic only. */
+  def classifyChanges(pins: Either[Long, Map[String, Long]],
+                      liveMeta: Map[String, JValue],
+                      liveIsTimeLayout: Boolean): Seq[(String, String)] =
+    (pins, liveIsTimeLayout) match {
+      case (Right(pinnedPg), true) =>
+        val livePg = periodGensOf(liveMeta)
+        val added = (livePg.keySet -- pinnedPg.keySet).map(_ -> "added")
+        val rewritten = livePg.collect {
+          case (p, g) if pinnedPg.get(p).exists(_ != g) => p -> "rewritten"
+        }
+        val removed = (pinnedPg.keySet -- livePg.keySet).map(_ -> "removed")
+        (added ++ rewritten ++ removed).toSeq.sortBy(_._1)
+      case (Left(gen), false) =>
+        if (generationOf(liveMeta) == gen) Nil
+        else Seq(WholeItemKey -> "rewritten")
+      case _ =>
+        Seq(WholeItemKey -> "rewritten")
+    }
+
   // ------------------------------------------------- copy-on-write/GC
 
   /** Whole-item generations of `item` pinned by any manifest. */

@@ -124,6 +124,28 @@ class GraftProcedureSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("list_changes classifies the period delta vs a manifest snapshot") {
+    val c = tempCollection("proc_changes")
+    c.write("m", frame("2024-01-01", 90), monthlyLayout = true) // jan feb mar
+    c.write("f", frame("2024-01-01", 10))
+    registerCatalog("pcat7", c)
+    spark.sql("CALL pcat7.system.create_snapshot('c', 'cut', true)")
+    c.append("m", frame("2024-03-05", 2))             // rewrite 2024-03 in place
+    c.append("m", frame("2024-04-01", 5))             // new period
+    c.expireBefore("m", java.sql.Timestamp.valueOf("2024-02-01 00:00:00")) // drop jan
+    val delta = spark.sql("CALL pcat7.system.list_changes('c', 'm', 'cut')")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(delta == Seq("2024-01" -> "removed", "2024-03" -> "rewritten",
+      "2024-04" -> "added"))
+    // untouched flat item: empty; after a rewrite: the whole-item key
+    assert(spark.sql("CALL pcat7.system.list_changes('c', 'f', 'cut')").count() == 0)
+    c.append("f", frame("2024-02-01", 3))
+    assert(spark.sql("CALL pcat7.system.list_changes('c', 'f', 'cut')")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq("__item" -> "rewritten"))
+    cleanup(c)
+  }
+
   test("vacuum reclaims crash debris and reports it; typed errors for bad names") {
     val c = tempCollection("proc_vacuum")
     c.write("item", frame("2024-01-01", 5))

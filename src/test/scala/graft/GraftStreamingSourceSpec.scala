@@ -151,6 +151,41 @@ class GraftStreamingSourceSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("startingSnapshot begins at a manifest cut, agreeing exactly with the batch CDC read") {
+    val c = tempCollection("stream_from_snap")
+    c.write("item", frame("2024-01-01", 60), monthlyLayout = true) // jan feb
+    c.createSnapshot(Some("cut"), manifest = Some(true))
+    c.append("item", frame("2024-03-01", 10)) // post-cut arrival
+    val item = c.path.resolve("item").toString
+    val work = java.nio.file.Files.createTempDirectory("stream_from_snap_out")
+    val opts = Map("startingSnapshot" -> "cut")
+    drain(item, s"$work/sink", s"$work/ckpt", opts)
+    val streamed = spark.read.parquet(s"$work/sink")
+    assert(streamed.count() == 10, "must serve only the post-cut period")
+    // bootstrap-with-batch + tail-with-stream: identical delta
+    val batchDelta = spark.read.format("graft").option("changesSince", "cut").load(item)
+    assert(streamed.orderBy("index").collect().toSeq ==
+      batchDelta.orderBy("index").collect().toSeq)
+    // the checkpointed stream keeps tailing normally from there
+    c.append("item", frame("2024-04-01", 4))
+    drain(item, s"$work/sink", s"$work/ckpt", opts)
+    assert(spark.read.parquet(s"$work/sink").count() == 14)
+    // dir snapshots pin no generations: typed refusal
+    c.createSnapshot(Some("dcut"), manifest = Some(false))
+    val work2 = java.nio.file.Files.createTempDirectory("stream_from_snap2")
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft").option("startingSnapshot", "dcut")
+        .load(item).writeStream.format("parquet").option("path", s"$work2/sink")
+        .option("checkpointLocation", s"$work2/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(_.contains("MANIFEST")), messages(e).mkString(" | "))
+    cleanup(c)
+  }
+
   test("snapshot-pinned reads refuse streaming with a typed error") {
     val c = tempCollection("stream_snap")
     c.write("item", frame("2024-01-01", 10), monthlyLayout = true)
