@@ -1103,6 +1103,69 @@ object StoreQueries {
       |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_qty
       |FROM delta GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Metadata-only ALTER (`ADD COLUMNS` + `SET TBLPROPERTIES`): orders
+    * 1997-01→04 land monthly; `ALTER TABLE ... ADD COLUMNS (adj
+    * DOUBLE)` widens the item with an in-query gate that the data-file
+    * set is BYTE-IDENTICAL after the ALTER (the lakehouse metadata-only
+    * contract); a SQL `INSERT INTO` then lands May rows WITH the column
+    * filled (adj = totalprice/10) — so the final state mixes file
+    * generations and the declared-schema pin must null-fill the old
+    * files while serving the new column's real values. `SET
+    * TBLPROPERTIES` is gated by the metadata equality search (P3)
+    * finding the item. DuckDB re-derives the rollup with adj NULL
+    * before May. */
+  def sqlAlter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "sql_alter")
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderdate")
+    def slice(lo: String, hi: String) =
+      o.filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf(lo)) &&
+        $"o_orderdate" < lit(java.sql.Timestamp.valueOf(hi)))
+    col.write("o", slice("1997-01-01 00:00:00", "1997-05-01 00:00:00"),
+      indexCols = Seq("o_orderdate"), timeLayout = Some("monthly"))
+    s.conf.set("spark.sql.catalog.gacat", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gacat.root", col.path.parent.toString)
+    def files(): Set[String] = col.path.fs.listFilesRecursively(
+      col.path.resolve("o").resolve(Item.DataDir).raw)
+      .filter(_.endsWith(".parquet")).toSet
+    val before = files()
+    s.sql("ALTER TABLE gacat.col.o ADD COLUMNS (adj DOUBLE)")
+    s.sql("ALTER TABLE gacat.col.o SET TBLPROPERTIES ('quality' = 'silver')")
+    if (files() != before)
+      throw new IllegalStateException(
+        "ALTER ADD COLUMNS must be metadata-only: the data-file set changed")
+    if (!col.listItems(Map("quality" -> "silver")).contains("o"))
+      throw new IllegalStateException(
+        "metadata search must find the SQL-set table property")
+    slice("1997-05-01 00:00:00", "1997-06-01 00:00:00")
+      .withColumn("adj", $"o_totalprice".cast("double") / 10.0)
+      .createOrReplaceTempView("ga_incoming")
+    val itemCols = s.table("gacat.col.o").columns.map(c => s"`$c`").mkString(", ")
+    s.sql(s"INSERT INTO gacat.col.o SELECT $itemCols FROM ga_incoming")
+    s.sql("""
+      |SELECT date_trunc('month', o_orderdate) AS month,
+      |  count(*) AS n,
+      |  count(adj) AS n_adj,
+      |  round(CAST(sum(CAST(adj AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_adj
+      |FROM gacat.col.o
+      |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val sqlAlterSql: String =
+    """WITH base AS (
+      |  SELECT o_orderdate, CAST(NULL AS DOUBLE) AS adj FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-05-01'
+      |  UNION ALL
+      |  SELECT o_orderdate, CAST(o_totalprice AS DOUBLE) / 10.0 AS adj FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-05-01' AND o_orderdate < TIMESTAMP '1997-06-01'
+      |)
+      |SELECT date_trunc('month', o_orderdate) AS month,
+      |  count(*) AS n,
+      |  count(adj) AS n_adj,
+      |  round(CAST(sum(CAST(adj AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_adj
+      |FROM base GROUP BY 1 ORDER BY 1""".stripMargin
+
   val sqlMaintenanceSql: String =
     """WITH base AS (
       |  SELECT l_shipdate, l_quantity FROM lineitem
@@ -1557,6 +1620,7 @@ object StoreQueries {
     "store_catalog_versioned" -> catalogVersioned _,
     "store_sql_maintenance" -> sqlMaintenance _,
     "store_sql_changes" -> sqlChanges _,
+    "store_sql_alter" -> sqlAlter _,
     "store_write_batch" -> writeBatchSummary _,
     "store_snapshot_listing" -> snapshotListing _,
     "store_delete_pruned_date" -> deletePrunedDate _,
@@ -1598,6 +1662,7 @@ object StoreQueries {
     "store_catalog_versioned" -> catalogVersionedSql,
     "store_sql_maintenance" -> sqlMaintenanceSql,
     "store_sql_changes" -> sqlChangesSql,
+    "store_sql_alter" -> sqlAlterSql,
     "store_write_batch" -> writeBatchSummarySql,
     "store_snapshot_listing" -> snapshotListingSql,
     "store_delete_pruned_date" -> deletePrunedDateSql,

@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.store.{GraftError, GraftStore, HadoopFs, Item, NioFs, SPath}
+import graft.store.{Collection, GraftError, GraftStore, HadoopFs, Item, NioFs, SPath}
 
 /** Catalog plugin — the store as a SQL catalog, no per-item DDL.
   *
@@ -44,7 +44,10 @@ import graft.store.{GraftError, GraftStore, HadoopFs, Item, NioFs, SPath}
   * with a typed error: item creation is a *data* operation in graft
   * (an item exists because a frame was written, with layout and index
   * decided from the data), so it belongs to `Collection.write`, not a
-  * schema-only DDL statement.
+  * schema-only DDL statement. The exceptions are the two METADATA-SAFE
+  * alters: `ALTER TABLE ... ADD COLUMNS` (one sidecar write, zero data
+  * files — see [[alterTable]]) and `SET/UNSET TBLPROPERTIES` (user
+  * metadata only).
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
     with ProcedureCatalog {
@@ -168,8 +171,53 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table =
     readOnly("CREATE TABLE")
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    readOnly("ALTER TABLE")
+
+  /** `ALTER TABLE ... ADD COLUMNS` — metadata-only widening through
+    * [[graft.store.Collection.addColumns]] (one sidecar write, zero
+    * data files touched; existing rows read as typed NULLs) — and
+    * `SET/UNSET TBLPROPERTIES` — user-metadata updates through
+    * [[graft.store.Collection.setItemProperties]] (structural keys
+    * refused). Every other change (DROP/RENAME/retype/reorder) refuses
+    * typed: graft maps columns by NAME, so those need a rewriting
+    * migration (`SchemaEvolution.MigrationRegistry`), not DDL. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    val sets = changes.collect { case s: TableChange.SetProperty => s }
+    val unsets = changes.collect { case u: TableChange.RemoveProperty => u }
+    if (adds.size + sets.size + unsets.size != changes.size) {
+      val other = changes.filterNot(c => c.isInstanceOf[TableChange.AddColumn] ||
+        c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty]).head
+      readOnly(s"ALTER TABLE ${other.getClass.getSimpleName} " +
+        "(only ADD COLUMNS and SET/UNSET TBLPROPERTIES are metadata-safe; " +
+        "drops/renames/retypes need a rewriting migration)")
+    }
+    adds.foreach { a =>
+      if (a.fieldNames.length != 1)
+        throw new GraftError(
+          s"ALTER TABLE ADD COLUMNS: only top-level columns can be added, " +
+            s"got nested '${a.fieldNames.mkString(".")}'")
+      if (a.position() != null)
+        throw new GraftError(
+          "ALTER TABLE ADD COLUMNS: FIRST/AFTER positions are not supported " +
+            "(added columns append at the end of the schema)")
+      if (a.defaultValue() != null)
+        throw new GraftError(
+          "ALTER TABLE ADD COLUMNS: DEFAULT values are not supported " +
+            "(existing rows read the added column as NULL)")
+    }
+    val coll = Collection.at(SparkSession.active,
+      collectionDir(ident.namespace.head))
+    if (adds.nonEmpty)
+      coll.addColumns(ident.name, adds.map(a => org.apache.spark.sql.types
+        .StructField(a.fieldNames()(0), a.dataType(), a.isNullable())))
+    if (sets.nonEmpty || unsets.nonEmpty)
+      coll.setItemProperties(ident.name,
+        sets.map(s => s.property() -> s.value()).toMap,
+        unsets.map(_.property()))
+    loadTable(ident)
+  }
   override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly("RENAME TABLE")

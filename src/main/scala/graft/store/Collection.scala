@@ -41,6 +41,30 @@ object Collection {
     * to SQL writers too. */
   private[graft] def at(spark: SparkSession, path: SPath): Collection =
     new Collection(spark, path)
+  /** New logical (pre-encode) sidecar schema after an evolved append:
+    * follow the new ENCODED field set, preserving the recorded logical
+    * type of any column whose encoded type did not change (codec-marked
+    * columns keep their decoded-type contract), and taking the encoded
+    * type for added/widened columns (new columns carry no codecs). */
+  private[store] def evolveLogicalSchema(
+      oldMeta: Map[String, JValue],
+      newEncoded: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    def parse(k: String): Option[StructType] = oldMeta.get(k).collect {
+      case org.json4s.JString(sj) => DataType.fromJson(sj).asInstanceOf[StructType]
+    }
+    val oldLogical = parse("schema_json")
+    val oldEnc = parse("schema_json_encoded")
+    StructType(newEncoded.fields.map { f =>
+      val encUnchanged = oldEnc.exists(_.fields.exists(o =>
+        o.name == f.name && o.dataType == f.dataType))
+      if (encUnchanged)
+        oldLogical.flatMap(_.fields.find(_.name == f.name)).getOrElse(f)
+      else f
+    })
+  }
+
   /** Hidden directory-partition column for time-layout items (named
     * for the original monthly layout; holds whatever period key the
     * item's recorded layout uses). */
@@ -958,14 +982,24 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       if (monthly) withTimeLayout(deduped, idx, monthlySaltOf(item), timeLayout.get)
       else Partitioner(deduped, idx, n)
 
-    val prevMeta = Meta.read(path.resolve(item)) ++
+    val storedMeta = Meta.read(path.resolve(item))
+    val prevMeta = storedMeta ++
       Meta.obj("_partitions" -> n, "_partition_strategy" -> strategy.name) ++
       statsMeta(stats) ++
       // a full rewrite re-derives every period key in THIS session's
       // tz — record it, or later sessions would prune against dirs
       // keyed in a zone the sidecar no longer describes
       (if (monthly) Meta.obj("_layout_tz" ->
-        spark.conf.get("spark.sql.session.timeZone", "UTC")) else Map.empty)
+        spark.conf.get("spark.sql.session.timeZone", "UTC")) else Map.empty) ++
+      // an evolved append changed the stored shape: refresh the
+      // declared schemas, or readers that serve the sidecar schema
+      // (the V2 table, the declared-schema read pin, the emptied-item
+      // fallback) would miss the evolved columns
+      (if (!evolved) Map.empty
+       else Meta.obj(
+         "schema_json_encoded" -> deduped.schema.json,
+         "schema_json" -> Collection.evolveLogicalSchema(
+           storedMeta, deduped.schema).json))
     commit(item, laidOut, prevMeta, partitioned = monthly)
     // the full rewrite re-derived every period: stale per-period stats
     // would let a later pruned delete silently skip live rows
@@ -1008,9 +1042,8 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     val months = newDf
       .select(Collection.periodExpr(layout, col(idx.head)).as("m")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
-    val dataDir = path.resolve(item).resolve(Item.DataDir)
     // Partition-pruned scan: only the touched months' files are read.
-    val oldTouched = spark.read.parquet(dataDir.toString)
+    val oldTouched = readDataPinned(item)
       .filter(col(MonthCol).isin(months: _*))
       .drop(MonthCol)
       .select(newDf.columns.map(col): _*)
@@ -1039,6 +1072,32 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       withTimeLayout(combined.dropDuplicates(), idx, monthlySaltOf(item), layout),
       months, prevMeta)
     maybeRefreshPeriodStats(item, Some(months))
+  }
+
+  /** Read an item's data dir pinned to the declared ENCODED schema when
+    * the sidecar records one: mixed part-file generations (columns
+    * ALTER-added or evolution-appended after older files were written)
+    * read uniformly — absent columns null-fill per file — and, the part
+    * that matters for correctness, a REWRITE fed by this frame
+    * preserves every declared column's data (footer inference on a
+    * mixed dir samples ONE footer and could silently project live
+    * columns away). Legacy pre-encode sidecars keep footer inference.
+    * Time-layout items surface the period partition column, pinned to
+    * STRING (period keys are zero-padded and lexically chronological in
+    * every layout, so string pruning compares correctly). */
+  private def readDataPinned(item: String): DataFrame = {
+    import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
+    val dataDir = path.resolve(item).resolve(Item.DataDir)
+    metadata(item).get("schema_json_encoded") match {
+      case Some(org.json4s.JString(sj)) =>
+        val enc = Item.asNullable(DataType.fromJson(sj)).asInstanceOf[StructType]
+        val full =
+          if (timeLayoutOf(item).isDefined)
+            StructType(enc.fields :+ StructField(MonthCol, StringType))
+          else enc
+        spark.read.schema(full).parquet(dataDir.toString)
+      case _ => spark.read.parquet(dataDir.toString)
+    }
   }
 
   /** Chunked append loop (reference append_stream, collection.py:677-751
@@ -1244,7 +1303,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         if (toRemove.isEmpty && !hasBoundary)
           return Collection.ExpireResult(Nil, 0L)
         val prevMeta = Meta.read(path.resolve(item))
-        val raw = spark.read.parquet(dataDir.toString)
+        val raw = readDataPinned(item)
         // partition value filter: ONLY the boundary period's files read
         val boundary = raw.filter(col(MonthCol) === pStar).drop(MonthCol)
         val boundaryDeleted =
@@ -1290,11 +1349,13 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     val prevMeta = Meta.read(path.resolve(item))
     timeLayoutOf(item) match {
       case Some(layout) =>
-        val raw = spark.read.parquet(dataDir.toString)
-        // partition type inference types yearly keys as int and daily
-        // keys as date: collect the TYPED value (keeps the isin filter
-        // a pruning-friendly partition predicate) alongside its string
-        // form (the period key commitMonths needs)
+        val raw = readDataPinned(item)
+        // when the read is pinned the period key is STRING by
+        // construction; legacy (unpinned) dirs may still infer yearly
+        // keys as int / daily keys as date — collect the TYPED value
+        // (keeps the isin filter a pruning-friendly partition
+        // predicate) alongside its string form (the period key
+        // commitMonths needs)
         val monthRows = deleteDiscoveryFrame(item, predicate).filter(predicate)
           .select(col(MonthCol), col(MonthCol).cast("string")).distinct().collect()
         val monthVals = monthRows.map(_.get(0)).toSeq
@@ -1308,7 +1369,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         maybeRefreshPeriodStats(item, Some(months))
         deleted
       case None =>
-        val raw = spark.read.parquet(dataDir.toString)
+        val raw = readDataPinned(item)
         val deleted = raw.filter(predicate).count()
         if (deleted == 0L) return 0L
         commit(item, raw.filter(!predicate), prevMeta)
@@ -1332,7 +1393,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     val layout = timeLayoutOf(item).getOrElse(throw new ValidationError(
       s"item '$item' has no time layout"))
     val dataDir = path.resolve(item).resolve(Item.DataDir)
-    val raw = spark.read.parquet(dataDir.toString)
+    val raw = readDataPinned(item)
     // period keys were derived in the WRITER's recorded tz; mapping
     // predicate instants to keys in a different session tz could prune
     // a true boundary period (silent under-delete). The delete itself
@@ -1599,6 +1660,89 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     *    zero bytes; commits/deletes retain pinned generations by O(1)
     *    rename (Snapshots.scala).
     */
+  /** Metadata-only column ADD — the lakehouse `ALTER TABLE ADD
+    * COLUMNS`, and the E-family's SQL face. Appends nullable fields to
+    * the item's declared schemas (encoded + logical) in ONE sidecar
+    * write; ZERO data files change at any item size. Existing rows
+    * serve typed NULLs: the declared-schema read pin (Item.scala) and
+    * the V2 table's `ParquetScan` both request the declared shape, and
+    * the parquet reader null-fills requested-but-absent columns per
+    * file. Later appends/writes carrying the column fill it normally —
+    * mixed file generations read correctly against the pin.
+    *
+    * Added fields must be nullable (existing rows have no value) and
+    * must not collide case-insensitively with existing columns.
+    * DROP/RENAME are deliberately NOT offered: graft maps columns by
+    * NAME, so a drop-then-re-add would resurrect the old bytes under
+    * the new column — the failure mode column-ID-mapping formats exist
+    * to prevent. Beyond the reference (schema changes there require an
+    * evolved append, schema_evolution.py). */
+  def addColumns(item: String,
+                 fields: Seq[org.apache.spark.sql.types.StructField]): Unit = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    if (!hasItem(item))
+      throw new ItemNotFoundError(s"item '$item' does not exist")
+    if (fields.isEmpty) return
+    withCommitLock {
+      val itemPath = path.resolve(item)
+      val meta = Meta.read(itemPath)
+      def parse(k: String): Option[StructType] = meta.get(k).collect {
+        case org.json4s.JString(sj) => DataType.fromJson(sj).asInstanceOf[StructType]
+      }
+      // legacy pre-encode sidecar: materialize the encoded schema from
+      // the footers once, so the pin (and this ALTER) have an anchor
+      val encoded = parse("schema_json_encoded").getOrElse {
+        val inferred = spark.read.parquet(
+          itemPath.resolve(Item.DataDir).toString).schema
+        StructType(inferred.filterNot(_.name == Collection.MonthCol))
+      }
+      val taken = encoded.fieldNames.map(_.toLowerCase).toSet
+      fields.foreach { f =>
+        if (taken.contains(f.name.toLowerCase))
+          throw new ValidationError(
+            s"column '${f.name}' already exists on item '$item'")
+        if (!f.nullable)
+          throw new ValidationError(
+            s"added column '${f.name}' must be nullable: existing rows " +
+              "have no value for it")
+        if (f.name == Collection.MonthCol || f.name.startsWith("__"))
+          throw new ValidationError(s"column name '${f.name}' is reserved")
+      }
+      val added = fields.map(f => f.copy(nullable = true))
+      val newEncoded = StructType(encoded.fields ++ added)
+      // added columns carry no codec, so their logical type == encoded
+      val newLogical = parse("schema_json")
+        .map(l => StructType(l.fields ++ added))
+      Meta.write(itemPath, meta +
+        ("schema_json_encoded" -> Meta.jv(newEncoded.json)) ++
+        newLogical.map(l => "schema_json" -> Meta.jv(l.json)))
+      metaCache.remove(item)
+    }
+  }
+
+  /** User-metadata update by key — the `ALTER TABLE SET/UNSET
+    * TBLPROPERTIES` seam. Structural sidecar keys (underscore-prefixed
+    * and the schema/index records) are refused: they encode the item's
+    * physical contract and only the typed pipelines may move them. */
+  def setItemProperties(item: String, set: Map[String, String],
+                        unset: Seq[String] = Nil): Unit = {
+    if (!hasItem(item))
+      throw new ItemNotFoundError(s"item '$item' does not exist")
+    val reserved = (k: String) => k.startsWith("_") ||
+      k.startsWith("schema_json") || k == "index_names" || k == "index_dtypes"
+    (set.keys ++ unset).find(reserved).foreach { k =>
+      throw new ValidationError(
+        s"'$k' is a structural sidecar key; only the typed pipelines may change it")
+    }
+    withCommitLock {
+      val itemPath = path.resolve(item)
+      val meta = Meta.read(itemPath)
+      Meta.write(itemPath,
+        (meta -- unset) ++ set.map { case (k, v) => k -> Meta.jv(v) })
+      metaCache.remove(item)
+    }
+  }
+
   def createSnapshot(name: Option[String] = None,
                      manifest: Option[Boolean] = None): String = {
     val snap = name.map(_.replaceAll("[^A-Za-z0-9._]", "_"))

@@ -164,8 +164,34 @@ final class Item private[store] (
         spark.read.parquet(prunedPeriodDirs(pr): _*)
       case None =>
         val dataDir = path.resolve(Item.DataDir)
+        // The sidecar's ENCODED schema (when present) is authoritative
+        // and pins the read: mixed part-file generations (a column
+        // ALTER-added or evolution-appended after older files were
+        // written) all read against the declared shape, with absent
+        // columns null-filled per file by the parquet reader — no
+        // mergeSchema multi-footer pass, and ALTER ADD COLUMN stays a
+        // pure metadata operation. The period partition column is
+        // pinned to STRING (period keys are zero-padded and lexically
+        // chronological, so string pruning compares correctly in every
+        // layout). Legacy pre-encode sidecars keep footer inference.
+        val declared: Option[org.apache.spark.sql.types.StructType] =
+          metadata.get("schema_json_encoded").collect {
+            case org.json4s.JString(sj) =>
+              Item.asNullable(org.apache.spark.sql.types.DataType.fromJson(sj))
+                .asInstanceOf[org.apache.spark.sql.types.StructType]
+          }
         try {
-          val raw = spark.read.parquet(dataDir.toString)
+          val reader = declared match {
+            case Some(enc) =>
+              val readSchema =
+                if (!isMonthly) enc
+                else org.apache.spark.sql.types.StructType(enc.fields :+
+                  org.apache.spark.sql.types.StructField(
+                    Collection.MonthCol, org.apache.spark.sql.types.StringType))
+              spark.read.schema(readSchema)
+            case None => spark.read
+          }
+          val raw = reader.parquet(dataDir.toString)
           if (!isMonthly) raw
           else monthPruning.fold(raw)(raw.filter).drop(Collection.MonthCol)
         } catch {
