@@ -981,6 +981,147 @@ object StoreQueries {
       |FROM repl GROUP BY 1, 2
       |ORDER BY arm, month""".stripMargin
 
+  /** CTAS / RTAS — SQL-only item birth: BOTH items in the result are
+    * created purely via SQL (reference anchor: item birth = write,
+    * collection.py:316-350 — CTAS is the SQL spelling of it, routed
+    * through the same typed `Collection.write`). In-query gates:
+    * `PARTITIONED BY (months(o_orderdate))` must land the monthly
+    * layout as exactly the six Jan–Jun 1997 period dirs with
+    * o_orderdate as the derived index, and `REPLACE TABLE ... AS
+    * SELECT` is a NEW definition — the replaced item must come back
+    * FLAT (not inherit the monthly layout the way INSERT OVERWRITE
+    * preserves it). */
+  def sqlCtas(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "sql_ctas_v2")
+    s.conf.set("spark.sql.catalog.gctas", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gctas.root", col.path.parent.toString)
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderdate")
+    def slice(lo: String, hi: String, parity: Int) =
+      o.filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf(lo)) &&
+        $"o_orderdate" < lit(java.sql.Timestamp.valueOf(hi)) &&
+        $"o_orderkey" % 2 === parity)
+    slice("1997-01-01 00:00:00", "1997-07-01 00:00:00", 0)
+      .createOrReplaceTempView("ctas_even97")
+    slice("1996-01-01 00:00:00", "1997-01-01 00:00:00", 1)
+      .createOrReplaceTempView("ctas_odd96")
+    s.sql("CREATE TABLE gctas.col.mon USING graft " +
+      "PARTITIONED BY (months(o_orderdate)) AS SELECT * FROM ctas_even97")
+    val periodDirs = col.path.resolve("mon").resolve(Item.DataDir).listDirs
+      .filter(_.startsWith(Collection.MonthCol + "="))
+    if (periodDirs.size != 6)
+      throw new IllegalStateException(
+        s"CTAS PARTITIONED BY (months) must create the six Jan–Jun 1997 " +
+          s"period dirs, got ${periodDirs.sorted}")
+    if (col.item("mon").indexCols != Seq("o_orderdate"))
+      throw new IllegalStateException(
+        s"CTAS must derive the index from the partition transform, " +
+          s"got ${col.item("mon").indexCols}")
+    s.sql("CREATE TABLE gctas.col.flat USING graft " +
+      "TBLPROPERTIES('index'='o_orderdate','layout'='monthly') " +
+      "AS SELECT * FROM ctas_even97")
+    s.sql("REPLACE TABLE gctas.col.flat AS SELECT * FROM ctas_odd96")
+    if (col.item("flat").metadata.get("_layout")
+          .exists(j => Collection.TimeLayouts.contains(Meta.unjv(j).toString)))
+      throw new IllegalStateException(
+        "REPLACE TABLE ... AS SELECT is a new definition: the replacement " +
+          "declared no layout and must come back flat")
+    def rollup(item: String, arm: String) = s.sql(s"""
+      |SELECT '$arm' AS arm, date_trunc('month', o_orderdate) AS month,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_price
+      |FROM gctas.col.$item GROUP BY 1, 2""".stripMargin)
+    rollup("mon", "ctas").unionByName(rollup("flat", "rtas"))
+      .orderBy("arm", "month")
+  }
+
+  val sqlCtasSql: String =
+    """WITH even97 AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+      |  WHERE o_orderkey % 2 = 0
+      |    AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'),
+      |odd96 AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+      |  WHERE o_orderkey % 2 = 1
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+      |SELECT 'ctas' AS arm, date_trunc('month', o_orderdate) AS month,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_price
+      |FROM even97 GROUP BY 1, 2
+      |UNION ALL
+      |SELECT 'rtas' AS arm, date_trunc('month', o_orderdate) AS month,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_price
+      |FROM odd96 GROUP BY 1, 2
+      |ORDER BY arm, month""".stripMargin
+
+  /** J2 through the V2 writer — `df.write.format("graft")
+    * .option("duplicates", ...)`: keep_first drops incoming rows whose
+    * index values already exist (stored side wins), and the `error`
+    * strategy REJECTS an overlapping append atomically (in-query gate:
+    * the refused batch must leave the item byte-identical — same count
+    * AND the keep_first result unchanged). Proves the SQL-side J2
+    * mapping (GraftWrites.duplicatesOf) end-to-end, not just its unit
+    * coverage. */
+  def sqlWriteDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "sql_write_dups")
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderdate")
+    def slice(lo: String, hi: String, parity: Int) =
+      o.filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf(lo)) &&
+        $"o_orderdate" < lit(java.sql.Timestamp.valueOf(hi)) &&
+        $"o_orderkey" % 2 === parity)
+    col.write("d", slice("1997-01-01 00:00:00", "1997-07-01 00:00:00", 0),
+      indexCols = Seq("o_orderdate"))
+    val path = col.path.resolve("d").toString
+    slice("1997-04-01 00:00:00", "1997-10-01 00:00:00", 1)
+      .write.format("graft").option("duplicates", "keep_first")
+      .mode("append").save(path)
+    val afterKeepFirst = col.item("d").data.count()
+    val failed =
+      try {
+        slice("1997-05-01 00:00:00", "1997-06-01 00:00:00", 1)
+          .write.format("graft").option("duplicates", "error")
+          .mode("append").save(path)
+        false
+      } catch { case _: DataIntegrityError => true }
+    if (!failed)
+      throw new IllegalStateException(
+        "duplicates=error must reject an overlapping append")
+    if (col.item("d").data.count() != afterKeepFirst)
+      throw new IllegalStateException(
+        "a rejected append must leave the item untouched")
+    s.read.format("graft").load(path).createOrReplaceTempView("dup_item")
+    s.sql("""
+      |SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_price
+      |FROM dup_item GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val sqlWriteDupsSql: String =
+    """WITH stored AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+      |  WHERE o_orderkey % 2 = 0
+      |    AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'),
+      |incoming AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+      |  WHERE o_orderkey % 2 = 1
+      |    AND o_orderdate >= TIMESTAMP '1997-04-01 00:00:00'
+      |    AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'),
+      |merged AS (
+      |  SELECT * FROM stored
+      |  UNION ALL
+      |  SELECT * FROM incoming
+      |  WHERE o_orderdate NOT IN (SELECT o_orderdate FROM stored))
+      |SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_price
+      |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** SQL maintenance surface (`CALL graft.system.*`): the full
     * operational lifecycle driven from SQL alone. Even-free lineitem
     * 1997-01→07 lands monthly; CALL create_snapshot pins 'pre';
@@ -1615,6 +1756,8 @@ object StoreQueries {
     "store_delete_pruned" -> deletePruned _,
     "store_sql_read" -> sqlRead _,
     "store_sql_write" -> sqlWrite _,
+    "store_sql_ctas" -> sqlCtas _,
+    "store_sql_write_dups" -> sqlWriteDups _,
     "store_sql_delete" -> sqlDelete _,
     "store_sql_update" -> sqlUpdate _,
     "store_catalog_versioned" -> catalogVersioned _,
@@ -1657,6 +1800,8 @@ object StoreQueries {
     "store_delete_pruned" -> deletePrunedSql,
     "store_sql_read" -> sqlReadSql,
     "store_sql_write" -> sqlWriteSql,
+    "store_sql_ctas" -> sqlCtasSql,
+    "store_sql_write_dups" -> sqlWriteDupsSql,
     "store_sql_delete" -> sqlDeleteSql,
     "store_sql_update" -> sqlUpdateSql,
     "store_catalog_versioned" -> catalogVersionedSql,

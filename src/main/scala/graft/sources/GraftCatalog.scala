@@ -3,8 +3,8 @@ package graft.sources
 import java.util
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, StagedTable, StagingTableCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
@@ -44,13 +44,25 @@ import graft.store.{Collection, GraftError, GraftStore, HadoopFs, Item, NioFs, S
   * with a typed error: item creation is a *data* operation in graft
   * (an item exists because a frame was written, with layout and index
   * decided from the data), so it belongs to `Collection.write`, not a
-  * schema-only DDL statement. The exceptions are the two METADATA-SAFE
-  * alters: `ALTER TABLE ... ADD COLUMNS` (one sidecar write, zero data
-  * files — see [[alterTable]]) and `SET/UNSET TBLPROPERTIES` (user
-  * metadata only).
+  * schema-only DDL statement — except `CREATE TABLE ... AS SELECT` /
+  * `REPLACE TABLE ... AS SELECT`, the DDL verbs that DO carry data,
+  * which stage through [[GraftStagedTable]] into the same typed write
+  * pipeline. The other exceptions are the two METADATA-SAFE alters:
+  * `ALTER TABLE ... ADD COLUMNS` (one sidecar write, zero data files —
+  * see [[alterTable]]) and `SET/UNSET TBLPROPERTIES` (user metadata
+  * only).
+  *
+  * Transaction boundary: every SQL statement (INSERT / UPDATE / MERGE /
+  * DELETE / CTAS / CALL) commits atomically PER STATEMENT, per item —
+  * the same atomic-commit protocol the Scala API uses. There is no
+  * cross-statement SQL transaction: a failed statement never rolls back
+  * an earlier one (pinned by spec). Multi-statement atomicity is the
+  * Scala `Collection.transaction` (T1) — queue several mutations, one
+  * rollback point — which SQL sessions can reach by snapshotting first
+  * (`CALL system.create_snapshot`) and restoring on failure.
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var storePath: SPath = _
@@ -111,10 +123,22 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table =
     load(ident, snapshot = Some(version))
 
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "graft snapshots are named, not timestamped: use VERSION AS OF '<snapshot>' " +
-        "(TIMESTAMP AS OF is not supported)")
+  /** `TIMESTAMP AS OF t` — the state at time t is the latest MANIFEST
+    * snapshot whose creation stamp is ≤ t (manifests record UTC
+    * creation times; dir snapshots don't and can't anchor timestamp
+    * travel). `timestamp` arrives in microseconds since the epoch per
+    * the V2 time-travel contract. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (ident.namespace.length != 1) throw new NoSuchTableException(ident)
+    val t = java.time.Instant.EPOCH.plus(timestamp, java.time.temporal.ChronoUnit.MICROS)
+    val snap = graft.store.Snapshots
+      .latestManifestAtOrBefore(collectionDir(ident.namespace.head), t)
+      .getOrElse(throw new GraftError(
+        s"TIMESTAMP AS OF $t: no manifest snapshot of collection " +
+          s"'${ident.namespace.head}' predates it (dir snapshots record no " +
+          "creation time — create manifest snapshots to enable timestamp travel)"))
+    load(ident, snapshot = Some(snap))
+  }
 
   private def load(ident: Identifier, snapshot: Option[String]): Table = {
     if (ident.namespace.length != 1) throw new NoSuchTableException(ident)
@@ -170,7 +194,45 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table =
-    readOnly("CREATE TABLE")
+    readOnly("schema-only CREATE TABLE (CREATE TABLE ... AS SELECT is " +
+      "supported — item birth carries data)")
+
+  // ----------------------------- CTAS / RTAS: the staged write pipeline
+
+  /** `CREATE TABLE ... AS SELECT` — the one DDL verb that CARRIES DATA,
+    * so it maps to the typed write pipeline ([[GraftStagedTable]] →
+    * `Collection.write`) instead of being refused like schema-only DDL.
+    * `REPLACE ... AS SELECT` is the overwrite arm. Spark routes CTAS
+    * here (and never to [[createTable]]) because the catalog stages. */
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): StagedTable = {
+    if (ident.namespace.length != 1) throw new NoSuchTableException(ident)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    staged(ident, schema, partitions, properties, GraftStagedTable.Create)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String]): StagedTable = {
+    if (ident.namespace.length != 1 || !tableExists(ident))
+      throw new NoSuchTableException(ident)
+    staged(ident, schema, partitions, properties, GraftStagedTable.Replace)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String, String]): StagedTable = {
+    if (ident.namespace.length != 1) throw new NoSuchTableException(ident)
+    staged(ident, schema, partitions, properties, GraftStagedTable.CreateOrReplace)
+  }
+
+  private def staged(ident: Identifier, schema: StructType,
+                     partitions: Array[Transform],
+                     properties: util.Map[String, String],
+                     mode: GraftStagedTable.Mode): StagedTable =
+    new GraftStagedTable(SparkSession.active, collectionDir(ident.namespace.head),
+      ident.name, schema, partitions, properties, mode)
 
   /** `ALTER TABLE ... ADD COLUMNS` — metadata-only widening through
     * [[graft.store.Collection.addColumns]] (one sidecar write, zero

@@ -563,22 +563,35 @@ final class GraftScanBuilder(
     * cannot see row-level filters (Spark would not offer the combo
     * anyway) — and gated on spark.sql.parquet.aggregatePushdown. */
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    rowLevel.isEmpty && pushed.isEmpty &&
+    rowLevel.isEmpty && pushed.isEmpty && aggPushdownEnabled &&
       parquetDelegate().supportCompletePushDown(aggregation)
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    if (rowLevel.isDefined || pushed.nonEmpty) return false
+    if (rowLevel.isDefined || pushed.nonEmpty || !aggPushdownEnabled) return false
     val d = parquetDelegate()
     val ok = d.pushAggregation(aggregation)
     if (ok) aggDelegate = Some(d)
     ok
   }
 
+  // Checked BEFORE the delegate exists: with the conf off (the
+  // default), the delegate's own pushAggregation would return false
+  // anyway — but constructing it costs a full recursive listing of
+  // every period root (InMemoryFileIndex). At item scale that is
+  // O(files) driver work per aggregate-shaped query for a guaranteed
+  // refusal, so the conf gates the delegate's CONSTRUCTION, not just
+  // its answer.
+  private def aggPushdownEnabled: Boolean =
+    spark.sessionState.conf.parquetAggregatePushDown
+
   // memoized: supportCompletePushDown and pushAggregation both need it,
   // and each InMemoryFileIndex construction is a full recursive listing
   // of the item's roots — once per scan build is the budget
-  private lazy val memoDelegate: ParquetScanBuilder = new ParquetScanBuilder(
-    spark, fileIndexFor(allRoots()), tableSchema, tableSchema, options)
+  private lazy val memoDelegate: ParquetScanBuilder = {
+    GraftScanBuilder.aggDelegateListings.incrementAndGet()
+    new ParquetScanBuilder(
+      spark, fileIndexFor(allRoots()), tableSchema, tableSchema, options)
+  }
 
   private def parquetDelegate(): ParquetScanBuilder =
     aggDelegate.getOrElse(memoDelegate)
@@ -722,4 +735,12 @@ final class GraftScanBuilder(
           snapshotPinned)
     }
   }
+}
+
+object GraftScanBuilder {
+  /** Test seam: counts constructions of the aggregate-pushdown parquet
+    * delegate (each one is a full recursive root listing). Lets specs
+    * assert the conf gate keeps the listing from happening at all when
+    * `spark.sql.parquet.aggregatePushdown` is off. */
+  private[graft] val aggDelegateListings = new java.util.concurrent.atomic.AtomicLong(0)
 }

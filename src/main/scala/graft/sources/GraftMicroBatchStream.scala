@@ -46,12 +46,16 @@ import graft.store.{Collection, GraftError, Item, Meta, Snapshots, ValidationErr
   * first. Statically pushed index/stats predicates additionally prune
   * which changed periods a batch serves at all.
   *
-  * Caveat (documented, inherent to serving live directories): offsets
-  * name generations, but a period REWRITTEN between `latestOffset` and
-  * the batch's read serves the newer files under the old offset — a
-  * replayed batch after a crash can likewise see a later rewrite.
-  * Appends into fresh periods (the designed ingest pattern) never hit
-  * this; pin a snapshot for stronger replay guarantees.
+  * Replay guarantee: a batch serves the GENERATION its end offset
+  * names. When the live dir has been rewritten past it (between
+  * `latestOffset` and the read, or on a crash replay against a later
+  * rewrite), the batch serves the RETAINED generation dir whenever a
+  * manifest pin kept it — byte-identical replay. Only an unpinned
+  * generation falls back to the live files under the old offset (the
+  * remaining at-least-once window; appends into fresh periods — the
+  * designed ingest pattern — never hit it). Anchoring with
+  * `startingSnapshot` and retaining the anchor manifest therefore
+  * gives exact replay for every period the manifest pins.
   */
 final class GraftMicroBatchStream(
     builder: GraftScanBuilder,
@@ -126,10 +130,16 @@ final class GraftMicroBatchStream(
             else throw new GraftError(
               s"startingSnapshot '$snap' does not exist or lacks item '${itemPath.name}'")
           }
-        GraftSourceOffset(pins match {
-          case Right(periodGens) => periodGens
-          case Left(gen)         => Map(GraftSourceOffset.FlatKey -> gen)
-        })
+        (pins, layout) match {
+          case (Right(periodGens), Some(_)) => GraftSourceOffset(periodGens)
+          case (Left(gen), None) => GraftSourceOffset(Map(GraftSourceOffset.FlatKey -> gen))
+          case _ =>
+            // cross-shape: a convertLayout ran between the cut and the
+            // stream start, rewriting every row — everything changed, so
+            // start from the empty offset and serve the whole live item
+            // as "added", exactly what the batch CDC read serves
+            GraftSourceOffset(Map.empty)
+        }
       case None => fromOffsets.getOrElse("earliest") match {
         case "earliest" => GraftSourceOffset(Map.empty)
         case "latest"   => GraftSourceOffset(liveGens())
@@ -184,19 +194,45 @@ final class GraftMicroBatchStream(
           "mid-stream (expiry/retention). Set ignoreDeletes=true (or " +
           "ignoreChanges=true) to skip them")
     val serveKeys = (added ++ (if (ignoreChanges) changed else Nil)).sorted
+    // Replay-window closure: the end offset names the GENERATION each
+    // served key had when the offset was computed. If the live dir has
+    // been rewritten past it by plan time (or this is a crash replay
+    // against a later rewrite), a manifest pin may have RETAINED the
+    // offset's generation — serve the retained dir and the batch is
+    // byte-identical to the original. Only when no pin kept it does the
+    // documented at-least-once window apply (live files under the old
+    // offset). Snapshot-anchored streams (startingSnapshot + a retention
+    // policy that keeps the anchor manifest) therefore replay exactly.
+    val coll = itemPath.parent
     val roots: Seq[String] =
-      if (serveKeys.contains(GraftSourceOffset.FlatKey))
-        Seq(itemPath.resolve(Item.DataDir).toString) // flat item: the whole data dir
-      else {
+      if (serveKeys.contains(GraftSourceOffset.FlatKey)) {
+        val liveDataDir = itemPath.resolve(Item.DataDir)
+        val want = e(GraftSourceOffset.FlatKey)
+        if (Snapshots.generationOf(Meta.read(itemPath)) == want) Seq(liveDataDir.toString)
+        else {
+          val retained = Snapshots.retainedFlatDir(coll, itemPath.name, want)
+            .resolve(Item.DataDir)
+          Seq(if (retained.isDir) retained.toString else liveDataDir.toString)
+        }
+      } else {
         // static pushed predicates prune which served periods the batch
         // reads at all — fresh stats (post-commit entries are dropped
         // atomically, so absent = conservatively served)
         val l = layout.getOrElse(
           throw new GraftError(s"offset period keys without a time layout on '${itemPath.name}'"))
-        val stats = Collection.periodStatsOf(Meta.read(itemPath))
+        val meta = Meta.read(itemPath)
+        val stats = Collection.periodStatsOf(meta)
+        val livePg = Snapshots.periodGensOf(meta)
         val kept = builder.prunePeriods(l, serveKeys, pruneFilters, stats)
         val dataDir = itemPath.resolve(Item.DataDir)
-        kept.map(p => dataDir.resolve(s"${Collection.MonthCol}=$p").toString)
+        kept.map { p =>
+          val liveDir = dataDir.resolve(s"${Collection.MonthCol}=$p")
+          if (livePg.get(p).contains(e(p))) liveDir.toString
+          else {
+            val retained = Snapshots.retainedPeriodDir(coll, itemPath.name, p, e(p))
+            if (retained.isDir) retained.toString else liveDir.toString
+          }
+        }
       }
     val scan = builder.parquetScanOver(roots)
     planned = Some(scan)

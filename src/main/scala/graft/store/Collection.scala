@@ -46,7 +46,7 @@ object Collection {
     * type of any column whose encoded type did not change (codec-marked
     * columns keep their decoded-type contract), and taking the encoded
     * type for added/widened columns (new columns carry no codecs). */
-  private[store] def evolveLogicalSchema(
+  private[graft] def evolveLogicalSchema(
       oldMeta: Map[String, JValue],
       newEncoded: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType = {
@@ -57,9 +57,17 @@ object Collection {
     val oldLogical = parse("schema_json")
     val oldEnc = parse("schema_json_encoded")
     StructType(newEncoded.fields.map { f =>
-      val encUnchanged = oldEnc.exists(_.fields.exists(o =>
-        o.name == f.name && o.dataType == f.dataType))
-      if (encUnchanged)
+      // Legacy pre-encode sidecars (schema_json only) recorded the
+      // DECODED/logical contract directly — with no encoded schema to
+      // compare against, any column name that already existed keeps its
+      // recorded logical type rather than being clobbered by the
+      // encoded type of this append's frame.
+      val keepLogical = oldEnc match {
+        case Some(enc) => enc.fields.exists(o =>
+          o.name == f.name && o.dataType == f.dataType)
+        case None => oldLogical.exists(_.fields.exists(_.name == f.name))
+      }
+      if (keepLogical)
         oldLogical.flatMap(_.fields.find(_.name == f.name)).getOrElse(f)
       else f
     })

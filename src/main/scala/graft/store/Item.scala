@@ -160,8 +160,22 @@ final class Item private[store] (
     val base = periodResolved match {
       case Some(pr) =>
         // manifest time-layout snapshot: union of live + retained
-        // period dirs (no partition column — pruning happened above)
-        spark.read.parquet(prunedPeriodDirs(pr): _*)
+        // period dirs (no partition column — pruning happened above).
+        // The read is pinned to the sidecar schema FROZEN IN THE
+        // MANIFEST, same as the live branch below: a pin can mix
+        // generations (live dirs evolved after the cut, retained dirs
+        // from before it), and footer inference over that mix would
+        // resolve an arbitrary file's shape. The frozen sidecar is the
+        // snapshot's declared contract — identical to what the SQL
+        // `VERSION AS OF` path serves via GraftTable.fromMeta.
+        val frozen: Option[org.apache.spark.sql.types.StructType] =
+          pr.sidecar.get("schema_json_encoded").collect {
+            case org.json4s.JString(sj) =>
+              Item.asNullable(org.apache.spark.sql.types.DataType.fromJson(sj))
+                .asInstanceOf[org.apache.spark.sql.types.StructType]
+          }
+        val reader = frozen.fold(spark.read)(spark.read.schema)
+        reader.parquet(prunedPeriodDirs(pr): _*)
       case None =>
         val dataDir = path.resolve(Item.DataDir)
         // The sidecar's ENCODED schema (when present) is authoritative

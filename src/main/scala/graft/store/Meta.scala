@@ -29,6 +29,10 @@ object Meta {
 
   def nowStamp(): String = stampFmt.format(Instant.now())
 
+  /** Inverse of [[nowStamp]] — stamps are UTC wall-clock strings. */
+  def parseStamp(s: String): Instant =
+    java.time.LocalDateTime.parse(s, stampFmt).toInstant(ZoneOffset.UTC)
+
   def write(dir: SPath, metadata: Map[String, JValue]): Unit = {
     dir.mkdirs()
     val withStamp = metadata + ("_updated" -> JString(nowStamp()))

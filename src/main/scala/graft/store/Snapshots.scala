@@ -110,6 +110,24 @@ object Snapshots {
         .getBytes(StandardCharsets.UTF_8))
   }
 
+  /** Creation instant of a manifest snapshot (the UTC stamp written at
+    * [[createManifest]] time); None for dir snapshots / unknown names. */
+  def manifestCreatedAt(collectionPath: SPath, snap: String): Option[java.time.Instant] =
+    readManifest(collectionPath, snap).flatMap(_.get("created")).collect {
+      case JString(s) => Meta.parseStamp(s)
+    }
+
+  /** The snapshot `TIMESTAMP AS OF t` resolves to: the latest manifest
+    * whose creation stamp is ≤ t. Dir snapshots record no creation time
+    * and cannot anchor timestamp travel (same restriction as CDC).
+    * O(snapshots) tiny JSON reads, driver-side. */
+  def latestManifestAtOrBefore(collectionPath: SPath,
+                               t: java.time.Instant): Option[String] =
+    listManifests(collectionPath)
+      .flatMap(s => manifestCreatedAt(collectionPath, s)
+        .filter(!_.isAfter(t)).map(_ -> s))
+      .sortBy(_._1).lastOption.map(_._2)
+
   private def readManifest(collectionPath: SPath,
                            snap: String): Option[Map[String, JValue]] = {
     val f = manifestFile(collectionPath, snap)
@@ -273,6 +291,13 @@ object Snapshots {
       }
     }
   }
+
+  /** Retained dir of one pinned FLAT-item generation (item-dir layout:
+    * `data/` inside). Present only while some manifest pins `gen` —
+    * the streaming source checks it to serve an offset's generation
+    * byte-identically after an in-place rewrite. */
+  def retainedFlatDir(collectionPath: SPath, item: String, gen: Long): SPath =
+    retainedBase(collectionPath, item).resolve(gen.toString)
 
   /** Retained destination for one pinned period dir (caller renames). */
   def retainedPeriodDir(collectionPath: SPath, item: String,

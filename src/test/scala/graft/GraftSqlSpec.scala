@@ -199,10 +199,16 @@ class GraftSqlSpec extends SparkSpec {
         "WHERE index >= timestamp'2024-02-01 00:00:00'")
       assert(v2Scan(feb).fileIndex.rootPaths.size == 1)
       assert(feb.count() == 29) // jan 1 + 60 days: feb 1..29 (leap)
-      // TIMESTAMP AS OF has no graft meaning — typed refusal
+      // TIMESTAMP AS OF t → the latest manifest whose creation stamp ≤ t
+      val v1At = graft.store.Snapshots.manifestCreatedAt(c.path, "v1").get
+      val micros = v1At.getEpochSecond * 1000000L + v1At.getNano / 1000L
+      val byTs = spark.sql(s"SELECT count(*) AS n FROM $cat.c.item " +
+        s"TIMESTAMP AS OF timestamp_micros(${micros}L)").head().getLong(0)
+      assert(byTs == 60, s"timestamp travel at the v1 cut must serve v1, got $byTs")
+      // a timestamp predating every manifest refuses typed
       val ts = intercept[Exception](spark.sql(
-        s"SELECT * FROM $cat.c.item TIMESTAMP AS OF '2024-01-01'").collect())
-      assert(ts.getMessage.contains("VERSION AS OF"))
+        s"SELECT * FROM $cat.c.item TIMESTAMP AS OF '2000-01-01'").collect())
+      assert(ts.getMessage.contains("no manifest snapshot"), ts.getMessage)
     }
     cleanup(c)
   }
@@ -246,6 +252,32 @@ class GraftSqlSpec extends SparkSpec {
         .agg(count(lit(1)).as("n"))
       assert(v2Scan(filtered).pushedAggregate.isEmpty)
       assert(filtered.collect().head.getLong(0) == 89L)
+    } finally spark.conf.unset(key)
+    cleanup(c)
+  }
+
+  test("aggregate pushdown OFF never constructs the delegate (no root listing)") {
+    val c = tempCollection("sql_agggate")
+    c.write("item", frame("2024-01-01", 90), monthlyLayout = true)
+    val key = "spark.sql.parquet.aggregatePushdown"
+    val counter = graft.sources.GraftScanBuilder.aggDelegateListings
+    // default is OFF — an aggregate-shaped query must not pay the
+    // delegate's full recursive file listing for a guaranteed refusal
+    assert(spark.conf.get(key) == "false")
+    val t = spark.read.format("graft").load(c.path.resolve("item").toString)
+    val before = counter.get()
+    val agg = t.agg(max(col("value")).as("mx"), count(lit(1)).as("n"))
+    assert(v2Scan(agg).pushedAggregate.isEmpty) // before collect: AQE hides stages after
+    val row = agg.collect().head
+    assert(row.getDouble(0) == 89.0 && row.getLong(1) == 90L)
+    assert(counter.get() == before,
+      "aggregate-pushdown delegate was constructed (full root listing) with the conf off")
+    // with the conf ON the same query builds the delegate exactly once
+    try {
+      spark.conf.set(key, "true")
+      val agg2 = t.agg(max(col("value")).as("mx"))
+      assert(agg2.collect().head.getDouble(0) == 89.0)
+      assert(counter.get() > before)
     } finally spark.conf.unset(key)
     cleanup(c)
   }

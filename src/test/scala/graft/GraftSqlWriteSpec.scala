@@ -184,6 +184,119 @@ class GraftSqlWriteSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("CTAS creates a flat item through the typed write pipeline") {
+    val c = tempCollection("sql_ctas_flat")
+    c.write("seed", frame("2024-01-01", 30)) // collection must exist for the catalog root
+    registerCatalog("wctas1", c)
+    frame("2024-01-01", 30).createOrReplaceTempView("src_flat")
+    // no USING clause: the session default provider (parquet) is accepted
+    spark.sql("CREATE TABLE wctas1.c.made AS SELECT * FROM src_flat")
+    val item = c.item("made")
+    assert(item.data.count() == 30)
+    assert(item.indexCols == Seq("index")) // 'index' column present → default index
+    // SQL-born item is immediately readable back through SQL
+    assert(spark.sql("SELECT count(*) AS n FROM wctas1.c.made").head().getLong(0) == 30L)
+    // CREATE on an existing item refuses at analysis
+    val e = intercept[Exception](
+      spark.sql("CREATE TABLE wctas1.c.made AS SELECT * FROM src_flat"))
+    assert(e.getMessage.toLowerCase.contains("already exists"), e.getMessage)
+    cleanup(c)
+  }
+
+  test("CTAS with layout properties / PARTITIONED BY builds time-layout items") {
+    val c = tempCollection("sql_ctas_layout")
+    c.write("seed", frame("2024-01-01", 1))
+    registerCatalog("wctas2", c)
+    frame("2024-01-01", 90).createOrReplaceTempView("src_layout")
+    spark.sql("CREATE TABLE wctas2.c.bytbl USING graft " +
+      "TBLPROPERTIES('index'='index','layout'='monthly','stats_cols'='value'," +
+      "'origin'='ctas-test') AS SELECT * FROM src_layout")
+    val item = c.item("bytbl")
+    assert(item.metadata.get("_layout").map(Meta.unjv) == Some("monthly"))
+    assert(item.metadata.get("_stats_cols").map(Meta.unjv) == Some(Seq("value")))
+    // non-structural TBLPROPERTIES land as user metadata
+    assert(item.metadata.get("origin").map(Meta.unjv) == Some("ctas-test"))
+    val dirs = c.path.resolve("bytbl").resolve(Item.DataDir).listDirs
+      .filter(_.startsWith(Collection.MonthCol + "="))
+    assert(dirs.size == 3, s"jan-mar period dirs expected, got $dirs")
+    // PARTITIONED BY months(col) implies layout AND index column
+    spark.sql("CREATE TABLE wctas2.c.bypart USING graft PARTITIONED BY (months(index)) " +
+      "AS SELECT * FROM src_layout")
+    assert(c.item("bypart").metadata.get("_layout").map(Meta.unjv) == Some("monthly"))
+    // conflicting layout spellings refuse at analysis
+    val e = intercept[ValidationError](
+      spark.sql("CREATE TABLE wctas2.c.clash USING graft TBLPROPERTIES('layout'='daily') " +
+        "PARTITIONED BY (months(index)) AS SELECT * FROM src_layout"))
+    assert(e.getMessage.contains("conflicts"))
+    assert(!c.hasItem("clash"))
+    cleanup(c)
+  }
+
+  test("CTAS index defaulting: first timestamp column when no 'index' column") {
+    val c = tempCollection("sql_ctas_idx")
+    c.write("seed", frame("2024-01-01", 1))
+    registerCatalog("wctas3", c)
+    frame("2024-01-01", 20).toDF("ts", "value", "tag").createOrReplaceTempView("src_ts")
+    spark.sql("CREATE TABLE wctas3.c.tsidx AS SELECT * FROM src_ts")
+    assert(c.item("tsidx").indexCols == Seq("ts"))
+    // a time layout on a non-temporal declared index refuses at analysis
+    val e = intercept[ValidationError](
+      spark.sql("CREATE TABLE wctas3.c.badidx USING graft " +
+        "TBLPROPERTIES('index'='tag','layout'='monthly') AS SELECT * FROM src_ts"))
+    assert(e.getMessage.contains("timestamp/date index"))
+    cleanup(c)
+  }
+
+  test("RTAS overwrites; bare REPLACE and missing-table REPLACE refuse typed") {
+    val c = tempCollection("sql_rtas")
+    c.write("item", frame("2024-01-01", 60), monthlyLayout = true)
+    registerCatalog("wrtas", c)
+    frame("2025-06-01", 10, tagPrefix = "o").createOrReplaceTempView("src_rtas")
+    // REPLACE ... AS SELECT is a NEW definition (unlike INSERT OVERWRITE,
+    // which preserves the old structural config): the replacement is flat
+    spark.sql("REPLACE TABLE wrtas.c.item AS SELECT * FROM src_rtas")
+    val item = c.item("item")
+    assert(item.data.count() == 10)
+    assert(item.data.orderBy("index").head().getString(2) == "o0")
+    assert(item.metadata.get("_layout").map(Meta.unjv) != Some("monthly"))
+    // REPLACE of a missing table refuses; the item is not created
+    intercept[Exception](
+      spark.sql("REPLACE TABLE wrtas.c.nope AS SELECT * FROM src_rtas"))
+    assert(!c.hasItem("nope"))
+    // CREATE OR REPLACE works on both missing and existing items
+    spark.sql("CREATE OR REPLACE TABLE wrtas.c.fresh AS SELECT * FROM src_rtas")
+    assert(c.item("fresh").data.count() == 10)
+    spark.sql("CREATE OR REPLACE TABLE wrtas.c.fresh AS SELECT * FROM src_rtas LIMIT 4")
+    assert(c.item("fresh").data.count() == 4)
+    // schema-only REPLACE refuses (item state is data)
+    val e = intercept[Exception](
+      spark.sql("REPLACE TABLE wrtas.c.item (x INT) USING graft"))
+    assert(e.getMessage.contains("AS SELECT"), e.getMessage)
+    assert(c.item("item").data.count() == 10, "failed schema-only REPLACE must not clobber")
+    cleanup(c)
+  }
+
+  test("SQL commits are per-statement: a failed statement never rolls back an earlier one") {
+    val c = tempCollection("sql_txn")
+    c.write("item", frame("2024-01-01", 10))
+    c.write("enc", frame("2024-03-01", 8), epochdate = true) // codec-marked
+    registerCatalog("wtxn", c)
+    frame("2024-02-01", 5, tagPrefix = "a").createOrReplaceTempView("txn_b1")
+    spark.sql("INSERT INTO wtxn.c.item SELECT * FROM txn_b1") // statement 1 commits
+    assert(c.item("item").data.count() == 15)
+    // statement 2 fails at EXECUTION (codec-marked overwrite refusal,
+    // raised inside the write pipeline, past analysis)
+    val encCols = spark.table("wtxn.c.enc").columns.map(x => s"`$x`").mkString(", ")
+    intercept[Exception](spark.sql(
+      s"INSERT OVERWRITE wtxn.c.enc SELECT $encCols FROM wtxn.c.enc"))
+    // the failed statement rolled back NOTHING: its own item is intact
+    // (atomic per-statement commit) and statement 1's append persists
+    assert(c.item("enc").data.count() == 8)
+    assert(c.item("item").data.count() == 15,
+      "a failed second statement must not roll back the first")
+    cleanup(c)
+  }
+
   test("catalog DDL stays refused with a typed message") {
     val c = tempCollection("sql_ddl")
     c.write("item", frame("2024-01-01", 5))

@@ -186,6 +186,85 @@ class GraftStreamingSourceSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("cross-shape startingSnapshot (layout converted since the cut) serves the whole item") {
+    val c = tempCollection("stream_xshape")
+    c.write("item", frame("2024-01-01", 40)) // flat at the cut
+    c.createSnapshot(Some("cut"), manifest = Some(true))
+    c.convertLayout("item", timeLayout = Some("monthly")) // pins flat, live time-layout
+    c.append("item", frame("2024-03-01", 5))
+    val item = c.path.resolve("item").toString
+    val work = java.nio.file.Files.createTempDirectory("stream_xshape_out")
+    // the conversion rewrote every row → everything changed since the
+    // cut: the stream serves the whole live item as "added" (exactly
+    // what the batch CDC read serves), instead of failing on the
+    // flat-pin vs period-offset shape mismatch
+    drain(item, s"$work/sink", s"$work/ckpt", Map("startingSnapshot" -> "cut"))
+    val streamed = spark.read.parquet(s"$work/sink")
+    assert(streamed.count() == 45, s"whole live item expected, got ${streamed.count()}")
+    val batchDelta = spark.read.format("graft").option("changesSince", "cut").load(item)
+    assert(streamed.orderBy("index").collect().toSeq ==
+      batchDelta.orderBy("index").collect().toSeq)
+    cleanup(c)
+  }
+
+  test("a replayed batch serves the offset's RETAINED generation after an in-place rewrite") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    val c = tempCollection("stream_replay")
+    c.write("item", frame("2024-01-01", 40), monthlyLayout = true) // jan(31) + feb(9)
+    val item = c.path.resolve("item").toString
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("path", item))
+    val table = graft.sources.GraftTable.resolve(opts)
+    val scan = table.newScanBuilder(opts).build()
+    val stream = scan.toMicroBatchStream("unused_ckpt")
+      .asInstanceOf[graft.sources.GraftMicroBatchStream]
+    // the batch a first run would plan: everything up to the current cut
+    val start = stream.initialOffset()
+    val end = stream.latestOffset(start, ReadLimit.allAvailable())
+    // a manifest pins the cut, then february is REWRITTEN in place —
+    // the commit retains feb@old-gen because the pin references it
+    c.createSnapshot(Some("anchor"), manifest = Some(true))
+    c.append("item", frame("2024-02-15", 5))
+    assert(c.item("item").data.count() == 45)
+    // replaying (start, end] — e.g. after a crash before the sink
+    // committed — must serve the 40 rows the offset named, NOT the 45
+    // now in the live dirs: february resolves to the retained dir
+    def servedFiles(parts: Array[org.apache.spark.sql.connector.read.InputPartition]) =
+      parts.collect { case fp: FilePartition => fp.files.map(_.filePath.toString) }.flatten
+    val files = servedFiles(stream.planInputPartitions(start, end))
+    assert(files.exists(_.contains(graft.store.Snapshots.RetainedDir)),
+      s"rewritten feb must serve from the retained generation, got:\n${files.mkString("\n")}")
+    assert(spark.read.parquet(files.toIndexedSeq: _*).count() == 40,
+      "replay must be byte-identical to the original batch")
+    // the live tail still streams the rewrite normally (ignoreChanges)
+    val opts2 = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("path", item, "ignoreChanges", "true"))
+    val s2 = graft.sources.GraftTable.resolve(opts2)
+      .newScanBuilder(opts2).build().toMicroBatchStream("unused_ckpt2")
+      .asInstanceOf[graft.sources.GraftMicroBatchStream]
+    val next = s2.latestOffset(end, ReadLimit.allAvailable())
+    val nextFiles = servedFiles(s2.planInputPartitions(end, next))
+    assert(spark.read.parquet(nextFiles.toIndexedSeq: _*).count() == 14,
+      "the changed-period batch serves live february whole")
+    // flat items retain the same way: pinned old generation replays exact
+    val cf = tempCollection("stream_replay_flat")
+    cf.write("flat", frame("2024-01-01", 20))
+    val fitem = cf.path.resolve("flat").toString
+    val fopts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("path", fitem))
+    val fs = graft.sources.GraftTable.resolve(fopts)
+      .newScanBuilder(fopts).build().toMicroBatchStream("unused_ckpt3")
+      .asInstanceOf[graft.sources.GraftMicroBatchStream]
+    val f0 = fs.initialOffset(); val f1 = fs.latestOffset(f0, ReadLimit.allAvailable())
+    cf.createSnapshot(Some("anchor"), manifest = Some(true))
+    cf.append("flat", frame("2024-01-25", 3)) // flat rewrite, old gen retained
+    val ffiles = servedFiles(fs.planInputPartitions(f0, f1))
+    assert(ffiles.exists(_.contains(graft.store.Snapshots.RetainedDir)), ffiles.mkString("\n"))
+    assert(spark.read.parquet(ffiles.toIndexedSeq: _*).count() == 20)
+    cleanup(c); cleanup(cf)
+  }
+
   test("snapshot-pinned reads refuse streaming with a typed error") {
     val c = tempCollection("stream_snap")
     c.write("item", frame("2024-01-01", 10), monthlyLayout = true)

@@ -92,6 +92,34 @@ class SnapshotEvolutionSpec extends SparkSpec {
     assert(!canWiden(DoubleType, FloatType))
   }
 
+  test("evolveLogicalSchema preserves logical types of legacy pre-encode sidecars") {
+    import org.json4s.JString
+    val logical = StructType(Seq(
+      StructField("index", TimestampType), StructField("v", DoubleType)))
+    val newEncoded = StructType(Seq(
+      StructField("index", LongType),       // epochdate-encoded on disk
+      StructField("v", DoubleType),
+      StructField("added", StringType)))
+    // legacy sidecar: schema_json only, no schema_json_encoded
+    val legacyMeta = Map[String, org.json4s.JValue](
+      "schema_json" -> JString(logical.json))
+    val out = Collection.evolveLogicalSchema(legacyMeta, newEncoded)
+    // pre-existing columns keep their recorded DECODED contract;
+    // the added column takes the encoded type (no codec recorded)
+    assert(out.fields.find(_.name == "index").get.dataType == TimestampType)
+    assert(out.fields.find(_.name == "v").get.dataType == DoubleType)
+    assert(out.fields.find(_.name == "added").get.dataType == StringType)
+    // modern sidecar: encoded comparison still governs — a column whose
+    // ENCODED type changed takes the new encoded type
+    val modernMeta = Map[String, org.json4s.JValue](
+      "schema_json" -> JString(logical.json),
+      "schema_json_encoded" -> JString(StructType(Seq(
+        StructField("index", LongType), StructField("v", FloatType))).json))
+    val out2 = Collection.evolveLogicalSchema(modernMeta, newEncoded)
+    assert(out2.fields.find(_.name == "index").get.dataType == TimestampType)
+    assert(out2.fields.find(_.name == "v").get.dataType == DoubleType) // widened: encoded type wins
+  }
+
   test("migration registry applies stepwise paths") {
     import spark.implicits._
     val reg = new SchemaEvolution.MigrationRegistry
