@@ -1325,6 +1325,81 @@ object StoreQueries {
       |FROM base GROUP BY 1, 2
       |ORDER BY arm, ship_month""".stripMargin
 
+  /** Savepoint rollback (`CALL system.rollback_to`): a multi-statement
+    * SQL session — periodic INSERT INTO (new month), DML DELETE
+    * (copy-on-write rewrite of a flat item), CTAS (item birth) — undone
+    * by ONE procedure call against a prior manifest snapshot. In-query
+    * gates: the reported per-item actions (born→removed,
+    * extra→restored, li→restored), the restored period set (exactly
+    * Jan–Apr — the inserted May must be gone by NAME), and the born
+    * item's directory removed. The result is the live post-rollback
+    * state of both items, which DuckDB re-derives from the source
+    * tables as if the session never happened — the restore must be
+    * byte-exact through retained generations, or the hash breaks. */
+  def sqlRollback(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "sql_rollback")
+    val li = Tables.t(s, dir, "lineitem").select($"l_shipdate", $"l_quantity")
+    def liSlice(lo: String, hi: String) =
+      li.filter($"l_shipdate" >= lit(java.sql.Timestamp.valueOf(lo)) &&
+        $"l_shipdate" < lit(java.sql.Timestamp.valueOf(hi)))
+    col.write("li", liSlice("1997-01-01 00:00:00", "1997-05-01 00:00:00"),
+      indexCols = Seq("l_shipdate"), timeLayout = Some("monthly"))
+    col.write("extra", Tables.t(s, dir, "orders")
+        .select($"o_orderkey", $"o_totalprice", $"o_orderdate")
+        .filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          $"o_orderdate" < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00"))),
+      indexCols = Seq("o_orderdate"))
+    s.conf.set("spark.sql.catalog.grbk", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.grbk.root", col.path.parent.toString)
+    s.sql("CALL grbk.system.create_snapshot('col', 'sp', manifest => true)")
+    // the session to be undone — every mutation lands atomically first
+    liSlice("1997-05-01 00:00:00", "1997-06-01 00:00:00")
+      .createOrReplaceTempView("rb_may")
+    s.sql("INSERT INTO grbk.col.li SELECT * FROM rb_may")
+    s.sql("DELETE FROM grbk.col.extra WHERE o_orderkey % 2 = 0")
+    s.sql("CREATE TABLE grbk.col.born USING graft AS SELECT * FROM grbk.col.extra")
+    val actions = s.sql("CALL grbk.system.rollback_to('col', 'sp')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    if (actions != Map("born" -> "removed", "extra" -> "restored", "li" -> "restored"))
+      throw new IllegalStateException(s"unexpected rollback actions: $actions")
+    val periodDirs = col.path.resolve("li").resolve(Item.DataDir).listDirs
+      .filter(_.startsWith(Collection.MonthCol + "="))
+      .map(_.stripPrefix(Collection.MonthCol + "=")).sorted
+    if (periodDirs != Seq("1997-01", "1997-02", "1997-03", "1997-04"))
+      throw new IllegalStateException(
+        s"rollback must drop the inserted May period by name, got $periodDirs")
+    if (col.path.resolve("born").isDir)
+      throw new IllegalStateException("rollback must remove the item born after the cut")
+    s.sql("""
+      |SELECT 'extra' AS arm, date_trunc('month', o_orderdate) AS month,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_val
+      |FROM grbk.col.extra GROUP BY 1, 2""".stripMargin)
+      .unionByName(s.sql("""
+        |SELECT 'li' AS arm, date_trunc('month', l_shipdate) AS month,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_val
+        |FROM grbk.col.li GROUP BY 1, 2""".stripMargin))
+      .orderBy("arm", "month")
+  }
+
+  val sqlRollbackSql: String =
+    """SELECT 'extra' AS arm, date_trunc('month', o_orderdate) AS month,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_val
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+      |GROUP BY 1, 2
+      |UNION ALL
+      |SELECT 'li' AS arm, date_trunc('month', l_shipdate) AS month,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_val
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-05-01'
+      |GROUP BY 1, 2
+      |ORDER BY arm, month""".stripMargin
+
   val catalogVersionedSql: String =
     """WITH pinned AS (
       |  SELECT l_shipdate, l_quantity FROM lineitem
@@ -1762,6 +1837,7 @@ object StoreQueries {
     "store_sql_update" -> sqlUpdate _,
     "store_catalog_versioned" -> catalogVersioned _,
     "store_sql_maintenance" -> sqlMaintenance _,
+    "store_sql_rollback" -> sqlRollback _,
     "store_sql_changes" -> sqlChanges _,
     "store_sql_alter" -> sqlAlter _,
     "store_write_batch" -> writeBatchSummary _,
@@ -1806,6 +1882,7 @@ object StoreQueries {
     "store_sql_update" -> sqlUpdateSql,
     "store_catalog_versioned" -> catalogVersionedSql,
     "store_sql_maintenance" -> sqlMaintenanceSql,
+    "store_sql_rollback" -> sqlRollbackSql,
     "store_sql_changes" -> sqlChangesSql,
     "store_sql_alter" -> sqlAlterSql,
     "store_write_batch" -> writeBatchSummarySql,

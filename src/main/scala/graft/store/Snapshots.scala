@@ -128,6 +128,13 @@ object Snapshots {
         .filter(!_.isAfter(t)).map(_ -> s))
       .sortBy(_._1).lastOption.map(_._2)
 
+  /** Item names pinned by manifest `snap`; None when the snapshot is
+    * missing or is a directory snapshot (no manifest file). Drives
+    * collection-wide restore: the rollback set is these ∪ the live
+    * items (live-only names were created after the cut → removed). */
+  def manifestItemNames(collectionPath: SPath, snap: String): Option[Seq[String]] =
+    readManifest(collectionPath, snap).map(m => manifestItems(m).keys.toSeq.sorted)
+
   private def readManifest(collectionPath: SPath,
                            snap: String): Option[Map[String, JValue]] = {
     val f = manifestFile(collectionPath, snap)

@@ -36,7 +36,7 @@ class GraftProcedureSpec extends SparkSpec {
       .select("procedure_name").collect().map(_.getString(0)).toSet
     for (p <- Seq("create_snapshot", "expire_before", "compact", "vacuum",
                   "convert_layout", "zorder", "rebalance", "list_snapshots",
-                  "delete_snapshot"))
+                  "delete_snapshot", "list_changes", "rollback_to"))
       assert(names.contains(p), s"missing procedure $p in $names")
     val desc = spark.sql("DESCRIBE PROCEDURE pcat0.system.expire_before")
       .collect().map(_.mkString(" ")).mkString("\n")
@@ -143,6 +143,53 @@ class GraftProcedureSpec extends SparkSpec {
     assert(spark.sql("CALL pcat7.system.list_changes('c', 'f', 'cut')")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
       Seq("__item" -> "rewritten"))
+    cleanup(c)
+  }
+
+  test("rollback_to restores the collection to a savepoint: multi-statement SQL undo") {
+    val c = tempCollection("proc_rollback")
+    c.write("m", frame("2024-01-01", 60), monthlyLayout = true) // jan feb
+    c.write("f", frame("2024-01-01", 10))
+    c.write("gone", frame("2024-01-01", 5))
+    registerCatalog("pcat8", c)
+    val before =
+      c.item("m").data.orderBy("index").collect().toSeq ->
+        c.item("f").data.orderBy("index").collect().toSeq
+    spark.sql("CALL pcat8.system.create_snapshot('c', 'sp', true)")
+
+    // a multi-statement SQL session mutates the collection every way
+    // the engine allows: append (new period + rewrite), DML delete,
+    // item birth, item death — then one CALL undoes the lot
+    spark.sql("INSERT INTO pcat8.c.m SELECT * FROM pcat8.c.f") // rewrites jan
+    c.append("m", frame("2024-03-01", 5))                      // adds a period
+    spark.sql("DELETE FROM pcat8.c.f WHERE value >= 5")
+    c.write("born", frame("2024-02-01", 3))
+    c.deleteItem("gone")
+
+    val actions = spark.sql("CALL pcat8.system.rollback_to('c', 'sp')")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(actions == Seq("born" -> "removed", "f" -> "restored",
+      "gone" -> "restored", "m" -> "restored"))
+    assert(c.listItems() == Set("m", "f", "gone"))
+    assert(c.item("m").data.orderBy("index").collect().toSeq == before._1)
+    assert(c.item("f").data.orderBy("index").collect().toSeq == before._2)
+    assert(c.item("gone").data.count() == 5)
+    assert(periods(c, "m") == Seq("2024-01", "2024-02"))
+    // savepoint kept by default → repeatable: mutate again, roll back again
+    spark.sql("DELETE FROM pcat8.c.f WHERE value < 5")
+    val second = spark.sql("CALL pcat8.system.rollback_to('c', 'sp')")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(second("f") == "restored")
+    assert(second("m") == "unchanged") // untouched since the first restore
+    assert(c.item("f").data.orderBy("index").collect().toSeq == before._2)
+    // keep_snapshot => false drops the savepoint after restoring
+    spark.sql("CALL pcat8.system.rollback_to('c', 'sp', keep_snapshot => false)")
+    assert(!c.listSnapshots().contains("sp"))
+    // typed error: dir snapshots are frozen reads, not savepoints
+    c.createSnapshot(Some("dirsnap"), manifest = Some(false))
+    val e = intercept[Exception](
+      spark.sql("CALL pcat8.system.rollback_to('c', 'dirsnap')").collect())
+    assert(e.getMessage.contains("manifest snapshot"))
     cleanup(c)
   }
 
