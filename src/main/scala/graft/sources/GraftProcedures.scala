@@ -244,55 +244,19 @@ private[sources] object GraftProcedures {
         in("snapshot", StringType).build(),
         in("keep_snapshot", BooleanType).defaultValue("true")
           .comment("keep the savepoint for repeated rollback; false drops it after restore")
+          .build(),
+        in("item", StringType).defaultValue("NULL")
+          .comment("restore only this item (partial restore keeps the savepoint)")
           .build()),
       StructType(Seq(
         StructField("item", StringType, nullable = false),
         StructField("action", StringType, nullable = false))),
       (store, args) => {
         val c = existing(store, str(args, 0))
-        val snap = str(args, 1)
-        val keep = optBool(args, 2).getOrElse(true)
-        val pinned = graft.store.Snapshots.manifestItemNames(c.path, snap)
-          .getOrElse(throw new GraftError(
-            s"rollback_to requires a manifest snapshot; '$snap' is missing " +
-              "or a directory snapshot (directory snapshots are frozen reads, " +
-              "not savepoints)"))
-        // Sound against ANY manifest snapshot, not just transaction pins:
-        // every commit/delete since the cut retained the pinned generation
-        // by rename (Collection.scala:776,1488), so restore is the same
-        // O(1)/O(periods) rename-back the T1 rollback uses. The commit
-        // lock serializes the restore against in-flight commits and
-        // snapshot captures — no mixed-generation cut either way.
-        val out = c.withCommitLock {
-          val live = c.listItems()
-          (pinned.toSet ++ live).toSeq.sorted.map { it =>
-            val action =
-              if (!pinned.contains(it)) "removed" // born after the cut
-              else {
-                val liveGens: Option[Either[Long, Map[String, Long]]] =
-                  if (!live.contains(it)) None
-                  else {
-                    val m = graft.store.Meta.read(c.path.resolve(it))
-                    val pg = graft.store.Snapshots.periodGensOf(m)
-                    if (pg.nonEmpty) Some(Right(pg))
-                    else Some(Left(graft.store.Snapshots.generationOf(m)))
-                  }
-                val pins = graft.store.Snapshots.manifestPins(c.path, snap, it)
-                if (pins.isDefined && pins == liveGens) "unchanged" else "restored"
-              }
-            if (action != "unchanged")
-              graft.store.Snapshots.restoreFromManifest(c.path, snap, it)
-            row(it, action)
-          }
-        }
-        c.clearMetadataCache()
-        c.listItems() // refresh the item-set cache post-restore
-        if (!keep) {
-          c.path.resolve(graft.store.GraftStore.SnapshotsDir).resolve(snap)
-            .deleteRecursively() // legacy copied-dir arm, if any
-          graft.store.Snapshots.deleteManifest(c.path, snap)
-        }
-        out
+        c.rollbackTo(str(args, 1),
+            keepSnapshot = optBool(args, 2).getOrElse(true),
+            items = optStr(args, 3).toSeq)
+          .toSeq.sortBy(_._1).map { case (it, action) => row(it, action) }
       }),
 
     ProcDef(

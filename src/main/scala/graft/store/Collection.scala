@@ -1779,6 +1779,78 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       .filterNot(_.startsWith("__")) // internal (transaction pin) manifests
       .distinct.sorted
 
+  /** Savepoint rollback: restore the whole collection to the state
+    * pinned by manifest snapshot `snapshot` — item → action, where
+    * action is "restored" (content moved back), "removed" (item born
+    * after the cut), or "unchanged" (generations already match the
+    * pins). Sound against ANY manifest snapshot, not just transaction
+    * pins: every commit/delete since the cut retained the pinned
+    * generation by rename (the write/deleteItem retention calls), so
+    * each item's restore is the same O(1)/O(periods) rename-back the
+    * T1 transaction rollback uses — no byte copies on any backend.
+    * Runs under the commit-coordination lock, so an in-flight commit
+    * or snapshot capture never sees a mixed-generation cut. With
+    * `keepSnapshot` (default) the savepoint survives for repeated
+    * rollback; `false` drops it after restoring. `items` restricts the
+    * restore to the named items (e.g. one bad item after a poisoned
+    * load) — a partial restore keeps the savepoint by definition, and
+    * naming an item the snapshot never pinned and the collection does
+    * not hold is a typo, not a no-op. SQL spelling:
+    * `CALL <cat>.system.rollback_to(collection, snapshot)`. */
+  def rollbackTo(snapshot: String,
+                 keepSnapshot: Boolean = true,
+                 items: Seq[String] = Nil): Map[String, String] = {
+    val pinned = Snapshots.manifestItemNames(path, snapshot).getOrElse(
+      throw new GraftError(
+        s"rollbackTo requires a manifest snapshot; '$snapshot' is missing " +
+          "or a directory snapshot (directory snapshots are frozen reads, " +
+          "not savepoints)"))
+    if (items.nonEmpty && !keepSnapshot)
+      throw new GraftError(
+        "a partial rollback cannot drop the savepoint: the un-restored " +
+          "items would lose their pins (omit items, or keep the snapshot)")
+    val out = withCommitLock {
+      val live = listItems()
+      val scope = (pinned.toSet ++ live, items) match {
+        case (all, Nil) => all
+        case (all, some) =>
+          val unknown = some.filterNot(all.contains)
+          if (unknown.nonEmpty)
+            throw new GraftError(
+              s"rollbackTo: item(s) ${unknown.mkString(", ")} neither pinned " +
+                s"by '$snapshot' nor present in the collection")
+          some.toSet
+      }
+      scope.toSeq.sorted.map { it =>
+        val action =
+          if (!pinned.contains(it)) "removed" // born after the cut
+          else {
+            val liveGens: Option[Either[Long, Map[String, Long]]] =
+              if (!live.contains(it)) None
+              else {
+                val m = Meta.read(path.resolve(it))
+                val pg = Snapshots.periodGensOf(m)
+                if (pg.nonEmpty) Some(Right(pg))
+                else Some(Left(Snapshots.generationOf(m)))
+              }
+            val pins = Snapshots.manifestPins(path, snapshot, it)
+            if (pins.isDefined && pins == liveGens) "unchanged" else "restored"
+          }
+        if (action != "unchanged")
+          Snapshots.restoreFromManifest(path, snapshot, it)
+        it -> action
+      }.toMap
+    }
+    clearMetadataCache()
+    listItems() // refresh the item-set cache post-restore
+    if (!keepSnapshot) {
+      path.resolve(GraftStore.SnapshotsDir).resolve(snapshot)
+        .deleteRecursively() // legacy copied-dir arm, if any
+      Snapshots.deleteManifest(path, snapshot)
+    }
+    out
+  }
+
   /** Lenient: deleting a missing snapshot returns true
     * (reference quirk, collection.py:550-553, kept per tests). */
   def deleteSnapshot(name: String): Boolean = {

@@ -182,6 +182,23 @@ class GraftProcedureSpec extends SparkSpec {
     assert(second("f") == "restored")
     assert(second("m") == "unchanged") // untouched since the first restore
     assert(c.item("f").data.orderBy("index").collect().toSeq == before._2)
+    // item-scoped restore: only the named item moves, the rest stay put
+    spark.sql("DELETE FROM pcat8.c.f WHERE value < 5")
+    c.append("m", frame("2024-03-01", 5))
+    val scoped = spark.sql("CALL pcat8.system.rollback_to('c', 'sp', item => 'f')")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(scoped == Seq("f" -> "restored"))
+    assert(c.item("f").data.orderBy("index").collect().toSeq == before._2)
+    assert(periods(c, "m") == Seq("2024-01", "2024-02", "2024-03")) // untouched
+    // a partial restore cannot drop the savepoint; unknown names are typos
+    val ep = intercept[Exception](spark.sql(
+      "CALL pcat8.system.rollback_to('c', 'sp', keep_snapshot => false, item => 'f')")
+      .collect())
+    assert(ep.getMessage.contains("partial rollback"))
+    val eu = intercept[Exception](spark.sql(
+      "CALL pcat8.system.rollback_to('c', 'sp', item => 'nope')").collect())
+    assert(eu.getMessage.contains("neither pinned"))
+    spark.sql("CALL pcat8.system.rollback_to('c', 'sp')") // back to the cut
     // keep_snapshot => false drops the savepoint after restoring
     spark.sql("CALL pcat8.system.rollback_to('c', 'sp', keep_snapshot => false)")
     assert(!c.listSnapshots().contains("sp"))
