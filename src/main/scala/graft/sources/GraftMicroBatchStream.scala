@@ -107,11 +107,38 @@ final class GraftMicroBatchStream(
     availableNowTarget = Some(liveGens())
 
   override def initialOffset(): Offset = {
-    val fromSnap = Option(options.get("startingSnapshot")).map(_.trim).filter(_.nonEmpty)
+    val fromTs = Option(options.get("startingTimestamp")).map(_.trim).filter(_.nonEmpty)
     val fromOffsets = Option(options.get("startingOffsets")).map(_.trim.toLowerCase)
-    if (fromSnap.isDefined && fromOffsets.isDefined)
+    // `startingTimestamp` is the stream spelling of `TIMESTAMP AS OF`:
+    // resolve to the latest manifest whose creation stamp is <= t (the
+    // SAME rule the catalog's timestamp travel uses), then anchor at
+    // that snapshot's pins. ISO-8601 instants and UTC date-times both
+    // parse; no qualifying manifest refuses typed (never a silent
+    // fall-through to 'earliest' — that would replay the whole item).
+    val fromSnap = Option(options.get("startingSnapshot")).map(_.trim).filter(_.nonEmpty)
+      .orElse(fromTs.map { raw =>
+        val t =
+          try java.time.Instant.parse(raw)
+          catch { case _: java.time.format.DateTimeParseException =>
+            try java.time.LocalDateTime.parse(raw.replace(' ', 'T'))
+              .toInstant(java.time.ZoneOffset.UTC)
+            catch { case _: java.time.format.DateTimeParseException =>
+              throw new ValidationError(
+                s"startingTimestamp '$raw' is not an ISO-8601 instant or a " +
+                  "UTC date-time (e.g. 2024-03-01T00:00:00Z or 2024-03-01 00:00:00)")
+            }
+          }
+        Snapshots.latestManifestAtOrBefore(itemPath.parent, t).getOrElse(
+          throw new GraftError(
+            s"startingTimestamp $t: no manifest snapshot of the collection " +
+              "predates it (only manifest snapshots record a creation time — " +
+              "create manifest snapshots to enable timestamp-anchored streams)"))
+      })
+    if (Seq(Option(options.get("startingSnapshot")).map(_.trim).filter(_.nonEmpty),
+        fromTs, fromOffsets).count(_.isDefined) > 1)
       throw new ValidationError(
-        "options 'startingOffsets' and 'startingSnapshot' are mutually exclusive")
+        "options 'startingOffsets', 'startingSnapshot' and 'startingTimestamp' " +
+          "are mutually exclusive")
     fromSnap match {
       // Start at a manifest snapshot's cut: the initial offset IS the
       // snapshot's pinned generation map, so the stream's first batch

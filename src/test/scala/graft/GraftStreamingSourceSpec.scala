@@ -186,6 +186,61 @@ class GraftStreamingSourceSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("startingTimestamp anchors at the latest manifest <= t, the catalog's TIMESTAMP AS OF rule") {
+    val c = tempCollection("stream_from_ts")
+    c.write("item", frame("2024-01-01", 60), monthlyLayout = true) // jan feb
+    c.createSnapshot(Some("cut"), manifest = Some(true))
+    Thread.sleep(1100) // manifest stamps are second-granular
+    val afterCut = java.time.Instant.now()
+    c.append("item", frame("2024-03-01", 10)) // post-cut arrival
+    val item = c.path.resolve("item").toString
+    val work = java.nio.file.Files.createTempDirectory("stream_from_ts_out")
+    // a timestamp after the cut resolves to the cut's manifest: the
+    // stream serves exactly the post-cut delta, like startingSnapshot
+    drain(item, s"$work/sink", s"$work/ckpt",
+      Map("startingTimestamp" -> afterCut.toString))
+    assert(spark.read.parquet(s"$work/sink").count() == 10)
+    // the UTC date-time spelling parses too
+    val work2 = java.nio.file.Files.createTempDirectory("stream_from_ts2")
+    val local = java.time.LocalDateTime.ofInstant(afterCut, java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    drain(item, s"$work2/sink", s"$work2/ckpt", Map("startingTimestamp" -> local))
+    assert(spark.read.parquet(s"$work2/sink").count() == 10)
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+    // no manifest predates t: typed (never a silent whole-item replay)
+    val work3 = java.nio.file.Files.createTempDirectory("stream_from_ts3")
+    val e1 = intercept[Exception] {
+      val q = spark.readStream.format("graft")
+        .option("startingTimestamp", "2001-01-01T00:00:00Z")
+        .load(item).writeStream.format("parquet").option("path", s"$work3/sink")
+        .option("checkpointLocation", s"$work3/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(messages(e1).exists(_.contains("no manifest snapshot")), messages(e1).mkString(" | "))
+    // unparseable timestamp and mutually-exclusive options: typed
+    val e2 = intercept[Exception] {
+      val q = spark.readStream.format("graft").option("startingTimestamp", "not-a-time")
+        .load(item).writeStream.format("parquet").option("path", s"$work3/sink2")
+        .option("checkpointLocation", s"$work3/ckpt2")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(messages(e2).exists(_.contains("ISO-8601")), messages(e2).mkString(" | "))
+    val e3 = intercept[Exception] {
+      val q = spark.readStream.format("graft")
+        .option("startingTimestamp", afterCut.toString)
+        .option("startingSnapshot", "cut")
+        .load(item).writeStream.format("parquet").option("path", s"$work3/sink3")
+        .option("checkpointLocation", s"$work3/ckpt3")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(messages(e3).exists(_.contains("mutually exclusive")), messages(e3).mkString(" | "))
+    cleanup(c)
+  }
+
   test("cross-shape startingSnapshot (layout converted since the cut) serves the whole item") {
     val c = tempCollection("stream_xshape")
     c.write("item", frame("2024-01-01", 40)) // flat at the cut
