@@ -15,11 +15,13 @@ import org.apache.spark.sql.types._
   * is real. Image decode/resize are REAL (`decodeImage`,
   * `resizeImages` — `javax.imageio`) and WAV audio parse/PCM
   * extraction is REAL (`decodeAudio` — `javax.sound.sampled`), both
-  * JDK-shipped; compressed audio (mp3/ogg) and video have no JDK
-  * codec, so `decodeFeatures`/`samplePayload` keep the deterministic
-  * stand-in kernels behind the same (bytes → features / bytes →
-  * bytes) contract, marking where a JNI/ffmpeg or model-server call
-  * would run.
+  * JDK-shipped. For compressed media (mp3/ogg/mp4) the JDK has no
+  * codec, so the split is: container/frame METADATA (duration, rates,
+  * dimensions) is REAL byte-level parsing — [[MediaProbe]] — while
+  * PCM/pixel DECODE keeps the deterministic stand-in kernels
+  * (`decodeFeatures`/`samplePayload`) behind the same (bytes →
+  * features / bytes → bytes) contract, marking where a JNI/ffmpeg or
+  * model-server call would run.
   *
   * Scale notes: payloads ride in Parquet binary columns — Parquet
   * keeps them out of dictionary encoding and the vectorized reader

@@ -2132,6 +2132,40 @@ object PipelineQueries {
       |FROM documents
       |ORDER BY media_id""".stripMargin
 
+  /** REAL container/frame metadata probing of compressed media —
+    * mp3 frame-header walk, ISO BMFF box walk, Ogg page + granule
+    * arithmetic — over structurally valid fixtures whose parameters
+    * are closed-form functions of the id ([[MediaProbe.Fixtures]]).
+    * The oracle re-derives every probed value (duration from frame
+    * count × 1152/44100, mvhd milliseconds, granule/rate) in SQL with
+    * no decoder: a green hash proves the byte-level parsers read the
+    * published formats exactly. PCM/pixel DECODE of these formats
+    * stays a declared stand-in (no JDK codec) — the metadata half is
+    * real, which is what curation filters (duration/dimension gates)
+    * actually consume at scale. */
+  def multimodalProbe(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MediaProbe
+    val ids = Tables.t(s, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") < 300)
+    MediaProbe.probeMedia(MediaProbe.Fixtures.table(ids))
+      .orderBy(col("media_id"))
+  }
+
+  val multimodalProbeSql: String =
+    """SELECT doc_id AS media_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'mp3' WHEN 1 THEN 'mp4' ELSE 'ogg' END AS format,
+      |  CASE doc_id % 3
+      |    WHEN 0 THEN ((20 + doc_id % 50) * 1152 * 1000) // 44100
+      |    WHEN 1 THEN 1000 + doc_id
+      |    ELSE ((44100 + doc_id * 441) * 1000) // 44100
+      |  END AS duration_ms,
+      |  CASE WHEN doc_id % 3 = 1 THEN NULL ELSE 44100 END AS sample_rate,
+      |  CASE WHEN doc_id % 3 = 0 THEN 128000 END AS bit_rate,
+      |  CASE WHEN doc_id % 3 = 1 THEN 160 + (doc_id % 16) * 8 END AS width,
+      |  CASE WHEN doc_id % 3 = 1 THEN 90 + (doc_id % 9) * 8 END AS height
+      |FROM documents WHERE doc_id < 300
+      |ORDER BY media_id""".stripMargin
+
   /** Decode + feature extraction via the mapPartitions batch kernel.
     * The deterministic stand-in codec (byte-histogram moments) is pure
     * arithmetic over the payload bytes, so the oracle replicates it in
@@ -2596,6 +2630,7 @@ object PipelineQueries {
     "text_fingerprint" -> textFingerprint _,
     "text_rolling_fingerprint" -> textRollingFingerprint _,
     "multimodal_meta" -> multimodalMeta _,
+    "multimodal_probe" -> multimodalProbe _,
     "multimodal_decode" -> multimodalDecode _,
     "multimodal_image_decode" -> multimodalImageDecode _,
     "multimodal_audio_decode" -> multimodalAudioDecode _,
@@ -2661,6 +2696,7 @@ object PipelineQueries {
     "text_fingerprint" -> textFingerprintSql,
     "text_rolling_fingerprint" -> textRollingFingerprintSql,
     "multimodal_meta" -> multimodalMetaSql,
+    "multimodal_probe" -> multimodalProbeSql,
     "multimodal_decode" -> multimodalDecodeSql,
     "multimodal_image_decode" -> multimodalImageDecodeSql,
     "multimodal_audio_decode" -> multimodalAudioDecodeSql,

@@ -1,0 +1,94 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import graft.operators.MediaProbe
+
+/** Container/frame metadata probing over REAL bytes: every fixture is
+  * a structurally valid file built to its published spec (MPEG audio
+  * frame headers, ISO BMFF boxes, RFC 3533 Ogg pages, RIFF chunks,
+  * ImageIO-written PNG/JPEG), and every expected value is arithmetic
+  * over the construction parameters — the parser must agree exactly. */
+class MediaProbeSpec extends SparkSpec {
+
+  // ----------------------------------------------- fixtures (shared)
+
+  // The structural builders live in main (MediaProbe.Fixtures) so the
+  // oracle query can construct the same payloads; these are aliases.
+  private def mp3(frames: Int, id3Prefix: Boolean = false): Array[Byte] =
+    MediaProbe.Fixtures.mp3(frames, id3Prefix)
+  private def mp4(durationMs: Long, w: Int, h: Int): Array[Byte] =
+    MediaProbe.Fixtures.mp4(durationMs, w, h)
+  private def oggVorbis(samples: Long): Array[Byte] =
+    MediaProbe.Fixtures.oggVorbis(samples)
+  private def wav(dataBytes: Int): Array[Byte] =
+    MediaProbe.Fixtures.wav(dataBytes)
+
+  private def image(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, out)
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------- tests
+
+  test("mp3: exact frame walk — duration, rate, bitrate; ID3v2 skip; ID3v1 stop") {
+    val n = 38
+    val p = MediaProbe.probe(mp3(n))
+    assert(p.format == "mp3")
+    assert(p.durationMs.contains(n.toLong * 1152 * 1000 / 44100)) // 992 ms
+    assert(p.sampleRate.contains(44100))
+    assert(p.bitRate.contains(128000))
+    // an ID3v2 prefix moves the first sync; the walk must skip it whole
+    assert(MediaProbe.probe(mp3(n, id3Prefix = true)) == p)
+  }
+
+  test("mp4: box walk reads mvhd duration and tkhd 16.16 dimensions, skips mdat") {
+    val p = MediaProbe.probe(mp4(5432L, 640, 360))
+    assert(p == MediaProbe.Probe("mp4", durationMs = Some(5432L),
+      width = Some(640), height = Some(360)))
+  }
+
+  test("ogg: vorbis id header rate + terminal granule position = duration") {
+    val p = MediaProbe.probe(oggVorbis(44100L * 3)) // exactly 3 s
+    assert(p == MediaProbe.Probe("ogg", durationMs = Some(3000L),
+      sampleRate = Some(44100)))
+  }
+
+  test("wav/png/jpeg: RIFF chunks, IHDR, SOF marker") {
+    assert(MediaProbe.probe(wav(32000)) == MediaProbe.Probe("wav",
+      durationMs = Some(2000L), sampleRate = Some(8000)))
+    val png = MediaProbe.probe(image("png", 20, 10))
+    assert(png == MediaProbe.Probe("png", width = Some(20), height = Some(10)))
+    val jpg = MediaProbe.probe(image("jpg", 31, 17))
+    assert(jpg == MediaProbe.Probe("jpeg", width = Some(31), height = Some(17)))
+  }
+
+  test("corrupt and truncated payloads never throw; unknown magic reports unknown") {
+    assert(MediaProbe.probe(Array.fill[Byte](64)(0x5a)).format == "unknown")
+    assert(MediaProbe.probe(new Array[Byte](3)).format == "unknown")
+    assert(MediaProbe.probe(null).format == "unknown")
+    // every valid fixture, truncated at every prefix length: no throw
+    for (fix <- Seq(mp3(3), mp4(100L, 8, 8), oggVorbis(1000), wav(64));
+         cut <- 0 to math.min(fix.length, 96))
+      MediaProbe.probe(fix.take(cut))
+  }
+
+  test("probeMedia: one mapPartitions pass, skinny typed rows") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, mp3(10)), (2L, mp4(1234L, 320, 240)), (3L, oggVorbis(22050)),
+      (4L, wav(8000)), (5L, Array.fill[Byte](16)(0x01))
+    ).toDF("media_id", "payload")
+    val probed = MediaProbe.probeMedia(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(probed(1L).getString(1) == "mp3")
+    assert(probed(1L).getLong(2) == 10L * 1152 * 1000 / 44100)
+    assert(probed(2L).getString(1) == "mp4" && probed(2L).getLong(2) == 1234L)
+    assert(probed(2L).getInt(5) == 320 && probed(2L).getInt(6) == 240)
+    assert(probed(3L).getString(1) == "ogg" && probed(3L).getLong(2) == 500L)
+    assert(probed(4L).getString(1) == "wav" && probed(4L).getLong(2) == 500L)
+    assert(probed(5L).getString(1) == "unknown" && probed(5L).isNullAt(2))
+  }
+}

@@ -103,6 +103,42 @@ class TransactionAsyncSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("rollbackTo races cleanly with concurrent appends: commit-lock serialization, no corruption") {
+    import org.apache.spark.sql.functions._
+    import scala.concurrent.{ExecutionContext, Future}
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val c = tempCollection("rb_concurrent")
+    c.write("x", sampleData.limit(20))
+    val before = c.item("x").data.orderBy("index").collect().toSeq
+    c.createSnapshot(Some("sp"), manifest = Some(true))
+    // five atomic appends of fresh index ranges racing a mid-stream
+    // rollback. graft is single-writer by contract (a racing append may
+    // fail when the restore renames the files out from under its plan —
+    // that is the documented model, same as deleteItem vs append); what
+    // the engine MUST guarantee under the race is atomicity: no append
+    // half-lands, the item stays readable, and the savepoint restores
+    // byte-exact afterwards.
+    val appends = Future {
+      (1 to 5).map { i =>
+        scala.util.Try(c.append("x", sampleData.limit(5)
+          .withColumn("index",
+            col("index") + expr(s"INTERVAL ${100 * i} DAYS"))))
+      }
+    }
+    c.rollbackTo("sp") // fires somewhere between/around the appends
+    Await.result(appends, 120.seconds)
+    // every append either landed whole (+5 rows) or failed whole; the
+    // mid-stream rollback erased the ones that landed BEFORE it, so the
+    // surviving count is 20 + 5k — any non-multiple is a torn append
+    val n = c.item("x").data.count()
+    assert(n >= 20 && n <= 45 && (n - 20) % 5 == 0,
+      s"torn append state: $n rows")
+    val last = c.rollbackTo("sp")
+    assert(last("x") == "restored" || last("x") == "unchanged")
+    assert(c.item("x").data.orderBy("index").collect().toSeq == before)
+    cleanup(c)
+  }
+
   test("rollback before commit applies nothing") {
     val c = tempCollection("txn_abort")
     val txn = new Transaction(c)
