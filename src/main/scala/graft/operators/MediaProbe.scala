@@ -72,7 +72,104 @@ object MediaProbe {
     else if (ascii(bytes, 0, 4) == "RIFF" && ascii(bytes, 8, 4) == "WAVE") probeWav(bytes)
     else if (u8(bytes, 0) == 0x89 && ascii(bytes, 1, 3) == "PNG") probePng(bytes)
     else if (u8(bytes, 0) == 0xff && u8(bytes, 1) == 0xd8) probeJpeg(bytes)
+    else if (be32(bytes, 0) == 0x1a45dfa3L) probeEbml(bytes)
     else Probe("unknown")
+  }
+
+  // ------------------------------------------------------------ webm/mkv
+
+  // RFC 8794 EBML + the Matroska/WebM element registry: element ids
+  // and the sizes/containers the probe walks.
+  private val EbmlHeader = 0x1a45dfa3L
+  private val DocTypeId = 0x4282L
+  private val SegmentId = 0x18538067L
+  private val InfoId = 0x1549a966L
+  private val TimecodeScaleId = 0x2ad7b1L
+  private val DurationId = 0x4489L
+  private val TracksId = 0x1654ae6bL
+  private val TrackEntryId = 0xaeL
+  private val VideoId = 0xe0L
+  private val PixelWidthId = 0xb0L
+  private val PixelHeightId = 0xbaL
+
+  /** EBML variable-length integer at `i`: (value, byteLength). For
+    * element IDs the marker bit stays in the value (ids are compared
+    * with it, per the registry); for SIZEs `stripMarker` clears it.
+    * Returns (-1, 0) on truncation; an all-ones size VINT means
+    * "unknown size" (streamed Segment) → caller treats as to-EOF. */
+  private def vint(b: Array[Byte], i: Int, stripMarker: Boolean): (Long, Int) = {
+    if (i >= b.length) return (-1L, 0)
+    val first = u8(b, i)
+    if (first == 0) return (-1L, 0)
+    val len = Integer.numberOfLeadingZeros(first) - 24 + 1 // 1..8
+    if (i + len > b.length) return (-1L, 0)
+    var v = if (stripMarker) (first & (0xff >>> len)).toLong else first.toLong
+    var allOnes = stripMarker && (first & (0xff >>> len)) == (0xff >>> len)
+    (1 until len).foreach { k =>
+      v = (v << 8) | u8(b, i + k)
+      allOnes &&= u8(b, i + k) == 0xff
+    }
+    (if (allOnes) Long.MaxValue else v, len)
+  }
+
+  private def ebmlUint(b: Array[Byte], i: Int, n: Int): Long = {
+    var v = 0L
+    (0 until n).foreach(k => v = (v << 8) | u8(b, i + k))
+    v
+  }
+
+  /** WebM/Matroska: Segment→Info gives TimecodeScale (default 10⁶ ns)
+    * and Duration (float ticks); Segment→Tracks→TrackEntry→Video gives
+    * pixel dimensions. Cluster (media) elements are skipped by their
+    * declared size — a probe of a multi-GB webm touches header bytes
+    * only. DocType decides webm vs mkv. */
+  private def probeEbml(b: Array[Byte]): Probe = {
+    var docType = "mkv"
+    var scaleNs = 1000000L
+    var durationTicks: Option[Double] = None
+    var width: Option[Int] = None
+    var height: Option[Int] = None
+
+    def walk(from: Long, to: Long, depth: Int): Unit = {
+      var i = from
+      while (i < to && depth < 8) {
+        val (id, idLen) = vint(b, i.toInt, stripMarker = false)
+        if (idLen == 0) return
+        val (size, szLen) = vint(b, i.toInt + idLen, stripMarker = true)
+        if (szLen == 0) return
+        val body = i + idLen + szLen
+        val end = if (size == Long.MaxValue) to else math.min(to, body + size)
+        if (body > to) return
+        id match {
+          case EbmlHeader | SegmentId | InfoId | TracksId | TrackEntryId | VideoId =>
+            walk(body, end, depth + 1)
+          case DocTypeId =>
+            val s = ascii(b, body.toInt, (end - body).toInt)
+            if (s == "webm") docType = "webm"
+          case TimecodeScaleId =>
+            scaleNs = ebmlUint(b, body.toInt, (end - body).toInt)
+          case DurationId =>
+            val n = (end - body).toInt
+            if (n == 4)
+              durationTicks = Some(java.lang.Float.intBitsToFloat(
+                be32(b, body.toInt).toInt).toDouble)
+            else if (n == 8)
+              durationTicks = Some(java.lang.Double.longBitsToDouble(be64(b, body.toInt)))
+          case PixelWidthId if width.isEmpty =>
+            width = Some(ebmlUint(b, body.toInt, (end - body).toInt).toInt)
+          case PixelHeightId if height.isEmpty =>
+            height = Some(ebmlUint(b, body.toInt, (end - body).toInt).toInt)
+          case _ => // Cluster/Cues/...: skip by declared size
+        }
+        if (size == Long.MaxValue) return // unknown-size non-container: stop
+        i = body + size
+      }
+    }
+    walk(0, b.length.toLong, 0)
+    Probe(docType,
+      durationMs =
+        durationTicks.filter(_ >= 0).map(t => (t * scaleNs / 1e6).toLong),
+      width = width, height = height)
   }
 
   // ------------------------------------------------------------ mp3
@@ -362,12 +459,49 @@ object MediaProbe {
       b.array()
     }
 
-    /** One fixture per id, format round-robin by `id % 3` with
+    private def ebmlId(id: Long): Array[Byte] = {
+      val len = (64 - java.lang.Long.numberOfLeadingZeros(id) + 7) / 8
+      (0 until len).map(k => ((id >> (8 * (len - 1 - k))) & 0xff).toByte).toArray
+    }
+
+    private def ebmlSize(n: Int): Array[Byte] =
+      if (n < 0x7f) Array((0x80 | n).toByte)
+      else Array((0x40 | (n >> 8)).toByte, (n & 0xff).toByte)
+
+    private def ebmlEl(id: Long, body: Array[Byte]): Array[Byte] =
+      ebmlId(id) ++ ebmlSize(body.length) ++ body
+
+    private def ebmlUintBytes(v: Long): Array[Byte] = {
+      val len = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8)
+      (0 until len).map(k => ((v >> (8 * (len - 1 - k))) & 0xff).toByte).toArray
+    }
+
+    /** Minimal WebM: EBML header (DocType "webm") + Segment with
+      * Info(TimecodeScale 10⁶ ns, Duration float64 = milliseconds) and
+      * Tracks(TrackEntry(Video(PixelWidth, PixelHeight))) + a dummy
+      * Cluster the probe must skip by size. */
+    def webm(durationMs: Long, w: Int, h: Int): Array[Byte] = {
+      val header = ebmlEl(0x1a45dfa3L,
+        ebmlEl(0x4282L, "webm".getBytes(StandardCharsets.US_ASCII)))
+      val dur = java.nio.ByteBuffer.allocate(8)
+        .putDouble(durationMs.toDouble).array()
+      val info = ebmlEl(0x1549a966L,
+        ebmlEl(0x2ad7b1L, ebmlUintBytes(1000000L)) ++ ebmlEl(0x4489L, dur))
+      val video = ebmlEl(0xe0L,
+        ebmlEl(0xb0L, ebmlUintBytes(w)) ++ ebmlEl(0xbaL, ebmlUintBytes(h)))
+      val tracks = ebmlEl(0x1654ae6bL, ebmlEl(0xaeL, video))
+      val cluster = ebmlEl(0x1f43b675L, new Array[Byte](24))
+      header ++ ebmlEl(0x18538067L, info ++ tracks ++ cluster)
+    }
+
+    /** One fixture per id, format round-robin by `id % 4` with
       * id-derived parameters (the oracle re-derives these in SQL):
-      *  - id % 3 == 0 → mp3, frames = 20 + id % 50
-      *  - id % 3 == 1 → mp4, duration 1000 + id ms, dims
+      *  - id % 4 == 0 → mp3, frames = 20 + id % 50
+      *  - id % 4 == 1 → mp4, duration 1000 + id ms, dims
       *    (160 + (id%16)*8) × (90 + (id%9)*8)
-      *  - id % 3 == 2 → ogg, samples = 44100 + id * 441 */
+      *  - id % 4 == 2 → ogg, samples = 44100 + id * 441
+      *  - id % 4 == 3 → webm, duration 2000 + id ms, dims
+      *    (320 + (id%8)*16) × (180 + (id%6)*16) */
     def table(ids: DataFrame): DataFrame = {
       val input = ids.toDF("media_id").select(col("media_id").cast(LongType))
       val enc = RowEncoder.encoderFor(StructType(Seq(
@@ -376,11 +510,13 @@ object MediaProbe {
       input.mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
-          val payload = (id % 3) match {
+          val payload = (id % 4) match {
             case 0 => mp3((20 + id % 50).toInt)
             case 1 => mp4(1000L + id,
               (160 + (id % 16) * 8).toInt, (90 + (id % 9) * 8).toInt)
-            case _ => oggVorbis(44100L + id * 441L)
+            case 2 => oggVorbis(44100L + id * 441L)
+            case _ => webm(2000L + id,
+              (320 + (id % 8) * 16).toInt, (180 + (id % 6) * 16).toInt)
           }
           Row(id, payload)
         }

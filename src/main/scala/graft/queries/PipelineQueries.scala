@@ -2134,7 +2134,8 @@ object PipelineQueries {
 
   /** REAL container/frame metadata probing of compressed media —
     * mp3 frame-header walk, ISO BMFF box walk, Ogg page + granule
-    * arithmetic — over structurally valid fixtures whose parameters
+    * arithmetic, WebM EBML element walk — over structurally valid
+    * fixtures whose parameters
     * are closed-form functions of the id ([[MediaProbe.Fixtures]]).
     * The oracle re-derives every probed value (duration from frame
     * count × 1152/44100, mvhd milliseconds, granule/rate) in SQL with
@@ -2153,16 +2154,20 @@ object PipelineQueries {
 
   val multimodalProbeSql: String =
     """SELECT doc_id AS media_id,
-      |  CASE doc_id % 3 WHEN 0 THEN 'mp3' WHEN 1 THEN 'mp4' ELSE 'ogg' END AS format,
-      |  CASE doc_id % 3
+      |  CASE doc_id % 4 WHEN 0 THEN 'mp3' WHEN 1 THEN 'mp4'
+      |    WHEN 2 THEN 'ogg' ELSE 'webm' END AS format,
+      |  CASE doc_id % 4
       |    WHEN 0 THEN ((20 + doc_id % 50) * 1152 * 1000) // 44100
       |    WHEN 1 THEN 1000 + doc_id
-      |    ELSE ((44100 + doc_id * 441) * 1000) // 44100
+      |    WHEN 2 THEN ((44100 + doc_id * 441) * 1000) // 44100
+      |    ELSE 2000 + doc_id
       |  END AS duration_ms,
-      |  CASE WHEN doc_id % 3 = 1 THEN NULL ELSE 44100 END AS sample_rate,
-      |  CASE WHEN doc_id % 3 = 0 THEN 128000 END AS bit_rate,
-      |  CASE WHEN doc_id % 3 = 1 THEN 160 + (doc_id % 16) * 8 END AS width,
-      |  CASE WHEN doc_id % 3 = 1 THEN 90 + (doc_id % 9) * 8 END AS height
+      |  CASE WHEN doc_id % 4 IN (0, 2) THEN 44100 END AS sample_rate,
+      |  CASE WHEN doc_id % 4 = 0 THEN 128000 END AS bit_rate,
+      |  CASE doc_id % 4 WHEN 1 THEN 160 + (doc_id % 16) * 8
+      |    WHEN 3 THEN 320 + (doc_id % 8) * 16 END AS width,
+      |  CASE doc_id % 4 WHEN 1 THEN 90 + (doc_id % 9) * 8
+      |    WHEN 3 THEN 180 + (doc_id % 6) * 16 END AS height
       |FROM documents WHERE doc_id < 300
       |ORDER BY media_id""".stripMargin
 

@@ -56,6 +56,15 @@ class MediaProbeSpec extends SparkSpec {
       sampleRate = Some(44100)))
   }
 
+  test("webm: EBML walk reads Info duration x timecode scale and Video pixel dims") {
+    val p = MediaProbe.probe(MediaProbe.Fixtures.webm(7321L, 1280, 720))
+    assert(p == MediaProbe.Probe("webm", durationMs = Some(7321L),
+      width = Some(1280), height = Some(720)))
+    // truncation at every prefix: no throw
+    val fix = MediaProbe.Fixtures.webm(500L, 64, 48)
+    for (cut <- 0 to fix.length) MediaProbe.probe(fix.take(cut))
+  }
+
   test("wav/png/jpeg: RIFF chunks, IHDR, SOF marker") {
     assert(MediaProbe.probe(wav(32000)) == MediaProbe.Probe("wav",
       durationMs = Some(2000L), sampleRate = Some(8000)))
