@@ -1400,6 +1400,61 @@ object StoreQueries {
       |GROUP BY 1, 2
       |ORDER BY arm, month""".stripMargin
 
+  /** Metadata tables (`item$periods` / `item$stats` / `item$snapshots`)
+    * — sidecar state served as SQL rows with zero data files listed or
+    * read. The oracle re-derives everything from lineitem: the period
+    * set is the distinct ship months, the pruning bounds are per-month
+    * min/max of the declared stats column (recorded as Double bounds by
+    * the partial-commit paths — byte-exact vs DuckDB's min/max), and
+    * the snapshot arm pins name+kind. Generations are nanotime-based so
+    * the query exposes period NAMES, not generation values. */
+  def sqlMetadataTables(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "sql_meta_tables")
+    val li = Tables.t(s, dir, "lineitem")
+      .select($"l_shipdate", $"l_quantity")
+      .filter($"l_shipdate" >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        $"l_shipdate" < lit(java.sql.Timestamp.valueOf("1997-06-01 00:00:00")))
+    col.write("li", li, indexCols = Seq("l_shipdate"),
+      timeLayout = Some("monthly"), statsColumns = Seq("l_quantity"))
+    col.createSnapshot(Some("cut"), manifest = Some(true))
+    s.conf.set("spark.sql.catalog.gmt", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gmt.root", col.path.parent.toString)
+    val periods = s.sql(
+      """SELECT 'periods' AS arm, period AS key,
+        |  CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi
+        |FROM gmt.col.`li$periods`""".stripMargin)
+    val stats = s.sql(
+      """SELECT 'stats' AS arm, period AS key,
+        |  round(CAST(min_value AS DOUBLE), 2) AS lo,
+        |  round(CAST(max_value AS DOUBLE), 2) AS hi
+        |FROM gmt.col.`li$stats` WHERE column = 'l_quantity'""".stripMargin)
+    val snaps = s.sql(
+      """SELECT 'snapshots' AS arm, concat(snapshot, ':', kind) AS key,
+        |  CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi
+        |FROM gmt.col.`li$snapshots`""".stripMargin)
+    periods.unionByName(stats).unionByName(snaps).orderBy("arm", "key")
+  }
+
+  val sqlMetadataTablesSql: String =
+    """WITH base AS (
+      |  SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS period,
+      |    l_quantity
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-06-01')
+      |SELECT 'periods' AS arm, period AS key,
+      |  CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi
+      |FROM (SELECT DISTINCT period FROM base)
+      |UNION ALL
+      |SELECT 'stats' AS arm, period AS key,
+      |  round(CAST(min(l_quantity) AS DOUBLE), 2) AS lo,
+      |  round(CAST(max(l_quantity) AS DOUBLE), 2) AS hi
+      |FROM base GROUP BY period
+      |UNION ALL
+      |SELECT 'snapshots' AS arm, 'cut:manifest' AS key,
+      |  CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi
+      |ORDER BY arm, key""".stripMargin
+
   val catalogVersionedSql: String =
     """WITH pinned AS (
       |  SELECT l_shipdate, l_quantity FROM lineitem
@@ -1838,6 +1893,7 @@ object StoreQueries {
     "store_catalog_versioned" -> catalogVersioned _,
     "store_sql_maintenance" -> sqlMaintenance _,
     "store_sql_rollback" -> sqlRollback _,
+    "store_sql_metadata_tables" -> sqlMetadataTables _,
     "store_sql_changes" -> sqlChanges _,
     "store_sql_alter" -> sqlAlter _,
     "store_write_batch" -> writeBatchSummary _,
@@ -1883,6 +1939,7 @@ object StoreQueries {
     "store_catalog_versioned" -> catalogVersionedSql,
     "store_sql_maintenance" -> sqlMaintenanceSql,
     "store_sql_rollback" -> sqlRollbackSql,
+    "store_sql_metadata_tables" -> sqlMetadataTablesSql,
     "store_sql_changes" -> sqlChangesSql,
     "store_sql_alter" -> sqlAlterSql,
     "store_write_batch" -> writeBatchSummarySql,

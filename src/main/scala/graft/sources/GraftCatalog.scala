@@ -142,6 +142,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def load(ident: Identifier, snapshot: Option[String]): Table = {
     if (ident.namespace.length != 1) throw new NoSuchTableException(ident)
+    // `item$periods` / `item$stats` / `item$snapshots` — sidecar-backed
+    // metadata tables (zero data listed or read); see GraftMetadataTables
+    GraftMetadataTables.parse(ident.name) match {
+      case Some((itemName, kind)) =>
+        if (snapshot.isDefined)
+          throw new GraftError(
+            "metadata tables reflect LIVE state and do not support time travel " +
+              s"(query the live table: SELECT * FROM ...`$itemName$$$kind`)")
+        return GraftMetadataTables.load(collectionDir(ident.namespace.head), itemName, kind)
+      case None =>
+    }
     val item = itemDir(ident)
     // snapshot reads resolve even when the live item is gone (a manifest
     // outlives deletion until its pins are GC'd), so gate existence on

@@ -1,0 +1,167 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.store.{Collection, GraftError, GraftStore, Item, Meta, SPath, Snapshots}
+
+/** Metadata tables — `SELECT * FROM cat.coll.item$<kind>` — the
+  * lakehouse-convention introspection surface (Iceberg's
+  * `table$snapshots`, Delta's DESCRIBE DETAIL): item state as queryable
+  * SQL rows, computed ENTIRELY from sidecar/manifest metadata. No data
+  * file is listed or read at any item size — a `$periods` query on a
+  * 100 TB item is one small JSON read.
+  *
+  *  - `item$periods`   — (period, generation): the live period →
+  *    generation map that drives CDC, streaming offsets and time
+  *    travel; flat items report the whole item under the reserved
+  *    `__item` key (the CDC convention).
+  *  - `item$stats`     — (period, column, min_value, max_value): the
+  *    per-period pruning stats the partial-commit paths maintain —
+  *    the zero-data answer to "which months would this predicate
+  *    scan?". Bounds are rendered as strings (numeric/temporal stats
+  *    record doubles, string stats record lexicographic bounds).
+  *  - `item$snapshots` — (snapshot, kind, created_at): collection
+  *    snapshots visible from this item; manifest snapshots carry their
+  *    UTC creation stamp (the `TIMESTAMP AS OF` anchor), dir snapshots
+  *    a null stamp.
+  *  - `item$detail`    — one-row summary (layout, index, period count,
+  *    generation, last-update stamp): the `DESCRIBE DETAIL` convention.
+  *
+  * Reference: pystore exposes metadata only as Python dicts
+  * (collection.py:116-147); this is beyond-parity surface following
+  * the modern table-format convention.
+  */
+private[sources] object GraftMetadataTables {
+
+  val Kinds: Set[String] = Set("periods", "stats", "snapshots", "detail")
+
+  /** Split `name$kind`; None when the name has no metadata suffix. */
+  def parse(name: String): Option[(String, String)] = {
+    val i = name.lastIndexOf('$')
+    if (i <= 0 || i == name.length - 1) None
+    else {
+      val kind = name.substring(i + 1).toLowerCase
+      if (Kinds.contains(kind)) Some((name.substring(0, i), kind)) else None
+    }
+  }
+
+  private def str(s: String): UTF8String = UTF8String.fromString(s)
+
+  def load(collectionPath: SPath, itemName: String, kind: String): Table = {
+    val itemPath = collectionPath.resolve(itemName)
+    def requireItem(): Map[String, org.json4s.JsonAST.JValue] = {
+      if (!itemPath.resolve(Item.DataDir).isDir)
+        throw new GraftError(
+          s"metadata table: item '$itemName' does not exist in " +
+            s"collection '${collectionPath.name}'")
+      Meta.read(itemPath)
+    }
+    kind match {
+      case "periods" =>
+        val meta = requireItem()
+        val pg = Snapshots.periodGensOf(meta)
+        val rows =
+          if (pg.nonEmpty)
+            pg.toSeq.sortBy(_._1).map { case (p, g) =>
+              new GenericInternalRow(Array[Any](str(p), g))
+            }
+          else Seq(new GenericInternalRow(
+            Array[Any](str(Snapshots.WholeItemKey), Snapshots.generationOf(meta))))
+        new MetaTable(s"$itemName$$periods", StructType(Seq(
+          StructField("period", StringType, nullable = false),
+          StructField("generation", LongType, nullable = false))), rows)
+
+      case "stats" =>
+        val meta = requireItem()
+        val rows = Collection.periodStatsOf(meta).toSeq.sortBy(_._1).flatMap {
+          case (period, cols) => cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+            new GenericInternalRow(Array[Any](
+              str(period), str(c), str(String.valueOf(mn)), str(String.valueOf(mx))))
+          }
+        }
+        new MetaTable(s"$itemName$$stats", StructType(Seq(
+          StructField("period", StringType, nullable = false),
+          StructField("column", StringType, nullable = false),
+          StructField("min_value", StringType, nullable = false),
+          StructField("max_value", StringType, nullable = false))), rows)
+
+      case "snapshots" =>
+        requireItem() // anchor the listing to a real item, typed otherwise
+        val dirSnaps = collectionPath.resolve(GraftStore.SnapshotsDir).listDirs
+          .filterNot(_.startsWith(".")).filterNot(_.startsWith("__"))
+        val manifests = Snapshots.listManifests(collectionPath)
+          .filterNot(_.startsWith("__"))
+        val rows =
+          (manifests.map { s =>
+            val created = Snapshots.manifestCreatedAt(collectionPath, s)
+              .map(i => Long.box(i.getEpochSecond * 1000000L + i.getNano / 1000))
+              .orNull
+            new GenericInternalRow(Array[Any](str(s), str("manifest"), created))
+          } ++ dirSnaps.filterNot(manifests.contains).map { s =>
+            new GenericInternalRow(Array[Any](str(s), str("dir"), null))
+          }).sortBy(_.getUTF8String(0).toString)
+        new MetaTable(s"$itemName$$snapshots", StructType(Seq(
+          StructField("snapshot", StringType, nullable = false),
+          StructField("kind", StringType, nullable = false),
+          StructField("created_at", TimestampType, nullable = true))), rows)
+
+      case "detail" =>
+        // DESCRIBE DETAIL-style one-row summary (Delta convention)
+        val meta = requireItem()
+        val layout = meta.get("_layout").map(j => Meta.unjv(j).toString)
+          .filter(Collection.TimeLayouts.contains)
+        val index = meta.get("index_names").map(j => Meta.unjv(j) match {
+          case s: Seq[_] => s.mkString(",")
+          case v => String.valueOf(v)
+        }).getOrElse(Collection.DefaultIndex)
+        val pg = Snapshots.periodGensOf(meta)
+        val updated = meta.get("_updated").map(j => Meta.unjv(j).toString).orNull
+        val row = new GenericInternalRow(Array[Any](
+          str(itemName),
+          str(layout.getOrElse("flat")),
+          str(index),
+          if (pg.nonEmpty) pg.size.toLong else 1L,
+          Snapshots.generationOf(meta),
+          if (updated == null) null else str(updated)))
+        new MetaTable(s"$itemName$$detail", StructType(Seq(
+          StructField("item", StringType, nullable = false),
+          StructField("layout", StringType, nullable = false),
+          StructField("index", StringType, nullable = false),
+          StructField("num_periods", LongType, nullable = false),
+          StructField("generation", LongType, nullable = false),
+          StructField("updated_at", StringType, nullable = true))), Seq(row))
+
+      case other => throw new GraftError(
+        s"unknown metadata table '$$$other' (supported: ${Kinds.toSeq.sorted.mkString(", ")})")
+    }
+  }
+
+  /** Read-only driver-side table: the rows were computed from sidecar
+    * metadata at load time; LocalScan keeps Spark from planning any
+    * distributed work for them. */
+  private final class MetaTable(tableName: String, tableSchema: StructType,
+                                metaRows: Seq[InternalRow])
+      extends Table with SupportsRead {
+    private val materialized: Array[InternalRow] = metaRows.toArray
+    override def name(): String = tableName
+    override def schema(): StructType = tableSchema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder {
+        override def build(): Scan = new LocalScan {
+          override def rows(): Array[InternalRow] = materialized
+          override def readSchema(): StructType = tableSchema
+          override def description(): String = s"GraftMetadata($tableName)"
+        }
+      }
+  }
+}

@@ -282,6 +282,65 @@ class GraftSqlSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("metadata tables: $periods / $stats / $snapshots serve sidecar state as SQL rows") {
+    val c = tempCollection("sql_meta_tables")
+    c.write("m", frame("2024-01-01", 60), monthlyLayout = true,
+      statsColumns = Seq("value"))
+    c.write("f", frame("2024-01-01", 10))
+    c.createSnapshot(Some("cut"), manifest = Some(true))
+    c.createSnapshot(Some("frozen"), manifest = Some(false))
+    withCatalog(c, "meta") { cat =>
+      // $periods: the live period -> generation map; flat items use the
+      // reserved whole-item key (the CDC convention)
+      val periods = spark.sql(s"SELECT * FROM $cat.c.`m$$periods` ORDER BY period")
+      assert(periods.columns.toSeq == Seq("period", "generation"))
+      assert(periods.collect().map(_.getString(0)).toSeq == Seq("2024-01", "2024-02"))
+      assert(spark.sql(s"SELECT period FROM $cat.c.`f$$periods`")
+        .collect().map(_.getString(0)).toSeq == Seq("__item"))
+      // generations in $periods match what CDC/streaming use: append a
+      // period, only its generation is new
+      val gensBefore = periods.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      c.append("m", frame("2024-03-01", 5))
+      val gensAfter = spark.sql(s"SELECT * FROM $cat.c.`m$$periods`")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(gensAfter.keySet == Set("2024-01", "2024-02", "2024-03"))
+      assert(gensAfter("2024-01") == gensBefore("2024-01"))
+      // $stats: per-period pruning bounds of the declared stats column
+      val stats = spark.sql(
+        s"SELECT * FROM $cat.c.`m$$stats` WHERE column = 'value' ORDER BY period")
+      assert(stats.columns.toSeq == Seq("period", "column", "min_value", "max_value"))
+      val statRows = stats.collect()
+      assert(statRows.map(_.getString(0)).toSeq ==
+        Seq("2024-01", "2024-02", "2024-03"))
+      assert(statRows.forall(r => r.getString(2).toDouble <= r.getString(3).toDouble))
+      // $snapshots: manifest snapshots carry their creation stamp, dir
+      // snapshots a null one
+      val snaps = spark.sql(s"SELECT * FROM $cat.c.`m$$snapshots` ORDER BY snapshot")
+        .collect().map(r => (r.getString(0), r.getString(1), r.isNullAt(2)))
+      assert(snaps.toSeq == Seq(("cut", "manifest", false), ("frozen", "dir", true)))
+      // $detail: the one-row DESCRIBE DETAIL summary
+      val detail = spark.sql(s"SELECT * FROM $cat.c.`m$$detail`").collect()
+      assert(detail.length == 1)
+      val d = detail(0)
+      assert(d.getString(0) == "m" && d.getString(1) == "monthly")
+      assert(d.getString(2) == "index" && d.getLong(3) == 3L)
+      assert(spark.sql(s"SELECT layout, num_periods FROM $cat.c.`f$$detail`")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("flat", 1L)))
+      // typed edges: unknown item, time travel, writes
+      val e1 = intercept[Exception](
+        spark.sql(s"SELECT * FROM $cat.c.`nope$$periods`").collect())
+      assert(e1.getMessage.contains("does not exist"))
+      val e2 = intercept[Exception](spark.sql(
+        s"SELECT * FROM $cat.c.`m$$periods` VERSION AS OF 'cut'").collect())
+      assert(e2.getMessage.contains("time travel"))
+      val e3 = intercept[Exception](spark.sql(
+        s"INSERT INTO $cat.c.`m$$periods` VALUES ('x', 1)").collect())
+      assert(e3 != null) // read-only: no write capability
+    }
+    cleanup(c)
+  }
+
   test("catalog is read-only: DDL/DML refuse with the typed message") {
     val c = tempCollection("cat_ro")
     c.write("item", frame("2024-01-01", 5))
