@@ -1436,6 +1436,61 @@ object StoreQueries {
     periods.unionByName(stats).unionByName(snaps).orderBy("arm", "key")
   }
 
+  /** Post-hoc stats declaration (`CALL system.analyze`): an item born
+    * WITHOUT stats columns serves a non-index predicate by scanning
+    * every period root; one `analyze` call backfills per-period bounds
+    * with a single pruned column scan, and the SAME query then roots at
+    * exactly the matching month. In-query gates: root count 6 before,
+    * 1 after, analyze reports 6 periods — the pruning is proven by the
+    * plan, the values by the hash (DuckDB re-derives the March rollup
+    * from lineitem; `band` is a derived year*100+month column, the
+    * period-correlated shape stats pruning exists for). */
+  def sqlAnalyze(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "sql_analyze")
+    val li = Tables.t(s, dir, "lineitem")
+      .select($"l_shipdate", $"l_quantity")
+      .filter($"l_shipdate" >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        $"l_shipdate" < lit(java.sql.Timestamp.valueOf("1997-07-01 00:00:00")))
+      .withColumn("band",
+        (year($"l_shipdate") * 100 + month($"l_shipdate")).cast("long"))
+    col.write("li", li, indexCols = Seq("l_shipdate"), timeLayout = Some("monthly"))
+    s.conf.set("spark.sql.catalog.gax", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gax.root", col.path.parent.toString)
+    def rootsOfProbe(): Int = {
+      val probe = s.sql("SELECT * FROM gax.col.li WHERE band = 199703")
+      probe.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan match {
+            case g: graft.sources.GraftScan => g.parquet.fileIndex.rootPaths.size
+            case p => p.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+              .fileIndex.rootPaths.size
+          }
+      }.getOrElse(throw new IllegalStateException("no V2 scan in the plan"))
+    }
+    if (rootsOfProbe() != 6)
+      throw new IllegalStateException(
+        s"without stats the band predicate must scan all 6 month roots, got ${rootsOfProbe()}")
+    val n = s.sql("CALL gax.system.analyze('col', 'li', 'band')").head.getInt(0)
+    if (n != 6)
+      throw new IllegalStateException(s"analyze must backfill 6 periods, got $n")
+    if (rootsOfProbe() != 1)
+      throw new IllegalStateException(
+        s"with stats the band predicate must root at 1997-03 only, got ${rootsOfProbe()}")
+    s.sql("""
+      |SELECT band, count(*) AS n,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_qty
+      |FROM gax.col.li WHERE band = 199703 GROUP BY band""".stripMargin)
+  }
+
+  val sqlAnalyzeSql: String =
+    """SELECT (year(l_shipdate) * 100 + month(l_shipdate)) AS band,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_qty
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      |GROUP BY 1""".stripMargin
+
   val sqlMetadataTablesSql: String =
     """WITH base AS (
       |  SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS period,
@@ -1894,6 +1949,7 @@ object StoreQueries {
     "store_sql_maintenance" -> sqlMaintenance _,
     "store_sql_rollback" -> sqlRollback _,
     "store_sql_metadata_tables" -> sqlMetadataTables _,
+    "store_sql_analyze" -> sqlAnalyze _,
     "store_sql_changes" -> sqlChanges _,
     "store_sql_alter" -> sqlAlter _,
     "store_write_batch" -> writeBatchSummary _,
@@ -1940,6 +1996,7 @@ object StoreQueries {
     "store_sql_maintenance" -> sqlMaintenanceSql,
     "store_sql_rollback" -> sqlRollbackSql,
     "store_sql_metadata_tables" -> sqlMetadataTablesSql,
+    "store_sql_analyze" -> sqlAnalyzeSql,
     "store_sql_changes" -> sqlChangesSql,
     "store_sql_alter" -> sqlAlterSql,
     "store_write_batch" -> writeBatchSummarySql,

@@ -236,6 +236,23 @@ private[sources] object GraftProcedures {
       }),
 
     ProcDef(
+      "analyze",
+      "Declare per-period pruning stats columns on an existing time-layout item " +
+        "and backfill them with one pruned column scan (empty cols clears)",
+      Array(
+        in("collection", StringType).build(),
+        in("item", StringType).build(),
+        in("cols", StringType)
+          .comment("comma-separated stats columns; '' clears the declaration")
+          .build()),
+      StructType(Seq(StructField("periods_with_stats", IntegerType, nullable = false))),
+      (store, args) => {
+        val c = existing(store, str(args, 0))
+        val cols = str(args, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        Seq(row(Int.box(c.analyzeItem(str(args, 1), cols))))
+      }),
+
+    ProcDef(
       "rollback_to",
       "Restore a collection to the state pinned by a manifest snapshot " +
         "(savepoint rollback); items created after the cut are removed",

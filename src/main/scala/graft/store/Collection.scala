@@ -1751,6 +1751,62 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     }
   }
 
+  /** Declare (or re-declare) the per-period pruning stats columns of
+    * an EXISTING time-layout item and backfill `_period_stats` with
+    * one partition-pruned column scan — the post-hoc spelling of
+    * `write(..., statsColumns = ...)` for items that forgot to declare
+    * them at birth (or want different ones). After this, non-index
+    * predicates on the declared columns prune period roots out of
+    * every read path (Scala filters, V2 SQL scans, DPP). Returns the
+    * number of periods that now carry stats. Flat items refuse typed:
+    * there is no period structure to prune. `Nil` clears the
+    * declaration AND the stats map (reads stop consulting them).
+    * Cost: one narrow scan of just the stats columns across the item —
+    * the same shape a `convertLayout` pays, run once; incremental
+    * appends keep the map fresh from then on (the partial-commit
+    * paths' existing refresh). */
+  def analyzeItem(item: String, statsColumns: Seq[String]): Int = withCommitLock {
+    val itemPath = path.resolve(item)
+    if (!itemPath.resolve(Item.DataDir).isDir)
+      throw new ItemNotFoundError(s"item '$item' does not exist")
+    if (timeLayoutOf(item).isEmpty)
+      throw new ValidationError(
+        s"analyzeItem: '$item' is a flat item — per-period stats prune " +
+          "period directories, which flat items do not have (convert to a " +
+          "time layout first, or rely on parquet row-group stats)")
+    val schemaCols = item1Schema(item)
+    statsColumns.foreach { c =>
+      val field = schemaCols.find(_.name == c).getOrElse(
+        throw new ValidationError(
+          s"stats column '$c' not in item schema " +
+            s"(${schemaCols.map(_.name).mkString(", ")})"))
+      import org.apache.spark.sql.types._
+      field.dataType match {
+        case _: NumericType | TimestampType | TimestampNTZType | DateType | StringType => ()
+        case other => throw new ValidationError(
+          s"stats column '$c' has unsupported type ${other.simpleString}: declare " +
+            "numeric, timestamp, date, or string columns")
+      }
+    }
+    val meta = Meta.read(itemPath)
+    if (statsColumns.isEmpty) {
+      Meta.write(itemPath,
+        meta - "_stats_cols" + ("_period_stats" -> Meta.jv(Map.empty[String, Any])))
+      metaCache.remove(item)
+      0
+    } else {
+      Meta.write(itemPath, meta ++ Meta.obj("_stats_cols" -> statsColumns))
+      metaCache.remove(item)
+      refreshPeriodStats(item, None)
+      Collection.periodStatsOf(Meta.read(itemPath)).size
+    }
+  }
+
+  /** The item's declared (logical) schema fields — for validating
+    * post-hoc stats declarations without reading data. */
+  private def item1Schema(itemName: String): Seq[org.apache.spark.sql.types.StructField] =
+    this.item(itemName).data.schema.fields.toSeq
+
   def createSnapshot(name: Option[String] = None,
                      manifest: Option[Boolean] = None): String = {
     val snap = name.map(_.replaceAll("[^A-Za-z0-9._]", "_"))

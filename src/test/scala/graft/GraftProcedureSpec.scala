@@ -36,7 +36,7 @@ class GraftProcedureSpec extends SparkSpec {
       .select("procedure_name").collect().map(_.getString(0)).toSet
     for (p <- Seq("create_snapshot", "expire_before", "compact", "vacuum",
                   "convert_layout", "zorder", "rebalance", "list_snapshots",
-                  "delete_snapshot", "list_changes", "rollback_to"))
+                  "delete_snapshot", "list_changes", "rollback_to", "analyze"))
       assert(names.contains(p), s"missing procedure $p in $names")
     val desc = spark.sql("DESCRIBE PROCEDURE pcat0.system.expire_before")
       .collect().map(_.mkString(" ")).mkString("\n")
@@ -143,6 +143,46 @@ class GraftProcedureSpec extends SparkSpec {
     assert(spark.sql("CALL pcat7.system.list_changes('c', 'f', 'cut')")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
       Seq("__item" -> "rewritten"))
+    cleanup(c)
+  }
+
+  test("analyze declares stats post-hoc and reads start pruning on them") {
+    import org.apache.spark.sql.functions.col
+    val c = tempCollection("proc_analyze")
+    // born WITHOUT stats columns: value is period-correlated (i/1.0
+    // grows daily), so post-analyze bounds can prune by month
+    c.write("m", frame("2024-01-01", 90), monthlyLayout = true)
+    registerCatalog("pcat9", c)
+    def prunedReadRows(): Long =
+      c.item("m", filters = Seq(graft.store.Filters.Pred("value", ">=", 75.0)))
+        .data.count()
+    assert(prunedReadRows() == 15) // correct either way (days 75..89)
+    val n = spark.sql("CALL pcat9.system.analyze('c', 'm', 'value')").head.getInt(0)
+    assert(n == 3, s"expected stats on 3 periods, got $n")
+    // the stats landed in the sidecar and are SQL-visible
+    val bounds = spark.sql(
+      "SELECT period, min_value, max_value FROM pcat9.c.`m$stats` WHERE column = 'value'")
+      .collect().map(r => r.getString(0) -> (r.getString(1).toDouble, r.getString(2).toDouble))
+      .toMap
+    assert(bounds.keySet == Set("2024-01", "2024-02", "2024-03"))
+    assert(bounds("2024-01") == (0.0, 30.0) && bounds("2024-03") == (60.0, 89.0))
+    assert(prunedReadRows() == 15) // same answer through the pruned path
+    // appends keep the map fresh without re-analyzing
+    c.append("m", frame("2024-04-01", 5))
+    assert(spark.sql(
+      "SELECT count(*) FROM pcat9.c.`m$stats` WHERE column = 'value'")
+      .head.getLong(0) == 4)
+    // '' clears the declaration and the map
+    assert(spark.sql("CALL pcat9.system.analyze('c', 'm', '')").head.getInt(0) == 0)
+    assert(spark.sql("SELECT count(*) FROM pcat9.c.`m$stats`").head.getLong(0) == 0)
+    // typed: flat items have no periods to prune; unknown columns
+    c.write("flat", frame("2024-01-01", 10))
+    val e1 = intercept[Exception](
+      spark.sql("CALL pcat9.system.analyze('c', 'flat', 'value')").collect())
+    assert(e1.getMessage.contains("flat item"))
+    val e2 = intercept[Exception](
+      spark.sql("CALL pcat9.system.analyze('c', 'm', 'nope')").collect())
+    assert(e2.getMessage.contains("not in item schema"))
     cleanup(c)
   }
 
