@@ -58,7 +58,8 @@ object MediaProbe {
   private def le64(b: Array[Byte], i: Int): Long =
     le32(b, i) | (le32(b, i + 4) << 32)
   private def ascii(b: Array[Byte], i: Int, n: Int): String =
-    if (i + n > b.length) "" else new String(b, i, n, StandardCharsets.US_ASCII)
+    if (i < 0 || n < 0 || i + n > b.length) ""
+    else new String(b, i, n, StandardCharsets.US_ASCII)
 
   // ------------------------------------------------------------ dispatch
 
@@ -278,7 +279,7 @@ object MediaProbe {
               val ts = be32(b, body.toInt + 12); val dur = be32(b, body.toInt + 16)
               if (ts > 0) duration = Some(dur * 1000 / ts)
             }
-          case "tkhd" if width.isEmpty =>
+          case "tkhd" if width.isEmpty && body + 4 <= to =>
             val ver = u8(b, body.toInt)
             val wOff = body + (if (ver == 1) 4 + 16 + 4 + 4 + 8 + 8 + 2 + 2 + 2 + 2 + 36
                                else 4 + 8 + 4 + 4 + 4 + 8 + 2 + 2 + 2 + 2 + 36)
@@ -335,15 +336,20 @@ object MediaProbe {
   // ------------------------------------------------------------ wav/png/jpeg
 
   private def probeWav(b: Array[Byte]): Probe = {
-    var i = 12
+    // Long cursor: a corrupt chunk size is unsigned 0..2^32-1, so the
+    // cursor strictly advances by >= 8 every iteration — an Int cursor
+    // with `sz.toInt` would go negative (spin forever / index below 0)
+    // on sizes >= 0x80000000
+    var i = 12L
     var rate = 0; var byteRate = 0L; var dataLen = -1L
     while (i + 8 <= b.length) {
-      val id = ascii(b, i, 4); val sz = le32(b, i + 4)
-      if (id == "fmt " && i + 8 + 16 <= b.length) {
-        rate = le32(b, i + 12).toInt
-        byteRate = le32(b, i + 16)
+      val ii = i.toInt
+      val id = ascii(b, ii, 4); val sz = le32(b, ii + 4)
+      if (id == "fmt " && ii + 8 + 16 <= b.length) {
+        rate = le32(b, ii + 12).toInt
+        byteRate = le32(b, ii + 16)
       } else if (id == "data") dataLen = sz
-      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      i += 8L + sz + (sz & 1L) // chunks are word-aligned
     }
     Probe("wav",
       durationMs = if (byteRate > 0 && dataLen >= 0) Some(dataLen * 1000 / byteRate) else None,

@@ -241,9 +241,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def staged(ident: Identifier, schema: StructType,
                      partitions: Array[Transform],
                      properties: util.Map[String, String],
-                     mode: GraftStagedTable.Mode): StagedTable =
+                     mode: GraftStagedTable.Mode): StagedTable = {
+    // a `$`-suffixed name would be shadowed by the metadata-table
+    // resolution in load() forever after — the item could be written
+    // but never read back from SQL. Refuse at analysis.
+    GraftMetadataTables.parse(ident.name).foreach { case (_, kind) =>
+      throw new GraftError(
+        s"item name '${ident.name}' collides with the reserved metadata-table " +
+          s"suffix '$$$kind' (${GraftMetadataTables.Kinds.toSeq.sorted.mkString(", ")}); " +
+          "pick a name without a '$<kind>' suffix")
+    }
     new GraftStagedTable(SparkSession.active, collectionDir(ident.namespace.head),
       ident.name, schema, partitions, properties, mode)
+  }
 
   /** `ALTER TABLE ... ADD COLUMNS` — metadata-only widening through
     * [[graft.store.Collection.addColumns]] (one sidecar write, zero

@@ -115,7 +115,15 @@ final class GraftMicroBatchStream(
     // that snapshot's pins. ISO-8601 instants and UTC date-times both
     // parse; no qualifying manifest refuses typed (never a silent
     // fall-through to 'earliest' — that would replay the whole item).
-    val fromSnap = Option(options.get("startingSnapshot")).map(_.trim).filter(_.nonEmpty)
+    val rawSnap = Option(options.get("startingSnapshot")).map(_.trim).filter(_.nonEmpty)
+    // exclusivity FIRST: resolving a timestamp can itself throw
+    // ("no manifest predates it") — conflicting options must report
+    // the conflict, not send the user chasing snapshots
+    if (Seq(rawSnap, fromTs, fromOffsets).count(_.isDefined) > 1)
+      throw new ValidationError(
+        "options 'startingOffsets', 'startingSnapshot' and 'startingTimestamp' " +
+          "are mutually exclusive")
+    val fromSnap = rawSnap
       .orElse(fromTs.map { raw =>
         val t =
           try java.time.Instant.parse(raw)
@@ -134,11 +142,6 @@ final class GraftMicroBatchStream(
               "predates it (only manifest snapshots record a creation time — " +
               "create manifest snapshots to enable timestamp-anchored streams)"))
       })
-    if (Seq(Option(options.get("startingSnapshot")).map(_.trim).filter(_.nonEmpty),
-        fromTs, fromOffsets).count(_.isDefined) > 1)
-      throw new ValidationError(
-        "options 'startingOffsets', 'startingSnapshot' and 'startingTimestamp' " +
-          "are mutually exclusive")
     fromSnap match {
       // Start at a manifest snapshot's cut: the initial offset IS the
       // snapshot's pinned generation map, so the stream's first batch
@@ -250,7 +253,16 @@ final class GraftMicroBatchStream(
         val meta = Meta.read(itemPath)
         val stats = Collection.periodStatsOf(meta)
         val livePg = Snapshots.periodGensOf(meta)
-        val kept = builder.prunePeriods(l, serveKeys, pruneFilters, stats)
+        // stats describe the LIVE generation only: a period replayed
+        // from a RETAINED generation (crash replay after an in-place
+        // rewrite) must not be pruned by the rewrite's bounds — the
+        // offset's rows could sit outside them and would be silently
+        // lost. Replayed periods are served unpruned; the parquet scan
+        // still applies the row-level filters.
+        val (liveServed, replayServed) =
+          serveKeys.partition(p => livePg.get(p).contains(e(p)))
+        val kept =
+          (builder.prunePeriods(l, liveServed, pruneFilters, stats) ++ replayServed).sorted
         val dataDir = itemPath.resolve(Item.DataDir)
         kept.map { p =>
           val liveDir = dataDir.resolve(s"${Collection.MonthCol}=$p")

@@ -192,6 +192,13 @@ final class GraftStagedTable private[sources] (
 
   @volatile private var written = false
 
+  // whether the target existed when the statement staged: a failed
+  // CREATE OR REPLACE on a NONEXISTENT item must clean up its creation
+  // like plain CREATE does (for an existing target the overwrite has
+  // already swapped atomically — nothing to unwind)
+  private val existedAtStage: Boolean =
+    collectionPath.resolve(itemName).resolve(graft.store.Item.DataDir).isDir
+
   // --------------------------------------------------------- Table surface
 
   override def name(): String = s"graft.`${collectionPath.resolve(itemName)}`"
@@ -243,7 +250,8 @@ final class GraftStagedTable private[sources] (
           "graft — use REPLACE TABLE ... AS SELECT")
 
   override def abortStagedChanges(): Unit =
-    if (written && mode == GraftStagedTable.Create) {
+    if (written && (mode == GraftStagedTable.Create ||
+        (mode == GraftStagedTable.CreateOrReplace && !existedAtStage))) {
       val coll = Collection.at(spark, collectionPath)
       coll.deleteItem(itemName)
       coll.clearMetadataCache(Some(itemName))

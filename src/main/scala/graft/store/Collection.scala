@@ -65,7 +65,18 @@ object Collection {
       val keepLogical = oldEnc match {
         case Some(enc) => enc.fields.exists(o =>
           o.name == f.name && o.dataType == f.dataType)
-        case None => oldLogical.exists(_.fields.exists(_.name == f.name))
+        case None => oldLogical.flatMap(_.fields.find(_.name == f.name)).exists { o =>
+          // ...EXCEPT when this append legitimately WIDENED the column
+          // (Int→Long, Float→Double, ...): keeping the narrow recorded
+          // type would declare Int over Long parquet data and truncate
+          // pinned reads. Widening to StringType is excluded — that is
+          // the shape of codec-encoded columns (decoded logical type,
+          // string/binary encoding), exactly what this branch preserves.
+          import org.apache.spark.sql.types.StringType
+          val widened = o.dataType != f.dataType && f.dataType != StringType &&
+            graft.evolution.SchemaEvolution.canWiden(o.dataType, f.dataType)
+          !widened
+        }
       }
       if (keepLogical)
         oldLogical.flatMap(_.fields.find(_.name == f.name)).getOrElse(f)
@@ -1856,11 +1867,18 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
   def rollbackTo(snapshot: String,
                  keepSnapshot: Boolean = true,
                  items: Seq[String] = Nil): Map[String, String] = {
-    val pinned = Snapshots.manifestItemNames(path, snapshot).getOrElse(
+    val pinnedManifest = Snapshots.manifestItemNames(path, snapshot).getOrElse(
       throw new GraftError(
         s"rollbackTo requires a manifest snapshot; '$snapshot' is missing " +
           "or a directory snapshot (directory snapshots are frozen reads, " +
           "not savepoints)"))
+    // legacy arm: a time item without period gens was COPIED into the
+    // snapshot dir at capture — it has no manifest entry but IS pinned
+    // (restoreFromManifest renames the copy back). Without this, such
+    // items would be misreported as "removed" while actually restoring.
+    val pinned = pinnedManifest ++
+      path.resolve(GraftStore.SnapshotsDir).resolve(snapshot).listDirs
+        .filterNot(pinnedManifest.contains)
     if (items.nonEmpty && !keepSnapshot)
       throw new GraftError(
         "a partial rollback cannot drop the savepoint: the un-restored " +

@@ -393,20 +393,36 @@ object Snapshots {
                           item: String): Unit = {
     val fs = collectionPath.fs
     val live = collectionPath.resolve(item)
+    // Restore must never destroy a generation some OTHER manifest still
+    // pins — the restore-side twin of the commit paths' retention
+    // calls. A savepoint rollback is a mutation like any other: a
+    // snapshot taken AFTER the savepoint pins the current live state,
+    // and `VERSION AS OF` / a later rollback to it must keep working.
+    // Whole-item destruction retains blanket (everything live goes);
+    // the period branch retains per touched period only — a blanket
+    // retain there would strip dirs resolveManifestItem already
+    // resolved to their LIVE paths (the unchanged periods).
+    def retireLiveItem(): Unit = {
+      retainPeriodsIfPinned(collectionPath, item)
+      retainIfPinned(collectionPath, item)
+    }
     // legacy fallback: a time item with no `_period_gens` was COPIED
     // into the snapshot dir at manifest creation — rename it back whole
     val copied = snapsDir(collectionPath).resolve(snap).resolve(item)
     if (copied.isDir) {
+      retireLiveItem()
       live.deleteRecursively()
       fs.rename(copied.raw, live.raw)
       return
     }
     resolveManifestItem(collectionPath, snap, item) match {
       case None =>
+        retireLiveItem()
         live.deleteRecursively() // created by the failed txn
       case Some(FlatResolved(dir, sidecar)) =>
         val dataDir = live.resolve(Item.DataDir)
         if (dir.raw != live.raw) { // generation changed or item deleted
+          retireLiveItem() // live gen differs from the target's, safe whole
           dataDir.deleteRecursively()
           live.mkdirs()
           fs.rename(dir.resolve(Item.DataDir).raw, dataDir.raw)
@@ -415,16 +431,42 @@ object Snapshots {
       case Some(PeriodResolved(dirs, sidecar)) =>
         val dataDir = live.resolve(Item.DataDir)
         val pinned = dirs.map(_._1).toSet
+        val livePg = periodGensOf(Meta.read(live))
+        val pinnedAll = pinnedPeriodGens(collectionPath, item)
+        // cross-shape: live is FLAT (no period gens) while the target
+        // pins periods — the flat generation is replaced whole (retain
+        // it if pinned; stray flat part-files must not survive under
+        // the restored period dirs)
+        if (livePg.isEmpty && dataDir.isDir) {
+          retainIfPinned(collectionPath, item)
+          dataDir.deleteRecursively()
+        }
+        // destroy-or-retain ONE live period dir: renamed aside when any
+        // manifest pins its current generation, deleted otherwise
+        def retire(p: String): Unit = {
+          val src = dataDir.resolve(s"${Collection.MonthCol}=$p")
+          if (!src.isDir) return
+          val keepGen = livePg.get(p)
+            .filter(g => pinnedAll.get(p).exists(_.contains(g)))
+          keepGen match {
+            case Some(g) =>
+              val dst = retainedPeriodDir(collectionPath, item, p, g)
+              if (!dst.isDir) {
+                fs.mkdirs(dst.parent.raw)
+                fs.rename(src.raw, dst.raw)
+              } else src.deleteRecursively() // already retained
+            case None => src.deleteRecursively()
+          }
+        }
         if (dataDir.isDir)
           dataDir.listDirs.filter(_.startsWith(Collection.MonthCol + "="))
             .map(_.stripPrefix(Collection.MonthCol + "="))
             .filterNot(pinned.contains)
-            .foreach(p =>
-              dataDir.resolve(s"${Collection.MonthCol}=$p").deleteRecursively())
+            .foreach(retire)
         dirs.foreach { case (p, src) =>
           val dst = dataDir.resolve(s"${Collection.MonthCol}=$p")
           if (src.raw != dst.raw) { // touched by the failed ops
-            dst.deleteRecursively()
+            retire(p)
             fs.mkdirs(dst.parent.raw)
             fs.rename(src.raw, dst.raw)
           }

@@ -203,6 +203,49 @@ class GraftSqlWriteSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("CTAS refuses reserved $-suffixed names; aborted C-OR-R on a fresh name cleans up") {
+    val c = tempCollection("sql_ctas_edge")
+    c.write("seed", frame("2024-01-01", 5))
+    registerCatalog("wctas9", c)
+    frame("2024-01-01", 5).createOrReplaceTempView("src_edge")
+    // an item named x$periods would be shadowed by metadata-table
+    // resolution forever — refused at analysis, nothing written
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE wctas9.c.`x$periods` AS SELECT * FROM src_edge"))
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+    assert(chain(e).contains("reserved metadata-table"), chain(e))
+    assert(!c.path.resolve("x$periods").isDir)
+    // abort of CREATE OR REPLACE on a NONEXISTENT target removes the
+    // item its write created (plain-CREATE cleanup semantics); on an
+    // existing target the atomic swap stands and abort must not delete
+    val cat = spark.sessionState.catalogManager.catalog("wctas9")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.StagingTableCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("c"), "born")
+    def stageAndWrite(): org.apache.spark.sql.connector.catalog.StagedTable = {
+      val st = cat.stageCreateOrReplace(ident,
+        frame("2024-01-01", 5).schema, Array.empty,
+        new java.util.HashMap[String, String]())
+      val rel = st.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+        .newWriteBuilder(null).build()
+        .asInstanceOf[org.apache.spark.sql.connector.write.V1Write]
+        .toInsertableRelation
+      rel.insert(frame("2024-01-01", 5), overwrite = false)
+      st
+    }
+    val first = stageAndWrite()
+    assert(c.hasItem("born"))
+    first.abortStagedChanges()
+    assert(!c.hasItem("born"), "aborted C-OR-R on a fresh name must clean up")
+    // now the item exists (committed); a later aborted replace keeps it
+    stageAndWrite().commitStagedChanges()
+    assert(c.item("born").data.count() == 5)
+    stageAndWrite().abortStagedChanges()
+    assert(c.hasItem("born"), "abort after replacing an EXISTING item keeps the swap")
+    cleanup(c)
+  }
+
   test("CTAS with layout properties / PARTITIONED BY builds time-layout items") {
     val c = tempCollection("sql_ctas_layout")
     c.write("seed", frame("2024-01-01", 1))

@@ -36,6 +36,47 @@ class ManifestSnapshotSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("rollbackTo never destroys generations pinned by LATER snapshots") {
+    val c = tempCollection("msnap_rb_later")
+    // flat arm: sp1 pins gen1; overwrite -> gen2; sp2 pins gen2
+    c.write("f", df3(1L -> "a", 2L -> "b"), indexCols = Seq("index"))
+    c.createSnapshot(Some("sp1"), manifest = Some(true))
+    c.write("f", df3(9L -> "z"), indexCols = Seq("index"), overwrite = true)
+    // monthly arm: sp1 pins jan@g1; rewrite jan + add feb; sp2 pins both
+    def day(d: String, v: Double) = Seq(
+      (java.sql.Timestamp.valueOf(s"$d 00:00:00"), v)).toDF("index", "value")
+    c.write("m", day("2024-01-01", 1.0), monthlyLayout = true)
+    c.append("m", day("2024-01-02", 2.0)) // still sp-less mutations ok
+    c.createSnapshot(Some("sp1b"), manifest = Some(true))
+    c.append("m", day("2024-01-03", 3.0)) // rewrites jan in place
+    c.append("m", day("2024-02-01", 4.0)) // adds feb
+    c.createSnapshot(Some("sp2"), manifest = Some(true))
+
+    // roll the collection back to the EARLIER cuts: sp1 predates both
+    // the overwrite and item m entirely; sp1b pins the overwritten f
+    // and the two-row january
+    c.rollbackTo("sp1")
+    assert(c.item("f").data.count() == 2)
+    assert(!c.hasItem("m")) // born after sp1 -> removed
+    c.rollbackTo("sp1b")
+    assert(c.item("f").data.as[(Long, String)].collect().toSeq == Seq(9L -> "z"))
+    assert(c.item("m").data.count() == 2)
+    // sp2's pinned state must still read intact: the rollback retained
+    // the generations sp2 pins instead of deleting them
+    assert(c.item("f", snapshot = Some("sp2")).data
+      .orderBy($"index").as[(Long, String)].collect().toSeq == Seq(9L -> "z"))
+    assert(c.item("m", snapshot = Some("sp2")).data.count() == 4)
+    // and rolling FORWARD to sp2 restores the mutated state exactly
+    c.rollbackTo("sp2")
+    assert(c.item("f").data.as[(Long, String)].collect().toSeq == Seq(9L -> "z"))
+    assert(c.item("m").data.count() == 4)
+    // ...after which sp1 still reads (round-trip savepoints both ways)
+    assert(c.item("f", snapshot = Some("sp1")).data.count() == 2)
+    c.rollbackTo("sp1")
+    assert(c.item("f").data.count() == 2)
+    cleanup(c)
+  }
+
   test("diffSnapshot: empty when unchanged, tags appends added and deletes removed") {
     val c = tempCollection("msnap_diff")
     c.write("it", df3(1L -> "a", 2L -> "b"), indexCols = Seq("index"))

@@ -84,6 +84,36 @@ class MediaProbeSpec extends SparkSpec {
       MediaProbe.probe(fix.take(cut))
   }
 
+  test("corrupt SIZE fields terminate (no hang, no negative index), partial fields survive") {
+    // wav whose first chunk size is 0xFFFFFFF8: an Int cursor would
+    // compute 8 + (-8) and spin forever — the probe must terminate
+    val spinner = wav(16)
+    spinner(16) = 0xf8.toByte; spinner(17) = 0xff.toByte
+    spinner(18) = 0xff.toByte; spinner(19) = 0xff.toByte
+    assert(MediaProbe.probe(spinner).format == "wav") // returns, promptly
+    // wav with a size that drives the cursor past Int range
+    val jumper = wav(16)
+    jumper(16) = 0x10.toByte; jumper(17) = 0x00.toByte
+    jumper(18) = 0x00.toByte; jumper(19) = 0x80.toByte // 0x80000010
+    assert(MediaProbe.probe(jumper).format == "wav")
+    // mp4 whose final box is an EMPTY tkhd (size 8, no body): the
+    // version byte would read past the array without the bounds guard
+    val emptyTkhd = {
+      val b = java.nio.ByteBuffer.allocate(16)
+      b.putInt(8); b.put("ftyp".getBytes("US-ASCII")) // dispatch magic
+      b.putInt(8); b.put("tkhd".getBytes("US-ASCII")) // empty body
+
+      b.array()
+    }
+    assert(MediaProbe.probe(emptyTkhd).format == "mp4")
+    // every fixture with EVERY single byte corrupted: still no throw
+    for (fix <- Seq(mp3(2).take(96), mp4(50L, 4, 4), oggVorbis(100).take(96), wav(8));
+         pos <- fix.indices) {
+      val bad = fix.clone(); bad(pos) = 0xff.toByte
+      MediaProbe.probe(bad)
+    }
+  }
+
   test("probeMedia: one mapPartitions pass, skinny typed rows") {
     import spark.implicits._
     val media = Seq(

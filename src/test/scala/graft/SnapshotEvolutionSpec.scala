@@ -120,6 +120,30 @@ class SnapshotEvolutionSpec extends SparkSpec {
     assert(out2.fields.find(_.name == "v").get.dataType == DoubleType) // widened: encoded type wins
   }
 
+  test("legacy sidecar: a WIDENED column takes the new encoded type, codec shapes stay") {
+    import org.json4s.JString
+    val logical = StructType(Seq(
+      StructField("index", TimestampType), // codec shape: encoded as Long
+      StructField("n", IntegerType)))      // plain narrow numeric
+    val legacyMeta = Map[String, org.json4s.JValue](
+      "schema_json" -> JString(logical.json))
+    // an append legitimately widened n to Long: keeping the recorded
+    // Int would declare Int over Long parquet data and truncate pinned
+    // reads — the widened encoded type must win
+    val widened = StructType(Seq(
+      StructField("index", LongType), StructField("n", LongType)))
+    val out = Collection.evolveLogicalSchema(legacyMeta, widened)
+    assert(out.fields.find(_.name == "index").get.dataType == TimestampType,
+      "codec-shaped column (Timestamp recorded, Long encoded) must keep its logical type")
+    assert(out.fields.find(_.name == "n").get.dataType == LongType,
+      "a plain numeric widening must follow the data, not the stale narrow record")
+    // widening TO string is the codec shape, not a data widening: keep
+    val strEnc = StructType(Seq(
+      StructField("index", LongType), StructField("n", StringType)))
+    val out2 = Collection.evolveLogicalSchema(legacyMeta, strEnc)
+    assert(out2.fields.find(_.name == "n").get.dataType == IntegerType)
+  }
+
   test("migration registry applies stepwise paths") {
     import spark.implicits._
     val reg = new SchemaEvolution.MigrationRegistry
