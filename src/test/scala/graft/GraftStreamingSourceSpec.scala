@@ -320,6 +320,45 @@ class GraftStreamingSourceSpec extends SparkSpec {
     cleanup(c); cleanup(cf)
   }
 
+  test("replay of a RETAINED generation is never pruned by the LIVE period stats") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import org.apache.spark.sql.functions.col
+    val c = tempCollection("stream_replay_stats")
+    // january values 0..30; declared stats on `value` so non-index
+    // predicates prune periods
+    c.write("item", frame("2024-01-01", 31), monthlyLayout = true,
+      statsColumns = Seq("value"))
+    val item = c.path.resolve("item").toString
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("path", item))
+    val builder = graft.sources.GraftTable.resolve(opts).newScanBuilder(opts)
+    builder.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+      .pushFilters(Array(org.apache.spark.sql.sources.GreaterThanOrEqual("value", 20.0)))
+    val stream = builder.build().toMicroBatchStream("unused_ckpt")
+      .asInstanceOf[graft.sources.GraftMicroBatchStream]
+    val start = stream.initialOffset()
+    val end = stream.latestOffset(start, ReadLimit.allAvailable())
+    // pin the cut, then rewrite january so its LIVE stats ([0,19])
+    // EXCLUDE the filter range the offset's rows satisfy
+    c.createSnapshot(Some("anchor"), manifest = Some(true))
+    c.deleteWhere("item", col("value") >= 20.0)
+    assert(c.item("item").data.count() == 20)
+    // the crash replay of (start, end] must serve the RETAINED january
+    // (values 0..30) — pruning it by the rewrite's bounds would silently
+    // lose the 11 rows the original batch delivered
+    val parts = stream.planInputPartitions(start, end)
+    val files = parts.collect {
+      case fp: FilePartition => fp.files.map(_.filePath.toString)
+    }.flatten
+    assert(files.nonEmpty, "replayed period must not be stats-pruned away")
+    assert(files.exists(_.contains(graft.store.Snapshots.RetainedDir)), files.mkString("\n"))
+    val replayed = spark.read.parquet(files.toIndexedSeq: _*)
+    assert(replayed.filter(col("value") >= 20.0).count() == 11,
+      "replay must deliver the offset's matching rows")
+    cleanup(c)
+  }
+
   test("snapshot-pinned reads refuse streaming with a typed error") {
     val c = tempCollection("stream_snap")
     c.write("item", frame("2024-01-01", 10), monthlyLayout = true)
