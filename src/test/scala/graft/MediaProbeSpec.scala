@@ -114,6 +114,26 @@ class MediaProbeSpec extends SparkSpec {
     }
   }
 
+  test("seeded fuzz: 500 random payloads, magic-prefixed and raw, never throw") {
+    val rng = new scala.util.Random(20260814L)
+    val magics = Seq[Array[Byte]](
+      Array(0xff.toByte, 0xfb.toByte),                    // mp3 sync
+      "ID3".getBytes("US-ASCII"),
+      Array[Byte](0, 0, 0, 32) ++ "ftyp".getBytes("US-ASCII"),
+      "OggS".getBytes("US-ASCII"),
+      "RIFF1234WAVE".getBytes("US-ASCII"),
+      Array(0x89.toByte) ++ "PNG".getBytes("US-ASCII"),
+      Array(0xff.toByte, 0xd8.toByte, 0xff.toByte),
+      Array(0x1a.toByte, 0x45.toByte, 0xdf.toByte, 0xa3.toByte)) // EBML
+    (0 until 500).foreach { i =>
+      val body = new Array[Byte](rng.nextInt(512))
+      rng.nextBytes(body)
+      val payload =
+        if (i % 3 == 0) body else magics(i % magics.size) ++ body
+      MediaProbe.probe(payload) // must return, promptly, for ANY bytes
+    }
+  }
+
   test("probeMedia: one mapPartitions pass, skinny typed rows") {
     import spark.implicits._
     val media = Seq(
