@@ -41,7 +41,8 @@ import graft.store.{Collection, GraftError, GraftStore, Item, Meta, SPath, Snaps
   */
 private[sources] object GraftMetadataTables {
 
-  val Kinds: Set[String] = Set("periods", "stats", "snapshots", "detail")
+  // single source of truth with the write-path name guard
+  val Kinds: Set[String] = Collection.ReservedItemSuffixes
 
   /** Split `name$kind`; None when the name has no metadata suffix. */
   def parse(name: String): Option[(String, String)] = {

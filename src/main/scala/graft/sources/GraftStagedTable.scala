@@ -69,12 +69,14 @@ object GraftStagedTable {
   *  - every other non-reserved property → user metadata on the item.
   *
   * Commit protocol: the data write itself is atomic (tmp dir + rename
-  * inside `Collection.write`), so [[commitStagedChanges]] has nothing
-  * left to do; [[abortStagedChanges]] removes a created item when the
-  * surrounding CTAS failed after the write landed. A REPLACE that
-  * fails BEFORE its write commits leaves the old item untouched; after
-  * the commit the swap has already happened atomically — snapshot
-  * first for restore insurance, same as the Scala overwrite. */
+  * inside `Collection.write`); [[commitStagedChanges]] only releases
+  * the pre-state pin. [[abortStagedChanges]] removes a created item
+  * when the surrounding CTAS failed after the write landed, and for a
+  * REPLACE over an existing item restores the PRE-write state: the
+  * write pinned it in an internal `__txn_` manifest first (the T1
+  * transaction mechanism — commit retention keeps the pinned
+  * generation, restore renames it back, vacuum reclaims a crashed
+  * pin), so a failed statement never keeps its replacement. */
 final class GraftStagedTable private[sources] (
     spark: SparkSession,
     collectionPath: SPath,
@@ -222,10 +224,22 @@ final class GraftStagedTable private[sources] (
       }
     }
 
+  // REPLACE over an existing item pins the pre-write state in an
+  // internal `__txn_` manifest (the T1 transaction's own mechanism, so
+  // vacuum reclaims a crashed one): the overwrite's commit then retains
+  // the pinned generation by rename, and a failed statement's abort
+  // restores it — a failed RTAS no longer keeps the replacement
+  @volatile private var preReplacePin: Option[String] = None
+
   private def doWrite(data: DataFrame): Unit = {
     // collections are born on first use, like the Scala store.collection
     collectionPath.resolve(GraftStore.SnapshotsDir).mkdirs()
     val coll = Collection.at(spark, collectionPath)
+    if (mode != GraftStagedTable.Create && existedAtStage && preReplacePin.isEmpty) {
+      val pin = s"__txn_rtas_${System.nanoTime()}"
+      graft.store.Snapshots.createManifest(collectionPath, pin, Seq(itemName))
+      preReplacePin = Some(pin)
+    }
     coll.write(itemName, data,
       indexCols = indexCols,
       metadata = userMeta,
@@ -243,17 +257,34 @@ final class GraftStagedTable private[sources] (
     * the same way bare CREATE is refused, BEFORE the old item would be
     * silently left in place under a statement that promised to replace
     * it. CTAS/RTAS always write (a zero-row SELECT still inserts). */
-  override def commitStagedChanges(): Unit =
+  override def commitStagedChanges(): Unit = {
     if (!written)
       throw new GraftError(
         "schema-only REPLACE TABLE is not supported: item state is data in " +
           "graft — use REPLACE TABLE ... AS SELECT")
+    preReplacePin.foreach(dropPin) // success: release the pre-state pin
+  }
 
   override def abortStagedChanges(): Unit =
-    if (written && (mode == GraftStagedTable.Create ||
-        (mode == GraftStagedTable.CreateOrReplace && !existedAtStage))) {
-      val coll = Collection.at(spark, collectionPath)
-      coll.deleteItem(itemName)
-      coll.clearMetadataCache(Some(itemName))
+    if (written) preReplacePin match {
+      case Some(pin) => // failed REPLACE: rename the pre-state back
+        val coll = Collection.at(spark, collectionPath)
+        coll.withCommitLock {
+          graft.store.Snapshots.restoreFromManifest(collectionPath, pin, itemName)
+        }
+        dropPin(pin)
+        coll.clearMetadataCache(Some(itemName))
+      case None if mode == GraftStagedTable.Create ||
+          (mode == GraftStagedTable.CreateOrReplace && !existedAtStage) =>
+        // failed CREATE (or C-OR-R on a fresh name): remove the birth
+        val coll = Collection.at(spark, collectionPath)
+        coll.deleteItem(itemName)
+        coll.clearMetadataCache(Some(itemName))
+      case None => ()
     }
+
+  private def dropPin(pin: String): Unit = {
+    collectionPath.resolve(GraftStore.SnapshotsDir).resolve(pin).deleteRecursively()
+    graft.store.Snapshots.deleteManifest(collectionPath, pin)
+  }
 }

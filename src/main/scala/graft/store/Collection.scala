@@ -96,6 +96,29 @@ object Collection {
     * lexically ordered, so string range predicates prune correctly. */
   val TimeLayouts: Set[String] = Set("daily", "monthly", "quarterly", "yearly")
 
+  /** Item-name suffixes reserved by the SQL metadata tables
+    * (`item$periods` / `$stats` / `$snapshots` / `$detail`,
+    * graft.sources.GraftMetadataTables): an item literally NAMED this
+    * way would be shadowed by metadata-table resolution forever, so the
+    * write chokepoints refuse it — this closes the Scala-API and
+    * streaming-sink entry points in one place (the SQL staging catalog
+    * refuses separately at analysis with its own message). */
+  val ReservedItemSuffixes: Set[String] = Set("periods", "stats", "snapshots", "detail")
+
+  private[graft] def reservedSuffixOf(name: String): Option[String] = {
+    val i = name.lastIndexOf('$')
+    if (i <= 0 || i == name.length - 1) None
+    else Some(name.substring(i + 1).toLowerCase).filter(ReservedItemSuffixes.contains)
+  }
+
+  private[graft] def requireWritableItemName(name: String): Unit =
+    reservedSuffixOf(name).foreach { k =>
+      throw new ValidationError(
+        s"item name '$name' collides with the reserved metadata-table " +
+          s"suffix '$$$k' (${ReservedItemSuffixes.toSeq.sorted.mkString(", ")}); " +
+          "pick a name without a '$<kind>' suffix")
+    }
+
   /** Period key of a timestamp column under `layout`. */
   private[store] def periodExpr(layout: String, c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     layout match {
@@ -483,6 +506,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       throw new ItemExistsError(
         s"item '$item' already exists; use overwrite=true to replace")
 
+    Collection.requireWritableItemName(item)
     validator.foreach(_.validate(df))
     structuralChecks(df)
     statsColumns.foreach { c =>
@@ -922,6 +946,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
              validateSchema: Boolean = true,
              evolution: Option[EvolutionStrategy] = None,
              npartitions: Option[Int] = None): Unit = {
+    Collection.requireWritableItemName(item)
     if (!hasItem(item))
       throw new ItemNotFoundError(s"item '$item' does not exist; write it first")
     if (df.isEmpty) return // reference: empty append is a no-op (test_append.py)
@@ -1895,6 +1920,12 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
                 s"by '$snapshot' nor present in the collection")
           some.toSet
       }
+      // one sweep over ALL manifests (retention checks ride this) and
+      // ONE read of the target manifest — per-item lookups would cost
+      // O(items × manifests) small JSON reads under the commit lock
+      val pinIdx = Some(Snapshots.pinIndex(path))
+      val targetPins = Snapshots.manifestAllPins(path, snapshot)
+        .getOrElse(Map.empty)
       scope.toSeq.sorted.map { it =>
         val action =
           if (!pinned.contains(it)) "removed" // born after the cut
@@ -1907,11 +1938,20 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
                 if (pg.nonEmpty) Some(Right(pg))
                 else Some(Left(Snapshots.generationOf(m)))
               }
-            val pins = Snapshots.manifestPins(path, snapshot, it)
-            if (pins.isDefined && pins == liveGens) "unchanged" else "restored"
+            val pins = targetPins.get(it)
+            if (pins.isDefined && pins == liveGens) {
+              // generations match, but metadata-only mutations (ALTER
+              // ADD COLUMNS, analyze, SET TBLPROPERTIES) move no
+              // generation — compare the sidecars too (minus the
+              // `_updated` stamp) or the savepoint would not undo them
+              val pinnedSidecar = Snapshots
+                .resolveManifestItem(path, snapshot, it).map(_.sidecar - "_updated")
+              val liveSidecar = Meta.read(path.resolve(it)) - "_updated"
+              if (pinnedSidecar.contains(liveSidecar)) "unchanged" else "restored"
+            } else "restored"
           }
         if (action != "unchanged")
-          Snapshots.restoreFromManifest(path, snapshot, it)
+          Snapshots.restoreFromManifest(path, snapshot, it, pinIdx)
         it -> action
       }.toMap
     }

@@ -282,15 +282,51 @@ object Snapshots {
         .flatMap(m => manifestItems(m).get(item).toSeq.flatMap(_.periodGens))
     }.groupBy(_._1).map { case (p, gs) => p -> gs.map(_._2).toSet }
 
+  /** Every manifest's pins in ONE sweep: item → flat generations and
+    * item → (period → generations). Collection-wide operations
+    * (rollbackTo over N items) compute this once and pass it down —
+    * per-item retention checks would otherwise re-read all M manifests
+    * for each item (O(N·M) small JSON reads under the commit lock;
+    * with the index it is O(M)). */
+  final case class PinIndex(flat: Map[String, Set[Long]],
+                            periods: Map[String, Map[String, Set[Long]]])
+
+  def pinIndex(collectionPath: SPath): PinIndex = {
+    val entries: Seq[(String, Entry)] =
+      listManifests(collectionPath).flatMap { snap =>
+        readManifest(collectionPath, snap).toSeq.flatMap(m => manifestItems(m).toSeq)
+      }
+    val byItem = entries.groupBy(_._1)
+    PinIndex(
+      flat = byItem.map { case (it, es) => it -> es.flatMap(_._2.gen).toSet }
+        .filter(_._2.nonEmpty),
+      periods = byItem.map { case (it, es) =>
+        it -> es.flatMap(_._2.periodGens.toSeq).groupBy(_._1)
+          .map { case (p, gs) => p -> gs.map(_._2).toSet }
+      }.filter(_._2.nonEmpty))
+  }
+
+  /** Pins of EVERY item in manifest `snap` in one read (the per-item
+    * shape [[manifestPins]] serves); None when not a manifest. */
+  def manifestAllPins(collectionPath: SPath, snap: String)
+      : Option[Map[String, Either[Long, Map[String, Long]]]] =
+    readManifest(collectionPath, snap).map(m => manifestItems(m).map { case (it, e) =>
+      it -> (if (e.periodGens.nonEmpty) Right(e.periodGens): Either[Long, Map[String, Long]]
+             else Left(e.gen.getOrElse(0L)))
+    })
+
   /** Before a commit/delete destroys a FLAT `item`'s data dir: if its
     * current generation is pinned, rename the data dir (O(1)) into the
     * retained area. */
-  def retainIfPinned(collectionPath: SPath, item: String): Unit = {
+  def retainIfPinned(collectionPath: SPath, item: String,
+                     pins: Option[PinIndex] = None): Unit = {
     val itemDir = collectionPath.resolve(item)
     val dataDir = itemDir.resolve(Item.DataDir)
     if (!dataDir.isDir) return
     val gen = generationOf(Meta.read(itemDir))
-    if (pinnedGens(collectionPath, item).contains(gen)) {
+    val pinnedSet = pins.map(_.flat.getOrElse(item, Set.empty[Long]))
+      .getOrElse(pinnedGens(collectionPath, item))
+    if (pinnedSet.contains(gen)) {
       val dst = retainedBase(collectionPath, item).resolve(gen.toString)
       if (!dst.resolve(Item.DataDir).exists) {
         dst.mkdirs()
@@ -316,13 +352,15 @@ object Snapshots {
     * data dir is destroyed (full rewrite / delete): each pinned
     * period dir is renamed aside individually — O(periods) renames,
     * zero bytes. */
-  def retainPeriodsIfPinned(collectionPath: SPath, item: String): Unit = {
+  def retainPeriodsIfPinned(collectionPath: SPath, item: String,
+                            pins: Option[PinIndex] = None): Unit = {
     val itemDir = collectionPath.resolve(item)
     val dataDir = itemDir.resolve(Item.DataDir)
     if (!dataDir.isDir) return
     val livePg = periodGensOf(Meta.read(itemDir))
     if (livePg.isEmpty) return
-    val pinned = pinnedPeriodGens(collectionPath, item)
+    val pinned = pins.map(_.periods.getOrElse(item, Map.empty[String, Set[Long]]))
+      .getOrElse(pinnedPeriodGens(collectionPath, item))
     livePg.foreach { case (p, g) =>
       if (pinned.get(p).exists(_.contains(g))) {
         val src = dataDir.resolve(s"${Collection.MonthCol}=$p")
@@ -390,7 +428,8 @@ object Snapshots {
     * copies. An item absent from the manifest did not exist pre-txn
     * and is deleted. */
   def restoreFromManifest(collectionPath: SPath, snap: String,
-                          item: String): Unit = {
+                          item: String,
+                          pins: Option[PinIndex] = None): Unit = {
     val fs = collectionPath.fs
     val live = collectionPath.resolve(item)
     // Restore must never destroy a generation some OTHER manifest still
@@ -403,16 +442,19 @@ object Snapshots {
     // retain there would strip dirs resolveManifestItem already
     // resolved to their LIVE paths (the unchanged periods).
     def retireLiveItem(): Unit = {
-      retainPeriodsIfPinned(collectionPath, item)
-      retainIfPinned(collectionPath, item)
+      retainPeriodsIfPinned(collectionPath, item, pins)
+      retainIfPinned(collectionPath, item, pins)
     }
     // legacy fallback: a time item with no `_period_gens` was COPIED
-    // into the snapshot dir at manifest creation — rename it back whole
+    // into the snapshot dir at manifest creation. Restore by COPY
+    // (hardlink snapshot on POSIX), NOT rename — a rename would consume
+    // the savepoint, and the next rollback to it would classify the
+    // item as removed and delete it outright
     val copied = snapsDir(collectionPath).resolve(snap).resolve(item)
     if (copied.isDir) {
       retireLiveItem()
       live.deleteRecursively()
-      fs.rename(copied.raw, live.raw)
+      fs.snapshotRecursively(copied.raw, live.raw, exclude = _ => false)
       return
     }
     resolveManifestItem(collectionPath, snap, item) match {
@@ -432,7 +474,8 @@ object Snapshots {
         val dataDir = live.resolve(Item.DataDir)
         val pinned = dirs.map(_._1).toSet
         val livePg = periodGensOf(Meta.read(live))
-        val pinnedAll = pinnedPeriodGens(collectionPath, item)
+        val pinnedAll = pins.map(_.periods.getOrElse(item, Map.empty[String, Set[Long]]))
+          .getOrElse(pinnedPeriodGens(collectionPath, item))
         // cross-shape: live is FLAT (no period gens) while the target
         // pins periods — the flat generation is replaced whole (retain
         // it if pinned; stray flat part-files must not survive under

@@ -219,11 +219,12 @@ class GraftSqlWriteSpec extends SparkSpec {
     assert(!c.path.resolve("x$periods").isDir)
     // abort of CREATE OR REPLACE on a NONEXISTENT target removes the
     // item its write created (plain-CREATE cleanup semantics); on an
-    // existing target the atomic swap stands and abort must not delete
+    // EXISTING target the pre-write state was pinned and abort restores
+    // it — a failed REPLACE never keeps its replacement
     val cat = spark.sessionState.catalogManager.catalog("wctas9")
       .asInstanceOf[org.apache.spark.sql.connector.catalog.StagingTableCatalog]
     val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("c"), "born")
-    def stageAndWrite(): org.apache.spark.sql.connector.catalog.StagedTable = {
+    def stageAndWrite(tagPrefix: String): org.apache.spark.sql.connector.catalog.StagedTable = {
       val st = cat.stageCreateOrReplace(ident,
         frame("2024-01-01", 5).schema, Array.empty,
         new java.util.HashMap[String, String]())
@@ -231,18 +232,29 @@ class GraftSqlWriteSpec extends SparkSpec {
         .newWriteBuilder(null).build()
         .asInstanceOf[org.apache.spark.sql.connector.write.V1Write]
         .toInsertableRelation
-      rel.insert(frame("2024-01-01", 5), overwrite = false)
+      rel.insert(frame("2024-01-01", 5, tagPrefix), overwrite = false)
       st
     }
-    val first = stageAndWrite()
+    def tags(): Seq[String] =
+      c.item("born").data.orderBy("index").collect().map(_.getString(2)).toSeq
+    val first = stageAndWrite("a")
     assert(c.hasItem("born"))
     first.abortStagedChanges()
     assert(!c.hasItem("born"), "aborted C-OR-R on a fresh name must clean up")
-    // now the item exists (committed); a later aborted replace keeps it
-    stageAndWrite().commitStagedChanges()
-    assert(c.item("born").data.count() == 5)
-    stageAndWrite().abortStagedChanges()
-    assert(c.hasItem("born"), "abort after replacing an EXISTING item keeps the swap")
+    // commit an 'a' generation, then REPLACE it with 'b' and abort:
+    // the 'a' state must come back (and the internal pin must be gone)
+    stageAndWrite("a").commitStagedChanges()
+    assert(tags() == Seq("a0", "a1", "a2", "a3", "a4"))
+    val replaced = stageAndWrite("b")
+    assert(tags().head == "b0") // the swap is live pre-commit (atomic write)
+    replaced.abortStagedChanges()
+    assert(tags() == Seq("a0", "a1", "a2", "a3", "a4"),
+      "aborted REPLACE must restore the pre-write state")
+    assert(!Snapshots.listManifests(c.path).exists(_.startsWith("__txn_rtas")),
+      "the pre-state pin must be dropped after the abort restored it")
+    // a committed replace releases the pin and keeps the new state
+    stageAndWrite("b").commitStagedChanges()
+    assert(tags().head == "b0")
     cleanup(c)
   }
 

@@ -77,6 +77,64 @@ class ManifestSnapshotSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("legacy copied-item savepoints survive REPEATED rollback (copy-back, not rename)") {
+    import org.apache.spark.sql.functions.col
+    val c = tempCollection("msnap_rb_legacy")
+    def day(d: String, v: Double) = {
+      import spark.implicits._
+      Seq((java.sql.Timestamp.valueOf(s"$d 00:00:00"), v)).toDF("index", "value")
+    }
+    c.write("m", day("2024-01-01", 1.0), monthlyLayout = true)
+    c.append("m", day("2024-01-02", 2.0))
+    // forge a LEGACY sidecar: no _period_gens → createSnapshot must
+    // fall back to copying the item into the snapshot dir
+    val itemPath = c.path.resolve("m")
+    Meta.write(itemPath, Meta.read(itemPath) - "_period_gens")
+    c.clearMetadataCache()
+    c.createSnapshot(Some("sp"), manifest = Some(true))
+    assert(c.path.resolve("_snapshots").resolve("sp").resolve("m").isDir,
+      "legacy time item must be copied into the snapshot dir")
+    c.append("m", day("2024-01-03", 3.0))
+    assert(c.rollbackTo("sp")("m") == "restored")
+    assert(c.item("m").data.count() == 2)
+    // the copy must still be there: roll forward and back AGAIN
+    c.append("m", day("2024-01-04", 4.0))
+    assert(c.rollbackTo("sp")("m") == "restored")
+    assert(c.item("m").data.count() == 2,
+      "a second rollback to a legacy savepoint must restore, not delete")
+    assert(c.item("m").data.agg(org.apache.spark.sql.functions.max(col("value")))
+      .head.getDouble(0) == 2.0)
+    cleanup(c)
+  }
+
+  test("rollback undoes metadata-only mutations: ALTER ADD COLUMNS and analyze") {
+    val c = tempCollection("msnap_rb_meta")
+    def day(d: String, n: Int) = {
+      import spark.implicits._
+      val start = java.time.LocalDate.parse(d)
+      (0 until n).map(i =>
+        (java.sql.Timestamp.valueOf(start.plusDays(i).atStartOfDay()), i.toDouble))
+        .toDF("index", "value")
+    }
+    c.write("m", day("2024-01-01", 40), monthlyLayout = true)
+    c.createSnapshot(Some("sp"), manifest = Some(true))
+    // metadata-only mutations: no generation moves
+    c.addColumns("m", Seq(org.apache.spark.sql.types.StructField(
+      "adj", org.apache.spark.sql.types.DoubleType)))
+    c.analyzeItem("m", Seq("value"))
+    c.setItemProperties("m", Map("quality" -> "silver"), Seq.empty)
+    assert(c.item("m").data.columns.contains("adj"))
+    // the savepoint must undo them even though the data never changed
+    assert(c.rollbackTo("sp")("m") == "restored")
+    assert(!c.item("m").data.columns.contains("adj"),
+      "rollback must undo a metadata-only ALTER ADD COLUMNS")
+    assert(!c.metadata("m").contains("_stats_cols"))
+    assert(!c.metadata("m").contains("quality"))
+    // and a second rollback is a pure no-op
+    assert(c.rollbackTo("sp")("m") == "unchanged")
+    cleanup(c)
+  }
+
   test("diffSnapshot: empty when unchanged, tags appends added and deletes removed") {
     val c = tempCollection("msnap_diff")
     c.write("it", df3(1L -> "a", 2L -> "b"), indexCols = Seq("index"))
