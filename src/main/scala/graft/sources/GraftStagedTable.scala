@@ -265,23 +265,28 @@ final class GraftStagedTable private[sources] (
     preReplacePin.foreach(dropPin) // success: release the pre-state pin
   }
 
-  override def abortStagedChanges(): Unit =
-    if (written) preReplacePin match {
-      case Some(pin) => // failed REPLACE: rename the pre-state back
-        val coll = Collection.at(spark, collectionPath)
-        coll.withCommitLock {
-          graft.store.Snapshots.restoreFromManifest(collectionPath, pin, itemName)
-        }
-        dropPin(pin)
-        coll.clearMetadataCache(Some(itemName))
-      case None if mode == GraftStagedTable.Create ||
-          (mode == GraftStagedTable.CreateOrReplace && !existedAtStage) =>
-        // failed CREATE (or C-OR-R on a fresh name): remove the birth
-        val coll = Collection.at(spark, collectionPath)
-        coll.deleteItem(itemName)
-        coll.clearMetadataCache(Some(itemName))
-      case None => ()
-    }
+  override def abortStagedChanges(): Unit = preReplacePin match {
+    case Some(pin) =>
+      // failed REPLACE: rename the pre-state back. Runs whether or not
+      // the write landed (`written`) — the pin exists from write START,
+      // and a write that failed before committing makes the restore a
+      // no-op (generations still match); either way the pin must not
+      // leak (a stale internal manifest would retain an extra
+      // generation on every later overwrite until vacuum)
+      val coll = Collection.at(spark, collectionPath)
+      coll.withCommitLock {
+        graft.store.Snapshots.restoreFromManifest(collectionPath, pin, itemName)
+      }
+      dropPin(pin)
+      coll.clearMetadataCache(Some(itemName))
+    case None if written && (mode == GraftStagedTable.Create ||
+        (mode == GraftStagedTable.CreateOrReplace && !existedAtStage)) =>
+      // failed CREATE (or C-OR-R on a fresh name): remove the birth
+      val coll = Collection.at(spark, collectionPath)
+      coll.deleteItem(itemName)
+      coll.clearMetadataCache(Some(itemName))
+    case None => ()
+  }
 
   private def dropPin(pin: String): Unit = {
     collectionPath.resolve(GraftStore.SnapshotsDir).resolve(pin).deleteRecursively()

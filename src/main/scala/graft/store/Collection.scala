@@ -1228,8 +1228,15 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     junk.foreach(d => path.resolve(d).deleteRecursively())
     // stale transaction pin manifests (crashed mid-commit): dropping
     // them releases their pins; the GC inside deleteManifest then
-    // reclaims retained dirs nothing else references
+    // reclaims retained dirs nothing else references. AGE-GATED on the
+    // manifest's own creation stamp: a pin younger than an hour may
+    // belong to an IN-FLIGHT transaction or SQL REPLACE in another
+    // session — reclaiming it would leave that statement's abort with
+    // nothing to restore (an unreadable stamp counts as stale)
+    val staleCutoff = java.time.Instant.now().minusSeconds(3600)
     val staleTxn = Snapshots.listManifests(path).filter(_.startsWith("__txn_"))
+      .filter(s => Snapshots.manifestCreatedAt(path, s)
+        .forall(_.isBefore(staleCutoff)))
     staleTxn.foreach { s =>
       path.resolve(GraftStore.SnapshotsDir).resolve(s).deleteRecursively()
       Snapshots.deleteManifest(path, s)
@@ -1930,25 +1937,23 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         val action =
           if (!pinned.contains(it)) "removed" // born after the cut
           else {
-            val liveGens: Option[Either[Long, Map[String, Long]]] =
-              if (!live.contains(it)) None
-              else {
-                val m = Meta.read(path.resolve(it))
-                val pg = Snapshots.periodGensOf(m)
-                if (pg.nonEmpty) Some(Right(pg))
-                else Some(Left(Snapshots.generationOf(m)))
-              }
-            val pins = targetPins.get(it)
-            if (pins.isDefined && pins == liveGens) {
-              // generations match, but metadata-only mutations (ALTER
-              // ADD COLUMNS, analyze, SET TBLPROPERTIES) move no
-              // generation — compare the sidecars too (minus the
-              // `_updated` stamp) or the savepoint would not undo them
-              val pinnedSidecar = Snapshots
-                .resolveManifestItem(path, snapshot, it).map(_.sidecar - "_updated")
-              val liveSidecar = Meta.read(path.resolve(it)) - "_updated"
-              if (pinnedSidecar.contains(liveSidecar)) "unchanged" else "restored"
-            } else "restored"
+            val liveMeta = if (live.contains(it)) Some(Meta.read(path.resolve(it))) else None
+            val liveGens: Option[Either[Long, Map[String, Long]]] = liveMeta.map { m =>
+              val pg = Snapshots.periodGensOf(m)
+              if (pg.nonEmpty) Right(pg) else Left(Snapshots.generationOf(m))
+            }
+            targetPins.get(it) match {
+              case Some((pins, pinnedSidecar))
+                  if liveGens.contains(pins) &&
+                    // generations match, but metadata-only mutations
+                    // (ALTER ADD COLUMNS, analyze, SET TBLPROPERTIES)
+                    // move no generation — the sidecars must match too
+                    // (minus the `_updated` stamp) or the savepoint
+                    // would not undo them
+                    liveMeta.map(_ - "_updated").contains(pinnedSidecar - "_updated") =>
+                "unchanged"
+              case _ => "restored"
+            }
           }
         if (action != "unchanged")
           Snapshots.restoreFromManifest(path, snapshot, it, pinIdx)

@@ -29,6 +29,9 @@ object Meta {
 
   def nowStamp(): String = stampFmt.format(Instant.now())
 
+  /** [[nowStamp]] for an arbitrary instant (test fixtures, backdating). */
+  def stampOf(i: Instant): String = stampFmt.format(i)
+
   /** Inverse of [[nowStamp]] — stamps are UTC wall-clock strings. */
   def parseStamp(s: String): Instant =
     java.time.LocalDateTime.parse(s, stampFmt).toInstant(ZoneOffset.UTC)

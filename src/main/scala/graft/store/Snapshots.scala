@@ -124,6 +124,9 @@ object Snapshots {
   def latestManifestAtOrBefore(collectionPath: SPath,
                                t: java.time.Instant): Option[String] =
     listManifests(collectionPath)
+      .filterNot(_.startsWith("__")) // internal pins (txn/RTAS) are not
+                                     // user snapshots: they pin ONE item
+                                     // and must never anchor time travel
       .flatMap(s => manifestCreatedAt(collectionPath, s)
         .filter(!_.isAfter(t)).map(_ -> s))
       .sortBy(_._1).lastOption.map(_._2)
@@ -306,13 +309,15 @@ object Snapshots {
       }.filter(_._2.nonEmpty))
   }
 
-  /** Pins of EVERY item in manifest `snap` in one read (the per-item
-    * shape [[manifestPins]] serves); None when not a manifest. */
+  /** Pins AND pinned sidecar of EVERY item in manifest `snap` in one
+    * read (the per-item shape [[manifestPins]] serves); None when not
+    * a manifest. Collection-wide rollback classifies all N items from
+    * this single parse instead of N full manifest re-reads. */
   def manifestAllPins(collectionPath: SPath, snap: String)
-      : Option[Map[String, Either[Long, Map[String, Long]]]] =
+      : Option[Map[String, (Either[Long, Map[String, Long]], Map[String, JValue])]] =
     readManifest(collectionPath, snap).map(m => manifestItems(m).map { case (it, e) =>
-      it -> (if (e.periodGens.nonEmpty) Right(e.periodGens): Either[Long, Map[String, Long]]
-             else Left(e.gen.getOrElse(0L)))
+      it -> ((if (e.periodGens.nonEmpty) Right(e.periodGens): Either[Long, Map[String, Long]]
+              else Left(e.gen.getOrElse(0L))), e.sidecar)
     })
 
   /** Before a commit/delete destroys a FLAT `item`'s data dir: if its
@@ -481,7 +486,7 @@ object Snapshots {
         // it if pinned; stray flat part-files must not survive under
         // the restored period dirs)
         if (livePg.isEmpty && dataDir.isDir) {
-          retainIfPinned(collectionPath, item)
+          retainIfPinned(collectionPath, item, pins)
           dataDir.deleteRecursively()
         }
         // destroy-or-retain ONE live period dir: renamed aside when any

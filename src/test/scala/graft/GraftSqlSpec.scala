@@ -209,6 +209,14 @@ class GraftSqlSpec extends SparkSpec {
       val ts = intercept[Exception](spark.sql(
         s"SELECT * FROM $cat.c.item TIMESTAMP AS OF '2000-01-01'").collect())
       assert(ts.getMessage.contains("no manifest snapshot"), ts.getMessage)
+      // internal pin manifests (txn / RTAS, __-prefixed) must NEVER
+      // anchor timestamp travel: they pin one item mid-statement
+      graft.store.Snapshots.createManifest(c.path, "__txn_rtas_999", Seq("item"))
+      val afterPin = spark.sql(s"SELECT count(*) AS n FROM $cat.c.item " +
+        "TIMESTAMP AS OF current_timestamp()").head().getLong(0)
+      assert(afterPin == 60, // the v1 USER manifest — never the newer pin
+        s"timestamp travel resolved an internal pin manifest, got $afterPin")
+      graft.store.Snapshots.deleteManifest(c.path, "__txn_rtas_999")
     }
     cleanup(c)
   }

@@ -255,6 +255,24 @@ class GraftSqlWriteSpec extends SparkSpec {
     // a committed replace releases the pin and keeps the new state
     stageAndWrite("b").commitStagedChanges()
     assert(tags().head == "b0")
+    // a REPLACE whose WRITE fails (pin created, nothing committed):
+    // abort must still drop the pin — a leaked internal manifest would
+    // retain an extra generation on every later overwrite
+    val failing = cat.stageCreateOrReplace(ident,
+      frame("2024-01-01", 5).schema, Array.empty,
+      new java.util.HashMap[String, String]())
+    intercept[Exception] {
+      val rel = failing.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+        .newWriteBuilder(null).build()
+        .asInstanceOf[org.apache.spark.sql.connector.write.V1Write]
+        .toInsertableRelation
+      val dup = frame("2024-01-01", 5)
+      rel.insert(dup.select(dup("index"), dup("value"), dup("value")), overwrite = false)
+    }
+    failing.abortStagedChanges()
+    assert(tags().head == "b0", "failed write must leave the item untouched")
+    assert(!Snapshots.listManifests(c.path).exists(_.startsWith("__txn_rtas")),
+      "a failed write's pin must not leak past abort")
     cleanup(c)
   }
 

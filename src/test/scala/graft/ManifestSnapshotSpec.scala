@@ -275,6 +275,20 @@ class ManifestSnapshotSpec extends SparkSpec {
     assert(c.items == Set("it"))
     assert(c.item("it").data.count() == 1)
     assert(c.vacuum().isEmpty)
+    // internal pin manifests are reclaimed AGE-GATED: a fresh pin may
+    // belong to an in-flight txn/REPLACE in another session and must
+    // survive; an hour-old one is crash debris
+    Snapshots.createManifest(c.path, "__txn_fresh", Seq("it"))
+    assert(c.vacuum().isEmpty)
+    assert(Snapshots.manifestExists(c.path, "__txn_fresh"))
+    val mf = Snapshots.manifestFile(c.path, "__txn_fresh")
+    val old = java.time.Instant.now().minusSeconds(7200)
+    val patched = new String(mf.fs.readBytes(mf.raw), "UTF-8").replaceFirst(
+      """"created"\s*:\s*"[^"]+"""",
+      s""""created" : "${Meta.stampOf(old)}"""")
+    mf.fs.writeBytesAtomic(mf.raw, patched.getBytes("UTF-8"))
+    assert(c.vacuum() == Seq("__txn_fresh"))
+    assert(!Snapshots.manifestExists(c.path, "__txn_fresh"))
     cleanup(c)
   }
 
