@@ -119,9 +119,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier): Table =
     load(ident, snapshot = None)
 
-  /** `VERSION AS OF '<snapshot>'` — version strings are snapshot names. */
-  override def loadTable(ident: Identifier, version: String): Table =
+  /** `VERSION AS OF '<snapshot>'` — version strings are snapshot names.
+    * Internal pin manifests (`__`-prefixed: transaction / RTAS) are
+    * mid-statement state, hidden from listings and timestamp travel —
+    * resolving them by name would expose it and race its release. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (version.startsWith("__"))
+      throw new GraftError(
+        s"'$version' is an internal pin, not a snapshot (the '__' prefix is " +
+          "reserved); SHOW the available snapshots via the item$snapshots table")
     load(ident, snapshot = Some(version))
+  }
 
   /** `TIMESTAMP AS OF t` — the state at time t is the latest MANIFEST
     * snapshot whose creation stamp is ≤ t (manifests record UTC

@@ -288,8 +288,6 @@ final class GraftStagedTable private[sources] (
     case None => ()
   }
 
-  private def dropPin(pin: String): Unit = {
-    collectionPath.resolve(GraftStore.SnapshotsDir).resolve(pin).deleteRecursively()
-    graft.store.Snapshots.deleteManifest(collectionPath, pin)
-  }
+  private def dropPin(pin: String): Unit =
+    graft.store.Snapshots.releasePin(collectionPath, pin)
 }

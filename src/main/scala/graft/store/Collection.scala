@@ -1237,10 +1237,15 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     val staleTxn = Snapshots.listManifests(path).filter(_.startsWith("__txn_"))
       .filter(s => Snapshots.manifestCreatedAt(path, s)
         .forall(_.isBefore(staleCutoff)))
+    // drop all stale manifest files FIRST, then GC once — per-pin
+    // deleteManifest would re-sweep every manifest and the whole
+    // retained tree k times
     staleTxn.foreach { s =>
       path.resolve(GraftStore.SnapshotsDir).resolve(s).deleteRecursively()
-      Snapshots.deleteManifest(path, s)
+      val f = Snapshots.manifestFile(path, s)
+      if (f.exists) f.fs.deleteRecursively(f.raw)
     }
+    if (staleTxn.nonEmpty) Snapshots.gcRetained(path)
     refreshItems()
     junk ++ staleTxn
   }
@@ -1852,6 +1857,14 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
 
   def createSnapshot(name: Option[String] = None,
                      manifest: Option[Boolean] = None): String = {
+    // `__` prefixes are reserved for internal pins (transaction / RTAS):
+    // a user snapshot named that way would be invisible to listings and
+    // timestamp travel, and vacuum would destroy it after an hour
+    name.filter(_.startsWith("__")).foreach { n =>
+      throw new ValidationError(
+        s"snapshot name '$n' uses the reserved '__' prefix (internal " +
+          "transaction pins); pick a name that does not start with '__'")
+    }
     val snap = name.map(_.replaceAll("[^A-Za-z0-9._]", "_"))
       .getOrElse(System.currentTimeMillis().toString + "_" +
         (System.nanoTime() % 1000000L).toString)

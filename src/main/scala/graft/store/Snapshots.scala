@@ -111,11 +111,14 @@ object Snapshots {
   }
 
   /** Creation instant of a manifest snapshot (the UTC stamp written at
-    * [[createManifest]] time); None for dir snapshots / unknown names. */
+    * [[createManifest]] time); None for dir snapshots / unknown names /
+    * corrupt files or stamps — TOTAL, so callers that merely CLASSIFY
+    * (vacuum's age gate, timestamp-travel resolution) keep working past
+    * one damaged manifest instead of aborting wholesale. */
   def manifestCreatedAt(collectionPath: SPath, snap: String): Option[java.time.Instant] =
-    readManifest(collectionPath, snap).flatMap(_.get("created")).collect {
+    try readManifest(collectionPath, snap).flatMap(_.get("created")).collect {
       case JString(s) => Meta.parseStamp(s)
-    }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The snapshot `TIMESTAMP AS OF t` resolves to: the latest manifest
     * whose creation stamp is ≤ t. Dir snapshots record no creation time
@@ -421,6 +424,15 @@ object Snapshots {
     gcRetained(collectionPath)
   }
 
+  /** Release one internal pin (transaction / RTAS): the snapshot dir a
+    * legacy copy may occupy, the manifest, and the GC. The ONE
+    * primitive both the T1 cleanup and the SQL staged-write share —
+    * pin-release fixes must not fork between them. */
+  def releasePin(collectionPath: SPath, snap: String): Unit = {
+    snapsDir(collectionPath).resolve(snap).deleteRecursively()
+    deleteManifest(collectionPath, snap)
+  }
+
   // ----------------------------------------------------------- restore
 
   /** Restore `item` to the state pinned by manifest `snap` — the
@@ -462,6 +474,16 @@ object Snapshots {
       fs.snapshotRecursively(copied.raw, live.raw, exclude = _ => false)
       return
     }
+    // A MISSING manifest is not "item absent from the manifest": the
+    // None arm below deletes the live item (correct when the manifest
+    // exists and proves the item was born after the cut), but if the
+    // manifest itself is gone — vacuumed pin, raced deletion — nothing
+    // is known about the pre-state and deleting the live data would be
+    // unrecoverable. Fail typed; the live state stays.
+    if (!manifestExists(collectionPath, snap))
+      throw new GraftError(
+        s"cannot restore '$item': manifest snapshot '$snap' no longer exists " +
+          "(vacuumed or deleted mid-operation) — the live state was left untouched")
     resolveManifestItem(collectionPath, snap, item) match {
       case None =>
         retireLiveItem()

@@ -89,10 +89,8 @@ final class Transaction(collection: Collection) {
 
   /** Drop the internal pin manifest AND any legacy copied-item dir the
     * manifest creation fell back to (time items without period gens). */
-  private def cleanupTxnSnapshot(snap: String): Unit = {
-    collection.path.resolve(GraftStore.SnapshotsDir).resolve(snap).deleteRecursively()
-    Snapshots.deleteManifest(collection.path, snap)
-  }
+  private def cleanupTxnSnapshot(snap: String): Unit =
+    Snapshots.releasePin(collection.path, snap)
 
   def rollback(): Unit = { completed = true; ops.clear() }
 }

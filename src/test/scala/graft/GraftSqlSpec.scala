@@ -216,6 +216,10 @@ class GraftSqlSpec extends SparkSpec {
         "TIMESTAMP AS OF current_timestamp()").head().getLong(0)
       assert(afterPin == 60, // the v1 USER manifest — never the newer pin
         s"timestamp travel resolved an internal pin manifest, got $afterPin")
+      // nor can VERSION AS OF reach it by name
+      val pinRead = intercept[Exception](spark.sql(
+        s"SELECT * FROM $cat.c.item VERSION AS OF '__txn_rtas_999'").collect())
+      assert(pinRead.getMessage.contains("internal pin"), pinRead.getMessage)
       graft.store.Snapshots.deleteManifest(c.path, "__txn_rtas_999")
     }
     cleanup(c)

@@ -135,6 +135,39 @@ class ManifestSnapshotSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("a vanished pin manifest fails restore TYPED — never deletes the live item") {
+    val c = tempCollection("msnap_gone_pin")
+    c.write("it", df3(1L -> "a", 2L -> "b"), indexCols = Seq("index"))
+    c.createSnapshot(Some("sp"), manifest = Some(true))
+    c.append("it", df3(3L -> "c"))
+    // simulate a vacuumed/raced-away manifest
+    val f = Snapshots.manifestFile(c.path, "sp")
+    f.fs.deleteRecursively(f.raw)
+    val e = intercept[GraftError](Snapshots.restoreFromManifest(c.path, "sp", "it"))
+    assert(e.getMessage.contains("no longer exists"), e.getMessage)
+    assert(c.item("it").data.count() == 3, "the live item must be untouched")
+    // rollbackTo refuses up front for the same reason
+    val e2 = intercept[GraftError](c.rollbackTo("sp"))
+    assert(e2.getMessage.contains("manifest snapshot"))
+    cleanup(c)
+  }
+
+  test("reserved '__' snapshot names refuse; corrupt stamps don't abort vacuum") {
+    val c = tempCollection("msnap_reserved")
+    c.write("it", df3(1L -> "a"), indexCols = Seq("index"))
+    val e = intercept[ValidationError](c.createSnapshot(Some("__txn_mine")))
+    assert(e.getMessage.contains("reserved"))
+    // a pin manifest with a garbled created stamp still counts as stale
+    Snapshots.createManifest(c.path, "__txn_corrupt", Seq("it"))
+    val mf = Snapshots.manifestFile(c.path, "__txn_corrupt")
+    val garbled = new String(mf.fs.readBytes(mf.raw), "UTF-8")
+      .replaceFirst(""""created"\s*:\s*"[^"]+"""", """"created" : "not a stamp"""")
+    mf.fs.writeBytesAtomic(mf.raw, garbled.getBytes("UTF-8"))
+    assert(c.vacuum() == Seq("__txn_corrupt"))
+    assert(!Snapshots.manifestExists(c.path, "__txn_corrupt"))
+    cleanup(c)
+  }
+
   test("diffSnapshot: empty when unchanged, tags appends added and deletes removed") {
     val c = tempCollection("msnap_diff")
     c.write("it", df3(1L -> "a", 2L -> "b"), indexCols = Seq("index"))
