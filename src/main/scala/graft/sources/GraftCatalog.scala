@@ -124,10 +124,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * mid-statement state, hidden from listings and timestamp travel —
     * resolving them by name would expose it and race its release. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    if (version.startsWith("__"))
-      throw new GraftError(
-        s"'$version' is an internal pin, not a snapshot (the '__' prefix is " +
-          "reserved); SHOW the available snapshots via the item$snapshots table")
+    graft.store.Snapshots.requireUserSnapshotName(version)
     load(ident, snapshot = Some(version))
   }
 

@@ -119,6 +119,7 @@ object GraftTable {
              else NioFs
     val snapshot = Option(options.get("snapshot")).filter(_.nonEmpty)
     val since = Option(options.get("changesSince")).filter(_.nonEmpty)
+    (snapshot ++ since).foreach(graft.store.Snapshots.requireUserSnapshotName)
     if (snapshot.isDefined && since.isDefined)
       throw new GraftError(
         "options 'snapshot' and 'changesSince' are mutually exclusive: one " +

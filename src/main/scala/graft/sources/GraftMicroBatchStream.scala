@@ -116,6 +116,7 @@ final class GraftMicroBatchStream(
     // parse; no qualifying manifest refuses typed (never a silent
     // fall-through to 'earliest' — that would replay the whole item).
     val rawSnap = Option(options.get("startingSnapshot")).map(_.trim).filter(_.nonEmpty)
+    rawSnap.foreach(Snapshots.requireUserSnapshotName)
     // exclusivity FIRST: resolving a timestamp can itself throw
     // ("no manifest predates it") — conflicting options must report
     // the conflict, not send the user chasing snapshots

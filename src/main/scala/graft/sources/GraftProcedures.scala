@@ -220,6 +220,7 @@ private[sources] object GraftProcedures {
       (store, args) => {
         val c = existing(store, str(args, 0))
         val item = str(args, 1); val snap = str(args, 2)
+        graft.store.Snapshots.requireUserSnapshotName(snap)
         val itemPath = c.path.resolve(item)
         if (!itemPath.resolve(graft.store.Item.DataDir).isDir)
           throw new GraftError(s"item '$item' does not exist in collection '${str(args, 0)}'")

@@ -1226,25 +1226,19 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       d.startsWith(TmpPrefix) || d.startsWith("__backup_") ||
         d.startsWith("__txn_backup_") || d.startsWith("__cow_"))
     junk.foreach(d => path.resolve(d).deleteRecursively())
-    // stale transaction pin manifests (crashed mid-commit): dropping
-    // them releases their pins; the GC inside deleteManifest then
-    // reclaims retained dirs nothing else references. AGE-GATED on the
+    // stale transaction pin manifests (crashed mid-commit): releasing
+    // them frees their pins so the single GC sweep below reclaims
+    // retained dirs nothing else references. AGE-GATED on the
     // manifest's own creation stamp: a pin younger than an hour may
     // belong to an IN-FLIGHT transaction or SQL REPLACE in another
     // session — reclaiming it would leave that statement's abort with
-    // nothing to restore (an unreadable stamp counts as stale)
+    // nothing to restore. Damaged CONTENT counts as stale; a transient
+    // read error propagates (aborting vacuum is safe, guessing is not).
     val staleCutoff = java.time.Instant.now().minusSeconds(3600)
     val staleTxn = Snapshots.listManifests(path).filter(_.startsWith("__txn_"))
       .filter(s => Snapshots.manifestCreatedAt(path, s)
         .forall(_.isBefore(staleCutoff)))
-    // drop all stale manifest files FIRST, then GC once — per-pin
-    // deleteManifest would re-sweep every manifest and the whole
-    // retained tree k times
-    staleTxn.foreach { s =>
-      path.resolve(GraftStore.SnapshotsDir).resolve(s).deleteRecursively()
-      val f = Snapshots.manifestFile(path, s)
-      if (f.exists) f.fs.deleteRecursively(f.raw)
-    }
+    staleTxn.foreach(s => Snapshots.releasePin(path, s, gc = false))
     if (staleTxn.nonEmpty) Snapshots.gcRetained(path)
     refreshItems()
     junk ++ staleTxn
@@ -1857,17 +1851,19 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
 
   def createSnapshot(name: Option[String] = None,
                      manifest: Option[Boolean] = None): String = {
-    // `__` prefixes are reserved for internal pins (transaction / RTAS):
-    // a user snapshot named that way would be invisible to listings and
-    // timestamp travel, and vacuum would destroy it after an hour
-    name.filter(_.startsWith("__")).foreach { n =>
-      throw new ValidationError(
-        s"snapshot name '$n' uses the reserved '__' prefix (internal " +
-          "transaction pins); pick a name that does not start with '__'")
-    }
     val snap = name.map(_.replaceAll("[^A-Za-z0-9._]", "_"))
       .getOrElse(System.currentTimeMillis().toString + "_" +
         (System.nanoTime() % 1000000L).toString)
+    // `__` prefixes are reserved for internal pins (transaction / RTAS):
+    // a user snapshot named that way would be invisible to listings and
+    // timestamp travel, and vacuum would destroy it after an hour.
+    // Checked AFTER sanitization — "_ txn_x" sanitizes INTO the
+    // reserved prefix and must refuse just the same.
+    if (snap.startsWith("__"))
+      throw new ValidationError(
+        s"snapshot name '${name.getOrElse(snap)}' resolves to the reserved " +
+          s"'__' prefix (internal transaction pins): '$snap'; pick a name " +
+          "that does not start with underscores")
     val useManifest = manifest.getOrElse(path.fs != NioFs)
     // write side of the coordination lock: no commit point (ordinary,
     // parallel-batch, async, or a whole in-flight transaction holding
@@ -1912,6 +1908,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
   def rollbackTo(snapshot: String,
                  keepSnapshot: Boolean = true,
                  items: Seq[String] = Nil): Map[String, String] = {
+    Snapshots.requireUserSnapshotName(snapshot)
     val pinnedManifest = Snapshots.manifestItemNames(path, snapshot).getOrElse(
       throw new GraftError(
         s"rollbackTo requires a manifest snapshot; '$snapshot' is missing " +
@@ -1984,8 +1981,11 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
   }
 
   /** Lenient: deleting a missing snapshot returns true
-    * (reference quirk, collection.py:550-553, kept per tests). */
+    * (reference quirk, collection.py:550-553, kept per tests). Internal
+    * pins refuse: deleting a live statement's pin by name would strip
+    * its rollback (vacuum's age gate is the sanctioned reclaim path). */
   def deleteSnapshot(name: String): Boolean = {
+    Snapshots.requireUserSnapshotName(name)
     path.resolve(GraftStore.SnapshotsDir).resolve(name).deleteRecursively()
     Snapshots.deleteManifest(path, name)
     true

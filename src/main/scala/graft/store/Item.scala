@@ -51,6 +51,7 @@ final class Item private[store] (
   private val resolved: (SPath, Option[Snapshots.Resolved]) = snapshot match {
     case None => (collectionPath.resolve(name), None)
     case Some(snap) =>
+      Snapshots.requireUserSnapshotName(snap)
       val snapDir = collectionPath.resolve(GraftStore.SnapshotsDir).resolve(snap)
       val hasManifest = Snapshots.manifestExists(collectionPath, snap)
       if (!snapDir.isDir && !hasManifest)

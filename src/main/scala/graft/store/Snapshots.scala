@@ -111,14 +111,22 @@ object Snapshots {
   }
 
   /** Creation instant of a manifest snapshot (the UTC stamp written at
-    * [[createManifest]] time); None for dir snapshots / unknown names /
-    * corrupt files or stamps — TOTAL, so callers that merely CLASSIFY
-    * (vacuum's age gate, timestamp-travel resolution) keep working past
-    * one damaged manifest instead of aborting wholesale. */
-  def manifestCreatedAt(collectionPath: SPath, snap: String): Option[java.time.Instant] =
-    try readManifest(collectionPath, snap).flatMap(_.get("created")).collect {
-      case JString(s) => Meta.parseStamp(s)
-    } catch { case scala.util.control.NonFatal(_) => None }
+    * [[createManifest]] time). None for dir snapshots / unknown names /
+    * DAMAGED content (unparseable JSON or stamp) — content damage is a
+    * durable property safe to classify on. Transient I/O errors
+    * PROPAGATE: vacuum treating a read hiccup on a young in-flight pin
+    * as "stale" would destroy the pin a live statement needs. */
+  def manifestCreatedAt(collectionPath: SPath, snap: String): Option[java.time.Instant] = {
+    val f = manifestFile(collectionPath, snap)
+    if (!f.exists) return None
+    val bytes = f.fs.readBytes(f.raw) // I/O failure propagates
+    try JsonMethods.parse(new String(bytes, StandardCharsets.UTF_8)) match {
+      case JObject(fields) => fields.toMap.get("created").collect {
+        case JString(s) => Meta.parseStamp(s)
+      }
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => None } // content damage
+  }
 
   /** The snapshot `TIMESTAMP AS OF t` resolves to: the latest manifest
     * whose creation stamp is ≤ t. Dir snapshots record no creation time
@@ -130,8 +138,22 @@ object Snapshots {
       .filterNot(_.startsWith("__")) // internal pins (txn/RTAS) are not
                                      // user snapshots: they pin ONE item
                                      // and must never anchor time travel
-      .flatMap(s => manifestCreatedAt(collectionPath, s)
-        .filter(!_.isAfter(t)).map(_ -> s))
+      .flatMap { s =>
+        manifestCreatedAt(collectionPath, s) match {
+          case Some(at) => Some(at -> s)
+          case None if !manifestExists(collectionPath, s) =>
+            None // deleted between the listing and the read: not a candidate
+          case None =>
+            // a USER manifest that exists but has no readable stamp is
+            // damage: silently skipping it would resolve the query to an
+            // OLDER snapshot — stale data with no error. Fail loudly.
+            throw new GraftError(
+              s"manifest snapshot '$s' is unreadable (corrupt file or " +
+                "creation stamp) — cannot resolve TIMESTAMP AS OF safely; " +
+                "repair or delete the snapshot")
+        }
+      }
+      .filter(!_._1.isAfter(t))
       .sortBy(_._1).lastOption.map(_._2)
 
   /** Item names pinned by manifest `snap`; None when the snapshot is
@@ -197,7 +219,16 @@ object Snapshots {
   def resolveManifestItem(collectionPath: SPath, snap: String, item: String)
       : Option[Resolved] =
     readManifest(collectionPath, snap).flatMap { m =>
-      manifestItems(m).get(item).map { e =>
+      resolveEntry(collectionPath, item, manifestItems(m).get(item))
+    }
+
+  /** [[resolveManifestItem]] against an ALREADY-PARSED entry — restore
+    * reads the manifest once and resolves from that single read (a
+    * re-read could race a concurrent deletion into the None arm, whose
+    * semantics are "item born after the cut → delete it"). */
+  private def resolveEntry(collectionPath: SPath, item: String,
+                           entry: Option[Entry]): Option[Resolved] =
+      entry.map { e =>
         val live = collectionPath.resolve(item)
         val liveMeta = Meta.read(live)
         if (e.periodGens.nonEmpty) {
@@ -220,7 +251,6 @@ object Snapshots {
           FlatResolved(dir, e.sidecar)
         }
       }
-    }
 
   /** The pinned generation state of `item` in manifest snapshot `snap`,
     * for change detection (the batch CDC read's anchor): Right(period →
@@ -424,13 +454,28 @@ object Snapshots {
     gcRetained(collectionPath)
   }
 
+  /** Internal pins (`__`-prefixed) are mid-statement state, hidden from
+    * listings and timestamp travel — resolving one BY NAME on any read
+    * surface (SQL VERSION AS OF, the reader `snapshot`/`changesSince`
+    * options, Scala `item(snapshot=...)`) would expose it and race its
+    * release. The ONE guard every resolution layer calls. */
+  def requireUserSnapshotName(name: String): Unit =
+    if (name.startsWith("__"))
+      throw new GraftError(
+        s"'$name' is an internal pin, not a snapshot (the '__' prefix is " +
+          "reserved for transaction/replace pins)")
+
   /** Release one internal pin (transaction / RTAS): the snapshot dir a
-    * legacy copy may occupy, the manifest, and the GC. The ONE
-    * primitive both the T1 cleanup and the SQL staged-write share —
-    * pin-release fixes must not fork between them. */
-  def releasePin(collectionPath: SPath, snap: String): Unit = {
+    * legacy copy may occupy, the manifest, and (unless the caller
+    * batches its own sweep, like vacuum over many pins) the GC. The ONE
+    * primitive every pin-release path shares — fixes must not fork. */
+  def releasePin(collectionPath: SPath, snap: String, gc: Boolean = true): Unit = {
     snapsDir(collectionPath).resolve(snap).deleteRecursively()
-    deleteManifest(collectionPath, snap)
+    if (gc) deleteManifest(collectionPath, snap)
+    else {
+      val f = manifestFile(collectionPath, snap)
+      if (f.exists) f.fs.deleteRecursively(f.raw)
+    }
   }
 
   // ----------------------------------------------------------- restore
@@ -474,17 +519,20 @@ object Snapshots {
       fs.snapshotRecursively(copied.raw, live.raw, exclude = _ => false)
       return
     }
-    // A MISSING manifest is not "item absent from the manifest": the
-    // None arm below deletes the live item (correct when the manifest
-    // exists and proves the item was born after the cut), but if the
-    // manifest itself is gone — vacuumed pin, raced deletion — nothing
-    // is known about the pre-state and deleting the live data would be
-    // unrecoverable. Fail typed; the live state stays.
-    if (!manifestExists(collectionPath, snap))
+    // A MISSING (or unreadable) manifest is not "item absent from the
+    // manifest": the None arm below deletes the live item (correct when
+    // the manifest READS and proves the item was born after the cut),
+    // but if the manifest is gone or damaged — vacuumed pin, raced
+    // deletion, corrupt file — nothing is known about the pre-state and
+    // deleting the live data would be unrecoverable. ONE read decides:
+    // a check-then-re-read would race a concurrent deletion into the
+    // delete arm. Unreadable → fail typed; the live state stays.
+    val parsed = readManifest(collectionPath, snap).getOrElse(
       throw new GraftError(
         s"cannot restore '$item': manifest snapshot '$snap' no longer exists " +
-          "(vacuumed or deleted mid-operation) — the live state was left untouched")
-    resolveManifestItem(collectionPath, snap, item) match {
+          "or is unreadable (vacuumed, deleted mid-operation, or corrupt) — " +
+          "the live state was left untouched"))
+    resolveEntry(collectionPath, item, manifestItems(parsed).get(item)) match {
       case None =>
         retireLiveItem()
         live.deleteRecursively() // created by the failed txn

@@ -77,12 +77,24 @@ final class Transaction(collection: Collection) {
       cleanupTxnSnapshot(snap)
     } catch {
       case NonFatal(e) =>
-        // rollback: rename every affected item's pinned state back
-        affected.foreach(Snapshots.restoreFromManifest(collection.path, snap, _))
-        cleanupTxnSnapshot(snap)
+        // rollback: rename every affected item's pinned state back.
+        // A per-item restore failure (e.g. a raced-away pin) must not
+        // abandon the REMAINING items' restores nor mask the original
+        // failure — and the pin is kept when anything failed, so the
+        // un-restored state stays recoverable.
+        val restoreFailed = affected.flatMap { it =>
+          try { Snapshots.restoreFromManifest(collection.path, snap, it); None }
+          catch { case NonFatal(re) => Some(s"$it (${re.getMessage})") }
+        }
+        if (restoreFailed.isEmpty) cleanupTxnSnapshot(snap)
         collection.clearMetadataCache()
         collection.listItems() // refresh the item-set cache post-restore
-        throw new TransactionError(s"transaction rolled back: ${e.getMessage}")
+        throw new TransactionError(
+          s"transaction rolled back: ${e.getMessage}" +
+            (if (restoreFailed.nonEmpty)
+               s"; restore FAILED for ${restoreFailed.mkString("; ")} — " +
+                 s"pin '$snap' retained for manual recovery"
+             else ""))
     }
     }
   }

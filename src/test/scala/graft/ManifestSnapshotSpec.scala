@@ -157,6 +157,16 @@ class ManifestSnapshotSpec extends SparkSpec {
     c.write("it", df3(1L -> "a"), indexCols = Seq("index"))
     val e = intercept[ValidationError](c.createSnapshot(Some("__txn_mine")))
     assert(e.getMessage.contains("reserved"))
+    // sanitization cannot smuggle the prefix in ("_ x" -> "__x")
+    val e2 = intercept[ValidationError](c.createSnapshot(Some("_ txn_mine")))
+    assert(e2.getMessage.contains("reserved"))
+    // nor can any read/maintenance surface resolve an internal pin name
+    assert(intercept[GraftError](c.item("it", snapshot = Some("__txn_x")))
+      .getMessage.contains("internal pin"))
+    assert(intercept[GraftError](c.deleteSnapshot("__txn_x"))
+      .getMessage.contains("internal pin"))
+    assert(intercept[GraftError](c.rollbackTo("__txn_x"))
+      .getMessage.contains("internal pin"))
     // a pin manifest with a garbled created stamp still counts as stale
     Snapshots.createManifest(c.path, "__txn_corrupt", Seq("it"))
     val mf = Snapshots.manifestFile(c.path, "__txn_corrupt")
