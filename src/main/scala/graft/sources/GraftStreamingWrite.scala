@@ -28,14 +28,15 @@ import graft.store.{Collection, Meta, SPath}
   *
   * Exactly-once: the last applied epoch per STREAMING QUERY rides the
   * item sidecar (`_stream_epoch_<queryId>`; queryId is stable across
-  * restarts of a checkpointed query) and replayed epochs skip — the
-  * same recipe as the index sinks (StreamAppend.intoBm25Index). The
-  * residual window (crash between the append's atomic commit and the
-  * sidecar mark) re-applies one batch; under the default KeepLast /
-  * KeepFirst handling that replay is IDEMPOTENT (the anti-join dedups
-  * the identical rows), so only explicit `duplicates=keep_all` sinks
-  * carry the at-least-once residual, and only across a crash at that
-  * exact point. */
+  * restarts of a checkpointed query) and replayed epochs skip. The mark
+  * is threaded into [[graft.store.Collection.append]]'s OWN atomic
+  * sidecar commit (`extraMeta`) — the data swap and the mark are one
+  * write under the commit lock, so there is NO crash point where the
+  * batch landed but the mark didn't: a restarted query either replays
+  * an unapplied epoch (data absent too) or skips an applied one. That
+  * makes the sink exactly-once for EVERY duplicate strategy including
+  * `keep_all`, and removes the unguarded sidecar read-modify-write the
+  * old trailing `Meta.write` could race against a concurrent writer. */
 final class GraftStreamingWrite(
     spark: SparkSession,
     itemPath: SPath,
@@ -72,10 +73,11 @@ final class GraftStreamingWrite(
       val item = itemPath.name
       if (epochId > lastApplied(coll) && epochDir.isDir) {
         val batch = spark.read.schema(tableSchema).parquet(epochDir.toString)
+        // the epoch mark rides the append's atomic commit: no seam
+        // between data and mark (see class doc)
         coll.append(item, batch,
-          duplicateHandling = GraftWrites.duplicatesOf(info.options()))
-        Meta.write(itemPath,
-          Meta.read(itemPath) + (epochKey -> Meta.jv(epochId)))
+          duplicateHandling = GraftWrites.duplicatesOf(info.options()),
+          extraMeta = Map(epochKey -> Meta.jv(epochId)))
         coll.clearMetadataCache(Some(item))
       }
     } finally {

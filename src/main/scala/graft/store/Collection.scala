@@ -939,13 +939,23 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * Shuffle budget: one anti-join on the index (broadcast when the new
     * batch is small — Catalyst/AQE decides from sizes), one range
     * repartition. The union itself is shuffle-free.
-    */
+    *
+    * `extraMeta` rides the append's OWN atomic sidecar commit — keys a
+    * caller needs recorded if-and-only-if the data landed (the streaming
+    * sink's per-query epoch mark). A separate post-append `Meta.write`
+    * would leave a crash window where the data committed but the mark
+    * didn't (re-applying one batch — duplicating rows under `keep_all`)
+    * and would race a concurrent writer's commit; in-commit, neither
+    * can happen. (An EMPTY batch returns before committing, so its
+    * extraMeta is NOT recorded — correct for idempotency marks: the
+    * replay of a no-op is a no-op.) */
   def append(item: String,
              df: DataFrame,
              duplicateHandling: DuplicateHandling = DuplicateHandling.KeepLast,
              validateSchema: Boolean = true,
              evolution: Option[EvolutionStrategy] = None,
-             npartitions: Option[Int] = None): Unit = {
+             npartitions: Option[Int] = None,
+             extraMeta: Map[String, JValue] = Map.empty): Unit = {
     Collection.requireWritableItemName(item)
     if (!hasItem(item))
       throw new ItemNotFoundError(s"item '$item' does not exist; write it first")
@@ -954,7 +964,8 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     val timeLayout = timeLayoutOf(item)
     val monthly = timeLayout.isDefined
     if (monthly && evolution.isEmpty) {
-      appendPeriodic(item, df, duplicateHandling, validateSchema, timeLayout.get)
+      appendPeriodic(item, df, duplicateHandling, validateSchema, timeLayout.get,
+        extraMeta)
       return
     }
     // (schema evolution on a time-layout item falls through to the full
@@ -1043,7 +1054,8 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
        else Meta.obj(
          "schema_json_encoded" -> deduped.schema.json,
          "schema_json" -> Collection.evolveLogicalSchema(
-           storedMeta, deduped.schema).json))
+           storedMeta, deduped.schema).json)) ++
+      extraMeta
     commit(item, laidOut, prevMeta, partitioned = monthly)
     // the full rewrite re-derived every period: stale per-period stats
     // would let a later pruned delete silently skip live rows
@@ -1061,7 +1073,8 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
                              df: DataFrame,
                              duplicateHandling: DuplicateHandling,
                              validateSchema: Boolean,
-                             layout: String): Unit = {
+                             layout: String,
+                             extraMeta: Map[String, JValue] = Map.empty): Unit = {
     val existing = this.item(item)
     val idx = existing.indexCols
     val newDf = df
@@ -1111,7 +1124,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     val prevStats = readStatsMeta(item).getOrElse(
       Partitioner.computeStats(existing.data, idx.head))
     val stats = prevStats.merge(Partitioner.computeStats(newDf, idx.head))
-    val prevMeta = Meta.read(path.resolve(item)) ++ statsMeta(stats)
+    val prevMeta = Meta.read(path.resolve(item)) ++ statsMeta(stats) ++ extraMeta
     commitMonths(item,
       withTimeLayout(combined.dropDuplicates(), idx, monthlySaltOf(item), layout),
       months, prevMeta)

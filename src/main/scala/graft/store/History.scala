@@ -1,0 +1,89 @@
+package graft.store
+
+import org.json4s._
+
+/** Per-item commit log — one entry per atomic commit, riding the
+  * sidecar write the commit already pays for (zero extra I/O on the
+  * publish paths; the only addition is the entry's ~100 bytes of JSON).
+  *
+  * The reference has no commit history at all (pystore sidecars record
+  * only `_updated`, utils.py:89-107); this is the `DESCRIBE HISTORY`
+  * convention of the modern table formats, and it is what anchors
+  * `TIMESTAMP AS OF` when no manifest snapshot exists: generations are
+  * bare nanotime counters, so without the log there is nothing that
+  * ties a generation to a wall-clock instant.
+  *
+  * Each entry records the verb (`write`/`append`/`delete_where`/
+  * `rollback`/...), the commit's generation stamp, the touched period
+  * keys (empty for flat items), and the commit's UTC wall-clock stamp.
+  * The log is CAPPED at [[MaxEntries]] (newest kept): it is a sidecar
+  * field read driver-side on every metadata load, so it must stay a
+  * few tens of KB at any item age — a 100 TB item with years of
+  * appends carries the same bounded log as a day-old one. Truncation
+  * is recorded by the oldest surviving entry simply being later than
+  * the item's birth; timestamp travel earlier than the log refuses
+  * with a typed error rather than guessing.
+  */
+object History {
+  /** Sidecar key holding the JSON array of entries (oldest first). */
+  val Key = "_history"
+
+  /** Transient meta key callers use to label the commit's verb; the
+    * publish paths pop it into the entry and never persist it. */
+  val OpKey = "_history_op"
+
+  val MaxEntries = 256
+
+  final case class Entry(op: String, gen: Long, at: java.time.Instant,
+                         periods: Seq[String])
+
+  private def render(e: Entry): JValue = JObject(List(
+    JField("op", JString(e.op)),
+    JField("gen", JInt(BigInt(e.gen))),
+    JField("at", JString(Meta.stampOf(e.at)))) ++
+    (if (e.periods.isEmpty) Nil
+     else List(JField("periods", JArray(e.periods.sorted.map(JString(_)).toList)))))
+
+  private def parse(j: JValue): Option[Entry] = j match {
+    case JObject(fields) =>
+      val m = fields.toMap
+      for {
+        op <- m.get("op").collect { case JString(s) => s }
+        gen <- m.get("gen").collect { case JInt(i) => i.toLong }
+        at <- m.get("at").collect { case JString(s) => Meta.parseStamp(s) }
+      } yield Entry(op, gen, at, m.get("periods") match {
+        case Some(JArray(xs)) => xs.collect { case JString(p) => p }
+        case _ => Nil
+      })
+    case _ => None
+  }
+
+  /** Entries recorded in `meta`, oldest first; damaged/foreign entries
+    * are skipped (the log is advisory — readers must not fail on it). */
+  def entriesOf(meta: Map[String, JValue]): Seq[Entry] = meta.get(Key) match {
+    case Some(JArray(xs)) => xs.flatMap(parse)
+    case _ => Nil
+  }
+
+  /** The commit verb a caller declared via [[OpKey]] (popped by the
+    * publish paths), or the generic fallback. */
+  def opOf(meta: Map[String, JValue]): String = meta.get(OpKey) match {
+    case Some(JString(s)) => s
+    case _ => "commit"
+  }
+
+  /** The log with one entry appended and the cap applied. `prior` is
+    * the meta map carrying the existing log (usually the stored sidecar
+    * the caller already merged in). */
+  def appended(prior: Map[String, JValue], op: String, gen: Long,
+               periods: Seq[String]): JValue = {
+    val all = entriesOf(prior) :+ Entry(op, gen, java.time.Instant.now(), periods)
+    JArray(all.takeRight(MaxEntries).map(render).toList)
+  }
+
+  /** The latest commit at or before `t`, for timestamp travel. None
+    * when the log is empty or starts after `t`. */
+  def latestAtOrBefore(meta: Map[String, JValue],
+                       t: java.time.Instant): Option[Entry] =
+    entriesOf(meta).filter(!_.at.isAfter(t)).lastOption
+}

@@ -36,7 +36,14 @@ object Meta {
   def parseStamp(s: String): Instant =
     java.time.LocalDateTime.parse(s, stampFmt).toInstant(ZoneOffset.UTC)
 
+  /** Test-visible count of sidecar writes — the regression hook that
+    * proves a commit folded its caller's extra keys (e.g. the streaming
+    * sink's epoch mark) into the commit's ONE sidecar write instead of
+    * trailing a second, non-atomic one. */
+  private[graft] val writes = new java.util.concurrent.atomic.AtomicLong(0)
+
   def write(dir: SPath, metadata: Map[String, JValue]): Unit = {
+    writes.incrementAndGet()
     dir.mkdirs()
     val withStamp = metadata + ("_updated" -> JString(nowStamp()))
     val json = JsonMethods.pretty(JsonMethods.render(JObject(withStamp.toList)))
