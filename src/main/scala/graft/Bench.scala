@@ -35,13 +35,25 @@ object Bench {
     // sustained all-core phases inflate 2-5x. /proc/stat's 8th cpu
     // field counts jiffies the hypervisor withheld; the start→end delta
     // as a fraction of total elapsed jiffies is the run's steal share.
-    def cpuJiffies(): Option[(Long, Long)] =
+    // (total, steal, busy) jiffies: busy = total - idle - iowait — what
+    // SOMETHING on the machine was computing. Compared against THIS
+    // JVM's own CPU time it yields the other-process share, the signal
+    // that sees mid-run contention CONTINUOUSLY (a q1 sentinel can land
+    // in calm gaps; the round-8 249.8 s capture passed max_drift ≤ 2
+    // with 8x single-query inflation exactly that way).
+    def cpuJiffies(): Option[(Long, Long, Long)] =
       try {
         val line = java.nio.file.Files.readAllLines(
           java.nio.file.Paths.get("/proc/stat")).get(0)
         val f = line.trim.split("\\s+").drop(1).map(_.toLong)
-        Some((f.sum, if (f.length > 7) f(7) else 0L))
+        val idle = (if (f.length > 3) f(3) else 0L) + (if (f.length > 4) f(4) else 0L)
+        Some((f.sum, if (f.length > 7) f(7) else 0L, f.sum - idle))
       } catch { case _: Exception => None }
+    def processCpuNs(): Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+        case _ => -1L
+      }
 
     // Machine-contention sentinel: a fixed cheap query timed at start,
     // at the end, AND every `SentinelEvery` queries mid-run, plus the
@@ -53,6 +65,8 @@ object Bench {
     val SentinelEvery = 25
     val loadStart = loadAvg()
     val jiffiesStart = cpuJiffies()
+    val procCpuStart = processCpuNs()
+    val wallStart = System.nanoTime()
     val sentinelStart = timeQuery("q1_agg")
     val midSentinels = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
     var loadMax = math.max(loadStart, 0.0)
@@ -95,17 +109,44 @@ object Bench {
     // unavailable (non-Linux). >10% means the hypervisor withheld a
     // material slice of the machine mid-run — all-core query times are
     // inflated even if every q1 sentinel stayed in band.
-    val stealPct = (jiffiesStart, cpuJiffies()) match {
-      case (Some((t0, s0)), Some((t1, s1))) if t1 > t0 =>
+    val jiffiesEnd = cpuJiffies()
+    val stealPct = (jiffiesStart, jiffiesEnd) match {
+      case (Some((t0, s0, _)), Some((t1, s1, _))) if t1 > t0 =>
         (s1 - s0).toDouble / (t1 - t0).toDouble * 100.0
       case _ => -1.0
     }
+    // Other-process CPU share of the machine over the WHOLE capture:
+    // busy jiffies minus this JVM's own CPU time, as a fraction of
+    // elapsed capacity. Clean runs read 1-3% (kernel + sbt overhead); a
+    // co-tenant burning cores mid-run shows here even when every q1
+    // sample landed in a calm gap. USER_HZ is 100 on every Linux this
+    // runs on (sysconf(_SC_CLK_TCK)); /proc/stat jiffies are 10 ms.
+    val procCpuEnd = processCpuNs()
+    val wallNs = System.nanoTime() - wallStart
+    val otherBusyPct = (jiffiesStart, jiffiesEnd) match {
+      case (Some((_, _, b0)), Some((_, _, b1)))
+          if procCpuStart >= 0 && procCpuEnd >= 0 && wallNs > 0 =>
+        val busyNs = (b1 - b0) * 10000000.0 // 10 ms per jiffy
+        val otherNs = math.max(0.0, busyNs - (procCpuEnd - procCpuStart))
+        otherNs / (wallNs.toDouble * Runtime.getRuntime.availableProcessors()) * 100.0
+      case _ => -1.0
+    }
+    // Validity gate (round 9, tightened after the round-8 contended
+    // capture passed): every q1 sample within 1.5x of start (was 2x),
+    // hypervisor steal <= 10%, other-process busy share <= 10%, and the
+    // 1-min load ceiling the judge asked for (cpus/2 — clean sf0.1 runs
+    // read ~4, sf1 ~13 on 32 cpus). Unmeasurable signals (-1) don't
+    // veto: they are absent, not bad.
+    val nCpus = Runtime.getRuntime.availableProcessors()
+    val isValid = maxDrift >= 0 && maxDrift <= 1.5 &&
+      stealPct <= 10.0 && otherBusyPct <= 10.0 &&
+      loadMax <= nCpus / 2.0
     val sentinel =
       s""""sentinel":{"query":"q1_agg","start_sec":$sentinelStart,"end_sec":$sentinelEnd,""" +
       s""""drift":$drift,"mid_samples":$midJson,"max_drift":$maxDrift,""" +
       s""""load_avg_start":$loadStart,"load_avg_end":$loadEnd,"proc_loadavg_max":$loadMax,""" +
-      s""""cpu_steal_pct":$stealPct,""" +
-      s""""valid":${maxDrift >= 0 && maxDrift <= 2.0 && stealPct <= 10.0}}"""
+      s""""cpu_steal_pct":$stealPct,"other_busy_pct":$otherBusyPct,""" +
+      s""""valid":$isValid}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$sentinel}"""
     println(line)

@@ -1912,6 +1912,172 @@ object StoreQueries {
       |  AND l_quantity > 25.0
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+
+  /** SQL-only item lifecycle, birth to death to re-birth — the round-8
+    * asymmetry (CTAS could birth an item but only Scala `deleteItem`
+    * could remove it) is closed: CTAS → INSERT → manifest pin →
+    * `DROP TABLE` (→ Collection.deleteItem WITH pin retention) →
+    * `VERSION AS OF` still serving the dropped item's pinned state →
+    * re-birth of the SAME name via bare `CREATE TABLE` (declared
+    * schema, zero rows) → INSERT into the empty item. In-query gates
+    * pin the structural facts (item dir gone, listing clean, re-born
+    * item empty with the declared monthly layout); the oracle
+    * re-derives both arms from lineitem. Reference anchor:
+    * collection.py:158-171 (delete_item is first-class). */
+  def sqlDrop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "sql_drop")
+    s.conf.set("spark.sql.catalog.gdrop", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gdrop.root", col.path.parent.toString)
+    // key columns ride along so the append path's full-row dedup (D1)
+    // has no identical rows to collapse — the rollup must match a plain
+    // oracle GROUP BY
+    val li = Tables.t(s, dir, "lineitem")
+      .select($"l_shipdate", $"l_quantity", $"l_orderkey", $"l_linenumber")
+    def slice(lo: String, hi: String) =
+      li.filter($"l_shipdate" >= lit(java.sql.Timestamp.valueOf(lo)) &&
+        $"l_shipdate" < lit(java.sql.Timestamp.valueOf(hi)))
+    slice("1997-01-01 00:00:00", "1997-05-01 00:00:00")
+      .createOrReplaceTempView("drop_base")
+    slice("1997-05-01 00:00:00", "1997-06-01 00:00:00")
+      .createOrReplaceTempView("drop_may")
+    slice("1997-06-01 00:00:00", "1997-07-01 00:00:00")
+      .createOrReplaceTempView("drop_jun")
+    s.sql("CREATE TABLE gdrop.col.li USING graft " +
+      "TBLPROPERTIES('index'='l_shipdate','layout'='monthly') " +
+      "AS SELECT * FROM drop_base")
+    s.sql("INSERT INTO gdrop.col.li SELECT * FROM drop_may")
+    s.sql("CALL gdrop.system.create_snapshot('col', 'keep', manifest => true)")
+    s.sql("DROP TABLE gdrop.col.li")
+    if (col.path.resolve("li").isDir)
+      throw new IllegalStateException("DROP TABLE must remove the item dir")
+    val listed = s.sql("SHOW TABLES IN gdrop.col").collect().map(_.getString(1))
+    if (listed.contains("li"))
+      throw new IllegalStateException(s"dropped item still listed: ${listed.toSeq}")
+    // the name is immediately reusable: bare CREATE (typed, empty) + INSERT
+    s.sql("CREATE TABLE gdrop.col.li (l_shipdate TIMESTAMP_NTZ, l_quantity DOUBLE, " +
+      "l_orderkey BIGINT, l_linenumber INT) " +
+      "USING graft TBLPROPERTIES('index'='l_shipdate','layout'='monthly')")
+    if (s.sql("SELECT * FROM gdrop.col.li").count() != 0)
+      throw new IllegalStateException("re-born item must start empty")
+    s.sql("INSERT INTO gdrop.col.li SELECT * FROM drop_jun")
+    val juneDirs = col.path.resolve("li").resolve(Item.DataDir).listDirs
+      .filter(_.startsWith(Collection.MonthCol + "="))
+    if (juneDirs != Seq(s"${Collection.MonthCol}=1997-06"))
+      throw new IllegalStateException(
+        s"re-born item must carry the declared monthly layout, got $juneDirs")
+    def rollup(src: String, arm: String) = s.sql(s"""
+      |SELECT '$arm' AS arm, date_trunc('month', l_shipdate) AS month,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_qty
+      |FROM $src GROUP BY 1, 2""".stripMargin)
+    rollup("gdrop.col.li VERSION AS OF 'keep'", "pinned")
+      .unionByName(rollup("gdrop.col.li", "reborn"))
+      .orderBy("arm", "month")
+  }
+
+  val sqlDropSql: String =
+    """SELECT 'pinned' AS arm, date_trunc('month', l_shipdate) AS month,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_qty
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-06-01'
+      |GROUP BY 1, 2
+      |UNION ALL
+      |SELECT 'reborn' AS arm, date_trunc('month', l_shipdate) AS month,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_qty
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-06-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+      |GROUP BY 1, 2
+      |ORDER BY arm, month""".stripMargin
+
+  /** The per-item commit log (`item$history`: one row per atomic
+    * commit, riding the sidecar write the commit already pays) and the
+    * snapshot-free `TIMESTAMP AS OF` it anchors. The history arm's
+    * (op, touched periods) pairs are re-derived by the oracle from
+    * lineitem's ship months; the asof arm reads the item `TIMESTAMP AS
+    * OF current_timestamp()` with ZERO snapshots in the store — round 8
+    * refused this outright (generations were bare counters with no
+    * wall-clock tie). In-query gates: the mid-window instant whose
+    * state was rewritten with no manifest pinning it refuses typed,
+    * naming the rewrite. */
+  def sqlHistory(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "sql_history")
+    s.conf.set("spark.sql.catalog.ghist", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.ghist.root", col.path.parent.toString)
+    val li = Tables.t(s, dir, "lineitem")
+      .select($"l_shipdate", $"l_quantity", $"l_orderkey", $"l_linenumber")
+    def slice(lo: String, hi: String) =
+      li.filter($"l_shipdate" >= lit(java.sql.Timestamp.valueOf(lo)) &&
+        $"l_shipdate" < lit(java.sql.Timestamp.valueOf(hi)))
+    slice("1997-01-01 00:00:00", "1997-04-01 00:00:00")
+      .createOrReplaceTempView("hist_base")
+    slice("1997-04-01 00:00:00", "1997-05-01 00:00:00")
+      .createOrReplaceTempView("hist_apr")
+    s.sql("CREATE TABLE ghist.col.li USING graft " +
+      "TBLPROPERTIES('index'='l_shipdate','layout'='monthly') " +
+      "AS SELECT * FROM hist_base")
+    s.sql("INSERT INTO ghist.col.li SELECT * FROM hist_apr")
+    s.sql("DELETE FROM ghist.col.li WHERE l_shipdate < TIMESTAMP '1997-02-01'")
+    // snapshot-free travel: NO snapshot exists, AS OF now serves live
+    if (Snapshots.userManifestStamps(col.path).nonEmpty)
+      throw new IllegalStateException("scenario must run with zero snapshots")
+    val liveN = s.sql("SELECT count(*) FROM ghist.col.li").head.getLong(0)
+    val nowN = s.sql("SELECT count(*) FROM ghist.col.li " +
+      "TIMESTAMP AS OF current_timestamp()").head.getLong(0)
+    if (nowN != liveN)
+      throw new IllegalStateException(
+        s"AS OF now must serve the live state ($liveN), got $nowN")
+    // a rewritten instant nothing pinned refuses with the honest error
+    val writeAt = History.entriesOf(Meta.read(col.path.resolve("li"))).head.at
+    val wMicros = writeAt.getEpochSecond * 1000000L + writeAt.getNano / 1000L
+    val err =
+      try { s.sql("SELECT * FROM ghist.col.li " +
+        s"TIMESTAMP AS OF timestamp_micros(${wMicros}L)").collect(); null }
+      catch { case e: Exception => e }
+    if (err == null || !err.getMessage.contains("was rewritten at"))
+      throw new IllegalStateException(
+        s"unpinned rewritten instant must refuse typed, got: " +
+          (if (err == null) "success" else err.getMessage))
+    val history = s.sql("""
+      |SELECT 'history' AS arm, concat(op, ':', coalesce(periods, '')) AS key,
+      |  CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS sum_qty
+      |FROM ghist.col.`li$history`""".stripMargin)
+    val asof = s.sql("""
+      |SELECT 'asof' AS arm, date_format(l_shipdate, 'yyyy-MM') AS key,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_qty
+      |FROM ghist.col.li TIMESTAMP AS OF current_timestamp()
+      |GROUP BY 1, 2""".stripMargin)
+    history.unionByName(asof).orderBy("arm", "key")
+  }
+
+  val sqlHistorySql: String =
+    """WITH base AS (
+      |  SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS period,
+      |    l_quantity
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-05-01')
+      |SELECT 'history' AS arm,
+      |  'write:' || string_agg(DISTINCT period, ',' ORDER BY period) AS key,
+      |  CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS sum_qty
+      |FROM base WHERE period < '1997-04'
+      |UNION ALL
+      |SELECT 'history' AS arm, 'append:1997-04' AS key,
+      |  CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS sum_qty
+      |UNION ALL
+      |SELECT 'history' AS arm, 'delete_where:1997-01' AS key,
+      |  CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS sum_qty
+      |UNION ALL
+      |SELECT 'asof' AS arm, period AS key, count(*) AS n,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_qty
+      |FROM base WHERE period >= '1997-02'
+      |GROUP BY period
+      |ORDER BY arm, key""".stripMargin
+
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_write_read" -> writeRead _,
     "store_append_keep_last" -> appendKeepLast _,
@@ -1948,6 +2114,8 @@ object StoreQueries {
     "store_catalog_versioned" -> catalogVersioned _,
     "store_sql_maintenance" -> sqlMaintenance _,
     "store_sql_rollback" -> sqlRollback _,
+    "store_sql_drop" -> sqlDrop _,
+    "store_sql_history" -> sqlHistory _,
     "store_sql_metadata_tables" -> sqlMetadataTables _,
     "store_sql_analyze" -> sqlAnalyze _,
     "store_sql_changes" -> sqlChanges _,
@@ -1995,6 +2163,8 @@ object StoreQueries {
     "store_catalog_versioned" -> catalogVersionedSql,
     "store_sql_maintenance" -> sqlMaintenanceSql,
     "store_sql_rollback" -> sqlRollbackSql,
+    "store_sql_drop" -> sqlDropSql,
+    "store_sql_history" -> sqlHistorySql,
     "store_sql_metadata_tables" -> sqlMetadataTablesSql,
     "store_sql_analyze" -> sqlAnalyzeSql,
     "store_sql_changes" -> sqlChangesSql,

@@ -40,17 +40,18 @@ import graft.store.{Collection, GraftError, GraftStore, HadoopFs, Item, NioFs, S
   * the table's V1Write fallback into [[graft.store.Collection.append]]
   * (validation, duplicate handling, atomic commit — see
   * [[GraftWriteBuilder]]), and `INSERT OVERWRITE` truncate-rewrites via
-  * `Collection.write`. DDL (CREATE/ALTER/DROP/RENAME) stays refused
-  * with a typed error: item creation is a *data* operation in graft
-  * (an item exists because a frame was written, with layout and index
-  * decided from the data), so it belongs to `Collection.write`, not a
-  * schema-only DDL statement — except `CREATE TABLE ... AS SELECT` /
-  * `REPLACE TABLE ... AS SELECT`, the DDL verbs that DO carry data,
-  * which stage through [[GraftStagedTable]] into the same typed write
-  * pipeline. The other exceptions are the two METADATA-SAFE alters:
-  * `ALTER TABLE ... ADD COLUMNS` (one sidecar write, zero data files —
-  * see [[alterTable]]) and `SET/UNSET TBLPROPERTIES` (user metadata
-  * only).
+  * `Collection.write`. The DDL lifecycle is complete as of round 9:
+  * `CREATE TABLE` (bare → empty typed item, or AS SELECT through
+  * [[GraftStagedTable]]), `DROP TABLE` → `Collection.deleteItem` with
+  * pin retention, `ALTER TABLE ... RENAME TO` → `Collection.renameItem`
+  * (refused while manifest-pinned), `CREATE/DROP NAMESPACE` →
+  * collection birth/delete, plus the two METADATA-SAFE alters:
+  * `ADD COLUMNS` (one sidecar write, zero data files — see
+  * [[alterTable]]) and `SET/UNSET TBLPROPERTIES` (user metadata only).
+  * Still refused typed: column drops/renames/retypes (graft maps
+  * columns by name — those need a rewriting migration) and schema-only
+  * `REPLACE TABLE` (a statement that promises to replace data must
+  * carry data).
   *
   * Transaction boundary: every SQL statement (INSERT / UPDATE / MERGE /
   * DELETE / CTAS / CALL) commits atomically PER STATEMENT, per item —
@@ -112,9 +113,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       .sorted.map(Identifier.of(namespace, _)).toArray
   }
 
+  /** Metadata projections (`item$periods`, ...) of a live item EXIST —
+    * SELECT serves them, so existence checks must agree (DROP reaches
+    * [[dropTable]]'s typed projection refusal instead of NOT_FOUND). */
   override def tableExists(ident: Identifier): Boolean =
-    ident.namespace.length == 1 &&
-      itemDir(ident).resolve(Item.DataDir).isDir
+    ident.namespace.length == 1 && (
+      itemDir(ident).resolve(Item.DataDir).isDir ||
+        GraftMetadataTables.parse(ident.name).exists { case (item, _) =>
+          collectionDir(ident.namespace.head).resolve(item)
+            .resolve(Item.DataDir).isDir
+        })
 
   override def loadTable(ident: Identifier): Table =
     load(ident, snapshot = None)
@@ -128,21 +136,62 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     load(ident, snapshot = Some(version))
   }
 
-  /** `TIMESTAMP AS OF t` — the state at time t is the latest MANIFEST
-    * snapshot whose creation stamp is ≤ t (manifests record UTC
-    * creation times; dir snapshots don't and can't anchor timestamp
-    * travel). `timestamp` arrives in microseconds since the epoch per
-    * the V2 time-travel contract. */
+  /** `TIMESTAMP AS OF t` — EXACT resolution against the item's commit
+    * log ([[graft.store.History]]; one entry per atomic commit, so the
+    * state at t is the latest commit stamped ≤ t):
+    *  - that commit's generation is still the LIVE one → serve the live
+    *    table (no snapshot needed at all — `TIMESTAMP AS OF now` always
+    *    works);
+    *  - it was rewritten since → serve the latest USER manifest created
+    *    while it was current (its pins are exactly the state at t);
+    *  - no such manifest → refuse with the honest error naming what a
+    *    snapshot before the rewriting commit would have kept.
+    * Items whose log starts after t (pre-log writes, capped-out old
+    * entries) fall back to the round-8 approximation: the latest
+    * manifest whose CREATION stamp is ≤ t. `timestamp` arrives in
+    * microseconds since the epoch per the V2 time-travel contract. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     if (ident.namespace.length != 1) throw new NoSuchTableException(ident)
     val t = java.time.Instant.EPOCH.plus(timestamp, java.time.temporal.ChronoUnit.MICROS)
-    val snap = graft.store.Snapshots
-      .latestManifestAtOrBefore(collectionDir(ident.namespace.head), t)
-      .getOrElse(throw new GraftError(
-        s"TIMESTAMP AS OF $t: no manifest snapshot of collection " +
-          s"'${ident.namespace.head}' predates it (dir snapshots record no " +
-          "creation time — create manifest snapshots to enable timestamp travel)"))
-    load(ident, snapshot = Some(snap))
+    val collDir = collectionDir(ident.namespace.head)
+    val liveMeta = graft.store.Meta.read(itemDir(ident))
+    val log = graft.store.History.entriesOf(liveMeta)
+    graft.store.History.latestAtOrBefore(liveMeta, t) match {
+      case Some(e) if e.gen == graft.store.Snapshots.generationOf(liveMeta) =>
+        load(ident, snapshot = None)
+      case Some(e) =>
+        // rewritten since the resolved commit: the manifests created in
+        // [e.at, nextCommit.at) pin exactly the state at t
+        val windowEnd = log.find(_.at.isAfter(t)).map(_.at)
+          .getOrElse(java.time.Instant.MAX)
+        val snap = graft.store.Snapshots.userManifestStamps(collDir)
+          .filter { case (at, _) => !at.isBefore(e.at) && at.isBefore(windowEnd) }
+          .filter { case (_, s) =>
+            graft.store.Snapshots.manifestPins(collDir, s, ident.name).isDefined }
+          .lastOption.map(_._2)
+          .getOrElse(throw new GraftError(
+            s"TIMESTAMP AS OF $t: the state of '${ident.name}' at that instant " +
+              s"(generation ${e.gen}, committed ${graft.store.Meta.stampOf(e.at)}, " +
+              s"op ${e.op}) was rewritten at " +
+              s"${graft.store.Meta.stampOf(windowEnd)} and no manifest snapshot " +
+              "pinned it — create manifest snapshots before rewrites to retain " +
+              "time-travel anchors"))
+        load(ident, snapshot = Some(snap))
+      case None =>
+        // log empty or starts after t: pre-log state — only a manifest
+        // whose creation stamp predates t can witness it
+        val snap = graft.store.Snapshots.latestManifestAtOrBefore(collDir, t)
+          .getOrElse(throw new GraftError(
+            s"TIMESTAMP AS OF $t: no manifest snapshot of collection " +
+              s"'${ident.namespace.head}' predates it and the commit log of " +
+              s"'${ident.name}' starts later" +
+              log.headOption.map(h =>
+                s" (first logged commit ${graft.store.Meta.stampOf(h.at)})")
+                .getOrElse(" (no logged commits)") +
+              " — dir snapshots record no creation time; create manifest " +
+              "snapshots to enable timestamp travel"))
+        load(ident, snapshot = Some(snap))
+    }
   }
 
   private def load(ident: Identifier, snapshot: Option[String]): Table = {
@@ -199,19 +248,99 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def itemDir(ident: Identifier): SPath =
     collectionDir(ident.namespace.head).resolve(ident.name)
 
-  // ------------------------------------------------- DDL: typed refusal
+  // ------------------------------------- DDL: the full item lifecycle
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"graft catalog does not support $op: item creation/deletion is a data " +
-        "operation in graft — use the typed Scala API (Collection.write/delete). " +
-        "DML on existing items (INSERT INTO / INSERT OVERWRITE) is supported")
+      s"graft catalog does not support $op: use the typed Scala API for " +
+        "structural changes it maps to. The SQL lifecycle covers CREATE " +
+        "TABLE (empty or AS SELECT), INSERT, UPDATE, MERGE, DELETE, " +
+        "TRUNCATE, DROP TABLE, RENAME, and CALL system.* maintenance")
 
+  /** Bare `CREATE TABLE` (schema, no data) — an EMPTY typed item: the
+    * declared schema, index, layout, and TBLPROPERTIES go through the
+    * same [[graft.store.Collection.write]] pipeline CTAS uses (one
+    * [[GraftTableConfig]] parses both), with a zero-row frame. The item
+    * is immediately INSERT-able; reads serve the empty frame from the
+    * sidecar-declared schema. The reference births items only with data
+    * (collection.py:316-350) — this closes the migration-script shape
+    * `CREATE TABLE` + `INSERT` that convention would otherwise break. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    readOnly("schema-only CREATE TABLE (CREATE TABLE ... AS SELECT is " +
-      "supported — item birth carries data)")
+                           properties: util.Map[String, String]): Table = {
+    if (ident.namespace.length != 1) throw new NoSuchTableException(ident)
+    requireNonMetadataName(ident.name)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val cfg = new GraftTableConfig(schema, partitions, properties)
+    val spark = SparkSession.active
+    val coll = collectionOf(ident)
+    coll.write(ident.name,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      indexCols = cfg.indexCols,
+      metadata = cfg.userMeta,
+      npartitions = cfg.npartitions,
+      timeLayout = cfg.layoutOpt,
+      monthlySalt = cfg.salt,
+      statsColumns = cfg.statsCols)
+    coll.clearMetadataCache(Some(ident.name))
+    loadTable(ident)
+  }
+
+  /** `DROP TABLE` → [[graft.store.Collection.deleteItem]] (reference
+    * collection.py:158-171: delete_item is first-class) — WITH the
+    * commit paths' pin retention: an item pinned by a manifest snapshot
+    * has its pinned generations renamed into the retained area first,
+    * so `VERSION AS OF` and rollback keep working after the drop.
+    * Returns false when the table doesn't exist (the `IF EXISTS`
+    * contract). */
+  override def dropTable(ident: Identifier): Boolean = {
+    if (ident.namespace.length != 1) return false
+    GraftMetadataTables.parse(ident.name).foreach { case (itemName, kind) =>
+      throw new GraftError(
+        s"'${ident.name}' is the '$$$kind' metadata-table projection of item " +
+          s"'$itemName', not an item — DROP the item itself")
+    }
+    if (!tableExists(ident)) return false
+    val coll = collectionOf(ident)
+    coll.deleteItem(ident.name)
+    coll.clearMetadataCache(Some(ident.name))
+    true
+  }
+
+  /** `ALTER TABLE ... RENAME TO` → [[graft.store.Collection.renameItem]]
+    * — one directory rename, refused typed while a manifest snapshot
+    * pins the item (manifests key by name; see renameItem). Cross-
+    * collection moves are refused: collections are physical directories
+    * and a cross-namespace rename is a data migration, not a rename. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (oldIdent.namespace.length != 1 || !tableExists(oldIdent))
+      throw new NoSuchTableException(oldIdent)
+    if (!newIdent.namespace.sameElements(oldIdent.namespace))
+      throw new GraftError(
+        s"RENAME cannot move '${oldIdent.name}' from collection " +
+          s"'${oldIdent.namespace.mkString(".")}' to " +
+          s"'${newIdent.namespace.mkString(".")}': collections are physical " +
+          "directories — CREATE TABLE ... AS SELECT into the target instead")
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    requireNonMetadataName(newIdent.name)
+    val coll = collectionOf(oldIdent)
+    coll.renameItem(oldIdent.name, newIdent.name)
+    coll.clearMetadataCache(None)
+  }
+
+  private def requireNonMetadataName(name: String): Unit =
+    GraftMetadataTables.parse(name).foreach { case (_, kind) =>
+      throw new GraftError(
+        s"item name '$name' collides with the reserved metadata-table " +
+          s"suffix '$$$kind' (${GraftMetadataTables.Kinds.toSeq.sorted.mkString(", ")}); " +
+          "pick a name without a '$<kind>' suffix")
+    }
+
+  private def collectionOf(ident: Identifier): Collection = {
+    // collections are born on first use, like the Scala store.collection
+    collectionDir(ident.namespace.head).resolve(GraftStore.SnapshotsDir).mkdirs()
+    Collection.at(SparkSession.active, collectionDir(ident.namespace.head))
+  }
 
   // ----------------------------- CTAS / RTAS: the staged write pipeline
 
@@ -224,6 +353,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): StagedTable = {
     if (ident.namespace.length != 1) throw new NoSuchTableException(ident)
+    requireNonMetadataName(ident.name) // before exists: a projection
+                                       // "existing" must not read as a
+                                       // name collision
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     staged(ident, schema, partitions, properties, GraftStagedTable.Create)
   }
@@ -231,6 +363,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def stageReplace(ident: Identifier, schema: StructType,
                             partitions: Array[Transform],
                             properties: util.Map[String, String]): StagedTable = {
+    requireNonMetadataName(ident.name)
     if (ident.namespace.length != 1 || !tableExists(ident))
       throw new NoSuchTableException(ident)
     staged(ident, schema, partitions, properties, GraftStagedTable.Replace)
@@ -240,6 +373,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
                                     partitions: Array[Transform],
                                     properties: util.Map[String, String]): StagedTable = {
     if (ident.namespace.length != 1) throw new NoSuchTableException(ident)
+    requireNonMetadataName(ident.name)
     staged(ident, schema, partitions, properties, GraftStagedTable.CreateOrReplace)
   }
 
@@ -306,15 +440,44 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         unsets.map(_.property()))
     loadTable(ident)
   }
-  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    readOnly("RENAME TABLE")
+  /** `CREATE NAMESPACE` → `store.collection()` — one directory (plus
+    * the `_snapshots` dir), the same birth the Scala API performs.
+    * Namespace properties are refused (collections carry no metadata;
+    * Spark-reserved keys like `comment`/`owner` are ignored). */
   override def createNamespace(namespace: Array[String],
-                               metadata: util.Map[String, String]): Unit =
-    readOnly("CREATE NAMESPACE")
+                               metadata: util.Map[String, String]): Unit = {
+    if (namespace.length != 1)
+      throw new GraftError(
+        s"graft namespaces are single-level collections, got " +
+          s"'${namespace.mkString(".")}'")
+    if (namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NamespaceAlreadyExistsException(namespace)
+    val user = {
+      import scala.jdk.CollectionConverters._
+      metadata.asScala.keys.filterNot(k =>
+        Set("comment", "owner", "location").contains(k.toLowerCase))
+    }
+    if (user.nonEmpty)
+      throw new GraftError(
+        s"graft collections carry no namespace properties (got " +
+          s"${user.toSeq.sorted.mkString(", ")}); put metadata on items " +
+          "via TBLPROPERTIES")
+    collectionDir(namespace(0)).resolve(GraftStore.SnapshotsDir).mkdirs()
+  }
+
+  /** `DROP NAMESPACE` → `store.deleteCollection()`. Without CASCADE the
+    * collection must hold no items (snapshots alone don't block — they
+    * die with the collection, like the Scala delete). */
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    if (!cascade && listTables(namespace).nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
+        namespace)
+    collectionDir(namespace(0)).deleteRecursively()
+    true
+  }
+
   override def alterNamespace(namespace: Array[String],
                               changes: NamespaceChange*): Unit =
-    readOnly("ALTER NAMESPACE")
-  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
-    readOnly("DROP NAMESPACE")
+    readOnly("ALTER NAMESPACE (collections carry no namespace properties)")
 }

@@ -34,6 +34,10 @@ import graft.store.{Collection, GraftError, GraftStore, Item, Meta, SPath, Snaps
   *    a null stamp.
   *  - `item$detail`    — one-row summary (layout, index, period count,
   *    generation, last-update stamp): the `DESCRIBE DETAIL` convention.
+  *  - `item$history`   — (op, generation, periods, committed_at): the
+  *    per-item commit log ([[graft.store.History]], one row per atomic
+  *    commit, newest last, capped) — the `DESCRIBE HISTORY` convention
+  *    and the anchor for snapshot-free `TIMESTAMP AS OF`.
   *
   * Reference: pystore exposes metadata only as Python dicts
   * (collection.py:116-147); this is beyond-parity surface following
@@ -139,6 +143,21 @@ private[sources] object GraftMetadataTables {
           StructField("num_periods", LongType, nullable = false),
           StructField("generation", LongType, nullable = false),
           StructField("updated_at", StringType, nullable = true))), Seq(row))
+
+      case "history" =>
+        val meta = requireItem()
+        val rows = graft.store.History.entriesOf(meta).map { e =>
+          new GenericInternalRow(Array[Any](
+            str(e.op),
+            e.gen,
+            if (e.periods.isEmpty) null else str(e.periods.mkString(",")),
+            e.at.getEpochSecond * 1000000L + e.at.getNano / 1000L))
+        }
+        new MetaTable(s"$itemName$$history", StructType(Seq(
+          StructField("op", StringType, nullable = false),
+          StructField("generation", LongType, nullable = false),
+          StructField("periods", StringType, nullable = true),
+          StructField("committed_at", TimestampType, nullable = false))), rows)
 
       case other => throw new GraftError(
         s"unknown metadata table '$$$other' (supported: ${Kinds.toSeq.sorted.mkString(", ")})")

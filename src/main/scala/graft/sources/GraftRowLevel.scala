@@ -166,7 +166,8 @@ final class GraftCowBatchWrite(
       "row-level write committed without its group scan — cannot " +
         "determine the replaced period set"))
     val coll = Collection.at(spark, itemPath.parent)
-    coll.replaceCowStaged(itemPath.name, staging, scanned)
+    coll.replaceCowStaged(itemPath.name, staging, scanned,
+      op.command().toString.toLowerCase) // update / delete / merge
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

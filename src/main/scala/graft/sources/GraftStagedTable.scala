@@ -25,27 +25,146 @@ object GraftStagedTable {
   /** Structural TBLPROPERTIES the CTAS write pipeline consumes (every
     * other non-reserved property becomes user metadata on the item,
     * same as the Scala API's `metadata` argument). */
-  private val IndexProp = "index"
-  private val LayoutProp = "layout"
-  private val SaltProp = "salt"
-  private val StatsProp = "stats_cols"
-  private val NPartsProp = "npartitions"
-  private val StructuralProps = Set(IndexProp, LayoutProp, SaltProp, StatsProp, NPartsProp)
+  private[sources] val IndexProp = "index"
+  private[sources] val LayoutProp = "layout"
+  private[sources] val SaltProp = "salt"
+  private[sources] val StatsProp = "stats_cols"
+  private[sources] val NPartsProp = "npartitions"
+  private[sources] val StructuralProps = Set(IndexProp, LayoutProp, SaltProp, StatsProp, NPartsProp)
 
   /** Spark-reserved table properties that must not leak into user
     * metadata (TableCatalog.PROP_* plus the `option.` prefix). */
-  private val ReservedProps =
+  private[sources] val ReservedProps =
     Set("provider", "location", "comment", "owner", "external",
       "is_managed_location", "transient_lastDdlTime")
 
-  private def isReserved(k: String): Boolean =
+  private[sources] def isReserved(k: String): Boolean =
     ReservedProps.contains(k.toLowerCase) || k.startsWith("option.")
 
   /** `PARTITIONED BY (days(ts) | months(ts) | years(ts))` → graft time
     * layout + index column. The quarterly layout has no Spark transform
     * function — reach it via TBLPROPERTIES('layout'='quarterly'). */
-  private val TransformLayouts = Map(
+  private[sources] val TransformLayouts = Map(
     "days" -> "daily", "months" -> "monthly", "years" -> "yearly")
+}
+
+/** The structural-TBLPROPERTIES parser shared by every catalog verb
+  * that births or re-births an item (CTAS/RTAS via [[GraftStagedTable]],
+  * bare `CREATE TABLE` via [[GraftCatalog.createTable]]): one place maps
+  * SQL table config — `index`, `layout`, `salt`, `stats_cols`,
+  * `npartitions`, `PARTITIONED BY` transforms — onto the typed
+  * [[graft.store.Collection.write]] arguments, validating EAGERLY so a
+  * bad property fails at analysis, not mid-write. */
+private[sources] final class GraftTableConfig(
+    querySchema: StructType,
+    partitions: Array[Transform],
+    tblProperties: util.Map[String, String]) {
+
+  import GraftStagedTable._
+
+  private def prop(key: String): Option[String] =
+    tblProperties.asScala.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+
+  // ---- eager config parse: bad properties fail at ANALYSIS, not mid-write
+
+  prop("provider").map(_.toLowerCase).foreach { p =>
+    // graft stores snappy parquet; accept the plain-parquet spelling a
+    // default-provider session sends, refuse anything else loudly
+    if (p != "graft" && p != "parquet")
+      throw new GraftError(
+        s"CREATE TABLE ... AS SELECT in a graft catalog writes graft items; " +
+          s"USING $p is not supported (use USING graft, or omit USING)")
+  }
+
+  private val (transformLayout, transformIndex): (Option[String], Option[String]) = {
+    if (partitions.length > 1)
+      throw new ValidationError(
+        "graft items take at most one time-partition transform: " +
+          s"PARTITIONED BY (${partitions.mkString(", ")})")
+    partitions.headOption match {
+      case None => (None, None)
+      case Some(t) =>
+        val layout = TransformLayouts.getOrElse(t.name().toLowerCase,
+          throw new ValidationError(
+            s"unsupported partition transform '${t.name()}': graft time layouts map " +
+              "from days()/months()/years() (quarterly via TBLPROPERTIES('layout'='quarterly')); " +
+              "identity/bucket partitioning is not a graft concept"))
+        val refs = t.references()
+        if (refs.length != 1)
+          throw new ValidationError(s"partition transform ${t.name()} needs exactly one column")
+        (Some(layout), Some(refs(0).fieldNames().mkString(".")))
+    }
+  }
+
+  val layoutOpt: Option[String] = {
+    val fromProp = prop(LayoutProp).map(_.trim.toLowerCase)
+      .filterNot(_ == "flat")
+    fromProp.foreach { l =>
+      if (!Collection.TimeLayouts.contains(l))
+        throw new ValidationError(
+          s"unknown layout '$l' (supported: flat, ${Collection.TimeLayouts.mkString(", ")})")
+    }
+    (fromProp, transformLayout) match {
+      case (Some(a), Some(b)) if a != b =>
+        throw new ValidationError(
+          s"TBLPROPERTIES layout='$a' conflicts with PARTITIONED BY transform → '$b'")
+      case (a, b) => a.orElse(b)
+    }
+  }
+
+  val indexCols: Seq[String] = {
+    val explicit = prop(IndexProp)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .orElse(transformIndex.map(Seq(_)))
+    explicit match {
+      case Some(cols) =>
+        val missing = cols.filterNot(querySchema.fieldNames.contains)
+        if (missing.nonEmpty)
+          throw new ValidationError(
+            s"index column(s) not in the SELECT output: ${missing.mkString(",")} " +
+              s"(query columns: ${querySchema.fieldNames.mkString(",")})")
+        transformIndex.foreach { ti =>
+          if (!cols.contains(ti))
+            throw new ValidationError(
+              s"PARTITIONED BY column '$ti' must be (one of) the index column(s) ${cols.mkString(",")}")
+        }
+        cols
+      case None =>
+        // the Scala write's defaulting, plus the first-time-column rule:
+        // a time-series engine's natural index is the first temporal col
+        if (querySchema.fieldNames.contains(Collection.DefaultIndex))
+          Seq(Collection.DefaultIndex)
+        else querySchema.fields
+          .find(f => f.dataType == TimestampType || f.dataType == TimestampNTZType ||
+            f.dataType == DateType)
+          .map(f => Seq(f.name))
+          .getOrElse(Seq(Collection.DefaultIndex)) // synthesized dense RangeIndex
+    }
+  }
+
+  layoutOpt.foreach { l =>
+    val head = indexCols.head
+    querySchema.fields.find(_.name == head).foreach { f =>
+      if (f.dataType != TimestampType && f.dataType != TimestampNTZType &&
+          f.dataType != DateType)
+        throw new ValidationError(
+          s"layout '$l' partitions by time, but index column '$head' is " +
+            s"${f.dataType.simpleString}: declare a timestamp/date index " +
+            s"(TBLPROPERTIES('index'='<col>'))")
+    }
+  }
+
+  val salt: Int =
+    prop(SaltProp).map(_.trim.toInt).getOrElse(1)
+  val statsCols: Seq[String] =
+    prop(StatsProp)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+  val npartitions: Option[Int] =
+    prop(NPartsProp).map(_.trim.toInt)
+  val userMeta: Map[String, Any] =
+    tblProperties.asScala.toMap
+      .filterNot { case (k, _) => StructuralProps.contains(k.toLowerCase) || isReserved(k) }
+
 }
 
 /** The CTAS/RTAS bridge: `CREATE TABLE cat.coll.item USING graft
@@ -89,108 +208,8 @@ final class GraftStagedTable private[sources] (
 
   import GraftStagedTable._
 
-  private def prop(key: String): Option[String] =
-    tblProperties.asScala.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
-
-  // ---- eager config parse: bad properties fail at ANALYSIS, not mid-write
-
-  prop("provider").map(_.toLowerCase).foreach { p =>
-    // graft stores snappy parquet; accept the plain-parquet spelling a
-    // default-provider session sends, refuse anything else loudly
-    if (p != "graft" && p != "parquet")
-      throw new GraftError(
-        s"CREATE TABLE ... AS SELECT in a graft catalog writes graft items; " +
-          s"USING $p is not supported (use USING graft, or omit USING)")
-  }
-
-  private val (transformLayout, transformIndex): (Option[String], Option[String]) = {
-    if (partitions.length > 1)
-      throw new ValidationError(
-        "graft items take at most one time-partition transform: " +
-          s"PARTITIONED BY (${partitions.mkString(", ")})")
-    partitions.headOption match {
-      case None => (None, None)
-      case Some(t) =>
-        val layout = TransformLayouts.getOrElse(t.name().toLowerCase,
-          throw new ValidationError(
-            s"unsupported partition transform '${t.name()}': graft time layouts map " +
-              "from days()/months()/years() (quarterly via TBLPROPERTIES('layout'='quarterly')); " +
-              "identity/bucket partitioning is not a graft concept"))
-        val refs = t.references()
-        if (refs.length != 1)
-          throw new ValidationError(s"partition transform ${t.name()} needs exactly one column")
-        (Some(layout), Some(refs(0).fieldNames().mkString(".")))
-    }
-  }
-
-  private val layoutOpt: Option[String] = {
-    val fromProp = prop(LayoutProp).map(_.trim.toLowerCase)
-      .filterNot(_ == "flat")
-    fromProp.foreach { l =>
-      if (!Collection.TimeLayouts.contains(l))
-        throw new ValidationError(
-          s"unknown layout '$l' (supported: flat, ${Collection.TimeLayouts.mkString(", ")})")
-    }
-    (fromProp, transformLayout) match {
-      case (Some(a), Some(b)) if a != b =>
-        throw new ValidationError(
-          s"TBLPROPERTIES layout='$a' conflicts with PARTITIONED BY transform → '$b'")
-      case (a, b) => a.orElse(b)
-    }
-  }
-
-  private val indexCols: Seq[String] = {
-    val explicit = prop(IndexProp)
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-      .orElse(transformIndex.map(Seq(_)))
-    explicit match {
-      case Some(cols) =>
-        val missing = cols.filterNot(querySchema.fieldNames.contains)
-        if (missing.nonEmpty)
-          throw new ValidationError(
-            s"index column(s) not in the SELECT output: ${missing.mkString(",")} " +
-              s"(query columns: ${querySchema.fieldNames.mkString(",")})")
-        transformIndex.foreach { ti =>
-          if (!cols.contains(ti))
-            throw new ValidationError(
-              s"PARTITIONED BY column '$ti' must be (one of) the index column(s) ${cols.mkString(",")}")
-        }
-        cols
-      case None =>
-        // the Scala write's defaulting, plus the first-time-column rule:
-        // a time-series engine's natural index is the first temporal col
-        if (querySchema.fieldNames.contains(Collection.DefaultIndex))
-          Seq(Collection.DefaultIndex)
-        else querySchema.fields
-          .find(f => f.dataType == TimestampType || f.dataType == TimestampNTZType ||
-            f.dataType == DateType)
-          .map(f => Seq(f.name))
-          .getOrElse(Seq(Collection.DefaultIndex)) // synthesized dense RangeIndex
-    }
-  }
-
-  layoutOpt.foreach { l =>
-    val head = indexCols.head
-    querySchema.fields.find(_.name == head).foreach { f =>
-      if (f.dataType != TimestampType && f.dataType != TimestampNTZType &&
-          f.dataType != DateType)
-        throw new ValidationError(
-          s"layout '$l' partitions by time, but index column '$head' is " +
-            s"${f.dataType.simpleString}: declare a timestamp/date index " +
-            s"(TBLPROPERTIES('index'='<col>'))")
-    }
-  }
-
-  private val salt: Int =
-    prop(SaltProp).map(_.trim.toInt).getOrElse(1)
-  private val statsCols: Seq[String] =
-    prop(StatsProp)
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-  private val npartitions: Option[Int] =
-    prop(NPartsProp).map(_.trim.toInt)
-  private val userMeta: Map[String, Any] =
-    tblProperties.asScala.toMap
-      .filterNot { case (k, _) => StructuralProps.contains(k.toLowerCase) || isReserved(k) }
+  private val cfg = new GraftTableConfig(querySchema, partitions, tblProperties)
+  import cfg.{indexCols, layoutOpt, npartitions, salt, statsCols, userMeta}
 
   @volatile private var written = false
 

@@ -97,13 +97,20 @@ object Collection {
   val TimeLayouts: Set[String] = Set("daily", "monthly", "quarterly", "yearly")
 
   /** Item-name suffixes reserved by the SQL metadata tables
-    * (`item$periods` / `$stats` / `$snapshots` / `$detail`,
+    * (`item$periods` / `$stats` / `$snapshots` / `$detail` / `$history`,
     * graft.sources.GraftMetadataTables): an item literally NAMED this
     * way would be shadowed by metadata-table resolution forever, so the
     * write chokepoints refuse it — this closes the Scala-API and
     * streaming-sink entry points in one place (the SQL staging catalog
     * refuses separately at analysis with its own message). */
-  val ReservedItemSuffixes: Set[String] = Set("periods", "stats", "snapshots", "detail")
+  val ReservedItemSuffixes: Set[String] =
+    Set("periods", "stats", "snapshots", "detail", "history")
+
+  /** Label a commit's verb for the per-item commit log ([[History]]):
+    * merged into the meta map a commit path passes down; the publish
+    * chokepoints pop it into the log entry. */
+  private[graft] def opTag(op: String): Map[String, JValue] =
+    Map(History.OpKey -> Meta.jv(op))
 
   private[graft] def reservedSuffixOf(name: String): Option[String] = {
     val i = name.lastIndexOf('$')
@@ -591,7 +598,8 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
        else Map("_type_info" -> Codecs.markersToMeta(allMarkers))) ++
       (if (statsColumns.isEmpty) Map.empty
        else Meta.obj("_stats_cols" -> statsColumns))
-    commit(item, laidOut, Meta.obj(metadata.toSeq: _*) ++ extra,
+    commit(item, laidOut,
+      Meta.obj(metadata.toSeq: _*) ++ extra ++ Collection.opTag("write"),
       partitioned = isTime)
     if (isTime && statsColumns.nonEmpty) maybeRefreshPeriodStats(item, None)
     } finally releaseIndex()
@@ -825,12 +833,30 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     // unprunable (conservative) until the post-commit refresh
     // re-establishes them. A crash between this write and the refresh
     // therefore disables pruning instead of silently under-deleting.
+    val periodsTouched = periodGens.get("_period_gens") match {
+      case Some(org.json4s.JObject(fs)) => fs.map(_._1).sorted
+      case _ => Nil
+    }
     Meta.write(path.resolve(item),
-      (meta - "_period_stats") + ("_generation" -> Meta.jv(gen)) ++ periodGens)
+      (meta - "_period_stats" - History.OpKey) +
+        ("_generation" -> Meta.jv(gen)) ++ periodGens +
+        (History.Key -> History.appended(
+          historyCarrier(item, meta), History.opOf(meta), gen, periodsTouched)))
     metaCache.remove(item)
     refreshItems()
     }
   }
+
+  /** The meta map whose `_history` the commit's log entry extends:
+    * usually the caller's map (callers merge the stored sidecar in), but
+    * a fresh-meta OVERWRITE (Collection.write replaces user metadata
+    * wholesale) must not truncate the item's commit log — fall back to
+    * one tiny sidecar read. */
+  private def historyCarrier(item: String,
+                             meta: Map[String, JValue]): Map[String, JValue] =
+    if (meta.contains(History.Key)) meta
+    else meta ++ Meta.read(path.resolve(item)).get(History.Key)
+      .map(h => Map(History.Key -> h)).getOrElse(Map.empty)
 
   /** Partial commit for monthly-layout appends: ONLY the month
     * directories present in `df` are swapped; every other month's
@@ -920,9 +946,12 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       case _ => meta
     }
     Meta.write(path.resolve(item),
-      statsDropped + ("_generation" -> Meta.jv(gen)) +
+      (statsDropped - History.OpKey) + ("_generation" -> Meta.jv(gen)) +
         ("_period_gens" -> Meta.jv(
-          (oldPg -- removedMonths) ++ swappedMonths.map(_ -> gen).toMap)))
+          (oldPg -- removedMonths) ++ swappedMonths.map(_ -> gen).toMap)) +
+        (History.Key -> History.appended(
+          historyCarrier(item, meta), History.opOf(meta), gen,
+          (swappedMonths ++ removedMonths).toSeq.sorted)))
     metaCache.remove(item)
     refreshItems()
     }
@@ -1055,7 +1084,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
          "schema_json_encoded" -> deduped.schema.json,
          "schema_json" -> Collection.evolveLogicalSchema(
            storedMeta, deduped.schema).json)) ++
-      extraMeta
+      extraMeta ++ Collection.opTag("append")
     commit(item, laidOut, prevMeta, partitioned = monthly)
     // the full rewrite re-derived every period: stale per-period stats
     // would let a later pruned delete silently skip live rows
@@ -1124,7 +1153,8 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     val prevStats = readStatsMeta(item).getOrElse(
       Partitioner.computeStats(existing.data, idx.head))
     val stats = prevStats.merge(Partitioner.computeStats(newDf, idx.head))
-    val prevMeta = Meta.read(path.resolve(item)) ++ statsMeta(stats) ++ extraMeta
+    val prevMeta = Meta.read(path.resolve(item)) ++ statsMeta(stats) ++ extraMeta ++
+      Collection.opTag("append")
     commitMonths(item,
       withTimeLayout(combined.dropDuplicates(), idx, monthlySaltOf(item), layout),
       months, prevMeta)
@@ -1379,7 +1409,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         val expired = (toRemove ++ (if (hasBoundary) Seq(pStar) else Nil)).sorted
         commitMonths(item,
           withTimeLayout(keep, idx, monthlySaltOf(item), layout),
-          expired, prevMeta)
+          expired, prevMeta ++ Collection.opTag("expire"))
         maybeRefreshPeriodStats(item, Some(expired))
         Collection.ExpireResult(toRemove, boundaryDeleted)
       case None =>
@@ -1428,14 +1458,15 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         val deleted = touched.filter(predicate).count()
         commitMonths(item,
           withTimeLayout(touched.filter(!predicate), idx, monthlySaltOf(item), layout),
-          months, prevMeta)
+          months, prevMeta ++ Collection.opTag("delete_where"))
         maybeRefreshPeriodStats(item, Some(months))
         deleted
       case None =>
         val raw = readDataPinned(item)
         val deleted = raw.filter(predicate).count()
         if (deleted == 0L) return 0L
-        commit(item, raw.filter(!predicate), prevMeta)
+        commit(item, raw.filter(!predicate),
+          prevMeta ++ Collection.opTag("delete_where"))
         deleted
     }
   }
@@ -1504,8 +1535,9 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * period pruning reads period NAMES + refreshed per-period stats,
     * never the item-level interval). */
   private[graft] def replaceCowStaged(item: String, staging: SPath,
-                                      scannedPeriods: Option[Seq[String]]): Unit = {
-    val prevMeta = Meta.read(path.resolve(item))
+                                      scannedPeriods: Option[Seq[String]],
+                                      op: String = "replace"): Unit = {
+    val prevMeta = Meta.read(path.resolve(item)) ++ Collection.opTag(op)
     scannedPeriods match {
       case Some(scanned) =>
         val staged =
@@ -1534,6 +1566,42 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         publishFull(item, staging, prevMeta, partitioned = false)
     }
     clearMetadataCache(Some(item))
+  }
+
+  /** Rename an item — one directory rename (O(1) metadata on POSIX and
+    * HDFS; object-store backends pay their rename cost, still zero data
+    * rewritten) plus cache refreshes. The sidecar, layout, stats, and
+    * commit log ride inside the directory untouched.
+    *
+    * REFUSED while any manifest snapshot pins the item: manifests and
+    * the retained-generation area key by item NAME, so a rename would
+    * sever every pinned generation's resolution (`VERSION AS OF`,
+    * transaction rollback, CDC anchors) — silently, until the first
+    * restore. Delete or expire the pinning snapshots first; the typed
+    * error names them. (Dir snapshots are independent full copies and
+    * survive renames; only manifests pin by reference.) */
+  def renameItem(from: String, to: String): Unit = withCommitLock {
+    Collection.requireWritableItemName(to)
+    Collection.reservedSuffixOf(from).foreach { k =>
+      throw new ValidationError(
+        s"'$from' is a metadata-table projection ('$$$k'), not an item")
+    }
+    if (!hasItem(from))
+      throw new ItemNotFoundError(s"item '$from' does not exist")
+    if (hasItem(to))
+      throw new ItemExistsError(s"item '$to' already exists")
+    val pinning = Snapshots.listManifests(path).filter { snap =>
+      Snapshots.manifestPins(path, snap, from).isDefined
+    }
+    if (pinning.nonEmpty)
+      throw new ValidationError(
+        s"cannot rename '$from': manifest snapshot(s) ${pinning.sorted.mkString(", ")} " +
+          "pin it by name — a rename would sever snapshot reads and rollback for " +
+          "the pinned generations; delete those snapshots first")
+    path.fs.rename(path.resolve(from).raw, path.resolve(to).raw)
+    metaCache.remove(from)
+    metaCache.remove(to)
+    refreshItems()
   }
 
   def deleteItem(item: String): Boolean = withCommitLock {
@@ -1603,7 +1671,8 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         // it so later period-name pruning resolves against the zone the
         // dirs are actually keyed in
         commit(item, laidOut, Meta.read(path.resolve(item)) ++ Meta.obj(
-          "_layout_tz" -> spark.conf.get("spark.sql.session.timeZone", "UTC")),
+          "_layout_tz" -> spark.conf.get("spark.sql.session.timeZone", "UTC")) ++
+          Collection.opTag("rebalance"),
           partitioned = true)
         maybeRefreshPeriodStats(item, None)
         dataDirFileCount(item)
@@ -1616,7 +1685,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         val laidOut = Partitioner(df, idx, n)
         val prevMeta = Meta.read(path.resolve(item)) ++
           Meta.obj("_partitions" -> n, "_partition_strategy" -> strategy.name)
-        commit(item, laidOut, prevMeta)
+        commit(item, laidOut, prevMeta ++ Collection.opTag("rebalance"))
         n
     }
   }
@@ -1660,7 +1729,8 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         "_monthly_salt" -> monthlySalt,
         "_partitions" -> 0,
         "_partition_strategy" -> Partitioner.TimeBased.name)
-      commit(item, withTimeLayout(df, idx, monthlySalt, target), newMeta,
+      commit(item, withTimeLayout(df, idx, monthlySalt, target),
+        newMeta ++ Collection.opTag("convert_layout"),
         partitioned = true)
       maybeRefreshPeriodStats(item, None)
     } else {
@@ -1672,7 +1742,8 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         "_monthly_salt" -> 1,
         "_partitions" -> n,
         "_partition_strategy" -> strategy.name)
-      commit(item, Partitioner(df, idx, n), newMeta)
+      commit(item, Partitioner(df, idx, n),
+        newMeta ++ Collection.opTag("convert_layout"))
     }
   }
 
@@ -1705,7 +1776,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
             Partitioner.computeStats(df, this.item(item).indexCols.head)))._1)))
     val prevMeta = Meta.read(path.resolve(item)) ++
       Meta.obj("_zorder_cols" -> cols.mkString(","), "_zorder_bits" -> bits)
-    commit(item, laidOut, prevMeta)
+    commit(item, laidOut, prevMeta ++ Collection.opTag("zorder"))
   }
 
   // ----------------------------------------------------------- snapshots
@@ -1971,9 +2042,13 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
                     // generations match, but metadata-only mutations
                     // (ALTER ADD COLUMNS, analyze, SET TBLPROPERTIES)
                     // move no generation — the sidecars must match too
-                    // (minus the `_updated` stamp) or the savepoint
-                    // would not undo them
-                    liveMeta.map(_ - "_updated").contains(pinnedSidecar - "_updated") =>
+                    // (minus the `_updated` stamp and the commit LOG:
+                    // manifests don't embed `_history`, and the log is
+                    // a record, not state — its growth alone must not
+                    // force a restore) or the savepoint would not undo
+                    // them
+                    liveMeta.map(_ - "_updated" - History.Key)
+                      .contains(pinnedSidecar - "_updated" - History.Key) =>
                 "unchanged"
               case _ => "restored"
             }

@@ -86,9 +86,12 @@ object Snapshots {
       val meta = Meta.read(itemDir)
       val isTime = meta.get("_layout").map(j => Meta.unjv(j).toString)
         .exists(Collection.TimeLayouts.contains)
+      // the embedded sidecar drops the commit log: restore merges the
+      // LIVE log back (plus its own entry), and a manifest over 100k
+      // items must stay O(items) small JSON, not O(items * log cap)
       if (!isTime) Some(JField(it, JObject(List(
         JField("generation", JInt(BigInt(generationOf(meta)))),
-        JField("sidecar", JObject(meta.toList))))))
+        JField("sidecar", JObject((meta - History.Key).toList))))))
       else {
         val pg = periodGensOf(meta)
         if (pg.isEmpty) {
@@ -99,7 +102,7 @@ object Snapshots {
           JField("period_gens", JObject(pg.toList.sortBy(_._1).map {
             case (p, g) => JField(p, JInt(BigInt(g)))
           })),
-          JField("sidecar", JObject(meta.toList))))))
+          JField("sidecar", JObject((meta - History.Key).toList))))))
       }
     }
     val manifest = JObject(List(
@@ -134,10 +137,18 @@ object Snapshots {
     * O(snapshots) tiny JSON reads, driver-side. */
   def latestManifestAtOrBefore(collectionPath: SPath,
                                t: java.time.Instant): Option[String] =
+    userManifestStamps(collectionPath)
+      .filter(!_._1.isAfter(t))
+      .lastOption.map(_._2)
+
+  /** Every USER manifest with its creation stamp, ascending by stamp —
+    * the shared base of [[latestManifestAtOrBefore]] and the commit-log
+    * window resolution (GraftCatalog timestamp travel). Internal pins
+    * (`__`-prefixed txn/RTAS) are excluded: they pin ONE item
+    * mid-statement and must never anchor time travel. */
+  def userManifestStamps(collectionPath: SPath): Seq[(java.time.Instant, String)] =
     listManifests(collectionPath)
-      .filterNot(_.startsWith("__")) // internal pins (txn/RTAS) are not
-                                     // user snapshots: they pin ONE item
-                                     // and must never anchor time travel
+      .filterNot(_.startsWith("__"))
       .flatMap { s =>
         manifestCreatedAt(collectionPath, s) match {
           case Some(at) => Some(at -> s)
@@ -153,8 +164,7 @@ object Snapshots {
                 "repair or delete the snapshot")
         }
       }
-      .filter(!_._1.isAfter(t))
-      .sortBy(_._1).lastOption.map(_._2)
+      .sortBy(_._1)
 
   /** Item names pinned by manifest `snap`; None when the snapshot is
     * missing or is a directory snapshot (no manifest file). Drives
@@ -494,6 +504,16 @@ object Snapshots {
                           pins: Option[PinIndex] = None): Unit = {
     val fs = collectionPath.fs
     val live = collectionPath.resolve(item)
+    // The restored sidecar keeps the LIVE commit log (which spans the
+    // rolled-back commits) plus a `rollback` entry stamped now with the
+    // restored generation — the manifest's embedded sidecar carries no
+    // log, and truncating history to the cut would orphan timestamp
+    // travel for every instant since (the log is the record of what
+    // happened, including the undo).
+    val liveMetaAtStart = Meta.read(live)
+    def withRollbackEntry(sidecar: Map[String, JValue]): Map[String, JValue] =
+      sidecar + (History.Key -> History.appended(
+        liveMetaAtStart, "rollback", generationOf(sidecar), Nil))
     // Restore must never destroy a generation some OTHER manifest still
     // pins — the restore-side twin of the commit paths' retention
     // calls. A savepoint rollback is a mutation like any other: a
@@ -544,7 +564,7 @@ object Snapshots {
           live.mkdirs()
           fs.rename(dir.resolve(Item.DataDir).raw, dataDir.raw)
         }
-        Meta.write(live, sidecar)
+        Meta.write(live, withRollbackEntry(sidecar))
       case Some(PeriodResolved(dirs, sidecar)) =>
         val dataDir = live.resolve(Item.DataDir)
         val pinned = dirs.map(_._1).toSet
@@ -589,7 +609,7 @@ object Snapshots {
             fs.rename(src.raw, dst.raw)
           }
         }
-        Meta.write(live, sidecar)
+        Meta.write(live, withRollbackEntry(sidecar))
     }
   }
 }

@@ -199,29 +199,92 @@ class GraftSqlSpec extends SparkSpec {
         "WHERE index >= timestamp'2024-02-01 00:00:00'")
       assert(v2Scan(feb).fileIndex.rootPaths.size == 1)
       assert(feb.count() == 29) // jan 1 + 60 days: feb 1..29 (leap)
-      // TIMESTAMP AS OF t → the latest manifest whose creation stamp ≤ t
+      // TIMESTAMP AS OF t at the v1 cut → the commit log resolves the
+      // write generation (since rewritten), and v1 is the manifest
+      // created while it was current — exact, not stamp-approximate
       val v1At = graft.store.Snapshots.manifestCreatedAt(c.path, "v1").get
       val micros = v1At.getEpochSecond * 1000000L + v1At.getNano / 1000L
       val byTs = spark.sql(s"SELECT count(*) AS n FROM $cat.c.item " +
         s"TIMESTAMP AS OF timestamp_micros(${micros}L)").head().getLong(0)
       assert(byTs == 60, s"timestamp travel at the v1 cut must serve v1, got $byTs")
-      // a timestamp predating every manifest refuses typed
+      // a timestamp predating every manifest AND the commit log refuses typed
       val ts = intercept[Exception](spark.sql(
         s"SELECT * FROM $cat.c.item TIMESTAMP AS OF '2000-01-01'").collect())
       assert(ts.getMessage.contains("no manifest snapshot"), ts.getMessage)
       // internal pin manifests (txn / RTAS, __-prefixed) must NEVER
-      // anchor timestamp travel: they pin one item mid-statement
+      // anchor timestamp travel — and travel at NOW is the LIVE state
+      // (the commit log proves the last commit is current; round 8
+      // served the stale v1 here because only manifests could anchor)
       graft.store.Snapshots.createManifest(c.path, "__txn_rtas_999", Seq("item"))
       val afterPin = spark.sql(s"SELECT count(*) AS n FROM $cat.c.item " +
         "TIMESTAMP AS OF current_timestamp()").head().getLong(0)
-      assert(afterPin == 60, // the v1 USER manifest — never the newer pin
-        s"timestamp travel resolved an internal pin manifest, got $afterPin")
+      assert(afterPin == live,
+        s"timestamp travel at now must serve the live state ($live), got $afterPin")
       // nor can VERSION AS OF reach it by name
       val pinRead = intercept[Exception](spark.sql(
         s"SELECT * FROM $cat.c.item VERSION AS OF '__txn_rtas_999'").collect())
       assert(pinRead.getMessage.contains("internal pin"), pinRead.getMessage)
       graft.store.Snapshots.deleteManifest(c.path, "__txn_rtas_999")
     }
+    cleanup(c)
+  }
+
+  test("item$history commit log: one row per atomic commit, snapshot-free " +
+      "timestamp travel, rollback logged") {
+    val c = tempCollection("cat_hist")
+    c.write("item", frame("2024-01-01", 31), monthlyLayout = true)
+    c.append("item", frame("2024-02-01", 10))
+    c.deleteWhere("item",
+      col("index") < lit(java.sql.Timestamp.valueOf("2024-01-05 00:00:00")))
+    withCatalog(c, "hist") { cat =>
+      // the log names the verbs and the touched periods, in commit order
+      val rows = spark.sql(s"SELECT op, periods FROM $cat.c.`item$$history` " +
+        "ORDER BY committed_at").collect()
+      assert(rows.map(_.getString(0)).toSeq == Seq("write", "append", "delete_where"),
+        rows.mkString(", "))
+      assert(rows(0).getString(1) == "2024-01")         // birth laid january
+      assert(rows(1).getString(1) == "2024-02")         // periodic append: feb only
+      assert(rows(2).getString(1) == "2024-01")         // pruned delete: jan only
+      // snapshot-free timestamp travel: NO manifest exists, yet AS OF
+      // now serves the live state — the commit log is the anchor
+      assert(Snapshots.userManifestStamps(c.path).isEmpty)
+      val liveN = c.item("item").data.count()
+      assert(liveN == 37) // 31 + 10 - 4 deleted
+      val nowN = spark.sql(s"SELECT count(*) AS n FROM $cat.c.item " +
+        "TIMESTAMP AS OF current_timestamp()").head().getLong(0)
+      assert(nowN == liveN)
+      // an instant whose state was rewritten with no snapshot pinning it
+      // refuses with the honest error naming the rewrite
+      val writeAt = History.entriesOf(Meta.read(c.path.resolve("item"))).head.at
+      val wMicros = writeAt.getEpochSecond * 1000000L + writeAt.getNano / 1000L
+      val gone = intercept[Exception](spark.sql(s"SELECT * FROM $cat.c.item " +
+        s"TIMESTAMP AS OF timestamp_micros(${wMicros}L)").collect())
+      assert(gone.getMessage.contains("was rewritten at") &&
+        gone.getMessage.contains("no manifest snapshot pinned it"), gone.getMessage)
+      // a rollback is a commit like any other: logged, and travel at NOW
+      // serves the restored state
+      spark.sql(s"CALL $cat.system.create_snapshot('c', 'cut', manifest => true)")
+      c.append("item", frame("2024-03-01", 5))
+      spark.sql(s"CALL $cat.system.rollback_to('c', 'cut')")
+      // order by wall clock, not generation: the rollback entry REUSES
+      // the restored generation (that is the point), so gens are not
+      // monotonic across an undo
+      val ops = spark.sql(s"SELECT op FROM $cat.c.`item$$history` " +
+        "ORDER BY committed_at").collect().map(_.getString(0)).toSeq
+      assert(ops == Seq("write", "append", "delete_where", "append", "rollback"), ops)
+      val afterRb = spark.sql(s"SELECT count(*) AS n FROM $cat.c.item " +
+        "TIMESTAMP AS OF current_timestamp()").head().getLong(0)
+      assert(afterRb == 37, s"travel at now after rollback must serve the restored 37, got $afterRb")
+    }
+    // the log is capped: appending to a full log drops the oldest entry
+    val full = (1 to History.MaxEntries).foldLeft(Map.empty[String, org.json4s.JValue]) {
+      (m, i) => m + (History.Key -> History.appended(m, s"op$i", i.toLong, Nil))
+    }
+    val capped = Map(History.Key ->
+      History.appended(full, "newest", 9999L, Nil))
+    val entries = History.entriesOf(capped)
+    assert(entries.size == History.MaxEntries)
+    assert(entries.head.op == "op2" && entries.last.op == "newest")
     cleanup(c)
   }
 
@@ -353,19 +416,20 @@ class GraftSqlSpec extends SparkSpec {
     cleanup(c)
   }
 
-  test("catalog is read-only: DDL/DML refuse with the typed message") {
+  test("the remaining DDL refusals stay typed (alter namespace, non-empty drop)") {
+    // round 9 completed the CREATE/DROP/RENAME lifecycle (GraftSqlWriteSpec
+    // covers the success paths); what REMAINS refused must stay typed
     val c = tempCollection("cat_ro")
     c.write("item", frame("2024-01-01", 5))
     withCatalog(c, "ro") { cat =>
-      for (stmt <- Seq(
-        s"CREATE TABLE $cat.c.t2 (x INT)",
-        s"DROP TABLE $cat.c.item",
-        s"CREATE NAMESPACE $cat.newns",
-        s"DROP NAMESPACE $cat.c")) {
-        val e = intercept[Exception](spark.sql(stmt).collect())
-        assert(e.getMessage.contains("typed Scala API") ||
-          e.getMessage.toLowerCase.contains("not support"), s"$stmt → ${e.getMessage}")
-      }
+      val e = intercept[Exception](spark.sql(
+        s"ALTER NAMESPACE $cat.c SET DBPROPERTIES ('k'='v')").collect())
+      assert(e.getMessage.toLowerCase.contains("not support"), e.getMessage)
+      // DROP NAMESPACE without CASCADE refuses while items exist
+      val ne = intercept[Exception](spark.sql(s"DROP NAMESPACE $cat.c").collect())
+      assert(ne.getMessage.toLowerCase.contains("empty") ||
+        ne.getMessage.toLowerCase.contains("cascade"), ne.getMessage)
+      assert(c.hasItem("item"))
     }
     cleanup(c)
   }

@@ -370,14 +370,123 @@ class GraftSqlWriteSpec extends SparkSpec {
     cleanup(c)
   }
 
-  test("catalog DDL stays refused with a typed message") {
-    val c = tempCollection("sql_ddl")
-    c.write("item", frame("2024-01-01", 5))
-    registerCatalog("wcat3", c)
-    val e = intercept[UnsupportedOperationException] {
-      spark.sql("DROP TABLE wcat3.c.item")
-    }
-    assert(e.getMessage.contains("data operation"))
+  test("bare CREATE TABLE births an empty typed item; INSERT then lands in it") {
+    val c = tempCollection("sql_bare_create")
+    c.write("seed", frame("2024-01-01", 1)) // anchor the collection dir
+    registerCatalog("wbc", c)
+    // declared schema + layout + index from TBLPROPERTIES, zero rows —
+    // the round-8 typed refusal flips to a success path
+    spark.sql("CREATE TABLE wbc.c.fresh (index TIMESTAMP, value DOUBLE, tag STRING) " +
+      "USING graft TBLPROPERTIES(index='index', layout='monthly', note='born empty')")
+    assert(c.hasItem("fresh"))
+    val empty = spark.table("wbc.c.fresh")
+    assert(empty.count() == 0)
+    assert(empty.schema.fieldNames.toSeq == Seq("index", "value", "tag"))
+    assert(Meta.unjv(c.metadata("fresh")("_layout")) == "monthly")
+    assert(Meta.unjv(c.metadata("fresh")("note")) == "born empty")
+    // the empty item is immediately INSERT-able and stays periodic
+    frame("2024-02-01", 40, tagPrefix = "i").createOrReplaceTempView("bare_src")
+    spark.sql("INSERT INTO wbc.c.fresh SELECT * FROM bare_src")
+    assert(c.item("fresh").data.count() == 40)
+    val dirs = c.path.resolve("fresh").resolve(Item.DataDir).listDirs
+      .filter(_.startsWith(Collection.MonthCol + "="))
+    assert(dirs.sorted == Seq(s"${Collection.MonthCol}=2024-02",
+      s"${Collection.MonthCol}=2024-03"), dirs)
+    // duplicate birth refuses; metadata-suffix names refuse at analysis
+    intercept[Exception](spark.sql(
+      "CREATE TABLE wbc.c.fresh (x INT) USING graft"))
+    val meta = intercept[Exception](spark.sql(
+      "CREATE TABLE wbc.c.`oops$history` (x INT) USING graft"))
+    assert(meta.getMessage.contains("reserved metadata-table"), meta.getMessage)
+    // a bad layout/index config still fails eagerly with zero side effects
+    val bad = intercept[Exception](spark.sql(
+      "CREATE TABLE wbc.c.badidx (a INT) USING graft " +
+        "TBLPROPERTIES(index='missing_col')"))
+    assert(bad.getMessage.contains("index column"), bad.getMessage)
+    assert(!c.hasItem("badidx"))
+    cleanup(c)
+  }
+
+  test("DROP TABLE deletes the item; pinned generations survive for VERSION AS OF") {
+    val c = tempCollection("sql_drop")
+    c.write("item", frame("2024-01-01", 20))
+    c.write("keep", frame("2024-01-01", 3))
+    registerCatalog("wdrop", c)
+    // plain drop: the item is gone from listings and reads
+    spark.sql("DROP TABLE wdrop.c.item")
+    assert(!c.hasItem("item"))
+    assert(intercept[Exception](spark.table("wdrop.c.item").collect())
+      .getMessage.toLowerCase.contains("table"))
+    // IF EXISTS contract on a missing table
+    spark.sql("DROP TABLE IF EXISTS wdrop.c.item")
+    // a pinned item's generations outlive the drop
+    c.write("pinned", frame("2024-01-01", 15))
+    spark.sql("CALL wdrop.system.create_snapshot('c', 'cut', manifest => true)")
+    spark.sql("DROP TABLE wdrop.c.pinned")
+    assert(!c.hasItem("pinned"))
+    val viaSnap = spark.sql(
+      "SELECT count(*) AS n FROM wdrop.c.pinned VERSION AS OF 'cut'").head().getLong(0)
+    assert(viaSnap == 15, "VERSION AS OF must keep serving a dropped pinned item")
+    // metadata-table projections cannot be dropped
+    val e = intercept[Exception](spark.sql("DROP TABLE wdrop.c.`keep$periods`"))
+    assert(e.getMessage.contains("metadata-table projection"), e.getMessage)
+    assert(c.hasItem("keep"))
+    cleanup(c)
+  }
+
+  test("RENAME TABLE renames unpinned items in place; pinned and cross-namespace refuse") {
+    val c = tempCollection("sql_rename")
+    c.write("item", frame("2024-01-01", 60), monthlyLayout = true)
+    registerCatalog("wren", c)
+    spark.sql("ALTER TABLE wren.c.item RENAME TO renamed")
+    assert(!c.hasItem("item") && c.hasItem("renamed"))
+    // data, layout, and the commit log ride the rename untouched
+    assert(spark.table("wren.c.renamed").count() == 60)
+    assert(Meta.unjv(c.metadata("renamed")("_layout")) == "monthly")
+    assert(History.entriesOf(Meta.read(c.path.resolve("renamed"))).map(_.op) == Seq("write"))
+    val pruned = spark.sql("SELECT * FROM wren.c.renamed " +
+      "WHERE index >= timestamp'2024-02-01 00:00:00'")
+    assert(pruned.count() == 29)
+    // a manifest pin blocks the rename with the snapshot named
+    spark.sql("CALL wren.system.create_snapshot('c', 'hold', manifest => true)")
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE wren.c.renamed RENAME TO blocked"))
+    assert(e.getMessage.contains("hold") && e.getMessage.contains("pin"), e.getMessage)
+    assert(c.hasItem("renamed") && !c.hasItem("blocked"))
+    // releasing the pin unblocks it
+    spark.sql("CALL wren.system.delete_snapshot('c', 'hold')")
+    spark.sql("ALTER TABLE wren.c.renamed RENAME TO free")
+    assert(c.hasItem("free"))
+    // cross-collection moves and collisions refuse typed
+    c.write("other", frame("2024-01-01", 2))
+    assert(intercept[Exception](
+      spark.sql("ALTER TABLE wren.c.free RENAME TO other")).getMessage.contains("exists"))
+    val x = intercept[Exception](
+      spark.sql("ALTER TABLE wren.c.free RENAME TO c2.free"))
+    assert(x.getMessage.contains("physical"), x.getMessage)
+    cleanup(c)
+  }
+
+  test("CREATE/DROP NAMESPACE birth and delete collections") {
+    val c = tempCollection("sql_ns")
+    c.write("seed", frame("2024-01-01", 1))
+    registerCatalog("wns", c)
+    spark.sql("CREATE NAMESPACE wns.born")
+    assert(spark.sql("SHOW NAMESPACES IN wns").collect()
+      .map(_.getString(0)).contains("born"))
+    // a table can be born into it straight away
+    frame("2024-01-01", 5).createOrReplaceTempView("ns_src")
+    spark.sql("CREATE TABLE wns.born.t AS SELECT * FROM ns_src")
+    assert(spark.table("wns.born.t").count() == 5)
+    // non-cascade drop refuses while items exist; cascade wipes
+    intercept[Exception](spark.sql("DROP NAMESPACE wns.born"))
+    spark.sql("DROP NAMESPACE wns.born CASCADE")
+    assert(!spark.sql("SHOW NAMESPACES IN wns").collect()
+      .map(_.getString(0)).contains("born"))
+    // user namespace properties refuse typed
+    val e = intercept[Exception](
+      spark.sql("CREATE NAMESPACE wns.p WITH DBPROPERTIES (k='v')"))
+    assert(e.getMessage.contains("namespace properties"), e.getMessage)
     cleanup(c)
   }
 }
