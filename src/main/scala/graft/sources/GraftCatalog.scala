@@ -153,43 +153,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     if (ident.namespace.length != 1) throw new NoSuchTableException(ident)
     val t = java.time.Instant.EPOCH.plus(timestamp, java.time.temporal.ChronoUnit.MICROS)
-    val collDir = collectionDir(ident.namespace.head)
-    val liveMeta = graft.store.Meta.read(itemDir(ident))
-    val log = graft.store.History.entriesOf(liveMeta)
-    graft.store.History.latestAtOrBefore(liveMeta, t) match {
-      case Some(e) if e.gen == graft.store.Snapshots.generationOf(liveMeta) =>
-        load(ident, snapshot = None)
-      case Some(e) =>
-        // rewritten since the resolved commit: the manifests created in
-        // [e.at, nextCommit.at) pin exactly the state at t
-        val windowEnd = log.find(_.at.isAfter(t)).map(_.at)
-          .getOrElse(java.time.Instant.MAX)
-        val snap = graft.store.Snapshots.userManifestStamps(collDir)
-          .filter { case (at, _) => !at.isBefore(e.at) && at.isBefore(windowEnd) }
-          .filter { case (_, s) =>
-            graft.store.Snapshots.manifestPins(collDir, s, ident.name).isDefined }
-          .lastOption.map(_._2)
-          .getOrElse(throw new GraftError(
-            s"TIMESTAMP AS OF $t: the state of '${ident.name}' at that instant " +
-              s"(generation ${e.gen}, committed ${graft.store.Meta.stampOf(e.at)}, " +
-              s"op ${e.op}) was rewritten at " +
-              s"${graft.store.Meta.stampOf(windowEnd)} and no manifest snapshot " +
-              "pinned it — create manifest snapshots before rewrites to retain " +
-              "time-travel anchors"))
-        load(ident, snapshot = Some(snap))
-      case None =>
-        // log empty or starts after t: pre-log state — only a manifest
-        // whose creation stamp predates t can witness it
-        val snap = graft.store.Snapshots.latestManifestAtOrBefore(collDir, t)
-          .getOrElse(throw new GraftError(
-            s"TIMESTAMP AS OF $t: no manifest snapshot of collection " +
-              s"'${ident.namespace.head}' predates it and the commit log of " +
-              s"'${ident.name}' starts later" +
-              log.headOption.map(h =>
-                s" (first logged commit ${graft.store.Meta.stampOf(h.at)})")
-                .getOrElse(" (no logged commits)") +
-              " — dir snapshots record no creation time; create manifest " +
-              "snapshots to enable timestamp travel"))
+    graft.store.Snapshots.resolveAsOf(
+        collectionDir(ident.namespace.head), ident.name, t) match {
+      case graft.store.Snapshots.AsOfLive => load(ident, snapshot = None)
+      case graft.store.Snapshots.AsOfSnapshot(snap) =>
         load(ident, snapshot = Some(snap))
     }
   }

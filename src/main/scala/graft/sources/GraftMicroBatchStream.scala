@@ -109,12 +109,15 @@ final class GraftMicroBatchStream(
   override def initialOffset(): Offset = {
     val fromTs = Option(options.get("startingTimestamp")).map(_.trim).filter(_.nonEmpty)
     val fromOffsets = Option(options.get("startingOffsets")).map(_.trim.toLowerCase)
-    // `startingTimestamp` is the stream spelling of `TIMESTAMP AS OF`:
-    // resolve to the latest manifest whose creation stamp is <= t (the
-    // SAME rule the catalog's timestamp travel uses), then anchor at
-    // that snapshot's pins. ISO-8601 instants and UTC date-times both
-    // parse; no qualifying manifest refuses typed (never a silent
-    // fall-through to 'earliest' — that would replay the whole item).
+    // `startingTimestamp` is the stream spelling of `TIMESTAMP AS OF`,
+    // resolved by the SAME rule ([[Snapshots.resolveAsOf]], commit-log
+    // first): state at t still live → anchor at the CURRENT pins (the
+    // stream tails commits after t; with the item's commit log this
+    // needs NO snapshot at all); rewritten since → anchor at the
+    // manifest created while it was current; nothing pinned it / pre-log
+    // with no manifest → typed error (never a silent fall-through to
+    // 'earliest' — that would replay the whole item). ISO-8601 instants
+    // and UTC date-times both parse.
     val rawSnap = Option(options.get("startingSnapshot")).map(_.trim).filter(_.nonEmpty)
     rawSnap.foreach(Snapshots.requireUserSnapshotName)
     // exclusivity FIRST: resolving a timestamp can itself throw
@@ -124,7 +127,8 @@ final class GraftMicroBatchStream(
       throw new ValidationError(
         "options 'startingOffsets', 'startingSnapshot' and 'startingTimestamp' " +
           "are mutually exclusive")
-    val fromSnap = rawSnap
+    val resolved: Option[Either[GraftSourceOffset, String]] = rawSnap
+      .map(Right(_))
       .orElse(fromTs.map { raw =>
         val t =
           try java.time.Instant.parse(raw)
@@ -137,12 +141,19 @@ final class GraftMicroBatchStream(
                   "UTC date-time (e.g. 2024-03-01T00:00:00Z or 2024-03-01 00:00:00)")
             }
           }
-        Snapshots.latestManifestAtOrBefore(itemPath.parent, t).getOrElse(
-          throw new GraftError(
-            s"startingTimestamp $t: no manifest snapshot of the collection " +
-              "predates it (only manifest snapshots record a creation time — " +
-              "create manifest snapshots to enable timestamp-anchored streams)"))
+        Snapshots.resolveAsOf(itemPath.parent, itemPath.name, t) match {
+          case Snapshots.AsOfLive =>
+            // live at t: the current pins ARE the pins at t (nothing
+            // committed since), so the stream starts quiet and tails
+            Left(GraftSourceOffset(liveGens()))
+          case Snapshots.AsOfSnapshot(snap) => Right(snap)
+        }
       })
+    resolved match {
+      case Some(Left(offsetAtT)) => return offsetAtT
+      case _ => ()
+    }
+    val fromSnap: Option[String] = resolved.collect { case Right(s) => s }
     fromSnap match {
       // Start at a manifest snapshot's cut: the initial offset IS the
       // snapshot's pinned generation map, so the stream's first batch

@@ -166,6 +166,59 @@ object Snapshots {
       }
       .sortBy(_._1)
 
+  /** What `resolveAsOf` decided the state of an item at an instant is. */
+  sealed trait AsOf
+  /** The live state — the resolved commit is still the current one. */
+  case object AsOfLive extends AsOf
+  /** Pinned by a user manifest created while it was current. */
+  final case class AsOfSnapshot(snap: String) extends AsOf
+
+  /** Resolve the state of `item` at instant `t` — the ONE rule behind
+    * the catalog's `TIMESTAMP AS OF` and the stream's
+    * `startingTimestamp` (the two spellings must not diverge):
+    *  - the latest commit-log entry stamped ≤ t is still the LIVE
+    *    generation → [[AsOfLive]] (no snapshot needed at all);
+    *  - it was rewritten since → the latest USER manifest created in
+    *    [thatCommit.at, nextCommit.at) pins exactly the state at t →
+    *    [[AsOfSnapshot]];
+    *  - no manifest in the window → typed error naming the rewriting
+    *    commit and what retention would have kept;
+    *  - log empty or starting after t (pre-log writes, capped-out
+    *    entries) → the legacy approximation: latest manifest whose
+    *    CREATION stamp is ≤ t, or a typed error.
+    * Driver-side sidecar + manifest reads only. */
+  def resolveAsOf(collectionPath: SPath, item: String,
+                  t: java.time.Instant): AsOf = {
+    val liveMeta = Meta.read(collectionPath.resolve(item))
+    val log = History.entriesOf(liveMeta)
+    History.latestAtOrBefore(liveMeta, t) match {
+      case Some(e) if e.gen == generationOf(liveMeta) => AsOfLive
+      case Some(e) =>
+        val windowEnd = log.find(_.at.isAfter(t)).map(_.at)
+          .getOrElse(java.time.Instant.MAX)
+        userManifestStamps(collectionPath)
+          .filter { case (at, _) => !at.isBefore(e.at) && at.isBefore(windowEnd) }
+          .filter { case (_, s) => manifestPins(collectionPath, s, item).isDefined }
+          .lastOption.map(x => AsOfSnapshot(x._2))
+          .getOrElse(throw new GraftError(
+            s"the state of '$item' at $t (generation ${e.gen}, committed " +
+              s"${Meta.stampOf(e.at)}, op ${e.op}) was rewritten at " +
+              s"${Meta.stampOf(windowEnd)} and no manifest snapshot pinned it " +
+              "— create manifest snapshots before rewrites to retain " +
+              "time-travel anchors"))
+      case None =>
+        latestManifestAtOrBefore(collectionPath, t).map(AsOfSnapshot.apply)
+          .getOrElse(throw new GraftError(
+            s"no manifest snapshot of collection '${collectionPath.name}' " +
+              s"predates $t and the commit log of '$item' starts later" +
+              log.headOption.map(h =>
+                s" (first logged commit ${Meta.stampOf(h.at)})")
+                .getOrElse(" (no logged commits)") +
+              " — dir snapshots record no creation time; create manifest " +
+              "snapshots to enable timestamp travel"))
+    }
+  }
+
   /** Item names pinned by manifest `snap`; None when the snapshot is
     * missing or is a directory snapshot (no manifest file). Drives
     * collection-wide restore: the rollback set is these ∪ the live

@@ -241,6 +241,26 @@ class GraftStreamingSourceSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("startingTimestamp at a live instant needs NO snapshot: commit-log anchor") {
+    val c = tempCollection("stream_ts_live")
+    c.write("item", frame("2024-01-01", 31), monthlyLayout = true)
+    assert(store.Snapshots.userManifestStamps(c.path).isEmpty)
+    val t = java.time.Instant.now() // state at t IS the live state
+    val item = c.path.resolve("item").toString
+    val work = java.nio.file.Files.createTempDirectory("stream_ts_live_out")
+    // round 8 refused this outright (no manifest predates t); the commit
+    // log proves the write generation is current → anchor at live pins:
+    // the stream starts quiet...
+    drain(item, s"$work/sink", s"$work/ckpt", Map("startingTimestamp" -> t.toString))
+    assert(!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$work/sink")) ||
+      spark.read.parquet(s"$work/sink").count() == 0)
+    // ...and tails exactly what arrives after t
+    c.append("item", frame("2024-02-01", 5))
+    drain(item, s"$work/sink", s"$work/ckpt", Map("startingTimestamp" -> t.toString))
+    assert(spark.read.parquet(s"$work/sink").count() == 5)
+    cleanup(c)
+  }
+
   test("cross-shape startingSnapshot (layout converted since the cut) serves the whole item") {
     val c = tempCollection("stream_xshape")
     c.write("item", frame("2024-01-01", 40)) // flat at the cut
