@@ -21,7 +21,7 @@ import org.apache.spark.sql.sources.{DataSourceRegister, Filter, InsertableRelat
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.store.{Collection, DuplicateHandling, GraftError, GraftStore, HadoopFs, Item, ItemNotFoundError, Meta, NioFs, SPath, SnapshotNotFoundError, Snapshots, ValidationError}
+import graft.store.{Collection, DuplicateHandling, GraftError, GraftStore, HadoopFs, History, Item, ItemNotFoundError, Meta, NioFs, SPath, SnapshotNotFoundError, Snapshots, ValidationError}
 
 /** DataSource V2 front door — the SQL face of the store.
   *
@@ -119,14 +119,40 @@ object GraftTable {
              else NioFs
     val snapshot = Option(options.get("snapshot")).filter(_.nonEmpty)
     val since = Option(options.get("changesSince")).filter(_.nonEmpty)
+    val sinceTs = Option(options.get("changesSinceTimestamp")).filter(_.nonEmpty)
     (snapshot ++ since).foreach(graft.store.Snapshots.requireUserSnapshotName)
-    if (snapshot.isDefined && since.isDefined)
+    if (Seq(snapshot, since, sinceTs).count(_.isDefined) > 1)
       throw new GraftError(
-        "options 'snapshot' and 'changesSince' are mutually exclusive: one " +
-          "pins a past state, the other serves the delta FROM a past state")
-    since match {
-      case Some(snap) => resolveChanges(spark, SPath(fs, pathOpt), snap)
-      case None       => resolveItem(spark, SPath(fs, pathOpt), snapshot)
+        "options 'snapshot', 'changesSince' and 'changesSinceTimestamp' are " +
+          "mutually exclusive: one pins a past state, the others serve the " +
+          "delta FROM a past state")
+    (since, sinceTs) match {
+      case (Some(snap), _) => resolveChanges(spark, SPath(fs, pathOpt), snap)
+      case (_, Some(raw)) =>
+        // CDC anchored at an INSTANT — the timestamp spelling of
+        // changesSince. Unlike TIMESTAMP AS OF (which must SERVE the
+        // state at t and therefore needs it retained), the delta since
+        // t only needs the generation MAP at t — reconstructible from
+        // the item's commit log with no snapshot anywhere
+        // (History.stateAtOrBefore; conservative: never misses a
+        // change, at worst re-serves a whole period). Pre-log instants
+        // fall back to the latest manifest ≤ t; nothing anchors →
+        // typed error, never a silent whole-item replay.
+        val itemP = SPath(fs, pathOpt)
+        val t = Meta.parseInstantFlexible(raw, "changesSinceTimestamp")
+        val liveMeta = Meta.read(itemP)
+        History.stateAtOrBefore(liveMeta, t) match {
+          case Some(pins) => changesFromPins(spark, itemP, liveMeta, pins)
+          case None =>
+            val snap = Snapshots.latestManifestAtOrBefore(itemP.parent, t)
+              .getOrElse(throw new GraftError(
+                s"changesSinceTimestamp $t: no manifest snapshot predates it " +
+                  s"and the commit log of '${itemP.name}' starts later — the " +
+                  "anchor state is unknown (refusing rather than silently " +
+                  "replaying the whole item)"))
+            resolveChanges(spark, itemP, snap)
+        }
+      case _ => resolveItem(spark, SPath(fs, pathOpt), snapshot)
     }
   }
 
@@ -157,9 +183,6 @@ object GraftTable {
                              snap: String): GraftTable = {
     val collectionPath = itemPath.parent
     val item = itemPath.name
-    val liveData = itemPath.resolve(Item.DataDir)
-    if (!liveData.isDir)
-      throw new ItemNotFoundError(s"no graft item at $itemPath (missing ${Item.DataDir}/ dir)")
     val liveMeta = Meta.read(itemPath)
     val pins = Snapshots.manifestPins(collectionPath, snap, item).getOrElse {
       if (collectionPath.resolve(GraftStore.SnapshotsDir).resolve(snap).isDir)
@@ -171,6 +194,19 @@ object GraftTable {
         throw new ItemNotFoundError(s"item '$item' not found in snapshot '$snap'")
       else throw new SnapshotNotFoundError(s"snapshot '$snap' does not exist")
     }
+    changesFromPins(spark, itemPath, liveMeta, pins)
+  }
+
+  /** The classify-and-build half of the CDC read, shared by the
+    * snapshot and timestamp spellings: `pins` is the anchor state
+    * (a manifest's pins, or the LIVE generations when the anchor
+    * instant's state is still current — yielding the empty delta). */
+  private def changesFromPins(spark: SparkSession, itemPath: SPath,
+                              liveMeta: Map[String, org.json4s.JValue],
+                              pins: Either[Long, Map[String, Long]]): GraftTable = {
+    val liveData = itemPath.resolve(Item.DataDir)
+    if (!liveData.isDir)
+      throw new ItemNotFoundError(s"no graft item at $itemPath (missing ${Item.DataDir}/ dir)")
     val liveLayout = liveMeta.get("_layout").map(j => Meta.unjv(j).toString)
       .filter(Collection.TimeLayouts.contains)
     // one rule set shared with list_changes and startingSnapshot streams

@@ -130,17 +130,7 @@ final class GraftMicroBatchStream(
     val resolved: Option[Either[GraftSourceOffset, String]] = rawSnap
       .map(Right(_))
       .orElse(fromTs.map { raw =>
-        val t =
-          try java.time.Instant.parse(raw)
-          catch { case _: java.time.format.DateTimeParseException =>
-            try java.time.LocalDateTime.parse(raw.replace(' ', 'T'))
-              .toInstant(java.time.ZoneOffset.UTC)
-            catch { case _: java.time.format.DateTimeParseException =>
-              throw new ValidationError(
-                s"startingTimestamp '$raw' is not an ISO-8601 instant or a " +
-                  "UTC date-time (e.g. 2024-03-01T00:00:00Z or 2024-03-01 00:00:00)")
-            }
-          }
+        val t = Meta.parseInstantFlexible(raw, "startingTimestamp")
         Snapshots.resolveAsOf(itemPath.parent, itemPath.name, t) match {
           case Snapshots.AsOfLive =>
             // live at t: the current pins ARE the pins at t (nothing

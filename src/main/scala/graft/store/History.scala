@@ -86,4 +86,34 @@ object History {
   def latestAtOrBefore(meta: Map[String, JValue],
                        t: java.time.Instant): Option[Entry] =
     entriesOf(meta).filter(!_.at.isAfter(t)).lastOption
+
+  /** The item's GENERATION state as of `t`, reconstructed from the
+    * log: every logged commit ≤ t stamps its touched periods with its
+    * generation, so folding them yields the (period → generation) map
+    * at t — `Right(map)`, or `Left(lastGen)` when the commits up to t
+    * carry no period keys (flat state). None when the log is empty or
+    * starts after t.
+    *
+    * This anchors TIMESTAMP-spelled CDC (`changesSinceTimestamp`):
+    * unlike serving the DATA at t (which needs the bytes retained),
+    * serving the delta SINCE t only needs this map to diff against the
+    * live sidecar. The reconstruction is conservative, never lossy:
+    * generations are per-commit-unique, so a period that changed after
+    * t can never reconstruct to its live generation (no missed
+    * changes); imprecision — capped-out log horizons, periods removed
+    * then re-added, rollbacks (logged with no period keys) — lands on
+    * "rewritten"/"added"/cross-shape classifications, i.e. re-serving
+    * whole periods, the period-granular replay the CDC contract
+    * already tolerates. */
+  def stateAtOrBefore(meta: Map[String, JValue], t: java.time.Instant)
+      : Option[Either[Long, Map[String, Long]]] = {
+    val upTo = entriesOf(meta).filter(!_.at.isAfter(t))
+    if (upTo.isEmpty) None
+    else {
+      val pg = upTo.foldLeft(Map.empty[String, Long]) { (m, e) =>
+        m ++ e.periods.map(_ -> e.gen)
+      }
+      Some(if (pg.isEmpty) Left(upTo.last.gen) else Right(pg))
+    }
+  }
 }

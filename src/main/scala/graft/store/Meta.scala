@@ -36,6 +36,22 @@ object Meta {
   def parseStamp(s: String): Instant =
     java.time.LocalDateTime.parse(s, stampFmt).toInstant(ZoneOffset.UTC)
 
+  /** Parse a user-facing instant: ISO-8601 (`2024-03-01T00:00:00Z`) or
+    * a UTC date-time (`2024-03-01 00:00:00`) — the two spellings every
+    * timestamp-taking reader option accepts (`startingTimestamp`,
+    * `changesSinceTimestamp`). Typed error naming the option. */
+  def parseInstantFlexible(raw: String, optName: String): Instant =
+    try Instant.parse(raw)
+    catch { case _: java.time.format.DateTimeParseException =>
+      try java.time.LocalDateTime.parse(raw.replace(' ', 'T'))
+        .toInstant(ZoneOffset.UTC)
+      catch { case _: java.time.format.DateTimeParseException =>
+        throw new ValidationError(
+          s"$optName '$raw' is not an ISO-8601 instant or a " +
+            "UTC date-time (e.g. 2024-03-01T00:00:00Z or 2024-03-01 00:00:00)")
+      }
+    }
+
   /** Test-visible count of sidecar writes — the regression hook that
     * proves a commit folded its caller's extra keys (e.g. the streaming
     * sink's epoch mark) into the commit's ONE sidecar write instead of

@@ -40,6 +40,45 @@ class GraftChangesSpec extends SparkSpec {
       .getOrElse(fail("no V2 scan in plan:\n" + plan))
   }
 
+  test("changesSinceTimestamp anchors CDC at an instant via the commit log") {
+    val c = tempCollection("cdc_ts")
+    c.write("item", frame("2024-01-01", 60), monthlyLayout = true) // jan feb
+    Thread.sleep(1100) // the date-time spelling below truncates to seconds
+    val t = java.time.Instant.now() // live at t, NO snapshot anywhere
+    assert(Snapshots.userManifestStamps(c.path).isEmpty)
+    // nothing changed since t: the empty delta with the item's schema
+    def deltaAt(ts: String) = spark.read.format("graft")
+      .option("changesSinceTimestamp", ts)
+      .load(c.path.resolve("item").toString)
+    val quiet = deltaAt(t.toString)
+    assert(quiet.count() == 0)
+    assert(quiet.schema.fieldNames.toSeq == Seq("index", "value", "tag"))
+    // post-t arrivals serve exactly like changesSince a snapshot at t
+    c.append("item", frame("2024-03-01", 10, tag = "new"))
+    val delta = deltaAt(t.toString)
+    val roots = scanRoots(delta)
+    assert(roots.size == 1 && roots.head.endsWith("=2024-03"), roots)
+    assert(delta.count() == 10)
+    // the UTC date-time spelling parses; a rewritten unpinned instant
+    // refuses with the honest error; the options are mutually exclusive
+    val local = java.time.LocalDateTime.ofInstant(t, java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    assert(deltaAt(local).count() == 10)
+    // an instant whose DATA is gone still anchors CDC: the delta only
+    // needs the generation map at t, reconstructed from the commit log
+    // (TIMESTAMP AS OF would refuse here — it must serve the bytes)
+    val writeAt = History.entriesOf(Meta.read(c.path.resolve("item"))).head.at
+    assert(deltaAt(writeAt.toString).count() == 10)
+    // pre-log instants with no manifest refuse typed
+    val gone = intercept[GraftError](deltaAt("2000-01-01T00:00:00Z").count())
+    assert(gone.getMessage.contains("no manifest snapshot predates"), gone.getMessage)
+    val both = intercept[GraftError](spark.read.format("graft")
+      .option("changesSinceTimestamp", t.toString).option("changesSince", "x")
+      .load(c.path.resolve("item").toString).count())
+    assert(both.getMessage.contains("mutually exclusive"), both.getMessage)
+    cleanup(c)
+  }
+
   test("changesSince serves exactly the new and rewritten periods of a monthly item") {
     val c = tempCollection("cdc_monthly")
     c.write("item", frame("2024-01-01", 90), monthlyLayout = true) // jan feb mar
