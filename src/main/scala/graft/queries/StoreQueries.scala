@@ -1208,7 +1208,18 @@ object StoreQueries {
       .option("changesSince", "cut").load(col.path.resolve(item).toString)
     if (changesOf("quiet").count() != 0L)
       throw new IllegalStateException("untouched item must report zero changes")
+    // timestamp spelling: anchoring at the cut's creation INSTANT must
+    // serve the identical delta — the commit-log reconstruction
+    // (History.stateAtOrBefore) agrees with the manifest's pins
+    val cutAt = Snapshots.manifestCreatedAt(col.path, "cut").get
+    val byTs = s.read.format("graft")
+      .option("changesSinceTimestamp", cutAt.toString)
+      .load(col.path.resolve("li").toString)
     val delta = changesOf("li")
+    if (byTs.count() != delta.count())
+      throw new IllegalStateException(
+        s"changesSinceTimestamp at the cut instant must serve the same delta " +
+          s"(${delta.count()} rows), got ${byTs.count()}")
     val roots = delta.queryExecution.executedPlan.collectFirst {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
         b.scan match {

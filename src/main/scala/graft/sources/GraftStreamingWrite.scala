@@ -18,6 +18,11 @@ import graft.store.{Collection, Meta, SPath}
   * pipeline (validation, duplicate handling, periodic pruned rewrite,
   * atomic commit) as every other writer.
   *
+  * A brand-new item composes with SQL DDL: `CREATE TABLE` births the
+  * typed EMPTY item (declared schema, index, layout), and the sink's
+  * appends honor that declared layout from the first batch — no seed
+  * write needed (GraftStreamingSinkSpec "bare-created EMPTY item").
+  *
   * Per epoch: executors stage the micro-batch as parquet under
   * `__cow_stream_<item>_<query>/epoch=<id>/` (Spark's own
   * InternalRow→parquet writer, one file per task), and `commit(epoch)`

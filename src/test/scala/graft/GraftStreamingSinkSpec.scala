@@ -102,6 +102,35 @@ class GraftStreamingSinkSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("streaming into a bare-created EMPTY item works: CREATE TABLE then writeStream") {
+    // the ingest-job shape for a brand-new item: SQL births the typed
+    // empty item (declared schema + layout), the sink fills it — no
+    // Scala seed write needed anywhere
+    val c = tempCollection("stream_v2sink_fresh")
+    val src = Files.createTempDirectory("graft_stream_v2fresh")
+    spark.conf.set("spark.sql.catalog.sinkfresh",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sinkfresh.root", c.path.parent.toString)
+    spark.sql("CREATE TABLE sinkfresh.c.ev (index TIMESTAMP, value DOUBLE, tag STRING) " +
+      "USING graft TBLPROPERTIES(index='index', layout='monthly')")
+    events(40).write.mode("overwrite").parquet(s"$src/in") // jan + part of feb
+    val stream = spark.readStream.schema(events(1).schema).parquet(s"$src/in")
+    StreamAppend.runToCompletion(
+      stream.writeStream.format("graft")
+        .option("path", c.path.resolve("ev").toString)
+        .option("checkpointLocation", s"$src/ckpt").outputMode("append"))
+    assert(c.item("ev").data.count() == 40)
+    val dirs = c.path.resolve("ev").resolve(store.Item.DataDir).listDirs
+      .filter(_.startsWith(store.Collection.MonthCol + "="))
+    assert(dirs.sorted == Seq(s"${store.Collection.MonthCol}=2024-01",
+      s"${store.Collection.MonthCol}=2024-02"),
+      s"streamed batches must honor the declared monthly layout, got $dirs")
+    spark.conf.unset("spark.sql.catalog.sinkfresh")
+    spark.conf.unset("spark.sql.catalog.sinkfresh.root")
+    FsOps.deleteRecursively(src)
+    cleanup(c)
+  }
+
   test("streaming into a monthly item stays periodic; keep_all honors the option") {
     val c = tempCollection("stream_v2sink_m")
     val src = Files.createTempDirectory("graft_stream_v2m")

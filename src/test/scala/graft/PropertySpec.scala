@@ -22,6 +22,43 @@ class PropertySpec extends SparkSpec {
   private def randomBatch(rng: Random, n: Int = 12): Seq[(Int, Double)] =
     Seq.fill(n)((rng.nextInt(20) + 1, rng.nextInt(10).toDouble)).distinct
 
+  test("property: the commit log round-trips, skips damage, reconstructs state") {
+    val rng = new Random(23)
+    for (_ <- 1 to 50) {
+      // random commit sequence: flat and periodic entries interleaved
+      var meta = Map.empty[String, org.json4s.JValue]
+      var entries = Vector.empty[History.Entry]
+      val n = rng.nextInt(30) + 1
+      for (g <- 1 to n) {
+        val periods = Seq.fill(rng.nextInt(3))(f"2024-${rng.nextInt(12) + 1}%02d").distinct
+        meta += (History.Key -> History.appended(meta, s"op$g", g.toLong, periods))
+        entries :+= History.Entry(s"op$g", g.toLong, null, periods.sorted)
+      }
+      val back = History.entriesOf(meta)
+      // roundtrip: ops, gens, and sorted periods survive render/parse
+      assert(back.map(e => (e.op, e.gen, e.periods)) ==
+        entries.map(e => (e.op, e.gen, e.periods)))
+      // stamps are monotone non-decreasing (same-µs ties allowed)
+      assert(back.sliding(2).forall {
+        case Seq(a, b) => !b.at.isBefore(a.at); case _ => true })
+      // state reconstruction at the END folds every period to its last
+      // touching commit's gen (or the flat last gen when none touched)
+      val expectPg = entries.foldLeft(Map.empty[String, Long]) { (m, e) =>
+        m ++ e.periods.map(_ -> e.gen) }
+      History.stateAtOrBefore(meta, java.time.Instant.now().plusSeconds(60)) match {
+        case Some(Right(pg)) => assert(pg == expectPg && expectPg.nonEmpty)
+        case Some(Left(g))   => assert(expectPg.isEmpty && g == n.toLong)
+        case None            => fail("state must resolve after the last commit")
+      }
+      // damaged / foreign entries are skipped, never thrown on
+      val damaged = meta + (History.Key -> org.json4s.JArray(
+        org.json4s.JString("garbage") ::
+          org.json4s.JObject(List("op" -> org.json4s.JString("x"))) ::
+          (meta(History.Key).asInstanceOf[org.json4s.JArray].arr)))
+      assert(History.entriesOf(damaged).size == back.size)
+    }
+  }
+
   test("property: GraftSourceOffset json round-trips any period→gen map") {
     val rng = new Random(11)
     for (_ <- 1 to 100) {
