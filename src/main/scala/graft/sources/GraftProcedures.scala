@@ -119,6 +119,30 @@ private[sources] object GraftProcedures {
       }),
 
     ProcDef(
+      "expire_snapshots",
+      "Age-based retention: drop manifest snapshots created before the " +
+        "cutoff; newly-unreferenced retained generations GC'd in one sweep",
+      Array(
+        in("collection", StringType).build(),
+        in("older_than", TimestampType).build(),
+        in("dry_run", BooleanType).defaultValue("false")
+          .comment("report what would expire without deleting").build()),
+      StructType(Seq(
+        StructField("snapshot", StringType, nullable = false),
+        StructField("created_at", TimestampType, nullable = true),
+        StructField("action", StringType, nullable = false))),
+      (store, args) => {
+        val c = existing(store, str(args, 0))
+        val cutoff = DateTimeUtils.microsToInstant(args.getLong(1))
+        c.expireSnapshots(cutoff,
+          dryRun = optBool(args, 2).getOrElse(false)).map {
+          case (snap, at, action) => row(snap,
+            at.map(i => Long.box(DateTimeUtils.instantToMicros(i))).orNull,
+            action)
+        }
+      }),
+
+    ProcDef(
       "list_snapshots",
       "List snapshot names of a collection (one row per snapshot)",
       Array(in("collection", StringType).build()),

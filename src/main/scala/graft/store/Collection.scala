@@ -2072,6 +2072,35 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * (reference quirk, collection.py:550-553, kept per tests). Internal
     * pins refuse: deleting a live statement's pin by name would strip
     * its rollback (vacuum's age gate is the sanctioned reclaim path). */
+  /** Age-based snapshot retention — the `expire_snapshots` convention:
+    * every USER manifest snapshot created before `olderThan` is
+    * dropped, then ONE GC sweep reclaims the retained generations no
+    * remaining manifest references. Returns one row per snapshot:
+    * (name, creation stamp, action), action ∈ expired / would_expire
+    * (dry run) / kept / kept_no_stamp. Dir snapshots record no creation
+    * time and are NEVER age-expired (they are full physical copies —
+    * delete by name via [[deleteSnapshot]]); internal `__` pins belong
+    * to vacuum. Cost: O(snapshots) manifest reads + renames/deletes;
+    * no data files are read. */
+  def expireSnapshots(olderThan: java.time.Instant,
+                      dryRun: Boolean = false)
+      : Seq[(String, Option[java.time.Instant], String)] = {
+    val stamped = Snapshots.userManifestStamps(path)
+    val stampedNames = stamped.map(_._2).toSet
+    val dirOnly = path.resolve(GraftStore.SnapshotsDir).listDirs
+      .filterNot(_.startsWith(".")).filterNot(_.startsWith("__"))
+      .filterNot(stampedNames.contains)
+      .map(d => (d, None: Option[java.time.Instant], "kept_no_stamp"))
+    val acted = stamped.map { case (at, snap) =>
+      if (at.isBefore(olderThan)) {
+        if (!dryRun) Snapshots.releasePin(path, snap, gc = false)
+        (snap, Some(at), if (dryRun) "would_expire" else "expired")
+      } else (snap, Some(at), "kept")
+    }
+    if (!dryRun && acted.exists(_._3 == "expired")) Snapshots.gcRetained(path)
+    (acted ++ dirOnly).sortBy(_._1)
+  }
+
   def deleteSnapshot(name: String): Boolean = {
     Snapshots.requireUserSnapshotName(name)
     path.resolve(GraftStore.SnapshotsDir).resolve(name).deleteRecursively()

@@ -36,7 +36,8 @@ class GraftProcedureSpec extends SparkSpec {
       .select("procedure_name").collect().map(_.getString(0)).toSet
     for (p <- Seq("create_snapshot", "expire_before", "compact", "vacuum",
                   "convert_layout", "zorder", "rebalance", "list_snapshots",
-                  "delete_snapshot", "list_changes", "rollback_to", "analyze"))
+                  "delete_snapshot", "expire_snapshots", "list_changes",
+                  "rollback_to", "analyze"))
       assert(names.contains(p), s"missing procedure $p in $names")
     val desc = spark.sql("DESCRIBE PROCEDURE pcat0.system.expire_before")
       .collect().map(_.mkString(" ")).mkString("\n")
@@ -247,6 +248,41 @@ class GraftProcedureSpec extends SparkSpec {
     val e = intercept[Exception](
       spark.sql("CALL pcat8.system.rollback_to('c', 'dirsnap')").collect())
     assert(e.getMessage.contains("manifest snapshot"))
+    cleanup(c)
+  }
+
+  test("expire_snapshots drops aged manifests, GCs their retained generations") {
+    val c = tempCollection("proc_expire_snaps")
+    c.write("it", frame("2024-01-01", 10))
+    registerCatalog("pexp", c)
+    spark.sql("CALL pexp.system.create_snapshot('c', 'old', manifest => true)")
+    // rewrite so 'old' pins a RETAINED generation (GC observable)
+    c.write("it", frame("2024-01-01", 12), overwrite = true)
+    Thread.sleep(1100) // manifest stamps are µs but keep a clear gap
+    val cut = java.time.Instant.now()
+    spark.sql("CALL pexp.system.create_snapshot('c', 'fresh', manifest => true)")
+    c.createSnapshot(Some("adir"), manifest = Some(false)) // stampless dir
+    val retained = c.path.resolve(store.GraftStore.SnapshotsDir).resolve(".retained")
+    assert(retained.isDir, "the rewrite must have retained the pinned generation")
+    // dry run reports, deletes nothing
+    val dry = spark.sql("CALL pexp.system.expire_snapshots('c', " +
+      s"timestamp'${java.sql.Timestamp.from(cut)}', dry_run => true)")
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(dry == Map("old" -> "would_expire", "fresh" -> "kept",
+      "adir" -> "kept_no_stamp"), dry)
+    assert(c.listSnapshots().toSet == Set("old", "fresh", "adir"))
+    // real run: 'old' dies, its retained generation is GC'd, rest stay
+    val real = spark.sql("CALL pexp.system.expire_snapshots('c', " +
+      s"timestamp'${java.sql.Timestamp.from(cut)}')")
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(real == Map("old" -> "expired", "fresh" -> "kept",
+      "adir" -> "kept_no_stamp"), real)
+    assert(c.listSnapshots().toSet == Set("fresh", "adir"))
+    assert(!retained.isDir || retained.listDirs.isEmpty,
+      "the expired snapshot's retained generation must be GC'd")
+    // the surviving snapshot still serves
+    assert(spark.sql("SELECT count(*) AS n FROM pexp.c.it VERSION AS OF 'fresh'")
+      .head().getLong(0) == 12)
     cleanup(c)
   }
 
