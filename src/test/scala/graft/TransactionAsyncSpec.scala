@@ -194,4 +194,60 @@ class TransactionAsyncSpec extends SparkSpec {
     }
     cleanup(c)
   }
+
+  test("concurrent appenders and snapshotters stay consistent under the commit lock") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val c = tempCollection("conc_smoke")
+    def frame(fromDay: Int, n: Int) = {
+      import spark.implicits._
+      (fromDay until fromDay + n).map { i =>
+        (java.sql.Timestamp.valueOf(
+          java.time.LocalDate.parse("2024-01-01").plusDays(i).atStartOfDay()),
+          i.toDouble, s"r$i")
+      }.toDF("index", "value", "tag")
+    }
+    c.write("a", frame(0, 5))
+    c.write("b", frame(0, 5))
+    val pool = Executors.newFixedThreadPool(3)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // separate Collection instances per thread — distinct jobs sharing
+    // only the store path; the static per-path commit lock is the
+    // coordination point
+    val ca = Collection.at(spark, c.path)
+    val cb = Collection.at(spark, c.path)
+    val cs = Collection.at(spark, c.path)
+    val wa = Future { for (k <- 1 to 10) ca.append("a", frame(k * 5, 5)) }
+    val wb = Future { for (k <- 1 to 10) cb.append("b", frame(k * 5, 5)) }
+    val snaps = Future {
+      (1 to 5).map { i =>
+        Thread.sleep(150)
+        cs.createSnapshot(Some(s"s$i"), manifest = Some(true))
+      }
+    }
+    Await.result(Future.sequence(Seq(wa, wb, snaps.map(_ => ()))), 300.seconds)
+    pool.shutdown()
+    // no lost updates: every committed batch's rows are present exactly once
+    assert(c.item("a").data.count() == 55)
+    assert(c.item("b").data.count() == 55)
+    // every snapshot pinned a CONSISTENT cut: counts are whole batches,
+    // monotone in snapshot order, and stable across re-reads
+    val counts = (1 to 5).map { i =>
+      val na = c.item("a", snapshot = Some(s"s$i")).data.count()
+      val nb = c.item("b", snapshot = Some(s"s$i")).data.count()
+      assert(na % 5 == 0 && na >= 5 && na <= 55, s"s$i a=$na")
+      assert(nb % 5 == 0 && nb >= 5 && nb <= 55, s"s$i b=$nb")
+      assert(c.item("a", snapshot = Some(s"s$i")).data.count() == na)
+      (na, nb)
+    }
+    assert(counts.map(_._1) == counts.map(_._1).sorted)
+    assert(counts.map(_._2) == counts.map(_._2).sorted)
+    // a rollback to a mid-run cut restores exactly the pinned counts
+    val (ra, rb) = counts(2)
+    c.rollbackTo("s3")
+    assert(c.item("a").data.count() == ra)
+    assert(c.item("b").data.count() == rb)
+    cleanup(c)
+  }
 }
