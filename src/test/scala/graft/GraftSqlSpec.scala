@@ -261,6 +261,8 @@ class GraftSqlSpec extends SparkSpec {
         s"TIMESTAMP AS OF timestamp_micros(${wMicros}L)").collect())
       assert(gone.getMessage.contains("was rewritten at") &&
         gone.getMessage.contains("no manifest snapshot pinned it"), gone.getMessage)
+      // the row-level COW verbs log their SQL names
+      spark.sql(s"UPDATE $cat.c.item SET value = value + 1 WHERE tag = 'r7'")
       // a rollback is a commit like any other: logged, and travel at NOW
       // serves the restored state
       spark.sql(s"CALL $cat.system.create_snapshot('c', 'cut', manifest => true)")
@@ -271,7 +273,8 @@ class GraftSqlSpec extends SparkSpec {
       // monotonic across an undo
       val ops = spark.sql(s"SELECT op FROM $cat.c.`item$$history` " +
         "ORDER BY committed_at").collect().map(_.getString(0)).toSeq
-      assert(ops == Seq("write", "append", "delete_where", "append", "rollback"), ops)
+      assert(ops == Seq("write", "append", "delete_where", "update", "append",
+        "rollback"), ops)
       val afterRb = spark.sql(s"SELECT count(*) AS n FROM $cat.c.item " +
         "TIMESTAMP AS OF current_timestamp()").head().getLong(0)
       assert(afterRb == 37, s"travel at now after rollback must serve the restored 37, got $afterRb")
