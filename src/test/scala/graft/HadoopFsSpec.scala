@@ -119,6 +119,34 @@ class HadoopFsSpec extends SparkSpec {
     hc.path.parent.parent.deleteRecursively()
   }
 
+  test("round-9 verbs ride the Hadoop backend: rename, drop retention, history, expiry") {
+    val hc = hadoopCollection("r9verbs")
+    val df = sampleData
+    hc.write("it", df, indexCols = Seq("index"))
+    // the commit log lands through writeBytesAtomic like any sidecar
+    hc.append("it", df.withColumn("value1", col("value1") + 1),
+      duplicateHandling = DuplicateHandling.KeepLast)
+    val ops = History.entriesOf(Meta.read(hc.path.resolve("it"))).map(_.op)
+    assert(ops == Seq("write", "append"), ops)
+    // rename is one backend rename; data + log ride along
+    hc.renameItem("it", "renamed")
+    assert(!hc.hasItem("it") && hc.hasItem("renamed"))
+    assert(hc.item("renamed").data.count() == df.count())
+    assert(History.entriesOf(Meta.read(hc.path.resolve("renamed")))
+      .map(_.op) == Seq("write", "append"))
+    // pin + delete: the pinned generation survives in the retained area
+    hc.createSnapshot(Some("keep"), manifest = Some(true))
+    hc.deleteItem("renamed")
+    assert(hc.item("renamed", snapshot = Some("keep")).data.count() == df.count())
+    // age-based expiry drops the manifest and GCs the retained bytes
+    val res = hc.expireSnapshots(java.time.Instant.now().plusSeconds(60))
+    assert(res == Seq(("keep", res.head._2, "expired")))
+    assert(hc.listSnapshots().isEmpty)
+    val retained = hc.path.resolve(GraftStore.SnapshotsDir).resolve(".retained")
+    assert(!retained.isDir || retained.listDirs.isEmpty)
+    hc.path.parent.parent.deleteRecursively()
+  }
+
   test("collection lock is exclusive through the Hadoop backend") {
     val c = hadoopCollection("lock")
     graft.transactions.CollectionLock.acquire(c, "owner-1", timeoutMs = 2000)
