@@ -2,6 +2,54 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** The capture-validity gate, extracted pure so the recorded sentinel
+  * blocks of past captures can be replayed against it in a unit test
+  * (BenchGateSpec pins the round-9 driver capture INVALID and the two
+  * clean same-boot captures valid).
+  *
+  * Round-10 rules, after the round-9 contended capture (293.8 s vs a
+  * clean 193.8 s) passed the round-9 gate two ways at once:
+  *  - `max_drift` is normalized by the MINIMUM sentinel sample, not
+  *    the start sample: the start sample is systematically slow (first
+  *    q1 after warmup still pays residual JIT/footer-cache cost —
+  *    every recorded boot reads start 0.95-1.12 s vs steady-state
+  *    0.26-0.42 s), so dividing by it HID a 1.8x mid-run inflation
+  *    (0.611 s vs min 0.335 s read as drift 0.545).
+  *  - an ABSOLUTE steady-state band on the minimum sample: a capture
+  *    whose FASTEST q1 exceeds 0.5 s is running on a degraded machine
+  *    (hypervisor/frequency-level, invisible to steal and other-busy
+  *    jiffy counters — every clean boot ever measured reads a 0.21-0.45 s
+  *    minimum at sf0.1 AND sf1: q1 is one 32-way shuffle over ≤6M rows,
+  *    its floor barely moves with sf). Ratio gates are blind when the
+  *    WHOLE capture is uniformly slow; the band is not. Overridable via
+  *    SPARK_GRAFT_Q1_BAND for q1-cost-changing reconfigurations.
+  */
+object BenchGate {
+  val MaxDriftBound = 1.5
+  val DefaultQ1BandSec = 0.5
+
+  final case class Result(valid: Boolean, maxDrift: Double, minSample: Double)
+
+  def evaluate(startSec: Double, midSecs: Seq[Double], endSec: Double,
+               stealPct: Double, otherBusyPct: Double,
+               loadMax: Double, nCpus: Int,
+               q1BandSec: Double = DefaultQ1BandSec): Result = {
+    val steady = midSecs :+ endSec // start excluded from the numerator
+    val all = startSec +: steady
+    val minSample = if (all.forall(_ > 0)) all.min else -1.0
+    val maxDrift = if (minSample > 0) steady.max / minSample else -1.0
+    // Unmeasurable signals (-1) don't veto — absent, not bad. The
+    // loadavg ceiling remains the fallback proxy ONLY when other_busy
+    // is unmeasurable (self-load from legitimate all-core phases reads
+    // high on loadavg; see the round-9 note below).
+    val valid = minSample > 0 && minSample < q1BandSec &&
+      maxDrift <= MaxDriftBound &&
+      stealPct <= 10.0 && otherBusyPct <= 10.0 &&
+      (otherBusyPct >= 0 || loadMax <= nCpus / 2.0)
+    Result(valid, maxDrift, minSample)
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,11 +97,22 @@ object Bench {
         val idle = (if (f.length > 3) f(3) else 0L) + (if (f.length > 4) f(4) else 0L)
         Some((f.sum, if (f.length > 7) f(7) else 0L, f.sum - idle))
       } catch { case _: Exception => None }
-    def processCpuNs(): Long =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
-        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
-        case _ => -1L
-      }
+    // This JVM's own CPU in the SAME unit as /proc/stat (jiffies):
+    // /proc/self/stat utime+stime (fields 14/15, 1-indexed; parsed
+    // after the last ')' since comm may embed spaces). Keeping both
+    // sides of the other-busy subtraction in kernel jiffies removes
+    // the round-9 unit bridge — the hardcoded 10 ms jiffy length and
+    // the availableProcessors() capacity denominator, which is
+    // cgroup-aware while /proc/stat is whole-machine and so undercounts
+    // capacity in a CPU-quota container.
+    def selfJiffies(): Option[Long] =
+      try {
+        val s = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/self/stat")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val f = s.substring(s.lastIndexOf(')') + 1).trim.split("\\s+")
+        Some(f(11).toLong + f(12).toLong) // utime + stime
+      } catch { case _: Exception => None }
 
     // Machine-contention sentinel: a fixed cheap query timed at start,
     // at the end, AND every `SentinelEvery` queries mid-run, plus the
@@ -65,8 +124,7 @@ object Bench {
     val SentinelEvery = 25
     val loadStart = loadAvg()
     val jiffiesStart = cpuJiffies()
-    val procCpuStart = processCpuNs()
-    val wallStart = System.nanoTime()
+    val selfStart = selfJiffies()
     val sentinelStart = timeQuery("q1_agg")
     val midSentinels = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
     var loadMax = math.max(loadStart, 0.0)
@@ -97,11 +155,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val allSentinels = midSentinels.map(_._2).toSeq :+ sentinelEnd
     val drift = if (sentinelStart > 0) sentinelEnd / sentinelStart else -1.0
-    val maxDrift =
-      if (sentinelStart > 0 && allSentinels.nonEmpty) allSentinels.max / sentinelStart
-      else -1.0
     val midJson = midSentinels
       .map { case (at, sec, load) => s"""{"after":$at,"sec":$sec,"load_avg":$load}""" }
       .mkString("[", ",", "]")
@@ -116,37 +170,32 @@ object Bench {
       case _ => -1.0
     }
     // Other-process CPU share of the machine over the WHOLE capture:
-    // busy jiffies minus this JVM's own CPU time, as a fraction of
-    // elapsed capacity. Clean runs read 1-3% (kernel + sbt overhead); a
-    // co-tenant burning cores mid-run shows here even when every q1
-    // sample landed in a calm gap. USER_HZ is 100 on every Linux this
-    // runs on (sysconf(_SC_CLK_TCK)); /proc/stat jiffies are 10 ms.
-    val procCpuEnd = processCpuNs()
-    val wallNs = System.nanoTime() - wallStart
-    val otherBusyPct = (jiffiesStart, jiffiesEnd) match {
-      case (Some((_, _, b0)), Some((_, _, b1)))
-          if procCpuStart >= 0 && procCpuEnd >= 0 && wallNs > 0 =>
-        val busyNs = (b1 - b0) * 10000000.0 // 10 ms per jiffy
-        val otherNs = math.max(0.0, busyNs - (procCpuEnd - procCpuStart))
-        otherNs / (wallNs.toDouble * Runtime.getRuntime.availableProcessors()) * 100.0
+    // machine busy jiffies minus this JVM's own utime+stime jiffies, as
+    // a fraction of total elapsed jiffies across all cpus (the aggregate
+    // /proc/stat line's field sum — same source, same unit, so no jiffy
+    // length or cpu count enters the formula). Clean runs read <1%
+    // (kernel overhead); a co-tenant burning cores mid-run shows here
+    // even when every q1 sample landed in a calm gap.
+    val selfEnd = selfJiffies()
+    val otherBusyPct = (jiffiesStart, jiffiesEnd, selfStart, selfEnd) match {
+      case (Some((t0, _, b0)), Some((t1, _, b1)), Some(s0), Some(s1))
+          if t1 > t0 =>
+        math.max(0.0, (b1 - b0) - (s1 - s0)).toDouble / (t1 - t0) * 100.0
       case _ => -1.0
     }
-    // Validity gate (round 9, tightened after the round-8 contended
-    // capture passed): every q1 sample within 1.5x of start (was 2x),
-    // hypervisor steal <= 10%, other-process busy share <= 10%. The
-    // 1-min load ceiling (cpus/2) applies ONLY when other_busy is
-    // unmeasurable: loadavg cannot distinguish the bench's own all-core
-    // phases from a co-tenant (a legitimate sf1 capture on 32 cpus read
-    // loadavg 19.5 with other_busy 1.6% — self-load, valid), so it is
-    // the fallback proxy, not a primary signal. Unmeasurable signals
-    // (-1) don't veto: they are absent, not bad.
+    // Validity gate (round 10, see BenchGate's scaladoc for why each
+    // bound exists). The recorded contended captures of rounds 8 AND 9
+    // both stamp invalid under it; every clean capture stays valid.
     val nCpus = Runtime.getRuntime.availableProcessors()
-    val isValid = maxDrift >= 0 && maxDrift <= 1.5 &&
-      stealPct <= 10.0 && otherBusyPct <= 10.0 &&
-      (otherBusyPct >= 0 || loadMax <= nCpus / 2.0)
+    val q1Band = sys.env.get("SPARK_GRAFT_Q1_BAND").flatMap(_.toDoubleOption)
+      .getOrElse(BenchGate.DefaultQ1BandSec)
+    val gateRes = BenchGate.evaluate(sentinelStart, midSentinels.map(_._2).toSeq,
+      sentinelEnd, stealPct, otherBusyPct, loadMax, nCpus, q1Band)
+    val isValid = gateRes.valid
     val sentinel =
       s""""sentinel":{"query":"q1_agg","start_sec":$sentinelStart,"end_sec":$sentinelEnd,""" +
-      s""""drift":$drift,"mid_samples":$midJson,"max_drift":$maxDrift,""" +
+      s""""drift":$drift,"mid_samples":$midJson,"max_drift":${gateRes.maxDrift},""" +
+      s""""min_sample_sec":${gateRes.minSample},"q1_band_sec":$q1Band,""" +
       s""""load_avg_start":$loadStart,"load_avg_end":$loadEnd,"proc_loadavg_max":$loadMax,""" +
       s""""cpu_steal_pct":$stealPct,"other_busy_pct":$otherBusyPct,""" +
       s""""valid":$isValid}"""
