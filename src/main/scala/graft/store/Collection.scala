@@ -90,6 +90,22 @@ object Collection {
   val MonthCol = "__month"
   private val TmpPrefix = "__tmp_"
 
+  /** Sidecar key remembering column NAMES removed by the metadata-only
+    * [[Collection.dropColumns]] mask. Graft maps columns by name (no
+    * column IDs), so a later re-introduction of a masked name must NOT
+    * resurrect the old bytes still present in pre-drop part-files —
+    * [[Collection.addColumns]] consults this list and purges first. */
+  val DroppedColsKey = "_dropped_columns"
+
+  /** The masked names recorded in a sidecar (empty when none). */
+  private[graft] def droppedColsOf(meta: Map[String, JValue]): Seq[String] =
+    meta.get(DroppedColsKey) match {
+      case Some(org.json4s.JArray(xs)) => xs.collect {
+        case org.json4s.JString(s) => s
+      }
+      case _ => Nil
+    }
+
   /** Time-period directory layouts (reference L2 supports
     * daily/monthly/quarterly/yearly time partitioning;
     * partition.py via SURVEY §2). Period keys are zero-padded and
@@ -837,8 +853,13 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       case Some(org.json4s.JObject(fs)) => fs.map(_._1).sorted
       case _ => Nil
     }
+    // A full commit swapped EVERY data file, all rewritten from the
+    // declared-schema (masked) read — no pre-drop bytes survive, so the
+    // dropped-column mask has nothing left to purge and clears here for
+    // free. Partial month commits (publishMonths) keep it: untouched
+    // periods still hold masked bytes.
     Meta.write(path.resolve(item),
-      (meta - "_period_stats" - History.OpKey) +
+      (meta - "_period_stats" - History.OpKey - Collection.DroppedColsKey) +
         ("_generation" -> Meta.jv(gen)) ++ periodGens +
         (History.Key -> History.appended(
           historyCarrier(item, meta), History.opOf(meta), gen, periodsTouched)))
@@ -1806,17 +1827,27 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     *
     * Added fields must be nullable (existing rows have no value) and
     * must not collide case-insensitively with existing columns.
-    * DROP/RENAME are deliberately NOT offered: graft maps columns by
-    * NAME, so a drop-then-re-add would resurrect the old bytes under
-    * the new column — the failure mode column-ID-mapping formats exist
-    * to prevent. Beyond the reference (schema changes there require an
-    * evolved append, schema_evolution.py). */
+    *
+    * Re-adding a name previously removed by [[dropColumns]] yields a
+    * FRESH column (typed NULLs for every existing row), never the old
+    * bytes: graft maps columns by name, and pre-drop part-files still
+    * hold the masked column — so the re-add first pays a one-time
+    * same-layout purge rewrite that physically strips the masked
+    * bytes, then adds the name metadata-only. This is the deliberate
+    * cost split: DROP is free and common; re-add-after-drop is rare
+    * and is priced like the rewriting operation it semantically is.
+    * RENAME COLUMN stays refused (needs a rewriting migration).
+    * Beyond the reference (schema changes there require an evolved
+    * append, schema_evolution.py). */
   def addColumns(item: String,
                  fields: Seq[org.apache.spark.sql.types.StructField]): Unit = {
     import org.apache.spark.sql.types.{DataType, StructType}
     if (!hasItem(item))
       throw new ItemNotFoundError(s"item '$item' does not exist")
     if (fields.isEmpty) return
+    val masked = Collection.droppedColsOf(Meta.read(path.resolve(item)))
+    if (fields.exists(f => masked.exists(_.equalsIgnoreCase(f.name))))
+      purgeDroppedColumns(item)
     withCommitLock {
       val itemPath = path.resolve(item)
       val meta = Meta.read(itemPath)
@@ -1849,8 +1880,120 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         .map(l => StructType(l.fields ++ added))
       Meta.write(itemPath, meta +
         ("schema_json_encoded" -> Meta.jv(newEncoded.json)) ++
-        newLogical.map(l => "schema_json" -> Meta.jv(l.json)))
+        newLogical.map(l => "schema_json" -> Meta.jv(l.json)) +
+        (History.Key -> History.appended(meta, "alter",
+          Snapshots.generationOf(meta), Nil)))
       metaCache.remove(item)
+    }
+  }
+
+  /** Metadata-only column DROP — the read-side projection-mask
+    * convention of the modern table formats, and the SQL face of
+    * `ALTER TABLE DROP COLUMN`. The dropped fields leave the item's
+    * declared schemas (encoded + logical) in ONE sidecar write; ZERO
+    * data files change at any item size. Every read surface pins its
+    * scan to the declared schema (the Item read pin, the V2 table,
+    * frozen snapshot sidecars), so the masked bytes are simply never
+    * requested — parquet column pruning makes the mask literally free
+    * at 100 TB. Snapshot and time-travel reads serve the schema frozen
+    * at their pin, so the column stays visible in pre-drop snapshots.
+    *
+    * The dropped NAMES are remembered under [[Collection.DroppedColsKey]]
+    * so a later [[addColumns]] of the same name purges the masked bytes
+    * before the name returns fresh (see there). Full rewrites (write,
+    * evolved append, convertLayout) clear the mask for free — they
+    * rewrite every file from the masked read, so nothing is left to
+    * purge.
+    *
+    * Refused typed: index columns (they are the item's physical
+    * contract — ordering, dedup, partitioning), declared pruning-stats
+    * columns (undeclare via [[analyzeItem]] first), and unknown names. */
+  def dropColumns(item: String, names: Seq[String]): Unit = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    if (!hasItem(item))
+      throw new ItemNotFoundError(s"item '$item' does not exist")
+    if (names.isEmpty) return
+    withCommitLock {
+      val itemPath = path.resolve(item)
+      val meta = Meta.read(itemPath)
+      def parse(k: String): Option[StructType] = meta.get(k).collect {
+        case org.json4s.JString(sj) => DataType.fromJson(sj).asInstanceOf[StructType]
+      }
+      // legacy pre-encode sidecar: materialize the encoded schema once
+      // (same anchor rule as addColumns)
+      val encoded = parse("schema_json_encoded").getOrElse {
+        val inferred = spark.read.parquet(
+          itemPath.resolve(Item.DataDir).toString).schema
+        StructType(inferred.filterNot(_.name == Collection.MonthCol))
+      }
+      val idx = meta.get("index_names") match {
+        case Some(j) => Meta.unjv(j) match {
+          case xs: Seq[_] if xs.nonEmpty => xs.map(_.toString)
+          case _ => Seq(Collection.DefaultIndex)
+        }
+        case None => Seq(Collection.DefaultIndex)
+      }
+      val statsCols = meta.get("_stats_cols").map(Meta.unjv) match {
+        case Some(xs: Seq[_]) => xs.map(_.toString)
+        case _ => Nil
+      }
+      val byLower = encoded.fields.map(f => f.name.toLowerCase -> f.name).toMap
+      val resolved = names.map { n =>
+        byLower.getOrElse(n.toLowerCase, throw new ValidationError(
+          s"column '$n' does not exist on item '$item' " +
+            s"(${encoded.fieldNames.mkString(", ")})"))
+      }.distinct
+      resolved.foreach { n =>
+        if (idx.exists(_.equalsIgnoreCase(n)))
+          throw new ValidationError(
+            s"cannot drop '$n': it is the item's index column — the index " +
+              "is the item's physical contract (ordering, dedup, " +
+              "partitioning); reshaping it needs a rewriting migration")
+        if (statsCols.exists(_.equalsIgnoreCase(n)))
+          throw new ValidationError(
+            s"cannot drop '$n': it is a declared pruning-stats column; " +
+              "undeclare it first (analyzeItem with a new column list)")
+      }
+      val dropSet = resolved.map(_.toLowerCase).toSet
+      val newEncoded = StructType(
+        encoded.fields.filterNot(f => dropSet.contains(f.name.toLowerCase)))
+      val newLogical = parse("schema_json").map(l => StructType(
+        l.fields.filterNot(f => dropSet.contains(f.name.toLowerCase))))
+      val mask = (Collection.droppedColsOf(meta) ++ resolved).distinct
+      Meta.write(itemPath, meta +
+        ("schema_json_encoded" -> Meta.jv(newEncoded.json)) ++
+        newLogical.map(l => "schema_json" -> Meta.jv(l.json)) +
+        (Collection.DroppedColsKey -> Meta.jv(mask)) +
+        (History.Key -> History.appended(meta, "alter",
+          Snapshots.generationOf(meta), Nil)))
+      metaCache.remove(item)
+    }
+  }
+
+  /** One-time same-layout rewrite physically stripping every masked
+    * column's bytes from the item's part-files — the deferred half of
+    * the metadata-only [[dropColumns]], paid only when a masked name is
+    * re-added. The read side already serves the masked shape, so this
+    * is read → re-lay → atomic commit (convertLayout's cost class); the
+    * committed sidecar clears the mask. */
+  private def purgeDroppedColumns(item: String): Unit = {
+    val it = this.item(item)
+    val idx = it.indexCols
+    val df = it.data // declared-schema pin: masked columns already absent
+    val prevMeta = Meta.read(path.resolve(item)) - Collection.DroppedColsKey
+    timeLayoutOf(item) match {
+      case Some(layout) =>
+        commit(item, withTimeLayout(df, idx, monthlySaltOf(item), layout),
+          prevMeta ++ Collection.opTag("purge_dropped"), partitioned = true)
+        maybeRefreshPeriodStats(item, None)
+      case None =>
+        val stats = readStatsMeta(item).getOrElse(
+          Partitioner.computeStats(df, idx.head))
+        val (n, strategy) = Partitioner.decide(Partitioner.estimatedBytes(df), stats)
+        commit(item, Partitioner(df, idx, n),
+          prevMeta ++ Meta.obj("_partitions" -> n,
+            "_partition_strategy" -> strategy.name) ++
+            Collection.opTag("purge_dropped"))
     }
   }
 
@@ -1871,8 +2014,12 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     withCommitLock {
       val itemPath = path.resolve(item)
       val meta = Meta.read(itemPath)
+      // logged (gen unchanged) so DESCRIBE HISTORY records the mutation;
+      // timestamp travel stays data-exact — see resolveAsOf's contract
       Meta.write(itemPath,
-        (meta -- unset) ++ set.map { case (k, v) => k -> Meta.jv(v) })
+        (meta -- unset) ++ set.map { case (k, v) => k -> Meta.jv(v) } +
+          (History.Key -> History.appended(meta, "set_properties",
+            Snapshots.generationOf(meta), Nil)))
       metaCache.remove(item)
     }
   }
@@ -1915,13 +2062,19 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       }
     }
     val meta = Meta.read(itemPath)
+    // logged (gen unchanged) like the other metadata-only mutations;
+    // the post-commit _period_stats refreshes stay UNlogged (they are
+    // derived bookkeeping riding data commits already in the log)
+    def analyzed(m: Map[String, JValue]): Map[String, JValue] =
+      m + (History.Key -> History.appended(meta, "analyze",
+        Snapshots.generationOf(meta), Nil))
     if (statsColumns.isEmpty) {
-      Meta.write(itemPath,
-        meta - "_stats_cols" + ("_period_stats" -> Meta.jv(Map.empty[String, Any])))
+      Meta.write(itemPath, analyzed(
+        meta - "_stats_cols" + ("_period_stats" -> Meta.jv(Map.empty[String, Any]))))
       metaCache.remove(item)
       0
     } else {
-      Meta.write(itemPath, meta ++ Meta.obj("_stats_cols" -> statsColumns))
+      Meta.write(itemPath, analyzed(meta ++ Meta.obj("_stats_cols" -> statsColumns)))
       metaCache.remove(item)
       refreshPeriodStats(item, None)
       Collection.periodStatsOf(Meta.read(itemPath)).size
