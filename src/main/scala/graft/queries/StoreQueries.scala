@@ -1295,11 +1295,24 @@ object StoreQueries {
       .createOrReplaceTempView("ga_incoming")
     val itemCols = s.table("gacat.col.o").columns.map(c => s"`$c`").mkString(", ")
     s.sql(s"INSERT INTO gacat.col.o SELECT $itemCols FROM ga_incoming")
-    s.sql("""
+    // DROP COLUMN is metadata-only (mask in one sidecar write, zero
+    // data files); re-adding the SAME name pays the one-time purge
+    // rewrite and returns FRESH — count(o_orderkey)=0 below is the
+    // hash-proof that the pre-drop bytes never resurrect.
+    val beforeDrop = files()
+    s.sql("ALTER TABLE gacat.col.o DROP COLUMN o_orderkey")
+    if (files() != beforeDrop)
+      throw new IllegalStateException(
+        "ALTER DROP COLUMN must be metadata-only: the data-file set changed")
+    s.sql("ALTER TABLE gacat.col.o ADD COLUMNS (o_orderkey BIGINT)")
+    val colsSorted = s.table("gacat.col.o").columns.sorted.mkString(",")
+    s.sql(s"""
       |SELECT date_trunc('month', o_orderdate) AS month,
       |  count(*) AS n,
       |  count(adj) AS n_adj,
-      |  round(CAST(sum(CAST(adj AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_adj
+      |  round(CAST(sum(CAST(adj AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_adj,
+      |  count(o_orderkey) AS n_okey,
+      |  '$colsSorted' AS cols
       |FROM gacat.col.o
       |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
@@ -1315,7 +1328,9 @@ object StoreQueries {
       |SELECT date_trunc('month', o_orderdate) AS month,
       |  count(*) AS n,
       |  count(adj) AS n_adj,
-      |  round(CAST(sum(CAST(adj AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_adj
+      |  round(CAST(sum(CAST(adj AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_adj,
+      |  CAST(0 AS BIGINT) AS n_okey,
+      |  'adj,o_orderdate,o_orderkey,o_totalprice' AS cols
       |FROM base GROUP BY 1 ORDER BY 1""".stripMargin
 
   val sqlMaintenanceSql: String =

@@ -45,13 +45,13 @@ import graft.store.{Collection, GraftError, GraftStore, HadoopFs, Item, NioFs, S
   * [[GraftStagedTable]]), `DROP TABLE` → `Collection.deleteItem` with
   * pin retention, `ALTER TABLE ... RENAME TO` → `Collection.renameItem`
   * (refused while manifest-pinned), `CREATE/DROP NAMESPACE` →
-  * collection birth/delete, plus the two METADATA-SAFE alters:
-  * `ADD COLUMNS` (one sidecar write, zero data files — see
-  * [[alterTable]]) and `SET/UNSET TBLPROPERTIES` (user metadata only).
-  * Still refused typed: column drops/renames/retypes (graft maps
-  * columns by name — those need a rewriting migration) and schema-only
-  * `REPLACE TABLE` (a statement that promises to replace data must
-  * carry data).
+  * collection birth/delete, plus the three METADATA-SAFE alters:
+  * `ADD COLUMNS`, `DROP COLUMN(S)` (one sidecar write, zero data
+  * files — see [[alterTable]]) and `SET/UNSET TBLPROPERTIES` (user
+  * metadata only). Still refused typed: column renames/retypes (graft
+  * maps columns by name — those need a rewriting migration) and
+  * schema-only `REPLACE TABLE` (a statement that promises to replace
+  * data must carry data).
   *
   * Transaction boundary: every SQL statement (INSERT / UPDATE / MERGE /
   * DELETE / CTAS / CALL) commits atomically PER STATEMENT, per item —
@@ -363,24 +363,37 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** `ALTER TABLE ... ADD COLUMNS` — metadata-only widening through
     * [[graft.store.Collection.addColumns]] (one sidecar write, zero
-    * data files touched; existing rows read as typed NULLs) — and
-    * `SET/UNSET TBLPROPERTIES` — user-metadata updates through
+    * data files touched; existing rows read as typed NULLs) —
+    * `ALTER TABLE ... DROP COLUMN(S)` — metadata-only masking through
+    * [[graft.store.Collection.dropColumns]] (the dropped name leaves
+    * the declared schema in one sidecar write; the bytes are never
+    * requested again; re-adding the name later pays a one-time purge
+    * rewrite so it returns fresh, see there) — and `SET/UNSET
+    * TBLPROPERTIES` — user-metadata updates through
     * [[graft.store.Collection.setItemProperties]] (structural keys
-    * refused). Every other change (DROP/RENAME/retype/reorder) refuses
-    * typed: graft maps columns by NAME, so those need a rewriting
-    * migration (`SchemaEvolution.MigrationRegistry`), not DDL. */
+    * refused). RENAME/retype/reorder refuse typed: graft maps columns
+    * by NAME, so those need a rewriting migration
+    * (`SchemaEvolution.MigrationRegistry`), not DDL. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val adds = changes.collect { case a: TableChange.AddColumn => a }
+    val drops = changes.collect { case d: TableChange.DeleteColumn => d }
     val sets = changes.collect { case s: TableChange.SetProperty => s }
     val unsets = changes.collect { case u: TableChange.RemoveProperty => u }
-    if (adds.size + sets.size + unsets.size != changes.size) {
+    if (adds.size + drops.size + sets.size + unsets.size != changes.size) {
       val other = changes.filterNot(c => c.isInstanceOf[TableChange.AddColumn] ||
+        c.isInstanceOf[TableChange.DeleteColumn] ||
         c.isInstanceOf[TableChange.SetProperty] ||
         c.isInstanceOf[TableChange.RemoveProperty]).head
       readOnly(s"ALTER TABLE ${other.getClass.getSimpleName} " +
-        "(only ADD COLUMNS and SET/UNSET TBLPROPERTIES are metadata-safe; " +
-        "drops/renames/retypes need a rewriting migration)")
+        "(only ADD COLUMNS, DROP COLUMN and SET/UNSET TBLPROPERTIES are " +
+        "metadata-safe; renames/retypes need a rewriting migration)")
+    }
+    drops.foreach { d =>
+      if (d.fieldNames.length != 1)
+        throw new GraftError(
+          s"ALTER TABLE DROP COLUMN: only top-level columns can be dropped, " +
+            s"got nested '${d.fieldNames.mkString(".")}'")
     }
     adds.foreach { a =>
       if (a.fieldNames.length != 1)
@@ -401,6 +414,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (adds.nonEmpty)
       coll.addColumns(ident.name, adds.map(a => org.apache.spark.sql.types
         .StructField(a.fieldNames()(0), a.dataType(), a.isNullable())))
+    if (drops.nonEmpty) {
+      // `DROP COLUMN IF EXISTS` skips absent names silently (the Scala
+      // API refuses unknowns typed — exactness is its contract; the SQL
+      // spelling carries the conditional in the statement itself)
+      val names = drops.filter(d => !d.ifExists() ||
+        loadTable(ident).columns().exists(_.name().equalsIgnoreCase(d.fieldNames()(0))))
+        .map(_.fieldNames()(0))
+      if (names.nonEmpty) coll.dropColumns(ident.name, names)
+    }
     if (sets.nonEmpty || unsets.nonEmpty)
       coll.setItemProperties(ident.name,
         sets.map(s => s.property() -> s.value()).toMap,

@@ -1845,12 +1845,34 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     if (!hasItem(item))
       throw new ItemNotFoundError(s"item '$item' does not exist")
     if (fields.isEmpty) return
+    // Field-shape validation FIRST: an invalid call must never pay the
+    // purge rewrite below (nor clear the mask) before failing. The
+    // collision check needs the declared schema and runs under the lock.
+    fields.foreach { f =>
+      if (!f.nullable)
+        throw new ValidationError(
+          s"added column '${f.name}' must be nullable: existing rows " +
+            "have no value for it")
+      if (f.name == Collection.MonthCol || f.name.startsWith("__"))
+        throw new ValidationError(s"column name '${f.name}' is reserved")
+    }
     val masked = Collection.droppedColsOf(Meta.read(path.resolve(item)))
     if (fields.exists(f => masked.exists(_.equalsIgnoreCase(f.name))))
       purgeDroppedColumns(item)
     withCommitLock {
       val itemPath = path.resolve(item)
       val meta = Meta.read(itemPath)
+      // Re-check the mask UNDER the lock: a dropColumns committed
+      // between the purge above and this point would otherwise re-add
+      // the name metadata-only — and the pre-drop bytes still sitting
+      // in untouched part-files would resurrect, the exact failure the
+      // mask exists to prevent. Refuse typed; the caller retries.
+      val nowMasked = Collection.droppedColsOf(meta)
+      fields.find(f => nowMasked.exists(_.equalsIgnoreCase(f.name))).foreach { f =>
+        throw new GraftError(
+          s"concurrent dropColumns masked '${f.name}' on item '$item' " +
+            "while its purge was running — retry addColumns")
+      }
       def parse(k: String): Option[StructType] = meta.get(k).collect {
         case org.json4s.JString(sj) => DataType.fromJson(sj).asInstanceOf[StructType]
       }
@@ -1866,12 +1888,6 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         if (taken.contains(f.name.toLowerCase))
           throw new ValidationError(
             s"column '${f.name}' already exists on item '$item'")
-        if (!f.nullable)
-          throw new ValidationError(
-            s"added column '${f.name}' must be nullable: existing rows " +
-              "have no value for it")
-        if (f.name == Collection.MonthCol || f.name.startsWith("__"))
-          throw new ValidationError(s"column name '${f.name}' is reserved")
       }
       val added = fields.map(f => f.copy(nullable = true))
       val newEncoded = StructType(encoded.fields ++ added)

@@ -179,13 +179,36 @@ object Snapshots {
     *  - the latest commit-log entry stamped ≤ t is still the LIVE
     *    generation → [[AsOfLive]] (no snapshot needed at all);
     *  - it was rewritten since → the latest USER manifest created in
-    *    [thatCommit.at, nextCommit.at) pins exactly the state at t →
+    *    the state's window AND verified to pin its generation →
     *    [[AsOfSnapshot]];
     *  - no manifest in the window → typed error naming the rewriting
     *    commit and what retention would have kept;
     *  - log empty or starting after t (pre-log writes, capped-out
     *    entries) → the legacy approximation: latest manifest whose
     *    CREATION stamp is ≤ t, or a typed error.
+    *
+    * The semantics are DATA-EXACT: metadata-only mutations (`alter`/
+    * `set_properties`/`analyze`) log with the generation UNCHANGED and
+    * neither begin nor end a state's window — travel resolves the DATA
+    * bytes at `t`, and the declared schema/properties ride whatever the
+    * resolved surface carries: the LIVE sidecar for [[AsOfLive]] (a
+    * pre-alter instant with no later data commit serves the post-alter
+    * declared schema), the manifest's FROZEN sidecar for
+    * [[AsOfSnapshot]]. Pin metadata exactly with a manifest snapshot;
+    * that is what the frozen sidecar is for. A state's window is
+    * therefore [first entry carrying its gen, first later entry
+    * carrying a DIFFERENT gen) — an alter between two data commits
+    * must not orphan manifests created after it (round-10 regression),
+    * and a manifest created between a data commit and a later alter
+    * pins the same bytes.
+    *
+    * Stamp-in-window is necessary but not sufficient: creation stamps
+    * come from wall clocks that can skew on shared storage, so the
+    * chosen manifest must also VERIFY that it pins the resolved entry's
+    * generation — resolving to a manifest pinning a different
+    * generation would serve wrong bytes silently. Unverifiable
+    * combinations (legacy gen-less manifests, flat-logged entries vs
+    * period pins) stay resolvable by stamp alone.
     * Driver-side sidecar + manifest reads only. */
   def resolveAsOf(collectionPath: SPath, item: String,
                   t: java.time.Instant): AsOf = {
@@ -194,11 +217,13 @@ object Snapshots {
     History.latestAtOrBefore(liveMeta, t) match {
       case Some(e) if e.gen == generationOf(liveMeta) => AsOfLive
       case Some(e) =>
-        val windowEnd = log.find(_.at.isAfter(t)).map(_.at)
-          .getOrElse(java.time.Instant.MAX)
+        val windowStart = log.find(_.gen == e.gen).map(_.at).getOrElse(e.at)
+        val windowEnd = log.find(x => x.at.isAfter(t) && x.gen != e.gen)
+          .map(_.at).getOrElse(java.time.Instant.MAX)
         userManifestStamps(collectionPath)
-          .filter { case (at, _) => !at.isBefore(e.at) && at.isBefore(windowEnd) }
-          .filter { case (_, s) => manifestPins(collectionPath, s, item).isDefined }
+          .filter { case (at, _) => !at.isBefore(windowStart) && at.isBefore(windowEnd) }
+          .filter { case (_, s) =>
+            manifestPins(collectionPath, s, item).exists(pinsGeneration(_, e)) }
           .lastOption.map(x => AsOfSnapshot(x._2))
           .getOrElse(throw new GraftError(
             s"the state of '$item' at $t (generation ${e.gen}, committed " +
@@ -217,6 +242,20 @@ object Snapshots {
               " — dir snapshots record no creation time; create manifest " +
               "snapshots to enable timestamp travel"))
     }
+  }
+
+  /** Does a manifest's pin of an item match a commit-log entry's
+    * generation? The clock-skew guard of [[resolveAsOf]]: a pinned
+    * period the entry touched must carry the entry's gen; periods the
+    * manifest does NOT pin don't veto (the entry may have REMOVED
+    * them — a pruned delete's touched list includes removed months).
+    * `Left(0)` (legacy gen-less manifests) and flat-logged entries
+    * against period pins cannot be verified and pass — availability
+    * over a check that cannot be made. */
+  private def pinsGeneration(pins: Either[Long, Map[String, Long]],
+                             e: History.Entry): Boolean = pins match {
+    case Left(g) => g == 0L || g == e.gen
+    case Right(pg) => e.periods.forall(p => pg.get(p).forall(_ == e.gen))
   }
 
   /** Item names pinned by manifest `snap`; None when the snapshot is

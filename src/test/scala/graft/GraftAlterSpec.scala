@@ -75,9 +75,6 @@ class GraftAlterSpec extends SparkSpec {
     val res = intercept[ValidationError](
       c.addColumns("item", Seq(StructField("__month", StringType))))
     assert(res.getMessage.contains("reserved"))
-    val drop = intercept[Exception](
-      spark.sql("ALTER TABLE acat2.c.item DROP COLUMN value"))
-    assert(drop.getMessage.contains("migration"))
     val ren = intercept[Exception](
       spark.sql("ALTER TABLE acat2.c.item RENAME COLUMN value TO v2"))
     assert(ren.getMessage.contains("migration"))
@@ -105,6 +102,96 @@ class GraftAlterSpec extends SparkSpec {
     val e = intercept[Exception](
       spark.sql("ALTER TABLE acat3.c.item SET TBLPROPERTIES ('_layout' = 'daily')"))
     assert(e.getMessage.contains("structural"))
+    cleanup(c)
+  }
+
+  test("DROP COLUMN is metadata-only; snapshots and VERSION AS OF serve the frozen pre-drop schema") {
+    val c = tempCollection("alter_drop")
+    import spark.implicits._
+    val df = frame("2024-01-01", 60).withColumn("score", col("value") * 2.0)
+    c.write("item", df, monthlyLayout = true)
+    c.createSnapshot(Some("predrop"), manifest = Some(true))
+    val filesBefore = dataFiles(c, "item")
+    registerCatalog("dcat1", c)
+    spark.sql("ALTER TABLE dcat1.c.item DROP COLUMN score")
+    // zero data files changed — the mask is a sidecar write only
+    assert(dataFiles(c, "item") == filesBefore)
+    // both live read paths serve the masked shape
+    assert(c.item("item").data.columns.toSeq == Seq("index", "value"))
+    val viaSql = spark.sql("SELECT * FROM dcat1.c.item")
+    assert(viaSql.columns.toSeq == Seq("index", "value"))
+    assert(viaSql.count() == 60)
+    // the pre-drop snapshot serves the FROZEN schema — column intact
+    val snap = c.item("item", snapshot = Some("predrop")).data
+    assert(snap.columns.toSeq == Seq("index", "value", "score"))
+    assert(snap.filter(col("score").isNull).count() == 0)
+    val viaTravel = spark.sql("SELECT * FROM dcat1.c.item VERSION AS OF 'predrop'")
+    assert(viaTravel.columns.toSeq == Seq("index", "value", "score"))
+    assert(viaTravel.agg(sum("score")).as[Double].head() ==
+      (0 until 60).map(_ * 2.0).sum)
+    // the dropped name is remembered for purge-on-re-add
+    assert(Meta.read(c.path.resolve("item")).contains(Collection.DroppedColsKey))
+    cleanup(c)
+  }
+
+  test("re-adding a dropped name purges the masked bytes: fresh NULLs, never the old values") {
+    val c = tempCollection("alter_readd")
+    import spark.implicits._
+    c.write("item", frame("2024-01-01", 60).withColumn("score", col("value") + 100.0),
+      monthlyLayout = true)
+    registerCatalog("dcat2", c)
+    spark.sql("ALTER TABLE dcat2.c.item DROP COLUMN score")
+    // a partial monthly append between drop and re-add: the mask must
+    // survive the partial commit (untouched months still hold masked bytes)
+    c.append("item", frame("2024-03-01", 5))
+    assert(Collection.droppedColsOf(Meta.read(c.path.resolve("item")))
+      .map(_.toLowerCase).contains("score"))
+    val filesBefore = dataFiles(c, "item")
+    spark.sql("ALTER TABLE dcat2.c.item ADD COLUMNS (score DOUBLE)")
+    // the re-add paid the purge rewrite (data files DID change this time)
+    assert(dataFiles(c, "item") != filesBefore)
+    val after = c.item("item").data
+    assert(after.columns.toSeq == Seq("index", "value", "score"))
+    assert(after.count() == 65)
+    // every row reads the re-added column as a typed NULL — the pre-drop
+    // bytes (value+100) never resurrect
+    assert(after.filter(col("score").isNotNull).count() == 0)
+    // and the mask is cleared: the purge committed a full rewrite
+    assert(!Meta.read(c.path.resolve("item")).contains(Collection.DroppedColsKey))
+    // a full rewrite also clears the mask for free (no purge needed)
+    spark.sql("ALTER TABLE dcat2.c.item DROP COLUMN score")
+    c.write("item", frame("2024-01-01", 10), monthlyLayout = true, overwrite = true)
+    assert(!Meta.read(c.path.resolve("item")).contains(Collection.DroppedColsKey))
+    cleanup(c)
+  }
+
+  test("DROP COLUMN typed refusals: index, declared stats column, unknown; IF EXISTS skips") {
+    val c = tempCollection("alter_drop_refuse")
+    import spark.implicits._
+    c.write("item", frame("2024-01-01", 40).withColumn("qty", col("value") * 3.0),
+      monthlyLayout = true)
+    c.analyzeItem("item", Seq("qty"))
+    registerCatalog("dcat3", c)
+    val idx = intercept[ValidationError](c.dropColumns("item", Seq("index")))
+    assert(idx.getMessage.contains("index"))
+    val st = intercept[Exception](
+      spark.sql("ALTER TABLE dcat3.c.item DROP COLUMN qty"))
+    assert(st.getMessage.contains("stats"))
+    // unknown names stop at the ANALYZER (it resolves the column against
+    // the table schema before the catalog sees the change); the Scala
+    // API's own typed refusal covers the catalog-independent path
+    val unk = intercept[Exception](
+      spark.sql("ALTER TABLE dcat3.c.item DROP COLUMN nope"))
+    assert(unk.getMessage.contains("cannot be resolved"))
+    val unkApi = intercept[ValidationError](c.dropColumns("item", Seq("nope")))
+    assert(unkApi.getMessage.contains("does not exist"))
+    // IF EXISTS on an absent name is a silent no-op
+    spark.sql("ALTER TABLE dcat3.c.item DROP COLUMN IF EXISTS nope")
+    assert(c.item("item").data.columns.toSeq == Seq("index", "value", "qty"))
+    // undeclaring the stats column unlocks the drop
+    c.analyzeItem("item", Nil)
+    spark.sql("ALTER TABLE dcat3.c.item DROP COLUMN IF EXISTS qty")
+    assert(c.item("item").data.columns.toSeq == Seq("index", "value"))
     cleanup(c)
   }
 

@@ -343,4 +343,57 @@ class ManifestSnapshotSpec extends SparkSpec {
     intercept[ItemNotFoundError] { c.item("ghost", snapshot = Some(snap)) }
     cleanup(c)
   }
+
+  test("timestamp travel is DATA-exact: metadata-only mutations neither begin nor end a window") {
+    val c = tempCollection("msnap_dataexact")
+    c.write("it", df3(1L -> "a", 2L -> "b"), indexCols = Seq("index"))
+    Thread.sleep(5)
+    val t1 = java.time.Instant.now() // instant inside the write's window
+    Thread.sleep(5)
+    // a metadata-only mutation logs with the generation UNCHANGED
+    c.setItemProperties("it", Map("team" -> "ops"))
+    // no later data commit → LIVE (post-alter declared metadata, same bytes)
+    assert(Snapshots.resolveAsOf(c.path, "it", t1) == Snapshots.AsOfLive)
+    // a manifest created AFTER the alter still pins the write's bytes —
+    // the alter must not orphan it from the write's window
+    c.createSnapshot(Some("m1"), manifest = Some(true))
+    Thread.sleep(5)
+    c.append("it", df3(3L -> "c")) // the data commit that ENDS the window
+    assert(Snapshots.resolveAsOf(c.path, "it", t1) ==
+      Snapshots.AsOfSnapshot("m1"))
+    // and an alter AFTER the rewrite must not narrow t1's window either:
+    // (regression arm for the round-10 windowEnd behavior)
+    c.setItemProperties("it", Map("team" -> "data"))
+    assert(Snapshots.resolveAsOf(c.path, "it", t1) ==
+      Snapshots.AsOfSnapshot("m1"))
+    cleanup(c)
+  }
+
+  test("resolveAsOf verifies the chosen manifest pins the resolved generation (clock skew)") {
+    val c = tempCollection("msnap_genverify")
+    c.write("it", df3(1L -> "a"), indexCols = Seq("index"))
+    c.createSnapshot(Some("old"), manifest = Some(true)) // pins gen g1
+    Thread.sleep(5)
+    c.append("it", df3(2L -> "b")) // g2
+    Thread.sleep(5)
+    val t2 = java.time.Instant.now() // inside g2's window
+    Thread.sleep(5)
+    c.append("it", df3(3L -> "c")) // g3 rewrites g2's state
+    // forge clock skew: push 'old's creation stamp INTO g2's window.
+    // Its pins still say g1 — stamp-only resolution would serve g1's
+    // bytes for a g2 instant; generation verification must refuse.
+    val mf = Snapshots.manifestFile(c.path, "old")
+    val txt = new String(c.path.fs.readBytes(mf.raw),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val skewed = txt.replaceFirst(
+      "\"created\"\\s*:\\s*\"[^\"]+\"",
+      "\"created\" : \"" + Meta.stampOf(t2.minusMillis(1)) + "\"")
+    assert(skewed != txt)
+    c.path.fs.writeBytesAtomic(mf.raw, skewed.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    val e = intercept[GraftError](Snapshots.resolveAsOf(c.path, "it", t2))
+    assert(e.getMessage.contains("no manifest snapshot pinned it"),
+      e.getMessage)
+    cleanup(c)
+  }
 }
