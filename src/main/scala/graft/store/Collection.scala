@@ -861,7 +861,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     Meta.write(path.resolve(item),
       (meta - "_period_stats" - History.OpKey - Collection.DroppedColsKey) +
         ("_generation" -> Meta.jv(gen)) ++ periodGens +
-        (History.Key -> History.appended(
+        (History.Key -> History.appendedSpilling(path.resolve(item),
           historyCarrier(item, meta), History.opOf(meta), gen, periodsTouched)))
     metaCache.remove(item)
     refreshItems()
@@ -970,7 +970,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       (statsDropped - History.OpKey) + ("_generation" -> Meta.jv(gen)) +
         ("_period_gens" -> Meta.jv(
           (oldPg -- removedMonths) ++ swappedMonths.map(_ -> gen).toMap)) +
-        (History.Key -> History.appended(
+        (History.Key -> History.appendedSpilling(path.resolve(item),
           historyCarrier(item, meta), History.opOf(meta), gen,
           (swappedMonths ++ removedMonths).toSeq.sorted)))
     metaCache.remove(item)
@@ -1897,7 +1897,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       Meta.write(itemPath, meta +
         ("schema_json_encoded" -> Meta.jv(newEncoded.json)) ++
         newLogical.map(l => "schema_json" -> Meta.jv(l.json)) +
-        (History.Key -> History.appended(meta, "alter",
+        (History.Key -> History.appendedSpilling(itemPath, meta, "alter",
           Snapshots.generationOf(meta), Nil)))
       metaCache.remove(item)
     }
@@ -1980,7 +1980,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         ("schema_json_encoded" -> Meta.jv(newEncoded.json)) ++
         newLogical.map(l => "schema_json" -> Meta.jv(l.json)) +
         (Collection.DroppedColsKey -> Meta.jv(mask)) +
-        (History.Key -> History.appended(meta, "alter",
+        (History.Key -> History.appendedSpilling(itemPath, meta, "alter",
           Snapshots.generationOf(meta), Nil)))
       metaCache.remove(item)
     }
@@ -2034,7 +2034,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       // timestamp travel stays data-exact — see resolveAsOf's contract
       Meta.write(itemPath,
         (meta -- unset) ++ set.map { case (k, v) => k -> Meta.jv(v) } +
-          (History.Key -> History.appended(meta, "set_properties",
+          (History.Key -> History.appendedSpilling(itemPath, meta, "set_properties",
             Snapshots.generationOf(meta), Nil)))
       metaCache.remove(item)
     }
@@ -2082,7 +2082,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     // the post-commit _period_stats refreshes stay UNlogged (they are
     // derived bookkeeping riding data commits already in the log)
     def analyzed(m: Map[String, JValue]): Map[String, JValue] =
-      m + (History.Key -> History.appended(meta, "analyze",
+      m + (History.Key -> History.appendedSpilling(itemPath, meta, "analyze",
         Snapshots.generationOf(meta), Nil))
     if (statsColumns.isEmpty) {
       Meta.write(itemPath, analyzed(

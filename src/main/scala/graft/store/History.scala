@@ -19,10 +19,12 @@ import org.json4s._
   * The log is CAPPED at [[MaxEntries]] (newest kept): it is a sidecar
   * field read driver-side on every metadata load, so it must stay a
   * few tens of KB at any item age — a 100 TB item with years of
-  * appends carries the same bounded log as a day-old one. Truncation
-  * is recorded by the oldest surviving entry simply being later than
-  * the item's birth; timestamp travel earlier than the log refuses
-  * with a typed error rather than guessing.
+  * appends carries the same bounded log as a day-old one. Entries the
+  * cap evicts SPILL to chunked files under the item's `_log/` dir
+  * ([[appendedSpilling]]): the timestamp-travel resolution fallback
+  * reads them when an instant predates the sidecar window, so
+  * high-churn items keep their full travel horizon while every
+  * ordinary metadata load still reads one bounded sidecar.
   */
 object History {
   /** Sidecar key holding the JSON array of entries (oldest first). */
@@ -74,12 +76,92 @@ object History {
 
   /** The log with one entry appended and the cap applied. `prior` is
     * the meta map carrying the existing log (usually the stored sidecar
-    * the caller already merged in). */
+    * the caller already merged in). Entries the cap evicts are DROPPED —
+    * use [[appendedSpilling]] on the publish paths so they land in the
+    * item's spill area instead. */
   def appended(prior: Map[String, JValue], op: String, gen: Long,
                periods: Seq[String]): JValue = {
     val all = entriesOf(prior) :+ Entry(op, gen, java.time.Instant.now(), periods)
     JArray(all.takeRight(MaxEntries).map(render).toList)
   }
+
+  /** Directory under the item root holding evicted log entries. Sits
+    * beside the sidecar (the parquet dataset lives under `data/`, so
+    * nothing scans it); deleted/renamed/copied with the item. */
+  val SpillDir = "_log"
+  /** Entries per spill chunk file. A chunk is rewritten in place until
+    * full (≤ a few tens of KB — same cost class as the sidecar write
+    * that triggered it), then sealed and a new one started: a 1M-commit
+    * item pays O(1) spill I/O per commit and carries ~4k small chunk
+    * files, never one ever-growing file rewritten per commit. */
+  val SpillChunkEntries = 256
+
+  /** [[appended]] for the item-mutation paths: entries evicted by the
+    * cap are APPENDED to the item's spill area before the capped log is
+    * returned, so the full history stays reconstructable at any item
+    * age while the sidecar (read driver-side on every metadata load)
+    * stays bounded. Spill I/O happens only once the log is over the cap
+    * — one tiny chunk read+rewrite per commit, under the caller's
+    * commit lock. Spill failures are swallowed: the log is advisory,
+    * and failing a data commit over a history-archive hiccup would be
+    * backwards. */
+  def appendedSpilling(itemPath: SPath, prior: Map[String, JValue], op: String,
+                       gen: Long, periods: Seq[String]): JValue = {
+    val all = entriesOf(prior) :+ Entry(op, gen, java.time.Instant.now(), periods)
+    val evicted = all.dropRight(MaxEntries)
+    if (evicted.nonEmpty)
+      try spill(itemPath, evicted)
+      catch { case _: Exception => () }
+    JArray(all.takeRight(MaxEntries).map(render).toList)
+  }
+
+  private def chunkFiles(itemPath: SPath): Seq[String] = {
+    val dir = itemPath.resolve(SpillDir)
+    if (!dir.isDir) Nil
+    else itemPath.fs.listFiles(dir.raw) // bare names per StoreFs contract
+      .filter(_.matches("chunk-\\d+\\.json")).sorted
+      .map(n => dir.resolve(n).raw)
+  }
+
+  private def parseChunk(itemPath: SPath, file: String): Seq[Entry] =
+    try org.json4s.jackson.JsonMethods.parse(
+      new String(itemPath.fs.readBytes(file),
+        java.nio.charset.StandardCharsets.UTF_8)) match {
+      case JArray(xs) => xs.flatMap(parse)
+      case _ => Nil
+    } catch { case _: Exception => Nil }
+
+  private def spill(itemPath: SPath, evicted: Seq[Entry]): Unit = {
+    val fs = itemPath.fs
+    itemPath.resolve(SpillDir).mkdirs()
+    val existing = chunkFiles(itemPath)
+    val (target, carried, idx) = existing.lastOption match {
+      case Some(last) =>
+        val entries = parseChunk(itemPath, last)
+        val i = fs.nameOf(last).stripPrefix("chunk-").stripSuffix(".json").toInt
+        if (entries.size < SpillChunkEntries) (Some(last), entries, i)
+        else (None, Seq.empty[Entry], i + 1)
+      case None => (None, Seq.empty[Entry], 0)
+    }
+    // fill the open chunk, then seal full chunks of the remainder
+    val groups = (carried ++ evicted).grouped(SpillChunkEntries).toSeq
+    groups.zipWithIndex.foreach { case (g, k) =>
+      val file = target.filter(_ => k == 0).getOrElse(
+        itemPath.resolve(SpillDir).resolve(f"chunk-${idx + k}%06d.json").raw)
+      fs.writeBytesAtomic(file,
+        org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(JArray(g.map(render).toList)))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
+  /** Every spilled (evicted) entry of the item, oldest first — the
+    * archive half of the log, read ONLY by the timestamp-travel
+    * resolution fallback when the sidecar window starts after the asked
+    * instant (resolveAsOf). Damaged chunks are skipped, like damaged
+    * sidecar entries. */
+  def spilledEntries(itemPath: SPath): Seq[Entry] =
+    chunkFiles(itemPath).flatMap(parseChunk(itemPath, _))
 
   /** The latest commit at or before `t`, for timestamp travel. None
     * when the log is empty or starts after `t`. */

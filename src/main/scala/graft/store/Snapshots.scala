@@ -213,8 +213,15 @@ object Snapshots {
   def resolveAsOf(collectionPath: SPath, item: String,
                   t: java.time.Instant): AsOf = {
     val liveMeta = Meta.read(collectionPath.resolve(item))
-    val log = History.entriesOf(liveMeta)
-    History.latestAtOrBefore(liveMeta, t) match {
+    val sidecarLog = History.entriesOf(liveMeta)
+    // The sidecar log is capped (History.MaxEntries); a high-churn item
+    // evicts its oldest entries to the spill area. Read the spill ONLY
+    // when the asked instant predates the sidecar window — the common
+    // case (recent instants) stays one sidecar read.
+    val log =
+      if (sidecarLog.nonEmpty && !sidecarLog.head.at.isAfter(t)) sidecarLog
+      else History.spilledEntries(collectionPath.resolve(item)) ++ sidecarLog
+    log.filter(!_.at.isAfter(t)).lastOption match {
       case Some(e) if e.gen == generationOf(liveMeta) => AsOfLive
       case Some(e) =>
         val windowStart = log.find(_.gen == e.gen).map(_.at).getOrElse(e.at)
@@ -604,7 +611,7 @@ object Snapshots {
     // happened, including the undo).
     val liveMetaAtStart = Meta.read(live)
     def withRollbackEntry(sidecar: Map[String, JValue]): Map[String, JValue] =
-      sidecar + (History.Key -> History.appended(
+      sidecar + (History.Key -> History.appendedSpilling(live,
         liveMetaAtStart, "rollback", generationOf(sidecar), Nil))
     // Restore must never destroy a generation some OTHER manifest still
     // pins — the restore-side twin of the commit paths' retention

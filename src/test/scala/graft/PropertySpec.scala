@@ -407,6 +407,53 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: evicted log entries spill in order; sidecar stays capped; chunks seal at 256") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_spill")
+    val itemPath = SPath.local(dir)
+    var meta = Map.empty[String, org.json4s.JValue]
+    val total = 600
+    for (g <- 1 to total)
+      meta += (History.Key -> History.appendedSpilling(
+        itemPath, meta, s"op$g", g.toLong, Nil))
+    val sidecar = History.entriesOf(meta)
+    assert(sidecar.size == History.MaxEntries)
+    assert(sidecar.head.gen == (total - History.MaxEntries + 1).toLong)
+    val spilled = History.spilledEntries(itemPath)
+    // the spill holds exactly the evicted prefix, oldest first —
+    // spill ++ sidecar is the COMPLETE log
+    assert(spilled.map(_.gen) == (1L to (total - History.MaxEntries).toLong))
+    assert((spilled ++ sidecar).map(_.gen) == (1L to total.toLong))
+    // sealed chunks hold exactly SpillChunkEntries; only the last is open
+    val chunks = itemPath.fs.listFiles(itemPath.resolve(History.SpillDir).raw).sorted
+    assert(chunks.size == 2) // 344 evicted → 256 + 88
+    FsOps.deleteRecursively(dir)
+  }
+
+  test("property: timestamp travel past the sidecar horizon resolves from the spill (300+ commits)") {
+    val c = tempCollection("spill_travel")
+    c.write("it", frame(Seq(1 -> 1.0, 2 -> 2.0)), indexCols = Seq("index"))
+    Thread.sleep(5)
+    val t1 = java.time.Instant.now() // inside the write's window
+    Thread.sleep(5)
+    c.createSnapshot(Some("m1"), manifest = Some(true)) // pins the write gen
+    c.append("it", frame(Seq(3 -> 3.0)))                // rewrite ends the window
+    // 300 cheap metadata-only commits push the write entry out of the
+    // capped sidecar and into the spill
+    for (i <- 1 to 300) c.setItemProperties("it", Map("k" -> s"v$i"))
+    val sidecar = History.entriesOf(Meta.read(c.path.resolve("it")))
+    assert(sidecar.size <= History.MaxEntries)
+    assert(sidecar.head.at.isAfter(t1),
+      "precondition: the sidecar window must start after t1")
+    assert(History.spilledEntries(c.path.resolve("it")).nonEmpty)
+    // resolution anchored BEFORE the sidecar window still lands exactly
+    assert(Snapshots.resolveAsOf(c.path, "it", t1) ==
+      Snapshots.AsOfSnapshot("m1"))
+    // and travel at NOW still serves live (spill untouched on this path)
+    assert(Snapshots.resolveAsOf(c.path, "it", java.time.Instant.now()) ==
+      Snapshots.AsOfLive)
+    cleanup(c)
+  }
+
   test("property: synthesized default index is dense 0..n-1 and collides on re-append") {
     val c = tempCollection("prop_rangeidx")
     val df = (1 to 57).map(i => (s"r$i", i * 2.0)).toDF("name", "v")
