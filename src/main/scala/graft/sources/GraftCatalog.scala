@@ -414,15 +414,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (adds.nonEmpty)
       coll.addColumns(ident.name, adds.map(a => org.apache.spark.sql.types
         .StructField(a.fieldNames()(0), a.dataType(), a.isNullable())))
-    if (drops.nonEmpty) {
-      // `DROP COLUMN IF EXISTS` skips absent names silently (the Scala
-      // API refuses unknowns typed — exactness is its contract; the SQL
-      // spelling carries the conditional in the statement itself)
-      val names = drops.filter(d => !d.ifExists() ||
-        loadTable(ident).columns().exists(_.name().equalsIgnoreCase(d.fieldNames()(0))))
-        .map(_.fieldNames()(0))
-      if (names.nonEmpty) coll.dropColumns(ident.name, names)
-    }
+    if (drops.nonEmpty)
+      // `DROP COLUMN IF EXISTS` names pass through as LENIENT: absence
+      // is decided inside dropColumns, under the same locked meta read
+      // that applies the mask (an existence pre-check out here would
+      // race a concurrent DDL and cost a table load per name)
+      coll.dropColumns(ident.name, drops.map(_.fieldNames()(0)),
+        lenient = drops.filter(_.ifExists()).map(_.fieldNames()(0)).toSet)
     if (sets.nonEmpty || unsets.nonEmpty)
       coll.setItemProperties(ident.name,
         sets.map(s => s.property() -> s.value()).toMap,

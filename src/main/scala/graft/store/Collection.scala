@@ -389,6 +389,23 @@ object Collection {
     commitLocks.computeIfAbsent(path.toString,
       _ => new java.util.concurrent.locks.ReentrantReadWriteLock())
 
+  /** Per-ITEM exclusive lock serializing the sidecar read-modify-write
+    * paths (addColumns / dropColumns / setItemProperties / analyzeItem
+    * / the post-commit stats refresh). The commit lock above is SHARED
+    * among commits — two metadata mutations of the same item can
+    * interleave read→write under it and silently clobber each other's
+    * sidecar (a drop landing between addColumns' mask re-check and its
+    * Meta.write would lose the mask and resurrect pre-drop bytes).
+    * Lock ORDER is commit lock first, DDL lock innermost — the DDL
+    * lock is a leaf, so the shared/exclusive commit sides can never
+    * deadlock against it. JVM-scoped like the commit lock;
+    * cross-process coordination stays advisory via CollectionLock. */
+  private val itemDdlLocks =
+    new ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
+  private[store] def itemDdlLockFor(itemPath: SPath): java.util.concurrent.locks.ReentrantLock =
+    itemDdlLocks.computeIfAbsent(itemPath.toString,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+
   /** [[Collection.expireBefore]] outcome: the period directories
     * removed by name (zero rows read) and the rows deleted from the
     * rewritten boundary period. */
@@ -435,6 +452,14 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * the generation cut is captured. */
   private[graft] def withSnapshotLock[A](body: => A): A = {
     val l = Collection.commitLockFor(path).writeLock()
+    l.lock(); try body finally l.unlock()
+  }
+
+  /** Hold the item's exclusive DDL lock — see
+    * [[Collection.itemDdlLockFor]]. Always taken INSIDE the commit
+    * lock (it is a leaf); reentrant per thread. */
+  private def withItemDdlLock[A](item: String)(body: => A): A = {
+    val l = Collection.itemDdlLockFor(path.resolve(item))
     l.lock(); try body finally l.unlock()
   }
 
@@ -651,8 +676,11 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     // landed, so an unreadable (dir-less) item must clear the stats
     // map, not throw after the mutation succeeded
     if (!dataDir.listDirs.exists(_.startsWith(MonthCol + "="))) {
-      Meta.write(itemPath, meta + ("_period_stats" -> Meta.jv(Map.empty[String, Any])))
-      metaCache.remove(item)
+      withCommitLock { withItemDdlLock(item) {
+        Meta.write(itemPath,
+          Meta.read(itemPath) + ("_period_stats" -> Meta.jv(Map.empty[String, Any])))
+        metaCache.remove(item)
+      } }
       return
     }
     val raw0 = spark.read.parquet(dataDir.toString)
@@ -701,16 +729,23 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         else Some(c -> Seq(widen(c, mn, up = false), widen(c, mx, up = true)))
       }.toMap
     }.toMap
-    val old: Map[String, Any] = meta.get("_period_stats") match {
-      case Some(org.json4s.JObject(fs)) => fs.map { case (k, v) => k -> Meta.unjv(v) }.toMap
-      case _ => Map.empty
-    }
-    val merged = months match {
-      case Some(ms) => (old -- ms) ++ fresh // replaced or emptied periods
-      case None     => fresh                // full rebuild
-    }
-    Meta.write(itemPath, meta + ("_period_stats" -> Meta.jv(merged)))
-    metaCache.remove(item)
+    // The expensive column scan above ran lock-free; the sidecar
+    // read-modify-write below RE-READS under the per-item DDL lock so a
+    // schema mutation (drop/add/properties) landing during the scan is
+    // never clobbered by this derived-bookkeeping write.
+    withCommitLock { withItemDdlLock(item) {
+      val cur = Meta.read(itemPath)
+      val old: Map[String, Any] = cur.get("_period_stats") match {
+        case Some(org.json4s.JObject(fs)) => fs.map { case (k, v) => k -> Meta.unjv(v) }.toMap
+        case _ => Map.empty
+      }
+      val merged = months match {
+        case Some(ms) => (old -- ms) ++ fresh // replaced or emptied periods
+        case None     => fresh                // full rebuild
+      }
+      Meta.write(itemPath, cur + ("_period_stats" -> Meta.jv(merged)))
+      metaCache.remove(item)
+    } }
   }
 
   /** Materialize the default index when absent (pandas RangeIndex):
@@ -1856,22 +1891,25 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       if (f.name == Collection.MonthCol || f.name.startsWith("__"))
         throw new ValidationError(s"column name '${f.name}' is reserved")
     }
-    val masked = Collection.droppedColsOf(Meta.read(path.resolve(item)))
-    if (fields.exists(f => masked.exists(_.equalsIgnoreCase(f.name))))
-      purgeDroppedColumns(item)
-    withCommitLock {
+    withCommitLock { withItemDdlLock(item) {
+      val masked = Collection.droppedColsOf(Meta.read(path.resolve(item)))
+      if (fields.exists(f => masked.exists(_.equalsIgnoreCase(f.name))))
+        purgeDroppedColumns(item)
       val itemPath = path.resolve(item)
       val meta = Meta.read(itemPath)
-      // Re-check the mask UNDER the lock: a dropColumns committed
-      // between the purge above and this point would otherwise re-add
-      // the name metadata-only — and the pre-drop bytes still sitting
-      // in untouched part-files would resurrect, the exact failure the
-      // mask exists to prevent. Refuse typed; the caller retries.
+      // The exclusive per-item DDL lock (held since before the mask
+      // read above) excludes a concurrent dropColumns for the whole
+      // purge→write sequence, so after a purge the mask can only be
+      // empty here. Re-check anyway: a sidecar edited outside the
+      // typed DDL paths must still never re-add a masked name
+      // metadata-only — the pre-drop bytes sitting in untouched
+      // part-files would resurrect. Refuse typed; the caller retries.
       val nowMasked = Collection.droppedColsOf(meta)
       fields.find(f => nowMasked.exists(_.equalsIgnoreCase(f.name))).foreach { f =>
         throw new GraftError(
-          s"concurrent dropColumns masked '${f.name}' on item '$item' " +
-            "while its purge was running — retry addColumns")
+          s"dropped-column mask still names '${f.name}' on item '$item' " +
+            "after its purge — the sidecar changed outside the DDL " +
+            "paths; retry addColumns")
       }
       def parse(k: String): Option[StructType] = meta.get(k).collect {
         case org.json4s.JString(sj) => DataType.fromJson(sj).asInstanceOf[StructType]
@@ -1900,7 +1938,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         (History.Key -> History.appendedSpilling(itemPath, meta, "alter",
           Snapshots.generationOf(meta), Nil)))
       metaCache.remove(item)
-    }
+    } }
   }
 
   /** Metadata-only column DROP — the read-side projection-mask
@@ -1923,13 +1961,19 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     *
     * Refused typed: index columns (they are the item's physical
     * contract — ordering, dedup, partitioning), declared pruning-stats
-    * columns (undeclare via [[analyzeItem]] first), and unknown names. */
-  def dropColumns(item: String, names: Seq[String]): Unit = {
+    * columns (undeclare via [[analyzeItem]] first), and unknown names —
+    * except names in `lenient` (the SQL `IF EXISTS` spelling), which
+    * skip silently when absent. The lenient check runs under the same
+    * locked meta read that applies the mask, so "absent" is evaluated
+    * against exactly the schema the drop commits over (a pre-checked
+    * existence test outside the lock could race a concurrent DDL). */
+  def dropColumns(item: String, names: Seq[String],
+                  lenient: Set[String] = Set.empty): Unit = {
     import org.apache.spark.sql.types.{DataType, StructType}
     if (!hasItem(item))
       throw new ItemNotFoundError(s"item '$item' does not exist")
     if (names.isEmpty) return
-    withCommitLock {
+    withCommitLock { withItemDdlLock(item) {
       val itemPath = path.resolve(item)
       val meta = Meta.read(itemPath)
       def parse(k: String): Option[StructType] = meta.get(k).collect {
@@ -1954,10 +1998,14 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         case _ => Nil
       }
       val byLower = encoded.fields.map(f => f.name.toLowerCase -> f.name).toMap
-      val resolved = names.map { n =>
-        byLower.getOrElse(n.toLowerCase, throw new ValidationError(
-          s"column '$n' does not exist on item '$item' " +
-            s"(${encoded.fieldNames.mkString(", ")})"))
+      val resolved = names.flatMap { n =>
+        byLower.get(n.toLowerCase) match {
+          case some @ Some(_) => some
+          case None if lenient.exists(_.equalsIgnoreCase(n)) => None // IF EXISTS
+          case None => throw new ValidationError(
+            s"column '$n' does not exist on item '$item' " +
+              s"(${encoded.fieldNames.mkString(", ")})")
+        }
       }.distinct
       resolved.foreach { n =>
         if (idx.exists(_.equalsIgnoreCase(n)))
@@ -1970,20 +2018,22 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
             s"cannot drop '$n': it is a declared pruning-stats column; " +
               "undeclare it first (analyzeItem with a new column list)")
       }
-      val dropSet = resolved.map(_.toLowerCase).toSet
-      val newEncoded = StructType(
-        encoded.fields.filterNot(f => dropSet.contains(f.name.toLowerCase)))
-      val newLogical = parse("schema_json").map(l => StructType(
-        l.fields.filterNot(f => dropSet.contains(f.name.toLowerCase))))
-      val mask = (Collection.droppedColsOf(meta) ++ resolved).distinct
-      Meta.write(itemPath, meta +
-        ("schema_json_encoded" -> Meta.jv(newEncoded.json)) ++
-        newLogical.map(l => "schema_json" -> Meta.jv(l.json)) +
-        (Collection.DroppedColsKey -> Meta.jv(mask)) +
-        (History.Key -> History.appendedSpilling(itemPath, meta, "alter",
-          Snapshots.generationOf(meta), Nil)))
-      metaCache.remove(item)
-    }
+      if (resolved.nonEmpty) { // every name lenient-and-absent → no-op
+        val dropSet = resolved.map(_.toLowerCase).toSet
+        val newEncoded = StructType(
+          encoded.fields.filterNot(f => dropSet.contains(f.name.toLowerCase)))
+        val newLogical = parse("schema_json").map(l => StructType(
+          l.fields.filterNot(f => dropSet.contains(f.name.toLowerCase))))
+        val mask = (Collection.droppedColsOf(meta) ++ resolved).distinct
+        Meta.write(itemPath, meta +
+          ("schema_json_encoded" -> Meta.jv(newEncoded.json)) ++
+          newLogical.map(l => "schema_json" -> Meta.jv(l.json)) +
+          (Collection.DroppedColsKey -> Meta.jv(mask)) +
+          (History.Key -> History.appendedSpilling(itemPath, meta, "alter",
+            Snapshots.generationOf(meta), Nil)))
+        metaCache.remove(item)
+      }
+    } }
   }
 
   /** One-time same-layout rewrite physically stripping every masked
@@ -2027,7 +2077,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       throw new ValidationError(
         s"'$k' is a structural sidecar key; only the typed pipelines may change it")
     }
-    withCommitLock {
+    withCommitLock { withItemDdlLock(item) {
       val itemPath = path.resolve(item)
       val meta = Meta.read(itemPath)
       // logged (gen unchanged) so DESCRIBE HISTORY records the mutation;
@@ -2037,7 +2087,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
           (History.Key -> History.appendedSpilling(itemPath, meta, "set_properties",
             Snapshots.generationOf(meta), Nil)))
       metaCache.remove(item)
-    }
+    } }
   }
 
   /** Declare (or re-declare) the per-period pruning stats columns of
@@ -2054,7 +2104,8 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * the same shape a `convertLayout` pays, run once; incremental
     * appends keep the map fresh from then on (the partial-commit
     * paths' existing refresh). */
-  def analyzeItem(item: String, statsColumns: Seq[String]): Int = withCommitLock {
+  def analyzeItem(item: String, statsColumns: Seq[String]): Int =
+      withCommitLock { withItemDdlLock(item) {
     val itemPath = path.resolve(item)
     if (!itemPath.resolve(Item.DataDir).isDir)
       throw new ItemNotFoundError(s"item '$item' does not exist")
@@ -2095,7 +2146,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       refreshPeriodStats(item, None)
       Collection.periodStatsOf(Meta.read(itemPath)).size
     }
-  }
+  } }
 
   /** The item's declared (logical) schema fields — for validating
     * post-hoc stats declarations without reading data. */

@@ -131,27 +131,48 @@ object History {
       case _ => Nil
     } catch { case _: Exception => Nil }
 
+  /** Per-item monitors for [[spill]]'s open-chunk read-modify-write.
+    * The collection commit lock is SHARED among commits, so two
+    * concurrent commits on the same item can both evict entries and
+    * both rewrite the open chunk — without this leaf lock one eviction
+    * is silently lost. Held only across the chunk I/O (acquires nothing
+    * else → can never deadlock); JVM-scoped like the commit lock. */
+  private val spillLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def entryKey(e: Entry): (String, Long, String) =
+    (e.op, e.gen, Meta.stampOf(e.at))
+
   private def spill(itemPath: SPath, evicted: Seq[Entry]): Unit = {
-    val fs = itemPath.fs
-    itemPath.resolve(SpillDir).mkdirs()
-    val existing = chunkFiles(itemPath)
-    val (target, carried, idx) = existing.lastOption match {
-      case Some(last) =>
-        val entries = parseChunk(itemPath, last)
-        val i = fs.nameOf(last).stripPrefix("chunk-").stripSuffix(".json").toInt
-        if (entries.size < SpillChunkEntries) (Some(last), entries, i)
-        else (None, Seq.empty[Entry], i + 1)
-      case None => (None, Seq.empty[Entry], 0)
-    }
-    // fill the open chunk, then seal full chunks of the remainder
-    val groups = (carried ++ evicted).grouped(SpillChunkEntries).toSeq
-    groups.zipWithIndex.foreach { case (g, k) =>
-      val file = target.filter(_ => k == 0).getOrElse(
-        itemPath.resolve(SpillDir).resolve(f"chunk-${idx + k}%06d.json").raw)
-      fs.writeBytesAtomic(file,
-        org.json4s.jackson.JsonMethods.compact(
-          org.json4s.jackson.JsonMethods.render(JArray(g.map(render).toList)))
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val lock = spillLocks.computeIfAbsent(itemPath.toString, _ => new Object)
+    lock.synchronized {
+      val fs = itemPath.fs
+      itemPath.resolve(SpillDir).mkdirs()
+      val existing = chunkFiles(itemPath)
+      val (target, carried, idx) = existing.lastOption match {
+        case Some(last) =>
+          val entries = parseChunk(itemPath, last)
+          val i = fs.nameOf(last).stripPrefix("chunk-").stripSuffix(".json").toInt
+          if (entries.size < SpillChunkEntries) (Some(last), entries, i)
+          else (None, Seq.empty[Entry], i + 1)
+        case None => (None, Seq.empty[Entry], 0)
+      }
+      // An entry can arrive twice: a spill that succeeded but whose
+      // subsequent sidecar write failed re-evicts the same entry on the
+      // next commit. Skip entries the open chunk already carries.
+      val seen = carried.map(entryKey).toSet
+      val novel = evicted.filterNot(e => seen.contains(entryKey(e)))
+      if (novel.isEmpty) return
+      // fill the open chunk, then seal full chunks of the remainder
+      val groups = (carried ++ novel).grouped(SpillChunkEntries).toSeq
+      groups.zipWithIndex.foreach { case (g, k) =>
+        val file = target.filter(_ => k == 0).getOrElse(
+          itemPath.resolve(SpillDir).resolve(f"chunk-${idx + k}%06d.json").raw)
+        fs.writeBytesAtomic(file,
+          org.json4s.jackson.JsonMethods.compact(
+            org.json4s.jackson.JsonMethods.render(JArray(g.map(render).toList)))
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
     }
   }
 
@@ -162,6 +183,18 @@ object History {
     * sidecar entries. */
   def spilledEntries(itemPath: SPath): Seq[Entry] =
     chunkFiles(itemPath).flatMap(parseChunk(itemPath, _))
+      .distinctBy(entryKey) // re-spill after a failed sidecar write can duplicate
+
+  /** The item's FULL log: spilled entries (those not also still in the
+    * sidecar — a spill whose sidecar write failed leaves the entry in
+    * both halves) followed by the sidecar entries. One spill-dir read —
+    * callers use it only when resolution needs a horizon the bounded
+    * sidecar may have evicted. */
+  def fullLog(itemPath: SPath, sidecarLog: Seq[Entry]): Seq[Entry] = {
+    val inSidecar = sidecarLog.map(entryKey).toSet
+    spilledEntries(itemPath).filterNot(e => inSidecar.contains(entryKey(e))) ++
+      sidecarLog
+  }
 
   /** The latest commit at or before `t`, for timestamp travel. None
     * when the log is empty or starts after `t`. */

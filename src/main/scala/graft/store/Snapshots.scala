@@ -212,7 +212,8 @@ object Snapshots {
     * Driver-side sidecar + manifest reads only. */
   def resolveAsOf(collectionPath: SPath, item: String,
                   t: java.time.Instant): AsOf = {
-    val liveMeta = Meta.read(collectionPath.resolve(item))
+    val itemPath = collectionPath.resolve(item)
+    val liveMeta = Meta.read(itemPath)
     val sidecarLog = History.entriesOf(liveMeta)
     // The sidecar log is capped (History.MaxEntries); a high-churn item
     // evicts its oldest entries to the spill area. Read the spill ONLY
@@ -220,11 +221,22 @@ object Snapshots {
     // case (recent instants) stays one sidecar read.
     val log =
       if (sidecarLog.nonEmpty && !sidecarLog.head.at.isAfter(t)) sidecarLog
-      else History.spilledEntries(collectionPath.resolve(item)) ++ sidecarLog
+      else History.fullLog(itemPath, sidecarLog)
     log.filter(!_.at.isAfter(t)).lastOption match {
       case Some(e) if e.gen == generationOf(liveMeta) => AsOfLive
       case Some(e) =>
-        val windowStart = log.find(_.gen == e.gen).map(_.at).getOrElse(e.at)
+        // Window start: the FIRST entry carrying e.gen. When that first
+        // entry is the head of a sidecar-only log, the generation's
+        // ORIGIN (its data commit) may itself have been evicted — a
+        // write followed by 250+ metadata-only mutations keeps the same
+        // gen on every surviving entry, so the head is a late alter and
+        // the naive start would exclude a valid pre-churn manifest.
+        // Consult the spill in exactly that case.
+        val horizon =
+          if ((log eq sidecarLog) && log.headOption.exists(_.gen == e.gen))
+            History.fullLog(itemPath, sidecarLog)
+          else log
+        val windowStart = horizon.find(_.gen == e.gen).map(_.at).getOrElse(e.at)
         val windowEnd = log.find(x => x.at.isAfter(t) && x.gen != e.gen)
           .map(_.at).getOrElse(java.time.Instant.MAX)
         userManifestStamps(collectionPath)

@@ -454,6 +454,87 @@ class PropertySpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("property: travel inside the sidecar window resolves when the generation's origin was evicted") {
+    // write g1 → manifest → 300 metadata-only mutations (every surviving
+    // sidecar entry still carries g1, but g1's ORIGIN write entry is
+    // evicted to the spill) → append g2. An instant AFTER the churn but
+    // BEFORE the append sits inside the sidecar window, yet the window
+    // START of g1 predates the sidecar — resolution must consult the
+    // spill for it, or the valid pre-churn manifest is spuriously
+    // excluded (round-11 advice).
+    val c = tempCollection("spill_window_start")
+    c.write("it", frame(Seq(1 -> 1.0, 2 -> 2.0)), indexCols = Seq("index"))
+    Thread.sleep(5)
+    c.createSnapshot(Some("m1"), manifest = Some(true)) // pins g1
+    for (i <- 1 to 300) c.setItemProperties("it", Map("k" -> s"v$i"))
+    Thread.sleep(5)
+    val t = java.time.Instant.now() // inside the sidecar window, state g1
+    Thread.sleep(5)
+    c.append("it", frame(Seq(3 -> 3.0))) // g2 rewrites; g1 needs m1
+    val sidecar = History.entriesOf(Meta.read(c.path.resolve("it")))
+    assert(!sidecar.head.at.isAfter(t),
+      "precondition: t must sit INSIDE the sidecar window")
+    assert(History.spilledEntries(c.path.resolve("it")).exists(_.op == "write"),
+      "precondition: g1's origin write entry must have been evicted")
+    assert(Snapshots.resolveAsOf(c.path, "it", t) == Snapshots.AsOfSnapshot("m1"))
+    cleanup(c)
+  }
+
+  test("property: re-spilling the same evicted entries is idempotent (failed sidecar write replay)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_respill")
+    val itemPath = SPath.local(dir)
+    var meta = Map.empty[String, org.json4s.JValue]
+    var metas = Vector(meta)
+    for (g <- 1 to History.MaxEntries + 1) {
+      meta += (History.Key -> History.appendedSpilling(itemPath, meta, s"op$g", g.toLong, Nil))
+      metas :+= meta
+    }
+    assert(History.spilledEntries(itemPath).map(_.gen) == Seq(1L))
+    // a commit whose spill succeeded but whose sidecar write failed
+    // replays over the PRIOR meta: the same gen-1 entry evicts again
+    History.appendedSpilling(itemPath, metas(History.MaxEntries),
+      "retry", (History.MaxEntries + 2).toLong, Nil)
+    assert(History.spilledEntries(itemPath).map(_.gen) == Seq(1L),
+      "the re-evicted entry must not duplicate in the spill")
+    // the NEXT eviction (gen 2) still lands after the dedupe
+    History.appendedSpilling(itemPath, metas(History.MaxEntries + 1),
+      "next", (History.MaxEntries + 3).toLong, Nil)
+    assert(History.spilledEntries(itemPath).map(_.gen) == Seq(1L, 2L))
+    FsOps.deleteRecursively(dir)
+  }
+
+  test("property: concurrent per-item DDL serializes — drops and property writes never clobber each other") {
+    import spark.implicits._
+    val c = tempCollection("ddl_race")
+    val cols = (0 to 10).map(i => s"c$i")
+    val base = (1 to 20).toDF("index")
+    val wide = cols.foldLeft(base.withColumn("value", col("index").cast("double"))) {
+      (d, cn) => d.withColumn(cn, col("index").cast("long"))
+    }
+    c.write("it", wide, indexCols = Seq("index"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writers = (1 to 4).map { w =>
+      new Thread(() => try {
+        for (i <- 1 to 25) c.setItemProperties("it", Map(s"w${w}_k$i" -> s"v$i"))
+      } catch { case e: Throwable => errs.add(e) })
+    }
+    val dropper = new Thread(() => try {
+      for (i <- 1 to 10) c.dropColumns("it", Seq(s"c$i"))
+    } catch { case e: Throwable => errs.add(e) })
+    (writers :+ dropper).foreach(_.start())
+    (writers :+ dropper).foreach(_.join())
+    assert(errs.isEmpty, s"concurrent DDL threw: ${Option(errs.peek()).map(_.getMessage)}")
+    val meta = Meta.read(c.path.resolve("it"))
+    val mask = Collection.droppedColsOf(meta)
+    assert((1 to 10).forall(i => mask.contains(s"c$i")),
+      s"every drop must survive the interleaved property writes, mask=$mask")
+    val served = c.item("it").data.columns.toSet
+    assert((1 to 10).forall(i => !served.contains(s"c$i")))
+    for (w <- 1 to 4; i <- 1 to 25)
+      assert(meta.contains(s"w${w}_k$i"), s"property w${w}_k$i was clobbered")
+    cleanup(c)
+  }
+
   test("property: synthesized default index is dense 0..n-1 and collides on re-append") {
     val c = tempCollection("prop_rangeidx")
     val df = (1 to 57).map(i => (s"r$i", i * 2.0)).toDF("name", "v")
