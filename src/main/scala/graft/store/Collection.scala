@@ -8,7 +8,7 @@ import scala.util.{Failure, Success, Try}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.json4s.JValue
+import org.json4s.{JObject, JValue}
 
 import graft.validation.DataValidator
 import graft.evolution.{EvolutionStrategy, SchemaEvolution}
@@ -405,6 +405,17 @@ object Collection {
   private[store] def itemDdlLockFor(itemPath: SPath): java.util.concurrent.locks.ReentrantLock =
     itemDdlLocks.computeIfAbsent(itemPath.toString,
       _ => new java.util.concurrent.locks.ReentrantLock())
+
+  /** TEST SEAM: invoked at named points inside the commit protocol
+    * (`full_staged:<item>`, `full_pre_sidecar:<item>`,
+    * `month_aside:<item>:<period>`) so crash tests — a forked JVM that
+    * HALTS itself at a seam, the kill -9 equivalent — can prove the
+    * recovery invariants: pre-commit state serves after vacuum's swap
+    * repair, staging is reclaimed, and the commit log never carries an
+    * entry for a commit that didn't publish. Default no-op (a
+    * megamorphic-free static call on the driver-side publish path);
+    * never set in production. */
+  private[graft] var commitSeamHook: String => Unit = _ => ()
 
   /** [[Collection.expireBefore]] outcome: the period directories
     * removed by name (zero rows read) and the rows deleted from the
@@ -858,6 +869,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
   private[graft] def publishFull(item: String, tmp: SPath, meta: Map[String, JValue],
                                  partitioned: Boolean): Unit = {
     withCommitLock {
+    Collection.commitSeamHook(s"full_staged:$item") // no-op outside crash tests
     path.resolve(item).mkdirs()
     // Copy-on-write for manifest snapshots: pinned old generations are
     // renamed aside (O(1)) instead of destroyed by the swap — the
@@ -878,6 +890,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         .filter(_.startsWith(MonthCol + "="))
         .map(d => d.stripPrefix(MonthCol + "=") -> gen).toMap)
     path.fs.atomicSwap(path.resolve(item).resolve(Item.DataDir).raw, tmp.raw)
+    Collection.commitSeamHook(s"full_pre_sidecar:$item")
     // Staleness must be detectable ATOMICALLY with the data swap: a full
     // rewrite invalidates every per-period stats interval, so the meta
     // committed here carries NO `_period_stats` — absent entries are
@@ -937,7 +950,9 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
                                    meta: Map[String, JValue]): Unit = {
     withCommitLock {
     val dataDir = path.resolve(item).resolve(Item.DataDir)
-    val oldPg = Snapshots.periodGensOf(Meta.read(path.resolve(item)))
+    val meta0 = Meta.read(path.resolve(item))
+    val oldPg = Snapshots.periodGensOf(meta0)
+    val oldGen = Snapshots.generationOf(meta0)
     val pinned = Snapshots.pinnedPeriodGens(path, item)
     val gen = System.nanoTime()
     // O(1) renames only: a replaced month dir moves aside — to the
@@ -947,8 +962,27 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     val swapped = scala.collection.mutable.ArrayBuffer.empty[(SPath, Option[SPath], Boolean)]
     val swappedMonths = scala.collection.mutable.ArrayBuffer.empty[String]
     val removedMonths = scala.collection.mutable.ArrayBuffer.empty[String]
+    // INTENT journal, written before the first rename: a multi-month
+    // swap killed mid-sequence (kill -9, power loss) leaves some months
+    // new and some old — torn. The journal records, per month, where
+    // the old dir went (`aside`) and whether that copy is snapshot-
+    // retained (kept on success), plus the PRE-commit generation; the
+    // sidecar write below is the COMMIT POINT, so vacuum's repair can
+    // decide exactly: sidecar generation unchanged → roll every month
+    // BACK from its aside; generation advanced → roll FORWARD (drop the
+    // non-retained asides). One tiny atomic JSON write per partial
+    // commit, deleted on completion — the same cost class as the
+    // sidecar write the commit already pays.
+    val intent = path.resolve(s"__swap_intent_$item.json")
+    val intentMonths = scala.collection.mutable.ArrayBuffer.empty[JValue]
+    def writeIntent(): Unit = path.fs.writeBytesAtomic(intent.raw,
+      org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+        JObject(List("item" -> Meta.jv(item), "old_gen" -> Meta.jv(oldGen),
+          "months" -> org.json4s.JArray(intentMonths.toList)))))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     try {
-      months.foreach { m =>
+      // one pass to plan (and journal) before any rename happens
+      val plan = months.flatMap { m =>
         val src = tmp.resolve(s"$MonthCol=$m")
         val dst = dataDir.resolve(s"$MonthCol=$m")
         // a month listed but ABSENT from tmp means the new state holds
@@ -956,41 +990,47 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         // aside like any replaced month — pinned generations retained,
         // unpinned backed up for rollback — and nothing moves in
         val srcExists = src.isDir
-        if (srcExists || dst.isDir) {
-          if (srcExists) swappedMonths += m else removedMonths += m
+        if (!srcExists && !dst.isDir) None
+        else {
           val isPinned = oldPg.get(m).exists(g => pinned.get(m).exists(_.contains(g)))
           val aside =
             if (isPinned)
               Snapshots.retainedPeriodDir(path, item, m, oldPg(m))
             else path.resolve(s"__backup_month_${item}_$m")
           val hadOld = dst.isDir
-          if (hadOld && !(isPinned && aside.isDir)) {
-            if (isPinned) path.fs.mkdirs(aside.parent.raw)
-            else aside.deleteRecursively()
-            path.fs.rename(dst.raw, aside.raw)
-          } else if (hadOld) {
-            // same (period, gen) already retained (double append
-            // between snapshots can't happen — gens change per commit —
-            // but be idempotent anyway): drop the live copy
-            dst.deleteRecursively()
-          }
-          if (srcExists) path.fs.rename(src.raw, dst.raw)
-          swapped += ((dst, if (hadOld) Some(aside) else None, isPinned))
+          intentMonths += JObject(List("m" -> Meta.jv(m),
+            "keep_on_commit" -> Meta.jv(isPinned)) ++
+            (if (hadOld) List("aside" -> Meta.jv(aside.raw)) else Nil))
+          Some((m, src, dst, aside, srcExists, hadOld, isPinned))
         }
       }
-      // success: unpinned backups die, retained period dirs stay
-      swapped.foreach { case (_, b, isPinned) =>
-        if (!isPinned) b.foreach(_.deleteRecursively())
+      if (plan.nonEmpty) writeIntent()
+      plan.foreach { case (m, src, dst, aside, srcExists, hadOld, isPinned) =>
+        if (srcExists) swappedMonths += m else removedMonths += m
+        if (hadOld && !(isPinned && aside.isDir)) {
+          if (isPinned) path.fs.mkdirs(aside.parent.raw)
+          else aside.deleteRecursively()
+          path.fs.rename(dst.raw, aside.raw)
+          Collection.commitSeamHook(s"month_aside:$item:$m")
+        } else if (hadOld) {
+          // same (period, gen) already retained (double append
+          // between snapshots can't happen — gens change per commit —
+          // but be idempotent anyway): drop the live copy
+          dst.deleteRecursively()
+        }
+        if (srcExists) path.fs.rename(src.raw, dst.raw)
+        swapped += ((dst, if (hadOld) Some(aside) else None, isPinned))
       }
-      tmp.deleteRecursively()
     } catch {
       case e: Throwable =>
         swapped.foreach { case (dst, aside, _) =>
           dst.deleteRecursively()
           aside.foreach(b => path.fs.rename(b.raw, dst.raw))
         }
+        try intent.deleteRecursively() catch { case _: Exception => () }
         throw new StorageError(s"partial month commit failed for $item: ${e.getMessage}")
     }
+    Collection.commitSeamHook(s"months_pre_sidecar:$item")
     // Same atomic-staleness rule as commit(): the TOUCHED periods'
     // stats entries are dropped in THIS meta write (absent = unprunable)
     // so a crash before the post-commit refresh can never leave a stale
@@ -1001,6 +1041,10 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
           fs.filterNot { case (p, _) => months.contains(p) }))
       case _ => meta
     }
+    // COMMIT POINT: the generation advances here. Backups die only
+    // AFTER this write — a kill anywhere before it rolls back cleanly
+    // (every replaced month still has its aside), a kill after it
+    // rolls forward (vacuum drops the leftover asides).
     Meta.write(path.resolve(item),
       (statsDropped - History.OpKey) + ("_generation" -> Meta.jv(gen)) +
         ("_period_gens" -> Meta.jv(
@@ -1008,6 +1052,13 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         (History.Key -> History.appendedSpilling(path.resolve(item),
           historyCarrier(item, meta), History.opOf(meta), gen,
           (swappedMonths ++ removedMonths).toSeq.sorted)))
+    Collection.commitSeamHook(s"months_post_sidecar:$item")
+    // success: unpinned backups die, retained period dirs stay
+    swapped.foreach { case (_, b, isPinned) =>
+      if (!isPinned) b.foreach(_.deleteRecursively())
+    }
+    tmp.deleteRecursively()
+    try intent.deleteRecursively() catch { case _: Exception => () }
     metaCache.remove(item)
     refreshItems()
     }
@@ -1321,6 +1372,14 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * staging or post-crash garbage, never live data; the advisory
     * `__lock` dir is NOT touched. Returns the removed names. */
   def vacuum(): Seq[String] = {
+    // Swap REPAIR first, deletion after: a crash BETWEEN a swap's two
+    // renames (old moved aside, new not yet in) leaves the moved-aside
+    // dir as the ONLY copy of the committed state — blindly deleting
+    // `__backup_*` there would destroy data, and restoring is what
+    // makes the kill-anywhere durability contract hold. Under the
+    // snapshot (write) lock so no in-process commit is mid-swap while
+    // we judge; cross-process stays the single-writer assumption.
+    val repaired = withSnapshotLock { repairInterruptedSwaps() }
     val junk = path.listDirs.filter(d =>
       d.startsWith(TmpPrefix) || d.startsWith("__backup_") ||
         d.startsWith("__txn_backup_") || d.startsWith("__cow_"))
@@ -1340,7 +1399,103 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     staleTxn.foreach(s => Snapshots.releasePin(path, s, gc = false))
     if (staleTxn.nonEmpty) Snapshots.gcRetained(path)
     refreshItems()
-    junk ++ staleTxn
+    repaired ++ junk ++ staleTxn
+  }
+
+  /** Undo or finish interrupted commit swaps — the crash-recovery half
+    * of the M7 protocol, run by [[vacuum]] before it deletes leftovers.
+    * Two shapes, both with one unambiguous verdict:
+    *  - `<item>/__backup_data` (full-commit swap): live `data/` missing
+    *    means the crash hit between the two renames and the backup IS
+    *    the pre-commit state → restore it; live present means the swap
+    *    completed → the backup is garbage.
+    *  - `__backup_month_<item>_<period>` (partial-commit swap, at the
+    *    collection root): same rule against the period directory.
+    * Restores are O(1) renames. The sidecar needs no repair: it is
+    * written strictly AFTER the last rename, so an interrupted swap
+    * always carries the PRE-commit sidecar — which is exactly what the
+    * restored bytes are (and why no phantom history entry can exist). */
+  private def repairInterruptedSwaps(): Seq[String] = {
+    val repaired = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Intent journals first — they decide torn multi-month swaps
+    // EXACTLY (see publishMonths): sidecar generation still the
+    // journal's pre-commit one → the commit never published, roll every
+    // month back from its aside; generation advanced → published, drop
+    // the non-retained asides.
+    path.fs.listFiles(path.raw)
+      .filter(f => f.startsWith("__swap_intent_") && f.endsWith(".json"))
+      .foreach { f =>
+        val intentPath = path.resolve(f)
+        val parsed = try org.json4s.jackson.JsonMethods.parse(new String(
+          path.fs.readBytes(intentPath.raw),
+          java.nio.charset.StandardCharsets.UTF_8)) match {
+          case JObject(fields) => Some(fields.toMap)
+          case _ => None
+        } catch { case _: Exception => None }
+        parsed.foreach { j =>
+          val it = j.get("item").map(Meta.unjv(_).toString).getOrElse("")
+          val oldGen = j.get("old_gen").map(Meta.unjv(_).asInstanceOf[Long]).getOrElse(-1L)
+          val ms = j.get("months") match {
+            case Some(org.json4s.JArray(xs)) => xs.collect { case JObject(mf) => mf.toMap }
+            case _ => Nil
+          }
+          val dataDir = path.resolve(it).resolve(Item.DataDir)
+          val committed = Snapshots.generationOf(Meta.read(path.resolve(it))) != oldGen
+          ms.reverse.foreach { mj =>
+            val m = mj.get("m").map(Meta.unjv(_).toString).getOrElse("")
+            val aside = mj.get("aside").map(a => SPath(path.fs, Meta.unjv(a).toString))
+            val keep = mj.get("keep_on_commit").exists(Meta.unjv(_) == true)
+            val dst = dataDir.resolve(s"$MonthCol=$m")
+            if (!committed) {
+              aside match {
+                case Some(a) if a.isDir => // replaced month: restore the old dir
+                  dst.deleteRecursively()
+                  path.fs.rename(a.raw, dst.raw)
+                  repaired += s"rolled_back:$it:$m"
+                case Some(_) => () // not yet moved aside — dst IS the old dir
+                case None => // freshly added month: the dst can only be new
+                  if (dst.isDir) { dst.deleteRecursively(); repaired += s"rolled_back:$it:$m" }
+              }
+            } else aside.filter(a => !keep && a.isDir).foreach { a =>
+              a.deleteRecursively(); repaired += s"rolled_forward:$it:$m"
+            }
+          }
+          metaCache.remove(it)
+        }
+        intentPath.deleteRecursively()
+        repaired += s"intent:${f.stripPrefix("__swap_intent_").stripSuffix(".json")}"
+      }
+    refreshItems().toSeq.sorted.foreach { it =>
+      val backup = path.resolve(it).resolve("__backup_" + Item.DataDir)
+      if (backup.isDir) {
+        val live = path.resolve(it).resolve(Item.DataDir)
+        if (!live.isDir) {
+          path.fs.rename(backup.raw, live.raw)
+          repaired += s"restored:$it"
+        } else {
+          backup.deleteRecursively()
+          repaired += s"dropped_backup:$it"
+        }
+        metaCache.remove(it)
+      }
+    }
+    path.listDirs.filter(_.startsWith("__backup_month_")).foreach { d =>
+      val rest = d.stripPrefix("__backup_month_")
+      val cut = rest.lastIndexOf('_') // period strings never contain '_'
+      val restoredTo = if (cut > 0) {
+        val (it, m) = (rest.substring(0, cut), rest.substring(cut + 1))
+        val dataDir = path.resolve(it).resolve(Item.DataDir)
+        val dst = dataDir.resolve(s"$MonthCol=$m")
+        if (dataDir.isDir && !dst.isDir) {
+          path.fs.rename(path.resolve(d).raw, dst.raw)
+          metaCache.remove(it)
+          Some(s"restored:$it:$m")
+        } else None
+      } else None
+      // completed-swap garbage falls through to the junk deletion
+      restoredTo.foreach(repaired += _)
+    }
+    repaired.toSeq
   }
 
   /** Store introspection — one row per item from DRIVER listings only

@@ -66,6 +66,7 @@ trait StoreFs {
     val hadOld = exists(target)
     try {
       if (hadOld) rename(target, backup)
+      StoreFs.swapSeamHook(target) // no-op outside crash tests
       rename(newDir, target)
       if (hadOld) deleteRecursively(backup)
     } catch {
@@ -104,6 +105,15 @@ final case class SPath(fs: StoreFs, raw: String) {
   def listDirs: Seq[String] = fs.listDirs(raw)
   def deleteRecursively(): Unit = fs.deleteRecursively(raw)
   override def toString: String = raw
+}
+
+object StoreFs {
+  /** TEST SEAM: invoked between [[StoreFs.atomicSwap]]'s two renames —
+    * the narrowest crash window of the commit protocol (old moved
+    * aside, new not yet in place). Crash tests (a forked JVM that
+    * halts itself here) prove vacuum's swap repair restores the
+    * pre-commit state. Default no-op; never set in production. */
+  private[graft] var swapSeamHook: String => Unit = _ => ()
 }
 
 object SPath {

@@ -1,0 +1,179 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.store._
+
+/** Cross-process crash-kill durability proof: a FORKED JVM
+  * (CrashProbe) runs a second commit over a prepared store and halts
+  * itself — the kill -9 equivalent, no cleanup of any kind — at a
+  * named seam of the commit protocol; this parent then verifies, on
+  * the bytes the dead process left behind, the three invariants the
+  * protocol claims:
+  *   1. the PRE-commit state serves after `vacuum()` (whose swap
+  *      repair restores interrupted renames — full-commit backups and
+  *      intent-journaled partial-month swaps both);
+  *   2. staging/backup leftovers are reclaimed;
+  *   3. the commit log never carries a PHANTOM entry — the sidecar
+  *      (and its history entry) is written only after the data landed,
+  *      so an unpublished commit leaves no trace and a published one
+  *      serves its data.
+  * In-JVM thread tests (TransactionAsyncSpec) cannot prove this: only
+  * a real process death skips finally blocks and catch handlers.
+  * Covers the POSIX backend at every seam and the Hadoop backend at
+  * the two rename-window seams. */
+class CrashKillSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Fork CrashProbe (same classpath as this forked test JVM) and wait
+    * for it to halt; returns (exitCode, combined output). */
+  private def fork(rootUri: String, seam: String, mode: String): (Int, String) = {
+    val java = System.getProperty("java.home") + "/bin/java"
+    val cmd = Seq(java) ++ addOpens ++ Seq("-Xmx2g", "-cp",
+      System.getProperty("java.class.path"),
+      "graft.CrashProbe", rootUri, seam, mode)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes())
+    val code = p.waitFor()
+    (code, out)
+  }
+
+  private def flatFrame(n: Int) =
+    (1 to n).map(i => (i, 1.0)).toDF("index", "value")
+
+  private def monthlyFrame(startDay: String, days: Int) = {
+    val start = java.time.LocalDate.parse(startDay)
+    (0 until days).map(i =>
+      (java.sql.Timestamp.valueOf(start.plusDays(i).atStartOfDay()), 1.0))
+      .toDF("index", "value")
+  }
+
+  /** Fresh store with a 40-row flat item and a Jan+Feb monthly item. */
+  private def prepare(hadoop: Boolean): String = {
+    val dir = Files.createTempDirectory("graft_crash")
+    val uri = if (hadoop) "file://" + dir.toString else dir.toString
+    val c = GraftStore.at(spark, uri).collection("c")
+    c.write("it", flatFrame(40), indexCols = Seq("index"))
+    c.write("mit", monthlyFrame("2024-01-01", 60), monthlyLayout = true)
+    uri
+  }
+
+  private def coll(uri: String) = GraftStore.at(spark, uri).collection("c")
+  private def histSize(c: Collection, item: String): Int =
+    History.entriesOf(Meta.read(c.path.resolve(item))).size
+
+  private def crashCase(seam: String, mode: String, hadoop: Boolean = false)
+                       (verify: (Collection, String) => Unit): Unit = {
+    val uri = prepare(hadoop)
+    val (code, out) = fork(uri, seam, mode)
+    assert(code == 137, s"probe must die AT the seam, got rc=$code:\n$out")
+    assert(out.contains(s"halting at"), out)
+    assert(!out.contains("COMPLETED"), s"probe finished without hitting seam $seam")
+    verify(coll(uri), out)
+    // whatever the seam, the store must accept new commits afterward
+    val c2 = coll(uri)
+    c2.append("it", (900 to 905).map(i => (i, 5.0)).toDF("index", "value"))
+    assert(c2.item("it").data.count() > 0)
+  }
+
+  test("kill at full_staged: staging reclaimed, pre-commit state serves, no phantom entry") {
+    crashCase("full_staged:it", "write") { (c, _) =>
+      assert(c.path.listDirs.contains("__tmp_it"), "staging must be on disk at this seam")
+      val removed = c.vacuum()
+      assert(removed.contains("__tmp_it"))
+      assert(!c.path.listDirs.contains("__tmp_it"))
+      assert(c.item("it").data.count() == 40) // the ORIGINAL rows
+      assert(histSize(c, "it") == 1, "no phantom history entry")
+    }
+  }
+
+  test("kill between atomicSwap's renames: vacuum restores the moved-aside data dir") {
+    crashCase("swap_mid", "write") { (c, _) =>
+      val it = c.path.resolve("it")
+      assert(!it.resolve(Item.DataDir).isDir, "the crash window: live dir moved aside")
+      assert(it.resolve("__backup_" + Item.DataDir).isDir)
+      val removed = c.vacuum()
+      assert(removed.contains("restored:it"), removed.mkString(","))
+      assert(c.item("it").data.count() == 40)
+      assert(c.item("it").data.agg(org.apache.spark.sql.functions.sum("value"))
+        .head.getDouble(0) == 40.0) // old values, not the probe's 9.0s
+      assert(histSize(c, "it") == 1, "no phantom history entry")
+    }
+  }
+
+  test("kill after the swap, before the sidecar: the new data IS the state; log carries no phantom") {
+    // the full-commit COMMIT POINT is the data-dir swap; the sidecar
+    // trails it as bookkeeping — so this window serves the new bytes
+    // under the old sidecar, and the history entry is simply absent
+    // (an entry only ever describes a published commit)
+    crashCase("full_pre_sidecar:it", "write") { (c, _) =>
+      c.vacuum()
+      assert(c.item("it").data.count() == 50) // the probe's rewrite
+      assert(histSize(c, "it") == 1, "the unpublished sidecar never wrote its entry")
+    }
+  }
+
+  test("kill mid month-swap: intent journal rolls the partial commit back") {
+    crashCase("month_aside:mit:2024-02", "append_monthly") { (c, _) =>
+      val dataDir = c.path.resolve("mit").resolve(Item.DataDir)
+      assert(!dataDir.resolve("__month=2024-02").isDir, "the crash window: Feb moved aside")
+      val removed = c.vacuum()
+      assert(removed.exists(_.startsWith("rolled_back:mit:2024-02")), removed.mkString(","))
+      assert(dataDir.resolve("__month=2024-02").isDir)
+      assert(c.item("mit").data.count() == 60) // Jan 31 + Feb 29, pre-append
+      assert(histSize(c, "mit") == 1, "no phantom history entry")
+    }
+  }
+
+  test("kill after every month swapped but before the sidecar: still rolls back (sidecar is the commit point)") {
+    crashCase("months_pre_sidecar:mit", "append_monthly") { (c, _) =>
+      val removed = c.vacuum()
+      assert(removed.exists(_.startsWith("rolled_back:mit:2024-02")), removed.mkString(","))
+      assert(c.item("mit").data.count() == 60)
+      assert(histSize(c, "mit") == 1)
+    }
+  }
+
+  test("kill after the sidecar, before backup cleanup: rolls FORWARD — data and log both carry the commit") {
+    crashCase("months_post_sidecar:mit", "append_monthly") { (c, _) =>
+      assert(c.path.listDirs.exists(_.startsWith("__backup_month_mit_")),
+        "the crash window: committed, backups not yet reclaimed")
+      val removed = c.vacuum()
+      assert(removed.exists(_.startsWith("rolled_forward:mit:2024-02")), removed.mkString(","))
+      assert(!c.path.listDirs.exists(_.startsWith("__backup_month_mit_")))
+      assert(c.item("mit").data.count() == 70) // 60 + the 10 appended
+      assert(histSize(c, "mit") == 2, "the committed append's entry must survive")
+    }
+  }
+
+  test("Hadoop backend: kill between atomicSwap's renames restores through HadoopFs") {
+    crashCase("swap_mid", "write", hadoop = true) { (c, _) =>
+      assert(c.path.fs.isInstanceOf[HadoopFs])
+      val removed = c.vacuum()
+      assert(removed.contains("restored:it"), removed.mkString(","))
+      assert(c.item("it").data.count() == 40)
+      assert(histSize(c, "it") == 1)
+    }
+  }
+
+  test("Hadoop backend: kill mid month-swap rolls back through HadoopFs") {
+    crashCase("month_aside:mit:2024-02", "append_monthly", hadoop = true) { (c, _) =>
+      val removed = c.vacuum()
+      assert(removed.exists(_.startsWith("rolled_back:mit:2024-02")), removed.mkString(","))
+      assert(c.item("mit").data.count() == 60)
+      assert(histSize(c, "mit") == 1)
+    }
+  }
+}

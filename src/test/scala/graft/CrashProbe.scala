@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.store.{Collection, GraftStore, StoreFs}
+
+/** The forked-JVM half of the crash-kill durability proof
+  * (CrashKillSpec). Installs the commit-protocol seam hooks so the
+  * process HALTS — `Runtime.halt`, the in-process kill -9: no shutdown
+  * hooks, no finally blocks, no buffered-stream flushes — at the named
+  * seam of a second commit over a store the parent prepared. The
+  * parent then verifies the recovery invariants on what the dead
+  * process left on disk. args: rootUri seamSubstring mode. */
+object CrashProbe {
+  def main(args: Array[String]): Unit = {
+    val Array(rootUri, seam, mode) = args.take(3)
+    val halt: String => Unit = name =>
+      if (name.contains(seam)) {
+        println(s"[probe] halting at $name"); System.out.flush()
+        Runtime.getRuntime.halt(137)
+      }
+    Collection.commitSeamHook = halt
+    StoreFs.swapSeamHook = t => halt(s"swap_mid:$t")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val c = GraftStore.at(spark, rootUri).collection("c")
+    mode match {
+      case "write" => // full rewrite of the flat item the parent wrote
+        val df = (1 to 50).map(i => (i + 1000, 9.0)).toDF("index", "value")
+        c.write("it", df, indexCols = Seq("index"), overwrite = true)
+      case "append_monthly" => // partial commit touching only 2024-02
+        val start = java.time.LocalDate.parse("2024-02-10")
+        // noon stamps: the parent's rows sit at midnight, so these are
+        // NEW index values (the append's dedup must not drop them)
+        val df = (0 until 10).map(i =>
+          (java.sql.Timestamp.valueOf(start.plusDays(i).atTime(12, 0)), 9.0))
+          .toDF("index", "value")
+        c.append("mit", df)
+      case other => sys.error(s"unknown probe mode '$other'")
+    }
+    println("[probe] COMPLETED") // reached only when no seam matched
+    spark.stop()
+    sys.exit(0)
+  }
+}
