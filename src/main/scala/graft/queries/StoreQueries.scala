@@ -878,7 +878,13 @@ object StoreQueries {
       duplicateHandling = DuplicateHandling.KeepAll)
     s.conf.set("spark.sql.catalog.gvcat", classOf[graft.sources.GraftCatalog].getName)
     s.conf.set("spark.sql.catalog.gvcat.root", col.path.parent.toString)
-    val probe = s.sql("SELECT * FROM gvcat.col.li VERSION AS OF 'v1' " +
+    // SQL rename of the PINNED item (round 12): the v1 manifest's pins
+    // re-key to the new name, so every versioned read below — hashed
+    // against the oracle — resolves the pre-append generations through
+    // the rename (reference contrast: pystore has no rename at all;
+    // items are directories, collection.py:55)
+    s.sql("ALTER TABLE gvcat.col.li RENAME TO li_r")
+    val probe = s.sql("SELECT * FROM gvcat.col.li_r VERSION AS OF 'v1' " +
       "WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00' " +
       "AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'")
     val scan = probe.queryExecution.executedPlan.collectFirst {
@@ -895,7 +901,7 @@ object StoreQueries {
       |SELECT '$arm' AS arm, date_trunc('month', l_shipdate) AS ship_month,
       |  count(*) AS n,
       |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_qty
-      |FROM gvcat.col.li $versionClause
+      |FROM gvcat.col.li_r $versionClause
       |GROUP BY 1, 2""".stripMargin)
     rollup("VERSION AS OF 'v1'", "pinned").unionByName(rollup("", "live"))
       .orderBy("arm", "ship_month")

@@ -275,8 +275,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   /** `ALTER TABLE ... RENAME TO` → [[graft.store.Collection.renameItem]]
-    * — one directory rename, refused typed while a manifest snapshot
-    * pins the item (manifests key by name; see renameItem). Cross-
+    * — one directory rename; manifest snapshots FOLLOW it (their item
+    * entries re-key, so `VERSION AS OF` and rollback resolve the
+    * pre-rename generations under the new name; see renameItem). Cross-
     * collection moves are refused: collections are physical directories
     * and a cross-namespace rename is a data migration, not a rename. */
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {

@@ -1402,9 +1402,10 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     repaired ++ junk ++ staleTxn
   }
 
-  /** Undo or finish interrupted commit swaps — the crash-recovery half
-    * of the M7 protocol, run by [[vacuum]] before it deletes leftovers.
-    * Two shapes, both with one unambiguous verdict:
+  /** Undo or finish interrupted commit swaps (and roll interrupted
+    * renames forward) — the crash-recovery half of the M7 protocol,
+    * run by [[vacuum]] before it deletes leftovers.
+    * Swap shapes, each with one unambiguous verdict:
     *  - `<item>/__backup_data` (full-commit swap): live `data/` missing
     *    means the crash hit between the two renames and the backup IS
     *    the pre-commit state → restore it; live present means the swap
@@ -1464,6 +1465,33 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         }
         intentPath.deleteRecursively()
         repaired += s"intent:${f.stripPrefix("__swap_intent_").stripSuffix(".json")}"
+      }
+    // Rename intents roll FORWARD (every step of renameItem is
+    // idempotent): re-key whatever manifests still carry the old name,
+    // move the retained dir and the item dir if still unmoved.
+    path.fs.listFiles(path.raw)
+      .filter(f => f.startsWith("__rename_intent_") && f.endsWith(".json"))
+      .foreach { f =>
+        val intentPath = path.resolve(f)
+        val parsed = try org.json4s.jackson.JsonMethods.parse(new String(
+          path.fs.readBytes(intentPath.raw),
+          java.nio.charset.StandardCharsets.UTF_8)) match {
+          case JObject(fields) => Some(fields.toMap)
+          case _ => None
+        } catch { case _: Exception => None }
+        parsed.foreach { j =>
+          (j.get("from").map(Meta.unjv(_).toString),
+            j.get("to").map(Meta.unjv(_).toString)) match {
+            case (Some(from), Some(to)) if from.nonEmpty && to.nonEmpty =>
+              Snapshots.renameItemPins(path, from, to)
+              if (path.resolve(from).isDir && !path.resolve(to).isDir)
+                path.fs.rename(path.resolve(from).raw, path.resolve(to).raw)
+              metaCache.remove(from); metaCache.remove(to)
+              repaired += s"rename_completed:$from:$to"
+            case _ => ()
+          }
+        }
+        intentPath.deleteRecursively()
       }
     refreshItems().toSeq.sorted.foreach { it =>
       val backup = path.resolve(it).resolve("__backup_" + Item.DataDir)
@@ -1782,16 +1810,23 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
   /** Rename an item — one directory rename (O(1) metadata on POSIX and
     * HDFS; object-store backends pay their rename cost, still zero data
     * rewritten) plus cache refreshes. The sidecar, layout, stats, and
-    * commit log ride inside the directory untouched.
+    * commit log ride inside the directory untouched, so `DESCRIBE
+    * HISTORY` and timestamp travel keep their full horizon across the
+    * rename.
     *
-    * REFUSED while any manifest snapshot pins the item: manifests and
-    * the retained-generation area key by item NAME, so a rename would
-    * sever every pinned generation's resolution (`VERSION AS OF`,
-    * transaction rollback, CDC anchors) — silently, until the first
-    * restore. Delete or expire the pinning snapshots first; the typed
-    * error names them. (Dir snapshots are independent full copies and
-    * survive renames; only manifests pin by reference.) */
-  def renameItem(from: String, to: String): Unit = withCommitLock {
+    * Manifest snapshots FOLLOW the rename (round-12; previously a
+    * typed refusal): manifests and the retained-generation area key by
+    * item name, so every manifest entry for the item is re-keyed and
+    * the retained dir renamed — `VERSION AS OF`, restore/rollback, and
+    * CDC anchors resolve the pre-rename generations under the NEW name
+    * (a snapshot pins a state, not a spelling; dir snapshots are
+    * independent full copies and never needed following). The sequence
+    * (re-key manifests → move retained → move the item dir) is
+    * journaled in an intent file and each step is idempotent, so a
+    * crash anywhere mid-rename is ROLLED FORWARD by vacuum's repair.
+    * Runs under the snapshot (write) lock: no commit, snapshot
+    * creation, or restore may interleave with the re-keying. */
+  def renameItem(from: String, to: String): Unit = withSnapshotLock {
     Collection.requireWritableItemName(to)
     Collection.reservedSuffixOf(from).foreach { k =>
       throw new ValidationError(
@@ -1801,15 +1836,14 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       throw new ItemNotFoundError(s"item '$from' does not exist")
     if (hasItem(to))
       throw new ItemExistsError(s"item '$to' already exists")
-    val pinning = Snapshots.listManifests(path).filter { snap =>
-      Snapshots.manifestPins(path, snap, from).isDefined
-    }
-    if (pinning.nonEmpty)
-      throw new ValidationError(
-        s"cannot rename '$from': manifest snapshot(s) ${pinning.sorted.mkString(", ")} " +
-          "pin it by name — a rename would sever snapshot reads and rollback for " +
-          "the pinned generations; delete those snapshots first")
+    val intent = path.resolve(s"__rename_intent_$from.json")
+    path.fs.writeBytesAtomic(intent.raw,
+      org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+        JObject(List("from" -> Meta.jv(from), "to" -> Meta.jv(to)))))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Snapshots.renameItemPins(path, from, to)
     path.fs.rename(path.resolve(from).raw, path.resolve(to).raw)
+    intent.deleteRecursively()
     metaCache.remove(from)
     metaCache.remove(to)
     refreshItems()

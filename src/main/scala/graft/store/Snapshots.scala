@@ -373,6 +373,40 @@ object Snapshots {
         }
       }
 
+  /** Re-key item `from` to `to` in every manifest (user AND internal —
+    * stale crashed pins re-key harmlessly) and rename the item's
+    * retained-generation directory — the pin-following half of
+    * [[Collection.renameItem]]. Manifests follow the live item's
+    * IDENTITY: after the rename, `VERSION AS OF` and restore resolve
+    * the pre-rename generations under the new name. Each manifest
+    * rewrite is one atomic sidecar-class write; IDEMPOTENT throughout
+    * (a manifest without `from`, or a retained dir already moved, is a
+    * no-op), so the crash repair can simply re-run it. Returns the
+    * re-keyed manifest names. */
+  def renameItemPins(collectionPath: SPath, from: String, to: String): Seq[String] = {
+    val touched = listManifests(collectionPath).flatMap { snap =>
+      readManifest(collectionPath, snap).flatMap { m =>
+        m.get("items") match {
+          case Some(JObject(fields)) if fields.exists(_._1 == from) =>
+            val items = JObject(fields.map {
+              case (k, v) => (if (k == from) to else k, v)
+            })
+            val f = manifestFile(collectionPath, snap)
+            f.fs.writeBytesAtomic(f.raw, JsonMethods.compact(JsonMethods.render(
+              JObject((m + ("items" -> (items: JValue))).toList)))
+              .getBytes(StandardCharsets.UTF_8))
+            Some(snap)
+          case _ => None
+        }
+      }
+    }
+    val fromRet = retainedBase(collectionPath, from)
+    val toRet = retainedBase(collectionPath, to)
+    if (fromRet.isDir && !toRet.isDir)
+      collectionPath.fs.rename(fromRet.raw, toRet.raw)
+    touched
+  }
+
   /** The pinned generation state of `item` in manifest snapshot `snap`,
     * for change detection (the batch CDC read's anchor): Right(period →
     * generation) when the item was time-laid-out at capture, Left(item

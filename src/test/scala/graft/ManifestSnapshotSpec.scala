@@ -36,6 +36,55 @@ class ManifestSnapshotSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("renameItem re-keys manifest pins: snapshot reads, travel, and rollback follow the new name") {
+    val c = tempCollection("msnap_rename")
+    c.write("it", df3(1L -> "a", 2L -> "b"), indexCols = Seq("index"))
+    Thread.sleep(5)
+    val t1 = java.time.Instant.now() // inside the write's window
+    Thread.sleep(5)
+    c.createSnapshot(Some("m1"), manifest = Some(true))
+    c.append("it", df3(3L -> "c")) // rewrites; the pinned gen retains
+    c.renameItem("it", "renamed")
+    assert(!c.hasItem("it") && c.hasItem("renamed"))
+    // the manifest entry re-keyed: VERSION AS OF resolves the pinned
+    // (pre-rename, pre-append) generation under the NEW name...
+    val snapRows = c.item("renamed", snapshot = Some("m1")).data
+      .orderBy($"index").as[(Long, String)].collect().toSeq
+    assert(snapRows == Seq(1L -> "a", 2L -> "b"))
+    // ...and no longer under the old one
+    assert(Snapshots.manifestPins(c.path, "m1", "it").isEmpty)
+    assert(Snapshots.manifestPins(c.path, "m1", "renamed").isDefined)
+    // timestamp travel across the rename: the commit log rode the dir
+    assert(Snapshots.resolveAsOf(c.path, "renamed", t1) == Snapshots.AsOfSnapshot("m1"))
+    // restore works under the new name
+    c.rollbackTo("m1")
+    val restored = c.item("renamed").data
+      .orderBy($"index").as[(Long, String)].collect().toSeq
+    assert(restored == Seq(1L -> "a", 2L -> "b"))
+    cleanup(c)
+  }
+
+  test("a rename crashed between pin re-keying and the dir move is rolled forward by vacuum") {
+    val c = tempCollection("msnap_rename_crash")
+    c.write("it", df3(1L -> "a", 2L -> "b"), indexCols = Seq("index"))
+    c.createSnapshot(Some("m1"), manifest = Some(true))
+    c.append("it", df3(3L -> "c"))
+    // simulate renameItem dying after the intent write and the manifest
+    // re-keying, BEFORE the item-dir rename
+    c.path.fs.writeBytesAtomic(c.path.resolve("__rename_intent_it.json").raw,
+      """{"from":"it","to":"moved"}""".getBytes("UTF-8"))
+    Snapshots.renameItemPins(c.path, "it", "moved")
+    assert(c.path.resolve("it").isDir, "precondition: dir not yet moved")
+    val repaired = c.vacuum()
+    assert(repaired.contains("rename_completed:it:moved"), repaired.mkString(","))
+    assert(!c.hasItem("it") && c.hasItem("moved"))
+    val snapRows = c.item("moved", snapshot = Some("m1")).data
+      .orderBy($"index").as[(Long, String)].collect().toSeq
+    assert(snapRows == Seq(1L -> "a", 2L -> "b"))
+    assert(c.item("moved").data.count() == 3) // live state intact
+    cleanup(c)
+  }
+
   test("rollbackTo never destroys generations pinned by LATER snapshots") {
     val c = tempCollection("msnap_rb_later")
     // flat arm: sp1 pins gen1; overwrite -> gen2; sp2 pins gen2
