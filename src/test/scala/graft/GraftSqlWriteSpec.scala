@@ -434,7 +434,7 @@ class GraftSqlWriteSpec extends SparkSpec {
     cleanup(c)
   }
 
-  test("RENAME TABLE renames unpinned items in place; pinned and cross-namespace refuse") {
+  test("RENAME TABLE renames in place; manifest pins follow; cross-namespace refuses") {
     val c = tempCollection("sql_rename")
     c.write("item", frame("2024-01-01", 60), monthlyLayout = true)
     registerCatalog("wren", c)
@@ -447,15 +447,17 @@ class GraftSqlWriteSpec extends SparkSpec {
     val pruned = spark.sql("SELECT * FROM wren.c.renamed " +
       "WHERE index >= timestamp'2024-02-01 00:00:00'")
     assert(pruned.count() == 29)
-    // a manifest pin blocks the rename with the snapshot named
+    // a manifest pin FOLLOWS the rename (round 12; previously refused):
+    // the snapshot's entry re-keys, so VERSION AS OF resolves the
+    // pinned pre-rename state under the new name
     spark.sql("CALL wren.system.create_snapshot('c', 'hold', manifest => true)")
-    val e = intercept[Exception](
-      spark.sql("ALTER TABLE wren.c.renamed RENAME TO blocked"))
-    assert(e.getMessage.contains("hold") && e.getMessage.contains("pin"), e.getMessage)
-    assert(c.hasItem("renamed") && !c.hasItem("blocked"))
-    // releasing the pin unblocks it
+    spark.sql("ALTER TABLE wren.c.renamed RENAME TO moved")
+    assert(c.hasItem("moved") && !c.hasItem("renamed"))
+    assert(Snapshots.manifestPins(c.path, "hold", "moved").isDefined)
+    assert(Snapshots.manifestPins(c.path, "hold", "renamed").isEmpty)
+    assert(spark.sql("SELECT * FROM wren.c.moved VERSION AS OF 'hold'").count() == 60)
     spark.sql("CALL wren.system.delete_snapshot('c', 'hold')")
-    spark.sql("ALTER TABLE wren.c.renamed RENAME TO free")
+    spark.sql("ALTER TABLE wren.c.moved RENAME TO free")
     assert(c.hasItem("free"))
     // cross-collection moves and collisions refuse typed
     c.write("other", frame("2024-01-01", 2))
