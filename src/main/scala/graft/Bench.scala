@@ -284,7 +284,7 @@ object Bench {
     val otherBusyPct = (jiffiesStart, jiffiesEnd, selfStart, selfEnd) match {
       case (Some((t0, _, b0)), Some((t1, _, b1)), Some(s0), Some(s1))
           if t1 > t0 =>
-        math.max(0.0, (b1 - b0) - (s1 - s0)).toDouble / (t1 - t0) * 100.0
+        math.max(0.0, ((b1 - b0) - (s1 - s0)).toDouble) / (t1 - t0).toDouble * 100.0
       case _ => -1.0
     }
     // Validity gate (round 12, see BenchGate's scaladoc for why each

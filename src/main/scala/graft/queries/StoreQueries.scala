@@ -1152,23 +1152,23 @@ object StoreQueries {
     s.conf.set("spark.sql.catalog.gmcat.root", col.path.parent.toString)
     val snap = s.sql(
       "CALL gmcat.system.create_snapshot(collection => 'col', name => 'pre', manifest => true)")
-      .head.getString(0)
+      .head().getString(0)
     if (snap != "pre")
       throw new IllegalStateException(s"create_snapshot returned '$snap'")
     val exp = s.sql(
-      "CALL gmcat.system.expire_before('col', 'li', TIMESTAMP '1997-03-15 00:00:00')").head
+      "CALL gmcat.system.expire_before('col', 'li', TIMESTAMP '1997-03-15 00:00:00')").head()
     if (exp.getInt(0) != 2) // 1997-01, 1997-02 removed by directory name
       throw new IllegalStateException(
         s"expire_before must name-drop exactly the 2 wholly-expired periods, got ${exp.getInt(0)}")
     if (exp.getLong(1) <= 0L) // Mar 1–14 rows from the boundary period
       throw new IllegalStateException("expire_before reported no boundary rows deleted")
-    if (s.sql("CALL gmcat.system.convert_layout('col', 'li')").head.getString(0) != "flat")
+    if (s.sql("CALL gmcat.system.convert_layout('col', 'li')").head().getString(0) != "flat")
       throw new IllegalStateException("convert_layout did not report flat")
     val periodDirs = col.path.resolve("li").resolve(Item.DataDir).listDirs
       .filter(_.startsWith(Collection.MonthCol + "="))
     if (periodDirs.nonEmpty)
       throw new IllegalStateException(s"flat conversion left period dirs: $periodDirs")
-    val files = s.sql("CALL gmcat.system.rebalance('col', 'li', 4)").head.getInt(0)
+    val files = s.sql("CALL gmcat.system.rebalance('col', 'li', 4)").head().getInt(0)
     if (files != 4)
       throw new IllegalStateException(s"rebalance(4) reported $files files")
     def rollup(versionClause: String, arm: String) = s.sql(s"""
@@ -1503,7 +1503,7 @@ object StoreQueries {
     if (rootsOfProbe() != 6)
       throw new IllegalStateException(
         s"without stats the band predicate must scan all 6 month roots, got ${rootsOfProbe()}")
-    val n = s.sql("CALL gax.system.analyze('col', 'li', 'band')").head.getInt(0)
+    val n = s.sql("CALL gax.system.analyze('col', 'li', 'band')").head().getInt(0)
     if (n != 6)
       throw new IllegalStateException(s"analyze must backfill 6 periods, got $n")
     if (rootsOfProbe() != 1)
@@ -2056,9 +2056,9 @@ object StoreQueries {
     // snapshot-free travel: NO snapshot exists, AS OF now serves live
     if (Snapshots.userManifestStamps(col.path).nonEmpty)
       throw new IllegalStateException("scenario must run with zero snapshots")
-    val liveN = s.sql("SELECT count(*) FROM ghist.col.li").head.getLong(0)
+    val liveN = s.sql("SELECT count(*) FROM ghist.col.li").head().getLong(0)
     val nowN = s.sql("SELECT count(*) FROM ghist.col.li " +
-      "TIMESTAMP AS OF current_timestamp()").head.getLong(0)
+      "TIMESTAMP AS OF current_timestamp()").head().getLong(0)
     if (nowN != liveN)
       throw new IllegalStateException(
         s"AS OF now must serve the live state ($liveN), got $nowN")

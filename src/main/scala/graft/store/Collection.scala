@@ -1053,12 +1053,18 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
           historyCarrier(item, meta), History.opOf(meta), gen,
           (swappedMonths ++ removedMonths).toSeq.sorted)))
     Collection.commitSeamHook(s"months_post_sidecar:$item")
-    // success: unpinned backups die, retained period dirs stay
-    swapped.foreach { case (_, b, isPinned) =>
-      if (!isPinned) b.foreach(_.deleteRecursively())
-    }
-    tmp.deleteRecursively()
-    try intent.deleteRecursively() catch { case _: Exception => () }
+    // success: unpinned backups die, retained period dirs stay. The
+    // commit PUBLISHED at the meta write above, so cleanup failures
+    // here must not surface as a failed commit — vacuum's repair
+    // reclaims whatever survives (the intent records the advanced
+    // generation, so it rolls forward, never back).
+    try {
+      swapped.foreach { case (_, b, isPinned) =>
+        if (!isPinned) b.foreach(_.deleteRecursively())
+      }
+      tmp.deleteRecursively()
+      intent.deleteRecursively()
+    } catch { case _: Exception => () }
     metaCache.remove(item)
     refreshItems()
     }
