@@ -2220,9 +2220,19 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         val newLogical = parse("schema_json").map(l => StructType(
           l.fields.filterNot(f => dropSet.contains(f.name.toLowerCase))))
         val mask = (Collection.droppedColsOf(meta) ++ resolved).distinct
+        // The dropped names' codec markers go WITH them: `_type_info`
+        // applies by NAME on the restored read, so a stale marker would
+        // reinterpret a later re-added same-name column (fresh NULLs,
+        // possibly a different type) through the dropped column's codec
+        // — e.g. a fresh long served as epoch-ns timestamps.
+        val typeInfo = meta.get("_type_info").collect {
+          case JObject(fs) => JObject(
+            fs.filterNot { case (n, _) => dropSet.contains(n.toLowerCase) })
+        }
         Meta.write(itemPath, meta +
           ("schema_json_encoded" -> Meta.jv(newEncoded.json)) ++
-          newLogical.map(l => "schema_json" -> Meta.jv(l.json)) +
+          newLogical.map(l => "schema_json" -> Meta.jv(l.json)) ++
+          typeInfo.map(ti => "_type_info" -> (ti: JValue)) +
           (Collection.DroppedColsKey -> Meta.jv(mask)) +
           (History.Key -> History.appendedSpilling(itemPath, meta, "alter",
             Snapshots.generationOf(meta), Nil)))

@@ -165,6 +165,32 @@ class GraftAlterSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("dropping a codec-marked column takes its _type_info marker with it (re-add is marker-free)") {
+    import spark.implicits._
+    val c = tempCollection("alter_drop_marker")
+    // evt carries nanosecond epochs with the epoch_ns codec marker:
+    // dataRestored serves it as timestamps
+    val df = Seq((1, 1717243200000000000L), (2, 1717329600000000000L))
+      .toDF("index", "evt")
+    c.write("it", df, indexCols = Seq("index"),
+      typeMarkers = Map("evt" -> Codecs.TypeMarker("epoch_ns")))
+    assert(c.item("it").dataRestored.schema("evt").dataType == TimestampType)
+    c.dropColumns("it", Seq("evt"))
+    // the marker left with the column — both reads serve the masked shape
+    assert(!c.item("it").data.columns.contains("evt"))
+    assert(!c.item("it").dataRestored.columns.contains("evt"))
+    assert(!Codecs.markersFromMeta(c.metadata("it").getOrElse("_type_info",
+      org.json4s.JObject(Nil))).contains("evt"))
+    // re-adding the NAME as a plain long must serve fresh NULL longs —
+    // a stale epoch_ns marker would reinterpret it as timestamps
+    c.addColumns("it", Seq(StructField("evt", LongType, nullable = true)))
+    val re = c.item("it").dataRestored
+    assert(re.schema("evt").dataType == LongType,
+      s"stale codec marker resurrected: ${re.schema("evt").dataType}")
+    assert(re.filter(col("evt").isNotNull).count() == 0)
+    cleanup(c)
+  }
+
   test("DROP COLUMN typed refusals: index, declared stats column, unknown; IF EXISTS skips") {
     val c = tempCollection("alter_drop_refuse")
     import spark.implicits._
