@@ -191,6 +191,25 @@ class GraftAlterSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("an evolved append re-introducing a dropped name serves fresh values (full rewrite clears the mask)") {
+    import spark.implicits._
+    val c = tempCollection("alter_drop_evolve")
+    c.write("it", Seq((1, 1.0, 7L), (2, 2.0, 7L)).toDF("index", "value", "cc"),
+      indexCols = Seq("index"))
+    c.dropColumns("it", Seq("cc")) // masked; old part-files keep the 7s
+    // evolution adds the name back — the evolved append takes the FULL
+    // path (old = the MASKED read, so the pre-drop bytes feed nothing)
+    // and its full rewrite clears the mask for free
+    c.append("it", Seq((3, 3.0, 9L)).toDF("index", "value", "cc"),
+      evolution = Some(graft.evolution.EvolutionStrategy.AddOnly))
+    val rows = c.item("it").data.orderBy("index")
+      .select("index", "cc").as[(Int, Option[Long])].collect().toSeq
+    assert(rows == Seq(1 -> None, 2 -> None, 3 -> Some(9L)),
+      s"pre-drop bytes must never resurrect through evolution: $rows")
+    assert(Collection.droppedColsOf(Meta.read(c.path.resolve("it"))).isEmpty)
+    cleanup(c)
+  }
+
   test("DROP COLUMN typed refusals: index, declared stats column, unknown; IF EXISTS skips") {
     val c = tempCollection("alter_drop_refuse")
     import spark.implicits._
