@@ -1472,6 +1472,31 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         intentPath.deleteRecursively()
         repaired += s"intent:${f.stripPrefix("__swap_intent_").stripSuffix(".json")}"
       }
+    // Delete intents roll FORWARD: the intent is written before the
+    // first destructive step, so its presence means deleteItem was
+    // invoked and died mid-way — re-run the (idempotent) retention and
+    // finish removing the dir; a half-deleted item must never keep
+    // serving a silent subset of its rows.
+    path.fs.listFiles(path.raw)
+      .filter(f => f.startsWith("__delete_intent_") && f.endsWith(".json"))
+      .foreach { f =>
+        val intentPath = path.resolve(f)
+        val it = (try org.json4s.jackson.JsonMethods.parse(new String(
+          path.fs.readBytes(intentPath.raw),
+          java.nio.charset.StandardCharsets.UTF_8)) match {
+          case JObject(fields) =>
+            fields.toMap.get("item").map(Meta.unjv(_).toString)
+          case _ => None
+        } catch { case _: Exception => None })
+        it.filter(_.nonEmpty).foreach { item =>
+          Snapshots.retainPeriodsIfPinned(path, item)
+          Snapshots.retainIfPinned(path, item)
+          path.resolve(item).deleteRecursively()
+          metaCache.remove(item)
+          repaired += s"delete_completed:$item"
+        }
+        intentPath.deleteRecursively()
+      }
     // Rename intents roll FORWARD (every step of renameItem is
     // idempotent): re-key whatever manifests still carry the old name,
     // move the retained dir and the item dir if still unmoved.
@@ -1511,6 +1536,14 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
           repaired += s"dropped_backup:$it"
         }
         metaCache.remove(it)
+      } else if (!path.resolve(it).resolve(Item.DataDir).isDir &&
+          !path.resolve(it).resolve(Meta.Filename).exists) {
+        // an EMPTY husk: dir created, no data, no sidecar, no backup —
+        // a first write died between mkdirs and its swap. The
+        // pre-commit state is "item absent"; the husk only makes
+        // listings serve a phantom name.
+        path.resolve(it).deleteRecursively()
+        repaired += s"removed_husk:$it"
       }
     }
     path.listDirs.filter(_.startsWith("__backup_month_")).foreach { d =>
@@ -1858,10 +1891,23 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
   def deleteItem(item: String): Boolean = withCommitLock {
     // manifest snapshots survive the delete: pinned data (whole dir
     // for flat items, per pinned period for time layouts) moves to
-    // the retained area before the item dir is removed
+    // the retained area before the item dir is removed. The INTENT
+    // journal makes the delete kill-anywhere safe: a recursive delete
+    // killed mid-way would otherwise leave a silently PARTIAL item
+    // (data dir present, some part-files gone) that reads as a subset
+    // — vacuum's repair finishes the journaled delete instead
+    // (retention re-runs first and is idempotent, so pins are never
+    // lost to the crash).
+    val intent = path.resolve(s"__delete_intent_$item.json")
+    path.fs.writeBytesAtomic(intent.raw,
+      org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+        JObject(List("item" -> Meta.jv(item)))))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Snapshots.retainPeriodsIfPinned(path, item)
     Snapshots.retainIfPinned(path, item)
+    Collection.commitSeamHook(s"delete_retained:$item")
     path.resolve(item).deleteRecursively()
+    intent.deleteRecursively()
     metaCache.remove(item)
     refreshItems()
     true

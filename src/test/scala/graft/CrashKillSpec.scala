@@ -158,6 +158,29 @@ class CrashKillSpec extends SparkSpec {
     }
   }
 
+  test("kill mid item delete: the journaled delete completes; the pinned snapshot still reads") {
+    val uri = prepare(hadoop = false)
+    val c0 = coll(uri)
+    c0.createSnapshot(Some("keep"), manifest = Some(true)) // pins 'it'
+    val (code, out) = fork(uri, "delete_retained:it", "delete")
+    assert(code == 137, s"probe must die at the seam, got rc=$code:\n$out")
+    val c = coll(uri)
+    // the crash window: retention ran (pinned data moved aside), the
+    // dir survives as a sidecar-carrying husk, the intent is on disk
+    assert(c.path.resolve("it").isDir)
+    assert(c.path.fs.listFiles(c.path.raw).contains("__delete_intent_it.json"))
+    val removed = c.vacuum()
+    assert(removed.contains("delete_completed:it"), removed.mkString(","))
+    assert(!c.hasItem("it"))
+    // the manifest pin survived the crashed delete — 40 original rows
+    assert(c.item("it", snapshot = Some("keep")).data.count() == 40)
+    // and a half-DELETED item never serves a subset: the name is gone
+    // until someone writes it fresh
+    val c2 = coll(uri)
+    c2.write("it", flatFrame(7), indexCols = Seq("index"))
+    assert(c2.item("it").data.count() == 7)
+  }
+
   test("Hadoop backend: kill between atomicSwap's renames restores through HadoopFs") {
     crashCase("swap_mid", "write", hadoop = true) { (c, _) =>
       assert(c.path.fs.isInstanceOf[HadoopFs])

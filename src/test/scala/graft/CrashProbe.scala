@@ -33,6 +33,8 @@ object CrashProbe {
       case "write" => // full rewrite of the flat item the parent wrote
         val df = (1 to 50).map(i => (i + 1000, 9.0)).toDF("index", "value")
         c.write("it", df, indexCols = Seq("index"), overwrite = true)
+      case "delete" => // journaled item delete
+        c.deleteItem("it")
       case "append_monthly" => // partial commit touching only 2024-02
         val start = java.time.LocalDate.parse("2024-02-10")
         // noon stamps: the parent's rows sit at midnight, so these are
