@@ -1390,6 +1390,12 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       d.startsWith(TmpPrefix) || d.startsWith("__backup_") ||
         d.startsWith("__txn_backup_") || d.startsWith("__cow_"))
     junk.foreach(d => path.resolve(d).deleteRecursively())
+    // dead dir-snapshot staging (killed mid-copy; never listed)
+    val snapsDir = path.resolve(GraftStore.SnapshotsDir)
+    val deadStaging =
+      if (!snapsDir.isDir) Nil
+      else snapsDir.listDirs.filter(_.startsWith(".tmp_"))
+    deadStaging.foreach(d => snapsDir.resolve(d).deleteRecursively())
     // stale transaction pin manifests (crashed mid-commit): releasing
     // them frees their pins so the single GC sweep below reclaims
     // retained dirs nothing else references. AGE-GATED on the
@@ -1403,9 +1409,15 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       .filter(s => Snapshots.manifestCreatedAt(path, s)
         .forall(_.isBefore(staleCutoff)))
     staleTxn.foreach(s => Snapshots.releasePin(path, s, gc = false))
-    if (staleTxn.nonEmpty) Snapshots.gcRetained(path)
+    // GC retained generations UNCONDITIONALLY (was: only after a stale
+    // txn release): a snapshot delete killed between its manifest
+    // removal and its GC orphans retained bytes nothing references —
+    // the sweep reads O(manifests) JSON and is the only thing that
+    // ever reclaims them. Snapshot lock: no in-flight commit is
+    // mid-retention while referenced-ness is judged.
+    withSnapshotLock { Snapshots.gcRetained(path) }
     refreshItems()
-    repaired ++ junk ++ staleTxn
+    repaired ++ junk ++ deadStaging.map(d => s"dead_staging:$d") ++ staleTxn
   }
 
   /** Undo or finish interrupted commit swaps (and roll interrupted
@@ -2428,9 +2440,16 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     withSnapshotLock {
       if (useManifest) Snapshots.createManifest(path, snap, items)
       else {
-        val dst = path.resolve(GraftStore.SnapshotsDir).resolve(snap)
-        path.fs.snapshotRecursively(path.raw, dst.raw,
+        // stage under a dot-name (hidden from listSnapshots) and
+        // publish with ONE rename: a copy killed mid-way must never
+        // surface as a listed snapshot serving a silent subset —
+        // vacuum reclaims dead staging
+        val snaps = path.resolve(GraftStore.SnapshotsDir)
+        val staging = snaps.resolve(".tmp_" + snap)
+        staging.deleteRecursively()
+        path.fs.snapshotRecursively(path.raw, staging.raw,
           exclude = d => d == GraftStore.SnapshotsDir || d.startsWith("__"))
+        path.fs.rename(staging.raw, snaps.resolve(snap).raw)
       }
     }
     snap

@@ -85,6 +85,28 @@ class ManifestSnapshotSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("vacuum reclaims dead dir-snapshot staging and orphaned retained generations") {
+    val c = tempCollection("msnap_vacuum_gc")
+    c.write("it", df3(1L -> "a"), indexCols = Seq("index"))
+    c.createSnapshot(Some("m1"), manifest = Some(true))
+    c.append("it", df3(2L -> "b")) // retains the pinned generation
+    val retained = c.path.resolve(GraftStore.SnapshotsDir).resolve(".retained")
+    assert(retained.isDir && retained.listDirs.nonEmpty)
+    // a snapshot delete killed between its manifest removal and its GC:
+    // the manifest file vanishes, the retained bytes orphan
+    Snapshots.manifestFile(c.path, "m1").deleteRecursively()
+    // plus a dir-snapshot copy killed mid-way: dot-staging, never listed
+    c.path.resolve(GraftStore.SnapshotsDir).resolve(".tmp_crashed").mkdirs()
+    assert(!c.listSnapshots().contains(".tmp_crashed"))
+    val removed = c.vacuum()
+    assert(removed.contains("dead_staging:.tmp_crashed"), removed.mkString(","))
+    assert(!c.path.resolve(GraftStore.SnapshotsDir).resolve(".tmp_crashed").isDir)
+    assert(!retained.isDir || retained.listDirs.isEmpty,
+      "orphaned retained generations must be GCed by plain vacuum")
+    assert(c.item("it").data.count() == 2) // live data untouched
+    cleanup(c)
+  }
+
   test("rollbackTo never destroys generations pinned by LATER snapshots") {
     val c = tempCollection("msnap_rb_later")
     // flat arm: sp1 pins gen1; overwrite -> gen2; sp2 pins gen2
