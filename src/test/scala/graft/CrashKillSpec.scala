@@ -181,6 +181,30 @@ class CrashKillSpec extends SparkSpec {
     assert(c2.item("it").data.count() == 7)
   }
 
+  test("kill at a RANDOM commit seam: the store always converges to exactly-old or exactly-new") {
+    // the seam-specific tests above pin each window's exact outcome;
+    // this arm draws a seam at random per run and asserts the
+    // INVARIANT every window must satisfy — after vacuum the item
+    // serves exactly the pre-commit state (40 rows, 1 log entry) or
+    // exactly the post-commit state (50 rows, ≤1 entry: the full-swap
+    // sidecar trails its commit point), never a torn mix, with no
+    // staging or backup leftovers
+    val seams = Seq("full_staged:it", "swap_mid", "full_pre_sidecar:it")
+    val seam = seams(new scala.util.Random().nextInt(seams.size))
+    val uri = prepare(hadoop = false)
+    val (code, out) = fork(uri, seam, "write")
+    assert(code == 137, s"[seam=$seam] rc=$code:\n$out")
+    val c = coll(uri)
+    c.vacuum()
+    val n = c.item("it").data.count()
+    val h = histSize(c, "it")
+    assert(n == 40 || n == 50, s"[seam=$seam] torn state: $n rows")
+    assert(h == 1, s"[seam=$seam] log must carry exactly the published write, got $h")
+    assert(!c.path.listDirs.exists(d => d.startsWith("__tmp_") || d.startsWith("__backup_")),
+      s"[seam=$seam] leftovers survived vacuum")
+    assert(!c.path.resolve("it").resolve("__backup_data").isDir, s"[seam=$seam]")
+  }
+
   test("Hadoop backend: kill between atomicSwap's renames restores through HadoopFs") {
     crashCase("swap_mid", "write", hadoop = true) { (c, _) =>
       assert(c.path.fs.isInstanceOf[HadoopFs])
