@@ -460,9 +460,19 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
   }
 
   /** Hold the snapshot (write) side: excludes every commit point while
-    * the generation cut is captured. */
+    * the generation cut is captured. Refuses typed when THIS thread
+    * already holds the commit (read) side — a read→write upgrade on a
+    * ReentrantReadWriteLock self-deadlocks silently, so calling a
+    * snapshot-lock verb (createSnapshot, rename, vacuum, rollback)
+    * from inside a transaction block must be an error, not a hang. */
   private[graft] def withSnapshotLock[A](body: => A): A = {
-    val l = Collection.commitLockFor(path).writeLock()
+    val rw = Collection.commitLockFor(path)
+    if (rw.getReadHoldCount > 0)
+      throw new GraftError(
+        "this operation takes the collection's exclusive snapshot lock " +
+          "and cannot run inside a transaction block (the transaction " +
+          "holds the commit side) — run it before or after the transaction")
+    val l = rw.writeLock()
     l.lock(); try body finally l.unlock()
   }
 

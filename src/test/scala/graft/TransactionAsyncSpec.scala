@@ -250,4 +250,22 @@ class TransactionAsyncSpec extends SparkSpec {
     assert(c.item("b").data.count() == rb)
     cleanup(c)
   }
+
+  test("snapshot-lock verbs refuse typed while this thread holds the commit side (no silent deadlock)") {
+    import spark.implicits._
+    val c = tempCollection("lock_guard")
+    c.write("it", Seq((1, 1.0)).toDF("index", "value"), indexCols = Seq("index"))
+    // a read->write upgrade on the coordination lock would hang forever;
+    // the guard turns "createSnapshot/vacuum inside a transaction" into
+    // a typed error instead
+    c.withCommitLock {
+      val e = intercept[GraftError](c.createSnapshot(Some("x"), manifest = Some(true)))
+      assert(e.getMessage.contains("transaction"), e.getMessage)
+      assert(intercept[GraftError](c.vacuum()).getMessage.contains("snapshot lock"))
+    }
+    // outside the hold both verbs work
+    c.createSnapshot(Some("x"), manifest = Some(true))
+    c.vacuum()
+    cleanup(c)
+  }
 }
