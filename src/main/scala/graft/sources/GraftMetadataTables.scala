@@ -36,8 +36,10 @@ import graft.store.{Collection, GraftError, GraftStore, Item, Meta, SPath, Snaps
   *    generation, last-update stamp): the `DESCRIBE DETAIL` convention.
   *  - `item$history`   — (op, generation, periods, committed_at): the
   *    per-item commit log ([[graft.store.History]], one row per atomic
-  *    commit, newest last, capped) — the `DESCRIBE HISTORY` convention
-  *    and the anchor for snapshot-free `TIMESTAMP AS OF`.
+  *    commit, newest last) — the `DESCRIBE HISTORY` convention and the
+  *    anchor for snapshot-free `TIMESTAMP AS OF`. Serves the FULL
+  *    horizon: entries the sidecar cap evicted are merged back from
+  *    the item's spill area (read only when the sidecar is at cap).
   *
   * Reference: pystore exposes metadata only as Python dicts
   * (collection.py:116-147); this is beyond-parity surface following
@@ -146,7 +148,16 @@ private[sources] object GraftMetadataTables {
 
       case "history" =>
         val meta = requireItem()
-        val rows = graft.store.History.entriesOf(meta).map { e =>
+        // The sidecar log is CAPPED; a high-churn item evicts its
+        // oldest entries to the spill area. DESCRIBE HISTORY must not
+        // silently truncate the horizon, so merge the spill in — but
+        // only when the sidecar is at its cap (eviction can't have
+        // happened below it), so ordinary items pay zero extra reads.
+        val sidecarLog = graft.store.History.entriesOf(meta)
+        val log =
+          if (sidecarLog.size < graft.store.History.MaxEntries) sidecarLog
+          else graft.store.History.fullLog(itemPath, sidecarLog)
+        val rows = log.map { e =>
           new GenericInternalRow(Array[Any](
             str(e.op),
             e.gen,

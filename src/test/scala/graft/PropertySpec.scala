@@ -480,6 +480,18 @@ class PropertySpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("property: SQL $history serves the full horizon past the sidecar cap (spill merged)") {
+    val c = tempCollection("spill_sql_history")
+    c.write("it", frame(Seq(1 -> 1.0)), indexCols = Seq("index"))
+    for (i <- 1 to 300) c.setItemProperties("it", Map("k" -> s"v$i"))
+    assert(History.entriesOf(Meta.read(c.path.resolve("it"))).size == History.MaxEntries)
+    spark.conf.set("spark.sql.catalog.spillcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spillcat.root", c.path.parent.toString)
+    val n = spark.sql("SELECT count(*) FROM spillcat.c.`it$history`").head().getLong(0)
+    assert(n == 301L, s"DESCRIBE HISTORY must not truncate at the cap: got $n of 301")
+    cleanup(c)
+  }
+
   test("property: re-spilling the same evicted entries is idempotent (failed sidecar write replay)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_respill")
     val itemPath = SPath.local(dir)
