@@ -141,7 +141,7 @@ object GraftTable {
         val itemP = SPath(fs, pathOpt)
         val t = Meta.parseInstantFlexible(raw, "changesSinceTimestamp")
         val liveMeta = Meta.read(itemP)
-        History.stateAtOrBefore(liveMeta, t) match {
+        History.stateAtOrBeforeFull(itemP, liveMeta, t) match {
           case Some(pins) => changesFromPins(spark, itemP, liveMeta, pins)
           case None =>
             val snap = Snapshots.latestManifestAtOrBefore(itemP.parent, t)

@@ -221,8 +221,29 @@ object History {
     * whole periods, the period-granular replay the CDC contract
     * already tolerates. */
   def stateAtOrBefore(meta: Map[String, JValue], t: java.time.Instant)
+      : Option[Either[Long, Map[String, Long]]] =
+    stateOf(entriesOf(meta).filter(!_.at.isAfter(t)))
+
+  /** [[stateAtOrBefore]] with the spill horizon: once the sidecar log
+    * has reached its cap, entries carrying period stamps may have been
+    * evicted — a sidecar-only fold then loses those periods and the
+    * CDC read degrades to re-serving them whole (or the whole item,
+    * when every in-window entry is metadata-only). Folding the FULL
+    * log keeps the reconstruction EXACT at any item age: a 100 TB
+    * item with years of churn serves just the genuinely-changed
+    * periods. Items below the cap never spilled (the log only evicts
+    * at cap and never shrinks) — they stay one sidecar read. */
+  def stateAtOrBeforeFull(itemPath: SPath, meta: Map[String, JValue],
+                          t: java.time.Instant)
       : Option[Either[Long, Map[String, Long]]] = {
-    val upTo = entriesOf(meta).filter(!_.at.isAfter(t))
+    val sidecar = entriesOf(meta)
+    val entries =
+      if (sidecar.size < MaxEntries) sidecar else fullLog(itemPath, sidecar)
+    stateOf(entries.filter(!_.at.isAfter(t)))
+  }
+
+  private def stateOf(upTo: Seq[Entry])
+      : Option[Either[Long, Map[String, Long]]] =
     if (upTo.isEmpty) None
     else {
       val pg = upTo.foldLeft(Map.empty[String, Long]) { (m, e) =>
@@ -230,5 +251,4 @@ object History {
       }
       Some(if (pg.isEmpty) Left(upTo.last.gen) else Right(pg))
     }
-  }
 }

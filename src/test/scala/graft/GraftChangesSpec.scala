@@ -159,4 +159,22 @@ class GraftChangesSpec extends SparkSpec {
     assert(e4.getMessage.contains("immutable"))
     cleanup(c)
   }
+
+  test("changesSinceTimestamp stays EXACT past the sidecar cap (spill-merged reconstruction)") {
+    val c = tempCollection("cdc_ts_spill")
+    c.write("item", frame("2024-01-01", 60), monthlyLayout = true) // jan feb
+    // 300 metadata-only commits push the write entry into the spill —
+    // a sidecar-only reconstruction then loses jan/feb's stamps and
+    // the delta degrades to re-serving the whole item
+    for (i <- 1 to 300) c.setItemProperties("item", Map("k" -> s"v$i"))
+    Thread.sleep(1100)
+    val t = java.time.Instant.now()
+    Thread.sleep(5)
+    c.append("item", frame("2024-03-01", 5)) // march only
+    val delta = spark.read.format("graft")
+      .option("changesSinceTimestamp", t.toString)
+      .load(c.path.resolve("item").toString)
+    assert(delta.count() == 5, s"delta must be exactly March, got ${delta.count()}")
+    cleanup(c)
+  }
 }
