@@ -406,6 +406,13 @@ object Collection {
     itemDdlLocks.computeIfAbsent(itemPath.toString,
       _ => new java.util.concurrent.locks.ReentrantLock())
 
+  /** Intent journals (swap/rename/delete repair) act on names read
+    * back from JSON files — a damaged or foreign file must never
+    * resolve outside the collection root. Plain item-dir names only. */
+  private[store] def plainIntentName(s: String): Boolean =
+    s.nonEmpty && !s.contains("/") && !s.contains("\\") &&
+      s != "." && s != ".." && !s.startsWith("__")
+
   /** TEST SEAM: invoked at named points inside the commit protocol
     * (`full_staged:<item>`, `full_pre_sidecar:<item>`,
     * `month_aside:<item>:<period>`) so crash tests — a forked JVM that
@@ -1461,7 +1468,8 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
           case JObject(fields) => Some(fields.toMap)
           case _ => None
         } catch { case _: Exception => None }
-        parsed.foreach { j =>
+        parsed.filter(j => j.get("item").map(Meta.unjv(_).toString)
+            .exists(Collection.plainIntentName)).foreach { j =>
           val it = j.get("item").map(Meta.unjv(_).toString).getOrElse("")
           val oldGen = j.get("old_gen").map(Meta.unjv(_).asInstanceOf[Long]).getOrElse(-1L)
           val ms = j.get("months") match {
@@ -1510,7 +1518,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
             fields.toMap.get("item").map(Meta.unjv(_).toString)
           case _ => None
         } catch { case _: Exception => None })
-        it.filter(_.nonEmpty).foreach { item =>
+        it.filter(Collection.plainIntentName).foreach { item =>
           Snapshots.retainPeriodsIfPinned(path, item)
           Snapshots.retainIfPinned(path, item)
           path.resolve(item).deleteRecursively()
@@ -1535,7 +1543,8 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         parsed.foreach { j =>
           (j.get("from").map(Meta.unjv(_).toString),
             j.get("to").map(Meta.unjv(_).toString)) match {
-            case (Some(from), Some(to)) if from.nonEmpty && to.nonEmpty =>
+            case (Some(from), Some(to))
+                if Collection.plainIntentName(from) && Collection.plainIntentName(to) =>
               Snapshots.renameItemPins(path, from, to)
               if (path.resolve(from).isDir && !path.resolve(to).isDir)
                 path.fs.rename(path.resolve(from).raw, path.resolve(to).raw)
