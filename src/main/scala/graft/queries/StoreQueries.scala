@@ -407,6 +407,28 @@ object StoreQueries {
   val csvRoundtripSql: String =
     "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
 
+  /** ORC interop roundtrip (S3-adjacent, beyond the reference): ORC
+    * export → ORC ingest with index designation → store write → read
+    * back ≡ the source table. The oracle never touches the ORC bytes —
+    * it re-derives the expected rows from the parquet source, so the
+    * roundtrip itself is what the hash proves. */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "orc_roundtrip")
+    val orcDir = Paths.get(sys.props("java.io.tmpdir"), "graft_verify",
+      "orc_roundtrip", "orc").toString
+    Sources.writeOrc(Tables.t(s, dir, "supplier"), orcDir)
+    val back = Sources.readOrc(s, orcDir, indexCol = Some("s_suppkey"))
+    col.write("supp", back)
+    col.item("supp").data
+      .withColumnRenamed(Collection.DefaultIndex, "s_suppkey")
+      .select($"s_suppkey", $"s_name", $"s_nationkey", $"s_acctbal")
+      .orderBy($"s_suppkey")
+  }
+
+  val orcRoundtripSql: String =
+    "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey"
+
   /** S3-adjacent JSONL interop roundtrip: deterministic sharded JSONL
     * export (hash of the shard key → re-exports land identically) →
     * schema-DDL read (no inference scan) → store write → read back ≡
@@ -2125,6 +2147,7 @@ object StoreQueries {
     "store_transaction_rollback" -> transactionRollback _,
     "store_validation_reject" -> validationReject _,
     "store_csv_roundtrip" -> csvRoundtrip _,
+    "store_orc_roundtrip" -> orcRoundtrip _,
     "store_jsonl_roundtrip" -> jsonlRoundtrip _,
     "store_memory_optimize" -> memoryOptimize _,
     "store_chunked_read" -> chunkedRead _,
@@ -2174,6 +2197,7 @@ object StoreQueries {
     "store_transaction_rollback" -> transactionRollbackSql,
     "store_validation_reject" -> validationRejectSql,
     "store_csv_roundtrip" -> csvRoundtripSql,
+    "store_orc_roundtrip" -> orcRoundtripSql,
     "store_jsonl_roundtrip" -> jsonlRoundtripSql,
     "store_memory_optimize" -> memoryOptimizeSql,
     "store_chunked_read" -> chunkedReadSql,

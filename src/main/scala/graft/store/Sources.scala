@@ -49,6 +49,27 @@ object Sources {
       .json(path)
   }
 
+  /** ORC source (Spark-native reader) with the same index-column
+    * designation as [[readCsv]] — ingest from the Hive/Trino world's
+    * columnar interchange format. Beyond the reference (pystore reads
+    * CSV only, utils.py:36-62); same predicate-pushdown and
+    * column-pruning class as the parquet spine on the read. */
+  def readOrc(spark: SparkSession, path: String,
+              indexCol: Option[String] = None): DataFrame = {
+    val df = spark.read.orc(path)
+    indexCol match {
+      case Some(c) if c != Collection.DefaultIndex =>
+        df.withColumnRenamed(c, Collection.DefaultIndex)
+      case _ => df
+    }
+  }
+
+  /** ORC sink — export an item (or any frame) for an ORC-consuming
+    * engine. Snappy by default, like the parquet spine. */
+  def writeOrc(df: DataFrame, path: String, overwrite: Boolean = true): Unit =
+    df.write.mode(if (overwrite) "overwrite" else "errorifexists")
+      .option("compression", "snappy").orc(path)
+
   /** Chunked read (reference: memory.read_in_chunks, memory.py:91-137 /
     * S7): an iterator of row batches. Spark already streams
     * partition-by-partition; `toLocalIterator` fetches ONE partition at
