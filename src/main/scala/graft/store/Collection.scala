@@ -1483,7 +1483,10 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
             val aside = mj.get("aside").map(a => SPath(path.fs, Meta.unjv(a).toString))
             val keep = mj.get("keep_on_commit").exists(Meta.unjv(_) == true)
             val dst = dataDir.resolve(s"$MonthCol=$m")
-            if (!committed) {
+            if (!committed && dataDir.isDir) {
+              // (a vanished data dir means the item was deleted since
+              // the crash — nothing to restore into; non-retained
+              // asides fall through to the junk deletion)
               aside match {
                 case Some(a) if a.isDir => // replaced month: restore the old dir
                   dst.deleteRecursively()
@@ -1493,7 +1496,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
                 case None => // freshly added month: the dst can only be new
                   if (dst.isDir) { dst.deleteRecursively(); repaired += s"rolled_back:$it:$m" }
               }
-            } else aside.filter(a => !keep && a.isDir).foreach { a =>
+            } else if (committed) aside.filter(a => !keep && a.isDir).foreach { a =>
               a.deleteRecursively(); repaired += s"rolled_forward:$it:$m"
             }
           }
