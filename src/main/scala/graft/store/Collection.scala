@@ -1480,10 +1480,16 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
           val committed = Snapshots.generationOf(Meta.read(path.resolve(it))) != oldGen
           ms.reverse.foreach { mj =>
             val m = mj.get("m").map(Meta.unjv(_).toString).getOrElse("")
+            // journal-recorded aside paths live under the collection
+            // root (backups and the retained area both do) — anything
+            // else is a damaged/foreign journal and must not direct a
+            // rename or delete outside the store
             val aside = mj.get("aside").map(a => SPath(path.fs, Meta.unjv(a).toString))
+              .filter(_.raw.startsWith(path.raw + "/"))
             val keep = mj.get("keep_on_commit").exists(Meta.unjv(_) == true)
             val dst = dataDir.resolve(s"$MonthCol=$m")
-            if (!committed && dataDir.isDir) {
+            if (!Collection.plainIntentName(m)) ()
+            else if (!committed && dataDir.isDir) {
               // (a vanished data dir means the item was deleted since
               // the crash — nothing to restore into; non-retained
               // asides fall through to the junk deletion)
