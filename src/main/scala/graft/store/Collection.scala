@@ -898,6 +898,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     // flat generation, and vice versa.
     Snapshots.retainPeriodsIfPinned(path, item)
     Snapshots.retainIfPinned(path, item)
+    Collection.commitSeamHook(s"full_retained:$item")
     val gen = System.nanoTime()
     // fresh per-period gens for time layouts: the period list is the
     // tmp dir's partition dirs (cheap driver listing, no extra job)
@@ -1565,9 +1566,9 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         intentPath.deleteRecursively()
       }
     refreshItems().toSeq.sorted.foreach { it =>
+      val live = path.resolve(it).resolve(Item.DataDir)
       val backup = path.resolve(it).resolve("__backup_" + Item.DataDir)
       if (backup.isDir) {
-        val live = path.resolve(it).resolve(Item.DataDir)
         if (!live.isDir) {
           path.fs.rename(backup.raw, live.raw)
           repaired += s"restored:$it"
@@ -1576,8 +1577,37 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
           repaired += s"dropped_backup:$it"
         }
         metaCache.remove(it)
-      } else if (!path.resolve(it).resolve(Item.DataDir).isDir &&
-          !path.resolve(it).resolve(Meta.Filename).exists) {
+      }
+      // Retention-then-crash windows: a rewrite's (or delete's)
+      // retention moves PINNED data aside BEFORE the destructive step;
+      // a kill in between leaves the sidecar still naming generations
+      // whose dirs sit only in the retained area — the flat item reads
+      // nothing, a time-layout item silently misses the moved periods.
+      // Restore them: the manifest pin keeps resolving (live wins when
+      // the generations match), and a later rewrite re-retains into
+      // the emptied slot.
+      if (path.resolve(it).resolve(Meta.Filename).exists) {
+        val meta = Meta.read(path.resolve(it))
+        if (!live.isDir) {
+          val ret = Snapshots.retainedFlatDir(path, it,
+            Snapshots.generationOf(meta)).resolve(Item.DataDir)
+          if (ret.isDir) {
+            path.fs.rename(ret.raw, live.raw)
+            metaCache.remove(it)
+            repaired += s"unretained:$it"
+          }
+        } else Snapshots.periodGensOf(meta).foreach { case (p, g) =>
+          val dst = live.resolve(s"$MonthCol=$p")
+          if (!dst.isDir) {
+            val ret = Snapshots.retainedPeriodDir(path, it, p, g)
+            if (ret.isDir) {
+              path.fs.rename(ret.raw, dst.raw)
+              metaCache.remove(it)
+              repaired += s"unretained:$it:$p"
+            }
+          }
+        }
+      } else if (!live.isDir && !backup.isDir) {
         // an EMPTY husk: dir created, no data, no sidecar, no backup —
         // a first write died between mkdirs and its swap. The
         // pre-commit state is "item absent"; the husk only makes

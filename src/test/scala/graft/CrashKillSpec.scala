@@ -158,6 +158,26 @@ class CrashKillSpec extends SparkSpec {
     }
   }
 
+  test("kill between pin retention and the swap: vacuum un-retains the moved-aside data") {
+    // a PINNED item's rewrite moves its data to the retained area
+    // before the swap; a kill in between leaves the sidecar naming a
+    // generation whose only copy sits in the retained area — the item
+    // reads nothing until repair restores it (the manifest pin keeps
+    // resolving: live wins when generations match)
+    val uri = prepare(hadoop = false)
+    coll(uri).createSnapshot(Some("keep"), manifest = Some(true)) // pins 'it'
+    val (code, out) = fork(uri, "full_retained:it", "write")
+    assert(code == 137, s"probe must die at the seam, got rc=$code:\n$out")
+    val c = coll(uri)
+    assert(!c.path.resolve("it").resolve(Item.DataDir).isDir,
+      "the crash window: live data moved to the retained area")
+    val removed = c.vacuum()
+    assert(removed.contains("unretained:it"), removed.mkString(","))
+    assert(c.item("it").data.count() == 40)
+    assert(c.item("it", snapshot = Some("keep")).data.count() == 40)
+    assert(histSize(c, "it") == 1, "no phantom history entry")
+  }
+
   test("kill mid item delete: the journaled delete completes; the pinned snapshot still reads") {
     val uri = prepare(hadoop = false)
     val c0 = coll(uri)
