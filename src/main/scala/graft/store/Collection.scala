@@ -409,7 +409,7 @@ object Collection {
   /** Intent journals (swap/rename/delete repair) act on names read
     * back from JSON files — a damaged or foreign file must never
     * resolve outside the collection root. Plain item-dir names only. */
-  private[store] def plainIntentName(s: String): Boolean =
+  private[graft] def plainIntentName(s: String): Boolean =
     s.nonEmpty && !s.contains("/") && !s.contains("\\") &&
       s != "." && s != ".." && !s.startsWith("__")
 

@@ -547,6 +547,13 @@ class PropertySpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("property: journal names accept item dirs and periods, refuse traversal and reserved shapes") {
+    val ok = Seq("it", "my.item", "a_b-c", "2024-01", "2024-Q1", "lineitem")
+    val bad = Seq("", ".", "..", "a/b", "a\\b", "../x", "__tmp_x", "__backup_y")
+    ok.foreach(n => assert(Collection.plainIntentName(n), n))
+    bad.foreach(n => assert(!Collection.plainIntentName(n), n))
+  }
+
   test("property: synthesized default index is dense 0..n-1 and collides on re-append") {
     val c = tempCollection("prop_rangeidx")
     val df = (1 to 57).map(i => (s"r$i", i * 2.0)).toDF("name", "v")
