@@ -45,6 +45,14 @@ class CrashKillSpec extends SparkSpec {
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
     val p = pb.start()
+    // watchdog: a probe that never reaches its seam must fail the
+    // test, not hang the suite (readAllBytes blocks until the child's
+    // stream closes)
+    val killer = new Thread(() => {
+      if (!p.waitFor(300, _root_.java.util.concurrent.TimeUnit.SECONDS))
+        p.destroyForcibly()
+    })
+    killer.setDaemon(true); killer.start()
     val out = new String(p.getInputStream.readAllBytes())
     val code = p.waitFor()
     (code, out)
