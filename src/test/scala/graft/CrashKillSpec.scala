@@ -243,6 +243,18 @@ class CrashKillSpec extends SparkSpec {
     }
   }
 
+  test("Hadoop backend: retention-then-crash un-retains through HadoopFs") {
+    val uri = prepare(hadoop = true)
+    coll(uri).createSnapshot(Some("keep"), manifest = Some(true))
+    val (code, out) = fork(uri, "full_retained:it", "write")
+    assert(code == 137, s"rc=$code:\n$out")
+    val c = coll(uri)
+    val removed = c.vacuum()
+    assert(removed.contains("unretained:it"), removed.mkString(","))
+    assert(c.item("it").data.count() == 40)
+    assert(c.item("it", snapshot = Some("keep")).data.count() == 40)
+  }
+
   test("Hadoop backend: kill mid month-swap rolls back through HadoopFs") {
     crashCase("month_aside:mit:2024-02", "append_monthly", hadoop = true) { (c, _) =>
       val removed = c.vacuum()
