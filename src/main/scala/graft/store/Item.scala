@@ -216,6 +216,16 @@ final class Item private[store] (
           // empty frame. Catch-then-fallback keeps the happy path free
           // of an extra recursive listing (which object stores charge
           // for at item scale).
+          // a sidecar with NO data directory is a torn item (an
+          // interrupted operation on a crashed process) — name the
+          // repair instead of surfacing a raw path error
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "PATH_NOT_FOUND" && metadata.nonEmpty =>
+            throw new GraftError(
+              s"item '$name' has a metadata sidecar but no data directory — " +
+                "an interrupted operation left it torn; run " +
+                "Collection.vacuum() (SQL: CALL <catalog>.system.vacuum) " +
+                s"to repair, then retry (${e.getMessage})")
           case e: org.apache.spark.sql.AnalysisException
               if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
             // prefer the ENCODED schema (what the part-files held — the

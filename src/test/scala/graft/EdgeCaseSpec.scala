@@ -195,4 +195,18 @@ class EdgeCaseSpec extends SparkSpec {
     // empty line-dedup input: empty output, no failure
     assert(graft.operators.Dedup.lineDedup(emptyDocs).isEmpty)
   }
+
+  test("a torn item (sidecar without data) reads as a typed repair pointer, not a raw path error") {
+    import spark.implicits._
+    val c = tempCollection("torn_item")
+    c.write("it", Seq((1, 1.0)).toDF("index", "value"), indexCols = Seq("index"))
+    // simulate an unrepaired crash artifact: the data dir vanished, the
+    // sidecar survived (no backup, no retained copy -> vacuum cannot
+    // restore it either, but the error must say what to try)
+    c.path.resolve("it").resolve(Item.DataDir).deleteRecursively()
+    val e = intercept[GraftError](c.item("it").data.count())
+    assert(e.getMessage.contains("vacuum"), e.getMessage)
+    assert(e.getMessage.contains("it"), e.getMessage)
+    cleanup(c)
+  }
 }
