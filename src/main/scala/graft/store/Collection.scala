@@ -998,9 +998,10 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         JObject(List("item" -> Meta.jv(item), "old_gen" -> Meta.jv(oldGen),
           "months" -> org.json4s.JArray(intentMonths.toList)))))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var plan = Seq.empty[(String, SPath, SPath, SPath, Boolean, Boolean, Boolean)]
     try {
       // one pass to plan (and journal) before any rename happens
-      val plan = months.flatMap { m =>
+      plan = months.flatMap { m =>
         val src = tmp.resolve(s"$MonthCol=$m")
         val dst = dataDir.resolve(s"$MonthCol=$m")
         // a month listed but ABSENT from tmp means the new state holds
@@ -1041,11 +1042,25 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       }
     } catch {
       case e: Throwable =>
-        swapped.foreach { case (dst, aside, _) =>
-          dst.deleteRecursively()
-          aside.foreach(b => path.fs.rename(b.raw, dst.raw))
+        // Roll back from the PLAN, not just the fully-swapped months:
+        // a failure BETWEEN a month's two renames leaves it moved
+        // aside with nothing moved in, which the swapped list misses.
+        // The per-month logic mirrors vacuum's journal repair (aside
+        // present → restore it; fresh add → drop the new dir); if any
+        // restore fails the intent journal survives, so the next
+        // vacuum finishes the rollback instead of the old failure mode
+        // (a stranded aside deleted as junk — data loss).
+        var cleanRestore = true
+        plan.foreach { case (_, _, dst, aside, _, hadOld, _) =>
+          try {
+            if (hadOld && aside.isDir) {
+              dst.deleteRecursively()
+              path.fs.rename(aside.raw, dst.raw)
+            } else if (!hadOld && dst.isDir) dst.deleteRecursively()
+          } catch { case _: Exception => cleanRestore = false }
         }
-        try intent.deleteRecursively() catch { case _: Exception => () }
+        if (cleanRestore)
+          try intent.deleteRecursively() catch { case _: Exception => () }
         throw new StorageError(s"partial month commit failed for $item: ${e.getMessage}")
     }
     Collection.commitSeamHook(s"months_pre_sidecar:$item")

@@ -96,6 +96,32 @@ class CrashKillSpec extends SparkSpec {
     assert(c2.item("it").data.count() > 0)
   }
 
+  test("an EXCEPTION between a month's two renames rolls the in-flight month back in-process") {
+    // the kill arms cover process death; this covers the throwing
+    // failure mode (an I/O error mid-swap): the catch must restore the
+    // month that was moved aside but not yet replaced — the swapped
+    // list alone misses it, and pre-round-12 its aside was then
+    // deleted as junk (data loss)
+    val dir = Files.createTempDirectory("graft_crash_throw")
+    val c = GraftStore.at(spark, dir.toString).collection("c")
+    c.write("mit", monthlyFrame("2024-01-01", 60), monthlyLayout = true)
+    Collection.commitSeamHook = name =>
+      if (name == "month_aside:mit:2024-02") throw new RuntimeException("induced I/O failure")
+    try {
+      val e = intercept[StorageError](c.append("mit",
+        (0 until 5).map(i => (java.sql.Timestamp.valueOf(
+          java.time.LocalDate.parse("2024-02-10").plusDays(i).atTime(12, 0)), 9.0))
+          .toDF("index", "value")))
+      assert(e.getMessage.contains("induced"), e.getMessage)
+    } finally Collection.commitSeamHook = _ => ()
+    // the in-flight month was restored by the catch itself — no vacuum needed
+    assert(c.path.resolve("mit").resolve(Item.DataDir).resolve("__month=2024-02").isDir)
+    assert(c.item("mit").data.count() == 60)
+    assert(histSize(c, "mit") == 1)
+    assert(!c.path.fs.listFiles(c.path.raw).exists(_.startsWith("__swap_intent_")))
+    assert(!c.path.listDirs.exists(_.startsWith("__backup_month_")))
+  }
+
   test("kill at full_staged: staging reclaimed, pre-commit state serves, no phantom entry") {
     crashCase("full_staged:it", "write") { (c, _) =>
       assert(c.path.listDirs.contains("__tmp_it"), "staging must be on disk at this seam")
