@@ -1410,17 +1410,27 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * assumption as the reference): these names hold either pre-commit
     * staging or post-crash garbage, never live data; the advisory
     * `__lock` dir is NOT touched. Returns the removed names. */
-  def vacuum(): Seq[String] = {
+  def vacuum(): Seq[String] = withSnapshotLock {
     // Swap REPAIR first, deletion after: a crash BETWEEN a swap's two
     // renames (old moved aside, new not yet in) leaves the moved-aside
     // dir as the ONLY copy of the committed state — blindly deleting
     // `__backup_*` there would destroy data, and restoring is what
-    // makes the kill-anywhere durability contract hold. Under the
-    // snapshot (write) lock so no in-process commit is mid-swap while
-    // we judge; cross-process stays the single-writer assumption.
-    val repaired = withSnapshotLock { repairInterruptedSwaps() }
+    // makes the kill-anywhere durability contract hold. The snapshot
+    // (write) lock covers the WHOLE body — repair AND the junk sweep:
+    // a commit starting between them could have its in-flight month
+    // asides (the only rollback copies of replaced months) deleted
+    // from under it. Cross-process stays the single-writer assumption.
+    val repaired = repairInterruptedSwaps()
+    // An unreadable/containment-rejected swap journal was left in
+    // place by the repair (the only record of a torn pre-commit swap —
+    // an operator must inspect it); its month asides must survive the
+    // sweep too, and since the journal can't be parsed, no aside can
+    // be attributed — spare them all.
+    val unreadableJournal = repaired.exists(_.startsWith("unreadable_intent:"))
     val junk = path.listDirs.filter(d =>
-      d.startsWith(TmpPrefix) || d.startsWith("__backup_") ||
+      d.startsWith(TmpPrefix) ||
+        (d.startsWith("__backup_") &&
+          !(unreadableJournal && d.startsWith("__backup_month_"))) ||
         d.startsWith("__txn_backup_") || d.startsWith("__cow_"))
     junk.foreach(d => path.resolve(d).deleteRecursively())
     // dead dir-snapshot staging (killed mid-copy; never listed)
@@ -1484,8 +1494,9 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
           case JObject(fields) => Some(fields.toMap)
           case _ => None
         } catch { case _: Exception => None }
-        parsed.filter(j => j.get("item").map(Meta.unjv(_).toString)
-            .exists(Collection.plainIntentName)).foreach { j =>
+        val valid = parsed.filter(j => j.get("item").map(Meta.unjv(_).toString)
+          .exists(Collection.plainIntentName))
+        valid.foreach { j =>
           val it = j.get("item").map(Meta.unjv(_).toString).getOrElse("")
           val oldGen = j.get("old_gen").map(Meta.unjv(_).asInstanceOf[Long]).getOrElse(-1L)
           val ms = j.get("months") match {
@@ -1524,8 +1535,18 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
           }
           metaCache.remove(it)
         }
-        intentPath.deleteRecursively()
-        repaired += s"intent:${f.stripPrefix("__swap_intent_").stripSuffix(".json")}"
+        if (valid.isDefined) {
+          intentPath.deleteRecursively()
+          repaired += s"intent:${f.stripPrefix("__swap_intent_").stripSuffix(".json")}"
+        } else {
+          // Unparseable (or containment-rejected) journal: it is the
+          // ONLY record of a torn pre-commit swap — deleting it would
+          // let the junk sweep reclaim the asides it names, turning a
+          // recoverable crash into data loss. Leave it for an operator
+          // and report it; vacuum() spares `__backup_month_*` dirs
+          // while any such journal stands.
+          repaired += s"unreadable_intent:$f"
+        }
       }
     // Delete intents roll FORWARD: the intent is written before the
     // first destructive step, so its presence means deleteItem was
@@ -1602,26 +1623,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       // the generations match), and a later rewrite re-retains into
       // the emptied slot.
       if (path.resolve(it).resolve(Meta.Filename).exists) {
-        val meta = Meta.read(path.resolve(it))
-        if (!live.isDir) {
-          val ret = Snapshots.retainedFlatDir(path, it,
-            Snapshots.generationOf(meta)).resolve(Item.DataDir)
-          if (ret.isDir) {
-            path.fs.rename(ret.raw, live.raw)
-            metaCache.remove(it)
-            repaired += s"unretained:$it"
-          }
-        } else Snapshots.periodGensOf(meta).foreach { case (p, g) =>
-          val dst = live.resolve(s"$MonthCol=$p")
-          if (!dst.isDir) {
-            val ret = Snapshots.retainedPeriodDir(path, it, p, g)
-            if (ret.isDir) {
-              path.fs.rename(ret.raw, dst.raw)
-              metaCache.remove(it)
-              repaired += s"unretained:$it:$p"
-            }
-          }
-        }
+        repaired ++= restoreRetainedFor(it)
       } else if (!live.isDir && !backup.isDir) {
         // an EMPTY husk: dir created, no data, no sidecar, no backup —
         // a first write died between mkdirs and its swap. The
@@ -1648,6 +1650,40 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       restoredTo.foreach(repaired += _)
     }
     repaired.toSeq
+  }
+
+  /** Rename sidecar-named generations back out of the retained area —
+    * the undo of `retainIfPinned`/`retainPeriodsIfPinned`'s O(1)
+    * renames. Shared by vacuum's retention-then-crash repair and by
+    * [[deleteItem]]'s pre-destructive failure rollback: either way the
+    * sidecar still names generations whose only bytes sit retained, so
+    * putting them back makes the item read whole again (the manifest
+    * pin keeps resolving — live wins on matching generations — and the
+    * next rewrite re-retains into the emptied slot). */
+  private def restoreRetainedFor(it: String): Seq[String] = {
+    val restored = scala.collection.mutable.ArrayBuffer.empty[String]
+    val live = path.resolve(it).resolve(Item.DataDir)
+    val meta = Meta.read(path.resolve(it))
+    if (!live.isDir) {
+      val ret = Snapshots.retainedFlatDir(path, it,
+        Snapshots.generationOf(meta)).resolve(Item.DataDir)
+      if (ret.isDir) {
+        path.fs.rename(ret.raw, live.raw)
+        metaCache.remove(it)
+        restored += s"unretained:$it"
+      }
+    } else Snapshots.periodGensOf(meta).foreach { case (p, g) =>
+      val dst = live.resolve(s"$MonthCol=$p")
+      if (!dst.isDir) {
+        val ret = Snapshots.retainedPeriodDir(path, it, p, g)
+        if (ret.isDir) {
+          path.fs.rename(ret.raw, dst.raw)
+          metaCache.remove(it)
+          restored += s"unretained:$it:$p"
+        }
+      }
+    }
+    restored.toSeq
   }
 
   /** Store introspection — one row per item from DRIVER listings only
@@ -1965,8 +2001,27 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
         JObject(List("from" -> Meta.jv(from), "to" -> Meta.jv(to)))))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    Snapshots.renameItemPins(path, from, to)
-    path.fs.rename(path.resolve(from).raw, path.resolve(to).raw)
+    // Intent survival mirrors deleteItem: a failure before ANY state
+    // moved (no manifest re-keyed, no retained dir moved, no item dir
+    // moved — `to` is a fresh name, so its appearance anywhere is our
+    // doing) means the caller was told FAILED and the rename must NOT
+    // be completed behind their back by the next vacuum — withdraw the
+    // intent. Once any step mutated state the steps are idempotent and
+    // roll-forward is the only consistent repair, so the intent stays.
+    try {
+      Collection.commitSeamHook(s"rename_intent_written:$from")
+      Snapshots.renameItemPins(path, from, to)
+      Collection.commitSeamHook(s"rename_pins_done:$from")
+      path.fs.rename(path.resolve(from).raw, path.resolve(to).raw)
+    } catch {
+      case e: Throwable =>
+        val began =
+          try path.resolve(to).isDir || Snapshots.itemPinStateExists(path, to)
+          catch { case _: Exception => true } // can't judge → keep the intent
+        if (!began)
+          try intent.deleteRecursively() catch { case _: Exception => () }
+        throw e
+    }
     intent.deleteRecursively()
     metaCache.remove(from)
     metaCache.remove(to)
@@ -1988,10 +2043,27 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
         JObject(List("item" -> Meta.jv(item)))))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    Snapshots.retainPeriodsIfPinned(path, item)
-    Snapshots.retainIfPinned(path, item)
-    Collection.commitSeamHook(s"delete_retained:$item")
-    path.resolve(item).deleteRecursively()
+    // The intent may only survive once destruction has actually begun:
+    // a transient failure BEFORE the recursive delete leaves the item
+    // intact and the caller is told the delete FAILED — letting the
+    // intent stand would direct the next vacuum() to roll the delete
+    // forward, silently destroying an item the user believes exists.
+    // Pre-destructive failure → undo the retention renames, withdraw
+    // the intent, rethrow. Failure mid-delete → keep the intent so
+    // vacuum finishes the (now torn) delete.
+    var destructionBegan = false
+    try {
+      Snapshots.retainPeriodsIfPinned(path, item)
+      Snapshots.retainIfPinned(path, item)
+      Collection.commitSeamHook(s"delete_retained:$item")
+      destructionBegan = true
+      path.resolve(item).deleteRecursively()
+    } catch {
+      case e: Throwable if !destructionBegan =>
+        try restoreRetainedFor(item) catch { case _: Exception => () }
+        try intent.deleteRecursively() catch { case _: Exception => () }
+        throw e
+    }
     intent.deleteRecursively()
     metaCache.remove(item)
     refreshItems()

@@ -36,13 +36,22 @@ object History {
 
   val MaxEntries = 256
 
+  /** `seq` is a per-item monotonic entry counter carried in the
+    * rendered JSON: metadata-only commits (set_properties / ALTER)
+    * deliberately keep the generation unchanged, so two of them
+    * landing in the same wall-clock tick are identical on
+    * (op, gen, at) — without the sequence the spill dedup (which
+    * exists only to absorb the re-evicted-after-failed-sidecar-write
+    * case) would collapse them, silently dropping a DESCRIBE HISTORY
+    * row. Entries written before the field parse as 0. */
   final case class Entry(op: String, gen: Long, at: java.time.Instant,
-                         periods: Seq[String])
+                         periods: Seq[String], seq: Long = 0L)
 
   private def render(e: Entry): JValue = JObject(List(
     JField("op", JString(e.op)),
     JField("gen", JInt(BigInt(e.gen))),
     JField("at", JString(Meta.stampOf(e.at)))) ++
+    (if (e.seq == 0L) Nil else List(JField("seq", JInt(BigInt(e.seq))))) ++
     (if (e.periods.isEmpty) Nil
      else List(JField("periods", JArray(e.periods.sorted.map(JString(_)).toList)))))
 
@@ -56,9 +65,14 @@ object History {
       } yield Entry(op, gen, at, m.get("periods") match {
         case Some(JArray(xs)) => xs.collect { case JString(p) => p }
         case _ => Nil
-      })
+      }, m.get("seq").collect { case JInt(i) => i.toLong }.getOrElse(0L))
     case _ => None
   }
+
+  /** The next sequence number after `prior`'s log — strictly above
+    * every sidecar entry; monotonic because entries only append. */
+  private def nextSeq(prior: Seq[Entry]): Long =
+    if (prior.isEmpty) 1L else prior.map(_.seq).max + 1L
 
   /** Entries recorded in `meta`, oldest first; damaged/foreign entries
     * are skipped (the log is advisory — readers must not fail on it). */
@@ -81,7 +95,9 @@ object History {
     * item's spill area instead. */
   def appended(prior: Map[String, JValue], op: String, gen: Long,
                periods: Seq[String]): JValue = {
-    val all = entriesOf(prior) :+ Entry(op, gen, java.time.Instant.now(), periods)
+    val existing = entriesOf(prior)
+    val all = existing :+
+      Entry(op, gen, java.time.Instant.now(), periods, nextSeq(existing))
     JArray(all.takeRight(MaxEntries).map(render).toList)
   }
 
@@ -107,7 +123,9 @@ object History {
     * backwards. */
   def appendedSpilling(itemPath: SPath, prior: Map[String, JValue], op: String,
                        gen: Long, periods: Seq[String]): JValue = {
-    val all = entriesOf(prior) :+ Entry(op, gen, java.time.Instant.now(), periods)
+    val existing = entriesOf(prior)
+    val all = existing :+
+      Entry(op, gen, java.time.Instant.now(), periods, nextSeq(existing))
     val evicted = all.dropRight(MaxEntries)
     if (evicted.nonEmpty)
       try spill(itemPath, evicted)
@@ -140,8 +158,8 @@ object History {
   private val spillLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  private def entryKey(e: Entry): (String, Long, String) =
-    (e.op, e.gen, Meta.stampOf(e.at))
+  private def entryKey(e: Entry): (String, Long, String, Long) =
+    (e.op, e.gen, Meta.stampOf(e.at), e.seq)
 
   private def spill(itemPath: SPath, evicted: Seq[Entry]): Unit = {
     val lock = spillLocks.computeIfAbsent(itemPath.toString, _ => new Object)

@@ -335,6 +335,18 @@ object Snapshots {
   private def retainedBase(collectionPath: SPath, item: String): SPath =
     snapsDir(collectionPath).resolve(RetainedDir).resolve(item)
 
+  /** True when any manifest snapshot carries an entry keyed `item`, or
+    * the item owns a retained-generation area. The rename-rollback
+    * detector: a rename target is a brand-new name, so any appearance
+    * of it here means [[renameItemPins]] already began mutating state
+    * and a failed rename must roll FORWARD (via its intent journal)
+    * rather than be withdrawn. O(manifests) JSON reads, no data. */
+  def itemPinStateExists(collectionPath: SPath, item: String): Boolean =
+    retainedBase(collectionPath, item).isDir ||
+      listManifests(collectionPath).exists(snap =>
+        readManifest(collectionPath, snap)
+          .exists(m => manifestItems(m).contains(item)))
+
   /** Resolve `item` inside manifest snapshot `snap`. None when the
     * manifest doesn't exist or doesn't carry the item. */
   def resolveManifestItem(collectionPath: SPath, snap: String, item: String)

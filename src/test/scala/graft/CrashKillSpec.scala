@@ -122,6 +122,86 @@ class CrashKillSpec extends SparkSpec {
     assert(!c.path.listDirs.exists(_.startsWith("__backup_month_")))
   }
 
+  test("an EXCEPTION before deleteItem's destructive step withdraws the intent — vacuum must not roll a reported-failed delete forward") {
+    // the intent journal exists to finish a delete that DIED mid-way;
+    // a delete that FAILED before destroying anything told its caller
+    // the item survives — a surviving intent would let the next
+    // vacuum() silently destroy it anyway
+    val dir = Files.createTempDirectory("graft_del_fail")
+    val c = GraftStore.at(spark, dir.toString).collection("c")
+    c.write("it", flatFrame(40), indexCols = Seq("index"))
+    c.createSnapshot(Some("pin1"), manifest = Some(true)) // pins the generation → retention moves the data dir
+    Collection.commitSeamHook = name =>
+      if (name == "delete_retained:it") throw new RuntimeException("induced I/O failure")
+    try {
+      val e = intercept[RuntimeException](c.deleteItem("it"))
+      assert(e.getMessage.contains("induced"), e.getMessage)
+    } finally Collection.commitSeamHook = _ => ()
+    assert(!c.path.fs.listFiles(c.path.raw).exists(_.startsWith("__delete_intent_")),
+      "a pre-destructive failure must withdraw the intent")
+    // the retention rename was undone inline — the item reads whole NOW
+    assert(c.item("it").data.count() == 40)
+    c.vacuum()
+    assert(c.hasItem("it"), "vacuum must not complete a delete the caller was told failed")
+    assert(c.item("it").data.count() == 40)
+    // and the withdrawal didn't break a REAL delete afterwards
+    assert(c.deleteItem("it"))
+    assert(!c.hasItem("it"))
+  }
+
+  test("an EXCEPTION before renameItem moved anything withdraws the intent; after the pins re-keyed it rolls forward") {
+    val dir = Files.createTempDirectory("graft_ren_fail")
+    val c = GraftStore.at(spark, dir.toString).collection("c")
+    c.write("it", flatFrame(40), indexCols = Seq("index"))
+    c.createSnapshot(Some("pin1"), manifest = Some(true))
+    // arm 1: failure before any state moved → intent withdrawn, old name stays
+    Collection.commitSeamHook = name =>
+      if (name == "rename_intent_written:it") throw new RuntimeException("induced pre-move failure")
+    try intercept[RuntimeException](c.renameItem("it", "renamed"))
+    finally Collection.commitSeamHook = _ => ()
+    assert(!c.path.fs.listFiles(c.path.raw).exists(_.startsWith("__rename_intent_")),
+      "nothing moved → the intent must be withdrawn")
+    c.vacuum()
+    assert(c.hasItem("it") && !c.hasItem("renamed"),
+      "vacuum must not complete a rename that never began")
+    // arm 2: failure AFTER the manifest re-key → intent survives and
+    // vacuum rolls the rename forward (the only consistent repair once
+    // pins already say the new name)
+    Collection.commitSeamHook = name =>
+      if (name == "rename_pins_done:it") throw new RuntimeException("induced post-pins failure")
+    try intercept[RuntimeException](c.renameItem("it", "renamed"))
+    finally Collection.commitSeamHook = _ => ()
+    assert(c.path.fs.listFiles(c.path.raw).exists(_.startsWith("__rename_intent_")),
+      "state moved → the intent must stand for roll-forward")
+    c.vacuum()
+    assert(c.hasItem("renamed") && !c.hasItem("it"))
+    assert(c.item("renamed").data.count() == 40)
+    // the pre-rename pin still resolves under the new name
+    assert(c.item("renamed", snapshot = Some("pin1")).data.count() == 40)
+  }
+
+  test("an unreadable swap-intent journal is preserved and its month asides spared from the sweep") {
+    val dir = Files.createTempDirectory("graft_bad_intent")
+    val c = GraftStore.at(spark, dir.toString).collection("c")
+    c.write("mit", monthlyFrame("2024-01-01", 60), monthlyLayout = true)
+    // a torn swap's evidence: a journal vacuum can't parse + an aside
+    // dir (with the month still live, so the generic repair's restore
+    // branch won't consume it)
+    c.path.fs.writeBytesAtomic(c.path.resolve("__swap_intent_mit.json").raw,
+      "{not json".getBytes("UTF-8"))
+    c.path.resolve("__backup_month_mit_2024-01").mkdirs()
+    val out = c.vacuum()
+    assert(out.exists(_.startsWith("unreadable_intent:")), out.mkString(","))
+    assert(c.path.fs.listFiles(c.path.raw).contains("__swap_intent_mit.json"),
+      "the journal is the only record of the torn swap — it must survive")
+    assert(c.path.listDirs.contains("__backup_month_mit_2024-01"),
+      "asides the journal may name must survive while it stands")
+    // once an operator removes the journal, the next vacuum reclaims
+    c.path.resolve("__swap_intent_mit.json").deleteRecursively()
+    c.vacuum()
+    assert(!c.path.listDirs.contains("__backup_month_mit_2024-01"))
+  }
+
   test("kill at full_staged: staging reclaimed, pre-commit state serves, no phantom entry") {
     crashCase("full_staged:it", "write") { (c, _) =>
       assert(c.path.listDirs.contains("__tmp_it"), "staging must be on disk at this seam")

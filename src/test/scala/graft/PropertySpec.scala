@@ -59,6 +59,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("same-tick metadata-only commits survive the spill dedupe (per-entry sequence)") {
+    // metadata-only commits keep the generation unchanged, and a tight
+    // loop lands many in the same wall-clock ms — identical on
+    // (op, gen, at). Pre-fix the spill dedupe (meant only to absorb
+    // re-eviction after a failed sidecar write) collapsed them,
+    // dropping DESCRIBE HISTORY rows once the sidecar cap evicted them.
+    val dir = java.nio.file.Files.createTempDirectory("graft_histseq")
+    val itemPath = SPath.local(dir)
+    val total = History.MaxEntries + 40 // forces 40 evictions to spill
+    var meta = Map.empty[String, org.json4s.JValue]
+    for (_ <- 1 to total)
+      meta += (History.Key ->
+        History.appendedSpilling(itemPath, meta, "set_properties", 42L, Nil))
+    val sidecar = History.entriesOf(meta)
+    assert(sidecar.size == History.MaxEntries)
+    val full = History.fullLog(itemPath, sidecar)
+    assert(full.size == total,
+      s"every same-tick commit must keep its own log row, got ${full.size} of $total")
+    // and the legitimate dedupe still works: a failed-sidecar-write
+    // replay (the spill path re-run over the SAME prior meta) re-evicts
+    // the same entry, and the open chunk absorbs the duplicate
+    History.appendedSpilling(itemPath, meta, "set_properties", 42L, Nil)
+    val replay = History.appendedSpilling(itemPath, meta, "set_properties", 42L, Nil)
+    val full2 = History.fullLog(itemPath, History.entriesOf(
+      meta + (History.Key -> replay)))
+    assert(full2.size == total + 1,
+      s"the re-evicted entry must dedupe, got ${full2.size}")
+  }
+
   test("property: GraftSourceOffset json round-trips any period→gen map") {
     val rng = new Random(11)
     for (_ <- 1 to 100) {
