@@ -428,6 +428,86 @@ object Collection {
     * removed by name (zero rows read) and the rows deleted from the
     * rewritten boundary period. */
   final case class ExpireResult(removedPeriods: Seq[String], boundaryDeleted: Long)
+
+  /** Marker FILE at the collection root that switches the collection
+    * into multi-process writer mode — durable so EVERY process opening
+    * the collection agrees (an option passed per-session could be
+    * forgotten by one writer, silently voiding the protection for
+    * all). See [[Collection.enableMultiprocess]]. */
+  private[graft] val MultiprocessMarker = "__multiprocess"
+
+  /** Cross-process per-item writer locks live at
+    * `<collection>/__itemlock_<item>/` — the `__` prefix keeps them out
+    * of item listings; vacuum's junk sweep never touches them (a LIVE
+    * writer may hold one — the very situation multiprocess mode
+    * exists for). */
+  private[graft] val ItemLockPrefix = "__itemlock_"
+
+  /** Item-lock paths held by the CURRENT thread — makes
+    * [[Collection.withItemProcessLock]] reentrant (a filesystem lock
+    * has no owner-thread notion of its own; the publish path can be
+    * reached from verbs that already hold the item's lock, e.g.
+    * addColumns → purge rewrite → publishFull). */
+  private val heldProcessLocks =
+    new ThreadLocal[scala.collection.mutable.Set[String]] {
+      override def initialValue(): scala.collection.mutable.Set[String] =
+        scala.collection.mutable.Set.empty[String]
+    }
+
+  /** Owner stamp written into a held item lock: host + pid, so a
+    * timeout error names the process to inspect. */
+  private lazy val processOwnerTag: String = {
+    val host =
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: Exception => "unknown-host" }
+    s"$host:pid=${ProcessHandle.current().pid()}"
+  }
+
+  /** Optimistic-concurrency retry: re-run `body` when the publish
+    * fence refuses it ([[ConcurrentWriteError]] — the item's committed
+    * generation moved between the read and the publish) or when the
+    * optimistic READ itself tore (a concurrent commit swapped the data
+    * dir away mid-scan — Spark surfaces FILE_NOT_EXIST; the fence
+    * would have refused that staging anyway, the read just failed
+    * first). Each retry re-reads the CURRENT state, so the interleaved
+    * commit's rows are carried, never clobbered; quadratic backoff
+    * keeps two processes hammering the same item from live-locking. A
+    * GENUINELY missing file (corruption) exhausts the attempts and
+    * surfaces its original error. */
+  private[store] def retryOnConflict[A](maxAttempts: Int = 8)(body: => A): A = {
+    var attempt = 1
+    while (true) {
+      try return body
+      catch {
+        case e: Throwable
+            if e.isInstanceOf[ConcurrentWriteError] || isTornRead(e) =>
+          if (attempt >= maxAttempts) throw e
+          Thread.sleep(math.min(25L * attempt * attempt, 1000L))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** A read that raced a concurrent commit's swap: the scanned files
+    * vanished under the job. Walks the cause chain — Spark wraps the
+    * IO error in task/job failure layers. */
+  private def isTornRead(e: Throwable): Boolean = {
+    var cur = e
+    var depth = 0
+    while (cur != null && depth < 12) {
+      cur match {
+        case _: java.io.FileNotFoundException => return true
+        case s if s.getMessage != null &&
+          (s.getMessage.contains("FAILED_READ_FILE.FILE_NOT_EXIST") ||
+            s.getMessage.contains("FileNotFoundException")) => return true
+        case _ => ()
+      }
+      cur = cur.getCause
+      depth += 1
+    }
+    false
+  }
 }
 
 /** A collection: a namespace of items with write / append / read /
@@ -485,10 +565,116 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
 
   /** Hold the item's exclusive DDL lock — see
     * [[Collection.itemDdlLockFor]]. Always taken INSIDE the commit
-    * lock (it is a leaf); reentrant per thread. */
-  private def withItemDdlLock[A](item: String)(body: => A): A = {
-    val l = Collection.itemDdlLockFor(path.resolve(item))
-    l.lock(); try body finally l.unlock()
+    * lock (it is a leaf among the JVM locks); reentrant per thread.
+    * In multiprocess mode the cross-process item lock wraps it, so
+    * every sidecar read-modify-write site (DDL verbs, stats refresh,
+    * the publish paths) is exclusive across processes too. */
+  private def withItemDdlLock[A](item: String)(body: => A): A =
+    withItemProcessLock(item) {
+      val l = Collection.itemDdlLockFor(path.resolve(item))
+      l.lock(); try body finally l.unlock()
+    }
+
+  // ------------------------------------- cross-process writer protection
+
+  @volatile private var mpMode: java.lang.Boolean = null
+
+  /** Whether this collection is in multi-process writer mode — read
+    * from the durable [[Collection.MultiprocessMarker]] once per
+    * Collection instance (one `exists` check, then cached; the
+    * enable/disable verbs refresh the cache). Default OFF: the
+    * single-writer assumption costs nothing on the hot path. */
+  def multiprocessEnabled: Boolean = {
+    var m = mpMode
+    if (m == null) {
+      m = java.lang.Boolean.valueOf(
+        path.resolve(Collection.MultiprocessMarker).exists)
+      mpMode = m
+    }
+    m.booleanValue
+  }
+
+  /** Switch the collection into multi-process writer mode, durably:
+    * every process that opens it from now on takes a cross-process
+    * per-item lock around its commit points (publish, DDL sidecar
+    * writes, delete, rename) and fences appends on the committed
+    * generation, so concurrent writers SERIALIZE instead of silently
+    * losing updates. The reference's lock is advisory only — writers
+    * that don't opt in bypass it (transactions.py:289-362); here the
+    * commit chokepoints themselves take the lock. Processes that
+    * opened the collection BEFORE the marker landed still run
+    * unprotected (the mode flag is read once per Collection) — enable
+    * the mode before starting concurrent writers. */
+  def enableMultiprocess(): Unit = {
+    path.fs.writeBytesAtomic(path.resolve(Collection.MultiprocessMarker).raw,
+      "multiprocess".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    mpMode = java.lang.Boolean.TRUE
+  }
+
+  def disableMultiprocess(): Unit = {
+    path.resolve(Collection.MultiprocessMarker).deleteRecursively()
+    mpMode = java.lang.Boolean.FALSE
+  }
+
+  /** How long a commit waits for another process's item lock before
+    * refusing typed. Held sections are short — O(1) renames plus one
+    * sidecar write, never a data job — so contention clears in
+    * milliseconds unless the holder died. */
+  private[graft] var processLockTimeoutMs: Long = 120000L
+
+  /** Hold the cross-process per-item writer lock (no-op outside
+    * multiprocess mode). Atomic first-caller-wins create of
+    * `__itemlock_<item>` (POSIX mkdir / Hadoop exclusive owner-file
+    * create), polled to a deadline. Lock ORDER: JVM commit/snapshot
+    * lock first, this second, the JVM DDL lock innermost — a thread
+    * polling here can hold at most the SHARED commit side, and no
+    * verb takes a JVM lock while holding this one that it didn't
+    * already hold, so neither in-JVM nor cross-process cycles exist
+    * (multi-item verbs like rename acquire in sorted name order).
+    * Reentrant per thread via [[Collection.heldProcessLocks]]. */
+  private def withItemProcessLock[A](item: String)(body: => A): A = {
+    if (!multiprocessEnabled) return body
+    val lock = path.resolve(Collection.ItemLockPrefix + item)
+    val key = lock.toString
+    val held = Collection.heldProcessLocks.get()
+    if (held.contains(key)) return body
+    val deadline = System.currentTimeMillis() + processLockTimeoutMs
+    while (!path.fs.tryLock(lock.raw, Collection.processOwnerTag)) {
+      if (System.currentTimeMillis() > deadline) {
+        val owner = try {
+          val f = lock.resolve("owner")
+          if (f.exists)
+            new String(f.fs.readBytes(f.raw), java.nio.charset.StandardCharsets.UTF_8)
+          else "unknown"
+        } catch { case _: Exception => "unknown" }
+        throw new LockTimeoutError(
+          s"could not acquire the cross-process writer lock for item '$item' " +
+            s"within ${processLockTimeoutMs}ms (held by $owner); if that " +
+            "process crashed, clear stale locks with breakItemLocks()")
+      }
+      Thread.sleep(25)
+    }
+    held += key
+    try body finally { held -= key; lock.deleteRecursively() }
+  }
+
+  /** Acquire two items' process locks in sorted-name order (the
+    * cross-process deadlock discipline for the one two-item verb,
+    * rename). */
+  private def withItemProcessLocks[A](a: String, b: String)(body: => A): A = {
+    val sorted = Seq(a, b).sorted
+    withItemProcessLock(sorted.head) { withItemProcessLock(sorted(1)) { body } }
+  }
+
+  /** ADMIN: forcibly clear every per-item writer lock — the remedy for
+    * a lock leaked by a holder that died mid-commit (the crash itself
+    * is already repaired by vacuum's journaled swap repair; only the
+    * lock dir outlives the corpse). Returns the cleared lock names.
+    * Must only run when no writer process is live, like vacuum. */
+  def breakItemLocks(): Seq[String] = {
+    val locks = path.listDirs.filter(_.startsWith(Collection.ItemLockPrefix))
+    locks.foreach(l => path.resolve(l).deleteRecursively())
+    locks
   }
 
   // ---------------------------------------------------------------- items
@@ -866,17 +1052,28 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     metadata(item).get("_monthly_salt")
       .map(j => Meta.unjv(j).asInstanceOf[Long].toInt).getOrElse(1)
 
+  /** Writer-unique staging dir: a shared `__tmp_<item>` name lets two
+    * concurrent stagings of the same item (threads or processes — the
+    * parquet job runs OUTSIDE every lock by design) clobber each
+    * other's in-flight part-files; the nonce makes each staging
+    * private. Successful commits consume the dir (rename); failed ones
+    * leave it for vacuum's `__tmp_*` sweep. */
+  private def stagingDir(item: String): SPath =
+    path.resolve(TmpPrefix + item + "_" +
+      java.util.UUID.randomUUID().toString.take(8))
+
   /** Write df to a tmp dir then atomically swap into place, then write
     * the sidecar and refresh caches. Part-files live under
     * `<item>/data/` so the parquet dataset dir contains nothing but
     * parquet; the JSON sidecar sits at the item root. */
   private def commit(item: String, df: DataFrame, meta: Map[String, JValue],
-                     partitioned: Boolean = false): Unit = {
-    val tmp = path.resolve(TmpPrefix + item)
+                     partitioned: Boolean = false,
+                     expectedGen: Option[Long] = None): Unit = {
+    val tmp = stagingDir(item)
     tmp.deleteRecursively()
     val writer = df.write.mode("overwrite").option("compression", "snappy")
     (if (partitioned) writer.partitionBy(MonthCol) else writer).parquet(tmp.toString)
-    publishFull(item, tmp, meta, partitioned)
+    publishFull(item, tmp, meta, partitioned, expectedGen)
   }
 
   /** Atomic publication half of [[commit]] — retain + swap + sidecar
@@ -884,8 +1081,27 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * OUTSIDE the commit lock; callers besides commit() are the
     * row-level COW path, whose staging the executors wrote). */
   private[graft] def publishFull(item: String, tmp: SPath, meta: Map[String, JValue],
-                                 partitioned: Boolean): Unit = {
-    withCommitLock {
+                                 partitioned: Boolean,
+                                 expectedGen: Option[Long] = None): Unit = {
+    withCommitLock { withItemDdlLock(item) {
+    // Generation FENCE (compare-and-swap): a read-modify-write path
+    // (append, deleteWhere) captured the committed generation when it
+    // read the old state; if another writer — thread or process —
+    // committed since, publishing this staging would CLOBBER that
+    // commit's rows. Refuse typed instead; append retries over the
+    // fresh state. Atomic because the check and the sidecar write sit
+    // under the same item locks (and, in multiprocess mode, the same
+    // cross-process lock).
+    expectedGen.foreach { base =>
+      val cur = Snapshots.generationOf(Meta.read(path.resolve(item)))
+      if (cur != base) {
+        tmp.deleteRecursively()
+        throw new ConcurrentWriteError(
+          s"item '$item' was committed by another writer (generation " +
+            s"$cur, this mutation read $base) — the staged rewrite would " +
+            "lose that commit's rows")
+      }
+    }
     Collection.commitSeamHook(s"full_staged:$item") // no-op outside crash tests
     path.resolve(item).mkdirs()
     // Copy-on-write for manifest snapshots: pinned old generations are
@@ -931,7 +1147,8 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
           historyCarrier(item, meta), History.opOf(meta), gen, periodsTouched)))
     metaCache.remove(item)
     refreshItems()
-    }
+    } }
+    ()
   }
 
   /** The meta map whose `_history` the commit's log entry extends:
@@ -952,12 +1169,13 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * the item size. Each month dir swaps atomically (backup + rename);
     * a failure mid-sequence restores the already-swapped months. */
   private def commitMonths(item: String, df: DataFrame, months: Seq[String],
-                           meta: Map[String, JValue]): Unit = {
-    val tmp = path.resolve(TmpPrefix + item)
+                           meta: Map[String, JValue],
+                           expectedGen: Option[Long] = None): Unit = {
+    val tmp = stagingDir(item)
     tmp.deleteRecursively()
     df.write.mode("overwrite").option("compression", "snappy")
       .partitionBy(MonthCol).parquet(tmp.toString)
-    publishMonths(item, tmp, months, meta)
+    publishMonths(item, tmp, months, meta, expectedGen)
   }
 
   /** Atomic publication half of [[commitMonths]] — the per-period
@@ -965,12 +1183,25 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * `__month=<m>/` subdirs. A month in `months` absent from `tmp`
     * is a removal. Shared with the row-level COW path. */
   private[graft] def publishMonths(item: String, tmp: SPath, months: Seq[String],
-                                   meta: Map[String, JValue]): Unit = {
-    withCommitLock {
+                                   meta: Map[String, JValue],
+                                   expectedGen: Option[Long] = None): Unit = {
+    withCommitLock { withItemDdlLock(item) {
     val dataDir = path.resolve(item).resolve(Item.DataDir)
     val meta0 = Meta.read(path.resolve(item))
     val oldPg = Snapshots.periodGensOf(meta0)
     val oldGen = Snapshots.generationOf(meta0)
+    // Generation FENCE — same contract as publishFull's: refuse (and
+    // let append retry) rather than clobber a commit that landed
+    // between this mutation's read and its publish.
+    expectedGen.foreach { base =>
+      if (oldGen != base) {
+        tmp.deleteRecursively()
+        throw new ConcurrentWriteError(
+          s"item '$item' was committed by another writer (generation " +
+            s"$oldGen, this mutation read $base) — the staged months would " +
+            "lose that commit's rows")
+      }
+    }
     val pinned = Snapshots.pinnedPeriodGens(path, item)
     val gen = System.nanoTime()
     // O(1) renames only: a replaced month dir moves aside — to the
@@ -1100,7 +1331,8 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     } catch { case _: Exception => () }
     metaCache.remove(item)
     refreshItems()
-    }
+    } }
+    ()
   }
 
   // -------------------------------------------------------------- append
@@ -1130,17 +1362,38 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
              validateSchema: Boolean = true,
              evolution: Option[EvolutionStrategy] = None,
              npartitions: Option[Int] = None,
-             extraMeta: Map[String, JValue] = Map.empty): Unit = {
+             extraMeta: Map[String, JValue] = Map.empty): Unit =
+    // Optimistic concurrency: the publish fence refuses a staging whose
+    // base generation another writer moved; each retry re-reads the
+    // fresh state, so the interleaved commit's rows are carried.
+    Collection.retryOnConflict() {
+      appendOnce(item, df, duplicateHandling, validateSchema, evolution,
+        npartitions, extraMeta)
+    }
+
+  private def appendOnce(item: String,
+             df: DataFrame,
+             duplicateHandling: DuplicateHandling,
+             validateSchema: Boolean,
+             evolution: Option[EvolutionStrategy],
+             npartitions: Option[Int],
+             extraMeta: Map[String, JValue]): Unit = {
     Collection.requireWritableItemName(item)
     if (!hasItem(item))
       throw new ItemNotFoundError(s"item '$item' does not exist; write it first")
     if (df.isEmpty) return // reference: empty append is a no-op (test_append.py)
 
+    // The fence base: the committed generation as of THIS read-modify-
+    // write's read. A fresh sidecar read (not the TTL cache) — a stale
+    // base would spuriously refuse, a cached one could miss a foreign
+    // process's commit and falsely accept.
+    val baseGen = Snapshots.generationOf(Meta.read(path.resolve(item)))
+
     val timeLayout = timeLayoutOf(item)
     val monthly = timeLayout.isDefined
     if (monthly && evolution.isEmpty) {
       appendPeriodic(item, df, duplicateHandling, validateSchema, timeLayout.get,
-        extraMeta)
+        extraMeta, baseGen)
       return
     }
     // (schema evolution on a time-layout item falls through to the full
@@ -1231,7 +1484,8 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
          "schema_json" -> Collection.evolveLogicalSchema(
            storedMeta, deduped.schema).json)) ++
       extraMeta ++ Collection.opTag("append")
-    commit(item, laidOut, prevMeta, partitioned = monthly)
+    commit(item, laidOut, prevMeta, partitioned = monthly,
+      expectedGen = Some(baseGen))
     // the full rewrite re-derived every period: stale per-period stats
     // would let a later pruned delete silently skip live rows
     if (monthly) maybeRefreshPeriodStats(item, None)
@@ -1249,7 +1503,8 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
                              duplicateHandling: DuplicateHandling,
                              validateSchema: Boolean,
                              layout: String,
-                             extraMeta: Map[String, JValue] = Map.empty): Unit = {
+                             extraMeta: Map[String, JValue] = Map.empty,
+                             baseGen: Long): Unit = {
     val existing = this.item(item)
     val idx = existing.indexCols
     val newDf = df
@@ -1303,7 +1558,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       Collection.opTag("append")
     commitMonths(item,
       withTimeLayout(combined.dropDuplicates(), idx, monthlySaltOf(item), layout),
-      months, prevMeta)
+      months, prevMeta, expectedGen = Some(baseGen))
     maybeRefreshPeriodStats(item, Some(months))
   }
 
@@ -1411,6 +1666,20 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * staging or post-crash garbage, never live data; the advisory
     * `__lock` dir is NOT touched. Returns the removed names. */
   def vacuum(): Seq[String] = withSnapshotLock {
+    // In multiprocess mode a held item lock means a writer may be
+    // mid-commit IN ANOTHER PROCESS — the junk sweep below would
+    // reclaim its in-flight asides (the only rollback copies). Refuse
+    // typed; a crashed holder's stale lock is cleared explicitly via
+    // breakItemLocks() (the operator decision the timeout error names).
+    if (multiprocessEnabled) {
+      val held = path.listDirs.filter(_.startsWith(Collection.ItemLockPrefix))
+      if (held.nonEmpty)
+        throw new GraftError(
+          s"vacuum refused: item writer locks held (${held.mkString(", ")}) — " +
+            "a writer in another process may be mid-commit and the sweep " +
+            "would reclaim its rollback copies; wait for writers to finish, " +
+            "or clear a crashed writer's stale lock with breakItemLocks()")
+    }
     // Swap REPAIR first, deletion after: a crash BETWEEN a swap's two
     // renames (old moved aside, new not yet in) leaves the moved-aside
     // dir as the ONLY copy of the committed state — blindly deleting
@@ -1987,6 +2256,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * Runs under the snapshot (write) lock: no commit, snapshot
     * creation, or restore may interleave with the re-keying. */
   def renameItem(from: String, to: String): Unit = withSnapshotLock {
+    withItemProcessLocks(from, to) {
     Collection.requireWritableItemName(to)
     Collection.reservedSuffixOf(from).foreach { k =>
       throw new ValidationError(
@@ -2026,9 +2296,10 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     metaCache.remove(from)
     metaCache.remove(to)
     refreshItems()
+    }
   }
 
-  def deleteItem(item: String): Boolean = withCommitLock {
+  def deleteItem(item: String): Boolean = withCommitLock { withItemProcessLock(item) {
     // manifest snapshots survive the delete: pinned data (whole dir
     // for flat items, per pinned period for time layouts) moves to
     // the retained area before the item dir is removed. The INTENT
@@ -2068,7 +2339,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     metaCache.remove(item)
     refreshItems()
     true
-  }
+  } }
 
   /** Rebalance an existing item's physical layout (reference
     * partition.py:175-216 / L4): read → re-apply the auto partition

@@ -171,7 +171,12 @@ object NioFs extends StoreFs {
   def writeBytesAtomic(p: String, bytes: Array[Byte]): Unit = {
     val target = np(p)
     Files.createDirectories(target.getParent)
-    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    // writer-unique temp: two processes writing the same target (e.g.
+    // both opening a store stamps its root sidecar) must not steal each
+    // other's in-flight temp — the loser's rename would throw on a
+    // vanished file
+    val tmp = target.resolveSibling(target.getFileName.toString +
+      ".tmp." + java.util.UUID.randomUUID().toString.take(8))
     Files.write(tmp, bytes)
     Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
@@ -278,7 +283,10 @@ final class HadoopFs(conf: org.apache.hadoop.conf.Configuration) extends StoreFs
 
   def writeBytesAtomic(p: String, bytes: Array[Byte]): Unit = {
     val target = hp(p); val fs = fsOf(target)
-    val tmp = new HPath(target.getParent, target.getName + ".tmp")
+    // writer-unique temp — same cross-process rationale as the POSIX
+    // backend's
+    val tmp = new HPath(target.getParent, target.getName + ".tmp." +
+      java.util.UUID.randomUUID().toString.take(8))
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
     // FileContext rename supports atomic OVERWRITE (HDFS/POSIX) — a

@@ -17,3 +17,8 @@ class SchemaValidationError(msg: String) extends GraftError(msg)
 class StorageError(msg: String) extends GraftError(msg)
 class TransactionError(msg: String) extends GraftError(msg)
 class LockTimeoutError(msg: String) extends GraftError(msg)
+/** A publish fence refusal: the item's committed generation moved
+  * between a read-modify-write's read and its publish (another writer
+  * — thread or process — committed in between). The mutation was NOT
+  * applied; append retries it over the fresh state automatically. */
+class ConcurrentWriteError(msg: String) extends GraftError(msg)

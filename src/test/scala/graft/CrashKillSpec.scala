@@ -35,9 +35,11 @@ class CrashKillSpec extends SparkSpec {
     "java.base/sun.security.action", "java.base/sun.util.calendar",
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  /** Fork CrashProbe (same classpath as this forked test JVM) and wait
-    * for it to halt; returns (exitCode, combined output). */
-  private def fork(rootUri: String, seam: String, mode: String): (Int, String) = {
+  /** Launch CrashProbe (same classpath as this forked test JVM)
+    * without waiting — the two-process race arms run several live at
+    * once. A watchdog kills a probe that never reaches its seam so it
+    * fails the test instead of hanging the suite. */
+  private def forkStart(rootUri: String, seam: String, mode: String): Process = {
     val java = System.getProperty("java.home") + "/bin/java"
     val cmd = Seq(java) ++ addOpens ++ Seq("-Xmx2g", "-cp",
       System.getProperty("java.class.path"),
@@ -45,18 +47,25 @@ class CrashKillSpec extends SparkSpec {
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
     val p = pb.start()
-    // watchdog: a probe that never reaches its seam must fail the
-    // test, not hang the suite (readAllBytes blocks until the child's
-    // stream closes)
     val killer = new Thread(() => {
       if (!p.waitFor(300, _root_.java.util.concurrent.TimeUnit.SECONDS))
         p.destroyForcibly()
     })
     killer.setDaemon(true); killer.start()
+    p
+  }
+
+  /** Collect a launched probe: (exitCode, combined output).
+    * (readAllBytes blocks until the child's stream closes.) */
+  private def drain(p: Process): (Int, String) = {
     val out = new String(p.getInputStream.readAllBytes())
     val code = p.waitFor()
     (code, out)
   }
+
+  /** Fork CrashProbe and wait for it to halt. */
+  private def fork(rootUri: String, seam: String, mode: String): (Int, String) =
+    drain(forkStart(rootUri, seam, mode))
 
   private def flatFrame(n: Int) =
     (1 to n).map(i => (i, 1.0)).toDF("index", "value")
@@ -204,10 +213,10 @@ class CrashKillSpec extends SparkSpec {
 
   test("kill at full_staged: staging reclaimed, pre-commit state serves, no phantom entry") {
     crashCase("full_staged:it", "write") { (c, _) =>
-      assert(c.path.listDirs.contains("__tmp_it"), "staging must be on disk at this seam")
+      assert(c.path.listDirs.exists(_.startsWith("__tmp_it")), "staging must be on disk at this seam")
       val removed = c.vacuum()
-      assert(removed.contains("__tmp_it"))
-      assert(!c.path.listDirs.contains("__tmp_it"))
+      assert(removed.exists(_.startsWith("__tmp_it")))
+      assert(!c.path.listDirs.exists(_.startsWith("__tmp_it")))
       assert(c.item("it").data.count() == 40) // the ORIGINAL rows
       assert(histSize(c, "it") == 1, "no phantom history entry")
     }
@@ -249,6 +258,33 @@ class CrashKillSpec extends SparkSpec {
       assert(c.item("mit").data.count() == 60) // Jan 31 + Feb 29, pre-append
       assert(histSize(c, "mit") == 1, "no phantom history entry")
     }
+  }
+
+  test("kill mid month-swap of a PINNED month: the rolled-back pin and a fresh pinned rewrite both serve exact rows") {
+    // the pinned month's aside IS the manifest-retained copy; the
+    // rollback renames it back to live (the slot empties, the pin
+    // resolves live on the matching generation), and the next rewrite
+    // re-retains into the emptied slot — prove the whole cycle
+    val uri = prepare(hadoop = false)
+    coll(uri).createSnapshot(Some("keep"), manifest = Some(true)) // pins Jan+Feb gens
+    val (code, out) = fork(uri, "month_aside:mit:2024-02", "append_monthly")
+    assert(code == 137, s"rc=$code:\n$out")
+    val c = coll(uri)
+    val removed = c.vacuum()
+    assert(removed.exists(_.startsWith("rolled_back:mit:2024-02")), removed.mkString(","))
+    assert(c.item("mit").data.count() == 60, "live must serve the pre-append rows")
+    assert(c.item("mit", snapshot = Some("keep")).data.count() == 60,
+      "the pinning manifest must serve the exact pinned rows after the rollback")
+    assert(histSize(c, "mit") == 1, "no phantom entry for the rolled-back append")
+    // a FRESH rewrite of the pinned month re-retains into the emptied slot
+    val fresh = (0 until 10).map(i => (java.sql.Timestamp.valueOf(
+      java.time.LocalDate.parse("2024-02-10").plusDays(i).atTime(12, 0)), 9.0))
+      .toDF("index", "value")
+    c.append("mit", fresh)
+    assert(c.item("mit").data.count() == 70)
+    assert(c.item("mit", snapshot = Some("keep")).data.count() == 60,
+      "the pin must keep serving the pre-rewrite rows exactly")
+    assert(histSize(c, "mit") == 2)
   }
 
   test("kill after every month swapped but before the sidecar: still rolls back (sidecar is the commit point)") {
@@ -368,5 +404,87 @@ class CrashKillSpec extends SparkSpec {
       assert(c.item("mit").data.count() == 60)
       assert(histSize(c, "mit") == 1)
     }
+  }
+
+  /** TWO live forked JVMs racing appends on the same item under
+    * multiprocess mode: every batch from both writers must survive —
+    * the per-item cross-process lock + generation fence serialize the
+    * publishes (a refused publish retries over the fresh state), so
+    * neither process's commits are clobbered, the sidecar never tears,
+    * and the commit log carries exactly one entry per append. The
+    * reference's lock is advisory only (transactions.py:289-362) —
+    * writers that skip it lose updates silently. */
+  private def raceCase(hadoop: Boolean): Unit = {
+    val dir = Files.createTempDirectory("graft_race")
+    val uri = if (hadoop) "file://" + dir.toString else dir.toString
+    val c = GraftStore.at(spark, uri).collection("c")
+    c.enableMultiprocess()
+    c.write("rit", flatFrame(40), indexCols = Seq("index"))
+    val batches = 3
+    val p1 = forkStart(uri, "<never-fires>", s"race_append:1:$batches")
+    val p2 = forkStart(uri, "<never-fires>", s"race_append:2:$batches")
+    val (c1, o1) = drain(p1)
+    val (c2, o2) = drain(p2)
+    assert(c1 == 0 && o1.contains("COMPLETED"), s"probe 1 rc=$c1:\n$o1")
+    assert(c2 == 0 && o2.contains("COMPLETED"), s"probe 2 rc=$c2:\n$o2")
+    val v = coll(uri) // fresh Collection — no caches from the writers
+    assert(v.multiprocessEnabled, "the marker must be durable across processes")
+    assert(v.item("rit").data.count() == 40 + 2 * batches * 20,
+      "every batch from both writers must survive — no lost update")
+    val idx = v.item("rit").data.select("index")
+      .collect().map(_.getInt(0)).toSet
+    for (tag <- 1 to 2; b <- 0 until batches; i <- 0 until 20)
+      assert(idx.contains(100000 + tag * 10000 + b * 100 + i),
+        s"writer $tag batch $b row $i was clobbered")
+    assert(histSize(v, "rit") == 1 + 2 * batches,
+      "one commit-log entry per append — none lost, none phantom")
+    assert(!v.path.listDirs.exists(_.startsWith(Collection.ItemLockPrefix)),
+      "both writers exited cleanly — no lock may leak")
+    assert(v.vacuum().isEmpty, "nothing to repair after a clean race")
+  }
+
+  test("two forked JVMs racing appends: all commits survive, sidecar coherent (POSIX)") {
+    raceCase(hadoop = false)
+  }
+
+  test("two forked JVMs racing appends: all commits survive through HadoopFs") {
+    raceCase(hadoop = true)
+  }
+
+  test("a writer killed INSIDE the item lock leaks it; breakItemLocks + vacuum recover") {
+    val dir = Files.createTempDirectory("graft_race_kill")
+    val uri = dir.toString
+    val c = GraftStore.at(spark, uri).collection("c")
+    c.enableMultiprocess()
+    c.write("it", flatFrame(40), indexCols = Seq("index"))
+    // full_pre_sidecar sits between the data swap and the sidecar write
+    // — inside the held process lock, so the corpse leaves both a torn
+    // commit AND the lock dir
+    val (code, out) = fork(uri, "full_pre_sidecar:it", "write")
+    assert(code == 137, s"rc=$code:\n$out")
+    val v = coll(uri)
+    assert(v.path.listDirs.exists(_.startsWith(Collection.ItemLockPrefix)),
+      "the dead holder's lock must still be on disk")
+    // a live writer now refuses with a timeout naming the dead owner
+    v.processLockTimeoutMs = 300
+    val e = intercept[LockTimeoutError](
+      v.append("it", (900 to 905).map(i => (i, 5.0)).toDF("index", "value")))
+    assert(e.getMessage.contains("pid="), e.getMessage)
+    // vacuum refuses while the lock stands — the sweep must never run
+    // under a possibly-live foreign writer
+    val vr = intercept[GraftError](v.vacuum())
+    assert(vr.getMessage.contains("breakItemLocks"), vr.getMessage)
+    // admin remedy: break the stale lock; vacuum reclaims the corpse's
+    // staging. The data swap IS the full-commit point, so the probe's
+    // rewrite (50 rows) stands; the unpublished sidecar left no
+    // phantom history entry.
+    assert(v.breakItemLocks().nonEmpty)
+    v.vacuum()
+    assert(!v.path.listDirs.exists(_.startsWith(Collection.ItemLockPrefix)))
+    assert(v.item("it").data.count() == 50)
+    assert(histSize(v, "it") == 1, "the torn commit must leave no phantom entry")
+    v.processLockTimeoutMs = 120000
+    v.append("it", (900 to 905).map(i => (i, 5.0)).toDF("index", "value"))
+    assert(v.item("it").data.count() == 56)
   }
 }

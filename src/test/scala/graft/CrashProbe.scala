@@ -35,6 +35,19 @@ object CrashProbe {
         c.write("it", df, indexCols = Seq("index"), overwrite = true)
       case "delete" => // journaled item delete
         c.deleteItem("it")
+      case m if m.startsWith("race_append:") =>
+        // one side of the two-process writer race: a burst of appends
+        // to the SAME item both probes hammer — each batch's index
+        // values are writer-distinct so the parent can count exactly
+        // which commits survived (invariant: ALL of them)
+        val Array(_, tagS, batchesS) = m.split(":")
+        val tag = tagS.toInt
+        for (b <- 0 until batchesS.toInt) {
+          val base = 100000 + tag * 10000 + b * 100
+          val df = (0 until 20).map(i => (base + i, tag.toDouble))
+            .toDF("index", "value")
+          c.append("rit", df)
+        }
       case "append_monthly" => // partial commit touching only 2024-02
         val start = java.time.LocalDate.parse("2024-02-10")
         // noon stamps: the parent's rows sit at midnight, so these are
