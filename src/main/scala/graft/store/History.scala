@@ -133,21 +133,44 @@ object History {
     JArray(all.takeRight(MaxEntries).map(render).toList)
   }
 
-  private def chunkFiles(itemPath: SPath): Seq[String] = {
+  /** Sealed-chunk names carry the FIRST entry's epoch-ms stamp
+    * (`chunk-<idx>-<firstStampMs>.json`) so windowed readers prune by
+    * NAME — a deep-travel resolution over a million-commit item reads
+    * the couple of chunks its window touches, not ~4k files. Legacy
+    * stampless chunks (`chunk-<idx>.json`) parse with no stamp and are
+    * always read (range unknown). */
+  private val ChunkName = """chunk-(\d+)(?:-(\d+))?\.json""".r
+
+  private final case class ChunkRef(file: String, idx: Int, firstMs: Option[Long])
+
+  private def chunkRefs(itemPath: SPath): Seq[ChunkRef] = {
     val dir = itemPath.resolve(SpillDir)
     if (!dir.isDir) Nil
     else itemPath.fs.listFiles(dir.raw) // bare names per StoreFs contract
-      .filter(_.matches("chunk-\\d+\\.json")).sorted
-      .map(n => dir.resolve(n).raw)
+      .flatMap {
+        case n @ ChunkName(idx, stamp) =>
+          Some(ChunkRef(dir.resolve(n).raw, idx.toInt,
+            Option(stamp).map(_.toLong)))
+        case _ => None
+      }.sortBy(_.idx)
   }
 
-  private def parseChunk(itemPath: SPath, file: String): Seq[Entry] =
+  private def chunkFiles(itemPath: SPath): Seq[String] =
+    chunkRefs(itemPath).map(_.file)
+
+  /** TEST SEAM: invoked per chunk-file read so specs can count the
+    * spill I/O a windowed resolution actually pays. Default no-op. */
+  private[graft] var chunkReadHook: String => Unit = _ => ()
+
+  private def parseChunk(itemPath: SPath, file: String): Seq[Entry] = {
+    chunkReadHook(file)
     try org.json4s.jackson.JsonMethods.parse(
       new String(itemPath.fs.readBytes(file),
         java.nio.charset.StandardCharsets.UTF_8)) match {
       case JArray(xs) => xs.flatMap(parse)
       case _ => Nil
     } catch { case _: Exception => Nil }
+  }
 
   /** Per-item monitors for [[spill]]'s open-chunk read-modify-write.
     * The collection commit lock is SHARED among commits, so two
@@ -166,13 +189,12 @@ object History {
     lock.synchronized {
       val fs = itemPath.fs
       itemPath.resolve(SpillDir).mkdirs()
-      val existing = chunkFiles(itemPath)
+      val existing = chunkRefs(itemPath)
       val (target, carried, idx) = existing.lastOption match {
         case Some(last) =>
-          val entries = parseChunk(itemPath, last)
-          val i = fs.nameOf(last).stripPrefix("chunk-").stripSuffix(".json").toInt
-          if (entries.size < SpillChunkEntries) (Some(last), entries, i)
-          else (None, Seq.empty[Entry], i + 1)
+          val entries = parseChunk(itemPath, last.file)
+          if (entries.size < SpillChunkEntries) (Some(last.file), entries, last.idx)
+          else (None, Seq.empty[Entry], last.idx + 1)
         case None => (None, Seq.empty[Entry], 0)
       }
       // An entry can arrive twice: a spill that succeeded but whose
@@ -181,11 +203,15 @@ object History {
       val seen = carried.map(entryKey).toSet
       val novel = evicted.filterNot(e => seen.contains(entryKey(e)))
       if (novel.isEmpty) return
-      // fill the open chunk, then seal full chunks of the remainder
+      // fill the open chunk, then seal full chunks of the remainder.
+      // A chunk's name is fixed at creation from its FIRST entry's
+      // stamp — refills rewrite the same file (the first entry never
+      // changes), so the name-borne range stays truthful.
       val groups = (carried ++ novel).grouped(SpillChunkEntries).toSeq
       groups.zipWithIndex.foreach { case (g, k) =>
         val file = target.filter(_ => k == 0).getOrElse(
-          itemPath.resolve(SpillDir).resolve(f"chunk-${idx + k}%06d.json").raw)
+          itemPath.resolve(SpillDir).resolve(
+            f"chunk-${idx + k}%06d-${g.head.at.toEpochMilli}%d.json").raw)
         fs.writeBytesAtomic(file,
           org.json4s.jackson.JsonMethods.compact(
             org.json4s.jackson.JsonMethods.render(JArray(g.map(render).toList)))
@@ -212,6 +238,45 @@ object History {
     val inSidecar = sidecarLog.map(entryKey).toSet
     spilledEntries(itemPath).filterNot(e => inSidecar.contains(entryKey(e))) ++
       sidecarLog
+  }
+
+  /** The full-log PREFIX that can hold entries at or before `t`:
+    * spill chunks are pruned by their name-borne first-entry stamp —
+    * only chunks starting at or before `t` are read (commit stamps
+    * append in order, so a later-starting chunk holds nothing ≤ t; a
+    * legacy stampless chunk's range is unknown and it is always read)
+    * — and the bounded sidecar half rides in whole. EXACT for every
+    * at-or-before fold/lookup (deep CDC state, travel resolution): the
+    * pruned chunks contribute nothing to a ≤ t answer. A deep travel
+    * into a million-commit item reads the one or two chunks around
+    * its instant instead of the whole archive. */
+  def fullLogUpTo(itemPath: SPath, sidecarLog: Seq[Entry],
+                  t: java.time.Instant): Seq[Entry] = {
+    val tMs = t.toEpochMilli
+    val inSidecar = sidecarLog.map(entryKey).toSet
+    chunkRefs(itemPath).takeWhile(_.firstMs.forall(_ <= tMs))
+      .flatMap(c => parseChunk(itemPath, c.file))
+      .distinctBy(entryKey) // re-spill after a failed sidecar write can duplicate
+      .filterNot(e => inSidecar.contains(entryKey(e))) ++ sidecarLog
+  }
+
+  /** The first entry strictly after `t` whose generation differs from
+    * `gen` — a travel window's END when it predates the sidecar. Reads
+    * FORWARD from the first chunk that can hold post-t entries and
+    * stops at the first hit, so the common shape (the very next data
+    * commit closes the window) pays one chunk read. None when every
+    * spilled post-t entry still carries `gen` (the sidecar half may
+    * close the window instead — callers check it first). */
+  def firstSpilledAfterWithOtherGen(itemPath: SPath, t: java.time.Instant,
+                                    gen: Long): Option[Entry] = {
+    val tMs = t.toEpochMilli
+    val refs = chunkRefs(itemPath)
+    // the chunk CONTAINING t (last with firstMs ≤ t) can hold post-t
+    // entries too — start there, not at the first later-starting chunk
+    val from = math.max(0, refs.lastIndexWhere(_.firstMs.forall(_ <= tMs)))
+    refs.drop(from).iterator
+      .flatMap(c => parseChunk(itemPath, c.file))
+      .find(e => e.at.isAfter(t) && e.gen != gen)
   }
 
   /** The latest commit at or before `t`, for timestamp travel. None
@@ -256,7 +321,8 @@ object History {
       : Option[Either[Long, Map[String, Long]]] = {
     val sidecar = entriesOf(meta)
     val entries =
-      if (sidecar.size < MaxEntries) sidecar else fullLog(itemPath, sidecar)
+      if (sidecar.size < MaxEntries) sidecar
+      else fullLogUpTo(itemPath, sidecar, t) // ≤-t fold: the pruned prefix IS the input
     stateOf(entries.filter(!_.at.isAfter(t)))
   }
 

@@ -218,10 +218,14 @@ object Snapshots {
     // The sidecar log is capped (History.MaxEntries); a high-churn item
     // evicts its oldest entries to the spill area. Read the spill ONLY
     // when the asked instant predates the sidecar window — the common
-    // case (recent instants) stays one sidecar read.
+    // case (recent instants) stays one sidecar read — and then only the
+    // chunk-pruned PREFIX up to t (the name-borne first-entry stamps;
+    // later chunks hold nothing an at-or-before lookup can resolve to),
+    // so a deep travel into a million-commit item reads a couple of
+    // chunks, not the whole archive.
     val log =
       if (sidecarLog.nonEmpty && !sidecarLog.head.at.isAfter(t)) sidecarLog
-      else History.fullLog(itemPath, sidecarLog)
+      else History.fullLogUpTo(itemPath, sidecarLog, t)
     log.filter(!_.at.isAfter(t)).lastOption match {
       case Some(e) if e.gen == generationOf(liveMeta) => AsOfLive
       case Some(e) =>
@@ -231,14 +235,26 @@ object Snapshots {
         // write followed by 250+ metadata-only mutations keeps the same
         // gen on every surviving entry, so the head is a late alter and
         // the naive start would exclude a valid pre-churn manifest.
-        // Consult the spill in exactly that case.
+        // Consult the spill in exactly that case (the origin sits at or
+        // before e.at ≤ t, so the pruned prefix suffices there too).
         val horizon =
           if ((log eq sidecarLog) && log.headOption.exists(_.gen == e.gen))
-            History.fullLog(itemPath, sidecarLog)
+            History.fullLogUpTo(itemPath, sidecarLog, t)
           else log
         val windowStart = horizon.find(_.gen == e.gen).map(_.at).getOrElse(e.at)
-        val windowEnd = log.find(x => x.at.isAfter(t) && x.gen != e.gen)
-          .map(_.at).getOrElse(java.time.Instant.MAX)
+        // Window end: the first post-t commit of a DIFFERENT generation.
+        // The pruned prefix carries no post-boundary spill entries, so
+        // the deep case scans FORWARD chunk by chunk (stopping at the
+        // first hit — usually the very next data commit) before falling
+        // back to the sidecar half.
+        val windowEnd =
+          (if (log eq sidecarLog)
+             log.find(x => x.at.isAfter(t) && x.gen != e.gen).map(_.at)
+           else
+             History.firstSpilledAfterWithOtherGen(itemPath, t, e.gen).map(_.at)
+               .orElse(sidecarLog.find(x => x.at.isAfter(t) && x.gen != e.gen)
+                 .map(_.at)))
+          .getOrElse(java.time.Instant.MAX)
         userManifestStamps(collectionPath)
           .filter { case (at, _) => !at.isBefore(windowStart) && at.isBefore(windowEnd) }
           .filter { case (_, s) =>

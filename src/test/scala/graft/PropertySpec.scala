@@ -521,6 +521,51 @@ class PropertySpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("property: deep travel reads only the chunks its window touches (1000+ commits)") {
+    // chunk names carry their first entry's stamp, so an at-or-before
+    // read prunes by NAME: travel to an early instant over a deep
+    // archive must open the one or two chunks around that instant,
+    // never the whole ~N/256-file spill — and the pruned prefix must
+    // be byte-identical to the unpruned read's ≤t slice.
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunkprune")
+    val itemPath = SPath.local(dir)
+    var meta = Map.empty[String, org.json4s.JValue]
+    var tEarly: java.time.Instant = null
+    val total = 1300 // 4 sealed chunks + the open one + the capped sidecar
+    for (g <- 1 to total) {
+      meta += (History.Key -> History.appendedSpilling(itemPath, meta,
+        "append", g.toLong, Seq(f"2024-${(g % 12) + 1}%02d")))
+      // a real ms gap around the probe instant so chunk boundaries
+      // after it carry strictly-later name stamps
+      if (g == 120) { Thread.sleep(3); tEarly = java.time.Instant.now(); Thread.sleep(3) }
+    }
+    val sidecar = History.entriesOf(meta)
+    assert(sidecar.size == History.MaxEntries)
+    assert(History.spilledEntries(itemPath).size == total - History.MaxEntries)
+    var reads = 0
+    History.chunkReadHook = _ => reads += 1
+    val pruned = try History.fullLogUpTo(itemPath, sidecar, tEarly)
+      finally History.chunkReadHook = _ => ()
+    assert(reads <= 2, s"early travel must read <=2 chunks, read $reads")
+    val full = History.fullLog(itemPath, sidecar)
+    assert(pruned.filter(!_.at.isAfter(tEarly)) == full.filter(!_.at.isAfter(tEarly)),
+      "the pruned prefix must equal the unpruned read's <=t slice")
+    assert(pruned.filter(!_.at.isAfter(tEarly)).map(_.gen) == (1L to 120L),
+      "every commit at or before the instant must be present")
+    // the deep CDC state fold over the pruned prefix matches brute force
+    val expect = full.filter(!_.at.isAfter(tEarly))
+      .foldLeft(Map.empty[String, Long])((m, e) => m ++ e.periods.map(_ -> e.gen))
+    assert(History.stateAtOrBeforeFull(itemPath, meta, tEarly) == Some(Right(expect)))
+    // the window-end forward scan stops at the first post-t commit
+    // (generations are all distinct here — the very next entry ends it)
+    History.chunkReadHook = _ => reads += 1
+    reads = 0
+    val end = try History.firstSpilledAfterWithOtherGen(itemPath, tEarly, 120L)
+      finally History.chunkReadHook = _ => ()
+    assert(end.exists(_.gen == 121L), s"window end must be the next commit, got $end")
+    assert(reads <= 2, s"the forward scan must stop at its first hit, read $reads chunks")
+  }
+
   test("property: re-spilling the same evicted entries is idempotent (failed sidecar write replay)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_respill")
     val itemPath = SPath.local(dir)
