@@ -419,6 +419,28 @@ object StoreQueries {
       "orc_roundtrip", "orc").toString
     Sources.writeOrc(Tables.t(s, dir, "supplier"), orcDir)
     val back = Sources.readOrc(s, orcDir, indexCol = Some("s_suppkey"))
+    // plan probe: a filtered ORC read must push its predicate into the
+    // ORC scan and prune its columns — the roundtrip hash alone proves
+    // bytes, not that the read scales (an unpushed filter reads every
+    // stripe of a 100 TB export)
+    val probe = back.filter($"s_acctbal" > 1000.0)
+      .select(org.apache.spark.sql.functions.col(Collection.DefaultIndex))
+    val scanInfo = probe.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        (f.metadata.getOrElse("PushedFilters", ""),
+          f.requiredSchema.fieldNames.toSeq)
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case o: org.apache.spark.sql.execution.datasources.v2.orc.OrcScan =>
+            (o.pushedFilters.mkString(","), o.readDataSchema.fieldNames.toSeq)
+        }
+    }.getOrElse(throw new IllegalStateException("no ORC scan in the probe plan"))
+    if (!scanInfo._1.contains("GreaterThan(s_acctbal,1000.0)"))
+      throw new IllegalStateException(
+        s"ORC read must push the predicate into the scan, got: ${scanInfo._1}")
+    if (scanInfo._2.sorted != Seq("s_acctbal", "s_suppkey"))
+      throw new IllegalStateException(
+        s"ORC read must prune to the referenced columns, got: ${scanInfo._2}")
     col.write("supp", back)
     col.item("supp").data
       .withColumnRenamed(Collection.DefaultIndex, "s_suppkey")
@@ -1333,12 +1355,22 @@ object StoreQueries {
       throw new IllegalStateException(
         "ALTER DROP COLUMN must be metadata-only: the data-file set changed")
     s.sql("ALTER TABLE gacat.col.o ADD COLUMNS (o_orderkey BIGINT)")
+    // RENAME COLUMN is a staged atomic REWRITE (columns map by name, so
+    // every footer must carry the new name): the file set MUST change,
+    // and aggregating the NEW name below hash-proves the values rode
+    // the rename — while the re-added o_orderkey stays fresh NULLs
+    // through the rewrite (count=0: no pre-drop resurrection).
+    val beforeRename = files()
+    s.sql("ALTER TABLE gacat.col.o RENAME COLUMN adj TO adj2")
+    if (files() == beforeRename)
+      throw new IllegalStateException(
+        "RENAME COLUMN must rewrite the data files (name-mapped columns)")
     val colsSorted = s.table("gacat.col.o").columns.sorted.mkString(",")
     s.sql(s"""
       |SELECT date_trunc('month', o_orderdate) AS month,
       |  count(*) AS n,
-      |  count(adj) AS n_adj,
-      |  round(CAST(sum(CAST(adj AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_adj,
+      |  count(adj2) AS n_adj,
+      |  round(CAST(sum(CAST(adj2 AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_adj,
       |  count(o_orderkey) AS n_okey,
       |  '$colsSorted' AS cols
       |FROM gacat.col.o
@@ -1358,7 +1390,7 @@ object StoreQueries {
       |  count(adj) AS n_adj,
       |  round(CAST(sum(CAST(adj AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_adj,
       |  CAST(0 AS BIGINT) AS n_okey,
-      |  'adj,o_orderdate,o_orderkey,o_totalprice' AS cols
+      |  'adj2,o_orderdate,o_orderkey,o_totalprice' AS cols
       |FROM base GROUP BY 1 ORDER BY 1""".stripMargin
 
   val sqlMaintenanceSql: String =

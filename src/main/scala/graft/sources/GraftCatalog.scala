@@ -372,8 +372,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * rewrite so it returns fresh, see there) — and `SET/UNSET
     * TBLPROPERTIES` — user-metadata updates through
     * [[graft.store.Collection.setItemProperties]] (structural keys
-    * refused). RENAME/retype/reorder refuse typed: graft maps columns
-    * by NAME, so those need a rewriting migration
+    * refused) — and `RENAME COLUMN`, a STAGED ATOMIC REWRITE through
+    * [[graft.store.Collection.renameColumn]] (graft maps columns by
+    * NAME, so a rename must rewrite every part-file footer; the E5
+    * migration machinery + one atomic commit). Retype/reorder refuse
+    * typed: those need a user-written rewriting migration
     * (`SchemaEvolution.MigrationRegistry`), not DDL. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
@@ -381,14 +384,24 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val drops = changes.collect { case d: TableChange.DeleteColumn => d }
     val sets = changes.collect { case s: TableChange.SetProperty => s }
     val unsets = changes.collect { case u: TableChange.RemoveProperty => u }
-    if (adds.size + drops.size + sets.size + unsets.size != changes.size) {
+    val renames = changes.collect { case r: TableChange.RenameColumn => r }
+    if (adds.size + drops.size + sets.size + unsets.size + renames.size
+        != changes.size) {
       val other = changes.filterNot(c => c.isInstanceOf[TableChange.AddColumn] ||
         c.isInstanceOf[TableChange.DeleteColumn] ||
         c.isInstanceOf[TableChange.SetProperty] ||
-        c.isInstanceOf[TableChange.RemoveProperty]).head
+        c.isInstanceOf[TableChange.RemoveProperty] ||
+        c.isInstanceOf[TableChange.RenameColumn]).head
       readOnly(s"ALTER TABLE ${other.getClass.getSimpleName} " +
-        "(only ADD COLUMNS, DROP COLUMN and SET/UNSET TBLPROPERTIES are " +
-        "metadata-safe; renames/retypes need a rewriting migration)")
+        "(ADD COLUMNS, DROP COLUMN and SET/UNSET TBLPROPERTIES are " +
+        "metadata-only; RENAME COLUMN is a staged atomic rewrite; " +
+        "retypes/reorders need a rewriting migration)")
+    }
+    renames.foreach { r =>
+      if (r.fieldNames.length != 1)
+        throw new GraftError(
+          s"ALTER TABLE RENAME COLUMN: only top-level columns can be " +
+            s"renamed, got nested '${r.fieldNames.mkString(".")}'")
     }
     drops.foreach { d =>
       if (d.fieldNames.length != 1)
@@ -426,6 +439,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       coll.setItemProperties(ident.name,
         sets.map(s => s.property() -> s.value()).toMap,
         unsets.map(_.property()))
+    // last: a rename rewrites data, so metadata-only changes in the
+    // same statement land first and ride the rewrite
+    renames.foreach(r =>
+      coll.renameColumn(ident.name, r.fieldNames()(0), r.newName()))
     loadTable(ident)
   }
   /** `CREATE NAMESPACE` → `store.collection()` — one directory (plus

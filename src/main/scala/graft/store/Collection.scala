@@ -2715,6 +2715,111 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     } }
   }
 
+  /** Physical column RENAME — `ALTER TABLE RENAME COLUMN`'s verb.
+    * Graft maps columns by NAME (the declared-schema read pin
+    * null-fills absent names per file), so a rename can never be
+    * metadata-only: every part-file footer must carry the new name or
+    * mixed generations would read the renamed column as NULL. This is
+    * therefore a staged full rewrite through the E5 migration shape
+    * (SchemaEvolution.MigrationRegistry — one registered
+    * `withColumnRenamed` step) published as ONE atomic commit:
+    * purgeDroppedColumns' cost class, crash-safe like every commit.
+    * Column-keyed sidecar markers move with the name — the declared
+    * schemas re-key their field, the `_type_info` codec marker re-keys
+    * (a stale marker would reinterpret the renamed column through the
+    * old name's codec, the same hazard DROP's marker fix closed), and
+    * the dropped-column mask clears for free (all files rewritten).
+    * Snapshot and `VERSION AS OF` reads keep serving the frozen
+    * PRE-rename name: their pinned sidecars carry the old schema over
+    * the retained bytes. Refused typed: index columns and declared
+    * pruning-stats columns (the item's physical contract — undeclare
+    * stats first), unknown names, reserved target shapes, and
+    * collisions with existing names. The reference has no column DDL
+    * at all (pandas renames are full in-memory rewrites). */
+  def renameColumn(item: String, from: String, to: String): Unit = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    if (!hasItem(item))
+      throw new ItemNotFoundError(s"item '$item' does not exist")
+    if (to == Collection.MonthCol || to.startsWith("__") || to.isEmpty)
+      throw new ValidationError(s"column name '$to' is reserved")
+    if (from == to) return
+    withCommitLock { withItemDdlLock(item) {
+      val itemPath = path.resolve(item)
+      val meta = Meta.read(itemPath)
+      def parse(k: String): Option[StructType] = meta.get(k).collect {
+        case org.json4s.JString(sj) => DataType.fromJson(sj).asInstanceOf[StructType]
+      }
+      // legacy pre-encode sidecar: materialize the encoded schema once
+      // (same anchor rule as addColumns/dropColumns)
+      val encoded = parse("schema_json_encoded").getOrElse {
+        val inferred = spark.read.parquet(
+          itemPath.resolve(Item.DataDir).toString).schema
+        StructType(inferred.filterNot(_.name == Collection.MonthCol))
+      }
+      val actualFrom = encoded.fieldNames
+        .find(_.equalsIgnoreCase(from)).getOrElse(
+          throw new ValidationError(
+            s"column '$from' does not exist on item '$item' " +
+              s"(${encoded.fieldNames.mkString(", ")})"))
+      val idx = meta.get("index_names") match {
+        case Some(j) => Meta.unjv(j) match {
+          case xs: Seq[_] if xs.nonEmpty => xs.map(_.toString)
+          case _ => Seq(Collection.DefaultIndex)
+        }
+        case None => Seq(Collection.DefaultIndex)
+      }
+      if (idx.exists(_.equalsIgnoreCase(actualFrom)))
+        throw new ValidationError(
+          s"cannot rename '$actualFrom': it is the item's index column — " +
+            "the index is the item's physical contract (ordering, dedup, " +
+            "partitioning); reshaping it needs a rewriting migration")
+      val statsCols = meta.get("_stats_cols").map(Meta.unjv) match {
+        case Some(xs: Seq[_]) => xs.map(_.toString)
+        case _ => Nil
+      }
+      if (statsCols.exists(_.equalsIgnoreCase(actualFrom)))
+        throw new ValidationError(
+          s"cannot rename '$actualFrom': it is a declared pruning-stats " +
+            "column; undeclare it first (analyzeItem with a new column list)")
+      if (!actualFrom.equalsIgnoreCase(to) &&
+          encoded.fieldNames.exists(_.equalsIgnoreCase(to)))
+        throw new ValidationError(
+          s"column '$to' already exists on item '$item'")
+      def rekey(s: StructType): StructType = StructType(
+        s.fields.map(f => if (f.name == actualFrom) f.copy(name = to) else f))
+      val typeInfo = meta.get("_type_info").collect {
+        case JObject(fs) => JObject(fs.map {
+          case (n, v) if n == actualFrom => to -> v
+          case other => other
+        })
+      }
+      // the staged rewrite, expressed as the one-step E5 migration it is
+      val reg = new graft.evolution.SchemaEvolution.MigrationRegistry
+      reg.register(1, 2)(_.withColumnRenamed(actualFrom, to))
+      val it = this.item(item) // declared-schema pin: masked columns absent
+      val df = reg.migrate(it.data, 1, 2)
+      val prevMeta = meta +
+        ("schema_json_encoded" -> Meta.jv(rekey(encoded).json)) ++
+        parse("schema_json").map(l => "schema_json" -> Meta.jv(rekey(l).json)) ++
+        typeInfo.map(ti => "_type_info" -> (ti: JValue)) ++
+        Collection.opTag("rename_column")
+      timeLayoutOf(item) match {
+        case Some(layout) =>
+          commit(item, withTimeLayout(df, idx, monthlySaltOf(item), layout),
+            prevMeta, partitioned = true)
+          maybeRefreshPeriodStats(item, None)
+        case None =>
+          val stats = readStatsMeta(item).getOrElse(
+            Partitioner.computeStats(df, idx.head))
+          val (n, strategy) = Partitioner.decide(Partitioner.estimatedBytes(df), stats)
+          commit(item, Partitioner(df, idx, n),
+            prevMeta ++ Meta.obj("_partitions" -> n,
+              "_partition_strategy" -> strategy.name))
+      }
+      metaCache.remove(item)
+    } }
+  }
+
   /** One-time same-layout rewrite physically stripping every masked
     * column's bytes from the item's part-files — the deferred half of
     * the metadata-only [[dropColumns]], paid only when a masked name is

@@ -75,9 +75,11 @@ class GraftAlterSpec extends SparkSpec {
     val res = intercept[ValidationError](
       c.addColumns("item", Seq(StructField("__month", StringType))))
     assert(res.getMessage.contains("reserved"))
-    val ren = intercept[Exception](
-      spark.sql("ALTER TABLE acat2.c.item RENAME COLUMN value TO v2"))
-    assert(ren.getMessage.contains("migration"))
+    // RENAME COLUMN is supported (staged rewrite — own arms below);
+    // retypes still refuse toward a user-written migration
+    val ret = intercept[Exception](
+      spark.sql("ALTER TABLE acat2.c.item ALTER COLUMN value TYPE STRING"))
+    assert(ret.getMessage.contains("migration"))
     val pos = intercept[Exception](
       spark.sql("ALTER TABLE acat2.c.item ADD COLUMNS (z DOUBLE FIRST)"))
     assert(pos.getMessage.contains("FIRST/AFTER"))
@@ -256,6 +258,86 @@ class GraftAlterSpec extends SparkSpec {
     assert(viaSql.columns.toSeq == Seq("index", "value", "note"))
     assert(viaSql.filter(col("note").isNotNull).count() == 5)
     assert(c.item("item").data.columns.contains("note"))
+    cleanup(c)
+  }
+
+  test("RENAME COLUMN is a staged atomic rewrite: data rides the new name; snapshots serve the frozen pre-rename name") {
+    import spark.implicits._
+    val c = tempCollection("alter_rename")
+    c.write("item", frame("2024-01-01", 60), monthlyLayout = true) // jan feb
+    c.createSnapshot(Some("pre"), manifest = Some(true))
+    registerCatalog("rcat1", c)
+    val before = dataFiles(c, "item")
+    spark.sql("ALTER TABLE rcat1.c.item RENAME COLUMN value TO amount")
+    // columns map by NAME: the rename must rewrite every part-file
+    assert(dataFiles(c, "item").intersect(before).isEmpty,
+      "a rename must rewrite the data files")
+    val expected = (0 until 60).map(_.toDouble).sum
+    val df = c.item("item").data
+    assert(df.columns.toSeq == Seq("index", "amount"))
+    assert(df.agg(sum("amount")).head.getDouble(0) == expected,
+      "the values must ride the rename")
+    assert(spark.sql("SELECT sum(amount) AS s FROM rcat1.c.item")
+      .head.getDouble(0) == expected)
+    // the pinned snapshot serves the FROZEN pre-rename name and values
+    val snap = c.item("item", snapshot = Some("pre")).data
+    assert(snap.columns.toSeq == Seq("index", "value"))
+    assert(snap.agg(sum("value")).head.getDouble(0) == expected)
+    assert(spark.sql("SELECT * FROM rcat1.c.item VERSION AS OF 'pre'")
+      .columns.toSeq == Seq("index", "value"))
+    // appends keep working under the new name; the old name is gone
+    c.append("item", Seq((java.sql.Timestamp.valueOf("2024-03-01 12:00:00"), 99.0))
+      .toDF("index", "amount"))
+    assert(c.item("item").data.count() == 61)
+    intercept[Exception](c.item("item").data.select("value").collect())
+    cleanup(c)
+  }
+
+  test("RENAME COLUMN re-keys the _type_info codec marker (the codec serves under the new name)") {
+    import spark.implicits._
+    val c = tempCollection("alter_rename_marker")
+    val df = Seq((1, 1717243200000000000L), (2, 1717329600000000000L))
+      .toDF("index", "evt")
+    c.write("it", df, indexCols = Seq("index"),
+      typeMarkers = Map("evt" -> Codecs.TypeMarker("epoch_ns")))
+    val restoredBefore = c.item("it").dataRestored
+      .select("evt").collect().map(_.getTimestamp(0)).toSet
+    c.renameColumn("it", "evt", "evt2")
+    val markers = Codecs.markersFromMeta(c.metadata("it")
+      .getOrElse("_type_info", org.json4s.JObject(Nil)))
+    assert(!markers.contains("evt") && markers.contains("evt2"),
+      s"the codec marker must re-key with the column, got ${markers.keys}")
+    val re = c.item("it").dataRestored
+    assert(re.schema("evt2").dataType == TimestampType,
+      "the epoch_ns codec must keep serving under the new name")
+    assert(re.select("evt2").collect().map(_.getTimestamp(0)).toSet
+      == restoredBefore)
+    cleanup(c)
+  }
+
+  test("RENAME COLUMN typed refusals: index, stats column, unknown, collision, reserved; refusals change nothing") {
+    val c = tempCollection("alter_rename_refuse")
+    c.write("item", frame("2024-01-01", 40).withColumn("qty", col("value") * 3.0),
+      monthlyLayout = true)
+    c.analyzeItem("item", Seq("qty"))
+    val filesBefore = dataFiles(c, "item")
+    val idx = intercept[ValidationError](c.renameColumn("item", "index", "idx2"))
+    assert(idx.getMessage.contains("index"))
+    val st = intercept[ValidationError](c.renameColumn("item", "qty", "qty2"))
+    assert(st.getMessage.contains("stats"))
+    val unk = intercept[ValidationError](c.renameColumn("item", "nope", "x"))
+    assert(unk.getMessage.contains("does not exist"))
+    val coll = intercept[ValidationError](c.renameColumn("item", "value", "qty"))
+    assert(coll.getMessage.contains("already exists"))
+    val res = intercept[ValidationError](c.renameColumn("item", "value", "__v"))
+    assert(res.getMessage.contains("reserved"))
+    assert(dataFiles(c, "item") == filesBefore,
+      "a refused rename must not touch the data")
+    assert(c.item("item").data.columns.toSeq == Seq("index", "value", "qty"))
+    // undeclaring the stats column unlocks the rename
+    c.analyzeItem("item", Nil)
+    c.renameColumn("item", "qty", "qty2")
+    assert(c.item("item").data.columns.toSeq == Seq("index", "value", "qty2"))
     cleanup(c)
   }
 }
