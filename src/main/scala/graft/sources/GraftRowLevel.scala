@@ -83,8 +83,19 @@ final class GraftRowLevelOperation(
     * The outer Option distinguishes "scan not built yet". */
   @volatile private[sources] var scanInfo: Option[Option[Seq[String]]] = None
 
-  private[sources] def recordScan(periods: Option[Seq[String]]): Unit =
+  /** The item's committed generation AT SCAN BUILD — the base this
+    * copy-on-write's replacement rows were derived from. The publish
+    * fences on it ([[graft.store.Collection.replaceCowStaged]]): a
+    * concurrent writer's commit landing between the group scan and the
+    * swap would be clobbered by stale replacement rows, so the publish
+    * refuses typed instead. One tiny sidecar read per row-level op. */
+  @volatile private[sources] var scanGen: Option[Long] = None
+
+  private[sources] def recordScan(periods: Option[Seq[String]]): Unit = {
     scanInfo = Some(periods)
+    scanGen = Some(graft.store.Snapshots.generationOf(
+      graft.store.Meta.read(itemPath)))
+  }
 
   override def command(): RowLevelOperation.Command = cmd
 
@@ -167,7 +178,8 @@ final class GraftCowBatchWrite(
         "determine the replaced period set"))
     val coll = Collection.at(spark, itemPath.parent)
     coll.replaceCowStaged(itemPath.name, staging, scanned,
-      op.command().toString.toLowerCase) // update / delete / merge
+      op.command().toString.toLowerCase, // update / delete / merge
+      expectedGen = op.scanGen)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

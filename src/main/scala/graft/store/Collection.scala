@@ -2024,7 +2024,13 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * needs a discovery scan. Flat items fall back to deleteWhere.
     * Returns the removed period keys and the boundary row count. */
   def expireBefore(item: String,
-                   cutoff: java.sql.Timestamp): Collection.ExpireResult = {
+                   cutoff: java.sql.Timestamp): Collection.ExpireResult =
+    // fenced + retried like deleteWhere — re-running an expiry over the
+    // fresh state is the same cutoff applied later, always legal
+    Collection.retryOnConflict() { expireBeforeOnce(item, cutoff) }
+
+  private def expireBeforeOnce(item: String,
+                               cutoff: java.sql.Timestamp): Collection.ExpireResult = {
     val existing = this.item(item)
     val idx = existing.indexCols
     timeLayoutOf(item) match {
@@ -2064,6 +2070,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         if (toRemove.isEmpty && !hasBoundary)
           return Collection.ExpireResult(Nil, 0L)
         val prevMeta = Meta.read(path.resolve(item))
+        val baseGen = Snapshots.generationOf(prevMeta)
         val raw = readDataPinned(item)
         // partition value filter: ONLY the boundary period's files read
         val boundary = raw.filter(col(MonthCol) === pStar).drop(MonthCol)
@@ -2077,7 +2084,8 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         val expired = (toRemove ++ (if (hasBoundary) Seq(pStar) else Nil)).sorted
         commitMonths(item,
           withTimeLayout(keep, idx, monthlySaltOf(item), layout),
-          expired, prevMeta ++ Collection.opTag("expire"))
+          expired, prevMeta ++ Collection.opTag("expire"),
+          expectedGen = Some(baseGen))
         maybeRefreshPeriodStats(item, Some(expired))
         Collection.ExpireResult(toRemove, boundaryDeleted)
       case None =>
@@ -2103,11 +2111,20 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * min/max stats are left untouched — after a delete they are
     * conservative (wider) bounds, which is always pruning-safe.
     * Returns the number of rows deleted. */
-  def deleteWhere(item: String, predicate: org.apache.spark.sql.Column): Long = {
+  def deleteWhere(item: String, predicate: org.apache.spark.sql.Column): Long =
+    // same optimistic fence as append: a concurrent writer's commit
+    // between this read-modify-write's read and its publish refuses the
+    // publish, and the retry re-applies the predicate to the fresh
+    // state — a legal serialization (the delete ran after that commit)
+    Collection.retryOnConflict() { deleteWhereOnce(item, predicate) }
+
+  private def deleteWhereOnce(item: String,
+                              predicate: org.apache.spark.sql.Column): Long = {
     val existing = this.item(item)
     val idx = existing.indexCols
     val dataDir = path.resolve(item).resolve(Item.DataDir)
     val prevMeta = Meta.read(path.resolve(item))
+    val baseGen = Snapshots.generationOf(prevMeta)
     timeLayoutOf(item) match {
       case Some(layout) =>
         val raw = readDataPinned(item)
@@ -2126,7 +2143,8 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         val deleted = touched.filter(predicate).count()
         commitMonths(item,
           withTimeLayout(touched.filter(!predicate), idx, monthlySaltOf(item), layout),
-          months, prevMeta ++ Collection.opTag("delete_where"))
+          months, prevMeta ++ Collection.opTag("delete_where"),
+          expectedGen = Some(baseGen))
         maybeRefreshPeriodStats(item, Some(months))
         deleted
       case None =>
@@ -2134,7 +2152,8 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         val deleted = raw.filter(predicate).count()
         if (deleted == 0L) return 0L
         commit(item, raw.filter(!predicate),
-          prevMeta ++ Collection.opTag("delete_where"))
+          prevMeta ++ Collection.opTag("delete_where"),
+          expectedGen = Some(baseGen))
         deleted
     }
   }
@@ -2204,7 +2223,13 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * never the item-level interval). */
   private[graft] def replaceCowStaged(item: String, staging: SPath,
                                       scannedPeriods: Option[Seq[String]],
-                                      op: String = "replace"): Unit = {
+                                      op: String = "replace",
+                                      expectedGen: Option[Long] = None): Unit = {
+    // `expectedGen` is the generation the row-level op's GROUP SCAN ran
+    // against: the staged replacement rows were derived from that base,
+    // so a commit landing since makes them stale — the publish refuses
+    // typed (SQL row ops surface the error; unlike append there is no
+    // auto-retry, the rewrite rule's scan cannot be re-driven from here)
     val prevMeta = Meta.read(path.resolve(item)) ++ Collection.opTag(op)
     scannedPeriods match {
       case Some(scanned) =>
@@ -2226,12 +2251,13 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         }
         val months = (scanned ++ staged).distinct.sorted
         if (months.nonEmpty) {
-          publishMonths(item, staging, months, prevMeta)
+          publishMonths(item, staging, months, prevMeta, expectedGen)
           maybeRefreshPeriodStats(item, Some(months))
         } else staging.deleteRecursively()
       case None =>
         if (!staging.isDir) staging.mkdirs() // all rows deleted → empty item
-        publishFull(item, staging, prevMeta, partitioned = false)
+        publishFull(item, staging, prevMeta, partitioned = false,
+          expectedGen = expectedGen)
     }
     clearMetadataCache(Some(item))
   }
@@ -2369,9 +2395,13 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     write(item, df, indexCols = idx, metadata = userMeta.toMap, overwrite = overwrite)
   }
 
-  def rebalance(item: String, npartitions: Option[Int] = None): Int = {
+  def rebalance(item: String, npartitions: Option[Int] = None): Int =
+    // fenced + retried like every read-modify-write (see append): a
+    // commit landing mid-rebalance must not be clobbered by the re-lay
+    Collection.retryOnConflict() {
     if (!hasItem(item))
       throw new ItemNotFoundError(s"item '$item' does not exist")
+    val baseGen = Snapshots.generationOf(Meta.read(path.resolve(item)))
     val it = this.item(item)
     val idx = it.indexCols
     val df = it.data
@@ -2398,7 +2428,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         commit(item, laidOut, Meta.read(path.resolve(item)) ++ Meta.obj(
           "_layout_tz" -> spark.conf.get("spark.sql.session.timeZone", "UTC")) ++
           Collection.opTag("rebalance"),
-          partitioned = true)
+          partitioned = true, expectedGen = Some(baseGen))
         maybeRefreshPeriodStats(item, None)
         dataDirFileCount(item)
       case None =>
@@ -2410,7 +2440,8 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         val laidOut = Partitioner(df, idx, n)
         val prevMeta = Meta.read(path.resolve(item)) ++
           Meta.obj("_partitions" -> n, "_partition_strategy" -> strategy.name)
-        commit(item, laidOut, prevMeta ++ Collection.opTag("rebalance"))
+        commit(item, laidOut, prevMeta ++ Collection.opTag("rebalance"),
+          expectedGen = Some(baseGen))
         n
     }
   }
@@ -2441,12 +2472,15 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         s"unknown time layout '$target' (supported: ${TimeLayouts.mkString(",")})")
     val current = timeLayoutOf(item).getOrElse("flat")
     if (current == target && (!isTime || monthlySaltOf(item) == monthlySalt)) return
+    // fenced + retried like every read-modify-write (see append)
+    Collection.retryOnConflict() {
     val it = this.item(item)
     val idx = it.indexCols
     val df = it.data
     if (isTime && !Partitioner.isTemporal(df, idx.head))
       throw new ValidationError("time layouts require a timestamp/date index column")
     val prevMeta = Meta.read(path.resolve(item))
+    val baseGen = Snapshots.generationOf(prevMeta)
     if (isTime) {
       val newMeta = prevMeta ++ Meta.obj(
         "_layout" -> target,
@@ -2456,7 +2490,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         "_partition_strategy" -> Partitioner.TimeBased.name)
       commit(item, withTimeLayout(df, idx, monthlySalt, target),
         newMeta ++ Collection.opTag("convert_layout"),
-        partitioned = true)
+        partitioned = true, expectedGen = Some(baseGen))
       maybeRefreshPeriodStats(item, None)
     } else {
       val stats = readStatsMeta(item).getOrElse(Partitioner.computeStats(df, idx.head))
@@ -2468,7 +2502,9 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         "_partitions" -> n,
         "_partition_strategy" -> strategy.name)
       commit(item, Partitioner(df, idx, n),
-        newMeta ++ Collection.opTag("convert_layout"))
+        newMeta ++ Collection.opTag("convert_layout"),
+        expectedGen = Some(baseGen))
+    }
     }
   }
 
@@ -2493,6 +2529,9 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       throw new ValidationError(
         s"rebalanceZOrder: item '$item' has a time layout; z-order applies to " +
           "flat items (use rebalance() to compact a time-layout item)")
+    // fenced + retried like every read-modify-write (see append)
+    Collection.retryOnConflict() {
+    val baseGen = Snapshots.generationOf(Meta.read(path.resolve(item)))
     val df = this.item(item).data
     val laidOut = graft.operators.ZOrder.cluster(df, cols, bits,
       Some(npartitions.getOrElse(
@@ -2501,7 +2540,9 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
             Partitioner.computeStats(df, this.item(item).indexCols.head)))._1)))
     val prevMeta = Meta.read(path.resolve(item)) ++
       Meta.obj("_zorder_cols" -> cols.mkString(","), "_zorder_bits" -> bits)
-    commit(item, laidOut, prevMeta ++ Collection.opTag("zorder"))
+    commit(item, laidOut, prevMeta ++ Collection.opTag("zorder"),
+      expectedGen = Some(baseGen))
+    }
   }
 
   // ----------------------------------------------------------- snapshots
@@ -2743,9 +2784,15 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     if (to == Collection.MonthCol || to.startsWith("__") || to.isEmpty)
       throw new ValidationError(s"column name '$to' is reserved")
     if (from == to) return
+    // fenced + retried like every read-modify-write: the DDL lock
+    // excludes other DDL (and cross-process writers in multiprocess
+    // mode), but an in-JVM append can land between this read and its
+    // publish — the rename rewrite must not clobber it
+    Collection.retryOnConflict() {
     withCommitLock { withItemDdlLock(item) {
       val itemPath = path.resolve(item)
       val meta = Meta.read(itemPath)
+      val baseGen = Snapshots.generationOf(meta)
       def parse(k: String): Option[StructType] = meta.get(k).collect {
         case org.json4s.JString(sj) => DataType.fromJson(sj).asInstanceOf[StructType]
       }
@@ -2806,7 +2853,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       timeLayoutOf(item) match {
         case Some(layout) =>
           commit(item, withTimeLayout(df, idx, monthlySaltOf(item), layout),
-            prevMeta, partitioned = true)
+            prevMeta, partitioned = true, expectedGen = Some(baseGen))
           maybeRefreshPeriodStats(item, None)
         case None =>
           val stats = readStatsMeta(item).getOrElse(
@@ -2814,10 +2861,12 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
           val (n, strategy) = Partitioner.decide(Partitioner.estimatedBytes(df), stats)
           commit(item, Partitioner(df, idx, n),
             prevMeta ++ Meta.obj("_partitions" -> n,
-              "_partition_strategy" -> strategy.name))
+              "_partition_strategy" -> strategy.name),
+            expectedGen = Some(baseGen))
       }
       metaCache.remove(item)
     } }
+    }
   }
 
   /** One-time same-layout rewrite physically stripping every masked
@@ -2826,15 +2875,22 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * re-added. The read side already serves the masked shape, so this
     * is read → re-lay → atomic commit (convertLayout's cost class); the
     * committed sidecar clears the mask. */
-  private def purgeDroppedColumns(item: String): Unit = {
+  private def purgeDroppedColumns(item: String): Unit =
+    // fenced + retried like every read-modify-write: the caller's DDL
+    // lock excludes other DDL (and, in multiprocess mode, everything),
+    // but an in-JVM append can still land between this read and its
+    // publish — the purge rewrite must not clobber it
+    Collection.retryOnConflict() {
     val it = this.item(item)
     val idx = it.indexCols
     val df = it.data // declared-schema pin: masked columns already absent
     val prevMeta = Meta.read(path.resolve(item)) - Collection.DroppedColsKey
+    val baseGen = Snapshots.generationOf(prevMeta)
     timeLayoutOf(item) match {
       case Some(layout) =>
         commit(item, withTimeLayout(df, idx, monthlySaltOf(item), layout),
-          prevMeta ++ Collection.opTag("purge_dropped"), partitioned = true)
+          prevMeta ++ Collection.opTag("purge_dropped"), partitioned = true,
+          expectedGen = Some(baseGen))
         maybeRefreshPeriodStats(item, None)
       case None =>
         val stats = readStatsMeta(item).getOrElse(
@@ -2843,9 +2899,10 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         commit(item, Partitioner(df, idx, n),
           prevMeta ++ Meta.obj("_partitions" -> n,
             "_partition_strategy" -> strategy.name) ++
-            Collection.opTag("purge_dropped"))
+            Collection.opTag("purge_dropped"),
+          expectedGen = Some(baseGen))
     }
-  }
+    }
 
   /** User-metadata update by key — the `ALTER TABLE SET/UNSET
     * TBLPROPERTIES` seam. Structural sidecar keys (underscore-prefixed

@@ -447,6 +447,60 @@ class CrashKillSpec extends SparkSpec {
     raceCase(hadoop = false)
   }
 
+  test("two forked JVMs racing sidecar property writes: every key survives the cross-process DDL lock") {
+    // the metadata spelling of the lost-update race: setItemProperties
+    // is a sidecar read-modify-write — interleaved across processes it
+    // silently drops the other writer's keys; under the item lock the
+    // RMWs serialize. Also proves the history log (one set_properties
+    // entry per call, same-tick entries disambiguated by seq) stays
+    // exact under cross-process contention.
+    val uri = prepare(hadoop = false)
+    coll(uri).enableMultiprocess()
+    val n = 12
+    val p1 = forkStart(uri, "<never-fires>", s"race_props:1:$n")
+    val p2 = forkStart(uri, "<never-fires>", s"race_props:2:$n")
+    val (c1, o1) = drain(p1)
+    val (c2, o2) = drain(p2)
+    assert(c1 == 0 && o1.contains("COMPLETED"), s"probe 1 rc=$c1:\n$o1")
+    assert(c2 == 0 && o2.contains("COMPLETED"), s"probe 2 rc=$c2:\n$o2")
+    val v = coll(uri)
+    val meta = Meta.read(v.path.resolve("it"))
+    for (tag <- 1 to 2; i <- 0 until n)
+      assert(meta.contains(s"k_${tag}_$i"),
+        s"property k_${tag}_$i was clobbered by the other writer")
+    assert(histSize(v, "it") == 1 + 2 * n,
+      "one set_properties entry per call — none collapsed, none lost")
+    assert(!v.path.listDirs.exists(_.startsWith(Collection.ItemLockPrefix)))
+  }
+
+  test("two forked JVMs racing MONTHLY appends into the same period: every partial commit survives") {
+    // the partial-commit spelling: both writers rewrite the SAME month
+    // dir through publishMonths — the fence + per-item lock serialize
+    // the period swaps and their intent journals, so neither writer's
+    // February rows are clobbered and no journal survives the run
+    val uri = prepare(hadoop = false)
+    coll(uri).enableMultiprocess()
+    val batches = 3
+    val p1 = forkStart(uri, "<never-fires>", s"race_monthly:1:$batches")
+    val p2 = forkStart(uri, "<never-fires>", s"race_monthly:2:$batches")
+    val (c1, o1) = drain(p1)
+    val (c2, o2) = drain(p2)
+    assert(c1 == 0 && o1.contains("COMPLETED"), s"probe 1 rc=$c1:\n$o1")
+    assert(c2 == 0 && o2.contains("COMPLETED"), s"probe 2 rc=$c2:\n$o2")
+    val v = coll(uri)
+    assert(v.item("mit").data.count() == 60 + 2 * batches * 20,
+      "every writer's every February batch must survive")
+    // Jan untouched, Feb holds the pre-run days plus both writers' rows
+    assert(v.item("mit").data.filter(org.apache.spark.sql.functions
+      .col("index") < java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+      .count() == 31)
+    assert(histSize(v, "mit") == 1 + 2 * batches)
+    assert(!v.path.fs.listFiles(v.path.raw).exists(_.startsWith("__swap_intent_")),
+      "no torn-commit journal may survive a clean race")
+    assert(!v.path.listDirs.exists(_.startsWith(Collection.ItemLockPrefix)))
+    assert(v.vacuum().isEmpty)
+  }
+
   test("two forked JVMs racing appends: all commits survive through HadoopFs") {
     raceCase(hadoop = true)
   }

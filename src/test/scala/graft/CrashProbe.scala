@@ -48,6 +48,28 @@ object CrashProbe {
             .toDF("index", "value")
           c.append("rit", df)
         }
+      case m if m.startsWith("race_props:") =>
+        // sidecar read-modify-write race: both probes hammer
+        // setItemProperties on the same item — without the
+        // cross-process lock around the DDL RMW, interleaved
+        // read→write drops the other writer's keys silently
+        val Array(_, tagS, nS) = m.split(":")
+        for (i <- 0 until nS.toInt)
+          c.setItemProperties("it", Map(s"k_${tagS}_$i" -> s"v$i"))
+      case m if m.startsWith("race_monthly:") =>
+        // the monthly spelling: every batch lands in February, so both
+        // probes rewrite the SAME period dir through publishMonths'
+        // fence + intent journal; stamps are writer-and-batch-distinct
+        // (hour = writer, minute = batch)
+        val Array(_, tagS, batchesS) = m.split(":")
+        val tag = tagS.toInt
+        for (b <- 0 until batchesS.toInt) {
+          val df = (0 until 20).map(i =>
+            (java.sql.Timestamp.valueOf(java.time.LocalDate.parse("2024-02-01")
+              .plusDays(i).atTime(tag, b)), tag.toDouble))
+            .toDF("index", "value")
+          c.append("mit", df)
+        }
       case "append_monthly" => // partial commit touching only 2024-02
         val start = java.time.LocalDate.parse("2024-02-10")
         // noon stamps: the parent's rows sit at midnight, so these are

@@ -238,6 +238,33 @@ class GraftSqlUpdateSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("a row-level COW publish refuses when its scan generation is stale (cross-writer fence)") {
+    // the staged replacement rows were derived from the generation the
+    // group scan ran against; a commit landing since makes them stale —
+    // publishing would clobber that commit's rows, so the publish
+    // refuses typed (the fence SQL row ops pass via scanGen)
+    import spark.implicits._
+    val c = tempCollection("cow_fence")
+    c.write("it", Seq((1, 1.0), (2, 2.0)).toDF("index", "value"),
+      indexCols = Seq("index"))
+    val gen0 = Snapshots.generationOf(Meta.read(c.path.resolve("it")))
+    val staging = c.path.resolve("__cow_it_fence")
+    c.item("it").data.write.parquet(staging.toString) // flat staging shape
+    c.append("it", Seq((3, 3.0)).toDF("index", "value")) // moves the generation
+    val e = intercept[ConcurrentWriteError](
+      c.replaceCowStaged("it", staging, None, "update", expectedGen = Some(gen0)))
+    assert(e.getMessage.contains("another writer"), e.getMessage)
+    assert(c.item("it").data.count() == 3,
+      "the refused publish must leave the item untouched")
+    // with the CURRENT generation the same publish lands
+    val gen1 = Snapshots.generationOf(Meta.read(c.path.resolve("it")))
+    val staging2 = c.path.resolve("__cow_it_fence2")
+    c.item("it").data.filter(col("index") =!= 2).write.parquet(staging2.toString)
+    c.replaceCowStaged("it", staging2, None, "update", expectedGen = Some(gen1))
+    assert(c.item("it").data.count() == 2)
+    cleanup(c)
+  }
+
   test("row-level ops refuse snapshot-pinned tables and tz-mismatched layouts") {
     val c = tempCollection("sql_upd_refuse")
     c.write("item", frame("2024-01-01", 10), monthlyLayout = true)

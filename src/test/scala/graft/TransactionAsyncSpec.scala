@@ -251,6 +251,40 @@ class TransactionAsyncSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("two threads appending the SAME item serialize via the generation fence (no lost update)") {
+    // before the fence, both threads could read the same base state,
+    // stage independently, and the second publish silently clobbered
+    // the first's rows (the commit lock is SHARED among commits) — the
+    // in-JVM spelling of the cross-process race CrashKillSpec proves
+    // with forked JVMs. The fence refuses the stale publish and append
+    // retries over the fresh state, so every batch survives.
+    import java.util.concurrent.Executors
+    import scala.concurrent.{ExecutionContext, Future}
+    import spark.implicits._
+    val c = tempCollection("conc_same_item")
+    c.write("it", (0 until 10).map(i => (i, 0.0)).toDF("index", "value"),
+      indexCols = Seq("index"))
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val c1 = Collection.at(spark, c.path)
+    val c2 = Collection.at(spark, c.path)
+    def batch(tag: Int, k: Int) = (0 until 10)
+      .map(i => (1000 + tag * 100 + k * 10 + i, tag.toDouble))
+      .toDF("index", "value")
+    val f1 = Future { for (k <- 0 until 4) c1.append("it", batch(1, k)) }
+    val f2 = Future { for (k <- 0 until 4) c2.append("it", batch(2, k)) }
+    Await.result(Future.sequence(Seq(f1, f2)), 300.seconds)
+    pool.shutdown()
+    assert(c.item("it").data.count() == 10 + 2 * 4 * 10,
+      "every thread's every batch must survive — no lost update")
+    val idx = c.item("it").data.select("index").collect().map(_.getInt(0)).toSet
+    for (tag <- 1 to 2; k <- 0 until 4; i <- 0 until 10)
+      assert(idx.contains(1000 + tag * 100 + k * 10 + i), s"writer $tag batch $k lost")
+    assert(History.entriesOf(Meta.read(c.path.resolve("it"))).size == 9,
+      "one commit-log entry per append — none lost, none phantom")
+    cleanup(c)
+  }
+
   test("snapshot-lock verbs refuse typed while this thread holds the commit side (no silent deadlock)") {
     import spark.implicits._
     val c = tempCollection("lock_guard")
