@@ -307,7 +307,32 @@ private[sources] object GraftProcedures {
       Array(in("collection", StringType).build()),
       StructType(Seq(StructField("reclaimed", StringType, nullable = false))),
       (store, args) =>
-        existing(store, str(args, 0)).vacuum().map(row(_)))
+        existing(store, str(args, 0)).vacuum().map(row(_))),
+
+    ProcDef(
+      "multiprocess",
+      "Switch a collection's cross-process writer protection (durable " +
+        "marker: every process opening it takes per-item locks + fenced " +
+        "commits); enable BEFORE starting concurrent writer processes",
+      Array(
+        in("collection", StringType).build(),
+        in("enabled", BooleanType).build()),
+      StructType(Seq(StructField("multiprocess", BooleanType, nullable = false))),
+      (store, args) => {
+        val c = existing(store, str(args, 0))
+        if (args.getBoolean(1)) c.enableMultiprocess() else c.disableMultiprocess()
+        Seq(row(Boolean.box(c.multiprocessEnabled)))
+      }),
+
+    ProcDef(
+      "break_item_locks",
+      "ADMIN: clear per-item writer locks leaked by crashed multiprocess " +
+        "writers (the crash itself is repaired by vacuum); run only when " +
+        "no writer process is live",
+      Array(in("collection", StringType).build()),
+      StructType(Seq(StructField("cleared", StringType, nullable = false))),
+      (store, args) =>
+        existing(store, str(args, 0)).breakItemLocks().map(row(_)))
   )
 
   private val byName: Map[String, ProcDef] = defs.map(d => d.name -> d).toMap

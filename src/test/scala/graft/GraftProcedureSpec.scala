@@ -311,4 +311,31 @@ class GraftProcedureSpec extends SparkSpec {
     assert(chain(e3).contains("system"))
     cleanup(c)
   }
+
+  test("multiprocess mode + stale-lock admin over CALL") {
+    import org.apache.spark.sql.functions._
+    val c = tempCollection("proc_mp")
+    import spark.implicits._
+    c.write("item", Seq((1, 1.0)).toDF("index", "value"), indexCols = Seq("index"))
+    registerCatalog("pcatmp", c)
+    assert(spark.sql("CALL pcatmp.system.multiprocess('c', true)")
+      .head.getBoolean(0))
+    // the marker is DURABLE — a fresh Collection (another process's
+    // view) reads the mode on
+    assert(Collection.at(spark, c.path).multiprocessEnabled)
+    // a leaked lock (crashed writer): vacuum refuses, the admin CALL clears
+    c.path.resolve(Collection.ItemLockPrefix + "item").mkdirs()
+    val ev = intercept[Exception](
+      spark.sql("CALL pcatmp.system.vacuum('c')").collect())
+    assert(Iterator.iterate(ev: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ").contains("breakItemLocks"))
+    val cleared = spark.sql("CALL pcatmp.system.break_item_locks('c')")
+      .collect().map(_.getString(0)).toSeq
+    assert(cleared == Seq(Collection.ItemLockPrefix + "item"), cleared.mkString(","))
+    spark.sql("CALL pcatmp.system.vacuum('c')").collect() // no longer refuses
+    assert(!spark.sql("CALL pcatmp.system.multiprocess('c', false)")
+      .head.getBoolean(0))
+    assert(!Collection.at(spark, c.path).multiprocessEnabled)
+    cleanup(c)
+  }
 }
