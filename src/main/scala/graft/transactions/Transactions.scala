@@ -62,17 +62,36 @@ final class Transaction(collection: Collection) {
     val snap = s"__txn_${System.nanoTime()}"
     Snapshots.createManifest(collection.path, snap,
       affected.filter(it => collection.path.resolve(it).isDir))
+    // Foreign-commit detection for the ROLLBACK: restoring an item to
+    // its pre-txn pin erases EVERYTHING since — including a commit some
+    // OTHER writer (thread or process) interleaved between this txn's
+    // ops. The ops themselves are safe (each publish is fenced and an
+    // append folds the foreign rows forward), but the restore is a
+    // blind rewind. Track the generation this txn last OBSERVED or
+    // PRODUCED per item (two tiny sidecar reads per op); an item whose
+    // generation moved outside that chain carries a foreign commit and
+    // its restore is REFUSED — the pin is kept for manual resolution
+    // instead of silently destroying another writer's data.
+    def genOf(it: String): Long =
+      Snapshots.generationOf(Meta.read(collection.path.resolve(it)))
+    val lastSeen = mutable.Map.empty[String, Long]
+    affected.foreach(it => lastSeen(it) = genOf(it))
+    val foreignSeen = mutable.Set.empty[String]
     // hold the commit-coordination READ side across ALL ops (reentrant
     // under each op's own commit): a concurrent snapshot's write-side
     // capture therefore sees the whole transaction or none of it,
     // never a mixed-generation cut
     collection.withCommitLock {
     try {
-      ops.foreach {
-        case WriteOp(it, df, idx, meta, ow) =>
-          collection.write(it, df, idx, meta, overwrite = ow)
-        case AppendOp(it, df, h) => collection.append(it, df, h)
-        case DeleteOp(it)        => collection.deleteItem(it)
+      ops.foreach { op =>
+        if (genOf(op.item) != lastSeen(op.item)) foreignSeen += op.item
+        op match {
+          case WriteOp(it, df, idx, meta, ow) =>
+            collection.write(it, df, idx, meta, overwrite = ow)
+          case AppendOp(it, df, h) => collection.append(it, df, h)
+          case DeleteOp(it)        => collection.deleteItem(it)
+        }
+        lastSeen(op.item) = genOf(op.item)
       }
       cleanupTxnSnapshot(snap)
     } catch {
@@ -81,16 +100,25 @@ final class Transaction(collection: Collection) {
         // A per-item restore failure (e.g. a raced-away pin) must not
         // abandon the REMAINING items' restores nor mask the original
         // failure — and the pin is kept when anything failed, so the
-        // un-restored state stays recoverable.
-        val restoreFailed = affected.flatMap { it =>
+        // un-restored state stays recoverable. Items carrying a
+        // detected foreign commit are refused (see above), keeping the
+        // folded foreign rows live.
+        val foreign = (foreignSeen ++
+          affected.filter(it => genOf(it) != lastSeen(it))).toSeq.sorted
+        val restoreFailed = affected.filterNot(foreign.contains).flatMap { it =>
           try { Snapshots.restoreFromManifest(collection.path, snap, it); None }
           catch { case NonFatal(re) => Some(s"$it (${re.getMessage})") }
         }
-        if (restoreFailed.isEmpty) cleanupTxnSnapshot(snap)
+        if (restoreFailed.isEmpty && foreign.isEmpty) cleanupTxnSnapshot(snap)
         collection.clearMetadataCache()
         collection.listItems() // refresh the item-set cache post-restore
         throw new TransactionError(
           s"transaction rolled back: ${e.getMessage}" +
+            (if (foreign.nonEmpty)
+               s"; restore REFUSED for ${foreign.mkString(", ")} (a foreign " +
+                 "commit interleaved — rewinding would destroy another " +
+                 s"writer's data); pin '$snap' retained for manual recovery"
+             else "") +
             (if (restoreFailed.nonEmpty)
                s"; restore FAILED for ${restoreFailed.mkString("; ")} — " +
                  s"pin '$snap' retained for manual recovery"

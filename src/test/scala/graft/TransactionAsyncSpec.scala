@@ -251,6 +251,44 @@ class TransactionAsyncSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("rollback refuses to rewind an item a FOREIGN commit touched mid-transaction") {
+    // a txn's own ops are fenced (a foreign commit's rows fold forward
+    // through the append), but the rollback is a blind rewind to the
+    // pre-txn pin — it would erase the foreign writer's data. The
+    // generation chain the txn tracks detects the interleaving and the
+    // rollback REFUSES that item, keeping the pin for manual
+    // resolution and restoring the untouched items.
+    import spark.implicits._
+    val c = tempCollection("txn_foreign")
+    c.write("a", Seq((1, 1.0)).toDF("index", "value"), indexCols = Seq("index"))
+    c.write("b", Seq((1, 1.0)).toDF("index", "value"), indexCols = Seq("index"))
+    val other = Collection.at(spark, c.path) // the "foreign writer"
+    @volatile var injected = false
+    // inject the foreign append the instant the txn publishes item b —
+    // after the txn's op on a, before the txn's failing op
+    Collection.commitSeamHook = name =>
+      if (name == "full_staged:b" && !injected) {
+        injected = true
+        other.append("a", Seq((50, 5.0)).toDF("index", "value"))
+      }
+    try {
+      val txn = new Transaction(c)
+      txn.append("a", Seq((2, 2.0)).toDF("index", "value"))
+      txn.append("b", Seq((2, 2.0)).toDF("index", "value"))
+      txn.append("missing", Seq((1, 1.0)).toDF("index", "value")) // fails → rollback
+      val e = intercept[TransactionError](txn.commit())
+      assert(e.getMessage.contains("restore REFUSED for a"), e.getMessage)
+      assert(e.getMessage.contains("foreign"), e.getMessage)
+    } finally Collection.commitSeamHook = _ => ()
+    assert(injected, "the foreign append must have fired")
+    // item a keeps the txn's folded rows AND the foreign row — nothing
+    // of the other writer's was destroyed; item b was restored
+    assert(c.item("a").data.select("index").collect().map(_.getInt(0)).toSet
+      == Set(1, 2, 50))
+    assert(c.item("b").data.count() == 1, "b must be restored to pre-txn state")
+    cleanup(c)
+  }
+
   test("two threads appending the SAME item serialize via the generation fence (no lost update)") {
     // before the fence, both threads could read the same base state,
     // stage independently, and the second publish silently clobbered
