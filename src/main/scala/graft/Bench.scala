@@ -324,13 +324,19 @@ object Bench {
     // also persist the full line: the driver captures stdout TAIL only,
     // which truncated 42 of 96 per-query timings in the round-5 capture.
     // Best-effort (overridable dir; never discard a finished capture
-    // over an unwritable cwd — stdout already carried the line)
+    // over an unwritable cwd — stdout already carried the line). The
+    // default name is TIER-KEYED: a restricted run (the sf1 tier's
+    // SPARK_GRAFT_BENCH_ONLY) writes BENCH_LAST_only.json so it can
+    // never silently overwrite the full-suite BENCH_LAST.json between
+    // its capture and its commit (it did once, round 13).
     try {
-      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "BENCH_LAST_only.json"
+        else "BENCH_LAST.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Exception =>
-      System.err.println(s"[bench] could not write BENCH_LAST.json: ${e.getMessage}")
+      System.err.println(s"[bench] could not write the capture file: ${e.getMessage}")
     }
     spark.stop()
   }
