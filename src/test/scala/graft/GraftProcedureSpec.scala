@@ -37,7 +37,7 @@ class GraftProcedureSpec extends SparkSpec {
     for (p <- Seq("create_snapshot", "expire_before", "compact", "vacuum",
                   "convert_layout", "zorder", "rebalance", "list_snapshots",
                   "delete_snapshot", "expire_snapshots", "list_changes",
-                  "rollback_to", "analyze"))
+                  "rollback_to", "analyze", "multiprocess", "break_item_locks"))
       assert(names.contains(p), s"missing procedure $p in $names")
     val desc = spark.sql("DESCRIBE PROCEDURE pcat0.system.expire_before")
       .collect().map(_.mkString(" ")).mkString("\n")
