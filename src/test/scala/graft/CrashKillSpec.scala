@@ -505,6 +505,35 @@ class CrashKillSpec extends SparkSpec {
     raceCase(hadoop = true)
   }
 
+  test("THREE forked JVMs racing appends: the guarantee is writer-count-independent") {
+    // the lock + fence argument is per-item, not per-pair — prove the
+    // claim at N=3 (each refusal implies another writer committed, so
+    // the retry budget still bounds: at most sum-of-others' commits)
+    val dir = Files.createTempDirectory("graft_race3")
+    val uri = dir.toString
+    val c = GraftStore.at(spark, uri).collection("c")
+    c.enableMultiprocess()
+    c.write("rit", flatFrame(40), indexCols = Seq("index"))
+    val batches = 2
+    val probes = (1 to 3).map(tag =>
+      tag -> forkStart(uri, "<never-fires>", s"race_append:$tag:$batches"))
+    probes.foreach { case (tag, p) =>
+      val (code, out) = drain(p)
+      assert(code == 0 && out.contains("COMPLETED"), s"probe $tag rc=$code:\n$out")
+    }
+    val v = coll(uri)
+    assert(v.item("rit").data.count() == 40 + 3 * batches * 20,
+      "every writer's every batch must survive")
+    val idx = v.item("rit").data.select("index")
+      .collect().map(_.getInt(0)).toSet
+    for (tag <- 1 to 3; b <- 0 until batches; i <- 0 until 20)
+      assert(idx.contains(100000 + tag * 10000 + b * 100 + i),
+        s"writer $tag batch $b row $i was clobbered")
+    assert(histSize(v, "rit") == 1 + 3 * batches)
+    assert(!v.path.listDirs.exists(_.startsWith(Collection.ItemLockPrefix)))
+    assert(v.vacuum().isEmpty)
+  }
+
   test("a writer killed INSIDE the item lock leaks it; breakItemLocks + vacuum recover") {
     val dir = Files.createTempDirectory("graft_race_kill")
     val uri = dir.toString
