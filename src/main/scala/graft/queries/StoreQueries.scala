@@ -425,16 +425,18 @@ object StoreQueries {
     // stripe of a 100 TB export)
     val probe = back.filter($"s_acctbal" > 1000.0)
       .select(org.apache.spark.sql.functions.col(Collection.DefaultIndex))
-    val scanInfo = probe.queryExecution.executedPlan.collectFirst {
+    val scanInfo = probe.queryExecution.executedPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-        (f.metadata.getOrElse("PushedFilters", ""),
-          f.requiredSchema.fieldNames.toSeq)
+        Some((f.metadata.getOrElse("PushedFilters", ""),
+          f.requiredSchema.fieldNames.toSeq))
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
         b.scan match {
           case o: org.apache.spark.sql.execution.datasources.v2.orc.OrcScan =>
-            (o.pushedFilters.mkString(","), o.readDataSchema.fieldNames.toSeq)
+            Some((o.pushedFilters.mkString(","), o.readDataSchema.fieldNames.toSeq))
+          case _ => None // a non-ORC V2 scan is "no ORC scan", not a MatchError
         }
-    }.getOrElse(throw new IllegalStateException("no ORC scan in the probe plan"))
+    }.flatten.headOption
+      .getOrElse(throw new IllegalStateException("no ORC scan in the probe plan"))
     if (!scanInfo._1.contains("GreaterThan(s_acctbal,1000.0)"))
       throw new IllegalStateException(
         s"ORC read must push the predicate into the scan, got: ${scanInfo._1}")

@@ -424,6 +424,22 @@ object Collection {
     * never set in production. */
   private[graft] var commitSeamHook: String => Unit = _ => ()
 
+  /** Publish-point observer for the CALLING thread: fired with
+    * (collection, item, newGeneration) immediately after a commit
+    * point lands (the sidecar write in [[Collection.publishFull]] /
+    * [[Collection.publishMonths]]), BEFORE any post-commit work that
+    * may still throw (stats read-back, cleanup). [[graft.transactions
+    * .Transaction]] installs it so the generation its own op PRODUCED
+    * is recorded even when the op throws after publishing — otherwise
+    * rollback's foreign-commit detection would mistake the txn's own
+    * partial commit for another writer's and refuse the restore.
+    * Scoped to (thread, collection instance): a genuinely foreign
+    * writer runs on another thread or process and never fires this
+    * thread's observer. Default null (one ThreadLocal read on the
+    * driver-side publish path). */
+  private[graft] val publishObserver =
+    new ThreadLocal[(Collection, String, Long) => Unit]
+
   /** [[Collection.expireBefore]] outcome: the period directories
     * removed by name (zero rows read) and the rows deleted from the
     * rewritten boundary period. */
@@ -1068,12 +1084,14 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * parquet; the JSON sidecar sits at the item root. */
   private def commit(item: String, df: DataFrame, meta: Map[String, JValue],
                      partitioned: Boolean = false,
-                     expectedGen: Option[Long] = None): Unit = {
+                     expectedGen: Option[Long] = None,
+                     expectedMeta: Option[Map[String, JValue]] = None): Unit = {
     val tmp = stagingDir(item)
     tmp.deleteRecursively()
     val writer = df.write.mode("overwrite").option("compression", "snappy")
     (if (partitioned) writer.partitionBy(MonthCol) else writer).parquet(tmp.toString)
-    publishFull(item, tmp, meta, partitioned, expectedGen)
+    Collection.commitSeamHook(s"staged_pre_publish:$item") // outside all locks
+    publishFull(item, tmp, meta, partitioned, expectedGen, expectedMeta)
   }
 
   /** Atomic publication half of [[commit]] — retain + swap + sidecar
@@ -1082,7 +1100,8 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * row-level COW path, whose staging the executors wrote). */
   private[graft] def publishFull(item: String, tmp: SPath, meta: Map[String, JValue],
                                  partitioned: Boolean,
-                                 expectedGen: Option[Long] = None): Unit = {
+                                 expectedGen: Option[Long] = None,
+                                 expectedMeta: Option[Map[String, JValue]] = None): Unit = {
     withCommitLock { withItemDdlLock(item) {
     // Generation FENCE (compare-and-swap): a read-modify-write path
     // (append, deleteWhere) captured the committed generation when it
@@ -1100,6 +1119,24 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
           s"item '$item' was committed by another writer (generation " +
             s"$cur, this mutation read $base) — the staged rewrite would " +
             "lose that commit's rows")
+      }
+    }
+    // SIDECAR fence, for stagings whose `meta` merges over a full
+    // sidecar read (renameColumn): metadata-only DDL (add/drop column,
+    // properties) writes the sidecar WITHOUT advancing the generation —
+    // deliberately, generations identify DATA states — so the gen fence
+    // above cannot see it, and publishing this staging's merged meta
+    // would silently revert that DDL. Any sidecar write changes the map
+    // (history/`_updated` move even when nothing else does), so full
+    // equality against the map the staging read is the exact test.
+    // Refuse typed; retryOnConflict re-reads and re-stages.
+    expectedMeta.foreach { base =>
+      if (Meta.read(path.resolve(item)) != base) {
+        tmp.deleteRecursively()
+        throw new ConcurrentWriteError(
+          s"item '$item''s sidecar changed since this rewrite read it " +
+            "(a concurrent DDL or metadata write) — publishing would " +
+            "revert that change")
       }
     }
     Collection.commitSeamHook(s"full_staged:$item") // no-op outside crash tests
@@ -1145,6 +1182,8 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         ("_generation" -> Meta.jv(gen)) ++ periodGens +
         (History.Key -> History.appendedSpilling(path.resolve(item),
           historyCarrier(item, meta), History.opOf(meta), gen, periodsTouched)))
+    Option(Collection.publishObserver.get).foreach(_(this, item, gen))
+    Collection.commitSeamHook(s"full_post_sidecar:$item")
     metaCache.remove(item)
     refreshItems()
     } }
@@ -1316,6 +1355,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         (History.Key -> History.appendedSpilling(path.resolve(item),
           historyCarrier(item, meta), History.opOf(meta), gen,
           (swappedMonths ++ removedMonths).toSeq.sorted)))
+    Option(Collection.publishObserver.get).foreach(_(this, item, gen))
     Collection.commitSeamHook(s"months_post_sidecar:$item")
     // success: unpinned backups die, retained period dirs stay. The
     // commit PUBLISHED at the meta write above, so cleanup failures
@@ -2601,19 +2641,24 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       if (f.name == Collection.MonthCol || f.name.startsWith("__"))
         throw new ValidationError(s"column name '${f.name}' is reserved")
     }
+    // The purge is a FULL REWRITE (a data job) and must run OUTSIDE
+    // the DDL/cross-process locks (processLockTimeoutMs's contract);
+    // its own publish fences on generation + sidecar equality. The
+    // mask re-check under the lock below closes the gap: a concurrent
+    // dropColumns re-masking the name between this purge and the lock
+    // is refused typed, never resurrected metadata-only.
+    val masked = Collection.droppedColsOf(Meta.read(path.resolve(item)))
+    if (fields.exists(f => masked.exists(_.equalsIgnoreCase(f.name))))
+      purgeDroppedColumns(item)
     withCommitLock { withItemDdlLock(item) {
-      val masked = Collection.droppedColsOf(Meta.read(path.resolve(item)))
-      if (fields.exists(f => masked.exists(_.equalsIgnoreCase(f.name))))
-        purgeDroppedColumns(item)
       val itemPath = path.resolve(item)
       val meta = Meta.read(itemPath)
-      // The exclusive per-item DDL lock (held since before the mask
-      // read above) excludes a concurrent dropColumns for the whole
-      // purge→write sequence, so after a purge the mask can only be
-      // empty here. Re-check anyway: a sidecar edited outside the
-      // typed DDL paths must still never re-add a masked name
-      // metadata-only — the pre-drop bytes sitting in untouched
-      // part-files would resurrect. Refuse typed; the caller retries.
+      // LOAD-BEARING re-check: the purge above ran lock-free, so a
+      // concurrent dropColumns may have re-masked the name before this
+      // lock was taken — and a sidecar edited outside the typed DDL
+      // paths can name it too. A masked name must never be re-added
+      // metadata-only (the pre-drop bytes sitting in untouched
+      // part-files would resurrect). Refuse typed; the caller retries.
       val nowMasked = Collection.droppedColsOf(meta)
       fields.find(f => nowMasked.exists(_.equalsIgnoreCase(f.name))).foreach { f =>
         throw new GraftError(
@@ -2784,13 +2829,20 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     if (to == Collection.MonthCol || to.startsWith("__") || to.isEmpty)
       throw new ValidationError(s"column name '$to' is reserved")
     if (from == to) return
-    // fenced + retried like every read-modify-write: the DDL lock
-    // excludes other DDL (and cross-process writers in multiprocess
-    // mode), but an in-JVM append can land between this read and its
-    // publish — the rename rewrite must not clobber it
+    // Staged OUTSIDE the locks, like append: the rewrite job is the
+    // expensive part, and holding the DDL/commit locks (and, in
+    // multiprocess mode, the cross-process item lock) across it would
+    // break processLockTimeoutMs's contract — held sections are O(1)
+    // renames plus a sidecar write, never a data job; a concurrent
+    // process's append would poll the item lock for the whole rewrite
+    // and time out spuriously. Instead: read + validate + stage
+    // lock-free, then fence at publish on BOTH the generation (data
+    // commits) and full-sidecar equality (metadata-only DDL, which
+    // does not advance the generation); a refused publish re-reads and
+    // re-stages via retryOnConflict.
     Collection.retryOnConflict() {
-    withCommitLock { withItemDdlLock(item) {
       val itemPath = path.resolve(item)
+      metaCache.remove(item) // each attempt must read the fresh sidecar
       val meta = Meta.read(itemPath)
       val baseGen = Snapshots.generationOf(meta)
       def parse(k: String): Option[StructType] = meta.get(k).collect {
@@ -2853,7 +2905,8 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       timeLayoutOf(item) match {
         case Some(layout) =>
           commit(item, withTimeLayout(df, idx, monthlySaltOf(item), layout),
-            prevMeta, partitioned = true, expectedGen = Some(baseGen))
+            prevMeta, partitioned = true, expectedGen = Some(baseGen),
+            expectedMeta = Some(meta))
           maybeRefreshPeriodStats(item, None)
         case None =>
           val stats = readStatsMeta(item).getOrElse(
@@ -2862,10 +2915,9 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
           commit(item, Partitioner(df, idx, n),
             prevMeta ++ Meta.obj("_partitions" -> n,
               "_partition_strategy" -> strategy.name),
-            expectedGen = Some(baseGen))
+            expectedGen = Some(baseGen), expectedMeta = Some(meta))
       }
       metaCache.remove(item)
-    } }
     }
   }
 
@@ -2876,21 +2928,25 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * is read → re-lay → atomic commit (convertLayout's cost class); the
     * committed sidecar clears the mask. */
   private def purgeDroppedColumns(item: String): Unit =
-    // fenced + retried like every read-modify-write: the caller's DDL
-    // lock excludes other DDL (and, in multiprocess mode, everything),
-    // but an in-JVM append can still land between this read and its
-    // publish — the purge rewrite must not clobber it
+    // fenced + retried like every read-modify-write, and staged
+    // lock-free like renameColumn: a full rewrite must never run under
+    // the DDL/cross-process locks (processLockTimeoutMs's contract —
+    // never a data job). An append landing mid-rewrite is refused by
+    // the generation fence; a metadata-only DDL (gen unchanged) by the
+    // sidecar-equality fence; either refusal re-reads and re-stages.
     Collection.retryOnConflict() {
+    metaCache.remove(item) // each attempt must read the fresh sidecar
+    val meta0 = Meta.read(path.resolve(item))
     val it = this.item(item)
     val idx = it.indexCols
     val df = it.data // declared-schema pin: masked columns already absent
-    val prevMeta = Meta.read(path.resolve(item)) - Collection.DroppedColsKey
+    val prevMeta = meta0 - Collection.DroppedColsKey
     val baseGen = Snapshots.generationOf(prevMeta)
     timeLayoutOf(item) match {
       case Some(layout) =>
         commit(item, withTimeLayout(df, idx, monthlySaltOf(item), layout),
           prevMeta ++ Collection.opTag("purge_dropped"), partitioned = true,
-          expectedGen = Some(baseGen))
+          expectedGen = Some(baseGen), expectedMeta = Some(meta0))
         maybeRefreshPeriodStats(item, None)
       case None =>
         val stats = readStatsMeta(item).getOrElse(
@@ -2900,7 +2956,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
           prevMeta ++ Meta.obj("_partitions" -> n,
             "_partition_strategy" -> strategy.name) ++
             Collection.opTag("purge_dropped"),
-          expectedGen = Some(baseGen))
+          expectedGen = Some(baseGen), expectedMeta = Some(meta0))
     }
     }
 

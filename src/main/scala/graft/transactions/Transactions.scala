@@ -71,17 +71,26 @@ final class Transaction(collection: Collection) {
     // PRODUCED per item (two tiny sidecar reads per op); an item whose
     // generation moved outside that chain carries a foreign commit and
     // its restore is REFUSED — the pin is kept for manual resolution
-    // instead of silently destroying another writer's data.
+    // instead of silently destroying another writer's data. The
+    // generation an op PRODUCES is recorded at its PUBLISH POINT (the
+    // publishObserver below, fired inside the commit's sidecar write),
+    // not only after the op returns: an op that commits and then
+    // throws post-commit (a stats-refresh read-back failure) must read
+    // as OUR generation move, or rollback would refuse to restore a
+    // single-writer partial commit while blaming a writer that never
+    // existed.
     def genOf(it: String): Long =
       Snapshots.generationOf(Meta.read(collection.path.resolve(it)))
     val lastSeen = mutable.Map.empty[String, Long]
     affected.foreach(it => lastSeen(it) = genOf(it))
     val foreignSeen = mutable.Set.empty[String]
+    Collection.publishObserver.set((coll, it, g) =>
+      if ((coll eq collection) && lastSeen.contains(it)) lastSeen(it) = g)
     // hold the commit-coordination READ side across ALL ops (reentrant
     // under each op's own commit): a concurrent snapshot's write-side
     // capture therefore sees the whole transaction or none of it,
     // never a mixed-generation cut
-    collection.withCommitLock {
+    try { collection.withCommitLock {
     try {
       ops.foreach { op =>
         if (genOf(op.item) != lastSeen(op.item)) foreignSeen += op.item
@@ -124,7 +133,7 @@ final class Transaction(collection: Collection) {
                  s"pin '$snap' retained for manual recovery"
              else ""))
     }
-    }
+    } } finally Collection.publishObserver.remove()
   }
 
   /** Drop the internal pin manifest AND any legacy copied-item dir the

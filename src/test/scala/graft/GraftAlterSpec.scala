@@ -340,4 +340,68 @@ class GraftAlterSpec extends SparkSpec {
     assert(c.item("item").data.columns.toSeq == Seq("index", "value", "qty2"))
     cleanup(c)
   }
+
+  test("RENAME COLUMN stages outside the locks: a writer landing mid-rewrite serializes cleanly, nothing lost") {
+    // the round-13 shape held the DDL + cross-process item locks across
+    // the full Spark rewrite, so a concurrent process appending the
+    // same item polled processLockTimeoutMs and failed with a spurious
+    // LockTimeoutError. Staged-outside-locks, the append lands
+    // immediately; the rename's publish fence refuses the now-stale
+    // staging and retryOnConflict re-stages over the fresh state.
+    import spark.implicits._
+    val c = tempCollection("alter_rename_race")
+    c.write("item", Seq((1, 1.0), (2, 2.0)).toDF("index", "value"),
+      indexCols = Seq("index"))
+    c.enableMultiprocess()
+    val other = Collection.at(spark, c.path)
+    @volatile var sawLockDuringStage = false
+    @volatile var injected = false
+    Collection.commitSeamHook = name =>
+      if (name == "staged_pre_publish:item" && !injected) {
+        injected = true
+        // the rewrite job just finished with NO cross-process item
+        // lock held — the contract ADVICE r13 flagged
+        sawLockDuringStage = c.path.listDirs.exists(_.startsWith("__itemlock_"))
+        other.append("item", Seq((3, 3.0)).toDF("index", "value"))
+      }
+    try c.renameColumn("item", "value", "amount")
+    finally Collection.commitSeamHook = _ => ()
+    assert(injected, "the mid-rename append must have fired")
+    assert(!sawLockDuringStage,
+      "the rename rewrite must not run under the cross-process item lock")
+    val df = c.item("item").data
+    assert(df.columns.toSeq == Seq("index", "amount"))
+    assert(df.select("index").collect().map(_.getInt(0)).toSet == Set(1, 2, 3),
+      "the mid-rename append's row must survive the retried rename")
+    cleanup(c)
+  }
+
+  test("RENAME COLUMN's sidecar fence: a metadata-only DDL landing mid-rewrite is never reverted") {
+    // metadata-only DDL (properties, column mask) writes the sidecar
+    // WITHOUT advancing the generation, so the gen fence alone cannot
+    // see it — publishing the rename's stale sidecar merge would
+    // silently revert the DDL (and resurrect the dropped column's
+    // bytes). The sidecar-equality fence refuses; the retry re-reads.
+    import spark.implicits._
+    val c = tempCollection("alter_rename_meta_race")
+    c.write("item", Seq((1, 1.0, "x"), (2, 2.0, "y")).toDF("index", "value", "note"),
+      indexCols = Seq("index"))
+    val other = Collection.at(spark, c.path)
+    @volatile var injected = false
+    Collection.commitSeamHook = name =>
+      if (name == "staged_pre_publish:item" && !injected) {
+        injected = true
+        other.setItemProperties("item", Map("owner" -> "pipeline-a"))
+        other.dropColumns("item", Seq("note"))
+      }
+    try c.renameColumn("item", "value", "amount")
+    finally Collection.commitSeamHook = _ => ()
+    assert(injected, "the mid-rename DDL must have fired")
+    assert(c.metadata("item").get("owner") == Some(org.json4s.JString("pipeline-a")),
+      "the property set mid-rename must survive the rename's publish")
+    val cols = c.item("item").data.columns.toSeq
+    assert(cols == Seq("index", "amount"),
+      s"'note' must stay dropped and 'value' renamed, got $cols")
+    cleanup(c)
+  }
 }

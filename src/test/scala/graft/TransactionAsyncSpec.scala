@@ -289,6 +289,35 @@ class TransactionAsyncSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("rollback restores an item whose OWN op threw post-publish (not misread as a foreign commit)") {
+    // an op that commits and THEN throws (e.g. a stats-refresh
+    // read-back failure) moved the generation without the txn's
+    // post-op bookkeeping running — before the publish-point observer,
+    // that read as a foreign writer: restore REFUSED, the partial
+    // commit left live, and the error blamed a writer that never
+    // existed. The observer records the generation at the sidecar
+    // write itself, so the rewind proceeds and the rollback guarantee
+    // holds in the single-writer failure.
+    import spark.implicits._
+    val c = tempCollection("txn_own_postcommit")
+    c.write("a", Seq((1, 1.0)).toDF("index", "value"), indexCols = Seq("index"))
+    Collection.commitSeamHook = name =>
+      if (name == "full_post_sidecar:a")
+        throw new RuntimeException("post-commit stats read-back failed")
+    try {
+      val txn = new Transaction(c)
+      txn.append("a", Seq((2, 2.0)).toDF("index", "value"))
+      val e = intercept[TransactionError](txn.commit())
+      assert(!e.getMessage.contains("foreign"), e.getMessage)
+      assert(!e.getMessage.contains("REFUSED"), e.getMessage)
+      assert(!e.getMessage.contains("FAILED"), e.getMessage)
+    } finally Collection.commitSeamHook = _ => ()
+    // the partial commit was rewound: pre-txn state serves
+    assert(c.item("a").data.select("index").collect().map(_.getInt(0)).toSet
+      == Set(1), "the own partial commit must be rewound to the pre-txn pin")
+    cleanup(c)
+  }
+
   test("two threads appending the SAME item serialize via the generation fence (no lost update)") {
     // before the fence, both threads could read the same base state,
     // stage independently, and the second publish silently clobbered
