@@ -479,6 +479,11 @@ object Collection {
     s"$host:pid=${ProcessHandle.current().pid()}"
   }
 
+  /** Count of fence/torn-read retries taken since JVM start — the
+    * contention meter the N-writer stress arms read (CrashProbe prints
+    * it) to prove liveness is cheap, not just eventual. */
+  private[graft] val conflictRetries = new java.util.concurrent.atomic.AtomicLong
+
   /** Optimistic-concurrency retry: re-run `body` when the publish
     * fence refuses it ([[ConcurrentWriteError]] — the item's committed
     * generation moved between the read and the publish) or when the
@@ -486,20 +491,42 @@ object Collection {
     * dir away mid-scan — Spark surfaces FILE_NOT_EXIST; the fence
     * would have refused that staging anyway, the read just failed
     * first). Each retry re-reads the CURRENT state, so the interleaved
-    * commit's rows are carried, never clobbered; quadratic backoff
-    * keeps two processes hammering the same item from live-locking. A
-    * GENUINELY missing file (corruption) exhausts the attempts and
-    * surfaces its original error. */
-  private[store] def retryOnConflict[A](maxAttempts: Int = 8)(body: => A): A = {
+    * commit's rows are carried, never clobbered.
+    *
+    * LIVENESS: a fence refusal is PROOF another writer's commit landed
+    * (only the fence raises [[ConcurrentWriteError]]), so retrying is
+    * always globally productive — it is budgeted by TIME
+    * (`fenceBudgetMs`, matching the item-lock timeout), never by a
+    * fixed attempt count an N-writer burst could exhaust: under
+    * sustained contention each writer loses only to real commits and
+    * serializes behind them. Torn reads keep the attempt CAP — a
+    * genuinely missing file (corruption) must surface, not spin for
+    * two minutes; under contention most conflicts are caught by the
+    * fence (checked under the lock) before the read can tear. Backoff
+    * is quadratic with jitter so contending processes fall out of
+    * lockstep instead of re-colliding every round. */
+  private[store] def retryOnConflict[A](maxAttempts: Int = 8,
+                                        fenceBudgetMs: Long = 120000L)(body: => A): A = {
+    val start = System.currentTimeMillis()
+    var tornReads = 0
     var attempt = 1
+    def backoff(): Unit = {
+      conflictRetries.incrementAndGet()
+      val base = math.min(25L * attempt * attempt, 1000L)
+      Thread.sleep(base / 2 +
+        java.util.concurrent.ThreadLocalRandom.current().nextLong(base / 2 + 1))
+      attempt += 1
+    }
     while (true) {
       try return body
       catch {
-        case e: Throwable
-            if e.isInstanceOf[ConcurrentWriteError] || isTornRead(e) =>
-          if (attempt >= maxAttempts) throw e
-          Thread.sleep(math.min(25L * attempt * attempt, 1000L))
-          attempt += 1
+        case e: ConcurrentWriteError =>
+          if (System.currentTimeMillis() - start > fenceBudgetMs) throw e
+          backoff()
+        case e: Throwable if isTornRead(e) =>
+          tornReads += 1
+          if (tornReads >= maxAttempts) throw e
+          backoff()
       }
     }
     throw new IllegalStateException("unreachable")
@@ -648,7 +675,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * already hold, so neither in-JVM nor cross-process cycles exist
     * (multi-item verbs like rename acquire in sorted name order).
     * Reentrant per thread via [[Collection.heldProcessLocks]]. */
-  private def withItemProcessLock[A](item: String)(body: => A): A = {
+  private[graft] def withItemProcessLock[A](item: String)(body: => A): A = {
     if (!multiprocessEnabled) return body
     val lock = path.resolve(Collection.ItemLockPrefix + item)
     val key = lock.toString
@@ -681,6 +708,22 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     val sorted = Seq(a, b).sorted
     withItemProcessLock(sorted.head) { withItemProcessLock(sorted(1)) { body } }
   }
+
+  /** Acquire EVERY listed item's cross-process lock, in sorted-name
+    * order (the same global order every multi-lock verb uses, so no
+    * cross-process cycle can form), then run `body`. No-op outside
+    * multiprocess mode. This is how the collection-level admin verbs
+    * (vacuum, createSnapshot's cut, rollbackTo's restore) exclude
+    * writers in OTHER processes: a writer holds its one item lock for
+    * an O(1) publish, so each acquisition here waits milliseconds
+    * unless the holder died — in which case the poll times out typed,
+    * naming breakItemLocks(). The held section must stay METADATA-
+    * scale (sidecar reads, renames, hardlinks — never a data job),
+    * same contract as the per-item lock. */
+  private def withItemProcessLockAll[A](itemNames: Iterable[String])(body: => A): A =
+    if (!multiprocessEnabled) body
+    else itemNames.toSeq.distinct.sorted
+      .foldRight(() => body)((it, k) => () => withItemProcessLock(it)(k()))()
 
   /** ADMIN: forcibly clear every per-item writer lock — the remedy for
     * a lock leaked by a holder that died mid-commit (the crash itself
@@ -1704,22 +1747,33 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * transaction backups. Safe under the single-writer model (same
     * assumption as the reference): these names hold either pre-commit
     * staging or post-crash garbage, never live data; the advisory
-    * `__lock` dir is NOT touched. Returns the removed names. */
+    * `__lock` dir is NOT touched. In MULTIPROCESS mode the body runs
+    * holding every item's cross-process lock (waiting out live
+    * writers; a dead holder's stale lock times out typed, naming
+    * breakItemLocks()) and spares `__tmp_*` staging younger than an
+    * hour — see the body comments. Returns the removed names. */
   def vacuum(): Seq[String] = withSnapshotLock {
     // In multiprocess mode a held item lock means a writer may be
     // mid-commit IN ANOTHER PROCESS — the junk sweep below would
-    // reclaim its in-flight asides (the only rollback copies). Refuse
-    // typed; a crashed holder's stale lock is cleared explicitly via
-    // breakItemLocks() (the operator decision the timeout error names).
-    if (multiprocessEnabled) {
-      val held = path.listDirs.filter(_.startsWith(Collection.ItemLockPrefix))
-      if (held.nonEmpty)
-        throw new GraftError(
-          s"vacuum refused: item writer locks held (${held.mkString(", ")}) — " +
-            "a writer in another process may be mid-commit and the sweep " +
-            "would reclaim its rollback copies; wait for writers to finish, " +
-            "or clear a crashed writer's stale lock with breakItemLocks()")
-    }
+    // reclaim its in-flight asides (the only rollback copies). The
+    // round-13 shape REFUSED while any lock stood, but check-then-
+    // sweep is a TOCTOU: a writer acquiring its lock just after the
+    // check could still have its asides swept mid-commit. Instead
+    // ACQUIRE every item's lock (sorted order, polled): with all of
+    // them held, no foreign publish is in flight anywhere in the
+    // body, so every `__backup_*`/`__cow_*` aside on disk belongs to
+    // a CRASHED commit and the repair/sweep verdicts are sound. Live
+    // writers serialize — vacuum waits out their O(1) publishes; a
+    // DEAD holder's stale lock times out typed (LockTimeoutError
+    // naming breakItemLocks(), the same operator remedy as before).
+    // Residual exposure: an item born after this listing holds a lock
+    // the sweep never takes — its only on-disk footprint is fresh
+    // `__tmp_*` staging, which the age gate below spares.
+    val lockScope =
+      if (!multiprocessEnabled) Nil
+      else items ++ path.listDirs.filter(_.startsWith(Collection.ItemLockPrefix))
+        .map(_.stripPrefix(Collection.ItemLockPrefix))
+    withItemProcessLockAll(lockScope) {
     // Swap REPAIR first, deletion after: a crash BETWEEN a swap's two
     // renames (old moved aside, new not yet in) leaves the moved-aside
     // dir as the ONLY copy of the committed state — blindly deleting
@@ -1736,8 +1790,22 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     // sweep too, and since the journal can't be parsed, no aside can
     // be attributed — spare them all.
     val unreadableJournal = repaired.exists(_.startsWith("unreadable_intent:"))
+    // In multiprocess mode, `__tmp_*` staging is the ONE artifact a
+    // live writer creates BEFORE taking its item lock (staging is
+    // deliberately lock-free — it's the data job), so holding every
+    // item lock does not prove a staging dir is dead. AGE-gate it:
+    // live staging exists for the duration of one write job; an
+    // hour-old staging (same cutoff as stale txn pins) is a corpse.
+    // Sweeping a live writer's staging would not lose data — its
+    // publish would fail the missing rename, classify as a conflict,
+    // and re-stage — but it would fail the in-flight Spark job
+    // spuriously. Single-process mode keeps the exact sweep.
+    val stagingCutoff = java.time.Instant.now().minusSeconds(3600)
+    def deadStagingDir(d: String): Boolean =
+      d.startsWith(TmpPrefix) && (!multiprocessEnabled ||
+        path.fs.modifiedAt(path.resolve(d).raw).forall(_.isBefore(stagingCutoff)))
     val junk = path.listDirs.filter(d =>
-      d.startsWith(TmpPrefix) ||
+      deadStagingDir(d) ||
         (d.startsWith("__backup_") &&
           !(unreadableJournal && d.startsWith("__backup_month_"))) ||
         d.startsWith("__txn_backup_") || d.startsWith("__cow_"))
@@ -1770,6 +1838,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     withSnapshotLock { Snapshots.gcRetained(path) }
     refreshItems()
     repaired ++ junk ++ deadStaging.map(d => s"dead_staging:$d") ++ staleTxn
+    }
   }
 
   /** Undo or finish interrupted commit swaps (and roll interrupted
@@ -3070,8 +3139,20 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     // parallel-batch, async, or a whole in-flight transaction holding
     // the read side) can land while the cut is captured, so the pinned
     // generations are consistent ACROSS items — never a mix of pre- and
-    // post-transaction states
+    // post-transaction states. In MULTIPROCESS mode the JVM lock
+    // covers only this process, so additionally hold every item's
+    // cross-process lock across the capture: a writer in another
+    // process can then never commit BETWEEN two items' pin reads, and
+    // the manifest equals the on-disk state at one instant (a true
+    // cut). A foreign IN-FLIGHT transaction is the documented limit:
+    // its per-op commits serialize with this capture item by item,
+    // but transactions are not cross-process atomic units, so a cut
+    // can pin a foreign transaction's partial state. Capture cost
+    // under the locks is metadata-scale — O(items) sidecar reads
+    // (manifest arm) or hardlinks (dir arm), never a data job.
     withSnapshotLock {
+      withItemProcessLockAll(items) {
+      Collection.commitSeamHook(s"snapshot_cut:$snap")
       if (useManifest) Snapshots.createManifest(path, snap, items)
       else {
         // stage under a dot-name (hidden from listSnapshots) and
@@ -3084,6 +3165,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         path.fs.snapshotRecursively(path.raw, staging.raw,
           exclude = d => d == GraftStore.SnapshotsDir || d.startsWith("__"))
         path.fs.rename(staging.raw, snaps.resolve(snap).raw)
+      }
       }
     }
     snap
@@ -3104,8 +3186,13 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * generation by rename (the write/deleteItem retention calls), so
     * each item's restore is the same O(1)/O(periods) rename-back the
     * T1 transaction rollback uses — no byte copies on any backend.
-    * Runs under the commit-coordination lock, so an in-flight commit
-    * or snapshot capture never sees a mixed-generation cut. With
+    * Runs under the EXCLUSIVE snapshot lock (no in-JVM commit or
+    * capture can interleave with the restore renames) and, in
+    * multiprocess mode, under every scoped item's cross-process lock
+    * (no foreign process's publish can interleave either — a foreign
+    * writer blocks on its item lock, then its fenced publish sees the
+    * restored generation and retries over the restored state).
+    * Consequently it cannot run inside a transaction block. With
     * `keepSnapshot` (default) the savepoint survives for repeated
     * rollback; `false` drops it after restoring. `items` restricts the
     * restore to the named items (e.g. one bad item after a poisoned
@@ -3133,7 +3220,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       throw new GraftError(
         "a partial rollback cannot drop the savepoint: the un-restored " +
           "items would lose their pins (omit items, or keep the snapshot)")
-    val out = withCommitLock {
+    val out = withSnapshotLock {
       val live = listItems()
       val scope = (pinned.toSet ++ live, items) match {
         case (all, Nil) => all
@@ -3145,6 +3232,8 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
                 s"by '$snapshot' nor present in the collection")
           some.toSet
       }
+      withItemProcessLockAll(scope) {
+      Collection.commitSeamHook(s"rollback_restore:$snapshot")
       // one sweep over ALL manifests (retention checks ride this) and
       // ONE read of the target manifest — per-item lookups would cost
       // O(items × manifests) small JSON reads under the commit lock
@@ -3181,6 +3270,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
           Snapshots.restoreFromManifest(path, snapshot, it, pinIdx)
         it -> action
       }.toMap
+      }
     }
     clearMetadataCache()
     listItems() // refresh the item-set cache post-restore

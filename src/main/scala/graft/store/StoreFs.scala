@@ -54,6 +54,13 @@ trait StoreFs {
     * `owner` as content; false if the lock is already held. */
   def tryLock(lockPath: String, owner: String): Boolean
 
+  /** Last-modification instant of a file or directory; None when the
+    * path vanished (raced a delete) or the backend cannot say. Used
+    * only for conservative AGE gates (vacuum sparing a possibly-live
+    * writer's fresh staging) — never for ordering decisions, since
+    * clocks across writers need not agree. */
+  def modifiedAt(p: String): Option[java.time.Instant]
+
   // ---- protocol compositions (shared across backends) ----
 
   /** Atomic directory swap — the M7 commit protocol
@@ -204,6 +211,10 @@ object NioFs extends StoreFs {
         owner.getBytes(StandardCharsets.UTF_8))
       true
     } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+
+  def modifiedAt(p: String): Option[java.time.Instant] =
+    try Some(Files.getLastModifiedTime(np(p)).toInstant)
+    catch { case _: java.io.IOException => None }
 }
 
 /** Hadoop `FileSystem` backend — one implementation for every scheme
@@ -263,6 +274,13 @@ final class HadoopFs(conf: org.apache.hadoop.conf.Configuration) extends StoreFs
   def deleteRecursively(p: String): Unit = {
     val h = hp(p); fsOf(h).delete(h, true); ()
   }
+
+  def modifiedAt(p: String): Option[java.time.Instant] =
+    try {
+      val h = hp(p)
+      Some(java.time.Instant.ofEpochMilli(
+        fsOf(h).getFileStatus(h).getModificationTime))
+    } catch { case _: java.io.IOException => None }
 
   def rename(src: String, dst: String): Unit = {
     val s = hp(src); val d = hp(dst); val fs = fsOf(s)

@@ -112,12 +112,23 @@ final class Transaction(collection: Collection) {
         // un-restored state stays recoverable. Items carrying a
         // detected foreign commit are refused (see above), keeping the
         // folded foreign rows live.
-        val foreign = (foreignSeen ++
-          affected.filter(it => genOf(it) != lastSeen(it))).toSeq.sorted
-        val restoreFailed = affected.filterNot(foreign.contains).flatMap { it =>
-          try { Snapshots.restoreFromManifest(collection.path, snap, it); None }
-          catch { case NonFatal(re) => Some(s"$it (${re.getMessage})") }
+        val foreignAll = mutable.SortedSet.empty[String] ++ foreignSeen
+        val restoreFailed = affected.filterNot(foreignAll.contains).flatMap { it =>
+          try {
+            // the item's cross-process lock (no-op outside multiprocess
+            // mode) makes the foreign re-check and the rewind ONE
+            // atomic step: a writer in another process cannot publish
+            // between this generation read and the restore renames —
+            // it blocks on the lock, and its fenced publish then sees
+            // the restored generation and retries over the restored
+            // state instead of resurrecting the rolled-back one
+            collection.withItemProcessLock(it) {
+              if (genOf(it) != lastSeen(it)) { foreignAll += it; None }
+              else { Snapshots.restoreFromManifest(collection.path, snap, it); None }
+            }
+          } catch { case NonFatal(re) => Some(s"$it (${re.getMessage})") }
         }
+        val foreign = foreignAll.toSeq
         if (restoreFailed.isEmpty && foreign.isEmpty) cleanupTxnSnapshot(snap)
         collection.clearMetadataCache()
         collection.listItems() // refresh the item-set cache post-restore

@@ -553,9 +553,11 @@ class CrashKillSpec extends SparkSpec {
     val e = intercept[LockTimeoutError](
       v.append("it", (900 to 905).map(i => (i, 5.0)).toDF("index", "value")))
     assert(e.getMessage.contains("pid="), e.getMessage)
-    // vacuum refuses while the lock stands — the sweep must never run
-    // under a possibly-live foreign writer
-    val vr = intercept[GraftError](v.vacuum())
+    // vacuum WAITS for lock holders (round 14 closed the round-13
+    // check-then-sweep TOCTOU by acquiring every item lock); a DEAD
+    // holder's stale lock times out typed with the same operator
+    // remedy the append's timeout names
+    val vr = intercept[LockTimeoutError](v.vacuum())
     assert(vr.getMessage.contains("breakItemLocks"), vr.getMessage)
     // admin remedy: break the stale lock; vacuum reclaims the corpse's
     // staging. The data swap IS the full-commit point, so the probe's
@@ -569,5 +571,164 @@ class CrashKillSpec extends SparkSpec {
     v.processLockTimeoutMs = 120000
     v.append("it", (900 to 905).map(i => (i, 5.0)).toDF("index", "value"))
     assert(v.item("it").data.count() == 56)
+  }
+
+  test("snapshot cut racing a two-item writer in another process: every manifest is a point-in-time cut") {
+    // the probe appends to "a" THEN "b" each round, so at any on-disk
+    // instant gen(a) ∈ {gen(b), gen(b)+1}. The parent captures
+    // manifests concurrently; holding every item's cross-process lock
+    // across the capture (round 14) makes each manifest the state at
+    // ONE instant — before that, a capture reading a's pin, losing the
+    // race to a full round, then reading b's pin could record
+    // gen(b) > gen(a), a state that never existed on disk.
+    val dir = Files.createTempDirectory("graft_snapcut")
+    val uri = dir.toString
+    val c = GraftStore.at(spark, uri).collection("c")
+    c.enableMultiprocess()
+    c.write("a", flatFrame(10), indexCols = Seq("index"))
+    c.write("b", flatFrame(10), indexCols = Seq("index"))
+    val p = forkStart(uri, "<never-fires>", "pair_append:8")
+    val snaps = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (p.isAlive && i < 200) {
+      snaps += c.createSnapshot(Some(s"cut_$i"), manifest = Some(true))
+      i += 1
+      Thread.sleep(100)
+    }
+    val (code, out) = drain(p)
+    assert(code == 0 && out.contains("COMPLETED"), s"probe rc=$code:\n$out")
+    // generations are per-commit IDs, not counters — translate each
+    // pinned generation to its commit ORDINAL via the item's history
+    // (seq is monotonic per item), where the cut invariant is exact
+    def genToOrd(it: String): Map[Long, Long] =
+      History.entriesOf(Meta.read(c.path.resolve(it)))
+        .map(e => e.gen -> e.seq).toMap
+    val (ordA, ordB) = (genToOrd("a"), genToOrd("b"))
+    def flatGen(pins: Map[String, (Either[Long, Map[String, Long]], Map[String, org.json4s.JValue])],
+                it: String): Long = pins(it)._1.fold(identity, _ => -1L)
+    val ords = snaps.toSeq.map { s =>
+      val pins = Snapshots.manifestAllPins(c.path, s).getOrElse(
+        fail(s"snapshot $s must be a manifest"))
+      (s, ordA(flatGen(pins, "a")), ordB(flatGen(pins, "b")))
+    }
+    ords.foreach { case (s, oa, ob) =>
+      assert(oa >= ob && oa - ob <= 1,
+        s"snapshot $s pins a torn cut: commit#(a)=$oa commit#(b)=$ob — " +
+          "the writer always commits a before b, so no instant had this state")
+    }
+    assert(ords.exists(_._3 > 1),
+      "at least one capture must have landed mid-run (writer rounds observed)")
+    assert(!c.path.listDirs.exists(_.startsWith(Collection.ItemLockPrefix)),
+      "capture and writer exited cleanly — no lock may leak")
+  }
+
+  test("vacuum racing a live writer in another process: waits out commits, never sweeps in-flight state") {
+    // round 13's vacuum REFUSED on held locks but check-then-sweep was
+    // a TOCTOU — a writer acquiring its lock after the check could
+    // have its in-flight asides swept. Now vacuum ACQUIRES every item
+    // lock (waiting out the writer's O(1) publishes) and age-gates
+    // `__tmp_*` staging (created lock-free by design), so a writer
+    // hammering appends while vacuum loops loses nothing and fails
+    // nothing.
+    val dir = Files.createTempDirectory("graft_vacrace")
+    val uri = dir.toString
+    val c = GraftStore.at(spark, uri).collection("c")
+    c.enableMultiprocess()
+    c.write("rit", flatFrame(40), indexCols = Seq("index"))
+    val batches = 5
+    val p = forkStart(uri, "<never-fires>", s"race_append:1:$batches")
+    var vacuums = 0
+    while (p.isAlive && vacuums < 400) {
+      c.vacuum()
+      vacuums += 1
+      Thread.sleep(50)
+    }
+    val (code, out) = drain(p)
+    assert(code == 0 && out.contains("COMPLETED"),
+      s"the writer must complete every append while vacuum loops (rc=$code):\n$out")
+    assert(vacuums > 0, "vacuum must actually have raced the writer")
+    val v = coll(uri)
+    assert(v.item("rit").data.count() == 40 + batches * 20,
+      "no append may be lost to a vacuum sweep")
+    val idx = v.item("rit").data.select("index").collect().map(_.getInt(0)).toSet
+    for (b <- 0 until batches; i <- 0 until 20)
+      assert(idx.contains(100000 + 10000 + b * 100 + i),
+        s"batch $b row $i was reclaimed by a racing vacuum")
+    assert(histSize(v, "rit") == 1 + batches)
+    assert(!v.path.listDirs.exists(_.startsWith(Collection.ItemLockPrefix)))
+  }
+
+  test("SUSTAINED contention: three processes x 8 batches each serialize with bounded retries") {
+    // the round-13 race arms used 2 batches/writer; this proves the
+    // liveness claim under a sustained burst — fence refusals retry on
+    // a TIME budget (each refusal is proof another writer committed),
+    // so a fixed attempt count can no longer be exhausted by N×M
+    // contention. The probes print their retry counts; correctness is
+    // byte-exact row survival plus an exact commit log.
+    val dir = Files.createTempDirectory("graft_stress")
+    val uri = dir.toString
+    val c = GraftStore.at(spark, uri).collection("c")
+    c.enableMultiprocess()
+    c.write("rit", flatFrame(40), indexCols = Seq("index"))
+    val batches = 8
+    val probes = (1 to 3).map(tag =>
+      tag -> forkStart(uri, "<never-fires>", s"race_append:$tag:$batches"))
+    var totalRetries = 0L
+    probes.foreach { case (tag, p) =>
+      val (code, out) = drain(p)
+      assert(code == 0 && out.contains("COMPLETED"), s"probe $tag rc=$code:\n$out")
+      val r = out.linesIterator.collectFirst {
+        case l if l.contains("RETRIES=") => l.split("RETRIES=")(1).trim.toLong
+      }.getOrElse(fail(s"probe $tag printed no retry count:\n$out"))
+      totalRetries += r
+    }
+    info(s"total fence/torn-read retries across 3x$batches commits: $totalRetries")
+    val v = coll(uri)
+    assert(v.item("rit").data.count() == 40 + 3 * batches * 20,
+      "every writer's every batch must survive the sustained burst")
+    val idx = v.item("rit").data.select("index").collect().map(_.getInt(0)).toSet
+    for (tag <- 1 to 3; b <- 0 until batches; i <- 0 until 20)
+      assert(idx.contains(100000 + tag * 10000 + b * 100 + i),
+        s"writer $tag batch $b row $i was clobbered")
+    assert(histSize(v, "rit") == 1 + 3 * batches,
+      "one commit-log entry per append — none lost, none phantom")
+    assert(!v.path.listDirs.exists(_.startsWith(Collection.ItemLockPrefix)))
+    assert(v.vacuum().isEmpty, "nothing to repair after a clean burst")
+    // the retry meter is a liveness bound, not a precision claim: each
+    // retry must correspond to real foreign progress, so it can never
+    // exceed the total commits the OTHER writers made (plus torn-read
+    // re-reads, each also implying a foreign swap landed)
+    assert(totalRetries <= 3L * batches * 20,
+      s"retry count $totalRetries is out of proportion to 3x$batches commits")
+  }
+
+  test("vacuum age-gates __tmp_* staging in multiprocess mode: fresh spared, corpses swept") {
+    // staging is created BEFORE the item lock is taken (it is the data
+    // job, deliberately lock-free), so holding every item lock cannot
+    // prove a staging dir is dead — vacuum spares young staging and
+    // sweeps hour-old corpses. Single-process mode keeps the exact
+    // immediate sweep.
+    val dir = Files.createTempDirectory("graft_agegate")
+    val c = GraftStore.at(spark, dir.toString).collection("c")
+    c.write("it", flatFrame(10), indexCols = Seq("index"))
+    c.enableMultiprocess()
+    val fresh = c.path.resolve("__tmp_it_fresh1234")
+    val old = c.path.resolve("__tmp_it_old5678")
+    fresh.mkdirs(); old.mkdirs()
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(old.raw),
+      java.nio.file.attribute.FileTime.from(
+        java.time.Instant.now().minusSeconds(7200)))
+    val removed = c.vacuum()
+    assert(removed.contains("__tmp_it_old5678"), removed.mkString(","))
+    assert(!removed.contains("__tmp_it_fresh1234"),
+      "a fresh staging dir may belong to a live writer in another process")
+    assert(fresh.exists)
+    // outside multiprocess mode the single-writer assumption holds and
+    // the sweep is immediate
+    c.disableMultiprocess()
+    val removed2 = c.vacuum()
+    assert(removed2.contains("__tmp_it_fresh1234"), removed2.mkString(","))
+    assert(!fresh.exists)
   }
 }

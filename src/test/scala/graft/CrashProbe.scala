@@ -56,6 +56,21 @@ object CrashProbe {
         val Array(_, tagS, nS) = m.split(":")
         for (i <- 0 until nS.toInt)
           c.setItemProperties("it", Map(s"k_${tagS}_$i" -> s"v$i"))
+      case m if m.startsWith("pair_append:") =>
+        // lockstep two-item writer for the SNAPSHOT-CUT race: each
+        // round appends one batch to item "a" THEN one to item "b".
+        // At any on-disk instant gen(a) ∈ {gen(b), gen(b)+1} — a
+        // point-in-time cut can never pin b AHEAD of a. The parent
+        // captures manifests concurrently and asserts that invariant
+        // on every one; without the capture holding the item locks, a
+        // cut reading a's pin before a round and b's pin after it
+        // records gen(b) > gen(a).
+        val Array(_, roundsS) = m.split(":")
+        for (r <- 0 until roundsS.toInt; it <- Seq("a", "b")) {
+          val df = (0 until 5).map(i => (1000 + r * 10 + i, r.toDouble))
+            .toDF("index", "value")
+          c.append(it, df)
+        }
       case m if m.startsWith("race_monthly:") =>
         // the monthly spelling: every batch lands in February, so both
         // probes rewrite the SAME period dir through publishMonths'
@@ -80,6 +95,9 @@ object CrashProbe {
         c.append("mit", df)
       case other => sys.error(s"unknown probe mode '$other'")
     }
+    // contention meter for the sustained-liveness arms: how many
+    // fence/torn-read retries this writer took to land all its commits
+    println(s"[probe] RETRIES=${Collection.conflictRetries.get()}")
     println("[probe] COMPLETED") // reached only when no seam matched
     spark.stop()
     sys.exit(0)

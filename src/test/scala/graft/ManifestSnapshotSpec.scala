@@ -467,4 +467,35 @@ class ManifestSnapshotSpec extends SparkSpec {
       e.getMessage)
     cleanup(c)
   }
+
+  test("multiprocess mode: the snapshot cut and the rollback restore hold EVERY item's cross-process lock") {
+    // the deterministic half of the cross-process-cut proof (the
+    // forked race lives in CrashKillSpec): at the capture seam and the
+    // restore seam, every item's `__itemlock_*` must stand — a writer
+    // in another process then can never commit BETWEEN two items' pin
+    // reads (capture) or interleave with the restore renames.
+    val c = tempCollection("msnap_mp_locks")
+    c.write("a", df3(1L -> "a"), indexCols = Seq("index"))
+    c.write("b", df3(1L -> "b"), indexCols = Seq("index"))
+    c.enableMultiprocess()
+    def heldLocks(): Set[String] =
+      c.path.listDirs.filter(_.startsWith(Collection.ItemLockPrefix)).toSet
+    var atCut: Set[String] = null
+    var atRestore: Set[String] = null
+    Collection.commitSeamHook = name =>
+      if (name.startsWith("snapshot_cut:")) atCut = heldLocks()
+      else if (name.startsWith("rollback_restore:")) atRestore = heldLocks()
+    try {
+      c.createSnapshot(Some("cutlock"), manifest = Some(true))
+      c.append("a", df3(2L -> "a2"))
+      c.rollbackTo("cutlock")
+    } finally Collection.commitSeamHook = _ => ()
+    assert(atCut == Set("__itemlock_a", "__itemlock_b"),
+      s"the cut must hold both item locks, held: $atCut")
+    assert(atRestore == Set("__itemlock_a", "__itemlock_b"),
+      s"the restore must hold both item locks, held: $atRestore")
+    assert(heldLocks().isEmpty, "no lock may outlive the verbs")
+    assert(c.item("a").data.count() == 1, "the rollback must have restored a")
+    cleanup(c)
+  }
 }
