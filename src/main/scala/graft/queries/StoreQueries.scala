@@ -120,6 +120,31 @@ object StoreQueries {
       |FROM lineitem WHERE year(l_shipdate) = 1996
       |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin
 
+  /** The multiprocess-mode COST row: byte-for-byte the same body as
+    * [[appendKeepAll]] (same oracle), but with the collection's durable
+    * multiprocess marker set, so every commit additionally takes the
+    * per-item cross-process fs lock (one atomic dir create + one
+    * delete) and the publish fence re-reads the sidecar outside the
+    * TTL cache. The bench delta between this row and
+    * `store_append_keep_all` is the whole-mode overhead bound —
+    * expected noise-level, since both extras are O(1) metadata ops
+    * against multi-second write jobs. */
+  def multiprocessCommit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "multiprocess_commit")
+    col.enableMultiprocess()
+    val li = Tables.t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_shipdate")
+    col.write("li", li, indexCols = Seq("l_shipdate"))
+    val y95 = li.filter(year($"l_shipdate") === 1995)
+    val y96 = li.filter(year($"l_shipdate") === 1996)
+      .withColumn("l_quantity", $"l_quantity" + 100.0)
+    col.append("li", y95.unionByName(y96), DuplicateHandling.KeepAll)
+    col.item("li").data.orderBy($"l_orderkey", $"l_linenumber", $"l_quantity")
+  }
+
+  val multiprocessCommitSql: String = appendKeepAllSql
+
   /** Monthly directory layout + PARTIAL append: the item is stored as
     * one directory per month; the keep_last re-delivery of 1996+ rows
     * rewrites only the 1996+ month dirs (partition-pruned read of the
@@ -2171,6 +2196,7 @@ object StoreQueries {
     "store_append_keep_last" -> appendKeepLast _,
     "store_append_keep_first" -> appendKeepFirst _,
     "store_append_keep_all" -> appendKeepAll _,
+    "store_multiprocess_commit" -> multiprocessCommit _,
     "store_append_monthly_partial" -> appendMonthly _,
     "store_delete_where" -> deleteWhere _,
     "store_expire_before" -> expireBefore _,
@@ -2221,6 +2247,7 @@ object StoreQueries {
     "store_append_keep_last" -> appendKeepLastSql,
     "store_append_keep_first" -> appendKeepFirstSql,
     "store_append_keep_all" -> appendKeepAllSql,
+    "store_multiprocess_commit" -> multiprocessCommitSql,
     "store_append_monthly_partial" -> appendMonthlySql,
     "store_delete_where" -> deleteWhereSql,
     "store_expire_before" -> expireBeforeSql,
