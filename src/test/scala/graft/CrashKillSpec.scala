@@ -702,6 +702,48 @@ class CrashKillSpec extends SparkSpec {
       s"retry count $totalRetries is out of proportion to 3x$batches commits")
   }
 
+  test("item process lock reentrancy: inner exits never release, only the outermost does, even on exceptions") {
+    // pins the reentrancy bookkeeping: `heldProcessLocks` adds the key
+    // once, a nested acquire is a pure pass-through, and ONLY the
+    // outermost exit deletes the lock dir — an inner body's exception
+    // must propagate with the lock still held (the outer body may be
+    // mid-publish), and independent items' locks must release
+    // independently. A wrong `finally` here would release a lock the
+    // thread still needs — invisible in the race arms (they never
+    // nest), so it gets its own deterministic proof.
+    val dir = Files.createTempDirectory("graft_reentrant")
+    val c = GraftStore.at(spark, dir.toString).collection("c")
+    c.write("a", flatFrame(5), indexCols = Seq("index"))
+    c.write("b", flatFrame(5), indexCols = Seq("index"))
+    c.enableMultiprocess()
+    def lockStands(it: String): Boolean =
+      c.path.resolve(Collection.ItemLockPrefix + it).exists
+    c.withItemProcessLock("a") {
+      assert(lockStands("a"))
+      c.withItemProcessLock("a") { assert(lockStands("a")) }
+      assert(lockStands("a"),
+        "the inner reentrant exit must NOT release the outer hold")
+      // an exception inside a NESTED reentrant body propagates with
+      // the lock still held
+      intercept[RuntimeException](
+        c.withItemProcessLock("a") { throw new RuntimeException("boom") })
+      assert(lockStands("a"),
+        "an inner body's exception must not release the outer hold")
+      // an unrelated item's lock nests and releases independently
+      c.withItemProcessLock("b") { assert(lockStands("b")) }
+      assert(!lockStands("b") && lockStands("a"))
+    }
+    assert(!lockStands("a"), "the outermost exit must release")
+    // an exception from the OUTERMOST body releases (the crash-leak
+    // path is kill -9, not exceptions — those must clean up)
+    intercept[RuntimeException](
+      c.withItemProcessLock("a") { throw new RuntimeException("boom") })
+    assert(!lockStands("a"))
+    // and the lock is genuinely re-acquirable afterwards
+    c.withItemProcessLock("a") { assert(lockStands("a")) }
+    assert(!lockStands("a"))
+  }
+
   test("vacuum age-gates __tmp_* staging in multiprocess mode: fresh spared, corpses swept") {
     // staging is created BEFORE the item lock is taken (it is the data
     // job, deliberately lock-free), so holding every item lock cannot
