@@ -23,8 +23,16 @@ import graft.store._
   * transaction without a byte moving, object stores included.
   * Single-writer, driver-coordinated — the data jobs themselves still
   * run distributed.
+  *
+  * With `exclusive = true` (meaningful in multiprocess mode) the commit
+  * additionally holds every affected item's cross-process lock for its
+  * whole body, making the transaction one atomic unit against writers
+  * and snapshot cuts in OTHER processes — at the price of those items
+  * being write-blocked for the transaction's duration (concurrent
+  * writers poll up to their lock timeout instead of interleaving).
   */
-final class Transaction(collection: Collection) {
+final class Transaction(collection: Collection,
+                        val exclusive: Boolean = false) {
 
   sealed private trait Op { def item: String }
   private case class WriteOp(item: String, df: DataFrame, indexCols: Seq[String],
@@ -60,8 +68,6 @@ final class Transaction(collection: Collection) {
     // so no op destroys what rollback needs — and success just drops
     // the pins (deleteManifest GCs retained dirs nothing else pins).
     val snap = s"__txn_${System.nanoTime()}"
-    Snapshots.createManifest(collection.path, snap,
-      affected.filter(it => collection.path.resolve(it).isDir))
     // Foreign-commit detection for the ROLLBACK: restoring an item to
     // its pre-txn pin erases EVERYTHING since — including a commit some
     // OTHER writer (thread or process) interleaved between this txn's
@@ -82,15 +88,40 @@ final class Transaction(collection: Collection) {
     def genOf(it: String): Long =
       Snapshots.generationOf(Meta.read(collection.path.resolve(it)))
     val lastSeen = mutable.Map.empty[String, Long]
-    affected.foreach(it => lastSeen(it) = genOf(it))
     val foreignSeen = mutable.Set.empty[String]
-    Collection.publishObserver.set((coll, it, g) =>
-      if ((coll eq collection) && lastSeen.contains(it)) lastSeen(it) = g)
+    // EXCLUSIVE mode (meaningful only with multiprocess mode on): hold
+    // every affected item's cross-process lock for the WHOLE commit
+    // body — pin capture, ops, and a failing txn's rollback become one
+    // atomic unit against OTHER PROCESSES: no foreign writer can
+    // interleave between ops (so the rollback's foreign refusal can
+    // never fire) and no foreign snapshot cut can pin a partial
+    // transaction (the cut acquires the same locks and serializes to
+    // before-or-after). The item set is known up front (ops are
+    // queued), and the one global sorted acquisition order rules out
+    // cross-process deadlock even against other exclusive txns. THE
+    // PRICE: this txn's data jobs run under the locks — a deliberate
+    // exception to the "metadata-scale held section" contract, which
+    // is why it is opt-in: a concurrent writer to the same items polls
+    // up to its lock timeout instead of interleaving. Non-exclusive
+    // txns keep the round-13 semantics (foreign commits interleave
+    // legally, fold forward, and refuse the rewind on rollback).
+    def withAllItemLocks[A](body: => A): A =
+      if (!exclusive) body
+      else affected.sorted
+        .foldRight(() => body)((it, k) => () => collection.withItemProcessLock(it)(k()))()
     // hold the commit-coordination READ side across ALL ops (reentrant
     // under each op's own commit): a concurrent snapshot's write-side
     // capture therefore sees the whole transaction or none of it,
     // never a mixed-generation cut
-    try { collection.withCommitLock {
+    try { collection.withCommitLock { withAllItemLocks {
+    // Pin INSIDE the locks: the pinned pre-txn cut is the locked-in
+    // state itself (exclusive mode), not a moment arbitrarily earlier.
+    Snapshots.createManifest(collection.path, snap,
+      affected.filter(it => collection.path.resolve(it).isDir))
+    affected.foreach(it => lastSeen(it) = genOf(it))
+    Collection.publishObserver.set((coll, it, g) =>
+      if ((coll eq collection) && lastSeen.contains(it)) lastSeen(it) = g)
+    Collection.commitSeamHook(s"txn_ops_begin:${affected.sorted.mkString(",")}")
     try {
       ops.foreach { op =>
         if (genOf(op.item) != lastSeen(op.item)) foreignSeen += op.item
@@ -144,7 +175,7 @@ final class Transaction(collection: Collection) {
                  s"pin '$snap' retained for manual recovery"
              else ""))
     }
-    } } finally Collection.publishObserver.remove()
+    } } } finally Collection.publishObserver.remove()
   }
 
   /** Drop the internal pin manifest AND any legacy copied-item dir the
@@ -158,8 +189,9 @@ final class Transaction(collection: Collection) {
 object Transaction {
   /** Context-manager-style execution: auto-commit on success, nothing
     * applied on thrown body (ops are only executed at commit). */
-  def withTransaction[A](collection: Collection)(body: Transaction => A): A = {
-    val txn = new Transaction(collection)
+  def withTransaction[A](collection: Collection, exclusive: Boolean = false)
+                        (body: Transaction => A): A = {
+    val txn = new Transaction(collection, exclusive)
     val result = body(txn)
     txn.commit()
     result
@@ -169,7 +201,8 @@ object Transaction {
 /** Batch transaction: coalesces multiple appends to the same item into
   * one union before executing (reference transactions.py:184-246 / T2 +
   * U2). */
-final class BatchTransaction(collection: Collection) {
+final class BatchTransaction(collection: Collection,
+                             exclusive: Boolean = false) {
   private val appends = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[DataFrame]]
 
   def append(item: String, df: DataFrame): this.type = {
@@ -177,7 +210,7 @@ final class BatchTransaction(collection: Collection) {
   }
 
   def commit(): Unit = {
-    val txn = new Transaction(collection)
+    val txn = new Transaction(collection, exclusive)
     appends.foreach { case (item, dfs) =>
       txn.append(item, dfs.reduce(_ unionByName _))
     }

@@ -702,6 +702,56 @@ class CrashKillSpec extends SparkSpec {
       s"retry count $totalRetries is out of proportion to 3x$batches commits")
   }
 
+  test("EXCLUSIVE transaction racing snapshot cuts from another process: no cut pins a partial transaction") {
+    // non-exclusive transactions are atomic against IN-JVM cuts only
+    // (they hold the commit read lock); a foreign process's cut could
+    // pin one item post-op and the other pre-op. An exclusive txn
+    // holds every affected item's cross-process lock for its whole
+    // body, so the probe's cuts — which acquire the same locks —
+    // serialize to before-or-after whole transactions: every cut must
+    // pin EQUAL commit ordinals for the two items the txn appends to
+    // in sequence.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_txncut")
+    val uri = dir.toString
+    val c = GraftStore.at(spark, uri).collection("c")
+    c.enableMultiprocess()
+    c.write("a", flatFrame(10), indexCols = Seq("index"))
+    c.write("b", flatFrame(10), indexCols = Seq("index"))
+    val cuts = 8
+    val p = forkStart(uri, "<never-fires>", s"snap_cuts:$cuts:150")
+    var r = 0
+    while (p.isAlive && r < 400) {
+      val txn = new graft.transactions.Transaction(c, exclusive = true)
+      txn.append("a", (0 until 5).map(i => (2000 + r * 10 + i, r.toDouble)).toDF("index", "value"))
+      txn.append("b", (0 until 5).map(i => (2000 + r * 10 + i, r.toDouble)).toDF("index", "value"))
+      txn.commit()
+      r += 1
+    }
+    val (code, out) = drain(p)
+    assert(code == 0 && out.contains("COMPLETED"), s"probe rc=$code:\n$out")
+    assert(r > 0, "at least one transaction must have raced the cuts")
+    def genToOrd(it: String): Map[Long, Long] =
+      History.entriesOf(Meta.read(c.path.resolve(it)))
+        .map(e => e.gen -> e.seq).toMap
+    val (ordA, ordB) = (genToOrd("a"), genToOrd("b"))
+    def flatGen(pins: Map[String, (Either[Long, Map[String, Long]], Map[String, org.json4s.JValue])],
+                it: String): Long = pins(it)._1.fold(identity, _ => -1L)
+    val ords = (0 until cuts).map { i =>
+      val pins = Snapshots.manifestAllPins(c.path, s"xcut_$i").getOrElse(
+        fail(s"snapshot xcut_$i must be a manifest"))
+      (i, ordA(flatGen(pins, "a")), ordB(flatGen(pins, "b")))
+    }
+    ords.foreach { case (i, oa, ob) =>
+      assert(oa == ob,
+        s"cut xcut_$i pins a PARTIAL transaction: commit#(a)=$oa commit#(b)=$ob")
+    }
+    assert(ords.exists(_._2 > 1),
+      "at least one cut must have landed after a transaction (rounds observed)")
+    assert(!c.path.listDirs.exists(_.startsWith(Collection.ItemLockPrefix)),
+      "no lock may outlive the race")
+  }
+
   test("item process lock reentrancy: inner exits never release, only the outermost does, even on exceptions") {
     // pins the reentrancy bookkeeping: `heldProcessLocks` adds the key
     // once, a nested acquire is a pure pass-through, and ONLY the

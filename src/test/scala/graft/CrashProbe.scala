@@ -71,6 +71,18 @@ object CrashProbe {
             .toDF("index", "value")
           c.append(it, df)
         }
+      case m if m.startsWith("snap_cuts:") =>
+        // snapshot-cut loop for the EXCLUSIVE-transaction race: capture
+        // manifest cuts from THIS process while the parent runs
+        // exclusive two-item transactions; each capture acquires every
+        // item's cross-process lock, so it must serialize to before or
+        // after a whole transaction — the parent asserts every cut pins
+        // EQUAL commit ordinals for the two items.
+        val Array(_, countS, sleepS) = m.split(":")
+        for (i <- 0 until countS.toInt) {
+          c.createSnapshot(Some(s"xcut_$i"), manifest = Some(true))
+          Thread.sleep(sleepS.toLong)
+        }
       case m if m.startsWith("race_monthly:") =>
         // the monthly spelling: every batch lands in February, so both
         // probes rewrite the SAME period dir through publishMonths'

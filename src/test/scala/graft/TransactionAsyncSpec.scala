@@ -369,4 +369,44 @@ class TransactionAsyncSpec extends SparkSpec {
     c.vacuum()
     cleanup(c)
   }
+
+  test("EXCLUSIVE transaction holds every affected item's cross-process lock for its whole body") {
+    import spark.implicits._
+    val c = tempCollection("txn_exclusive")
+    c.write("a", Seq((1, 1.0)).toDF("index", "value"), indexCols = Seq("index"))
+    c.write("b", Seq((1, 1.0)).toDF("index", "value"), indexCols = Seq("index"))
+    c.enableMultiprocess()
+    def held(): Set[String] =
+      c.path.listDirs.filter(_.startsWith(Collection.ItemLockPrefix)).toSet
+    var atOps: Set[String] = null
+    Collection.commitSeamHook = name =>
+      if (name.startsWith("txn_ops_begin:")) atOps = held()
+    try Transaction.withTransaction(c, exclusive = true) { txn =>
+      txn.append("a", Seq((2, 2.0)).toDF("index", "value"))
+      txn.append("b", Seq((2, 2.0)).toDF("index", "value"))
+    } finally Collection.commitSeamHook = _ => ()
+    assert(atOps == Set("__itemlock_a", "__itemlock_b"),
+      s"the exclusive commit must hold both item locks at its ops seam, held: $atOps")
+    assert(held().isEmpty, "locks must release at commit end")
+    assert(c.item("a").data.count() == 2 && c.item("b").data.count() == 2)
+    // a NON-exclusive transaction holds no item lock at the same seam
+    // (foreign commits may legally interleave between its ops)
+    var atOpsPlain: Set[String] = Set("sentinel")
+    Collection.commitSeamHook = name =>
+      if (name.startsWith("txn_ops_begin:")) atOpsPlain = held()
+    try Transaction.withTransaction(c) { txn =>
+      txn.append("a", Seq((3, 3.0)).toDF("index", "value"))
+    } finally Collection.commitSeamHook = _ => ()
+    assert(atOpsPlain == Set.empty,
+      s"a non-exclusive txn must hold no item lock across ops, held: $atOpsPlain")
+    // a FAILING exclusive transaction rolls back under the same locks
+    // and releases every one of them
+    val txn = new Transaction(c, exclusive = true)
+    txn.append("a", Seq((4, 4.0)).toDF("index", "value"))
+    txn.append("missing_item", Seq((1, 1.0)).toDF("index", "value"))
+    intercept[TransactionError](txn.commit())
+    assert(held().isEmpty, "a failing exclusive txn must release every lock")
+    assert(c.item("a").data.count() == 3, "rollback must restore the pre-txn state")
+    cleanup(c)
+  }
 }
