@@ -1453,6 +1453,135 @@ object PipelineQueries {
        |FROM (SELECT doc_id FROM documents) d LEFT JOIN scored s USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---- trained Naive Bayes classifier (fastText-style supervised filter)
+
+  private def nbCollection(s: SparkSession, dir: String): graft.store.Collection = {
+    val src = new java.io.File(dir, "documents.parquet")
+    val fp = s"${src.length}_${src.lastModified}"
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_verify", s"nb_index_${new java.io.File(dir).getName}_$fp")
+    java.nio.file.Files.createDirectories(root)
+    graft.store.GraftStore(s, "store", root).collection("nb")
+  }
+
+  private def buildAndSaveNb(s: SparkSession, dir: String): Unit = {
+    import graft.operators.TextClassifier
+    val train = Tables.t(s, dir, "documents")
+      .filter(col("doc_id") % 5 =!= 0)
+      .select(col("text"), col("lang"))
+    TextClassifier.train(train, "text", "lang").save(nbCollection(s, dir), "nb")
+  }
+
+  /** Supervised classifier FIT (the fastText-style labeled filter): a
+    * multinomial Naive Bayes over character trigrams trained on the
+    * 80% labeled split (doc_id%5≠0), model + class stats persisted
+    * through the store like the LM/BM25 dictionaries. Emits the
+    * per-class stats (doc/token/model-row counts, prior, default
+    * log-prob) — DuckDB recomputes all of them from scratch, so a
+    * green hash proves the distributed count aggregation AND the
+    * smoothing math. */
+  def textNbTrain(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextClassifier
+    buildAndSaveNb(s, dir)
+    val m = TextClassifier.NaiveBayes.load(nbCollection(s, dir), "nb")
+    m.classStats
+      .join(m.rows.groupBy("label").agg(count(lit(1)).as("n_rows")), "label")
+      .select(col("label"), col("docs"), col("tot"), col("n_rows"),
+        col("prior").cast("double").as("prior"),
+        col("dlp").cast("double").as("dlp"))
+      .orderBy(col("label"))
+  }
+
+  /** Character-trigram tokens (with multiplicity) of the lowercased
+    * text — DuckDB spelling of [[TextClassifier.trigramTokens]].
+    * range(1, length−1) is [1, len−2]; docs under 3 chars yield none. */
+  private val triTokSql: String =
+    "unnest(list_transform(range(1, length(t) - 1), i -> substr(t, CAST(i AS INT), 3)))"
+
+  /** Shared model CTEs: counts/totals/vocab over the training split,
+    * log-probs rounded to 6 decimals and cast DECIMAL(18,6) exactly as
+    * the Spark build does. */
+  private val nbModelCtesSql: String =
+    s"""base AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+       |train AS (SELECT * FROM base WHERE doc_id % 5 <> 0),
+       |trtok AS (SELECT lang, $triTokSql AS tri FROM train),
+       |counts AS (SELECT lang, tri, CAST(count(*) AS BIGINT) AS c
+       |           FROM trtok GROUP BY 1, 2),
+       |totals AS (SELECT lang, CAST(count(*) AS BIGINT) AS tot
+       |           FROM trtok GROUP BY 1),
+       |voc AS (SELECT CAST(count(DISTINCT tri) AS BIGINT) AS v FROM trtok),
+       |docsc AS (SELECT lang, CAST(count(*) AS BIGINT) AS docs
+       |          FROM train GROUP BY 1),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM train)""".stripMargin
+
+  val textNbTrainSql: String =
+    s"""WITH $nbModelCtesSql
+       |SELECT t.lang AS label, d.docs, t.tot,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM counts c
+       |    WHERE c.lang = t.lang) AS n_rows,
+       |  round(ln(CAST(d.docs AS DOUBLE) / nd.n), 6) AS prior,
+       |  round(ln(1.0 / (t.tot + voc.v)), 6) AS dlp
+       |FROM totals t JOIN docsc d ON d.lang = t.lang
+       |CROSS JOIN voc CROSS JOIN nd
+       |ORDER BY label""".stripMargin
+
+  /** Supervised classifier SCORE: load the persisted model, classify
+    * the held-out 20% split. One trigram explode + one skinny model
+    * join + exact-decimal per-(doc, class) sums + an argmax window;
+    * unseen trigrams are charged arithmetically (n − matched) · dlp,
+    * never joined. The output carries no floats — the oracle proves
+    * the ARGMAX itself, end to end, including the decimal determinism
+    * contract. (The synthetic corpus draws every doc's text from the
+    * same vocabulary regardless of its `lang` tag, so predictive
+    * accuracy here is noise BY CONSTRUCTION — the hash verifies the
+    * distributed math; TextClassifierSpec proves the model learns
+    * real signal when the labels carry one.) */
+  def textNbClassify(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextClassifier
+    val c = nbCollection(s, dir)
+    if (!c.hasItem("nb__nb_rows")) buildAndSaveNb(s, dir) // verify-order safety
+    val m = TextClassifier.NaiveBayes.load(c, "nb")
+    val test = Tables.t(s, dir, "documents")
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"), col("lang"))
+    TextClassifier.classify(test.select("doc_id", "text"), m, "doc_id", "text")
+      .join(test.select(col("doc_id"), col("lang").as("lang_actual")), "doc_id")
+      .select(col("doc_id"), col("pred").as("lang_pred"), col("lang_actual"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textNbClassifySql: String =
+    s"""WITH $nbModelCtesSql,
+       |model AS (SELECT c.lang, c.tri,
+       |    CAST(round(ln((c.c + 1.0) / (t.tot + v.v)), 6) AS DECIMAL(18,6)) AS lp
+       |  FROM counts c JOIN totals t ON t.lang = c.lang CROSS JOIN voc v),
+       |stats AS (SELECT t.lang,
+       |    CAST(round(ln(CAST(d.docs AS DOUBLE) / nd.n), 6) AS DECIMAL(18,6)) AS prior,
+       |    CAST(round(ln(1.0 / (t.tot + v.v)), 6) AS DECIMAL(18,6)) AS dlp
+       |  FROM totals t JOIN docsc d ON d.lang = t.lang
+       |  CROSS JOIN voc v CROSS JOIN nd),
+       |test AS (SELECT * FROM base WHERE doc_id % 5 = 0),
+       |tetok AS (SELECT doc_id, $triTokSql AS tri FROM test),
+       |ntri AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+       |         FROM tetok GROUP BY 1),
+       |matched AS (SELECT k.doc_id, m.lang, sum(m.lp) AS msum,
+       |    CAST(count(*) AS BIGINT) AS mcnt
+       |  FROM tetok k JOIN model m ON m.tri = k.tri GROUP BY 1, 2),
+       |scored AS (SELECT d.doc_id, s.lang,
+       |    s.prior + coalesce(mt.msum, 0)
+       |      + (coalesce(n.n, 0) - coalesce(mt.mcnt, 0)) * s.dlp AS score
+       |  FROM (SELECT doc_id FROM test) d
+       |  CROSS JOIN stats s
+       |  LEFT JOIN ntri n ON n.doc_id = d.doc_id
+       |  LEFT JOIN matched mt ON mt.doc_id = d.doc_id AND mt.lang = s.lang),
+       |pred AS (SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rk
+       |  FROM scored)
+       |SELECT p.doc_id, p.lang AS lang_pred, b.lang AS lang_actual
+       |FROM pred p JOIN base b ON b.doc_id = p.doc_id
+       |WHERE p.rk = 1
+       |ORDER BY p.doc_id""".stripMargin
+
   /** Line-level corpus dedup (the RefinedWeb/C4 boilerplate-removal
     * recipe): plant two boilerplate lines (newsletter header + rights
     * footer on doc_id%7, cookie banner on doc_id%5) into the corpus,
@@ -2614,6 +2743,8 @@ object PipelineQueries {
     "text_bm25_search" -> textBm25Search _,
     "text_lm_build" -> textLmBuild _,
     "text_lm_score" -> textLmScore _,
+    "text_nb_train" -> textNbTrain _,
+    "text_nb_classify" -> textNbClassify _,
     "text_line_dedup" -> textLineDedup _,
     "text_chunk" -> textChunk _,
     "text_contamination" -> textContamination _,
@@ -2680,6 +2811,8 @@ object PipelineQueries {
     "text_bm25_search" -> textBm25Sql,
     "text_lm_build" -> textLmBuildSql,
     "text_lm_score" -> textLmScoreSql,
+    "text_nb_train" -> textNbTrainSql,
+    "text_nb_classify" -> textNbClassifySql,
     "text_line_dedup" -> textLineDedupSql,
     "text_chunk" -> textChunkSql,
     "text_contamination" -> textContaminationSql,
