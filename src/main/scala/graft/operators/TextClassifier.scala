@@ -61,8 +61,10 @@ object TextClassifier {
       .select(named :+ col("__t").substr(col("__i"), lit(3)).as("tri"): _*)
   }
 
-  /** A fitted model: `rows` = (label, tri, lp DECIMAL(18,6));
-    * `classStats` = (label, prior, dlp, tot, docs) — classes rows,
+  /** A fitted model: `rows` = (label, tri, c, lp DECIMAL(18,6)) — the
+    * raw count `c` rides along so [[TextClassifier.append]] can merge
+    * new labeled evidence EXACTLY (count addition), not approximately;
+    * `classStats` = (label, docs, tot, prior, dlp) — classes rows,
     * always broadcastable. */
   final case class NaiveBayes(rows: DataFrame, classStats: DataFrame) {
     def save(c: graft.store.Collection, name: String,
@@ -101,12 +103,21 @@ object TextClassifier {
     // trigrams from the table, it must not re-normalize the class mass)
     val totals = tok.groupBy("label").agg(count(lit(1)).as("tot"))
     val vocabV = tok.select("tri").distinct().count()
+    val classCounts = docs.groupBy(lab).agg(count(lit(1)).as("docs"))
+    derive(counts, totals, classCounts, vocabV)
+  }
+
+  /** Materialize log-probs from exact counts — shared by [[train]] and
+    * [[append]] so an appended model is BIT-IDENTICAL to a retrain on
+    * the union corpus. */
+  private def derive(counts: DataFrame, totals: DataFrame,
+                     classCounts: DataFrame, vocabV: Long): NaiveBayes = {
     val rows = counts.join(broadcast(totals), "label")
-      .select(col("label"), col("tri"),
+      .select(col("label"), col("tri"), col("c"),
         round(log((col("c") + lit(1).cast("double")) /
           (col("tot") + lit(vocabV).cast("double"))), 6).cast(Lp).as("lp"))
-    val nDocs = docs.count()
-    val classStats = docs.groupBy(lab).agg(count(lit(1)).as("docs"))
+    val nDocs = classCounts.agg(sum("docs")).head().getLong(0)
+    val classStats = classCounts
       .join(totals, "label")
       .select(col("label"), col("docs"), col("tot"),
         round(log(col("docs").cast("double") / lit(nDocs).cast("double")), 6)
@@ -114,6 +125,34 @@ object TextClassifier {
         round(log(lit(1).cast("double") /
           (col("tot") + lit(vocabV).cast("double"))), 6).cast(Lp).as("dlp"))
     NaiveBayes(rows, classStats)
+  }
+
+  /** Fold NEW labeled documents into a fitted model: merge trigram
+    * counts (full outer on (label, tri)), re-total per class, re-derive
+    * every log-prob from the merged exact counts. The result is
+    * bit-identical to retraining on the union corpus at the cost of the
+    * NEW slice's aggregation plus one model-sized merge — the corpus
+    * already folded in is never re-read. New classes join with their
+    * own counts. Requires an UNCAPPED model (`maxVocabPerClass` prunes
+    * rows, so a capped model's merge would under-count pruned mass);
+    * cap at serving time instead. */
+  def append(model: NaiveBayes, docs: DataFrame, textCol: String,
+             labelCol: String): NaiveBayes = {
+    val lab = col(labelCol).as("label")
+    val tok = trigramTokens(docs, textCol, Seq(lab), Seq("label"))
+    val newCounts = tok.groupBy("label", "tri").agg(count(lit(1)).as("c2"))
+    val counts = model.rows.select("label", "tri", "c")
+      .join(newCounts, Seq("label", "tri"), "full_outer")
+      .select(col("label"), col("tri"),
+        (coalesce(col("c"), lit(0L)) + coalesce(col("c2"), lit(0L))).as("c"))
+    val totals = counts.groupBy("label").agg(sum("c").as("tot"))
+    val classCounts = model.classStats.select(col("label"), col("docs"))
+      .join(docs.groupBy(lab).agg(count(lit(1)).as("docs2")),
+        Seq("label"), "full_outer")
+      .select(col("label"),
+        (coalesce(col("docs"), lit(0L)) + coalesce(col("docs2"), lit(0L))).as("docs"))
+    val vocabV = counts.select("tri").distinct().count()
+    derive(counts, totals, classCounts, vocabV)
   }
 
   /** Classify documents: one row per input doc with the argmax label.

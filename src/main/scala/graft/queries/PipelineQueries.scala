@@ -1525,6 +1525,35 @@ object PipelineQueries {
        |CROSS JOIN voc CROSS JOIN nd
        |ORDER BY label""".stripMargin
 
+  /** Supervised classifier INCREMENTAL FIT: train on the first half of
+    * the labeled split (doc_id%5 ∈ {1,2}), fold the second half
+    * (%5 ∈ {3,4}) in via [[TextClassifier.append]] — exact count
+    * merging, no re-read of the already-folded corpus — and dump the
+    * same per-class stats as the full fit. The oracle IS the full-fit
+    * SQL over the whole split: a green hash proves append ≡ retrain,
+    * bit for bit, through a store round-trip of the partial model. */
+  def textNbAppend(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextClassifier
+    val docs = Tables.t(s, dir, "documents").select(
+      col("doc_id"), col("text"), col("lang"))
+    val first = docs.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2)
+    val second = docs.filter(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4)
+    val c = nbCollection(s, dir)
+    TextClassifier.train(first.select("text", "lang"), "text", "lang")
+      .save(c, "nb_partial")
+    val partial = TextClassifier.NaiveBayes.load(c, "nb_partial")
+    val m = TextClassifier.append(partial, second.select("text", "lang"),
+      "text", "lang")
+    m.classStats
+      .join(m.rows.groupBy("label").agg(count(lit(1)).as("n_rows")), "label")
+      .select(col("label"), col("docs"), col("tot"), col("n_rows"),
+        col("prior").cast("double").as("prior"),
+        col("dlp").cast("double").as("dlp"))
+      .orderBy(col("label"))
+  }
+
+  val textNbAppendSql: String = textNbTrainSql
+
   /** Supervised classifier SCORE: load the persisted model, classify
     * the held-out 20% split. One trigram explode + one skinny model
     * join + exact-decimal per-(doc, class) sums + an argmax window;
@@ -2744,6 +2773,7 @@ object PipelineQueries {
     "text_lm_build" -> textLmBuild _,
     "text_lm_score" -> textLmScore _,
     "text_nb_train" -> textNbTrain _,
+    "text_nb_append" -> textNbAppend _,
     "text_nb_classify" -> textNbClassify _,
     "text_line_dedup" -> textLineDedup _,
     "text_chunk" -> textChunk _,
@@ -2812,6 +2842,7 @@ object PipelineQueries {
     "text_lm_build" -> textLmBuildSql,
     "text_lm_score" -> textLmScoreSql,
     "text_nb_train" -> textNbTrainSql,
+    "text_nb_append" -> textNbAppendSql,
     "text_nb_classify" -> textNbClassifySql,
     "text_line_dedup" -> textLineDedupSql,
     "text_chunk" -> textChunkSql,

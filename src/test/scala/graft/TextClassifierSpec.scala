@@ -86,6 +86,25 @@ class TextClassifierSpec extends SparkSpec {
     assert(f == cp)
   }
 
+  test("append is bit-identical to retraining on the union corpus; new classes join") {
+    val all = df(
+      (1L, "the quick brown fox", "en"), (2L, "the lazy brown dog", "en"),
+      (3L, "der schnelle braune", "de"), (4L, "le renard brun rapide", "fr"))
+    val retrained = TextClassifier.train(all, "text", "lab")
+    // fr is a NEW class at append time
+    val appended = TextClassifier.append(
+      TextClassifier.train(df(
+        (1L, "the quick brown fox", "en"), (3L, "der schnelle braune", "de")),
+        "text", "lab"),
+      df((2L, "the lazy brown dog", "en"), (4L, "le renard brun rapide", "fr")),
+      "text", "lab")
+    def dump(m: TextClassifier.NaiveBayes) = (
+      m.rows.orderBy("label", "tri").collect().toSeq,
+      m.classStats.orderBy("label").collect().toSeq)
+    assert(dump(appended) == dump(retrained))
+    assert(appended.classStats.count() == 3)
+  }
+
   test("model round-trips through the store and classifies identically") {
     val c = tempCollection("nb_roundtrip")
     val m = TextClassifier.train(df(
