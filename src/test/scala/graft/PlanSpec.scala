@@ -67,6 +67,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("nb classify: class stats broadcast, no cartesian, argmax window partitioned by doc") {
+    val p = plan("text_nb_classify")
+    assert(!p.contains("CartesianProduct"),
+      "the docs x classes frame must broadcast, never cartesian")
+    assert(p.contains("Broadcast"), "class stats should broadcast")
+    // the argmax window must partition by doc_id — an empty partition
+    // spec would funnel every scored row through one task
+    assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"),
+      "argmax window lost its partition spec")
+    assert(p.contains("Window"), "expected the argmax window")
+  }
+
   test("curation pipeline: one window exchange, no cartesian, single rollup") {
     val p = plan("pipeline_curation")
     assert(!p.contains("CartesianProduct"))
