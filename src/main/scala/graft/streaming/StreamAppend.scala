@@ -593,6 +593,42 @@ object StreamAppend {
       }
   }
 
+  /** Streaming class gate over a PERSISTED Naive Bayes model — the
+    * trained-filter counterpart of [[intoLmGate]]: each micro-batch is
+    * classified against the frozen model ([[TextClassifier.classify]]:
+    * one trigram explode + one skinny model join + exact-decimal
+    * argmax), documents whose predicted label is outside `keepLabels`
+    * are dropped, and survivors append WITH their `pred` column
+    * through the index-dedup item path. The model is LOADED per batch,
+    * never refit — refitting is an offline [[TextClassifier.append]]
+    * job, the frozen-index contract every sink here shares. Scoring is
+    * stateless and deterministic, so re-delivery idempotency needs no
+    * epoch watermark: KeepLast of identical survivor rows is a no-op. */
+  def intoNbGate(stream: DataFrame,
+                 collection: Collection,
+                 modelName: String,
+                 item: String,
+                 keepLabels: Seq[String],
+                 textCol: String = "text",
+                 idCol: String = "doc_id"): DataStreamWriter[Row] = {
+    import graft.operators.TextClassifier
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val m = TextClassifier.NaiveBayes.load(collection, modelName)
+          val preds = TextClassifier.classify(batch, m, idCol, textCol)
+            .filter(col("pred").isin(keepLabels: _*))
+          val survivors = batch.join(preds, Seq(idCol))
+          if (!survivors.isEmpty) {
+            if (!collection.hasItem(item))
+              collection.write(item, survivors, indexCols = Seq(idCol))
+            else collection.append(item, survivors, DuplicateHandling.KeepLast)
+          }
+        }
+      }
+  }
+
   /** Run a bounded streaming job to completion (test/driver helper). */
   def runToCompletion(writer: DataStreamWriter[Row]): Unit = {
     val q: StreamingQuery = writer.trigger(Trigger.AvailableNow()).start()

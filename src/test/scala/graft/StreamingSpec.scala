@@ -139,6 +139,36 @@ class StreamingSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("streaming NB gate: off-class docs dropped, survivors carry pred, re-delivery idempotent") {
+    import graft.operators.TextClassifier
+    val c = tempCollection("stream_nb_gate")
+    val src = Files.createTempDirectory("graft_stream_nb")
+    import spark.implicits._
+    // train a model with real signal (the synthetic corpus labels are
+    // noise by construction, so the gate trains on its own fixture)
+    TextClassifier.train(Seq(
+      ("the quick brown fox", "en"), ("the lazy brown dog", "en"),
+      ("der schnelle braune hund", "de"), ("der faule braune hund", "de"))
+      .toDF("text", "lab"), "text", "lab").save(c, "nb")
+    val probes = Seq((9001L, "the quick dog"), (9002L, "der schnelle hund"))
+      .toDF("doc_id", "text")
+    probes.write.mode("overwrite").parquet(s"$src/in")
+    val stream = spark.readStream.schema(probes.schema).parquet(s"$src/in")
+    def run(ckpt: String): Unit = StreamAppend.runToCompletion(
+      StreamAppend.intoNbGate(stream, c, "nb", "en_docs", keepLabels = Seq("en"))
+        .option("checkpointLocation", s"$src/$ckpt"))
+    run("ckpt")
+    val rows = c.item("en_docs").data.select($"doc_id", $"pred")
+      .as[(Long, String)].collect().toSeq
+    assert(rows == Seq((9001L, "en")), s"gate kept wrong docs: $rows")
+    // fresh checkpoint re-delivers the batch; KeepLast of identical
+    // survivor rows is a no-op — stateless-score idempotency
+    run("ckpt2")
+    assert(c.item("en_docs").data.count() == 1L)
+    FsOps.deleteRecursively(src)
+    cleanup(c)
+  }
+
   test("streaming deduped ingest: survivors index incrementally, re-delivery safe") {
     import graft.operators.DedupIndex
     val c = tempCollection("stream_minhash")
