@@ -499,23 +499,30 @@ object Collection {
     * (`fenceBudgetMs`, matching the item-lock timeout), never by a
     * fixed attempt count an N-writer burst could exhaust: under
     * sustained contention each writer loses only to real commits and
-    * serializes behind them. Torn reads keep the attempt CAP — a
-    * genuinely missing file (corruption) must surface, not spin for
-    * two minutes; under contention most conflicts are caught by the
-    * fence (checked under the lock) before the read can tear. Backoff
-    * is quadratic with jitter so contending processes fall out of
-    * lockstep instead of re-colliding every round. */
+    * serializes behind them. Torn reads get the SAME time budget when
+    * `genProbe` proves the item's committed generation MOVED since the
+    * attempt began (the tear was a foreign commit's swap — e.g. a
+    * writer whose lock-free staging keeps racing an exclusive
+    * transaction's back-to-back publishes; every data commit advances
+    * the generation, so progress is observable); a torn read with an
+    * UNCHANGED generation is a genuinely missing file (corruption) and
+    * keeps the attempt CAP — it must surface, not spin for two
+    * minutes. Backoff is quadratic with jitter so contending processes
+    * fall out of lockstep instead of re-colliding every round. */
   private[store] def retryOnConflict[A](maxAttempts: Int = 8,
-                                        fenceBudgetMs: Long = 120000L)(body: => A): A = {
+                                        fenceBudgetMs: Long = 120000L,
+                                        genProbe: () => Long = () => -1L)(body: => A): A = {
     val start = System.currentTimeMillis()
     var tornReads = 0
     var attempt = 1
+    var genAtAttempt = genProbe()
     def backoff(): Unit = {
       conflictRetries.incrementAndGet()
       val base = math.min(25L * attempt * attempt, 1000L)
       Thread.sleep(base / 2 +
         java.util.concurrent.ThreadLocalRandom.current().nextLong(base / 2 + 1))
       attempt += 1
+      genAtAttempt = genProbe()
     }
     while (true) {
       try return body
@@ -524,9 +531,18 @@ object Collection {
           if (System.currentTimeMillis() - start > fenceBudgetMs) throw e
           backoff()
         case e: Throwable if isTornRead(e) =>
-          tornReads += 1
-          if (tornReads >= maxAttempts) throw e
-          backoff()
+          val moved = genAtAttempt >= 0 && {
+            val now = try genProbe() catch { case _: Exception => genAtAttempt }
+            now != genAtAttempt
+          }
+          if (moved) { // foreign progress proven — time budget, not the cap
+            if (System.currentTimeMillis() - start > fenceBudgetMs) throw e
+            backoff()
+          } else {
+            tornReads += 1
+            if (tornReads >= maxAttempts) throw e
+            backoff()
+          }
       }
     }
     throw new IllegalStateException("unreachable")
@@ -700,6 +716,16 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     held += key
     try body finally { held -= key; lock.deleteRecursively() }
   }
+
+  /** Progress probe for [[Collection.retryOnConflict]]'s torn-read
+    * classification: the item's current committed generation, read
+    * fresh (never the TTL cache — staleness would misread foreign
+    * progress as corruption). Total: any read failure (e.g. the
+    * sidecar itself mid-swap) returns −1, which conservatively counts
+    * the tear toward the corruption cap instead of the time budget. */
+  private def genProbeFor(item: String): () => Long = () =>
+    try Snapshots.generationOf(Meta.read(path.resolve(item)))
+    catch { case _: Exception => -1L }
 
   /** Acquire two items' process locks in sorted-name order (the
     * cross-process deadlock discipline for the one two-item verb,
@@ -1449,7 +1475,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     // Optimistic concurrency: the publish fence refuses a staging whose
     // base generation another writer moved; each retry re-reads the
     // fresh state, so the interleaved commit's rows are carried.
-    Collection.retryOnConflict() {
+    Collection.retryOnConflict(genProbe = genProbeFor(item)) {
       appendOnce(item, df, duplicateHandling, validateSchema, evolution,
         npartitions, extraMeta)
     }
@@ -2136,7 +2162,8 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
                    cutoff: java.sql.Timestamp): Collection.ExpireResult =
     // fenced + retried like deleteWhere — re-running an expiry over the
     // fresh state is the same cutoff applied later, always legal
-    Collection.retryOnConflict() { expireBeforeOnce(item, cutoff) }
+    Collection.retryOnConflict(genProbe = genProbeFor(item)) {
+      expireBeforeOnce(item, cutoff) }
 
   private def expireBeforeOnce(item: String,
                                cutoff: java.sql.Timestamp): Collection.ExpireResult = {
@@ -2225,7 +2252,8 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     // between this read-modify-write's read and its publish refuses the
     // publish, and the retry re-applies the predicate to the fresh
     // state — a legal serialization (the delete ran after that commit)
-    Collection.retryOnConflict() { deleteWhereOnce(item, predicate) }
+    Collection.retryOnConflict(genProbe = genProbeFor(item)) {
+      deleteWhereOnce(item, predicate) }
 
   private def deleteWhereOnce(item: String,
                               predicate: org.apache.spark.sql.Column): Long = {
@@ -2507,7 +2535,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
   def rebalance(item: String, npartitions: Option[Int] = None): Int =
     // fenced + retried like every read-modify-write (see append): a
     // commit landing mid-rebalance must not be clobbered by the re-lay
-    Collection.retryOnConflict() {
+    Collection.retryOnConflict(genProbe = genProbeFor(item)) {
     if (!hasItem(item))
       throw new ItemNotFoundError(s"item '$item' does not exist")
     val baseGen = Snapshots.generationOf(Meta.read(path.resolve(item)))
@@ -2582,7 +2610,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     val current = timeLayoutOf(item).getOrElse("flat")
     if (current == target && (!isTime || monthlySaltOf(item) == monthlySalt)) return
     // fenced + retried like every read-modify-write (see append)
-    Collection.retryOnConflict() {
+    Collection.retryOnConflict(genProbe = genProbeFor(item)) {
     val it = this.item(item)
     val idx = it.indexCols
     val df = it.data
@@ -2639,7 +2667,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         s"rebalanceZOrder: item '$item' has a time layout; z-order applies to " +
           "flat items (use rebalance() to compact a time-layout item)")
     // fenced + retried like every read-modify-write (see append)
-    Collection.retryOnConflict() {
+    Collection.retryOnConflict(genProbe = genProbeFor(item)) {
     val baseGen = Snapshots.generationOf(Meta.read(path.resolve(item)))
     val df = this.item(item).data
     val laidOut = graft.operators.ZOrder.cluster(df, cols, bits,
@@ -2909,7 +2937,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     // commits) and full-sidecar equality (metadata-only DDL, which
     // does not advance the generation); a refused publish re-reads and
     // re-stages via retryOnConflict.
-    Collection.retryOnConflict() {
+    Collection.retryOnConflict(genProbe = genProbeFor(item)) {
       val itemPath = path.resolve(item)
       metaCache.remove(item) // each attempt must read the fresh sidecar
       val meta = Meta.read(itemPath)
@@ -3003,7 +3031,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     // never a data job). An append landing mid-rewrite is refused by
     // the generation fence; a metadata-only DDL (gen unchanged) by the
     // sidecar-equality fence; either refusal re-reads and re-stages.
-    Collection.retryOnConflict() {
+    Collection.retryOnConflict(genProbe = genProbeFor(item)) {
     metaCache.remove(item) // each attempt must read the fresh sidecar
     val meta0 = Meta.read(path.resolve(item))
     val it = this.item(item)

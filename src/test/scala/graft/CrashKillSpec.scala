@@ -702,6 +702,84 @@ class CrashKillSpec extends SparkSpec {
       s"retry count $totalRetries is out of proportion to 3x$batches commits")
   }
 
+  test("SUSTAINED MONTHLY contention: three processes hammering the SAME period serialize completely") {
+    // the flat-layout stress has a sibling here because publishMonths
+    // is the more intricate path: per-period swaps journaled by
+    // intents, the sidecar write as the commit point, the fence on the
+    // period map. Three writers x 5 batches all land in February, so
+    // every commit rewrites the SAME month dir; stamps are
+    // writer-and-batch-distinct (hour = writer, minute = batch).
+    val uri = prepare(hadoop = false)
+    coll(uri).enableMultiprocess()
+    val batches = 5
+    val probes = (1 to 3).map(tag =>
+      tag -> forkStart(uri, "<never-fires>", s"race_monthly:$tag:$batches"))
+    var totalRetries = 0L
+    probes.foreach { case (tag, p) =>
+      val (code, out) = drain(p)
+      assert(code == 0 && out.contains("COMPLETED"), s"probe $tag rc=$code:\n$out")
+      totalRetries += out.linesIterator.collectFirst {
+        case l if l.contains("RETRIES=") => l.split("RETRIES=")(1).trim.toLong
+      }.getOrElse(0L)
+    }
+    info(s"total fence/torn-read retries across 3x$batches monthly commits: $totalRetries")
+    val v = coll(uri)
+    assert(v.item("mit").data.count() == 60 + 3 * batches * 20,
+      "every writer's every February batch must survive the burst")
+    // per-row identity: writer tag in the hour, batch in the minute
+    val idx = v.item("mit").data
+      .select(org.apache.spark.sql.functions.col("index")).collect()
+      .map(_.getTimestamp(0)).toSet
+    for (tag <- 1 to 3; b <- 0 until batches; i <- 0 until 20)
+      assert(idx.contains(java.sql.Timestamp.valueOf(
+          java.time.LocalDate.parse("2024-02-01").plusDays(i).atTime(tag, b))),
+        s"writer $tag batch $b day $i was clobbered")
+    assert(histSize(v, "mit") == 1 + 3 * batches)
+    assert(!v.path.fs.listFiles(v.path.raw).exists(_.startsWith("__swap_intent_")),
+      "no torn-commit journal may survive a clean burst")
+    assert(!v.path.listDirs.exists(_.startsWith(Collection.ItemLockPrefix)))
+    assert(v.vacuum().isEmpty)
+    assert(totalRetries <= 3L * batches * 20,
+      s"retry count $totalRetries is out of proportion to 3x$batches commits")
+  }
+
+  test("a foreign writer racing EXCLUSIVE transactions on the same item serializes — blocks, never breaks") {
+    // the exclusive txn holds the item lock across its data jobs (the
+    // documented price); a concurrent process appending the SAME item
+    // must WAIT on the lock and then land — its poll budget (120 s)
+    // dwarfs a txn's duration — never fail or lose rows.
+    val dir = Files.createTempDirectory("graft_txnwriter")
+    val uri = dir.toString
+    val c = GraftStore.at(spark, uri).collection("c")
+    c.enableMultiprocess()
+    c.write("rit", flatFrame(40), indexCols = Seq("index"))
+    val batches = 4
+    val p = forkStart(uri, "<never-fires>", s"race_append:1:$batches")
+    var txns = 0
+    import spark.implicits._
+    while (p.isAlive && txns < 200) {
+      val txn = new graft.transactions.Transaction(c, exclusive = true)
+      txn.append("rit",
+        (0 until 5).map(i => (500000 + txns * 10 + i, 1.0)).toDF("index", "value"))
+      txn.commit()
+      txns += 1
+      Thread.sleep(50) // realistic pacing — zero-gap would be a livelock rig
+    }
+    val (code, out) = drain(p)
+    assert(code == 0 && out.contains("COMPLETED"),
+      s"the writer must complete every append against exclusive txns (rc=$code):\n$out")
+    assert(txns > 0, "at least one exclusive txn must have raced the writer")
+    val v = coll(uri)
+    assert(v.item("rit").data.count() == 40 + batches * 20 + txns * 5,
+      "both the writer's and the txns' rows must all survive")
+    val idx = v.item("rit").data.select("index").collect().map(_.getInt(0)).toSet
+    for (b <- 0 until batches; i <- 0 until 20)
+      assert(idx.contains(100000 + 10000 + b * 100 + i),
+        s"writer batch $b row $i was lost to an exclusive txn")
+    assert(histSize(v, "rit") == 1 + batches + txns)
+    assert(!v.path.listDirs.exists(_.startsWith(Collection.ItemLockPrefix)))
+  }
+
   test("EXCLUSIVE transaction racing snapshot cuts from another process: no cut pins a partial transaction") {
     // non-exclusive transactions are atomic against IN-JVM cuts only
     // (they hold the commit read lock); a foreign process's cut could
