@@ -138,6 +138,19 @@ object TextClassifier {
     * cap at serving time instead. */
   def append(model: NaiveBayes, docs: DataFrame, textCol: String,
              labelCol: String): NaiveBayes = {
+    // refuse a capped model TYPED rather than silently under-counting:
+    // per class, sum(rows.c) == tot holds iff no row was pruned — one
+    // model-sized aggregation, cheap next to the merge itself
+    val capped = model.rows.groupBy("label").agg(sum("c").as("rowMass"))
+      .join(model.classStats.select("label", "tot"), "label")
+      .filter(col("rowMass") =!= col("tot"))
+      .select("label").limit(1).collect()
+    if (capped.nonEmpty)
+      throw new IllegalArgumentException(
+        s"append requires an UNCAPPED model, but class '${capped.head.getString(0)}' " +
+          "has pruned rows (maxVocabPerClass was set at train time) — merging " +
+          "pruned counts would silently under-count the class mass; retrain " +
+          "uncapped and cap at serving time instead")
     val lab = col(labelCol).as("label")
     val tok = trigramTokens(docs, textCol, Seq(lab), Seq("label"))
     val newCounts = tok.groupBy("label", "tri").agg(count(lit(1)).as("c2"))

@@ -709,7 +709,10 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         throw new LockTimeoutError(
           s"could not acquire the cross-process writer lock for item '$item' " +
             s"within ${processLockTimeoutMs}ms (held by $owner); if that " +
-            "process crashed, clear stale locks with breakItemLocks()")
+            "process crashed, clear stale locks with breakItemLocks() — but " +
+            "verify it first: a LIVE holder may be an exclusive transaction " +
+            "legitimately holding the lock across its data jobs, and breaking " +
+            "a live writer's lock destroys its atomicity")
       }
       Thread.sleep(25)
     }
@@ -740,12 +743,15 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * cross-process cycle can form), then run `body`. No-op outside
     * multiprocess mode. This is how the collection-level admin verbs
     * (vacuum, createSnapshot's cut, rollbackTo's restore) exclude
-    * writers in OTHER processes: a writer holds its one item lock for
-    * an O(1) publish, so each acquisition here waits milliseconds
-    * unless the holder died — in which case the poll times out typed,
-    * naming breakItemLocks(). The held section must stay METADATA-
-    * scale (sidecar reads, renames, hardlinks — never a data job),
-    * same contract as the per-item lock. */
+    * writers in OTHER processes: an ordinary writer holds its one item
+    * lock for an O(1) publish, so each acquisition here usually waits
+    * milliseconds; an EXCLUSIVE transaction legitimately holds its
+    * items' locks across its data jobs, so acquisition can wait that
+    * long too. A dead holder's stale lock times out typed, naming
+    * breakItemLocks() (with a live-exclusive-txn caveat). The held
+    * section must stay METADATA-scale (sidecar reads, renames,
+    * hardlinks — never a data job), same contract as the per-item
+    * lock. */
   private def withItemProcessLockAll[A](itemNames: Iterable[String])(body: => A): A =
     if (!multiprocessEnabled) body
     else itemNames.toSeq.distinct.sorted
@@ -1191,7 +1197,9 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       }
     }
     // SIDECAR fence, for stagings whose `meta` merges over a full
-    // sidecar read (renameColumn): metadata-only DDL (add/drop column,
+    // sidecar read (every read-modify-write publisher — append,
+    // deleteWhere, expire, rebalance, convertLayout, z-order, the COW
+    // row ops, renameColumn): metadata-only DDL (add/drop column,
     // properties) writes the sidecar WITHOUT advancing the generation —
     // deliberately, generations identify DATA states — so the gen fence
     // above cannot see it, and publishing this staging's merged meta
@@ -1278,12 +1286,13 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * a failure mid-sequence restores the already-swapped months. */
   private def commitMonths(item: String, df: DataFrame, months: Seq[String],
                            meta: Map[String, JValue],
-                           expectedGen: Option[Long] = None): Unit = {
+                           expectedGen: Option[Long] = None,
+                           expectedMeta: Option[Map[String, JValue]] = None): Unit = {
     val tmp = stagingDir(item)
     tmp.deleteRecursively()
     df.write.mode("overwrite").option("compression", "snappy")
       .partitionBy(MonthCol).parquet(tmp.toString)
-    publishMonths(item, tmp, months, meta, expectedGen)
+    publishMonths(item, tmp, months, meta, expectedGen, expectedMeta)
   }
 
   /** Atomic publication half of [[commitMonths]] — the per-period
@@ -1292,12 +1301,27 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * is a removal. Shared with the row-level COW path. */
   private[graft] def publishMonths(item: String, tmp: SPath, months: Seq[String],
                                    meta: Map[String, JValue],
-                                   expectedGen: Option[Long] = None): Unit = {
+                                   expectedGen: Option[Long] = None,
+                                   expectedMeta: Option[Map[String, JValue]] = None): Unit = {
     withCommitLock { withItemDdlLock(item) {
     val dataDir = path.resolve(item).resolve(Item.DataDir)
     val meta0 = Meta.read(path.resolve(item))
     val oldPg = Snapshots.periodGensOf(meta0)
     val oldGen = Snapshots.generationOf(meta0)
+    // SIDECAR fence — same contract as publishFull's: `meta` merges
+    // over a full sidecar read taken at STAGING time, and a
+    // metadata-only DDL (gen unchanged by design) landing during the
+    // staging job would be silently reverted by publishing that merge.
+    // Refuse typed; retryOnConflict re-reads and re-stages.
+    expectedMeta.foreach { base =>
+      if (meta0 != base) {
+        tmp.deleteRecursively()
+        throw new ConcurrentWriteError(
+          s"item '$item''s sidecar changed since this rewrite read it " +
+            "(a concurrent DDL or metadata write) — publishing would " +
+            "revert that change")
+      }
+    }
     // Generation FENCE — same contract as publishFull's: refuse (and
     // let append retry) rather than clobber a commit that landed
     // between this mutation's read and its publish.
@@ -1594,7 +1618,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
            storedMeta, deduped.schema).json)) ++
       extraMeta ++ Collection.opTag("append")
     commit(item, laidOut, prevMeta, partitioned = monthly,
-      expectedGen = Some(baseGen))
+      expectedGen = Some(baseGen), expectedMeta = Some(storedMeta))
     // the full rewrite re-derived every period: stale per-period stats
     // would let a later pruned delete silently skip live rows
     if (monthly) maybeRefreshPeriodStats(item, None)
@@ -1663,11 +1687,13 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     val prevStats = readStatsMeta(item).getOrElse(
       Partitioner.computeStats(existing.data, idx.head))
     val stats = prevStats.merge(Partitioner.computeStats(newDf, idx.head))
-    val prevMeta = Meta.read(path.resolve(item)) ++ statsMeta(stats) ++ extraMeta ++
+    val storedMeta = Meta.read(path.resolve(item))
+    val prevMeta = storedMeta ++ statsMeta(stats) ++ extraMeta ++
       Collection.opTag("append")
     commitMonths(item,
       withTimeLayout(combined.dropDuplicates(), idx, monthlySaltOf(item), layout),
-      months, prevMeta, expectedGen = Some(baseGen))
+      months, prevMeta, expectedGen = Some(baseGen),
+      expectedMeta = Some(storedMeta))
     maybeRefreshPeriodStats(item, Some(months))
   }
 
@@ -1795,9 +1821,13 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     // Residual exposure: an item born after this listing holds a lock
     // the sweep never takes — its only on-disk footprint is fresh
     // `__tmp_*` staging, which the age gate below spares.
+    // FRESH listing, never the cached item set: an item created by
+    // ANOTHER process since this JVM's last refresh must still be
+    // locked, or its writer's in-flight asides could be swept
     val lockScope =
       if (!multiprocessEnabled) Nil
-      else items ++ path.listDirs.filter(_.startsWith(Collection.ItemLockPrefix))
+      else refreshItems() ++ path.listDirs
+        .filter(_.startsWith(Collection.ItemLockPrefix))
         .map(_.stripPrefix(Collection.ItemLockPrefix))
     withItemProcessLockAll(lockScope) {
     // Swap REPAIR first, deletion after: a crash BETWEEN a swap's two
@@ -1829,7 +1859,11 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     val stagingCutoff = java.time.Instant.now().minusSeconds(3600)
     def deadStagingDir(d: String): Boolean =
       d.startsWith(TmpPrefix) && (!multiprocessEnabled ||
-        path.fs.modifiedAt(path.resolve(d).raw).forall(_.isBefore(stagingCutoff)))
+        // exists, not forall: an unreadable mtime (backend cannot say)
+        // must SPARE the dir — sweeping on missing evidence could fail
+        // a live writer's in-flight job, the exact thing the gate exists
+        // to prevent; a genuinely vanished dir is a no-op next sweep
+        path.fs.modifiedAt(path.resolve(d).raw).exists(_.isBefore(stagingCutoff)))
     val junk = path.listDirs.filter(d =>
       deadStagingDir(d) ||
         (d.startsWith("__backup_") &&
@@ -2221,7 +2255,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         commitMonths(item,
           withTimeLayout(keep, idx, monthlySaltOf(item), layout),
           expired, prevMeta ++ Collection.opTag("expire"),
-          expectedGen = Some(baseGen))
+          expectedGen = Some(baseGen), expectedMeta = Some(prevMeta))
         maybeRefreshPeriodStats(item, Some(expired))
         Collection.ExpireResult(toRemove, boundaryDeleted)
       case None =>
@@ -2281,7 +2315,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         commitMonths(item,
           withTimeLayout(touched.filter(!predicate), idx, monthlySaltOf(item), layout),
           months, prevMeta ++ Collection.opTag("delete_where"),
-          expectedGen = Some(baseGen))
+          expectedGen = Some(baseGen), expectedMeta = Some(prevMeta))
         maybeRefreshPeriodStats(item, Some(months))
         deleted
       case None =>
@@ -2290,7 +2324,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         if (deleted == 0L) return 0L
         commit(item, raw.filter(!predicate),
           prevMeta ++ Collection.opTag("delete_where"),
-          expectedGen = Some(baseGen))
+          expectedGen = Some(baseGen), expectedMeta = Some(prevMeta))
         deleted
     }
   }
@@ -2367,7 +2401,8 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     // so a commit landing since makes them stale — the publish refuses
     // typed (SQL row ops surface the error; unlike append there is no
     // auto-retry, the rewrite rule's scan cannot be re-driven from here)
-    val prevMeta = Meta.read(path.resolve(item)) ++ Collection.opTag(op)
+    val storedMeta = Meta.read(path.resolve(item))
+    val prevMeta = storedMeta ++ Collection.opTag(op)
     scannedPeriods match {
       case Some(scanned) =>
         val staged =
@@ -2388,13 +2423,14 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         }
         val months = (scanned ++ staged).distinct.sorted
         if (months.nonEmpty) {
-          publishMonths(item, staging, months, prevMeta, expectedGen)
+          publishMonths(item, staging, months, prevMeta, expectedGen,
+            expectedMeta = Some(storedMeta))
           maybeRefreshPeriodStats(item, Some(months))
         } else staging.deleteRecursively()
       case None =>
         if (!staging.isDir) staging.mkdirs() // all rows deleted → empty item
         publishFull(item, staging, prevMeta, partitioned = false,
-          expectedGen = expectedGen)
+          expectedGen = expectedGen, expectedMeta = Some(storedMeta))
     }
     clearMetadataCache(Some(item))
   }
@@ -2562,10 +2598,12 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         // the re-lay re-keys every period in THIS session's tz: record
         // it so later period-name pruning resolves against the zone the
         // dirs are actually keyed in
-        commit(item, laidOut, Meta.read(path.resolve(item)) ++ Meta.obj(
+        val storedMeta = Meta.read(path.resolve(item))
+        commit(item, laidOut, storedMeta ++ Meta.obj(
           "_layout_tz" -> spark.conf.get("spark.sql.session.timeZone", "UTC")) ++
           Collection.opTag("rebalance"),
-          partitioned = true, expectedGen = Some(baseGen))
+          partitioned = true, expectedGen = Some(baseGen),
+          expectedMeta = Some(storedMeta))
         maybeRefreshPeriodStats(item, None)
         dataDirFileCount(item)
       case None =>
@@ -2575,10 +2613,11 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
           case None    => Partitioner.decide(Partitioner.estimatedBytes(df), stats)
         }
         val laidOut = Partitioner(df, idx, n)
-        val prevMeta = Meta.read(path.resolve(item)) ++
+        val storedMeta = Meta.read(path.resolve(item))
+        val prevMeta = storedMeta ++
           Meta.obj("_partitions" -> n, "_partition_strategy" -> strategy.name)
         commit(item, laidOut, prevMeta ++ Collection.opTag("rebalance"),
-          expectedGen = Some(baseGen))
+          expectedGen = Some(baseGen), expectedMeta = Some(storedMeta))
         n
     }
   }
@@ -2627,7 +2666,8 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         "_partition_strategy" -> Partitioner.TimeBased.name)
       commit(item, withTimeLayout(df, idx, monthlySalt, target),
         newMeta ++ Collection.opTag("convert_layout"),
-        partitioned = true, expectedGen = Some(baseGen))
+        partitioned = true, expectedGen = Some(baseGen),
+        expectedMeta = Some(prevMeta))
       maybeRefreshPeriodStats(item, None)
     } else {
       val stats = readStatsMeta(item).getOrElse(Partitioner.computeStats(df, idx.head))
@@ -2640,7 +2680,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         "_partition_strategy" -> strategy.name)
       commit(item, Partitioner(df, idx, n),
         newMeta ++ Collection.opTag("convert_layout"),
-        expectedGen = Some(baseGen))
+        expectedGen = Some(baseGen), expectedMeta = Some(prevMeta))
     }
     }
   }
@@ -2675,10 +2715,11 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         Partitioner.decide(Partitioner.estimatedBytes(df),
           readStatsMeta(item).getOrElse(
             Partitioner.computeStats(df, this.item(item).indexCols.head)))._1)))
-    val prevMeta = Meta.read(path.resolve(item)) ++
+    val storedMeta = Meta.read(path.resolve(item))
+    val prevMeta = storedMeta ++
       Meta.obj("_zorder_cols" -> cols.mkString(","), "_zorder_bits" -> bits)
     commit(item, laidOut, prevMeta ++ Collection.opTag("zorder"),
-      expectedGen = Some(baseGen))
+      expectedGen = Some(baseGen), expectedMeta = Some(storedMeta))
     }
   }
 
@@ -3179,9 +3220,14 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     // under the locks is metadata-scale — O(items) sidecar reads
     // (manifest arm) or hardlinks (dir arm), never a data job.
     withSnapshotLock {
-      withItemProcessLockAll(items) {
+      // FRESH listing, never the cached item set: an item created by
+      // another process since this JVM's last refresh must be locked
+      // and pinned too, or the cut would silently omit it (and a later
+      // partial rollback would misread it as post-cut)
+      val cut = refreshItems()
+      withItemProcessLockAll(cut) {
       Collection.commitSeamHook(s"snapshot_cut:$snap")
-      if (useManifest) Snapshots.createManifest(path, snap, items)
+      if (useManifest) Snapshots.createManifest(path, snap, cut)
       else {
         // stage under a dot-name (hidden from listSnapshots) and
         // publish with ONE rename: a copy killed mid-way must never

@@ -125,13 +125,21 @@ final class Transaction(collection: Collection,
     try {
       ops.foreach { op =>
         if (genOf(op.item) != lastSeen(op.item)) foreignSeen += op.item
+        val beforeOp = lastSeen(op.item)
         op match {
           case WriteOp(it, df, idx, meta, ow) =>
             collection.write(it, df, idx, meta, overwrite = ow)
           case AppendOp(it, df, h) => collection.append(it, df, h)
           case DeleteOp(it)        => collection.deleteItem(it)
         }
-        lastSeen(op.item) = genOf(op.item)
+        // The observer already recorded the generation our op PRODUCED
+        // at its publish point. Re-read only when it did not fire
+        // (deleteItem has no publish): a blind post-op re-read would
+        // silently ADOPT a foreign commit that landed between our
+        // publish and this line (e.g. during a post-commit stats
+        // refresh), and rollback would then rewind that foreign
+        // writer's rows without the refusal this machinery exists for.
+        if (lastSeen(op.item) == beforeOp) lastSeen(op.item) = genOf(op.item)
       }
       cleanupTxnSnapshot(snap)
     } catch {

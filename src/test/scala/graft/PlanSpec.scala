@@ -73,10 +73,11 @@ class PlanSpec extends SparkSpec {
       "the docs x classes frame must broadcast, never cartesian")
     assert(p.contains("Broadcast"), "class stats should broadcast")
     // the argmax window must partition by doc_id — an empty partition
-    // spec would funnel every scored row through one task
-    assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"),
-      "argmax window lost its partition spec")
-    assert(p.contains("Window"), "expected the argmax window")
+    // spec would funnel every scored row through one task. The plan
+    // string renders the partition columns FIRST inside
+    // windowspecdefinition(...), so assert the doc column is there.
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"argmax window lost its doc_id partition spec:\n${p.linesIterator.filter(_.contains("Window")).mkString("\n")}")
   }
 
   test("curation pipeline: one window exchange, no cartesian, single rollup") {

@@ -105,6 +105,14 @@ class TextClassifierSpec extends SparkSpec {
     assert(appended.classStats.count() == 3)
   }
 
+  test("append refuses a capped model typed (pruned counts would under-count the class mass)") {
+    val capped = TextClassifier.train(df((1L, "aaabaaab", "a")), "text", "lab",
+      maxVocabPerClass = Some(2))
+    val e = intercept[IllegalArgumentException](TextClassifier.append(
+      capped, df((2L, "aaac", "a")), "text", "lab"))
+    assert(e.getMessage.contains("UNCAPPED"), e.getMessage)
+  }
+
   test("model round-trips through the store and classifies identically") {
     val c = tempCollection("nb_roundtrip")
     val m = TextClassifier.train(df(
