@@ -404,4 +404,59 @@ class GraftAlterSpec extends SparkSpec {
       s"'note' must stay dropped and 'value' renamed, got $cols")
     cleanup(c)
   }
+
+  test("APPEND's sidecar fence: a metadata-only DDL landing mid-staging is never reverted") {
+    // round 14 generalized the rename-only sidecar-equality fence to
+    // EVERY read-modify-write publisher: an append whose staging job
+    // races a property-set + DROP COLUMN (both gen-preserving) must
+    // refuse its stale merge and retry over the fresh sidecar — before
+    // the fence, the publish silently erased the mask (resurrecting
+    // the dropped column's bytes) and the property.
+    import spark.implicits._
+    val c = tempCollection("alter_append_meta_race")
+    c.write("item", Seq((1, 1.0, "x"), (2, 2.0, "y")).toDF("index", "value", "note"),
+      indexCols = Seq("index"))
+    val other = Collection.at(spark, c.path)
+    @volatile var injected = false
+    Collection.commitSeamHook = name =>
+      if (name == "staged_pre_publish:item" && !injected) {
+        injected = true
+        other.setItemProperties("item", Map("owner" -> "pipeline-b"))
+        other.dropColumns("item", Seq("note"))
+      }
+    // the batch still carries 'note': the retry re-reads the POST-drop
+    // state and surfaces the mismatch typed — the legal serialization
+    // of appending a dropped column after the drop. Before the fence,
+    // the publish landed and silently REVERTED the drop instead.
+    val e = intercept[SchemaValidationError](
+      try c.append("item", Seq((3, 3.0, "z")).toDF("index", "value", "note"))
+      finally Collection.commitSeamHook = _ => ())
+    assert(e.getMessage.contains("schema mismatch"), e.getMessage)
+    assert(injected, "the mid-append DDL must have fired")
+    // read the sidecar directly: c's TTL metadata cache predates the DDL
+    assert(Meta.read(c.path.resolve("item")).get("owner") ==
+        Some(org.json4s.JString("pipeline-b")),
+      "the property set mid-append must survive")
+    val cols = c.item("item").data.columns.toSeq
+    assert(cols == Seq("index", "value"),
+      s"'note' must stay dropped (never reverted by the stale merge), got $cols")
+    assert(c.item("item").data.count() == 2, "the refused append must land nothing")
+    // a batch matching the POST-DDL shape retries clean: the re-staged
+    // merge carries the property and the mask
+    @volatile var injected2 = false
+    Collection.commitSeamHook = name =>
+      if (name == "staged_pre_publish:item" && !injected2) {
+        injected2 = true
+        other.setItemProperties("item", Map("stage" -> "curated"))
+      }
+    try c.append("item", Seq((3, 3.0)).toDF("index", "value"))
+    finally Collection.commitSeamHook = _ => ()
+    assert(injected2)
+    assert(Meta.read(c.path.resolve("item")).get("stage") ==
+        Some(org.json4s.JString("curated")),
+      "the property set mid-append must survive the retried publish")
+    assert(c.item("item").data.count() == 3,
+      "the appended row must land through the retry")
+    cleanup(c)
+  }
 }
