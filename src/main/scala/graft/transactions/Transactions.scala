@@ -132,6 +132,7 @@ final class Transaction(collection: Collection,
           case AppendOp(it, df, h) => collection.append(it, df, h)
           case DeleteOp(it)        => collection.deleteItem(it)
         }
+        Collection.commitSeamHook(s"txn_op_done:${op.item}")
         // The observer already recorded the generation our op PRODUCED
         // at its publish point. Re-read only when it did not fire
         // (deleteItem has no publish): a blind post-op re-read would

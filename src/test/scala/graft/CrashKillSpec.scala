@@ -780,6 +780,48 @@ class CrashKillSpec extends SparkSpec {
     assert(!v.path.listDirs.exists(_.startsWith(Collection.ItemLockPrefix)))
   }
 
+  test("kill -9 MID-EXCLUSIVE-TRANSACTION: applied prefix is whole, locks recoverable, pin serves manual rollback") {
+    // crash semantics of the new exclusive mode: a txn killed between
+    // its ops leaves (1) the completed ops' commits WHOLE (each op is
+    // itself atomic), (2) the untouched items untouched, (3) both item
+    // locks leaked — the documented operator remedy clears them,
+    // (4) the internal __txn_ pin alive, so an operator can finish the
+    // rollback the dead process never ran.
+    val dir = Files.createTempDirectory("graft_txnkill")
+    val uri = dir.toString
+    val c = GraftStore.at(spark, uri).collection("c")
+    c.enableMultiprocess()
+    c.write("a", flatFrame(10), indexCols = Seq("index"))
+    c.write("b", flatFrame(10), indexCols = Seq("index"))
+    val (code, out) = fork(uri, "txn_op_done:a", "txn_exclusive")
+    assert(code == 137, s"probe must die at the seam, got rc=$code:\n$out")
+    val v = coll(uri)
+    // both locks leaked (the txn held them when it died)
+    val held = v.path.listDirs.filter(_.startsWith(Collection.ItemLockPrefix)).toSet
+    assert(held == Set("__itemlock_a", "__itemlock_b"), s"held: $held")
+    // a's op committed whole; b untouched
+    assert(v.breakItemLocks().size == 2)
+    assert(v.item("a").data.count() == 15, "item a's op must be whole")
+    assert(v.item("b").data.count() == 10, "item b must be untouched")
+    assert(histSize(v, "a") == 2 && histSize(v, "b") == 1)
+    // the internal pin survives the crash AND a fresh vacuum (younger
+    // than the stale-pin cutoff), so manual rollback still works
+    val pins = Snapshots.listManifests(v.path).filter(_.startsWith("__txn_"))
+    assert(pins.size == 1, s"exactly the dead txn's pin must survive: $pins")
+    v.vacuum()
+    assert(Snapshots.listManifests(v.path).contains(pins.head),
+      "a fresh crash pin must survive vacuum (stale-pin sweep is age-gated)")
+    Snapshots.restoreFromManifest(v.path, pins.head, "a")
+    v.clearMetadataCache()
+    assert(v.item("a").data.count() == 10,
+      "manual rollback from the surviving pin must rewind a's partial txn")
+    Snapshots.releasePin(v.path, pins.head)
+    // store fully operational afterwards
+    v.append("a", flatFrame(5).withColumn("index",
+      org.apache.spark.sql.functions.col("index") + 100))
+    assert(v.item("a").data.count() == 15)
+  }
+
   test("EXCLUSIVE transaction racing snapshot cuts from another process: no cut pins a partial transaction") {
     // non-exclusive transactions are atomic against IN-JVM cuts only
     // (they hold the commit read lock); a foreign process's cut could

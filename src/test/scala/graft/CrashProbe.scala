@@ -71,6 +71,17 @@ object CrashProbe {
             .toDF("index", "value")
           c.append(it, df)
         }
+      case "txn_exclusive" =>
+        // an exclusive two-item transaction for the kill-mid-txn arm:
+        // the parent's seam (txn_op_done:a) halts this process AFTER
+        // item a's op committed but BEFORE item b's — with both item
+        // locks held. The parent verifies the crash surface: a's
+        // commit whole, b untouched, locks leaked (operator remedy),
+        // the __txn_ pin alive for manual rollback.
+        val txn = new graft.transactions.Transaction(c, exclusive = true)
+        txn.append("a", (0 until 5).map(i => (7000 + i, 7.0)).toDF("index", "value"))
+        txn.append("b", (0 until 5).map(i => (7000 + i, 7.0)).toDF("index", "value"))
+        txn.commit()
       case m if m.startsWith("snap_cuts:") =>
         // snapshot-cut loop for the EXCLUSIVE-transaction race: capture
         // manifest cuts from THIS process while the parent runs
