@@ -691,12 +691,14 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * already hold, so neither in-JVM nor cross-process cycles exist
     * (multi-item verbs like rename acquire in sorted name order).
     * Reentrant per thread via [[Collection.heldProcessLocks]]. */
-  private[graft] def withItemProcessLock[A](item: String)(body: => A): A = {
-    if (!multiprocessEnabled) return body
+  /** Acquire the item's cross-process lock, or pass through when this
+    * thread already holds it (reentrancy). Returns true iff THIS call
+    * took the lock and therefore owns its release. */
+  private def acquireItemProcessLock(item: String): Boolean = {
     val lock = path.resolve(Collection.ItemLockPrefix + item)
     val key = lock.toString
     val held = Collection.heldProcessLocks.get()
-    if (held.contains(key)) return body
+    if (held.contains(key)) return false
     val deadline = System.currentTimeMillis() + processLockTimeoutMs
     while (!path.fs.tryLock(lock.raw, Collection.processOwnerTag)) {
       if (System.currentTimeMillis() > deadline) {
@@ -717,7 +719,19 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       Thread.sleep(25)
     }
     held += key
-    try body finally { held -= key; lock.deleteRecursively() }
+    true
+  }
+
+  private def releaseItemProcessLock(item: String): Unit = {
+    val lock = path.resolve(Collection.ItemLockPrefix + item)
+    Collection.heldProcessLocks.get() -= lock.toString
+    lock.deleteRecursively()
+  }
+
+  private[graft] def withItemProcessLock[A](item: String)(body: => A): A = {
+    if (!multiprocessEnabled) return body
+    if (!acquireItemProcessLock(item)) return body
+    try body finally releaseItemProcessLock(item)
   }
 
   /** Progress probe for [[Collection.retryOnConflict]]'s torn-read
@@ -752,10 +766,21 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * section must stay METADATA-scale (sidecar reads, renames,
     * hardlinks — never a data job), same contract as the per-item
     * lock. */
-  private def withItemProcessLockAll[A](itemNames: Iterable[String])(body: => A): A =
-    if (!multiprocessEnabled) body
-    else itemNames.toSeq.distinct.sorted
-      .foldRight(() => body)((it, k) => () => withItemProcessLock(it)(k()))()
+  private def withItemProcessLockAll[A](itemNames: Iterable[String])(body: => A): A = {
+    if (!multiprocessEnabled) return body
+    // ITERATIVE acquire (sorted) / reverse release — a closure-nested
+    // spelling would build a call chain as deep as the item count and
+    // a 10k-item collection (routine at 100 TB) would overflow the
+    // stack in the middle of vacuum. Only locks THIS call took are
+    // released (reentrant holds stay with their outer owner); a
+    // mid-acquisition failure (timeout) releases exactly what it took.
+    val sorted = itemNames.toSeq.distinct.sorted
+    val taken = new scala.collection.mutable.ArrayBuffer[String](sorted.size)
+    try {
+      sorted.foreach(it => if (acquireItemProcessLock(it)) taken += it)
+      body
+    } finally taken.reverseIterator.foreach(releaseItemProcessLock)
+  }
 
   /** ADMIN: forcibly clear every per-item writer lock — the remedy for
     * a lock leaked by a holder that died mid-commit (the crash itself
