@@ -90,7 +90,12 @@ object TextClassifier {
             maxVocabPerClass: Option[Int] = None): NaiveBayes = {
     val lab = col(labelCol).as("label")
     val tok = trigramTokens(docs, textCol, Seq(lab), Seq("label"))
+    // ONE corpus pass: everything else derives from the vocabulary-
+    // sized counts frame — class totals are sum(c) per label (equal to
+    // the token count by construction) and V is its distinct trigrams,
+    // so the corpus explode is never re-scanned for bookkeeping.
     val counts0 = tok.groupBy("label", "tri").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // cut the explode lineage: 3 consumers
     val counts = maxVocabPerClass match {
       case None => counts0
       case Some(n) =>
@@ -99,10 +104,10 @@ object TextClassifier {
             Window.partitionBy("label").orderBy(col("c").desc, col("tri"))))
           .filter(col("__rk") <= n).drop("__rk")
     }
-    // class totals over the UNCAPPED tokens (the cap prunes rare
+    // class totals over the UNCAPPED counts (the cap prunes rare
     // trigrams from the table, it must not re-normalize the class mass)
-    val totals = tok.groupBy("label").agg(count(lit(1)).as("tot"))
-    val vocabV = tok.select("tri").distinct().count()
+    val totals = counts0.groupBy("label").agg(sum("c").as("tot"))
+    val vocabV = counts0.select("tri").distinct().count()
     val classCounts = docs.groupBy(lab).agg(count(lit(1)).as("docs"))
     derive(counts, totals, classCounts, vocabV)
   }

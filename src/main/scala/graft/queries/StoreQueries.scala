@@ -660,6 +660,36 @@ object StoreQueries {
       |FROM orders WHERE o_orderkey % 100 = 0
       |ORDER BY item, o_orderkey""".stripMargin
 
+  /** The EXCLUSIVE-transaction row: byte-for-byte [[batchTransaction]]
+    * (same oracle) but in multiprocess mode with `exclusive = true`, so
+    * the whole coalesced commit runs under every affected item's
+    * cross-process lock — the cross-process-atomic spelling. The bench
+    * delta vs `store_batch_transaction` bounds the exclusive mode's
+    * cost (lock acquisition is O(items) fs ops against multi-second
+    * write jobs). */
+  def exclusiveTransaction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def y(a: Int, b: Int) = $"o_orderdate" >= lit(java.sql.Timestamp.valueOf(s"$a-01-01 00:00:00")) &&
+      $"o_orderdate" < lit(java.sql.Timestamp.valueOf(s"$b-01-01 00:00:00"))
+    val col = freshCollection(s, "exclusive_txn")
+    col.enableMultiprocess()
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderdate")
+    col.write("o", o.filter($"o_orderdate" < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))),
+      indexCols = Seq("o_orderdate"))
+    col.write("untouched", o.filter($"o_orderkey" % 100 === 0), indexCols = Seq("o_orderkey"))
+    val txn = new graft.transactions.BatchTransaction(col, exclusive = true)
+    txn.append("o", o.filter(y(1996, 1997)))
+    txn.append("o", o.filter(y(1997, 1998)))
+    txn.append("o", o.filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))))
+    txn.commit()
+    col.item("o").data.withColumn("item", lit("o"))
+      .unionByName(col.item("untouched").data.withColumn("item", lit("untouched")))
+      .orderBy($"item", $"o_orderkey")
+  }
+
+  val exclusiveTransactionSql: String = batchTransactionSql
+
   /** T3 advisory collection lock lifecycle: acquire → a contender with
     * a short timeout fails typed → owner visible → release → re-acquire
     * by the contender succeeds. Proof rows are the observed step
@@ -2214,6 +2244,7 @@ object StoreQueries {
     "store_async_roundtrip" -> asyncRoundtrip _,
     "store_convert_layout" -> convertLayout _,
     "store_batch_transaction" -> batchTransaction _,
+    "store_exclusive_transaction" -> exclusiveTransaction _,
     "store_collection_lock" -> collectionLock _,
     "store_append_stream" -> appendStreamChunks _,
     "store_head_tail_last" -> headTailLast _,
@@ -2265,6 +2296,7 @@ object StoreQueries {
     "store_async_roundtrip" -> asyncRoundtripSql,
     "store_convert_layout" -> convertLayoutSql,
     "store_batch_transaction" -> batchTransactionSql,
+    "store_exclusive_transaction" -> exclusiveTransactionSql,
     "store_collection_lock" -> collectionLockSql,
     "store_append_stream" -> appendStreamChunksSql,
     "store_head_tail_last" -> headTailLastSql,
