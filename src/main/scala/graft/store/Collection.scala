@@ -484,6 +484,25 @@ object Collection {
     * it) to prove liveness is cheap, not just eventual. */
   private[graft] val conflictRetries = new java.util.concurrent.atomic.AtomicLong
 
+  private[graft] final class InterleaveCounter { var n: Long = 0L }
+
+  /** Per-thread count of [[retryOnConflict]] cycles that PROVE a
+    * foreign commit interleaved with the retried op — fence refusals
+    * and torn reads with an observed generation MOVE (never
+    * unchanged-generation tears: those indicate corruption, not
+    * progress). Transactions sample it around each op: an op whose
+    * publish was fence-refused RE-READ the item and folded the foreign
+    * writer's rows into its own successful publish, so the final
+    * generation chain reads as purely the op's own (the publish
+    * observer records the op's final generation) and the transaction's
+    * pre-op generation check can never flag the item — this counter is
+    * the only trace such an interleave leaves, and without it a later
+    * rollback would rewind the pre-txn pin over the foreign writer's
+    * durably-acknowledged commit. */
+  private[graft] val foreignInterleaves = new ThreadLocal[InterleaveCounter] {
+    override def initialValue(): InterleaveCounter = new InterleaveCounter
+  }
+
   /** Optimistic-concurrency retry: re-run `body` when the publish
     * fence refuses it ([[ConcurrentWriteError]] — the item's committed
     * generation moved between the read and the publish) or when the
@@ -528,14 +547,20 @@ object Collection {
       try return body
       catch {
         case e: ConcurrentWriteError =>
+          foreignInterleaves.get().n += 1 // a refusal is PROOF of a foreign commit
           if (System.currentTimeMillis() - start > fenceBudgetMs) throw e
           backoff()
         case e: Throwable if isTornRead(e) =>
+          // a failed probe (−1, or a thrown one) is NOT proof of
+          // movement — per genProbeFor's contract it must count toward
+          // the corruption cap, not buy two minutes of time budget for
+          // a genuinely unreadable sidecar
           val moved = genAtAttempt >= 0 && {
-            val now = try genProbe() catch { case _: Exception => genAtAttempt }
-            now != genAtAttempt
+            val now = try genProbe() catch { case _: Exception => -1L }
+            now >= 0 && now != genAtAttempt
           }
           if (moved) { // foreign progress proven — time budget, not the cap
+            foreignInterleaves.get().n += 1
             if (System.currentTimeMillis() - start > fenceBudgetMs) throw e
             backoff()
           } else {
@@ -681,6 +706,20 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * milliseconds unless the holder died. */
   private[graft] var processLockTimeoutMs: Long = 120000L
 
+  /** Multiprocess-mode vacuum: how long a `__tmp_*` staging dir must
+    * show NO write activity (newest mtime anywhere inside it — a live
+    * Spark job keeps touching its task files, so this is a free
+    * heartbeat) before the sweep treats it as a crashed writer's
+    * corpse. Staging is deliberately lock-free (it IS the data job),
+    * so age is the only evidence; at the 100 TB design point a single
+    * write/rewrite job can legitimately run for hours, hence the
+    * generous default. Raise it if your longest job (plus any
+    * close-on-finish mtime lag on object stores) can exceed it;
+    * sweeping live staging loses no data (the publish would fail its
+    * rename, classify as a conflict, and re-stage) but fails the
+    * in-flight job spuriously. */
+  var stagingSweepAgeMs: Long = 24L * 3600 * 1000
+
   /** Hold the cross-process per-item writer lock (no-op outside
     * multiprocess mode). Atomic first-caller-wins create of
     * `__itemlock_<item>` (POSIX mkdir / Hadoop exclusive owner-file
@@ -765,8 +804,10 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * breakItemLocks() (with a live-exclusive-txn caveat). The held
     * section must stay METADATA-scale (sidecar reads, renames,
     * hardlinks — never a data job), same contract as the per-item
-    * lock. */
-  private def withItemProcessLockAll[A](itemNames: Iterable[String])(body: => A): A = {
+    * lock. `private[graft]` so exclusive transactions reuse THIS
+    * iterative spelling (Transactions.scala) — a closure-nested
+    * acquire would overflow the stack at 10k items. */
+  private[graft] def withItemProcessLockAll[A](itemNames: Iterable[String])(body: => A): A = {
     if (!multiprocessEnabled) return body
     // ITERATIVE acquire (sorted) / reverse release — a closure-nested
     // spelling would build a call chain as deep as the item count and
@@ -1874,21 +1915,33 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     // In multiprocess mode, `__tmp_*` staging is the ONE artifact a
     // live writer creates BEFORE taking its item lock (staging is
     // deliberately lock-free — it's the data job), so holding every
-    // item lock does not prove a staging dir is dead. AGE-gate it:
-    // live staging exists for the duration of one write job; an
-    // hour-old staging (same cutoff as stale txn pins) is a corpse.
-    // Sweeping a live writer's staging would not lose data — its
-    // publish would fail the missing rename, classify as a conflict,
-    // and re-stage — but it would fail the in-flight Spark job
-    // spuriously. Single-process mode keeps the exact sweep.
-    val stagingCutoff = java.time.Instant.now().minusSeconds(3600)
+    // item lock does not prove a staging dir is dead. AGE-gate it on
+    // WRITE ACTIVITY, not creation: a live job keeps touching its
+    // task files and `_temporary` tree, so "newest mtime anywhere
+    // inside is older than stagingSweepAgeMs" (default 24 h,
+    // configurable — a 100 TB rewrite can legitimately run for hours,
+    // far past the old one-hour creation-age gate) means the writer
+    // is a corpse. Sweeping a live writer's staging would not lose
+    // data — its publish would fail the missing rename, classify as a
+    // conflict, and re-stage — but it would fail the in-flight Spark
+    // job spuriously. Single-process mode keeps the exact sweep. The
+    // recursive listing runs only for dirs whose own mtime already
+    // reads stale (dead dirs — there are few, and each is swept).
+    val stagingCutoff = java.time.Instant.now().minusMillis(stagingSweepAgeMs)
     def deadStagingDir(d: String): Boolean =
-      d.startsWith(TmpPrefix) && (!multiprocessEnabled ||
+      d.startsWith(TmpPrefix) && (!multiprocessEnabled || {
+        val dir = path.resolve(d)
         // exists, not forall: an unreadable mtime (backend cannot say)
         // must SPARE the dir — sweeping on missing evidence could fail
         // a live writer's in-flight job, the exact thing the gate exists
         // to prevent; a genuinely vanished dir is a no-op next sweep
-        path.fs.modifiedAt(path.resolve(d).raw).exists(_.isBefore(stagingCutoff)))
+        path.fs.modifiedAt(dir.raw).exists(_.isBefore(stagingCutoff)) && {
+          val entries = try dir.fs.listFilesRecursively(dir.raw)
+                        catch { case _: Exception => null } // unlistable → spare
+          entries != null && entries.forall(rel =>
+            path.fs.modifiedAt(dir.resolve(rel).raw).exists(_.isBefore(stagingCutoff)))
+        }
+      })
     val junk = path.listDirs.filter(d =>
       deadStagingDir(d) ||
         (d.startsWith("__backup_") &&

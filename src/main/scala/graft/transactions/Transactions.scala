@@ -105,10 +105,15 @@ final class Transaction(collection: Collection,
     // up to its lock timeout instead of interleaving. Non-exclusive
     // txns keep the round-13 semantics (foreign commits interleave
     // legally, fold forward, and refuse the rewind on rollback).
+    // Iterative acquisition via the Collection helper every multi-lock
+    // verb shares (sorted order, reverse release) — a closure-nested
+    // spelling would grow the stack by one frame per item and a
+    // 10k-item exclusive batch (routine at 100 TB) would overflow it
+    // mid-acquire, exactly the failure withItemProcessLockAll's own
+    // comment rules out for the admin verbs.
     def withAllItemLocks[A](body: => A): A =
       if (!exclusive) body
-      else affected.sorted
-        .foldRight(() => body)((it, k) => () => collection.withItemProcessLock(it)(k()))()
+      else collection.withItemProcessLockAll(affected)(body)
     // hold the commit-coordination READ side across ALL ops (reentrant
     // under each op's own commit): a concurrent snapshot's write-side
     // capture therefore sees the whole transaction or none of it,
@@ -126,12 +131,27 @@ final class Transaction(collection: Collection,
       ops.foreach { op =>
         if (genOf(op.item) != lastSeen(op.item)) foreignSeen += op.item
         val beforeOp = lastSeen(op.item)
+        // A foreign commit can also land DURING the op, between its
+        // staging read and its publish: the fence refuses the publish,
+        // retryOnConflict re-reads and FOLDS the foreign rows into the
+        // op's second (successful) publish — so the generation chain
+        // then reads as purely ours (the observer records our final
+        // gen) and neither the pre-op check above nor the rollback
+        // re-check can ever see the interleave. The per-thread
+        // interleave counter is its only trace (ops run on this
+        // thread; retryOnConflict bumps it on every fence refusal and
+        // moved-generation torn read): if it advanced across the op,
+        // the item carries a foreign commit and its rollback rewind
+        // must be refused, same as an interleave BETWEEN ops.
+        val interleavesBefore = Collection.foreignInterleaves.get().n
         op match {
           case WriteOp(it, df, idx, meta, ow) =>
             collection.write(it, df, idx, meta, overwrite = ow)
           case AppendOp(it, df, h) => collection.append(it, df, h)
           case DeleteOp(it)        => collection.deleteItem(it)
         }
+        if (Collection.foreignInterleaves.get().n != interleavesBefore)
+          foreignSeen += op.item
         Collection.commitSeamHook(s"txn_op_done:${op.item}")
         // The observer already recorded the generation our op PRODUCED
         // at its publish point. Re-read only when it did not fire

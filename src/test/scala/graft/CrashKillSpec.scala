@@ -914,33 +914,57 @@ class CrashKillSpec extends SparkSpec {
     assert(!lockStands("a"))
   }
 
-  test("vacuum age-gates __tmp_* staging in multiprocess mode: fresh spared, corpses swept") {
+  test("vacuum age-gates __tmp_* staging in multiprocess mode: activity spared, corpses swept") {
     // staging is created BEFORE the item lock is taken (it is the data
     // job, deliberately lock-free), so holding every item lock cannot
-    // prove a staging dir is dead — vacuum spares young staging and
-    // sweeps hour-old corpses. Single-process mode keeps the exact
+    // prove a staging dir is dead — vacuum sweeps only staging with NO
+    // write activity anywhere inside for stagingSweepAgeMs (default
+    // 24 h: a 100 TB rewrite can legitimately run for hours, so the
+    // old one-hour creation-age gate would have failed exactly the
+    // jobs this engine targets). Single-process mode keeps the exact
     // immediate sweep.
+    def backdate(p: SPath, seconds: Long): Unit =
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(p.raw),
+        java.nio.file.attribute.FileTime.from(
+          java.time.Instant.now().minusSeconds(seconds)))
     val dir = Files.createTempDirectory("graft_agegate")
     val c = GraftStore.at(spark, dir.toString).collection("c")
     c.write("it", flatFrame(10), indexCols = Seq("index"))
     c.enableMultiprocess()
     val fresh = c.path.resolve("__tmp_it_fresh1234")
     val old = c.path.resolve("__tmp_it_old5678")
-    fresh.mkdirs(); old.mkdirs()
-    java.nio.file.Files.setLastModifiedTime(
-      java.nio.file.Paths.get(old.raw),
-      java.nio.file.attribute.FileTime.from(
-        java.time.Instant.now().minusSeconds(7200)))
+    val active = c.path.resolve("__tmp_it_active9")
+    fresh.mkdirs(); old.mkdirs(); active.mkdirs()
+    // `active` LOOKS old by dir mtime but a task file deep inside was
+    // written recently — the long-running-job heartbeat must spare it
+    val taskDir = active.resolve("_temporary").resolve("0")
+    taskDir.mkdirs()
+    active.fs.writeBytesAtomic(taskDir.resolve("part-0001").raw, Array[Byte](1))
+    backdate(taskDir, 60); backdate(active.resolve("_temporary"), 90000)
+    backdate(active, 90000)
+    backdate(old, 90000) // 25 h — past the 24 h default
     val removed = c.vacuum()
     assert(removed.contains("__tmp_it_old5678"), removed.mkString(","))
     assert(!removed.contains("__tmp_it_fresh1234"),
       "a fresh staging dir may belong to a live writer in another process")
-    assert(fresh.exists)
+    assert(!removed.contains("__tmp_it_active9"),
+      "recent write activity inside old staging means the writer is alive")
+    assert(fresh.exists && active.exists)
+    // the cutoff is configurable: a site whose jobs never exceed an
+    // hour can sweep more eagerly
+    backdate(active, 7200)
+    backdate(active.resolve("_temporary"), 7200); backdate(taskDir, 7200)
+    backdate(taskDir.resolve("part-0001"), 7200)
+    c.stagingSweepAgeMs = 3600L * 1000
+    val removed2 = c.vacuum()
+    assert(removed2.contains("__tmp_it_active9"), removed2.mkString(","))
+    assert(!removed2.contains("__tmp_it_fresh1234") && fresh.exists)
     // outside multiprocess mode the single-writer assumption holds and
     // the sweep is immediate
     c.disableMultiprocess()
-    val removed2 = c.vacuum()
-    assert(removed2.contains("__tmp_it_fresh1234"), removed2.mkString(","))
+    val removed3 = c.vacuum()
+    assert(removed3.contains("__tmp_it_fresh1234"), removed3.mkString(","))
     assert(!fresh.exists)
   }
 }

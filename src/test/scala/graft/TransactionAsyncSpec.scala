@@ -409,4 +409,71 @@ class TransactionAsyncSpec extends SparkSpec {
     assert(c.item("a").data.count() == 3, "rollback must restore the pre-txn state")
     cleanup(c)
   }
+
+  test("rollback refuses an item whose op FOLDED a fence-refused foreign commit mid-retry") {
+    // The subtle spelling of the foreign-interleave hazard: the
+    // foreign commit lands DURING the txn's own op, between its
+    // staging read and its publish. The fence refuses the op's first
+    // publish; retryOnConflict re-reads (folding the foreign rows
+    // forward) and the SECOND publish succeeds — so the publish
+    // observer records the op's final generation and the generation
+    // chain reads as purely ours: neither the pre-op check nor the
+    // rollback's locked re-check can ever see the interleave. Only
+    // the per-thread interleave counter (bumped on every fence
+    // refusal) carries the trace; without it, rollback restored the
+    // pre-txn pin and silently destroyed the foreign writer's
+    // durably-acknowledged commit.
+    import spark.implicits._
+    val c = tempCollection("txn_foreign_midretry")
+    c.write("a", Seq((1, 1.0)).toDF("index", "value"), indexCols = Seq("index"))
+    c.write("b", Seq((1, 1.0)).toDF("index", "value"), indexCols = Seq("index"))
+    val other = Collection.at(spark, c.path) // the "foreign writer"
+    @volatile var injected = false
+    // inject the foreign append between the txn op's staging and its
+    // publish — the op's first publish then fence-refuses and retries
+    Collection.commitSeamHook = name =>
+      if (name == "staged_pre_publish:a" && !injected) {
+        injected = true
+        other.append("a", Seq((50, 5.0)).toDF("index", "value"))
+      }
+    try {
+      val txn = new Transaction(c)
+      txn.append("a", Seq((2, 2.0)).toDF("index", "value"))
+      txn.append("missing", Seq((1, 1.0)).toDF("index", "value")) // fails → rollback
+      val e = intercept[TransactionError](txn.commit())
+      assert(e.getMessage.contains("restore REFUSED for a"), e.getMessage)
+      assert(e.getMessage.contains("foreign"), e.getMessage)
+    } finally Collection.commitSeamHook = _ => ()
+    assert(injected, "the foreign append must have fired")
+    // item a keeps BOTH the op's folded rows and the foreign row —
+    // nothing of the other writer's durably-acknowledged commit was
+    // destroyed; item b (untouched) stays at its pre-txn state
+    assert(c.item("a").data.select("index").collect().map(_.getInt(0)).toSet
+      == Set(1, 2, 50))
+    assert(c.item("b").data.count() == 1)
+    cleanup(c)
+  }
+
+  test("EXCLUSIVE transaction over hundreds of items acquires its lock set iteratively") {
+    // the lock-set acquisition is one loop (Collection
+    // .withItemProcessLockAll), not a closure nest one frame deep per
+    // item — a 10k-item exclusive batch must not overflow the stack
+    // mid-acquire. Smoke at hundreds of items with metadata-only ops
+    // (deletes of absent items cost fs ops, no Spark job): the lock
+    // machinery is what's under test.
+    val c = tempCollection("txn_exclusive_wide")
+    c.enableMultiprocess()
+    val items = (1 to 400).map(i => f"w$i%04d")
+    var atOps = -1
+    Collection.commitSeamHook = name =>
+      if (name.startsWith("txn_ops_begin:"))
+        atOps = c.path.listDirs.count(_.startsWith(Collection.ItemLockPrefix))
+    val txn = new Transaction(c, exclusive = true)
+    items.foreach(txn.delete)
+    try txn.commit() finally Collection.commitSeamHook = _ => ()
+    assert(atOps == 400, s"all 400 item locks must be held at the ops seam, saw $atOps")
+    assert(!c.path.listDirs.exists(_.startsWith(Collection.ItemLockPrefix)),
+      "every lock must release at commit end")
+    cleanup(c)
+  }
 }
