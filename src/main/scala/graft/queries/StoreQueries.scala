@@ -478,6 +478,37 @@ object StoreQueries {
   val orcRoundtripSql: String =
     "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey"
 
+  /** pystore-layout interop roundtrip (the migration path OUT, inverse
+    * of importPystore): store write → exportPystoreItem (the
+    * reference's exact on-disk shape — flat part.N.parquet + a
+    * pystore_metadata.json sidecar, collection.py:303-314 /
+    * utils.py:89-107) → importPystore of that export into a SECOND
+    * store → read back ≡ the source table. The oracle re-derives the
+    * expected rows from the parquet source, so the export→import
+    * chain itself is what the hash proves. */
+  def pystoreRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "pystore_roundtrip")
+    col.write("nation", Tables.t(s, dir, "nation"),
+      indexCols = Seq("n_nationkey"))
+    val dest = Paths.get(sys.props("java.io.tmpdir"), "graft_verify",
+      "pystore_roundtrip", "export")
+    FsOps.deleteRecursively(dest)
+    col.exportPystoreItem("nation", dest.resolve("prices").resolve("nation"))
+    val backRoot = Paths.get(sys.props("java.io.tmpdir"), "graft_verify",
+      "pystore_roundtrip", "back")
+    FsOps.deleteRecursively(backRoot)
+    Files.createDirectories(backRoot)
+    val store2 = GraftStore(s, "store", backRoot)
+    store2.importPystore(dest, indexCols = Seq("n_nationkey"))
+    store2.collection("prices").item("nation").data
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+      .orderBy($"n_nationkey")
+  }
+
+  val pystoreRoundtripSql: String =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+
   /** S3-adjacent JSONL interop roundtrip: deterministic sharded JSONL
     * export (hash of the shard key → re-exports land identically) →
     * schema-DDL read (no inference scan) → store write → read back ≡
@@ -2238,6 +2269,7 @@ object StoreQueries {
     "store_validation_reject" -> validationReject _,
     "store_csv_roundtrip" -> csvRoundtrip _,
     "store_orc_roundtrip" -> orcRoundtrip _,
+    "store_pystore_roundtrip" -> pystoreRoundtrip _,
     "store_jsonl_roundtrip" -> jsonlRoundtrip _,
     "store_memory_optimize" -> memoryOptimize _,
     "store_chunked_read" -> chunkedRead _,
@@ -2290,6 +2322,7 @@ object StoreQueries {
     "store_validation_reject" -> validationRejectSql,
     "store_csv_roundtrip" -> csvRoundtripSql,
     "store_orc_roundtrip" -> orcRoundtripSql,
+    "store_pystore_roundtrip" -> pystoreRoundtripSql,
     "store_jsonl_roundtrip" -> jsonlRoundtripSql,
     "store_memory_optimize" -> memoryOptimizeSql,
     "store_chunked_read" -> chunkedReadSql,

@@ -2646,6 +2646,68 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     write(item, df, indexCols = idx, metadata = userMeta.toMap, overwrite = overwrite)
   }
 
+  /** Export an item in the Python reference's on-disk layout — the
+    * inverse of [[importPystoreItem]], so a user can hand data BACK to
+    * a stock pystore 1.0.1 deployment: flat `part.N.parquet` files
+    * (dask's `to_parquet` naming, snappy like the reference's writer —
+    * collection.py:303-306) plus a `pystore_metadata.json` sidecar
+    * carrying the item's USER metadata keys and a freshly stamped
+    * `_updated` in the reference's UTC format (utils.py:99-107; the
+    * engine's internal `_`-prefixed sidecar keys — generations,
+    * history, layout — mean nothing to pystore and are not exported).
+    * Rows are globally sorted by the index columns into about as many
+    * part files as the item holds natively, so the reference's
+    * head/tail read the same edges. The export is staged next to the
+    * destination and moved in whole, so a crashed export never leaves
+    * a half-item pystore would read as a subset; time-layout items
+    * flatten (the reference has no period layout). Returns the part
+    * file count. */
+  def exportPystoreItem(item: String, destDir: java.nio.file.Path,
+                        overwrite: Boolean = false): Int = {
+    import java.nio.file.{Files => NF, StandardCopyOption}
+    if (!hasItem(item))
+      throw new ItemNotFoundError(s"item '$item' does not exist")
+    if (NF.exists(destDir) && FsOps.nonEmptyDir(destDir) && !overwrite)
+      throw new ValidationError(
+        s"export destination '$destDir' exists and is not empty — pass " +
+          "overwrite = true to replace it")
+    val it = this.item(item)
+    val idx = it.indexCols
+    val nFiles = math.max(1, dataDirFileCount(item))
+    val parent = destDir.toAbsolutePath.getParent
+    NF.createDirectories(parent)
+    val staging = parent.resolve(
+      s"__export_tmp_${item}_${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      val sparkOut = staging.resolve("spark")
+      it.data.sort(idx.map(org.apache.spark.sql.functions.col): _*)
+        .coalesce(nFiles) // adjacent-merge after the range sort keeps global order
+        .write.mode("overwrite").parquet(sparkOut.toString)
+      // dask's part naming, in the sorted job's own file order (Spark
+      // part numbers are the post-sort partition ordinals)
+      val parts = FsOps.listFiles(sparkOut).filter(_.endsWith(".parquet")).sorted
+      parts.zipWithIndex.foreach { case (f, i) =>
+        NF.move(sparkOut.resolve(f), staging.resolve(s"part.$i.parquet"))
+      }
+      FsOps.deleteRecursively(sparkOut)
+      val userMeta = Meta.read(path.resolve(item))
+        .collect { case (k, v) if !k.startsWith("_") => k -> v }
+      val updated = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      val json = org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(
+          org.json4s.JObject((userMeta ++ Meta.obj("_updated" -> updated)).toList: _*)))
+      NF.write(staging.resolve("pystore_metadata.json"),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (NF.exists(destDir)) FsOps.deleteRecursively(destDir)
+      try NF.move(staging, destDir, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+        NF.move(staging, destDir) }
+      parts.size
+    } finally if (NF.exists(staging)) FsOps.deleteRecursively(staging)
+  }
+
   def rebalance(item: String, npartitions: Option[Int] = None): Int =
     // fenced + retried like every read-modify-write (see append): a
     // commit landing mid-rebalance must not be clobbered by the re-lay

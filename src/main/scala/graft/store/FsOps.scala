@@ -25,6 +25,23 @@ object FsOps {
       finally st.close()
     }
 
+  def listFiles(p: Path): Seq[String] =
+    if (!Files.isDirectory(p)) Nil
+    else {
+      val st = Files.list(p)
+      try st.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(_.getFileName.toString)
+        .toSeq.sorted
+      finally st.close()
+    }
+
+  def nonEmptyDir(p: Path): Boolean =
+    Files.isDirectory(p) && {
+      val st = Files.list(p)
+      try st.iterator().hasNext finally st.close()
+    }
+
   def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val st = Files.walk(p)

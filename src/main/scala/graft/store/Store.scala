@@ -91,4 +91,19 @@ final class GraftStore(val spark: SparkSession, val path: SPath) {
           s"$coll/$it"
         }
     }
+
+  /** Export the whole store in the Python reference's on-disk layout —
+    * the inverse of [[importPystore]], so a pystore 1.0.1 user can get
+    * their data BACK (each item through
+    * [[Collection.exportPystoreItem]]: `part.N.parquet` files + a
+    * `pystore_metadata.json` sidecar). Returns "collection/item" names
+    * exported. */
+  def exportPystore(destRoot: Path, overwrite: Boolean = false): Seq[String] =
+    listCollections().flatMap { coll =>
+      val c = collection(coll)
+      c.listItems().toSeq.sorted.map { it =>
+        c.exportPystoreItem(it, destRoot.resolve(coll).resolve(it), overwrite)
+        s"$coll/$it"
+      }
+    }
 }

@@ -211,6 +211,59 @@ class StoreSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("exportPystore writes the reference layout; importing it back is content-identical") {
+    import spark.implicits._
+    // the interop's missing half: importPystore brings a reference
+    // store IN, exportPystoreItem hands data BACK in the exact shape
+    // stock pystore 1.0.1 reads — flat part.N.parquet files (dask's
+    // to_parquet naming) + pystore_metadata.json (utils.py:99-107)
+    val c = tempCollection("export")
+    val store = new GraftStore(spark, c.path.parent)
+    val coll = c.name
+    val df = (0 until 60).map { i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-${i % 28 + 1}%02d 00:00:00"), i * 1.5)
+    }.toDF("index", "close")
+    c.write("AAPL", df, indexCols = Seq("index"),
+      metadata = Map("source" -> "broker-x", "quality" -> "gold"))
+    val dest = Files.createTempDirectory("pystore_dest").resolve("datastore")
+    val exported = store.exportPystore(dest)
+    assert(exported == Seq(s"$coll/AAPL"))
+    // the reference's on-disk shape, and NOTHING else (no engine
+    // sidecars, no staging residue pystore would trip over)
+    val itemDir = dest.resolve(coll).resolve("AAPL")
+    val files = FsOps.listFiles(itemDir)
+    assert(files.contains("pystore_metadata.json"), files.mkString(","))
+    val parts = files.filter(_ != "pystore_metadata.json")
+    assert(parts.nonEmpty && parts.forall(_.matches("""part\.\d+\.parquet""")),
+      files.mkString(","))
+    assert(FsOps.listDirs(itemDir).isEmpty, "no subdirs in a reference item dir")
+    assert(!FsOps.listDirs(itemDir.getParent).exists(_.startsWith("__export_tmp")))
+    val json = Files.readString(itemDir.resolve("pystore_metadata.json"))
+    assert(json.contains(""""source":"broker-x"""") && json.contains("gold"), json)
+    // _updated restamped in the reference's own UTC format — pystore's
+    // read_metadata must parse it, and no internal `_` key leaks
+    assert(json.contains("\"_updated\":\"2"), json)
+    assert("\"_updated\":\"\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}\\.\\d{6}\"".r
+      .findFirstIn(json).isDefined, json)
+    assert(!json.contains("_generation") && !json.contains("_index_names"), json)
+    // roundtrip: import the export into a SECOND store — content identity
+    val store2 = new GraftStore(spark,
+      SPath.local(Files.createTempDirectory("pystore_back")))
+    assert(store2.importPystore(dest) == Seq(s"$coll/AAPL"))
+    val back = store2.collection(coll).item("AAPL")
+    assert(back.data.select($"index", $"close").collect().toSet
+      == df.collect().toSet, "exported+reimported content must be identical")
+    assert(Meta.unjv(back.metadata("source")) == "broker-x")
+    assert(Meta.unjv(back.metadata("quality")) == "gold")
+    // a non-empty destination refuses without overwrite, replaces with
+    val e = intercept[ValidationError](
+      c.exportPystoreItem("AAPL", itemDir, overwrite = false))
+    assert(e.getMessage.contains("overwrite"), e.getMessage)
+    assert(c.exportPystoreItem("AAPL", itemDir, overwrite = true) > 0)
+    FsOps.deleteRecursively(dest.getParent)
+    cleanup(c)
+  }
+
   test("item.profile reports per-column stats over the pruned scan") {
     val c = tempCollection("profile")
     c.write("item", sampleData)
