@@ -1928,20 +1928,29 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     // recursive listing runs only for dirs whose own mtime already
     // reads stale (dead dirs — there are few, and each is swept).
     val stagingCutoff = java.time.Instant.now().minusMillis(stagingSweepAgeMs)
+    // "fresh" errs toward sparing: an unreadable mtime (backend cannot
+    // say) counts as activity — sweeping on missing evidence could
+    // fail a live writer's in-flight job, the exact thing the gate
+    // exists to prevent; a genuinely vanished dir is a no-op next
+    // sweep. DIRECTORY mtimes count too, not just files: a committing
+    // task's rename freshens its parent dir while preserving the
+    // moved file's own mtime. Residual: a job that touches NOTHING in
+    // its staging for the whole window (e.g. >24 h of pure shuffle
+    // before the first task commit) is indistinguishable from a
+    // corpse — raise stagingSweepAgeMs for such workloads.
+    def freshMtime(p: SPath): Boolean =
+      path.fs.modifiedAt(p.raw).forall(!_.isBefore(stagingCutoff))
+    def anyActivityIn(d: SPath): Boolean =
+      freshMtime(d) || {
+        val (files, dirs) =
+          try (d.fs.listFiles(d.raw), d.listDirs)
+          catch { case _: Exception => return true } // unlistable → spare
+        files.exists(f => freshMtime(d.resolve(f))) ||
+          dirs.exists(s => anyActivityIn(d.resolve(s)))
+      }
     def deadStagingDir(d: String): Boolean =
-      d.startsWith(TmpPrefix) && (!multiprocessEnabled || {
-        val dir = path.resolve(d)
-        // exists, not forall: an unreadable mtime (backend cannot say)
-        // must SPARE the dir — sweeping on missing evidence could fail
-        // a live writer's in-flight job, the exact thing the gate exists
-        // to prevent; a genuinely vanished dir is a no-op next sweep
-        path.fs.modifiedAt(dir.raw).exists(_.isBefore(stagingCutoff)) && {
-          val entries = try dir.fs.listFilesRecursively(dir.raw)
-                        catch { case _: Exception => null } // unlistable → spare
-          entries != null && entries.forall(rel =>
-            path.fs.modifiedAt(dir.resolve(rel).raw).exists(_.isBefore(stagingCutoff)))
-        }
-      })
+      d.startsWith(TmpPrefix) &&
+        (!multiprocessEnabled || !anyActivityIn(path.resolve(d)))
     val junk = path.listDirs.filter(d =>
       deadStagingDir(d) ||
         (d.startsWith("__backup_") &&
@@ -2658,8 +2667,14 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * Rows are globally sorted by the index columns into about as many
     * part files as the item holds natively, so the reference's
     * head/tail read the same edges. The export is staged next to the
-    * destination and moved in whole, so a crashed export never leaves
-    * a half-item pystore would read as a subset; time-layout items
+    * destination and moved in whole (overwrites move the previous
+    * export aside first and restore it if the move-in fails), so a
+    * crashed export never leaves a half-item pystore would read as a
+    * subset — a kill can strand the staging/aside dir itself, which
+    * the next export of the same item sweeps; the read side is
+    * conflict-retried and generation-checked like every engine-driven
+    * read, so the exported rows and metadata always come from one
+    * committed generation even under live writers. Time-layout items
     * flatten (the reference has no period layout). Returns the part
     * file count. */
   def exportPystoreItem(item: String, destDir: java.nio.file.Path,
@@ -2671,27 +2686,49 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       throw new ValidationError(
         s"export destination '$destDir' exists and is not empty — pass " +
           "overwrite = true to replace it")
-    val it = this.item(item)
-    val idx = it.indexCols
-    val nFiles = math.max(1, dataDirFileCount(item))
+    val idx = this.item(item).indexCols
     val parent = destDir.toAbsolutePath.getParent
     NF.createDirectories(parent)
-    val staging = parent.resolve(
-      s"__export_tmp_${item}_${java.util.UUID.randomUUID().toString.take(8)}")
+    // self-heal: a crashed export's staging (or move-aside, below) is
+    // the one leftover stock pystore would list as a garbage item —
+    // sweep this item's previous corpses before staging anew (the
+    // UUID keeps concurrent exports of OTHER items untouched)
+    FsOps.listDirs(parent)
+      .filter(d => d.startsWith(s"__export_tmp_${item}_") ||
+        d.startsWith(s"__export_old_${item}_"))
+      .foreach(d => FsOps.deleteRecursively(parent.resolve(d)))
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val staging = parent.resolve(s"__export_tmp_${item}_$tag")
     try {
-      val sparkOut = staging.resolve("spark")
-      it.data.sort(idx.map(org.apache.spark.sql.functions.col): _*)
-        .coalesce(nFiles) // adjacent-merge after the range sort keeps global order
-        .write.mode("overwrite").parquet(sparkOut.toString)
-      // dask's part naming, in the sorted job's own file order (Spark
-      // part numbers are the post-sort partition ordinals)
-      val parts = FsOps.listFiles(sparkOut).filter(_.endsWith(".parquet")).sorted
-      parts.zipWithIndex.foreach { case (f, i) =>
-        NF.move(sparkOut.resolve(f), staging.resolve(s"part.$i.parquet"))
+      // fenced like every engine-driven read (rebalance): a concurrent
+      // commit swapping the data dir mid-scan retries instead of
+      // failing the export, and a commit landing BETWEEN the sidecar
+      // read and the scan re-runs the attempt — the exported rows and
+      // metadata always come from one committed generation
+      val genProbe = genProbeFor(item)
+      val (userMeta, nParts) = Collection.retryOnConflict(genProbe = genProbe) {
+        val genAtStart = genProbe()
+        val meta = Meta.read(path.resolve(item))
+          .collect { case (k, v) if !k.startsWith("_") => k -> v }
+        val nFiles = math.max(1, dataDirFileCount(item))
+        val sparkOut = staging.resolve("spark")
+        this.item(item).data
+          .sort(idx.map(org.apache.spark.sql.functions.col): _*)
+          .coalesce(nFiles) // adjacent-merge after the range sort keeps global order
+          .write.mode("overwrite").parquet(sparkOut.toString)
+        if (genProbe() != genAtStart)
+          throw new ConcurrentWriteError(
+            s"item '$item' was committed to while the export scanned it")
+        // dask's part naming, in the sorted job's own file order (Spark
+        // part numbers are the post-sort partition ordinals; listFiles
+        // returns them sorted)
+        val parts = FsOps.listFiles(sparkOut).filter(_.endsWith(".parquet"))
+        parts.zipWithIndex.foreach { case (f, i) =>
+          NF.move(sparkOut.resolve(f), staging.resolve(s"part.$i.parquet"))
+        }
+        FsOps.deleteRecursively(sparkOut)
+        (meta, parts.size)
       }
-      FsOps.deleteRecursively(sparkOut)
-      val userMeta = Meta.read(path.resolve(item))
-        .collect { case (k, v) if !k.startsWith("_") => k -> v }
       val updated = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
         .format(java.time.format.DateTimeFormatter
           .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
@@ -2700,11 +2737,24 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
           org.json4s.JObject((userMeta ++ Meta.obj("_updated" -> updated)).toList: _*)))
       NF.write(staging.resolve("pystore_metadata.json"),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      if (NF.exists(destDir)) FsOps.deleteRecursively(destDir)
-      try NF.move(staging, destDir, StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
-        NF.move(staging, destDir) }
-      parts.size
+      def moveIn(): Unit =
+        try NF.move(staging, destDir, StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+          NF.move(staging, destDir) }
+      if (NF.exists(destDir)) {
+        // overwrite via move-aside, never delete-then-move: a failed
+        // move-in must leave the PREVIOUS export restorable, not
+        // destroy both generations
+        val aside = parent.resolve(s"__export_old_${item}_$tag")
+        NF.move(destDir, aside)
+        try moveIn()
+        catch { case e: Throwable =>
+          try NF.move(aside, destDir) catch { case _: Exception => () }
+          throw e
+        }
+        FsOps.deleteRecursively(aside)
+      } else moveIn()
+      nParts
     } finally if (NF.exists(staging)) FsOps.deleteRecursively(staging)
   }
 

@@ -144,16 +144,7 @@ object NioFs extends StoreFs {
   def mkdirs(p: String): Unit = Files.createDirectories(np(p))
   def listDirs(p: String): Seq[String] = FsOps.listDirs(np(p))
 
-  def listFiles(p: String): Seq[String] =
-    if (!Files.isDirectory(np(p))) Nil
-    else {
-      val st = Files.list(np(p))
-      try st.iterator().asScala
-        .filter(Files.isRegularFile(_))
-        .map(_.getFileName.toString)
-        .toSeq.sorted
-      finally st.close()
-    }
+  def listFiles(p: String): Seq[String] = FsOps.listFiles(np(p))
 
   def listFilesRecursively(p: String): Seq[String] = {
     val root = np(p)

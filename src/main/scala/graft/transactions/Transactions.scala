@@ -144,14 +144,20 @@ final class Transaction(collection: Collection,
         // the item carries a foreign commit and its rollback rewind
         // must be refused, same as an interleave BETWEEN ops.
         val interleavesBefore = Collection.foreignInterleaves.get().n
-        op match {
+        // finally, not post-return: an op that folds a foreign commit,
+        // publishes, and THEN throws (the post-commit stats read-back
+        // failure the observer note below covers) is exactly a failing
+        // txn headed for rollback — skipping the sample there would
+        // rewind the foreign writer's rows after all
+        try op match {
           case WriteOp(it, df, idx, meta, ow) =>
             collection.write(it, df, idx, meta, overwrite = ow)
           case AppendOp(it, df, h) => collection.append(it, df, h)
           case DeleteOp(it)        => collection.deleteItem(it)
+        } finally {
+          if (Collection.foreignInterleaves.get().n != interleavesBefore)
+            foreignSeen += op.item
         }
-        if (Collection.foreignInterleaves.get().n != interleavesBefore)
-          foreignSeen += op.item
         Collection.commitSeamHook(s"txn_op_done:${op.item}")
         // The observer already recorded the generation our op PRODUCED
         // at its publish point. Re-read only when it did not fire

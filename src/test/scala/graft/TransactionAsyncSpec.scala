@@ -454,6 +454,45 @@ class TransactionAsyncSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("a folded foreign commit is refused even when the op throws POST-publish") {
+    // the two hazards combined: the op folds a fence-refused foreign
+    // commit mid-retry, publishes, and THEN throws in its post-commit
+    // read-back — the failing op itself is the rollback trigger, so
+    // the interleave sample must run on the exception path (finally),
+    // not only on the op's normal return; otherwise this rollback
+    // rewinds the foreign writer's rows after all.
+    import spark.implicits._
+    val c = tempCollection("txn_foreign_postthrow")
+    c.write("a", Seq((1, 1.0)).toDF("index", "value"), indexCols = Seq("index"))
+    val other = Collection.at(spark, c.path)
+    @volatile var injected = false
+    @volatile var postSidecars = 0
+    Collection.commitSeamHook = {
+      case "staged_pre_publish:a" if !injected =>
+        injected = true
+        other.append("a", Seq((50, 5.0)).toDF("index", "value"))
+      case "full_post_sidecar:a" =>
+        postSidecars += 1
+        // 1st fire = the foreign writer's commit; 2nd = the txn op's
+        // own successful (post-fold) publish — fail right after it
+        if (postSidecars == 2)
+          throw new RuntimeException("post-commit stats read-back failed")
+      case _ => ()
+    }
+    try {
+      val txn = new Transaction(c)
+      txn.append("a", Seq((2, 2.0)).toDF("index", "value"))
+      val e = intercept[TransactionError](txn.commit())
+      assert(e.getMessage.contains("restore REFUSED for a"), e.getMessage)
+      assert(e.getMessage.contains("foreign"), e.getMessage)
+    } finally Collection.commitSeamHook = _ => ()
+    assert(injected && postSidecars >= 2, s"arm misfired: $injected/$postSidecars")
+    // the foreign row and the folded op rows all survive the rollback
+    assert(c.item("a").data.select("index").collect().map(_.getInt(0)).toSet
+      == Set(1, 2, 50))
+    cleanup(c)
+  }
+
   test("EXCLUSIVE transaction over hundreds of items acquires its lock set iteratively") {
     // the lock-set acquisition is one loop (Collection
     // .withItemProcessLockAll), not a closure nest one frame deep per
