@@ -2675,18 +2675,21 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * conflict-retried and generation-checked like every engine-driven
     * read, so the exported rows and metadata always come from one
     * committed generation even under live writers. Time-layout items
-    * flatten (the reference has no period layout). Returns the part
+    * flatten (the reference has no period layout). With `snapshot`
+    * the PINNED state exports instead — rows and user metadata frozen
+    * at the cut, for the reference's `_snapshots/<name>/<item>` shape
+    * ([[GraftStore.exportPystore]] drives this). Returns the part
     * file count. */
   def exportPystoreItem(item: String, destDir: java.nio.file.Path,
-                        overwrite: Boolean = false): Int = {
+                        overwrite: Boolean = false,
+                        snapshot: Option[String] = None): Int = {
     import java.nio.file.{Files => NF, StandardCopyOption}
-    if (!hasItem(item))
+    if (snapshot.isEmpty && !hasItem(item))
       throw new ItemNotFoundError(s"item '$item' does not exist")
     if (NF.exists(destDir) && FsOps.nonEmptyDir(destDir) && !overwrite)
       throw new ValidationError(
         s"export destination '$destDir' exists and is not empty — pass " +
           "overwrite = true to replace it")
-    val idx = this.item(item).indexCols
     val parent = destDir.toAbsolutePath.getParent
     NF.createDirectories(parent)
     // self-heal: a crashed export's staging (or move-aside, below) is
@@ -2704,19 +2707,24 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       // commit swapping the data dir mid-scan retries instead of
       // failing the export, and a commit landing BETWEEN the sidecar
       // read and the scan re-runs the attempt — the exported rows and
-      // metadata always come from one committed generation
+      // metadata always come from one committed generation. A SNAPSHOT
+      // export reads an immutable pin (Item resolves the pinned dirs
+      // and the sidecar FROZEN at the cut), so its generation checks
+      // are skipped — there is nothing to race.
       val genProbe = genProbeFor(item)
       val (userMeta, nParts) = Collection.retryOnConflict(genProbe = genProbe) {
-        val genAtStart = genProbe()
-        val meta = Meta.read(path.resolve(item))
+        val genAtStart = if (snapshot.isEmpty) genProbe() else -1L
+        val it = this.item(item, snapshot = snapshot)
+        val idx = it.indexCols
+        val df = it.data
+        val meta = it.metadata
           .collect { case (k, v) if !k.startsWith("_") => k -> v }
-        val nFiles = math.max(1, dataDirFileCount(item))
+        val nFiles = math.max(1, df.inputFiles.length)
         val sparkOut = staging.resolve("spark")
-        this.item(item).data
-          .sort(idx.map(org.apache.spark.sql.functions.col): _*)
+        df.sort(idx.map(org.apache.spark.sql.functions.col): _*)
           .coalesce(nFiles) // adjacent-merge after the range sort keeps global order
           .write.mode("overwrite").parquet(sparkOut.toString)
-        if (genProbe() != genAtStart)
+        if (snapshot.isEmpty && genProbe() != genAtStart)
           throw new ConcurrentWriteError(
             s"item '$item' was committed to while the export scanned it")
         // dask's part naming, in the sorted job's own file order (Spark
@@ -3440,6 +3448,20 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
        .filterNot(_.startsWith(".")) ++ Snapshots.listManifests(path))
       .filterNot(_.startsWith("__")) // internal (transaction pin) manifests
       .distinct.sorted
+
+  /** Item names a snapshot pins — physical subdirs for link/copy
+    * snapshots, manifest keys for manifest snapshots (a snapshot can
+    * be both when a manifest cut fell back to dir copies for some
+    * items, so the union is taken). Typed error for an unknown name. */
+  def snapshotItems(snap: String): Seq[String] = {
+    Snapshots.requireUserSnapshotName(snap)
+    val dir = path.resolve(GraftStore.SnapshotsDir).resolve(snap)
+    if (!dir.isDir && !Snapshots.manifestExists(path, snap))
+      throw new SnapshotNotFoundError(s"snapshot '$snap' does not exist")
+    val fromDir = if (dir.isDir) dir.listDirs.filterNot(_.startsWith("__")) else Nil
+    val fromManifest = Snapshots.manifestItemNames(path, snap).getOrElse(Nil)
+    (fromDir ++ fromManifest).distinct.sorted
+  }
 
   /** Savepoint rollback: restore the whole collection to the state
     * pinned by manifest snapshot `snapshot` — item → action, where

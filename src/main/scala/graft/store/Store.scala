@@ -96,14 +96,30 @@ final class GraftStore(val spark: SparkSession, val path: SPath) {
     * the inverse of [[importPystore]], so a pystore 1.0.1 user can get
     * their data BACK (each item through
     * [[Collection.exportPystoreItem]]: `part.N.parquet` files + a
-    * `pystore_metadata.json` sidecar). Returns "collection/item" names
+    * `pystore_metadata.json` sidecar). With `snapshots = true` every
+    * collection's snapshots export too, in the reference's own
+    * `_snapshots/<name>/<item>/` shape (collection.py:529-543) with
+    * the data and sidecar FROZEN at each cut — stock pystore opens
+    * them with its normal `item(name, snapshot=...)` path. Returns
+    * "collection/item" (and "collection/_snapshots/name/item") names
     * exported. */
-  def exportPystore(destRoot: Path, overwrite: Boolean = false): Seq[String] =
+  def exportPystore(destRoot: Path, overwrite: Boolean = false,
+                    snapshots: Boolean = false): Seq[String] =
     listCollections().flatMap { coll =>
       val c = collection(coll)
-      c.listItems().toSeq.sorted.map { it =>
+      val live = c.listItems().toSeq.sorted.map { it =>
         c.exportPystoreItem(it, destRoot.resolve(coll).resolve(it), overwrite)
         s"$coll/$it"
       }
+      val pinned = if (!snapshots) Nil else
+        c.listSnapshots().flatMap { s =>
+          c.snapshotItems(s).map { it =>
+            c.exportPystoreItem(it,
+              destRoot.resolve(coll).resolve("_snapshots").resolve(s).resolve(it),
+              overwrite, snapshot = Some(s))
+            s"$coll/_snapshots/$s/$it"
+          }
+        }
+      live ++ pinned
     }
 }

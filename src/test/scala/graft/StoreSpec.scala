@@ -264,6 +264,53 @@ class StoreSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("exportPystore snapshots=true writes frozen cuts in the reference's _snapshots shape") {
+    import spark.implicits._
+    val c = tempCollection("export_snap")
+    val store = new GraftStore(spark, c.path.parent)
+    val coll = c.name
+    // minute-granular unique indices: the post-cut append must ADD
+    // rows, not KeepLast-replace same-index ones
+    def rows(from: Int, until: Int) = (from until until).map { i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"),
+        i * 1.0)
+    }.toDF("index", "value")
+    c.write("AAPL", rows(0, 30), indexCols = Seq("index"),
+      metadata = Map("stage" -> "pre-cut"))
+    // one manifest snapshot and one dir snapshot — snapshotItems and
+    // the pinned export must serve both kinds
+    c.createSnapshot(Some("cutm"), manifest = Some(true))
+    c.createSnapshot(Some("cutd"))
+    c.append("AAPL", rows(30, 50))
+    c.setItemProperties("AAPL", Map("stage" -> "post-cut"))
+    assert(c.snapshotItems("cutm") == Seq("AAPL"))
+    assert(c.snapshotItems("cutd") == Seq("AAPL"))
+    intercept[SnapshotNotFoundError](c.snapshotItems("nope"))
+    val dest = Files.createTempDirectory("pystore_snapdest").resolve("ds")
+    val exported = store.exportPystore(dest, snapshots = true)
+    assert(exported.toSet == Set(s"$coll/AAPL",
+      s"$coll/_snapshots/cutd/AAPL", s"$coll/_snapshots/cutm/AAPL"), exported)
+    // the live export carries the post-append rows; each snapshot
+    // export carries the 30 rows and the metadata FROZEN at its cut
+    assert(spark.read.parquet(
+      dest.resolve(coll).resolve("AAPL").resolve("*.parquet").toString)
+      .count() == 50)
+    for (s <- Seq("cutm", "cutd")) {
+      val snapDir = dest.resolve(coll).resolve("_snapshots").resolve(s).resolve("AAPL")
+      val files = FsOps.listFiles(snapDir)
+      assert(files.contains("pystore_metadata.json") &&
+        files.exists(_.matches("""part\.\d+\.parquet""")), s"$s: $files")
+      assert(spark.read.parquet(snapDir.resolve("*.parquet").toString)
+        .count() == 30, s)
+      val json = Files.readString(snapDir.resolve("pystore_metadata.json"))
+      assert(json.contains(""""stage":"pre-cut""""), s"$s: $json")
+    }
+    assert(Files.readString(dest.resolve(coll).resolve("AAPL")
+      .resolve("pystore_metadata.json")).contains(""""stage":"post-cut""""))
+    FsOps.deleteRecursively(dest.getParent)
+    cleanup(c)
+  }
+
   test("item.profile reports per-column stats over the pruned scan") {
     val c = tempCollection("profile")
     c.write("item", sampleData)
