@@ -1949,7 +1949,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
           dirs.exists(s => anyActivityIn(d.resolve(s)))
       }
     def deadStagingDir(d: String): Boolean =
-      d.startsWith(TmpPrefix) &&
+      (d.startsWith(TmpPrefix) || d.startsWith("__import_tmp_")) &&
         (!multiprocessEnabled || !anyActivityIn(path.resolve(d)))
     val junk = path.listDirs.filter(d =>
       deadStagingDir(d) ||
@@ -2653,6 +2653,50 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         Seq(DefaultIndex) // write() synthesizes a RangeIndex, like the reference
       else indexCols
     write(item, df, indexCols = idx, metadata = userMeta.toMap, overwrite = overwrite)
+  }
+
+  /** Import one of the Python reference's SNAPSHOTS (a copytree of
+    * item dirs under `_snapshots/<name>` — collection.py:529-543) as a
+    * graft DIRECTORY snapshot, so `item(name, snapshot = Some(...))`
+    * serves the migrated history exactly like a native cut. Each item
+    * routes through [[importPystoreItem]]'s normal write pipeline
+    * (schema capture, partitioning, stats) under a hidden temp name,
+    * then renames into a dot-staged snapshot dir that publishes by ONE
+    * rename — a crash mid-import leaves only `.tmp_*` staging the
+    * existing vacuum sweep reclaims, never a half-listed snapshot.
+    * Returns the imported item names. */
+  def importPystoreSnapshot(srcSnapDir: java.nio.file.Path, snap: String,
+                            indexCols: Seq[String] = Seq(DefaultIndex),
+                            overwrite: Boolean = false): Seq[String] = {
+    Snapshots.requireUserSnapshotName(snap)
+    val snapsDir = path.resolve(GraftStore.SnapshotsDir)
+    snapsDir.mkdirs()
+    val dst = snapsDir.resolve(snap)
+    if ((dst.isDir || Snapshots.manifestExists(path, snap)) && !overwrite)
+      throw new ValidationError(
+        s"snapshot '$snap' already exists — pass overwrite = true to replace it")
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val staging = snapsDir.resolve(s".tmp_import_${snap}_$tag")
+    staging.mkdirs()
+    val items = FsOps.listDirs(srcSnapDir).filterNot(_.startsWith("_"))
+    try {
+      items.foreach { it =>
+        val tmpItem = s"__import_tmp_${tag}_$it"
+        importPystoreItem(srcSnapDir.resolve(it), tmpItem, indexCols)
+        path.fs.rename(path.resolve(tmpItem).raw, staging.resolve(it).raw)
+        metaCache.remove(tmpItem)
+      }
+      if (dst.isDir) dst.deleteRecursively()
+      path.fs.rename(staging.raw, dst.raw)
+    } finally {
+      if (staging.isDir) staging.deleteRecursively()
+      // a failed item import/rename leaves its hidden temp item at the
+      // collection root — reclaim this call's; a kill -9 leaves them
+      // for vacuum (swept under the staging activity gate)
+      path.listDirs.filter(_.startsWith(s"__import_tmp_${tag}_"))
+        .foreach(d => path.resolve(d).deleteRecursively())
+    }
+    items
   }
 
   /** Export an item in the Python reference's on-disk layout — the

@@ -76,20 +76,33 @@ final class GraftStore(val spark: SparkSession, val path: SPath) {
 
   /** Import a whole store written by the Python reference: every
     * collection dir (skipping `_snapshots`) and every item dir inside
-    * it is imported through `Collection.importPystoreItem`. Returns
-    * "collection/item" names imported. */
+    * it is imported through `Collection.importPystoreItem`. With
+    * `snapshots = true` each collection's `_snapshots/<name>` copytree
+    * imports too (as graft directory snapshots readable via
+    * `item(name, snapshot = ...)` — `Collection.importPystoreSnapshot`),
+    * so the migrated store keeps its pinned history. Returns
+    * "collection/item" (and "collection/_snapshots/name/item") names
+    * imported. */
   def importPystore(srcRoot: Path,
                     indexCols: Seq[String] = Seq(Collection.DefaultIndex),
-                    overwrite: Boolean = false): Seq[String] =
+                    overwrite: Boolean = false,
+                    snapshots: Boolean = false): Seq[String] =
     FsOps.listDirs(srcRoot).filterNot(_ == GraftStore.SnapshotsDir).flatMap { coll =>
       val c = collection(coll)
-      FsOps.listDirs(srcRoot.resolve(coll))
+      val live = FsOps.listDirs(srcRoot.resolve(coll))
         .filterNot(d => d == GraftStore.SnapshotsDir || d.startsWith("_"))
         .map { it =>
           c.importPystoreItem(srcRoot.resolve(coll).resolve(it), it,
             indexCols, overwrite)
           s"$coll/$it"
         }
+      val snapsSrc = srcRoot.resolve(coll).resolve(GraftStore.SnapshotsDir)
+      val pinned = if (!snapshots) Nil else
+        FsOps.listDirs(snapsSrc).flatMap { s =>
+          c.importPystoreSnapshot(snapsSrc.resolve(s), s, indexCols, overwrite)
+            .map(it => s"$coll/_snapshots/$s/$it")
+        }
+      live ++ pinned
     }
 
   /** Export the whole store in the Python reference's on-disk layout —

@@ -307,6 +307,35 @@ class StoreSpec extends SparkSpec {
     }
     assert(Files.readString(dest.resolve(coll).resolve("AAPL")
       .resolve("pystore_metadata.json")).contains(""""stage":"post-cut""""))
+    // full-history roundtrip: importing the export with snapshots=true
+    // restores each cut as a graft directory snapshot — pinned rows and
+    // frozen metadata served by the normal snapshot read path
+    val store3 = new GraftStore(spark,
+      SPath.local(Files.createTempDirectory("pystore_snapback")))
+    val imported = store3.importPystore(dest, indexCols = Seq("index"),
+      snapshots = true)
+    assert(imported.toSet == exported.toSet, imported)
+    val c3 = store3.collection(coll)
+    assert(c3.item("AAPL").data.count() == 50)
+    assert(c3.listSnapshots().toSet == Set("cutd", "cutm"))
+    for (s <- Seq("cutm", "cutd")) {
+      val snapIt = c3.item("AAPL", snapshot = Some(s))
+      assert(snapIt.data.count() == 30, s)
+      assert(Meta.unjv(snapIt.metadata("stage")) == "pre-cut", s)
+    }
+    // a second import of an existing snapshot refuses without overwrite
+    val e2 = intercept[ValidationError](c3.importPystoreSnapshot(
+      dest.resolve(coll).resolve("_snapshots").resolve("cutm"), "cutm",
+      indexCols = Seq("index")))
+    assert(e2.getMessage.contains("overwrite"), e2.getMessage)
+    assert(c3.importPystoreSnapshot(
+      dest.resolve(coll).resolve("_snapshots").resolve("cutm"), "cutm",
+      indexCols = Seq("index"), overwrite = true) == Seq("AAPL"))
+    assert(c3.item("AAPL", snapshot = Some("cutm")).data.count() == 30)
+    // no hidden import temps or staging left anywhere
+    assert(!c3.path.listDirs.exists(_.startsWith("__import_tmp_")))
+    assert(!c3.path.resolve(GraftStore.SnapshotsDir).listDirs
+      .exists(_.startsWith(".tmp_")))
     FsOps.deleteRecursively(dest.getParent)
     cleanup(c)
   }
