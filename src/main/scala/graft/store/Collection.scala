@@ -575,15 +575,36 @@ object Collection {
 
   /** A read that raced a concurrent commit's swap: the scanned files
     * vanished under the job. Walks the cause chain — Spark wraps the
-    * IO error in task/job failure layers. */
+    * IO error in task/job failure layers. Three spellings, by WHEN the
+    * race hit: mid-scan (FileNotFound inside task failures), at
+    * plan-time path resolution (atomicSwap's window between its two
+    * renames has NO data dir — Spark raises PATH_NOT_FOUND, which
+    * Item types as its torn-item repair pointer), and the raw
+    * AnalysisException when the read bypassed Item. Classification by
+    * observed generation progress keeps these honest: a mid-swap tear
+    * retries on the time budget (the swapping commit moved the
+    * generation), while a genuinely torn crashed item (gen unchanged)
+    * hits the attempt cap and surfaces the typed repair pointer. */
   private def isTornRead(e: Throwable): Boolean = {
     var cur = e
     var depth = 0
     while (cur != null && depth < 12) {
       cur match {
         case _: java.io.FileNotFoundException => return true
+        case a: org.apache.spark.sql.AnalysisException
+            if a.getCondition == "PATH_NOT_FOUND" => return true
+        case g: GraftError if g.getMessage != null &&
+          g.getMessage.contains("no data directory") => return true
+        // ANY per-file read failure, not just FILE_NOT_EXIST: part
+        // files are immutable once written and vanish only via commit
+        // renames, so a FAILED_READ_FILE of any flavor (the NO_HINT
+        // wrapper included — seen when the file disappears mid-read
+        // rather than at open) during an optimistic read is either a
+        // racing swap or corruption, and the generation-progress
+        // classification already separates those (unchanged gen keeps
+        // the attempt cap, so corruption still surfaces)
         case s if s.getMessage != null &&
-          (s.getMessage.contains("FAILED_READ_FILE.FILE_NOT_EXIST") ||
+          (s.getMessage.contains("FAILED_READ_FILE") ||
             s.getMessage.contains("FileNotFoundException")) => return true
         case _ => ()
       }

@@ -340,6 +340,95 @@ class StoreSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("export racing a live writer serves one committed generation, never a torn mix") {
+    // the export's read is conflict-retried and generation-checked: a
+    // commit swapping the data dir mid-scan (torn read) or landing
+    // between the sidecar read and the scan re-runs the attempt, so
+    // every export the race produces must be a committed PREFIX of the
+    // append sequence — row counts only ever land on batch boundaries
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    import spark.implicits._
+    val c = tempCollection("export_race")
+    def batch(k: Int) = (0 until 100)
+      .map(i => (k * 100 + i, k.toDouble)).toDF("index", "value")
+    c.write("it", batch(0), indexCols = Seq("index"))
+    val pool = Executors.newFixedThreadPool(1)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val writer = Collection.at(spark, c.path)
+    val fw = Future { for (k <- 1 to 5) writer.append("it", batch(k)) }
+    val dest = Files.createTempDirectory("pystore_race")
+    val counts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (!fw.isCompleted) {
+      c.exportPystoreItem("it", dest.resolve("it"), overwrite = true)
+      counts += spark.read.parquet(dest.resolve("it").resolve("*.parquet").toString)
+        .count()
+    }
+    Await.result(fw, 300.seconds)
+    pool.shutdown()
+    c.exportPystoreItem("it", dest.resolve("it"), overwrite = true)
+    counts += spark.read.parquet(dest.resolve("it").resolve("*.parquet").toString)
+      .count()
+    val boundaries = (1 to 6).map(_ * 100L).toSet
+    assert(counts.forall(boundaries.contains),
+      s"every export must land on a committed batch boundary: $counts")
+    assert(counts.last == 600L, "the post-race export must serve the final state")
+    assert(counts.nonEmpty && counts.toSet.size >= 1)
+    FsOps.deleteRecursively(dest)
+    cleanup(c)
+  }
+
+  test("export retries through the atomicSwap window instead of failing typed") {
+    // atomicSwap has a window between its two renames where the data
+    // dir does not exist; an export planning its scan there sees
+    // PATH_NOT_FOUND, which Item types as the torn-item repair
+    // pointer. For this healthy race the retry classifier must treat
+    // it as a torn read and re-attempt — the repair pointer is for
+    // CRASHED items (whose generation never moves, so the attempt cap
+    // still surfaces it). Deterministic: the writer is parked INSIDE
+    // the window on a latch while the export runs.
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    import spark.implicits._
+    val c = tempCollection("export_midswap")
+    def batch(k: Int) = (0 until 50)
+      .map(i => (k * 50 + i, k.toDouble)).toDF("index", "value")
+    c.write("it", batch(0), indexCols = Seq("index"))
+    val inWindow = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    StoreFs.swapSeamHook = t =>
+      if (t.contains("export_midswap")) {
+        inWindow.countDown()
+        release.await(30, TimeUnit.SECONDS); ()
+      }
+    val pool = Executors.newFixedThreadPool(1)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val writer = Collection.at(spark, c.path)
+    val retriesBefore = Collection.conflictRetries.get()
+    try {
+      val fw = Future { writer.append("it", batch(1)) }
+      assert(inWindow.await(60, TimeUnit.SECONDS), "writer never reached the window")
+      // the data dir is ABSENT right now; un-park the writer shortly so
+      // the export's retry loop (quadratic backoff) finds the new state
+      new Thread(() => { Thread.sleep(1500); release.countDown() }).start()
+      val dest = Files.createTempDirectory("pystore_midswap")
+      c.exportPystoreItem("it", dest.resolve("it")) // must NOT throw
+      Await.result(fw, 60.seconds)
+      assert(spark.read.parquet(dest.resolve("it").resolve("*.parquet").toString)
+        .count() == 100, "the export must serve the post-swap committed state")
+      assert(Collection.conflictRetries.get() > retriesBefore,
+        "the export must have gone through the retry loop, not timing luck")
+      FsOps.deleteRecursively(dest)
+    } finally {
+      release.countDown()
+      StoreFs.swapSeamHook = _ => ()
+      pool.shutdown()
+    }
+    cleanup(c)
+  }
+
   test("item.profile reports per-column stats over the pruned scan") {
     val c = tempCollection("profile")
     c.write("item", sampleData)
