@@ -332,7 +332,43 @@ private[sources] object GraftProcedures {
       Array(in("collection", StringType).build()),
       StructType(Seq(StructField("cleared", StringType, nullable = false))),
       (store, args) =>
-        existing(store, str(args, 0)).breakItemLocks().map(row(_)))
+        existing(store, str(args, 0)).breakItemLocks().map(row(_))),
+
+    ProcDef(
+      "export_pystore",
+      "Export the whole store in the pystore reference on-disk layout " +
+        "(part.N.parquet + pystore_metadata.json per item; snapshots " +
+        "optionally in _snapshots/<name>/<item>) so stock pystore 1.0.1 " +
+        "can open it",
+      Array(
+        in("dest", StringType).comment("local destination datastore dir").build(),
+        in("overwrite", BooleanType).defaultValue("false").build(),
+        in("snapshots", BooleanType).defaultValue("false")
+          .comment("also export every snapshot's frozen cut").build()),
+      StructType(Seq(StructField("exported", StringType, nullable = false))),
+      (store, args) =>
+        store.exportPystore(java.nio.file.Paths.get(str(args, 0)),
+          optBool(args, 1).getOrElse(false), optBool(args, 2).getOrElse(false))
+          .map(row(_))),
+
+    ProcDef(
+      "import_pystore",
+      "Import a pystore reference-layout store (every collection/item, " +
+        "snapshots optionally as native directory snapshots)",
+      Array(
+        in("src", StringType).comment("local source datastore dir").build(),
+        in("index_col", StringType).defaultValue("NULL")
+          .comment("index column; default 'index' (synthesized when absent)")
+          .build(),
+        in("overwrite", BooleanType).defaultValue("false").build(),
+        in("snapshots", BooleanType).defaultValue("false")
+          .comment("also import _snapshots/<name> copytrees").build()),
+      StructType(Seq(StructField("imported", StringType, nullable = false))),
+      (store, args) =>
+        store.importPystore(java.nio.file.Paths.get(str(args, 0)),
+          optStr(args, 1).map(Seq(_)).getOrElse(Seq(Collection.DefaultIndex)),
+          optBool(args, 2).getOrElse(false), optBool(args, 3).getOrElse(false))
+          .map(row(_)))
   )
 
   private val byName: Map[String, ProcDef] = defs.map(d => d.name -> d).toMap

@@ -338,4 +338,32 @@ class GraftProcedureSpec extends SparkSpec {
     assert(!Collection.at(spark, c.path).multiprocessEnabled)
     cleanup(c)
   }
+
+  test("pystore interop over CALL: export then import round-trips, snapshots included") {
+    val c = tempCollection("proc_pystore")
+    c.write("item", frame("2024-01-01", 10))
+    c.createSnapshot(Some("cut"), manifest = Some(true))
+    c.append("item", frame("2024-02-01", 5))
+    registerCatalog("pio", c)
+    val dest = java.nio.file.Files.createTempDirectory("proc_pystore_dest")
+      .resolve("ds").toString
+    val exported = spark.sql(
+      s"CALL pio.system.export_pystore('$dest', snapshots => true)")
+      .collect().map(_.getString(0)).toSet
+    assert(exported == Set("c/item", "c/_snapshots/cut/item"), exported)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dest, "c", "item", "pystore_metadata.json")))
+    // import the export into a SECOND catalog/store
+    val back = tempCollection("proc_pystore_back")
+    registerCatalog("pio2", back)
+    val imported = spark.sql(
+      s"CALL pio2.system.import_pystore('$dest', snapshots => true)")
+      .collect().map(_.getString(0)).toSet
+    assert(imported == exported, imported)
+    assert(spark.sql("SELECT count(*) AS n FROM pio2.c.item").head.getLong(0) == 15)
+    assert(spark.sql("SELECT count(*) AS n FROM pio2.c.item VERSION AS OF 'cut'")
+      .head.getLong(0) == 10, "the migrated snapshot must serve over SQL time travel")
+    FsOps.deleteRecursively(java.nio.file.Paths.get(dest).getParent)
+    cleanup(c); cleanup(back)
+  }
 }
