@@ -1978,11 +1978,18 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
           !(unreadableJournal && d.startsWith("__backup_month_"))) ||
         d.startsWith("__txn_backup_") || d.startsWith("__cow_"))
     junk.foreach(d => path.resolve(d).deleteRecursively())
-    // dead dir-snapshot staging (killed mid-copy; never listed)
+    // dead dir-snapshot staging (killed mid-copy; never listed). The
+    // exact sweep was safe when only createSnapshot staged here (its
+    // staging runs under the same locks vacuum holds, so nothing live
+    // can be present) — importPystoreSnapshot stages here LOCK-FREE
+    // (it is a data job), so in multiprocess mode the sweep honors the
+    // same write-activity gate as root staging: a live import in
+    // another process is spared, a corpse is reclaimed
     val snapsDir = path.resolve(GraftStore.SnapshotsDir)
     val deadStaging =
       if (!snapsDir.isDir) Nil
-      else snapsDir.listDirs.filter(_.startsWith(".tmp_"))
+      else snapsDir.listDirs.filter(d => d.startsWith(".tmp_") &&
+        (!multiprocessEnabled || !anyActivityIn(snapsDir.resolve(d))))
     deadStaging.foreach(d => snapsDir.resolve(d).deleteRecursively())
     // stale transaction pin manifests (crashed mid-commit): releasing
     // them frees their pins so the single GC sweep below reclaims
@@ -2682,10 +2689,15 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * serves the migrated history exactly like a native cut. Each item
     * routes through [[importPystoreItem]]'s normal write pipeline
     * (schema capture, partitioning, stats) under a hidden temp name,
-    * then renames into a dot-staged snapshot dir that publishes by ONE
-    * rename — a crash mid-import leaves only `.tmp_*` staging the
-    * existing vacuum sweep reclaims, never a half-listed snapshot.
-    * Returns the imported item names. */
+    * then renames into a dot-staged snapshot dir that publishes by one
+    * rename (overwrites move the previous snapshot aside first and
+    * restore it if the publish fails) — a crash mid-import leaves the
+    * old or the new cut recoverable plus `.tmp_*` staging the vacuum
+    * sweep reclaims (activity-gated in multiprocess mode, so a LIVE
+    * import in another process is spared), never a half-listed
+    * snapshot. Replacing a native MANIFEST snapshot drops its stale
+    * manifest after the publish and GCs the generations only it
+    * pinned. Returns the imported item names. */
   def importPystoreSnapshot(srcSnapDir: java.nio.file.Path, snap: String,
                             indexCols: Seq[String] = Seq(DefaultIndex),
                             overwrite: Boolean = false): Seq[String] = {
@@ -2696,10 +2708,15 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     if ((dst.isDir || Snapshots.manifestExists(path, snap)) && !overwrite)
       throw new ValidationError(
         s"snapshot '$snap' already exists — pass overwrite = true to replace it")
+    val items = FsOps.listDirs(srcSnapDir).filterNot(_.startsWith("_"))
+    // refuse BEFORE anything destructive: a typo'd/empty source with
+    // overwrite=true must not replace a real snapshot with nothing
+    if (items.isEmpty)
+      throw new ValidationError(
+        s"'$srcSnapDir' contains no item directories — not a pystore snapshot")
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val staging = snapsDir.resolve(s".tmp_import_${snap}_$tag")
     staging.mkdirs()
-    val items = FsOps.listDirs(srcSnapDir).filterNot(_.startsWith("_"))
     try {
       items.foreach { it =>
         val tmpItem = s"__import_tmp_${tag}_$it"
@@ -2707,8 +2724,28 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         path.fs.rename(path.resolve(tmpItem).raw, staging.resolve(it).raw)
         metaCache.remove(tmpItem)
       }
-      if (dst.isDir) dst.deleteRecursively()
-      path.fs.rename(staging.raw, dst.raw)
+      // Publish: overwrite via move-aside, never delete-then-rename —
+      // a crash between a delete and the rename-in would destroy the
+      // old snapshot with the new one still in dead staging (both
+      // generations lost). With the aside, every crash point leaves
+      // the old OR the new cut recoverable. A stale MANIFEST of the
+      // replaced snapshot is dropped after the publish (releasePin
+      // also GCs the generations only it pinned); a crash before that
+      // drop leaves a benign residue — per-item resolution prefers the
+      // published dir, and re-running the import clears it.
+      if (dst.isDir) {
+        val aside = snapsDir.resolve(s".tmp_old_${snap}_$tag")
+        path.fs.rename(dst.raw, aside.raw)
+        try path.fs.rename(staging.raw, dst.raw)
+        catch { case e: Throwable =>
+          try path.fs.rename(aside.raw, dst.raw) catch { case _: Exception => () }
+          throw e
+        }
+        aside.deleteRecursively()
+      } else path.fs.rename(staging.raw, dst.raw)
+      // manifest-only removal + GC — NOT releasePin, which would also
+      // delete the same-name dir we just published
+      if (Snapshots.manifestExists(path, snap)) Snapshots.deleteManifest(path, snap)
     } finally {
       if (staging.isDir) staging.deleteRecursively()
       // a failed item import/rename leaves its hidden temp item at the
@@ -2772,13 +2809,19 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       // commit swapping the data dir mid-scan retries instead of
       // failing the export, and a commit landing BETWEEN the sidecar
       // read and the scan re-runs the attempt — the exported rows and
-      // metadata always come from one committed generation. A SNAPSHOT
-      // export reads an immutable pin (Item resolves the pinned dirs
-      // and the sidecar FROZEN at the cut), so its generation checks
-      // are skipped — there is nothing to race.
+      // metadata always come from one committed generation. SNAPSHOT
+      // exports run the same check: a manifest pin whose generation
+      // is still LIVE resolves to the live data dir (no retained copy
+      // exists until something replaces it), so a commit racing the
+      // scan would silently export post-cut rows under the frozen
+      // sidecar — the moved generation refuses the attempt, and the
+      // retry re-resolves the pin, which now points at the RETAINED
+      // pre-commit generation and is stable. Probes read the LIVE
+      // sidecar; a snapshot of a deleted item probes −1 on both sides
+      // and passes (its pin resolves to retained dirs only).
       val genProbe = genProbeFor(item)
       val (userMeta, nParts) = Collection.retryOnConflict(genProbe = genProbe) {
-        val genAtStart = if (snapshot.isEmpty) genProbe() else -1L
+        val genAtStart = genProbe()
         val it = this.item(item, snapshot = snapshot)
         val idx = it.indexCols
         val df = it.data
@@ -2786,10 +2829,11 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
           .collect { case (k, v) if !k.startsWith("_") => k -> v }
         val nFiles = math.max(1, df.inputFiles.length)
         val sparkOut = staging.resolve("spark")
+        Collection.commitSeamHook(s"export_scan:$item") // no-op outside tests
         df.sort(idx.map(org.apache.spark.sql.functions.col): _*)
           .coalesce(nFiles) // adjacent-merge after the range sort keeps global order
           .write.mode("overwrite").parquet(sparkOut.toString)
-        if (snapshot.isEmpty && genProbe() != genAtStart)
+        if (genProbe() != genAtStart)
           throw new ConcurrentWriteError(
             s"item '$item' was committed to while the export scanned it")
         // dask's part naming, in the sorted job's own file order (Spark

@@ -429,6 +429,71 @@ class StoreSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("snapshot export refuses a commit racing its scan and re-serves the frozen cut") {
+    // a manifest pin whose generation is still LIVE resolves to the
+    // live data dir; a commit landing between the pin resolution and
+    // the scan swaps that dir silently (no torn read — the new files
+    // are right there), so without the generation fence the export
+    // would write POST-cut rows under the frozen pre-cut sidecar. The
+    // fence refuses the attempt; the retry re-resolves the pin, which
+    // now points at the retained pre-commit generation.
+    import spark.implicits._
+    val c = tempCollection("export_snap_race")
+    def batch(k: Int) = (0 until 30)
+      .map(i => (k * 30 + i, k.toDouble)).toDF("index", "value")
+    c.write("it", batch(0), indexCols = Seq("index"))
+    c.createSnapshot(Some("cut"), manifest = Some(true))
+    val other = Collection.at(spark, c.path)
+    @volatile var injected = false
+    Collection.commitSeamHook = name =>
+      if (name == "export_scan:it" && !injected) {
+        injected = true
+        other.append("it", batch(1)) // lands between resolution and scan
+      }
+    val dest = Files.createTempDirectory("pystore_snaprace")
+    try c.exportPystoreItem("it", dest.resolve("it"), snapshot = Some("cut"))
+    finally Collection.commitSeamHook = _ => ()
+    assert(injected, "the racing commit must have fired")
+    assert(spark.read.parquet(dest.resolve("it").resolve("*.parquet").toString)
+      .count() == 30, "the export must serve the frozen cut, not post-cut rows")
+    assert(c.item("it").data.count() == 60, "the racing commit itself survives")
+    FsOps.deleteRecursively(dest)
+    cleanup(c)
+  }
+
+  test("snapshot import overwrite replaces a native manifest snapshot completely") {
+    // replacing a MANIFEST snapshot must drop its stale manifest too:
+    // leaving it would keep phantom items in the replaced snapshot's
+    // listing and leak every retained generation only it pinned. And
+    // an empty/typo'd source must refuse BEFORE anything destructive.
+    import spark.implicits._
+    val c = tempCollection("import_snap_replace")
+    def one(tag: Int) = Seq((tag, tag.toDouble)).toDF("index", "value")
+    c.write("a", one(1), indexCols = Seq("index"))
+    c.write("b", one(2), indexCols = Seq("index"))
+    c.createSnapshot(Some("cut"), manifest = Some(true))
+    assert(c.snapshotItems("cut").toSet == Set("a", "b"))
+    // a reference snapshot containing ONLY item a
+    val src = Files.createTempDirectory("pystore_replace_src")
+    c.exportPystoreItem("a", src.resolve("a"), snapshot = Some("cut"))
+    // empty source refuses typed, and the real snapshot is untouched
+    val empty = Files.createTempDirectory("pystore_replace_empty")
+    val e = intercept[ValidationError](
+      c.importPystoreSnapshot(empty, "cut", overwrite = true))
+    assert(e.getMessage.contains("no item directories"), e.getMessage)
+    assert(c.snapshotItems("cut").toSet == Set("a", "b"),
+      "a refused import must not touch the existing snapshot")
+    // the real replace: manifest dropped, phantom item gone
+    assert(c.importPystoreSnapshot(src, "cut",
+      indexCols = Seq("index"), overwrite = true) == Seq("a"))
+    assert(c.snapshotItems("cut") == Seq("a"),
+      "the stale manifest must not keep phantom items in the listing")
+    assert(c.item("a", snapshot = Some("cut")).data.count() == 1)
+    intercept[GraftError](c.item("b", snapshot = Some("cut")).data.count())
+    FsOps.deleteRecursively(src); FsOps.deleteRecursively(empty)
+    cleanup(c)
+  }
+
   test("item.profile reports per-column stats over the pruned scan") {
     val c = tempCollection("profile")
     c.write("item", sampleData)
