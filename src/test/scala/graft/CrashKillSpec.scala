@@ -967,4 +967,40 @@ class CrashKillSpec extends SparkSpec {
     assert(removed3.contains("__tmp_it_fresh1234"), removed3.mkString(","))
     assert(!fresh.exists)
   }
+
+  test("vacuum activity-gates _snapshots/.tmp_* staging in multiprocess mode") {
+    // snapshot-import staging under _snapshots is lock-free (it is a
+    // data job), so the exact sweep that was safe for createSnapshot's
+    // lock-protected staging would kill a live import in another
+    // process — the sweep honors the same write-activity gate as root
+    // staging. Single-process keeps the exact sweep.
+    def backdate(p: SPath, seconds: Long): Unit =
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(p.raw),
+        java.nio.file.attribute.FileTime.from(
+          java.time.Instant.now().minusSeconds(seconds)))
+    val dir = Files.createTempDirectory("graft_snapgate")
+    val c = GraftStore.at(spark, dir.toString).collection("c")
+    c.write("it", flatFrame(10), indexCols = Seq("index"))
+    c.enableMultiprocess()
+    val snaps = c.path.resolve(GraftStore.SnapshotsDir)
+    val live = snaps.resolve(".tmp_import_cut_live1")
+    val dead = snaps.resolve(".tmp_import_cut_dead2")
+    live.mkdirs(); dead.mkdirs()
+    // live import: dir looks old but a just-imported item file inside
+    // is fresh — spared; dead corpse: no activity for 25 h — swept
+    val itemDir = live.resolve("item")
+    itemDir.mkdirs()
+    live.fs.writeBytesAtomic(itemDir.resolve("part-0").raw, Array[Byte](1))
+    backdate(itemDir, 90000); backdate(live, 90000)
+    backdate(dead, 90000)
+    c.vacuum()
+    assert(live.isDir, "a live import's staging (fresh file inside) must be spared")
+    assert(!dead.isDir, "a 25h-quiet staging corpse must be swept")
+    // single-process mode: the exact sweep returns
+    c.disableMultiprocess()
+    c.vacuum()
+    assert(!live.isDir, "single-process mode sweeps snapshot staging exactly")
+    FsOps.deleteRecursively(dir)
+  }
 }
