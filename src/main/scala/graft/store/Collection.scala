@@ -1986,6 +1986,28 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     // same write-activity gate as root staging: a live import in
     // another process is spared, a corpse is reclaimed
     val snapsDir = path.resolve(GraftStore.SnapshotsDir)
+    // REPAIR before the sweep: a snapshot-import overwrite killed
+    // between its two publish renames leaves `.tmp_old_<snap>_<tag>`
+    // as the ONLY copy of the replaced snapshot — the sweep below
+    // would destroy it (its contents are the old cut, mtimes stale, so
+    // even the activity gate reads it dead). Snapshot missing → the
+    // aside IS the snapshot, rename it back; snapshot present → the
+    // publish completed and the aside is debris for the sweep. Racing
+    // a LIVE import's window can fail that import's publish rename
+    // (it then surfaces typed; re-run it) but never loses a cut —
+    // restore-vs-publish is rename-vs-rename, one of them wins whole.
+    val restoredAsides =
+      if (!snapsDir.isDir) Nil
+      else snapsDir.listDirs
+        .filter(d => d.startsWith(".tmp_old_") && d.length > ".tmp_old_".length + 9)
+        .flatMap { d =>
+          val snapName = d.stripPrefix(".tmp_old_").dropRight(9)
+          val dst = snapsDir.resolve(snapName)
+          if (snapName.nonEmpty && !dst.isDir) {
+            path.fs.rename(snapsDir.resolve(d).raw, dst.raw)
+            Some(s"restored_snapshot:$snapName")
+          } else None
+        }
     val deadStaging =
       if (!snapsDir.isDir) Nil
       else snapsDir.listDirs.filter(d => d.startsWith(".tmp_") &&
@@ -2012,7 +2034,8 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     // mid-retention while referenced-ness is judged.
     withSnapshotLock { Snapshots.gcRetained(path) }
     refreshItems()
-    repaired ++ junk ++ deadStaging.map(d => s"dead_staging:$d") ++ staleTxn
+    repaired ++ restoredAsides ++ junk ++
+      deadStaging.map(d => s"dead_staging:$d") ++ staleTxn
     }
   }
 
@@ -2709,11 +2732,20 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       throw new ValidationError(
         s"snapshot '$snap' already exists — pass overwrite = true to replace it")
     val items = FsOps.listDirs(srcSnapDir).filterNot(_.startsWith("_"))
-    // refuse BEFORE anything destructive: a typo'd/empty source with
-    // overwrite=true must not replace a real snapshot with nothing
-    if (items.isEmpty)
-      throw new ValidationError(
-        s"'$srcSnapDir' contains no item directories — not a pystore snapshot")
+    // An empty source refuses ONLY when it would replace an existing
+    // snapshot (typo protection — a real snapshot must not be replaced
+    // by nothing; delete it explicitly if that is the intent). The
+    // reference legitimately snapshots an EMPTY collection as an empty
+    // copytree, and a whole-store import must migrate that, not abort.
+    if (items.isEmpty) {
+      if (dst.isDir || Snapshots.manifestExists(path, snap))
+        throw new ValidationError(
+          s"'$srcSnapDir' contains no item directories — refusing to " +
+            s"replace existing snapshot '$snap' with nothing (delete it " +
+            "explicitly if that is the intent)")
+      dst.mkdirs()
+      return Nil
+    }
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val staging = snapsDir.resolve(s".tmp_import_${snap}_$tag")
     staging.mkdirs()
@@ -2743,9 +2775,13 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         }
         aside.deleteRecursively()
       } else path.fs.rename(staging.raw, dst.raw)
-      // manifest-only removal + GC — NOT releasePin, which would also
-      // delete the same-name dir we just published
-      if (Snapshots.manifestExists(path, snap)) Snapshots.deleteManifest(path, snap)
+      // manifest FILE removal only — NOT releasePin (would delete the
+      // same-name dir we just published) and NOT deleteManifest (its
+      // gcRetained judges referenced-ness lock-free here, racing an
+      // in-flight transaction's copy-on-write retention; the next
+      // vacuum GCs the dead manifest's retained generations under the
+      // snapshot lock)
+      if (Snapshots.manifestExists(path, snap)) Snapshots.dropManifestFile(path, snap)
     } finally {
       if (staging.isDir) staging.deleteRecursively()
       // a failed item import/rename leaves its hidden temp item at the
@@ -2823,6 +2859,15 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       val (userMeta, nParts) = Collection.retryOnConflict(genProbe = genProbe) {
         val genAtStart = genProbe()
         val it = this.item(item, snapshot = snapshot)
+        // fence only reads that touch the LIVE dirs: a dir snapshot or
+        // a pin fully resolved to retained generations is immutable,
+        // and fencing it against the live generation would spuriously
+        // refuse every attempt under a sustained writer (the live item
+        // legitimately keeps committing) until the budget failed the
+        // export — the exact livelock the per-source condition avoids.
+        // A pin at a still-live generation fences; its refused retry
+        // re-resolves to the then-retained generation and stops fencing.
+        val fenced = it.touchesLiveDir
         val idx = it.indexCols
         val df = it.data
         val meta = it.metadata
@@ -2833,7 +2878,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         df.sort(idx.map(org.apache.spark.sql.functions.col): _*)
           .coalesce(nFiles) // adjacent-merge after the range sort keeps global order
           .write.mode("overwrite").parquet(sparkOut.toString)
-        if (genProbe() != genAtStart)
+        if (fenced && genProbe() != genAtStart)
           throw new ConcurrentWriteError(
             s"item '$item' was committed to while the export scanned it")
         // dask's part naming, in the sorted job's own file order (Spark

@@ -86,6 +86,26 @@ final class Item private[store] (
   lazy val metadata: Map[String, JValue] =
     resolved._2.map(_.sidecar).getOrElse(Meta.read(path))
 
+  /** Whether this read resolves (any of) the LIVE item's directories.
+    * A live read, or a manifest pin whose generation is still current
+    * (no retained copy exists until something replaces it), can race a
+    * concurrent commit's swap and must be generation-fenced by callers
+    * that need one-committed-state semantics (export). A read fully
+    * resolved to a physical snapshot dir or to `.retained` generation
+    * dirs is immutable — fencing it against the live generation would
+    * spuriously refuse under a sustained writer. */
+  private[graft] def touchesLiveDir: Boolean =
+    snapshot.isEmpty || (resolved._2 match {
+      case None => false // physical dir snapshot — re-rooted copy
+      case Some(r) =>
+        val liveRoot = collectionPath.resolve(name).raw
+        def live(p: SPath) = p.raw == liveRoot || p.raw.startsWith(liveRoot + "/")
+        r match {
+          case f: Snapshots.FlatResolved   => live(f.dir)
+          case p: Snapshots.PeriodResolved => p.periodDirs.exists(d => live(d._2))
+        }
+    })
+
   /** Index column names recorded at write (default Seq("index")). */
   def indexCols: Seq[String] = metadata.get("index_names") match {
     case Some(j) => Meta.unjv(j) match {

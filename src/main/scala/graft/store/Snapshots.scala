@@ -637,6 +637,17 @@ object Snapshots {
     gcRetained(collectionPath)
   }
 
+  /** Remove a snapshot's manifest FILE only — no same-name dir delete
+    * (releasePin's job) and NO retained-generation GC: judging
+    * referenced-ness races an in-flight transaction's copy-on-write
+    * retention unless serialized against commits, so lock-free callers
+    * (snapshot import's replace) drop the manifest and leave the GC to
+    * vacuum's locked sweep. */
+  def dropManifestFile(collectionPath: SPath, snap: String): Unit = {
+    val f = manifestFile(collectionPath, snap)
+    if (f.exists) f.fs.deleteRecursively(f.raw)
+  }
+
   /** Internal pins (`__`-prefixed) are mid-statement state, hidden from
     * listings and timestamp travel — resolving one BY NAME on any read
     * surface (SQL VERSION AS OF, the reader `snapshot`/`changesSince`

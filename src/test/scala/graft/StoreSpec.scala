@@ -494,6 +494,85 @@ class StoreSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("vacuum restores a replaced snapshot stranded in its crash aside") {
+    // a snapshot-import overwrite killed between its two publish
+    // renames leaves .tmp_old_<snap>_<tag> as the ONLY copy of the
+    // replaced cut — vacuum must rename it back, not sweep it; with
+    // the snapshot present (publish completed) the aside is debris
+    import spark.implicits._
+    val c = tempCollection("vac_aside")
+    c.write("it", Seq((1, 1.0)).toDF("index", "value"), indexCols = Seq("index"))
+    c.createSnapshot(Some("cut")) // dir snapshot
+    val snaps = c.path.resolve(GraftStore.SnapshotsDir)
+    // simulate the crash window: dst renamed aside, publish never landed
+    c.path.fs.rename(snaps.resolve("cut").raw,
+      snaps.resolve(".tmp_old_cut_abcd1234").raw)
+    intercept[GraftError](c.item("it", snapshot = Some("cut")))
+    val out = c.vacuum()
+    assert(out.contains("restored_snapshot:cut"), out.mkString(","))
+    assert(c.item("it", snapshot = Some("cut")).data.count() == 1,
+      "the restored snapshot must serve")
+    // post-publish debris: snapshot present -> the aside is swept
+    snaps.resolve(".tmp_old_cut_deadbeef").mkdirs()
+    val out2 = c.vacuum()
+    assert(out2.contains("dead_staging:.tmp_old_cut_deadbeef"), out2.mkString(","))
+    assert(c.item("it", snapshot = Some("cut")).data.count() == 1)
+    cleanup(c)
+  }
+
+  test("exporting an immutable snapshot never fences against live commits") {
+    // a dir snapshot is a physical copy: commits to the same-named
+    // live item are irrelevant, and fencing on the live generation
+    // would refuse every attempt under a sustained writer until the
+    // retry budget failed the export of perfectly immutable bytes
+    import spark.implicits._
+    val c = tempCollection("export_immutable")
+    def batch(k: Int) = (0 until 20)
+      .map(i => (k * 20 + i, k.toDouble)).toDF("index", "value")
+    c.write("it", batch(0), indexCols = Seq("index"))
+    c.createSnapshot(Some("cut")) // dir snapshot — fully immutable
+    @volatile var injected = false
+    val other = Collection.at(spark, c.path)
+    Collection.commitSeamHook = name =>
+      if (name == "export_scan:it" && !injected) {
+        injected = true
+        other.append("it", batch(1)) // live commit mid-export
+      }
+    val retriesBefore = Collection.conflictRetries.get()
+    val dest = Files.createTempDirectory("pystore_immut")
+    try c.exportPystoreItem("it", dest.resolve("it"), snapshot = Some("cut"))
+    finally Collection.commitSeamHook = _ => ()
+    assert(injected)
+    assert(Collection.conflictRetries.get() == retriesBefore,
+      "an immutable-source export must not consume fence retries")
+    assert(spark.read.parquet(dest.resolve("it").resolve("*.parquet").toString)
+      .count() == 20, "the export serves the pinned cut")
+    FsOps.deleteRecursively(dest)
+    cleanup(c)
+  }
+
+  test("whole-store import tolerates a legitimately empty reference snapshot") {
+    // stock pystore snapshots an empty collection as an empty copytree;
+    // a whole-store migration must carry it, not abort midway
+    import spark.implicits._
+    val c = tempCollection("import_empty_snap")
+    val src = Files.createTempDirectory("pystore_empty_src").resolve("ds")
+    val itemDir = src.resolve("c2").resolve("item")
+    Files.createDirectories(itemDir)
+    Seq((1, 1.0)).toDF("index", "value").coalesce(1)
+      .write.mode("overwrite").parquet(itemDir.toString)
+    Files.writeString(itemDir.resolve("pystore_metadata.json"), "{}")
+    Files.createDirectories(src.resolve("c2").resolve("_snapshots").resolve("empty"))
+    val store = new GraftStore(spark, c.path.parent)
+    val imported = store.importPystore(src, snapshots = true)
+    assert(imported == Seq("c2/item"), imported)
+    assert(store.collection("c2").listSnapshots() == Seq("empty"),
+      "the empty snapshot must exist after migration")
+    assert(store.collection("c2").snapshotItems("empty").isEmpty)
+    FsOps.deleteRecursively(src.getParent)
+    cleanup(c)
+  }
+
   test("item.profile reports per-column stats over the pruned scan") {
     val c = tempCollection("profile")
     c.write("item", sampleData)
