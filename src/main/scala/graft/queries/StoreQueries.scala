@@ -2252,7 +2252,84 @@ object StoreQueries {
       |ORDER BY arm, key""".stripMargin
 
 
+  /** Bloom-filter data-skipping index (BloomIndex.scala, beyond-parity
+    * — the reference has no secondary indexing): documents written as
+    * an 8-file item indexed on doc_id plus an md5 FINGERPRINT column
+    * (unique, hash-scattered across files — the needle-in-a-haystack
+    * shape a 100 TB point lookup has), a bloom index built on the
+    * fingerprint, then three equality probes. File skipping is
+    * asserted IN-QUERY: every probe must read a strict subset of the
+    * item's files (a bloom that stops skipping fails the run, not a
+    * ratio); the returned rows hash against DuckDB computing the same
+    * fingerprints, so the skip's EXACTNESS (no false negatives) is
+    * what the oracle proves. */
+  def bloomIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "bloom_index")
+    val docs = Tables.t(s, dir, "documents")
+      .withColumn("fp", md5($"doc_id".cast("string")))
+    col.write("docs", docs, indexCols = Seq("doc_id"), npartitions = Some(8))
+    col.buildBloomIndex("docs", Seq("fp"))
+    val total = col.item("docs").data.inputFiles.length
+    require(total >= 4, s"expected a multi-file item, got $total files")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def fpOf(id: Long): String =
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val probes = Seq(17L, 123L, 456L).map { id =>
+      val it = col.item("docs", filters = Seq(Filters.Pred("fp", "==", fpOf(id))))
+      val read = it.data.inputFiles.length
+      require(read < total,
+        s"bloom index did not prune (read $read of $total files) for doc $id")
+      it.data.select($"doc_id", $"fp", $"n_chars")
+    }
+    probes.reduce(_ union _).orderBy($"doc_id")
+  }
+
+  val bloomIndexSql: String =
+    """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS fp, n_chars
+      |FROM documents
+      |WHERE doc_id IN (17, 123, 456)
+      |ORDER BY doc_id""".stripMargin
+
+  /** The bloom index through the SQL front door (GraftDataSource
+    * bloomNarrowed): same fingerprint shape as [[bloomIndex]], probed
+    * with a SQL IN-list over the V2 table — the pushed `In` filter
+    * narrows the scan's file roots driver-side, asserted in-query
+    * (the planned read must touch a strict subset of the item's
+    * files), and the returned rows hash against DuckDB. */
+  def sqlBloomIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "sql_bloom")
+    val docs = Tables.t(s, dir, "documents")
+      .withColumn("fp", md5($"doc_id".cast("string")))
+    col.write("docs", docs, indexCols = Seq("doc_id"), npartitions = Some(8))
+    col.buildBloomIndex("docs", Seq("fp"))
+    val total = col.item("docs").data.inputFiles.length
+    require(total >= 4, s"expected a multi-file item, got $total files")
+    s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_bloom_docs USING graft " +
+      s"OPTIONS (path '${col.path.resolve("docs")}')")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def fpOf(id: Long): String =
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val probe = s.sql(
+      s"""SELECT doc_id, fp, n_chars FROM graft_bloom_docs
+         |WHERE fp IN ('${fpOf(31)}', '${fpOf(222)}', '${fpOf(555)}')
+         |ORDER BY doc_id""".stripMargin)
+    val read = probe.inputFiles.length
+    require(read < total,
+      s"SQL bloom pruning did not engage (read $read of $total files)")
+    probe
+  }
+
+  val sqlBloomIndexSql: String =
+    """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS fp, n_chars
+      |FROM documents
+      |WHERE doc_id IN (31, 222, 555)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "store_bloom_index" -> bloomIndex _,
+    "store_sql_bloom_index" -> sqlBloomIndex _,
     "store_write_read" -> writeRead _,
     "store_append_keep_last" -> appendKeepLast _,
     "store_append_keep_first" -> appendKeepFirst _,
@@ -2306,6 +2383,8 @@ object StoreQueries {
     "stream_pipeline_roundtrip" -> streamPipelineRoundtrip _)
 
   val oracles: Map[String, String] = Map(
+    "store_bloom_index" -> bloomIndexSql,
+    "store_sql_bloom_index" -> sqlBloomIndexSql,
     "store_write_read" -> writeReadSql,
     "store_append_keep_last" -> appendKeepLastSql,
     "store_append_keep_first" -> appendKeepFirstSql,

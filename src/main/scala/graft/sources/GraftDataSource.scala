@@ -687,6 +687,42 @@ final class GraftScanBuilder(
     }
   }
 
+  /** Bloom-index narrowing of a DIR root set to explicit part-file
+    * roots (BloomIndex.scala): pushed equality / bounded-IN filters on
+    * indexed columns drop files whose bloom says definitely-absent —
+    * the SQL front door gets the same needle-in-a-haystack skipping as
+    * the Scala `filters=` path, composed AFTER period pruning (only
+    * files inside surviving period roots are kept). Live reads only:
+    * snapshot pins and COW row-level scans read their dir roots
+    * unchanged (a pinned generation may not match the live index; a
+    * COW rewrite must see every row of its periods). Any doubt — no
+    * index, stale generation, uncoercible literal, unreadable sidecar
+    * — returns the dir roots exactly as before. */
+  private def bloomNarrowed(dirRoots: Seq[String]): Seq[String] = {
+    if (rowLevel.isDefined || snapshotPinned || dirRoots.isEmpty) return dirRoots
+    roots match {
+      case GraftTable.LiveDirs(dataDir) =>
+        val preds = pruneFilters.toSeq.collect {
+          case sources.EqualTo(a, v) if v != null =>
+            graft.store.Filters.Pred(a, "==", v)
+          case sources.In(a, vs) if vs.nonEmpty && !vs.contains(null) =>
+            graft.store.Filters.Pred(a, "in", vs.toSeq)
+        }
+        if (preds.isEmpty) return dirRoots
+        val meta =
+          try graft.store.Meta.read(itemPath)
+          catch { case scala.util.control.NonFatal(_) => return dirRoots }
+        graft.store.BloomIndex.prunedFiles(
+          itemPath, dataDir, preds, meta, tableSchema) match {
+          case None => dirRoots
+          case Some(kept) =>
+            kept.map(f => dataDir.resolve(f).toString)
+              .filter(f => dirRoots.exists(r => f.startsWith(r + "/")))
+        }
+      case _ => dirRoots
+    }
+  }
+
   /** Parquet roots for a kept-period set (None = the flat root). */
   private[sources] def rootsOf(kept: Option[Seq[String]]): Seq[String] = roots match {
     case GraftTable.LiveDirs(dataDir) => kept match {
@@ -705,7 +741,7 @@ final class GraftScanBuilder(
   /** Re-derive the pruned root set with runtime filters ANDed in —
     * [[GraftScan.filter]]'s entry point. */
   private[sources] def rootsFor(extra: Array[Filter]): Seq[String] =
-    rootsOf(keptPeriodsFor(extra))
+    bloomNarrowed(rootsOf(keptPeriodsFor(extra)))
 
   /** A vectorized parquet scan over an explicit root set, carrying the
     * statically pushed filters and pruned read schema. */
@@ -768,8 +804,8 @@ final class GraftScanBuilder(
         rl.recordScan(kept)
         new GraftCowScan(this, itemPath.name, rl, kept, runtimeAttrs)
       case None =>
-        new GraftScan(this, itemPath.name, rootsOf(kept), runtimeAttrs,
-          snapshotPinned)
+        new GraftScan(this, itemPath.name, bloomNarrowed(rootsOf(kept)),
+          runtimeAttrs, snapshotPinned)
     }
   }
 }

@@ -335,6 +335,43 @@ private[sources] object GraftProcedures {
         existing(store, str(args, 0)).breakItemLocks().map(row(_))),
 
     ProcDef(
+      "build_bloom_index",
+      "Build (or rebuild) a per-file bloom data-skipping index on the " +
+        "given columns; equality/IN reads then skip files whose bloom " +
+        "says definitely-absent. Any later commit silently retires it " +
+        "until the next build",
+      Array(
+        in("collection", StringType).build(),
+        in("item", StringType).build(),
+        in("cols", StringType).comment("comma-separated column names").build(),
+        in("fpp", DoubleType).defaultValue("0.01").build(),
+        in("expected_items_per_file", LongType).defaultValue("100000").build()),
+      StructType(Seq(StructField("indexed", StringType, nullable = false))),
+      (store, args) => {
+        val c = existing(store, str(args, 0))
+        val cols = str(args, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        c.buildBloomIndex(str(args, 1), cols, args.getDouble(3), args.getLong(4))
+        cols.map(row(_))
+      }),
+
+    ProcDef(
+      "drop_bloom_index",
+      "Drop bloom index sidecars from an item ('' or NULL cols = every " +
+        "indexed column); returns the columns whose index was removed",
+      Array(
+        in("collection", StringType).build(),
+        in("item", StringType).build(),
+        in("cols", StringType).defaultValue("NULL")
+          .comment("comma-separated column names; NULL/'' drops all").build()),
+      StructType(Seq(StructField("dropped", StringType, nullable = false))),
+      (store, args) => {
+        val c = existing(store, str(args, 0))
+        val cols = optStr(args, 2).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        c.dropBloomIndex(str(args, 1), cols).map(row(_))
+      }),
+
+    ProcDef(
       "export_pystore",
       "Export the whole store in the pystore reference on-disk layout " +
         "(part.N.parquet + pystore_metadata.json per item; snapshots " +

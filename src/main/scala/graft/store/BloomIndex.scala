@@ -1,0 +1,424 @@
+package graft.store
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+import org.apache.spark.sql.functions.{col, input_file_name, xxhash64}
+import org.apache.spark.sql.types._
+import org.apache.spark.util.sketch.BloomFilter
+import org.json4s._
+
+/** Per-file bloom-filter data-skipping index — point-lookup file
+  * pruning on arbitrary columns, the complement of the `_period_stats`
+  * zonemap (which prunes RANGES on time layouts; a bloom prunes
+  * EQUALITY on high-cardinality, unsorted columns, where min/max
+  * intervals cover everything and skip nothing).
+  *
+  * The reference has no secondary indexing at all (its only pruning is
+  * the fastparquet row-filter, pystore/item.py:60-80); this is the
+  * beyond-parity needle-in-a-haystack accelerator: at 100 TB an
+  * equality probe on a key column reads the handful of part-files
+  * whose bloom MIGHT contain the value instead of every file.
+  *
+  * Design:
+  *  - one JSON sidecar per indexed column at the item root
+  *    (`__bloom_<col>.json`), mapping each data file's RELATIVE path
+  *    (`<file>` or `__month=<p>/<file>`) to a base64
+  *    [[org.apache.spark.util.sketch.BloomFilter]] over
+  *    `xxhash64(column)` of every row in that file. The build is ONE
+  *    distributed pass: hashes pre-aggregate into per-file blooms
+  *    inside each task (map-side combine — the shuffle moves blooms,
+  *    never rows) and merge by file.
+  *  - validity is keyed on the item's committed GENERATION, captured
+  *    before the build's scan: any data commit moves the generation
+  *    and the whole index is silently ignored (reads stay correct,
+  *    just unpruned) until `buildBloomIndex` runs again. A build that
+  *    races a commit self-invalidates the same way — the index can
+  *    only ever be exactly-current or dead, never wrong.
+  *  - PARTIAL-month commits (append/deleteWhere/expire/COW on a
+  *    time-layout item) maintain the index incrementally instead of
+  *    retiring it: [[refreshAfterPartialCommit]] re-blooms only the
+  *    touched period dirs and carries every untouched file's bloom
+  *    forward, re-keyed to the commit's own generation — a daily
+  *    append to a 100 TB item costs one scan of the new day, never a
+  *    rebuild. Full rewrites retire the index by design.
+  *  - pruning is DRIVER-side planning, like the period-dir selection:
+  *    equality predicates hash their literal through the same
+  *    [[XxHash64]] the build used (coerced to the column's stored
+  *    type — a literal the filter would cast differently skips
+  *    pruning conservatively) and drop files whose bloom says
+  *    definitely-absent. No false negatives ⇒ the skip is exact; a
+  *    false positive just reads one extra file. Files the index does
+  *    not know (raced listings) are kept.
+  *
+  * Scale notes: the sidecar holds ~`1.2 · expectedItemsPerFile · ln(1/fpp)`
+  * BITS per file (default 100k items @ 1% ≈ 120 KB raw; files holding
+  * fewer rows than provisioned gzip down to their actual fill), so
+  * size the two knobs to the item's real file population — planning
+  * loads the WHOLE column's index once per generation (cached by
+  * sidecar mtime below). Practical ceiling: at defaults an item of
+  * ~10k near-full files carries a ~1 GB sidecar per indexed column;
+  * beyond that raise `fpp` / lower `expectedItemsPerFile` (a bloom
+  * that skips 90% of files still wins) — point lookups over bigger
+  * corpora belong in the persisted ANN/BM25/dedup indexes, which
+  * shard their state as parquet instead of one JSON document.
+  */
+object BloomIndex {
+
+  /** Format tag — bump on any change to the hash or serialization. */
+  val AlgoTag = "xxhash64-sketch-v1"
+
+  private val SidecarPrefix = "__bloom_"
+
+  def sidecarName(column: String): String =
+    SidecarPrefix + java.net.URLEncoder.encode(column, "UTF-8") + ".json"
+
+  /** Column types the index supports: exactly those whose stored value
+    * hashes deterministically through xxhash64 AND whose equality
+    * filter compares un-cast against the stored representation. */
+  def supportedType(dt: DataType): Boolean = dt match {
+    case StringType | BooleanType | ByteType | ShortType | IntegerType |
+        LongType | FloatType | DoubleType | DateType | TimestampType |
+        TimestampNTZType | BinaryType => true
+    case _ => false
+  }
+
+  // ---------------------------------------------------------------- build
+
+  /** One distributed pass over `raw` (the item's ENCODED frame — the
+    * same representation read-side filters compare against) building a
+    * per-file bloom for every column in `columns`. Returns
+    * column → (relative file → serialized bloom). */
+  private[store] def buildBlooms(raw: DataFrame, columns: Seq[String],
+                                 fpp: Double, expectedItemsPerFile: Long)
+      : Map[String, Map[String, Array[Byte]]] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val n = columns.size
+    val projected = raw.select(
+      input_file_name().as("__f") +: columns.map(c => xxhash64(col(c))): _*)
+    val perFile: Array[((String, Int), Array[Byte])] = projected
+      .mapPartitions { rows =>
+        // map-side combine: one bloom per (file, column) seen in this
+        // task — the shuffle below moves blooms, not row hashes
+        val local = scala.collection.mutable.HashMap
+          .empty[(String, Int), BloomFilter]
+        rows.foreach { r =>
+          val f = relKeyOf(r.getString(0))
+          var i = 0
+          while (i < n) {
+            if (!r.isNullAt(i + 1)) {
+              val bf = local.getOrElseUpdate((f, i),
+                BloomFilter.create(expectedItemsPerFile, fpp))
+              bf.putLong(r.getLong(i + 1))
+            }
+            i += 1
+          }
+        }
+        local.iterator.map { case (k, bf) => (k, serialize(bf)) }
+      }
+      .rdd
+      .reduceByKey { (a, b) =>
+        val bf = deserialize(a)
+        bf.mergeInPlace(deserialize(b))
+        serialize(bf)
+      }
+      .collect()
+    columns.indices.map { i =>
+      columns(i) -> perFile.collect { case ((f, ci), b) if ci == i => f -> b }.toMap
+    }.toMap
+  }
+
+  /** Relative index key from an executor-reported file URI: the file
+    * name, prefixed by its period partition dir when present. Segment
+    * names (part-file UUIDs, zero-padded period keys) are URI-safe, so
+    * plain splitting needs no decoding. */
+  private def relKeyOf(uri: String): String = {
+    val segs = uri.split('/')
+    val name = segs.last
+    if (segs.length >= 2 && segs(segs.length - 2).startsWith(Collection.MonthCol + "="))
+      segs(segs.length - 2) + "/" + name
+    else name
+  }
+
+  private def serialize(bf: BloomFilter): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
+  }
+
+  private def deserialize(b: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(b))
+
+  /** Sidecar-boundary compression: a bloom sized for
+    * `expectedItemsPerFile` but holding fewer rows is mostly zero
+    * bits, which gzip collapses — the sidecar pays for what each file
+    * actually holds, not for the provisioned ceiling (the in-memory /
+    * shuffle representation stays raw; only the persisted JSON wraps). */
+  private def gzip(b: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(b); gz.close()
+    out.toByteArray
+  }
+
+  private def gunzip(b: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(new ByteArrayInputStream(b))
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](65536)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+
+  /** Atomically publish one column's index sidecar at the item root. */
+  private[store] def writeSidecar(itemPath: SPath, column: String,
+                                  generation: Long, fpp: Double,
+                                  expectedItemsPerFile: Long,
+                                  files: Map[String, Array[Byte]]): Unit = {
+    val enc = Base64.getEncoder
+    val json = JObject(List(
+      "algo" -> JString(AlgoTag),
+      "column" -> JString(column),
+      "generation" -> JLong(generation),
+      "fpp" -> JDouble(fpp),
+      "expected_items_per_file" -> JLong(expectedItemsPerFile),
+      "files" -> JObject(files.toList.sortBy(_._1).map {
+        case (f, b) => f -> (JString(enc.encodeToString(gzip(b))): JValue)
+      })))
+    itemPath.fs.writeBytesAtomic(
+      itemPath.resolve(sidecarName(column)).raw,
+      org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(json))
+        .getBytes(StandardCharsets.UTF_8))
+    cache.remove(itemPath.resolve(sidecarName(column)).raw)
+  }
+
+  // ---------------------------------------------------------------- load
+
+  private final case class Loaded(generation: Long, fpp: Double,
+                                  expectedItemsPerFile: Long,
+                                  files: Map[String, BloomFilter])
+
+  /** mtime-keyed parse cache: the planning path may consult the same
+    * sidecar for every query; one stat replaces a full parse+decode.
+    * Bounded by eviction of everything on overflow (indexes are few). */
+  private val cache = TrieMap.empty[String, (java.time.Instant, Loaded)]
+
+  private def load(itemPath: SPath, column: String): Option[Loaded] = {
+    val p = itemPath.resolve(sidecarName(column))
+    val mtime = itemPath.fs.modifiedAt(p.raw).getOrElse(return None)
+    cache.get(p.raw) match {
+      case Some((m, l)) if m == mtime => return Some(l)
+      case _ => ()
+    }
+    val parsed =
+      try {
+        val json = org.json4s.jackson.JsonMethods.parse(
+          new String(itemPath.fs.readBytes(p.raw), StandardCharsets.UTF_8))
+        val fields = json.asInstanceOf[JObject].obj.toMap
+        if (!fields.get("algo").contains(JString(AlgoTag))) return None
+        def long(k: String): Option[Long] = fields.get(k).collect {
+          case JLong(g) => g
+          case JInt(g)  => g.toLong
+        }
+        val gen = long("generation").getOrElse(return None)
+        val fpp = fields.get("fpp") match {
+          case Some(JDouble(d)) => d
+          case _                => return None
+        }
+        val expected = long("expected_items_per_file").getOrElse(return None)
+        val dec = Base64.getDecoder
+        val files = fields("files").asInstanceOf[JObject].obj.map {
+          case (f, JString(b64)) => f -> deserialize(gunzip(dec.decode(b64)))
+          case other => return None
+        }.toMap
+        Loaded(gen, fpp, expected, files)
+      } catch { case scala.util.control.NonFatal(_) => return None }
+    if (cache.size > 256) cache.clear()
+    cache.put(p.raw, (mtime, parsed))
+    Some(parsed)
+  }
+
+  // ---------------------------------------------------------------- prune
+
+  /** IN-lists longer than this skip pruning: each value is one hash +
+    * one bloom probe per file, all driver-side — a thousand-value IN
+    * belongs in a semi-join, not a planning loop. */
+  val MaxInValues = 64
+
+  /** `column -> candidate values` for the predicate shapes a bloom can
+    * serve: equality (one value) and bounded IN (any-of). A pred with
+    * an un-servable shape contributes nothing (conservative). */
+  private def candidateValues(preds: Seq[Filters.Pred]): Seq[(String, Seq[Any])] =
+    preds.flatMap {
+      case Filters.Pred(c, "==" | "=", v) if v != null => Some(c -> Seq(v))
+      case Filters.Pred(c, "in", vs: Iterable[_])
+          if vs.nonEmpty && vs.size <= MaxInValues && !vs.exists(_ == null) =>
+        Some(c -> vs.toSeq.map(_.asInstanceOf[Any]))
+      case _ => None
+    }
+
+  /** Driver-side file pruning for a live read. Returns
+    *  - `None` when pruning does not apply (no equality/IN predicates
+    *    on indexed columns, stale index, any load/coercion doubt) or
+    *    would not shrink the file set — the caller reads the whole
+    *    data dir exactly as before;
+    *  - `Some(kept)` (possibly empty) when at least one file is
+    *    definitely value-free: `kept` are the RELATIVE paths to read.
+    */
+  private[graft] def prunedFiles(itemPath: SPath, dataDir: SPath,
+                                 preds: Seq[Filters.Pred],
+                                 meta: Map[String, JValue],
+                                 encodedSchema: StructType): Option[Seq[String]] = {
+    val cands = candidateValues(preds)
+    if (cands.isEmpty) return None
+    val committedGen = Snapshots.generationOf(meta)
+    // (bloom, candidate-hashes) pairs that are usable: a valid
+    // same-generation index on the column AND every candidate literal
+    // coercing losslessly to the stored type (anything else skips
+    // pruning for that predicate — never wrong, only unpruned)
+    val usable: Seq[(Map[String, BloomFilter], Seq[Long])] = cands.flatMap {
+      case (c, vs) =>
+        encodedSchema.fields.find(_.name == c).flatMap { f =>
+          load(itemPath, c).filter(_.generation == committedGen).flatMap { l =>
+            val hs = vs.flatMap(v => hashOf(v, f.dataType))
+            if (hs.size == vs.size) Some((l.files, hs)) else None
+          }
+        }
+    }
+    if (usable.isEmpty) return None
+    val all = dataDir.fs.listFilesRecursively(dataDir.raw)
+      .filterNot(f => f.split('/').exists(s =>
+        (s.startsWith("_") && !s.startsWith(Collection.MonthCol + "=")) ||
+          s.startsWith(".")))
+    if (all.isEmpty) return None
+    val kept = all.filter { f =>
+      usable.forall { case (files, hs) =>
+        files.get(f).forall(bf => hs.exists(bf.mightContainLong)) // unknown file → keep
+      }
+    }
+    if (kept.size == all.size) None else Some(kept)
+  }
+
+  /** xxhash64 of the literal as the BUILD hashed it: the value coerced
+    * to the column's stored type, hashed through the same Catalyst
+    * expression `functions.xxhash64` plans (seed 42). A value the
+    * equality filter would only match through a column-side cast (or
+    * not at all) returns None — pruning is skipped, never wrong. */
+  private[store] def hashOf(value: Any, dt: DataType): Option[Long] =
+    coerce(value, dt).map { v =>
+      XxHash64(Seq(Literal.create(v, dt)), 42L).eval(null).asInstanceOf[Long]
+    }
+
+  private def coerce(v: Any, dt: DataType): Option[Any] = (dt, v) match {
+    case (StringType, s: String) => Some(s)
+    case (LongType, n: Byte)     => Some(n.toLong)
+    case (LongType, n: Short)    => Some(n.toLong)
+    case (LongType, n: Int)      => Some(n.toLong)
+    case (LongType, n: Long)     => Some(n)
+    case (IntegerType, n: Byte)  => Some(n.toInt)
+    case (IntegerType, n: Short) => Some(n.toInt)
+    case (IntegerType, n: Int)   => Some(n)
+    case (IntegerType, n: Long)  => if (n.isValidInt) Some(n.toInt) else None
+    case (ShortType, n: Byte)    => Some(n.toShort)
+    case (ShortType, n: Short)   => Some(n)
+    case (ShortType, n: Int)     => if (n.isValidShort) Some(n.toShort) else None
+    case (ByteType, n: Byte)     => Some(n)
+    case (DoubleType, d: Double) => Some(d)
+    case (DoubleType, f: Float)  => Some(f.toDouble)
+    case (DoubleType, n: Int)    => Some(n.toDouble)
+    case (DoubleType, n: Long)   => Some(n.toDouble)
+    case (FloatType, f: Float)   => Some(f)
+    case (FloatType, d: Double)  =>
+      if (d.toFloat.toDouble == d) Some(d.toFloat) else None
+    case (BooleanType, b: Boolean) => Some(b)
+    case (DateType, d: java.sql.Date)       => Some(d)
+    case (DateType, d: java.time.LocalDate) => Some(d)
+    case (TimestampType, t: java.sql.Timestamp) => Some(t)
+    case (TimestampType, t: java.time.Instant)  => Some(t)
+    case (TimestampNTZType, t: java.time.LocalDateTime) => Some(t)
+    case (BinaryType, b: Array[Byte]) => Some(b)
+    case _ => None
+  }
+
+  // ------------------------------------------------------------- refresh
+
+  /** Incremental maintenance after a PARTIAL-month commit — the scale
+    * path that keeps a 100 TB time-layout item's index alive across
+    * daily appends without ever re-scanning the item. For every column
+    * whose sidecar was exactly-current at the commit's replaced
+    * generation (`oldGen`), drop the touched periods' file entries,
+    * re-bloom ONLY the touched period dirs (one scan per distinct
+    * sizing-knob group), merge, and publish keyed to the commit's own
+    * `newGen` — untouched files' blooms carry over because a partial
+    * commit by definition did not change their bytes. Anything
+    * uncertain (stale sidecar, missing encoded schema, scan failure)
+    * leaves the old sidecar in place, whose old generation no longer
+    * matches — retired, never wrong. Full rewrites do NOT refresh:
+    * every file changed, so an incremental merge has nothing to carry;
+    * rebuild explicitly. */
+  private[store] def refreshAfterPartialCommit(spark: SparkSession,
+                                               itemPath: SPath,
+                                               months: Seq[String],
+                                               oldGen: Long,
+                                               newGen: Long): Unit = {
+    if (months.isEmpty) return
+    val valid = indexedColumns(itemPath)
+      .flatMap(c => load(itemPath, c).filter(_.generation == oldGen).map(c -> _))
+    if (valid.isEmpty) return
+    val enc = Meta.read(itemPath).get("schema_json_encoded") match {
+      case Some(JString(sj)) =>
+        DataType.fromJson(sj).asInstanceOf[StructType]
+      case _ => return // pre-encode item: indexes require the declared schema
+    }
+    val dataDir = itemPath.resolve(Item.DataDir)
+    val touchedDirs = months
+      .map(m => dataDir.resolve(s"${Collection.MonthCol}=$m"))
+      .filter(_.isDir) // a removed (emptied) month has no dir — entries just drop
+    val prefixes = months.map(m => s"${Collection.MonthCol}=$m/")
+    valid.groupBy { case (_, l) => (l.fpp, l.expectedItemsPerFile) }.foreach {
+      case ((fpp, expected), group) =>
+        val gcols = group.map(_._1).filter(c => enc.fields.exists(_.name == c))
+        val fresh: Map[String, Map[String, Array[Byte]]] =
+          if (touchedDirs.isEmpty || gcols.isEmpty) Map.empty
+          else buildBlooms(
+            spark.read.schema(enc).parquet(touchedDirs.map(_.toString): _*),
+            gcols, fpp, expected)
+        group.foreach { case (c, l) =>
+          val carried = l.files.view
+            .filterKeys(f => !prefixes.exists(f.startsWith))
+            .map { case (f, bf) => f -> serialize(bf) }.toMap
+          writeSidecar(itemPath, c, newGen, fpp, expected,
+            carried ++ fresh.getOrElse(c, Map.empty))
+        }
+    }
+  }
+
+  /** Indexed columns present on an item (decoded sidecar names). */
+  private[store] def indexedColumns(itemPath: SPath): Seq[String] =
+    itemPath.fs.listFiles(itemPath.raw)
+      .filter(f => f.startsWith(SidecarPrefix) && f.endsWith(".json"))
+      .map(f => java.net.URLDecoder.decode(
+        f.stripPrefix(SidecarPrefix).stripSuffix(".json"), "UTF-8"))
+      .sorted
+
+  private[store] def dropSidecars(itemPath: SPath, columns: Seq[String]): Seq[String] = {
+    val targets =
+      if (columns.nonEmpty) columns
+      else indexedColumns(itemPath)
+    targets.flatMap { c =>
+      val p = itemPath.resolve(sidecarName(c))
+      if (p.exists) {
+        p.deleteRecursively()
+        cache.remove(p.raw)
+        Some(c)
+      } else None
+    }
+  }
+}

@@ -1374,7 +1374,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
   private def commitMonths(item: String, df: DataFrame, months: Seq[String],
                            meta: Map[String, JValue],
                            expectedGen: Option[Long] = None,
-                           expectedMeta: Option[Map[String, JValue]] = None): Unit = {
+                           expectedMeta: Option[Map[String, JValue]] = None): (Long, Long) = {
     val tmp = stagingDir(item)
     tmp.deleteRecursively()
     df.write.mode("overwrite").option("compression", "snappy")
@@ -1385,11 +1385,15 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
   /** Atomic publication half of [[commitMonths]] — the per-period
     * swap sequence from an already-staged `tmp` dir holding
     * `__month=<m>/` subdirs. A month in `months` absent from `tmp`
-    * is a removal. Shared with the row-level COW path. */
+    * is a removal. Shared with the row-level COW path. Returns the
+    * (replaced, committed) generation pair so post-commit derived
+    * bookkeeping (the incremental bloom refresh) can key itself to
+    * THIS commit — reading the sidecar back instead would race a
+    * foreign commit landing right after ours. */
   private[graft] def publishMonths(item: String, tmp: SPath, months: Seq[String],
                                    meta: Map[String, JValue],
                                    expectedGen: Option[Long] = None,
-                                   expectedMeta: Option[Map[String, JValue]] = None): Unit = {
+                                   expectedMeta: Option[Map[String, JValue]] = None): (Long, Long) = {
     withCommitLock { withItemDdlLock(item) {
     val dataDir = path.resolve(item).resolve(Item.DataDir)
     val meta0 = Meta.read(path.resolve(item))
@@ -1551,9 +1555,23 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     } catch { case _: Exception => () }
     metaCache.remove(item)
     refreshItems()
+    (oldGen, gen)
     } }
-    ()
   }
+
+  /** Post-commit incremental bloom-index maintenance
+    * ([[BloomIndex.refreshAfterPartialCommit]]): O(touched periods),
+    * run lock-free AFTER the commit like the stats refresh — a crash
+    * or failure here leaves the sidecar at its old generation, which
+    * the new committed generation no longer matches (retired, never
+    * wrong). Same crash seam as the stats refresh so specs can pin
+    * the staleness invariant. */
+  private def maybeRefreshBloomIndexes(item: String, months: Seq[String],
+                                       gens: (Long, Long)): Unit =
+    if (!simulateCrashBeforeStatsRefresh)
+      try BloomIndex.refreshAfterPartialCommit(
+        spark, path.resolve(item), months, gens._1, gens._2)
+      catch { case scala.util.control.NonFatal(_) => () }
 
   // -------------------------------------------------------------- append
 
@@ -1777,11 +1795,12 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     val storedMeta = Meta.read(path.resolve(item))
     val prevMeta = storedMeta ++ statsMeta(stats) ++ extraMeta ++
       Collection.opTag("append")
-    commitMonths(item,
+    val gens = commitMonths(item,
       withTimeLayout(combined.dropDuplicates(), idx, monthlySaltOf(item), layout),
       months, prevMeta, expectedGen = Some(baseGen),
       expectedMeta = Some(storedMeta))
     maybeRefreshPeriodStats(item, Some(months))
+    maybeRefreshBloomIndexes(item, months, gens)
   }
 
   /** Read an item's data dir pinned to the declared ENCODED schema when
@@ -2390,11 +2409,12 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         // one commit covers the boundary rewrite AND the name-dropped
         // periods (listed months absent from tmp are removals)
         val expired = (toRemove ++ (if (hasBoundary) Seq(pStar) else Nil)).sorted
-        commitMonths(item,
+        val gens = commitMonths(item,
           withTimeLayout(keep, idx, monthlySaltOf(item), layout),
           expired, prevMeta ++ Collection.opTag("expire"),
           expectedGen = Some(baseGen), expectedMeta = Some(prevMeta))
         maybeRefreshPeriodStats(item, Some(expired))
+        maybeRefreshBloomIndexes(item, expired, gens)
         Collection.ExpireResult(toRemove, boundaryDeleted)
       case None =>
         Collection.ExpireResult(Nil,
@@ -2450,11 +2470,12 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         if (months.isEmpty) return 0L
         val touched = raw.filter(col(MonthCol).isin(monthVals: _*)).drop(MonthCol)
         val deleted = touched.filter(predicate).count()
-        commitMonths(item,
+        val gens = commitMonths(item,
           withTimeLayout(touched.filter(!predicate), idx, monthlySaltOf(item), layout),
           months, prevMeta ++ Collection.opTag("delete_where"),
           expectedGen = Some(baseGen), expectedMeta = Some(prevMeta))
         maybeRefreshPeriodStats(item, Some(months))
+        maybeRefreshBloomIndexes(item, months, gens)
         deleted
       case None =>
         val raw = readDataPinned(item)
@@ -2561,9 +2582,10 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         }
         val months = (scanned ++ staged).distinct.sorted
         if (months.nonEmpty) {
-          publishMonths(item, staging, months, prevMeta, expectedGen,
+          val gens = publishMonths(item, staging, months, prevMeta, expectedGen,
             expectedMeta = Some(storedMeta))
           maybeRefreshPeriodStats(item, Some(months))
+          maybeRefreshBloomIndexes(item, months, gens)
         } else staging.deleteRecursively()
       case None =>
         if (!staging.isDir) staging.mkdirs() // all rows deleted → empty item
@@ -3539,6 +3561,73 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * post-hoc stats declarations without reading data. */
   private def item1Schema(itemName: String): Seq[org.apache.spark.sql.types.StructField] =
     this.item(itemName).data.schema.fields.toSeq
+
+  /** Build (or rebuild) a per-file bloom-filter data-skipping index on
+    * `columns` — see [[BloomIndex]]. One distributed pass over the
+    * item (hashes pre-aggregate into per-file blooms inside each task;
+    * the shuffle moves blooms, never rows), then one small sidecar per
+    * column at the item root. The index is DERIVED data keyed on the
+    * committed generation captured here, before the scan: it never
+    * enters the committed sidecar, takes no locks, and any commit —
+    * including one racing this build — silently retires it (reads stay
+    * correct, just unpruned) until the next build. Size the two knobs
+    * to the item's file population: the sidecar holds
+    * ~1.2·expectedItemsPerFile·ln(1/fpp) bits per file. */
+  def buildBloomIndex(item: String, columns: Seq[String], fpp: Double = 0.01,
+                      expectedItemsPerFile: Long = 100000L): Unit = {
+    val itemPath = path.resolve(item)
+    if (!itemPath.resolve(Item.DataDir).isDir)
+      throw new ItemNotFoundError(s"item '$item' does not exist")
+    if (columns.isEmpty)
+      throw new ValidationError("buildBloomIndex: no columns given")
+    if (!(fpp > 0.0 && fpp < 1.0) || expectedItemsPerFile <= 0)
+      throw new ValidationError(
+        s"buildBloomIndex: fpp must be in (0,1) and expectedItemsPerFile " +
+          s"positive (got fpp=$fpp, expectedItemsPerFile=$expectedItemsPerFile)")
+    // FRESH sidecar read, never the TTL cache: the recorded generation
+    // must pair with the data this scan reads — a cached (older) gen
+    // under newer data would mark a wrong index as valid
+    val meta = Meta.read(itemPath)
+    val gen = Snapshots.generationOf(meta)
+    val enc = meta.get("schema_json_encoded") match {
+      case Some(org.json4s.JString(sj)) =>
+        org.apache.spark.sql.types.DataType.fromJson(sj)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      case _ => throw new ValidationError(
+        s"buildBloomIndex: item '$item' predates encoded-schema sidecars; " +
+          "rewrite it once (write(..., overwrite=true)) to enable indexing")
+    }
+    columns.foreach { c =>
+      val field = enc.fields.find(_.name == c).getOrElse(
+        throw new ValidationError(
+          s"bloom column '$c' not in item schema " +
+            s"(${enc.fields.map(_.name).mkString(", ")})"))
+      if (!BloomIndex.supportedType(field.dataType))
+        throw new ValidationError(
+          s"bloom column '$c' has unsupported type " +
+            s"${field.dataType.simpleString}: index string, integral, " +
+            "float, boolean, date, timestamp, or binary columns")
+    }
+    val raw = spark.read.schema(enc)
+      .parquet(itemPath.resolve(Item.DataDir).toString)
+    val blooms = BloomIndex.buildBlooms(raw, columns, fpp, expectedItemsPerFile)
+    columns.foreach(c => BloomIndex.writeSidecar(
+      itemPath, c, gen, fpp, expectedItemsPerFile, blooms.getOrElse(c, Map.empty)))
+  }
+
+  /** Drop bloom-index sidecars (`Nil` = every indexed column). Returns
+    * the columns whose index was removed. */
+  def dropBloomIndex(item: String, columns: Seq[String] = Nil): Seq[String] = {
+    val itemPath = path.resolve(item)
+    if (!itemPath.isDir)
+      throw new ItemNotFoundError(s"item '$item' does not exist")
+    BloomIndex.dropSidecars(itemPath, columns)
+  }
+
+  /** Columns of `item` carrying a bloom index (regardless of whether
+    * it is still generation-current). */
+  def bloomIndexedColumns(item: String): Seq[String] =
+    BloomIndex.indexedColumns(path.resolve(item))
 
   def createSnapshot(name: Option[String] = None,
                      manifest: Option[Boolean] = None): String = {

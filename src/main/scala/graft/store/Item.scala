@@ -226,9 +226,35 @@ final class Item private[store] (
               spark.read.schema(readSchema)
             case None => spark.read
           }
-          val raw = reader.parquet(dataDir.toString)
-          if (!isMonthly) raw
-          else monthPruning.fold(raw)(raw.filter).drop(Collection.MonthCol)
+          // Bloom-index file skipping (BloomIndex.scala): equality
+          // predicates on indexed columns drop files whose bloom says
+          // definitely-absent — driver-side path selection, same class
+          // as the period-dir pruning above. Applies only when an
+          // index is generation-current; anything uncertain reads the
+          // whole dir exactly as before. Declared-schema items only
+          // (the literal must hash against the stored type).
+          val bloomKept: Option[Seq[String]] = declared.flatMap(enc =>
+            BloomIndex.prunedFiles(path, dataDir, filters, metadata, enc))
+          bloomKept match {
+            case Some(kept) if kept.isEmpty =>
+              // every file is definitely value-free: zero-file scan
+              // with the typed shape (MonthCol never surfaces, so the
+              // monthly post-processing below has nothing to do)
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                declared.get)
+            case other =>
+              val raw = other match {
+                case Some(kept) =>
+                  // basePath keeps the period partition column derivable
+                  // from the explicit file paths on time-layout items
+                  reader.option("basePath", dataDir.toString)
+                    .parquet(kept.map(f => dataDir.resolve(f).toString): _*)
+                case None => reader.parquet(dataDir.toString)
+              }
+              if (!isMonthly) raw
+              else monthPruning.fold(raw)(raw.filter).drop(Collection.MonthCol)
+          }
         } catch {
           // a deleteWhere/expiry can legitimately empty EVERY period of
           // a time-layout item: zero files means nothing to infer a

@@ -1,0 +1,311 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.store._
+
+/** Bloom-filter data-skipping index: build, exact-skip pruning, the
+  * generation-validity contract, layout composition, and the typed
+  * refusals. The load-bearing assertion style is `df.inputFiles` —
+  * the files the PLANNED scan actually reads. */
+class BloomIndexSpec extends SparkSpec {
+
+  /** 400 rows over 8 files: a unique string key (hash-scattered, so
+    * file membership is physical, not sorted order) + a low-card tag. */
+  private def keyedData = {
+    import spark.implicits._
+    (0 until 400).map { i =>
+      (i.toLong, s"key_$i", s"tag_${i % 5}", i.toDouble)
+    }.toDF("index", "key", "tag", "value")
+  }
+
+  test("equality on an indexed column prunes to a strict file subset, result identical") {
+    val c = tempCollection("bloom_basic")
+    c.write("item", keyedData, indexCols = Seq("index"), npartitions = Some(8))
+    val all = c.item("item").data.inputFiles.length
+    assert(all == 8, s"expected 8 data files, got $all")
+
+    c.buildBloomIndex("item", Seq("key"))
+    val pruned = c.item("item", filters = Seq(Filters.Pred("key", "==", "key_123")))
+    val files = pruned.data.inputFiles.length
+    assert(files < all, s"bloom did not prune: $files of $all files read")
+    val rows = pruned.data.collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("index") == 123L)
+    cleanup(c)
+  }
+
+  test("a definitely-absent value reads zero files and serves the typed empty frame") {
+    val c = tempCollection("bloom_miss")
+    c.write("item", keyedData, indexCols = Seq("index"), npartitions = Some(8))
+    c.buildBloomIndex("item", Seq("key"))
+    val it = c.item("item", filters = Seq(Filters.Pred("key", "==", "no_such_key")))
+    // a miss CAN false-positive a file or two; the overwhelmingly
+    // likely outcome at fpp=0.01 over 8 files is zero — accept <=1
+    assert(it.data.inputFiles.length <= 1)
+    assert(it.data.count() == 0)
+    assert(it.data.schema.fieldNames.toSet == Set("index", "key", "tag", "value"))
+    cleanup(c)
+  }
+
+  test("no false negatives: every present key keeps its file (exact skip)") {
+    val c = tempCollection("bloom_exact")
+    c.write("item", keyedData, indexCols = Seq("index"), npartitions = Some(8))
+    c.buildBloomIndex("item", Seq("key"))
+    (0 until 400 by 13).foreach { i =>
+      val hits = c.item("item", filters = Seq(Filters.Pred("key", "==", s"key_$i")))
+        .data.collect()
+      assert(hits.length == 1 && hits.head.getAs[String]("key") == s"key_$i",
+        s"key_$i lost by pruning")
+    }
+    cleanup(c)
+  }
+
+  test("a commit retires the index: read stays correct and unpruned until rebuild") {
+    val c = tempCollection("bloom_stale")
+    c.write("item", keyedData, indexCols = Seq("index"), npartitions = Some(8))
+    c.buildBloomIndex("item", Seq("key"))
+    import spark.implicits._
+    c.append("item", Seq((1000L, "key_new", "tag_0", 1.0))
+      .toDF("index", "key", "tag", "value"), npartitions = Some(8))
+    val it = c.item("item", filters = Seq(Filters.Pred("key", "==", "key_new")))
+    // stale index must NOT prune (the new row's file is unknown to it —
+    // and more importantly the generation moved, so it is ignored whole)
+    assert(it.data.count() == 1)
+    assert(it.data.inputFiles.length == c.item("item").data.inputFiles.length)
+    c.buildBloomIndex("item", Seq("key"))
+    val again = c.item("item", filters = Seq(Filters.Pred("key", "==", "key_new")))
+    assert(again.data.count() == 1)
+    assert(again.data.inputFiles.length < c.item("item").data.inputFiles.length)
+    cleanup(c)
+  }
+
+  test("multiple predicates intersect; non-equality and unindexed predicates ride along") {
+    val c = tempCollection("bloom_multi")
+    c.write("item", keyedData, indexCols = Seq("index"), npartitions = Some(8))
+    c.buildBloomIndex("item", Seq("key", "tag"))
+    val it = c.item("item", filters = Seq(
+      Filters.Pred("key", "==", "key_77"),
+      Filters.Pred("tag", "==", "tag_2"),
+      Filters.Pred("value", ">", 0.0)))
+    val rows = it.data.collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("index") == 77L)
+    assert(it.data.inputFiles.length < 8)
+    // contradictory pair (key_77 is tag_2, not tag_3) → empty, still cheap
+    val none = c.item("item", filters = Seq(
+      Filters.Pred("key", "==", "key_77"),
+      Filters.Pred("tag", "==", "tag_3")))
+    assert(none.data.count() == 0)
+    cleanup(c)
+  }
+
+  test("numeric literal coercion: an Int literal probes a Long column, a mismatch skips pruning") {
+    val c = tempCollection("bloom_coerce")
+    c.write("item", keyedData, indexCols = Seq("index"), npartitions = Some(8))
+    c.buildBloomIndex("item", Seq("index"))
+    val hit = c.item("item", filters = Seq(Filters.Pred("index", "==", 123)))
+    assert(hit.data.count() == 1)
+    assert(hit.data.inputFiles.length < 8)
+    // a String literal against the Long column cannot hash-coerce →
+    // pruning skipped, result semantics stay whatever the filter does
+    val skip = c.item("item", filters = Seq(Filters.Pred("index", "==", "123")))
+    assert(skip.data.inputFiles.length == 8)
+    cleanup(c)
+  }
+
+  test("time-layout items: bloom file pruning composes with period pruning") {
+    val c = tempCollection("bloom_monthly")
+    c.write("item", monthlyData, indexCols = Seq("index"), monthlyLayout = true)
+    c.buildBloomIndex("item", Seq("key"))
+    val all = c.item("item").data.inputFiles.length
+    val it = c.item("item", filters = Seq(Filters.Pred("key", "==", "k_100")))
+    assert(it.data.collect().map(_.getAs[String]("key")).toSeq == Seq("k_100"))
+    assert(it.data.inputFiles.length < all, "no file pruning on monthly item")
+    cleanup(c)
+  }
+
+  /** 300 rows across six 2024 months (the monthly fixture shared by
+    * the layout-compose and incremental-maintenance arms). */
+  private def monthlyData = {
+    import spark.implicits._
+    (0 until 300).map { i =>
+      (java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 1 + i % 6, 1 + i % 28).atStartOfDay()),
+        s"k_$i", i.toDouble)
+    }.toDF("index", "key", "value")
+  }
+
+  test("a partial-month append maintains the index incrementally: untouched blooms carry, new rows indexed") {
+    import spark.implicits._
+    val c = tempCollection("bloom_incr")
+    c.write("item", monthlyData, indexCols = Seq("index"), monthlyLayout = true)
+    c.buildBloomIndex("item", Seq("key"))
+    val sidecarPath = c.path.resolve("item")
+      .resolve(BloomIndex.sidecarName("key"))
+    def sidecar(): Map[String, String] = {
+      val json = org.json4s.jackson.JsonMethods.parse(
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(sidecarPath.raw)), "UTF-8"))
+      json.asInstanceOf[org.json4s.JObject].obj.toMap.apply("files")
+        .asInstanceOf[org.json4s.JObject].obj.collect {
+          case (f, org.json4s.JString(b)) => f -> b
+        }.toMap
+    }
+    val before = sidecar()
+    // append one row into March only: exactly one period rewrites
+    c.append("item", Seq(
+      (java.sql.Timestamp.valueOf("2024-03-15 00:00:00"), "k_new", 1.0))
+      .toDF("index", "key", "value"))
+    val after = sidecar()
+    // untouched periods' blooms carried over BYTE-identical (no rescan);
+    // the touched period's entries were replaced (its files are new)
+    val untouchedBefore = before.filterNot(_._1.startsWith("__month=2024-03/"))
+    val untouchedAfter = after.filterNot(_._1.startsWith("__month=2024-03/"))
+    assert(untouchedAfter == untouchedBefore, "untouched blooms were not carried")
+    assert(after.keys.exists(_.startsWith("__month=2024-03/")))
+    assert(before.keys.filter(_.startsWith("__month=2024-03/")).toSet !=
+      after.keys.filter(_.startsWith("__month=2024-03/")).toSet)
+    // the refreshed index is CURRENT: new key found AND pruned, old key
+    // in an untouched month still pruned — no rebuild ran
+    val all = c.item("item").data.inputFiles.length
+    val nw = c.item("item", filters = Seq(Filters.Pred("key", "==", "k_new")))
+    assert(nw.data.collect().map(_.getAs[String]("key")).toSeq == Seq("k_new"))
+    assert(nw.data.inputFiles.length < all, "appended key not bloom-pruned")
+    val old = c.item("item", filters = Seq(Filters.Pred("key", "==", "k_100")))
+    assert(old.data.count() == 1)
+    assert(old.data.inputFiles.length < all, "carried bloom stopped pruning")
+    cleanup(c)
+  }
+
+  test("deleteWhere maintains the index: a deleted key probes to a definitely-absent zero-file read") {
+    import org.apache.spark.sql.functions.col
+    val c = tempCollection("bloom_del")
+    c.write("item", monthlyData, indexCols = Seq("index"), monthlyLayout = true)
+    c.buildBloomIndex("item", Seq("key"))
+    assert(c.deleteWhere("item", col("key") === "k_100") == 1L)
+    val gone = c.item("item", filters = Seq(Filters.Pred("key", "==", "k_100")))
+    assert(gone.data.count() == 0)
+    assert(gone.data.inputFiles.length <= 1,
+      "deleted key should be bloom-absent everywhere (≤1 false-positive file)")
+    // survivors in the rewritten period are re-indexed (k_100 was month 5:
+    // i=100 → 1+100%6; k_106 shares it) and still found pruned
+    val kept = c.item("item", filters = Seq(Filters.Pred("key", "==", "k_106")))
+    assert(kept.data.count() == 1)
+    assert(kept.data.inputFiles.length < c.item("item").data.inputFiles.length)
+    cleanup(c)
+  }
+
+  test("a crash between commit and refresh leaves the index retired: correct, unpruned, rebuild revives") {
+    import spark.implicits._
+    val c = tempCollection("bloom_crash")
+    c.write("item", monthlyData, indexCols = Seq("index"), monthlyLayout = true)
+    c.buildBloomIndex("item", Seq("key"))
+    c.simulateCrashBeforeStatsRefresh = true
+    try c.append("item", Seq(
+      (java.sql.Timestamp.valueOf("2024-03-15 00:00:00"), "k_new", 1.0))
+      .toDF("index", "key", "value"))
+    finally c.simulateCrashBeforeStatsRefresh = false
+    val all = c.item("item").data.inputFiles.length
+    val probe = c.item("item", filters = Seq(Filters.Pred("key", "==", "k_new")))
+    assert(probe.data.count() == 1)
+    assert(probe.data.inputFiles.length == all,
+      "a stale (crashed-refresh) index must not prune")
+    c.buildBloomIndex("item", Seq("key"))
+    val again = c.item("item", filters = Seq(Filters.Pred("key", "==", "k_new")))
+    assert(again.data.count() == 1 && again.data.inputFiles.length < all)
+    cleanup(c)
+  }
+
+  test("drop removes the sidecars; listing names indexed columns; refusals are typed") {
+    val c = tempCollection("bloom_admin")
+    c.write("item", keyedData, indexCols = Seq("index"), npartitions = Some(4))
+    c.buildBloomIndex("item", Seq("key", "tag"))
+    assert(c.bloomIndexedColumns("item") == Seq("key", "tag"))
+    assert(c.dropBloomIndex("item", Seq("tag")) == Seq("tag"))
+    assert(c.bloomIndexedColumns("item") == Seq("key"))
+    assert(c.dropBloomIndex("item") == Seq("key"))
+    assert(c.bloomIndexedColumns("item").isEmpty)
+    val it = c.item("item", filters = Seq(Filters.Pred("key", "==", "key_1")))
+    assert(it.data.inputFiles.length == 4) // no index → no pruning
+    intercept[ValidationError] { c.buildBloomIndex("item", Nil) }
+    intercept[ValidationError] { c.buildBloomIndex("item", Seq("nope")) }
+    intercept[ValidationError] { c.buildBloomIndex("item", Seq("key"), fpp = 1.5) }
+    intercept[ItemNotFoundError] { c.buildBloomIndex("ghost", Seq("key")) }
+    cleanup(c)
+  }
+
+  test("an IN-list prunes to the union of its values' files; oversized lists skip pruning") {
+    val c = tempCollection("bloom_in")
+    c.write("item", keyedData, indexCols = Seq("index"), npartitions = Some(8))
+    c.buildBloomIndex("item", Seq("key"))
+    val it = c.item("item", filters = Seq(
+      Filters.Pred("key", "in", Seq("key_3", "key_200", "no_such"))))
+    assert(it.data.collect().map(_.getAs[Long]("index")).sorted.toSeq == Seq(3L, 200L))
+    assert(it.data.inputFiles.length < 8)
+    // beyond MaxInValues the planning loop is refused, read stays whole
+    val big = c.item("item", filters = Seq(
+      Filters.Pred("key", "in", (0 to BloomIndex.MaxInValues).map(i => s"key_$i"))))
+    assert(big.data.inputFiles.length == 8)
+    assert(big.data.count() == BloomIndex.MaxInValues + 1)
+    cleanup(c)
+  }
+
+  /** Register a GraftCatalog over the collection's store (same pattern
+    * as GraftSqlSpec — per-test name, CatalogManager caches by name). */
+  private def withCatalog(c: Collection, tag: String)(body: String => Unit): Unit = {
+    val cat = s"gbloom_$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", c.path.parent.toString)
+    try body(cat)
+    finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.root")
+    }
+  }
+
+  test("SQL front door: CALL builds the index, WHERE = and IN prune, INSERT retires, CALL drops") {
+    val c = tempCollection("bloom_sql")
+    c.write("item", keyedData, indexCols = Seq("index"), npartitions = Some(8))
+    withCatalog(c, "sql") { cat =>
+      val built = spark.sql(
+        s"CALL $cat.system.build_bloom_index('c', 'item', 'key')")
+        .collect().map(_.getString(0))
+      assert(built.toSeq == Seq("key"))
+      val eq = spark.sql(s"SELECT index, key FROM $cat.c.item WHERE key = 'key_42'")
+      assert(eq.collect().map(_.getLong(0)).toSeq == Seq(42L))
+      assert(eq.inputFiles.length < 8, "SQL equality read not bloom-pruned")
+      val in = spark.sql(
+        s"SELECT index FROM $cat.c.item WHERE key IN ('key_1', 'key_399')")
+      assert(in.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 399L))
+      assert(in.inputFiles.length < 8, "SQL IN read not bloom-pruned")
+      // a SQL write moves the generation: the index retires, reads widen
+      spark.sql(
+        s"INSERT INTO $cat.c.item VALUES (1000, 'key_new', 'tag_0', 1.0)")
+      val stale = spark.sql(s"SELECT index FROM $cat.c.item WHERE key = 'key_new'")
+      assert(stale.collect().map(_.getLong(0)).toSeq == Seq(1000L))
+      assert(stale.inputFiles.length ==
+        spark.sql(s"SELECT * FROM $cat.c.item").inputFiles.length)
+      val dropped = spark.sql(s"CALL $cat.system.drop_bloom_index('c', 'item')")
+        .collect().map(_.getString(0))
+      assert(dropped.toSeq == Seq("key"))
+      assert(c.bloomIndexedColumns("item").isEmpty)
+    }
+    cleanup(c)
+  }
+
+  test("vacuum spares the index; delete/rename carry it with the item dir") {
+    val c = tempCollection("bloom_lifecycle")
+    c.write("item", keyedData, indexCols = Seq("index"), npartitions = Some(4))
+    c.buildBloomIndex("item", Seq("key"))
+    c.vacuum()
+    assert(c.bloomIndexedColumns("item") == Seq("key"))
+    val pr = c.item("item", filters = Seq(Filters.Pred("key", "==", "key_9")))
+    assert(pr.data.inputFiles.length < 4)
+    c.renameItem("item", "item2")
+    // rename is O(1) dir move: generation unchanged, index still valid
+    val pr2 = c.item("item2", filters = Seq(Filters.Pred("key", "==", "key_9")))
+    assert(pr2.data.count() == 1 && pr2.data.inputFiles.length < 4)
+    c.deleteItem("item2")
+    assert(!c.hasItem("item2"))
+    cleanup(c)
+  }
+}
