@@ -40,6 +40,10 @@ import graft.store.{Collection, GraftError, GraftStore, Item, Meta, SPath, Snaps
   *    anchor for snapshot-free `TIMESTAMP AS OF`. Serves the FULL
   *    horizon: entries the sidecar cap evicted are merged back from
   *    the item's spill area (read only when the sidecar is at cap).
+  *  - `item$bloom`     — (column, current, fpp, expected_items_per_file,
+  *    num_files): bloom data-skipping index state per indexed column;
+  *    `current = false` means a commit retired it (reads stay correct,
+  *    unpruned) until the next build or incremental refresh.
   *
   * Reference: pystore exposes metadata only as Python dicts
   * (collection.py:116-147); this is beyond-parity surface following
@@ -169,6 +173,25 @@ private[sources] object GraftMetadataTables {
           StructField("generation", LongType, nullable = false),
           StructField("periods", StringType, nullable = true),
           StructField("committed_at", TimestampType, nullable = false))), rows)
+
+      case "bloom" =>
+        // bloom data-skipping index state: one row per indexed column;
+        // `current` says whether the sidecar's generation matches the
+        // item's committed one (false = retired — readable but unpruned
+        // until the next build or incremental refresh)
+        val meta = requireItem()
+        val committed = Snapshots.generationOf(meta)
+        val rows = graft.store.BloomIndex.sidecarStates(itemPath).map {
+          case (c, gen, fpp, expected, n) =>
+            new GenericInternalRow(Array[Any](
+              str(c), gen == committed, fpp, expected, n.toLong))
+        }
+        new MetaTable(s"$itemName$$bloom", StructType(Seq(
+          StructField("column", StringType, nullable = false),
+          StructField("current", BooleanType, nullable = false),
+          StructField("fpp", DoubleType, nullable = false),
+          StructField("expected_items_per_file", LongType, nullable = false),
+          StructField("num_files", LongType, nullable = false))), rows)
 
       case other => throw new GraftError(
         s"unknown metadata table '$$$other' (supported: ${Kinds.toSeq.sorted.mkString(", ")})")

@@ -400,6 +400,15 @@ object BloomIndex {
     }
   }
 
+  /** Per-column index state for the `$bloom` metadata table:
+    * (column, generation, fpp, expectedItemsPerFile, numFiles).
+    * Unreadable/foreign-format sidecars are omitted, like every
+    * other consumer of [[load]]. */
+  private[graft] def sidecarStates(itemPath: SPath): Seq[(String, Long, Double, Long, Int)] =
+    indexedColumns(itemPath).flatMap(c =>
+      load(itemPath, c).map(l =>
+        (c, l.generation, l.fpp, l.expectedItemsPerFile, l.files.size)))
+
   /** Indexed columns present on an item (decoded sidecar names). */
   private[store] def indexedColumns(itemPath: SPath): Seq[String] =
     itemPath.fs.listFiles(itemPath.raw)

@@ -120,7 +120,7 @@ object Collection {
     * streaming-sink entry points in one place (the SQL staging catalog
     * refuses separately at analysis with its own message). */
   val ReservedItemSuffixes: Set[String] =
-    Set("periods", "stats", "snapshots", "detail", "history")
+    Set("periods", "stats", "snapshots", "detail", "history", "bloom")
 
   /** Label a commit's verb for the per-item commit log ([[History]]):
     * merged into the meta map a commit path passes down; the publish

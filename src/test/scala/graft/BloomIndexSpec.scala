@@ -270,6 +270,10 @@ class BloomIndexSpec extends SparkSpec {
         s"CALL $cat.system.build_bloom_index('c', 'item', 'key')")
         .collect().map(_.getString(0))
       assert(built.toSeq == Seq("key"))
+      // $bloom metadata table: one row per indexed column, current=true
+      val st = spark.sql(s"SELECT * FROM $cat.c.`item$$bloom`").collect()
+      assert(st.length == 1 && st.head.getString(0) == "key" &&
+        st.head.getBoolean(1) && st.head.getLong(4) == 8L)
       val eq = spark.sql(s"SELECT index, key FROM $cat.c.item WHERE key = 'key_42'")
       assert(eq.collect().map(_.getLong(0)).toSeq == Seq(42L))
       assert(eq.inputFiles.length < 8, "SQL equality read not bloom-pruned")
@@ -284,10 +288,14 @@ class BloomIndexSpec extends SparkSpec {
       assert(stale.collect().map(_.getLong(0)).toSeq == Seq(1000L))
       assert(stale.inputFiles.length ==
         spark.sql(s"SELECT * FROM $cat.c.item").inputFiles.length)
+      // the flat-item commit retired it: $bloom reports current=false
+      val retired = spark.sql(s"SELECT current FROM $cat.c.`item$$bloom`").collect()
+      assert(retired.length == 1 && !retired.head.getBoolean(0))
       val dropped = spark.sql(s"CALL $cat.system.drop_bloom_index('c', 'item')")
         .collect().map(_.getString(0))
       assert(dropped.toSeq == Seq("key"))
       assert(c.bloomIndexedColumns("item").isEmpty)
+      assert(spark.sql(s"SELECT * FROM $cat.c.`item$$bloom`").count() == 0)
     }
     cleanup(c)
   }
