@@ -293,17 +293,80 @@ object BloomIndex {
         }
     }
     if (usable.isEmpty) return None
-    val all = dataDir.fs.listFilesRecursively(dataDir.raw)
+    val all = listDataFiles(dataDir)
+    if (all.isEmpty) return None
+    val kept = all.filter(mightMatch(usable))
+    if (kept.size == all.size) None else Some(kept)
+  }
+
+  /** Live data files of an item, relative to `dataDir` (period dirs
+    * kept; metadata/hidden entries dropped). */
+  private def listDataFiles(dataDir: SPath): Seq[String] =
+    dataDir.fs.listFilesRecursively(dataDir.raw)
       .filterNot(f => f.split('/').exists(s =>
         (s.startsWith("_") && !s.startsWith(Collection.MonthCol + "=")) ||
           s.startsWith(".")))
-    if (all.isEmpty) return None
-    val kept = all.filter { f =>
-      usable.forall { case (files, hs) =>
-        files.get(f).forall(bf => hs.exists(bf.mightContainLong)) // unknown file → keep
-      }
+
+  /** Whether a file MIGHT hold a row satisfying every usable conjunct
+    * (a conjunction's values must co-occur in one file to co-occur in
+    * one row); unknown files always might. */
+  private def mightMatch(usable: Seq[(Map[String, BloomFilter], Seq[Long])])
+      (f: String): Boolean =
+    usable.forall { case (files, hs) =>
+      files.get(f).forall(bf => hs.exists(bf.mightContainLong))
     }
-    if (kept.size == all.size) None else Some(kept)
+
+  /** Period-granularity pruning for [[Collection.deleteWhere]]'s
+    * discovery scan, from the ANALYZED Catalyst condition: returns
+    * `Some(periods that might hold a matching row)` when at least one
+    * top-level conjunct is an equality / bounded-IN between a column
+    * carrying an exactly-current index and an un-cast same-type
+    * literal; `None` leaves discovery's own pruning untouched. A
+    * period survives iff SOME of its files might contain every usable
+    * conjunct's value set — no false negatives, so the delete can
+    * only read fewer period dirs, never miss rows. The key-equality
+    * GDPR delete on a 100 TB item narrows its discovery from every
+    * period to the bloom-positive ones. */
+  private[store] def candidateDeletePeriods(
+      itemPath: SPath, dataDir: SPath,
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      meta: Map[String, JValue],
+      encodedSchema: StructType): Option[Set[String]] = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Attribute, EqualTo => CEq, Expression, In => CIn, Literal => CLit}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case o          => Seq(o)
+    }
+    val eqs: Seq[(String, Seq[CLit])] = conjuncts(cond).collect {
+      case CEq(a: Attribute, l: CLit) if l.value != null => a.name -> Seq(l)
+      case CEq(l: CLit, a: Attribute) if l.value != null => a.name -> Seq(l)
+      case CIn(a: Attribute, vs) if vs.nonEmpty && vs.size <= MaxInValues &&
+          vs.forall { case l: CLit => l.value != null; case _ => false } =>
+        a.name -> vs.map(_.asInstanceOf[CLit])
+    }
+    if (eqs.isEmpty) return None
+    val committedGen = Snapshots.generationOf(meta)
+    val usable: Seq[(Map[String, BloomFilter], Seq[Long])] = eqs.flatMap {
+      case (c, lits) =>
+        encodedSchema.fields.find(_.name == c).flatMap { f =>
+          // the literal must carry the STORED type un-cast (analysis
+          // wraps mismatches in Cast, which the extractor above already
+          // refuses) — same hash domain as the build, or no pruning
+          if (!lits.forall(_.dataType == f.dataType)) None
+          else load(itemPath, c).filter(_.generation == committedGen).map { l =>
+            (l.files,
+              lits.map(lit => XxHash64(Seq(lit), 42L).eval(null).asInstanceOf[Long]))
+          }
+        }
+    }
+    if (usable.isEmpty) return None
+    Some(listDataFiles(dataDir)
+      .filter(mightMatch(usable))
+      .flatMap(_.split('/') match {
+        case Array(seg, _) if seg.startsWith(Collection.MonthCol + "=") =>
+          Some(seg.stripPrefix(Collection.MonthCol + "="))
+        case _ => None
+      }).toSet)
   }
 
   /** xxhash64 of the literal as the BUILD hashed it: the value coerced

@@ -2527,8 +2527,26 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone", "UTC")),
       pStats))
       .getOrElse(all)
-    if (cands.size == all.size) raw
-    else raw.filter(col(MonthCol).cast("string").isin(cands: _*))
+    // Bloom-index narrowing (BloomIndex.candidateDeletePeriods): an
+    // equality/IN conjunct on an indexed column drops every period
+    // whose files are all definitely value-free — the key-targeted
+    // delete's discovery reads the 1-2 bloom-positive periods instead
+    // of the whole item. Index-interval pruning above still applies;
+    // the two intersect. Exact (no false negatives) ⇒ never under-
+    // deletes; any doubt leaves `cands` untouched.
+    val meta0 = Meta.read(path.resolve(item))
+    val bloomed = (for {
+      c <- cond
+      enc <- meta0.get("schema_json_encoded").collect {
+        case org.json4s.JString(sj) =>
+          org.apache.spark.sql.types.DataType.fromJson(sj)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+      }
+      keep <- BloomIndex.candidateDeletePeriods(
+        path.resolve(item), dataDir, c, meta0, enc)
+    } yield cands.filter(keep)).getOrElse(cands)
+    if (bloomed.size == all.size) raw
+    else raw.filter(col(MonthCol).cast("string").isin(bloomed: _*))
   }
 
   /** Publication step of a SQL row-level operation (UPDATE / MERGE /

@@ -194,6 +194,33 @@ class BloomIndexSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("deleteWhere discovery narrows to bloom-positive periods; IN spans them; never under-deletes") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.col
+    val c = tempCollection("bloom_delprune")
+    c.write("item", monthlyData, indexCols = Seq("index"), monthlyLayout = true)
+    c.buildBloomIndex("item", Seq("key"))
+    // a key-equality predicate has NO index-column constraint: without
+    // the bloom, discovery reads all 6 periods; with it, exactly k_10's
+    def discParts(pred: org.apache.spark.sql.Column): Int =
+      c.deleteDiscoveryFrame("item", pred).queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec => f }
+        .head.selectedPartitions.partitionCount
+    assert(discParts(col("key") === "k_10") == 1,
+      "single-key discovery should read exactly the bloom-positive period")
+    // an IN spanning two months keeps both; the delete lands exactly
+    assert(discParts(col("key").isin("k_10", "k_3")) == 2)
+    assert(c.deleteWhere("item", col("key").isin("k_10", "k_3")) == 2L)
+    assert(c.item("item").data.count() == 298)
+    assert(c.item("item", filters = Seq(Filters.Pred("key", "==", "k_10")))
+      .data.count() == 0)
+    // post-delete the index refreshed incrementally: a surviving key in
+    // a rewritten period still probes pruned
+    assert(c.item("item", filters = Seq(Filters.Pred("key", "==", "k_16")))
+      .data.count() == 1)
+    cleanup(c)
+  }
+
   test("a crash between commit and refresh leaves the index retired: correct, unpruned, rebuild revives") {
     import spark.implicits._
     val c = tempCollection("bloom_crash")
