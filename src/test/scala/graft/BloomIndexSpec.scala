@@ -327,6 +327,30 @@ class BloomIndexSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("streaming sink micro-batches keep a monthly item's index current (free incremental refresh)") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val c = tempCollection("bloom_stream")
+    val src = java.nio.file.Files.createTempDirectory("graft_bloom_stream")
+    c.write("item", monthlyData, indexCols = Seq("index"), monthlyLayout = true)
+    c.buildBloomIndex("item", Seq("key"))
+    // one micro-batch appending a new key into March rides appendPeriodic
+    import spark.implicits._
+    Seq((java.sql.Timestamp.valueOf("2024-03-20 00:00:00"), "k_streamed", 9.9))
+      .toDF("index", "key", "value")
+      .write.mode("overwrite").parquet(s"$src/in")
+    graft.streaming.StreamAppend.runToCompletion(
+      spark.readStream.schema(monthlyData.schema).parquet(s"$src/in")
+        .writeStream.format("graft").option("path", c.path.resolve("item").toString)
+        .option("checkpointLocation", s"$src/ckpt").outputMode("append"))
+    val all = c.item("item").data.inputFiles.length
+    val probe = c.item("item", filters = Seq(Filters.Pred("key", "==", "k_streamed")))
+    assert(probe.data.count() == 1)
+    assert(probe.data.inputFiles.length < all,
+      "streamed row should be indexed by the post-commit incremental refresh")
+    graft.store.FsOps.deleteRecursively(src)
+    cleanup(c)
+  }
+
   test("vacuum spares the index; delete/rename carry it with the item dir") {
     val c = tempCollection("bloom_lifecycle")
     c.write("item", keyedData, indexCols = Seq("index"), npartitions = Some(4))
