@@ -2263,18 +2263,32 @@ object StoreQueries {
     * ratio); the returned rows hash against DuckDB computing the same
     * fingerprints, so the skip's EXACTNESS (no false negatives) is
     * what the oracle proves. */
-  def bloomIndex(s: SparkSession, dir: String): DataFrame = {
+  /** md5 of a doc id — the driver-side twin of the fixture's `md5`
+    * fingerprint column, shared by both bloom bench rows. */
+  private def fpOf(id: Long): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Shared bloom fixture: documents written as an 8-file item with a
+    * unique md5 FINGERPRINT column (hash-scattered across files — the
+    * needle-in-a-haystack shape a 100 TB point lookup has), indexed on
+    * the fingerprint. Returns the collection and its file count. */
+  private def bloomFixture(s: SparkSession, dir: String,
+                           tag: String): (Collection, Int) = {
     import s.implicits._
-    val col = freshCollection(s, "bloom_index")
+    val col = freshCollection(s, tag)
     val docs = Tables.t(s, dir, "documents")
       .withColumn("fp", md5($"doc_id".cast("string")))
     col.write("docs", docs, indexCols = Seq("doc_id"), npartitions = Some(8))
     col.buildBloomIndex("docs", Seq("fp"))
     val total = col.item("docs").data.inputFiles.length
     require(total >= 4, s"expected a multi-file item, got $total files")
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def fpOf(id: Long): String =
-      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (col, total)
+  }
+
+  def bloomIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (col, total) = bloomFixture(s, dir, "bloom_index")
     val probes = Seq(17L, 123L, 456L).map { id =>
       val it = col.item("docs", filters = Seq(Filters.Pred("fp", "==", fpOf(id))))
       val read = it.data.inputFiles.length
@@ -2298,19 +2312,9 @@ object StoreQueries {
     * (the planned read must touch a strict subset of the item's
     * files), and the returned rows hash against DuckDB. */
   def sqlBloomIndex(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val col = freshCollection(s, "sql_bloom")
-    val docs = Tables.t(s, dir, "documents")
-      .withColumn("fp", md5($"doc_id".cast("string")))
-    col.write("docs", docs, indexCols = Seq("doc_id"), npartitions = Some(8))
-    col.buildBloomIndex("docs", Seq("fp"))
-    val total = col.item("docs").data.inputFiles.length
-    require(total >= 4, s"expected a multi-file item, got $total files")
+    val (col, total) = bloomFixture(s, dir, "sql_bloom")
     s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_bloom_docs USING graft " +
       s"OPTIONS (path '${col.path.resolve("docs")}')")
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def fpOf(id: Long): String =
-      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val probe = s.sql(
       s"""SELECT doc_id, fp, n_chars FROM graft_bloom_docs
          |WHERE fp IN ('${fpOf(31)}', '${fpOf(222)}', '${fpOf(555)}')

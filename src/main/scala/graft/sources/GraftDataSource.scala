@@ -709,6 +709,11 @@ final class GraftScanBuilder(
             graft.store.Filters.Pred(a, "in", vs.toSeq)
         }
         if (preds.isEmpty) return dirRoots
+        // one stat per predicate column before any sidecar/meta READ:
+        // almost every item has no bloom index, and this runs on the
+        // planning hot path of every filtered query
+        if (!preds.exists(p => graft.store.BloomIndex.hasSidecar(itemPath, p.column)))
+          return dirRoots
         val meta =
           try graft.store.Meta.read(itemPath)
           catch { case scala.util.control.NonFatal(_) => return dirRoots }

@@ -240,10 +240,30 @@ object BloomIndex {
         }.toMap
         Loaded(gen, fpp, expected, files)
       } catch { case scala.util.control.NonFatal(_) => return None }
-    if (cache.size > 256) cache.clear()
+    // Eviction bounds BYTES, not entries: one Loaded holds every file's
+    // deserialized bitset (up to ~1 GB/column at the documented 10k-file
+    // ceiling), so a handful of large indexes could exhaust the driver
+    // long before 256 entries. Everything clears on overflow — indexes
+    // are few and a re-parse is one sidecar read.
+    val parsedBytes = parsed.files.valuesIterator.map(_.bitSize() / 8).sum
+    if (cache.size > 256 ||
+        cachedBytes.addAndGet(parsedBytes) > MaxCacheBytes) {
+      cache.clear()
+      cachedBytes.set(parsedBytes)
+    }
     cache.put(p.raw, (mtime, parsed))
     Some(parsed)
   }
+
+  /** Cache byte ceiling (sum of deserialized bloom bitsets). */
+  private val MaxCacheBytes: Long = 1L << 30
+  private val cachedBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** One stat: does `column` carry a sidecar at all? The planning hot
+    * path asks this BEFORE paying a sidecar/meta read — almost every
+    * item has no bloom index. */
+  private[graft] def hasSidecar(itemPath: SPath, column: String): Boolean =
+    itemPath.fs.modifiedAt(itemPath.resolve(sidecarName(column)).raw).isDefined
 
   // ---------------------------------------------------------------- prune
 

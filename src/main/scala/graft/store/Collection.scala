@@ -591,6 +591,14 @@ object Collection {
     while (cur != null && depth < 12) {
       cur match {
         case _: java.io.FileNotFoundException => return true
+        // Hadoop's checksummed local FS renames a file and its .crc
+        // sidecar in TWO steps; a read landing between them sees the
+        // new bytes under the old checksum — a swap-race spelling of
+        // the torn read, not data corruption (observed once in the
+        // forked-JVM HadoopFs race suite). The generation-progress
+        // classification keeps real corruption honest: unchanged gen
+        // stays on the attempt cap and still surfaces.
+        case _: org.apache.hadoop.fs.ChecksumException => return true
         case a: org.apache.spark.sql.AnalysisException
             if a.getCondition == "PATH_NOT_FOUND" => return true
         case g: GraftError if g.getMessage != null &&
@@ -2511,8 +2519,8 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     // is tz-independent (the predicate evaluates on stored instants),
     // so a mismatched session just forfeits pruning.
     val sessionTzName = spark.conf.get("spark.sql.session.timeZone", "UTC")
-    val recordedTz = Meta.read(path.resolve(item)).get("_layout_tz")
-      .map(j => Meta.unjv(j).toString)
+    val meta0 = Meta.read(path.resolve(item)) // one read serves tz, stats, bloom
+    val recordedTz = meta0.get("_layout_tz").map(j => Meta.unjv(j).toString)
     if (recordedTz.exists(_ != sessionTzName)) return raw
     val all = dataDir.listDirs
       .filter(_.startsWith(MonthCol + "=")).map(_.stripPrefix(MonthCol + "="))
@@ -2521,7 +2529,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     val cond = raw.filter(predicate).queryExecution.analyzed.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }
-    val pStats = Collection.periodStatsOf(Meta.read(path.resolve(item)))
+    val pStats = Collection.periodStatsOf(meta0)
     val cands = cond.map(Collection.candidatePeriods(all, _,
       this.item(item).indexCols.head, layout,
       java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone", "UTC")),
@@ -2534,7 +2542,6 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     // of the whole item. Index-interval pruning above still applies;
     // the two intersect. Exact (no false negatives) ⇒ never under-
     // deletes; any doubt leaves `cands` untouched.
-    val meta0 = Meta.read(path.resolve(item))
     val bloomed = (for {
       c <- cond
       enc <- meta0.get("schema_json_encoded").collect {

@@ -218,7 +218,33 @@ final class HadoopFs(conf: org.apache.hadoop.conf.Configuration) extends StoreFs
   import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
   private def hp(p: String) = new HPath(p)
-  private def fsOf(p: HPath): FileSystem = p.getFileSystem(conf)
+
+  /** Client-side checksums OFF for this backend's metadata traffic.
+    * Only Hadoop's `file:` LocalFileSystem/LocalFs writes `.crc`
+    * siblings, and both rename a file and its checksum in TWO steps —
+    * a sidecar read racing writeBytesAtomic's publish rename can see
+    * the new bytes under the old `.crc` and throw ChecksumException
+    * for a healthy interleave (observed in the forked-JVM race suite;
+    * the torn-read classifier retries it, but the generation PROBE
+    * reads through the same window and a failed probe must
+    * conservatively burn the corruption cap). With write checksums off
+    * this backend never CREATES a `.crc` (ChecksumFs renames then
+    * drop stale destination checksums), so the window cannot open.
+    * HDFS/object stores checksum server-side and are unaffected.
+    * Instances come from `FileSystem.newInstance`, NOT the process
+    * cache — mutating the shared cached instance's checksum flags
+    * would leak into Spark's own `file:` reads. */
+  private val fsInstances = scala.collection.concurrent.TrieMap.empty[String, FileSystem]
+  private def fsOf(p: HPath): FileSystem = {
+    val uri = p.toUri
+    val key = s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}"
+    fsInstances.getOrElseUpdate(key, {
+      val fs = FileSystem.newInstance(uri, conf)
+      fs.setVerifyChecksum(false)
+      fs.setWriteChecksum(false)
+      fs
+    })
+  }
 
   def join(base: String, child: String): String = new HPath(hp(base), child).toString
   def nameOf(p: String): String = hp(p).getName
