@@ -2311,19 +2311,91 @@ object StoreQueries {
     * narrows the scan's file roots driver-side, asserted in-query
     * (the planned read must touch a strict subset of the item's
     * files), and the returned rows hash against DuckDB. */
+  /** Files the planned V2 scan reads — `DataFrame.inputFiles` is EMPTY
+    * for DSv2 relations (GraftScan is not a FileScan), so the in-query
+    * pruning gates walk the executed plan to the wrapped file index. */
+  private def v2ScanFileCount(df: DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case g: graft.sources.GraftScan => g.parquet.fileIndex.inputFiles.length
+          case _ => 0
+        }
+    }.sum
+
   def sqlBloomIndex(s: SparkSession, dir: String): DataFrame = {
     val (col, total) = bloomFixture(s, dir, "sql_bloom")
     s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_bloom_docs USING graft " +
       s"OPTIONS (path '${col.path.resolve("docs")}')")
-    val probe = s.sql(
-      s"""SELECT doc_id, fp, n_chars FROM graft_bloom_docs
-         |WHERE fp IN ('${fpOf(31)}', '${fpOf(222)}', '${fpOf(555)}')
-         |ORDER BY doc_id""".stripMargin)
-    val read = probe.inputFiles.length
-    require(read < total,
+    val where =
+      s"WHERE fp IN ('${fpOf(31)}', '${fpOf(222)}', '${fpOf(555)}')"
+    // the gate probes an unordered twin: ORDER BY adds an exchange,
+    // which AQE wraps — the scan is invisible before execution there
+    val read = v2ScanFileCount(
+      s.sql(s"SELECT doc_id FROM graft_bloom_docs $where"))
+    require(read > 0 && read < total,
       s"SQL bloom pruning did not engage (read $read of $total files)")
-    probe
+    s.sql(s"SELECT doc_id, fp, n_chars FROM graft_bloom_docs $where ORDER BY doc_id")
   }
+
+  /** Per-file MIN/MAX skipping index (FileStatsIndex.scala, the range
+    * complement to [[bloomIndex]]): documents written SORTED by doc_id
+    * into an 8-file item (range partitioning gives disjoint per-file
+    * intervals — the locality shape the zonemap exists for), stats
+    * built on doc_id, then a range probe. The skip is asserted
+    * IN-QUERY (the probe must read a strict subset of the files) and
+    * the returned rows hash against DuckDB computing the same range. */
+  def fileStatsIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "filestats_index")
+    col.write("docs", Tables.t(s, dir, "documents"),
+      indexCols = Seq("doc_id"), npartitions = Some(8))
+    col.buildFileStatsIndex("docs", Seq("doc_id"))
+    val total = col.item("docs").data.inputFiles.length
+    require(total >= 4, s"expected a multi-file item, got $total files")
+    val it = col.item("docs", filters = Seq(
+      Filters.Pred("doc_id", ">=", 100L), Filters.Pred("doc_id", "<", 200L)))
+    val read = it.data.inputFiles.length
+    require(read > 0 && read < total,
+      s"file-stats pruning did not engage (read $read of $total files)")
+    it.data.select($"doc_id", $"n_chars", $"lang").orderBy($"doc_id")
+  }
+
+  val fileStatsIndexSql: String =
+    """SELECT doc_id, n_chars, lang
+      |FROM documents
+      |WHERE doc_id >= 100 AND doc_id < 200
+      |ORDER BY doc_id""".stripMargin
+
+  /** The same zonemap skip through the SQL front door: pushed range
+    * filters narrow the V2 scan's file roots driver-side, gated
+    * in-query via the executed plan's file index. */
+  def sqlFileStatsIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "sql_filestats")
+    col.write("docs", Tables.t(s, dir, "documents"),
+      indexCols = Seq("doc_id"), npartitions = Some(8))
+    col.buildFileStatsIndex("docs", Seq("doc_id"))
+    val total = col.item("docs").data.inputFiles.length
+    require(total >= 4, s"expected a multi-file item, got $total files")
+    s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_fstats_docs USING graft " +
+      s"OPTIONS (path '${col.path.resolve("docs")}')")
+    // unordered gate twin — see sqlBloomIndex on AQE hiding the scan
+    val read = v2ScanFileCount(s.sql(
+      "SELECT doc_id FROM graft_fstats_docs WHERE doc_id >= 300 AND doc_id < 380"))
+    require(read > 0 && read < total,
+      s"SQL file-stats pruning did not engage (read $read of $total files)")
+    s.sql(
+      """SELECT doc_id, n_chars, lang FROM graft_fstats_docs
+        |WHERE doc_id >= 300 AND doc_id < 380
+        |ORDER BY doc_id""".stripMargin)
+  }
+
+  val sqlFileStatsIndexSql: String =
+    """SELECT doc_id, n_chars, lang
+      |FROM documents
+      |WHERE doc_id >= 300 AND doc_id < 380
+      |ORDER BY doc_id""".stripMargin
 
   val sqlBloomIndexSql: String =
     """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS fp, n_chars
@@ -2334,6 +2406,8 @@ object StoreQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_bloom_index" -> bloomIndex _,
     "store_sql_bloom_index" -> sqlBloomIndex _,
+    "store_filestats_index" -> fileStatsIndex _,
+    "store_sql_filestats_index" -> sqlFileStatsIndex _,
     "store_write_read" -> writeRead _,
     "store_append_keep_last" -> appendKeepLast _,
     "store_append_keep_first" -> appendKeepFirst _,
@@ -2389,6 +2463,8 @@ object StoreQueries {
   val oracles: Map[String, String] = Map(
     "store_bloom_index" -> bloomIndexSql,
     "store_sql_bloom_index" -> sqlBloomIndexSql,
+    "store_filestats_index" -> fileStatsIndexSql,
+    "store_sql_filestats_index" -> sqlFileStatsIndexSql,
     "store_write_read" -> writeReadSql,
     "store_append_keep_last" -> appendKeepLastSql,
     "store_append_keep_first" -> appendKeepFirstSql,

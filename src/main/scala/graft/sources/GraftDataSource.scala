@@ -687,12 +687,14 @@ final class GraftScanBuilder(
     }
   }
 
-  /** Bloom-index narrowing of a DIR root set to explicit part-file
-    * roots (BloomIndex.scala): pushed equality / bounded-IN filters on
-    * indexed columns drop files whose bloom says definitely-absent —
-    * the SQL front door gets the same needle-in-a-haystack skipping as
-    * the Scala `filters=` path, composed AFTER period pruning (only
-    * files inside surviving period roots are kept). Live reads only:
+  /** Skip-index narrowing of a DIR root set to explicit part-file
+    * roots (BloomIndex + FileStatsIndex): pushed equality/bounded-IN
+    * filters drop files whose bloom says definitely-absent, pushed
+    * range/equality filters drop files whose min/max interval cannot
+    * hold a match (the two INTERSECT) — the SQL front door gets the
+    * same skipping as the Scala `filters=` path, composed AFTER
+    * period pruning (only files inside surviving period roots are
+    * kept). Live reads only:
     * snapshot pins and COW row-level scans read their dir roots
     * unchanged (a pinned generation may not match the live index; a
     * COW rewrite must see every row of its periods). Any doubt — no
@@ -707,18 +709,35 @@ final class GraftScanBuilder(
             graft.store.Filters.Pred(a, "==", v)
           case sources.In(a, vs) if vs.nonEmpty && !vs.contains(null) =>
             graft.store.Filters.Pred(a, "in", vs.toSeq)
+          case sources.GreaterThan(a, v) if v != null =>
+            graft.store.Filters.Pred(a, ">", v)
+          case sources.GreaterThanOrEqual(a, v) if v != null =>
+            graft.store.Filters.Pred(a, ">=", v)
+          case sources.LessThan(a, v) if v != null =>
+            graft.store.Filters.Pred(a, "<", v)
+          case sources.LessThanOrEqual(a, v) if v != null =>
+            graft.store.Filters.Pred(a, "<=", v)
         }
         if (preds.isEmpty) return dirRoots
         // one stat per predicate column before any sidecar/meta READ:
-        // almost every item has no bloom index, and this runs on the
+        // almost every item has no skip index, and this runs on the
         // planning hot path of every filtered query
-        if (!preds.exists(p => graft.store.BloomIndex.hasSidecar(itemPath, p.column)))
+        if (!preds.exists(p =>
+            graft.store.BloomIndex.hasSidecar(itemPath, p.column) ||
+              graft.store.FileStatsIndex.hasSidecar(itemPath, p.column)))
           return dirRoots
         val meta =
           try graft.store.Meta.read(itemPath)
           catch { case scala.util.control.NonFatal(_) => return dirRoots }
-        graft.store.BloomIndex.prunedFiles(
-          itemPath, dataDir, preds, meta, tableSchema) match {
+        val byBloom = graft.store.BloomIndex.prunedFiles(
+          itemPath, dataDir, preds, meta, tableSchema)
+        val byStats = graft.store.FileStatsIndex.prunedFiles(
+          itemPath, dataDir, preds, meta, tableSchema)
+        val combined = (byBloom, byStats) match {
+          case (Some(a), Some(b)) => val s = b.toSet; Some(a.filter(s))
+          case (a, b)             => a.orElse(b)
+        }
+        combined match {
           case None => dirRoots
           case Some(kept) =>
             kept.map(f => dataDir.resolve(f).toString)

@@ -44,6 +44,8 @@ import graft.store.{Collection, GraftError, GraftStore, Item, Meta, SPath, Snaps
   *    num_files): bloom data-skipping index state per indexed column;
   *    `current = false` means a commit retired it (reads stay correct,
   *    unpruned) until the next build or incremental refresh.
+  *  - `item$filestats` — (column, current, num_files): the per-file
+  *    MIN/MAX data-skipping index's state, same currency contract.
   *
   * Reference: pystore exposes metadata only as Python dicts
   * (collection.py:116-147); this is beyond-parity surface following
@@ -191,6 +193,19 @@ private[sources] object GraftMetadataTables {
           StructField("current", BooleanType, nullable = false),
           StructField("fpp", DoubleType, nullable = false),
           StructField("expected_items_per_file", LongType, nullable = false),
+          StructField("num_files", LongType, nullable = false))), rows)
+
+      case "filestats" =>
+        // min/max data-skipping index state: one row per indexed column
+        val meta = requireItem()
+        val committed = Snapshots.generationOf(meta)
+        val rows = graft.store.FileStatsIndex.sidecarStates(itemPath).map {
+          case (c, gen, n) =>
+            new GenericInternalRow(Array[Any](str(c), gen == committed, n.toLong))
+        }
+        new MetaTable(s"$itemName$$filestats", StructType(Seq(
+          StructField("column", StringType, nullable = false),
+          StructField("current", BooleanType, nullable = false),
           StructField("num_files", LongType, nullable = false))), rows)
 
       case other => throw new GraftError(

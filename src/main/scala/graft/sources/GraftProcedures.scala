@@ -372,6 +372,42 @@ private[sources] object GraftProcedures {
       }),
 
     ProcDef(
+      "build_file_stats_index",
+      "Build (or rebuild) a per-file MIN/MAX data-skipping index on " +
+        "the given columns — the range complement to the bloom index; " +
+        "range/equality reads then skip files whose interval cannot " +
+        "hold a match. Any later commit silently retires it (partial " +
+        "commits refresh it) until the next build",
+      Array(
+        in("collection", StringType).build(),
+        in("item", StringType).build(),
+        in("cols", StringType).comment("comma-separated column names").build()),
+      StructType(Seq(StructField("indexed", StringType, nullable = false))),
+      (store, args) => {
+        val c = existing(store, str(args, 0))
+        val cols = str(args, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        c.buildFileStatsIndex(str(args, 1), cols)
+        cols.map(row(_))
+      }),
+
+    ProcDef(
+      "drop_file_stats_index",
+      "Drop file-stats index sidecars from an item ('' or NULL cols = " +
+        "every indexed column); returns the columns whose index was removed",
+      Array(
+        in("collection", StringType).build(),
+        in("item", StringType).build(),
+        in("cols", StringType).defaultValue("NULL")
+          .comment("comma-separated column names; NULL/'' drops all").build()),
+      StructType(Seq(StructField("dropped", StringType, nullable = false))),
+      (store, args) => {
+        val c = existing(store, str(args, 0))
+        val cols = optStr(args, 2).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        c.dropFileStatsIndex(str(args, 1), cols).map(row(_))
+      }),
+
+    ProcDef(
       "export_pystore",
       "Export the whole store in the pystore reference on-disk layout " +
         "(part.N.parquet + pystore_metadata.json per item; snapshots " +

@@ -120,7 +120,7 @@ object Collection {
     * streaming-sink entry points in one place (the SQL staging catalog
     * refuses separately at analysis with its own message). */
   val ReservedItemSuffixes: Set[String] =
-    Set("periods", "stats", "snapshots", "detail", "history", "bloom")
+    Set("periods", "stats", "snapshots", "detail", "history", "bloom", "filestats")
 
   /** Label a commit's verb for the per-item commit log ([[History]]):
     * merged into the meta map a commit path passes down; the publish
@@ -1567,19 +1567,24 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     } }
   }
 
-  /** Post-commit incremental bloom-index maintenance
-    * ([[BloomIndex.refreshAfterPartialCommit]]): O(touched periods),
-    * run lock-free AFTER the commit like the stats refresh — a crash
-    * or failure here leaves the sidecar at its old generation, which
-    * the new committed generation no longer matches (retired, never
-    * wrong). Same crash seam as the stats refresh so specs can pin
-    * the staleness invariant. */
+  /** Post-commit incremental skip-index maintenance (bloom + file
+    * stats, [[BloomIndex.refreshAfterPartialCommit]] /
+    * [[FileStatsIndex.refreshAfterPartialCommit]]): O(touched
+    * periods), run lock-free AFTER the commit like the stats refresh —
+    * a crash or failure here leaves a sidecar at its old generation,
+    * which the new committed generation no longer matches (retired,
+    * never wrong). Same crash seam as the stats refresh so specs can
+    * pin the staleness invariant. */
   private def maybeRefreshBloomIndexes(item: String, months: Seq[String],
                                        gens: (Long, Long)): Unit =
-    if (!simulateCrashBeforeStatsRefresh)
+    if (!simulateCrashBeforeStatsRefresh) {
       try BloomIndex.refreshAfterPartialCommit(
         spark, path.resolve(item), months, gens._1, gens._2)
       catch { case scala.util.control.NonFatal(_) => () }
+      try FileStatsIndex.refreshAfterPartialCommit(
+        spark, path.resolve(item), months, gens._1, gens._2)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
 
   // -------------------------------------------------------------- append
 
@@ -3598,47 +3603,90 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * correct, just unpruned) until the next build. Size the two knobs
     * to the item's file population: the sidecar holds
     * ~1.2·expectedItemsPerFile·ln(1/fpp) bits per file. */
-  def buildBloomIndex(item: String, columns: Seq[String], fpp: Double = 0.01,
-                      expectedItemsPerFile: Long = 100000L): Unit = {
+  /** Shared skip-index build preamble: typed existence / column / type
+    * checks plus the FRESH (never TTL-cached) sidecar read whose
+    * generation pairs with the data the build scan reads — a cached
+    * (older) gen under newer data would mark a wrong index as valid. */
+  private def skipIndexPreamble(verb: String, item: String,
+                                columns: Seq[String],
+                                typeOk: org.apache.spark.sql.types.DataType => Boolean,
+                                typeMsg: String)
+      : (SPath, Long, org.apache.spark.sql.types.StructType) = {
     val itemPath = path.resolve(item)
     if (!itemPath.resolve(Item.DataDir).isDir)
       throw new ItemNotFoundError(s"item '$item' does not exist")
     if (columns.isEmpty)
-      throw new ValidationError("buildBloomIndex: no columns given")
-    if (!(fpp > 0.0 && fpp < 1.0) || expectedItemsPerFile <= 0)
-      throw new ValidationError(
-        s"buildBloomIndex: fpp must be in (0,1) and expectedItemsPerFile " +
-          s"positive (got fpp=$fpp, expectedItemsPerFile=$expectedItemsPerFile)")
-    // FRESH sidecar read, never the TTL cache: the recorded generation
-    // must pair with the data this scan reads — a cached (older) gen
-    // under newer data would mark a wrong index as valid
+      throw new ValidationError(s"$verb: no columns given")
     val meta = Meta.read(itemPath)
-    val gen = Snapshots.generationOf(meta)
     val enc = meta.get("schema_json_encoded") match {
       case Some(org.json4s.JString(sj)) =>
         org.apache.spark.sql.types.DataType.fromJson(sj)
           .asInstanceOf[org.apache.spark.sql.types.StructType]
       case _ => throw new ValidationError(
-        s"buildBloomIndex: item '$item' predates encoded-schema sidecars; " +
+        s"$verb: item '$item' predates encoded-schema sidecars; " +
           "rewrite it once (write(..., overwrite=true)) to enable indexing")
     }
     columns.foreach { c =>
       val field = enc.fields.find(_.name == c).getOrElse(
         throw new ValidationError(
-          s"bloom column '$c' not in item schema " +
+          s"$verb column '$c' not in item schema " +
             s"(${enc.fields.map(_.name).mkString(", ")})"))
-      if (!BloomIndex.supportedType(field.dataType))
+      if (!typeOk(field.dataType))
         throw new ValidationError(
-          s"bloom column '$c' has unsupported type " +
-            s"${field.dataType.simpleString}: index string, integral, " +
-            "float, boolean, date, timestamp, or binary columns")
+          s"$verb column '$c' has unsupported type " +
+            s"${field.dataType.simpleString}: $typeMsg")
     }
+    (itemPath, Snapshots.generationOf(meta), enc)
+  }
+
+  def buildBloomIndex(item: String, columns: Seq[String], fpp: Double = 0.01,
+                      expectedItemsPerFile: Long = 100000L): Unit = {
+    if (!(fpp > 0.0 && fpp < 1.0) || expectedItemsPerFile <= 0)
+      throw new ValidationError(
+        s"buildBloomIndex: fpp must be in (0,1) and expectedItemsPerFile " +
+          s"positive (got fpp=$fpp, expectedItemsPerFile=$expectedItemsPerFile)")
+    val (itemPath, gen, enc) = skipIndexPreamble(
+      "buildBloomIndex", item, columns, BloomIndex.supportedType,
+      "index string, integral, float, boolean, date, timestamp, or binary columns")
     val raw = spark.read.schema(enc)
       .parquet(itemPath.resolve(Item.DataDir).toString)
     val blooms = BloomIndex.buildBlooms(raw, columns, fpp, expectedItemsPerFile)
     columns.foreach(c => BloomIndex.writeSidecar(
       itemPath, c, gen, fpp, expectedItemsPerFile, blooms.getOrElse(c, Map.empty)))
   }
+
+  /** Build (or rebuild) a per-file MIN/MAX data-skipping index on
+    * `columns` — see [[FileStatsIndex]], the range complement to
+    * [[buildBloomIndex]]. Same validity contract: derived data keyed
+    * on the committed generation captured here; any commit retires it
+    * (partial-month commits refresh it incrementally). Worth building
+    * on columns with per-file LOCALITY — the sorted index column,
+    * z-ordered dimensions — where min/max intervals actually separate;
+    * on hash-scattered columns use the bloom instead. */
+  def buildFileStatsIndex(item: String, columns: Seq[String]): Unit = {
+    val (itemPath, gen, enc) = skipIndexPreamble(
+      "buildFileStatsIndex", item, columns, FileStatsIndex.supportedType,
+      "index string, integral, float, boolean, date, or timestamp columns")
+    val raw = spark.read.schema(enc)
+      .parquet(itemPath.resolve(Item.DataDir).toString)
+    val stats = FileStatsIndex.buildStats(raw, columns)
+    columns.foreach(c => FileStatsIndex.writeSidecar(
+      itemPath, c, gen, stats.getOrElse(c, Map.empty)))
+  }
+
+  /** Drop file-stats sidecars (`Nil` = every indexed column). Returns
+    * the columns whose index was removed. */
+  def dropFileStatsIndex(item: String, columns: Seq[String] = Nil): Seq[String] = {
+    val itemPath = path.resolve(item)
+    if (!itemPath.isDir)
+      throw new ItemNotFoundError(s"item '$item' does not exist")
+    FileStatsIndex.dropSidecars(itemPath, columns)
+  }
+
+  /** Columns of `item` carrying a file-stats index (regardless of
+    * generation currency). */
+  def fileStatsIndexedColumns(item: String): Seq[String] =
+    FileStatsIndex.indexedColumns(path.resolve(item))
 
   /** Drop bloom-index sidecars (`Nil` = every indexed column). Returns
     * the columns whose index was removed. */

@@ -226,15 +226,23 @@ final class Item private[store] (
               spark.read.schema(readSchema)
             case None => spark.read
           }
-          // Bloom-index file skipping (BloomIndex.scala): equality
-          // predicates on indexed columns drop files whose bloom says
-          // definitely-absent — driver-side path selection, same class
-          // as the period-dir pruning above. Applies only when an
-          // index is generation-current; anything uncertain reads the
-          // whole dir exactly as before. Declared-schema items only
-          // (the literal must hash against the stored type).
-          val bloomKept: Option[Seq[String]] = declared.flatMap(enc =>
-            BloomIndex.prunedFiles(path, dataDir, filters, metadata, enc))
+          // Skip-index file pruning (BloomIndex + FileStatsIndex):
+          // equality predicates drop files whose bloom says
+          // definitely-absent; range/equality predicates drop files
+          // whose min/max interval can't hold a match — driver-side
+          // path selection, same class as the period-dir pruning
+          // above, and the two INTERSECT. Applies only when an index
+          // is generation-current; anything uncertain reads the whole
+          // dir exactly as before. Declared-schema items only (the
+          // literal must hash/order against the stored type).
+          val bloomKept: Option[Seq[String]] = declared.flatMap { enc =>
+            val byBloom = BloomIndex.prunedFiles(path, dataDir, filters, metadata, enc)
+            val byStats = FileStatsIndex.prunedFiles(path, dataDir, filters, metadata, enc)
+            (byBloom, byStats) match {
+              case (Some(a), Some(b)) => val s = b.toSet; Some(a.filter(s))
+              case (a, b)             => a.orElse(b)
+            }
+          }
           bloomKept match {
             case Some(kept) if kept.isEmpty =>
               // every file is definitely value-free: zero-file scan

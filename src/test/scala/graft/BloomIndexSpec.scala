@@ -276,6 +276,18 @@ class BloomIndexSpec extends SparkSpec {
     cleanup(c)
   }
 
+  /** Files the PLANNED V2 scan reads — `DataFrame.inputFiles` is
+    * EMPTY for DSv2 relations (GraftScan is not a FileScan), so the
+    * probe walks the executed plan to the wrapped parquet file index. */
+  private def v2ScanFiles(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case g: graft.sources.GraftScan => g.parquet.fileIndex.inputFiles.length
+          case _ => 0
+        }
+    }.sum
+
   /** Register a GraftCatalog over the collection's store (same pattern
     * as GraftSqlSpec — per-test name, CatalogManager caches by name). */
   private def withCatalog(c: Collection, tag: String)(body: String => Unit): Unit = {
@@ -303,18 +315,20 @@ class BloomIndexSpec extends SparkSpec {
         st.head.getBoolean(1) && st.head.getLong(4) == 8L)
       val eq = spark.sql(s"SELECT index, key FROM $cat.c.item WHERE key = 'key_42'")
       assert(eq.collect().map(_.getLong(0)).toSeq == Seq(42L))
-      assert(eq.inputFiles.length < 8, "SQL equality read not bloom-pruned")
+      val eqFiles = v2ScanFiles(eq)
+      assert(eqFiles > 0 && eqFiles < 8, s"SQL equality read not bloom-pruned ($eqFiles)")
       val in = spark.sql(
         s"SELECT index FROM $cat.c.item WHERE key IN ('key_1', 'key_399')")
       assert(in.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 399L))
-      assert(in.inputFiles.length < 8, "SQL IN read not bloom-pruned")
+      val inFiles = v2ScanFiles(in)
+      assert(inFiles > 0 && inFiles < 8, s"SQL IN read not bloom-pruned ($inFiles)")
       // a SQL write moves the generation: the index retires, reads widen
       spark.sql(
         s"INSERT INTO $cat.c.item VALUES (1000, 'key_new', 'tag_0', 1.0)")
       val stale = spark.sql(s"SELECT index FROM $cat.c.item WHERE key = 'key_new'")
       assert(stale.collect().map(_.getLong(0)).toSeq == Seq(1000L))
-      assert(stale.inputFiles.length ==
-        spark.sql(s"SELECT * FROM $cat.c.item").inputFiles.length)
+      assert(v2ScanFiles(stale) ==
+        v2ScanFiles(spark.sql(s"SELECT * FROM $cat.c.item")))
       // the flat-item commit retired it: $bloom reports current=false
       val retired = spark.sql(s"SELECT current FROM $cat.c.`item$$bloom`").collect()
       assert(retired.length == 1 && !retired.head.getBoolean(0))

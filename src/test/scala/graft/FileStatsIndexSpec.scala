@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.store._
+
+/** Per-file MIN/MAX data-skipping index: range pruning on sorted
+  * files, exactness, generation validity, incremental maintenance,
+  * the bloom intersection, and the SQL surface. Assertion style is
+  * `df.inputFiles` — the files the PLANNED scan actually reads. */
+class FileStatsIndexSpec extends SparkSpec {
+
+  /** 400 rows, sorted long index → write's range partitioning gives 8
+    * files with disjoint [min,max] index (and correlated value)
+    * intervals — the locality shape this index exists for. */
+  private def sortedData = {
+    import spark.implicits._
+    (0 until 400).map { i =>
+      (i.toLong, i.toDouble, s"key_$i", s"tag_${i % 5}")
+    }.toDF("index", "value", "key", "tag")
+  }
+
+  test("range predicates prune to the covering file subset, result identical") {
+    val c = tempCollection("fstats_basic")
+    c.write("item", sortedData, indexCols = Seq("index"), npartitions = Some(8))
+    val all = c.item("item").data.inputFiles.length
+    assert(all == 8)
+    c.buildFileStatsIndex("item", Seq("index", "value"))
+    // top slice: one file covers index > 350
+    val top = c.item("item", filters = Seq(Filters.Pred("index", ">", 350L)))
+    assert(top.data.inputFiles.length == 1)
+    assert(top.data.count() == 49)
+    // a middle band on the correlated DOUBLE column
+    val mid = c.item("item", filters = Seq(
+      Filters.Pred("value", ">=", 100.0), Filters.Pred("value", "<", 150.0)))
+    assert(mid.data.inputFiles.length < all)
+    assert(mid.data.count() == 50)
+    // equality above every file's max → zero files, typed empty frame
+    val none = c.item("item", filters = Seq(Filters.Pred("index", "==", 4000L)))
+    assert(none.data.inputFiles.length == 0)
+    assert(none.data.count() == 0)
+    assert(none.data.schema.fieldNames.toSet ==
+      Set("index", "value", "key", "tag"))
+    cleanup(c)
+  }
+
+  test("no false negatives: every present index value keeps its covering file") {
+    val c = tempCollection("fstats_exact")
+    c.write("item", sortedData, indexCols = Seq("index"), npartitions = Some(8))
+    c.buildFileStatsIndex("item", Seq("index"))
+    (0 until 400 by 13).foreach { i =>
+      val hits = c.item("item",
+        filters = Seq(Filters.Pred("index", "==", i.toLong))).data.collect()
+      assert(hits.length == 1 && hits.head.getAs[Long]("index") == i.toLong,
+        s"index $i lost by stats pruning")
+    }
+    cleanup(c)
+  }
+
+  test("a commit retires the index; IN prunes; unsupported/unknown columns refuse typed") {
+    import spark.implicits._
+    val c = tempCollection("fstats_stale")
+    c.write("item", sortedData, indexCols = Seq("index"), npartitions = Some(8))
+    c.buildFileStatsIndex("item", Seq("index"))
+    val in = c.item("item", filters = Seq(
+      Filters.Pred("index", "in", Seq(3L, 399L))))
+    assert(in.data.count() == 2 && in.data.inputFiles.length == 2)
+    c.append("item", Seq((1000L, 1000.0, "key_new", "tag_0"))
+      .toDF("index", "value", "key", "tag"), npartitions = Some(8))
+    val stale = c.item("item", filters = Seq(Filters.Pred("index", ">", 350L)))
+    assert(stale.data.count() == 50) // 49 + the appended row — correct
+    assert(stale.data.inputFiles.length ==
+      c.item("item").data.inputFiles.length, "stale index must not prune")
+    c.buildFileStatsIndex("item", Seq("index"))
+    assert(c.item("item", filters = Seq(Filters.Pred("index", ">", 350L)))
+      .data.inputFiles.length < 8)
+    intercept[ValidationError] { c.buildFileStatsIndex("item", Nil) }
+    intercept[ValidationError] { c.buildFileStatsIndex("item", Seq("nope")) }
+    intercept[ItemNotFoundError] { c.buildFileStatsIndex("ghost", Seq("index")) }
+    assert(c.fileStatsIndexedColumns("item") == Seq("index"))
+    assert(c.dropFileStatsIndex("item") == Seq("index"))
+    assert(c.fileStatsIndexedColumns("item").isEmpty)
+    cleanup(c)
+  }
+
+  test("monthly items: incremental refresh after a partial append keeps pruning current") {
+    import spark.implicits._
+    val monthly = (0 until 300).map { i =>
+      (java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 1 + i % 6, 1 + i % 28).atStartOfDay()),
+        i.toLong, i.toDouble)
+    }.toDF("index", "seq", "value")
+    val c = tempCollection("fstats_incr")
+    c.write("item", monthly, indexCols = Seq("index"), monthlyLayout = true)
+    c.buildFileStatsIndex("item", Seq("seq"))
+    c.append("item", Seq(
+      (java.sql.Timestamp.valueOf("2024-03-15 00:00:00"), 5000L, 1.0))
+      .toDF("index", "seq", "value"))
+    val all = c.item("item").data.inputFiles.length
+    // the appended outlier seq lives only in March's rewritten file(s);
+    // a current index proves the refresh ran without a rebuild
+    val probe = c.item("item", filters = Seq(Filters.Pred("seq", ">", 4000L)))
+    assert(probe.data.count() == 1)
+    assert(probe.data.inputFiles.length < all,
+      "refreshed file-stats index should prune the outlier probe")
+    cleanup(c)
+  }
+
+  test("bloom and file-stats prunings intersect on one read") {
+    val c = tempCollection("fstats_both")
+    c.write("item", sortedData, indexCols = Seq("index"), npartitions = Some(8))
+    c.buildFileStatsIndex("item", Seq("index"))
+    c.buildBloomIndex("item", Seq("key"))
+    // the bloom keeps key_60's file (plus false positives); the range
+    // keeps files covering [0, 100); the intersection is exactly the
+    // one file holding both
+    val it = c.item("item", filters = Seq(
+      Filters.Pred("key", "==", "key_60"),
+      Filters.Pred("index", "<", 100L)))
+    val rows = it.data.collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("index") == 60L)
+    assert(it.data.inputFiles.length == 1,
+      s"expected the bloom ∩ range intersection to pin 1 file, " +
+        s"got ${it.data.inputFiles.length}")
+    // contradictory pair: key_60's file is outside index > 300
+    val none = c.item("item", filters = Seq(
+      Filters.Pred("key", "==", "key_60"),
+      Filters.Pred("index", ">", 300L)))
+    assert(none.data.count() == 0)
+    cleanup(c)
+  }
+
+  /** Files the PLANNED V2 scan reads — `DataFrame.inputFiles` is
+    * EMPTY for DSv2 relations (GraftScan is not a FileScan), so the
+    * probe walks the executed plan to the wrapped parquet file index. */
+  private def v2ScanFiles(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case g: graft.sources.GraftScan => g.parquet.fileIndex.inputFiles.length
+          case _ => 0
+        }
+    }.sum
+
+  private def withCatalog(c: Collection, tag: String)(body: String => Unit): Unit = {
+    val cat = s"gfstats_$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", c.path.parent.toString)
+    try body(cat)
+    finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.root")
+    }
+  }
+
+  test("SQL front door: CALL builds, range WHERE prunes, $filestats reports, CALL drops") {
+    val c = tempCollection("fstats_sql")
+    c.write("item", sortedData, indexCols = Seq("index"), npartitions = Some(8))
+    withCatalog(c, "sql") { cat =>
+      val built = spark.sql(
+        s"CALL $cat.system.build_file_stats_index('c', 'item', 'index,value')")
+        .collect().map(_.getString(0))
+      assert(built.toSeq == Seq("index", "value"))
+      val range = spark.sql(
+        s"SELECT index FROM $cat.c.item WHERE index > 350")
+      assert(range.collect().length == 49)
+      assert(v2ScanFiles(range) == 1, "SQL range read not stats-pruned")
+      val band = spark.sql(
+        s"SELECT index FROM $cat.c.item WHERE value >= 100.0 AND value < 150.0")
+      assert(band.collect().length == 50)
+      assert(v2ScanFiles(band) < 8 && v2ScanFiles(band) > 0)
+      val st = spark.sql(s"SELECT * FROM $cat.c.`item$$filestats` ORDER BY column")
+        .collect()
+      assert(st.length == 2 && st.head.getString(0) == "index" &&
+        st.head.getBoolean(1) && st.head.getLong(2) == 8L)
+      val dropped = spark.sql(
+        s"CALL $cat.system.drop_file_stats_index('c', 'item')")
+        .collect().map(_.getString(0))
+      assert(dropped.toSeq == Seq("index", "value"))
+      assert(spark.sql(s"SELECT * FROM $cat.c.`item$$filestats`").count() == 0)
+      assert(v2ScanFiles(
+        spark.sql(s"SELECT index FROM $cat.c.item WHERE index > 350")) == 8)
+    }
+    cleanup(c)
+  }
+}
