@@ -2403,11 +2403,94 @@ object StoreQueries {
       |WHERE doc_id IN (31, 222, 555)
       |ORDER BY doc_id""".stripMargin
 
+  /** Skip-index re-arm after a maintenance rewrite
+    * (Collection.rebuildIndexes / the verbs' `reindex` flag): bloom
+    * (fp) + zonemap (doc_id) built, a rebalance retires BOTH by moving
+    * the generation (gated: the stale probe must read unpruned), then
+    * one `rebuildIndexes` call re-arms them from their own recorded
+    * knobs and both probe shapes must again read a strict file subset
+    * — asserted in-query; the rows hash against DuckDB, proving the
+    * re-armed skip stayed exact. */
+  def rebuildIndexes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "rebuild_idx")
+    val docs = Tables.t(s, dir, "documents")
+      .withColumn("fp", md5($"doc_id".cast("string")))
+    col.write("docs", docs, indexCols = Seq("doc_id"), npartitions = Some(8))
+    col.buildBloomIndex("docs", Seq("fp"))
+    col.buildFileStatsIndex("docs", Seq("doc_id"))
+    col.rebalance("docs", Some(8)) // the rewrite retires both indexes
+    val total = col.item("docs").data.inputFiles.length
+    require(total >= 4, s"expected a multi-file item, got $total files")
+    val stale = col.item("docs",
+      filters = Seq(Filters.Pred("fp", "==", fpOf(99L)))).data.inputFiles.length
+    require(stale == total,
+      s"a retired index must not prune (read $stale of $total files)")
+    val rebuilt = col.rebuildIndexes("docs")
+    require(rebuilt == Seq("doc_id", "fp"),
+      s"expected both sidecars rebuilt, got $rebuilt")
+    val eq = col.item("docs", filters = Seq(Filters.Pred("fp", "==", fpOf(99L))))
+    require(eq.data.inputFiles.length < total,
+      s"re-armed bloom did not prune (${eq.data.inputFiles.length} of $total)")
+    val rng = col.item("docs", filters = Seq(
+      Filters.Pred("doc_id", ">=", 40L), Filters.Pred("doc_id", "<", 60L)))
+    require(rng.data.inputFiles.length < total,
+      s"re-armed zonemap did not prune (${rng.data.inputFiles.length} of $total)")
+    eq.data.select($"doc_id", $"n_chars")
+      .union(rng.data.select($"doc_id", $"n_chars"))
+      .orderBy($"doc_id")
+  }
+
+  val rebuildIndexesSql: String =
+    """SELECT doc_id, n_chars
+      |FROM documents
+      |WHERE doc_id = 99 OR (doc_id >= 40 AND doc_id < 60)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Skip-index pruning on a PINNED (time-travel) read: bloom built at
+    * generation G, a manifest snapshot cut at G, then a foreign append
+    * moves the LIVE generation — the sidecar is now stale for live
+    * reads (gated: the live probe must read unpruned) but records
+    * exactly the pin's generation, and retention preserves file names,
+    * so the snapshot probe must still read a strict file subset while
+    * serving the frozen rows. Rows hash against DuckDB over the
+    * pre-append documents. */
+  def pinnedIndexRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (col, total) = bloomFixture(s, dir, "pinned_idx")
+    col.createSnapshot(Some("idxpin"), manifest = Some(true))
+    val extra = Tables.t(s, dir, "documents").limit(1)
+      .withColumn("doc_id", lit(99999999L))
+      .withColumn("fp", md5($"doc_id".cast("string")))
+    col.append("docs", extra) // full rewrite: the live generation moves
+    val live = col.item("docs",
+      filters = Seq(Filters.Pred("fp", "==", fpOf(123L)))).data.inputFiles.length
+    require(live == col.item("docs").data.inputFiles.length,
+      s"a stale index must not prune the live read ($live files)")
+    val pinnedTotal =
+      col.item("docs", snapshot = Some("idxpin")).data.inputFiles.length
+    require(pinnedTotal == total, s"pin should serve the cut's $total files")
+    val it = col.item("docs", snapshot = Some("idxpin"),
+      filters = Seq(Filters.Pred("fp", "==", fpOf(123L))))
+    require(it.data.inputFiles.length < pinnedTotal,
+      s"pin-generation sidecar did not prune " +
+        s"(${it.data.inputFiles.length} of $pinnedTotal files)")
+    it.data.select($"doc_id", $"fp", $"n_chars").orderBy($"doc_id")
+  }
+
+  val pinnedIndexReadSql: String =
+    """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS fp, n_chars
+      |FROM documents
+      |WHERE doc_id = 123
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_bloom_index" -> bloomIndex _,
     "store_sql_bloom_index" -> sqlBloomIndex _,
     "store_filestats_index" -> fileStatsIndex _,
     "store_sql_filestats_index" -> sqlFileStatsIndex _,
+    "store_rebuild_indexes" -> rebuildIndexes _,
+    "store_pinned_index_read" -> pinnedIndexRead _,
     "store_write_read" -> writeRead _,
     "store_append_keep_last" -> appendKeepLast _,
     "store_append_keep_first" -> appendKeepFirst _,
@@ -2465,6 +2548,8 @@ object StoreQueries {
     "store_sql_bloom_index" -> sqlBloomIndexSql,
     "store_filestats_index" -> fileStatsIndexSql,
     "store_sql_filestats_index" -> sqlFileStatsIndexSql,
+    "store_rebuild_indexes" -> rebuildIndexesSql,
+    "store_pinned_index_read" -> pinnedIndexReadSql,
     "store_write_read" -> writeReadSql,
     "store_append_keep_last" -> appendKeepLastSql,
     "store_append_keep_first" -> appendKeepFirstSql,

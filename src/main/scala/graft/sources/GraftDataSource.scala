@@ -294,7 +294,12 @@ object GraftTable {
     }
     new GraftTable(spark, displayPath, schema, layout, indexCol,
       java.time.ZoneId.of(layoutTz), Collection.periodStatsOf(meta), roots, pinned,
-      props)
+      props,
+      // the pin's generation, the validity key skip-index pruning uses
+      // on pinned reads (a sidecar recorded at exactly this generation
+      // describes exactly the pinned files — names survive retention
+      // renames and snapshot hardlinks)
+      pinnedGen = if (pinned) Some(Snapshots.generationOf(meta)) else None)
   }
 
   /** V1 source filters DELETE can hand to [[Collection.deleteWhere]] as
@@ -355,7 +360,8 @@ final class GraftTable private[sources] (
     periodStats: Map[String, Map[String, (Any, Any)]],
     roots: GraftTable.RootSource,
     snapshotPinned: Boolean,
-    sidecarProps: Map[String, String] = Map.empty)
+    sidecarProps: Map[String, String] = Map.empty,
+    pinnedGen: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations {
 
@@ -377,7 +383,8 @@ final class GraftTable private[sources] (
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, itemPath, tableSchema, layout, indexCol,
-      layoutTz, periodStats, roots, options, snapshotPinned = snapshotPinned)
+      layoutTz, periodStats, roots, options, snapshotPinned = snapshotPinned,
+      pinnedGen = pinnedGen)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (snapshotPinned)
@@ -549,7 +556,8 @@ final class GraftScanBuilder(
     roots: GraftTable.RootSource,
     options: CaseInsensitiveStringMap,
     rowLevel: Option[GraftRowLevelOperation] = None,
-    snapshotPinned: Boolean = false)
+    snapshotPinned: Boolean = false,
+    pinnedGen: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -701,49 +709,84 @@ final class GraftScanBuilder(
     * index, stale generation, uncoercible literal, unreadable sidecar
     * — returns the dir roots exactly as before. */
   private def bloomNarrowed(dirRoots: Seq[String]): Seq[String] = {
-    if (rowLevel.isDefined || snapshotPinned || dirRoots.isEmpty) return dirRoots
+    if (rowLevel.isDefined || dirRoots.isEmpty) return dirRoots
+    val preds = pruneFilters.toSeq.collect {
+      case sources.EqualTo(a, v) if v != null =>
+        graft.store.Filters.Pred(a, "==", v)
+      case sources.In(a, vs) if vs.nonEmpty && !vs.contains(null) =>
+        graft.store.Filters.Pred(a, "in", vs.toSeq)
+      case sources.GreaterThan(a, v) if v != null =>
+        graft.store.Filters.Pred(a, ">", v)
+      case sources.GreaterThanOrEqual(a, v) if v != null =>
+        graft.store.Filters.Pred(a, ">=", v)
+      case sources.LessThan(a, v) if v != null =>
+        graft.store.Filters.Pred(a, "<", v)
+      case sources.LessThanOrEqual(a, v) if v != null =>
+        graft.store.Filters.Pred(a, "<=", v)
+    }
+    if (preds.isEmpty) return dirRoots
+    // one stat per predicate column before any sidecar/meta READ:
+    // almost every item has no skip index, and this runs on the
+    // planning hot path of every filtered query. Sidecars resolve from
+    // the LIVE item root in every branch — pinned reads included,
+    // since retention never carries sidecars aside.
+    if (!preds.exists(p =>
+        graft.store.BloomIndex.hasSidecar(itemPath, p.column) ||
+          graft.store.FileStatsIndex.hasSidecar(itemPath, p.column)))
+      return dirRoots
     roots match {
-      case GraftTable.LiveDirs(dataDir) =>
-        val preds = pruneFilters.toSeq.collect {
-          case sources.EqualTo(a, v) if v != null =>
-            graft.store.Filters.Pred(a, "==", v)
-          case sources.In(a, vs) if vs.nonEmpty && !vs.contains(null) =>
-            graft.store.Filters.Pred(a, "in", vs.toSeq)
-          case sources.GreaterThan(a, v) if v != null =>
-            graft.store.Filters.Pred(a, ">", v)
-          case sources.GreaterThanOrEqual(a, v) if v != null =>
-            graft.store.Filters.Pred(a, ">=", v)
-          case sources.LessThan(a, v) if v != null =>
-            graft.store.Filters.Pred(a, "<", v)
-          case sources.LessThanOrEqual(a, v) if v != null =>
-            graft.store.Filters.Pred(a, "<=", v)
-        }
-        if (preds.isEmpty) return dirRoots
-        // one stat per predicate column before any sidecar/meta READ:
-        // almost every item has no skip index, and this runs on the
-        // planning hot path of every filtered query
-        if (!preds.exists(p =>
-            graft.store.BloomIndex.hasSidecar(itemPath, p.column) ||
-              graft.store.FileStatsIndex.hasSidecar(itemPath, p.column)))
-          return dirRoots
+      case GraftTable.LiveDirs(dataDir) if !snapshotPinned =>
         val meta =
           try graft.store.Meta.read(itemPath)
           catch { case scala.util.control.NonFatal(_) => return dirRoots }
-        val byBloom = graft.store.BloomIndex.prunedFiles(
-          itemPath, dataDir, preds, meta, tableSchema)
-        val byStats = graft.store.FileStatsIndex.prunedFiles(
-          itemPath, dataDir, preds, meta, tableSchema)
-        val combined = (byBloom, byStats) match {
-          case (Some(a), Some(b)) => val s = b.toSet; Some(a.filter(s))
-          case (a, b)             => a.orElse(b)
-        }
-        combined match {
+        graft.store.SkipIndexes.prunedFiles(
+          itemPath, dataDir, preds, meta, tableSchema) match {
           case None => dirRoots
           case Some(kept) =>
             kept.map(f => dataDir.resolve(f).toString)
               .filter(f => dirRoots.exists(r => f.startsWith(r + "/")))
         }
-      case _ => dirRoots
+      case GraftTable.LiveDirs(dataDir) =>
+        // pinned flat / dir-snapshot / CDC read of one directory tree:
+        // the live root's sidecar applies iff recorded at EXACTLY the
+        // pinned generation — it then describes exactly these files
+        // (flat retention renames the data dir whole; hardlink
+        // snapshots keep names). Anything else reads unpruned.
+        pinnedGen match {
+          case None => dirRoots
+          case Some(g) =>
+            graft.store.SkipIndexes.prunedFiles(
+              itemPath, dataDir, preds, Map.empty, tableSchema, Some(g)) match {
+              case None => dirRoots
+              case Some(kept) =>
+                kept.map(f => dataDir.resolve(f).toString)
+                  .filter(f => dirRoots.exists(r => f.startsWith(r + "/")))
+            }
+        }
+      case GraftTable.PinnedPeriods(pairs) =>
+        // manifest time-travel read: the pinned file set is a mix of
+        // live and retained period dirs whose FILE NAMES are the ones
+        // the index recorded at the pin's generation (retention is a
+        // whole-dir rename). Key each file the way the build did and
+        // prune with the pin's generation as the validity key.
+        pinnedGen match {
+          case None => dirRoots
+          case Some(g) =>
+            val keptPairs = pairs.filter(p => dirRoots.contains(p._2.toString))
+            lazy val fileMap: Map[String, String] = keptPairs.flatMap {
+              case (p, d) =>
+                d.fs.listFiles(d.raw)
+                  .filterNot(f => f.startsWith("_") || f.startsWith("."))
+                  .map(f =>
+                    s"${Collection.MonthCol}=$p/$f" -> d.resolve(f).toString)
+            }.toMap
+            graft.store.SkipIndexes.prunedKeys(
+              itemPath, () => fileMap.keys.toSeq, preds, Map.empty,
+              tableSchema, Some(g)) match {
+              case None       => dirRoots
+              case Some(kept) => kept.flatMap(fileMap.get)
+            }
+        }
     }
   }
 

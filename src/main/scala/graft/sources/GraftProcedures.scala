@@ -408,6 +408,21 @@ private[sources] object GraftProcedures {
       }),
 
     ProcDef(
+      "rebuild_indexes",
+      "Rebuild every skip-index sidecar present on an item (bloom AND " +
+        "file-stats) from its own recorded knobs, keyed to the current " +
+        "committed generation — the re-arm after maintenance rewrites " +
+        "(rebalance / z-order / convert_layout / overwrite), which " +
+        "retire the indexes by moving the generation; returns the " +
+        "rebuilt columns",
+      Array(
+        in("collection", StringType).build(),
+        in("item", StringType).build()),
+      StructType(Seq(StructField("rebuilt", StringType, nullable = false))),
+      (store, args) =>
+        existing(store, str(args, 0)).rebuildIndexes(str(args, 1)).map(row(_))),
+
+    ProcDef(
       "export_pystore",
       "Export the whole store in the pystore reference on-disk layout " +
         "(part.N.parquet + pystore_metadata.json per item; snapshots " +

@@ -8,7 +8,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-import org.apache.spark.sql.functions.{col, input_file_name, xxhash64}
+import org.apache.spark.sql.functions.{col, input_file_name, when, xxhash64}
 import org.apache.spark.sql.types._
 import org.apache.spark.util.sketch.BloomFilter
 import org.json4s._
@@ -100,8 +100,12 @@ object BloomIndex {
     val spark = raw.sparkSession
     import spark.implicits._
     val n = columns.size
+    // null rows must genuinely SKIP the insert: xxhash64 itself returns
+    // the seed for NULL input (non-nullable), so nullability has to be
+    // reintroduced here for the isNullAt guard below to see it
     val projected = raw.select(
-      input_file_name().as("__f") +: columns.map(c => xxhash64(col(c))): _*)
+      input_file_name().as("__f") +:
+        columns.map(c => when(col(c).isNotNull, xxhash64(col(c)))): _*)
     val perFile: Array[((String, Int), Array[Byte])] = projected
       .mapPartitions { rows =>
         // map-side combine: one bloom per (file, column) seen in this
@@ -112,11 +116,12 @@ object BloomIndex {
           val f = relKeyOf(r.getString(0))
           var i = 0
           while (i < n) {
-            if (!r.isNullAt(i + 1)) {
-              val bf = local.getOrElseUpdate((f, i),
-                BloomFilter.create(expectedItemsPerFile, fpp))
-              bf.putLong(r.getLong(i + 1))
-            }
+            // the bloom exists for every file SEEN (an all-null file
+            // keeps an empty bloom and stays prunable — no equality
+            // can match its null rows); only non-null values insert
+            val bf = local.getOrElseUpdate((f, i),
+              BloomFilter.create(expectedItemsPerFile, fpp))
+            if (!r.isNullAt(i + 1)) bf.putLong(r.getLong(i + 1))
             i += 1
           }
         }
@@ -196,7 +201,7 @@ object BloomIndex {
       org.json4s.jackson.JsonMethods.compact(
         org.json4s.jackson.JsonMethods.render(json))
         .getBytes(StandardCharsets.UTF_8))
-    cache.remove(itemPath.resolve(sidecarName(column)).raw)
+    evictCached(itemPath.resolve(sidecarName(column)).raw)
   }
 
   // ---------------------------------------------------------------- load
@@ -207,14 +212,19 @@ object BloomIndex {
 
   /** mtime-keyed parse cache: the planning path may consult the same
     * sidecar for every query; one stat replaces a full parse+decode.
-    * Bounded by eviction of everything on overflow (indexes are few). */
-  private val cache = TrieMap.empty[String, (java.time.Instant, Loaded)]
+    * Bounded by eviction of everything on overflow (indexes are few).
+    * Each entry carries its own byte size so removal and replacement
+    * subtract from the shared counter instead of growing it forever. */
+  private val cache = TrieMap.empty[String, (java.time.Instant, Long, Loaded)]
+
+  private def evictCached(key: String): Unit =
+    cache.remove(key).foreach { case (_, b, _) => cachedBytes.addAndGet(-b) }
 
   private def load(itemPath: SPath, column: String): Option[Loaded] = {
     val p = itemPath.resolve(sidecarName(column))
     val mtime = itemPath.fs.modifiedAt(p.raw).getOrElse(return None)
     cache.get(p.raw) match {
-      case Some((m, l)) if m == mtime => return Some(l)
+      case Some((m, _, l)) if m == mtime => return Some(l)
       case _ => ()
     }
     val parsed =
@@ -246,12 +256,13 @@ object BloomIndex {
     // long before 256 entries. Everything clears on overflow — indexes
     // are few and a re-parse is one sidecar read.
     val parsedBytes = parsed.files.valuesIterator.map(_.bitSize() / 8).sum
+    evictCached(p.raw) // same-path replacement releases the stale bytes
     if (cache.size > 256 ||
         cachedBytes.addAndGet(parsedBytes) > MaxCacheBytes) {
       cache.clear()
       cachedBytes.set(parsedBytes)
     }
-    cache.put(p.raw, (mtime, parsed))
+    cache.put(p.raw, (mtime, parsedBytes, parsed))
     Some(parsed)
   }
 
@@ -284,21 +295,30 @@ object BloomIndex {
       case _ => None
     }
 
-  /** Driver-side file pruning for a live read. Returns
+  /** Driver-side file pruning for a live or pinned read. Returns
     *  - `None` when pruning does not apply (no equality/IN predicates
     *    on indexed columns, stale index, any load/coercion doubt) or
     *    would not shrink the file set — the caller reads the whole
-    *    data dir exactly as before;
+    *    file set exactly as before;
     *  - `Some(kept)` (possibly empty) when at least one file is
     *    definitely value-free: `kept` are the RELATIVE paths to read.
-    */
-  private[graft] def prunedFiles(itemPath: SPath, dataDir: SPath,
+    *
+    * `allFiles` supplies the candidate file set (relative paths) — a
+    * memoized single listing shared with [[FileStatsIndex]] via
+    * [[SkipIndexes]], or a pinned manifest's file list for time-travel
+    * reads. `pinnedGen`, when set, replaces the committed generation
+    * as the validity key: a read pinned at generation G may use a
+    * sidecar recorded at exactly G even after later commits moved the
+    * live generation. */
+  private[graft] def prunedFiles(itemPath: SPath,
                                  preds: Seq[Filters.Pred],
                                  meta: Map[String, JValue],
-                                 encodedSchema: StructType): Option[Seq[String]] = {
+                                 encodedSchema: StructType,
+                                 allFiles: () => Seq[String],
+                                 pinnedGen: Option[Long] = None): Option[Seq[String]] = {
     val cands = candidateValues(preds)
     if (cands.isEmpty) return None
-    val committedGen = Snapshots.generationOf(meta)
+    val committedGen = pinnedGen.getOrElse(Snapshots.generationOf(meta))
     // (bloom, candidate-hashes) pairs that are usable: a valid
     // same-generation index on the column AND every candidate literal
     // coercing losslessly to the stored type (anything else skips
@@ -313,19 +333,11 @@ object BloomIndex {
         }
     }
     if (usable.isEmpty) return None
-    val all = listDataFiles(dataDir)
+    val all = allFiles()
     if (all.isEmpty) return None
     val kept = all.filter(mightMatch(usable))
     if (kept.size == all.size) None else Some(kept)
   }
-
-  /** Live data files of an item, relative to `dataDir` (period dirs
-    * kept; metadata/hidden entries dropped). */
-  private def listDataFiles(dataDir: SPath): Seq[String] =
-    dataDir.fs.listFilesRecursively(dataDir.raw)
-      .filterNot(f => f.split('/').exists(s =>
-        (s.startsWith("_") && !s.startsWith(Collection.MonthCol + "=")) ||
-          s.startsWith(".")))
 
   /** Whether a file MIGHT hold a row satisfying every usable conjunct
     * (a conjunction's values must co-occur in one file to co-occur in
@@ -348,10 +360,11 @@ object BloomIndex {
     * GDPR delete on a 100 TB item narrows its discovery from every
     * period to the bloom-positive ones. */
   private[store] def candidateDeletePeriods(
-      itemPath: SPath, dataDir: SPath,
+      itemPath: SPath,
       cond: org.apache.spark.sql.catalyst.expressions.Expression,
       meta: Map[String, JValue],
-      encodedSchema: StructType): Option[Set[String]] = {
+      encodedSchema: StructType,
+      allFiles: () => Seq[String]): Option[Set[String]] = {
     import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Attribute, EqualTo => CEq, Expression, In => CIn, Literal => CLit}
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -380,7 +393,7 @@ object BloomIndex {
         }
     }
     if (usable.isEmpty) return None
-    Some(listDataFiles(dataDir)
+    Some(allFiles()
       .filter(mightMatch(usable))
       .flatMap(_.split('/') match {
         case Array(seg, _) if seg.startsWith(Collection.MonthCol + "=") =>
@@ -508,7 +521,7 @@ object BloomIndex {
       val p = itemPath.resolve(sidecarName(c))
       if (p.exists) {
         p.deleteRecursively()
-        cache.remove(p.raw)
+        evictCached(p.raw)
         Some(c)
       } else None
     }

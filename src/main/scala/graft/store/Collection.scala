@@ -2540,13 +2540,15 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone", "UTC")),
       pStats))
       .getOrElse(all)
-    // Bloom-index narrowing (BloomIndex.candidateDeletePeriods): an
-    // equality/IN conjunct on an indexed column drops every period
-    // whose files are all definitely value-free — the key-targeted
-    // delete's discovery reads the 1-2 bloom-positive periods instead
-    // of the whole item. Index-interval pruning above still applies;
-    // the two intersect. Exact (no false negatives) ⇒ never under-
-    // deletes; any doubt leaves `cands` untouched.
+    // Skip-index narrowing (SkipIndexes.candidateDeletePeriods — bloom
+    // AND zonemap, one listing): an equality/IN conjunct on a
+    // bloom-indexed column, or a comparison conjunct on a
+    // zonemap-indexed column, drops every period whose files are all
+    // definitely match-free — a key-targeted or range-retention delete's
+    // discovery reads the few index-positive periods instead of the
+    // whole item. Index-interval pruning above still applies; all
+    // intersect. Exact (no false negatives) ⇒ never under-deletes; any
+    // doubt leaves `cands` untouched.
     val bloomed = (for {
       c <- cond
       enc <- meta0.get("schema_json_encoded").collect {
@@ -2554,7 +2556,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
           org.apache.spark.sql.types.DataType.fromJson(sj)
             .asInstanceOf[org.apache.spark.sql.types.StructType]
       }
-      keep <- BloomIndex.candidateDeletePeriods(
+      keep <- SkipIndexes.candidateDeletePeriods(
         path.resolve(item), dataDir, c, meta0, enc)
     } yield cands.filter(keep)).getOrElse(cands)
     if (bloomed.size == all.size) raw
@@ -2972,10 +2974,11 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     } finally if (NF.exists(staging)) FsOps.deleteRecursively(staging)
   }
 
-  def rebalance(item: String, npartitions: Option[Int] = None): Int =
+  def rebalance(item: String, npartitions: Option[Int] = None,
+                reindex: Boolean = false): Int = {
     // fenced + retried like every read-modify-write (see append): a
     // commit landing mid-rebalance must not be clobbered by the re-lay
-    Collection.retryOnConflict(genProbe = genProbeFor(item)) {
+    val out = Collection.retryOnConflict(genProbe = genProbeFor(item)) {
     if (!hasItem(item))
       throw new ItemNotFoundError(s"item '$item' does not exist")
     val baseGen = Snapshots.generationOf(Meta.read(path.resolve(item)))
@@ -3024,6 +3027,12 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
           expectedGen = Some(baseGen), expectedMeta = Some(storedMeta))
         n
     }
+    }
+    // the rewrite moved the generation, retiring every skip index; the
+    // opt-in re-arm rebuilds them against the NEW layout (outside the
+    // fence — a racing commit just retires the fresh build again)
+    if (reindex) rebuildIndexes(item)
+    out
   }
 
   private def dataDirFileCount(item: String): Int =
@@ -3042,7 +3051,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * snapshot serves) all survive; only the layout keys change.
     * Converting to the CURRENT layout (same salt) is a no-op. */
   def convertLayout(item: String, timeLayout: Option[String] = None,
-                    monthlySalt: Int = 1): Unit = {
+                    monthlySalt: Int = 1, reindex: Boolean = false): Unit = {
     if (!hasItem(item))
       throw new ItemNotFoundError(s"item '$item' does not exist")
     val target = timeLayout.getOrElse("flat")
@@ -3087,6 +3096,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         expectedGen = Some(baseGen), expectedMeta = Some(prevMeta))
     }
     }
+    if (reindex) rebuildIndexes(item) // see rebalance
   }
 
   /** Z-order rebalance — the `OPTIMIZE ... ZORDER BY` analogue: re-lay
@@ -3099,7 +3109,8 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * probes are unchanged — this is a physical-layout-only rewrite. */
   def rebalanceZOrder(item: String, cols: Seq[String],
                       bits: Int = 16,
-                      npartitions: Option[Int] = None): Unit = {
+                      npartitions: Option[Int] = None,
+                      reindex: Boolean = false): Unit = {
     if (!hasItem(item))
       throw new ItemNotFoundError(s"item '$item' does not exist")
     // z-order's range exchange and a period-partitioned write are
@@ -3125,6 +3136,9 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     commit(item, laidOut, prevMeta ++ Collection.opTag("zorder"),
       expectedGen = Some(baseGen), expectedMeta = Some(storedMeta))
     }
+    // z-order clusters every listed column per file — exactly the
+    // layout where a zonemap separates best; re-arm on request
+    if (reindex) rebuildIndexes(item)
   }
 
   // ----------------------------------------------------------- snapshots
@@ -3701,6 +3715,35 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * it is still generation-current). */
   def bloomIndexedColumns(item: String): Seq[String] =
     BloomIndex.indexedColumns(path.resolve(item))
+
+  /** Rebuild every skip-index sidecar present on `item` (bloom AND
+    * file-stats) from its own recorded knobs, keyed to the current
+    * committed generation — the re-arm for maintenance rewrites, which
+    * retire the indexes by moving the generation (correct, but silently
+    * lossy: a z-ordered layout is exactly where the zonemap pays most).
+    * Columns no longer in the schema drop their sidecar; a commit
+    * racing the rebuild retires it again (generation key), never makes
+    * it wrong. Also reachable as the `reindex = true` flag on
+    * [[rebalance]] / [[rebalanceZOrder]] / [[convertLayout]] and as
+    * `CALL system.rebuild_indexes`. Returns the rebuilt columns. */
+  def rebuildIndexes(item: String): Seq[String] = {
+    val itemPath = path.resolve(item)
+    if (!itemPath.resolve(Item.DataDir).isDir)
+      throw new ItemNotFoundError(s"item '$item' does not exist")
+    // fresh (never TTL-cached) read: the captured generation must pair
+    // with the data the build scan reads, exactly like skipIndexPreamble
+    val meta = Meta.read(itemPath)
+    val enc = meta.get("schema_json_encoded") match {
+      case Some(org.json4s.JString(sj)) =>
+        org.apache.spark.sql.types.DataType.fromJson(sj)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      case _ => return Nil // pre-encode item carries no indexes
+    }
+    SkipIndexes.rebuildAll(spark, itemPath,
+      () => spark.read.schema(enc)
+        .parquet(itemPath.resolve(Item.DataDir).toString),
+      enc, Snapshots.generationOf(meta))
+  }
 
   def createSnapshot(name: Option[String] = None,
                      manifest: Option[Boolean] = None): String = {

@@ -66,6 +66,10 @@ object FileStatsIndex {
     def isNullOnly: Boolean = lo == null
   }
 
+  /** Fold -0.0 into 0.0 so the domain order matches Spark's comparison
+    * semantics (NaN already agrees: both orders place it largest). */
+  private def zeroNorm(d: Double): Double = if (d == 0.0d) 0.0d else d
+
   private def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: java.lang.Long, y: java.lang.Long)     => java.lang.Long.compare(x, y)
     case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.compare(x, y)
@@ -81,8 +85,11 @@ object FileStatsIndex {
     case (ByteType | ShortType | IntegerType | LongType, n: Short) => Some(Long.box(n.toLong))
     case (ByteType | ShortType | IntegerType | LongType, n: Int)   => Some(Long.box(n.toLong))
     case (ByteType | ShortType | IntegerType | LongType, n: Long)  => Some(Long.box(n))
-    case (FloatType | DoubleType, f: Float)  => Some(Double.box(f.toDouble))
-    case (FloatType | DoubleType, d: Double) => Some(Double.box(d))
+    // ±0.0 normalized: the domain orders with java.lang.Double.compare
+    // (-0.0 < 0.0), but Spark's comparisons treat them equal — without
+    // the fold a file whose max is -0.0 would be dropped for `= 0.0`
+    case (FloatType | DoubleType, f: Float)  => Some(Double.box(zeroNorm(f.toDouble)))
+    case (FloatType | DoubleType, d: Double) => Some(Double.box(zeroNorm(d)))
     // an Int/Long literal against a float column compares exactly once
     // widened (Long→Double is lossy above 2^53 — refuse there)
     case (FloatType | DoubleType, n: Int)    => Some(Double.box(n.toDouble))
@@ -119,7 +126,7 @@ object FileStatsIndex {
         DateType | TimestampType | TimestampNTZType, JLong(l)) => Some(Long.box(l))
     case (ByteType | ShortType | IntegerType | LongType | BooleanType |
         DateType | TimestampType | TimestampNTZType, JInt(i)) => Some(Long.box(i.toLong))
-    case (FloatType | DoubleType, JDouble(d)) => Some(Double.box(d))
+    case (FloatType | DoubleType, JDouble(d)) => Some(Double.box(zeroNorm(d)))
     case (FloatType | DoubleType, JLong(l))   => Some(Double.box(l.toDouble))
     case (FloatType | DoubleType, JInt(i))    => Some(Double.box(i.toDouble))
     case (StringType, JString(s)) => Some(UTF8String.fromString(s))
@@ -237,11 +244,14 @@ object FileStatsIndex {
 
   /** Driver-side file pruning, same contract as
     * [[BloomIndex.prunedFiles]]: None = no pruning applies (or it
-    * would not shrink); Some(kept) = read exactly these files. */
-  private[graft] def prunedFiles(itemPath: SPath, dataDir: SPath,
+    * would not shrink); Some(kept) = read exactly these files.
+    * `allFiles` and `pinnedGen` carry the same meaning as there. */
+  private[graft] def prunedFiles(itemPath: SPath,
                                  preds: Seq[Filters.Pred],
                                  meta: Map[String, JValue],
-                                 encodedSchema: StructType): Option[Seq[String]] = {
+                                 encodedSchema: StructType,
+                                 allFiles: () => Seq[String],
+                                 pinnedGen: Option[Long] = None): Option[Seq[String]] = {
     val cands: Seq[(String, String, Seq[Any])] = preds.flatMap {
       case Filters.Pred(c, op, v) if servableOps(op) && v != null =>
         (op, v) match {
@@ -255,7 +265,7 @@ object FileStatsIndex {
       case _ => None
     }
     if (cands.isEmpty) return None
-    val committedGen = Snapshots.generationOf(meta)
+    val committedGen = pinnedGen.getOrElse(Snapshots.generationOf(meta))
     // per usable pred: file → bounds in the canonical domain, plus the
     // coerced literal(s); any doubt (type mismatch, stale, unreadable
     // bound) drops the PRED, never a file
@@ -279,18 +289,108 @@ object FileStatsIndex {
         }
     }
     if (usable.isEmpty) return None
-    val all = dataDir.fs.listFilesRecursively(dataDir.raw)
-      .filterNot(f => f.split('/').exists(s =>
-        (s.startsWith("_") && !s.startsWith(Collection.MonthCol + "=")) ||
-          s.startsWith(".")))
+    val all = allFiles()
     if (all.isEmpty) return None
-    val kept = all.filter { f =>
-      usable.forall { case (bounds, op, vs) =>
-        bounds.get(f).forall(mightSatisfy(_, op, vs)) // unknown file → keep
-      }
-    }
+    val kept = all.filter(mightMatch(usable))
     if (kept.size == all.size) None else Some(kept)
   }
+
+  /** Whether a file's bounds MIGHT satisfy every usable conjunct;
+    * unknown files (raced listings) always might. */
+  private def mightMatch(usable: Seq[(Map[String, Bounds], String, Seq[Any])])
+      (f: String): Boolean =
+    usable.forall { case (bounds, op, vs) =>
+      bounds.get(f).forall(mightSatisfy(_, op, vs))
+    }
+
+  /** Period-granularity narrowing for [[Collection.deleteWhere]]'s
+    * discovery scan — the range twin of
+    * [[BloomIndex.candidateDeletePeriods]]: usable conjuncts are
+    * comparisons / equality / bounded-IN between an indexed column and
+    * an un-cast same-type literal; a period survives iff SOME of its
+    * files' min/max interval might hold a matching row. No false
+    * negatives (doubt keeps the file), so a retention sweep on a
+    * non-index timestamp or an id-range GDPR delete on a sorted column
+    * reads only zonemap-positive period dirs. */
+  private[store] def candidateDeletePeriods(
+      itemPath: SPath,
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      meta: Map[String, JValue],
+      encodedSchema: StructType,
+      allFiles: () => Seq[String]): Option[Set[String]] = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Attribute, EqualTo => CEq, Expression, GreaterThan => CGt, GreaterThanOrEqual => CGe, In => CIn, LessThan => CLt, LessThanOrEqual => CLe, Literal => CLit}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case o          => Seq(o)
+    }
+    // (column, op, literals) with the column on the LEFT of op — a
+    // flipped comparison (lit < col) mirrors to (col > lit)
+    val cmps: Seq[(Attribute, String, Seq[CLit])] = conjuncts(cond).collect {
+      case CEq(a: Attribute, l: CLit) if l.value != null => (a, "==", Seq(l))
+      case CEq(l: CLit, a: Attribute) if l.value != null => (a, "==", Seq(l))
+      case CGt(a: Attribute, l: CLit) if l.value != null => (a, ">", Seq(l))
+      case CGt(l: CLit, a: Attribute) if l.value != null => (a, "<", Seq(l))
+      case CGe(a: Attribute, l: CLit) if l.value != null => (a, ">=", Seq(l))
+      case CGe(l: CLit, a: Attribute) if l.value != null => (a, "<=", Seq(l))
+      case CLt(a: Attribute, l: CLit) if l.value != null => (a, "<", Seq(l))
+      case CLt(l: CLit, a: Attribute) if l.value != null => (a, ">", Seq(l))
+      case CLe(a: Attribute, l: CLit) if l.value != null => (a, "<=", Seq(l))
+      case CLe(l: CLit, a: Attribute) if l.value != null => (a, ">=", Seq(l))
+      case CIn(a: Attribute, vs) if vs.nonEmpty && vs.size <= BloomIndex.MaxInValues &&
+          vs.forall { case l: CLit => l.value != null; case _ => false } =>
+        (a, "in", vs.map(_.asInstanceOf[CLit]))
+    }
+    if (cmps.isEmpty) return None
+    val committedGen = Snapshots.generationOf(meta)
+    val usable: Seq[(Map[String, Bounds], String, Seq[Any])] = cmps.flatMap {
+      case (a, op, lits) =>
+        encodedSchema.fields.find(_.name == a.name).flatMap { fld =>
+          // un-cast same-type literal only (analysis wraps mismatches
+          // in Cast, which the extractor above already refuses) — the
+          // same domain the build recorded, or no pruning
+          if (!supportedType(fld.dataType) ||
+              !lits.forall(_.dataType == fld.dataType)) None
+          else load(itemPath, a.name).filter(_.generation == committedGen).flatMap { l =>
+            val dom = lits.flatMap(lit => toDomain(catalystToJvm(lit), fld.dataType))
+            if (dom.size != lits.size) None
+            else {
+              val bounds = l.raw.flatMap { case (f, (lo, hi)) =>
+                (jsonToDomain(lo, fld.dataType), jsonToDomain(hi, fld.dataType)) match {
+                  case (Some(x), Some(y)) => Some(f -> Bounds(x, y))
+                  case _                  => None
+                }
+              }
+              Some((bounds, op, dom))
+            }
+          }
+        }
+    }
+    if (usable.isEmpty) return None
+    Some(allFiles()
+      .filter(mightMatch(usable))
+      .flatMap(_.split('/') match {
+        case Array(seg, _) if seg.startsWith(Collection.MonthCol + "=") =>
+          Some(seg.stripPrefix(Collection.MonthCol + "="))
+        case _ => None
+      }).toSet)
+  }
+
+  /** A Catalyst literal's value in the JVM shapes [[toDomain]] accepts
+    * (Catalyst internals: UTF8String, epoch-day Int, epoch-micros
+    * Long). */
+  private def catalystToJvm(lit: org.apache.spark.sql.catalyst.expressions.Literal): Any =
+    (lit.dataType, lit.value) match {
+      case (StringType, u: UTF8String)    => u
+      case (DateType, d: Int)             => java.time.LocalDate.ofEpochDay(d.toLong)
+      case (TimestampType, micros: Long)  =>
+        java.time.Instant.EPOCH.plus(micros, java.time.temporal.ChronoUnit.MICROS)
+      case (TimestampNTZType, micros: Long) =>
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+      case (_, v) => v
+    }
 
   // ------------------------------------------------------------- refresh
 

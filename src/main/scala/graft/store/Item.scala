@@ -153,9 +153,9 @@ final class Item private[store] (
   /** Period dirs of a manifest-snapshot time item, pruned DRIVER-side
     * by the same index-time predicates `monthPruning` derives — with
     * per-period paths, partition pruning becomes path selection. */
-  private def prunedPeriodDirs(pr: Snapshots.PeriodResolved): Seq[String] = {
+  private def prunedPeriodDirs(pr: Snapshots.PeriodResolved): Seq[(String, SPath)] = {
     val all = pr.periodDirs
-    val layout = timeLayout.getOrElse(return all.map(_._2.toString))
+    val layout = timeLayout.getOrElse(return all)
     val constraints = filters.filter(_.column == indexCols.head).flatMap { pred =>
       Collection.periodOfValue(layout, pred.value, layoutZone).map(m => (pred.op, m))
     }
@@ -169,7 +169,7 @@ final class Item private[store] (
     }
     // over-pruned to nothing → read everything; the row filters below
     // still produce the correct (empty) result with the right schema
-    (if (kept.isEmpty) all else kept).map(_._2.toString)
+    if (kept.isEmpty) all else kept
   }
 
   /** The lazy, pushdown-planned scan, plus whether the emptied-item
@@ -196,7 +196,34 @@ final class Item private[store] (
                 .asInstanceOf[org.apache.spark.sql.types.StructType]
           }
         val reader = frozen.fold(spark.read)(spark.read.schema)
-        reader.parquet(prunedPeriodDirs(pr): _*)
+        val keptPairs = prunedPeriodDirs(pr)
+        // skip-index pruning for the pinned file set: a LIVE-root
+        // sidecar recorded at EXACTLY the pin's generation describes
+        // exactly these files — live dirs for untouched periods,
+        // retained dirs (whole-dir renames, names preserved) for the
+        // rest. Keys are built from the PAIR's period name because a
+        // retained dir's on-disk path no longer carries `__month=`.
+        val pinKept: Option[Seq[String]] = frozen.flatMap { enc =>
+          lazy val fileMap: Map[String, String] = keptPairs.flatMap {
+            case (p, d) =>
+              d.fs.listFiles(d.raw)
+                .filterNot(f => f.startsWith("_") || f.startsWith("."))
+                .map(f =>
+                  s"${Collection.MonthCol}=$p/$f" -> d.resolve(f).toString)
+          }.toMap
+          SkipIndexes.prunedKeys(
+            collectionPath.resolve(name), () => fileMap.keys.toSeq,
+            filters, pr.sidecar, enc,
+            Some(Snapshots.generationOf(pr.sidecar)))
+            .map(_.flatMap(fileMap.get))
+        }
+        pinKept match {
+          case Some(files) if files.isEmpty =>
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], frozen.get)
+          case Some(files) => reader.parquet(files: _*)
+          case None        => reader.parquet(keptPairs.map(_._2.toString): _*)
+        }
       case None =>
         val dataDir = path.resolve(Item.DataDir)
         // The sidecar's ENCODED schema (when present) is authoritative
@@ -236,12 +263,19 @@ final class Item private[store] (
           // dir exactly as before. Declared-schema items only (the
           // literal must hash/order against the stored type).
           val bloomKept: Option[Seq[String]] = declared.flatMap { enc =>
-            val byBloom = BloomIndex.prunedFiles(path, dataDir, filters, metadata, enc)
-            val byStats = FileStatsIndex.prunedFiles(path, dataDir, filters, metadata, enc)
-            (byBloom, byStats) match {
-              case (Some(a), Some(b)) => val s = b.toSet; Some(a.filter(s))
-              case (a, b)             => a.orElse(b)
-            }
+            SkipIndexes.prunedFiles(path, dataDir, filters, metadata, enc)
+              .orElse {
+                // pinned read (dir snapshot / retained flat dir):
+                // retention and snapshots never carry the index
+                // sidecars aside, but the LIVE item root's sidecar
+                // applies iff recorded at EXACTLY the pin's frozen
+                // generation — it then describes exactly these files
+                // (whole-dir renames / hardlinks preserve names)
+                if (snapshot.isEmpty) None
+                else SkipIndexes.prunedFiles(
+                  collectionPath.resolve(name), dataDir, filters, metadata,
+                  enc, Some(Snapshots.generationOf(metadata)))
+              }
           }
           bloomKept match {
             case Some(kept) if kept.isEmpty =>

@@ -240,8 +240,13 @@ final class HadoopFs(conf: org.apache.hadoop.conf.Configuration) extends StoreFs
     val key = s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}"
     fsInstances.getOrElseUpdate(key, {
       val fs = FileSystem.newInstance(uri, conf)
-      fs.setVerifyChecksum(false)
-      fs.setWriteChecksum(false)
+      // Scoped to ChecksumFileSystem (file:/local): the `.crc` rename
+      // race exists nowhere else, and disabling verification on HDFS
+      // would weaken client-side corruption detection for no benefit.
+      if (fs.isInstanceOf[org.apache.hadoop.fs.ChecksumFileSystem]) {
+        fs.setVerifyChecksum(false)
+        fs.setWriteChecksum(false)
+      }
       fs
     })
   }

@@ -365,6 +365,108 @@ class BloomIndexSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("maintenance rewrites re-arm on request: rebuildIndexes, reindex flag, CALL system.rebuild_indexes") {
+    val c = tempCollection("bloom_rearm")
+    c.write("item", keyedData, indexCols = Seq("index"), npartitions = Some(8))
+    c.buildBloomIndex("item", Seq("key"), fpp = 0.02, expectedItemsPerFile = 5000L)
+    c.buildFileStatsIndex("item", Seq("index"))
+    // a plain rebalance retires both (generation moved, no rebuild hook)
+    c.rebalance("item", Some(4))
+    val full = c.item("item").data.inputFiles.length
+    val stale = c.item("item", filters = Seq(Filters.Pred("key", "==", "key_7")))
+    assert(stale.data.count() == 1)
+    assert(stale.data.inputFiles.length == full, "stale index must not prune")
+    // the explicit re-arm rebuilds every sidecar from its recorded knobs
+    assert(c.rebuildIndexes("item") == Seq("index", "key"))
+    val armed = c.item("item", filters = Seq(Filters.Pred("key", "==", "key_7")))
+    assert(armed.data.count() == 1 && armed.data.inputFiles.length < full)
+    val ranged = c.item("item", filters = Seq(Filters.Pred("index", ">", 350L)))
+    assert(ranged.data.count() == 49 && ranged.data.inputFiles.length < full)
+    // knobs survived the rebuild
+    val st = BloomIndex.sidecarStates(c.path.resolve("item"))
+    assert(st.length == 1 && st.head._3 == 0.02 && st.head._4 == 5000L)
+    // reindex = true folds the re-arm into the verb itself
+    c.rebalance("item", Some(8), reindex = true)
+    val again = c.item("item", filters = Seq(Filters.Pred("key", "==", "key_7")))
+    assert(again.data.count() == 1 && again.data.inputFiles.length <
+      c.item("item").data.inputFiles.length)
+    // SQL face: retire again, re-arm via CALL, $bloom reports current
+    c.rebalance("item", Some(8))
+    withCatalog(c, "rearm") { cat =>
+      val rebuilt = spark.sql(s"CALL $cat.system.rebuild_indexes('c', 'item')")
+        .collect().map(_.getString(0))
+      assert(rebuilt.toSeq == Seq("index", "key"))
+      val cur = spark.sql(s"SELECT current FROM $cat.c.`item$$bloom`").collect()
+      assert(cur.length == 1 && cur.head.getBoolean(0))
+      val eq = spark.sql(s"SELECT index FROM $cat.c.item WHERE key = 'key_7'")
+      assert(eq.collect().map(_.getLong(0)).toSeq == Seq(7L))
+      assert(v2ScanFiles(eq) < 8, "re-armed index should prune the SQL read")
+    }
+    cleanup(c)
+  }
+
+  test("pinned flat reads prune through a sidecar recorded at the pin's generation") {
+    import spark.implicits._
+    val c = tempCollection("bloom_pin")
+    c.write("item", keyedData, indexCols = Seq("index"), npartitions = Some(8))
+    c.buildBloomIndex("item", Seq("key"))
+    val snap = c.createSnapshot(Some("pin1"), manifest = Some(true))
+    // the full-rewrite append moves the LIVE generation: the sidecar is
+    // stale for live reads but records exactly the pin's generation —
+    // and the retained files keep their names (whole-dir rename)
+    c.append("item", Seq((1000L, "key_new", "tag_0", 1.0))
+      .toDF("index", "key", "tag", "value"), npartitions = Some(8))
+    val live = c.item("item", filters = Seq(Filters.Pred("key", "==", "key_123")))
+    assert(live.data.inputFiles.length == c.item("item").data.inputFiles.length,
+      "stale index must not prune the live read")
+    val pinnedAll = c.item("item", snapshot = Some(snap)).data.inputFiles.length
+    val pinned = c.item("item", snapshot = Some(snap),
+      filters = Seq(Filters.Pred("key", "==", "key_123")))
+    assert(pinned.data.count() == 1)
+    assert(pinned.data.inputFiles.length < pinnedAll,
+      "pin-generation sidecar should prune the pinned read")
+    // SQL time travel rides the same pruning
+    withCatalog(c, "pin") { cat =>
+      val q = spark.sql(
+        s"SELECT index FROM $cat.c.item VERSION AS OF 'pin1' WHERE key = 'key_123'")
+      assert(q.collect().map(_.getLong(0)).toSeq == Seq(123L))
+      assert(v2ScanFiles(q) < pinnedAll, "SQL pinned read not bloom-pruned")
+    }
+    // rebuilding for the live item re-keys the sidecar: the pin stops
+    // matching and falls back to the unpruned (still correct) read
+    c.buildBloomIndex("item", Seq("key"))
+    val fallback = c.item("item", snapshot = Some(snap),
+      filters = Seq(Filters.Pred("key", "==", "key_123")))
+    assert(fallback.data.count() == 1)
+    assert(fallback.data.inputFiles.length == pinnedAll)
+    cleanup(c)
+  }
+
+  test("pinned monthly reads: a current pin prunes; a later partial commit falls back cleanly") {
+    import spark.implicits._
+    val c = tempCollection("bloom_pin_m")
+    c.write("m", monthlyData, indexCols = Seq("index"), monthlyLayout = true)
+    c.buildBloomIndex("m", Seq("key"))
+    val snap = c.createSnapshot(Some("pinm"), manifest = Some(true))
+    // nothing committed since the cut: every pinned period is live and
+    // the sidecar's generation IS the pin's generation → file pruning
+    val allAtCut = c.item("m", snapshot = Some(snap)).data.inputFiles.length
+    val pinned = c.item("m", snapshot = Some(snap),
+      filters = Seq(Filters.Pred("key", "==", "k_100")))
+    assert(pinned.data.count() == 1)
+    assert(pinned.data.inputFiles.length < allAtCut)
+    // the partial append re-keys the index to ITS commit's generation:
+    // the pin stops matching and the pinned read widens back — correct
+    c.append("m", Seq(
+      (java.sql.Timestamp.valueOf("2024-03-15 00:00:00"), "k_zzz", 1.0))
+      .toDF("index", "key", "value"))
+    val after = c.item("m", snapshot = Some(snap),
+      filters = Seq(Filters.Pred("key", "==", "k_100")))
+    assert(after.data.count() == 1)
+    assert(after.data.inputFiles.length == allAtCut)
+    cleanup(c)
+  }
+
   test("vacuum spares the index; delete/rename carry it with the item dir") {
     val c = tempCollection("bloom_lifecycle")
     c.write("item", keyedData, indexCols = Seq("index"), npartitions = Some(4))

@@ -106,6 +106,87 @@ class FileStatsIndexSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("-0.0 bounds order like Catalyst compares: the ±0.0 file is kept, results match the unindexed read") {
+    import spark.implicits._
+    val c = tempCollection("fstats_negzero")
+    // file 1 (index 0..49) holds only -0.0; file 2 holds 50.0..99.0.
+    // Catalyst comparison treats -0.0 = 0.0 (the parquet scan's own
+    // row-group stats pruning independently drops such rows — engine
+    // behavior the index must not be STRICTER than): zeroNorm'd bounds
+    // keep file 1 for every 0.0-literal probe, and each probe's result
+    // is byte-identical to the same read without the index.
+    val df = (0 until 100).map { i =>
+      (i.toLong, if (i < 50) -0.0 else i.toDouble)
+    }.toDF("index", "value")
+    c.write("item", df, indexCols = Seq("index"), npartitions = Some(2))
+    def rows(p: Filters.Pred) =
+      c.item("item", filters = Seq(p)).data.collect().map(_.toString).sorted.toSeq
+    def files(p: Filters.Pred) =
+      c.item("item", filters = Seq(p)).data.inputFiles.length
+    val probes = Seq(
+      Filters.Pred("value", "==", 0.0),
+      Filters.Pred("value", ">=", 0.0),
+      Filters.Pred("value", "<=", 0.0),
+      Filters.Pred("value", "==", -0.0))
+    val unindexed = probes.map(rows)
+    c.buildFileStatsIndex("item", Seq("value"))
+    probes.zip(unindexed).foreach { case (p, expect) =>
+      assert(rows(p) == expect, s"index changed the result of $p")
+    }
+    // the -0.0 file survives every probe (file 2 prunes where it can't
+    // match: equality and <=)
+    assert(files(Filters.Pred("value", "==", 0.0)) == 1)
+    assert(files(Filters.Pred("value", "<=", 0.0)) == 1)
+    assert(files(Filters.Pred("value", "==", -0.0)) == 1)
+    assert(files(Filters.Pred("value", ">=", 0.0)) == 2)
+    cleanup(c)
+  }
+
+  test("range-predicate deleteWhere narrows discovery to zonemap-positive periods") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import spark.implicits._
+    val c = tempCollection("fstats_delprune")
+    // seq grows WITH the month (50 per month over 6 months), so per-
+    // period seq intervals separate — the retention-sweep shape
+    val monthly = (0 until 300).map { i =>
+      (java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 1 + i / 50, 1 + i % 28).atStartOfDay()),
+        i.toLong, i.toDouble)
+    }.toDF("index", "seq", "value")
+    c.write("item", monthly, indexCols = Seq("index"), monthlyLayout = true)
+    c.buildFileStatsIndex("item", Seq("seq"))
+    // seq is NOT the index column: without the zonemap, discovery for a
+    // seq predicate reads all 6 periods; with it, exactly the covering ones
+    def discParts(pred: org.apache.spark.sql.Column): Int =
+      c.deleteDiscoveryFrame("item", pred).queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec => f }
+        .head.selectedPartitions.partitionCount
+    assert(discParts(col("seq") >= 250L) == 1,
+      "range-delete discovery should read exactly the zonemap-positive period")
+    assert(discParts(col("seq") >= 100L && col("seq") < 150L) == 1)
+    // the delete itself lands exactly and never under-deletes
+    assert(c.deleteWhere("item", col("seq") >= 250L) == 50L)
+    assert(c.item("item").data.count() == 250)
+    cleanup(c)
+  }
+
+  test("rebalanceZOrder(reindex = true) re-arms the zonemap against the clustered layout") {
+    val c = tempCollection("fstats_zorder")
+    c.write("item", sortedData, indexCols = Seq("index"), npartitions = Some(8))
+    c.buildFileStatsIndex("item", Seq("value"))
+    // z-order clusters `value` per file — exactly where the zonemap
+    // pays — and the reindex flag rebuilds it against the NEW files
+    c.rebalanceZOrder("item", Seq("index", "value"), npartitions = Some(8),
+      reindex = true)
+    val all = c.item("item").data.inputFiles.length
+    val band = c.item("item", filters = Seq(
+      Filters.Pred("value", ">=", 100.0), Filters.Pred("value", "<", 150.0)))
+    assert(band.data.count() == 50)
+    assert(band.data.inputFiles.length < all,
+      "re-armed zonemap should prune the z-ordered read")
+    cleanup(c)
+  }
+
   test("bloom and file-stats prunings intersect on one read") {
     val c = tempCollection("fstats_both")
     c.write("item", sortedData, indexCols = Seq("index"), npartitions = Some(8))
