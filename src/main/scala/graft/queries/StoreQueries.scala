@@ -2484,6 +2484,34 @@ object StoreQueries {
       |WHERE doc_id = 123
       |ORDER BY doc_id""".stripMargin
 
+  /** Null-aware zonemap (FileStatsIndex null counts): an optional
+    * column null only in the low-doc_id rows — the data-quality sweep
+    * shape (find the rows with a missing value in a 100 TB corpus). An
+    * `IS NULL` probe must skip every zero-null file (gated in-query:
+    * strict subset), and the returned rows hash against DuckDB
+    * recomputing which rows are null. */
+  def nullSkip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col0 = freshCollection(s, "null_skip")
+    val docs = Tables.t(s, dir, "documents").withColumn("opt",
+      when($"doc_id" < 100, lit(null).cast("string")).otherwise($"lang"))
+    col0.write("docs", docs, indexCols = Seq("doc_id"), npartitions = Some(8))
+    col0.buildFileStatsIndex("docs", Seq("opt"))
+    val total = col0.item("docs").data.inputFiles.length
+    require(total >= 4, s"expected a multi-file item, got $total files")
+    val it = col0.item("docs", filters = Seq(Filters.Pred("opt", "isnull", null)))
+    val read = it.data.inputFiles.length
+    require(read > 0 && read < total,
+      s"IS NULL did not skip zero-null files (read $read of $total)")
+    it.data.select($"doc_id", $"n_chars").orderBy($"doc_id")
+  }
+
+  val nullSkipSql: String =
+    """SELECT doc_id, n_chars
+      |FROM documents
+      |WHERE doc_id < 100
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_bloom_index" -> bloomIndex _,
     "store_sql_bloom_index" -> sqlBloomIndex _,
@@ -2491,6 +2519,7 @@ object StoreQueries {
     "store_sql_filestats_index" -> sqlFileStatsIndex _,
     "store_rebuild_indexes" -> rebuildIndexes _,
     "store_pinned_index_read" -> pinnedIndexRead _,
+    "store_null_skip" -> nullSkip _,
     "store_write_read" -> writeRead _,
     "store_append_keep_last" -> appendKeepLast _,
     "store_append_keep_first" -> appendKeepFirst _,
@@ -2550,6 +2579,7 @@ object StoreQueries {
     "store_sql_filestats_index" -> sqlFileStatsIndexSql,
     "store_rebuild_indexes" -> rebuildIndexesSql,
     "store_pinned_index_read" -> pinnedIndexReadSql,
+    "store_null_skip" -> nullSkipSql,
     "store_write_read" -> writeReadSql,
     "store_append_keep_last" -> appendKeepLastSql,
     "store_append_keep_first" -> appendKeepFirstSql,

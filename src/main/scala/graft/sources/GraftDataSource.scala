@@ -723,6 +723,8 @@ final class GraftScanBuilder(
         graft.store.Filters.Pred(a, "<", v)
       case sources.LessThanOrEqual(a, v) if v != null =>
         graft.store.Filters.Pred(a, "<=", v)
+      case sources.IsNull(a)    => graft.store.Filters.Pred(a, "isnull", null)
+      case sources.IsNotNull(a) => graft.store.Filters.Pred(a, "notnull", null)
     }
     if (preds.isEmpty) return dirRoots
     // one stat per predicate column before any sidecar/meta READ:

@@ -35,7 +35,12 @@ import org.json4s._
   *    characters);
   *  - a file whose recorded bounds are null (every row null in the
   *    column) cannot satisfy any comparison predicate and is dropped
-  *    for them — SQL comparison semantics make null rows unmatchable.
+  *    for them — SQL comparison semantics make null rows unmatchable;
+  *  - each entry also records the file's NULL COUNT, serving IS NULL
+  *    (drop zero-null files — the data-quality sweep reads only the
+  *    files that actually hold gaps) and IS NOT NULL (drop all-null
+  *    files). Sidecars written before the null-aware format load fine:
+  *    comparisons serve as before, IS NULL conservatively keeps.
   *
   * Sidecar size is O(files × columns × ~tens of bytes) — no practical
   * ceiling, unlike the bloom's bitsets.
@@ -61,8 +66,12 @@ object FileStatsIndex {
   // ------------------------------------------------------- bound domain
 
   /** A file's recorded bounds in the canonical ordered domain:
-    * `Long` (integral/temporal/boolean), `Double`, or `UTF8String`. */
-  private[store] final case class Bounds(lo: Any, hi: Any) {
+    * `Long` (integral/temporal/boolean), `Double`, or `UTF8String` —
+    * plus the file's NULL count in the column (None on sidecars
+    * written before the null-aware format: comparisons still serve;
+    * IS NULL pruning conservatively keeps the file). */
+  private[store] final case class Bounds(lo: Any, hi: Any,
+                                         nulls: Option[Long] = None) {
     def isNullOnly: Boolean = lo == null
   }
 
@@ -135,13 +144,17 @@ object FileStatsIndex {
 
   // ---------------------------------------------------------------- build
 
-  /** One aggregation over `raw`: per-file min/max of every column.
-    * Returns column → (relative file → bounds). Files where a column
-    * is entirely null record null bounds (droppable for comparisons). */
+  /** One aggregation over `raw`: per-file min/max + NULL count of
+    * every column. Returns column → (relative file → bounds). Files
+    * where a column is entirely null record null bounds (droppable for
+    * comparisons); the null count serves IS NULL / IS NOT NULL file
+    * skipping (a zero-null file cannot match IS NULL). */
   private[store] def buildStats(raw: DataFrame, columns: Seq[String])
       : Map[String, Map[String, Bounds]] = {
+    import org.apache.spark.sql.functions.{count, lit, sum, when}
     val aggs = columns.flatMap(c =>
-      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"),
+        sum(when(col(c).isNull, lit(1L)).otherwise(lit(0L))).as(s"__nn_$c")))
     val rows = raw
       .select(input_file_name().as("__f") +: columns.map(col): _*)
       .groupBy(col("__f"))
@@ -154,7 +167,8 @@ object FileStatsIndex {
         val f = relKeyOf(r.getString(0))
         val lo = toDomain(r.getAs[Any](s"__mn_$c"), dt).orNull
         val hi = toDomain(r.getAs[Any](s"__mx_$c"), dt).orNull
-        f -> Bounds(lo, hi)
+        f -> Bounds(lo, hi, Option(r.getAs[Any](s"__nn_$c"))
+          .map(_.asInstanceOf[Number].longValue()))
       }.toMap
     }.toMap
   }
@@ -175,7 +189,10 @@ object FileStatsIndex {
       "column" -> JString(column),
       "generation" -> JLong(generation),
       "files" -> JObject(files.toList.sortBy(_._1).map { case (f, b) =>
-        f -> (JArray(List(domainToJson(b.lo), domainToJson(b.hi))): JValue)
+        // [lo, hi] or [lo, hi, nullCount] — readers accept both, so
+        // pre-null-aware sidecars keep serving comparisons
+        f -> (JArray(List(domainToJson(b.lo), domainToJson(b.hi)) ++
+          b.nulls.map(n => JLong(n)).toList): JValue)
       })))
     itemPath.fs.writeBytesAtomic(
       itemPath.resolve(sidecarName(column)).raw,
@@ -187,7 +204,8 @@ object FileStatsIndex {
 
   // ---------------------------------------------------------------- load
 
-  private final case class Loaded(generation: Long, raw: Map[String, (JValue, JValue)])
+  private final case class Loaded(generation: Long,
+                                  raw: Map[String, (JValue, JValue, Option[Long])])
 
   private val cache = TrieMap.empty[String, (java.time.Instant, Loaded)]
 
@@ -210,7 +228,9 @@ object FileStatsIndex {
           case _              => return None
         }
         val files = fields("files").asInstanceOf[JObject].obj.map {
-          case (f, JArray(List(lo, hi))) => f -> (lo, hi)
+          case (f, JArray(List(lo, hi)))           => f -> ((lo, hi, None: Option[Long]))
+          case (f, JArray(List(lo, hi, JLong(n)))) => f -> ((lo, hi, Some(n)))
+          case (f, JArray(List(lo, hi, JInt(n))))  => f -> ((lo, hi, Some(n.toLong)))
           case _ => return None
         }.toMap
         Loaded(gen, files)
@@ -226,10 +246,15 @@ object FileStatsIndex {
   // ---------------------------------------------------------------- prune
 
   /** Can `op v` hold for any value inside [lo, hi]? Null bounds = the
-    * file's column is entirely null = no comparison matches. */
-  private def mightSatisfy(b: Bounds, op: String, vs: Seq[Any]): Boolean = {
-    if (b.isNullOnly) return false
+    * file's column is entirely null = no comparison matches. The null
+    * probes read the recorded null COUNT instead: a zero-null file
+    * cannot match IS NULL (unknown count — a pre-null-aware sidecar —
+    * conservatively keeps), an all-null file cannot match IS NOT NULL. */
+  private def mightSatisfy(b: Bounds, op: String, vs: Seq[Any]): Boolean =
     op match {
+      case "isnull"  => b.nulls.forall(_ > 0L)
+      case "notnull" => !b.isNullOnly
+      case _ if b.isNullOnly => false
       case "==" | "=" => vs.exists(v => cmp(v, b.lo) >= 0 && cmp(v, b.hi) <= 0)
       case "in"       => vs.exists(v => cmp(v, b.lo) >= 0 && cmp(v, b.hi) <= 0)
       case ">"        => cmp(b.hi, vs.head) > 0
@@ -238,9 +263,9 @@ object FileStatsIndex {
       case "<="       => cmp(b.lo, vs.head) <= 0
       case _          => true
     }
-  }
 
-  private def servableOps: Set[String] = Set("==", "=", "in", ">", ">=", "<", "<=")
+  private def servableOps: Set[String] =
+    Set("==", "=", "in", ">", ">=", "<", "<=", "isnull", "notnull")
 
   /** Driver-side file pruning, same contract as
     * [[BloomIndex.prunedFiles]]: None = no pruning applies (or it
@@ -253,6 +278,9 @@ object FileStatsIndex {
                                  allFiles: () => Seq[String],
                                  pinnedGen: Option[Long] = None): Option[Seq[String]] = {
     val cands: Seq[(String, String, Seq[Any])] = preds.flatMap {
+      // null probes carry no literal (value ignored by contract)
+      case Filters.Pred(c, op @ ("isnull" | "notnull" | "isnotnull"), _) =>
+        Some((c, if (op == "isnotnull") "notnull" else op, Nil))
       case Filters.Pred(c, op, v) if servableOps(op) && v != null =>
         (op, v) match {
           case ("in", vs: Iterable[_])
@@ -276,15 +304,7 @@ object FileStatsIndex {
           else load(itemPath, c).filter(_.generation == committedGen).flatMap { l =>
             val dom = vs.flatMap(v => toDomain(v, fld.dataType))
             if (dom.size != vs.size) None
-            else {
-              val bounds = l.raw.flatMap { case (f, (lo, hi)) =>
-                (jsonToDomain(lo, fld.dataType), jsonToDomain(hi, fld.dataType)) match {
-                  case (Some(a), Some(b)) => Some(f -> Bounds(a, b))
-                  case _                  => None // unreadable bound: file unknown → kept
-                }
-              }
-              Some((bounds, op, dom))
-            }
+            else Some((domainBounds(l, fld.dataType), op, dom))
           }
         }
     }
@@ -294,6 +314,16 @@ object FileStatsIndex {
     val kept = all.filter(mightMatch(usable))
     if (kept.size == all.size) None else Some(kept)
   }
+
+  /** A loaded sidecar's raw entries in the canonical domain (an
+    * unreadable bound drops the file → unknown → kept). */
+  private def domainBounds(l: Loaded, dt: DataType): Map[String, Bounds] =
+    l.raw.flatMap { case (f, (lo, hi, nulls)) =>
+      (jsonToDomain(lo, dt), jsonToDomain(hi, dt)) match {
+        case (Some(a), Some(b)) => Some(f -> Bounds(a, b, nulls))
+        case _                  => None
+      }
+    }
 
   /** Whether a file's bounds MIGHT satisfy every usable conjunct;
     * unknown files (raced listings) always might. */
@@ -318,7 +348,7 @@ object FileStatsIndex {
       meta: Map[String, JValue],
       encodedSchema: StructType,
       allFiles: () => Seq[String]): Option[Set[String]] = {
-    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Attribute, EqualTo => CEq, Expression, GreaterThan => CGt, GreaterThanOrEqual => CGe, In => CIn, LessThan => CLt, LessThanOrEqual => CLe, Literal => CLit}
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Attribute, EqualTo => CEq, Expression, GreaterThan => CGt, GreaterThanOrEqual => CGe, In => CIn, IsNotNull => CNotNull, IsNull => CIsNull, LessThan => CLt, LessThanOrEqual => CLe, Literal => CLit}
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
       case o          => Seq(o)
@@ -326,6 +356,8 @@ object FileStatsIndex {
     // (column, op, literals) with the column on the LEFT of op — a
     // flipped comparison (lit < col) mirrors to (col > lit)
     val cmps: Seq[(Attribute, String, Seq[CLit])] = conjuncts(cond).collect {
+      case CIsNull(a: Attribute)  => (a, "isnull", Nil)
+      case CNotNull(a: Attribute) => (a, "notnull", Nil)
       case CEq(a: Attribute, l: CLit) if l.value != null => (a, "==", Seq(l))
       case CEq(l: CLit, a: Attribute) if l.value != null => (a, "==", Seq(l))
       case CGt(a: Attribute, l: CLit) if l.value != null => (a, ">", Seq(l))
@@ -353,15 +385,7 @@ object FileStatsIndex {
           else load(itemPath, a.name).filter(_.generation == committedGen).flatMap { l =>
             val dom = lits.flatMap(lit => toDomain(catalystToJvm(lit), fld.dataType))
             if (dom.size != lits.size) None
-            else {
-              val bounds = l.raw.flatMap { case (f, (lo, hi)) =>
-                (jsonToDomain(lo, fld.dataType), jsonToDomain(hi, fld.dataType)) match {
-                  case (Some(x), Some(y)) => Some(f -> Bounds(x, y))
-                  case _                  => None
-                }
-              }
-              Some((bounds, op, dom))
-            }
+            else Some((domainBounds(l, fld.dataType), op, dom))
           }
         }
     }
@@ -426,9 +450,9 @@ object FileStatsIndex {
       val dt = enc.fields.find(_.name == c).map(_.dataType)
       val carried = l.raw.view
         .filterKeys(f => !prefixes.exists(f.startsWith))
-        .flatMap { case (f, (lo, hi)) =>
+        .flatMap { case (f, (lo, hi, nulls)) =>
           dt.flatMap(d => (jsonToDomain(lo, d), jsonToDomain(hi, d)) match {
-            case (Some(a), Some(b)) => Some(f -> Bounds(a, b))
+            case (Some(a), Some(b)) => Some(f -> Bounds(a, b, nulls))
             case _                  => None
           })
         }.toMap

@@ -36,6 +36,11 @@ object Filters {
         case xs: Iterable[_] => !c.isin(xs.toSeq.map(x => x.asInstanceOf[Any]): _*)
         case x               => !c.isin(x)
       }
+      // beyond the reference's tuple vocabulary: null probes (value
+      // ignored) — the data-cleaning sweep shape, and the shape the
+      // null-aware zonemap prunes files for
+      case "isnull"              => c.isNull
+      case "notnull" | "isnotnull" => c.isNotNull
       case other => throw new GraftError(s"unsupported filter op: $other")
     }
   }

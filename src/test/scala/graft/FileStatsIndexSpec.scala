@@ -187,6 +187,73 @@ class FileStatsIndexSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("null-aware zonemap: IS NULL skips zero-null files, IS NOT NULL drops all-null files") {
+    import spark.implicits._
+    val c = tempCollection("fstats_nulls")
+    // 4 files by index range: file 1 all-null opt, file 2 mixed
+    // (every 10th null), files 3-4 zero-null
+    val df = (0 until 400).map { i =>
+      val opt =
+        if (i < 100) null
+        else if (i < 200 && i % 10 == 0) null
+        else s"v_$i"
+      (i.toLong, opt)
+    }.toDF("index", "opt")
+    c.write("item", df, indexCols = Seq("index"), npartitions = Some(4))
+    c.buildFileStatsIndex("item", Seq("opt"))
+    val all = c.item("item").data.inputFiles.length
+    assert(all == 4)
+    val isNull = c.item("item", filters = Seq(Filters.Pred("opt", "isnull", null)))
+    assert(isNull.data.count() == 110)
+    assert(isNull.data.inputFiles.length == 2,
+      "IS NULL should read exactly the two files holding nulls")
+    val notNull = c.item("item", filters = Seq(Filters.Pred("opt", "notnull", null)))
+    assert(notNull.data.count() == 290)
+    assert(notNull.data.inputFiles.length == 3,
+      "IS NOT NULL should drop the all-null file")
+    // SQL face: pushed IsNull narrows the V2 scan the same way
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW fstats_nulls_v USING graft " +
+      s"OPTIONS (path '${c.path.resolve("item")}')")
+    val q = spark.sql("SELECT index FROM fstats_nulls_v WHERE opt IS NULL")
+    assert(q.collect().length == 110)
+    assert(v2ScanFiles(q) == 2, "SQL IS NULL read not null-pruned")
+    // conjunction: a range over the zero-null files + IS NULL = nothing
+    val none = c.item("item", filters = Seq(
+      Filters.Pred("opt", "isnull", null), Filters.Pred("index", ">=", 200L)))
+    assert(none.data.count() == 0)
+    cleanup(c)
+  }
+
+  test("pre-null-aware sidecars still serve comparisons; IS NULL conservatively keeps") {
+    import org.json4s._
+    import spark.implicits._
+    val c = tempCollection("fstats_legacy")
+    val df = (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("index", "value")
+    c.write("item", df, indexCols = Seq("index"), npartitions = Some(2))
+    c.buildFileStatsIndex("item", Seq("value"))
+    // rewrite the sidecar in the OLD 2-element [lo, hi] shape
+    val p = c.path.resolve("item").resolve(FileStatsIndex.sidecarName("value"))
+    val json = org.json4s.jackson.JsonMethods.parse(
+      new String(c.path.fs.readBytes(p.raw), "UTF-8")).asInstanceOf[JObject]
+    val legacy = JObject(json.obj.map {
+      case ("files", JObject(fs)) => "files" -> (JObject(fs.map {
+        case (f, JArray(List(lo, hi, _))) => f -> (JArray(List(lo, hi)): JValue)
+        case other                        => other
+      }): JValue)
+      case other => other
+    })
+    c.path.fs.writeBytesAtomic(p.raw, org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(legacy)).getBytes("UTF-8"))
+    // comparisons still prune through the legacy shape
+    val top = c.item("item", filters = Seq(Filters.Pred("value", ">=", 90.0)))
+    assert(top.data.count() == 10 && top.data.inputFiles.length == 1)
+    // IS NULL has no count to consult: kept everywhere (correct, unpruned)
+    val isNull = c.item("item", filters = Seq(Filters.Pred("value", "isnull", null)))
+    assert(isNull.data.count() == 0)
+    assert(isNull.data.inputFiles.length == 2)
+    cleanup(c)
+  }
+
   test("bloom and file-stats prunings intersect on one read") {
     val c = tempCollection("fstats_both")
     c.write("item", sortedData, indexCols = Seq("index"), npartitions = Some(8))
