@@ -2512,6 +2512,51 @@ object StoreQueries {
       |WHERE doc_id < 100
       |ORDER BY doc_id""".stripMargin
 
+  /** pystore-interop at SCALE: the roundtrip row proves the on-disk
+    * shape on a tiny fixed table; THIS row drives the parts that grow
+    * with data — the export's global sort + native-file-count coalesce
+    * and the import's re-partitioned write — over `orders` (1.5 M rows
+    * at the sf1 tier). Returns a grouped aggregate of the REIMPORTED
+    * store (exact DECIMAL sums, reference idiom), so the oracle proves
+    * the whole chain moved every row and byte faithfully. */
+  def pystoreExportScale(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DoubleType
+    val col = freshCollection(s, "pystore_scale")
+    col.write("orders", Tables.t(s, dir, "orders"),
+      indexCols = Seq("o_orderkey"))
+    val dest = Paths.get(sys.props("java.io.tmpdir"), "graft_verify",
+      "pystore_scale", "export")
+    FsOps.deleteRecursively(dest)
+    col.exportPystoreItem("orders", dest.resolve("prices").resolve("orders"))
+    val backRoot = Paths.get(sys.props("java.io.tmpdir"), "graft_verify",
+      "pystore_scale", "back")
+    FsOps.deleteRecursively(backRoot)
+    Files.createDirectories(backRoot)
+    val store2 = GraftStore(s, "store", backRoot)
+    store2.importPystore(dest, indexCols = Seq("o_orderkey"))
+    def dec(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 4))
+    store2.collection("prices").item("orders").data
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(dec($"o_totalprice")).cast(DoubleType), 2).as("sum_price"),
+        min($"o_orderkey").as("min_key"),
+        max($"o_orderkey").as("max_key"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val pystoreExportScaleSql: String =
+    """SELECT o_orderstatus,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_price,
+      |  min(o_orderkey) AS min_key,
+      |  max(o_orderkey) AS max_key
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_bloom_index" -> bloomIndex _,
     "store_sql_bloom_index" -> sqlBloomIndex _,
@@ -2520,6 +2565,7 @@ object StoreQueries {
     "store_rebuild_indexes" -> rebuildIndexes _,
     "store_pinned_index_read" -> pinnedIndexRead _,
     "store_null_skip" -> nullSkip _,
+    "store_pystore_export_scale" -> pystoreExportScale _,
     "store_write_read" -> writeRead _,
     "store_append_keep_last" -> appendKeepLast _,
     "store_append_keep_first" -> appendKeepFirst _,
@@ -2580,6 +2626,7 @@ object StoreQueries {
     "store_rebuild_indexes" -> rebuildIndexesSql,
     "store_pinned_index_read" -> pinnedIndexReadSql,
     "store_null_skip" -> nullSkipSql,
+    "store_pystore_export_scale" -> pystoreExportScaleSql,
     "store_write_read" -> writeReadSql,
     "store_append_keep_last" -> appendKeepLastSql,
     "store_append_keep_first" -> appendKeepFirstSql,
