@@ -727,14 +727,16 @@ final class GraftScanBuilder(
       case sources.IsNotNull(a) => graft.store.Filters.Pred(a, "notnull", null)
     }
     if (preds.isEmpty) return dirRoots
-    // one stat per predicate column before any sidecar/meta READ:
-    // almost every item has no skip index, and this runs on the
-    // planning hot path of every filtered query. Sidecars resolve from
-    // the LIVE item root in every branch — pinned reads included,
-    // since retention never carries sidecars aside.
-    if (!preds.exists(p =>
-        graft.store.BloomIndex.hasSidecar(itemPath, p.column) ||
-          graft.store.FileStatsIndex.hasSidecar(itemPath, p.column)))
+    // one stat pair per DISTINCT predicate column before any
+    // sidecar/meta READ: almost every item has no skip index, and this
+    // runs on the planning hot path of every filtered query (Spark
+    // pushes IsNotNull beside every comparison, so predicates repeat
+    // columns). Sidecars resolve from the LIVE item root in every
+    // branch — pinned reads included, since retention never carries
+    // sidecars aside.
+    if (!preds.map(_.column).distinct.exists(c =>
+        graft.store.BloomIndex.hasSidecar(itemPath, c) ||
+          graft.store.FileStatsIndex.hasSidecar(itemPath, c)))
       return dirRoots
     roots match {
       case GraftTable.LiveDirs(dataDir) if !snapshotPinned =>
@@ -775,13 +777,7 @@ final class GraftScanBuilder(
           case None => dirRoots
           case Some(g) =>
             val keptPairs = pairs.filter(p => dirRoots.contains(p._2.toString))
-            lazy val fileMap: Map[String, String] = keptPairs.flatMap {
-              case (p, d) =>
-                d.fs.listFiles(d.raw)
-                  .filterNot(f => f.startsWith("_") || f.startsWith("."))
-                  .map(f =>
-                    s"${Collection.MonthCol}=$p/$f" -> d.resolve(f).toString)
-            }.toMap
+            lazy val fileMap = graft.store.SkipIndexes.pinnedFileMap(keptPairs)
             graft.store.SkipIndexes.prunedKeys(
               itemPath, () => fileMap.keys.toSeq, preds, Map.empty,
               tableSchema, Some(g)) match {

@@ -256,13 +256,22 @@ object BloomIndex {
     // long before 256 entries. Everything clears on overflow — indexes
     // are few and a re-parse is one sidecar read.
     val parsedBytes = parsed.files.valuesIterator.map(_.bitSize() / 8).sum
-    evictCached(p.raw) // same-path replacement releases the stale bytes
-    if (cache.size > 256 ||
-        cachedBytes.addAndGet(parsedBytes) > MaxCacheBytes) {
-      cache.clear()
-      cachedBytes.set(parsedBytes)
+    // insert + accounting under one lock: two planners racing the same
+    // uncached sidecar would otherwise both add parsedBytes while the
+    // cache stores one entry, drifting the counter up until a spurious
+    // full clear. The lock guards only this (rare, already-parsed)
+    // insert path; eviction from writeSidecar/dropSidecars stays
+    // lock-free (TrieMap.remove hands each entry's bytes to exactly
+    // one caller).
+    cache.synchronized {
+      evictCached(p.raw) // same-path replacement releases the stale bytes
+      if (cache.size > 256 ||
+          cachedBytes.addAndGet(parsedBytes) > MaxCacheBytes) {
+        cache.clear()
+        cachedBytes.set(parsedBytes)
+      }
+      cache.put(p.raw, (mtime, parsedBytes, parsed))
     }
-    cache.put(p.raw, (mtime, parsedBytes, parsed))
     Some(parsed)
   }
 

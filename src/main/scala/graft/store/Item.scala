@@ -204,13 +204,7 @@ final class Item private[store] (
         // rest. Keys are built from the PAIR's period name because a
         // retained dir's on-disk path no longer carries `__month=`.
         val pinKept: Option[Seq[String]] = frozen.flatMap { enc =>
-          lazy val fileMap: Map[String, String] = keptPairs.flatMap {
-            case (p, d) =>
-              d.fs.listFiles(d.raw)
-                .filterNot(f => f.startsWith("_") || f.startsWith("."))
-                .map(f =>
-                  s"${Collection.MonthCol}=$p/$f" -> d.resolve(f).toString)
-          }.toMap
+          lazy val fileMap = SkipIndexes.pinnedFileMap(keptPairs)
           SkipIndexes.prunedKeys(
             collectionPath.resolve(name), () => fileMap.keys.toSeq,
             filters, pr.sidecar, enc,

@@ -70,12 +70,30 @@ private[graft] object SkipIndexes {
     }
   }
 
+  /** Candidate file map for a PINNED time-layout read: each kept
+    * (period, dir) pair's files keyed the way the index recorded them
+    * (`__month=<p>/<name>` — built from the PAIR's period name, because
+    * a retained dir's on-disk path no longer carries the prefix) →
+    * absolute path. One definition shared by the V1 (Item) and V2
+    * (GraftScanBuilder) pinned branches so the key scheme can never
+    * drift between them. */
+  private[graft] def pinnedFileMap(keptPairs: Seq[(String, SPath)])
+      : Map[String, String] =
+    keptPairs.flatMap { case (p, d) =>
+      d.fs.listFiles(d.raw)
+        .filterNot(f => f.startsWith("_") || f.startsWith("."))
+        .map(f => s"${Collection.MonthCol}=$p/$f" -> d.resolve(f).toString)
+    }.toMap
+
   /** Period-granularity narrowing for `deleteWhere`'s discovery scan,
     * through both indexes over one listing: a period survives iff it
     * might hold a matching row under EVERY usable conjunct (bloom
     * equality/IN; zonemap comparison). None leaves discovery's own
-    * pruning untouched. Intersection is per-FILE before lifting to
-    * periods, mirroring the read path. */
+    * pruning untouched. Each index lifts its own kept-FILE set to
+    * periods and the period sets intersect — slightly coarser than a
+    * per-file AND across the two indexes (a period can survive on
+    * different files per index), which only ever KEEPS more periods:
+    * safe for a delete's discovery, never under-deletes. */
   private[store] def candidateDeletePeriods(
       itemPath: SPath, dataDir: SPath,
       cond: org.apache.spark.sql.catalyst.expressions.Expression,
