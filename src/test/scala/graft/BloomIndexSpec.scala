@@ -467,6 +467,34 @@ class BloomIndexSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("pinned monthly SQL reads (VERSION AS OF) prune through the PinnedPeriods branch") {
+    import spark.implicits._
+    val c = tempCollection("bloom_pin_sql")
+    c.write("m", monthlyData, indexCols = Seq("index"), monthlyLayout = true)
+    c.buildBloomIndex("m", Seq("key"))
+    c.createSnapshot(Some("sqlpin"), manifest = Some(true))
+    withCatalog(c, "pinsql") { cat =>
+      val allAtCut = v2ScanFiles(
+        spark.sql(s"SELECT * FROM $cat.c.m VERSION AS OF 'sqlpin'"))
+      assert(allAtCut >= 4)
+      // generations equal at the cut: the pinned probe prunes files
+      val q = spark.sql(
+        s"SELECT index FROM $cat.c.m VERSION AS OF 'sqlpin' WHERE key = 'k_100'")
+      assert(q.collect().length == 1)
+      assert(v2ScanFiles(q) < allAtCut, "pinned monthly SQL read not pruned")
+      // a partial append re-keys the index; the pin widens back, correct
+      c.append("m", Seq(
+        (java.sql.Timestamp.valueOf("2024-03-18 00:00:00"), "k_sqlnew", 2.0))
+        .toDF("index", "key", "value"))
+      val after = spark.sql(
+        s"SELECT index FROM $cat.c.m VERSION AS OF 'sqlpin' WHERE key = 'k_100'")
+      assert(after.collect().length == 1)
+      assert(v2ScanFiles(after) == allAtCut,
+        "a re-keyed sidecar must not prune the now-mismatched pin")
+    }
+    cleanup(c)
+  }
+
   test("vacuum spares the index; delete/rename carry it with the item dir") {
     val c = tempCollection("bloom_lifecycle")
     c.write("item", keyedData, indexCols = Seq("index"), npartitions = Some(4))
