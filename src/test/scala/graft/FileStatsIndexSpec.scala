@@ -254,6 +254,33 @@ class FileStatsIndexSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("convertLayout(reindex = true) re-arms across the layout change (flat -> monthly keys)") {
+    import spark.implicits._
+    val c = tempCollection("fstats_convert")
+    val monthly = (0 until 300).map { i =>
+      (java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 1 + i / 50, 1 + i % 28).atStartOfDay()),
+        i.toLong)
+    }.toDF("index", "seq")
+    c.write("item", monthly, indexCols = Seq("index"), npartitions = Some(6))
+    c.buildFileStatsIndex("item", Seq("seq"))
+    c.buildBloomIndex("item", Seq("seq"))
+    // the conversion rewrites every file under __month=<p>/ dirs — the
+    // re-arm must record the NEW relative keys or pruning goes dark
+    c.convertLayout("item", Some("monthly"), reindex = true)
+    val all = c.item("item").data.inputFiles.length
+    assert(all >= 6)
+    val probe = c.item("item", filters = Seq(Filters.Pred("seq", ">=", 250L)))
+    assert(probe.data.count() == 50)
+    assert(probe.data.inputFiles.length < all,
+      "re-armed zonemap should prune under the new monthly layout")
+    val eq = c.item("item", filters = Seq(Filters.Pred("seq", "==", 123L)))
+    assert(eq.data.count() == 1)
+    assert(eq.data.inputFiles.length < all,
+      "re-armed bloom should prune under the new monthly layout")
+    cleanup(c)
+  }
+
   test("bloom and file-stats prunings intersect on one read") {
     val c = tempCollection("fstats_both")
     c.write("item", sortedData, indexCols = Seq("index"), npartitions = Some(8))
