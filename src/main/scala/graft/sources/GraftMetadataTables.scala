@@ -44,7 +44,8 @@ import graft.store.{Collection, GraftError, GraftStore, Item, Meta, SPath, Snaps
   *    num_files): bloom data-skipping index state per indexed column;
   *    `current = false` means a commit retired it (reads stay correct,
   *    unpruned) until the next build or incremental refresh.
-  *  - `item$filestats` — (column, current, num_files): the per-file
+  *  - `item$filestats` — (column, current, num_files, null_aware,
+  *    total_nulls): the per-file
   *    MIN/MAX data-skipping index's state, same currency contract.
   *
   * Reference: pystore exposes metadata only as Python dicts
@@ -200,13 +201,16 @@ private[sources] object GraftMetadataTables {
         val meta = requireItem()
         val committed = Snapshots.generationOf(meta)
         val rows = graft.store.FileStatsIndex.sidecarStates(itemPath).map {
-          case (c, gen, n) =>
-            new GenericInternalRow(Array[Any](str(c), gen == committed, n.toLong))
+          case (c, gen, n, nullAware, totalNulls) =>
+            new GenericInternalRow(Array[Any](
+              str(c), gen == committed, n.toLong, nullAware, totalNulls))
         }
         new MetaTable(s"$itemName$$filestats", StructType(Seq(
           StructField("column", StringType, nullable = false),
           StructField("current", BooleanType, nullable = false),
-          StructField("num_files", LongType, nullable = false))), rows)
+          StructField("num_files", LongType, nullable = false),
+          StructField("null_aware", BooleanType, nullable = false),
+          StructField("total_nulls", LongType, nullable = false))), rows)
 
       case other => throw new GraftError(
         s"unknown metadata table '$$$other' (supported: ${Kinds.toSeq.sorted.mkString(", ")})")

@@ -408,6 +408,28 @@ private[sources] object GraftProcedures {
       }),
 
     ProcDef(
+      "advise_indexes",
+      "Skip-index advisor: measures per-file interval separation, " +
+        "cardinality shape, and null fraction on the item's CURRENT " +
+        "layout, and classifies each supported column as " +
+        "filestats / bloom / none with the reason; advisory only — " +
+        "builds nothing",
+      Array(
+        in("collection", StringType).build(),
+        in("item", StringType).build()),
+      StructType(Seq(
+        StructField("column", StringType, nullable = false),
+        StructField("advice", StringType, nullable = false),
+        StructField("file_overlap", DoubleType, nullable = false),
+        StructField("distinct_ratio", DoubleType, nullable = false),
+        StructField("null_frac", DoubleType, nullable = false),
+        StructField("reason", StringType, nullable = false))),
+      (store, args) =>
+        existing(store, str(args, 0)).adviseIndexes(str(args, 1)).map(a =>
+          row(a.column, a.advice, Double.box(a.fileOverlap),
+            Double.box(a.distinctRatio), Double.box(a.nullFrac), a.reason))),
+
+    ProcDef(
       "rebuild_indexes",
       "Rebuild every skip-index sidecar present on an item (bloom AND " +
         "file-stats) from its own recorded knobs, keyed to the current " +

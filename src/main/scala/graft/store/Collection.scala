@@ -32,6 +32,11 @@ object DuplicateHandling {
 }
 
 object Collection {
+
+  /** One column's verdict from [[Collection.adviseIndexes]]. */
+  final case class IndexAdvice(column: String, advice: String,
+                               fileOverlap: Double, distinctRatio: Double,
+                               nullFrac: Double, reason: String)
   val DefaultIndex = "index"
 
   /** Open an existing collection directory directly — the seam the V2
@@ -3715,6 +3720,58 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * it is still generation-current). */
   def bloomIndexedColumns(item: String): Seq[String] =
     BloomIndex.indexedColumns(path.resolve(item))
+
+  /** Skip-index ADVISOR — measures, on the item's CURRENT physical
+    * layout, what each index would actually deliver per supported
+    * column, and classifies: `filestats` when per-file [min,max]
+    * intervals genuinely separate (fileOverlap ≤ 0.5 — a point/range
+    * probe reads a strict subset today), `bloom` when intervals cover
+    * everything but cardinality is point-lookup-shaped
+    * (distinctRatio ≥ 0.1), `none` when cardinality is so low that
+    * parquet row-group dictionaries already serve equality. The sorted
+    * index column always classifies `filestats` (the range layout
+    * clusters it by construction). Advisory only — builds nothing,
+    * writes nothing; costs one per-file stats pass + one global
+    * aggregate. `CALL system.advise_indexes` is the SQL face. */
+  def adviseIndexes(item: String): Seq[Collection.IndexAdvice] = {
+    val itemPath = path.resolve(item)
+    if (!itemPath.resolve(Item.DataDir).isDir)
+      throw new ItemNotFoundError(s"item '$item' does not exist")
+    val meta = Meta.read(itemPath)
+    val enc = meta.get("schema_json_encoded") match {
+      case Some(org.json4s.JString(sj)) =>
+        org.apache.spark.sql.types.DataType.fromJson(sj)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      case _ => throw new ValidationError(
+        s"adviseIndexes: item '$item' predates encoded-schema sidecars; " +
+          "rewrite it once (write(..., overwrite=true)) to enable indexing")
+    }
+    val cols = enc.fields.filter(f =>
+      FileStatsIndex.supportedType(f.dataType)).map(_.name).toSeq
+    if (cols.isEmpty) return Nil
+    val idx = this.item(item).indexCols.head
+    val raw = spark.read.schema(enc)
+      .parquet(itemPath.resolve(Item.DataDir).toString)
+    val measured = FileStatsIndex.measure(raw, cols)
+    cols.map { c =>
+      val (overlap, distinct, nullFrac) = measured(c)
+      val (advice, reason) =
+        if (c == idx)
+          ("filestats", "the sorted index column — the range layout " +
+            "clusters it by construction")
+        else if (overlap <= 0.5)
+          ("filestats", f"per-file intervals separate (overlap $overlap%.2f) " +
+            "— range and point probes read a file subset today")
+        else if (distinct >= 0.1)
+          ("bloom", f"intervals cover everything (overlap $overlap%.2f) but " +
+            f"cardinality is point-lookup-shaped (distinct ratio $distinct%.2f)")
+        else
+          ("none", f"low cardinality (distinct ratio $distinct%.2f) — " +
+            "row-group dictionaries already serve equality; an index " +
+            "would skip little")
+      Collection.IndexAdvice(c, advice, overlap, distinct, nullFrac, reason)
+    }
+  }
 
   /** Rebuild every skip-index sidecar present on `item` (bloom AND
     * file-stats) from its own recorded knobs, keyed to the current

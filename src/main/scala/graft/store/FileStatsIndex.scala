@@ -461,6 +461,46 @@ object FileStatsIndex {
     }
   }
 
+  // -------------------------------------------------------------- advise
+
+  /** Raw per-column metrics for the skip-index advisor — what each
+    * index would actually deliver on the CURRENT physical layout:
+    *  - fileOverlap: mean over files f of the fraction of files whose
+    *    [min,max] interval contains f's min — ~1/files when intervals
+    *    are disjoint (a zonemap separates), →1 when every interval
+    *    covers everything (a zonemap skips nothing);
+    *  - distinctRatio: approx distinct / non-null rows — near 1 for
+    *    the point-lookup shape a bloom serves;
+    *  - nullFrac — nonzero means IS NULL pruning has something to skip.
+    * Two jobs: the shared per-file stats aggregation plus one global
+    * (count, approx distinct per column) aggregate. Purely advisory —
+    * nothing is written. */
+  private[store] def measure(raw: DataFrame, columns: Seq[String])
+      : Map[String, (Double, Double, Double)] = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, count, lit}
+    if (columns.isEmpty) return Map.empty
+    val stats = buildStats(raw, columns)
+    val g = raw.agg(count(lit(1)).as("__n"),
+      columns.map(c => approx_count_distinct(col(c)).as(s"__d_$c")): _*).head()
+    val n = g.getAs[Long]("__n")
+    columns.map { c =>
+      val perFile = stats.getOrElse(c, Map.empty).values.toSeq
+      val bounded = perFile.filterNot(_.isNullOnly)
+      val overlap =
+        if (bounded.size <= 1) 0.0
+        else bounded.map { f =>
+          bounded.count(gf =>
+            cmp(gf.lo, f.lo) <= 0 && cmp(gf.hi, f.lo) >= 0).toDouble /
+            bounded.size
+        }.sum / bounded.size
+      val nulls = perFile.flatMap(_.nulls).sum
+      val nonNull = math.max(1L, n - nulls)
+      c -> (overlap,
+        math.min(1.0, g.getAs[Long](s"__d_$c").toDouble / nonNull),
+        if (n == 0) 0.0 else nulls.toDouble / n)
+    }.toMap
+  }
+
   // --------------------------------------------------------------- admin
 
   private[graft] def indexedColumns(itemPath: SPath): Seq[String] =
@@ -483,8 +523,17 @@ object FileStatsIndex {
   }
 
   /** Per-column state for the `$filestats` metadata table:
-    * (column, generation, numFiles). */
-  private[graft] def sidecarStates(itemPath: SPath): Seq[(String, Long, Int)] =
+    * (column, generation, numFiles, nullAware, totalNulls) —
+    * `nullAware` = every entry carries a null count (a pre-null-aware
+    * sidecar serves comparisons but not IS NULL pruning); `totalNulls`
+    * sums the recorded counts (0 when not null-aware). */
+  private[graft] def sidecarStates(itemPath: SPath)
+      : Seq[(String, Long, Int, Boolean, Long)] =
     indexedColumns(itemPath).flatMap(c =>
-      load(itemPath, c).map(l => (c, l.generation, l.raw.size)))
+      load(itemPath, c).map { l =>
+        val counts = l.raw.valuesIterator.map(_._3).toSeq
+        (c, l.generation, l.raw.size,
+          counts.nonEmpty && counts.forall(_.isDefined),
+          counts.flatten.sum)
+      })
 }

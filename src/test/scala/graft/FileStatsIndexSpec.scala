@@ -328,6 +328,44 @@ class FileStatsIndexSpec extends SparkSpec {
     }
   }
 
+  test("advisor: sorted/correlated columns -> filestats, scattered unique -> bloom, low-card -> none") {
+    import spark.implicits._
+    val c = tempCollection("fstats_advise")
+    // index sorted (range layout); value correlated with index; key
+    // ("key_<i>") zero-pad-free so it still LEXICALLY tracks the file
+    // order (partially separated — a zonemap genuinely serves it); fp
+    // md5-scattered (every file's interval covers everything — only a
+    // bloom helps); tag 5 values everywhere
+    c.write("item", sortedData.withColumn("fp", md5($"key")),
+      indexCols = Seq("index"), npartitions = Some(8))
+    val advice = c.adviseIndexes("item").map(a => a.column -> a).toMap
+    assert(advice("index").advice == "filestats")
+    assert(advice("value").advice == "filestats",
+      s"correlated double should zonemap: ${advice("value")}")
+    assert(advice("value").fileOverlap <= 0.5)
+    assert(advice("key").advice == "filestats",
+      s"lexically file-tracking key genuinely separates: ${advice("key")}")
+    assert(advice("fp").advice == "bloom",
+      s"md5-scattered unique string should bloom: ${advice("fp")}")
+    assert(advice("fp").distinctRatio > 0.9 && advice("fp").fileOverlap > 0.5)
+    assert(advice("tag").advice == "none",
+      s"5-value column should advise none: ${advice("tag")}")
+    assert(advice.values.forall(_.nullFrac == 0.0))
+    // advisory only: nothing was built
+    assert(c.fileStatsIndexedColumns("item").isEmpty)
+    assert(c.bloomIndexedColumns("item").isEmpty)
+    // SQL face returns the same classification
+    withCatalog(c, "advise") { cat =>
+      val rows = spark.sql(s"CALL $cat.system.advise_indexes('c', 'item')")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(rows == Map("index" -> "filestats", "value" -> "filestats",
+        "key" -> "filestats", "fp" -> "bloom", "tag" -> "none"))
+    }
+    // typed refusals
+    intercept[ItemNotFoundError] { c.adviseIndexes("ghost") }
+    cleanup(c)
+  }
+
   test("SQL front door: CALL builds, range WHERE prunes, $filestats reports, CALL drops") {
     val c = tempCollection("fstats_sql")
     c.write("item", sortedData, indexCols = Seq("index"), npartitions = Some(8))
@@ -348,6 +386,8 @@ class FileStatsIndexSpec extends SparkSpec {
         .collect()
       assert(st.length == 2 && st.head.getString(0) == "index" &&
         st.head.getBoolean(1) && st.head.getLong(2) == 8L)
+      // null-awareness surfaces: fresh sidecars carry counts (0 nulls here)
+      assert(st.forall(r => r.getBoolean(3) && r.getLong(4) == 0L))
       val dropped = spark.sql(
         s"CALL $cat.system.drop_file_stats_index('c', 'item')")
         .collect().map(_.getString(0))
