@@ -29,6 +29,33 @@ import org.apache.spark.sql.SparkSession
   *    doesn't) means the in-run number measured contention, not the
   *    query ⇒ invalid. This is the check that catches transient
   *    mid-run contention that misses every anchor.
+  *
+  * Round-17 additions — the SOFT-sustained-contention arms. Round-16
+  * evidence: a 378.7 s capture (steal 3.3%) passed the round-12 gate
+  * (anchors_over 1, solo_disagree 0) while its heavy tail ran 3–6.7×
+  * inflated — every cheap anchor is sub-second and dodges a sustained
+  * all-core phase, and the solo re-times ran INSIDE the same phase so
+  * they "agreed". Two independent arms close that hole (both replayed
+  * against the recorded r16 captures in BenchGateSpec):
+  *
+  *  - MID-WEIGHT ANCHORS: three multi-second queries from the heavy
+  *    families that a sustained phase cannot dodge
+  *    (store_delete_where 4.5 s, text_substring_index_build 1.5 s,
+  *    text_nb_train 3.5 s clean), compared against the same reference
+  *    file with a WIDER 3× band (their clean cross-capture wobble
+  *    reaches 1.7×, vs 1.3× for the cheap anchors). ≥ 2 over 3× ⇒
+  *    invalid. In the 378.7 s capture all three read 3.7–6.7×; across
+  *    the six recorded gate-valid r16 captures their worst ratio is
+  *    1.67×.
+  *  - HEAVY-TAIL + STEAL CROSS-CHECK: measured cpu_steal_pct > 2% AND
+  *    ≥ 5 non-anchor queries over 2.5× their references ⇒ invalid.
+  *    Either signal alone is innocent — declared code changes move
+  *    queries without moving steal (steal stays ~0), and brief steal
+  *    blips leave the tail flat (the r16 gate-valid captures read
+  *    steal ≤ 1.07% with ≤ 1 query over 2.5×) — but together they mean
+  *    the hypervisor withheld CPU while a broad slice of the suite
+  *    slowed: contention, not code. The 378.7 s capture reads steal
+  *    3.33% with 16 queries over.
   *  - the ABSOLUTE q1 band (fastest sample < 0.5 s) stays: a uniformly
   *    degraded machine (hypervisor/frequency-level) slows everything
   *    equally and no ratio can see it. Overridable via
@@ -51,6 +78,18 @@ object BenchGate {
   val AnchorOverLimit = 2
   val SoloRatioBound = 2.0
   val SoloCandidates = 3
+  /** Mid-weight anchors use a wider band: their documented clean
+    * cross-capture wobble reaches ~1.7× (vs ~1.3× for the sub-second
+    * anchors), so 2× would false-reject clean runs while 3× still
+    * sits far under the 3.7–6.7× a sustained contention phase
+    * produces (the recorded r16 evidence, see the scaladoc). */
+  val MidAnchorRatioBound = 3.0
+  val MidAnchorOverLimit = 2
+  /** Heavy-tail cross-check thresholds: both must trip together (see
+    * the scaladoc — either alone is innocent). */
+  val HeavyTailStealPct = 2.0
+  val HeavyTailRatioBound = 2.5
+  val HeavyTailCountLimit = 5
 
   /** The fixed anchor queries: cheap (0.1–0.4 s clean — contention
     * dominates their time, the query never does), stable across
@@ -62,9 +101,19 @@ object BenchGate {
     "profile_categories", "q1_agg", "q2_filter_pushdown",
     "q9_distinct_agg", "sample_stratified", "text_lm_score", "text_stats")
 
-  final case class AnchorCheck(name: String, sec: Double, ref: Double) {
+  /** The mid-weight anchors: multi-second queries (1.5–4.5 s clean)
+    * from three different heavy families (store maintenance, text
+    * indexing, model training) and three different stretches of the
+    * run's alphabetical order — a sustained all-core phase long enough
+    * to matter overlaps at least two of them, and unlike the
+    * sub-second anchors they cannot complete inside a calm gap. */
+  val MidAnchors: Seq[String] = Seq(
+    "store_delete_where", "text_nb_train", "text_substring_index_build")
+
+  final case class AnchorCheck(name: String, sec: Double, ref: Double,
+                               bound: Double = AnchorRatioBound) {
     def ratio: Double = if (ref > 0 && sec > 0) sec / ref else -1.0
-    def over: Boolean = ratio > AnchorRatioBound
+    def over: Boolean = ratio > bound
   }
   final case class SoloCheck(name: String, inRunSec: Double, soloSec: Double) {
     def ratio: Double = if (soloSec > 0 && inRunSec > 0) inRunSec / soloSec else -1.0
@@ -79,12 +128,32 @@ object BenchGate {
   val SoloMinGapSec = 1.0
   final case class Result(valid: Boolean, anchors: Seq[AnchorCheck],
                           anchorsOver: Int, soloDisagree: Int,
-                          minSample: Double)
+                          minSample: Double,
+                          midAnchors: Seq[AnchorCheck] = Nil,
+                          midAnchorsOver: Int = 0,
+                          heavyTailOver: Int = 0)
 
   def anchorChecks(inRun: Map[String, Double],
                    refs: Map[String, Double]): Seq[AnchorCheck] =
     Anchors.flatMap(a => inRun.get(a).map(sec =>
       AnchorCheck(a, sec, refs.getOrElse(a, -1.0))))
+
+  def midAnchorChecks(inRun: Map[String, Double],
+                      refs: Map[String, Double]): Seq[AnchorCheck] =
+    MidAnchors.flatMap(a => inRun.get(a).map(sec =>
+      AnchorCheck(a, sec, refs.getOrElse(a, -1.0), MidAnchorRatioBound)))
+
+  /** Non-anchor queries over [[HeavyTailRatioBound]] vs their
+    * references — the breadth half of the heavy-tail cross-check
+    * (fires only alongside measured steal, see [[evaluate]]). Anchors
+    * and mid-anchors are excluded so the three rules stay orthogonal
+    * (each query is judged by exactly one band). */
+  def heavyTailOverCount(inRun: Map[String, Double],
+                         refs: Map[String, Double]): Int =
+    inRun.count { case (n, s) =>
+      s > 0 && !Anchors.contains(n) && !MidAnchors.contains(n) &&
+        refs.get(n).exists(r => r > 0 && s / r > HeavyTailRatioBound)
+    }
 
   /** The non-anchor queries to re-time solo: the [[SoloCandidates]]
     * most inflated vs their references, among those ALREADY over the
@@ -96,7 +165,8 @@ object BenchGate {
   def soloCandidates(inRun: Map[String, Double],
                      refs: Map[String, Double]): Seq[String] =
     inRun.toSeq
-      .filter { case (n, s) => s > 0 && !Anchors.contains(n) }
+      .filter { case (n, s) =>
+        s > 0 && !Anchors.contains(n) && !MidAnchors.contains(n) }
       .flatMap { case (n, s) => refs.get(n).filter(_ > 0).map(r => (n, s / r)) }
       .filter(_._2 > AnchorRatioBound)
       .sortBy(-_._2).map(_._1)
@@ -109,19 +179,28 @@ object BenchGate {
                q1BandSec: Double = DefaultQ1BandSec): Result = {
     val anchors = anchorChecks(inRun, refs)
     val anchorsOver = anchors.count(_.over)
+    val midAnchors = midAnchorChecks(inRun, refs)
+    val midAnchorsOver = midAnchors.count(_.over)
+    val heavyTailOver = heavyTailOverCount(inRun, refs)
     val soloDisagree = soloChecks.count(_.disagree)
     val positives = q1Samples.filter(_ > 0)
     val minSample = if (positives.nonEmpty && positives.size == q1Samples.size)
       positives.min else -1.0
+    // The heavy-tail cross-check needs BOTH halves (see the scaladoc);
+    // unmeasurable steal (-1) never trips it.
+    val heavyTailVeto = stealPct > HeavyTailStealPct &&
+      heavyTailOver >= HeavyTailCountLimit
     // Unmeasurable signals (-1) don't veto — absent, not bad. The
     // loadavg ceiling remains the fallback proxy ONLY when other_busy
     // is unmeasurable (self-load from legitimate all-core phases reads
     // high on loadavg).
     val valid = minSample > 0 && minSample < q1BandSec &&
-      anchorsOver < AnchorOverLimit && soloDisagree == 0 &&
+      anchorsOver < AnchorOverLimit && midAnchorsOver < MidAnchorOverLimit &&
+      !heavyTailVeto && soloDisagree == 0 &&
       stealPct <= 10.0 && otherBusyPct <= 10.0 &&
       (otherBusyPct >= 0 || loadMax <= nCpus / 2.0)
-    Result(valid, anchors, anchorsOver, soloDisagree, minSample)
+    Result(valid, anchors, anchorsOver, soloDisagree, minSample,
+      midAnchors, midAnchorsOver, heavyTailOver)
   }
 }
 
@@ -301,14 +380,18 @@ object Bench {
     // it — clean-run q1 noise alone reaches ~2x, see BenchGate scaladoc)
     val steady = midSentinels.map(_._2).toSeq :+ sentinelEnd
     val maxDrift = if (gateRes.minSample > 0) steady.max / gateRes.minSample else -1.0
-    val anchorsJson = gateRes.anchors
+    def checksJson(cs: Seq[BenchGate.AnchorCheck]): String = cs
       .map(a => s"""{"name":"${a.name}","sec":${a.sec},"ref":${a.ref},"ratio":${a.ratio},"over":${a.over}}""")
       .mkString("[", ",", "]")
+    val anchorsJson = checksJson(gateRes.anchors)
+    val midAnchorsJson = checksJson(gateRes.midAnchors)
     val soloJson = soloChecks
       .map(s => s"""{"name":"${s.name}","in_run":${s.inRunSec},"solo":${s.soloSec},"ratio":${s.ratio},"disagree":${s.disagree}}""")
       .mkString("[", ",", "]")
     val gate =
       s""""gate":{"anchors":$anchorsJson,"anchors_over":${gateRes.anchorsOver},""" +
+      s""""mid_anchors":$midAnchorsJson,"mid_anchors_over":${gateRes.midAnchorsOver},""" +
+      s""""heavy_tail_over":${gateRes.heavyTailOver},""" +
       s""""solo_checks":$soloJson,"solo_disagree":${gateRes.soloDisagree},""" +
       s""""refs_file":"$refsFile","refs_loaded":${refs.size}}"""
     val sentinel =

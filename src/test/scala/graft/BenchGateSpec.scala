@@ -145,4 +145,150 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!BenchGate.SoloCheck("cheap", 0.9, 0.3).disagree) // 3x but 0.6s gap
     assert(BenchGate.SoloCheck("heavy", 12.27, 0.91).disagree)
   }
+
+  // ---------------------------------------------------------------------
+  // Round-17 replay suite: FULL recorded r16 captures (committed verbatim
+  // under src/test/resources/captures/, one JSON line each, exactly as
+  // Bench wrote them) re-evaluated against the round-16 reference medians
+  // (refs_r16.json — a frozen snapshot of BENCH_ANCHORS.json as of r16,
+  // so later anchor refreshes can never move these pinned decisions).
+  // The headline case: the round-16 judge's 378.7 s soft-contended
+  // capture (steal 3.3%) passed the round-12 gate because every anchor
+  // is sub-second and the solo re-times ran inside the same sustained
+  // phase — the round-17 mid-weight-anchor and heavy-tail arms must
+  // stamp it INVALID while every recorded gate-valid capture stays
+  // valid.
+  // ---------------------------------------------------------------------
+
+  /** Parse a committed capture (the exact JSON line Bench.main wrote)
+    * into the inputs BenchGate.evaluate takes. */
+  private def loadCapture(resource: String): (Map[String, Double], Seq[BenchGate.SoloCheck], Seq[Double], Double, Double, Double) = {
+    import org.json4s._
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream(s"/captures/$resource"), "UTF-8")
+    val json = try org.json4s.jackson.JsonMethods.parse(src.mkString) finally src.close()
+    def num(v: JValue): Double = v match {
+      case JDouble(d) => d; case JInt(i) => i.toDouble
+      case JDecimal(d) => d.toDouble; case JLong(l) => l.toDouble
+      case _ => -1.0
+    }
+    val queries = (json \ "queries") match {
+      case JObject(fs) => fs.map { case (k, v) => k -> num(v) }.toMap
+      case _ => Map.empty[String, Double]
+    }
+    val solo = (json \ "gate" \ "solo_checks") match {
+      case JArray(items) => items.map { it =>
+        BenchGate.SoloCheck(
+          (it \ "name").values.toString,
+          num(it \ "in_run"), num(it \ "solo"))
+      }
+      case _ => Nil
+    }
+    val sentinel = json \ "sentinel"
+    val mids = (sentinel \ "mid_samples") match {
+      case JArray(items) => items.map(it => num(it \ "sec"))
+      case _ => Nil
+    }
+    val q1Samples = num(sentinel \ "start_sec") +: mids :+ num(sentinel \ "end_sec")
+    (queries, solo, q1Samples, num(sentinel \ "cpu_steal_pct"),
+      num(sentinel \ "other_busy_pct"), num(sentinel \ "proc_loadavg_max"))
+  }
+
+  /** The frozen r16 reference medians the replayed decisions were (and
+    * stay) judged against. */
+  private lazy val r16Refs: Map[String, Double] = {
+    import org.json4s._
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/captures/refs_r16.json"), "UTF-8")
+    val json = try org.json4s.jackson.JsonMethods.parse(src.mkString) finally src.close()
+    (json \ "refs") match {
+      case JObject(fs) => fs.collect {
+        case (k, JDouble(v)) => k -> v
+        case (k, JInt(v)) => k -> v.toDouble
+      }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  private def replay(resource: String): BenchGate.Result = {
+    val (inRun, solo, q1, steal, other, loadMax) = loadCapture(resource)
+    BenchGate.evaluate(inRun, r16Refs, solo, q1, steal, other, loadMax, nCpus = 32)
+  }
+
+  test("r16 judge 378.7s soft-contended capture now stamps INVALID — via BOTH new arms") {
+    val r = replay("r16_judge_contended_378.json")
+    assert(!r.valid)
+    // heavy-tail arm: steal 3.33% > 2 and 16 non-anchor queries over
+    // 2.5x (the old gate saw anchors_over 1, solo_disagree 0)
+    assert(r.heavyTailOver >= BenchGate.HeavyTailCountLimit,
+      s"heavyTailOver=${r.heavyTailOver}")
+    // mid-anchor arm: all three mid-weights ran 3.7-6.7x their refs
+    assert(r.midAnchorsOver >= BenchGate.MidAnchorOverLimit,
+      r.midAnchors.map(a => f"${a.name}=${a.ratio}%.2f").mkString(","))
+    // and the old arms alone still would NOT have caught it
+    assert(r.anchorsOver < BenchGate.AnchorOverLimit)
+    assert(r.soloDisagree == 0)
+  }
+
+  test("r16 storm capture (360s, steal 5.4%) stays INVALID — old and new arms agree") {
+    val r = replay("r16_runF_storm_360.json")
+    assert(!r.valid)
+    assert(r.anchorsOver >= BenchGate.AnchorOverLimit) // the old gate already caught it
+    assert(r.heavyTailOver >= BenchGate.HeavyTailCountLimit) // the new arm agrees
+  }
+
+  test("every recorded r16 gate-valid capture stays VALID under the round-17 arms") {
+    val validCaptures = Seq(
+      "r16_runB_valid_222.json", // builder morning pair (steal 0.09/0.12%)
+      "r16_runC_valid_217.json",
+      "r16_runD_valid_253.json", // builder late pair (steal 0.85/1.06% -
+      "r16_runE_valid_258.json", //   moderate co-tenant phases the gate certified)
+      "r16_runG_valid_254.json", // builder closing capture (the committed BENCH_r16 reference)
+      "r16_judge_clean_268.json") // judge's clean confirming re-run (steal 0.26%)
+    for (c <- validCaptures) {
+      val r = replay(c)
+      assert(r.valid, s"$c: anchorsOver=${r.anchorsOver} midOver=${r.midAnchorsOver} " +
+        s"heavyTail=${r.heavyTailOver} solo=${r.soloDisagree} min=${r.minSample}")
+      assert(r.midAnchorsOver == 0,
+        s"$c mids: " + r.midAnchors.map(a => f"${a.name}=${a.ratio}%.2f").mkString(","))
+    }
+  }
+
+  test("heavy-tail cross-check needs BOTH halves: steal alone or breadth alone never vetoes") {
+    // breadth without steal: a declared code change moved 6 queries 3x
+    // but the hypervisor withheld nothing
+    val refs6 = (1 to 8).map(i => s"q$i" -> 1.0).toMap
+    val moved = (1 to 6).map(i => s"q$i" -> 3.0).toMap ++ Map("q7" -> 1.0, "q8" -> 1.1)
+    val noSteal = BenchGate.evaluate(moved, refs6, Nil,
+      q1Samples = Seq(0.4, 0.3, 0.31), stealPct = 0.3, otherBusyPct = 0.5,
+      loadMax = 2.0, nCpus = 32)
+    assert(noSteal.valid && noSteal.heavyTailOver == 6)
+    // steal without breadth: a brief 3% steal blip that left the tail flat
+    val flat = (1 to 8).map(i => s"q$i" -> 1.05).toMap
+    val stealOnly = BenchGate.evaluate(flat, refs6, Nil,
+      q1Samples = Seq(0.4, 0.3, 0.31), stealPct = 3.0, otherBusyPct = 3.1,
+      loadMax = 2.0, nCpus = 32)
+    assert(stealOnly.valid && stealOnly.heavyTailOver == 0)
+    // both together: invalid
+    val both = BenchGate.evaluate(moved ++ Map("q7" -> 1.0, "q8" -> 1.1), refs6, Nil,
+      q1Samples = Seq(0.4, 0.3, 0.31), stealPct = 3.0, otherBusyPct = 3.1,
+      loadMax = 2.0, nCpus = 32)
+    assert(!both.valid)
+  }
+
+  test("one mid-anchor over 3x does not invalidate (declared changes move single queries)") {
+    val inRun = Map("store_delete_where" -> 20.0, "text_nb_train" -> 3.6,
+      "text_substring_index_build" -> 1.6)
+    val r = BenchGate.evaluate(inRun, r16Refs, Nil,
+      q1Samples = Seq(0.4, 0.3, 0.31), stealPct = 0.1, otherBusyPct = 0.2,
+      loadMax = 2.0, nCpus = 32)
+    assert(r.valid)
+    assert(r.midAnchorsOver == 1)
+  }
+
+  test("mid-anchors are excluded from solo-candidate picks (judged by their own band)") {
+    val refs = Map("store_delete_where" -> 1.0, "other" -> 1.0)
+    val inRun = Map("store_delete_where" -> 9.0, "other" -> 9.0)
+    assert(BenchGate.soloCandidates(inRun, refs) == Seq("other"))
+  }
 }
