@@ -731,12 +731,18 @@ final class GraftScanBuilder(
     // sidecar/meta READ: almost every item has no skip index, and this
     // runs on the planning hot path of every filtered query (Spark
     // pushes IsNotNull beside every comparison, so predicates repeat
-    // columns). Sidecars resolve from the LIVE item root in every
-    // branch — pinned reads included, since retention never carries
-    // sidecars aside.
-    if (!preds.map(_.column).distinct.exists(c =>
-        graft.store.BloomIndex.hasSidecar(itemPath, c) ||
-          graft.store.FileStatsIndex.hasSidecar(itemPath, c)))
+    // columns). Sidecars resolve from the LIVE item root — plus, for a
+    // pinned single-dir read, the snapshot's OWN root (a hardlink
+    // snapshot carries its cut's sidecars even after the live ones
+    // refresh or drop).
+    val sidecarRoots = itemPath +: (roots match {
+      case GraftTable.LiveDirs(dataDir) if snapshotPinned &&
+          dataDir.parent.raw != itemPath.raw => Seq(dataDir.parent)
+      case _ => Nil
+    })
+    if (!preds.map(_.column).distinct.exists(c => sidecarRoots.exists(r =>
+        graft.store.BloomIndex.hasSidecar(r, c) ||
+          graft.store.FileStatsIndex.hasSidecar(r, c))))
       return dirRoots
     roots match {
       case GraftTable.LiveDirs(dataDir) if !snapshotPinned =>
@@ -751,16 +757,30 @@ final class GraftScanBuilder(
               .filter(f => dirRoots.exists(r => f.startsWith(r + "/")))
         }
       case GraftTable.LiveDirs(dataDir) =>
-        // pinned flat / dir-snapshot / CDC read of one directory tree:
-        // the live root's sidecar applies iff recorded at EXACTLY the
-        // pinned generation — it then describes exactly these files
-        // (flat retention renames the data dir whole; hardlink
-        // snapshots keep names). Anything else reads unpruned.
+        // pinned flat / dir-snapshot / CDC read of one directory tree.
+        // Sidecar resolution mirrors the V1 orElse chain (Item.scala):
+        // FIRST the snapshot's own item root (dataDir.parent — a
+        // hardlink snapshot carries the sidecars of its cut, which
+        // stay valid forever at the pinned generation), THEN the live
+        // root, which applies iff its sidecar is recorded at EXACTLY
+        // the pinned generation — it then describes exactly these
+        // files (flat retention renames the data dir whole; hardlink
+        // snapshots keep names). Without the first attempt, V2
+        // snapshot reads lose pruning as soon as the live sidecar
+        // refreshes past the pin. One listing serves both attempts.
+        // Anything else reads unpruned.
         pinnedGen match {
           case None => dirRoots
           case Some(g) =>
-            graft.store.SkipIndexes.prunedFiles(
-              itemPath, dataDir, preds, Map.empty, tableSchema, Some(g)) match {
+            val once = graft.store.SkipIndexes.listOnce(dataDir)
+            val snapRoot = dataDir.parent
+            graft.store.SkipIndexes.prunedKeys(
+                snapRoot, once, preds, Map.empty, tableSchema, Some(g))
+              .orElse {
+                if (snapRoot.raw == itemPath.raw) None // CDC: same root
+                else graft.store.SkipIndexes.prunedKeys(
+                  itemPath, once, preds, Map.empty, tableSchema, Some(g))
+              } match {
               case None => dirRoots
               case Some(kept) =>
                 kept.map(f => dataDir.resolve(f).toString)

@@ -217,8 +217,28 @@ object BloomIndex {
     * subtract from the shared counter instead of growing it forever. */
   private val cache = TrieMap.empty[String, (java.time.Instant, Long, Loaded)]
 
-  private def evictCached(key: String): Unit =
+  /** Remove + byte-release under the SAME lock as the insert path: an
+    * unlocked remove racing the overflow clear()+set(parsedBytes)
+    * could subtract its bytes AFTER the reset, driving the counter
+    * negative and disarming MaxCacheBytes until the next overflow.
+    * The lock is reentrant, so the call inside load's synchronized
+    * insert block stays safe; write/drop callers are rare paths. */
+  private def evictCached(key: String): Unit = cache.synchronized {
     cache.remove(key).foreach { case (_, b, _) => cachedBytes.addAndGet(-b) }
+  }
+
+  /** Last COLD parse cost per sidecar path: (millis, deserialized
+    * bitset bytes). This is the visible planning-cost number the
+    * sharded-sidecar design note (PLANS.md) says to watch before
+    * implementing the shard layout: the whole-document parse is the
+    * one bloom cost that grows with file count, and the mtime cache
+    * hides it from per-query timings. A metric, not a cache — it
+    * survives cache eviction and leaves only with dropSidecars. */
+  private val lastParse = TrieMap.empty[String, (Long, Long)]
+
+  private[graft] def lastParseCost(itemPath: SPath,
+                                   column: String): Option[(Long, Long)] =
+    lastParse.get(itemPath.resolve(sidecarName(column)).raw)
 
   private def load(itemPath: SPath, column: String): Option[Loaded] = {
     val p = itemPath.resolve(sidecarName(column))
@@ -227,6 +247,7 @@ object BloomIndex {
       case Some((m, _, l)) if m == mtime => return Some(l)
       case _ => ()
     }
+    val parseT0 = System.nanoTime()
     val parsed =
       try {
         val json = org.json4s.jackson.JsonMethods.parse(
@@ -256,13 +277,13 @@ object BloomIndex {
     // long before 256 entries. Everything clears on overflow — indexes
     // are few and a re-parse is one sidecar read.
     val parsedBytes = parsed.files.valuesIterator.map(_.bitSize() / 8).sum
+    lastParse.put(p.raw, ((System.nanoTime() - parseT0) / 1000000L, parsedBytes))
     // insert + accounting under one lock: two planners racing the same
     // uncached sidecar would otherwise both add parsedBytes while the
     // cache stores one entry, drifting the counter up until a spurious
-    // full clear. The lock guards only this (rare, already-parsed)
-    // insert path; eviction from writeSidecar/dropSidecars stays
-    // lock-free (TrieMap.remove hands each entry's bytes to exactly
-    // one caller).
+    // full clear. evictCached takes the same (reentrant) lock, so the
+    // overflow clear()+set() can never interleave with a removal's
+    // byte release.
     cache.synchronized {
       evictCached(p.raw) // same-path replacement releases the stale bytes
       if (cache.size > 256 ||
@@ -531,6 +552,7 @@ object BloomIndex {
       if (p.exists) {
         p.deleteRecursively()
         evictCached(p.raw)
+        lastParse.remove(p.raw)
         Some(c)
       } else None
     }

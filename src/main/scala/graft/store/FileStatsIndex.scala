@@ -486,13 +486,34 @@ object FileStatsIndex {
     columns.map { c =>
       val perFile = stats.getOrElse(c, Map.empty).values.toSeq
       val bounded = perFile.filterNot(_.isNullOnly)
+      // exact O(n log n) sort-and-sweep for the pairwise containment
+      // count (the naive O(files^2) loop would spin the driver for
+      // minutes on a tens-of-thousands-file item): the number of
+      // intervals [g.lo, g.hi] containing a point p is
+      // #{g.lo <= p} - #{g.hi < p}, two binary searches over the
+      // pre-sorted lo and hi arrays.
       val overlap =
         if (bounded.size <= 1) 0.0
-        else bounded.map { f =>
-          bounded.count(gf =>
-            cmp(gf.lo, f.lo) <= 0 && cmp(gf.hi, f.lo) >= 0).toDouble /
-            bounded.size
-        }.sum / bounded.size
+        else {
+          val los = bounded.map(_.lo).sortWith(cmp(_, _) < 0).toArray
+          val his = bounded.map(_.hi).sortWith(cmp(_, _) < 0).toArray
+          // first index whose element fails `keep` in a sorted array =
+          // the count of elements satisfying it
+          def countWhile(sorted: Array[Any], keep: Any => Boolean): Int = {
+            var l = 0; var r = sorted.length
+            while (l < r) {
+              val m = (l + r) >>> 1
+              if (keep(sorted(m))) l = m + 1 else r = m
+            }
+            l
+          }
+          bounded.map { f =>
+            val containing =
+              countWhile(los, x => cmp(x, f.lo) <= 0) -
+                countWhile(his, x => cmp(x, f.lo) < 0)
+            containing.toDouble / bounded.size
+          }.sum / bounded.size
+        }
       val nulls = perFile.flatMap(_.nulls).sum
       val nonNull = math.max(1L, n - nulls)
       c -> (overlap,

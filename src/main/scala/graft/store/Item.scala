@@ -257,7 +257,13 @@ final class Item private[store] (
           // dir exactly as before. Declared-schema items only (the
           // literal must hash/order against the stored type).
           val bloomKept: Option[Seq[String]] = declared.flatMap { enc =>
-            SkipIndexes.prunedFiles(path, dataDir, filters, metadata, enc)
+            // one listing serves BOTH prune attempts: the orElse
+            // fallback would otherwise re-LIST the same dataDir
+            // (None can mean "consulted a sidecar but didn't shrink",
+            // not only "no usable sidecar")
+            val once = SkipIndexes.listOnce(dataDir)
+            SkipIndexes.prunedKeys(path, once, filters, metadata, enc,
+                generation = None)
               .orElse {
                 // pinned read (dir snapshot / retained flat dir):
                 // retention and snapshots never carry the index
@@ -266,8 +272,8 @@ final class Item private[store] (
                 // generation — it then describes exactly these files
                 // (whole-dir renames / hardlinks preserve names)
                 if (snapshot.isEmpty) None
-                else SkipIndexes.prunedFiles(
-                  collectionPath.resolve(name), dataDir, filters, metadata,
+                else SkipIndexes.prunedKeys(
+                  collectionPath.resolve(name), once, filters, metadata,
                   enc, Some(Snapshots.generationOf(metadata)))
               }
           }

@@ -38,6 +38,15 @@ private[graft] object SkipIndexes {
     }
   }
 
+  /** A memoized single listing to share ACROSS prune attempts: the
+    * pinned-read orElse chains (V1 Item and V2 GraftScanBuilder) try
+    * two sidecar roots — the snapshot's own hardlinked sidecars, then
+    * the live root at the pinned generation — over the SAME data dir;
+    * one LIST must serve both attempts or the fallback pays the exact
+    * double-listing cost this object exists to avoid. */
+  private[graft] def listOnce(dataDir: SPath): () => Seq[String] =
+    new ListOnce(dataDir)
+
   /** Driver-side file pruning through both indexes over ONE listing.
     * Same contract as each pruner: None = no pruning applies (or no
     * shrink); Some(kept) = read exactly these relative paths. */

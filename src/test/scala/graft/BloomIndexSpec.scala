@@ -313,6 +313,11 @@ class BloomIndexSpec extends SparkSpec {
       val st = spark.sql(s"SELECT * FROM $cat.c.`item$$bloom`").collect()
       assert(st.length == 1 && st.head.getString(0) == "key" &&
         st.head.getBoolean(1) && st.head.getLong(4) == 8L)
+      // the planning-cost metric (sharded-sidecar trigger, PLANS.md):
+      // serving this $bloom row forced a cold sidecar parse, so the
+      // last-parse cost is recorded and the bitset bytes are real
+      assert(st.head.getLong(5) >= 0L, "last_parse_ms should be recorded")
+      assert(st.head.getLong(6) > 0L, "parsed_bytes should be the bitset size")
       val eq = spark.sql(s"SELECT index, key FROM $cat.c.item WHERE key = 'key_42'")
       assert(eq.collect().map(_.getLong(0)).toSeq == Seq(42L))
       val eqFiles = v2ScanFiles(eq)
@@ -439,6 +444,38 @@ class BloomIndexSpec extends SparkSpec {
       filters = Seq(Filters.Pred("key", "==", "key_123")))
     assert(fallback.data.count() == 1)
     assert(fallback.data.inputFiles.length == pinnedAll)
+    cleanup(c)
+  }
+
+  test("dir-snapshot reads prune through the snapshot's OWN hardlinked sidecar after the live index moves past the pin") {
+    import spark.implicits._
+    val c = tempCollection("bloom_dirpin")
+    c.write("item", keyedData, indexCols = Seq("index"), npartitions = Some(8))
+    c.buildBloomIndex("item", Seq("key"))
+    val snap = c.createSnapshot(Some("dirpin"), manifest = Some(false))
+    // move the LIVE index past the pin: the post-append rebuild re-keys
+    // the live sidecar to the new generation, so the pin's generation
+    // now matches ONLY the snapshot's own hardlinked sidecar (the
+    // atomic sidecar rewrite renames a new inode into place — the
+    // snapshot's hardlink keeps the cut's content forever)
+    c.append("item", Seq((1000L, "key_new", "tag_0", 1.0))
+      .toDF("index", "key", "tag", "value"), npartitions = Some(8))
+    c.buildBloomIndex("item", Seq("key"))
+    val all = c.item("item", snapshot = Some(snap)).data.inputFiles.length
+    val pinned = c.item("item", snapshot = Some(snap),
+      filters = Seq(Filters.Pred("key", "==", "key_123")))
+    assert(pinned.data.count() == 1)
+    assert(pinned.data.inputFiles.length < all,
+      "V1 snapshot read should prune via the snapshot's own sidecar")
+    // the V2 face (VERSION AS OF a dir snapshot) rides the same orElse
+    // chain: snapshot root first, live root (generation-matched) second
+    withCatalog(c, "dirpin") { cat =>
+      val q = spark.sql(
+        s"SELECT index FROM $cat.c.item VERSION AS OF '$snap' WHERE key = 'key_123'")
+      assert(q.collect().map(_.getLong(0)).toSeq == Seq(123L))
+      assert(v2ScanFiles(q) < all,
+        "V2 snapshot read should prune via the snapshot's own hardlinked sidecar")
+    }
     cleanup(c)
   }
 
