@@ -181,20 +181,30 @@ private[sources] object GraftMetadataTables {
         // bloom data-skipping index state: one row per indexed column;
         // `current` says whether the sidecar's generation matches the
         // item's committed one (false = retired — readable but unpruned
-        // until the next build or incremental refresh)
+        // until the next build or incremental refresh).
+        // last_parse_ms/parsed_bytes report what the most recent COLD
+        // sidecar parse cost the driver — the planning-time number the
+        // sharded-sidecar trigger (PLANS.md) watches: sustained tens of
+        // ms here at high num_files is the evidence that justifies
+        // sharding the sidecar; sub-ms means the single document is
+        // still free.
         val meta = requireItem()
         val committed = Snapshots.generationOf(meta)
         val rows = graft.store.BloomIndex.sidecarStates(itemPath).map {
           case (c, gen, fpp, expected, n) =>
+            val (ms, bytes) = graft.store.BloomIndex
+              .lastParseCost(itemPath, c).getOrElse((-1L, -1L))
             new GenericInternalRow(Array[Any](
-              str(c), gen == committed, fpp, expected, n.toLong))
+              str(c), gen == committed, fpp, expected, n.toLong, ms, bytes))
         }
         new MetaTable(s"$itemName$$bloom", StructType(Seq(
           StructField("column", StringType, nullable = false),
           StructField("current", BooleanType, nullable = false),
           StructField("fpp", DoubleType, nullable = false),
           StructField("expected_items_per_file", LongType, nullable = false),
-          StructField("num_files", LongType, nullable = false))), rows)
+          StructField("num_files", LongType, nullable = false),
+          StructField("last_parse_ms", LongType, nullable = false),
+          StructField("parsed_bytes", LongType, nullable = false))), rows)
 
       case "filestats" =>
         // min/max data-skipping index state: one row per indexed column

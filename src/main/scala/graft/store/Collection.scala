@@ -2754,8 +2754,23 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
                         indexCols: Seq[String] = Seq(DefaultIndex),
                         overwrite: Boolean = false): Unit = {
     // the reference keeps its JSON sidecar in the same dir as the
-    // part-files, so scope the scan to parquet files only
-    val df = spark.read.parquet(srcDir.resolve("*.parquet").toString)
+    // part-files, so scope the scan to parquet files only — listed
+    // EXPLICITLY rather than via a `*.parquet` glob, because Spark's
+    // FileStreamSink.hasMetadata stats the literal glob path first and
+    // logs a benign-but-alarming WARN stack trace on every import
+    val parts = {
+      val s = java.nio.file.Files.list(srcDir)
+      try {
+        val b = Seq.newBuilder[String]
+        s.forEach(p =>
+          if (p.getFileName.toString.endsWith(".parquet")) b += p.toString)
+        b.result().sorted
+      } finally s.close()
+    }
+    if (parts.isEmpty)
+      throw new ItemNotFoundError(
+        s"no .parquet part-files under $srcDir (not a pystore item dir)")
+    val df = spark.read.parquet(parts: _*)
     val userMeta = Meta.readAt(SPath.local(srcDir.resolve("pystore_metadata.json")))
       .collect { case (k, v) if k != "_updated" => k -> Meta.unjv(v) }
     val idx =
