@@ -2512,6 +2512,106 @@ object StoreQueries {
       |WHERE doc_id < 100
       |ORDER BY doc_id""".stripMargin
 
+  /** Skip-index ADVISOR (`CALL system.advise_indexes`): a monthly item
+    * whose per-file bounds are FULLY recomputable in SQL — salt-1
+    * monthly layout writes exactly one file per month, so file =
+    * month = `doc_id % 8`. The fixture columns hit every verdict:
+    * `ts` (one timestamp per month — the sorted index; disjoint point
+    * intervals), `bucket8` (the month number — the zonemap shape),
+    * `doc_id` / `fp` = md5(doc_id) (every month spans ~the whole
+    * domain: covering intervals + point-lookup cardinality — the
+    * bloom shape), `konst` (one value everywhere — nothing separates,
+    * nothing to look up: none). The advisor's overlap metric is EXACT
+    * (computed from exact per-file min/max), so DuckDB recomputes the
+    * same classification from the same formula (intervals containing
+    * each file's lo; thresholds 0.5 / 0.1). Only the verdict and the
+    * overlap bucket are returned: the distinct ratio is
+    * approx_count_distinct on the Spark side, and at the fixture's
+    * margins (~1.0 vs 0.002 against the 0.1 threshold) the bucketed
+    * verdict can never flap. Verdicts are ALSO gated in-query per
+    * column, so a misclassification fails the run, not just the hash. */
+  def adviseIndexes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "advise_idx")
+    val docs = Tables.t(s, dir, "documents").select(
+      add_months(to_date(lit("2024-01-01")), ($"doc_id" % 8).cast("int"))
+        .cast("timestamp").as("ts"),
+      $"doc_id",
+      ($"doc_id" % 8).cast("long").as("bucket8"),
+      md5($"doc_id".cast("string")).as("fp"),
+      lit("const").as("konst"))
+    col.write("docs", docs, indexCols = Seq("ts"), timeLayout = Some("monthly"))
+    val total = col.item("docs").data.inputFiles.length
+    require(total == 8, s"expected one file per month (8), got $total")
+    s.conf.set("spark.sql.catalog.gadv", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gadv.root", col.path.parent.toString)
+    val advice = s.sql("CALL gadv.system.advise_indexes('col', 'docs')")
+    val byCol = advice.collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    require(byCol("ts")._1 == "filestats" && byCol("bucket8")._1 == "filestats" &&
+      byCol("doc_id")._1 == "bloom" && byCol("fp")._1 == "bloom" &&
+      byCol("konst")._1 == "none",
+      s"advisor misclassified the designed fixture: $byCol")
+    advice.select($"column".as("col_name"), $"advice",
+        when($"file_overlap" <= 0.5, lit("separates"))
+          .otherwise(lit("covers")).as("overlap_bucket"))
+      .orderBy("col_name")
+  }
+
+  /** DuckDB re-derives the advisor's verdicts: per-month (= per-file)
+    * min/max per column, the exact interval-containment overlap, exact
+    * distinct ratios, and the same classification thresholds; the
+    * `ts` arm carries the advisor's sorted-index-column override. */
+  val adviseIndexesSql: String =
+    """WITH base AS (
+      |  SELECT doc_id % 8 AS f,
+      |         CAST(DATE '2024-01-01' + (doc_id % 8) * INTERVAL 1 MONTH AS TIMESTAMP) AS ts,
+      |         doc_id,
+      |         CAST(doc_id % 8 AS BIGINT) AS bucket8,
+      |         md5(CAST(doc_id AS VARCHAR)) AS fp,
+      |         'const' AS konst
+      |  FROM documents
+      |),
+      |b_ts AS (SELECT f, min(ts) AS lo, max(ts) AS hi FROM base GROUP BY f),
+      |b_doc AS (SELECT f, min(doc_id) AS lo, max(doc_id) AS hi FROM base GROUP BY f),
+      |b_b8 AS (SELECT f, min(bucket8) AS lo, max(bucket8) AS hi FROM base GROUP BY f),
+      |b_fp AS (SELECT f, min(fp) AS lo, max(fp) AS hi FROM base GROUP BY f),
+      |b_k AS (SELECT f, min(konst) AS lo, max(konst) AS hi FROM base GROUP BY f),
+      |o_ts AS (SELECT avg(cnt * 1.0 / (SELECT count(*) FROM b_ts)) AS ov FROM
+      |  (SELECT (SELECT count(*) FROM b_ts g WHERE g.lo <= b.lo AND g.hi >= b.lo) AS cnt FROM b_ts b) t),
+      |o_doc AS (SELECT avg(cnt * 1.0 / (SELECT count(*) FROM b_doc)) AS ov FROM
+      |  (SELECT (SELECT count(*) FROM b_doc g WHERE g.lo <= b.lo AND g.hi >= b.lo) AS cnt FROM b_doc b) t),
+      |o_b8 AS (SELECT avg(cnt * 1.0 / (SELECT count(*) FROM b_b8)) AS ov FROM
+      |  (SELECT (SELECT count(*) FROM b_b8 g WHERE g.lo <= b.lo AND g.hi >= b.lo) AS cnt FROM b_b8 b) t),
+      |o_fp AS (SELECT avg(cnt * 1.0 / (SELECT count(*) FROM b_fp)) AS ov FROM
+      |  (SELECT (SELECT count(*) FROM b_fp g WHERE g.lo <= b.lo AND g.hi >= b.lo) AS cnt FROM b_fp b) t),
+      |o_k AS (SELECT avg(cnt * 1.0 / (SELECT count(*) FROM b_k)) AS ov FROM
+      |  (SELECT (SELECT count(*) FROM b_k g WHERE g.lo <= b.lo AND g.hi >= b.lo) AS cnt FROM b_k b) t),
+      |metrics AS (
+      |  SELECT 'ts' AS col_name, (SELECT ov FROM o_ts) AS ov,
+      |         (SELECT count(DISTINCT ts) * 1.0 / count(ts) FROM base) AS dr, TRUE AS is_index
+      |  UNION ALL
+      |  SELECT 'doc_id', (SELECT ov FROM o_doc),
+      |         (SELECT count(DISTINCT doc_id) * 1.0 / count(doc_id) FROM base), FALSE
+      |  UNION ALL
+      |  SELECT 'bucket8', (SELECT ov FROM o_b8),
+      |         (SELECT count(DISTINCT bucket8) * 1.0 / count(bucket8) FROM base), FALSE
+      |  UNION ALL
+      |  SELECT 'fp', (SELECT ov FROM o_fp),
+      |         (SELECT count(DISTINCT fp) * 1.0 / count(fp) FROM base), FALSE
+      |  UNION ALL
+      |  SELECT 'konst', (SELECT ov FROM o_k),
+      |         (SELECT count(DISTINCT konst) * 1.0 / count(konst) FROM base), FALSE
+      |)
+      |SELECT col_name,
+      |  CASE WHEN is_index THEN 'filestats'
+      |       WHEN ov <= 0.5 THEN 'filestats'
+      |       WHEN dr >= 0.1 THEN 'bloom'
+      |       ELSE 'none' END AS advice,
+      |  CASE WHEN ov <= 0.5 THEN 'separates' ELSE 'covers' END AS overlap_bucket
+      |FROM metrics
+      |ORDER BY col_name""".stripMargin
+
   /** pystore-interop at SCALE: the roundtrip row proves the on-disk
     * shape on a tiny fixed table; THIS row drives the parts that grow
     * with data — the export's global sort + native-file-count coalesce
@@ -2565,6 +2665,7 @@ object StoreQueries {
     "store_rebuild_indexes" -> rebuildIndexes _,
     "store_pinned_index_read" -> pinnedIndexRead _,
     "store_null_skip" -> nullSkip _,
+    "store_advise_indexes" -> adviseIndexes _,
     "store_pystore_export_scale" -> pystoreExportScale _,
     "store_write_read" -> writeRead _,
     "store_append_keep_last" -> appendKeepLast _,
@@ -2626,6 +2727,7 @@ object StoreQueries {
     "store_rebuild_indexes" -> rebuildIndexesSql,
     "store_pinned_index_read" -> pinnedIndexReadSql,
     "store_null_skip" -> nullSkipSql,
+    "store_advise_indexes" -> adviseIndexesSql,
     "store_pystore_export_scale" -> pystoreExportScaleSql,
     "store_write_read" -> writeReadSql,
     "store_append_keep_last" -> appendKeepLastSql,
