@@ -366,6 +366,57 @@ class FileStatsIndexSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("dir-snapshot range reads prune through the snapshot's OWN hardlinked zonemap after the live index moves past the pin") {
+    import spark.implicits._
+    val c = tempCollection("fstats_dirpin")
+    c.write("item", sortedData, indexCols = Seq("index"), npartitions = Some(8))
+    c.buildFileStatsIndex("item", Seq("value"))
+    val snap = c.createSnapshot(Some("fsdirpin"), manifest = Some(false))
+    // the rebuild after the append re-keys the LIVE zonemap to the new
+    // generation — only the snapshot's hardlinked sidecar still speaks
+    // for the pin (same chain as the bloom twin in BloomIndexSpec)
+    c.append("item", Seq((1000L, 1000.0, "key_new", "tag_0"))
+      .toDF("index", "value", "key", "tag"), npartitions = Some(8))
+    c.buildFileStatsIndex("item", Seq("value"))
+    val all = c.item("item", snapshot = Some(snap)).data.inputFiles.length
+    val pinned = c.item("item", snapshot = Some(snap),
+      filters = Seq(Filters.Pred("value", ">", 350.0)))
+    assert(pinned.data.count() == 49)
+    assert(pinned.data.inputFiles.length < all,
+      "V1 snapshot range read should prune via the snapshot's own zonemap")
+    withCatalog(c, "fsdirpin") { cat =>
+      val q = spark.sql(
+        s"SELECT index FROM $cat.c.item VERSION AS OF '$snap' WHERE value > 350.0")
+      assert(q.count() == 49)
+      assert(v2ScanFiles(q) < all,
+        "V2 snapshot range read should prune via the snapshot's own zonemap")
+    }
+    cleanup(c)
+  }
+
+  test("advisor overlap is the exact interval-containment mean (pins the sort-and-sweep arithmetic)") {
+    import spark.implicits._
+    val c = tempCollection("fstats_sweep")
+    // 8 monthly files keyed by id % 8, so per-file bounds are exactly
+    // known: bucket8/ts are per-file POINT intervals (disjoint ->
+    // overlap exactly 1/8), id has contiguous los {0..7} under
+    // all-covering his (-> exactly (1+2+...+8)/64 = 0.5625), konst is
+    // one identical interval everywhere (-> exactly 1.0). The sweep
+    // (#{lo <= p} - #{hi < p}) must reproduce these to the bit.
+    val df = (0L until 400L).toDF("id").select(
+      add_months(to_date(lit("2024-01-01")), ($"id" % 8).cast("int"))
+        .cast("timestamp").as("ts"),
+      $"id", ($"id" % 8).as("bucket8"), lit("x").as("konst"))
+    c.write("m", df, indexCols = Seq("ts"), timeLayout = Some("monthly"))
+    assert(c.item("m").data.inputFiles.length == 8)
+    val a = c.adviseIndexes("m").map(x => x.column -> x).toMap
+    assert(a("bucket8").fileOverlap == 0.125, a("bucket8"))
+    assert(a("ts").fileOverlap == 0.125, a("ts"))
+    assert(a("id").fileOverlap == 0.5625, a("id"))
+    assert(a("konst").fileOverlap == 1.0, a("konst"))
+    cleanup(c)
+  }
+
   test("SQL front door: CALL builds, range WHERE prunes, $filestats reports, CALL drops") {
     val c = tempCollection("fstats_sql")
     c.write("item", sortedData, indexCols = Seq("index"), npartitions = Some(8))
