@@ -475,6 +475,38 @@ object FileStatsIndex {
     * Two jobs: the shared per-file stats aggregation plus one global
     * (count, approx distinct per column) aggregate. Purely advisory —
     * nothing is written. */
+  /** The advisor's interval-separation metric: mean over files f of
+    * the fraction of files g whose [lo, hi] contains f.lo. Exact
+    * O(n log n) sort-and-sweep (the naive O(files^2) pairwise loop
+    * would spin the driver for minutes on a tens-of-thousands-file
+    * item): the number of intervals containing a point p is
+    * #{g.lo <= p} − #{g.hi < p}, two binary searches over the
+    * pre-sorted lo and hi arrays. Property-tested equivalent to the
+    * pairwise definition (FileStatsSweepSpec). */
+  private[store] def overlapOf(bounded: Seq[Bounds]): Double =
+    if (bounded.size <= 1) 0.0
+    else {
+      val los = bounded.map(_.lo).sortWith(cmp(_, _) < 0).toArray
+      val his = bounded.map(_.hi).sortWith(cmp(_, _) < 0).toArray
+      // first index whose element fails `keep` in a sorted array =
+      // the count of elements satisfying it (keep must be a prefix
+      // predicate along the sort order, which <= p and < p both are)
+      def countWhile(sorted: Array[Any], keep: Any => Boolean): Int = {
+        var l = 0; var r = sorted.length
+        while (l < r) {
+          val m = (l + r) >>> 1
+          if (keep(sorted(m))) l = m + 1 else r = m
+        }
+        l
+      }
+      bounded.map { f =>
+        val containing =
+          countWhile(los, x => cmp(x, f.lo) <= 0) -
+            countWhile(his, x => cmp(x, f.lo) < 0)
+        containing.toDouble / bounded.size
+      }.sum / bounded.size
+    }
+
   private[store] def measure(raw: DataFrame, columns: Seq[String])
       : Map[String, (Double, Double, Double)] = {
     import org.apache.spark.sql.functions.{approx_count_distinct, count, lit}
@@ -485,35 +517,7 @@ object FileStatsIndex {
     val n = g.getAs[Long]("__n")
     columns.map { c =>
       val perFile = stats.getOrElse(c, Map.empty).values.toSeq
-      val bounded = perFile.filterNot(_.isNullOnly)
-      // exact O(n log n) sort-and-sweep for the pairwise containment
-      // count (the naive O(files^2) loop would spin the driver for
-      // minutes on a tens-of-thousands-file item): the number of
-      // intervals [g.lo, g.hi] containing a point p is
-      // #{g.lo <= p} - #{g.hi < p}, two binary searches over the
-      // pre-sorted lo and hi arrays.
-      val overlap =
-        if (bounded.size <= 1) 0.0
-        else {
-          val los = bounded.map(_.lo).sortWith(cmp(_, _) < 0).toArray
-          val his = bounded.map(_.hi).sortWith(cmp(_, _) < 0).toArray
-          // first index whose element fails `keep` in a sorted array =
-          // the count of elements satisfying it
-          def countWhile(sorted: Array[Any], keep: Any => Boolean): Int = {
-            var l = 0; var r = sorted.length
-            while (l < r) {
-              val m = (l + r) >>> 1
-              if (keep(sorted(m))) l = m + 1 else r = m
-            }
-            l
-          }
-          bounded.map { f =>
-            val containing =
-              countWhile(los, x => cmp(x, f.lo) <= 0) -
-                countWhile(his, x => cmp(x, f.lo) < 0)
-            containing.toDouble / bounded.size
-          }.sum / bounded.size
-        }
+      val overlap = overlapOf(perFile.filterNot(_.isNullOnly))
       val nulls = perFile.flatMap(_.nulls).sum
       val nonNull = math.max(1L, n - nulls)
       c -> (overlap,
