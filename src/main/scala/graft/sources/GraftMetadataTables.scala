@@ -179,23 +179,25 @@ private[sources] object GraftMetadataTables {
 
       case "bloom" =>
         // bloom data-skipping index state: one row per indexed column;
-        // `current` says whether the sidecar's generation matches the
+        // `current` says whether the index's generation matches the
         // item's committed one (false = retired — readable but unpruned
-        // until the next build or incremental refresh).
+        // until the next build or incremental refresh). num_shards is 0
+        // for the single-document layout, else the shard-document count
+        // of the auto-sharded layout (BloomIndex.SingleDocMaxBytes).
         // last_parse_ms/parsed_bytes report what the most recent COLD
-        // sidecar parse cost the driver — the planning-time number the
-        // sharded-sidecar trigger (PLANS.md) watches: sustained tens of
-        // ms here at high num_files is the evidence that justifies
-        // sharding the sidecar; sub-ms means the single document is
-        // still free.
+        // document parses cost the driver (summed over shards) — the
+        // planning-time number whose probe evidence justified sharding;
+        // sustained growth now means a HOT shard (more splits), never a
+        // format ceiling.
         val meta = requireItem()
         val committed = Snapshots.generationOf(meta)
         val rows = graft.store.BloomIndex.sidecarStates(itemPath).map {
-          case (c, gen, fpp, expected, n) =>
+          case (c, gen, fpp, expected, n, shards) =>
             val (ms, bytes) = graft.store.BloomIndex
               .lastParseCost(itemPath, c).getOrElse((-1L, -1L))
             new GenericInternalRow(Array[Any](
-              str(c), gen == committed, fpp, expected, n.toLong, ms, bytes))
+              str(c), gen == committed, fpp, expected, n.toLong,
+              shards.toLong, ms, bytes))
         }
         new MetaTable(s"$itemName$$bloom", StructType(Seq(
           StructField("column", StringType, nullable = false),
@@ -203,6 +205,7 @@ private[sources] object GraftMetadataTables {
           StructField("fpp", DoubleType, nullable = false),
           StructField("expected_items_per_file", LongType, nullable = false),
           StructField("num_files", LongType, nullable = false),
+          StructField("num_shards", LongType, nullable = false),
           StructField("last_parse_ms", LongType, nullable = false),
           StructField("parsed_bytes", LongType, nullable = false))), rows)
 

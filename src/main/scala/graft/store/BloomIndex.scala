@@ -56,17 +56,28 @@ import org.json4s._
   *    false positive just reads one extra file. Files the index does
   *    not know (raced listings) are kept.
   *
-  * Scale notes: the sidecar holds ~`1.2 · expectedItemsPerFile · ln(1/fpp)`
+  * Scale notes: the index holds ~`1.2 · expectedItemsPerFile · ln(1/fpp)`
   * BITS per file (default 100k items @ 1% ≈ 120 KB raw; files holding
-  * fewer rows than provisioned gzip down to their actual fill), so
-  * size the two knobs to the item's real file population — planning
-  * loads the WHOLE column's index once per generation (cached by
-  * sidecar mtime below). Practical ceiling: at defaults an item of
-  * ~10k near-full files carries a ~1 GB sidecar per indexed column;
-  * beyond that raise `fpp` / lower `expectedItemsPerFile` (a bloom
-  * that skips 90% of files still wins) — point lookups over bigger
-  * corpora belong in the persisted ANN/BM25/dedup indexes, which
-  * shard their state as parquet instead of one JSON document.
+  * fewer rows than provisioned gzip down to their actual fill).
+  * Because one JSON document degrades super-linearly on the driver as
+  * it grows (measured, near-full blooms at defaults: 80 MB ≈ 1.0 s
+  * cold parse, 800 MB ≈ 15 s, 1.6 GB ≈ 99 s GC-bound — see
+  * [[graft.store.tools.BloomSidecarScaleProbe]]), [[writeSidecar]]
+  * automatically SHARDS past [[SingleDocMaxBytes]]: one shard document
+  * per period (time layouts) or stable hash bucket (flat items) under
+  * `__bloomshard_<col>/`, plus a tiny root manifest
+  * (`__bloomshard_<col>.json`) carrying the generation, the sizing
+  * knobs, and the shard list — staleness stays one stat + one small
+  * read, and planning parses ONLY the shards covering the candidate
+  * file set (after zonemap/period narrowing, a selective 100 TB probe
+  * touches 1–2 shards, so driver cost rides the probe's selectivity,
+  * not the item size). The generation contract is unchanged: the
+  * MANIFEST's generation is the validity key and all shards re-key
+  * together through it; shard documents record only the generation
+  * they were written at (a partial-commit refresh rewrites touched
+  * periods' shards + the manifest, carrying untouched shard files
+  * forward by name — file names embed their creation generation, so a
+  * shard name's content never changes).
   */
 object BloomIndex {
 
@@ -74,9 +85,35 @@ object BloomIndex {
   val AlgoTag = "xxhash64-sketch-v1"
 
   private val SidecarPrefix = "__bloom_"
+  private val ShardPrefix = "__bloomshard_"
 
   def sidecarName(column: String): String =
     SidecarPrefix + java.net.URLEncoder.encode(column, "UTF-8") + ".json"
+
+  /** Root manifest of a SHARDED index (generation + shard list). */
+  def manifestName(column: String): String =
+    ShardPrefix + java.net.URLEncoder.encode(column, "UTF-8") + ".json"
+
+  /** Directory holding a sharded index's per-key shard documents. */
+  def shardDirName(column: String): String =
+    ShardPrefix + java.net.URLEncoder.encode(column, "UTF-8")
+
+  /** Serialized-payload size above which [[writeSidecar]] publishes the
+    * sharded layout instead of one JSON document. Probe evidence
+    * (BloomSidecarScaleProbe): one document cold-parses at ~12 ms/MB up
+    * to a few hundred MB, then GC-degrades super-linearly (15 s at
+    * 800 MB, 99 s at 1.6 GB); 16 MB keeps the worst single-document
+    * parse ~0.2 s while small items stay one sidecar file. */
+  val SingleDocMaxBytes: Long = 16L << 20
+
+  /** Greedy split point for ONE shard key's documents — a hot period
+    * with thousands of files never produces an unbounded document. */
+  private val ShardSplitBytes: Long = 48L << 20
+
+  /** Target payload per hash bucket when sharding a FLAT (non-period)
+    * item; sizes the bucket count at write time. */
+  private val FlatBucketTargetBytes: Long = 8L << 20
+  private val MaxFlatBuckets = 512
 
   /** Column types the index supports: exactly those whose stored value
     * hashes deterministically through xxhash64 AND whose equality
@@ -181,11 +218,45 @@ object BloomIndex {
     out.toByteArray
   }
 
-  /** Atomically publish one column's index sidecar at the item root. */
+  /** Atomically publish one column's index, choosing the layout by
+    * payload size: one sidecar document up to `singleDocMaxBytes`
+    * (default [[SingleDocMaxBytes]]), the sharded layout beyond it.
+    * Either publish point is atomic (single doc: one rename; sharded:
+    * shard files first, manifest rename last — a reader never sees a
+    * manifest referencing unwritten shards), and each path cleans the
+    * OTHER layout's artifacts after its own publish, so a format
+    * transition is safe at every instant: the superseded layout's
+    * generation no longer matches once the data moves, and during the
+    * brief overlap both describe the same build. */
   private[store] def writeSidecar(itemPath: SPath, column: String,
                                   generation: Long, fpp: Double,
                                   expectedItemsPerFile: Long,
-                                  files: Map[String, Array[Byte]]): Unit = {
+                                  files: Map[String, Array[Byte]],
+                                  singleDocMaxBytes: Long = SingleDocMaxBytes): Unit = {
+    val gz = files.toSeq.sortBy(_._1).map { case (f, b) => f -> gzip(b) }
+    val payload = gz.iterator.map(e => b64Size(e._2) + e._1.length + 8L).sum
+    if (payload <= singleDocMaxBytes || gz.size <= 1) {
+      val p = itemPath.resolve(sidecarName(column))
+      itemPath.fs.writeBytesAtomic(
+        p.raw, renderDoc(column, generation, fpp, expectedItemsPerFile, gz))
+      evictCached(p.raw)
+      dropShardedArtifacts(itemPath, column)
+    } else {
+      writeSharded(itemPath, column, generation, fpp, expectedItemsPerFile,
+        gz, payload)
+      dropSingleArtifact(itemPath, column)
+    }
+  }
+
+  private def b64Size(gz: Array[Byte]): Long = (gz.length.toLong + 2) / 3 * 4
+
+  /** One sidecar/shard document over PRE-gzipped blooms — shard files
+    * reuse the sidecar schema (a shard is a mini sidecar whose
+    * recorded generation is informational; the manifest's is the
+    * validity key). */
+  private def renderDoc(column: String, generation: Long, fpp: Double,
+                        expectedItemsPerFile: Long,
+                        gzFiles: Seq[(String, Array[Byte])]): Array[Byte] = {
     val enc = Base64.getEncoder
     val json = JObject(List(
       "algo" -> JString(AlgoTag),
@@ -193,15 +264,138 @@ object BloomIndex {
       "generation" -> JLong(generation),
       "fpp" -> JDouble(fpp),
       "expected_items_per_file" -> JLong(expectedItemsPerFile),
-      "files" -> JObject(files.toList.sortBy(_._1).map {
-        case (f, b) => f -> (JString(enc.encodeToString(gzip(b))): JValue)
+      "files" -> JObject(gzFiles.sortBy(_._1).toList.map {
+        case (f, gzb) => f -> (JString(enc.encodeToString(gzb)): JValue)
       })))
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(json))
+      .getBytes(StandardCharsets.UTF_8)
+  }
+
+  /** Shard key of a relative file path — derivable from the path
+    * alone, so the reader needs only the manifest's bucket count: the
+    * file's period for time layouts (`buckets == 0`), else a stable
+    * hash bucket. */
+  private def shardKeyOf(relPath: String, buckets: Int): String =
+    if (buckets <= 0) {
+      val slash = relPath.indexOf('/')
+      if (slash > 0 && relPath.startsWith(Collection.MonthCol + "="))
+        relPath.substring(Collection.MonthCol.length + 1, slash)
+      else "flat"
+    } else "b%03d".format(Math.floorMod(relPath.hashCode, buckets))
+
+  private def writeSharded(itemPath: SPath, column: String, generation: Long,
+                           fpp: Double, expectedItemsPerFile: Long,
+                           gz: Seq[(String, Array[Byte])],
+                           payload: Long): Unit = {
+    val periodKeyed = gz.forall(_._1.startsWith(Collection.MonthCol + "="))
+    val buckets =
+      if (periodKeyed) 0
+      else math.min(MaxFlatBuckets.toLong,
+        math.max(2L, payload / FlatBucketTargetBytes + 1L)).toInt
+    val dir = itemPath.resolve(shardDirName(column))
+    itemPath.fs.mkdirs(dir.raw)
+    val shards: Map[String, (Long, Seq[String])] =
+      gz.groupBy(e => shardKeyOf(e._1, buckets)).map { case (k, es) =>
+        k -> (es.size.toLong,
+          writeShardParts(dir, column, generation, fpp, expectedItemsPerFile, k, es))
+      }
+    writeManifest(itemPath, column, generation, fpp, expectedItemsPerFile,
+      buckets, shards)
+  }
+
+  /** Write one shard key's documents (greedy-split at
+    * [[ShardSplitBytes]]); names embed the creation generation, so a
+    * name's content is immutable — carried-forward references from a
+    * refreshed manifest can never read rewritten bytes. */
+  private def writeShardParts(dir: SPath, column: String, generation: Long,
+                              fpp: Double, expectedItemsPerFile: Long,
+                              key: String,
+                              entries: Seq[(String, Array[Byte])]): Seq[String] = {
+    val parts = Seq.newBuilder[Seq[(String, Array[Byte])]]
+    var cur = Seq.newBuilder[(String, Array[Byte])]
+    var bytes = 0L
+    var any = false
+    entries.foreach { e =>
+      val sz = b64Size(e._2) + e._1.length + 8L
+      if (any && bytes + sz > ShardSplitBytes) {
+        parts += cur.result(); cur = Seq.newBuilder; bytes = 0L; any = false
+      }
+      cur += e; bytes += sz; any = true
+    }
+    if (any) parts += cur.result()
+    parts.result().zipWithIndex.map { case (pes, i) =>
+      val name =
+        s"${java.net.URLEncoder.encode(key, "UTF-8")}.$i.g$generation.json"
+      val p = dir.resolve(name)
+      dir.fs.writeBytesAtomic(
+        p.raw, renderDoc(column, generation, fpp, expectedItemsPerFile, pes))
+      evictCached(p.raw)
+      name
+    }
+  }
+
+  private def writeManifest(itemPath: SPath, column: String, generation: Long,
+                            fpp: Double, expectedItemsPerFile: Long,
+                            buckets: Int,
+                            shards: Map[String, (Long, Seq[String])]): Unit = {
+    val json = JObject(List(
+      "algo" -> JString(AlgoTag),
+      "column" -> JString(column),
+      "generation" -> JLong(generation),
+      "fpp" -> JDouble(fpp),
+      "expected_items_per_file" -> JLong(expectedItemsPerFile),
+      "buckets" -> JLong(buckets.toLong),
+      "shards" -> JObject(shards.toList.sortBy(_._1).map {
+        case (k, (n, partNames)) => k -> (JObject(List(
+          "n" -> JLong(n),
+          "parts" -> JArray(partNames.toList.map(JString(_): JValue)))): JValue)
+      })))
+    val p = itemPath.resolve(manifestName(column))
     itemPath.fs.writeBytesAtomic(
-      itemPath.resolve(sidecarName(column)).raw,
+      p.raw,
       org.json4s.jackson.JsonMethods.compact(
         org.json4s.jackson.JsonMethods.render(json))
         .getBytes(StandardCharsets.UTF_8))
-    evictCached(itemPath.resolve(sidecarName(column)).raw)
+    manifestCache.remove(p.raw)
+    // best-effort: drop shard files the new manifest no longer
+    // references (superseded versions of rewritten keys). A racing
+    // reader still holding the OLD manifest that loses a file to this
+    // sweep fails that shard's parse and keeps its files unpruned —
+    // conservative, never wrong.
+    val referenced = shards.valuesIterator.flatMap(_._2).toSet
+    val dir = itemPath.resolve(shardDirName(column))
+    dir.fs.listFiles(dir.raw).filterNot(referenced).foreach { f =>
+      val sp = dir.resolve(f)
+      try {
+        sp.deleteRecursively(); evictCached(sp.raw); lastParse.remove(sp.raw)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  private def dropSingleArtifact(itemPath: SPath, column: String): Boolean = {
+    val p = itemPath.resolve(sidecarName(column))
+    if (!p.exists) return false
+    p.deleteRecursively()
+    evictCached(p.raw)
+    lastParse.remove(p.raw)
+    true
+  }
+
+  private def dropShardedArtifacts(itemPath: SPath, column: String): Boolean = {
+    val man = itemPath.resolve(manifestName(column))
+    val dir = itemPath.resolve(shardDirName(column))
+    val had = man.exists || dir.exists
+    if (man.exists) { man.deleteRecursively(); manifestCache.remove(man.raw) }
+    if (dir.exists) {
+      dir.fs.listFiles(dir.raw).foreach { f =>
+        val sp = dir.resolve(f)
+        evictCached(sp.raw)
+        lastParse.remove(sp.raw)
+      }
+      dir.deleteRecursively()
+    }
+    had
   }
 
   // ---------------------------------------------------------------- load
@@ -227,23 +421,41 @@ object BloomIndex {
     cache.remove(key).foreach { case (_, b, _) => cachedBytes.addAndGet(-b) }
   }
 
-  /** Last COLD parse cost per sidecar path: (millis, deserialized
-    * bitset bytes). This is the visible planning-cost number the
-    * sharded-sidecar design note (PLANS.md) says to watch before
-    * implementing the shard layout: the whole-document parse is the
-    * one bloom cost that grows with file count, and the mtime cache
-    * hides it from per-query timings. A metric, not a cache — it
-    * survives cache eviction and leaves only with dropSidecars. */
+  /** Last COLD parse cost per document path: (millis, deserialized
+    * bitset bytes). The visible planning-cost number whose probe
+    * measurements (BloomSidecarScaleProbe) justified the sharded
+    * layout; still worth watching — sustained growth here now means a
+    * HOT shard, cured by more splits, not a format change. The mtime
+    * cache hides this cost from per-query timings. A metric, not a
+    * cache — it survives cache eviction and leaves only with
+    * dropSidecars. */
   private val lastParse = TrieMap.empty[String, (Long, Long)]
 
+  /** Aggregate last-cold-parse cost of a column's index: the single
+    * document's, or the sum over every shard document parsed so far. */
   private[graft] def lastParseCost(itemPath: SPath,
-                                   column: String): Option[(Long, Long)] =
-    lastParse.get(itemPath.resolve(sidecarName(column)).raw)
+                                   column: String): Option[(Long, Long)] = {
+    val single = lastParse.get(itemPath.resolve(sidecarName(column)).raw)
+    val prefix = itemPath.resolve(shardDirName(column)).raw + "/"
+    val shards = lastParse.readOnlySnapshot().iterator.collect {
+      case (k, v) if k.startsWith(prefix) => v
+    }.toSeq
+    val all = single.toSeq ++ shards
+    if (all.isEmpty) None
+    else Some((all.iterator.map(_._1).sum, all.iterator.map(_._2).sum))
+  }
 
-  private def load(itemPath: SPath, column: String): Option[Loaded] = {
-    val p = itemPath.resolve(sidecarName(column))
-    val mtime = itemPath.fs.modifiedAt(p.raw).getOrElse(return None)
-    cache.get(p.raw) match {
+  /** The column's single-document sidecar, if present and readable. */
+  private def load(itemPath: SPath, column: String): Option[Loaded] =
+    loadDoc(itemPath.fs, itemPath.resolve(sidecarName(column)).raw)
+
+  /** mtime-cached parse of ONE sidecar-schema document — the single
+    * sidecar or any shard file (both use the same schema; a shard's
+    * recorded generation is its creation generation, informational
+    * only — the manifest's is the validity key). */
+  private def loadDoc(fs: StoreFs, raw: String): Option[Loaded] = {
+    val mtime = fs.modifiedAt(raw).getOrElse(return None)
+    cache.get(raw) match {
       case Some((m, _, l)) if m == mtime => return Some(l)
       case _ => ()
     }
@@ -251,7 +463,7 @@ object BloomIndex {
     val parsed =
       try {
         val json = org.json4s.jackson.JsonMethods.parse(
-          new String(itemPath.fs.readBytes(p.raw), StandardCharsets.UTF_8))
+          new String(fs.readBytes(raw), StandardCharsets.UTF_8))
         val fields = json.asInstanceOf[JObject].obj.toMap
         if (!fields.get("algo").contains(JString(AlgoTag))) return None
         def long(k: String): Option[Long] = fields.get(k).collect {
@@ -271,13 +483,13 @@ object BloomIndex {
         }.toMap
         Loaded(gen, fpp, expected, files)
       } catch { case scala.util.control.NonFatal(_) => return None }
-    // Eviction bounds BYTES, not entries: one Loaded holds every file's
-    // deserialized bitset (up to ~1 GB/column at the documented 10k-file
-    // ceiling), so a handful of large indexes could exhaust the driver
-    // long before 256 entries. Everything clears on overflow — indexes
-    // are few and a re-parse is one sidecar read.
+    // Eviction bounds BYTES, not entries: one Loaded holds a document's
+    // every deserialized bitset (up to SingleDocMaxBytes for a single
+    // sidecar, ShardSplitBytes for a hot shard), so a few dozen large
+    // documents could exhaust the driver long before 256 entries.
+    // Everything clears on overflow — a re-parse is one document read.
     val parsedBytes = parsed.files.valuesIterator.map(_.bitSize() / 8).sum
-    lastParse.put(p.raw, ((System.nanoTime() - parseT0) / 1000000L, parsedBytes))
+    lastParse.put(raw, ((System.nanoTime() - parseT0) / 1000000L, parsedBytes))
     // insert + accounting under one lock: two planners racing the same
     // uncached sidecar would otherwise both add parsedBytes while the
     // cache stores one entry, drifting the counter up until a spurious
@@ -285,13 +497,13 @@ object BloomIndex {
     // overflow clear()+set() can never interleave with a removal's
     // byte release.
     cache.synchronized {
-      evictCached(p.raw) // same-path replacement releases the stale bytes
+      evictCached(raw) // same-path replacement releases the stale bytes
       if (cache.size > 256 ||
           cachedBytes.addAndGet(parsedBytes) > MaxCacheBytes) {
         cache.clear()
         cachedBytes.set(parsedBytes)
       }
-      cache.put(p.raw, (mtime, parsedBytes, parsed))
+      cache.put(raw, (mtime, parsedBytes, parsed))
     }
     Some(parsed)
   }
@@ -300,11 +512,127 @@ object BloomIndex {
   private val MaxCacheBytes: Long = 1L << 30
   private val cachedBytes = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** One stat: does `column` carry a sidecar at all? The planning hot
-    * path asks this BEFORE paying a sidecar/meta read — almost every
-    * item has no bloom index. */
+  // ------------------------------------------------------------- manifest
+
+  /** Root manifest of a sharded index: the validity generation, the
+    * sizing knobs, and per shard key its file count + document names. */
+  private final case class Manifest(generation: Long, fpp: Double,
+                                    expectedItemsPerFile: Long, buckets: Int,
+                                    shards: Map[String, (Long, Seq[String])]) {
+    def numFiles: Long = shards.valuesIterator.map(_._1).sum
+    def numParts: Int = shards.valuesIterator.map(_._2.size).sum
+  }
+
+  /** Manifests are tiny (one line per shard key) — a plain mtime cache
+    * without byte accounting; cleared whole on entry overflow. */
+  private val manifestCache =
+    TrieMap.empty[String, (java.time.Instant, Manifest)]
+
+  private def loadManifest(itemPath: SPath, column: String): Option[Manifest] = {
+    val p = itemPath.resolve(manifestName(column))
+    val mtime = itemPath.fs.modifiedAt(p.raw).getOrElse(return None)
+    manifestCache.get(p.raw) match {
+      case Some((m, man)) if m == mtime => return Some(man)
+      case _ => ()
+    }
+    val parsed =
+      try {
+        val json = org.json4s.jackson.JsonMethods.parse(
+          new String(itemPath.fs.readBytes(p.raw), StandardCharsets.UTF_8))
+        val fields = json.asInstanceOf[JObject].obj.toMap
+        if (!fields.get("algo").contains(JString(AlgoTag))) return None
+        def long(k: String): Option[Long] = fields.get(k).collect {
+          case JLong(g) => g
+          case JInt(g)  => g.toLong
+        }
+        val gen = long("generation").getOrElse(return None)
+        val fpp = fields.get("fpp") match {
+          case Some(JDouble(d)) => d
+          case _                => return None
+        }
+        val expected = long("expected_items_per_file").getOrElse(return None)
+        val buckets = long("buckets").getOrElse(return None).toInt
+        val shards = fields("shards").asInstanceOf[JObject].obj.map {
+          case (k, JObject(o)) =>
+            val om = o.toMap
+            val n = om.get("n") match {
+              case Some(JLong(v)) => v
+              case Some(JInt(v))  => v.toLong
+              case _              => return None
+            }
+            val parts = om.get("parts") match {
+              case Some(JArray(vs)) if vs.forall(_.isInstanceOf[JString]) =>
+                vs.map(_.asInstanceOf[JString].s)
+              case _ => return None
+            }
+            k -> (n, parts)
+          case _ => return None
+        }.toMap
+        Manifest(gen, fpp, expected, buckets, shards)
+      } catch { case scala.util.control.NonFatal(_) => return None }
+    if (manifestCache.size > 256) manifestCache.clear()
+    manifestCache.put(p.raw, (mtime, parsed))
+    Some(parsed)
+  }
+
+  /** One stat (two for items without a single-document sidecar): does
+    * `column` carry an index in either layout? The planning hot path
+    * asks this BEFORE paying a sidecar/meta read — almost every item
+    * has no bloom index. */
   private[graft] def hasSidecar(itemPath: SPath, column: String): Boolean =
-    itemPath.fs.modifiedAt(itemPath.resolve(sidecarName(column)).raw).isDefined
+    itemPath.fs.modifiedAt(itemPath.resolve(sidecarName(column)).raw).isDefined ||
+      itemPath.fs.modifiedAt(itemPath.resolve(manifestName(column)).raw).isDefined
+
+  // ------------------------------------------------------------------ open
+
+  /** A usable index for ONE column, abstracting the two layouts behind
+    * the per-file membership question. A sharded index loads shard
+    * documents LAZILY, memoized per key — planning cost rides the
+    * candidate file set's period/bucket spread (after zonemap/period
+    * narrowing, a selective probe touches 1–2 shards), never the item
+    * size. */
+  private sealed trait Idx {
+    /** Whether `f` might hold every candidate value (per conjunct, any
+      * of its hashes); files unknown to the index always might. */
+    def fileMightMatch(f: String, hs: Seq[Long]): Boolean
+  }
+
+  private final class SingleIdx(files: Map[String, BloomFilter]) extends Idx {
+    def fileMightMatch(f: String, hs: Seq[Long]): Boolean =
+      files.get(f).forall(bf => hs.exists(bf.mightContainLong))
+  }
+
+  private final class ShardedIdx(dir: SPath, man: Manifest) extends Idx {
+    private val byKey =
+      scala.collection.mutable.HashMap.empty[String, Option[Map[String, BloomFilter]]]
+    def fileMightMatch(f: String, hs: Seq[Long]): Boolean = {
+      val k = shardKeyOf(f, man.buckets)
+      man.shards.get(k) match {
+        case None => true // key unknown to the index (raced listing): keep
+        case Some((_, parts)) =>
+          byKey.getOrElseUpdate(k, {
+            val docs = parts.map(n => loadDoc(dir.fs, dir.resolve(n).raw))
+            if (docs.exists(_.isEmpty)) None // unreadable shard: keep its files
+            else Some(docs.iterator.flatMap(_.get.files).toMap)
+          }) match {
+            case None => true
+            case Some(files) =>
+              files.get(f).forall(bf => hs.exists(bf.mightContainLong))
+          }
+      }
+    }
+  }
+
+  /** The column's index iff readable and recorded at exactly `wantGen`,
+    * in either layout. Manifest first: its staleness check is a tiny
+    * read, while a stale single document would pay a full parse just
+    * to be refused. */
+  private def openIndex(itemPath: SPath, column: String,
+                        wantGen: Long): Option[Idx] =
+    loadManifest(itemPath, column).filter(_.generation == wantGen)
+      .map(m => new ShardedIdx(itemPath.resolve(shardDirName(column)), m): Idx)
+      .orElse(load(itemPath, column).filter(_.generation == wantGen)
+        .map(l => new SingleIdx(l.files)))
 
   // ---------------------------------------------------------------- prune
 
@@ -349,34 +677,26 @@ object BloomIndex {
     val cands = candidateValues(preds)
     if (cands.isEmpty) return None
     val committedGen = pinnedGen.getOrElse(Snapshots.generationOf(meta))
-    // (bloom, candidate-hashes) pairs that are usable: a valid
+    // (index, candidate-hashes) pairs that are usable: a valid
     // same-generation index on the column AND every candidate literal
     // coercing losslessly to the stored type (anything else skips
-    // pruning for that predicate — never wrong, only unpruned)
-    val usable: Seq[(Map[String, BloomFilter], Seq[Long])] = cands.flatMap {
+    // pruning for that predicate — never wrong, only unpruned). Hash
+    // first: coercion is free and refuses before any sidecar read.
+    val usable: Seq[(Idx, Seq[Long])] = cands.flatMap {
       case (c, vs) =>
         encodedSchema.fields.find(_.name == c).flatMap { f =>
-          load(itemPath, c).filter(_.generation == committedGen).flatMap { l =>
-            val hs = vs.flatMap(v => hashOf(v, f.dataType))
-            if (hs.size == vs.size) Some((l.files, hs)) else None
-          }
+          val hs = vs.flatMap(v => hashOf(v, f.dataType))
+          if (hs.size != vs.size) None
+          else openIndex(itemPath, c, committedGen).map(idx => (idx, hs))
         }
     }
     if (usable.isEmpty) return None
     val all = allFiles()
     if (all.isEmpty) return None
-    val kept = all.filter(mightMatch(usable))
+    val kept = all.filter(f =>
+      usable.forall { case (idx, hs) => idx.fileMightMatch(f, hs) })
     if (kept.size == all.size) None else Some(kept)
   }
-
-  /** Whether a file MIGHT hold a row satisfying every usable conjunct
-    * (a conjunction's values must co-occur in one file to co-occur in
-    * one row); unknown files always might. */
-  private def mightMatch(usable: Seq[(Map[String, BloomFilter], Seq[Long])])
-      (f: String): Boolean =
-    usable.forall { case (files, hs) =>
-      files.get(f).forall(bf => hs.exists(bf.mightContainLong))
-    }
 
   /** Period-granularity pruning for [[Collection.deleteWhere]]'s
     * discovery scan, from the ANALYZED Catalyst condition: returns
@@ -409,22 +729,22 @@ object BloomIndex {
     }
     if (eqs.isEmpty) return None
     val committedGen = Snapshots.generationOf(meta)
-    val usable: Seq[(Map[String, BloomFilter], Seq[Long])] = eqs.flatMap {
+    val usable: Seq[(Idx, Seq[Long])] = eqs.flatMap {
       case (c, lits) =>
         encodedSchema.fields.find(_.name == c).flatMap { f =>
           // the literal must carry the STORED type un-cast (analysis
           // wraps mismatches in Cast, which the extractor above already
           // refuses) — same hash domain as the build, or no pruning
           if (!lits.forall(_.dataType == f.dataType)) None
-          else load(itemPath, c).filter(_.generation == committedGen).map { l =>
-            (l.files,
+          else openIndex(itemPath, c, committedGen).map { idx =>
+            (idx,
               lits.map(lit => XxHash64(Seq(lit), 42L).eval(null).asInstanceOf[Long]))
           }
         }
     }
     if (usable.isEmpty) return None
     Some(allFiles()
-      .filter(mightMatch(usable))
+      .filter(f => usable.forall { case (idx, hs) => idx.fileMightMatch(f, hs) })
       .flatMap(_.split('/') match {
         case Array(seg, _) if seg.startsWith(Collection.MonthCol + "=") =>
           Some(seg.stripPrefix(Collection.MonthCol + "="))
@@ -488,15 +808,28 @@ object BloomIndex {
     * leaves the old sidecar in place, whose old generation no longer
     * matches — retired, never wrong. Full rewrites do NOT refresh:
     * every file changed, so an incremental merge has nothing to carry;
-    * rebuild explicitly. */
+    * rebuild explicitly.
+    *
+    * SHARDED indexes refresh cheaper still: the untouched periods'
+    * shard FILES carry forward by name (no parse, no rewrite — only
+    * touched periods get new shard documents) and one new manifest
+    * re-keys the whole index to `newGen`. A bucket-keyed (flat-item)
+    * manifest cannot express a per-period delta and is left stale —
+    * retired, never wrong (flat items see only full rewrites anyway). */
   private[store] def refreshAfterPartialCommit(spark: SparkSession,
                                                itemPath: SPath,
                                                months: Seq[String],
                                                oldGen: Long,
                                                newGen: Long): Unit = {
     if (months.isEmpty) return
-    val valid = indexedColumns(itemPath)
-      .flatMap(c => load(itemPath, c).filter(_.generation == oldGen).map(c -> _))
+    val valid: Seq[(String, Either[Loaded, Manifest])] =
+      indexedColumns(itemPath).flatMap { c =>
+        loadManifest(itemPath, c)
+          .filter(m => m.generation == oldGen && m.buckets == 0)
+          .map(m => c -> (Right(m): Either[Loaded, Manifest]))
+          .orElse(load(itemPath, c).filter(_.generation == oldGen)
+            .map(l => c -> (Left(l): Either[Loaded, Manifest])))
+      }
     if (valid.isEmpty) return
     val enc = Meta.read(itemPath).get("schema_json_encoded") match {
       case Some(JString(sj)) =>
@@ -508,7 +841,10 @@ object BloomIndex {
       .map(m => dataDir.resolve(s"${Collection.MonthCol}=$m"))
       .filter(_.isDir) // a removed (emptied) month has no dir — entries just drop
     val prefixes = months.map(m => s"${Collection.MonthCol}=$m/")
-    valid.groupBy { case (_, l) => (l.fpp, l.expectedItemsPerFile) }.foreach {
+    def knobs(e: Either[Loaded, Manifest]): (Double, Long) =
+      e.fold(l => (l.fpp, l.expectedItemsPerFile),
+        m => (m.fpp, m.expectedItemsPerFile))
+    valid.groupBy(v => knobs(v._2)).foreach {
       case ((fpp, expected), group) =>
         val gcols = group.map(_._1).filter(c => enc.fields.exists(_.name == c))
         val fresh: Map[String, Map[String, Array[Byte]]] =
@@ -516,45 +852,81 @@ object BloomIndex {
           else buildBlooms(
             spark.read.schema(enc).parquet(touchedDirs.map(_.toString): _*),
             gcols, fpp, expected)
-        group.foreach { case (c, l) =>
-          val carried = l.files.view
-            .filterKeys(f => !prefixes.exists(f.startsWith))
-            .map { case (f, bf) => f -> serialize(bf) }.toMap
-          writeSidecar(itemPath, c, newGen, fpp, expected,
-            carried ++ fresh.getOrElse(c, Map.empty))
+        group.foreach {
+          case (c, Left(l)) =>
+            val carried = l.files.view
+              .filterKeys(f => !prefixes.exists(f.startsWith))
+              .map { case (f, bf) => f -> serialize(bf) }.toMap
+            writeSidecar(itemPath, c, newGen, fpp, expected,
+              carried ++ fresh.getOrElse(c, Map.empty))
+          case (c, Right(man)) =>
+            refreshSharded(itemPath, c, man, months, newGen, fpp, expected,
+              fresh.getOrElse(c, Map.empty))
         }
     }
   }
 
-  /** Per-column index state for the `$bloom` metadata table:
-    * (column, generation, fpp, expectedItemsPerFile, numFiles).
-    * Unreadable/foreign-format sidecars are omitted, like every
-    * other consumer of [[load]]. */
-  private[graft] def sidecarStates(itemPath: SPath): Seq[(String, Long, Double, Long, Int)] =
-    indexedColumns(itemPath).flatMap(c =>
-      load(itemPath, c).map(l =>
-        (c, l.generation, l.fpp, l.expectedItemsPerFile, l.files.size)))
+  /** Sharded-index arm of the partial refresh: new shard documents for
+    * the touched periods only (every fresh key IS a touched period —
+    * the build scanned exactly those dirs), untouched entries carried
+    * by NAME, one manifest publish re-keying to `newGen`. The manifest
+    * write's reference sweep then drops the touched periods'
+    * superseded shard files. */
+  private def refreshSharded(itemPath: SPath, column: String, man: Manifest,
+                             months: Seq[String], newGen: Long,
+                             fpp: Double, expected: Long,
+                             fresh: Map[String, Array[Byte]]): Unit = {
+    val dir = itemPath.resolve(shardDirName(column))
+    itemPath.fs.mkdirs(dir.raw)
+    val rebuilt: Map[String, (Long, Seq[String])] =
+      fresh.toSeq.sortBy(_._1).map { case (f, b) => f -> gzip(b) }
+        .groupBy(e => shardKeyOf(e._1, 0))
+        .map { case (k, es) =>
+          k -> (es.size.toLong,
+            writeShardParts(dir, column, newGen, fpp, expected, k, es))
+        }
+    writeManifest(itemPath, column, newGen, fpp, expected, 0,
+      (man.shards -- months) ++ rebuilt)
+  }
 
-  /** Indexed columns present on an item (decoded sidecar names). */
+  /** Per-column index state for the `$bloom` metadata table:
+    * (column, generation, fpp, expectedItemsPerFile, numFiles,
+    * numShards) — numShards 0 = single-document layout. Sharded state
+    * comes entirely from the manifest (no shard parses).
+    * Unreadable/foreign-format sidecars are omitted, like every other
+    * consumer of [[load]]. */
+  private[graft] def sidecarStates(itemPath: SPath)
+      : Seq[(String, Long, Double, Long, Int, Int)] =
+    indexedColumns(itemPath).flatMap { c =>
+      loadManifest(itemPath, c).map(m =>
+        (c, m.generation, m.fpp, m.expectedItemsPerFile,
+          m.numFiles.toInt, m.numParts))
+        .orElse(load(itemPath, c).map(l =>
+          (c, l.generation, l.fpp, l.expectedItemsPerFile, l.files.size, 0)))
+    }
+
+  /** Indexed columns present on an item (decoded names, both layouts). */
   private[store] def indexedColumns(itemPath: SPath): Seq[String] =
     itemPath.fs.listFiles(itemPath.raw)
-      .filter(f => f.startsWith(SidecarPrefix) && f.endsWith(".json"))
-      .map(f => java.net.URLDecoder.decode(
-        f.stripPrefix(SidecarPrefix).stripSuffix(".json"), "UTF-8"))
-      .sorted
+      .flatMap { f =>
+        val stem =
+          if (f.startsWith(SidecarPrefix) && f.endsWith(".json"))
+            Some(f.stripPrefix(SidecarPrefix).stripSuffix(".json"))
+          else if (f.startsWith(ShardPrefix) && f.endsWith(".json"))
+            Some(f.stripPrefix(ShardPrefix).stripSuffix(".json"))
+          else None
+        stem.map(java.net.URLDecoder.decode(_, "UTF-8"))
+      }
+      .distinct.sorted
 
   private[store] def dropSidecars(itemPath: SPath, columns: Seq[String]): Seq[String] = {
     val targets =
       if (columns.nonEmpty) columns
       else indexedColumns(itemPath)
     targets.flatMap { c =>
-      val p = itemPath.resolve(sidecarName(c))
-      if (p.exists) {
-        p.deleteRecursively()
-        evictCached(p.raw)
-        lastParse.remove(p.raw)
-        Some(c)
-      } else None
+      val droppedSingle = dropSingleArtifact(itemPath, c)
+      val droppedSharded = dropShardedArtifacts(itemPath, c)
+      if (droppedSingle || droppedSharded) Some(c) else None
     }
   }
 }

@@ -3673,12 +3673,21 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     (itemPath, Snapshots.generationOf(meta), enc)
   }
 
+  /** `singleDocMaxBytes` tunes the auto-shard point: a serialized
+    * index up to this size publishes as one sidecar document, beyond
+    * it as per-period/bucket shard documents behind a small manifest
+    * (see [[BloomIndex.SingleDocMaxBytes]] for the measured default —
+    * 0 forces sharding, `Long.MaxValue` forces one document). */
   def buildBloomIndex(item: String, columns: Seq[String], fpp: Double = 0.01,
-                      expectedItemsPerFile: Long = 100000L): Unit = {
-    if (!(fpp > 0.0 && fpp < 1.0) || expectedItemsPerFile <= 0)
+                      expectedItemsPerFile: Long = 100000L,
+                      singleDocMaxBytes: Long = BloomIndex.SingleDocMaxBytes): Unit = {
+    if (!(fpp > 0.0 && fpp < 1.0) || expectedItemsPerFile <= 0 ||
+        singleDocMaxBytes < 0)
       throw new ValidationError(
-        s"buildBloomIndex: fpp must be in (0,1) and expectedItemsPerFile " +
-          s"positive (got fpp=$fpp, expectedItemsPerFile=$expectedItemsPerFile)")
+        s"buildBloomIndex: fpp must be in (0,1), expectedItemsPerFile " +
+          s"positive, and singleDocMaxBytes non-negative (got fpp=$fpp, " +
+          s"expectedItemsPerFile=$expectedItemsPerFile, " +
+          s"singleDocMaxBytes=$singleDocMaxBytes)")
     val (itemPath, gen, enc) = skipIndexPreamble(
       "buildBloomIndex", item, columns, BloomIndex.supportedType,
       "index string, integral, float, boolean, date, timestamp, or binary columns")
@@ -3686,7 +3695,8 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       .parquet(itemPath.resolve(Item.DataDir).toString)
     val blooms = BloomIndex.buildBlooms(raw, columns, fpp, expectedItemsPerFile)
     columns.foreach(c => BloomIndex.writeSidecar(
-      itemPath, c, gen, fpp, expectedItemsPerFile, blooms.getOrElse(c, Map.empty)))
+      itemPath, c, gen, fpp, expectedItemsPerFile,
+      blooms.getOrElse(c, Map.empty), singleDocMaxBytes))
   }
 
   /** Build (or rebuild) a per-file MIN/MAX data-skipping index on

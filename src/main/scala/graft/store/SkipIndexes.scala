@@ -69,14 +69,21 @@ private[graft] object SkipIndexes {
                                 meta: Map[String, JValue],
                                 encodedSchema: StructType,
                                 generation: Option[Long]): Option[Seq[String]] = {
-    val byBloom =
-      BloomIndex.prunedFiles(itemPath, preds, meta, encodedSchema, allFiles, generation)
+    // Zonemap first, and its kept list becomes the bloom's CANDIDATE
+    // list: the result is the same intersection as pruning
+    // independently (both predicates are per-file), but the bloom now
+    // probes only zonemap-positive files — on a sharded bloom that
+    // means loading only the shards those files touch (the "planning
+    // rides the probe's selectivity" contract), and the zonemap's own
+    // sidecar is tiny at any file count.
     val byStats =
       FileStatsIndex.prunedFiles(itemPath, preds, meta, encodedSchema, allFiles, generation)
-    (byBloom, byStats) match {
-      case (Some(a), Some(b)) => val s = b.toSet; Some(a.filter(s))
-      case (a, b)             => a.orElse(b)
-    }
+    val bloomCandidates: () => Seq[String] =
+      () => byStats.getOrElse(allFiles())
+    val byBloom =
+      BloomIndex.prunedFiles(itemPath, preds, meta, encodedSchema,
+        bloomCandidates, generation)
+    byBloom.orElse(byStats)
   }
 
   /** Candidate file map for a PINNED time-layout read: each kept

@@ -548,4 +548,156 @@ class BloomIndexSpec extends SparkSpec {
     assert(!c.hasItem("item2"))
     cleanup(c)
   }
+
+  // ------------------------------------------------- sharded layout
+  // (forced via singleDocMaxBytes = 0; the default threshold only
+  // triggers past 16 MB of serialized blooms — probe evidence in
+  // BloomIndex.SingleDocMaxBytes's doc)
+
+  test("sharded monthly index: manifest + per-period shards, pruning and results identical to single-doc") {
+    val c = tempCollection("bloom_shard_monthly")
+    c.write("item", monthlyData, indexCols = Seq("index"), monthlyLayout = true)
+    val itemPath = c.path.resolve("item")
+    c.buildBloomIndex("item", Seq("key"), singleDocMaxBytes = 0L)
+    assert(itemPath.resolve(BloomIndex.manifestName("key")).exists)
+    assert(itemPath.resolve(BloomIndex.shardDirName("key")).isDir)
+    assert(!itemPath.resolve(BloomIndex.sidecarName("key")).exists,
+      "sharded publish must clean the single-document layout")
+    // one shard document per period
+    val sd = itemPath.resolve(BloomIndex.shardDirName("key"))
+    val shardFiles = sd.fs.listFiles(sd.raw)
+    assert(shardFiles.length == 6, s"expected 6 period shards, got $shardFiles")
+    val st = BloomIndex.sidecarStates(itemPath)
+    assert(st.length == 1 && st.head._6 == 6, s"num_shards should be 6: $st")
+    // pruning + results identical to the single-doc layout
+    val all = c.item("item").data.inputFiles.length
+    val hit = c.item("item", filters = Seq(Filters.Pred("key", "==", "k_100")))
+    assert(hit.data.collect().map(_.getAs[String]("key")).toSeq == Seq("k_100"))
+    assert(hit.data.inputFiles.length < all, "sharded bloom did not prune")
+    val miss = c.item("item", filters = Seq(Filters.Pred("key", "==", "nope")))
+    assert(miss.data.count() == 0 && miss.data.inputFiles.isEmpty,
+      "definitely-absent value must read zero files through shards")
+    assert(c.bloomIndexedColumns("item") == Seq("key"))
+    cleanup(c)
+  }
+
+  test("sharded flat index: hash-bucket shards prune like the single document") {
+    val c = tempCollection("bloom_shard_flat")
+    c.write("item", keyedData, indexCols = Seq("index"), npartitions = Some(8))
+    c.buildBloomIndex("item", Seq("key"), singleDocMaxBytes = 0L)
+    val itemPath = c.path.resolve("item")
+    assert(itemPath.resolve(BloomIndex.manifestName("key")).exists)
+    val hit = c.item("item", filters = Seq(Filters.Pred("key", "==", "key_123")))
+    assert(hit.data.collect().map(_.getAs[Long]("index")).toSeq == Seq(123L))
+    assert(hit.data.inputFiles.length < 8)
+    val miss = c.item("item", filters = Seq(Filters.Pred("key", "==", "zzz")))
+    assert(miss.data.count() == 0 && miss.data.inputFiles.isEmpty)
+    // no false negatives through the bucketed layout
+    (0 until 400 by 37).foreach { i =>
+      assert(c.item("item", filters = Seq(Filters.Pred("key", "==", s"key_$i")))
+        .data.count() == 1, s"key_$i lost through bucket shards")
+    }
+    cleanup(c)
+  }
+
+  test("sharded partial refresh: untouched shard FILES carry by name, only the touched period rewrites") {
+    import spark.implicits._
+    val c = tempCollection("bloom_shard_incr")
+    c.write("item", monthlyData, indexCols = Seq("index"), monthlyLayout = true)
+    c.buildBloomIndex("item", Seq("key"), singleDocMaxBytes = 0L)
+    val dir = c.path.resolve("item").resolve(BloomIndex.shardDirName("key"))
+    def shardBytes(): Map[String, Seq[Byte]] = dir.fs.listFiles(dir.raw).map(f =>
+      f -> java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir.resolve(f).raw)).toSeq).toMap
+    val before = shardBytes()
+    c.append("item", Seq(
+      (java.sql.Timestamp.valueOf("2024-03-15 00:00:00"), "k_new", 1.0))
+      .toDF("index", "key", "value"))
+    val after = shardBytes()
+    val untouchedBefore = before.filterNot(_._1.startsWith("2024-03"))
+    val untouchedAfter = after.filterNot(_._1.startsWith("2024-03"))
+    assert(untouchedAfter == untouchedBefore,
+      "untouched periods' shard files must carry byte-identical by name")
+    assert(before.keySet.filter(_.startsWith("2024-03")) !=
+      after.keySet.filter(_.startsWith("2024-03")),
+      "the touched period must publish a NEW shard document (new generation in the name)")
+    assert(after.size == before.size, "superseded shard file was not swept")
+    // the refreshed sharded index is CURRENT: new key found AND pruned,
+    // untouched-month key still pruned — no rebuild ran
+    val all = c.item("item").data.inputFiles.length
+    val nw = c.item("item", filters = Seq(Filters.Pred("key", "==", "k_new")))
+    assert(nw.data.collect().map(_.getAs[String]("key")).toSeq == Seq("k_new"))
+    assert(nw.data.inputFiles.length < all)
+    val old = c.item("item", filters = Seq(Filters.Pred("key", "==", "k_100")))
+    assert(old.data.count() == 1 && old.data.inputFiles.length < all)
+    cleanup(c)
+  }
+
+  test("sharded deleteWhere: discovery narrows through shards; the touched period refreshes") {
+    val c = tempCollection("bloom_shard_del")
+    c.write("item", monthlyData, indexCols = Seq("index"), monthlyLayout = true)
+    c.buildBloomIndex("item", Seq("key"), singleDocMaxBytes = 0L)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def discParts(pred: org.apache.spark.sql.Column): Int =
+      c.deleteDiscoveryFrame("item", pred).queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec => f }
+        .head.selectedPartitions.partitionCount
+    assert(discParts(col("key") === "k_10") == 1,
+      "sharded discovery should read exactly the bloom-positive period")
+    assert(c.deleteWhere("item", col("key") === "k_10") == 1L)
+    assert(c.item("item", filters = Seq(Filters.Pred("key", "==", "k_10")))
+      .data.count() == 0)
+    assert(c.item("item", filters = Seq(Filters.Pred("key", "==", "k_16")))
+      .data.count() == 1)
+    cleanup(c)
+  }
+
+  test("format transitions are clean both ways; drop removes the sharded layout") {
+    val c = tempCollection("bloom_shard_flip")
+    c.write("item", keyedData, indexCols = Seq("index"), npartitions = Some(4))
+    val itemPath = c.path.resolve("item")
+    c.buildBloomIndex("item", Seq("key"), singleDocMaxBytes = 0L)
+    assert(itemPath.resolve(BloomIndex.manifestName("key")).exists)
+    // sharded → single: rebuild at the default threshold (small item)
+    c.buildBloomIndex("item", Seq("key"))
+    assert(itemPath.resolve(BloomIndex.sidecarName("key")).exists)
+    assert(!itemPath.resolve(BloomIndex.manifestName("key")).exists &&
+      !itemPath.resolve(BloomIndex.shardDirName("key")).exists,
+      "single publish must clean the sharded layout")
+    assert(c.item("item", filters = Seq(Filters.Pred("key", "==", "key_9")))
+      .data.inputFiles.length < 4)
+    // single → sharded again, then drop removes everything
+    c.buildBloomIndex("item", Seq("key"), singleDocMaxBytes = 0L)
+    assert(!itemPath.resolve(BloomIndex.sidecarName("key")).exists)
+    assert(c.dropBloomIndex("item") == Seq("key"))
+    assert(c.bloomIndexedColumns("item").isEmpty)
+    assert(!itemPath.resolve(BloomIndex.manifestName("key")).exists &&
+      !itemPath.resolve(BloomIndex.shardDirName("key")).exists)
+    assert(c.item("item", filters = Seq(Filters.Pred("key", "==", "key_9")))
+      .data.inputFiles.length == 4) // no index → no pruning
+    cleanup(c)
+  }
+
+  test("sharded maintenance re-arm: rebuildIndexes keeps the recorded knobs; a commit retires shards") {
+    val c = tempCollection("bloom_shard_rearm")
+    c.write("item", monthlyData, indexCols = Seq("index"), monthlyLayout = true)
+    c.buildBloomIndex("item", Seq("key"), fpp = 0.02,
+      expectedItemsPerFile = 5000L, singleDocMaxBytes = 0L)
+    val full = c.item("item").data.inputFiles.length
+    // a full rewrite retires the sharded index (manifest generation moves)
+    c.rebalance("item")
+    val stale = c.item("item", filters = Seq(Filters.Pred("key", "==", "k_7")))
+    assert(stale.data.count() == 1)
+    assert(stale.data.inputFiles.length ==
+      c.item("item").data.inputFiles.length, "stale sharded index must not prune")
+    assert(c.rebuildIndexes("item") == Seq("key"))
+    val armed = c.item("item", filters = Seq(Filters.Pred("key", "==", "k_7")))
+    assert(armed.data.count() == 1 && armed.data.inputFiles.length <
+      c.item("item").data.inputFiles.length)
+    // knobs survived the round trip through the manifest (the rebuild
+    // re-dispatches by size, so the small fixture lands single-doc)
+    val st = BloomIndex.sidecarStates(c.path.resolve("item"))
+    assert(st.length == 1 && st.head._3 == 0.02 && st.head._4 == 5000L)
+    cleanup(c)
+  }
 }
