@@ -2338,6 +2338,61 @@ object StoreQueries {
     s.sql(s"SELECT doc_id, fp, n_chars FROM graft_bloom_docs $where ORDER BY doc_id")
   }
 
+  /** The bloom index's SHARDED layout end-to-end (BloomIndex.scala —
+    * writeSidecar auto-shards past 16 MB; forced here via the
+    * `singleDocMaxBytes` knob so the small fixture exercises the same
+    * code the 100 TB item would hit): documents written MONTHLY (the
+    * period-keyed shard shape), the index built sharded (gated
+    * in-query: manifest present, single-document sidecar absent), a
+    * partial one-month append runs the sharded incremental refresh
+    * (new shard documents for the touched period only, manifest
+    * re-keyed), and every probe — pre-existing keys AND the appended
+    * key — must read a strict subset of the item's files through the
+    * lazily-loaded shards. Rows hash against DuckDB recomputing the
+    * fingerprints, so the shard probes' exactness (no false negatives
+    * across shard boundaries) is what the oracle proves. */
+  def bloomSharded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val col = freshCollection(s, "bloom_sharded")
+    val withDerived = (d: DataFrame) => d
+      .withColumn("fp", md5($"doc_id".cast("string")))
+      .withColumn("ts", expr(
+        "make_timestamp(2024, 1 + cast(doc_id % 6 as int), " +
+          "1 + cast((doc_id / 6) % 28 as int), 0, 0, 0)"))
+      .select($"ts", $"doc_id", $"fp", $"n_chars")
+    val docs = withDerived(Tables.t(s, dir, "documents"))
+    col.write("docs", docs, indexCols = Seq("ts"), monthlyLayout = true)
+    col.buildBloomIndex("docs", Seq("fp"), singleDocMaxBytes = 0L)
+    val itemPath = col.path.resolve("docs")
+    require(itemPath.resolve(graft.store.BloomIndex.manifestName("fp")).exists &&
+      !itemPath.resolve(graft.store.BloomIndex.sidecarName("fp")).exists,
+      "bloom index did not publish the sharded layout")
+    // partial append into one month: the sharded incremental refresh
+    // must keep the index current (a retired index fails the gates below)
+    col.append("docs", withDerived(
+      Tables.t(s, dir, "documents").filter($"doc_id" === 77L)
+        .withColumn("doc_id", $"doc_id" + 1000000L)),
+      DuplicateHandling.KeepAll)
+    val total = col.item("docs").data.inputFiles.length
+    val probes = Seq(17L, 123L, 1000077L).map { id =>
+      val it = col.item("docs", filters = Seq(Filters.Pred("fp", "==", fpOf(id))))
+      val read = it.data.inputFiles.length
+      require(read < total,
+        s"sharded bloom did not prune (read $read of $total files) for doc $id")
+      it.data.select($"doc_id", $"fp", $"n_chars")
+    }
+    probes.reduce(_ union _).orderBy($"doc_id")
+  }
+
+  val bloomShardedSql: String =
+    """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS fp, n_chars
+      |FROM documents WHERE doc_id IN (17, 123)
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id,
+      |       md5(CAST(doc_id + 1000000 AS VARCHAR)) AS fp, n_chars
+      |FROM documents WHERE doc_id = 77
+      |ORDER BY doc_id""".stripMargin
+
   /** Per-file MIN/MAX skipping index (FileStatsIndex.scala, the range
     * complement to [[bloomIndex]]): documents written SORTED by doc_id
     * into an 8-file item (range partitioning gives disjoint per-file
@@ -2660,6 +2715,7 @@ object StoreQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_bloom_index" -> bloomIndex _,
     "store_sql_bloom_index" -> sqlBloomIndex _,
+    "store_bloom_sharded" -> bloomSharded _,
     "store_filestats_index" -> fileStatsIndex _,
     "store_sql_filestats_index" -> sqlFileStatsIndex _,
     "store_rebuild_indexes" -> rebuildIndexes _,
@@ -2722,6 +2778,7 @@ object StoreQueries {
   val oracles: Map[String, String] = Map(
     "store_bloom_index" -> bloomIndexSql,
     "store_sql_bloom_index" -> sqlBloomIndexSql,
+    "store_bloom_sharded" -> bloomShardedSql,
     "store_filestats_index" -> fileStatsIndexSql,
     "store_sql_filestats_index" -> sqlFileStatsIndexSql,
     "store_rebuild_indexes" -> rebuildIndexesSql,
