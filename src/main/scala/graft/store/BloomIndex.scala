@@ -134,6 +134,18 @@ object BloomIndex {
   private[store] def buildBlooms(raw: DataFrame, columns: Seq[String],
                                  fpp: Double, expectedItemsPerFile: Long)
       : Map[String, Map[String, Array[Byte]]] = {
+    val perFile = perFileBloomRdd(raw, columns, fpp, expectedItemsPerFile)
+      .collect()
+    columns.indices.map { i =>
+      columns(i) -> perFile.collect { case ((f, ci), b) if ci == i => f -> b }.toMap
+    }.toMap
+  }
+
+  /** The shared distributed pass: per-(file, column-index) serialized
+    * blooms, map-side combined. */
+  private def perFileBloomRdd(raw: DataFrame, columns: Seq[String],
+                              fpp: Double, expectedItemsPerFile: Long)
+      : org.apache.spark.rdd.RDD[((String, Int), Array[Byte])] = {
     val spark = raw.sparkSession
     import spark.implicits._
     val n = columns.size
@@ -143,7 +155,7 @@ object BloomIndex {
     val projected = raw.select(
       input_file_name().as("__f") +:
         columns.map(c => when(col(c).isNotNull, xxhash64(col(c)))): _*)
-    val perFile: Array[((String, Int), Array[Byte])] = projected
+    projected
       .mapPartitions { rows =>
         // map-side combine: one bloom per (file, column) seen in this
         // task — the shuffle below moves blooms, not row hashes
@@ -170,10 +182,58 @@ object BloomIndex {
         bf.mergeInPlace(deserialize(b))
         serialize(bf)
       }
-      .collect()
-    columns.indices.map { i =>
-      columns(i) -> perFile.collect { case ((f, ci), b) if ci == i => f -> b }.toMap
-    }.toMap
+  }
+
+  /** Build AND publish `columns`' indexes in one distributed pass
+    * without ever materializing a whole index on the driver — the
+    * build-side twin of the sharded read path. Per-file blooms gzip on
+    * the EXECUTORS; one skinny aggregate (a few longs per column)
+    * sizes each column to pick its layout; a small column collects its
+    * entries and publishes one sidecar document, a large one streams
+    * shard documents through a key-sorted `toLocalIterator`, so the
+    * driver holds ONE shard key's entries at a time — peak build
+    * memory rides the hottest period, not the item (the collect of a
+    * 10k-near-full-file index would otherwise be the same ~1.2 GB the
+    * sharded PARSE path exists to avoid). Used by the full-build verbs
+    * (buildBloomIndex, rebuildIndexes); the partial-commit refresh
+    * keeps the collected path — it is bounded by the touched periods
+    * by construction. */
+  private[store] def buildAndWriteAll(raw: DataFrame, columns: Seq[String],
+                                      fpp: Double, expectedItemsPerFile: Long,
+                                      itemPath: SPath, generation: Long,
+                                      singleDocMaxBytes: Long = SingleDocMaxBytes): Unit = {
+    val perFile = perFileBloomRdd(raw, columns, fpp, expectedItemsPerFile)
+      .mapValues(gzip)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // per column: (serialized payload, every file period-prefixed)
+      val stats: Map[Int, (Long, Boolean)] = perFile
+        .map { case ((f, ci), gz) =>
+          (ci, (b64Size(gz) + f.length + 8L,
+            f.startsWith(Collection.MonthCol + "=")))
+        }
+        .reduceByKey((x: (Long, Boolean), y: (Long, Boolean)) =>
+          (x._1 + y._1, x._2 && y._2))
+        .collect().toMap
+      columns.indices.foreach { ci =>
+        val column = columns(ci)
+        val (payload, periodKeyed) = stats.getOrElse(ci, (0L, false))
+        if (payload <= singleDocMaxBytes) {
+          // includes the empty-item build: a valid empty index
+          writeSingleGz(itemPath, column, generation, fpp,
+            expectedItemsPerFile,
+            perFile.filter(_._1._2 == ci)
+              .map { case ((f, _), gz) => f -> gz }.collect().toSeq)
+        } else {
+          val buckets = if (periodKeyed) 0 else flatBuckets(payload)
+          val sorted = perFile.filter(_._1._2 == ci)
+            .map { case ((f, _), gz) => ((shardKeyOf(f, buckets), f), gz) }
+            .sortBy(_._1)
+          streamSharded(itemPath, column, generation, fpp,
+            expectedItemsPerFile, buckets, sorted.toLocalIterator)
+        }
+      }
+    } finally { perFile.unpersist(); () }
   }
 
   /** Relative index key from an executor-reported file URI: the file
@@ -235,20 +295,32 @@ object BloomIndex {
                                   singleDocMaxBytes: Long = SingleDocMaxBytes): Unit = {
     val gz = files.toSeq.sortBy(_._1).map { case (f, b) => f -> gzip(b) }
     val payload = gz.iterator.map(e => b64Size(e._2) + e._1.length + 8L).sum
-    if (payload <= singleDocMaxBytes || gz.size <= 1) {
-      val p = itemPath.resolve(sidecarName(column))
-      itemPath.fs.writeBytesAtomic(
-        p.raw, renderDoc(column, generation, fpp, expectedItemsPerFile, gz))
-      evictCached(p.raw)
-      dropShardedArtifacts(itemPath, column)
-    } else {
+    if (payload <= singleDocMaxBytes || gz.size <= 1)
+      writeSingleGz(itemPath, column, generation, fpp, expectedItemsPerFile, gz)
+    else
       writeSharded(itemPath, column, generation, fpp, expectedItemsPerFile,
         gz, payload)
-      dropSingleArtifact(itemPath, column)
-    }
   }
 
   private def b64Size(gz: Array[Byte]): Long = (gz.length.toLong + 2) / 3 * 4
+
+  /** Publish one column's index as a single document (pre-gzipped
+    * entries), then clean any superseded sharded layout. */
+  private def writeSingleGz(itemPath: SPath, column: String, generation: Long,
+                            fpp: Double, expectedItemsPerFile: Long,
+                            gz: Seq[(String, Array[Byte])]): Unit = {
+    val p = itemPath.resolve(sidecarName(column))
+    itemPath.fs.writeBytesAtomic(
+      p.raw, renderDoc(column, generation, fpp, expectedItemsPerFile, gz))
+    evictCached(p.raw)
+    dropShardedArtifacts(itemPath, column)
+    ()
+  }
+
+  /** Bucket count for a flat (non-period) item's sharded layout. */
+  private def flatBuckets(payload: Long): Int =
+    math.min(MaxFlatBuckets.toLong,
+      math.max(2L, payload / FlatBucketTargetBytes + 1L)).toInt
 
   /** One sidecar/shard document over PRE-gzipped blooms — shard files
     * reuse the sidecar schema (a shard is a mini sidecar whose
@@ -289,19 +361,41 @@ object BloomIndex {
                            gz: Seq[(String, Array[Byte])],
                            payload: Long): Unit = {
     val periodKeyed = gz.forall(_._1.startsWith(Collection.MonthCol + "="))
-    val buckets =
-      if (periodKeyed) 0
-      else math.min(MaxFlatBuckets.toLong,
-        math.max(2L, payload / FlatBucketTargetBytes + 1L)).toInt
+    val buckets = if (periodKeyed) 0 else flatBuckets(payload)
+    streamSharded(itemPath, column, generation, fpp, expectedItemsPerFile,
+      buckets,
+      gz.map { case (f, b) => ((shardKeyOf(f, buckets), f), b) }
+        .sortBy(_._1).iterator)
+  }
+
+  /** Publish a sharded index from (shardKey, file)-SORTED pre-gzipped
+    * entries — the iterator may stream from an RDD, so only one shard
+    * key's entries are ever held at once; the manifest publishes last
+    * and the superseded single document drops after it. */
+  private def streamSharded(itemPath: SPath, column: String, generation: Long,
+                            fpp: Double, expectedItemsPerFile: Long,
+                            buckets: Int,
+                            entries: Iterator[((String, String), Array[Byte])]): Unit = {
     val dir = itemPath.resolve(shardDirName(column))
     itemPath.fs.mkdirs(dir.raw)
-    val shards: Map[String, (Long, Seq[String])] =
-      gz.groupBy(e => shardKeyOf(e._1, buckets)).map { case (k, es) =>
-        k -> (es.size.toLong,
-          writeShardParts(dir, column, generation, fpp, expectedItemsPerFile, k, es))
-      }
+    val shards = Map.newBuilder[String, (Long, Seq[String])]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+    var curKey: String = null
+    def flush(): Unit = if (curKey != null && buf.nonEmpty) {
+      shards += curKey -> (buf.size.toLong,
+        writeShardParts(dir, column, generation, fpp, expectedItemsPerFile,
+          curKey, buf.toSeq))
+      buf.clear()
+    }
+    entries.foreach { case ((k, f), gzb) =>
+      if (k != curKey) { flush(); curKey = k }
+      buf += ((f, gzb))
+    }
+    flush()
     writeManifest(itemPath, column, generation, fpp, expectedItemsPerFile,
-      buckets, shards)
+      buckets, shards.result())
+    dropSingleArtifact(itemPath, column)
+    ()
   }
 
   /** Write one shard key's documents (greedy-split at

@@ -3693,10 +3693,8 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
       "index string, integral, float, boolean, date, timestamp, or binary columns")
     val raw = spark.read.schema(enc)
       .parquet(itemPath.resolve(Item.DataDir).toString)
-    val blooms = BloomIndex.buildBlooms(raw, columns, fpp, expectedItemsPerFile)
-    columns.foreach(c => BloomIndex.writeSidecar(
-      itemPath, c, gen, fpp, expectedItemsPerFile,
-      blooms.getOrElse(c, Map.empty), singleDocMaxBytes))
+    BloomIndex.buildAndWriteAll(raw, columns, fpp, expectedItemsPerFile,
+      itemPath, gen, singleDocMaxBytes)
   }
 
   /** Build (or rebuild) a per-file MIN/MAX data-skipping index on

@@ -156,10 +156,8 @@ private[graft] object SkipIndexes {
       .groupBy(s => (s._3, s._4)) // (fpp, expectedItemsPerFile)
       .toSeq.flatMap { case ((fpp, expected), group) =>
         val cols = group.map(_._1)
-        val blooms = BloomIndex.buildBlooms(raw, cols, fpp, expected)
-        cols.foreach(c => BloomIndex.writeSidecar(
-          itemPath, c, generation, fpp, expected,
-          blooms.getOrElse(c, Map.empty)))
+        BloomIndex.buildAndWriteAll(raw, cols, fpp, expected,
+          itemPath, generation)
         cols
       }
     val rebuiltStats =
