@@ -678,6 +678,30 @@ class BloomIndexSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("a lost/corrupt shard file degrades to unpruned-but-correct for its key only") {
+    val c = tempCollection("bloom_shard_lost")
+    c.write("item", monthlyData, indexCols = Seq("index"), monthlyLayout = true)
+    c.buildBloomIndex("item", Seq("key"), singleDocMaxBytes = 0L)
+    val dir = c.path.resolve("item").resolve(BloomIndex.shardDirName("key"))
+    val all = c.item("item").data.inputFiles.length
+    // k_100: 100 % 6 = 4 → month 2024-05; corrupt exactly that shard
+    val may = dir.fs.listFiles(dir.raw).find(_.startsWith("2024-05")).get
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir.resolve(may).raw), "garbage".getBytes)
+    // the probe into the corrupt shard's key keeps ALL of that PERIOD's
+    // files (conservative) but other periods' shards still prune — so
+    // the read is narrower than unpruned yet wider than a clean probe,
+    // and the result stays exact
+    val hit = c.item("item", filters = Seq(Filters.Pred("key", "==", "k_100")))
+    assert(hit.data.collect().map(_.getAs[String]("key")).toSeq == Seq("k_100"))
+    assert(hit.data.inputFiles.length < all,
+      "other shards must still prune around the corrupt one")
+    // a key living in a HEALTHY shard is unaffected
+    val clean = c.item("item", filters = Seq(Filters.Pred("key", "==", "k_7")))
+    assert(clean.data.count() == 1 && clean.data.inputFiles.length < all)
+    cleanup(c)
+  }
+
   test("sharded maintenance re-arm: rebuildIndexes keeps the recorded knobs; a commit retires shards") {
     val c = tempCollection("bloom_shard_rearm")
     c.write("item", monthlyData, indexCols = Seq("index"), monthlyLayout = true)

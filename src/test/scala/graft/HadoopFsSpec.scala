@@ -147,6 +147,26 @@ class HadoopFsSpec extends SparkSpec {
     hc.path.parent.parent.deleteRecursively()
   }
 
+  test("sharded bloom index works through the Hadoop backend (manifest + shard dir + prune)") {
+    val c = hadoopCollection("bloom_shard")
+    val df = (0 until 200)
+      .map(i => (i.toLong, s"key_$i")).toDF("index", "key")
+    c.write("it", df, indexCols = Seq("index"), npartitions = Some(4))
+    c.buildBloomIndex("it", Seq("key"), singleDocMaxBytes = 0L)
+    val itemPath = c.path.resolve("it")
+    assert(itemPath.resolve(BloomIndex.manifestName("key")).exists)
+    assert(!itemPath.resolve(BloomIndex.sidecarName("key")).exists)
+    val hit = c.item("it", filters = Seq(Filters.Pred("key", "==", "key_123")))
+    assert(hit.data.collect().map(_.getAs[Long]("index")).toSeq == Seq(123L))
+    assert(hit.data.inputFiles.length < 4, "sharded bloom did not prune over HadoopFs")
+    val miss = c.item("it", filters = Seq(Filters.Pred("key", "==", "zzz")))
+    assert(miss.data.count() == 0 && miss.data.inputFiles.isEmpty)
+    assert(c.dropBloomIndex("it") == Seq("key"))
+    assert(!itemPath.resolve(BloomIndex.manifestName("key")).exists &&
+      !itemPath.resolve(BloomIndex.shardDirName("key")).exists)
+    c.path.parent.parent.deleteRecursively()
+  }
+
   test("collection lock is exclusive through the Hadoop backend") {
     val c = hadoopCollection("lock")
     graft.transactions.CollectionLock.acquire(c, "owner-1", timeoutMs = 2000)
