@@ -1013,6 +1013,43 @@ object BloomIndex {
       }
       .distinct.sorted
 
+  /** Vacuum hook: reclaim shard files no manifest references — the
+    * residue of a build/refresh crashed between its shard writes and
+    * its manifest publish (the next successful publish of that column
+    * sweeps them itself, but a column never rebuilt would leak them
+    * forever). Only files whose mtime predates `cutoff` are swept: an
+    * IN-FLIGHT build stages its shard files deliberately before its
+    * manifest, so fresh files are spared — the same write-activity
+    * gate as root staging; an unreadable mtime also spares. A
+    * manifest-less shard dir left empty is removed whole. */
+  private[store] def sweepOrphanShards(itemPath: SPath,
+                                       cutoff: java.time.Instant): Seq[String] =
+    itemPath.fs.listDirs(itemPath.raw)
+      .filter(_.startsWith(ShardPrefix)).flatMap { dn =>
+        val column =
+          java.net.URLDecoder.decode(dn.stripPrefix(ShardPrefix), "UTF-8")
+        val referenced: Set[String] =
+          loadManifest(itemPath, column)
+            .map(_.shards.valuesIterator.flatMap(_._2).toSet)
+            .getOrElse(Set.empty)
+        val dir = itemPath.resolve(dn)
+        val swept = dir.fs.listFiles(dir.raw)
+          .filterNot(referenced)
+          .filter(f =>
+            dir.fs.modifiedAt(dir.resolve(f).raw).exists(_.isBefore(cutoff)))
+          .map { f =>
+            val sp = dir.resolve(f)
+            sp.deleteRecursively()
+            evictCached(sp.raw)
+            lastParse.remove(sp.raw)
+            s"orphan_bloom_shard:${itemPath.name}/$dn/$f"
+          }
+        if (!itemPath.resolve(manifestName(column)).exists &&
+            dir.fs.listFiles(dir.raw).isEmpty && dir.listDirs.isEmpty)
+          dir.deleteRecursively()
+        swept
+      }
+
   private[store] def dropSidecars(itemPath: SPath, columns: Seq[String]): Seq[String] = {
     val targets =
       if (columns.nonEmpty) columns

@@ -2070,9 +2070,17 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     // ever reclaims them. Snapshot lock: no in-flight commit is
     // mid-retention while referenced-ness is judged.
     withSnapshotLock { Snapshots.gcRetained(path) }
+    // Orphan bloom shard files — a build/refresh crashed between its
+    // shard writes and its manifest publish leaves parts no manifest
+    // references; the next publish of that column sweeps them itself,
+    // but a never-rebuilt column would leak them forever. Age-gated on
+    // the same staging cutoff: an in-flight build's fresh shards (they
+    // stage deliberately before the manifest) are spared.
+    val orphanShards = refreshItems().flatMap(it =>
+      BloomIndex.sweepOrphanShards(path.resolve(it), stagingCutoff))
     refreshItems()
     repaired ++ restoredAsides ++ junk ++
-      deadStaging.map(d => s"dead_staging:$d") ++ staleTxn
+      deadStaging.map(d => s"dead_staging:$d") ++ staleTxn ++ orphanShards
     }
   }
 

@@ -702,6 +702,36 @@ class BloomIndexSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("vacuum reclaims aged orphan shard files, spares fresh and referenced ones") {
+    val c = tempCollection("bloom_shard_vacuum")
+    c.write("item", monthlyData, indexCols = Seq("index"), monthlyLayout = true)
+    c.buildBloomIndex("item", Seq("key"), singleDocMaxBytes = 0L)
+    val dir = c.path.resolve("item").resolve(BloomIndex.shardDirName("key"))
+    val live = dir.fs.listFiles(dir.raw).toSet
+    // an ORPHAN from a publish crashed before its manifest: unreferenced
+    val mkOrphan = (name: String) => {
+      val p = java.nio.file.Paths.get(dir.resolve(name).raw)
+      java.nio.file.Files.write(p, "dead".getBytes)
+      p
+    }
+    val aged = mkOrphan("2031-01.0.g999.json")
+    java.nio.file.Files.setLastModifiedTime(aged,
+      java.nio.file.attribute.FileTime.from(
+        java.time.Instant.now().minusSeconds(72 * 3600)))
+    mkOrphan("2031-02.0.g999.json") // fresh: could be an in-flight build
+    val report = c.vacuum()
+    assert(report.exists(_.contains("orphan_bloom_shard:item")), report)
+    val after = dir.fs.listFiles(dir.raw).toSet
+    assert(!after.contains("2031-01.0.g999.json"), "aged orphan not swept")
+    assert(after.contains("2031-02.0.g999.json"), "fresh orphan must be spared")
+    assert(live.subsetOf(after), "referenced shard files must survive vacuum")
+    // the index is untouched: still current, still pruning
+    val all = c.item("item").data.inputFiles.length
+    val hit = c.item("item", filters = Seq(Filters.Pred("key", "==", "k_100")))
+    assert(hit.data.count() == 1 && hit.data.inputFiles.length < all)
+    cleanup(c)
+  }
+
   test("sharded maintenance re-arm: rebuildIndexes keeps the recorded knobs; a commit retires shards") {
     val c = tempCollection("bloom_shard_rearm")
     c.write("item", monthlyData, indexCols = Seq("index"), monthlyLayout = true)
