@@ -727,22 +727,23 @@ final class GraftScanBuilder(
       case sources.IsNotNull(a) => graft.store.Filters.Pred(a, "notnull", null)
     }
     if (preds.isEmpty) return dirRoots
-    // one stat pair per DISTINCT predicate column before any
-    // sidecar/meta READ: almost every item has no skip index, and this
-    // runs on the planning hot path of every filtered query (Spark
-    // pushes IsNotNull beside every comparison, so predicates repeat
-    // columns). Sidecars resolve from the LIVE item root — plus, for a
-    // pinned single-dir read, the snapshot's OWN root (a hardlink
-    // snapshot carries its cut's sidecars even after the live ones
-    // refresh or drop).
+    // ONE item-root listing per sidecar root before any sidecar/meta
+    // READ: almost every item has no skip index, and this runs on the
+    // planning hot path of every filtered query (Spark pushes
+    // IsNotNull beside every comparison, so predicates repeat
+    // columns) — a single LIST of the small item root beats up to
+    // three stat/HEAD calls per (column, root) on object stores.
+    // Sidecars resolve from the LIVE item root — plus, for a pinned
+    // single-dir read, the snapshot's OWN root (a hardlink snapshot
+    // carries its cut's sidecars even after the live ones refresh or
+    // drop).
     val sidecarRoots = itemPath +: (roots match {
       case GraftTable.LiveDirs(dataDir) if snapshotPinned &&
           dataDir.parent.raw != itemPath.raw => Seq(dataDir.parent)
       case _ => Nil
     })
-    if (!preds.map(_.column).distinct.exists(c => sidecarRoots.exists(r =>
-        graft.store.BloomIndex.hasSidecar(r, c) ||
-          graft.store.FileStatsIndex.hasSidecar(r, c))))
+    if (!graft.store.SkipIndexes.anyIndexed(
+        sidecarRoots, preds.map(_.column).distinct))
       return dirRoots
     roots match {
       case GraftTable.LiveDirs(dataDir) if !snapshotPinned =>

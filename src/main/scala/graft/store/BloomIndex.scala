@@ -221,7 +221,7 @@ object BloomIndex {
         if (payload <= singleDocMaxBytes) {
           // includes the empty-item build: a valid empty index
           writeSingleGz(itemPath, column, generation, fpp,
-            expectedItemsPerFile,
+            expectedItemsPerFile, singleDocMaxBytes,
             perFile.filter(_._1._2 == ci)
               .map { case ((f, _), gz) => f -> gz }.collect().toSeq)
         } else {
@@ -230,7 +230,8 @@ object BloomIndex {
             .map { case ((f, _), gz) => ((shardKeyOf(f, buckets), f), gz) }
             .sortBy(_._1)
           streamSharded(itemPath, column, generation, fpp,
-            expectedItemsPerFile, buckets, sorted.toLocalIterator)
+            expectedItemsPerFile, singleDocMaxBytes, buckets,
+            sorted.toLocalIterator)
         }
       }
     } finally { perFile.unpersist(); () }
@@ -296,10 +297,11 @@ object BloomIndex {
     val gz = files.toSeq.sortBy(_._1).map { case (f, b) => f -> gzip(b) }
     val payload = gz.iterator.map(e => b64Size(e._2) + e._1.length + 8L).sum
     if (payload <= singleDocMaxBytes || gz.size <= 1)
-      writeSingleGz(itemPath, column, generation, fpp, expectedItemsPerFile, gz)
+      writeSingleGz(itemPath, column, generation, fpp, expectedItemsPerFile,
+        singleDocMaxBytes, gz)
     else
       writeSharded(itemPath, column, generation, fpp, expectedItemsPerFile,
-        gz, payload)
+        singleDocMaxBytes, gz, payload)
   }
 
   private def b64Size(gz: Array[Byte]): Long = (gz.length.toLong + 2) / 3 * 4
@@ -308,10 +310,12 @@ object BloomIndex {
     * entries), then clean any superseded sharded layout. */
   private def writeSingleGz(itemPath: SPath, column: String, generation: Long,
                             fpp: Double, expectedItemsPerFile: Long,
+                            singleDocMaxBytes: Long,
                             gz: Seq[(String, Array[Byte])]): Unit = {
     val p = itemPath.resolve(sidecarName(column))
     itemPath.fs.writeBytesAtomic(
-      p.raw, renderDoc(column, generation, fpp, expectedItemsPerFile, gz))
+      p.raw, renderDoc(column, generation, fpp, expectedItemsPerFile,
+        singleDocMaxBytes, gz))
     evictCached(p.raw)
     dropShardedArtifacts(itemPath, column)
     ()
@@ -325,9 +329,12 @@ object BloomIndex {
   /** One sidecar/shard document over PRE-gzipped blooms — shard files
     * reuse the sidecar schema (a shard is a mini sidecar whose
     * recorded generation is informational; the manifest's is the
-    * validity key). */
+    * validity key). `single_doc_max_bytes` rides along with the other
+    * sizing knobs so maintenance rebuilds and incremental refreshes
+    * reproduce a user-forced layout instead of silently reverting to
+    * the 16 MB default. */
   private def renderDoc(column: String, generation: Long, fpp: Double,
-                        expectedItemsPerFile: Long,
+                        expectedItemsPerFile: Long, singleDocMaxBytes: Long,
                         gzFiles: Seq[(String, Array[Byte])]): Array[Byte] = {
     val enc = Base64.getEncoder
     val json = JObject(List(
@@ -336,6 +343,7 @@ object BloomIndex {
       "generation" -> JLong(generation),
       "fpp" -> JDouble(fpp),
       "expected_items_per_file" -> JLong(expectedItemsPerFile),
+      "single_doc_max_bytes" -> JLong(singleDocMaxBytes),
       "files" -> JObject(gzFiles.sortBy(_._1).toList.map {
         case (f, gzb) => f -> (JString(enc.encodeToString(gzb)): JValue)
       })))
@@ -358,42 +366,52 @@ object BloomIndex {
 
   private def writeSharded(itemPath: SPath, column: String, generation: Long,
                            fpp: Double, expectedItemsPerFile: Long,
+                           singleDocMaxBytes: Long,
                            gz: Seq[(String, Array[Byte])],
                            payload: Long): Unit = {
     val periodKeyed = gz.forall(_._1.startsWith(Collection.MonthCol + "="))
     val buckets = if (periodKeyed) 0 else flatBuckets(payload)
     streamSharded(itemPath, column, generation, fpp, expectedItemsPerFile,
-      buckets,
+      singleDocMaxBytes, buckets,
       gz.map { case (f, b) => ((shardKeyOf(f, buckets), f), b) }
         .sortBy(_._1).iterator)
   }
 
   /** Publish a sharded index from (shardKey, file)-SORTED pre-gzipped
-    * entries — the iterator may stream from an RDD, so only one shard
-    * key's entries are ever held at once; the manifest publishes last
-    * and the superseded single document drops after it. */
+    * entries — the iterator may stream from an RDD, and parts flush
+    * GREEDILY as the running size crosses [[ShardSplitBytes]], so the
+    * driver holds at most ONE part's entries (~48 MB) at a time: peak
+    * build memory is bounded by the split size, not by the hottest
+    * period's full payload. The manifest publishes last and the
+    * superseded single document drops after it. */
   private def streamSharded(itemPath: SPath, column: String, generation: Long,
                             fpp: Double, expectedItemsPerFile: Long,
-                            buckets: Int,
+                            singleDocMaxBytes: Long, buckets: Int,
                             entries: Iterator[((String, String), Array[Byte])]): Unit = {
     val dir = itemPath.resolve(shardDirName(column))
     itemPath.fs.mkdirs(dir.raw)
-    val shards = Map.newBuilder[String, (Long, Seq[String])]
+    val shards =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Long, Vector[String])]
     val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+    var bufBytes = 0L
     var curKey: String = null
-    def flush(): Unit = if (curKey != null && buf.nonEmpty) {
-      shards += curKey -> (buf.size.toLong,
-        writeShardParts(dir, column, generation, fpp, expectedItemsPerFile,
-          curKey, buf.toSeq))
-      buf.clear()
+    var partIdx = 0
+    def flushPart(): Unit = if (buf.nonEmpty) {
+      val name = writeOnePart(dir, column, generation, fpp,
+        expectedItemsPerFile, singleDocMaxBytes, curKey, partIdx, buf.toSeq)
+      val (n, parts) = shards.getOrElse(curKey, (0L, Vector.empty[String]))
+      shards(curKey) = (n + buf.size, parts :+ name)
+      partIdx += 1; buf.clear(); bufBytes = 0L
     }
     entries.foreach { case ((k, f), gzb) =>
-      if (k != curKey) { flush(); curKey = k }
-      buf += ((f, gzb))
+      if (k != curKey) { flushPart(); curKey = k; partIdx = 0 }
+      val sz = b64Size(gzb) + f.length + 8L
+      if (buf.nonEmpty && bufBytes + sz > ShardSplitBytes) flushPart()
+      buf += ((f, gzb)); bufBytes += sz
     }
-    flush()
+    flushPart()
     writeManifest(itemPath, column, generation, fpp, expectedItemsPerFile,
-      buckets, shards.result())
+      singleDocMaxBytes, buckets, shards.toMap)
     dropSingleArtifact(itemPath, column)
     ()
   }
@@ -401,37 +419,49 @@ object BloomIndex {
   /** Write one shard key's documents (greedy-split at
     * [[ShardSplitBytes]]); names embed the creation generation, so a
     * name's content is immutable — carried-forward references from a
-    * refreshed manifest can never read rewritten bytes. */
+    * refreshed manifest can never read rewritten bytes. Bounded
+    * callers only (the partial-commit refresh); the full build streams
+    * through [[writeOnePart]] directly. */
   private def writeShardParts(dir: SPath, column: String, generation: Long,
                               fpp: Double, expectedItemsPerFile: Long,
-                              key: String,
+                              singleDocMaxBytes: Long, key: String,
                               entries: Seq[(String, Array[Byte])]): Seq[String] = {
-    val parts = Seq.newBuilder[Seq[(String, Array[Byte])]]
-    var cur = Seq.newBuilder[(String, Array[Byte])]
+    val names = Seq.newBuilder[String]
+    var cur = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
     var bytes = 0L
-    var any = false
+    var i = 0
+    def flush(): Unit = if (cur.nonEmpty) {
+      names += writeOnePart(dir, column, generation, fpp, expectedItemsPerFile,
+        singleDocMaxBytes, key, i, cur.toSeq)
+      i += 1; cur.clear(); bytes = 0L
+    }
     entries.foreach { e =>
       val sz = b64Size(e._2) + e._1.length + 8L
-      if (any && bytes + sz > ShardSplitBytes) {
-        parts += cur.result(); cur = Seq.newBuilder; bytes = 0L; any = false
-      }
-      cur += e; bytes += sz; any = true
+      if (cur.nonEmpty && bytes + sz > ShardSplitBytes) flush()
+      cur += e; bytes += sz
     }
-    if (any) parts += cur.result()
-    parts.result().zipWithIndex.map { case (pes, i) =>
-      val name =
-        s"${java.net.URLEncoder.encode(key, "UTF-8")}.$i.g$generation.json"
-      val p = dir.resolve(name)
-      dir.fs.writeBytesAtomic(
-        p.raw, renderDoc(column, generation, fpp, expectedItemsPerFile, pes))
-      evictCached(p.raw)
-      name
-    }
+    flush()
+    names.result()
+  }
+
+  /** One shard document (part `idx` of `key` at `generation`). */
+  private def writeOnePart(dir: SPath, column: String, generation: Long,
+                           fpp: Double, expectedItemsPerFile: Long,
+                           singleDocMaxBytes: Long, key: String, idx: Int,
+                           entries: Seq[(String, Array[Byte])]): String = {
+    val name =
+      s"${java.net.URLEncoder.encode(key, "UTF-8")}.$idx.g$generation.json"
+    val p = dir.resolve(name)
+    dir.fs.writeBytesAtomic(
+      p.raw, renderDoc(column, generation, fpp, expectedItemsPerFile,
+        singleDocMaxBytes, entries))
+    evictCached(p.raw)
+    name
   }
 
   private def writeManifest(itemPath: SPath, column: String, generation: Long,
                             fpp: Double, expectedItemsPerFile: Long,
-                            buckets: Int,
+                            singleDocMaxBytes: Long, buckets: Int,
                             shards: Map[String, (Long, Seq[String])]): Unit = {
     val json = JObject(List(
       "algo" -> JString(AlgoTag),
@@ -439,6 +469,7 @@ object BloomIndex {
       "generation" -> JLong(generation),
       "fpp" -> JDouble(fpp),
       "expected_items_per_file" -> JLong(expectedItemsPerFile),
+      "single_doc_max_bytes" -> JLong(singleDocMaxBytes),
       "buckets" -> JLong(buckets.toLong),
       "shards" -> JObject(shards.toList.sortBy(_._1).map {
         case (k, (n, partNames)) => k -> (JObject(List(
@@ -496,6 +527,7 @@ object BloomIndex {
 
   private final case class Loaded(generation: Long, fpp: Double,
                                   expectedItemsPerFile: Long,
+                                  singleDocMaxBytes: Long,
                                   files: Map[String, BloomFilter])
 
   /** mtime-keyed parse cache: the planning path may consult the same
@@ -570,12 +602,15 @@ object BloomIndex {
           case _                => return None
         }
         val expected = long("expected_items_per_file").getOrElse(return None)
+        // sizing knob persisted since it became user-settable; absent in
+        // older sidecars, which were written at the built-in default
+        val sdmb = long("single_doc_max_bytes").getOrElse(SingleDocMaxBytes)
         val dec = Base64.getDecoder
         val files = fields("files").asInstanceOf[JObject].obj.map {
           case (f, JString(b64)) => f -> deserialize(gunzip(dec.decode(b64)))
           case other => return None
         }.toMap
-        Loaded(gen, fpp, expected, files)
+        Loaded(gen, fpp, expected, sdmb, files)
       } catch { case scala.util.control.NonFatal(_) => return None }
     // Eviction bounds BYTES, not entries: one Loaded holds a document's
     // every deserialized bitset (up to SingleDocMaxBytes for a single
@@ -611,7 +646,8 @@ object BloomIndex {
   /** Root manifest of a sharded index: the validity generation, the
     * sizing knobs, and per shard key its file count + document names. */
   private final case class Manifest(generation: Long, fpp: Double,
-                                    expectedItemsPerFile: Long, buckets: Int,
+                                    expectedItemsPerFile: Long,
+                                    singleDocMaxBytes: Long, buckets: Int,
                                     shards: Map[String, (Long, Seq[String])]) {
     def numFiles: Long = shards.valuesIterator.map(_._1).sum
     def numParts: Int = shards.valuesIterator.map(_._2.size).sum
@@ -645,6 +681,7 @@ object BloomIndex {
           case _                => return None
         }
         val expected = long("expected_items_per_file").getOrElse(return None)
+        val sdmb = long("single_doc_max_bytes").getOrElse(SingleDocMaxBytes)
         val buckets = long("buckets").getOrElse(return None).toInt
         val shards = fields("shards").asInstanceOf[JObject].obj.map {
           case (k, JObject(o)) =>
@@ -662,20 +699,12 @@ object BloomIndex {
             k -> (n, parts)
           case _ => return None
         }.toMap
-        Manifest(gen, fpp, expected, buckets, shards)
+        Manifest(gen, fpp, expected, sdmb, buckets, shards)
       } catch { case scala.util.control.NonFatal(_) => return None }
     if (manifestCache.size > 256) manifestCache.clear()
     manifestCache.put(p.raw, (mtime, parsed))
     Some(parsed)
   }
-
-  /** One stat (two for items without a single-document sidecar): does
-    * `column` carry an index in either layout? The planning hot path
-    * asks this BEFORE paying a sidecar/meta read — almost every item
-    * has no bloom index. */
-  private[graft] def hasSidecar(itemPath: SPath, column: String): Boolean =
-    itemPath.fs.modifiedAt(itemPath.resolve(sidecarName(column)).raw).isDefined ||
-      itemPath.fs.modifiedAt(itemPath.resolve(manifestName(column)).raw).isDefined
 
   // ------------------------------------------------------------------ open
 
@@ -699,13 +728,20 @@ object BloomIndex {
   private final class ShardedIdx(dir: SPath, man: Manifest) extends Idx {
     private val byKey =
       scala.collection.mutable.HashMap.empty[String, Option[Map[String, BloomFilter]]]
+    /** Shard-parse millis paid by THIS planning pass (memoized keys
+      * re-cost ~0) — the caller WARNs past a threshold so an
+      * unnarrowed-probe pattern (planning parsing linearly in item
+      * size) surfaces in logs instead of user complaints. */
+    private[BloomIndex] var planParseMs: Long = 0L
     def fileMightMatch(f: String, hs: Seq[Long]): Boolean = {
       val k = shardKeyOf(f, man.buckets)
       man.shards.get(k) match {
         case None => true // key unknown to the index (raced listing): keep
         case Some((_, parts)) =>
           byKey.getOrElseUpdate(k, {
+            val t0 = System.nanoTime()
             val docs = parts.map(n => loadDoc(dir.fs, dir.resolve(n).raw))
+            planParseMs += (System.nanoTime() - t0) / 1000000L
             if (docs.exists(_.isEmpty)) None // unreadable shard: keep its files
             else Some(docs.iterator.flatMap(_.get.files).toMap)
           }) match {
@@ -789,7 +825,35 @@ object BloomIndex {
     if (all.isEmpty) return None
     val kept = all.filter(f =>
       usable.forall { case (idx, hs) => idx.fileMightMatch(f, hs) })
+    warnIfSlowPlan(itemPath, all.size, usable.map(_._1))
     if (kept.size == all.size) None else Some(kept)
+  }
+
+  /** Planning-time visibility for the one designed-cost pattern that
+    * stays linear: an equality probe over a huge sharded item whose
+    * candidate set was NOT narrowed first (no zonemap/period help)
+    * parses every shard — measured at ~32.5 s for 10k near-full files
+    * (BloomSidecarScaleProbe). Real probes ride the zonemap's kept
+    * list by construction (SkipIndexes), so when a single planning
+    * pass pays more than [[SlowPlanWarnMs]] of cold shard parses,
+    * surface it: that is the signal to narrow the query (or, if a
+    * bench number ever shows sustained pain, to parallelize the shard
+    * parse — evidence first). `$bloom`'s last_parse_ms carries the
+    * same number per column for programmatic access. */
+  private val SlowPlanWarnMs = 2000L
+  private lazy val planLog =
+    org.slf4j.LoggerFactory.getLogger("graft.store.BloomIndex")
+  private def warnIfSlowPlan(itemPath: SPath, candidates: Int,
+                             idxs: Seq[Idx]): Unit = {
+    val ms = idxs.iterator
+      .collect { case s: ShardedIdx => s.planParseMs }.sum
+    if (ms > SlowPlanWarnMs)
+      planLog.warn(
+        s"bloom planning for item '${itemPath.name}' parsed shard documents " +
+          s"for ${ms} ms over $candidates candidate files — the probe was " +
+          "not narrowed by period/range predicates, so shard planning " +
+          "scales with item size; add a time/range predicate or query " +
+          "the `$bloom` table (last_parse_ms) to monitor")
   }
 
   /** Period-granularity pruning for [[Collection.deleteWhere]]'s
@@ -935,11 +999,15 @@ object BloomIndex {
       .map(m => dataDir.resolve(s"${Collection.MonthCol}=$m"))
       .filter(_.isDir) // a removed (emptied) month has no dir — entries just drop
     val prefixes = months.map(m => s"${Collection.MonthCol}=$m/")
-    def knobs(e: Either[Loaded, Manifest]): (Double, Long) =
-      e.fold(l => (l.fpp, l.expectedItemsPerFile),
-        m => (m.fpp, m.expectedItemsPerFile))
+    // group by ALL recorded sizing knobs — including the persisted
+    // single-document ceiling, so a user-forced layout (0 = always
+    // sharded, MaxValue = always single) survives maintenance instead
+    // of reverting to the default on the next refresh
+    def knobs(e: Either[Loaded, Manifest]): (Double, Long, Long) =
+      e.fold(l => (l.fpp, l.expectedItemsPerFile, l.singleDocMaxBytes),
+        m => (m.fpp, m.expectedItemsPerFile, m.singleDocMaxBytes))
     valid.groupBy(v => knobs(v._2)).foreach {
-      case ((fpp, expected), group) =>
+      case ((fpp, expected, sdmb), group) =>
         val gcols = group.map(_._1).filter(c => enc.fields.exists(_.name == c))
         val fresh: Map[String, Map[String, Array[Byte]]] =
           if (touchedDirs.isEmpty || gcols.isEmpty) Map.empty
@@ -952,10 +1020,10 @@ object BloomIndex {
               .filterKeys(f => !prefixes.exists(f.startsWith))
               .map { case (f, bf) => f -> serialize(bf) }.toMap
             writeSidecar(itemPath, c, newGen, fpp, expected,
-              carried ++ fresh.getOrElse(c, Map.empty))
+              carried ++ fresh.getOrElse(c, Map.empty), sdmb)
           case (c, Right(man)) =>
             refreshSharded(itemPath, c, man, months, newGen, fpp, expected,
-              fresh.getOrElse(c, Map.empty))
+              sdmb, fresh.getOrElse(c, Map.empty))
         }
     }
   }
@@ -968,7 +1036,7 @@ object BloomIndex {
     * superseded shard files. */
   private def refreshSharded(itemPath: SPath, column: String, man: Manifest,
                              months: Seq[String], newGen: Long,
-                             fpp: Double, expected: Long,
+                             fpp: Double, expected: Long, singleDocMax: Long,
                              fresh: Map[String, Array[Byte]]): Unit = {
     val dir = itemPath.resolve(shardDirName(column))
     itemPath.fs.mkdirs(dir.raw)
@@ -977,9 +1045,10 @@ object BloomIndex {
         .groupBy(e => shardKeyOf(e._1, 0))
         .map { case (k, es) =>
           k -> (es.size.toLong,
-            writeShardParts(dir, column, newGen, fpp, expected, k, es))
+            writeShardParts(dir, column, newGen, fpp, expected, singleDocMax,
+              k, es))
         }
-    writeManifest(itemPath, column, newGen, fpp, expected, 0,
+    writeManifest(itemPath, column, newGen, fpp, expected, singleDocMax, 0,
       (man.shards -- months) ++ rebuilt)
   }
 
@@ -998,6 +1067,17 @@ object BloomIndex {
         .orElse(load(itemPath, c).map(l =>
           (c, l.generation, l.fpp, l.expectedItemsPerFile, l.files.size, 0)))
     }
+
+  /** The persisted single-document ceiling of a column's index (either
+    * layout), defaulting for pre-persistence sidecars — maintenance
+    * rebuilds reuse it so a user-forced layout (0 = always sharded,
+    * MaxValue = always one document) survives rebuildIndexes instead
+    * of silently reverting to the 16 MB default. */
+  private[store] def recordedSingleDocMax(itemPath: SPath,
+                                          column: String): Long =
+    loadManifest(itemPath, column).map(_.singleDocMaxBytes)
+      .orElse(load(itemPath, column).map(_.singleDocMaxBytes))
+      .getOrElse(SingleDocMaxBytes)
 
   /** Indexed columns present on an item (decoded names, both layouts). */
   private[store] def indexedColumns(itemPath: SPath): Seq[String] =
@@ -1021,33 +1101,46 @@ object BloomIndex {
     * IN-FLIGHT build stages its shard files deliberately before its
     * manifest, so fresh files are spared — the same write-activity
     * gate as root staging; an unreadable mtime also spares. A
-    * manifest-less shard dir left empty is removed whole. */
+    * manifest-less shard dir left empty is removed whole.
+    *
+    * A manifest that is PRESENT but fails to read or parse (transient
+    * IO error, mid-write glimpse on a non-atomic backend) skips the
+    * column entirely: its shard files may all still be referenced, and
+    * sweeping them on a read hiccup would silently destroy a healthy
+    * index (queries would degrade to unpruned until a rebuild). Only a
+    * definitively ABSENT manifest (the stat says so) treats the whole
+    * dir as unreferenced. */
   private[store] def sweepOrphanShards(itemPath: SPath,
                                        cutoff: java.time.Instant): Seq[String] =
     itemPath.fs.listDirs(itemPath.raw)
       .filter(_.startsWith(ShardPrefix)).flatMap { dn =>
         val column =
           java.net.URLDecoder.decode(dn.stripPrefix(ShardPrefix), "UTF-8")
-        val referenced: Set[String] =
-          loadManifest(itemPath, column)
-            .map(_.shards.valuesIterator.flatMap(_._2).toSet)
-            .getOrElse(Set.empty)
-        val dir = itemPath.resolve(dn)
-        val swept = dir.fs.listFiles(dir.raw)
-          .filterNot(referenced)
-          .filter(f =>
-            dir.fs.modifiedAt(dir.resolve(f).raw).exists(_.isBefore(cutoff)))
-          .map { f =>
-            val sp = dir.resolve(f)
-            sp.deleteRecursively()
-            evictCached(sp.raw)
-            lastParse.remove(sp.raw)
-            s"orphan_bloom_shard:${itemPath.name}/$dn/$f"
-          }
-        if (!itemPath.resolve(manifestName(column)).exists &&
-            dir.fs.listFiles(dir.raw).isEmpty && dir.listDirs.isEmpty)
-          dir.deleteRecursively()
-        swept
+        val manifestPresent = itemPath.fs
+          .modifiedAt(itemPath.resolve(manifestName(column)).raw).isDefined
+        val loaded = loadManifest(itemPath, column)
+        if (manifestPresent && loaded.isEmpty) Nil // unreadable ≠ absent
+        else {
+          val referenced: Set[String] =
+            loaded.map(_.shards.valuesIterator.flatMap(_._2).toSet)
+              .getOrElse(Set.empty)
+          val dir = itemPath.resolve(dn)
+          val swept = dir.fs.listFiles(dir.raw)
+            .filterNot(referenced)
+            .filter(f =>
+              dir.fs.modifiedAt(dir.resolve(f).raw).exists(_.isBefore(cutoff)))
+            .map { f =>
+              val sp = dir.resolve(f)
+              sp.deleteRecursively()
+              evictCached(sp.raw)
+              lastParse.remove(sp.raw)
+              s"orphan_bloom_shard:${itemPath.name}/$dn/$f"
+            }
+          if (!itemPath.resolve(manifestName(column)).exists &&
+              dir.fs.listFiles(dir.raw).isEmpty && dir.listDirs.isEmpty)
+            dir.deleteRecursively()
+          swept
+        }
       }
 
   private[store] def dropSidecars(itemPath: SPath, columns: Seq[String]): Seq[String] = {

@@ -240,9 +240,6 @@ object FileStatsIndex {
     Some(parsed)
   }
 
-  private[graft] def hasSidecar(itemPath: SPath, column: String): Boolean =
-    itemPath.fs.modifiedAt(itemPath.resolve(sidecarName(column)).raw).isDefined
-
   // ---------------------------------------------------------------- prune
 
   /** Can `op v` hold for any value inside [lo, hi]? Null bounds = the

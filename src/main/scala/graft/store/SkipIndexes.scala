@@ -47,6 +47,25 @@ private[graft] object SkipIndexes {
   private[graft] def listOnce(dataDir: SPath): () => Seq[String] =
     new ListOnce(dataDir)
 
+  /** One LIST per sidecar root answering "does ANY of `columns` carry
+    * a skip index in either layout?" — the planning-hot-path precheck
+    * before any sidecar/meta READ. Almost every item has no index, so
+    * the common case must stay cheap: one listing of the (small —
+    * sidecars + the data dir, never data files) item root replaces up
+    * to three stat/HEAD calls per (column, root), which object stores
+    * bill per call. An unlistable root contributes nothing. */
+  private[graft] def anyIndexed(roots: Seq[SPath],
+                                columns: Seq[String]): Boolean =
+    columns.nonEmpty && roots.exists { r =>
+      val names =
+        try r.fs.listFiles(r.raw).toSet
+        catch { case scala.util.control.NonFatal(_) => Set.empty[String] }
+      names.nonEmpty && columns.exists(c =>
+        names.contains(BloomIndex.sidecarName(c)) ||
+          names.contains(BloomIndex.manifestName(c)) ||
+          names.contains(FileStatsIndex.sidecarName(c)))
+    }
+
   /** Driver-side file pruning through both indexes over ONE listing.
     * Same contract as each pruner: None = no pruning applies (or no
     * shrink); Some(kept) = read exactly these relative paths. */
@@ -152,12 +171,16 @@ private[graft] object SkipIndexes {
     if (bloomKeep.isEmpty && statsKeep.isEmpty) return Nil
 
     lazy val raw = readEncoded()
+    // group by ALL recorded sizing knobs, including the persisted
+    // single-document ceiling — a user-forced layout (0 / MaxValue)
+    // must survive the rebuild, not revert to the default
     val rebuiltBloom = bloomKeep
-      .groupBy(s => (s._3, s._4)) // (fpp, expectedItemsPerFile)
-      .toSeq.flatMap { case ((fpp, expected), group) =>
+      .groupBy(s => (s._3, s._4,
+        BloomIndex.recordedSingleDocMax(itemPath, s._1)))
+      .toSeq.flatMap { case ((fpp, expected, singleDocMax), group) =>
         val cols = group.map(_._1)
         BloomIndex.buildAndWriteAll(raw, cols, fpp, expected,
-          itemPath, generation)
+          itemPath, generation, singleDocMax)
         cols
       }
     val rebuiltStats =

@@ -748,10 +748,93 @@ class BloomIndexSpec extends SparkSpec {
     val armed = c.item("item", filters = Seq(Filters.Pred("key", "==", "k_7")))
     assert(armed.data.count() == 1 && armed.data.inputFiles.length <
       c.item("item").data.inputFiles.length)
-    // knobs survived the round trip through the manifest (the rebuild
-    // re-dispatches by size, so the small fixture lands single-doc)
-    val st = BloomIndex.sidecarStates(c.path.resolve("item"))
+    // ALL knobs survived the round trip through the manifest — fpp,
+    // expected items, AND the forced single-doc ceiling: the rebuild
+    // re-dispatches with the RECORDED singleDocMaxBytes=0, so the
+    // small fixture stays SHARDED instead of reverting to the default
+    val itemPath = c.path.resolve("item")
+    val st = BloomIndex.sidecarStates(itemPath)
     assert(st.length == 1 && st.head._3 == 0.02 && st.head._4 == 5000L)
+    assert(itemPath.resolve(BloomIndex.manifestName("key")).exists &&
+      !itemPath.resolve(BloomIndex.sidecarName("key")).exists,
+      "forced sharded layout (singleDocMaxBytes=0) must survive rebuildIndexes")
+    assert(st.head._6 > 0, "rebuilt index should still report shards")
+    cleanup(c)
+  }
+
+  test("a forced layout survives incremental refresh: the persisted ceiling rides the manifest") {
+    import spark.implicits._
+    val c = tempCollection("bloom_shard_knob")
+    c.write("item", monthlyData, indexCols = Seq("index"), monthlyLayout = true)
+    c.buildBloomIndex("item", Seq("key"), singleDocMaxBytes = 0L)
+    val itemPath = c.path.resolve("item")
+    // a partial-month append refreshes incrementally; the rewritten
+    // manifest must carry the recorded ceiling so the NEXT maintenance
+    // (rebuild after a rebalance) still honors the forced layout
+    c.append("item", Seq(
+      (java.sql.Timestamp.valueOf("2024-02-10 00:00:00"), "k_knob", 2.0))
+      .toDF("index", "key", "value"))
+    assert(itemPath.resolve(BloomIndex.manifestName("key")).exists,
+      "refresh must keep the sharded layout")
+    c.rebalance("item") // retires the index (generation moves)
+    assert(c.rebuildIndexes("item") == Seq("key"))
+    assert(itemPath.resolve(BloomIndex.manifestName("key")).exists &&
+      !itemPath.resolve(BloomIndex.sidecarName("key")).exists,
+      "the ceiling persisted through refresh must steer the rebuild back to sharded")
+    val all = c.item("item").data.inputFiles.length
+    val hit = c.item("item", filters = Seq(Filters.Pred("key", "==", "k_knob")))
+    assert(hit.data.count() == 1 && hit.data.inputFiles.length < all)
+    cleanup(c)
+  }
+
+  test("vacuum spares every shard when the manifest is present but unreadable") {
+    val c = tempCollection("bloom_shard_vacuum_safe")
+    c.write("item", monthlyData, indexCols = Seq("index"), monthlyLayout = true)
+    c.buildBloomIndex("item", Seq("key"), singleDocMaxBytes = 0L)
+    val itemPath = c.path.resolve("item")
+    val manPath = java.nio.file.Paths.get(
+      itemPath.resolve(BloomIndex.manifestName("key")).raw)
+    val dir = itemPath.resolve(BloomIndex.shardDirName("key"))
+    val live = dir.fs.listFiles(dir.raw).toSet
+    // age every shard past the vacuum cutoff — if the sweep treats an
+    // unreadable manifest as absent, ALL of them become sweepable
+    val aged = java.nio.file.attribute.FileTime.from(
+      java.time.Instant.now().minusSeconds(72 * 3600))
+    live.foreach(f => java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(dir.resolve(f).raw), aged))
+    // a transient parse failure: manifest EXISTS but holds garbage
+    val manBytes = java.nio.file.Files.readAllBytes(manPath)
+    java.nio.file.Files.write(manPath, "{not json".getBytes)
+    c.vacuum()
+    assert(dir.fs.listFiles(dir.raw).toSet == live,
+      "present-but-unreadable manifest must spare ALL shard files")
+    // the hiccup clears: restore the manifest and the index is whole
+    java.nio.file.Files.write(manPath, manBytes)
+    val all = c.item("item").data.inputFiles.length
+    val hit = c.item("item", filters = Seq(Filters.Pred("key", "==", "k_100")))
+    assert(hit.data.count() == 1 && hit.data.inputFiles.length < all,
+      "index must prune again once the manifest reads cleanly")
+    cleanup(c)
+  }
+
+  test("anyIndexed: one root listing answers the no-index fast path for both indexes") {
+    val c = tempCollection("bloom_any_indexed")
+    c.write("item", keyedData, indexCols = Seq("index"), npartitions = Some(4))
+    val itemPath = c.path.resolve("item")
+    assert(!SkipIndexes.anyIndexed(Seq(itemPath), Seq("key", "tag")))
+    c.buildBloomIndex("item", Seq("key"))
+    assert(SkipIndexes.anyIndexed(Seq(itemPath), Seq("key")))
+    assert(SkipIndexes.anyIndexed(Seq(itemPath), Seq("tag", "key")))
+    assert(!SkipIndexes.anyIndexed(Seq(itemPath), Seq("tag")))
+    // sharded layout: the manifest name answers
+    c.buildBloomIndex("item", Seq("key"), singleDocMaxBytes = 0L)
+    assert(SkipIndexes.anyIndexed(Seq(itemPath), Seq("key")))
+    // the range index answers through the same listing
+    c.buildFileStatsIndex("item", Seq("value"))
+    assert(SkipIndexes.anyIndexed(Seq(itemPath), Seq("value")))
+    // an unlistable root contributes nothing
+    assert(!SkipIndexes.anyIndexed(
+      Seq(c.path.resolve("no_such_item")), Seq("key")))
     cleanup(c)
   }
 }

@@ -167,6 +167,70 @@ class ScaleForcedSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("the DEFAULT 16 MB bloom ceiling auto-shards a real multi-hundred-file item, prunes and refreshes") {
+    // Pins the auto-trigger BOUNDARY itself: every other sharded-bloom
+    // test forces the layout via singleDocMaxBytes=0 on an 8-file
+    // fixture; here NO override is passed — 512 daily files of 4096
+    // distinct keys at fpp=1e-15 serialize to ~25 MB of near-full
+    // (incompressible) bloom payload, so writeSidecar's size dispatch
+    // must cross BloomIndex.SingleDocMaxBytes on its own and publish
+    // the sharded layout end to end: manifest + per-day shards,
+    // pruning, and the carry-by-name incremental refresh.
+    val c = tempCollection("scale_bloom_threshold")
+    val days = 512
+    val perDay = 4096
+    val rows = spark.range(days.toLong * perDay).select(
+      (lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")).cast("long") +
+        (col("id") / perDay).cast("long") * 86400L +
+        (col("id") % perDay) * 20).cast("timestamp").as("index"),
+      concat(lit("k"), col("id")).as("key"),
+      (col("id") % 97).cast("double").as("value"))
+    c.write("item", rows, timeLayout = Some("daily"))
+    val itemPath = c.path.resolve("item")
+    val all = c.item("item").data.inputFiles.length
+    assert(all == days, s"expected one file per day, got $all")
+
+    c.buildBloomIndex("item", Seq("key"), fpp = 1e-15,
+      expectedItemsPerFile = perDay.toLong) // NO singleDocMaxBytes override
+    assert(itemPath.resolve(graft.store.BloomIndex.manifestName("key")).exists &&
+      !itemPath.resolve(graft.store.BloomIndex.sidecarName("key")).exists,
+      "the default 16 MB ceiling must dispatch this payload to the sharded layout")
+    val st = graft.store.BloomIndex.sidecarStates(itemPath)
+    assert(st.length == 1 && st.head._5 == days && st.head._6 == days,
+      s"expected $days files over $days period shards: $st")
+
+    // planning rides selectivity: a key probe reads exactly its file
+    Seq(0L, 12345L, days.toLong * perDay - 1).foreach { id =>
+      val hit = c.item("item",
+        filters = Seq(graft.store.Filters.Pred("key", "==", s"k$id")))
+      assert(hit.data.collect().map(_.getAs[String]("key")).toSeq == Seq(s"k$id"))
+      assert(hit.data.inputFiles.length == 1,
+        s"k$id should probe exactly its own file at fpp=1e-15")
+    }
+
+    // incremental refresh at this file count: untouched shard FILES
+    // carry by name, the index stays sharded and current
+    val dir = itemPath.resolve(graft.store.BloomIndex.shardDirName("key"))
+    val before = dir.fs.listFiles(dir.raw).toSet
+    c.append("item", Seq(
+      (java.sql.Timestamp.valueOf("2020-06-01 12:00:00"), "k_fresh", 1.0))
+      .toDF("index", "key", "value"))
+    val after = dir.fs.listFiles(dir.raw).toSet
+    assert((before -- after).forall(_.startsWith("2020-06-01")) &&
+      (after -- before).forall(_.startsWith("2020-06-01")),
+      "only the touched day's shard may change")
+    assert((before & after).size == before.size - 1,
+      "untouched days' shard files must carry by name")
+    val fresh = c.item("item",
+      filters = Seq(graft.store.Filters.Pred("key", "==", "k_fresh")))
+    assert(fresh.data.count() == 1 && fresh.data.inputFiles.length == 1)
+    val old = c.item("item",
+      filters = Seq(graft.store.Filters.Pred("key", "==", "k9999")))
+    assert(old.data.count() == 1 && old.data.inputFiles.length == 1,
+      "untouched periods must still prune after the refresh")
+    cleanup(c)
+  }
+
   test("distributed connected components converge at real chain diameter") {
     // 50 chains of length 20: the min label must PROPAGATE 19 hops —
     // cycles of size 4 (the round-5 test) never exercise convergence
