@@ -204,12 +204,19 @@ final class Item private[store] (
         // rest. Keys are built from the PAIR's period name because a
         // retained dir's on-disk path no longer carries `__month=`.
         val pinKept: Option[Seq[String]] = frozen.flatMap { enc =>
-          lazy val fileMap = SkipIndexes.pinnedFileMap(keptPairs)
-          SkipIndexes.prunedKeys(
-            collectionPath.resolve(name), () => fileMap.keys.toSeq,
-            filters, pr.sidecar, enc,
-            Some(Snapshots.generationOf(pr.sidecar)))
-            .map(_.flatMap(fileMap.get))
+          // one LIST of the live item root answers "any skip index on
+          // the predicate columns?" before any per-column sidecar stat
+          // — the overwhelmingly common no-index case stays one call
+          if (!SkipIndexes.anyIndexed(Seq(collectionPath.resolve(name)),
+              filters.map(_.column).distinct)) None
+          else {
+            lazy val fileMap = SkipIndexes.pinnedFileMap(keptPairs)
+            SkipIndexes.prunedKeys(
+              collectionPath.resolve(name), () => fileMap.keys.toSeq,
+              filters, pr.sidecar, enc,
+              Some(Snapshots.generationOf(pr.sidecar)))
+              .map(_.flatMap(fileMap.get))
+          }
         }
         pinKept match {
           case Some(files) if files.isEmpty =>
@@ -257,25 +264,37 @@ final class Item private[store] (
           // dir exactly as before. Declared-schema items only (the
           // literal must hash/order against the stored type).
           val bloomKept: Option[Seq[String]] = declared.flatMap { enc =>
-            // one listing serves BOTH prune attempts: the orElse
-            // fallback would otherwise re-LIST the same dataDir
-            // (None can mean "consulted a sidecar but didn't shrink",
-            // not only "no usable sidecar")
-            val once = SkipIndexes.listOnce(dataDir)
-            SkipIndexes.prunedKeys(path, once, filters, metadata, enc,
-                generation = None)
-              .orElse {
-                // pinned read (dir snapshot / retained flat dir):
-                // retention and snapshots never carry the index
-                // sidecars aside, but the LIVE item root's sidecar
-                // applies iff recorded at EXACTLY the pin's frozen
-                // generation — it then describes exactly these files
-                // (whole-dir renames / hardlinks preserve names)
-                if (snapshot.isEmpty) None
-                else SkipIndexes.prunedKeys(
-                  collectionPath.resolve(name), once, filters, metadata,
-                  enc, Some(Snapshots.generationOf(metadata)))
-              }
+            // one LIST per sidecar root (the item root; plus the live
+            // root for a snapshot read) answers "any skip index on the
+            // predicate columns?" BEFORE any per-column sidecar stat —
+            // almost every item has no index, and this runs on every
+            // filtered read
+            val sidecarRoots = path +:
+              (if (snapshot.isEmpty) Nil
+               else Seq(collectionPath.resolve(name)))
+            if (!SkipIndexes.anyIndexed(
+                sidecarRoots, filters.map(_.column).distinct)) None
+            else {
+              // one listing serves BOTH prune attempts: the orElse
+              // fallback would otherwise re-LIST the same dataDir
+              // (None can mean "consulted a sidecar but didn't shrink",
+              // not only "no usable sidecar")
+              val once = SkipIndexes.listOnce(dataDir)
+              SkipIndexes.prunedKeys(path, once, filters, metadata, enc,
+                  generation = None)
+                .orElse {
+                  // pinned read (dir snapshot / retained flat dir):
+                  // retention and snapshots never carry the index
+                  // sidecars aside, but the LIVE item root's sidecar
+                  // applies iff recorded at EXACTLY the pin's frozen
+                  // generation — it then describes exactly these files
+                  // (whole-dir renames / hardlinks preserve names)
+                  if (snapshot.isEmpty) None
+                  else SkipIndexes.prunedKeys(
+                    collectionPath.resolve(name), once, filters, metadata,
+                    enc, Some(Snapshots.generationOf(metadata)))
+                }
+            }
           }
           bloomKept match {
             case Some(kept) if kept.isEmpty =>
