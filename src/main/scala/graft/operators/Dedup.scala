@@ -906,15 +906,20 @@ object Dedup {
     val k =
       if (nClusters > 0) nClusters
       else math.max(16, math.ceil(df.count() / 256.0).toInt)
-    val cents = Similarity.kmeansCentroids(df, k, kmeansIters, vecCol, idCol)
+    // the quantizer is driver-held (broadcast-sized by definition) so
+    // the per-point top-nassign is a per-row sort of the literal
+    // centroid scores — no ×k cross-join explosion and no window
+    // shuffle of (id, cid, ccos) rows (guide §2.4); the (−ccos, cid)
+    // struct sort key is the same comparator the old
+    // row_number(ccos desc, cid) window applied
+    val cents = Similarity.kmeansCentroidsLocal(df, k, kmeansIters, vecCol, idCol)
     val base = spread(df).select(col(idCol).as("id"), col(vecCol).as("v"))
-    val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid"))
-    val assigned = base.crossJoin(broadcast(cents))
-      .withColumn("ccos", graft.functions.expressions.cosine_sim(col("v"), col("centroid")))
-      .select(col("id"), col("cid"), col("ccos"))
-      .withColumn("r", row_number().over(w))
-      .filter(col("r") <= nassign)
-      .select(col("id"), col("cid"))
+    val scored = transform(typedLit(cents), c => struct(
+      (-graft.functions.expressions.cosine_sim(col("v"), c.getField("_2"))).as("n"),
+      c.getField("_1").as("cid")))
+    val assigned = base.select(col("id"),
+        explode(slice(array_sort(scored), 1, nassign)).as("p"))
+      .select(col("id"), col("p.cid").as("cid"))
     val candidates = assigned.as("a").join(assigned.as("b"),
         col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -78,47 +78,73 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nbr_id"), col("cos"))
   }
 
-  /** Spherical k-means coarse quantizer (Lloyd's iterations) as pure
-    * DataFrame aggregations — no driver-side math beyond the broadcast
-    * of `nlist` centroid rows. Init is deterministic (first nlist by
-    * id); each iteration assigns points to their max-cosine centroid
-    * (broadcast cross join + rank-1 window) and recomputes centroids as
-    * the element-wise mean of their members. Means are rounded to 6
-    * decimals so aggregation-order float jitter can't flip downstream
-    * assignment ranks between runs.
-    *
-    * At 100 TB: fit on a bounded `sampleFraction` (the standard IVF
-    * recipe — centroid quality needs a sample, not the corpus); the
-    * per-iteration shuffle is sample_rows × dim (pos, partial-avg)
-    * pairs, map-side combined. */
-  def kmeansCentroids(corpus: DataFrame,
-                      nlist: Int,
-                      iters: Int = 5,
-                      vecCol: String = "embedding",
-                      idCol: String = "vec_id",
-                      sampleFraction: Double = 1.0): DataFrame = {
+  /** Driver-local centroid table: (cid, centroid as exact doubles).
+    * Bounded by contract — a coarse quantizer is nlist rows, broadcast-
+    * sized by definition; holding it on the driver is the same memory
+    * class as the broadcast the old plan shipped every iteration. */
+  private[operators] type LocalCents = Seq[(Long, Seq[Double])]
+
+  /** Exact double lift of a collected vector cell (float parquet
+    * arrays round-trip exactly through (double) widening — the same
+    * cast the cosine kernel's codegen applies per element). */
+  private[operators] def toDoubles(xs: Seq[Any]): Seq[Double] = xs.map {
+    case d: Double => d
+    case f: Float  => f.toDouble
+    case l: Long   => l.toDouble
+    case i: Int    => i.toDouble
+    case other => throw new IllegalArgumentException(s"not numeric: $other")
+  }
+
+  private[operators] def collectCents(centroids: DataFrame): LocalCents =
+    centroids.select(col("cid").cast("long"), col("centroid")).collect().toSeq
+      .map(r => (r.getLong(0), toDoubles(r.getSeq[Any](1))))
+
+  /** Per-row nearest-centroid struct (ccos, -cid, cid) against a
+    * LITERAL centroid array — ONE codegen loop over nlist centroids,
+    * no cross join, no shuffle (guide §2.4: the assignment decision
+    * needs no data movement at all when the quantizer is driver-held).
+    * array_max's struct ordering = (highest cosine, then lowest cid),
+    * the exact tie-break the old max_by(struct(ccos, -cid)) applied. */
+  private[operators] def nearestCentroidStruct(v: Column,
+                                               cents: LocalCents): Column = {
     import graft.functions.expressions.cosine_sim
+    array_max(transform(typedLit(cents), c => struct(
+      cosine_sim(v, c.getField("_2")).as("c"),
+      (-c.getField("_1")).as("n"),
+      c.getField("_1").as("cid"))))
+  }
+
+  /** Spherical k-means, LOCAL form: the fitted (cid, centroid) rows on
+    * the driver (they are localized per iteration anyway — broadcast-
+    * sized by definition). Assignment is a per-row argmax expression
+    * against the literal centroid table (no cross-join explosion, no
+    * per-iteration shuffle of the points — guide §2.4); the only
+    * shuffle per Lloyd iteration is the map-side-combined
+    * (cid, pos) mean aggregation. */
+  private[operators] def kmeansCentroidsLocal(corpus: DataFrame,
+                                              nlist: Int,
+                                              iters: Int,
+                                              vecCol: String = "embedding",
+                                              idCol: String = "vec_id",
+                                              sampleFraction: Double = 1.0): LocalCents = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val all = corpus.select(col(idCol).as("pid"), col(vecCol).as("pv"))
     val pts = (if (sampleFraction < 1.0) all.sample(sampleFraction, 42) else all).cache()
-    var cents = corpus.orderBy(col(idCol)).limit(nlist)
-      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("centroid"))
+    // deterministic init: first nlist by id (exact doubles of the raw
+    // vectors — (double) widening is what the cosine kernel applies)
+    var cents: LocalCents = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).cast("long"), col(vecCol)).collect().toSeq
+      .map(r => (r.getLong(0), toDoubles(r.getSeq[Any](1))))
     for (_ <- 0 until iters) {
-      // nearest-centroid assignment as a max_by aggregation: map-side
-      // partial max per point, no window shuffle+sort. Tie-break =
-      // lexicographic struct order (highest cosine, then lowest cid).
-      val assigned = pts.crossJoin(broadcast(cents))
-        .withColumn("ccos", cosine_sim(col("pv"), col("centroid")))
-        .groupBy(col("pid"))
-        .agg(max_by(struct(col("cid"), col("pv")),
-          struct(col("ccos"), -col("cid"))).as("best"))
-        .select(col("best.cid").as("cid"), col("best.pv").as("pv"))
-      // Localize the nlist×dim centroid table each iteration (it is
-      // broadcast-sized by definition): truncates the plan lineage so
-      // iteration i+1 doesn't re-execute iterations 1..i, and pins the
-      // rounded means for run-to-run determinism.
-      val rows = assigned
+      // per-row nearest cid (no shuffle), then ONE aggregation:
+      // (cid, pos) partial means combine map-side; means rounded to 6
+      // decimals so aggregation-order float jitter can't flip
+      // downstream assignment ranks between runs. Empty clusters
+      // simply produce no row — exactly like the old groupBy.
+      val rows = pts
+        .select(nearestCentroidStruct(col("pv"), cents).getField("cid").as("cid"),
+          col("pv"))
         .select(col("cid"), posexplode(col("pv")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
         .agg(round(avg(col("x")), 6).as("m"))
@@ -126,10 +152,39 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("centroid"))
         .as[(Long, Seq[Double])].collect().toSeq
-      cents = rows.toDF("cid", "centroid")
+      cents = rows.sortBy(_._1)
     }
     if (iters > 0) pts.unpersist(blocking = false)
     cents
+  }
+
+  /** Spherical k-means coarse quantizer (Lloyd's iterations). Init is
+    * deterministic (first nlist by id); each iteration assigns points
+    * to their max-cosine centroid via a per-row argmax against the
+    * driver-held centroid literal (no cross join, no assignment
+    * shuffle) and recomputes centroids as the element-wise mean of
+    * their members — one map-side-combined aggregation per iteration.
+    * Means are rounded to 6 decimals so aggregation-order float jitter
+    * can't flip downstream assignment ranks between runs.
+    *
+    * At 100 TB: fit on a bounded `sampleFraction` (the standard IVF
+    * recipe — centroid quality needs a sample, not the corpus); the
+    * per-iteration shuffle is the combined (cid, pos, partial-avg)
+    * triples only — the points themselves never move. */
+  def kmeansCentroids(corpus: DataFrame,
+                      nlist: Int,
+                      iters: Int = 5,
+                      vecCol: String = "embedding",
+                      idCol: String = "vec_id",
+                      sampleFraction: Double = 1.0): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    if (iters <= 0)
+      corpus.orderBy(col(idCol)).limit(nlist)
+        .select(col(idCol).cast("long").as("cid"), col(vecCol).as("centroid"))
+    else
+      kmeansCentroidsLocal(corpus, nlist, iters, vecCol, idCol, sampleFraction)
+        .toDF("cid", "centroid")
   }
 
   /** IVF (inverted-file) ANN: a coarse quantizer of `nlist` centroids
@@ -183,31 +238,41 @@ object Similarity {
                     kmeansSample: Double = 1.0,
                     vecCol: String = "embedding",
                     idCol: String = "vec_id"): IvfIndex = {
-    import graft.functions.expressions.cosine_sim
-    val cents =
-      if (kmeansIters > 0)
-        kmeansCentroids(corpus, nlist, kmeansIters, vecCol, idCol, kmeansSample)
-          .select(col("cid"), col("centroid"))
-      else corpus.orderBy(col(idCol)).limit(nlist)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    if (kmeansIters > 0) {
+      // fit locally, assign with the same local table — no re-collect
+      val local = kmeansCentroidsLocal(corpus, nlist, kmeansIters, vecCol, idCol,
+        kmeansSample)
+      IvfIndex(local.toDF("cid", "centroid"),
+        assignToCentroidsLocal(corpus, local, vecCol, idCol))
+    } else {
+      val cents = corpus.orderBy(col(idCol)).limit(nlist)
         .select(col(idCol).cast("long").as("cid"), col(vecCol).as("centroid"))
-    IvfIndex(cents, assignToCentroids(corpus, cents, vecCol, idCol))
+      IvfIndex(cents, assignToCentroids(corpus, cents, vecCol, idCol))
+    }
   }
 
   /** Assign every vector to its nearest centroid under a FROZEN
     * quantizer — the step shared by the index build, and by
     * incremental appends ([[appendToIvfIndex]]/[[appendToIvfPqIndex]]).
-    * max_by shape (no window shuffle); centroids broadcast. */
+    * The quantizer is broadcast-sized by contract, so it is collected
+    * once and the assignment becomes a per-row argmax expression — a
+    * NARROW map: no cross-join explosion and no shuffle at any corpus
+    * size (the old max_by plan shuffled every (id, vector) row). */
   def assignToCentroids(df: DataFrame, centroids: DataFrame,
                         vecCol: String = "embedding",
-                        idCol: String = "vec_id"): DataFrame = {
-    import graft.functions.expressions.cosine_sim
-    df.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("ccos", cosine_sim(col("cv"), col("centroid")))
-      .groupBy(col("nbr_id"))
-      .agg(max_by(struct(col("cid"), col("cv")),
-        struct(col("ccos"), -col("cid"))).as("best"))
-      .select(col("nbr_id"), col("best.cv").as("cv"), col("best.cid").as("cid"))
+                        idCol: String = "vec_id"): DataFrame =
+    assignToCentroidsLocal(df, collectCents(centroids), vecCol, idCol)
+
+  private[operators] def assignToCentroidsLocal(df: DataFrame, cents: LocalCents,
+                                                vecCol: String,
+                                                idCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+    // empty quantizer: the old cross join produced zero rows
+    if (cents.isEmpty) base.withColumn("cid", lit(null).cast("long")).limit(0)
+    else base.select(col("nbr_id"), col("cv"),
+      nearestCentroidStruct(col("cv"), cents).getField("cid").as("cid"))
   }
 
   /** Incrementally add vectors to a PERSISTED IVF index — the FAISS
@@ -244,18 +309,22 @@ object Similarity {
     import graft.functions.expressions.cosine_sim
     val spark = queries.sparkSession
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("ccos").desc, col("cid"))
     // The probe table is BOUNDED (|queries| × nprobe rows of (id, vec,
     // cid)) — localize it once instead of re-executing the centroid-
     // ranking subplan for both the cid collect and the broadcast join.
-    // One job here, then the search itself is a single pass over the
-    // pruned assignment scan.
-    val probeRows = q.crossJoin(broadcast(index.centroids))
-      .withColumn("ccos", cosine_sim(col("qv"), col("centroid")))
-      .withColumn("crank", row_number().over(wProbe))
-      .filter(col("crank") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cid"))
+    // The quantizer is broadcast-sized by contract, so the per-query
+    // top-nprobe is a per-row sort of the literal centroid scores —
+    // no cross join, no window shuffle; ordering (ccos desc, cid asc)
+    // via the (−ccos, cid) struct sort key, the same comparator the
+    // old row_number window applied. One job here, then the search
+    // itself is a single pass over the pruned assignment scan.
+    val local = collectCents(index.centroids)
+    val scored = transform(typedLit(local), c => struct(
+      (-cosine_sim(col("qv"), c.getField("_2"))).as("n"),
+      c.getField("_1").as("cid")))
+    val probeRows = q.select(col("query_id"), col("qv"),
+        explode(slice(array_sort(scored), 1, nprobe)).as("p"))
+      .select(col("query_id"), col("qv"), col("p.cid").as("cid"))
       .collect()
     val probedCids = probeRows.map(_.getLong(2)).distinct.toSeq
     import spark.implicits._
@@ -340,16 +409,139 @@ object Similarity {
           s => slice(col("nv"), s * dsub + 1, lit(dsub)))).as(Seq("sub", "sv")))
   }
 
-  /** Fit per-subspace k-means codebooks and PQ-encode the corpus — all
-    * m subspaces trained in ONE DataFrame pass per Lloyd iteration
-    * (points carry their subspace id; assignment joins on it).
-    * Centroid argmin uses the dot-product identity on a fixed query
-    * point: argmin ‖s−c‖² = argmax (2·s·c − ‖c‖²), so only dot products
-    * are computed. The m·ksub×dsub centroid table (8·16·8 = 1 k doubles
-    * at the defaults) is localized per iteration — broadcast-sized by
-    * definition, and the localization truncates plan lineage exactly
-    * like `kmeansCentroids`. At 100 TB: fit on `sampleFraction`, encode
-    * the full corpus once, search forever. */
+  /** Driver-local PQ codebook state: rows (sub, code, centroid) plus
+    * the effective code count — m·ksub rows of dsub doubles, broadcast-
+    * sized by definition (the old plan broadcast-joined exactly this
+    * table every iteration). */
+  private[operators] final case class PqFit(cb: Seq[(Int, Int, Seq[Double])],
+                                            m: Int, kEff: Int, dsub: Int) {
+    /** cb grouped per sub (ordered 0..m−1), each entry carrying its
+      * precomputed ‖c‖² (sequential driver sum — the same index-order
+      * double accumulation DotProduct's codegen performs). */
+    lazy val bySub: Seq[Seq[(Int, Seq[Double], Double)]] = {
+      val grouped = cb.groupBy(_._1)
+      (0 until m).map(s => grouped.getOrElse(s, Nil).sortBy(_._2)
+        .map { case (_, code, cv) =>
+          var c2 = 0.0; var i = 0
+          while (i < cv.length) { c2 += cv(i) * cv(i); i += 1 }
+          (code, cv, c2)
+        })
+    }
+  }
+
+  /** Per-subvector nearest-code struct (score, -code, code) against a
+    * literal per-sub codebook — argmin ‖s−c‖² via the dot identity
+    * argmax (2·s·c − ‖c‖²), ‖c‖² precomputed on the driver. `cands` is
+    * one sub's codebook entries (code, cv, c2). */
+  private def nearestCodeExpr(sv: Column,
+                              cands: Column): Column = {
+    import graft.functions.expressions.dot_product
+    array_max(transform(cands, c => struct(
+      (lit(2.0) * dot_product(sv, c.getField("_2")) - c.getField("_3")).as("s"),
+      (-c.getField("_1")).as("n"),
+      c.getField("_1").as("c")))).getField("c")
+  }
+
+  /** PQ-encode a vector column in ONE expression: the m sub-slices and
+    * their nearest codes, all codegen — no explode, no join, no
+    * shuffle (the old encode exploded rows ×m, broadcast-joined the
+    * codebooks ×ksub, shuffled a groupBy(pid, sub) AND a groupBy(pid)
+    * AND re-joined the corpus — three exchanges for a per-row
+    * decision; guide §2.4). `nv` must already be the normalized (or
+    * residual) vector expression. */
+  private def pqCodesExpr(nv: Column, fit: PqFit): Column = {
+    val cbLit = typedLit(fit.bySub)
+    val svArr = transform(sequence(lit(0), lit(fit.m - 1)),
+      s => slice(nv, s * fit.dsub + 1, lit(fit.dsub)))
+    zip_with(svArr, cbLit, (sv, cands) => nearestCodeExpr(sv, cands))
+  }
+
+  /** Fit per-subspace k-means codebooks (Lloyd) — all m subspaces
+    * trained in ONE aggregation per iteration. Assignment is a per-row
+    * argmax expression against the literal codebooks (no ×ksub join
+    * explosion, no per-iteration shuffle of the sub-points); the only
+    * shuffle per iteration is the map-side-combined
+    * (sub, code, pos) mean aggregation. Seeds (first ksub vectors by
+    * id) are collected ONCE and sliced/normalized on the driver with
+    * the same index-order double arithmetic the kernels generate. */
+  private[operators] def fitPq(corpus: DataFrame,
+                               m: Int,
+                               ksub: Int,
+                               iters: Int,
+                               vecCol: String,
+                               idCol: String,
+                               sampleFraction: Double,
+                               normalizeInput: Boolean): PqFit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // one bounded collect serves dim + seed ids + seed codebooks (the
+    // old path paid a dim head(), a seed-id collect AND a full
+    // sub-point scan filtered to the seeds)
+    val seedRows = corpus.orderBy(col(idCol))
+      .select(col(idCol).cast("long"), col(vecCol)).limit(ksub).collect().toSeq
+      .map(r => (r.getLong(0), toDoubles(r.getSeq[Any](1))))
+    val dim = seedRows.headOption.map(_._2.length)
+      .getOrElse(throw new NoSuchElementException(
+        "buildPqIndex: empty corpus — nothing to fit"))
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    def norm(v: Seq[Double]): Seq[Double] = {
+      if (!normalizeInput) return v
+      var na = 0.0; var i = 0
+      while (i < v.length) { na += v(i) * v(i); i += 1 }
+      val nrm = math.sqrt(na)
+      if (nrm == 0.0) v.map(_ => 0.0) else v.map(_ / nrm)
+    }
+    val kEff = seedRows.size
+    val codeOf = seedRows.map(_._1).sorted.zipWithIndex.toMap
+    var fit = PqFit(
+      for ((id, v) <- seedRows; nv = norm(v); s <- 0 until m)
+        yield (s, codeOf(id), nv.slice(s * dsub, (s + 1) * dsub)),
+      m, kEff, dsub)
+    if (iters > 0) {
+      val allPts = subPoints(corpus, m, dsub, vecCol, idCol, normalizeInput)
+      val pts = (if (sampleFraction < 1.0) {
+        val ids = corpus.select(col(idCol).cast("long").as("pid"))
+          .sample(sampleFraction, 42)
+        allPts.join(ids, Seq("pid"), "left_semi")
+      } else allPts).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      for (_ <- 0 until iters) {
+        val cands = element_at(typedLit(fit.bySub), col("sub") + 1)
+        val updated = pts
+          .select(col("sub"), nearestCodeExpr(col("sv"), cands).as("code"), col("sv"))
+          .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+          .groupBy(col("sub"), col("code"), col("pos"))
+          .agg(round(avg(col("x")), 6).as("c"))
+          .groupBy(col("sub"), col("code"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+            s => s.getField("c")).as("cv"))
+          .as[(Int, Int, Seq[Double])].collect()
+          .map { case (s, c, v) => (s, c) -> v }.toMap
+        // EMPTY CLUSTERS KEEP THEIR PREVIOUS CENTROID. Rebuilding the
+        // codebook from the assignment groupBy alone would silently
+        // drop any (sub, code) that won zero points — and the
+        // flattened ADC lookup table indexes by lut[sub·ksub + code],
+        // so a missing middle code would shift every later entry left
+        // and corrupt all downstream ADC scores (plus desync kEff from
+        // load's max(code)+1 derivation).
+        fit = fit.copy(cb = fit.cb.map { case (s, c, v) =>
+          (s, c, updated.getOrElse((s, c), v)) })
+      }
+      pts.unpersist(blocking = false)
+    }
+    fit
+  }
+
+  /** Fit per-subspace k-means codebooks and PQ-encode the corpus. The
+    * fit's per-iteration assignment and the final corpus encode are
+    * per-row argmax expressions against the driver-held codebooks
+    * (broadcast-sized by definition): the encode is a single NARROW
+    * map over the corpus — zero joins, zero shuffles, at any corpus
+    * size. The RAW vector rides along for exact re-rank (raw, not
+    * normalized: cosine on the original values keeps the re-rank
+    * arithmetic bit-identical to bruteForceTopK / the DuckDB oracle
+    * formula). At 100 TB: fit on `sampleFraction`, encode the full
+    * corpus once, search forever. */
   def buildPqIndex(corpus: DataFrame,
                    m: Int = 8,
                    ksub: Int = 16,
@@ -358,88 +550,17 @@ object Similarity {
                    idCol: String = "vec_id",
                    sampleFraction: Double = 1.0,
                    normalizeInput: Boolean = true): PqIndex = {
-    import graft.functions.expressions.dot_product
     val spark = corpus.sparkSession
     import spark.implicits._
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
-    require(dim % m == 0, s"m=$m must divide dim=$dim")
-    val dsub = dim / m
-    val allPts = subPoints(corpus, m, dsub, vecCol, idCol, normalizeInput)
-    val pts = (if (sampleFraction < 1.0) {
-      val ids = corpus.select(col(idCol).cast("long").as("pid"))
-        .sample(sampleFraction, 42)
-      allPts.join(ids, Seq("pid"), "left_semi")
-    } else allPts).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // deterministic init: the first ksub vectors by id seed every
-    // subspace's codebook (ksub driver-side ids — bounded). A corpus
-    // smaller than ksub yields a smaller codebook; the EFFECTIVE code
-    // count is what sizes the ADC lookup-table stride.
-    val seedIds = corpus.select(col(idCol).cast("long")).orderBy(col(idCol))
-      .limit(ksub).as[Long].collect().toSeq
-    val kEff = seedIds.size
-    val codeOf = seedIds.sorted.zipWithIndex.toMap
-    var cbRows: Seq[(Int, Int, Seq[Double])] =
-      allPts.filter(col("pid").isin(seedIds: _*))
-        .select(col("sub"), col("pid"), col("sv")).collect()
-        .map(r => (r.getInt(0), codeOf(r.getLong(1)), r.getSeq[Double](2)))
-        .toSeq
-    var cb = cbRows.toDF("sub", "code", "cv")
-
-    for (_ <- 0 until iters) {
-      val updated = pqAssign(pts, cb)
-        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy(col("sub"), col("code"), col("pos"))
-        .agg(round(avg(col("x")), 6).as("c"))
-        .groupBy(col("sub"), col("code"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-          s => s.getField("c")).as("cv"))
-        .as[(Int, Int, Seq[Double])].collect()
-        .map { case (s, c, v) => (s, c) -> v }.toMap
-      // EMPTY CLUSTERS KEEP THEIR PREVIOUS CENTROID. Rebuilding the
-      // codebook from the assignment groupBy alone would silently drop
-      // any (sub, code) that won zero points — and the flattened ADC
-      // lookup table indexes by lut[sub·ksub + code], so a missing
-      // middle code would shift every later entry left and corrupt all
-      // downstream ADC scores (plus desync kEff from load's
-      // max(code)+1 derivation).
-      cbRows = cbRows.map { case (s, c, v) => (s, c, updated.getOrElse((s, c), v)) }
-      cb = cbRows.toDF("sub", "code", "cv")
-    }
-    // the cache serves the Lloyd iterations; the final encode's
-    // dominant cost is its n×m assignment SHUFFLE, which no input
-    // cache avoids — recomputing the narrow subPoints scan once is the
-    // cheaper trade vs holding a corpus-sized cache past return
-    pts.unpersist(blocking = false)
-
-    // encode the FULL corpus with the final codebooks; the RAW vector
-    // rides along for exact re-rank (raw, not normalized: cosine on the
-    // original values keeps the re-rank arithmetic bit-identical to
-    // bruteForceTopK / the DuckDB oracle formula)
-    val codes = pqAssign(allPts, cb)
-      .groupBy(col("pid"))
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
-        s => s.getField("code")).as("codes"))
-      .join(corpus.select(col(idCol).cast("long").as("pid"),
-        col(vecCol).cast("array<double>").as("cv")), Seq("pid"))
-      .select(col("pid").as("nbr_id"), col("codes"), col("cv"))
-    PqIndex(cb, codes, m, kEff)
-  }
-
-  /** Per-subspace nearest-codebook-centroid assignment (the PQ encode
-    * step) under FROZEN codebooks — shared by the Lloyd iterations, the
-    * final corpus encode, and incremental appends. Argmin ‖s−c‖² via
-    * the dot identity argmax (2·s·c − ‖c‖²). */
-  private def pqAssign(points: DataFrame, codebooks: DataFrame): DataFrame = {
-    import graft.functions.expressions.dot_product
-    points.join(broadcast(codebooks), Seq("sub"))
-      .withColumn("score",
-        lit(2.0) * dot_product(col("sv"), col("cv")) - dot_product(col("cv"), col("cv")))
-      .groupBy(col("pid"), col("sub"))
-      .agg(max_by(struct(col("code"), col("sv")),
-        struct(col("score"), -col("code"))).as("best"))
-      .select(col("pid"), col("sub"),
-        col("best.code").as("code"), col("best.sv").as("sv"))
+    val fit = fitPq(corpus, m, ksub, iters, vecCol, idCol, sampleFraction,
+      normalizeInput)
+    val nv = if (normalizeInput) normalized(col(vecCol))
+             else col(vecCol).cast("array<double>")
+    val codes = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("nbr_id"),
+        pqCodesExpr(nv, fit).as("codes"),
+        col(vecCol).cast("array<double>").as("cv"))
+    PqIndex(fit.cb.toDF("sub", "code", "cv"), codes, m, fit.kEff)
   }
 
   /** Per-query flattened ADC lookup table: lut[sub·ksub + code] =
@@ -601,31 +722,43 @@ object Similarity {
     // serves both the plain-IVF and the IVF-PQ index, and at 100 TB
     // nobody fits it twice. The caller owns parameter consistency
     // (the reused index's nlist wins over the `nlist` argument).
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val ivf = coarse.getOrElse(
       buildIvfIndex(corpus, nlist, kmeansIters, sampleFraction, vecCol, idCol))
+    // the quantizer is broadcast-sized by contract: hold it locally so
+    // the per-row list assignment (and the residual subtraction) are
+    // expressions — the codes table is ONE narrow map over the corpus,
+    // with zero joins and zero shuffles (the old plan joined the PQ
+    // encode back to the assignment — a full-corpus exchange pair)
+    val local = collectCents(ivf.centroids)
+    val assigned = assignToCentroidsLocal(corpus, local, vecCol, idCol)
     if (!residual) {
-      val pq = buildPqIndex(corpus, m, ksub, pqIters, vecCol, idCol, sampleFraction)
-      val codes = pq.codes
-        .join(ivf.assigned.select(col("nbr_id"), col("cid")), Seq("nbr_id"))
-        .select(col("cid"), col("nbr_id"), col("codes"), col("cv"))
-      IvfPqIndex(ivf.centroids, pq.codebooks, codes, pq.m, pq.ksub,
-        nlist = nlist)
+      val fit = fitPq(corpus, m, ksub, pqIters, vecCol, idCol, sampleFraction,
+        normalizeInput = true)
+      val codes = assigned.filter(col("cv").isNotNull)
+        .select(col("cid"), col("nbr_id"),
+          pqCodesExpr(normalized(col("cv")), fit).as("codes"),
+          col("cv").cast("array<double>").as("cv"))
+      IvfPqIndex(ivf.centroids, fit.cb.toDF("sub", "code", "cv"), codes,
+        fit.m, fit.kEff, nlist = nlist)
     } else {
       // residual table: one row per vector, rv = normalized(cv) − centroid
-      val residuals = ivf.assigned
-        .join(broadcast(ivf.centroids), Seq("cid"))
-        .select(col("nbr_id"), col("cid"),
-          zip_with(normalized(col("cv")), col("centroid"),
+      // (centroid looked up per row from the literal quantizer map)
+      val centMap = typedLit(local.toMap)
+      val residuals = assigned
+        .select(col("nbr_id"), col("cid"), col("cv"),
+          zip_with(normalized(col("cv")), element_at(centMap, col("cid")),
             (a, b) => a - b).as("rv"))
-      val pq = buildPqIndex(residuals, m, ksub, pqIters,
+      val fit = fitPq(residuals, m, ksub, pqIters,
         vecCol = "rv", idCol = "nbr_id", sampleFraction = sampleFraction,
         normalizeInput = false)
       // re-rank needs the ORIGINAL vector, not the residual
-      val codes = pq.codes.drop("cv")
-        .join(ivf.assigned.select(col("nbr_id"), col("cv"), col("cid")), Seq("nbr_id"))
-        .select(col("cid"), col("nbr_id"), col("codes"), col("cv"))
-      IvfPqIndex(ivf.centroids, pq.codebooks, codes, pq.m, pq.ksub,
-        residual = true, nlist = nlist)
+      val codes = residuals.filter(col("rv").isNotNull)
+        .select(col("cid"), col("nbr_id"),
+          pqCodesExpr(col("rv"), fit).as("codes"), col("cv"))
+      IvfPqIndex(ivf.centroids, fit.cb.toDF("sub", "code", "cv"), codes,
+        fit.m, fit.kEff, residual = true, nlist = nlist)
     }
   }
 
@@ -642,27 +775,29 @@ object Similarity {
                          vecCol: String = "embedding",
                          idCol: String = "vec_id"): IvfPqIndex = {
     val idx = IvfPqIndex.load(c, name)
-    val dsub = idx.codebooks.select(size(col("cv"))).head().getInt(0)
-    val assigned = assignToCentroids(newVectors, idx.centroids, vecCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pts =
+    // both frozen quantizers are broadcast-sized by contract: collect
+    // once, encode the batch as ONE narrow map (list id + residual +
+    // PQ codes per row) — no joins, no shuffles, O(new vectors)
+    val local = collectCents(idx.centroids)
+    val cbRows = idx.codebooks.select(col("sub"), col("code"), col("cv"))
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getInt(1), toDoubles(r.getSeq[Any](2))))
+    val dsub = cbRows.headOption.map(_._3.length).getOrElse(0)
+    val fit = PqFit(cbRows, idx.m, idx.ksub, dsub)
+    val assigned = assignToCentroidsLocal(newVectors, local, vecCol, idCol)
+    val codes =
       if (idx.residual) {
-        val residuals = assigned.join(broadcast(idx.centroids), Seq("cid"))
-          .select(col("nbr_id"),
-            zip_with(normalized(col("cv")), col("centroid"),
-              (a, b) => a - b).as("rv"))
-        subPoints(residuals, idx.m, dsub, "rv", "nbr_id", normalize = false)
-      } else subPoints(assigned, idx.m, dsub, "cv", "nbr_id")
-    val codes = pqAssign(pts, idx.codebooks)
-      .groupBy(col("pid"))
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
-        s => s.getField("code")).as("codes"))
-      .join(assigned.select(col("nbr_id"), col("cv"), col("cid")),
-        col("pid") === col("nbr_id"))
-      .select(col("cid"), col("nbr_id"), col("codes"),
-        (if (idx.residual) col("cv") else col("cv").cast("array<double>")).as("cv"))
+        val centMap = typedLit(local.toMap)
+        assigned.filter(col("cv").isNotNull)
+          .select(col("cid"), col("nbr_id"),
+            pqCodesExpr(zip_with(normalized(col("cv")),
+              element_at(centMap, col("cid")), (a, b) => a - b), fit).as("codes"),
+            col("cv"))
+      } else assigned.filter(col("cv").isNotNull)
+        .select(col("cid"), col("nbr_id"),
+          pqCodesExpr(normalized(col("cv")), fit).as("codes"),
+          col("cv").cast("array<double>").as("cv"))
     c.append(s"${name}__codes", codes, graft.store.DuplicateHandling.KeepAll)
-    assigned.unpersist(blocking = false)
     IvfPqIndex.load(c, name)
   }
 
@@ -683,16 +818,18 @@ object Similarity {
     import spark.implicits._
     val q = queries.select(col(idCol).cast("long").as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("ccos").desc, col("cid"))
     // qc = q̂·c rides along for the residual decomposition (ignored by
-    // the raw-code variant)
-    val probeRows = q.crossJoin(broadcast(index.centroids))
-      .withColumn("ccos", cosine_sim(col("qv"), col("centroid")))
-      .withColumn("qc", dot_product(normalized(col("qv")), col("centroid")))
-      .withColumn("crank", row_number().over(wProbe))
-      .filter(col("crank") <= nprobe)
-      .select(col("query_id"), col("cid"), col("qc"))
+    // the raw-code variant). Same literal-quantizer per-row top-nprobe
+    // as ivfSearch — no cross join, no window shuffle; (−ccos, cid)
+    // struct sort = the old (ccos desc, cid asc) ranking.
+    val local = collectCents(index.centroids)
+    val scored = transform(typedLit(local), c => struct(
+      (-cosine_sim(col("qv"), c.getField("_2"))).as("n"),
+      c.getField("_1").as("cid"),
+      dot_product(normalized(col("qv")), c.getField("_2")).as("qc")))
+    val probeRows = q.select(col("query_id"),
+        explode(slice(array_sort(scored), 1, nprobe)).as("p"))
+      .select(col("query_id"), col("p.cid").as("cid"), col("p.qc").as("qc"))
       .collect()
     val probedCids = probeRows.map(_.getLong(1)).distinct.toSeq
     val probePairs = probeRows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
