@@ -136,22 +136,23 @@ object Similarity {
     var cents: LocalCents = corpus.orderBy(col(idCol)).limit(nlist)
       .select(col(idCol).cast("long"), col(vecCol)).collect().toSeq
       .map(r => (r.getLong(0), toDoubles(r.getSeq[Any](1))))
-    for (_ <- 0 until iters) {
-      // per-row nearest cid (no shuffle), then ONE aggregation:
-      // (cid, pos) partial means combine map-side; means rounded to 6
-      // decimals so aggregation-order float jitter can't flip
-      // downstream assignment ranks between runs. Empty clusters
-      // simply produce no row — exactly like the old groupBy.
+    val dim = cents.headOption.map(_._2.length).getOrElse(0)
+    for (_ <- 0 until iters if cents.nonEmpty) {
+      // per-row nearest cid (no shuffle), then ONE aggregation with a
+      // per-position avg column (no posexplode row blow-up, ONE
+      // exchange instead of the old two-level (cid,pos)→(cid) pair);
+      // means rounded to 6 decimals so aggregation-order float jitter
+      // can't flip downstream assignment ranks between runs. Empty
+      // clusters simply produce no row — exactly like the old groupBy.
+      val means = (0 until dim).map(i =>
+        round(avg(element_at(col("pv"), i + 1)), 6).as(s"m$i"))
       val rows = pts
         .select(nearestCentroidStruct(col("pv"), cents).getField("cid").as("cid"),
           col("pv"))
-        .select(col("cid"), posexplode(col("pv")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(round(avg(col("x")), 6).as("m"))
         .groupBy(col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("centroid"))
-        .as[(Long, Seq[Double])].collect().toSeq
+        .agg(means.head, means.tail: _*)
+        .collect().toSeq
+        .map(r => (r.getLong(0), (0 until dim).map(i => r.getDouble(i + 1)): Seq[Double]))
       cents = rows.sortBy(_._1)
     }
     if (iters > 0) pts.unpersist(blocking = false)
@@ -507,16 +508,17 @@ object Similarity {
       } else allPts).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       for (_ <- 0 until iters) {
         val cands = element_at(typedLit(fit.bySub), col("sub") + 1)
+        // one exchange: per-position avg columns on the (sub, code)
+        // group (no posexplode row blow-up, no second aggregation)
+        val means = (0 until dsub).map(i =>
+          round(avg(element_at(col("sv"), i + 1)), 6).as(s"c$i"))
         val updated = pts
           .select(col("sub"), nearestCodeExpr(col("sv"), cands).as("code"), col("sv"))
-          .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
-          .groupBy(col("sub"), col("code"), col("pos"))
-          .agg(round(avg(col("x")), 6).as("c"))
           .groupBy(col("sub"), col("code"))
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-            s => s.getField("c")).as("cv"))
-          .as[(Int, Int, Seq[Double])].collect()
-          .map { case (s, c, v) => (s, c) -> v }.toMap
+          .agg(means.head, means.tail: _*)
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) ->
+            ((0 until dsub).map(i => r.getDouble(i + 2)): Seq[Double])).toMap
         // EMPTY CLUSTERS KEEP THEIR PREVIOUS CENTROID. Rebuilding the
         // codebook from the assignment groupBy alone would silently
         // drop any (sub, code) that won zero points — and the
@@ -565,23 +567,29 @@ object Similarity {
 
   /** Per-query flattened ADC lookup table: lut[sub·ksub + code] =
     * dot(query subvector, codebook centroid). |queries| rows of m·ksub
-    * doubles — broadcast-sized. The normalized query vector rides along
-    * for the exact re-rank. */
+    * doubles — broadcast-sized. The codebooks are broadcast-sized by
+    * contract, so the table is ONE narrow map over the queries (per-sub
+    * slice + per-code dot against the codebook literal, flattened in
+    * (sub, code) order — the exact layout the old sorted collect_list
+    * produced) with the RAW query vector riding along for the exact
+    * re-rank: no explode, no join, no aggregation shuffle, and no
+    * dsub-probe job. */
   private def pqLuts(codebooks: DataFrame, m: Int, queries: DataFrame,
                      vecCol: String, idCol: String): DataFrame = {
     import graft.functions.expressions.dot_product
-    val dsub = codebooks.select(size(col("cv"))).head().getInt(0)
-    subPoints(queries, m, dsub, vecCol, idCol)
-      .withColumnRenamed("pid", "query_id").withColumnRenamed("sv", "qsv")
-      .join(broadcast(codebooks), Seq("sub"))
-      .withColumn("pdot", dot_product(col("qsv"), col("cv")))
-      .groupBy(col("query_id"))
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code"), col("pdot")))),
-        s => s.getField("pdot")).as("lut"))
-      // RAW query vector for the exact re-rank (same arithmetic as the
-      // brute-force/oracle formula)
-      .join(queries.select(col(idCol).cast("long").as("query_id"),
-        col(vecCol).cast("array<double>").as("qv")), Seq("query_id"))
+    val cbRows = codebooks.select(col("sub"), col("code"), col("cv"))
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getInt(1), toDoubles(r.getSeq[Any](2))))
+    val dsub = cbRows.headOption.map(_._3.length).getOrElse(0)
+    val fit = PqFit(cbRows, m, cbRows.map(_._2).distinct.size, dsub)
+    val nv = normalized(col(vecCol))
+    val svArr = transform(sequence(lit(0), lit(m - 1)),
+      s => slice(nv, s * dsub + 1, lit(dsub)))
+    val lut = flatten(zip_with(svArr, typedLit(fit.bySub), (sv, cands) =>
+      transform(cands, c => dot_product(sv, c.getField("_2")))))
+    queries.select(col(idCol).cast("long").as("query_id"),
+      lut.as("lut"),
+      col(vecCol).cast("array<double>").as("qv"))
   }
 
   /** Re-rank depth sized from the codes table's plan statistics:

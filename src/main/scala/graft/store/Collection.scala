@@ -1009,18 +1009,47 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     if (isTime && !Partitioner.isTemporal(encoded, indexCols.head))
       throw new ValidationError("time layouts require a timestamp/date index column")
 
-    val stats = Partitioner.computeStats(encoded, indexCols.head)
+    // The index stats feed two consumers: the auto layout decision
+    // (which needs them BEFORE the write, but only for a temporal
+    // index — a non-temporal index always falls to size-based) and the
+    // metadata sidecar. When the decision doesn't need them, they are
+    // OBSERVED during the commit's own parquet job (guide §1.4: don't
+    // pay a second input scan for aggregates the write already sees).
+    val needPreStats = !isTime && npartitions.isEmpty &&
+      Partitioner.isTemporal(encoded, indexCols.head)
+    val preStats: Option[Partitioner.IndexStats] =
+      if (needPreStats) Some(Partitioner.computeStats(encoded, indexCols.head))
+      else None
     val (n, strategy) =
       if (isTime) (0, Partitioner.TimeBased)
       else npartitions match {
         case Some(k) => (k, Partitioner.SizeBased)
-        case None    => Partitioner.decide(Partitioner.estimatedBytes(encoded), stats)
+        case None    => Partitioner.decide(Partitioner.estimatedBytes(encoded),
+          preStats.getOrElse(Partitioner.IndexStats(0, None, None)))
       }
-    val laidOut =
+    val laidOut0 =
       if (isTime) withTimeLayout(encoded, indexCols, monthlySalt, layoutName)
       else Partitioner(encoded, indexCols, n)
+    val obs = if (preStats.isEmpty)
+      Some(new org.apache.spark.sql.Observation()) else None
+    val temporal = Partitioner.isTemporal(encoded, indexCols.head)
+    val laidOut = obs.fold(laidOut0) { o =>
+      if (temporal)
+        laidOut0.observe(o, count(lit(1)).as("r"),
+          min(col(indexCols.head)).as("mn"), max(col(indexCols.head)).as("mx"))
+      else laidOut0.observe(o, count(lit(1)).as("r"))
+    }
+    // evaluated by commit() AFTER the parquet job ran (meta is by-name)
+    def stats: Partitioner.IndexStats = preStats.getOrElse {
+      val row = obs.get.get
+      val r = row("r").asInstanceOf[Long]
+      def ms(k: String): Option[Long] =
+        row.get(k).filter(_ != null).map(Partitioner.toEpochMs)
+      if (temporal) Partitioner.IndexStats(r, ms("mn"), ms("mx"))
+      else Partitioner.IndexStats(r, None, None)
+    }
 
-    val extra = Meta.obj(
+    def extra = Meta.obj(
       "index_names" -> indexCols,
       "index_dtypes" -> indexCols.map(c => indexed.schema(c).dataType.simpleString),
       "_partitions" -> n,
@@ -1257,7 +1286,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     * the sidecar and refresh caches. Part-files live under
     * `<item>/data/` so the parquet dataset dir contains nothing but
     * parquet; the JSON sidecar sits at the item root. */
-  private def commit(item: String, df: DataFrame, meta: Map[String, JValue],
+  private def commit(item: String, df: DataFrame, meta: => Map[String, JValue],
                      partitioned: Boolean = false,
                      expectedGen: Option[Long] = None,
                      expectedMeta: Option[Map[String, JValue]] = None): Unit = {
@@ -1266,6 +1295,9 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     val writer = df.write.mode("overwrite").option("compression", "snappy")
     (if (partitioned) writer.partitionBy(MonthCol) else writer).parquet(tmp.toString)
     Collection.commitSeamHook(s"staged_pre_publish:$item") // outside all locks
+    // `meta` is BY-NAME and first forced HERE — after the parquet job —
+    // so write()'s observed index stats (collected during that job) can
+    // ride the same sidecar publish without a second input scan
     publishFull(item, tmp, meta, partitioned, expectedGen, expectedMeta)
   }
 
@@ -1782,9 +1814,23 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         s"schema mismatch: existing ${existing.data.columns.sorted.mkString(",")} vs " +
         s"new ${newDf.columns.sorted.mkString(",")}")
 
-    val months = newDf
-      .select(Collection.periodExpr(layout, col(idx.head)).as("m")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+    // ONE batch scan serves both the touched-period list and the batch
+    // index stats (count + index min/max per period, merged on the
+    // driver — min-of-mins ≡ the global min the old separate
+    // computeStats pass produced). Guide §1.4: the old plan scanned
+    // the batch twice for two aggregates one job can carry.
+    val monthRows = newDf
+      .groupBy(Collection.periodExpr(layout, col(idx.head)).as("m"))
+      .agg(count(lit(1)).as("c"), min(col(idx.head)).as("mn"),
+        max(col(idx.head)).as("mx"))
+      .collect()
+    val months = monthRows.map(_.getString(0)).toSeq.sorted
+    val batchStats = Partitioner.IndexStats(
+      monthRows.map(_.getLong(1)).sum,
+      monthRows.flatMap(r => Option(r.get(2)).map(Partitioner.toEpochMs))
+        .reduceOption(_ min _),
+      monthRows.flatMap(r => Option(r.get(3)).map(Partitioner.toEpochMs))
+        .reduceOption(_ max _))
     // Partition-pruned scan: only the touched months' files are read.
     val oldTouched = readDataPinned(item)
       .filter(col(MonthCol).isin(months: _*))
@@ -1809,7 +1855,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
 
     val prevStats = readStatsMeta(item).getOrElse(
       Partitioner.computeStats(existing.data, idx.head))
-    val stats = prevStats.merge(Partitioner.computeStats(newDf, idx.head))
+    val stats = prevStats.merge(batchStats)
     val storedMeta = Meta.read(path.resolve(item))
     val prevMeta = storedMeta ++ statsMeta(stats) ++ extraMeta ++
       Collection.opTag("append")
