@@ -74,23 +74,33 @@ object Dedup {
                 minDocFreq: Int = 2,
                 textCol: String = "text",
                 idCol: String = "doc_id"): DataFrame = {
-    val lines = df
+    // Shuffle keys, not payloads (guide §2.3/§8): the duplicate
+    // decision needs only (id, pos, md5) — the line TEXT never enters
+    // an exchange. The old plan shuffled the full text twice (the
+    // verdict join keyed by line hash, then the rebuild groupBy keyed
+    // by id); now the per-doc dropped POSITIONS come back as a skinny
+    // table and each document rebuilds its kept text locally from one
+    // re-split of its own row.
+    val skinny = df
       .select(col(idCol), posexplode(split(col(textCol), sepRegex)).as(Seq("pos", "line")))
-      .withColumn("key", md5(col("line")))
-    val lineDf = lines.groupBy(col("key"))
+      .select(col(idCol), col("pos"), md5(col("line")).as("key"))
+    val dupKeys = skinny.groupBy(col("key"))
       .agg(countDistinct(col(idCol)).as("df"))
       .filter(col("df") >= minDocFreq)
-    val verdicts = lines.join(lineDf.select(col("key"), lit(true).as("__dup")),
-      Seq("key"), "left")
-    verdicts
+      .select(col("key"), lit(true).as("__dup"))
+    val dropPos = skinny.join(dupKeys, Seq("key"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_lines"),
         count(when(col("__dup").isNull, 1)).as("n_kept"),
+        sort_array(collect_list(when(col("__dup").isNotNull, col("pos"))))
+          .as("__drop"))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol))
+      .join(dropPos, Seq(idCol))
+      .select(col(idCol), col("n_lines"), col("n_kept"),
         array_join(
-          transform(
-            array_sort(collect_list(when(col("__dup").isNull,
-              struct(col("pos"), col("line"))))),
-            s => s.getField("line")),
+          filter(split(col(textCol), sepRegex),
+            (l, i) => !array_contains(col("__drop"), i)),
           joinSep).as(textCol))
   }
 

@@ -105,25 +105,41 @@ object TextClassifier {
           .filter(col("__rk") <= n).drop("__rk")
     }
     // class totals over the UNCAPPED counts (the cap prunes rare
-    // trigrams from the table, it must not re-normalize the class mass)
+    // trigrams from the table, it must not re-normalize the class mass).
+    // Classes are bounded by contract (≤ dozens), so the per-class
+    // scalars are COLLECTED once — the old plan kept them as lazy
+    // frames, which re-scanned the labeled docs at every consumer
+    // (the nDocs head, then again when classStats was written).
     val totals = counts0.groupBy("label").agg(sum("c").as("tot"))
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
     val vocabV = counts0.select("tri").distinct().count()
     val classCounts = docs.groupBy(lab).agg(count(lit(1)).as("docs"))
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
     derive(counts, totals, classCounts, vocabV)
   }
 
   /** Materialize log-probs from exact counts — shared by [[train]] and
     * [[append]] so an appended model is BIT-IDENTICAL to a retrain on
-    * the union corpus. */
-  private def derive(counts: DataFrame, totals: DataFrame,
-                     classCounts: DataFrame, vocabV: Long): NaiveBayes = {
-    val rows = counts.join(broadcast(totals), "label")
+    * the union corpus. The per-class scalars arrive as driver rows
+    * (classes-bounded); prior/dlp are still computed by the SAME Spark
+    * round/log/cast expressions, over a literal frame, so the stored
+    * decimals are bit-identical to the old scan-derived ones. */
+  private def derive(counts: DataFrame, totals: Seq[(String, Long)],
+                     classCounts: Seq[(String, Long)], vocabV: Long): NaiveBayes = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val totalsDF = totals.toDF("label", "tot")
+    val rows = counts.join(broadcast(totalsDF), "label")
       .select(col("label"), col("tri"), col("c"),
         round(log((col("c") + lit(1).cast("double")) /
           (col("tot") + lit(vocabV).cast("double"))), 6).cast(Lp).as("lp"))
-    val nDocs = classCounts.agg(sum("docs")).head().getLong(0)
-    val classStats = classCounts
-      .join(totals, "label")
+    val nDocs = classCounts.map(_._2).sum
+    val totMap = totals.toMap
+    // inner-join semantics: a class whose docs produced no tokens has
+    // no totals row and drops from classStats, exactly as before
+    val statsBase = classCounts.flatMap { case (l, d) =>
+      totMap.get(l).map(t => (l, d, t)) }
+    val classStats = statsBase.toDF("label", "docs", "tot")
       .select(col("label"), col("docs"), col("tot"),
         round(log(col("docs").cast("double") / lit(nDocs).cast("double")), 6)
           .cast(Lp).as("prior"),
@@ -159,16 +175,23 @@ object TextClassifier {
     val lab = col(labelCol).as("label")
     val tok = trigramTokens(docs, textCol, Seq(lab), Seq("label"))
     val newCounts = tok.groupBy("label", "tri").agg(count(lit(1)).as("c2"))
+    // localCheckpoint: the merged counts feed THREE consumers (totals,
+    // vocab, the derived rows) — without it the full-outer merge (and
+    // the new slice's corpus explode) re-executed once per consumer
     val counts = model.rows.select("label", "tri", "c")
       .join(newCounts, Seq("label", "tri"), "full_outer")
       .select(col("label"), col("tri"),
         (coalesce(col("c"), lit(0L)) + coalesce(col("c2"), lit(0L))).as("c"))
+      .localCheckpoint(true)
     val totals = counts.groupBy("label").agg(sum("c").as("tot"))
-    val classCounts = model.classStats.select(col("label"), col("docs"))
-      .join(docs.groupBy(lab).agg(count(lit(1)).as("docs2")),
-        Seq("label"), "full_outer")
-      .select(col("label"),
-        (coalesce(col("docs"), lit(0L)) + coalesce(col("docs2"), lit(0L))).as("docs"))
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    // driver-side full-outer merge of the classes-bounded doc counts
+    val oldDocs = model.classStats.select(col("label"), col("docs"))
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1))).toMap
+    val newDocs = docs.groupBy(lab).agg(count(lit(1)).as("docs2"))
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1))).toMap
+    val classCounts = (oldDocs.keySet ++ newDocs.keySet).toSeq.sorted
+      .map(l => (l, oldDocs.getOrElse(l, 0L) + newDocs.getOrElse(l, 0L)))
     val vocabV = counts.select("tri").distinct().count()
     derive(counts, totals, classCounts, vocabV)
   }
@@ -177,7 +200,6 @@ object TextClassifier {
     * `idCol` must be unique per document. */
   def classify(docs: DataFrame, model: NaiveBayes,
                idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val id = col(idCol)
     val tok = trigramTokens(docs, textCol, Seq(id), Seq(idCol))
     val nTri = tok.groupBy(idCol).agg(count(lit(1)).as("n"))
@@ -194,9 +216,13 @@ object TextClassifier {
         (col("prior") + coalesce(col("msum"), lit(0).cast(Lp)) +
           (coalesce(col("n"), lit(0L)) - coalesce(col("mcnt"), lit(0L))) * col("dlp"))
           .as("score"))
-    scored.withColumn("__rk", row_number().over(
-        Window.partitionBy(idCol).orderBy(col("score").desc, col("label"))))
-      .filter(col("__rk") === 1)
-      .select(id, col("label").as("pred"))
+    // argmax as a map-side-combinable min_by over (−score, label) —
+    // identical ordering to the old row_number(score desc, label)
+    // window (scores are exact decimals, so negation is exact), one
+    // partial-aggregated exchange instead of a full sort shuffle
+    scored.groupBy(idCol)
+      .agg(min_by(col("label"), struct((-col("score")).as("ns"), col("label")))
+        .as("pred"))
+      .select(id, col("pred"))
   }
 }
