@@ -2535,13 +2535,19 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         // (keeps the isin filter a pruning-friendly partition
         // predicate) alongside its string form (the period key
         // commitMonths needs)
+        // the discovery scan already reads exactly the matching rows
+        // (candidate-period-narrowed, then the predicate) — count them
+        // per period IN the same aggregation instead of re-scanning the
+        // touched periods with a separate count job afterwards
+        // (guide §1.4: one pass, not two)
         val monthRows = deleteDiscoveryFrame(item, predicate).filter(predicate)
-          .select(col(MonthCol), col(MonthCol).cast("string")).distinct().collect()
+          .groupBy(col(MonthCol), col(MonthCol).cast("string"))
+          .agg(count(lit(1)).as("c")).collect()
         val monthVals = monthRows.map(_.get(0)).toSeq
         val months = monthRows.map(_.getString(1)).toSeq.sorted
         if (months.isEmpty) return 0L
+        val deleted = monthRows.map(_.getLong(2)).sum
         val touched = raw.filter(col(MonthCol).isin(monthVals: _*)).drop(MonthCol)
-        val deleted = touched.filter(predicate).count()
         val gens = commitMonths(item,
           withTimeLayout(touched.filter(!predicate), idx, monthlySaltOf(item), layout),
           months, prevMeta ++ Collection.opTag("delete_where"),
