@@ -67,17 +67,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("nb classify: class stats broadcast, no cartesian, argmax window partitioned by doc") {
+  test("nb classify: class stats broadcast, no cartesian, argmax is a combinable min_by") {
     val p = plan("text_nb_classify")
     assert(!p.contains("CartesianProduct"),
       "the docs x classes frame must broadcast, never cartesian")
     assert(p.contains("Broadcast"), "class stats should broadcast")
-    // the argmax window must partition by doc_id — an empty partition
-    // spec would funnel every scored row through one task. The plan
-    // string renders the partition columns FIRST inside
-    // windowspecdefinition(...), so assert the doc column is there.
-    assert(p.contains("windowspecdefinition(doc_id"),
-      s"argmax window lost its doc_id partition spec:\n${p.linesIterator.filter(_.contains("Window")).mkString("\n")}")
+    // the per-doc argmax must be a partially-aggregated min_by keyed by
+    // doc (map-side combine; the old row_number window paid a full sort
+    // shuffle of docs x classes and a single-pass rank) — and no window
+    // may remain in the plan at all
+    assert(p.contains("min_by"),
+      s"argmax should plan as a min_by aggregate:\n$p")
+    assert(p.contains("partial_min_by"),
+      "the argmax aggregation lost its map-side partial combine")
+    assert(!p.contains("windowspecdefinition"),
+      "classify should no longer plan a window for the argmax")
   }
 
   test("curation pipeline: one window exchange, no cartesian, single rollup") {
