@@ -1012,24 +1012,42 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     // The index stats feed two consumers: the auto layout decision
     // (which needs them BEFORE the write, but only for a temporal
     // index — a non-temporal index always falls to size-based) and the
-    // metadata sidecar. When the decision doesn't need them, they are
-    // OBSERVED during the commit's own parquet job (guide §1.4: don't
-    // pay a second input scan for aggregates the write already sees).
+    // metadata sidecar. When a pre-write planning scan runs it is ONE
+    // narrow aggregation (index column only) that ALSO collects the
+    // quantile cuts for the bounds-path exchange — replacing the range
+    // exchange's sampling re-execution of the full write plan (guide
+    // §1.4: one pass, not three). When no planning scan runs at all
+    // (single-partition or unsupported-dtype flat writes, time
+    // layouts), the stats are OBSERVED during the commit's own parquet
+    // job as before.
+    val flatKey: Option[org.apache.spark.sql.Column] =
+      if (isTime || indexCols.size != 1) None
+      else Partitioner.sortKeyExpr(encoded, indexCols.head)
     val needPreStats = !isTime && npartitions.isEmpty &&
       Partitioner.isTemporal(encoded, indexCols.head)
-    val preStats: Option[Partitioner.IndexStats] =
-      if (needPreStats) Some(Partitioner.computeStats(encoded, indexCols.head))
+    val prePlan: Option[Partitioner.FlatPlan] =
+      if (needPreStats) Some(Partitioner.planFlat(encoded, indexCols.head, flatKey))
       else None
     val (n, strategy) =
       if (isTime) (0, Partitioner.TimeBased)
       else npartitions match {
         case Some(k) => (k, Partitioner.SizeBased)
         case None    => Partitioner.decide(Partitioner.estimatedBytes(encoded),
-          preStats.getOrElse(Partitioner.IndexStats(0, None, None)))
+          prePlan.map(_.stats).getOrElse(Partitioner.IndexStats(0, None, None)))
       }
+    // flat multi-partition writes that skipped the decision scan still
+    // profit from bounds: one narrow cuts+stats job replaces the 1-2
+    // sampling jobs that decode every column
+    val plan: Option[Partitioner.FlatPlan] = prePlan.orElse {
+      if (!isTime && n > 1 && n <= Partitioner.MaxBoundsPartitions &&
+          flatKey.isDefined)
+        Some(Partitioner.planFlat(encoded, indexCols.head, flatKey))
+      else None
+    }
+    val preStats: Option[Partitioner.IndexStats] = plan.map(_.stats)
     val laidOut0 =
       if (isTime) withTimeLayout(encoded, indexCols, monthlySalt, layoutName)
-      else Partitioner(encoded, indexCols, n)
+      else Partitioner.layout(encoded, indexCols, n, plan.flatMap(_.cuts))
     val obs = if (preStats.isEmpty)
       Some(new org.apache.spark.sql.Observation()) else None
     val temporal = Partitioner.isTemporal(encoded, indexCols.head)
@@ -1218,6 +1236,20 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         .drop("__pid", "__mid", "__off")
       (indexed, () => { marked.unpersist(blocking = false); () })
     }
+
+  /** Flat re-lay for maintenance rewrites (rebalance, convert-to-flat,
+    * rename-column, purge-dropped): bounds-path layout with cuts from
+    * ONE narrow index-column scan of the item read — replaces the
+    * sampled range exchange's full-width re-read of the item (guide
+    * §1.4); unsupported index dtypes keep the sampled exchange. */
+  private def flatRelayout(df: DataFrame, idx: Seq[String], n: Int): DataFrame = {
+    val cuts =
+      if (n > 1 && n <= Partitioner.MaxBoundsPartitions && idx.size == 1)
+        Partitioner.sortKeyExpr(df, idx.head)
+          .flatMap(k => Partitioner.planFlat(df, idx.head, Some(k)).cuts)
+      else None
+    Partitioner.layout(df, idx, n, cuts)
+  }
 
   private def statsMeta(s: Partitioner.IndexStats): Map[String, JValue] =
     Meta.obj("_rows" -> s.rows) ++
@@ -1741,17 +1773,25 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
     // stats (sidecar) merged with a cheap input-only scan of the batch.
     // Row count is an upper bound (dedup only shrinks) — fine for a
     // partition-count estimate; the real plan executes exactly once,
-    // inside commit().
+    // inside commit(). For flat items the SAME narrow scan (item ∪
+    // batch index values) also collects the quantile cuts the
+    // bounds-path exchange needs — the sampled range exchange would
+    // otherwise re-execute the combined dedup plan just to learn its
+    // boundaries (guide §1.4).
     val prevStats = readStatsMeta(item).getOrElse(
       Partitioner.computeStats(old, idx.head))
-    val stats = prevStats.merge(Partitioner.computeStats(newDf, idx.head))
+    val appendPlan: Partitioner.FlatPlan =
+      if (monthly || idx.size != 1) Partitioner.FlatPlan(
+        Partitioner.computeStats(newDf, idx.head), None)
+      else Partitioner.planAppend(old, newDf, idx.head)
+    val stats = prevStats.merge(appendPlan.stats)
     val (n, strategy) = npartitions match {
       case Some(k) => (k, Partitioner.SizeBased)
       case None    => Partitioner.decide(Partitioner.estimatedBytes(deduped), stats)
     }
     val laidOut =
       if (monthly) withTimeLayout(deduped, idx, monthlySaltOf(item), timeLayout.get)
-      else Partitioner(deduped, idx, n)
+      else Partitioner.layout(deduped, idx, n, appendPlan.cuts)
 
     val storedMeta = Meta.read(path.resolve(item))
     val prevMeta = storedMeta ++
@@ -3099,7 +3139,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
           case Some(k) => (k, Partitioner.SizeBased)
           case None    => Partitioner.decide(Partitioner.estimatedBytes(df), stats)
         }
-        val laidOut = Partitioner(df, idx, n)
+        val laidOut = flatRelayout(df, idx, n)
         val storedMeta = Meta.read(path.resolve(item))
         val prevMeta = storedMeta ++
           Meta.obj("_partitions" -> n, "_partition_strategy" -> strategy.name)
@@ -3171,7 +3211,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         "_monthly_salt" -> 1,
         "_partitions" -> n,
         "_partition_strategy" -> strategy.name)
-      commit(item, Partitioner(df, idx, n),
+      commit(item, flatRelayout(df, idx, n),
         newMeta ++ Collection.opTag("convert_layout"),
         expectedGen = Some(baseGen), expectedMeta = Some(prevMeta))
     }
@@ -3548,7 +3588,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
           val stats = readStatsMeta(item).getOrElse(
             Partitioner.computeStats(df, idx.head))
           val (n, strategy) = Partitioner.decide(Partitioner.estimatedBytes(df), stats)
-          commit(item, Partitioner(df, idx, n),
+          commit(item, flatRelayout(df, idx, n),
             prevMeta ++ Meta.obj("_partitions" -> n,
               "_partition_strategy" -> strategy.name),
             expectedGen = Some(baseGen), expectedMeta = Some(meta))
@@ -3588,7 +3628,7 @@ final class Collection private[store] (val spark: SparkSession, val path: SPath)
         val stats = readStatsMeta(item).getOrElse(
           Partitioner.computeStats(df, idx.head))
         val (n, strategy) = Partitioner.decide(Partitioner.estimatedBytes(df), stats)
-        commit(item, Partitioner(df, idx, n),
+        commit(item, flatRelayout(df, idx, n),
           prevMeta ++ Meta.obj("_partitions" -> n,
             "_partition_strategy" -> strategy.name) ++
             Collection.opTag("purge_dropped"),

@@ -222,6 +222,29 @@ class CrashKillSpec extends SparkSpec {
     }
   }
 
+  test("kill at staged_pre_publish with observe-collected stats pending: no stats publish for data that didn't land") {
+    // The probe's 50-row rewrite is a non-temporal flat write, so its
+    // index stats ride Dataset.observe on the staged parquet job (the
+    // by-name `meta` commit path). At this seam the staging — and the
+    // observed values — exist, but publishFull has not forced `meta`:
+    // the kill must leave the sidecar describing the 40 LIVE rows, not
+    // the 50 staged ones that never landed.
+    crashCase("staged_pre_publish:it", "write") { (c, _) =>
+      assert(c.path.listDirs.exists(_.startsWith("__tmp_it")),
+        "staging must be on disk at this seam (the parquet job ran)")
+      val meta = Meta.read(c.path.resolve("it"))
+      assert(meta.get("_rows").map(Meta.unjv).contains(40L),
+        s"sidecar must still carry the pre-commit stats: ${meta.get("_rows")}")
+      val removed = c.vacuum()
+      assert(removed.exists(_.startsWith("__tmp_it")))
+      assert(c.item("it").data.count() == 40) // the ORIGINAL rows
+      assert(histSize(c, "it") == 1, "no phantom history entry")
+      // and the surviving sidecar stats stay coherent with the data
+      assert(Meta.read(c.path.resolve("it")).get("_rows")
+        .map(Meta.unjv).contains(40L))
+    }
+  }
+
   test("kill between atomicSwap's renames: vacuum restores the moved-aside data dir") {
     crashCase("swap_mid", "write") { (c, _) =>
       val it = c.path.resolve("it")

@@ -231,6 +231,54 @@ class ScaleForcedSpec extends SparkSpec {
     cleanup(c)
   }
 
+  test("bounds-path flat layout: collision-free carriers, disjoint sorted files, twin-equal content") {
+    import graft.store.Partitioner
+    // carrierValues must be a bucket→partition bijection at every size
+    for (b <- 2 to 64) {
+      val cs = Partitioner.carrierValues(b)
+      val parts = cs.map(v => java.lang.Math.floorMod(
+        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(v, 42), b))
+      assert(parts == (0 until b), s"b=$b carriers must own their partitions: $parts")
+    }
+    // skewed long-key frame + some nulls: the bounds path must place
+    // nulls first (RangePartitioner's rule) and keep ranges disjoint
+    val df = spark.range(100000).select(
+        when(col("id") % 1000 === 0, lit(null).cast("long"))
+          .otherwise(pmod(col("id") * col("id"), lit(1000003L))).as("k"),
+        (col("id") % 97).cast("double").as("value"))
+      .localCheckpoint(true) // pin content: the twin comparison needs one dataset
+    val plan = Partitioner.planFlat(df, "k", Partitioner.sortKeyExpr(df, "k"))
+    assert(plan.stats.rows == 100000 && plan.cuts.exists(_.nonEmpty))
+    val bounded = Partitioner.layout(df, Seq("k"), 8, plan.cuts)
+    val legacy = Partitioner.apply(df, Seq("k"), 8)
+    // plan shape: hash exchange on the carrier, NOT a sampled range exchange
+    val phys = bounded.queryExecution.executedPlan.toString
+    assert(phys.contains("hashpartitioning") && !phys.contains("rangepartitioning"),
+      s"expected the carrier hash exchange:\n$phys")
+    assert(legacy.queryExecution.executedPlan.toString.contains("rangepartitioning"))
+    // twin-equal content
+    def content(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (Option(r.get(0)), r.getDouble(1))).sortBy(_.toString).toSeq
+    assert(content(bounded) == content(legacy))
+    // per-partition: sorted, ranges disjoint in partition order, nulls in p0
+    val perPart = bounded
+      .select(spark_partition_id().as("p"), col("k"))
+      .groupBy("p").agg(min("k").as("mn"), max("k").as("mx"),
+        count(lit(1)).as("n"), count(col("k")).as("nonnull"))
+      .orderBy("p").collect()
+    assert(perPart.length == 8, s"expected 8 occupied partitions: ${perPart.length}")
+    assert(perPart.head.getLong(3) < perPart.head.getLong(2),
+      "nulls must land in partition 0")
+    val spans = perPart.map(r => (r.getLong(1), r.getLong(2)))
+    for (i <- 1 until spans.length)
+      assert(spans(i - 1)._2 < spans(i)._1,
+        s"partition ranges must be disjoint and ascending: ${spans.toSeq}")
+    // balance: no partition above ~3x the mean (a sampled exchange's class)
+    val counts = perPart.map(_.getLong(3).toDouble)
+    assert(counts.max < 3.0 * counts.sum / counts.length,
+      s"bounds must balance: ${counts.toSeq}")
+  }
+
   test("distributed connected components converge at real chain diameter") {
     // 50 chains of length 20: the min label must PROPAGATE 19 hops —
     // cycles of size 4 (the round-5 test) never exercise convergence
