@@ -99,6 +99,30 @@ object Similarity {
     centroids.select(col("cid").cast("long"), col("centroid")).collect().toSeq
       .map(r => (r.getLong(0), toDoubles(r.getSeq[Any](1))))
 
+  /** Ceiling for embedding a quantizer as a plan LITERAL, in doubles
+    * held by the expression tree. A typedLit ships inside EVERY
+    * serialized task binary and plan, and very large literals defeat
+    * codegen — where a broadcast ships once per executor. Contract-
+    * sized quantizers (nlist ≲ thousands) sit far below the default
+    * 1M doubles (~8 MB of plan payload, e.g. nlist 8192 × dim 128);
+    * above it every literal-quantizer path falls back to its
+    * broadcast-join twin. Test seam:
+    * -Dgraft.similarity.maxLitDoubles=N (ScaleForcedSpec forces 1). */
+  private[operators] def maxLitDoubles: Long =
+    sys.props.get("graft.similarity.maxLitDoubles").flatMap(_.toLongOption)
+      .getOrElse(1L << 20)
+
+  private[operators] def litBytesCeiling: Long = maxLitDoubles * 8
+
+  private[operators] def litFits(cents: LocalCents): Boolean =
+    cents.iterator.map(_._2.size.toLong).sum <= maxLitDoubles
+
+  private def centsDF(cents: LocalCents,
+                      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    cents.toDF("cid", "centroid")
+  }
+
   /** Per-row nearest-centroid struct (ccos, -cid, cid) against a
     * LITERAL centroid array — ONE codegen loop over nlist centroids,
     * no cross join, no shuffle (guide §2.4: the assignment decision
@@ -146,9 +170,24 @@ object Similarity {
       // clusters simply produce no row — exactly like the old groupBy.
       val means = (0 until dim).map(i =>
         round(avg(element_at(col("pv"), i + 1)), 6).as(s"m$i"))
-      val rows = pts
-        .select(nearestCentroidStruct(col("pv"), cents).getField("cid").as("cid"),
-          col("pv"))
+      // size-guarded assignment: literal argmax below the ceiling, the
+      // broadcast-join max_by twin (identical (ccos, -cid) comparator
+      // over the same collected doubles) above it
+      val assigned =
+        if (litFits(cents))
+          pts.select(
+            nearestCentroidStruct(col("pv"), cents).getField("cid").as("cid"),
+            col("pv"))
+        else {
+          import graft.functions.expressions.cosine_sim
+          pts.crossJoin(broadcast(centsDF(cents, spark)))
+            .withColumn("ccos", cosine_sim(col("pv"), col("centroid")))
+            .groupBy(col("pid"))
+            .agg(max_by(struct(col("cid"), col("pv")),
+              struct(col("ccos"), -col("cid"))).as("best"))
+            .select(col("best.cid").as("cid"), col("best.pv").as("pv"))
+        }
+      val rows = assigned
         .groupBy(col("cid"))
         .agg(means.head, means.tail: _*)
         .collect().toSeq
@@ -264,7 +303,19 @@ object Similarity {
   def assignToCentroids(df: DataFrame, centroids: DataFrame,
                         vecCol: String = "embedding",
                         idCol: String = "vec_id"): DataFrame =
-    assignToCentroidsLocal(df, collectCents(centroids), vecCol, idCol)
+    if (graft.store.Partitioner.estimatedBytes(centroids) > litBytesCeiling) {
+      // quantizer too large to even collect: broadcast-join twin on the
+      // centroid FRAME (the kernels' per-element (double) casts make
+      // the arithmetic identical to the collected-doubles path)
+      import graft.functions.expressions.cosine_sim
+      df.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+        .crossJoin(broadcast(centroids))
+        .withColumn("ccos", cosine_sim(col("cv"), col("centroid")))
+        .groupBy(col("nbr_id"))
+        .agg(max_by(struct(col("cid"), col("cv")),
+          struct(col("ccos"), -col("cid"))).as("best"))
+        .select(col("nbr_id"), col("best.cv").as("cv"), col("best.cid").as("cid"))
+    } else assignToCentroidsLocal(df, collectCents(centroids), vecCol, idCol)
 
   private[operators] def assignToCentroidsLocal(df: DataFrame, cents: LocalCents,
                                                 vecCol: String,
@@ -272,8 +323,22 @@ object Similarity {
     val base = df.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
     // empty quantizer: the old cross join produced zero rows
     if (cents.isEmpty) base.withColumn("cid", lit(null).cast("long")).limit(0)
-    else base.select(col("nbr_id"), col("cv"),
-      nearestCentroidStruct(col("cv"), cents).getField("cid").as("cid"))
+    else if (litFits(cents))
+      base.select(col("nbr_id"), col("cv"),
+        nearestCentroidStruct(col("cv"), cents).getField("cid").as("cid"))
+    else {
+      // size-guarded fallback: the broadcast-join max_by twin — one
+      // copy of the quantizer per executor instead of one per task
+      // binary; identical (ccos, -cid) comparator over the same
+      // collected doubles
+      import graft.functions.expressions.cosine_sim
+      base.crossJoin(broadcast(centsDF(cents, df.sparkSession)))
+        .withColumn("ccos", cosine_sim(col("cv"), col("centroid")))
+        .groupBy(col("nbr_id"))
+        .agg(max_by(struct(col("cid"), col("cv")),
+          struct(col("ccos"), -col("cid"))).as("best"))
+        .select(col("nbr_id"), col("best.cv").as("cv"), col("best.cid").as("cid"))
+    }
   }
 
   /** Incrementally add vectors to a PERSISTED IVF index — the FAISS
@@ -319,14 +384,29 @@ object Similarity {
     // via the (−ccos, cid) struct sort key, the same comparator the
     // old row_number window applied. One job here, then the search
     // itself is a single pass over the pruned assignment scan.
-    val local = collectCents(index.centroids)
-    val scored = transform(typedLit(local), c => struct(
-      (-cosine_sim(col("qv"), c.getField("_2"))).as("n"),
-      c.getField("_1").as("cid")))
-    val probeRows = q.select(col("query_id"), col("qv"),
-        explode(slice(array_sort(scored), 1, nprobe)).as("p"))
-      .select(col("query_id"), col("qv"), col("p.cid").as("cid"))
-      .collect()
+    val localOpt =
+      if (graft.store.Partitioner.estimatedBytes(index.centroids) > litBytesCeiling) None
+      else Some(collectCents(index.centroids)).filter(litFits)
+    val probeRows = (localOpt match {
+      case Some(local) =>
+        val scored = transform(typedLit(local), c => struct(
+          (-cosine_sim(col("qv"), c.getField("_2"))).as("n"),
+          c.getField("_1").as("cid")))
+        q.select(col("query_id"), col("qv"),
+            explode(slice(array_sort(scored), 1, nprobe)).as("p"))
+          .select(col("query_id"), col("qv"), col("p.cid").as("cid"))
+      case None =>
+        // size-guarded fallback: broadcast-join + row_number window —
+        // the (ccos desc, cid asc) ranking the (−ccos, cid) struct
+        // sort replicates
+        val wProbe = Window.partitionBy(col("query_id"))
+          .orderBy(col("ccos").desc, col("cid"))
+        q.crossJoin(broadcast(index.centroids))
+          .withColumn("ccos", cosine_sim(col("qv"), col("centroid")))
+          .withColumn("crank", row_number().over(wProbe))
+          .filter(col("crank") <= nprobe)
+          .select(col("query_id"), col("qv"), col("cid"))
+    }).collect()
     val probedCids = probeRows.map(_.getLong(2)).distinct.toSeq
     import spark.implicits._
     val probes = probeRows.map(r =>
@@ -752,11 +832,17 @@ object Similarity {
         fit.m, fit.kEff, nlist = nlist)
     } else {
       // residual table: one row per vector, rv = normalized(cv) − centroid
-      // (centroid looked up per row from the literal quantizer map)
-      val centMap = typedLit(local.toMap)
-      val residuals = assigned
+      // (centroid looked up per row from the literal quantizer map;
+      // size-guarded: an oversized quantizer joins instead)
+      val withCent =
+        if (litFits(local))
+          assigned.withColumn("__cent",
+            element_at(typedLit(local.toMap), col("cid")))
+        else assigned.join(broadcast(centsDF(local, spark)), Seq("cid"))
+          .withColumnRenamed("centroid", "__cent")
+      val residuals = withCent
         .select(col("nbr_id"), col("cid"), col("cv"),
-          zip_with(normalized(col("cv")), element_at(centMap, col("cid")),
+          zip_with(normalized(col("cv")), col("__cent"),
             (a, b) => a - b).as("rv"))
       val fit = fitPq(residuals, m, ksub, pqIters,
         vecCol = "rv", idCol = "nbr_id", sampleFraction = sampleFraction,
@@ -795,11 +881,17 @@ object Similarity {
     val assigned = assignToCentroidsLocal(newVectors, local, vecCol, idCol)
     val codes =
       if (idx.residual) {
-        val centMap = typedLit(local.toMap)
-        assigned.filter(col("cv").isNotNull)
+        // size-guarded centroid lookup, same as buildIvfPqIndex
+        val withCent =
+          if (litFits(local))
+            assigned.withColumn("__cent",
+              element_at(typedLit(local.toMap), col("cid")))
+          else assigned.join(broadcast(centsDF(local, newVectors.sparkSession)),
+            Seq("cid")).withColumnRenamed("centroid", "__cent")
+        withCent.filter(col("cv").isNotNull)
           .select(col("cid"), col("nbr_id"),
             pqCodesExpr(zip_with(normalized(col("cv")),
-              element_at(centMap, col("cid")), (a, b) => a - b), fit).as("codes"),
+              col("__cent"), (a, b) => a - b), fit).as("codes"),
             col("cv"))
       } else assigned.filter(col("cv").isNotNull)
         .select(col("cid"), col("nbr_id"),
@@ -830,15 +922,29 @@ object Similarity {
     // the raw-code variant). Same literal-quantizer per-row top-nprobe
     // as ivfSearch — no cross join, no window shuffle; (−ccos, cid)
     // struct sort = the old (ccos desc, cid asc) ranking.
-    val local = collectCents(index.centroids)
-    val scored = transform(typedLit(local), c => struct(
-      (-cosine_sim(col("qv"), c.getField("_2"))).as("n"),
-      c.getField("_1").as("cid"),
-      dot_product(normalized(col("qv")), c.getField("_2")).as("qc")))
-    val probeRows = q.select(col("query_id"),
-        explode(slice(array_sort(scored), 1, nprobe)).as("p"))
-      .select(col("query_id"), col("p.cid").as("cid"), col("p.qc").as("qc"))
-      .collect()
+    val localOpt =
+      if (graft.store.Partitioner.estimatedBytes(index.centroids) > litBytesCeiling) None
+      else Some(collectCents(index.centroids)).filter(litFits)
+    val probeRows = (localOpt match {
+      case Some(local) =>
+        val scored = transform(typedLit(local), c => struct(
+          (-cosine_sim(col("qv"), c.getField("_2"))).as("n"),
+          c.getField("_1").as("cid"),
+          dot_product(normalized(col("qv")), c.getField("_2")).as("qc")))
+        q.select(col("query_id"),
+            explode(slice(array_sort(scored), 1, nprobe)).as("p"))
+          .select(col("query_id"), col("p.cid").as("cid"), col("p.qc").as("qc"))
+      case None =>
+        // size-guarded fallback: broadcast-join + window (same ranking)
+        val wProbe = Window.partitionBy(col("query_id"))
+          .orderBy(col("ccos").desc, col("cid"))
+        q.crossJoin(broadcast(index.centroids))
+          .withColumn("ccos", cosine_sim(col("qv"), col("centroid")))
+          .withColumn("qc", dot_product(normalized(col("qv")), col("centroid")))
+          .withColumn("crank", row_number().over(wProbe))
+          .filter(col("crank") <= nprobe)
+          .select(col("query_id"), col("cid"), col("qc"))
+    }).collect()
     val probedCids = probeRows.map(_.getLong(1)).distinct.toSeq
     val probePairs = probeRows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .toSeq.toDF("query_id", "cid", "qc")

@@ -279,6 +279,45 @@ class ScaleForcedSpec extends SparkSpec {
       s"bounds must balance: ${counts.toSeq}")
   }
 
+  test("oversized quantizer literals fall back to broadcast-join twins with identical results") {
+    import graft.operators.Similarity
+    val corpus = spark.range(1500).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        i => sin(col("id") * (i + lit(1))).cast("double")).as("embedding"))
+      .localCheckpoint(true)
+    val queries = corpus.filter($"vec_id" % 300 === 0)
+    def ivf() = Similarity.ivfTopK(corpus, queries, k = 5, nlist = 8,
+        nprobe = 3, kmeansIters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    def ivfpq() = {
+      val idx = Similarity.buildIvfPqIndex(corpus, nlist = 8, kmeansIters = 1,
+        m = 4, ksub = 8, pqIters = 1, residual = true)
+      Similarity.ivfPqSearch(idx, queries, k = 5, nprobe = 3, rerank = 64)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    }
+    // assignment plan shape under each regime
+    def assignPlan() = {
+      val cents = corpus.orderBy($"vec_id").limit(8)
+        .select($"vec_id".cast("long").as("cid"), $"embedding".as("centroid"))
+        .localCheckpoint(true)
+      Similarity.assignToCentroids(corpus, cents)
+        .queryExecution.executedPlan.toString
+    }
+    val litIvf = ivf(); val litPq = ivfpq()
+    val litPlan = assignPlan()
+    assert(!litPlan.contains("BroadcastExchange"),
+      s"literal path must not broadcast:\n$litPlan")
+    sys.props("graft.similarity.maxLitDoubles") = "1"
+    try {
+      val forcedPlan = assignPlan()
+      assert(forcedPlan.contains("BroadcastExchange"),
+        s"guarded path must broadcast the quantizer:\n$forcedPlan")
+      assert(ivf() == litIvf, "IVF results diverged under the size guard")
+      assert(ivfpq() == litPq, "IVF-PQ results diverged under the size guard")
+    } finally sys.props.remove("graft.similarity.maxLitDoubles")
+    assert(litIvf.nonEmpty && litPq.nonEmpty)
+  }
+
   test("distributed connected components converge at real chain diameter") {
     // 50 chains of length 20: the min label must PROPAGATE 19 hops —
     // cycles of size 4 (the round-5 test) never exercise convergence
