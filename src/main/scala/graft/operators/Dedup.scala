@@ -147,6 +147,51 @@ object Dedup {
     when(uni === 0, 0.0).otherwise(inter / uni.cast("double"))
   }
 
+  /** Exact-Jaccard verification of a candidate pair set (guide §8:
+    * decide with skinny id pairs, move heavy shingle payloads once).
+    * The candidate pairs are cached (ids only), the corpus is
+    * tokenized ONCE and semi-join-pruned to candidate docs, and that
+    * candidates-sized shingle frame is cached and joined to both pair
+    * ends. The straightforward plan re-tokenized the corpus for EACH
+    * side of the verify join and carried full-corpus shingle payloads
+    * into both joins; here only candidate docs' shingles exist past
+    * the one tokenize pass. Caches are plan-lifetime — the one-shot
+    * operator contract [[graft.operators.DedupIndex.probeMinhashIndex]]
+    * documents. */
+  /** Corpus-size threshold (plan-stats bytes) above which the verify
+    * stage localizes: below it, the classic direct-join plan's lower
+    * stage count wins (the lineDedup lesson — extra semi-join + cache
+    * stages cost more than two extra tokenize passes over a small
+    * corpus); above it, re-tokenizing the corpus per join side is the
+    * dominant cost and only candidate docs' shingles survive the one
+    * tokenize pass. Both plans produce identical rows. */
+  val VerifyLocalizeBytes: Long = 1L << 30
+
+  private def verifiedJaccard(candidates: DataFrame, df: DataFrame,
+                              threshold: Double, shingleK: Int,
+                              textCol: String, idCol: String,
+                              localize: Option[Boolean] = None): DataFrame = {
+    val withShOf = () => spread(df)
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+    val big = localize.getOrElse(
+      graft.store.Partitioner.estimatedBytes(df) > VerifyLocalizeBytes)
+    val (pairs, candSh) =
+      if (!big) (candidates, withShOf())
+      else {
+        val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val cached = candidates.persist(mem)
+        val ids = cached.select(col("id_a").as("id"))
+          .unionByName(cached.select(col("id_b").as("id"))).distinct()
+        (cached, withShOf().join(ids, Seq("id"), "left_semi").persist(mem))
+      }
+    pairs
+      .join(candSh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
+      .join(candSh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   // ------------------------------------------------- n-gram Jaccard join
 
   /** Exact n-gram Jaccard similarity join: all pairs with jaccard ≥
@@ -241,12 +286,7 @@ object Dedup {
       .filter(col("ubound") >= col("min_overlap"))
       .select(col("id_a"), col("id_b"))
 
-    candidates
-      .join(withSh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
-      .join(withSh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    verifiedJaccard(candidates, df, threshold, k, textCol, idCol)
   }
 
   // ------------------------------------------------------- MinHash LSH
@@ -279,7 +319,8 @@ object Dedup {
                       bands: Int = 16,
                       shingleK: Int = 3,
                       textCol: String = "text",
-                      idCol: String = "doc_id"): DataFrame = {
+                      idCol: String = "doc_id",
+                      localizeVerify: Option[Boolean] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val banded = spread(df).select(col(idCol).as("id"),
         posexplode(graft.functions.expressions.minhash_bands(
@@ -291,13 +332,8 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
-    val withSh = spread(df).select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
-    candidates
-      .join(withSh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
-      .join(withSh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    verifiedJaccard(candidates, df, threshold, shingleK, textCol, idCol,
+      localizeVerify)
   }
 
   // ----------------------------------------------------------- SimHash
@@ -343,11 +379,21 @@ object Dedup {
                    idCol: String = "doc_id",
                    verifyJaccard: Option[Double] = None,
                    shingleK: Int = 3,
-                   useMultiIndex: Option[Boolean] = None): DataFrame = {
+                   useMultiIndex: Option[Boolean] = None,
+                   localizeVerify: Option[Boolean] = None): DataFrame = {
     val multiIndex = useMultiIndex.getOrElse(radius >= 4)
     val chunks = if (multiIndex) radius / 2 + 1 else radius + 1
     val width = 64 / chunks
-    val sh = spread(df).select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
+    // skinny (id, 1 long) signature cache above the localize threshold:
+    // the exact and probe key subtrees would otherwise each re-tokenize
+    // the corpus (§5 reuse — 16 bytes/doc, not a payload cache); below
+    // it the cache stage costs more than the second tokenize
+    val sh0 = spread(df).select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
+    val sh =
+      if (localizeVerify.getOrElse(
+          graft.store.Partitioner.estimatedBytes(df) > VerifyLocalizeBytes))
+        sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sh0
     val exact = sh.select(col("id"), col("sim"),
       explode(array((0 until chunks).map { c =>
         struct(lit(c).as("chunk"),
@@ -378,14 +424,8 @@ object Dedup {
     verifyJaccard match {
       case None => within
       case Some(tau) =>
-        val withSh = spread(df).select(col(idCol).as("id"),
-          shingles(col(textCol), shingleK).as("sh"))
-        within
-          .join(withSh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
-          .join(withSh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
-          .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-          .filter(col("jaccard") >= tau)
-          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        verifiedJaccard(within.select(col("id_a"), col("id_b")), df, tau,
+          shingleK, textCol, idCol, localizeVerify)
     }
   }
 
@@ -430,7 +470,8 @@ object Dedup {
                       idCol: String = "doc_id",
                       verifyJaccard: Option[Double] = None,
                       shingleK: Int = 3,
-                      useMultiIndex: Option[Boolean] = None): DataFrame = {
+                      useMultiIndex: Option[Boolean] = None,
+                      localizeVerify: Option[Boolean] = None): DataFrame = {
     val multiIndex = useMultiIndex.getOrElse(radius >= 4)
     val m = if (multiIndex) radius / 2 + 1 else radius + 1
     require(m >= 2, "need at least two chunks")
@@ -456,7 +497,14 @@ object Dedup {
     def key(c: Chunk): Column =
       shiftrightunsigned(element_at(col("sim"), c.elem), c.off)
         .bitwiseAND(lit(if (c.w >= 64) -1L else (1L << c.w) - 1))
-    val sh = spread(df).select(col(idCol).as("id"), simhash128(col(textCol)).as("sim"))
+    // skinny (id, 2 longs) signature cache above the localize threshold
+    // — same §5 reuse rule as the 64-bit operator
+    val sh0 = spread(df).select(col(idCol).as("id"), simhash128(col(textCol)).as("sim"))
+    val sh =
+      if (localizeVerify.getOrElse(
+          graft.store.Partitioner.estimatedBytes(df) > VerifyLocalizeBytes))
+        sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sh0
     val exact = sh.select(col("id"), col("sim"),
       explode(array(layout.map(c =>
         struct(lit(c.id).as("chunk"), key(c).as("key"))): _*)).as("bk"))
@@ -480,14 +528,8 @@ object Dedup {
     verifyJaccard match {
       case None => within
       case Some(tau) =>
-        val withSh = spread(df).select(col(idCol).as("id"),
-          shingles(col(textCol), shingleK).as("sh"))
-        within
-          .join(withSh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
-          .join(withSh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
-          .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-          .filter(col("jaccard") >= tau)
-          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        verifiedJaccard(within.select(col("id_a"), col("id_b")), df, tau,
+          shingleK, textCol, idCol, localizeVerify)
     }
   }
 

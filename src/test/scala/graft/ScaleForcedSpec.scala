@@ -73,6 +73,24 @@ class ScaleForcedSpec extends SparkSpec {
     assert(plain.size >= 200, s"expected >=200 true pairs, got ${plain.size}")
   }
 
+  test("localized and direct Jaccard-verify plans agree (minhash + simhash)") {
+    val base = corpus(8000)
+    val aug = base.unionByName(
+      dropLastWord(base.filter($"doc_id" < 200)
+        .withColumn("doc_id", $"doc_id" + 1000000L)))
+    def mh(loc: Boolean) = Dedup.minhashLshPairs(aug, threshold = 0.8,
+        localizeVerify = Some(loc))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val mhLoc = mh(true); val mhDir = mh(false)
+    assert(mhLoc == mhDir, s"minhash verify diverged: ${(mhLoc -- mhDir) ++ (mhDir -- mhLoc)}")
+    assert(mhLoc.size >= 200, s"fixture too small: ${mhLoc.size}")
+    def sh(loc: Boolean) = Dedup.simhashPairs128(aug, radius = 15,
+        verifyJaccard = Some(0.5), localizeVerify = Some(loc))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val shLoc = sh(true); val shDir = sh(false)
+    assert(shLoc == shDir, s"simhash verify diverged: ${(shLoc -- shDir) ++ (shDir -- shLoc)}")
+  }
+
   test("minhash probe localization arms and collect-guard fallbacks agree") {
     val c = tempCollection("scale_probe")
     val base = corpus(10000)
